@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over embedding columns (ArrayType(FloatType), dim 64 in the
+  * fixtures — FIXTURES.md) built ONLY from codegen'd higher-order functions
+  * (`zip_with`, `aggregate`), no Scala UDFs, so the hot path stays inside
+  * whole-stage codegen (SURVEY.md §2.9 X3; the udf→Expression promotion
+  * path in §4 stays open but the built-in HOFs already avoid the UDF
+  * serialization boundary).
+  *
+  * Determinism: every fold is a per-row left-to-right double accumulation —
+  * same IEEE result on every engine that folds in order (the DuckDB oracle
+  * does), which is what makes cosine results hash-comparable.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double precision, in array order. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** cos(a,b) = a·b / (‖a‖‖b‖); null-safe on zero vectors (returns null
+    * rather than ±Infinity so downstream filters drop them). */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(null).cast("double")).otherwise(dotProduct(a, b) / denom)
+  }
+
+  def euclideanDistance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v
+    ))
+
+  /** Random-hyperplane LSH signature: sign bit of a·hᵢ for `planes`
+    * deterministic pseudo-random hyperplanes (seeded; same signature on
+    * every run/executor). Used to bucket vectors so near-neighbor search
+    * joins within buckets instead of the full cross product (§2.9 X3 scale
+    * path). Pure built-in expressions — `typedlit` hyperplanes are plan
+    * constants, broadcast with the plan itself. */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val hs: Seq[Seq[Double]] =
+      Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val bits = hs.map { h =>
+      when(dotProduct(vec, typedlit(h)) > 0.0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.config._
+import graft.operators.Validations
+import graft.sinks.SinkWriter
+import graft.sources.SourceReader
+import java.nio.file.{Files, Paths}
+
+/** The engine's job runner — the open re-implementation of the reference's
+  * closed `com.xyz.spark.etl.main.Orchestrator` jar entry point
+  * (/root/reference/example-shareprice.py:81,148), whose behavior is fully
+  * declared by the config template (/root/reference/spark.json). Lifecycle
+  * follows SURVEY.md §3.2 verbatim:
+  *
+  *   parse config → spark-conf passthrough → duplicate-run guard →
+  *   pre-exec scripts → phase_1 bind inputs (+ junk-char cleanup,
+  *   metadata mapping, projection) → phase_2 validations (null-key, keyed
+  *   dedup; bad rows → error sink; threshold gate) → phase_2 SQL transform
+  *   chain (each step registers outputDFName) → phase_3 sinks (load
+  *   strategies, fan-out, reconciliation) → archive inputs → post-exec.
+  *
+  * All query processing is delegated to Spark SQL (spark.json:57 is the
+  * reference's only query interface) — the orchestrator's job is correct
+  * view registration, routing, and conf; Catalyst does the optimizing.
+  */
+class Orchestrator(spark: SparkSession) {
+
+  /** Run one job end-to-end. Returns the last transformation's frame (for
+    * tests / chaining); all declared sinks have been written on return. */
+  def run(cfg: JobConfig): DataFrame = {
+    cfg.sparkConfig.foreach { case (k, v) => spark.conf.set(k, v) }
+
+    if (cfg.duplicateRunCheck) duplicateRunGuard(cfg)
+    cfg.preExecution.scripts.foreach(runScript)
+
+    // phase_1 — bind inputs as named temp views
+    val inputFrames = cfg.inputs.map { in =>
+      val raw = SourceReader.read(spark, in)
+      val cleaned =
+        if (cfg.preExecution.junkCharacterRemoval) SourceReader.stripJunkCharacters(raw) else raw
+      cleaned.createOrReplaceTempView(in.dataFrameName)
+      in.dataFrameName -> cleaned
+    }.toMap
+
+    // phase_2 — validations route bad rows out and re-register the good set
+    var badTotal = 0L
+    var goodTotal = 0L
+    cfg.validations.foreach { v =>
+      val df = spark.table(v.dataFrameName)
+      val routed = v match {
+        case NullValueCheck(_, pks)          => Validations.nullKeyCheck(df, pks)
+        case DuplicateRecordCheck(_, pks, o) => Validations.dedup(df, pks, o)
+      }
+      val bad = routed.bad.persist()
+      val nBad = bad.count()
+      badTotal += nBad
+      if (nBad > 0) cfg.errorSink.foreach(es => SinkWriter.writeErrors(spark, bad, cfg.jobName, es))
+      bad.unpersist()
+      routed.good.createOrReplaceTempView(v.dataFrameName)
+      goodTotal += spark.table(v.dataFrameName).count()
+    }
+    cfg.thresholdLimit.foreach(Validations.thresholdGate(goodTotal, badTotal, _))
+
+    // phase_2 — SQL transformation chain (spark.json:54-65)
+    var last: DataFrame = inputFrames.values.lastOption.orNull
+    cfg.transformations.foreach { t =>
+      val out = spark.sql(t.sqlQuery)
+      out.createOrReplaceTempView(t.outputDFName)
+      t.countValidation.foreach(Validations.countValidation(out, _))
+      last = out
+    }
+
+    // phase_3 — sinks (fan-out persists once when several sinks share a frame)
+    cfg.sinks.groupBy(_.dataFrameName).foreach { case (name, sinks) =>
+      val df = spark.table(name)
+      SinkWriter.fanOut(spark, df, sinks)
+      sinks.filter(_.reconciliation).foreach { s =>
+        s.path.foreach { p =>
+          val target = spark.read.format(s.format).load(p)
+          if (!Validations.reconcile(df, target))
+            throw new IllegalStateException(s"reconciliation failed for sink $name → $p")
+        }
+      }
+    }
+
+    cfg.archiveInput.foreach { a =>
+      cfg.inputs.flatMap(_.path).foreach(p =>
+        SinkWriter.archiveInput(p, a.archivePath, a.deleteSourceAfterArchival))
+    }
+    cfg.postExecutionScripts.foreach(runScript)
+    last
+  }
+
+  /** P3 duplicate-run guard (spark.json:8-9): marker-file check-and-create
+    * under the temp path. Single-scheduler assumption documented in
+    * SURVEY.md §7.4 (matches the reference's one-Airflow-DAG model). */
+  private def duplicateRunGuard(cfg: JobConfig): Unit = {
+    val tmp = cfg.tempPath.getOrElse(sys.error("duplicateRunCheck needs tempPath"))
+    Files.createDirectories(Paths.get(tmp))
+    val marker = Paths.get(tmp, s"${cfg.jobName}_RUNNING")
+    if (Files.exists(marker))
+      throw new IllegalStateException(s"duplicate run detected for job ${cfg.jobName} ($marker exists)")
+    Files.createFile(marker)
+    sys.addShutdownHook { Files.deleteIfExists(marker); () }
+  }
+
+  /** P2/W13 pre-/post-exec scripts (spark.json:28-30,102-106). */
+  private def runScript(script: String): Unit = {
+    import scala.sys.process._
+    val code = Seq("bash", "-c", script).!
+    if (code != 0) throw new IllegalStateException(s"script failed ($code): $script")
+  }
+}
+
+/** O1/O2 — the DAG layer: the reference runs 4 Orchestrator jobs in
+  * sequence on an ephemeral cluster, exchanging data only through storage
+  * (/root/reference/example-shareprice.py:148-153). Locally that collapses
+  * to an in-process sequence of jobs over one SparkSession with a per-step
+  * retry loop (retries: 3, example-shareprice.py:64 / deploy.yaml:19). */
+final case class PipelineStep(name: String, config: JobConfig, retries: Int = 3)
+
+class PipelineRunner(spark: SparkSession) {
+  private val orchestrator = new Orchestrator(spark)
+
+  def run(steps: Seq[PipelineStep]): Unit = steps.foreach { step =>
+    var attempt = 0
+    var done = false
+    var lastErr: Throwable = null
+    while (!done && attempt <= step.retries) {
+      try { orchestrator.run(step.config); done = true }
+      catch {
+        case e: Throwable =>
+          lastErr = e; attempt += 1
+          System.err.println(s"[pipeline] step ${step.name} attempt $attempt failed: ${e.getMessage}")
+      }
+    }
+    if (!done) throw new IllegalStateException(s"step ${step.name} failed after ${step.retries + 1} attempts", lastErr)
+  }
+}

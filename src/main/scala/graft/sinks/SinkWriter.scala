@@ -1,0 +1,148 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.SinkSpec
+import graft.operators.Scd2
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Phase-3 load strategies and writers (reference:
+  * /root/reference/spark.json:68-107). Covers W1 simpleInsert /
+  * W2 truncateInsert / W3 scdType2Insert load types (spark.json:73), the
+  * file-format surface (spark.json:92), compression (spark.json:93),
+  * single-file output with name prefix (spark.json:77-78, W6), partitioned
+  * output, JDBC sinks (spark.json:71,74), multi-sink fan-out (the sink
+  * section is an array, spark.json:69-96, W10), and the error-record sink
+  * (spark.json:97-101, W8).
+  *
+  * Scale notes: fan-out persists the source frame once and reuses it per
+  * sink; singleFile is an explicit opt-in (coalesce(1) is a deliberate
+  * bottleneck the reference exposes for small handoff files, not a default);
+  * everything else writes with full parallelism and inherits
+  * maxRecordsPerFile / partitionBy sizing from conf (spark.json:4-5).
+  */
+object SinkWriter {
+
+  def write(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit =
+    sink.loadType.toLowerCase match {
+      case "simpleinsert"   => writeFile(df, sink, SaveMode.valueOf(camel(sink.savemode)))
+      case "truncateinsert" => writeFile(df, sink, SaveMode.Overwrite)
+      case "scdtype2insert" => scd2Insert(spark, df, sink)
+      case other            => sys.error(s"unknown loadType '$other'")
+    }
+
+  private def camel(m: String): String = m.toLowerCase match {
+    case "append"        => "Append"
+    case "overwrite"     => "Overwrite"
+    case "ignore"        => "Ignore"
+    case "errorifexists" => "ErrorIfExists"
+    case _               => "Append"
+  }
+
+  private def writeFile(df: DataFrame, sink: SinkSpec, mode: SaveMode): Unit = {
+    if (sink.format == "jdbc") {
+      val w = df.write.mode(mode).format("jdbc")
+        .option("url", sink.jdbcUrl.getOrElse(""))
+        .option("dbtable", sink.tableName.getOrElse(""))
+        .options(sink.options)
+      // truncateInsert on JDBC: TRUNCATE instead of DROP (W2)
+      val w2 = if (mode == SaveMode.Overwrite) w.option("truncate", "true") else w
+      w2.save()
+      return
+    }
+    val path = sink.path.getOrElse(sys.error(s"sink ${sink.dataFrameName} needs path"))
+    if (sink.singleFile) { writeSingleFile(df, sink, path); return }
+    var w = df.write.mode(mode).format(sink.format).options(sink.options)
+    sink.compression.foreach(c => w = w.option("compression", c))
+    if (sink.partitionBy.nonEmpty) w = w.partitionBy(sink.partitionBy: _*)
+    w.save(path)
+  }
+
+  /** W6 single-file output + deterministic name (spark.json:77-78,89):
+    * stage via coalesce(1) to a temp dir, then driver-side rename of the
+    * part file to `{prefix}_{ts}.{ext}` in the target dir. */
+  def writeSingleFile(df: DataFrame, sink: SinkSpec, path: String): Unit = {
+    val staging = path.stripSuffix("/") + "_staging_" + System.nanoTime()
+    var w = df.coalesce(1).write.mode(SaveMode.Overwrite).format(sink.format).options(sink.options)
+    sink.compression.foreach(c => w = w.option("compression", c))
+    w.save(staging)
+    val part = Files.list(Paths.get(staging)).toArray.map(_.toString)
+      .find(p => p.contains("part-") && !p.endsWith(".crc"))
+      .getOrElse(sys.error(s"no part file produced under $staging"))
+    val ext = sink.format match {
+      case "csv" => "csv"; case "json" => "json"; case "text" => "txt"
+      case f => f
+    }
+    val prefix = sink.outputFileNamePrefix.getOrElse(sink.dataFrameName)
+    val ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+      .format(java.time.LocalDateTime.now())
+    Files.createDirectories(Paths.get(path))
+    Files.move(Paths.get(part), Paths.get(path, s"${prefix}_$ts.$ext"),
+      StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(Paths.get(staging))
+  }
+
+  /** W3: read current dimension (if any) from the sink path, merge the
+    * staged frame via [[Scd2.merge]], rewrite. First batch initializes. */
+  def scd2Insert(spark: SparkSession, staged: DataFrame, sink: SinkSpec): Unit = {
+    val path = sink.path.getOrElse(sys.error("scd2 sink needs path"))
+    val batchTs = java.sql.Timestamp.from(java.time.Instant.now())
+    val merged =
+      if (Files.exists(Paths.get(path)) && Files.list(Paths.get(path)).findFirst().isPresent) {
+        val dim = spark.read.format(sink.format).load(path)
+        Scd2.merge(dim, staged, sink.scdKeys, sink.scdTrackedCols, batchTs)
+      } else Scd2.initialize(staged, batchTs)
+    // Rewrite via staging dir then swap — the source of the read and the
+    // target of the write are the same path, so a direct overwrite would
+    // truncate its own input mid-plan.
+    val staging = path.stripSuffix("/") + "_scd2_staging"
+    merged.write.mode(SaveMode.Overwrite).format(sink.format).save(staging)
+    deleteRecursively(Paths.get(path))
+    Files.move(Paths.get(staging), Paths.get(path))
+  }
+
+  /** W10 multi-sink fan-out (spark.json:69-96): persist once, write N times. */
+  def fanOut(spark: SparkSession, df: DataFrame, sinks: Seq[SinkSpec]): Unit = {
+    if (sinks.size <= 1) { sinks.foreach(write(spark, df, _)); return }
+    val cached = df.persist()
+    try sinks.foreach(write(spark, cached, _))
+    finally { cached.unpersist(); () }
+  }
+
+  /** W8 error-record sink (spark.json:97-101): `bad` frames already carry
+    * `error_reason`; stamp the job + time and write with the same machinery. */
+  def writeErrors(spark: SparkSession, bad: DataFrame, jobName: String, sink: SinkSpec): Unit = {
+    val stamped = bad
+      .withColumn("error_job", lit(jobName))
+      .withColumn("error_ts", current_timestamp())
+    write(spark, stamped, sink)
+  }
+
+  /** W12 archive-input-after-load (spark.json:10-12). */
+  def archiveInput(inputPath: String, archivePath: String, deleteSource: Boolean): Unit = {
+    val src = Paths.get(inputPath)
+    if (!Files.exists(src)) return
+    Files.createDirectories(Paths.get(archivePath))
+    val dest = Paths.get(archivePath, src.getFileName.toString)
+    if (deleteSource) Files.move(src, dest, StandardCopyOption.REPLACE_EXISTING)
+    else copyRecursively(src, dest)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => { Files.delete(x); () })
+    }
+
+  private def copyRecursively(src: java.nio.file.Path, dest: java.nio.file.Path): Unit = {
+    Files.walk(src).forEach { p =>
+      val target = dest.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else {
+        Files.createDirectories(target.getParent)
+        Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+      }
+      ()
+    }
+  }
+}

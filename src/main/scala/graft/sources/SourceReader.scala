@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.{ColumnMapping, InputSpec}
+
+/** Phase-1 input binding: read each configured input and register it as a
+  * named temp view (reference: /root/reference/spark.json:14-23,32-38 — the
+  * `dataFrameName` is "the temporary view name", spark.json:16).
+  *
+  * Format surface (spark.json:19): csv, parquet, orc, json, xml, text.
+  * Excel / Delta / SFTP are declared by the reference but need external
+  * packages unavailable in this offline build; they are isolated behind
+  * [[RemoteFs]]-style hooks (SURVEY.md §7.4) and report a clear error.
+  *
+  * Scale notes: all readers are plain `spark.read` — Catalyst handles
+  * split sizing via spark.sql.files.maxPartitionBytes (the reference pins
+  * 128 MiB, spark.json:5), column pruning, and parquet/orc predicate
+  * pushdown. Nothing here forces an action or a driver-side collect.
+  */
+object SourceReader {
+
+  def read(spark: SparkSession, in: InputSpec): DataFrame = {
+    val base = in.format match {
+      case "parquet" => spark.read.options(in.options).parquet(in.path.get)
+      case "orc"     => spark.read.options(in.options).orc(in.path.get)
+      case "csv" =>
+        spark.read
+          .option("header", in.header.toString)
+          .option("inferSchema", in.options.getOrElse("inferSchema", "true"))
+          .options(in.options)
+          .csv(in.path.get)
+      case "json" => spark.read.options(in.options).json(in.path.get)
+      case "text" => spark.read.options(in.options).text(in.path.get)
+      case "xml" => // Spark 4 ships native XML (formerly spark-xml)
+        spark.read.format("xml").options(in.options).load(in.path.get)
+      case "jdbc" =>
+        val r = spark.read.format("jdbc").option("url", in.jdbcUrl.getOrElse(""))
+        val withTarget = (in.tableQuery, in.tableName) match {
+          case (Some(q), _)    => r.option("query", q)
+          case (_, Some(t))    => r.option("dbtable", t)
+          case _               => sys.error(s"jdbc input ${in.dataFrameName} needs tableName or tableQuery")
+        }
+        withTarget.options(in.options).load()
+      case "sql" => // additional-input SQL over already-registered views (spark.json:36-38)
+        spark.sql(in.sql.getOrElse(sys.error(s"sql input ${in.dataFrameName} needs sql")))
+      case other =>
+        sys.error(s"format '$other' requires an external connector not available offline " +
+          "(excel/delta/sftp — see SURVEY.md §7.4)")
+    }
+    val mapped = in.metadataPath.map(p => applyMetadataMapping(base, loadMapping(p))).getOrElse(base)
+    val projected =
+      if (in.selectColumns.nonEmpty) mapped.select(in.selectColumns.map(col): _*) else mapped
+    projected.createOrReplaceTempView(in.dataFrameName)
+    projected
+  }
+
+  /** Metadata-driven schema-on-read (spark.json:21-22): JSON list of
+    * {sourceColumn, targetColumn, dataType}, applied as a single projection
+    * so Catalyst still prunes/pushes down beneath it. */
+  def applyMetadataMapping(df: DataFrame, mapping: Seq[ColumnMapping]): DataFrame =
+    df.select(mapping.map(m => col(m.sourceColumn).cast(m.dataType).as(m.targetColumn)): _*)
+
+  def loadMapping(path: String): Seq[ColumnMapping] = {
+    val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val list = mapper.readValue(txt, classOf[java.util.List[java.util.Map[String, String]]])
+    import scala.jdk.CollectionConverters._
+    list.asScala.toSeq.map(m =>
+      ColumnMapping(m.get("sourceColumn"), m.get("targetColumn"), m.get("dataType")))
+  }
+
+  /** Junk-character removal (spark.json:27): strip control / non-printable
+    * chars from every string column. Pure built-in `regexp_replace`, so it
+    * stays inside whole-stage codegen. */
+  def stripJunkCharacters(df: DataFrame): DataFrame = {
+    val cleaned = df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        regexp_replace(col(f.name), "[^\\x20-\\x7E\\t\\n\\r]", "").as(f.name)
+      else col(f.name)
+    }
+    df.select(cleaned.toSeq: _*)
+  }
+}

