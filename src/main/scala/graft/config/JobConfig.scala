@@ -150,7 +150,7 @@ object JobConfig {
     obj(m, k).getOrElse(Map.empty).map { case (a, b) => a -> b.toString }
 
   /** "30%" | "0.3" → 0.3 (spark.json:7). */
-  private[config] def parseThreshold(s: String): Double = {
+  private[graft] def parseThreshold(s: String): Double = {
     val t = s.trim
     if (t.endsWith("%")) t.dropRight(1).trim.toDouble / 100.0 else t.toDouble
   }

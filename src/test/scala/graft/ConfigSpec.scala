@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config._
+
+class ConfigSpec extends AnyFunSuite {
+
+  val sampleJson: String =
+    """{
+      |  "jobName": "share_price_daily",
+      |  "sparkConfig": {
+      |    "spark.sql.files.maxRecordsPerFile": "10000000",
+      |    "spark.sql.files.maxPartitionBytes": "134217728"
+      |  },
+      |  "thresholdLimit": "30%",
+      |  "duplicateRunCheck": true,
+      |  "tempPath": "/tmp/graft-tmp",
+      |  "preExecution": {"junkCharacterRemoval": true, "scripts": ["echo pre"]},
+      |  "inputs": [
+      |    {"dataFrameName": "prices", "format": "csv", "path": "/data/prices.csv",
+      |     "header": true, "selectColumns": ["symbol", "price", "trade_ts"]},
+      |    {"dataFrameName": "dim", "format": "parquet", "path": "/data/dim"},
+      |    {"dataFrameName": "joined", "format": "sql",
+      |     "sql": "SELECT * FROM prices p JOIN dim d ON p.symbol = d.symbol"}
+      |  ],
+      |  "validations": [
+      |    {"type": "nullValueCheck", "dataFrameName": "prices", "primaryKeys": ["symbol", "trade_ts"]},
+      |    {"type": "duplicateRecordCheck", "dataFrameName": "prices",
+      |     "primaryKeys": ["symbol", "trade_ts"], "orderByCols": ["price"]}
+      |  ],
+      |  "transformations": [
+      |    {"functionName": "daily_range",
+      |     "sqlQuery": "SELECT symbol, max(price)-min(price) AS range FROM joined GROUP BY symbol",
+      |     "outputDFName": "ranges", "countValidation": "1"}
+      |  ],
+      |  "sinks": [
+      |    {"dataFrameName": "ranges", "loadType": "scdType2Insert", "format": "parquet",
+      |     "path": "/out/ranges", "scdKeys": ["symbol"], "scdTrackedCols": ["range"]},
+      |    {"dataFrameName": "ranges", "loadType": "simpleInsert", "format": "csv",
+      |     "path": "/out/ranges_csv", "savemode": "overwrite", "singleFile": true,
+      |     "outputFileNamePrefix": "ranges", "compression": "gzip"}
+      |  ],
+      |  "errorSink": {"dataFrameName": "errors", "format": "parquet", "path": "/out/errors"}
+      |}""".stripMargin
+
+  test("parses the full reference-shaped job config") {
+    val cfg = JobConfig.parse(sampleJson)
+    assert(cfg.jobName == "share_price_daily")
+    assert(cfg.sparkConfig("spark.sql.files.maxPartitionBytes") == "134217728")
+    assert(cfg.thresholdLimit.contains(0.30))
+    assert(cfg.duplicateRunCheck)
+    assert(cfg.preExecution.junkCharacterRemoval)
+    assert(cfg.inputs.map(_.dataFrameName) == Seq("prices", "dim", "joined"))
+    assert(cfg.inputs.head.selectColumns == Seq("symbol", "price", "trade_ts"))
+    assert(cfg.inputs(2).format == "sql" && cfg.inputs(2).sql.nonEmpty)
+    assert(cfg.validations.size == 2)
+    assert(cfg.validations.head == NullValueCheck("prices", Seq("symbol", "trade_ts")))
+    assert(cfg.validations(1) ==
+      DuplicateRecordCheck("prices", Seq("symbol", "trade_ts"), Seq("price")))
+    assert(cfg.transformations.head.outputDFName == "ranges")
+    assert(cfg.transformations.head.countValidation.contains(1L))
+    assert(cfg.sinks.size == 2)
+    assert(cfg.sinks.head.loadType == "scdType2Insert")
+    assert(cfg.sinks.head.scdKeys == Seq("symbol"))
+    assert(cfg.sinks(1).singleFile && cfg.sinks(1).compression.contains("gzip"))
+    assert(cfg.errorSink.nonEmpty)
+  }
+
+  test("threshold parsing accepts percent and fraction forms") {
+    assert(JobConfig.parseThreshold("30%") == 0.30)
+    assert(JobConfig.parseThreshold("0.25") == 0.25)
+    assert(JobConfig.parseThreshold(" 5 %") == 0.05)
+  }
+
+  test("unknown keys are ignored; defaults hold") {
+    val cfg = JobConfig.parse("""{"jobName":"x","mystery":42}""")
+    assert(cfg.jobName == "x")
+    assert(!cfg.duplicateRunCheck && cfg.inputs.isEmpty && cfg.thresholdLimit.isEmpty)
+  }
+}

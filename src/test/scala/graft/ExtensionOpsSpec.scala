@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.x.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Extension operators (SURVEY.md §2.9): dedup family, similarity search,
+  * text analysis, multimodal plumbing. */
+class ExtensionOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sfDir
+
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  test("exact dedup is deterministic and idempotent") {
+    val d1 = Dedup.exactByContent(docs, "text", "doc_id")
+    val d2 = Dedup.exactByContent(d1, "text", "doc_id")
+    assert(d1.count() == d2.count())
+    assert(d1.select("doc_id").exceptAll(d2.select("doc_id")).isEmpty)
+    // keeps the minimum doc_id per text
+    val viaGroup = docs.groupBy("text").agg(min("doc_id").as("doc_id")).count()
+    assert(d1.count() == viaGroup)
+  }
+
+  test("minhash-LSH near-dup pairs ⊆ exact jaccard pairs, with high recall") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+      n = 3, k = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact), "LSH+verify must not emit false positives")
+    if (exact.nonEmpty)
+      assert(approx.size.toDouble / exact.size >= 0.8, s"recall ${approx.size}/${exact.size}")
+  }
+
+  test("simhash: identical docs at hamming 0; near-dup pairs found via chunks") {
+    val sig = Dedup.simhash(docs, "text", "doc_id")
+    assert(sig.count() == docs.count())
+    // doc joined to itself → hamming 0
+    val self = sig.alias("a").join(sig.alias("b"), col("a.doc_id") === col("b.doc_id"))
+      .select(Dedup.hamming(col("a.simhash"), col("b.simhash")).as("h"))
+    assert(self.filter(col("h") =!= 0).isEmpty)
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 8)
+    assert(pairs.count() > 0) // near-dups by construction in the fixture
+  }
+
+  test("cosine similarity function matches a driver-side computation") {
+    val rows = emb.limit(2).select("embedding").as[Array[Float]].collect()
+    val (a, b) = (rows(0), rows(1))
+    def dot(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+    val expected = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val got = emb.limit(2).agg(collect_list("embedding")).as[Seq[Array[Float]]].head()
+    val viaCol = spark.sql("SELECT 1").select(
+      VectorFunctions.cosineSimilarity(typedlit(a.toSeq), typedlit(b.toSeq)).as("c"))
+      .as[Double].head()
+    assert(math.abs(viaCol - expected) < 1e-9)
+  }
+
+  test("brute-force top-k: ranks ordered, self excluded, k respected") {
+    val queries = emb.filter($"vec_id" < 3).select($"vec_id".as("q_id"), $"embedding")
+    val topk = Similarity.bruteForceTopK(emb, queries, "vec_id", "q_id", "embedding", k = 5)
+    val rows = topk.collect()
+    assert(rows.length == 3 * 5)
+    assert(!rows.exists(r => r.getAs[Long]("q_id") == r.getAs[Long]("vec_id")))
+    // per query: cosine non-increasing with rank
+    topk.groupBy("q_id").agg(collect_list(struct($"rank", $"cosine")).as("l"))
+      .as[(Long, Seq[(Int, Double)])].collect().foreach { case (_, l) =>
+        val sorted = l.sortBy(_._1).map(_._2)
+        assert(sorted.zip(sorted.tail).forall { case (x, y) => x >= y })
+      }
+  }
+
+  test("LSH top-k returns a subset of brute-force candidates with equal cosines") {
+    val queries = emb.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"embedding")
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "q_id", "embedding",
+        k = emb.count().toInt) // reference map over ALL pairs, not a top-k subset
+      .select($"q_id", $"vec_id", round($"cosine", 9).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "q_id", "embedding",
+      k = 10, dim = 64, planes = 6)
+      .select($"q_id", $"vec_id", round($"cosine", 9).as("c")).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && math.abs(brute(key) - r.getDouble(2)) < 1e-9)
+    }
+  }
+
+  test("text profile: counts and ratios are consistent") {
+    val p = TextAnalysis.profile(docs, "text").cache()
+    assert(p.count() == docs.count())
+    assert(p.filter($"n_tokens" <= 0).isEmpty)
+    assert(p.filter($"n_chars_m" =!= $"n_chars").isEmpty) // fixture carries n_chars
+    assert(p.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).isEmpty)
+    assert(p.filter($"quality" < 0 || $"quality" > 1).isEmpty)
+    // fingerprint: equal texts ⇔ equal fingerprints (on this corpus)
+    val byText = docs.groupBy("text").agg(countDistinct("doc_id").as("n")).count()
+    val byFp = p.select("fp").distinct().count()
+    assert(byFp == byText)
+  }
+
+  test("multimodal: features deterministic, metadata filter prunes payload") {
+    val media = Multimodal.synthesizeFromText(docs, "doc_id", "text").cache()
+    val f1 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
+    assert(f1.length == docs.count())
+    assert(f1.zip(f2).forall { case (a, b) =>
+      a.checksum == b.checksum && a.features.sameElements(b.features) })
+    assert(f1.forall(_.features.length == 16))
+    val imgs = Multimodal.filterByMeta(media, "image", minWidth = 100)
+    assert(imgs.columns.toSet == Set("media_id", "meta"))
+    assert(imgs.count() > 0)
+    val frames = Multimodal.sampleFrames(media, everyMs = 10000)
+    assert(frames.count() >= media.filter(col("meta.kind") === "video").count())
+  }
+}

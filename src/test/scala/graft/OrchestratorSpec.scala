@@ -1,0 +1,174 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.config.JobConfig
+import graft.run.{Orchestrator, PipelineRunner, PipelineStep}
+import java.nio.file.{Files, Paths}
+
+/** End-to-end job + pipeline runs mirroring the reference's 4-step
+  * share-price DAG shape (fetch → calculate_daily_range → register → scd2,
+  * /root/reference/example-shareprice.py:148-153) over the fixtures. */
+class OrchestratorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sfDir
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-orch").toString
+
+  test("single job: inputs → validations → SQL chain → parquet sink → error sink") {
+    val out = tmpDir()
+    val cfg = JobConfig.parse(
+      s"""{
+         |"jobName": "daily_range",
+         |"thresholdLimit": "90%",
+         |"inputs": [
+         |  {"dataFrameName": "orders", "format": "parquet", "path": "$sf/orders.parquet"},
+         |  {"dataFrameName": "lineitem", "format": "parquet", "path": "$sf/lineitem.parquet",
+         |   "selectColumns": ["l_orderkey", "l_extendedprice", "l_linenumber"]}
+         |],
+         |"validations": [
+         |  {"type": "duplicateRecordCheck", "dataFrameName": "lineitem",
+         |   "primaryKeys": ["l_orderkey", "l_linenumber"], "orderByCols": ["l_extendedprice"]}
+         |],
+         |"transformations": [
+         |  {"functionName": "daily_range",
+         |   "sqlQuery": "SELECT CAST(o.o_orderdate AS DATE) AS trade_date, MAX(l.l_extendedprice) - MIN(l.l_extendedprice) AS price_range FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey GROUP BY CAST(o.o_orderdate AS DATE)",
+         |   "outputDFName": "ranges", "countValidation": "100"}
+         |],
+         |"sinks": [
+         |  {"dataFrameName": "ranges", "loadType": "simpleInsert", "format": "parquet",
+         |   "path": "$out/ranges", "savemode": "overwrite", "reconciliation": true}
+         |],
+         |"errorSink": {"dataFrameName": "errors", "format": "parquet", "path": "$out/errors"}
+         |}""".stripMargin)
+    new Orchestrator(spark).run(cfg)
+    val written = spark.read.parquet(s"$out/ranges")
+    assert(written.count() > 100)
+    assert(written.columns.toSet == Set("trade_date", "price_range"))
+    // fixture lineitem has duplicate (okey, lineno) pairs → error sink written
+    val errs = spark.read.parquet(s"$out/errors")
+    assert(errs.count() > 0)
+    assert(errs.columns.contains("error_reason") && errs.columns.contains("error_job"))
+  }
+
+  test("threshold gate aborts a job with too many invalid rows") {
+    val out = tmpDir()
+    val cfg = JobConfig.parse(
+      s"""{
+         |"jobName": "gate",
+         |"thresholdLimit": "1%",
+         |"inputs": [{"dataFrameName": "li", "format": "parquet", "path": "$sf/lineitem.parquet"}],
+         |"validations": [
+         |  {"type": "duplicateRecordCheck", "dataFrameName": "li",
+         |   "primaryKeys": ["l_returnflag"], "orderByCols": ["l_orderkey"]}
+         |],
+         |"sinks": [{"dataFrameName": "li", "format": "parquet", "path": "$out/x", "savemode": "overwrite"}]
+         |}""".stripMargin)
+    intercept[IllegalStateException] { new Orchestrator(spark).run(cfg) }
+  }
+
+  test("duplicate-run guard blocks a second concurrent run") {
+    val tmp = tmpDir()
+    val mk = (name: String) => JobConfig.parse(
+      s"""{
+         |"jobName": "$name", "duplicateRunCheck": true, "tempPath": "$tmp",
+         |"inputs": [{"dataFrameName": "r", "format": "parquet", "path": "$sf/region.parquet"}],
+         |"transformations": [{"functionName": "t", "sqlQuery": "SELECT * FROM r", "outputDFName": "o"}]
+         |}""".stripMargin)
+    new Orchestrator(spark).run(mk("guarded"))
+    // marker still present (shutdown hook not yet fired) → second run refused
+    intercept[IllegalStateException] { new Orchestrator(spark).run(mk("guarded")) }
+  }
+
+  test("4-step pipeline: fetch → daily_range → register → scd2 (reference DAG shape)") {
+    val base = tmpDir()
+    // step 1 "fetch_prices": project the raw orders feed to a staging table
+    val fetch = JobConfig.parse(
+      s"""{
+         |"jobName": "fetch_prices",
+         |"inputs": [{"dataFrameName": "orders", "format": "parquet", "path": "$sf/orders.parquet"}],
+         |"transformations": [{"functionName": "stage",
+         |  "sqlQuery": "SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS trade_date FROM orders",
+         |  "outputDFName": "prices"}],
+         |"sinks": [{"dataFrameName": "prices", "format": "parquet", "path": "$base/prices", "savemode": "overwrite"}]
+         |}""".stripMargin)
+    // step 2 "calculate_daily_range"
+    val calc = JobConfig.parse(
+      s"""{
+         |"jobName": "calculate_daily_range",
+         |"inputs": [{"dataFrameName": "prices", "format": "parquet", "path": "$base/prices"}],
+         |"transformations": [{"functionName": "range",
+         |  "sqlQuery": "SELECT trade_date, MAX(o_totalprice) - MIN(o_totalprice) AS price_range, COUNT(*) AS n FROM prices GROUP BY trade_date",
+         |  "outputDFName": "ranges"}],
+         |"sinks": [{"dataFrameName": "ranges", "format": "parquet", "path": "$base/ranges", "savemode": "overwrite"}]
+         |}""".stripMargin)
+    // step 3 "register": dedup + quality-gate the ranges
+    val register = JobConfig.parse(
+      s"""{
+         |"jobName": "register",
+         |"thresholdLimit": "50%",
+         |"inputs": [{"dataFrameName": "ranges", "format": "parquet", "path": "$base/ranges"}],
+         |"validations": [
+         |  {"type": "nullValueCheck", "dataFrameName": "ranges", "primaryKeys": ["trade_date"]}],
+         |"transformations": [{"functionName": "registered",
+         |  "sqlQuery": "SELECT trade_date, price_range, n FROM ranges", "outputDFName": "registered"}],
+         |"sinks": [{"dataFrameName": "registered", "format": "parquet", "path": "$base/registered", "savemode": "overwrite"}]
+         |}""".stripMargin)
+    // step 4 "scd2_daily_ranges": SCD2-load the dimension
+    val scd2 = JobConfig.parse(
+      s"""{
+         |"jobName": "scd2_daily_ranges",
+         |"inputs": [{"dataFrameName": "registered", "format": "parquet", "path": "$base/registered"}],
+         |"transformations": [{"functionName": "dim_in",
+         |  "sqlQuery": "SELECT trade_date, price_range, n FROM registered", "outputDFName": "dim_in"}],
+         |"sinks": [{"dataFrameName": "dim_in", "loadType": "scdType2Insert", "format": "parquet",
+         |  "path": "$base/dim", "scdKeys": ["trade_date"], "scdTrackedCols": ["price_range", "n"]}]
+         |}""".stripMargin)
+
+    new PipelineRunner(spark).run(Seq(
+      PipelineStep("fetch_prices", fetch),
+      PipelineStep("calculate_daily_range", calc),
+      PipelineStep("register", register),
+      PipelineStep("scd2_daily_ranges", scd2)))
+
+    val dim = spark.read.parquet(s"$base/dim")
+    val nDates = spark.read.parquet(s"$base/ranges").count()
+    assert(dim.count() == nDates) // first load: one current version per date
+    assert(dim.filter(col("is_current")).count() == nDates)
+
+    // run step 4 again with mutated input → changed keys get second versions
+    spark.read.parquet(s"$base/registered")
+      .withColumn("price_range",
+        when(dayofmonth(col("trade_date")) === 1, col("price_range") + 1).otherwise(col("price_range")))
+      .write.mode("overwrite").parquet(s"$base/registered2")
+    val scd2b = JobConfig.parse(scdJson(base))
+    new Orchestrator(spark).run(scd2b)
+    val dim2 = spark.read.parquet(s"$base/dim")
+    assert(dim2.filter(col("is_current")).count() == nDates)
+    assert(dim2.count() > nDates) // closed versions exist
+    assert(dim2.filter(!col("is_current")).count() == dim2.count() - nDates)
+  }
+
+  private def scdJson(base: String): String =
+    s"""{
+       |"jobName": "scd2_again",
+       |"inputs": [{"dataFrameName": "registered", "format": "parquet", "path": "$base/registered2"}],
+       |"transformations": [{"functionName": "dim_in",
+       |  "sqlQuery": "SELECT trade_date, price_range, n FROM registered", "outputDFName": "dim_in"}],
+       |"sinks": [{"dataFrameName": "dim_in", "loadType": "scdType2Insert", "format": "parquet",
+       |  "path": "$base/dim", "scdKeys": ["trade_date"], "scdTrackedCols": ["price_range", "n"]}]
+       |}""".stripMargin
+
+  test("pipeline step retries then surfaces the failure") {
+    val bad = JobConfig.parse(
+      """{"jobName": "boom",
+        |"inputs": [{"dataFrameName": "nope", "format": "parquet", "path": "/nonexistent/path"}]
+        |}""".stripMargin)
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalStateException] {
+      new PipelineRunner(spark).run(Seq(PipelineStep("boom", bad, retries = 2)))
+    }
+    assert(e.getMessage.contains("after 3 attempts"))
+  }
+}

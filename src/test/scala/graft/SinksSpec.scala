@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.SinkSpec
+import graft.sinks.SinkWriter
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String = Files.createTempDirectory("graft-sink").toString
+
+  test("singleFile writes exactly one renamed file with prefix and extension") {
+    val out = tmpDir() + "/single"
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    SinkWriter.write(spark, df,
+      SinkSpec("t", format = "csv", path = Some(out), singleFile = true,
+        outputFileNamePrefix = Some("report"), options = Map("header" -> "true")))
+    val files = Files.list(Paths.get(out)).iterator().asScala.map(_.getFileName.toString).toList
+    assert(files.size == 1, s"expected exactly one file, got $files")
+    assert(files.head.startsWith("report_") && files.head.endsWith(".csv"))
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == 2)
+  }
+
+  test("fan-out writes one frame to multiple sinks (array-of-sinks contract)") {
+    val base = tmpDir()
+    val df = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
+    SinkWriter.fanOut(spark, df, Seq(
+      SinkSpec("t", format = "parquet", path = Some(s"$base/p"), savemode = "overwrite"),
+      SinkSpec("t", format = "json", path = Some(s"$base/j"), savemode = "overwrite"),
+      SinkSpec("t", format = "orc", path = Some(s"$base/o"), savemode = "overwrite")))
+    assert(spark.read.parquet(s"$base/p").count() == 3)
+    assert(spark.read.json(s"$base/j").count() == 3)
+    assert(spark.read.orc(s"$base/o").count() == 3)
+  }
+
+  test("truncateInsert replaces prior contents") {
+    val out = tmpDir() + "/tr"
+    val s1 = SinkSpec("t", loadType = "truncateInsert", format = "parquet", path = Some(out))
+    SinkWriter.write(spark, Seq((1, "old")).toDF("id", "v"), s1)
+    SinkWriter.write(spark, Seq((2, "new"), (3, "new")).toDF("id", "v"), s1)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2)
+    assert(back.filter($"v" === "old").count() == 0)
+  }
+
+  test("scd2Insert bootstraps then versions through the sink path") {
+    val out = tmpDir() + "/dim"
+    val sink = SinkSpec("t", loadType = "scdType2Insert", format = "parquet",
+      path = Some(out), scdKeys = Seq("id"), scdTrackedCols = Seq("v"))
+    SinkWriter.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), sink)
+    SinkWriter.write(spark, Seq((1L, "a2"), (2L, "b")).toDF("id", "v"), sink)
+    val dim = spark.read.parquet(out)
+    assert(dim.count() == 3) // closed v=a + current v=a2 + untouched b
+    import org.apache.spark.sql.functions.col
+    assert(dim.filter(col("is_current")).count() == 2)
+    assert(dim.filter(!col("is_current")).select("v").as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("errors sink stamps job name and timestamp") {
+    val out = tmpDir() + "/err"
+    val bad = Seq((1, "dup")).toDF("id", "why")
+    SinkWriter.writeErrors(spark, bad, "jobX",
+      SinkSpec("errors", format = "parquet", path = Some(out)))
+    val back = spark.read.parquet(out)
+    assert(back.columns.toSet.contains("error_job") && back.columns.toSet.contains("error_ts"))
+    assert(back.select("error_job").as[String].head() == "jobX")
+  }
+
+  test("archiveInput moves or copies the consumed input") {
+    val src = Files.createTempDirectory("graft-in")
+    Files.writeString(src.resolve("data.csv"), "a,b\n1,2\n")
+    val arch = tmpDir()
+    SinkWriter.archiveInput(src.toString, arch, deleteSource = true)
+    assert(!Files.exists(src))
+    assert(Files.exists(Paths.get(arch, src.getFileName.toString, "data.csv")))
+  }
+}

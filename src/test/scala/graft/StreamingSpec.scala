@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingJobs
+import graft.config.SinkSpec
+import java.nio.file.Files
+
+/** Streaming extension (SURVEY.md §2.8): the events fixture replayed as a
+  * file stream must produce the same windowed aggregates as the batch path
+  * (shared plan), and foreachBatch must reuse the batch sink machinery. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sfDir
+
+  // events.ts is TIMESTAMP(NANOS) parquet: stage a micros copy for streaming
+  private lazy val eventsDir: String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("graft-events").toString
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming windowed counts equal the batch plan over the same data") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val batch = StreamingJobs.windowedCounts(batchDf, "ts", "1 hour")
+      .orderBy("window_start", "event_type").collect()
+
+    val stream = StreamingJobs.fileStream(spark, eventsDir, batchDf.schema,
+      maxFilesPerTrigger = 1)
+    val agg = StreamingJobs.windowedCounts(stream, "ts", "1 hour", watermark = "2 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
+  test("session windows produce bounded per-user sessions") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val sessions = StreamingJobs.sessionized(batchDf, "ts", "user_id", gap = "5 minutes")
+    val n = sessions.count()
+    assert(n > 0 && n <= batchDf.count())
+    // session integrity: event counts across sessions sum to total events
+    assert(sessions.agg(sum("n_events")).head().getLong(0) == batchDf.count())
+  }
+
+  test("dropDuplicatesWithinWatermark removes injected stream dupes") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val dupDir = Files.createTempDirectory("graft-dupes").toString
+    batchDf.union(batchDf.limit(200)).write.mode("overwrite").parquet(dupDir)
+    val stream = StreamingJobs.fileStream(spark, dupDir, batchDf.schema,
+      maxFilesPerTrigger = 10)
+    val dedup = StreamingJobs.dedupWithinWatermark(stream, "ts", Seq("event_id"),
+      watermark = "10 days")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == batchDf.count())
+    } finally q.stop()
+  }
+
+  test("foreachBatch routes a stream through the batch sink machinery") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val outDir = Files.createTempDirectory("graft-fb").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val stream = StreamingJobs.fileStream(spark, eventsDir, batchDf.schema,
+      maxFilesPerTrigger = 10)
+    val q = StreamingJobs.startForeachBatch(
+      stream.filter(col("event_type") === "purchase"),
+      SinkSpec("purchases", format = "parquet", path = Some(outDir), savemode = "append"),
+      ckpt)
+    try q.awaitTermination(60000) finally q.stop()
+    val written = spark.read.parquet(outDir)
+    assert(written.count() == batchDf.filter(col("event_type") === "purchase").count())
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Validations
+
+class ValidationsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("nullKeyCheck routes rows with any null key to bad") {
+    val df = Seq(
+      (Some(1L), Some("a"), "r1"),
+      (None, Some("b"), "r2"),
+      (Some(3L), None, "r3"),
+      (Some(4L), Some("d"), "r4")
+    ).toDF("k1", "k2", "payload")
+    val r = Validations.nullKeyCheck(df, Seq("k1", "k2"))
+    assert(r.good.select("payload").as[String].collect().sorted.toSeq == Seq("r1", "r4"))
+    assert(r.bad.select("payload").as[String].collect().sorted.toSeq == Seq("r2", "r3"))
+    assert(r.bad.columns.contains("error_reason"))
+  }
+
+  test("dedup keeps exactly the first row per key by orderBy desc") {
+    val df = Seq(
+      (1L, 3, "keep1"), (1L, 1, "drop"), (1L, 2, "drop"),
+      (2L, 9, "keep2"),
+      (3L, 1, "keep3"), (3L, 1, "dup-tie")
+    ).toDF("k", "ord", "tag")
+    val r = Validations.dedup(df, Seq("k"), Seq("ord", "tag"))
+    val kept = r.good.select("tag").as[String].collect().sorted.toSeq
+    assert(kept == Seq("keep1", "keep2", "keep3"))
+    assert(r.bad.count() == 3)
+    // idempotence: dedup of deduped output changes nothing
+    val again = Validations.dedup(r.good, Seq("k"), Seq("ord", "tag"))
+    assert(again.bad.count() == 0)
+  }
+
+  test("thresholdGate fires only above the limit") {
+    Validations.thresholdGate(goodCount = 70, badCount = 30, limit = 0.30) // 30% == limit: pass
+    intercept[IllegalStateException] {
+      Validations.thresholdGate(goodCount = 69, badCount = 31, limit = 0.30)
+    }
+  }
+
+  test("countValidation enforces a minimum row count") {
+    val df = spark.range(5).toDF("n")
+    assert(Validations.countValidation(df, 5) == 5L)
+    intercept[IllegalStateException] { Validations.countValidation(df, 6) }
+  }
+
+  test("reconcile compares counts and content checksums order-independently") {
+    val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
+    val shuffled = a.orderBy(rand(seed = 7))
+    assert(Validations.reconcile(a, shuffled, checksum = true))
+    val tampered = Seq((1, "x"), (2, "y"), (3, "Z")).toDF("id", "v")
+    assert(!Validations.reconcile(a, tampered, checksum = true))
+    assert(!Validations.reconcile(a, a.limit(2)))
+  }
+}
