@@ -39,16 +39,19 @@ object Dedup {
       .drop("__ch")
 
   /** Word-level shingles (n-grams) of the whitespace-tokenized text.
-    * Returns (idCol, shingle) exploded — distinct per doc. */
+    * Returns (idCol, shingle) exploded — distinct per doc. Tokenization is
+    * materialized in its own projection (so the split runs once per row,
+    * not once per reference inside the generator) and each gram is built
+    * from n direct element_at lookups — no per-gram array slice copies. */
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val tokens = split(trim(col(textCol)), "\\s+")
-    // sliding n-gram via transform over token indices (built-in HOF)
+    val toks = col("__toks")
     val grams = transform(
-      sequence(lit(0), greatest(size(tokens) - n, lit(0))),
-      i => concat_ws(" ", slice(tokens, i + 1, lit(n)))
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)
     )
-    df.select(col(idCol), explode(array_distinct(
-        when(size(tokens) >= n, grams).otherwise(array(concat_ws(" ", tokens)))
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col(idCol), explode(array_distinct(
+        when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks)))
       )).as("shingle"))
   }
 
@@ -96,17 +99,25 @@ object Dedup {
   }
 
   /** Exact pairwise Jaccard over shingle sets for a candidate-pair frame —
-    * the verification stage after LSH (and the oracle-matchable exact
-    * variant when run over all co-shingled pairs). */
+    * the verification stage after LSH. Cost is proportional to the
+    * CANDIDATES, not the corpus: shingles are first semi-joined down to docs
+    * that appear in a pair (LSH keeps that set small by design), then
+    * co-shingle-joined on an 8-byte hash of the shingle instead of the
+    * string (collision odds ~n²/2⁶⁴ — immaterial). Per-doc `sizes` rides a
+    * broadcast, so the verify stage adds no extra shuffle of the pair set. */
   def jaccardForPairs(sh: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+    val candDocs = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val shc = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
+      .select(col(idCol), xxhash64(col("shingle")).as("__sh"))
+    val sizes = shc.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = shc.select(col(idCol).as("id_a"), col("__sh"))
+      .join(shc.select(col(idCol).as("id_b"), col("__sh")), Seq("__sh"))
       .join(pairs, Seq("id_a", "id_b"), "left_semi")
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .join(broadcast(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a")), Seq("id_a"))
+      .join(broadcast(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b")), Seq("id_b"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .select("id_a", "id_b", "jaccard")
@@ -117,12 +128,28 @@ object Dedup {
     * the 100 TB approximation of exactly this. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
       threshold: Double): DataFrame = {
+    // One co-shingle join straight into intersection counts — don't
+    // materialize candidate pairs and re-join (that doubles the dominant
+    // shuffle). Co-grouped pairs that never share a shingle have Jaccard 0
+    // and can't pass any positive threshold, so skipping them is exact.
+    // shingle strings hashed to 8-byte keys before the join: the dominant
+    // shuffle carries longs, not ~20-char strings. Persisted because both
+    // join sides and the sizes agg reference it.
     val sh = shingles(df, textCol, idCol, n)
-    val allPairs = sh.select(col(idCol).as("id_a"), col("shingle"))
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("__sh"))
+      .persist()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col(idCol).as("id_a"), col("__sh"))
+      .join(sh.select(col(idCol).as("id_b"), col("__sh")), Seq("__sh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    jaccardForPairs(sh, idCol, allPairs).filter(col("jaccard") >= threshold)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a")), Seq("id_a"))
+      .join(broadcast(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b")), Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** MinHash-LSH near-dedup end-to-end: candidates → exact-Jaccard verify →
@@ -131,9 +158,12 @@ object Dedup {
       n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
     val sh = shingles(df, textCol, idCol, n).persist()
     val sigs = minhashSignatures(sh, idCol, k)
-    val cands = lshCandidatePairs(sigs, idCol, k, bands)
-    val out = jaccardForPairs(sh, idCol, cands).filter(col("jaccard") >= threshold)
-    out
+    // localCheckpoint truncates the deep signature/banding lineage so the
+    // verify stage (which references the candidate set twice) doesn't
+    // re-plan and re-run it; on a cluster this would be a reliable
+    // checkpoint or a staged table.
+    val cands = lshCandidatePairs(sigs, idCol, k, bands).localCheckpoint()
+    jaccardForPairs(sh, idCol, cands).filter(col("jaccard") >= threshold)
   }
 
   /** X2b SimHash: 64-bit signature where bit b is the sign of Σ±1 over

@@ -21,15 +21,21 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector.
-    * `queries(qIdCol, vecCol)` is broadcast; corpus scans once. */
+    * `queries(qIdCol, vecCol)` is broadcast; corpus scans once. Norms are
+    * computed once per row on each side BEFORE pairing, so each of the
+    * n_corpus × n_query candidates evaluates one dot product, not three. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, qIdCol: String, vecCol: String, k: Int
   ): DataFrame = {
     val q = queries.select(col(qIdCol), col(vecCol).as("__qv"))
+      .withColumn("__qn", l2Norm(col("__qv")))
     val scored = corpus
+      .withColumn("__cn", l2Norm(col(vecCol)))
       .join(broadcast(q), col(idCol) =!= col(qIdCol)) // exclude self-match
-      .withColumn("cosine", cosineSimilarity(col(vecCol), col("__qv")))
+      .withColumn("cosine",
+        when(col("__cn") * col("__qn") === 0.0, lit(null).cast("double"))
+          .otherwise(dotProduct(col(vecCol), col("__qv")) / (col("__cn") * col("__qn"))))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol).asc)
     scored
       .withColumn("__rk", row_number().over(w))
@@ -49,10 +55,14 @@ object Similarity {
       c.withColumn("__sig", hyperplaneSignature(col(vecCol), dim, planes))
     val q = sig(queries.select(col(qIdCol), col(vecCol).as("__qv")).withColumnRenamed("__qv", vecCol))
       .withColumnRenamed(vecCol, "__qv")
+      .withColumn("__qn", l2Norm(col("__qv")))
     val scored = sig(corpus)
+      .withColumn("__cn", l2Norm(col(vecCol)))
       .join(broadcast(q), Seq("__sig"))
       .filter(col(idCol) =!= col(qIdCol))
-      .withColumn("cosine", cosineSimilarity(col(vecCol), col("__qv")))
+      .withColumn("cosine",
+        when(col("__cn") * col("__qn") === 0.0, lit(null).cast("double"))
+          .otherwise(dotProduct(col(vecCol), col("__qv")) / (col("__cn") * col("__qn"))))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol).asc)
     scored
       .withColumn("__rk", row_number().over(w))
@@ -68,12 +78,15 @@ object Similarity {
   ): DataFrame = {
     val signed = corpus
       .withColumn("__sig", hyperplaneSignature(col(vecCol), dim, planes))
-      .select(col("__sig"), col(idCol), col(vecCol))
-    val a = signed.select(col("__sig"), col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = signed.select(col("__sig"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      .withColumn("__n", l2Norm(col(vecCol))) // norm once per vector, not per pair
+      .select(col("__sig"), col(idCol), col(vecCol), col("__n"))
+    val a = signed.select(col("__sig"), col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = signed.select(col("__sig"), col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
     a.join(b, Seq("__sig"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosineSimilarity(col("__va"), col("__vb")))
+      .withColumn("cosine",
+        when(col("__na") * col("__nb") === 0.0, lit(null).cast("double"))
+          .otherwise(dotProduct(col("__va"), col("__vb")) / (col("__na") * col("__nb"))))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
