@@ -16,8 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision, in array order. */
-  def dotProduct(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ in double precision, in array order, over float vectors.
+    * Backed by the codegen'd [[DotProductFloat]] expression (same
+    * left-to-right fold as the higher-order-function form it replaced, so
+    * results are bit-identical — see DotProductExpr.scala for the
+    * promotion rationale). */
+  def dotProduct(a: Column, b: Column): Column = DotProductFloat.dot(a, b)
+
+  /** The pre-promotion composed-HOF form, kept as the reference
+    * implementation (works on any numeric array type). */
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -51,8 +59,8 @@ object VectorFunctions {
     * constants, broadcast with the plan itself. */
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
-    val hs: Seq[Seq[Double]] =
-      Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val hs: Seq[Seq[Float]] = // float planes: DotProductFloat operates on float arrays
+      Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
     val bits = hs.map { h =>
       when(dotProduct(vec, typedlit(h)) > 0.0, lit("1")).otherwise(lit("0"))
     }

@@ -167,21 +167,16 @@ object Dedup {
   }
 
   /** X2b SimHash: 64-bit signature where bit b is the sign of Σ±1 over
-    * token hashes' bit b. Near-dups have small Hamming distance.
-    * Implemented as 64 conditional-sum aggregates over exploded tokens —
-    * heavy-looking but codegen'd, one shuffle, map-side combine. */
+    * token hashes' bit b. Near-dups have small Hamming distance. One
+    * shuffle with map-side combine via the custom [[graft.functions.SimHashAgg]]
+    * TypedImperativeAggregate (single int[64] buffer per doc — see that
+    * file for the promotion from 64 composed sum-aggregates). */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = df.select(col(idCol),
       explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce[Column](_.bitwiseOR(_))
-    sums.select(col(idCol), sig.as("simhash"))
+    tok.groupBy(col(idCol))
+      .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit signatures. */
