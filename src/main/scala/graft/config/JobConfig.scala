@@ -60,7 +60,10 @@ final case class InputSpec(
     tableName: Option[String] = None,
     tableQuery: Option[String] = None,
     // additional-input SQL over already-registered views (spark.json:36-38)
-    sql: Option[String] = None
+    sql: Option[String] = None,
+    // streaming extension (SURVEY §2.8): late-data bound for this input
+    watermarkColumn: Option[String] = None,
+    watermarkDelay: Option[String] = None
 )
 
 /** External metadata mapping entry (spark.json:21-22; format is ours). */
@@ -168,7 +171,9 @@ object JobConfig {
         jdbcUrl = str(in, "jdbcUrl"),
         tableName = str(in, "tableName"),
         tableQuery = str(in, "tableQuery"),
-        sql = str(in, "sql")
+        sql = str(in, "sql"),
+        watermarkColumn = str(in, "watermarkColumn"),
+        watermarkDelay = str(in, "watermarkDelay")
       )
     }
     val validations = objs(root, "validations").flatMap { v =>

@@ -27,8 +27,14 @@ import java.nio.file.{Files, Paths}
 class Orchestrator(spark: SparkSession) {
 
   /** Run one job end-to-end. Returns the last transformation's frame (for
-    * tests / chaining); all declared sinks have been written on return. */
+    * tests / chaining); all declared sinks have been written on return.
+    * `"mode": "streaming"` dispatches to [[StreamingOrchestrator]] and runs
+    * the currently-available data to exhaustion (AvailableNow). */
   def run(cfg: JobConfig): DataFrame = {
+    if (cfg.mode == "streaming") {
+      new StreamingOrchestrator(spark).runOnce(cfg)
+      return null
+    }
     cfg.sparkConfig.foreach { case (k, v) => spark.conf.set(k, v) }
 
     if (cfg.duplicateRunCheck) duplicateRunGuard(cfg)

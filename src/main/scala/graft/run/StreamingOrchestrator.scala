@@ -1,0 +1,105 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.config._
+import graft.sinks.SinkWriter
+import graft.streaming.StreamingJobs
+
+/** Streaming execution of the SAME declarative job model (SURVEY.md §2.8):
+  * `"mode": "streaming"` reruns phase_1 sources as `readStream`, leaves the
+  * phase_2 SQL chain untouched (Spark SQL is shared between batch and
+  * streaming plans), and routes every phase_3 sink through
+  * `foreachBatch` so the batch load strategies — including scdType2Insert —
+  * work per micro-batch (stateful SCD2 merge is not expressible in pure
+  * streaming SQL; SURVEY.md §7.4).
+  *
+  * Validation mapping in streaming:
+  *  - nullValueCheck: stateless filter; bad rows become their own stream
+  *    into the error sink.
+  *  - duplicateRecordCheck: `dropDuplicatesWithinWatermark` on the primary
+  *    keys when the input declares a watermark (bounded state — the only
+  *    dedup that survives an unbounded stream), plain `dropDuplicates`
+  *    otherwise.
+  */
+class StreamingOrchestrator(spark: SparkSession) {
+
+  /** Start all sinks; returns the running queries (callers decide whether
+    * to awaitTermination or processAllAvailable). */
+  def run(cfg: JobConfig, trigger: Trigger = Trigger.AvailableNow()): Seq[StreamingQuery] = {
+    cfg.sparkConfig.foreach { case (k, v) => spark.conf.set(k, v) }
+    val tmp = cfg.tempPath.getOrElse(
+      java.nio.file.Files.createTempDirectory(s"graft-stream-${cfg.jobName}").toString)
+
+    // phase_1 — streaming sources (file formats only; schema from a batch probe)
+    cfg.inputs.foreach { in =>
+      val stream = in.format match {
+        case "sql" => spark.sql(in.sql.get)
+        case f @ ("parquet" | "orc" | "json" | "csv" | "text") =>
+          val path = in.path.get
+          val schema = spark.read.format(f).options(in.options).load(path).schema
+          val base = StreamingJobs.fileStream(spark, path, schema, f,
+            in.options.get("maxFilesPerTrigger").map(_.toInt).getOrElse(10))
+          val projected =
+            if (in.selectColumns.nonEmpty) base.select(in.selectColumns.map(col): _*) else base
+          (in.watermarkColumn, in.watermarkDelay) match {
+            case (Some(c), Some(d)) => projected.withWatermark(c, d)
+            case _                  => projected
+          }
+        case other => sys.error(s"streaming mode does not support format '$other'")
+      }
+      stream.createOrReplaceTempView(in.dataFrameName)
+    }
+
+    // phase_2 — validations
+    var errorStreams = Seq.empty[DataFrame]
+    cfg.validations.foreach {
+      case NullValueCheck(name, pks) =>
+        val df = spark.table(name)
+        val anyNull = pks.map(col(_).isNull).reduce(_ || _)
+        errorStreams :+= df.filter(anyNull)
+          .withColumn("error_reason", org.apache.spark.sql.functions.lit("null_primary_key"))
+        df.filter(!anyNull).createOrReplaceTempView(name)
+      case DuplicateRecordCheck(name, pks, _) =>
+        val df = spark.table(name)
+        val deduped =
+          if (df.queryExecution.analyzed.toString.contains("EventTimeWatermark"))
+            df.dropDuplicatesWithinWatermark(pks)
+          else df.dropDuplicates(pks)
+        deduped.createOrReplaceTempView(name)
+    }
+
+    // phase_2 — SQL chain (identical to batch)
+    cfg.transformations.foreach { t =>
+      spark.sql(t.sqlQuery).createOrReplaceTempView(t.outputDFName)
+    }
+
+    // phase_3 — sinks through the batch writers
+    val sinkQueries = cfg.sinks.zipWithIndex.map { case (s, i) =>
+      StreamingJobs.startForeachBatch(spark.table(s.dataFrameName), s,
+        checkpoint = s"$tmp/${cfg.jobName}_sink$i", trigger)
+    }
+    val errorQueries = cfg.errorSink.toSeq.flatMap { es =>
+      errorStreams.zipWithIndex.map { case (bad, i) =>
+        bad.writeStream
+          .option("checkpointLocation", s"$tmp/${cfg.jobName}_err$i")
+          .trigger(trigger)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) SinkWriter.writeErrors(batch.sparkSession, batch, cfg.jobName, es)
+          }
+          .start()
+      }
+    }
+    sinkQueries ++ errorQueries
+  }
+
+  /** Run to exhaustion of currently-available data (AvailableNow semantics),
+    * then stop — the batch-like entry point used by scheduled micro-batch
+    * jobs and tests. */
+  def runOnce(cfg: JobConfig): Unit = {
+    val qs = run(cfg)
+    qs.foreach(_.awaitTermination())
+    qs.foreach(_.stop())
+  }
+}
