@@ -266,6 +266,74 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q22_range_join" -> sqlQ("""
+      SELECT b.band_name, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders o
+      JOIN (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 300000.0),
+                   ('high', 300000.0, 1000000.0)) AS b(band_name, lo, hi)
+        ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+      GROUP BY b.band_name
+      ORDER BY band_name"""),
+
+    "q23_approx_distinct" -> sqlQ(""" -- rows-only: HLL sketches differ across engines
+      SELECT l_returnflag,
+             CAST(APPROX_COUNT_DISTINCT(l_orderkey) AS BIGINT) AS approx_orders,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+
+    "q24_udf" -> ((s, dir) => {
+      reg(s, dir)
+      // the engine's scalar-UDF registry surface (SURVEY.md §2.4): register
+      // then call from SQL like any built-in
+      s.udf.register("graft_slug",
+        (name: String) => name.toLowerCase.replace(' ', '-') + "-" + name.length)
+      s.sql("""
+        SELECT p_partkey, graft_slug(p_name) AS slug
+        FROM part ORDER BY p_partkey""")
+    }),
+
+    "x10_asof_join" -> ((s, dir) => {
+      reg(s, dir)
+      val ev = s.table("events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      graft.operators.AsOfJoin.asOf(purchases, clicks,
+          keys = Seq("user_id"), timeCol = "ts", rightCols = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"), col("value"),
+          col("right_event_id"), col("right_value"))
+        .orderBy("event_id")
+    }),
+
+    "etl_formats_roundtrip" -> ((s, dir) => {
+      reg(s, dir)
+      // S2/S5/S6 source connectors: write the nation table out as csv, json
+      // and xml, read each back through SourceReader, and 3-way-join — the
+      // output matches the original table only if every format round-trips
+      val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+      val nation = s.table("nation")
+      nation.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      nation.write.mode("overwrite").json(s"$base/json")
+      nation.write.mode("overwrite").format("xml")
+        .option("rowTag", "nation").save(s"$base/xml")
+      val c = SourceReader.read(s, graft.config.InputSpec("nation_csv", "csv", Some(s"$base/csv")))
+        .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name_csv"))
+      val j = SourceReader.read(s, graft.config.InputSpec("nation_json", "json", Some(s"$base/json")))
+        .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name_json"))
+      val x = SourceReader.read(s, graft.config.InputSpec("nation_xml", "xml", Some(s"$base/xml"),
+          options = Map("rowTag" -> "nation")))
+        .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name_xml"))
+      c.join(j, "k").join(x, "k")
+        .filter(col("name_csv") === col("name_json") && col("name_json") === col("name_xml"))
+        .select(col("k").as("n_nationkey"), col("name_csv").as("n_name"))
+        .orderBy("n_nationkey")
+    }),
+
     // ---- Tier A: validation operators (SURVEY.md §2.3) ----
     "v1_null_route" -> ((s, dir) => {
       reg(s, dir)
@@ -671,6 +739,33 @@ object SparkEntry {
         CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
         CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
       FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q22_range_join" -> """
+      SELECT b.band_name, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders o
+      JOIN (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 300000.0),
+                   ('high', 300000.0, 1000000.0)) AS b(band_name, lo, hi)
+        ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+      GROUP BY b.band_name
+      ORDER BY band_name""",
+
+    "q24_udf" -> """
+      SELECT p_partkey,
+             LOWER(REPLACE(p_name, ' ', '-')) || '-' || CAST(LENGTH(p_name) AS VARCHAR) AS slug
+      FROM part ORDER BY p_partkey""",
+
+    "x10_asof_join" -> """
+      SELECT p.event_id, p.user_id, STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, p.value,
+             c.event_id AS right_event_id, c.value AS right_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id""",
+
+    "etl_formats_roundtrip" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+      FROM nation ORDER BY n_nationkey""",
 
     "v1_null_route" -> """
       SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS k,
