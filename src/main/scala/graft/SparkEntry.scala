@@ -453,6 +453,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "x11_ivf_assign" -> ((s, dir) => {
+      reg(s, dir)
+      val emb = s.table("embeddings")
+      val centroids = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Similarity.assignToCentroids(emb, centroids, "vec_id", "centroid_id", "embedding")
+        .select(col("vec_id"), col("label"), col("cell"))
+        .orderBy("vec_id")
+    }),
+
     // ---- X: text analysis (SURVEY.md §2.9 X4) ----
     "x8_text_stats" -> ((s, dir) => {
       reg(s, dir)
@@ -537,6 +547,13 @@ object SparkEntry {
     * `aggregate()` does (both left-to-right). */
   private def dotSql(a: String, b: String): String =
     (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString("(", " + ", ")")
+
+  /** 64-term explicit squared-euclidean — same fixed-association trick as
+    * [[dotSql]] so DuckDB reproduces the engine's fold bit-for-bit. */
+  private def eucSql(a: String, b: String): String =
+    "SQRT(" + (1 to 64).map(i =>
+      s"(CAST($a[$i] AS DOUBLE)-CAST($b[$i] AS DOUBLE))*(CAST($a[$i] AS DOUBLE)-CAST($b[$i] AS DOUBLE))")
+      .mkString("(", " + ", ")") + ")"
 
   private val stopwordList = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "that", "for", "on", "with", "as", "at", "by", "be")
@@ -854,6 +871,17 @@ object SparkEntry {
       SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rank
       FROM ranked WHERE rk <= 10
       ORDER BY q_id, rank""",
+
+    "x11_ivf_assign" -> s"""
+      WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
+      d AS (SELECT e.vec_id, e.label, c.centroid_id,
+              ${eucSql("e.embedding", "c.cv")} AS dist
+            FROM embeddings e, c),
+      r AS (SELECT vec_id, label, centroid_id,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rk
+            FROM d)
+      SELECT vec_id, label, centroid_id AS cell FROM r WHERE rk = 1
+      ORDER BY vec_id""",
 
     "x8_text_stats" -> s"""
       SELECT doc_id,

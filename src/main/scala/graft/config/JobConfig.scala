@@ -105,6 +105,10 @@ final case class SinkSpec(
     // scd2 parameters (semantics pinned in SURVEY.md §7.3)
     scdKeys: Seq[String] = Nil,
     scdTrackedCols: Seq[String] = Nil,
+    // bucketed table output (co-located joins; SURVEY.md §4 shuffle notes)
+    bucketBy: Seq[String] = Nil,
+    numBuckets: Int = 0,
+    sortBy: Seq[String] = Nil,
     // jdbc sinks
     jdbcUrl: Option[String] = None,
     tableName: Option[String] = None
@@ -207,6 +211,9 @@ object JobConfig {
       options = strMap(s, "options"),
       scdKeys = strs(s, "scdKeys"),
       scdTrackedCols = strs(s, "scdTrackedCols"),
+      bucketBy = strs(s, "bucketBy"),
+      numBuckets = str(s, "numBuckets").map(_.toInt).getOrElse(0),
+      sortBy = strs(s, "sortBy"),
       jdbcUrl = str(s, "jdbcUrl"),
       tableName = str(s, "tableName")
     )

@@ -55,6 +55,16 @@ object SinkWriter {
     var w = df.write.mode(mode).format(sink.format).options(sink.options)
     sink.compression.foreach(c => w = w.option("compression", c))
     if (sink.partitionBy.nonEmpty) w = w.partitionBy(sink.partitionBy: _*)
+    if (sink.bucketBy.nonEmpty) {
+      // Bucketed catalog table: both sides of a future equi-join written
+      // with the same bucketing join with ZERO shuffle (SURVEY.md §4). Needs
+      // a table identity — use tableName (path rides along as table location).
+      val table = sink.tableName.getOrElse(sink.dataFrameName)
+      w = w.option("path", path).bucketBy(sink.numBuckets, sink.bucketBy.head, sink.bucketBy.tail: _*)
+      if (sink.sortBy.nonEmpty) w = w.sortBy(sink.sortBy.head, sink.sortBy.tail: _*)
+      w.saveAsTable(table)
+      return
+    }
     w.save(path)
   }
 
