@@ -266,6 +266,15 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q25_lambda_fns" -> sqlQ("""
+      SELECT doc_id,
+        CAST(SIZE(FILTER(SPLIT(TRIM(text), '\\s+'), w -> LENGTH(w) > 3)) AS BIGINT) AS n_long,
+        CAST(AGGREGATE(TRANSFORM(FILTER(SPLIT(TRIM(text), '\\s+'), w -> LENGTH(w) > 3),
+                                 w -> LENGTH(w)), 0, (a, x) -> a + x) AS BIGINT) AS long_chars,
+        CAST(ARRAY_MAX(TRANSFORM(SPLIT(TRIM(text), '\\s+'), w -> LENGTH(w))) AS BIGINT) AS max_word_len
+      FROM documents
+      ORDER BY doc_id"""),
+
     "q22_range_join" -> sqlQ("""
       SELECT b.band_name, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -756,6 +765,15 @@ object SparkEntry {
         CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
         CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
       FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q25_lambda_fns" -> """
+      SELECT doc_id,
+        CAST(LEN(LIST_FILTER(STR_SPLIT_REGEX(TRIM(text), '\s+'), w -> LENGTH(w) > 3)) AS BIGINT) AS n_long,
+        CAST(LIST_SUM(LIST_TRANSFORM(LIST_FILTER(STR_SPLIT_REGEX(TRIM(text), '\s+'), w -> LENGTH(w) > 3),
+                                     w -> LENGTH(w))) AS BIGINT) AS long_chars,
+        CAST(LIST_MAX(LIST_TRANSFORM(STR_SPLIT_REGEX(TRIM(text), '\s+'), w -> LENGTH(w))) AS BIGINT) AS max_word_len
+      FROM documents
+      ORDER BY doc_id""",
 
     "q22_range_join" -> """
       SELECT b.band_name, CAST(COUNT(*) AS BIGINT) AS n,

@@ -129,7 +129,30 @@ final case class PipelineStep(name: String, config: JobConfig, retries: Int = 3)
 class PipelineRunner(spark: SparkSession) {
   private val orchestrator = new Orchestrator(spark)
 
-  def run(steps: Seq[PipelineStep]): Unit = steps.foreach { step =>
+  def run(steps: Seq[PipelineStep]): Unit = steps.foreach(runStep)
+
+  /** O4 concurrency (example-shareprice.py:73 / deploy.yaml:11): groups run
+    * in sequence; steps WITHIN a group run concurrently, bounded by
+    * `concurrency`. Spark schedules the concurrent jobs fairly on one
+    * session; parallel steps must use distinct dataFrameNames (temp views
+    * are session-scoped, same as the reference's storage-isolated steps). */
+  def runGroups(groups: Seq[Seq[PipelineStep]], concurrency: Int = 4): Unit =
+    groups.foreach { group =>
+      if (group.sizeIs <= 1) group.foreach(runStep)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(concurrency, group.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            group.map(st => scala.concurrent.Future(runStep(st)))),
+          scala.concurrent.duration.Duration.Inf)
+        finally { pool.shutdown(); () }
+      }
+    }
+
+  private def runStep(step: PipelineStep): Unit = {
     var attempt = 0
     var done = false
     var lastErr: Throwable = null
