@@ -275,6 +275,46 @@ object SparkEntry {
       FROM documents
       ORDER BY doc_id"""),
 
+    "q26_left_join_agg" -> sqlQ("""
+      SELECT c.c_custkey, c.c_name,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey, c.c_name
+      ORDER BY c.c_custkey"""),
+
+    "q27_full_outer" -> sqlQ("""
+      WITH open_o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_open
+                      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+           done_o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_done
+                      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+      SELECT COALESCE(open_o.k, done_o.k) AS custkey,
+             COALESCE(n_open, 0) AS n_open, COALESCE(n_done, 0) AS n_done
+      FROM open_o FULL OUTER JOIN done_o ON open_o.k = done_o.k
+      ORDER BY custkey"""),
+
+    "q28_cube" -> sqlQ("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS pri,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, pri"""),
+
+    "q29_math_fns" -> sqlQ("""
+      SELECT o_orderkey,
+        ABS(o_totalprice - 100000) AS dist_from_100k,
+        CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k_floor,
+        CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS price_k_ceil,
+        ROUND(SQRT(o_totalprice), 6) AS sqrt_price,
+        POWER(CAST(o_orderkey % 9 AS DOUBLE), 2) AS mod_sq,
+        PMOD(o_orderkey, 7) AS m7,
+        GREATEST(o_totalprice, 50000.0) AS hi_clamp,
+        LEAST(o_totalprice, 50000.0) AS lo_clamp,
+        CAST(SIGN(o_totalprice - 100000) AS INT) AS over_100k
+      FROM orders
+      ORDER BY o_orderkey"""),
+
     "q22_range_join" -> sqlQ("""
       SELECT b.band_name, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -774,6 +814,46 @@ object SparkEntry {
         CAST(LIST_MAX(LIST_TRANSFORM(STR_SPLIT_REGEX(TRIM(text), '\s+'), w -> LENGTH(w))) AS BIGINT) AS max_word_len
       FROM documents
       ORDER BY doc_id""",
+
+    "q26_left_join_agg" -> """
+      SELECT c.c_custkey, c.c_name,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey, c.c_name
+      ORDER BY c.c_custkey""",
+
+    "q27_full_outer" -> """
+      WITH open_o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_open
+                      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+           done_o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_done
+                      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+      SELECT COALESCE(open_o.k, done_o.k) AS custkey,
+             COALESCE(n_open, 0) AS n_open, COALESCE(n_done, 0) AS n_done
+      FROM open_o FULL OUTER JOIN done_o ON open_o.k = done_o.k
+      ORDER BY custkey""",
+
+    "q28_cube" -> """
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS pri,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, pri""",
+
+    "q29_math_fns" -> """
+      SELECT o_orderkey,
+        ABS(o_totalprice - 100000) AS dist_from_100k,
+        CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k_floor,
+        CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS price_k_ceil,
+        ROUND(SQRT(o_totalprice), 6) AS sqrt_price,
+        POWER(CAST(o_orderkey % 9 AS DOUBLE), 2) AS mod_sq,
+        o_orderkey % 7 AS m7,
+        GREATEST(o_totalprice, 50000.0) AS hi_clamp,
+        LEAST(o_totalprice, 50000.0) AS lo_clamp,
+        CAST(SIGN(o_totalprice - 100000) AS INTEGER) AS over_100k
+      FROM orders
+      ORDER BY o_orderkey""",
 
     "q22_range_join" -> """
       SELECT b.band_name, CAST(COUNT(*) AS BIGINT) AS n,

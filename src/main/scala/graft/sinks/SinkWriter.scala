@@ -23,13 +23,18 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object SinkWriter {
 
-  def write(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit =
+  def write(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
     sink.loadType.toLowerCase match {
       case "simpleinsert"   => writeFile(df, sink, SaveMode.valueOf(camel(sink.savemode)))
       case "truncateinsert" => writeFile(df, sink, SaveMode.Overwrite)
       case "scdtype2insert" => scd2Insert(spark, df, sink)
       case other            => sys.error(s"unknown loadType '$other'")
     }
+    // W9 sftp sink (spark.json:83-87): push the written output to the
+    // remote dir through the RemoteFs transport seam
+    for (rd <- sink.options.get("remoteDirPath"); p <- sink.path)
+      graft.sources.SourceReader.remoteFs.upload(p, rd)
+  }
 
   private def camel(m: String): String = m.toLowerCase match {
     case "append"        => "Append"

@@ -20,6 +20,11 @@ import graft.config.{ColumnMapping, InputSpec}
   */
 object SourceReader {
 
+  /** Transport used by the `sftp` source (S11): swap in a real [[SftpFs]]
+    * in deployment; defaults to local staging (which is also how tests
+    * exercise the flow end-to-end). */
+  @volatile var remoteFs: RemoteFs = new LocalStagingFs
+
   def read(spark: SparkSession, in: InputSpec): DataFrame = {
     val base = in.format match {
       case "parquet" => spark.read.options(in.options).parquet(in.path.get)
@@ -44,6 +49,12 @@ object SourceReader {
         withTarget.options(in.options).load()
       case "sql" => // additional-input SQL over already-registered views (spark.json:36-38)
         spark.sql(in.sql.getOrElse(sys.error(s"sql input ${in.dataFrameName} needs sql")))
+      case "sftp" => // S11: pull to staging via RemoteFs, then read as the staged format
+        val staging = java.nio.file.Files.createTempDirectory("graft-sftp-in").toString
+        val local = remoteFs.download(in.path.get, staging)
+        val stagedFormat = in.options.getOrElse("stagedFormat", "csv")
+        read(spark, in.copy(format = stagedFormat, path = Some(local),
+          options = in.options - "stagedFormat"))
       case other =>
         sys.error(s"format '$other' requires an external connector not available offline " +
           "(excel/delta/sftp — see SURVEY.md §7.4)")
