@@ -56,6 +56,12 @@ object SinkWriter {
       return
     }
     val path = sink.path.getOrElse(sys.error(s"sink ${sink.dataFrameName} needs path"))
+    if (sink.format == "deltalake" || sink.format == "delta") {
+      // W4 delta sink → versioned-parquet substitute (SURVEY.md §7.4)
+      graft.sources.VersionedParquet.write(df, path,
+        if (mode == SaveMode.Overwrite) "overwrite" else "append")
+      return
+    }
     if (sink.singleFile) { writeSingleFile(df, sink, path); return }
     var w = df.write.mode(mode).format(sink.format).options(sink.options)
     sink.compression.foreach(c => w = w.option("compression", c))

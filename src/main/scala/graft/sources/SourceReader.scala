@@ -49,6 +49,12 @@ object SourceReader {
         withTarget.options(in.options).load()
       case "sql" => // additional-input SQL over already-registered views (spark.json:36-38)
         spark.sql(in.sql.getOrElse(sys.error(s"sql input ${in.dataFrameName} needs sql")))
+      case "deltalake" | "delta" => // S9: versioned-parquet substitute (offline build)
+        VersionedParquet.read(spark, in.path.get,
+          in.options.get("versionAsOf").map(_.toLong))
+      case "excel" | "xlsx" => // S7: minimal built-in xlsx reader (offline build)
+        ExcelSource.read(spark, in.path.get,
+          header = in.header || in.options.get("header").contains("true"))
       case "sftp" => // S11: pull to staging via RemoteFs, then read as the staged format
         val staging = java.nio.file.Files.createTempDirectory("graft-sftp-in").toString
         val local = remoteFs.download(in.path.get, staging)
@@ -56,8 +62,7 @@ object SourceReader {
         read(spark, in.copy(format = stagedFormat, path = Some(local),
           options = in.options - "stagedFormat"))
       case other =>
-        sys.error(s"format '$other' requires an external connector not available offline " +
-          "(excel/delta/sftp — see SURVEY.md §7.4)")
+        sys.error(s"unknown source format '$other'")
     }
     val mapped = in.metadataPath.map(p => applyMetadataMapping(base, loadMapping(p))).getOrElse(base)
     val projected =

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.config.{InputSpec, SinkSpec}
+import graft.sinks.SinkWriter
+import graft.sources.{SourceReader, VersionedParquet}
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** S7 excel and S9 delta-substitute formats (SURVEY.md §7.4). */
+class FormatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("versioned table: append/overwrite commits, snapshot reads, time travel") {
+    val path = Files.createTempDirectory("graft-vp").toString + "/tbl"
+    val sink = (m: String) => SinkSpec("t", format = "deltalake", path = Some(path), savemode = m)
+    SinkWriter.write(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), sink("append"))
+    SinkWriter.write(spark, Seq((3, "c")).toDF("id", "v"), sink("append"))
+    assert(VersionedParquet.versions(path) == Seq(0L, 1L))
+
+    val latest = SourceReader.read(spark, InputSpec("tbl", "deltalake", Some(path)))
+    assert(latest.count() == 3)
+    // time travel to the first commit
+    val v0 = SourceReader.read(spark, InputSpec("tbl0", "deltalake", Some(path),
+      options = Map("versionAsOf" -> "0")))
+    assert(v0.count() == 2)
+    assert(v0.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+
+    // overwrite starts a fresh snapshot; old versions stay readable
+    SinkWriter.write(spark, Seq((9, "z")).toDF("id", "v"), sink("overwrite"))
+    assert(SourceReader.read(spark, InputSpec("tbl2", "deltalake", Some(path))).count() == 1)
+    assert(SourceReader.read(spark, InputSpec("tbl1", "deltalake", Some(path),
+      options = Map("versionAsOf" -> "1"))).count() == 3)
+  }
+
+  test("excel source reads a standard xlsx (shared strings + numbers)") {
+    val dir = Files.createTempDirectory("graft-xlsx")
+    val file = dir.resolve("book.xlsx")
+    writeMinimalXlsx(file.toString,
+      shared = Seq("name", "qty", "widget", "gear"),
+      sheetRows = Seq(
+        // header row: shared strings 0,1
+        Seq(("A1", "s", "0"), ("B1", "s", "1")),
+        Seq(("A2", "s", "2"), ("B2", "", "5")),
+        Seq(("A3", "s", "3"), ("B3", "", "12"))))
+    val df = SourceReader.read(spark, InputSpec("book", "excel", Some(file.toString)))
+    assert(df.columns.toSeq == Seq("name", "qty"))
+    val rows = df.orderBy("name").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("gear", "widget"))
+    assert(rows.map(_.getString(1)).toSeq == Seq("12", "5"))
+  }
+
+  test("excel source handles sparse rows and missing refs") {
+    val dir = Files.createTempDirectory("graft-xlsx2")
+    val file = dir.resolve("sparse.xlsx")
+    writeMinimalXlsx(file.toString,
+      shared = Seq("x"),
+      sheetRows = Seq(
+        Seq(("A1", "s", "0"), ("C1", "", "7")), // gap at B1
+        Seq(("A2", "", "1"))))
+    val df = SourceReader.read(spark, InputSpec("sparse", "excel", Some(file.toString),
+      header = false, options = Map("header" -> "false")))
+    assert(df.columns.length == 3)
+    val r = df.collect().map(r => (0 until 3).map(i => Option(r.getString(i)).orNull).toList)
+    assert(r.contains(List("x", null, "7")))
+  }
+
+  /** Emit the minimal standard-conformant workbook the reader targets. */
+  private def writeMinimalXlsx(path: String, shared: Seq[String],
+      sheetRows: Seq[Seq[(String, String, String)]]): Unit = {
+    val zos = new ZipOutputStream(Files.newOutputStream(Paths.get(path)))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry("xl/sharedStrings.xml",
+      s"""<?xml version="1.0"?><sst>${shared.map(s => s"<si><t>$s</t></si>").mkString}</sst>""")
+    val rowsXml = sheetRows.zipWithIndex.map { case (cells, i) =>
+      val cellsXml = cells.map { case (ref, t, v) =>
+        val tAttr = if (t.nonEmpty) s""" t="$t"""" else ""
+        s"""<c r="$ref"$tAttr><v>$v</v></c>"""
+      }.mkString
+      s"""<row r="${i + 1}">$cellsXml</row>"""
+    }.mkString
+    entry("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData>$rowsXml</sheetData></worksheet>""")
+    zos.close()
+  }
+}
