@@ -104,8 +104,13 @@ object SinkWriter {
   }
 
   /** W3: read current dimension (if any) from the sink path, merge the
-    * staged frame via [[Scd2.merge]], rewrite. First batch initializes. */
+    * staged frame via [[Scd2.merge]], rewrite. First batch initializes.
+    * With option `scdBuckets=N`, dispatches to the partition-scoped variant. */
   def scd2Insert(spark: SparkSession, staged: DataFrame, sink: SinkSpec): Unit = {
+    sink.options.get("scdBuckets") match {
+      case Some(n) => scd2InsertPartitioned(spark, staged, sink, n.toInt); return
+      case None    =>
+    }
     val path = sink.path.getOrElse(sys.error("scd2 sink needs path"))
     val batchTs = java.sql.Timestamp.from(java.time.Instant.now())
     val merged =
@@ -120,6 +125,45 @@ object SinkWriter {
     merged.write.mode(SaveMode.Overwrite).format(sink.format).save(staging)
     deleteRecursively(Paths.get(path))
     Files.move(Paths.get(staging), Paths.get(path))
+  }
+
+  /** W3 at 100 TB (SURVEY.md §4/§7.4): the dimension is written partitioned
+    * by a stable bucket of the business key (`scd_bucket = pmod(xxhash64(keys), N)`).
+    * A batch then (1) computes the buckets its staged keys land in, (2)
+    * reads ONLY those dimension partitions (partition pruning), (3) merges,
+    * and (4) rewrites only the touched partitions via dynamic partition
+    * overwrite. Untouched partitions — at real scale, the overwhelming
+    * majority — are never read or rewritten. The merged frame is
+    * materialized (localCheckpoint) before the overwrite because its
+    * lineage reads the same files the write replaces. */
+  def scd2InsertPartitioned(spark: SparkSession, staged: DataFrame, sink: SinkSpec,
+      nBuckets: Int): Unit = {
+    val path = sink.path.getOrElse(sys.error("scd2 sink needs path"))
+    val batchTs = java.sql.Timestamp.from(java.time.Instant.now())
+    val keys = sink.scdKeys
+    val bucket = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+    val stagedB = staged.withColumn("scd_bucket", bucket)
+    val exists = Files.exists(Paths.get(path)) &&
+      Files.list(Paths.get(path)).findFirst().isPresent
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      if (!exists) {
+        Scd2.initialize(stagedB, batchTs)
+          .write.mode(SaveMode.Overwrite).partitionBy("scd_bucket")
+          .format(sink.format).save(path)
+      } else {
+        val touched = stagedB.select("scd_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val dimTouched = spark.read.format(sink.format).load(path)
+          .filter(col("scd_bucket").isin(touched: _*))
+        val merged = Scd2.merge(dimTouched, stagedB, keys,
+          sink.scdTrackedCols, batchTs)
+        merged.localCheckpoint(true)
+          .write.mode(SaveMode.Overwrite).partitionBy("scd_bucket")
+          .format(sink.format).save(path)
+      }
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
 
   /** W10 multi-sink fan-out (spark.json:69-96): persist once, write N times. */

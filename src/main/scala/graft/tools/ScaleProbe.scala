@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.x.Dedup
+
+/** Scaling evidence for the near-dedup pipeline: inflate the documents
+  * fixture K× (ids shifted so copies count as near-dup pairs) and time
+  * MinHash-LSH end-to-end. Linear growth here is the load-bearing claim
+  * behind the 100 TB design (PLANS.md). */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = args.drop(1).headOption.map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 4, 16))
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // warm the session so factor-1 isn't charged for JVM startup
+    docs.count(); spark.range(100000).selectExpr("sum(id)").collect()
+    factors.foreach { k =>
+      // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
+      // each other: near-dup density per doc stays constant as the corpus
+      // grows (otherwise duplicate groups grow quadratically and the probe
+      // measures an adversarial dedup workload, not scaling)
+      val inflated = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1x" + i)))
+        .reduce(_ unionByName _)
+        .repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val t0 = System.nanoTime()
+      val pairs = Dedup.minhashNearDupPairs(inflated, "text", "doc_id",
+        n = 3, k = 32, bands = 8, threshold = 0.5).count()
+      println(f"[scale] docs=$n%7d  lsh_neardup=${(System.nanoTime() - t0) / 1e9}%7.2fs  pairs=$pairs")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

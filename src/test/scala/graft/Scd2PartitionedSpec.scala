@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.config.SinkSpec
+import graft.sinks.SinkWriter
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Partition-scoped SCD2 (SURVEY.md §4/§7.4): a batch must rewrite only
+  * the bucket partitions its staged keys touch. */
+class Scd2PartitionedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def partitionFiles(path: String): Map[String, Set[String]] =
+    Files.list(Paths.get(path)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("scd_bucket="))
+      .map { p =>
+        p.getFileName.toString ->
+          Files.list(p).iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSet
+      }.toMap
+
+  test("second batch rewrites only touched bucket partitions") {
+    val path = Files.createTempDirectory("graft-scdp").toString + "/dim"
+    val sink = SinkSpec("dim", loadType = "scdType2Insert", format = "parquet",
+      path = Some(path), scdKeys = Seq("id"), scdTrackedCols = Seq("v"),
+      options = Map("scdBuckets" -> "8"))
+
+    val snapshot = (1L to 200L).map(k => (k, s"v$k")).toDF("id", "v")
+    SinkWriter.write(spark, snapshot, sink)
+    val before = partitionFiles(path)
+    assert(before.size == 8, s"expected 8 bucket partitions, got ${before.keySet}")
+
+    // batch 2: mutate exactly one key → exactly one bucket partition changes
+    val oneKey = Seq((7L, "CHANGED")).toDF("id", "v")
+    SinkWriter.write(spark, oneKey, sink)
+    val after = partitionFiles(path)
+
+    val changed = after.keySet.filter(k => before(k) != after(k))
+    assert(changed.size == 1, s"expected exactly one rewritten partition, got $changed")
+
+    // correctness: key 7 has closed + current version; all other keys intact
+    val dim = spark.read.parquet(path)
+    assert(dim.count() == 201)
+    val k7 = dim.filter($"id" === 7).orderBy("effective_from").collect()
+    assert(k7.length == 2)
+    assert(!k7(0).getAs[Boolean]("is_current") && k7(0).getAs[String]("v") == "v7")
+    assert(k7(1).getAs[Boolean]("is_current") && k7(1).getAs[String]("v") == "CHANGED")
+    assert(dim.filter($"is_current").count() == 200)
+  }
+
+  test("partitioned and unpartitioned SCD2 agree on the merged content") {
+    val p1 = Files.createTempDirectory("graft-scdp1").toString + "/dim"
+    val p2 = Files.createTempDirectory("graft-scdp2").toString + "/dim"
+    val mk = (p: String, opts: Map[String, String]) => SinkSpec("dim",
+      loadType = "scdType2Insert", format = "parquet", path = Some(p),
+      scdKeys = Seq("id"), scdTrackedCols = Seq("v"), options = opts)
+    val b1 = (1L to 50L).map(k => (k, s"v$k")).toDF("id", "v")
+    val b2 = (1L to 60L).map(k => (k, if (k % 5 == 0) s"w$k" else s"v$k")).toDF("id", "v")
+    SinkWriter.write(spark, b1, mk(p1, Map("scdBuckets" -> "4")))
+    SinkWriter.write(spark, b2, mk(p1, Map("scdBuckets" -> "4")))
+    SinkWriter.write(spark, b1, mk(p2, Map.empty))
+    SinkWriter.write(spark, b2, mk(p2, Map.empty))
+    val a = spark.read.parquet(p1).select("id", "v", "is_current")
+    val b = spark.read.parquet(p2).select("id", "v", "is_current")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
