@@ -68,10 +68,11 @@ class Orchestrator(spark: SparkSession) {
     }
     cfg.thresholdLimit.foreach(Validations.thresholdGate(goodTotal, badTotal, _))
 
-    // phase_2 — SQL transformation chain (spark.json:54-65)
+    // phase_2 — SQL transformation chain (spark.json:54-65); sqlQuery may
+    // be inline SQL or a .sql file path (spark.json:57)
     var last: DataFrame = inputFrames.values.lastOption.orNull
     cfg.transformations.foreach { t =>
-      val out = spark.sql(t.sqlQuery)
+      val out = spark.sql(resolveSql(t.sqlQuery))
       out.createOrReplaceTempView(t.outputDFName)
       t.countValidation.foreach(Validations.countValidation(out, _))
       last = out
@@ -96,6 +97,16 @@ class Orchestrator(spark: SparkSession) {
     }
     cfg.postExecutionScripts.foreach(runScript)
     last
+  }
+
+  /** Inline SQL, or the contents of a `.sql` file when the string is a
+    * path to one (spark.json:57 "<Spark SQL Query| sql file path>"). */
+  private def resolveSql(sql: String): String = {
+    val t = sql.trim
+    if (t.toLowerCase.endsWith(".sql") && !t.contains("\n") &&
+        Files.exists(Paths.get(t)))
+      new String(Files.readAllBytes(Paths.get(t)), "UTF-8")
+    else sql
   }
 
   /** P3 duplicate-run guard (spark.json:8-9): marker-file check-and-create

@@ -70,6 +70,61 @@ object StreamingJobs {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Custom per-key state (SURVEY.md §2.8): sessionize events with
+    * `flatMapGroupsWithState` — the escape hatch when windowed/session
+    * aggregates can't express the state machine (here: emit one summary row
+    * per CLOSED session, keyed by user; a session closes when a later event
+    * for the key exceeds the gap, so per-user tail sessions stay in state
+    * until more data arrives). State per key is one constant-size summary,
+    * so it stays bounded. Production deployments add a GroupStateTimeout to
+    * flush idle tails; kept timeout-free here so AvailableNow drains
+    * deterministically.
+    *
+    * Ordering contract: rows are sorted within each micro-batch, but a key's
+    * events must not regress across batches (feed time-ordered batches, as
+    * a replayed log or watermark-sorted source does) — otherwise a stale
+    * event can split a session that event-time sessionization would merge. */
+  final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+  final case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  def statefulSessions(spark: SparkSession, events: DataFrame, gapMs: Long):
+      org.apache.spark.sql.Dataset[SessionSummary] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMs * 1000L
+    // state tracks epoch MICROS — session boundaries must agree with
+    // event-time sessionization at full timestamp precision
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(java.lang.Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "value")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[SessionState]) =>
+          var closed = List.empty[SessionSummary]
+          var cur = state.getOption
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts, v) =>
+            cur match {
+              case Some(s) if ts - s.lastTs < gapUs =>
+                cur = Some(s.copy(lastTs = ts, n = s.n + 1, total = s.total + v))
+              case Some(s) =>
+                closed ::= SessionSummary(user, toTs(s.start), toTs(s.lastTs), s.n, s.total)
+                cur = Some(SessionState(ts, ts, 1, v))
+              case None =>
+                cur = Some(SessionState(ts, ts, 1, v))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
+
   /** Run any transformed stream into the batch sink machinery per
     * micro-batch — this is how scdType2Insert works in streaming mode. */
   def startForeachBatch(stream: DataFrame, sink: SinkSpec,

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.config.JobConfig
+import graft.run.Orchestrator
+import graft.streaming.StreamingJobs
+import java.nio.file.Files
+
+class StatefulStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sfDir
+
+  private lazy val eventsDir: String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("graft-stateful").toString
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // time-ranged files → micro-batches arrive in event-time order, the
+      // ordering contract statefulSessions documents
+      .repartitionByRange(4, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir)
+    // FileStreamSource orders files by MODIFICATION TIME; a simultaneous
+    // write leaves ties, making batch order arbitrary — stamp ascending
+    // mtimes so micro-batches replay in event-time order
+    import scala.jdk.CollectionConverters._
+    val parts = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 1000))
+    }
+    dir
+  }
+
+  test("flatMapGroupsWithState sessions agree with session_window on closed sessions") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val stream = StreamingJobs.fileStream(spark, eventsDir, batchDf.schema,
+      maxFilesPerTrigger = 1)
+    val sessions = StreamingJobs.statefulSessions(spark, stream, gapMs = 5 * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("stateful_sessions").start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.table("stateful_sessions")
+    assert(emitted.count() > 0)
+
+    // reference: batch session_window over the same data (session_end there
+    // is last_ts + gap; the stateful op reports last event time directly)
+    val ref = StreamingJobs.sessionized(batchDf, "ts", "user_id", gap = "5 minutes")
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        round(col("session_value"), 2).as("v"))
+    val got = emitted.select(col("user_id"), col("session_start"),
+      col("n_events"), round(col("total_value"), 2).as("v"))
+    // every emitted (closed) session must match a reference session exactly
+    assert(got.exceptAll(ref).isEmpty,
+      "stateful sessions must be a subset of batch session_window sessions")
+    // and most sessions should have closed (only per-user tails stay open)
+    val openPerUser = batchDf.select("user_id").distinct().count()
+    assert(emitted.count() >= ref.count() - openPerUser)
+  }
+
+  test("sql file path works as a transformation step (spark.json:57)") {
+    val tmp = Files.createTempDirectory("graft-sqlfile").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/step.sql"),
+      "SELECT r_regionkey, UPPER(r_name) AS region FROM regions_in")
+    val out = new Orchestrator(spark).run(JobConfig.parse(
+      s"""{
+         |"jobName": "sqlfile",
+         |"inputs": [{"dataFrameName": "regions_in", "format": "parquet", "path": "$sf/region.parquet"}],
+         |"transformations": [{"functionName": "t", "sqlQuery": "$tmp/step.sql", "outputDFName": "o"}]
+         |}""".stripMargin))
+    assert(out.columns.toSeq == Seq("r_regionkey", "region"))
+    assert(out.count() == 5)
+  }
+}
