@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SchkTest}
+import org.apache.spark.sql.functions._
+import graft.operators.{Scd2, Validations}
+import graft.x.Dedup
+import java.sql.Timestamp
+
+/** ScalaCheck properties from SURVEY.md §5.2: SCD2 invariants under random
+  * update streams (composite business keys included) and dedup idempotence
+  * under arbitrary duplication. Kept to few-but-meaningful cases since each
+  * case runs Spark jobs. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val params = SchkTest.Parameters.default.withMinSuccessfulTests(8)
+  private def check(p: Prop): Unit = {
+    val r = SchkTest.check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("SCD2 invariants hold for random update streams over composite keys") {
+    val genBatch: Gen[Map[(Int, String), Int]] = Gen.mapOf(Gen.zip(
+      Gen.zip(Gen.choose(1, 15), Gen.oneOf("eu", "us")), Gen.choose(0, 5)))
+    val genStream = Gen.nonEmptyListOf(genBatch).map(_.take(3))
+    check(Prop.forAll(genStream) { batches =>
+      val keys = Seq("k1", "k2")
+      def frame(m: Map[(Int, String), Int]) =
+        m.toSeq.map { case ((a, b), v) => (a, b, v) }.toDF("k1", "k2", "v")
+      val init = batches.head
+      var dim = Scd2.initialize(frame(if (init.isEmpty) Map((1, "eu") -> 0) else init),
+        Timestamp.valueOf("2024-01-01 00:00:00"))
+      batches.tail.zipWithIndex.foreach { case (b, i) =>
+        if (b.nonEmpty)
+          dim = Scd2.merge(dim, frame(b), keys, Seq("v"),
+            Timestamp.valueOf(s"2024-0${i + 2}-01 00:00:00")).localCheckpoint()
+      }
+      val oneCurrentPerKey = dim.filter(col(Scd2.IsCurrent))
+        .groupBy("k1", "k2").count().filter($"count" =!= 1).isEmpty
+      val closedHaveEnd = dim.filter(!col(Scd2.IsCurrent) && col(Scd2.EffectiveTo).isNull).isEmpty
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k1", "k2").orderBy(Scd2.EffectiveFrom)
+      val gapless = dim
+        .withColumn("nf", lead(Scd2.EffectiveFrom, 1).over(w))
+        .filter($"nf".isNotNull)
+        .filter(col(Scd2.EffectiveTo).isNull || col(Scd2.EffectiveTo) =!= $"nf")
+        .isEmpty
+      oneCurrentPerKey && closedHaveEnd && gapless
+    })
+  }
+
+  test("dedup is idempotent and keeps exactly one row per key") {
+    val genRows: Gen[List[(Int, Int, String)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1, 10), Gen.choose(1, 100), Gen.alphaStr.map(_.take(5))))
+    check(Prop.forAll(genRows) { rows =>
+      val df = rows.toDF("k", "ord", "payload")
+      val once = Validations.dedup(df, Seq("k"), Seq("ord", "payload"))
+      val twice = Validations.dedup(once.good, Seq("k"), Seq("ord", "payload"))
+      val nKeys = rows.map(_._1).distinct.size
+      once.good.count() == nKeys &&
+        twice.bad.count() == 0 &&
+        once.good.exceptAll(twice.good).isEmpty
+    })
+  }
+
+  test("exact content dedup: output row count equals distinct contents, stable under re-dedup") {
+    val genDocs: Gen[List[String]] = Gen.nonEmptyListOf(Gen.oneOf(
+      "alpha beta gamma", "delta epsilon", "zeta eta theta", "alpha beta gamma "))
+    check(Prop.forAll(genDocs) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val d1 = Dedup.exactByContent(df, "text", "doc_id")
+      val d2 = Dedup.exactByContent(d1, "text", "doc_id")
+      d1.count() == docs.distinct.size && d1.count() == d2.count()
+    })
+  }
+}
