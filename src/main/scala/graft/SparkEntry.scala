@@ -28,10 +28,12 @@ object SparkEntry {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   // Registering the 10 fixture views costs ~10 parquet footer reads; memoize
-  // per dir so a 40-query Verify/Bench run pays it once, not 40×.
-  @volatile private var registeredDir: String = null
+  // per (session, dir) — temp views are session-scoped, so a dir-only key
+  // would skip registration for a fresh session in the same JVM.
+  @volatile private var registeredKey: (Int, String) = null
 
-  private def reg(s: SparkSession, dir: String): Unit = if (registeredDir != dir) {
+  private def reg(s: SparkSession, dir: String): Unit =
+    if (registeredKey != ((System.identityHashCode(s), dir))) {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     // rejects; read it as raw nanos and truncate to micros (exactly what
     // DuckDB's nanos→TIMESTAMP conversion does, so the oracle agrees).
@@ -43,7 +45,7 @@ object SparkEntry {
         else df
       fixed.createOrReplaceTempView(t)
     }
-    registeredDir = dir
+    registeredKey = (System.identityHashCode(s), dir)
   }
 
   private def sqlQ(q: String): (SparkSession, String) => DataFrame =

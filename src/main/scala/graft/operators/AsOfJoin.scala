@@ -33,17 +33,22 @@ object AsOfJoin {
       keys: Seq[String], timeCol: String, rightCols: Seq[String]
   ): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the right payload rides as ONE struct: carrying columns independently
+    // with per-column last(ignoreNulls) would stitch the "latest" row
+    // together from different right rows whenever a payload column is null
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
     val taggedLeft = left
       .withColumn("__side", lit(1))
       .select(Seq(col("__side")) ++ keys.map(col) ++ Seq(col(timeCol)) ++
-        leftCols.filterNot(c => keys.contains(c) || c == timeCol).map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.filterNot(c => keys.contains(c) || c == timeCol).map(col) :+
+        lit(null).cast(payloadType).as("__r"): _*)
     val taggedRight = right
       .withColumn("__side", lit(0))
       .select(Seq(col("__side")) ++ keys.map(col) ++ Seq(col(timeCol)) ++
         leftCols.filterNot(c => keys.contains(c) || c == timeCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
 
     // right rows sort before left rows at equal time (__side 0 < 1), so a
     // right row AT the left row's timestamp is visible to it
@@ -51,11 +56,10 @@ object AsOfJoin {
       .orderBy(col(timeCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedLeft.unionByName(taggedRight)
-      .select(col("*") +: rightCols.map(c =>
-        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__c_$c")): _*)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
 
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightCols.map(c => col(s"__c_$c").as(s"right_$c")): _*)
+        rightCols.map(c => col(s"__c.$c").as(s"right_$c")): _*)
   }
 }

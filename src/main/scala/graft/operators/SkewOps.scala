@@ -25,6 +25,12 @@ object SkewOps {
       large: DataFrame, small: DataFrame, keys: Seq[String],
       saltFactor: Int, joinType: String = "inner"
   ): DataFrame = {
+    // outer-preserving the REPLICATED side would emit every unmatched
+    // small-side row saltFactor times; only join types that keep at most
+    // the large side's unmatched rows are sound under replication
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi joins, got '$joinType'")
     val saltedLarge = large.withColumn("__salt", saltCol(large, saltFactor))
     val saltedSmall = small
       .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))

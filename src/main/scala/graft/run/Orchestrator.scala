@@ -37,7 +37,22 @@ class Orchestrator(spark: SparkSession) {
     }
     cfg.sparkConfig.foreach { case (k, v) => spark.conf.set(k, v) }
 
-    if (cfg.duplicateRunCheck) duplicateRunGuard(cfg)
+    // P3: the _RUNNING marker guards against CONCURRENT duplicate runs, so
+    // it must be released when this run ends (success OR failure) — holding
+    // it until JVM exit would turn every transient failure into a permanent
+    // one under the pipeline retry loop (O2)
+    val marker = if (cfg.duplicateRunCheck) Some(acquireRunMarker(cfg)) else None
+    try {
+      val out = runPhases(cfg)
+      marker.foreach { m =>
+        Files.writeString(m.resolveSibling(s"${cfg.jobName}_SUCCESS"),
+          java.time.Instant.now().toString)
+      }
+      out
+    } finally marker.foreach(Files.deleteIfExists(_))
+  }
+
+  private def runPhases(cfg: JobConfig): DataFrame = {
     cfg.preExecution.scripts.foreach(runScript)
 
     // phase_1 — bind inputs as named temp views
@@ -51,7 +66,6 @@ class Orchestrator(spark: SparkSession) {
 
     // phase_2 — validations route bad rows out and re-register the good set
     var badTotal = 0L
-    var goodTotal = 0L
     cfg.validations.foreach { v =>
       val df = spark.table(v.dataFrameName)
       val routed = v match {
@@ -64,9 +78,15 @@ class Orchestrator(spark: SparkSession) {
       if (nBad > 0) cfg.errorSink.foreach(es => SinkWriter.writeErrors(spark, bad, cfg.jobName, es))
       bad.unpersist()
       routed.good.createOrReplaceTempView(v.dataFrameName)
-      goodTotal += spark.table(v.dataFrameName).count()
     }
-    cfg.thresholdLimit.foreach(Validations.thresholdGate(goodTotal, badTotal, _))
+    // threshold denominator: SURVIVING rows counted once per validated
+    // frame (summing per-validation good counts would double-count rows
+    // that pass several validations and dilute the gate)
+    if (cfg.thresholdLimit.isDefined && cfg.validations.nonEmpty) {
+      val goodTotal = cfg.validations.map(_.dataFrameName).distinct
+        .map(n => spark.table(n).count()).sum
+      Validations.thresholdGate(goodTotal, badTotal, cfg.thresholdLimit.get)
+    }
 
     // phase_2 — SQL transformation chain (spark.json:54-65); sqlQuery may
     // be inline SQL or a .sql file path (spark.json:57)
@@ -99,27 +119,25 @@ class Orchestrator(spark: SparkSession) {
     last
   }
 
-  /** Inline SQL, or the contents of a `.sql` file when the string is a
-    * path to one (spark.json:57 "<Spark SQL Query| sql file path>"). */
-  private def resolveSql(sql: String): String = {
-    val t = sql.trim
-    if (t.toLowerCase.endsWith(".sql") && !t.contains("\n") &&
-        Files.exists(Paths.get(t)))
-      new String(Files.readAllBytes(Paths.get(t)), "UTF-8")
-    else sql
-  }
+  private def resolveSql(sql: String): String = Orchestrator.resolveSql(sql)
 
   /** P3 duplicate-run guard (spark.json:8-9): marker-file check-and-create
-    * under the temp path. Single-scheduler assumption documented in
-    * SURVEY.md §7.4 (matches the reference's one-Airflow-DAG model). */
-  private def duplicateRunGuard(cfg: JobConfig): Unit = {
+    * under the temp path; caller releases the marker when the run ends, a
+    * shutdown hook covers hard JVM death. Single-scheduler assumption
+    * documented in SURVEY.md §7.4 (matches the reference's one-Airflow-DAG
+    * model). */
+  private def acquireRunMarker(cfg: JobConfig): java.nio.file.Path = {
     val tmp = cfg.tempPath.getOrElse(sys.error("duplicateRunCheck needs tempPath"))
     Files.createDirectories(Paths.get(tmp))
     val marker = Paths.get(tmp, s"${cfg.jobName}_RUNNING")
-    if (Files.exists(marker))
-      throw new IllegalStateException(s"duplicate run detected for job ${cfg.jobName} ($marker exists)")
-    Files.createFile(marker)
+    try Files.createFile(marker) // atomic check-and-create
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"duplicate run detected for job ${cfg.jobName} ($marker exists)")
+    }
     sys.addShutdownHook { Files.deleteIfExists(marker); () }
+    marker
   }
 
   /** P2/W13 pre-/post-exec scripts (spark.json:28-30,102-106). */
@@ -127,6 +145,20 @@ class Orchestrator(spark: SparkSession) {
     import scala.sys.process._
     val code = Seq("bash", "-c", script).!
     if (code != 0) throw new IllegalStateException(s"script failed ($code): $script")
+  }
+}
+
+object Orchestrator {
+  /** Inline SQL, or the contents of a `.sql` file when the string is a
+    * path to one (spark.json:57 "<Spark SQL Query| sql file path>").
+    * Shared by the batch and streaming orchestrators so the same config is
+    * portable between modes. */
+  private[run] def resolveSql(sql: String): String = {
+    val t = sql.trim
+    if (t.toLowerCase.endsWith(".sql") && !t.contains("\n") &&
+        Files.exists(Paths.get(t)))
+      new String(Files.readAllBytes(Paths.get(t)), "UTF-8")
+    else sql
   }
 }
 

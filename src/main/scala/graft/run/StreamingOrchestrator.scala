@@ -70,9 +70,9 @@ class StreamingOrchestrator(spark: SparkSession) {
         deduped.createOrReplaceTempView(name)
     }
 
-    // phase_2 — SQL chain (identical to batch)
+    // phase_2 — SQL chain (identical to batch, incl. .sql file references)
     cfg.transformations.foreach { t =>
-      spark.sql(t.sqlQuery).createOrReplaceTempView(t.outputDFName)
+      spark.sql(Orchestrator.resolveSql(t.sqlQuery)).createOrReplaceTempView(t.outputDFName)
     }
 
     // phase_3 — sinks through the batch writers

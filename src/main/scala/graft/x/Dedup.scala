@@ -143,13 +143,18 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_b"), col("__sh")), Seq("__sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(broadcast(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a")), Seq("id_a"))
       .join(broadcast(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b")), Seq("id_b"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      // materialize the (small) result, then release the shingle cache —
+      // otherwise every call leaks pinned partitions into the session
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** MinHash-LSH near-dedup end-to-end: candidates → exact-Jaccard verify →
@@ -163,7 +168,11 @@ object Dedup {
     // re-plan and re-run it; on a cluster this would be a reliable
     // checkpoint or a staged table.
     val cands = lshCandidatePairs(sigs, idCol, k, bands).localCheckpoint()
-    jaccardForPairs(sh, idCol, cands).filter(col("jaccard") >= threshold)
+    val out = jaccardForPairs(sh, idCol, cands)
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true) // materialize, then release the shingle cache
+    sh.unpersist()
+    out
   }
 
   /** X2b SimHash: 64-bit signature where bit b is the sign of Σ±1 over
@@ -182,15 +191,24 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within `maxHamming`, bucketed by 16-bit chunks
-    * (pigeonhole: ≤3 differing bits ⇒ at least one of 4 chunks identical),
-    * so candidate generation is a bucket join, not a cross join. */
+  /** SimHash near-dup pairs within `maxHamming`, bucketed by pigeonhole:
+    * the 64-bit signature is split into maxHamming+1 chunks, so any pair
+    * within the bound shares at least one identical chunk — candidate
+    * generation is a bucket join, not a cross join, at ANY bound (a fixed
+    * chunk count would silently lose recall past its design distance). */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming $maxHamming out of range")
+    val nChunks = maxHamming + 1
+    val width = (64 + nChunks - 1) / nChunks
     val sig = simhash(df, textCol, idCol).persist()
-    val chunks = (0 until 4).map(cI =>
+    val chunks = (0 until nChunks).map { cI =>
+      val lo = cI * width
+      val bits = math.min(width, 64 - lo)
+      val mask = if (bits >= 64) -1L else (1L << bits) - 1L
       struct(lit(cI).as("chunk"),
-        shiftright(col("simhash"), cI * 16).bitwiseAND(0xFFFFL).as("ch")))
+        shiftright(col("simhash"), lo).bitwiseAND(mask).as("ch"))
+    }
     val bucketed = sig.select(col(idCol), col("simhash"),
       explode(array(chunks: _*)).as("cb"))
       .select(col(idCol), col("simhash"), col("cb.chunk"), col("cb.ch"))
@@ -198,10 +216,13 @@ object Dedup {
       col(idCol).as("id_a"), col("simhash").as("sig_a"))
     val b = bucketed.select(col("chunk"), col("ch"),
       col(idCol).as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("chunk", "ch"))
+    val out = a.join(b, Seq("chunk", "ch"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(true) // materialize, then release the signature cache
+    sig.unpersist()
+    out
   }
 }

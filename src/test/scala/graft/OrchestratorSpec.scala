@@ -68,7 +68,7 @@ class OrchestratorSpec extends AnyFunSuite {
     intercept[IllegalStateException] { new Orchestrator(spark).run(cfg) }
   }
 
-  test("duplicate-run guard blocks a second concurrent run") {
+  test("duplicate-run guard blocks concurrent runs, releases after completion") {
     val tmp = tmpDir()
     val mk = (name: String) => JobConfig.parse(
       s"""{
@@ -76,9 +76,21 @@ class OrchestratorSpec extends AnyFunSuite {
          |"inputs": [{"dataFrameName": "r", "format": "parquet", "path": "$sf/region.parquet"}],
          |"transformations": [{"functionName": "t", "sqlQuery": "SELECT * FROM r", "outputDFName": "o"}]
          |}""".stripMargin)
-    new Orchestrator(spark).run(mk("guarded"))
-    // marker still present (shutdown hook not yet fired) → second run refused
+    // a concurrent run holds the marker → refused
+    Files.createFile(Paths.get(tmp, "guarded_RUNNING"))
     intercept[IllegalStateException] { new Orchestrator(spark).run(mk("guarded")) }
+    Files.delete(Paths.get(tmp, "guarded_RUNNING"))
+    // normal run: succeeds, releases the marker, records success —
+    // so a sequential re-run (and the pipeline retry loop) still works
+    new Orchestrator(spark).run(mk("guarded"))
+    assert(!Files.exists(Paths.get(tmp, "guarded_RUNNING")))
+    assert(Files.exists(Paths.get(tmp, "guarded_SUCCESS")))
+    new Orchestrator(spark).run(mk("guarded"))
+    // a FAILED run must also release the marker (retry-ability)
+    val bad = mk("failing").copy(transformations = Seq(
+      graft.config.TransformStep("t", "SELECT * FROM does_not_exist", "o")))
+    intercept[Exception] { new Orchestrator(spark).run(bad) }
+    assert(!Files.exists(Paths.get(tmp, "failing_RUNNING")))
   }
 
   test("4-step pipeline: fetch → daily_range → register → scd2 (reference DAG shape)") {

@@ -39,6 +39,21 @@ class Scd2Spec extends AnyFunSuite {
       k3(0).getAs[Timestamp](Scd2.EffectiveFrom) == ts("2024-06-01"))
   }
 
+  test("NULL business keys are legal values, not dropped (null-safe join)") {
+    val dim = Scd2.initialize(
+      Seq((Option(1L), "a", 10.0), (Option.empty[Long], "nullkey", 20.0))
+        .toDF("id", "name", "bal"), ts("2024-01-01"))
+    val staged = Seq((Option(1L), "a", 10.0), (Option.empty[Long], "nullkey", 99.0))
+      .toDF("id", "name", "bal")
+    val out = Scd2.merge(dim, staged, Seq("id"), Seq("name", "bal"), ts("2024-06-01"))
+    // the NULL-key row changed: closed + reopened, nothing silently lost
+    val nk = out.filter($"id".isNull).orderBy(Scd2.EffectiveFrom).collect()
+    assert(nk.length == 2)
+    assert(!nk(0).getAs[Boolean](Scd2.IsCurrent) && nk(0).getAs[Double]("bal") == 20.0)
+    assert(nk(1).getAs[Boolean](Scd2.IsCurrent) && nk(1).getAs[Double]("bal") == 99.0)
+    assert(out.count() == 3)
+  }
+
   test("re-merging the same batch is a no-op (idempotency / P3 backstop)") {
     val dim = Scd2.initialize(snapshot(Seq((1L, "a", 10.0), (2L, "b", 20.0))), ts("2024-01-01"))
     val staged = snapshot(Seq((1L, "a", 11.0), (2L, "b", 20.0)))
