@@ -541,6 +541,25 @@ object SparkEntry {
       ).orderBy("doc_id")
     }),
 
+    "x12_chunking" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.chunkDocuments(s.table("documents"), "text", "doc_id",
+          chunkTokens = 30, overlap = 5)
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          col("chunk_text"), col("chunk_tokens").cast("long").as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+
+    "x13_quantize" -> ((s, dir) => {
+      reg(s, dir)
+      val (q, amax) = graft.functions.VectorFunctions.quantizeInt8(col("embedding"))
+      s.table("embeddings")
+        .select(col("vec_id"), round(amax, 6).as("amax"), posexplode(q))
+        .select(col("vec_id"), col("amax"), col("pos").cast("long").as("idx"),
+          col("col").cast("long").as("q"))
+        .orderBy("vec_id", "idx")
+    }),
+
     // ---- events: window/session ops (shared batch/streaming code, §2.8) ----
     "ev1_window_agg" -> ((s, dir) => {
       reg(s, dir)
@@ -1003,6 +1022,27 @@ object SparkEntry {
           (CASE WHEN (CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
                       / GREATEST(LENGTH(text), 1)) <= 0.2 THEN 1.0 ELSE 0.2 END) * 0.2, 4) AS quality
       FROM documents ORDER BY doc_id""",
+
+    "x12_chunking" -> """
+      WITH toks AS (SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+      ch AS (
+        SELECT doc_id, s // 25 AS ci, ARRAY_TO_STRING(t[s+1 : s+30], ' ') AS chunk_text
+        FROM toks, LATERAL (SELECT UNNEST(RANGE(0, LEN(t), 25)) AS s))
+      SELECT doc_id, CAST(ci AS BIGINT) AS chunk_index, chunk_text,
+             CAST(LEN(STR_SPLIT_REGEX(TRIM(chunk_text), '\s+')) AS BIGINT) AS chunk_tokens
+      FROM ch
+      ORDER BY doc_id, chunk_index""",
+
+    "x13_quantize" -> """
+      WITH m AS (
+        SELECT vec_id, embedding,
+               LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings)
+      SELECT vec_id, ROUND(amax, 6) AS amax, CAST(i - 1 AS BIGINT) AS idx,
+             CAST(CASE WHEN amax = 0 THEN 0
+                  ELSE ROUND(CAST(embedding[i] AS DOUBLE) * 127.0 / amax) END AS BIGINT) AS q
+      FROM m, LATERAL (SELECT UNNEST(RANGE(1, 65)) AS i)
+      ORDER BY vec_id, idx""",
 
     "ev1_window_agg" -> """
       SELECT STRFTIME(TIME_BUCKET(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

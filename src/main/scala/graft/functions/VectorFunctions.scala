@@ -51,6 +51,18 @@ object VectorFunctions {
       (acc, v) => acc + v
     ))
 
+  /** Symmetric int8 quantization of a float vector: q_i = round(v_i·127/amax)
+    * with amax = max|v_i| (the classic storage/bandwidth trade for
+    * embedding corpora — 4× smaller vectors, dequantize via q·amax/127).
+    * Returns (array<int>, amax). Zero vectors quantize to zeros. */
+  def quantizeInt8(vec: Column): (Column, Column) = {
+    val amax = array_max(transform(vec, x => abs(x.cast("double"))))
+    val q = transform(vec, x =>
+      when(amax === 0.0, lit(0))
+        .otherwise(round(x.cast("double") * 127.0 / amax).cast("int")))
+    (q, amax)
+  }
+
   /** Random-hyperplane LSH signature: sign bit of a·hᵢ for `planes`
     * deterministic pseudo-random hyperplanes (seeded; same signature on
     * every run/executor). Used to bucket vectors so near-neighbor search

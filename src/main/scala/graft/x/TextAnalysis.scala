@@ -99,6 +99,28 @@ object TextAnalysis {
     array_min(grams)
   }
 
+  /** Document chunking for training pipelines: split each doc into
+    * overlapping token windows (`chunkTokens` per chunk, stepping by
+    * `chunkTokens - overlap`). Pure generator expansion — no shuffle, no
+    * driver round-trip; at 100 TB this is a map-side fan-out whose output
+    * partitioning follows the input. */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, s"overlap $overlap must be in [0, $chunkTokens)")
+    val step = chunkTokens - overlap
+    val toks = col("__toks")
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(step)),
+          s => concat_ws(" ", slice(toks, s + 1, lit(chunkTokens))))))
+      .withColumnRenamed("pos", "chunk_index")
+      .withColumnRenamed("col", "chunk_text")
+      .withColumn("chunk_tokens",
+        when(length(trim(col("chunk_text"))) === 0, 0)
+          .otherwise(size(split(trim(col("chunk_text")), "\\s+"))))
+  }
+
   /** Per-document profile frame: one narrow projection, no shuffle. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.select(
