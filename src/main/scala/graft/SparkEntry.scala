@@ -228,9 +228,14 @@ object SparkEntry {
           JOIN customer c ON o.o_custkey = c.c_custkey
           JOIN nation n   ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name)
+      -- above-average filter via unbounded window instead of two scalar
+      -- subqueries: Spark inlines (not materializes) CTEs, so subqueries
+      -- would evaluate the whole join tree three times
       SELECT n_name, CAST(rev_d AS DOUBLE) AS revenue
-      FROM nat_rev
-      WHERE rev_d * (SELECT COUNT(*) FROM nat_rev) > (SELECT SUM(rev_d) FROM nat_rev)
+      FROM (SELECT n_name, rev_d,
+              SUM(rev_d) OVER () AS tot, COUNT(*) OVER () AS n
+            FROM nat_rev) t
+      WHERE rev_d * n > tot
       ORDER BY n_name"""),
 
     "q18_grouping_sets" -> sqlQ("""
@@ -792,8 +797,10 @@ object SparkEntry {
           JOIN nation n   ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name)
       SELECT n_name, CAST(rev_d AS DOUBLE) AS revenue
-      FROM nat_rev
-      WHERE rev_d * (SELECT COUNT(*) FROM nat_rev) > (SELECT SUM(rev_d) FROM nat_rev)
+      FROM (SELECT n_name, rev_d,
+              SUM(rev_d) OVER () AS tot, COUNT(*) OVER () AS n
+            FROM nat_rev) t
+      WHERE rev_d * n > tot
       ORDER BY n_name""",
 
     "q18_grouping_sets" -> """
