@@ -546,6 +546,27 @@ object SparkEntry {
       ).orderBy("doc_id")
     }),
 
+    "x14_redact_pii" -> ((s, dir) => {
+      reg(s, dir)
+      // fixture text carries no PII by construction; inject deterministic
+      // synthetic emails/urls/phones so the redaction paths actually fire
+      val dirty = s.table("documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" see https://example.org/d/"), col("doc_id"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit(" call +1 (415) 555-0123 now")).otherwise(lit(""))).as("text"))
+      val (em, ur, ph) = TextAnalysis.piiCounts(col("text"))
+      dirty.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("redacted"),
+        em.cast("long").as("n_emails"), ur.cast("long").as("n_urls"),
+        ph.cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    }),
+
     "x12_chunking" -> ((s, dir) => {
       reg(s, dir)
       TextAnalysis.chunkDocuments(s.table("documents"), "text", "doc_id",
@@ -1029,6 +1050,27 @@ object SparkEntry {
           (CASE WHEN (CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
                       / GREATEST(LENGTH(text), 1)) <= 0.2 THEN 1.0 ELSE 0.2 END) * 0.2, 4) AS quality
       FROM documents ORDER BY doc_id""",
+
+    "x14_redact_pii" -> """
+      WITH dirty AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+          CASE WHEN doc_id % 7 = 0 THEN ' see https://example.org/d/' || doc_id ELSE '' END ||
+          CASE WHEN doc_id % 11 = 0 THEN ' call +1 (415) 555-0123 now' ELSE '' END AS t
+        FROM documents)
+      SELECT doc_id,
+        REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          'https?://[^\s]+', '<URL>', 'g'),
+          '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS redacted,
+        CAST(LEN(REGEXP_EXTRACT_ALL(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(LEN(REGEXP_EXTRACT_ALL(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        CAST(LEN(REGEXP_EXTRACT_ALL(
+          REGEXP_REPLACE(REGEXP_REPLACE(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+                         'https?://[^\s]+', ' ', 'g'),
+          '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS BIGINT) AS n_phones
+      FROM dirty
+      ORDER BY doc_id""",
 
     "x12_chunking" -> """
       WITH toks AS (SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),

@@ -99,6 +99,29 @@ object TextAnalysis {
     array_min(grams)
   }
 
+  /** PII redaction for training corpora: replace emails / URLs / long digit
+    * runs (phone-ish) with typed placeholder tokens and count what was hit.
+    * Regexes are deliberately engine-portable (no lookaround), so the same
+    * patterns run under Java regex and RE2-family engines. Narrow
+    * projection — no shuffle, embarrassingly parallel. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe = "https?://[^\\s]+"
+  private val phoneRe = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        urlRe, "<URL>"),
+      phoneRe, "<PHONE>")
+
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(emailRe), lit(0))),
+    size(regexp_extract_all(text, lit(urlRe), lit(0))),
+    size(regexp_extract_all(regexp_replace(regexp_replace(text, emailRe, " "), urlRe, " "),
+      lit(phoneRe), lit(0))) // count phones on the email/url-stripped text, like redaction order does
+  )
+
   /** Document chunking for training pipelines: split each doc into
     * overlapping token windows (`chunkTokens` per chunk, stepping by
     * `chunkTokens - overlap`). Pure generator expansion — no shuffle, no

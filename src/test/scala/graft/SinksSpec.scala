@@ -60,6 +60,21 @@ class SinksSpec extends AnyFunSuite {
     assert(dim.filter(!col("is_current")).select("v").as[String].collect().toSeq == Seq("a"))
   }
 
+  test("partitionBy writes hive-style partition dirs and prunes on read") {
+    val out = tmpDir() + "/part"
+    val df = Seq((1, "AUTOMOBILE", 10.0), (2, "BUILDING", 20.0), (3, "AUTOMOBILE", 30.0))
+      .toDF("id", "segment", "bal")
+    SinkWriter.write(spark, df, SinkSpec("t", format = "parquet",
+      path = Some(out), savemode = "overwrite", partitionBy = Seq("segment")))
+    val dirs = Files.list(Paths.get(out)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("segment=")).toSet
+    assert(dirs == Set("segment=AUTOMOBILE", "segment=BUILDING"))
+    val pruned = spark.read.parquet(out).filter($"segment" === "BUILDING")
+    assert(pruned.count() == 1)
+    // partition filter reaches the scan, not a post-filter over both dirs
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(segment"))
+  }
+
   test("errors sink stamps job name and timestamp") {
     val out = tmpDir() + "/err"
     val bad = Seq((1, "dup")).toDF("id", "why")
