@@ -1073,7 +1073,8 @@ object SparkEntry {
       ORDER BY doc_id""",
 
     "x12_chunking" -> """
-      WITH toks AS (SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+      WITH toks AS (SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t
+                    FROM documents WHERE LENGTH(TRIM(text)) > 0),
       ch AS (
         SELECT doc_id, s // 25 AS ci, ARRAY_TO_STRING(t[s+1 : s+30], ' ') AS chunk_text
         FROM toks, LATERAL (SELECT UNNEST(RANGE(0, LEN(t), 25)) AS s))
@@ -1090,7 +1091,7 @@ object SparkEntry {
       SELECT vec_id, ROUND(amax, 6) AS amax, CAST(i - 1 AS BIGINT) AS idx,
              CAST(CASE WHEN amax = 0 THEN 0
                   ELSE ROUND(CAST(embedding[i] AS DOUBLE) * 127.0 / amax) END AS BIGINT) AS q
-      FROM m, LATERAL (SELECT UNNEST(RANGE(1, 65)) AS i)
+      FROM m, LATERAL (SELECT UNNEST(RANGE(1, LEN(embedding) + 1)) AS i)
       ORDER BY vec_id, idx""",
 
     "ev1_window_agg" -> """

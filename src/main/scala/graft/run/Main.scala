@@ -18,17 +18,32 @@ import graft.config.{DeploySpec, JobConfig}
 object Main {
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args.toList)
-    val configs = opts.getOrElse("config_json",
-      sys.error("usage: --config_json <job.json> [...] [--deploy <deploy.yaml>]"))
-    val deploy = opts.get("deploy").map(p => DeploySpec.parseFile(p.head))
+    def usage(msg: String) = sys.error(
+      s"$msg\nusage: --config_json <job.json> [...] [--deploy <deploy.yaml>] [--master <url>]")
+    val configs = opts.getOrElse("config_json", usage("missing --config_json"))
+    if (configs.isEmpty) usage("--config_json needs at least one file")
+    def one(k: String): Option[String] = opts.get(k).map(
+      _.headOption.getOrElse(usage(s"--$k needs a value")))
+    val deploy = one("deploy").map(DeploySpec.parseFile)
 
     var builder = SparkSession.builder()
       .appName(deploy.map(_.pipelineName).getOrElse("graft"))
       .config("spark.sql.session.timeZone", "UTC")
-    opts.get("master").foreach(m => builder = builder.master(m.head))
-    if (!opts.contains("master") && sys.env.get("MASTER").isEmpty)
+    one("master").foreach(m => builder = builder.master(m))
+    // local fallback ONLY when nothing else set a master — spark-submit
+    // passes it as the spark.master system property, which builder options
+    // would silently override
+    if (!opts.contains("master") && !sys.props.contains("spark.master") &&
+        sys.env.get("MASTER").isEmpty)
       builder = builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]")
-    deploy.foreach(_.sparkConf.foreach { case (k, v) => builder = builder.config(k, v) })
+    deploy.foreach(_.sparkConf.foreach {
+      case ("spark.driver.memory", v) =>
+        // the driver JVM is already running here; this knob only works via
+        // spark-submit --driver-memory, so don't pretend to apply it
+        System.err.println(s"[graft] deploy driverMemory=$v has no effect post-launch; " +
+          "pass --driver-memory to spark-submit")
+      case (k, v) => builder = builder.config(k, v)
+    })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
 

@@ -132,16 +132,15 @@ object TextAnalysis {
     require(overlap >= 0 && overlap < chunkTokens, s"overlap $overlap must be in [0, $chunkTokens)")
     val step = chunkTokens - overlap
     val toks = col("__toks")
-    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+    df.filter(length(trim(col(textCol))) > 0) // empty/null docs have no chunks
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
       .select(col(idCol),
         posexplode(transform(
           sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(step)),
           s => concat_ws(" ", slice(toks, s + 1, lit(chunkTokens))))))
       .withColumnRenamed("pos", "chunk_index")
       .withColumnRenamed("col", "chunk_text")
-      .withColumn("chunk_tokens",
-        when(length(trim(col("chunk_text"))) === 0, 0)
-          .otherwise(size(split(trim(col("chunk_text")), "\\s+"))))
+      .withColumn("chunk_tokens", tokenCount(col("chunk_text")))
   }
 
   /** Per-document profile frame: one narrow projection, no shuffle. */

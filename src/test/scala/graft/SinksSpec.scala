@@ -66,8 +66,11 @@ class SinksSpec extends AnyFunSuite {
       .toDF("id", "segment", "bal")
     SinkWriter.write(spark, df, SinkSpec("t", format = "parquet",
       path = Some(out), savemode = "overwrite", partitionBy = Seq("segment")))
-    val dirs = Files.list(Paths.get(out)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("segment=")).toSet
+    val listing = Files.list(Paths.get(out))
+    val dirs =
+      try listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("segment=")).toSet
+      finally listing.close()
     assert(dirs == Set("segment=AUTOMOBILE", "segment=BUILDING"))
     val pruned = spark.read.parquet(out).filter($"segment" === "BUILDING")
     assert(pruned.count() == 1)
