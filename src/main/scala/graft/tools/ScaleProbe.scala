@@ -20,6 +20,38 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // warm the session so factor-1 isn't charged for JVM startup
     docs.count(); spark.range(100000).selectExpr("sum(id)").collect()
+
+    // ANN scaling: cosine near-dup over an inflated embedding corpus.
+    // With FIXED planes the in-bucket candidate count grows ~n²/2^planes —
+    // the probe shows planes must track log2(n) to hold the per-bucket
+    // occupancy (and thus total cost per row) roughly constant.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    Seq((1, 8), (4, 8), (16, 8), (64, 8), (64, 12)).foreach { case (k, planes) =>
+      val base = (0 until k).map { i =>
+        // per-copy deterministic sign-flip pattern: flipping a different
+        // subset of dimensions per copy sends cross-copy cosines toward 0
+        // (reverse/scale tricks preserve direction and make copies mutual
+        // near-dups — measured the hard way)
+        emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L))
+          .withColumn("embedding",
+            if (i == 0) col("embedding")
+            else expr(s"transform(embedding, (x, j) -> " + // murmur mix: a linear-mod-2 pattern collapses to parity classes
+              s"float(x * (case when pmod(hash(j, $i), 2) = 0 then 1.0 else -1.0 end)))"))
+      }.reduce(_ unionByName _)
+      // sentinel exact duplicates: the probe must FIND these ~100 pairs, so
+      // a zero-pair run can't silently mean "detection broke"
+      val sentinels = emb.filter(col("vec_id") < 100)
+        .withColumn("vec_id", col("vec_id") + 90000000L)
+      val inflated = base.unionByName(sentinels)
+        .repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.x.Similarity.cosineNearDupPairs(
+        inflated, "vec_id", "embedding", threshold = 0.99, dim = 64, planes = planes).count()
+      println(f"[scale-ann] vecs=$n%6d planes=$planes%2d  " +
+        f"neardup=${(System.nanoTime() - t0) / 1e9}%6.2fs  pairs=$pairs")
+      spark.catalog.clearCache()
+    }
     factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus
