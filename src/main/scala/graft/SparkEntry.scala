@@ -351,6 +351,35 @@ object SparkEntry {
         FROM part ORDER BY p_partkey""")
     }),
 
+    "q30_udaf" -> ((s, dir) => {
+      reg(s, dir)
+      // the typed-Aggregator UDAF registry surface (SURVEY §2.4 UDF row):
+      // exact weighted mean — decimal sums keep it order-independent, so
+      // the oracle can reproduce it with plain SQL arithmetic
+      import org.apache.spark.sql.expressions.Aggregator
+      import org.apache.spark.sql.{Encoder, Encoders}
+      // exact integer-cents arithmetic: sums are order-independent Longs,
+      // so partial aggregation at any parallelism (and the oracle's SQL
+      // reformulation) lands on the identical double
+      val wavg = new Aggregator[(Double, Double), (Long, Long), Double] {
+        def zero = (0L, 0L)
+        def reduce(b: (Long, Long), a: (Double, Double)) =
+          (b._1 + Math.round(a._1 * 100) * Math.round(a._2 * 100),
+           b._2 + Math.round(a._2 * 100))
+        def merge(x: (Long, Long), y: (Long, Long)) = (x._1 + y._1, x._2 + y._2)
+        def finish(b: (Long, Long)): Double =
+          if (b._2 == 0) 0.0 else b._1.toDouble / (b._2.toDouble * 100.0)
+        def bufferEncoder: Encoder[(Long, Long)] =
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+        def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+      }
+      s.udf.register("graft_wavg", org.apache.spark.sql.functions.udaf(wavg))
+      s.sql("""
+        SELECT l_returnflag,
+               ROUND(graft_wavg(l_extendedprice, l_quantity), 4) AS wavg_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     "x10_asof_join" -> ((s, dir) => {
       reg(s, dir)
       val ev = s.table("events")
@@ -918,6 +947,15 @@ object SparkEntry {
       SELECT p_partkey,
              LOWER(REPLACE(p_name, ' ', '-')) || '-' || CAST(LENGTH(p_name) AS VARCHAR) AS slug
       FROM part ORDER BY p_partkey""",
+
+    "q30_udaf" -> """
+      SELECT l_returnflag,
+        ROUND(
+          CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+          / (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) * 100.0),
+          4) AS wavg_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "x10_asof_join" -> """
       SELECT p.event_id, p.user_id, STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, p.value,
