@@ -461,11 +461,15 @@ object SparkEntry {
 
     "etl_meta_mapping" -> ((s, dir) => {
       reg(s, dir)
+      // decimal(12,2) mapping exercised inside; final cast to double because
+      // the driver's hash stringifies parquet decimals ("73.00") differently
+      // from DuckDB decimals ("73.0") — r1 hash_match=false came from this.
       SourceReader.applyMetadataMapping(s.table("supplier"), Seq(
         ColumnMapping("s_suppkey", "supplier_id", "bigint"),
         ColumnMapping("s_name", "supplier_name", "string"),
         ColumnMapping("s_acctbal", "balance", "decimal(12,2)")
-      )).orderBy("supplier_id")
+      )).withColumn("balance", col("balance").cast("double"))
+        .orderBy("supplier_id")
     }),
 
     "etl_junk_chars" -> ((s, dir) => {
@@ -1007,7 +1011,7 @@ object SparkEntry {
 
     "etl_meta_mapping" -> """
       SELECT s_suppkey AS supplier_id, s_name AS supplier_name,
-             CAST(s_acctbal AS DECIMAL(12,2)) AS balance
+             CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS balance
       FROM supplier ORDER BY supplier_id""",
 
     "etl_junk_chars" -> """

@@ -30,7 +30,16 @@ class Orchestrator(spark: SparkSession) {
     * tests / chaining); all declared sinks have been written on return.
     * `"mode": "streaming"` dispatches to [[StreamingOrchestrator]] and runs
     * the currently-available data to exhaustion (AvailableNow). */
-  def run(cfg: JobConfig): DataFrame = {
+  def run(cfg: JobConfig): DataFrame = run(cfg, None)
+
+  /** `commitToken`: stable identity of one logical pipeline-step execution
+    * across its retry attempts (O2). When set (and `tempPath` exists), each
+    * sink that commits drops a marker file; a retry of the same token skips
+    * already-committed sinks, so a job that fails AFTER an append-mode sink
+    * committed doesn't re-append (duplicate) its rows on the next attempt
+    * (ADVICE r1 — SCD2 is merge-idempotent, simpleInsert append is not).
+    * Markers are cleared when the run succeeds. */
+  def run(cfg: JobConfig, commitToken: Option[String]): DataFrame = {
     if (cfg.mode == "streaming") {
       new StreamingOrchestrator(spark).runOnce(cfg)
       return null
@@ -43,16 +52,17 @@ class Orchestrator(spark: SparkSession) {
     // one under the pipeline retry loop (O2)
     val marker = if (cfg.duplicateRunCheck) Some(acquireRunMarker(cfg)) else None
     try {
-      val out = runPhases(cfg)
+      val out = runPhases(cfg, commitToken)
       marker.foreach { m =>
         Files.writeString(m.resolveSibling(s"${cfg.jobName}_SUCCESS"),
           java.time.Instant.now().toString)
       }
+      clearSinkMarkers(cfg, commitToken)
       out
     } finally marker.foreach(Files.deleteIfExists(_))
   }
 
-  private def runPhases(cfg: JobConfig): DataFrame = {
+  private def runPhases(cfg: JobConfig, commitToken: Option[String]): DataFrame = {
     cfg.preExecution.scripts.foreach(runScript)
 
     // phase_1 — bind inputs as named temp views
@@ -98,15 +108,27 @@ class Orchestrator(spark: SparkSession) {
       last = out
     }
 
-    // phase_3 — sinks (fan-out persists once when several sinks share a frame)
-    cfg.sinks.groupBy(_.dataFrameName).foreach { case (name, sinks) =>
+    // phase_3 — sinks (fan-out persists once when several sinks share a
+    // frame; per-sink commit markers make the retry loop idempotent)
+    cfg.sinks.zipWithIndex.groupBy(_._1.dataFrameName).foreach { case (name, sinksIdx) =>
       val df = spark.table(name)
-      SinkWriter.fanOut(spark, df, sinks)
-      sinks.filter(_.reconciliation).foreach { s =>
+      val (done, pending) = sinksIdx.partition { case (_, i) =>
+        sinkMarker(cfg, commitToken, i).exists(Files.exists(_))
+      }
+      done.foreach { case (s, i) =>
+        System.err.println(s"[orchestrator] sink $name[$i] already committed in a prior attempt; skipping")
+      }
+      val cached = if (pending.sizeIs > 1) df.persist() else df
+      try pending.foreach { case (s, i) =>
+        SinkWriter.write(spark, cached, s)
+        sinkMarker(cfg, commitToken, i).foreach { m =>
+          Files.createDirectories(m.getParent)
+          Files.writeString(m, java.time.Instant.now().toString)
+        }
+      } finally if (pending.sizeIs > 1) { cached.unpersist(); () }
+      sinksIdx.map(_._1).filter(_.reconciliation).foreach { s =>
         s.path.foreach { p =>
-          val target = spark.read.format(s.format).load(p)
-          if (!Validations.reconcile(df, target))
-            throw new IllegalStateException(s"reconciliation failed for sink $name → $p")
+          reconcileSink(name, df, s, p)
         }
       }
     }
@@ -120,6 +142,38 @@ class Orchestrator(spark: SparkSession) {
   }
 
   private def resolveSql(sql: String): String = Orchestrator.resolveSql(sql)
+
+  /** V5 reconciliation re-read (ADVICE r1): delta sinks go through the
+    * manifest reader (not a registered Spark datasource), file sinks are
+    * re-read with the sink's own options (csv header would otherwise count
+    * as a data row), and append-mode / scd2 sinks — whose target holds more
+    * than this batch by design — skip the whole-target count compare. */
+  private def reconcileSink(name: String, df: DataFrame, s: SinkSpec, p: String): Unit = {
+    val lt = s.loadType.toLowerCase
+    val appendMode = lt == "simpleinsert" && s.savemode.equalsIgnoreCase("append")
+    if (lt == "scdtype2insert" || appendMode) {
+      System.err.println(s"[reconcile] skipped for sink $name → $p: " +
+        (if (appendMode) "append target accumulates prior batches"
+         else "scd2 target is the merged dimension, not this batch"))
+      return
+    }
+    val target =
+      if (s.format == "delta" || s.format == "deltalake")
+        graft.sources.VersionedParquet.read(spark, p)
+      else spark.read.format(s.format).options(s.options).load(p)
+    if (!Validations.reconcile(df, target))
+      throw new IllegalStateException(s"reconciliation failed for sink $name → $p")
+  }
+
+  /** Marker path for sink `i` of this (job, pipeline-step-execution): needs
+    * both a commit token and a tempPath to be trackable. */
+  private def sinkMarker(cfg: JobConfig, token: Option[String], i: Int): Option[java.nio.file.Path] =
+    for (t <- token; tmp <- cfg.tempPath)
+      yield Paths.get(tmp, "_commits", s"${cfg.jobName}_${t}_sink$i")
+
+  private def clearSinkMarkers(cfg: JobConfig, token: Option[String]): Unit =
+    (0 until cfg.sinks.size).foreach(i =>
+      sinkMarker(cfg, token, i).foreach(Files.deleteIfExists(_)))
 
   /** P3 duplicate-run guard (spark.json:8-9): marker-file check-and-create
     * under the temp path; caller releases the marker when the run ends, a
@@ -199,8 +253,11 @@ class PipelineRunner(spark: SparkSession) {
     var attempt = 0
     var done = false
     var lastErr: Throwable = null
+    // one token per step EXECUTION, stable across its retry attempts, so
+    // committed append sinks are skipped on retry (see Orchestrator.run)
+    val token = s"${step.name}_${java.util.UUID.randomUUID().toString.take(8)}"
     while (!done && attempt <= step.retries) {
-      try { orchestrator.run(step.config); done = true }
+      try { orchestrator.run(step.config, Some(token)); done = true }
       catch {
         case e: Throwable =>
           lastErr = e; attempt += 1

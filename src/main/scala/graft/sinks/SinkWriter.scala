@@ -87,7 +87,7 @@ object SinkWriter {
     var w = df.coalesce(1).write.mode(SaveMode.Overwrite).format(sink.format).options(sink.options)
     sink.compression.foreach(c => w = w.option("compression", c))
     w.save(staging)
-    val part = Files.list(Paths.get(staging)).toArray.map(_.toString)
+    val part = graft.util.Fs.list(Paths.get(staging)).map(_.toString)
       .find(p => p.contains("part-") && !p.endsWith(".crc"))
       .getOrElse(sys.error(s"no part file produced under $staging"))
     val ext = sink.format match {
@@ -112,19 +112,41 @@ object SinkWriter {
       case None    =>
     }
     val path = sink.path.getOrElse(sys.error("scd2 sink needs path"))
+    recoverScd2Swap(path)
     val batchTs = java.sql.Timestamp.from(java.time.Instant.now())
     val merged =
-      if (Files.exists(Paths.get(path)) && Files.list(Paths.get(path)).findFirst().isPresent) {
+      if (graft.util.Fs.nonEmptyDir(Paths.get(path))) {
         val dim = spark.read.format(sink.format).load(path)
         Scd2.merge(dim, staged, sink.scdKeys, sink.scdTrackedCols, batchTs)
       } else Scd2.initialize(staged, batchTs)
     // Rewrite via staging dir then swap — the source of the read and the
     // target of the write are the same path, so a direct overwrite would
-    // truncate its own input mid-plan.
+    // truncate its own input mid-plan. Swap order (ADVICE r1): move the old
+    // dim ASIDE (not delete-first), move staging in, then drop the old copy
+    // — a crash at any point leaves either the old or the new dimension on
+    // disk, and recoverScd2Swap on the next run completes the interrupted
+    // step instead of starting from an empty table.
     val staging = path.stripSuffix("/") + "_scd2_staging"
+    val old = path.stripSuffix("/") + "_scd2_old"
     merged.write.mode(SaveMode.Overwrite).format(sink.format).save(staging)
-    deleteRecursively(Paths.get(path))
+    deleteRecursively(Paths.get(old)) // stale leftover from an earlier crash
+    if (Files.exists(Paths.get(path))) Files.move(Paths.get(path), Paths.get(old))
     Files.move(Paths.get(staging), Paths.get(path))
+    deleteRecursively(Paths.get(old))
+  }
+
+  /** Startup recovery for an interrupted scd2Insert swap: if the dimension
+    * path is missing but the staging (complete merged frame — writes finish
+    * before the swap begins) or the moved-aside copy survives, restore it. */
+  private def recoverScd2Swap(path: String): Unit = {
+    val p = Paths.get(path.stripSuffix("/"))
+    val staging = Paths.get(path.stripSuffix("/") + "_scd2_staging")
+    val old = Paths.get(path.stripSuffix("/") + "_scd2_old")
+    if (!Files.exists(p) && Files.exists(staging) && Files.exists(old)) {
+      Files.move(staging, p); deleteRecursively(old)
+    } else if (!Files.exists(p) && Files.exists(old)) {
+      Files.move(old, p)
+    }
   }
 
   /** W3 at 100 TB (SURVEY.md §4/§7.4): the dimension is written partitioned
@@ -143,8 +165,7 @@ object SinkWriter {
     val keys = sink.scdKeys
     val bucket = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
     val stagedB = staged.withColumn("scd_bucket", bucket)
-    val exists = Files.exists(Paths.get(path)) &&
-      Files.list(Paths.get(path)).findFirst().isPresent
+    val exists = graft.util.Fs.nonEmptyDir(Paths.get(path))
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -194,20 +215,16 @@ object SinkWriter {
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(x => { Files.delete(x); () })
-    }
+    graft.util.Fs.walk(p).sortBy(_.toString)(Ordering[String].reverse)
+      .foreach(Files.delete)
 
-  private def copyRecursively(src: java.nio.file.Path, dest: java.nio.file.Path): Unit = {
-    Files.walk(src).forEach { p =>
+  private def copyRecursively(src: java.nio.file.Path, dest: java.nio.file.Path): Unit =
+    graft.util.Fs.walk(src).foreach { p =>
       val target = dest.resolve(src.relativize(p))
       if (Files.isDirectory(p)) Files.createDirectories(target)
       else {
         Files.createDirectories(target.getParent)
         Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
       }
-      ()
     }
-  }
 }

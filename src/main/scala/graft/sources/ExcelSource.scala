@@ -22,7 +22,7 @@ object ExcelSource {
     val file = {
       val p = java.nio.file.Paths.get(path)
       if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).iterator().asScala
+        graft.util.Fs.list(p)
           .find(_.toString.toLowerCase.endsWith(".xlsx"))
           .getOrElse(sys.error(s"no .xlsx file under $path")).toString
       else path

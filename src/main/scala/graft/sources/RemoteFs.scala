@@ -22,14 +22,13 @@ trait RemoteFs {
 /** Local staging implementation — also the test double for SFTP flows. */
 class LocalStagingFs extends RemoteFs {
   private def copyTree(src: java.nio.file.Path, dest: java.nio.file.Path): Unit =
-    Files.walk(src).forEach { p =>
+    graft.util.Fs.walk(src).foreach { p =>
       val t = dest.resolve(src.relativize(p).toString)
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else {
         Files.createDirectories(t.getParent)
         Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
       }
-      ()
     }
 
   override def download(remotePath: String, localDir: String): String = {

@@ -28,10 +28,9 @@ object VersionedParquet {
 
   /** Committed versions, ascending. */
   def versions(path: String): Seq[Long] =
-    if (!Files.exists(logDir(path))) Nil
-    else Files.list(logDir(path)).iterator().asScala
+    graft.util.Fs.list(logDir(path))
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+      .map(_.stripSuffix(".json").toLong).sorted
 
   private def manifestFiles(path: String, version: Long): Seq[String] = {
     val txt = new String(Files.readAllBytes(logDir(path).resolve(s"$version.json")), "UTF-8")
@@ -51,24 +50,49 @@ object VersionedParquet {
     else spark.read.parquet(files: _*)
   }
 
-  /** Commit `df` with `mode` "append" | "overwrite". */
+  /** Commit `df` with `mode` "append" | "overwrite".
+    *
+    * Concurrency: the version number is CLAIMED up front via an atomic
+    * `createFile(<v>.lock)` — two writers racing on the same next version
+    * can no longer both stage `<v>.json` and have the second ATOMIC_MOVE
+    * silently replace the first's committed manifest (ADVICE r1); the loser
+    * of the claim advances to the next number and retries, mirroring
+    * delta's optimistic-concurrency version allocation. A crashed claimant
+    * leaves a harmless version gap (readers key off `.json` files only).
+    * Caveat (documented, same single-scheduler assumption as the P3 run
+    * guard): with concurrent APPENDs the carried-file set is read from
+    * committed versions below ours at commit time, so true cross-append
+    * linearization still wants one writer per table. */
   def write(df: DataFrame, path: String, mode: String): Unit = {
-    val next = versions(path).lastOption.getOrElse(-1L) + 1
-    val dataDir = s"$path/data/v$next-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("errorifexists").parquet(dataDir)
-    val newFiles = Files.list(Paths.get(dataDir)).iterator().asScala
-      .map(_.toString).filter(f => f.endsWith(".parquet")).toSeq
-    val carried = mode.toLowerCase match {
-      case "append"    => versions(path).lastOption.map(manifestFiles(path, _)).getOrElse(Nil)
-      case "overwrite" => Nil
-      case m           => sys.error(s"versioned table supports append|overwrite, got '$m'")
+    mode.toLowerCase match {
+      case "append" | "overwrite" =>
+      case m => sys.error(s"versioned table supports append|overwrite, got '$m'")
     }
-    val manifest = (carried ++ newFiles)
-      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("""{"version": """ + next + """, "files": [""", ",", "]}")
     Files.createDirectories(logDir(path))
-    val staged = Files.createTempFile(logDir(path), s".$next", ".staging")
-    Files.writeString(staged, manifest)
-    Files.move(staged, logDir(path).resolve(s"$next.json"), StandardCopyOption.ATOMIC_MOVE)
+    var next = versions(path).lastOption.getOrElse(-1L) + 1
+    var lock: java.nio.file.Path = null
+    while (lock == null) {
+      val cand = logDir(path).resolve(s"$next.lock")
+      if (Files.exists(logDir(path).resolve(s"$next.json"))) next += 1
+      else
+        try { Files.createFile(cand); lock = cand }
+        catch { case _: java.nio.file.FileAlreadyExistsException => next += 1 }
+    }
+    try {
+      val dataDir = s"$path/data/v$next-${java.util.UUID.randomUUID().toString.take(8)}"
+      df.write.mode("errorifexists").parquet(dataDir)
+      val newFiles = graft.util.Fs.list(Paths.get(dataDir))
+        .map(_.toString).filter(f => f.endsWith(".parquet"))
+      val carried =
+        if (mode.equalsIgnoreCase("append"))
+          versions(path).filter(_ < next).lastOption.map(manifestFiles(path, _)).getOrElse(Nil)
+        else Nil
+      val manifest = (carried ++ newFiles)
+        .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("""{"version": """ + next + """, "files": [""", ",", "]}")
+      val staged = Files.createTempFile(logDir(path), s".$next", ".staging")
+      Files.writeString(staged, manifest)
+      Files.move(staged, logDir(path).resolve(s"$next.json"), StandardCopyOption.ATOMIC_MOVE)
+    } finally { Files.deleteIfExists(lock); () }
   }
 }
