@@ -332,10 +332,15 @@ object SparkEntry {
       GROUP BY b.band_name
       ORDER BY band_name"""),
 
-    "q23_approx_distinct" -> sqlQ(""" -- rows-only: HLL sketches differ across engines
+    // HLL sketches differ across engines, so the checked contract is the
+    // one an approx op actually makes: the estimate lands within its error
+    // envelope of the exact count (rsd default 5%; 10% ≈ 2σ).
+    "q23_approx_distinct" -> sqlQ("""
       SELECT l_returnflag,
-             CAST(APPROX_COUNT_DISTINCT(l_orderkey) AS BIGINT) AS approx_orders,
-             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             ABS(CAST(APPROX_COUNT_DISTINCT(l_orderkey) AS DOUBLE)
+                 - COUNT(DISTINCT l_orderkey)) <= 0.1 * COUNT(DISTINCT l_orderkey)
+               AS approx_within_10pct
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
@@ -494,7 +499,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    "x3_minhash_neardup" -> ((s, dir) => { // rows-only: hash-seeded LSH
+    // Oracle = the exact n-gram-Jaccard pairs (same SQL as x2): the LSH
+    // stage only GENERATES candidates, the verify stage keeps exactly the
+    // pairs with true jaccard ≥ threshold, and on this fixture (pair
+    // jaccards well above 0.5) banding recall is 1 — checked, not assumed.
+    "x3_minhash_neardup" -> ((s, dir) => {
       reg(s, dir)
       Dedup.minhashNearDupPairs(s.table("documents"), "text", "doc_id",
           n = 3, k = 32, bands = 8, threshold = 0.5)
@@ -502,9 +511,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    "x4_simhash_neardup" -> ((s, dir) => { // rows-only: hash-derived signatures
+    // Portable-hash simhash (PolyHash56 base + universal-parity bits) means
+    // the oracle can rebuild every signature in SQL and replay the whole
+    // hamming-pair computation exactly.
+    "x4_simhash_neardup" -> ((s, dir) => {
       reg(s, dir)
       Dedup.simhashNearDupPairs(s.table("documents"), "text", "doc_id", maxHamming = 8)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -528,7 +541,11 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    "x7_cosine_neardup" -> ((s, dir) => { // rows-only: seeded-hyperplane buckets
+    // Oracle-checkable despite the LSH buckets: identical vectors always
+    // share a hyperplane signature (recall 1 for exact dups), and the 0.99
+    // threshold admits ONLY the injected dups (max organic cosine ≈ 0.51),
+    // so the output is exactly the injected pair set.
+    "x7_cosine_neardup" -> ((s, dir) => {
       reg(s, dir)
       // The fixture's clusters are loose (max pairwise cosine ≈ 0.51), so
       // inject exact duplicates under shifted ids — the operator must find
@@ -552,6 +569,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // The deterministic ANN scale path (IVF probe: rank only the nprobe
+    // nearest cells) — unlike hyperplane LSH, exactly replayable in SQL.
+    "x15_ivf_topk" -> ((s, dir) => {
+      reg(s, dir)
+      val emb = s.table("embeddings")
+      val centroids = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") >= 490 && col("vec_id") < 500)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      Similarity.ivfTopK(emb, queries, centroids,
+          "vec_id", "q_id", "centroid_id", "embedding", k = 10, nprobe = 3)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // ---- X: text analysis (SURVEY.md §2.9 X4) ----
     "x8_text_stats" -> ((s, dir) => {
       reg(s, dir)
@@ -568,7 +601,7 @@ object SparkEntry {
       ).orderBy("doc_id")
     }),
 
-    "x9_langid_fingerprint" -> ((s, dir) => { // rows-only: hash fingerprints
+    "x9_langid_fingerprint" -> ((s, dir) => {
       reg(s, dir)
       val d = s.table("documents")
       d.select(
@@ -651,13 +684,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    "mm2_features" -> ((s, dir) => { // rows-only: JVM-side stub featurizer
+    // The stub featurizer is pure integer/double arithmetic over the
+    // payload bytes (sequential double fold), so the oracle replays it —
+    // including the Java-long checksum wraparound (HUGEINT mod 2^64) and
+    // every float feature value — exactly.
+    "mm2_features" -> ((s, dir) => {
       reg(s, dir)
       val media = Multimodal.synthesizeFromText(s.table("documents"), "doc_id", "text")
       Multimodal.extractFeatures(s, media).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"),
-          col("checksum"))
-        .orderBy("media_id")
+          col("checksum"), posexplode(col("features")))
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+          col("pos").cast("long").as("idx"), col("col").as("feat"))
+        .orderBy("media_id", "idx")
     }),
 
     "mm3_frame_sample" -> ((s, dir) => {
@@ -687,6 +726,37 @@ object SparkEntry {
   private val stopwordList = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "that", "for", "on", "with", "as", "at", "by", "be")
       .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB replay of [[graft.functions.PolyHash56]]: identical fold,
+    * identical 55-bit mask (`&` keeps BIGINT products overflow-free on both
+    * engines). Empty string → 0, matching the Scala loop. */
+  private def polySql(e: String): String =
+    s"(CASE WHEN $e = '' THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
+      s"(a, b) -> (a*131 + b) & ${graft.functions.PolyHash56.Mask55}) END)"
+
+  /** Exact n-gram-Jaccard near-dup pairs — the oracle for BOTH x2 (the
+    * exact operator) and x3 (MinHash+LSH, whose exact-Jaccard verify stage
+    * reproduces this set whenever banding recall is 1, as on this fixture). */
+  private val jaccardPairsSql = """
+      WITH toks AS (
+        SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, LATERAL (SELECT UNNEST(RANGE(1, LEN(t) - 1)) AS i)
+        WHERE LEN(t) >= 3),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b,
+        ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" -> """
@@ -1026,25 +1096,141 @@ object SparkEntry {
         FROM documents) t
       WHERE rn = 1 ORDER BY doc_id""",
 
-    "x2_jaccard_pairs" -> """
-      WITH toks AS (
-        SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
-      grams AS (
-        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-        FROM toks, LATERAL (SELECT UNNEST(RANGE(1, LEN(t) - 1)) AS i)
-        WHERE LEN(t) >= 3),
-      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
-      inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-        FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    "x2_jaccard_pairs" -> jaccardPairsSql,
+
+    "x3_minhash_neardup" -> jaccardPairsSql,
+
+    // replay the simhash pipeline exactly: portable token hash → 64
+    // universal-parity bit votes → per-pair hamming over the bit columns
+    // (comparing per-bit signs avoids packing a 64-bit BIGINT, whose top
+    // bit would overflow DuckDB's checked SUM)
+    "x4_simhash_neardup" -> s"""
+      WITH tok AS (
+        SELECT doc_id, UNNEST(STR_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+        FROM documents),
+      th AS (SELECT doc_id, ${polySql("tok")} % ${graft.functions.PortableHash.M31} AS h31 FROM tok),
+      bits AS (
+        SELECT doc_id, r.b,
+          SUM(CASE WHEN ((((((r.b + 1) * ${graft.functions.PortableHash.Lcg64A}) % ${graft.functions.PortableHash.M31}) * h31
+                         + (((r.b + 7) * ${graft.functions.PortableHash.LcgB}) % ${graft.functions.PortableHash.M31}))
+                        % ${graft.functions.PortableHash.M31}) & 1) = 1
+               THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN RANGE(64) r(b)
+        GROUP BY doc_id, r.b),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               SUM(CASE WHEN (a.s > 0) <> (b.s > 0) THEN 1 ELSE 0 END) AS hamming
+        FROM bits a JOIN bits b ON a.b = b.b AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id)
-      SELECT id_a, id_b,
-        ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard
-      FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+      SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+      FROM pairs WHERE hamming <= 8
       ORDER BY id_a, id_b""",
+
+    // identical vectors always share an LSH signature (recall 1 for exact
+    // dups) and the 0.99 threshold excludes every organic pair (max cosine
+    // ≈ 0.51), so the result is exactly the injected duplicate pairs; the
+    // self-cosine dot/(√d·√d) rounds to 1.0 at 6 decimals on both engines
+    "x7_cosine_neardup" -> """
+      SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
+      FROM embeddings WHERE vec_id % 7 = 0
+      ORDER BY id_a, id_b""",
+
+    "x9_langid_fingerprint" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang, text,
+               STR_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS lt
+        FROM documents),
+      votes AS (
+        SELECT doc_id, lang, text, lt,
+          LEN(LIST_INTERSECT(lt, ['the','and','of','to','is','in','that','it'])) AS en,
+          LEN(LIST_INTERSECT(lt, ['el','la','de','que','y','los','las','una'])) AS es,
+          LEN(LIST_INTERSECT(lt, ['der','die','das','und','ist','nicht','ein','mit'])) AS de,
+          LEN(LIST_INTERSECT(lt, ['le','la','les','des','est','une','dans','pour'])) AS fr
+        FROM t)
+      SELECT doc_id, lang,
+        -- ASCII corpus: the CJK/Cyrillic/Arabic char-range branches of the
+        -- heuristic can never fire, leaving the Latin stopword vote chain
+        CASE WHEN es > en AND es >= de AND es >= fr THEN 'es'
+             WHEN de > en AND de >= fr THEN 'de'
+             WHEN fr > en THEN 'fr'
+             ELSE 'en' END AS lang_guess,
+        ${polySql("REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')")} AS fp,
+        CASE WHEN LEN(lt) >= 3 THEN
+          LIST_MIN(LIST_TRANSFORM(RANGE(1, LEN(lt) - 1),
+            i -> ${polySql("lt[i] || ' ' || lt[i+1] || ' ' || lt[i+2]")}))
+        ELSE ${polySql("ARRAY_TO_STRING(lt, ' ')")} END AS min_shingle_fp
+      FROM votes
+      ORDER BY doc_id""",
+
+    "x15_ivf_topk" -> s"""
+      WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
+      assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${eucSql("e.embedding", "c.cv")} ASC, c.centroid_id ASC) AS rk
+          FROM embeddings e, c) WHERE rk = 1),
+      q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id >= 490 AND vec_id < 500),
+      qcells AS (
+        SELECT q_id, qv, cell FROM (
+          SELECT q.q_id, q.qv, c.centroid_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY q.q_id
+              ORDER BY ${eucSql("q.qv", "c.cv")} ASC, c.centroid_id ASC) AS rk
+          FROM q, c) WHERE rk <= 3),
+      scored AS (
+        SELECT qc.q_id, a.vec_id,
+          ${dotSql("a.embedding", "qc.qv")} /
+          (SQRT(${dotSql("a.embedding", "a.embedding")}) * SQRT(${dotSql("qc.qv", "qc.qv")})) AS cosine
+        FROM assigned a JOIN qcells qc ON a.cell = qc.cell AND a.vec_id <> qc.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored)
+      SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rank
+      FROM ranked WHERE rk <= 10
+      ORDER BY q_id, rank""",
+
+    // replays the stub featurizer arithmetic exactly: payload = UTF-8 text
+    // bytes (ASCII fixture → ord(char) = byte), checksum = Java long
+    // 31*h+b wraparound tracked as HUGEINT mod 2^64 then sign-mapped,
+    // features = sequential double fold of float(byte/255) terms
+    "mm2_features" -> """
+      WITH base AS (
+        SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+          LENGTH(text) AS n_bytes, text
+        FROM documents),
+      chk AS (
+        SELECT media_id,
+          list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+            list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+            (a, b) -> (a*31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS h
+        FROM base),
+      feats AS (
+        SELECT b.media_id, r.i,
+          CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(list_filter(range(1, LENGTH(b.text) + 1), p -> (p - 1) % 16 = r.i),
+                p -> CAST(CAST(ord(b.text[p]) AS REAL) / CAST(255 AS REAL) AS DOUBLE))),
+              (a, x) -> a + x)
+            / GREATEST(LENGTH(b.text) // 16, 1) AS REAL) AS feat
+        FROM base b CROSS JOIN RANGE(16) r(i))
+      SELECT b.media_id, b.kind, CAST(b.n_bytes AS BIGINT) AS n_bytes,
+        CAST(CASE WHEN c.h >= CAST(9223372036854775808 AS HUGEINT)
+                  THEN c.h - CAST(18446744073709551616 AS HUGEINT)
+                  ELSE c.h END AS BIGINT) AS checksum,
+        CAST(f.i AS BIGINT) AS idx, f.feat
+      FROM base b JOIN chk c ON b.media_id = c.media_id
+                  JOIN feats f ON b.media_id = f.media_id
+      ORDER BY b.media_id, idx""",
+
+    "q23_approx_distinct" -> """
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             TRUE AS approx_within_10pct
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "x5_cosine_topk" -> s"""
       WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

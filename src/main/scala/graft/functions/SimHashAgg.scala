@@ -35,10 +35,17 @@ case class SimHashAgg(
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      // Bit b votes by the PARITY of an independent universal hash of the
+      // token — not by bit b of the input hash: the portable PolyHash56
+      // base (see that file) leaves high bits near-zero for short tokens,
+      // which would collapse every signature's top bits to the same value.
+      // `(a_b*h + b_b) mod M31` parities are iid-ish AND exactly
+      // replayable by the oracle's integer SQL.
+      val h31 = java.lang.Math.floorMod(v.asInstanceOf[Long], PortableHash.M31)
       var b = 0
       while (b < 64) {
-        buf(b) += (((h >>> b) & 1L).toInt * 2) - 1
+        val g = (SimHashAgg.A(b) * h31 + SimHashAgg.B(b)) % PortableHash.M31
+        buf(b) += ((g & 1L).toInt * 2) - 1
         b += 1
       }
     }
@@ -78,6 +85,9 @@ case class SimHashAgg(
 }
 
 object SimHashAgg {
+  private[functions] val A: Array[Long] = Array.tabulate(64)(PortableHash.simhashA)
+  private[functions] val B: Array[Long] = Array.tabulate(64)(PortableHash.simhashB)
+
   /** Aggregate Column: 64-bit SimHash of the (hashed) tokens in the group. */
   def simhash(tokenHash: Column): Column =
     ColumnBridge.column(SimHashAgg(ColumnBridge.expression(tokenHash)).toAggregateExpression())

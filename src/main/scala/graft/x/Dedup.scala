@@ -56,9 +56,18 @@ object Dedup {
   }
 
   /** MinHash signature: k independent min-hashes per doc, as k agg columns
-    * over the exploded shingles. One shuffle; min() combines map-side. */
+    * over the exploded shingles. One shuffle; min() combines map-side.
+    *
+    * Permutations are universal affine transforms of ONE portable base hash
+    * — `(a_i * (polyhash(shingle) mod M31) + b_i) mod M31` — instead of k
+    * seeded xxhash64 calls: one string traversal + k multiply-adds per
+    * shingle (cheaper), and the whole signature is replayable in the
+    * DuckDB oracle ([[graft.functions.PolyHash56]]). */
   def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    val aggs = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
+    import graft.functions.{PolyHash56, PortableHash => PH}
+    val h31 = pmod(PolyHash56(col("shingle")), lit(PH.M31))
+    val aggs = (0 until k).map(i =>
+      min((lit(PH.minhashA(i)) * h31 + lit(PH.minhashB(i))) % lit(PH.M31)).as(s"mh_$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -79,9 +88,13 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
+    // band hash: portable polynomial fold of the band's minhashes (each
+    // < 2^31, so acc*131 + mh stays under 2^63 with the 55-bit mask)
     val bandHashes = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(((b * r) until ((b + 1) * r)).map(i => col(s"mh_$i")): _*).as("bh"))
+      val folded = ((b * r) until ((b + 1) * r)).foldLeft(lit(0L)) {
+        (acc, i) => (acc * 131 + col(s"mh_$i")).bitwiseAND(graft.functions.PolyHash56.Mask55)
+      }
+      struct(lit(b).as("band"), folded.as("bh"))
     }
     val buckets = signatures
       .select(col(idCol), explode(array(bandHashes: _*)).as("bb"))
@@ -183,7 +196,7 @@ object Dedup {
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = df.select(col(idCol),
       explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", graft.functions.PolyHash56(col("tok")))
     tok.groupBy(col(idCol))
       .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))
   }

@@ -51,15 +51,18 @@ object Multimodal {
     * statistics, so results are stable across runs/executors. */
   private def decodeImpl(bytes: Array[Byte]): Array[Float] = {
     // STUB(decode): stands in for image/audio decode + model featurizer.
+    // Accumulates in DOUBLE with sequential order so the oracle's SQL fold
+    // reproduces each feature bit-for-bit (float accumulation order would
+    // diverge); each term (byte/255f) is itself an exact float value.
     val dim = 16
-    val acc = new Array[Float](dim)
+    val acc = new Array[Double](dim)
     var i = 0
     while (i < bytes.length) {
-      acc(i % dim) += (bytes(i) & 0xFF) / 255.0f
+      acc(i % dim) += ((bytes(i) & 0xFF) / 255.0f).toDouble
       i += 1
     }
     val n = math.max(1, bytes.length / dim)
-    acc.map(_ / n)
+    acc.map(a => (a / n).toFloat)
   }
 
   private def checksum(bytes: Array[Byte]): Long = {

@@ -106,4 +106,43 @@ object Similarity {
     scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
       .select(corpus.columns.map(col).toSeq :+ col(centroidIdCol).as("cell"): _*)
   }
+
+  /** IVF probe search: the corpus is first assigned to coarse cells
+    * ([[assignToCentroids]]); each query then ranks ONLY the vectors in its
+    * `nprobe` nearest cells. Fully deterministic (no seeded hashing), so
+    * unlike hyperplane LSH this scale path is oracle-checkable end-to-end.
+    *
+    * At 100 TB: the assignment is a one-off write of the corpus
+    * partitioned by `cell`; a probe query then partition-prunes down to
+    * nprobe/nCells of the data, and the per-cell ranking is a broadcast
+    * join + windowed top-k exactly like [[bruteForceTopK]] — no shuffle of
+    * the corpus at query time. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, qIdCol: String, centroidIdCol: String, vecCol: String,
+      k: Int, nprobe: Int = 3
+  ): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroids, idCol, centroidIdCol, vecCol)
+    val c = centroids.select(col(centroidIdCol), col(vecCol).as("__cv"))
+    val wq = Window.partitionBy(col(qIdCol)).orderBy(col("__d").asc, col(centroidIdCol).asc)
+    val qCells = queries.select(col(qIdCol), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(c))
+      .withColumn("__d", euclideanDistance(col("__qv"), col("__cv")))
+      .withColumn("__rk", row_number().over(wq))
+      .filter(col("__rk") <= nprobe)
+      .select(col(qIdCol), col("__qv"), col(centroidIdCol).as("cell"))
+      .withColumn("__qn", l2Norm(col("__qv")))
+    val scored = assigned
+      .withColumn("__cn", l2Norm(col(vecCol)))
+      .join(broadcast(qCells), Seq("cell"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("cosine",
+        when(col("__cn") * col("__qn") === 0.0, lit(null).cast("double"))
+          .otherwise(dotProduct(col(vecCol), col("__qv")) / (col("__cn") * col("__qn"))))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(qIdCol), col(idCol), col("cosine"), col("__rk").as("rank"))
+  }
 }

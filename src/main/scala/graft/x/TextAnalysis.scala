@@ -82,10 +82,11 @@ object TextAnalysis {
       .otherwise(lit("en"))
   }
 
-  /** 64-bit document fingerprint over normalized content (case/whitespace
-    * folded) — the cheap exact-dup key. */
+  /** 55-bit document fingerprint over normalized content (case/whitespace
+    * folded) — the cheap exact-dup key. [[graft.functions.PolyHash56]] so
+    * the oracle replays the identical fold (xxhash64 has no SQL mirror). */
   def fingerprint(text: Column): Column =
-    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+    graft.functions.PolyHash56(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** Rolling-hash winnowing fingerprint: minimum shingle hash per window —
     * here the global minimum n-gram hash (w = ∞), the degenerate winnow
@@ -94,7 +95,7 @@ object TextAnalysis {
     val toks = split(lower(trim(text)), "\\s+")
     val grams = transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))
+      i => graft.functions.PolyHash56(concat_ws(" ", slice(toks, i + 1, lit(n))))
     )
     array_min(grams)
   }
