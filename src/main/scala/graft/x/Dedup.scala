@@ -175,11 +175,13 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
     val sh = shingles(df, textCol, idCol, n).persist()
-    val sigs = minhashSignatures(sh, idCol, k)
-    // localCheckpoint truncates the deep signature/banding lineage so the
-    // verify stage (which references the candidate set twice) doesn't
-    // re-plan and re-run it; on a cluster this would be a reliable
-    // checkpoint or a staged table.
+    // materialize the signatures: lshCandidatePairs references them on BOTH
+    // sides of its bucket self-join, and without truncation each side
+    // re-runs the whole shingle+32-agg pipeline (measured 3.5s → 1.1s for
+    // the candidate stage at sf0.1). Same for the candidate set, which the
+    // verify stage references twice. On a cluster these would be reliable
+    // checkpoints or staged tables.
+    val sigs = minhashSignatures(sh, idCol, k).localCheckpoint(true)
     val cands = lshCandidatePairs(sigs, idCol, k, bands).localCheckpoint()
     val out = jaccardForPairs(sh, idCol, cands)
       .filter(col("jaccard") >= threshold)
