@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Scd2, Validations}
 import graft.sources.SourceReader
 import graft.config.ColumnMapping
-import graft.x.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.x.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.StreamingJobs
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -675,6 +675,44 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // ---- X: deterministic sampling / packing / weighting ----
+    "x16_stratified_sample" -> ((s, dir) => {
+      reg(s, dir)
+      // data-mix rebalancing: halve English, quarter zh, keep the rest
+      Sampling.stratifiedSample(s.table("documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 0.25))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    "x17_train_test_split" -> ((s, dir) => {
+      reg(s, dir)
+      Sampling.trainTestSplit(s.table("documents"), "doc_id",
+          testFraction = 0.1, validationFraction = 0.1)
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    }),
+
+    "x18_seq_packing" -> ((s, dir) => {
+      reg(s, dir)
+      val chunks = TextAnalysis.chunkDocuments(s.table("documents"), "text", "doc_id",
+          chunkTokens = 30, overlap = 5)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      TextAnalysis.packSequences(chunks, "shard", Seq("doc_id", "chunk_index"),
+          "chunk_tokens", maxTokens = 512)
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          col("shard"), col("pack_id"), col("pack_offset").cast("long").as("pack_offset"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+
+    "x19_tfidf" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.tfidf(s.table("documents"), "text", "doc_id")
+        .filter(col("tf") >= 4)
+        .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+          col("dfreq").cast("long").as("dfreq"), round(col("tfidf"), 4).as("tfidf"))
+        .orderBy("doc_id", "term")
+    }),
+
     // ---- multimodal plumbing (SURVEY.md §2.9 X5) ----
     "mm1_meta_filter" -> ((s, dir) => {
       reg(s, dir)
@@ -1231,6 +1269,59 @@ object SparkEntry {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    "x16_stratified_sample" -> s"""
+      SELECT doc_id, lang FROM documents
+      WHERE ${polySql("CAST(doc_id AS VARCHAR) || ':sample'")} % 1000000 <
+        CASE WHEN lang = 'zh' THEN 250000
+             WHEN lang = 'en' THEN 500000
+             ELSE 1000000 END
+      ORDER BY doc_id""",
+
+    "x17_train_test_split" -> s"""
+      WITH b AS (
+        SELECT lang, ${polySql("CAST(doc_id AS VARCHAR) || ':split'")} % 1000000 AS hb
+        FROM documents)
+      SELECT lang,
+        CASE WHEN hb < 100000 THEN 'test'
+             WHEN hb < 200000 THEN 'validation'
+             ELSE 'train' END AS split,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2
+      ORDER BY lang, split""",
+
+    "x18_seq_packing" -> """
+      WITH toks AS (SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t
+                    FROM documents WHERE LENGTH(TRIM(text)) > 0),
+      ch AS (
+        SELECT doc_id, s // 25 AS ci, ARRAY_TO_STRING(t[s+1 : s+30], ' ') AS chunk_text
+        FROM toks, LATERAL (SELECT UNNEST(RANGE(0, LEN(t), 25)) AS s)),
+      tc AS (SELECT doc_id, ci,
+               LEN(STR_SPLIT_REGEX(TRIM(chunk_text), '\s+')) AS ctok FROM ch),
+      cum AS (
+        SELECT doc_id, ci, doc_id % 8 AS shard,
+          SUM(ctok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, ci
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ctok AS cm
+        FROM tc)
+      SELECT doc_id, CAST(ci AS BIGINT) AS chunk_index, CAST(shard AS BIGINT) AS shard,
+             CAST(cm // 512 AS BIGINT) AS pack_id, CAST(cm % 512 AS BIGINT) AS pack_offset
+      FROM cum
+      ORDER BY doc_id, chunk_index""",
+
+    "x19_tfidf" -> """
+      WITH terms AS (
+        SELECT doc_id, UNNEST(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+             WHERE LENGTH(term) > 0 GROUP BY 1, 2),
+      dfr AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM documents)
+      SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+             CAST(d.dfreq AS BIGINT) AS dfreq,
+             ROUND(t.tf * (LN(CAST(nn + 1 AS DOUBLE) / (d.dfreq + 1)) + 1.0), 4) AS tfidf
+      FROM tf t JOIN dfr d USING (term), n
+      WHERE t.tf >= 4
+      ORDER BY t.doc_id, t.term""",
 
     "x5_cosine_topk" -> s"""
       WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

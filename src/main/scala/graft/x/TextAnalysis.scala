@@ -144,6 +144,49 @@ object TextAnalysis {
       .withColumn("chunk_tokens", tokenCount(col("chunk_text")))
   }
 
+  /** Sequence packing: assign token-counted chunks to fixed-budget packs
+    * (`maxTokens` each) by contiguous fill — pack_id = exclusive-cumulative
+    * token count ÷ budget within a shard. The standard pre-training batch
+    * prep step (packing short sequences so attention windows aren't wasted
+    * on padding).
+    *
+    * Scale: the cumulative sum runs per `shardCol` partition, so packing
+    * 100 TB is embarrassingly parallel across shards (one window shuffle,
+    * no global sort); packs never cross shards, which is exactly how a
+    * multi-node pipeline wants it. A pack may exceed `maxTokens` by at most
+    * one chunk's tokens (budgeted contiguous fill, not exact bin packing —
+    * exact packing is NP-hard and order-destroying). */
+  def packSequences(chunks: DataFrame, shardCol: String, orderCols: Seq[String],
+      tokenCol: String, maxTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("__cum", sum(col(tokenCol)).over(w) - col(tokenCol))
+      .withColumn("pack_id", (col("__cum") / maxTokens).cast("long"))
+      .withColumn("pack_offset", col("__cum") % maxTokens)
+      .drop("__cum")
+  }
+
+  /** TF-IDF over whitespace-lowered tokens: tf per (doc, term), document
+    * frequency per term, `tfidf = tf * (ln((N+1)/(df+1)) + 1)` (smoothed,
+    * sklearn-style). Two shuffles (doc-term tf, term df); the df side is
+    * broadcast back, so the corpus never reshuffles twice. */
+  def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val terms = df.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val n = df.select(countDistinct(col(idCol)).as("__n"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((col("__n") + 1).cast("double") / (col("dfreq") + 1)) + 1.0))
+      .select(col(idCol), col("term"), col("tf"), col("dfreq"), col("tfidf"))
+  }
+
   /** Per-document profile frame: one narrow projection, no shuffle. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.select(

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.x.{Sampling, TextAnalysis}
+
+/** Invariants for the deterministic sampling / splitting / packing / tfidf
+  * operators (round-2 additions to SURVEY.md §2.9). */
+class SamplingPackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("deterministic sample is reproducible and near the target fraction") {
+    val a = Sampling.sample(docs, "doc_id", 0.3).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.sample(docs, "doc_id", 0.3).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same salt + fraction must select identical rows")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.08, s"got fraction ${a.size / n}")
+    // monotone: a smaller fraction selects a subset of a larger one
+    val small = Sampling.sample(docs, "doc_id", 0.1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a))
+  }
+
+  test("stratified sample applies per-stratum fractions") {
+    val out = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.0))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("zh"), "zh fraction 0 must drop every zh doc")
+    assert(byLang("en") < base("en"), "en must be downsampled")
+    assert(byLang("de") == base("de"), "unlisted strata keep everything")
+  }
+
+  test("train/test split is disjoint, exhaustive, and row-stable") {
+    val out = Sampling.trainTestSplit(docs, "doc_id", 0.2, 0.1).cache()
+    assert(out.count() == docs.count(), "split adds a column, never drops rows")
+    val frac = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / docs.count().toDouble).toMap
+    assert(math.abs(frac("test") - 0.2) < 0.06, s"test=${frac("test")}")
+    assert(math.abs(frac.getOrElse("validation", 0.0) - 0.1) < 0.05)
+    // membership independent of the sample decision (different salts)
+    val sampled = Sampling.sample(docs, "doc_id", 0.5)
+    val resplit = Sampling.trainTestSplit(sampled, "doc_id", 0.2, 0.1)
+      .filter(col("split") === "test").select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = out.filter(col("split") === "test").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(resplit.subsetOf(full), "a row's split must not depend on which rows survive sampling")
+    out.unpersist()
+  }
+
+  test("sequence packing keeps packs within budget + one chunk and preserves order") {
+    val chunks = TextAnalysis.chunkDocuments(docs, "text", "doc_id", 30, 5)
+      .withColumn("shard", pmod(col("doc_id"), lit(8)))
+    val packed = TextAnalysis.packSequences(chunks, "shard", Seq("doc_id", "chunk_index"),
+      "chunk_tokens", maxTokens = 512)
+    val totals = packed.groupBy("shard", "pack_id")
+      .agg(sum("chunk_tokens").as("tok"), max("chunk_tokens").as("mx"))
+      .collect()
+    totals.foreach { r =>
+      assert(r.getAs[Long]("tok") <= 512L + r.getAs[Int]("mx").toLong,
+        s"pack ${r} exceeds budget + one chunk")
+    }
+    // offsets restart per pack and stay under the budget
+    assert(packed.filter(col("pack_offset") >= 512 || col("pack_offset") < 0).count() == 0)
+    // pack ids are contiguous from 0 within each shard
+    val perShard = packed.groupBy("shard").agg(
+      min("pack_id").as("mn"), countDistinct("pack_id").as("d"), max("pack_id").as("mx")).collect()
+    perShard.foreach(r => assert(r.getAs[Long]("mn") == 0L &&
+      r.getAs[Long]("mx") == r.getAs[Long]("d") - 1))
+  }
+
+  test("tfidf: df counts docs containing the term; rare terms outweigh common ones") {
+    val out = TextAnalysis.tfidf(docs, "text", "doc_id").cache()
+    val n = docs.count()
+    val theRow = out.filter(col("term") === "the").select("dfreq").head()
+    assert(theRow.getLong(0) > n / 4, "'the' should appear in many docs")
+    // same tf ⇒ the rarer term scores strictly higher
+    val sameTf = out.as("a").join(out.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tf") === col("b.tf") &&
+        col("a.dfreq") < col("b.dfreq"))
+      .select(col("a.tfidf").as("rare"), col("b.tfidf").as("common"))
+      .limit(50).collect()
+    assert(sameTf.nonEmpty)
+    sameTf.foreach(r => assert(r.getDouble(0) > r.getDouble(1)))
+    out.unpersist()
+  }
+}
