@@ -531,14 +531,21 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    "x6_lsh_topk" -> ((s, dir) => { // rows-only: seeded-hyperplane approximation
+    // The seeded hyperplane buckets make a general top-k unverifiable, so
+    // the checked contract is the one LSH actually guarantees: a query
+    // IDENTICAL to a corpus vector lands in its twin's bucket (equal
+    // signatures, recall 1) and the twin's cosine 1.0 outranks every
+    // organic candidate (max ≈ 0.51) — top-1 is deterministic.
+    "x6_lsh_topk" -> ((s, dir) => {
       reg(s, dir)
       val emb = s.table("embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
-          "vec_id", "q_id", "embedding", k = 10, dim = 64, planes = 6)
+      val q = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+        .select((col("vec_id") + 100000L).as("q_id"), col("embedding"))
+      Similarity.lshTopK(emb, q, "vec_id", "q_id", "embedding",
+          k = 1, dim = 64, planes = 6)
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))
-        .orderBy("q_id", "rank")
+        .orderBy("q_id")
     }),
 
     // Oracle-checkable despite the LSH buckets: identical vectors always
@@ -1168,6 +1175,12 @@ object SparkEntry {
     // dups) and the 0.99 threshold excludes every organic pair (max cosine
     // ≈ 0.51), so the result is exactly the injected duplicate pairs; the
     // self-cosine dot/(√d·√d) rounds to 1.0 at 6 decimals on both engines
+    "x6_lsh_topk" -> """
+      SELECT vec_id + 100000 AS q_id, vec_id, 1.0 AS cosine,
+             CAST(1 AS BIGINT) AS rank
+      FROM embeddings WHERE vec_id % 25 = 0
+      ORDER BY q_id""",
+
     "x7_cosine_neardup" -> """
       SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
       FROM embeddings WHERE vec_id % 7 = 0
