@@ -720,6 +720,16 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    "x20_bm25" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.bm25(s.table("documents"), "text", "doc_id")
+        .filter(col("tf") >= 4)
+        .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+          col("dfreq").cast("long").as("dfreq"), col("dl").cast("long").as("dl"),
+          round(col("bm25"), 4).as("bm25"))
+        .orderBy("doc_id", "term")
+    }),
+
     // ---- multimodal plumbing (SURVEY.md §2.9 X5) ----
     "mm1_meta_filter" -> ((s, dir) => {
       reg(s, dir)
@@ -1333,6 +1343,24 @@ object SparkEntry {
              CAST(d.dfreq AS BIGINT) AS dfreq,
              ROUND(t.tf * (LN(CAST(nn + 1 AS DOUBLE) / (d.dfreq + 1)) + 1.0), 4) AS tfidf
       FROM tf t JOIN dfr d USING (term), n
+      WHERE t.tf >= 4
+      ORDER BY t.doc_id, t.term""",
+
+    "x20_bm25" -> """
+      WITH terms AS (
+        SELECT doc_id, UNNEST(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS term
+        FROM documents),
+      t2 AS (SELECT doc_id, term FROM terms WHERE LENGTH(term) > 0),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+      lens AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY 1),
+      dfr AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+      st AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS nd FROM lens)
+      SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+             CAST(d.dfreq AS BIGINT) AS dfreq, CAST(l.dl AS BIGINT) AS dl,
+             ROUND(LN((nd - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / avgdl)), 4) AS bm25
+      FROM tf t JOIN dfr d USING (term) JOIN lens l USING (doc_id), st
       WHERE t.tf >= 4
       ORDER BY t.doc_id, t.term""",
 

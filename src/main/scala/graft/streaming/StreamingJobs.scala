@@ -125,6 +125,32 @@ object StreamingJobs {
       }
   }
 
+  /** Stream-stream interval join (SURVEY.md §2.8): match rows from two
+    * streams whose event times fall within `[lower, upper]` of each other.
+    * BOTH sides carry watermarks and the join condition bounds event time
+    * in BOTH directions — the two requirements Structured Streaming needs
+    * to know when buffered state can be evicted; without them the join
+    * state grows without bound and the job dies at scale. Inner join only
+    * here (outer interval joins additionally delay emission to the
+    * watermark horizon). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, keys: Seq[String],
+      lower: String = "0 seconds", upper: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r0 = right.withWatermark(rightTs, watermark)
+    // disambiguate column names: keys stay shared, payloads get prefixed
+    val r = r0.columns.foldLeft(r0) { (df, c) =>
+      if (keys.contains(c)) df else df.withColumnRenamed(c, s"r_$c")
+    }
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val timeCond =
+      col(s"r_$rightTs") >= col(leftTs) - expr(s"INTERVAL $lower") &&
+      col(s"r_$rightTs") <= col(leftTs) + expr(s"INTERVAL $upper")
+    val joined = l.join(r, keyCond && timeCond, "inner")
+    keys.foldLeft(joined)((df, k) => df.drop(r(k)))
+  }
+
   /** Run any transformed stream into the batch sink machinery per
     * micro-batch — this is how scdType2Insert works in streaming mode. */
   def startForeachBatch(stream: DataFrame, sink: SinkSpec,

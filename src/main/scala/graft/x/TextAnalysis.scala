@@ -187,6 +187,32 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("dfreq"), col("tfidf"))
   }
 
+  /** Okapi BM25 relevance weights per (doc, term) — the retrieval-grade
+    * companion to [[tfidf]] (length-normalized, saturating tf). Same
+    * shuffle shape: tf by (doc, term), then document frequency and the
+    * tiny per-doc length / corpus stats ride broadcasts back. Formula
+    * terms are written in one fixed association order so the oracle's
+    * IEEE arithmetic reproduces every weight. */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = df.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val lens = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val stats = lens.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("nd"))
+    val idf = log((col("nd") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0)
+    tf.join(broadcast(dfreq), "term")
+      .join(broadcast(lens), idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25",
+        idf * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .select(col(idCol), col("term"), col("tf"), col("dfreq"), col("dl"), col("bm25"))
+  }
+
   /** Per-document profile frame: one narrow projection, no shuffle. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.select(

@@ -81,4 +81,38 @@ class StreamingSpec extends AnyFunSuite {
     val written = spark.read.parquet(outDir)
     assert(written.count() == batchDf.filter(col("event_type") === "purchase").count())
   }
+
+  test("stream-stream interval join matches the equivalent batch join") {
+    val batchDf = spark.read.parquet(eventsDir)
+    // left: purchases; right: views by the same user within the 5 minutes
+    // BEFORE the purchase — the classic attribution join
+    val lB = batchDf.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val rB = batchDf.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("r_ts"), col("event_id").as("r_event_id"))
+    val expected = lB.join(rB,
+        lB("user_id") === rB("user_id") &&
+        col("r_ts") >= col("ts") - expr("INTERVAL 5 minutes") &&
+        col("r_ts") <= col("ts"))
+      .select(col("event_id"), col("r_event_id")).orderBy("event_id", "r_event_id").collect()
+
+    val mkStream = () => StreamingJobs.fileStream(spark, eventsDir, batchDf.schema,
+      maxFilesPerTrigger = 100)
+    val joined = StreamingJobs.intervalJoin(
+      mkStream().filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      mkStream().filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      leftTs = "ts", rightTs = "ts", keys = Seq("user_id"),
+      lower = "5 minutes", upper = "0 seconds", watermark = "2 hours")
+    val q = joined.select(col("event_id"), col("r_event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ij_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ij_out").orderBy("event_id", "r_event_id").collect()
+      assert(got.length == expected.length,
+        s"stream join rows ${got.length} != batch ${expected.length}")
+      assert(got.sameElements(expected))
+    } finally q.stop()
+  }
 }
