@@ -177,7 +177,11 @@ object TextAnalysis {
     val terms = df.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
+    // materialized once: both the df aggregation and the final join read it
+    // (without truncation the explode+tf shuffle runs twice — at 100 TB tf
+    // would be a staged table, the single most reused artifact of scoring)
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val n = df.select(countDistinct(col(idCol)).as("__n"))
     tf.join(broadcast(dfreq), "term")
