@@ -332,6 +332,16 @@ object SparkEntry {
       GROUP BY b.band_name
       ORDER BY band_name"""),
 
+    "q31_percentiles" -> sqlQ("""
+      SELECT l_returnflag,
+        ROUND(PERCENTILE(l_quantity, 0.25), 4) AS p25_qty,
+        ROUND(PERCENTILE(l_quantity, 0.5), 4) AS p50_qty,
+        ROUND(PERCENTILE(l_quantity, 0.75), 4) AS p75_qty,
+        ROUND(PERCENTILE(l_extendedprice, 0.5), 4) AS p50_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+
     // HLL sketches differ across engines, so the checked contract is the
     // one an approx op actually makes: the estimate lands within its error
     // envelope of the exact count (rsd default 5%; 10% ≈ 2σ).
@@ -720,6 +730,29 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    // pairwise matches → clusters: the step a dedup pipeline needs before
+    // it can keep one canonical doc per near-dup group
+    "x21_dedup_clusters" -> ((s, dir) => {
+      reg(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(s.table("documents"), "text", "doc_id",
+          n = 3, threshold = 0.5)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // one exact Lloyd refinement of the IVF coarse quantizer (micro-unit
+    // integer means: partitioning-independent AND SQL-replayable)
+    "x22_kmeans_step" -> ((s, dir) => {
+      reg(s, dir)
+      val emb = s.table("embeddings")
+      val centroids = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Similarity.kmeansStep(emb, centroids, "vec_id", "centroid_id", "embedding")
+        .select(col("cell"), col("dim"), col("n"), round(col("mean"), 6).as("mean"))
+        .orderBy("cell", "dim")
+    }),
+
     "x20_bm25" -> ((s, dir) => {
       reg(s, dir)
       TextAnalysis.bm25(s.table("documents"), "text", "doc_id")
@@ -790,11 +823,10 @@ object SparkEntry {
       s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
       s"(a, b) -> (a*131 + b) & ${graft.functions.PolyHash56.Mask55}) END)"
 
-  /** Exact n-gram-Jaccard near-dup pairs — the oracle for BOTH x2 (the
-    * exact operator) and x3 (MinHash+LSH, whose exact-Jaccard verify stage
-    * reproduces this set whenever banding recall is 1, as on this fixture). */
-  private val jaccardPairsSql = """
-      WITH toks AS (
+  /** Shared CTE chain computing exact n-gram-Jaccard shingle/intersection
+    * stats — consumed by the x2/x3 pair oracle and the x21 clustering
+    * oracle (which wraps it in a recursive CTE). */
+  private val jaccardCtes = """toks AS (
         SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
       grams AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -804,7 +836,13 @@ object SparkEntry {
       inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
         FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id)
+        GROUP BY a.doc_id, b.doc_id)"""
+
+  /** Exact n-gram-Jaccard near-dup pairs — the oracle for BOTH x2 (the
+    * exact operator) and x3 (MinHash+LSH, whose exact-Jaccard verify stage
+    * reproduces this set whenever banding recall is 1, as on this fixture). */
+  private val jaccardPairsSql = s"""
+      WITH $jaccardCtes
       SELECT id_a, id_b,
         ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard
       FROM inter
@@ -1345,6 +1383,58 @@ object SparkEntry {
       FROM tf t JOIN dfr d USING (term), n
       WHERE t.tf >= 4
       ORDER BY t.doc_id, t.term""",
+
+    // transitive closure of the exact near-dup pair set via recursive CTE,
+    // each node labeled with the minimum reachable doc_id — the same
+    // fixpoint the Spark label-propagation loop converges to
+    "x21_dedup_clusters" -> s"""
+      WITH RECURSIVE $jaccardCtes,
+      p AS (
+        SELECT id_a, id_b
+        FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM p),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src)
+      SELECT doc_id, cluster_id FROM comp
+      ORDER BY doc_id""",
+
+    "x22_kmeans_step" -> s"""
+      WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
+      asg AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${eucSql("e.embedding", "c.cv")} ASC, c.centroid_id ASC) AS rk
+          FROM embeddings e, c) WHERE rk = 1),
+      q AS (
+        SELECT cell, i - 1 AS dim,
+          CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+        FROM asg, LATERAL (SELECT UNNEST(RANGE(1, LEN(embedding) + 1)) AS i))
+      SELECT cell, CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+        ROUND(CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS mean
+      FROM q GROUP BY cell, dim
+      ORDER BY cell, dim""",
+
+    "q31_percentiles" -> """
+      SELECT l_returnflag,
+        ROUND(QUANTILE_CONT(l_quantity, 0.25), 4) AS p25_qty,
+        ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS p50_qty,
+        ROUND(QUANTILE_CONT(l_quantity, 0.75), 4) AS p75_qty,
+        ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "x20_bm25" -> """
       WITH terms AS (

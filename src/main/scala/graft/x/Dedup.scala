@@ -190,6 +190,40 @@ object Dedup {
     out
   }
 
+  /** Connected components over an undirected near-dup pair list — the step
+    * that turns pairwise matches into CLUSTERS so a dedup pipeline can keep
+    * one canonical doc per group. Label propagation to the minimum
+    * reachable id: each round every node adopts the smallest label among
+    * itself and its neighbors (one join + one groupBy-min shuffle per
+    * round), converging in O(cluster diameter) rounds — near-dup clusters
+    * have tiny diameters, and `maxIter` caps pathological chains. Labels
+    * are materialized per round (at 100 TB: a staged table) so lineage
+    * doesn't deepen; convergence is detected by a change count, so the
+    * loop stops as soon as labels are stable. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
+        .groupBy(col("src").as("id")).agg(min("dcomp").as("ncomp"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = updated.join(labels.withColumnRenamed("comp", "__old"), "id")
+        .filter(col("comp") =!= col("__old")).count()
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** X2b SimHash: 64-bit signature where bit b is the sign of Σ±1 over
     * token hashes' bit b. Near-dups have small Hamming distance. One
     * shuffle with map-side combine via the custom [[graft.functions.SimHashAgg]]

@@ -107,6 +107,36 @@ object Similarity {
       .select(corpus.columns.map(col).toSeq :+ col(centroidIdCol).as("cell"): _*)
   }
 
+  /** One Lloyd (k-means) refinement step for the IVF coarse quantizer:
+    * assign every vector to its nearest centroid, then recompute each
+    * cell's per-dimension mean. The mean is accumulated in MICRO-UNIT
+    * integers (`round(x*1e6)` per element) so the result is exact,
+    * commutative, and independent of partitioning / aggregation order —
+    * the property that makes distributed k-means reproducible run-to-run
+    * (naive double sums drift with partition count) and lets the SQL
+    * oracle replay the step bit-for-bit. One broadcast (centroids), one
+    * explode, one shuffle (cell × dim aggregation) per step.
+    *
+    * Returns (cell, dim, n, mean) — callers loop steps by collecting the
+    * (tiny) centroid frame back and re-broadcasting, exactly how
+    * distributed Lloyd iterations work at 100 TB: the corpus is scanned
+    * once per step, only k×dim numbers move to the driver. */
+  def kmeansStep(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, centroidIdCol: String, vecCol: String
+  ): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroids, idCol, centroidIdCol, vecCol)
+    assigned
+      .select(col("cell"), posexplode(col(vecCol)))
+      .select(col("cell"), col("pos").as("dim"),
+        round(col("col").cast("double") * 1000000.0).cast("long").as("__q"))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n"), sum("__q").as("__sq"))
+      .withColumn("mean",
+        col("__sq").cast("double") / col("n").cast("double") / 1000000.0)
+      .select(col("cell"), col("dim").cast("long").as("dim"), col("n"), col("mean"))
+  }
+
   /** IVF probe search: the corpus is first assigned to coarse cells
     * ([[assignToCentroids]]); each query then ranks ONLY the vectors in its
     * `nprobe` nearest cells. Fully deterministic (no seeded hashing), so

@@ -71,6 +71,37 @@ class SamplingPackingSpec extends AnyFunSuite {
       r.getAs[Long]("mx") == r.getAs[Long]("d") - 1))
   }
 
+  test("connected components merge chains and leave singleton pairs alone") {
+    import spark.implicits._
+    // two components: a 4-chain {1,2,3,4} and an isolated pair {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = graft.x.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L), s"chain must collapse to 1: $comp")
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    // order-insensitivity: reversed edge directions give the same labels
+    val rev = graft.x.Dedup.connectedComponents(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rev == comp)
+  }
+
+  test("kmeans step: means are partitioning-independent and centroid-attracting") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val m1 = graft.x.Similarity.kmeansStep(emb, centroids, "vec_id", "centroid_id", "embedding")
+      .orderBy("cell", "dim").collect()
+    val m2 = graft.x.Similarity.kmeansStep(emb.repartition(17), centroids,
+        "vec_id", "centroid_id", "embedding")
+      .orderBy("cell", "dim").collect()
+    assert(m1.sameElements(m2), "means must not depend on input partitioning")
+    assert(m1.length == 10 * 64, "10 cells x 64 dims")
+    // every cell kept at least its own centroid vector
+    m1.foreach(r => assert(r.getAs[Long]("n") >= 1L))
+  }
+
   test("tfidf: df counts docs containing the term; rare terms outweigh common ones") {
     val out = TextAnalysis.tfidf(docs, "text", "doc_id").cache()
     val n = docs.count()
