@@ -62,6 +62,14 @@ object SinkWriter {
         if (mode == SaveMode.Overwrite) "overwrite" else "append")
       return
     }
+    if (sink.format == "excel" || sink.format == "xlsx") {
+      // W4 excel sink (spark.json:92) — small-handoff single file, like W6
+      val prefix = sink.outputFileNamePrefix.getOrElse(sink.dataFrameName)
+      ExcelSink.write(df, path,
+        header = sink.options.get("header").forall(_.toBoolean),
+        fileName = s"$prefix.xlsx")
+      return
+    }
     if (sink.singleFile) { writeSingleFile(df, sink, path); return }
     var w = df.write.mode(mode).format(sink.format).options(sink.options)
     sink.compression.foreach(c => w = w.option("compression", c))

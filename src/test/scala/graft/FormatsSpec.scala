@@ -67,6 +67,21 @@ class FormatsSpec extends AnyFunSuite {
     assert(r.contains(List("x", null, "7")))
   }
 
+  test("excel sink round-trips through the excel source (nulls stay null)") {
+    val dir = Files.createTempDirectory("graft-xlsx-sink").toString
+    val df = Seq(("alpha", "1", "x&<y>"), ("beta", null, "plain"), ("gamma", "3", null))
+      .toDF("name", "qty", "note")
+    SinkWriter.write(spark, df,
+      SinkSpec("book", format = "excel", path = Some(dir),
+        options = Map("header" -> "true")))
+    val back = SourceReader.read(spark, InputSpec("book", "excel", Some(dir)))
+    assert(back.columns.toSeq == Seq("name", "qty", "note"))
+    val rows = back.collect()
+      .map(r => (0 until 3).map(i => Option(r.getString(i)).orNull).toList).toSet
+    assert(rows == Set(List("alpha", "1", "x&<y>"), List("beta", null, "plain"),
+      List("gamma", "3", null)))
+  }
+
   /** Emit the minimal standard-conformant workbook the reader targets. */
   private def writeMinimalXlsx(path: String, shared: Seq[String],
       sheetRows: Seq[Seq[(String, String, String)]]): Unit = {
