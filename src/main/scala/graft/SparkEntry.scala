@@ -763,6 +763,25 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    // eval-leakage guard: every 13th doc stands in for a benchmark set;
+    // training docs colliding on normalized fingerprint are dropped
+    "x23_decontaminate" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      TextAnalysis.decontaminate(docs, bench, "text", "doc_id")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    "x24_repetition_filter" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.repetitionStats(s.table("documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          round(col("uniq_ratio"), 4).as("uniq_ratio"),
+          round(col("top_share"), 4).as("top_share"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal plumbing (SURVEY.md §2.9 X5) ----
     "mm1_meta_filter" -> ((s, dir) => {
       reg(s, dir)
@@ -1435,6 +1454,31 @@ object SparkEntry {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    "x23_decontaminate" -> s"""
+      WITH fp AS (
+        SELECT doc_id, lang,
+          ${polySql("REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')")} AS f
+        FROM documents),
+      b AS (SELECT DISTINCT f FROM fp WHERE doc_id % 13 = 0)
+      SELECT doc_id, lang FROM fp
+      WHERE f NOT IN (SELECT f FROM b)
+      ORDER BY doc_id""",
+
+    "x24_repetition_filter" -> """
+      WITH toks AS (
+        SELECT doc_id, UNNEST(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS tok
+        FROM documents),
+      tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks
+             WHERE LENGTH(tok) > 0 GROUP BY 1, 2),
+      st AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_uniq,
+                    MAX(c) AS top_count FROM tc GROUP BY 1)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        ROUND(CAST(n_uniq AS DOUBLE) / n_tokens, 4) AS uniq_ratio,
+        ROUND(CAST(top_count AS DOUBLE) / n_tokens, 4) AS top_share,
+        (CAST(n_uniq AS DOUBLE) / n_tokens >= 0.3
+         AND CAST(top_count AS DOUBLE) / n_tokens <= 0.2) AS keep
+      FROM st ORDER BY doc_id""",
 
     "x20_bm25" -> """
       WITH terms AS (

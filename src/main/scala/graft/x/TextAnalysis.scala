@@ -217,6 +217,45 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("dfreq"), col("dl"), col("bm25"))
   }
 
+  /** Benchmark decontamination: drop training documents whose normalized
+    * content fingerprint collides with any document in `benchmark` — the
+    * standard eval-leakage guard before pre-training. The benchmark side is
+    * tiny by nature, so its fingerprint set rides a broadcast and the
+    * training corpus is a single anti-join pass (no shuffle of the corpus;
+    * n-gram-overlap decontamination composes [[minShingleFingerprint]] or
+    * [[graft.x.Dedup.shingles]] the same way). */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val bfp = benchmark.select(fingerprint(col(textCol)).as("__fp")).distinct()
+    train.withColumn("__fp", fingerprint(col(textCol)))
+      .join(broadcast(bfp), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
+  /** Repetition statistics (Gopher-style quality rules): unique-token
+    * ratio and the share of the single most frequent token. Highly
+    * repetitive documents (boilerplate, keyword stuffing, degenerate
+    * generations) show low uniq_ratio / high top_share. One shuffle (per
+    * (doc, token) counts with map-side combine); everything else narrow. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String,
+      minUniqRatio: Double = 0.3, maxTopShare: Double = 0.2): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val stats = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_uniq"),
+        max("c").as("top_count"))
+    stats.select(
+      col(idCol),
+      col("n_tokens"),
+      (col("n_uniq").cast("double") / col("n_tokens")).as("uniq_ratio"),
+      (col("top_count").cast("double") / col("n_tokens")).as("top_share"))
+      .withColumn("keep",
+        col("uniq_ratio") >= minUniqRatio && col("top_share") <= maxTopShare)
+  }
+
   /** Per-document profile frame: one narrow projection, no shuffle. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.select(
