@@ -416,7 +416,10 @@ object SparkEntry {
       // and xml, read each back through SourceReader, and 3-way-join — the
       // output matches the original table only if every format round-trips
       val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
-      val nation = s.table("nation")
+      // nation is a 25-row dimension: write each format as ONE file (32
+      // near-empty part files per format would triple the read-back's file
+      // listing + schema inference for no parallelism gain)
+      val nation = s.table("nation").repartition(1)
       nation.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
       nation.write.mode("overwrite").json(s"$base/json")
       nation.write.mode("overwrite").format("xml")

@@ -212,13 +212,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
         .groupBy(col("src").as("id")).agg(min("dcomp").as("ncomp"))
+      // the change flag is computed in the same pass as the update (ncomp <
+      // comp ⇔ this round improved the label), so convergence detection is
+      // a count over the already-materialized checkpoint — not a second
+      // join against the previous labels
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          coalesce(col("ncomp") < col("comp"), lit(false)).as("__chg"))
         .localCheckpoint(true)
-      changed = updated.join(labels.withColumnRenamed("comp", "__old"), "id")
-        .filter(col("comp") =!= col("__old")).count()
-      labels = updated
+      changed = updated.filter(col("__chg")).count()
+      labels = updated.drop("__chg")
       i += 1
     }
     labels
