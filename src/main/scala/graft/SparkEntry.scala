@@ -51,6 +51,12 @@ object SparkEntry {
   private def sqlQ(q: String): (SparkSession, String) => DataFrame =
     (s, dir) => { reg(s, dir); s.sql(q) }
 
+  /** Like [[sqlQ]] but with graft's custom expressions registered as SQL
+    * functions first — the surface a config-driven job sees after
+    * [[graft.functions.GraftFunctions.register]] / GraftExtensions. */
+  private def sqlX(q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => { reg(s, dir); graft.functions.GraftFunctions.register(s); s.sql(q) }
+
   /** Flagship query on sf=0.001 (the reference pipeline's own
     * calculate_daily_range shape, example-shareprice.py:149). */
   def entry(spark: SparkSession): DataFrame =
@@ -341,6 +347,35 @@ object SparkEntry {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
+
+    // graft's custom Catalyst expressions exposed as SQL functions
+    // (GraftExtensions/GraftFunctions): the reference's only query
+    // interface is sqlQuery text, so the extension surface must be
+    // reachable from pure SQL — this query runs entirely through it.
+    "q32_ext_functions" -> sqlX("""
+      WITH q AS (SELECT embedding AS qv, poly_hash56(CAST(label AS STRING)) AS qfp
+                 FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id,
+             ROUND(dot_f32(e.embedding, q.qv), 6) AS dot,
+             ROUND(cosine_f32(e.embedding, q.qv), 6) AS cosine,
+             poly_hash56(CAST(e.label AS STRING)) AS label_fp,
+             CAST(hamming64(poly_hash56(CAST(e.label AS STRING)), q.qfp) AS BIGINT) AS label_dist
+      FROM embeddings e, q
+      WHERE e.vec_id < 200
+      ORDER BY e.vec_id"""),
+
+    // the custom TypedImperativeAggregate through the same SQL surface:
+    // per-doc simhash signatures and their hamming distance to doc 1,
+    // computed entirely in SQL text a config job could ship verbatim
+    "q33_sql_simhash" -> sqlX("""
+      WITH sig AS (
+        SELECT d.doc_id, simhash_agg(poly_hash56(t.tok)) AS sh
+        FROM documents d LATERAL VIEW EXPLODE(SPLIT(TRIM(d.text), '\\s+')) t AS tok
+        GROUP BY d.doc_id),
+      q AS (SELECT sh AS qsh FROM sig WHERE doc_id = 1)
+      SELECT s.doc_id, CAST(hamming64(s.sh, q.qsh) AS BIGINT) AS dist
+      FROM sig s, q
+      ORDER BY s.doc_id"""),
 
     // HLL sketches differ across engines, so the checked contract is the
     // one an approx op actually makes: the estimate lands within its error
@@ -1457,6 +1492,41 @@ object SparkEntry {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    "q32_ext_functions" -> s"""
+      WITH q AS (SELECT embedding AS qv, ${polySql("CAST(label AS VARCHAR)")} AS qfp
+                 FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id,
+             ROUND(${dotSql("e.embedding", "q.qv")}, 6) AS dot,
+             ROUND(${dotSql("e.embedding", "q.qv")} /
+                   (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("q.qv", "q.qv")})), 6) AS cosine,
+             ${polySql("CAST(e.label AS VARCHAR)")} AS label_fp,
+             CAST(bit_count(xor(${polySql("CAST(e.label AS VARCHAR)")}, q.qfp)) AS BIGINT) AS label_dist
+      FROM embeddings e, q
+      WHERE e.vec_id < 200
+      ORDER BY e.vec_id""",
+
+    // replays the simhash bit votes (same universal-parity transforms as
+    // the x4 oracle) and compares bit SIGNS to doc 1's — identical to
+    // hamming64 over the packed signatures by construction
+    "q33_sql_simhash" -> s"""
+      WITH tok AS (
+        SELECT doc_id, UNNEST(STR_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+        FROM documents),
+      th AS (SELECT doc_id, ${polySql("tok")} % ${graft.functions.PortableHash.M31} AS h31 FROM tok),
+      bits AS (
+        SELECT doc_id, r.b,
+          SUM(CASE WHEN ((((((r.b + 1) * ${graft.functions.PortableHash.Lcg64A}) % ${graft.functions.PortableHash.M31}) * h31
+                         + (((r.b + 7) * ${graft.functions.PortableHash.LcgB}) % ${graft.functions.PortableHash.M31}))
+                        % ${graft.functions.PortableHash.M31}) & 1) = 1
+               THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN RANGE(64) r(b)
+        GROUP BY doc_id, r.b),
+      q AS (SELECT b, s > 0 AS qs FROM bits WHERE doc_id = 1)
+      SELECT a.doc_id, CAST(SUM(CASE WHEN (a.s > 0) <> q.qs THEN 1 ELSE 0 END) AS BIGINT) AS dist
+      FROM bits a JOIN q USING (b)
+      GROUP BY a.doc_id
+      ORDER BY a.doc_id""",
 
     "x23_decontaminate" -> s"""
       WITH fp AS (

@@ -45,6 +45,9 @@ class Orchestrator(spark: SparkSession) {
       return null
     }
     cfg.sparkConfig.foreach { case (k, v) => spark.conf.set(k, v) }
+    // graft's custom expressions are part of the SQL surface a config-driven
+    // job can use (the reference's only query interface is sqlQuery text)
+    graft.functions.GraftFunctions.register(spark)
 
     // P3: the _RUNNING marker guards against CONCURRENT duplicate runs, so
     // it must be released when this run ends (success OR failure) — holding

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.{GraftExtensions, GraftFunctions, PolyHash56}
+
+/** SQL-surface registration of graft's custom expressions
+  * (GraftExtensions / GraftFunctions.register): a config-driven job's
+  * sqlQuery step must be able to call them as plain SQL functions. */
+class GraftFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sfDir
+
+  test("registered functions evaluate from pure SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT poly_hash56('abc') AS fp,
+        |       dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
+        |       cosine_f32(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos_same,
+        |       cosine_f32(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos_zero,
+        |       hamming64(5, 3) AS ham""".stripMargin).head()
+    assert(r.getLong(0) == PolyHash56.hash("abc"))
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.isNullAt(3), "zero-norm cosine must be null")
+    assert(r.getInt(4) == 2)
+  }
+
+  test("simhash_agg from SQL equals the Scala aggregate Column") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    docs.createOrReplaceTempView("gf_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash_agg(poly_hash56(tok)) AS sh
+        |FROM (SELECT doc_id, EXPLODE(SPLIT(TRIM(text), '\\s+')) AS tok FROM gf_docs)
+        |GROUP BY doc_id""".stripMargin)
+    val viaScala = graft.x.Dedup.simhash(docs, "text", "doc_id")
+      .withColumnRenamed("simhash", "sh")
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
+  }
+
+  test("GraftExtensions injects the same function table at session build") {
+    // exercised structurally: the extension applies the identical specs
+    // list injectFunction consumes (a second live session would need its
+    // own context; the registry write path is shared with register())
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(GraftFunctions.specs.map(_._1.funcName).toSet ==
+      Set("poly_hash56", "dot_f32", "cosine_f32", "hamming64", "simhash_agg"))
+  }
+
+  test("custom scalar functions stay inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("gf_emb")
+    val plan = spark.sql(
+      "SELECT vec_id, dot_f32(embedding, embedding) AS d FROM gf_emb")
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators fused into WholeStageCodegen
+    assert(plan.contains("*(1) Project"), s"expected codegen'd Project in:\n$plan")
+  }
+}
