@@ -811,6 +811,78 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // same contract as x23 through the Bloom-filter scale path: the result
+    // must be IDENTICAL (bloom has no false negatives; false positives are
+    // removed by the exact verify), so it shares x23's oracle SQL
+    "x25_bloom_decontaminate" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      TextAnalysis.bloomDecontaminate(docs, bench, "text", "doc_id",
+          expectedItems = 1000L)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // z-order layout: orders z-ordered on (price cell, order day); the
+    // checked output is the per-curve-segment bounding box of both
+    // dimensions — tight boxes ARE the multi-dim pruning property (each
+    // output file's min/max stats cover a small hyper-rectangle)
+    "x26_zorder_layout" -> ((s, dir) => {
+      reg(s, dir)
+      val o = s.table("orders")
+        .withColumn("xc", graft.x.Layout.cell(col("o_totalprice"), 0.0, 500000.0, 10))
+        .withColumn("yc", datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1995-01-01"))).cast("long"))
+      graft.x.Layout.zOrder(o, col("xc"), col("yc"), bits = 12)
+        .groupBy(shiftright(col("z"), 14).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("xc").as("min_x"), max("xc").as("max_x"),
+          min("yc").as("min_y"), max("yc").as("max_y"))
+        .orderBy("bucket")
+    }),
+
+    // per-domain corpus stats over synthesized (deterministic) URLs:
+    // parse_url host extraction + registrable-domain rollup — the groupBy
+    // a crawl pipeline uses for domain-level quality/robots decisions
+    "x27_domain_stats" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents").withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("lang"), lit("/"), col("doc_id").cast("string")))
+      docs.withColumn("host", graft.x.WebText.domainOf(col("url")))
+        .withColumn("domain", graft.x.WebText.registrableDomain(col("host")))
+        .groupBy("host", "domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("lang").as("n_langs"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("host")
+    }),
+
+    // crawl-HTML boilerplate removal: script/style subtrees, comments,
+    // tags, entities, whitespace — the page is synthesized around the
+    // fixture text so the oracle can rebuild and strip it identically
+    "x28_html_strip" -> ((s, dir) => {
+      reg(s, dir)
+      val page = concat(
+        lit("<html><head><style>p {color: red}</style><title>t</title></head><body><h1>"),
+        col("lang"),
+        lit("</h1><!-- boilerplate --><p>"), col("text"),
+        lit(" &amp; more &lt;raw&gt; &quot;quoted&quot;&nbsp;end</p>" +
+          "<script>var x = 1 < 2;</script></body></html>"))
+      s.table("documents")
+        .select(col("doc_id"), graft.x.WebText.stripHtml(page).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    "x29_accent_fold" -> ((s, dir) => {
+      reg(s, dir)
+      val accented = concat(lit("Café Über Niño À L'École "), col("text"))
+      s.table("documents")
+        .select(col("doc_id"),
+          substring(graft.x.WebText.foldAccents(lower(accented)), 1, 60).as("folded"))
+        .orderBy("doc_id")
+    }),
+
     "x24_repetition_filter" -> ((s, dir) => {
       reg(s, dir)
       TextAnalysis.repetitionStats(s.table("documents"), "text", "doc_id")
@@ -879,6 +951,26 @@ object SparkEntry {
     s"(CASE WHEN $e = '' THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
       s"(a, b) -> (a*131 + b) & ${graft.functions.PolyHash56.Mask55}) END)"
+
+  /** DuckDB replay of [[graft.x.Layout.zValue]]: the identical bit
+    * interleave as an OR-chain of shift/mask terms. */
+  private def zSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"(((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1}))")
+      .mkString("(", " | ", ")")
+
+  /** Exact decontamination result — oracle for BOTH x23 (exact broadcast
+    * anti-join) and x25 (Bloom prefilter + exact verify, equal by
+    * construction). */
+  private def decontaminateSql: String = s"""
+      WITH fp AS (
+        SELECT doc_id, lang,
+          ${polySql("REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')")} AS f
+        FROM documents),
+      b AS (SELECT DISTINCT f FROM fp WHERE doc_id % 13 = 0)
+      SELECT doc_id, lang FROM fp
+      WHERE f NOT IN (SELECT f FROM b)
+      ORDER BY doc_id"""
 
   /** Shared CTE chain computing exact n-gram-Jaccard shingle/intersection
     * stats — consumed by the x2/x3 pair oracle and the x21 clustering
@@ -1528,15 +1620,71 @@ object SparkEntry {
       GROUP BY a.doc_id
       ORDER BY a.doc_id""",
 
-    "x23_decontaminate" -> s"""
-      WITH fp AS (
-        SELECT doc_id, lang,
-          ${polySql("REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')")} AS f
+    "x26_zorder_layout" -> s"""
+      WITH c AS (
+        SELECT LEAST(1023, GREATEST(0,
+                 CAST(FLOOR((o_totalprice - 0.0) / 500000.0 * 1023.0) AS BIGINT))) AS xc,
+               CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS yc
+        FROM orders),
+      z AS (SELECT xc, yc, ${zSql("xc", "yc", 12)} AS z FROM c)
+      SELECT z >> 14 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(xc) AS min_x, MAX(xc) AS max_x,
+             MIN(yc) AS min_y, MAX(yc) AS max_y
+      FROM z GROUP BY 1
+      ORDER BY bucket""",
+
+    "x27_domain_stats" -> """
+      WITH u AS (
+        SELECT doc_id, lang, n_chars,
+               'https://' || source || '.example.com/' || lang || '/' ||
+                 CAST(doc_id AS VARCHAR) AS url
         FROM documents),
-      b AS (SELECT DISTINCT f FROM fp WHERE doc_id % 13 = 0)
-      SELECT doc_id, lang FROM fp
-      WHERE f NOT IN (SELECT f FROM b)
+      h AS (SELECT *, REGEXP_EXTRACT(url, 'https?://([^/]+)', 1) AS host FROM u)
+      SELECT host,
+             CASE WHEN LEN(STRING_SPLIT(host, '.')) <= 2 THEN host
+                  ELSE STRING_SPLIT(host, '.')[-2] || '.' || STRING_SPLIT(host, '.')[-1]
+             END AS domain,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+      FROM h
+      GROUP BY host
+      ORDER BY host""",
+
+    // identical synthesis + identical RE2-safe strip chain ('g' flag makes
+    // DuckDB's regexp_replace global like Spark's)
+    "x28_html_strip" -> s"""
+      WITH page AS (
+        SELECT doc_id,
+          '<html><head><style>p {color: red}</style><title>t</title></head><body><h1>'
+          || lang || '</h1><!-- boilerplate --><p>' || text ||
+          ' &amp; more &lt;raw&gt; &quot;quoted&quot;&nbsp;end</p><script>var x = 1 < 2;</script></body></html>'
+          AS html
+        FROM documents)
+      SELECT doc_id, TRIM(REGEXP_REPLACE(
+        REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+          REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+            html,
+            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+            '<[^>]+>', ' ', 'g'),
+          '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+          '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        '\\s+', ' ', 'g')) AS clean
+      FROM page
       ORDER BY doc_id""",
+
+    "x29_accent_fold" -> s"""
+      SELECT doc_id,
+             SUBSTRING(TRANSLATE(LOWER('Café Über Niño À L''École ' || text),
+               '${graft.x.WebText.AccentFrom}', '${graft.x.WebText.AccentTo}'), 1, 60) AS folded
+      FROM documents
+      ORDER BY doc_id""",
+
+    "x23_decontaminate" -> decontaminateSql,
+    // bloom prefilter + exact verify ≡ exact anti-join, so same oracle
+    "x25_bloom_decontaminate" -> decontaminateSql,
 
     "x24_repetition_filter" -> """
       WITH toks AS (

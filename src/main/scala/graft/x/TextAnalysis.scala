@@ -232,6 +232,37 @@ object TextAnalysis {
       .drop("__fp")
   }
 
+  /** Bloom-filter decontamination — same contract and EXACT same result as
+    * [[decontaminate]], with the benchmark set carried as a Bloom filter
+    * instead of an exact broadcast set. Why it exists: at 100 TB the
+    * benchmark/blocklist side can reach 10⁸–10⁹ fingerprints; a 1%-fpp
+    * Bloom filter holds 10⁹ entries in ~1.2 GB (an exact hash set needs
+    * ~10× that), so it still fits in every executor. The probe is then a
+    * map-side FILTER over the corpus — no shuffle, no join — and only the
+    * tiny bloom-positive slice pays a join:
+    *
+    *   clean = ¬bloom(fp)                      (sound: no false negatives)
+    *   ∪ bloom(fp) ∧ fp ∉ benchmark            (bloom false positives, via
+    *                                            anti-join of the suspects)
+    *
+    * which equals the exact anti-join by construction — the approximation
+    * lives in the data structure, never in the answer. The probe is a UDF
+    * because Spark exposes no bloom-probe expression on a driver-built
+    * sketch; it guards the join, it is not the hot arithmetic path. */
+  def bloomDecontaminate(train: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bfp = benchmark.select(fingerprint(col(textCol)).as("__fp")).distinct()
+    val bloom = bfp.stat.bloomFilter("__fp", expectedItems, fpp)
+    val bloomBc = train.sparkSession.sparkContext.broadcast(bloom)
+    val probe = udf((fp: Long) => bloomBc.value.mightContainLong(fp))
+    val fps = train.withColumn("__fp", fingerprint(col(textCol)))
+    val clean = fps.filter(!probe(col("__fp")))
+    val falsePositives = fps.filter(probe(col("__fp")))
+      .join(broadcast(bfp), Seq("__fp"), "left_anti")
+    clean.unionByName(falsePositives).drop("__fp")
+  }
+
   /** Repetition statistics (Gopher-style quality rules): unique-token
     * ratio and the share of the single most frequent token. Highly
     * repetitive documents (boilerplate, keyword stuffing, degenerate

@@ -103,6 +103,20 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(byFp == byText)
   }
 
+  test("bloom decontamination equals exact decontamination") {
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+    val exact = TextAnalysis.decontaminate(docs, bench, "text", "doc_id")
+      .select("doc_id")
+    val bloom = TextAnalysis.bloomDecontaminate(docs, bench, "text", "doc_id",
+      expectedItems = 1000L).select("doc_id")
+    assert(exact.exceptAll(bloom).isEmpty && bloom.exceptAll(exact).isEmpty)
+    // and with a deliberately tiny/over-saturated filter (high fpp): still
+    // exact, only the prefilter selectivity degrades
+    val saturated = TextAnalysis.bloomDecontaminate(docs, bench, "text", "doc_id",
+      expectedItems = 10L, fpp = 0.5).select("doc_id")
+    assert(exact.exceptAll(saturated).isEmpty && saturated.exceptAll(exact).isEmpty)
+  }
+
   test("multimodal: features deterministic, metadata filter prunes payload") {
     val media = Multimodal.synthesizeFromText(docs, "doc_id", "text").cache()
     val f1 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
