@@ -377,6 +377,24 @@ object SparkEntry {
       FROM sig s, q
       ORDER BY s.doc_id"""),
 
+    // quantile sketches (KLL/GK) differ across engines like HLL does, so
+    // the checked contract mirrors q23's: the sketch estimate must land
+    // inside a rank envelope of the exact distribution (±5 rank-percent is
+    // ~500× looser than accuracy=10000 guarantees — a real regression
+    // would still trip it), alongside bit-checked exact percentiles.
+    "q34_approx_percentile" -> sqlQ("""
+      SELECT l_returnflag,
+        ROUND(PERCENTILE(l_extendedprice, 0.5), 4) AS exact_p50,
+        APPROX_PERCENTILE(l_extendedprice, 0.5, 10000)
+          BETWEEN PERCENTILE(l_extendedprice, 0.45) AND PERCENTILE(l_extendedprice, 0.55)
+          AS p50_in_envelope,
+        APPROX_PERCENTILE(l_extendedprice, 0.99, 10000)
+          BETWEEN PERCENTILE(l_extendedprice, 0.97) AND PERCENTILE(l_extendedprice, 1.0)
+          AS p99_in_envelope
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+
     // HLL sketches differ across engines, so the checked contract is the
     // one an approx op actually makes: the estimate lands within its error
     // envelope of the exact count (rsd default 5%; 10% ≈ 2σ).
@@ -1471,6 +1489,15 @@ object SparkEntry {
       FROM base b JOIN chk c ON b.media_id = c.media_id
                   JOIN feats f ON b.media_id = f.media_id
       ORDER BY b.media_id, idx""",
+
+    "q34_approx_percentile" -> """
+      SELECT l_returnflag,
+             ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS exact_p50,
+             TRUE AS p50_in_envelope,
+             TRUE AS p99_in_envelope
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "q23_approx_distinct" -> """
       SELECT l_returnflag,
