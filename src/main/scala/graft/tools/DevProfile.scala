@@ -20,10 +20,10 @@ object DevProfile {
     }
     // warm
     docs.count()
-    val sh0 = Dedup.shingles(docs, "text", "doc_id", 3)
-    t("shingles.count x1")(sh0.count())
-    t("shingles.count x2")(sh0.count())
-    val sh = sh0.select(col("doc_id"), xxhash64(col("shingle")).as("__sh"))
+    val sh0 = Dedup.shingleHashes(docs, "text", "doc_id", 3)
+    t("shingleHashes.count x1")(sh0.count())
+    t("shingleHashes.count x2")(sh0.count())
+    val sh = sh0
     t("hashed shingles")(sh.count())
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     t("sizes")(sizes.count())
@@ -42,7 +42,7 @@ object DevProfile {
       .union(cands.select(col("id_b").as("doc_id"))).distinct()
     t("candDocs")(candDocs.count())
     val shc = shP.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), xxhash64(col("shingle")).as("__sh"))
+      .select(col("doc_id"), col("__sh"))
     t("shc semi-join")(shc.count())
     val sizes2 = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     t("sizes2")(sizes2.count())

@@ -55,17 +55,29 @@ object Dedup {
       )).as("shingle"))
   }
 
+  /** Hashed shingles (idCol, __sh): the 55-bit poly-hash of each distinct
+    * word n-gram, via the fused [[graft.functions.NGramPolyHash]] — values
+    * bit-identical to `PolyHash56(shingle string)` but with NO gram-string
+    * materialization. This is the form every pipeline stage actually
+    * consumes (signatures, co-shingle joins); the dominant explode+shuffle
+    * carries 8-byte longs that never existed as strings. */
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col(idCol), explode(array_distinct(
+        graft.functions.NGramPolyHash(col("__toks"), n))).as("__sh"))
+
   /** MinHash signature: k independent min-hashes per doc, as k agg columns
-    * over the exploded shingles. One shuffle; min() combines map-side.
+    * over the hashed shingles ([[shingleHashes]] output). One shuffle;
+    * min() combines map-side.
     *
     * Permutations are universal affine transforms of ONE portable base hash
-    * — `(a_i * (polyhash(shingle) mod M31) + b_i) mod M31` — instead of k
-    * seeded xxhash64 calls: one string traversal + k multiply-adds per
-    * shingle (cheaper), and the whole signature is replayable in the
-    * DuckDB oracle ([[graft.functions.PolyHash56]]). */
+    * — `(a_i * (h mod M31) + b_i) mod M31` — instead of k seeded xxhash64
+    * calls: one fold + k multiply-adds per shingle (cheaper), and the
+    * whole signature is replayable in the DuckDB oracle
+    * ([[graft.functions.PolyHash56]]). */
   def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    import graft.functions.{PolyHash56, PortableHash => PH}
-    val h31 = pmod(PolyHash56(col("shingle")), lit(PH.M31))
+    import graft.functions.{PortableHash => PH}
+    val h31 = pmod(col("__sh"), lit(PH.M31))
     val aggs = (0 until k).map(i =>
       min((lit(PH.minhashA(i)) * h31 + lit(PH.minhashB(i))) % lit(PH.M31)).as(s"mh_$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -113,16 +125,17 @@ object Dedup {
 
   /** Exact pairwise Jaccard over shingle sets for a candidate-pair frame —
     * the verification stage after LSH. Cost is proportional to the
-    * CANDIDATES, not the corpus: shingles are first semi-joined down to docs
-    * that appear in a pair (LSH keeps that set small by design), then
-    * co-shingle-joined on an 8-byte hash of the shingle instead of the
-    * string (collision odds ~n²/2⁶⁴ — immaterial). Per-doc `sizes` rides a
-    * broadcast, so the verify stage adds no extra shuffle of the pair set. */
+    * CANDIDATES, not the corpus: hashed shingles ([[shingleHashes]]) are
+    * first semi-joined down to docs that appear in a pair (LSH keeps that
+    * set small by design), then co-shingle-joined on the 8-byte hash
+    * (within-doc collision odds ~ grams²/2⁵⁵ — immaterial). Per-doc
+    * `sizes` rides a broadcast, so the verify stage adds no extra shuffle
+    * of the pair set. */
   def jaccardForPairs(sh: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val candDocs = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
     val shc = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
-      .select(col(idCol), xxhash64(col("shingle")).as("__sh"))
+      .select(col(idCol), col("__sh"))
     val sizes = shc.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = shc.select(col(idCol).as("id_a"), col("__sh"))
       .join(shc.select(col(idCol).as("id_b"), col("__sh")), Seq("__sh"))
@@ -145,12 +158,10 @@ object Dedup {
     // materialize candidate pairs and re-join (that doubles the dominant
     // shuffle). Co-grouped pairs that never share a shingle have Jaccard 0
     // and can't pass any positive threshold, so skipping them is exact.
-    // shingle strings hashed to 8-byte keys before the join: the dominant
-    // shuffle carries longs, not ~20-char strings. Persisted because both
-    // join sides and the sizes agg reference it.
-    val sh = shingles(df, textCol, idCol, n)
-      .select(col(idCol), xxhash64(col("shingle")).as("__sh"))
-      .persist()
+    // Hashed shingles from the start: the dominant shuffle carries longs
+    // that never existed as gram strings. Persisted because both join
+    // sides and the sizes agg reference it.
+    val sh = shingleHashes(df, textCol, idCol, n).persist()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col(idCol).as("id_a"), col("__sh"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh")), Seq("__sh"))
@@ -174,7 +185,7 @@ object Dedup {
     * pairs ≥ threshold. Linear-cost scale path for [[ngramJaccardPairs]]. */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(df, textCol, idCol, n).persist()
+    val sh = shingleHashes(df, textCol, idCol, n).persist()
     // materialize the signatures: lshCandidatePairs references them on BOTH
     // sides of its bucket self-join, and without truncation each side
     // re-runs the whole shingle+32-agg pipeline (measured 3.5s → 1.1s for

@@ -103,6 +103,19 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(byFp == byText)
   }
 
+  test("fused n-gram hash is bit-identical to hashing the gram strings") {
+    import graft.functions.PolyHash56
+    val viaStrings = Dedup.shingles(docs, "text", "doc_id", 3)
+      .select(col("doc_id"), PolyHash56(col("shingle")).as("__sh"))
+    val fused = Dedup.shingleHashes(docs, "text", "doc_id", 3)
+    assert(viaStrings.exceptAll(fused).isEmpty && fused.exceptAll(viaStrings).isEmpty)
+    // short-doc branch: fewer tokens than n collapses to one whole-doc gram
+    import spark.implicits._
+    val shorty = Seq((1L, "only two")).toDF("doc_id", "text")
+    val f = Dedup.shingleHashes(shorty, "text", "doc_id", 3).select("__sh").as[Long].head()
+    assert(f == PolyHash56.hash("only two"))
+  }
+
   test("bloom decontamination equals exact decontamination") {
     val bench = docs.filter(col("doc_id") % 13 === 0)
     val exact = TextAnalysis.decontaminate(docs, bench, "text", "doc_id")
