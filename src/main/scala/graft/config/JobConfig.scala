@@ -109,6 +109,10 @@ final case class SinkSpec(
     bucketBy: Seq[String] = Nil,
     numBuckets: Int = 0,
     sortBy: Seq[String] = Nil,
+    // z-order layout on exactly two integer cell columns (graft.x.Layout):
+    // output files become tight hyper-rectangles in both dimensions, so
+    // min/max stats prune either predicate
+    zorderBy: Seq[String] = Nil,
     // jdbc sinks
     jdbcUrl: Option[String] = None,
     tableName: Option[String] = None
@@ -214,6 +218,7 @@ object JobConfig {
       bucketBy = strs(s, "bucketBy"),
       numBuckets = str(s, "numBuckets").map(_.toInt).getOrElse(0),
       sortBy = strs(s, "sortBy"),
+      zorderBy = strs(s, "zorderBy"),
       jdbcUrl = str(s, "jdbcUrl"),
       tableName = str(s, "tableName")
     )

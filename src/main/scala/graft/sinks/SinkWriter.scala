@@ -24,6 +24,26 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object SinkWriter {
 
   def write(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
+    // W11+ z-order layout pass: one range shuffle + in-partition sort on
+    // the interleaved key, applied before any load strategy so every file
+    // the writer emits covers a tight (x, y) box (the helper column is
+    // dropped; projection preserves the in-partition order)
+    val laid =
+      if (sink.zorderBy.isEmpty) df
+      else {
+        require(sink.zorderBy.size == 2,
+          s"zorderBy takes exactly two integer cell columns, got ${sink.zorderBy}")
+        graft.x.Layout.zOrder(df,
+          org.apache.spark.sql.functions.col(sink.zorderBy.head),
+          org.apache.spark.sql.functions.col(sink.zorderBy(1)),
+          zCol = "__graft_z",
+          numPartitions = sink.options.get("zorderPartitions").map(_.toInt).getOrElse(0))
+          .drop("__graft_z")
+      }
+    writeLaid(spark, laid, sink)
+  }
+
+  private def writeLaid(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
     sink.loadType.toLowerCase match {
       case "simpleinsert"   => writeFile(df, sink, SaveMode.valueOf(camel(sink.savemode)))
       case "truncateinsert" => writeFile(df, sink, SaveMode.Overwrite)

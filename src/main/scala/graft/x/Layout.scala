@@ -49,8 +49,14 @@ object Layout {
     * clustered layout (each output file covers a small hyper-rectangle of
     * the two dimensions, so its min/max column stats prune both). */
   def zOrder(df: DataFrame, x: Column, y: Column, bits: Int = 16,
-      zCol: String = "z"): DataFrame = {
+      zCol: String = "z", numPartitions: Int = 0): DataFrame = {
     val withZ = df.withColumn(zCol, zValue(x, y, bits))
-    withZ.repartitionByRange(col(zCol)).sortWithinPartitions(zCol)
+    // numPartitions > 0 pins the output file count (AQE otherwise
+    // coalesces a small shuffle into one partition — right for data
+    // volume, wrong when the point is N clustered files)
+    val parted =
+      if (numPartitions > 0) withZ.repartitionByRange(numPartitions, col(zCol))
+      else withZ.repartitionByRange(col(zCol))
+    parted.sortWithinPartitions(zCol)
   }
 }

@@ -35,6 +35,31 @@ class FormatsSpec extends AnyFunSuite {
       options = Map("versionAsOf" -> "1"))).count() == 3)
   }
 
+  test("versioned table change feed: manifest diffs yield insert/delete rows") {
+    val path = Files.createTempDirectory("graft-cdf").toString + "/tbl"
+    VersionedParquet.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), path, "overwrite") // v0
+    VersionedParquet.write(Seq((3, "c")).toDF("id", "v"), path, "append")              // v1
+    VersionedParquet.write(Seq((9, "z")).toDF("id", "v"), path, "overwrite")           // v2
+
+    // (0, 1]: just the appended row as an insert
+    val c01 = VersionedParquet.readChanges(spark, path, fromVersion = 0, toVersion = Some(1))
+    assert(c01.select("id", "_change_type").as[(Int, String)].collect().toSet ==
+      Set((3, "insert")))
+
+    // (0, 2]: v1 insert, then the overwrite deletes all 3 visible rows and
+    // inserts the new one
+    val c02 = VersionedParquet.readChanges(spark, path, fromVersion = 0)
+    val got = c02.select("id", "_change_type", "_commit_version")
+      .as[(Int, String, Long)].collect().toSet
+    assert(got == Set((3, "insert", 1L),
+      (1, "delete", 2L), (2, "delete", 2L), (3, "delete", 2L), (9, "insert", 2L)))
+
+    // empty range keeps the table schema plus the CDF columns
+    val none = VersionedParquet.readChanges(spark, path, fromVersion = 2)
+    assert(none.isEmpty &&
+      none.columns.toSeq == Seq("id", "v", "_change_type", "_commit_version"))
+  }
+
   test("excel source reads a standard xlsx (shared strings + numbers)") {
     val dir = Files.createTempDirectory("graft-xlsx")
     val file = dir.resolve("book.xlsx")

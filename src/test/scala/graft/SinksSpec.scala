@@ -78,6 +78,34 @@ class SinksSpec extends AnyFunSuite {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(segment"))
   }
 
+  test("zorderBy sink layout clusters both dimensions per output file") {
+    val out = tmpDir() + "/zorder"
+    val n = 4096
+    val df = (0 until n).map(i => (i.toLong % 64, i.toLong * 2654435761L % 64, i))
+      .toDF("xc", "yc", "payload")
+    SinkWriter.write(spark, df,
+      SinkSpec("t", format = "parquet", path = Some(out), savemode = "overwrite",
+        zorderBy = Seq("xc", "yc"), options = Map("zorderPartitions" -> "8")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == n && back.columns.toSet == Set("xc", "yc", "payload"))
+    // per-file bounding boxes must be materially tighter than the 64x64
+    // domain (the whole point of the layout: min/max stats prune both dims)
+    val files = Files.list(Paths.get(out)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toList
+    assert(files.size > 1)
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.max("xc").minus(org.apache.spark.sql.functions.min("xc")).as("dx"),
+          org.apache.spark.sql.functions.max("yc").minus(org.apache.spark.sql.functions.min("yc")).as("dy"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(boxes.forall { case (dx, dy) => dx < 64 || dy < 64 },
+      s"every file spans the full domain in both dims: $boxes")
+    assert(boxes.count { case (dx, dy) => dx <= 32 && dy <= 32 } * 2 >= boxes.size,
+      s"at least half the files should sit in a quarter-domain box: $boxes")
+  }
+
   test("errors sink stamps job name and timestamp") {
     val out = tmpDir() + "/err"
     val bad = Seq((1, "dup")).toDF("id", "why")
