@@ -901,6 +901,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // unigram-LM surprisal quality score (perplexity proxy); decimal-
+    // quantized logs make the distributed sum exact, hence hash-matchable
+    "x30_unigram_quality" -> ((s, dir) => {
+      reg(s, dir)
+      // mean_nll is emitted UNROUNDED: the decimal sum is exact, so the
+      // final double division is one IEEE op both engines agree on
+      // bit-for-bit, while ROUND at a half-way boundary is not (2/500
+      // rows flipped the 6th decimal between HALF_UP and round-half-even)
+      TextAnalysis.unigramLogProb(s.table("documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("mean_nll"))
+        .orderBy("doc_id")
+    }),
+
     "x24_repetition_filter" -> ((s, dir) => {
       reg(s, dir)
       TextAnalysis.repetitionStats(s.table("documents"), "text", "doc_id")
@@ -1659,6 +1673,22 @@ object SparkEntry {
              MIN(yc) AS min_y, MAX(yc) AS max_y
       FROM z GROUP BY 1
       ORDER BY bucket""",
+
+    "x30_unigram_quality" -> """
+      WITH toks AS (
+        SELECT doc_id, UNNEST(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS tok
+        FROM documents),
+      t2 AS (SELECT doc_id, tok FROM toks WHERE LEN(tok) > 0),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM t2 GROUP BY doc_id, tok),
+      vocab AS (SELECT tok, SUM(c) AS gc FROM tf GROUP BY tok),
+      tot AS (SELECT SUM(gc) AS n FROM vocab)
+      SELECT tf.doc_id, CAST(SUM(tf.c) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(-LN(CAST(gc AS DOUBLE) / CAST(n AS DOUBLE))
+                           AS DECIMAL(18,8)) * tf.c) AS DOUBLE)
+               / CAST(SUM(tf.c) AS DOUBLE) AS mean_nll
+      FROM tf JOIN vocab USING (tok), tot
+      GROUP BY tf.doc_id
+      ORDER BY tf.doc_id""",
 
     "x27_domain_stats" -> """
       WITH u AS (

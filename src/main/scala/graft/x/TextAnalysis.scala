@@ -263,6 +263,45 @@ object TextAnalysis {
     clean.unionByName(falsePositives).drop("__fp")
   }
 
+  /** Unigram language-model surprisal — the cheap perplexity proxy for
+    * quality filtering: score(doc) = mean −ln p(token) under the corpus's
+    * own unigram distribution. Gibberish / rare-token-stuffed documents
+    * score high, natural text low. Two shuffles: (a) global token counts
+    * (map-side combine), (b) per-(doc, token) counts; the per-token log
+    * weight joins back on the token (Catalyst broadcasts when the vocab
+    * is small; at 100 TB the vocab table shuffles once and heavy hitters
+    * dominate their partitions harmlessly — counts, not documents).
+    *
+    * Determinism across engines: ln() values are quantized to
+    * DECIMAL(18,8) BEFORE summation, so the aggregate is exact integer
+    * arithmetic — immune to the FP-addition association order that a
+    * distributed sum cannot pin down — and the DuckDB oracle reproduces
+    * every score bit-for-bit. */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = tf.groupBy("tok").agg(sum("c").as("gc"))
+    val total = vocab.agg(sum("gc").as("__n"))
+    // single rounding step: the raw IEEE -ln() double is cast straight to
+    // DECIMAL(18,8) (round(double, 8) first would double-round — the
+    // rounded double can't represent the 8-decimal value, and engines
+    // disagree on the re-round)
+    val nll = (-log(col("gc").cast("double") / col("__n").cast("double")))
+      .cast("decimal(18,8)")
+    // c narrowed to decimal(10,0): decimal(18,8) × bigint would need
+    // precision 39 > 38, and Spark's allowPrecisionLoss default silently
+    // drops the product to scale 7 — a 1e-8-level error per token that
+    // breaks the exact-sum contract. 18+10+1 = 29 keeps scale 8 exact.
+    tf.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("__nll", nll * col("c").cast("decimal(10,0)"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_tokens"),
+        (sum("__nll").cast("double") / sum("c").cast("double")).as("mean_nll"))
+  }
+
   /** Repetition statistics (Gopher-style quality rules): unique-token
     * ratio and the share of the single most frequent token. Highly
     * repetitive documents (boilerplate, keyword stuffing, degenerate
