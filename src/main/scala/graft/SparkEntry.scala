@@ -903,6 +903,21 @@ object SparkEntry {
 
     // unigram-LM surprisal quality score (perplexity proxy); decimal-
     // quantized logs make the distributed sum exact, hence hash-matchable
+    // IVF-PQ's other half: PQ-encode the corpus (8 subspaces × argmin
+    // code) and answer top-k by asymmetric distance — the corpus side of
+    // the query never touches floats, only 8 table lookups per vector
+    "x31_pq_topk" -> ((s, dir) => {
+      reg(s, dir)
+      val emb = s.table("embeddings")
+      val cb = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      Similarity.pqTopK(emb, queries, cb, "vec_id", "q_id", "code", "embedding",
+          subspaces = 8, subDim = 8, k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
     "x30_unigram_quality" -> ((s, dir) => {
       reg(s, dir)
       // mean_nll is emitted UNROUNDED: the decimal sum is exact, so the
@@ -983,6 +998,16 @@ object SparkEntry {
     s"(CASE WHEN $e = '' THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
       s"(a, b) -> (a*131 + b) & ${graft.functions.PolyHash56.Mask55}) END)"
+
+  /** Per-subspace euclidean over slice `s` (a column from RANGE) of two
+    * 64-dim lists — same fixed association as [[eucSql]] so the doubles
+    * match the engine's fold bit-for-bit. */
+  private def subEucSql(a: String, b: String, subDim: Int = 8): String =
+    "SQRT(" + (1 to subDim).map { i =>
+      val ai = s"CAST($a[s*$subDim+$i] AS DOUBLE)"
+      val bi = s"CAST($b[s*$subDim+$i] AS DOUBLE)"
+      s"($ai - $bi)*($ai - $bi)"
+    }.mkString("(", " + ", ")") + ")"
 
   /** DuckDB replay of [[graft.x.Layout.zValue]]: the identical bit
     * interleave as an OR-chain of shift/mask terms. */
@@ -1673,6 +1698,32 @@ object SparkEntry {
              MIN(yc) AS min_y, MAX(yc) AS max_y
       FROM z GROUP BY 1
       ORDER BY bucket""",
+
+    "x31_pq_topk" -> s"""
+      WITH sub AS (SELECT UNNEST(RANGE(8)) AS s),
+      cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      enc AS (
+        SELECT vec_id, s, code FROM (
+          SELECT e.vec_id, sub.s, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, sub.s
+              ORDER BY ${subEucSql("e.embedding", "cb.cv")} ASC, cb.code ASC) AS rk
+          FROM embeddings e, sub, cb) t
+        WHERE rk = 1),
+      qt AS (
+        SELECT q.vec_id AS q_id, sub.s, cb.code,
+               CAST(${subEucSql("q.embedding", "cb.cv")} AS DECIMAL(20,10)) AS d
+        FROM embeddings q, sub, cb WHERE q.vec_id < 3),
+      adc AS (
+        SELECT qt.q_id, e.vec_id, SUM(qt.d) AS dist
+        FROM enc e JOIN qt ON qt.s = e.s AND qt.code = e.code
+        GROUP BY qt.q_id, e.vec_id),
+      ranked AS (
+        SELECT q_id, vec_id, dist,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, vec_id ASC) AS rk
+        FROM adc)
+      SELECT q_id, vec_id, CAST(dist AS DOUBLE) AS adc_dist, CAST(rk AS BIGINT) AS rank
+      FROM ranked WHERE rk <= 5
+      ORDER BY q_id, rank""",
 
     "x30_unigram_quality" -> """
       WITH toks AS (

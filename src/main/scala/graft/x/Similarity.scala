@@ -175,4 +175,86 @@ object Similarity {
       .filter(col("__rk") <= k)
       .select(col(qIdCol), col(idCol), col("cosine"), col("__rk").as("rank"))
   }
+
+  /** Product-quantization encode: split each vector into `subspaces`
+    * subvectors of `subDim` dims and replace each with the index of its
+    * nearest codebook entry (L2 argmin, ties → lowest code). 64 float
+    * dims compress to `subspaces` small ints — the memory/bandwidth step
+    * that, layered on IVF cells, is the canonical billion-scale ANN
+    * stack (IVF-PQ).
+    *
+    * Plan: corpus explodes to `subspaces` rows/vector and joins the
+    * BROADCAST codebook (subspaces × C tiny rows); per-(vector, subspace)
+    * argmin is `min(struct(dist, code))` — a plain aggregate with map-side
+    * partials, no window, no self-join; codes reassemble ordered by
+    * subspace. One shuffle keyed on the vector id.
+    *
+    * `codebook(codeCol, vecCol)` carries FULL-dimension vectors sliced the
+    * same way as the corpus (so any `kmeansStep`-refined or sampled frame
+    * works as-is). */
+  def pqEncode(
+      corpus: DataFrame, codebook: DataFrame,
+      idCol: String, codeCol: String, vecCol: String,
+      subspaces: Int, subDim: Int
+  ): DataFrame =
+    pqEncodeLong(corpus, codebook, idCol, codeCol, vecCol, subspaces, subDim)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("s"), col("code")))).as("__a"))
+      .select(col(idCol), transform(col("__a"), e => e.getField("code")).as("codes"))
+
+  /** [[pqEncode]] in long form — (idCol, s, code) — the shape the ADC
+    * join consumes directly. */
+  def pqEncodeLong(
+      corpus: DataFrame, codebook: DataFrame,
+      idCol: String, codeCol: String, vecCol: String,
+      subspaces: Int, subDim: Int
+  ): DataFrame = {
+    val cb = subspaced(codebook, codeCol, vecCol, subspaces, subDim)
+      .withColumnRenamed("__sv", "__cbv").withColumnRenamed(codeCol, "code")
+    subspaced(corpus, idCol, vecCol, subspaces, subDim)
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("__d", euclideanDistance(col("__sv"), col("__cbv")))
+      .groupBy(col(idCol), col("s"))
+      .agg(min(struct(col("__d"), col("code"))).as("__m"))
+      .select(col(idCol), col("s"), col("__m.code").as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each query
+    * precomputes its `subspaces × C` distance table against the codebook
+    * (broadcast), and a corpus vector's approximate distance is the SUM of
+    * its codes' table entries — the corpus side never touches floats
+    * again. Table entries are quantized to DECIMAL(20,10) before the sum
+    * so the distributed aggregate is exact (same determinism contract as
+    * the text scoring ops). */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+      idCol: String, qIdCol: String, codeCol: String, vecCol: String,
+      subspaces: Int, subDim: Int, k: Int
+  ): DataFrame = {
+    val enc = pqEncodeLong(corpus, codebook, idCol, codeCol, vecCol, subspaces, subDim)
+    val cb = subspaced(codebook, codeCol, vecCol, subspaces, subDim)
+      .withColumnRenamed("__sv", "__cbv").withColumnRenamed(codeCol, "code")
+    val qt = subspaced(queries, qIdCol, vecCol, subspaces, subDim)
+      .withColumnRenamed("__sv", "__qv")
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("__d",
+        euclideanDistance(col("__qv"), col("__cbv")).cast("decimal(20,10)"))
+      .select(col(qIdCol), col("s"), col("code"), col("__d"))
+    val adc = enc.join(broadcast(qt), Seq("s", "code"))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(sum("__d").as("__dist"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("__dist").asc, col(idCol).asc)
+    adc.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(qIdCol), col(idCol),
+        col("__dist").cast("double").as("adc_dist"), col("__rk").as("rank"))
+  }
+
+  /** (id, s, __sv): one row per subspace with the vector's s-th slice. */
+  private def subspaced(df: DataFrame, idCol: String, vecCol: String,
+      subspaces: Int, subDim: Int): DataFrame =
+    df.select(col(idCol), explode(sequence(lit(0), lit(subspaces - 1))).as("s"),
+        col(vecCol))
+      .select(col(idCol), col("s"),
+        slice(col(vecCol), col("s") * subDim + 1, lit(subDim)).as("__sv"))
 }
