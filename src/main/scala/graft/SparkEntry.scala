@@ -338,6 +338,20 @@ object SparkEntry {
       GROUP BY b.band_name
       ORDER BY band_name"""),
 
+    // RANGE frame (value-based window): trailing-30-day running totals —
+    // peers at the same day all enter the frame, unlike ROWS; decimal
+    // casts keep the framed sums exact across engines
+    "q35_window_range_frame" -> sqlQ("""
+      SELECT o_orderkey, o_custkey, d,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_30d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS total_30d
+      FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+              CAST(DATEDIFF(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT) AS d
+            FROM orders)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderkey"""),
+
     "q31_percentiles" -> sqlQ("""
       SELECT l_returnflag,
         ROUND(PERCENTILE(l_quantity, 0.25), 4) AS p25_qty,
@@ -1528,6 +1542,17 @@ object SparkEntry {
       FROM base b JOIN chk c ON b.media_id = c.media_id
                   JOIN feats f ON b.media_id = f.media_id
       ORDER BY b.media_id, idx""",
+
+    "q35_window_range_frame" -> """
+      SELECT o_orderkey, o_custkey, d,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_30d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS total_30d
+      FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+              CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+            FROM orders)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderkey""",
 
     "q34_approx_percentile" -> """
       SELECT l_returnflag,

@@ -39,6 +39,24 @@ class JdbcSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM rich_v").head().getLong(0) == 2)
   }
 
+  test("partitioned jdbc read splits into parallel range queries") {
+    val big = spark.range(0, 1000).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS bal")
+    SinkWriter.write(spark, big, SinkSpec("t", format = "jdbc",
+      jdbcUrl = Some(url), tableName = Some("big_tab"), savemode = "overwrite"))
+    // the reader option passthrough carries Spark's partitioned-read
+    // contract (partitionColumn/bounds/numPartitions) — at warehouse scale
+    // this is the difference between one connection streaming the table
+    // and N executors each pulling a range
+    val back = SourceReader.read(spark, InputSpec("big_v", format = "jdbc",
+      jdbcUrl = Some(url), tableName = Some("big_tab"),
+      options = Map("partitionColumn" -> "id", "lowerBound" -> "0",
+        "upperBound" -> "1000", "numPartitions" -> "4")))
+    assert(back.rdd.getNumPartitions == 4, s"got ${back.rdd.getNumPartitions} partitions")
+    assert(back.count() == 1000)
+    // ranges are disjoint+exhaustive: no dup or dropped ids
+    assert(back.select("id").distinct().count() == 1000)
+  }
+
   test("truncateInsert on jdbc replaces contents") {
     val sink = SinkSpec("t", loadType = "truncateInsert", format = "jdbc",
       jdbcUrl = Some(url), tableName = Some("tr_tab"))
