@@ -50,8 +50,16 @@ object SourceReader {
       case "sql" => // additional-input SQL over already-registered views (spark.json:36-38)
         spark.sql(in.sql.getOrElse(sys.error(s"sql input ${in.dataFrameName} needs sql")))
       case "deltalake" | "delta" => // S9: versioned-parquet substitute (offline build)
-        VersionedParquet.read(spark, in.path.get,
-          in.options.get("versionAsOf").map(_.toLong))
+        // incremental consumption: changesSince=<v> binds the CDF rows
+        // committed after version v (insert/delete + _commit_version)
+        // instead of a snapshot — the input an incremental pipeline step
+        // declares to avoid re-reading the accumulated table
+        in.options.get("changesSince") match {
+          case Some(v) => VersionedParquet.readChanges(spark, in.path.get, v.toLong,
+            in.options.get("changesUntil").map(_.toLong))
+          case None => VersionedParquet.read(spark, in.path.get,
+            in.options.get("versionAsOf").map(_.toLong))
+        }
       case "excel" | "xlsx" => // S7: minimal built-in xlsx reader (offline build)
         ExcelSource.read(spark, in.path.get,
           header = in.header || in.options.get("header").contains("true"))

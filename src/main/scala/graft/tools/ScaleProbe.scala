@@ -52,6 +52,41 @@ object ScaleProbe {
         f"neardup=${(System.nanoTime() - t0) / 1e9}%6.2fs  pairs=$pairs")
       spark.catalog.clearCache()
     }
+    // PQ ADC probe: corpus inflates, codebook/queries fixed — corpus-side
+    // work per vector is 8 subspace argmins at encode + 8 table lookups at
+    // query, so growth should be linear with a flat per-row cost
+    Seq(1, 4, 16).foreach { k =>
+      val inflated = (0 until k).map(i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val cb = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      val rows = graft.x.Similarity.pqTopK(inflated, queries, cb,
+        "vec_id", "q_id", "code", "embedding", subspaces = 8, subDim = 8, k = 10).count()
+      println(f"[scale-pq] vecs=$n%7d  pq_topk=${(System.nanoTime() - t0) / 1e9}%6.2fs  rows=$rows")
+      spark.catalog.clearCache()
+    }
+
+    // bloom decontamination probe: corpus inflates, blocklist fixed — the
+    // corpus path is a map-side probe, so this should be scan-bound linear
+    Seq(1, 4, 16).foreach { k =>
+      val inflated = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+          .withColumn("text", concat(col("text"), lit(" b" + i))))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val bench = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      val t0 = System.nanoTime()
+      val kept = graft.x.TextAnalysis.bloomDecontaminate(
+        inflated, bench, "text", "doc_id", expectedItems = 1000L).count()
+      println(f"[scale-bloom] docs=$n%7d  decontaminate=${(System.nanoTime() - t0) / 1e9}%6.2fs  kept=$kept")
+      spark.catalog.clearCache()
+    }
+
     factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus

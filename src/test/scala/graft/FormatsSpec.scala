@@ -58,6 +58,14 @@ class FormatsSpec extends AnyFunSuite {
     val none = VersionedParquet.readChanges(spark, path, fromVersion = 2)
     assert(none.isEmpty &&
       none.columns.toSeq == Seq("id", "v", "_change_type", "_commit_version"))
+
+    // declarative surface: an input with changesSince binds the feed, so a
+    // config-driven incremental step consumes commits, not snapshots
+    val viaConfig = SourceReader.read(spark, graft.config.InputSpec(
+      "tbl_changes", "deltalake", Some(path),
+      options = Map("changesSince" -> "0", "changesUntil" -> "1")))
+    assert(viaConfig.select("id", "_change_type").as[(Int, String)].collect().toSet ==
+      Set((3, "insert")))
   }
 
   test("excel source reads a standard xlsx (shared strings + numbers)") {
