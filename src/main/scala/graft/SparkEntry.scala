@@ -920,6 +920,15 @@ object SparkEntry {
     // IVF-PQ's other half: PQ-encode the corpus (8 subspaces × argmin
     // code) and answer top-k by asymmetric distance — the corpus side of
     // the query never touches floats, only 8 table lookups per vector
+    // epoch shuffle: reproducible (shard, pos) permutation — parallel
+    // per-shard windows, never a single-partition global sort
+    "x32_epoch_shuffle" -> ((s, dir) => {
+      reg(s, dir)
+      Sampling.shuffleShards(s.table("documents"), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
+
     "x31_pq_topk" -> ((s, dir) => {
       reg(s, dir)
       val emb = s.table("embeddings")
@@ -1723,6 +1732,17 @@ object SparkEntry {
              MIN(yc) AS min_y, MAX(yc) AS max_y
       FROM z GROUP BY 1
       ORDER BY bucket""",
+
+    "x32_epoch_shuffle" -> s"""
+      WITH h AS (
+        SELECT doc_id,
+          ${polySql("CAST(doc_id AS VARCHAR) || ':epoch0:shard'")} % 8 AS shard,
+          ${polySql("CAST(doc_id AS VARCHAR) || ':epoch0:pos'")} AS ord
+        FROM documents)
+      SELECT doc_id, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+      FROM h
+      ORDER BY shard, pos""",
 
     "x31_pq_topk" -> s"""
       WITH sub AS (SELECT UNNEST(RANGE(8)) AS s),

@@ -211,10 +211,41 @@ object Dedup {
     * are materialized per round (at 100 TB: a staged table) so lineage
     * doesn't deepen; convergence is detected by a change count, so the
     * loop stops as soon as labels are stable. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverThreshold: Long = 1 << 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
+    // Adaptive strategy (same spirit as AQE's runtime join switch): the
+    // edge list of a near-dup graph is orders of magnitude smaller than
+    // the corpus (it's the MATCHES, not the documents), so when it fits
+    // comfortably on the driver a single union-find pass replaces ~4
+    // Spark jobs per propagation round. The distributed label-propagation
+    // path below remains the correctness-identical fallback for edge sets
+    // that don't fit (both converge to the min-reachable-id labeling).
+    val nEdges = edges.count()
+    if (nEdges <= driverThreshold) {
+      val es = edges.filter(col("src") < col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by MIN root so labels match the propagation path
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "comp")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
     var changed = 1L

@@ -52,6 +52,29 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** Deterministic epoch shuffle, sharded: assigns every row a
+    * (shard, pos) — a reproducible random permutation expressed the way
+    * training pipelines consume one (shard = output file, pos = order
+    * within it), so adjacent source documents (same crawl, same domain)
+    * scatter across batches. Both coordinates are pure functions of
+    * (id, salt): shard = salted hash mod nShards, pos = rank of a second
+    * salted hash within the shard (id breaks ties). Stable under
+    * partitioning, retries, and engine; re-salting gives the next epoch's
+    * permutation. One hash-shuffle + per-shard sort — the windows are
+    * PARTITIONED by shard, so there is no single-partition global sort
+    * anywhere (a global row_number would serialize the corpus through one
+    * task at 100 TB). */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "epoch0"): DataFrame = {
+    val shard = pmod(PolyHash56(concat(col(idCol).cast("string"), lit(":" + salt + ":shard"))),
+      lit(nShards.toLong))
+    val order = PolyHash56(concat(col(idCol).cast("string"), lit(":" + salt + ":pos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(order.asc, col(idCol).asc)
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+  }
+
   /** Deterministic fixed-size sample: the `n` rows with the smallest salted
     * hash — a reproducible stand-in for reservoir sampling (same marginal
     * uniformity, but re-runnable and mergeable: the global top-n of a

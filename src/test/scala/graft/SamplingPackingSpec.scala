@@ -85,6 +85,31 @@ class SamplingPackingSpec extends AnyFunSuite {
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rev == comp)
+    // the distributed label-propagation fallback (driverThreshold = 0)
+    // produces identical labels to the driver union-find fast path
+    val dist = graft.x.Dedup.connectedComponents(pairs, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == comp, s"paths diverged: driver=$comp distributed=$dist")
+  }
+
+  test("epoch shuffle: partitioning-invariant; epochs decorrelate; positions dense") {
+    val e0 = Sampling.shuffleShards(docs, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos")
+    val e0b = Sampling.shuffleShards(docs.repartition(17), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos")
+    assert(e0.exceptAll(e0b).isEmpty && e0b.exceptAll(e0).isEmpty,
+      "permutation must not depend on input partitioning")
+    // per-shard positions are dense 0..n_s-1
+    val bad = e0.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") - 1 || col("mn") =!= 0).count()
+    assert(bad == 0)
+    // a new salt is a genuinely different permutation: most docs move shard
+    val e1 = Sampling.shuffleShards(docs, "doc_id", nShards = 8, salt = "epoch1")
+      .select(col("doc_id"), col("shard").as("shard1"))
+    val same = e0.join(e1, "doc_id").filter(col("shard") === col("shard1")).count()
+    val total = docs.count()
+    assert(same.toDouble / total < 0.3, s"$same/$total kept their shard across epochs")
   }
 
   test("kmeans step: means are partitioning-independent and centroid-attracting") {
