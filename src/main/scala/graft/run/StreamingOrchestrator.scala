@@ -29,6 +29,8 @@ class StreamingOrchestrator(spark: SparkSession) {
     * to awaitTermination or processAllAvailable). */
   def run(cfg: JobConfig, trigger: Trigger = Trigger.AvailableNow()): Seq[StreamingQuery] = {
     cfg.sparkConfig.foreach { case (k, v) => spark.conf.set(k, v) }
+    // same SQL surface as batch: custom expressions callable from sqlQuery
+    graft.functions.GraftFunctions.register(spark)
     val tmp = cfg.tempPath.getOrElse(
       java.nio.file.Files.createTempDirectory(s"graft-stream-${cfg.jobName}").toString)
 
