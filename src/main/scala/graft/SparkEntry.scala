@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Scd2, Validations}
 import graft.sources.SourceReader
 import graft.config.ColumnMapping
-import graft.x.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.x.{Dedup, EventAnalytics, Multimodal, Profiler, Sampling, Similarity, TextAnalysis}
 import graft.streaming.StreamingJobs
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -929,6 +929,44 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "q36_funnel" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.funnel(s.table("events"), "user_id", "ts", "event_id",
+          "event_type", Seq("signup", "view", "click", "purchase"))
+        .orderBy("stage_idx")
+    }),
+
+    "q37_retention" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.retention(s.table("events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    "x33_profile" -> ((s, dir) => {
+      reg(s, dir)
+      // status_nullable injects NULLs so the null-count path is exercised
+      val df = s.table("orders").select(col("o_orderkey"), col("o_custkey"),
+        expr("NULLIF(o_orderstatus, 'O')").as("status_nullable"), col("o_orderpriority"))
+      Profiler.profile(df,
+          Seq("o_orderkey", "o_custkey", "status_nullable", "o_orderpriority"))
+        .orderBy("column_name")
+    }),
+
+    "x34_anomaly" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.dailyAnomalies(s.table("events"), "ts", "event_type", z = 2)
+        .orderBy("event_type", "day")
+    }),
+
+    "x35_mixture_rebalance" -> ((s, dir) => {
+      reg(s, dir)
+      // 3:1:1:1 target mix over four sources; other sources dropped
+      Sampling.mixtureRebalance(s.table("documents"), "doc_id", "source",
+          Map("src0" -> 3L, "src1" -> 1L, "src2" -> 1L, "src3" -> 1L))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    }),
+
     "x31_pq_topk" -> ((s, dir) => {
       reg(s, dir)
       val emb = s.table("embeddings")
@@ -1743,6 +1781,107 @@ object SparkEntry {
              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
       FROM h
       ORDER BY shard, pos""",
+
+    // replay the funnel fold exactly: per user, time-sort the events
+    // (ts, id, type — struct comparison is positional on both engines),
+    // map to stage codes, left-fold "advance iff this event is the next
+    // stage", then one row per completed stage via series-unnest
+    "q36_funnel" -> """
+      WITH per_user AS (
+        SELECT user_id,
+          list_reduce(
+            list_prepend(0,
+              list_transform(
+                list_sort(list(struct_pack(t := ts, i := event_id, e := event_type))),
+                x -> CASE WHEN x.e = 'signup' THEN 0 WHEN x.e = 'view' THEN 1
+                          WHEN x.e = 'click' THEN 2 WHEN x.e = 'purchase' THEN 3
+                          ELSE -1 END)),
+            (a, b) -> CASE WHEN b = a THEN a + 1 ELSE a END) AS depth
+        FROM events GROUP BY user_id)
+      SELECT CAST(k AS INT) AS stage_idx,
+        CASE k WHEN 1 THEN 'signup' WHEN 2 THEN 'view'
+               WHEN 3 THEN 'click' WHEN 4 THEN 'purchase' END AS stage,
+        CAST(COUNT(*) AS BIGINT) AS users_reached
+      FROM per_user, UNNEST(generate_series(1, depth)) AS u(k)
+      WHERE depth >= 1
+      GROUP BY k
+      ORDER BY stage_idx""",
+
+    "q37_retention" -> """
+      WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+        FROM events GROUP BY user_id),
+      act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        FROM events)
+      SELECT STRFTIME(cw, '%Y-%m-%d') AS cohort_week,
+        CAST(date_diff('day', cw, w) // 7 AS INT) AS week_offset,
+        CAST(COUNT(*) AS BIGINT) AS active_users
+      FROM act JOIN firsts USING (user_id)
+      GROUP BY cw, week_offset
+      ORDER BY cohort_week, week_offset""",
+
+    "x33_profile" -> """
+      SELECT * FROM (
+        SELECT 'o_orderkey' AS column_name,
+          CAST(COUNT(o_orderkey) AS BIGINT) AS non_null,
+          CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS nulls,
+          CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+          CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+          CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(COUNT(o_custkey) AS BIGINT),
+          CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+          CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+          CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'status_nullable', CAST(COUNT(NULLIF(o_orderstatus, 'O')) AS BIGINT),
+          CAST(COUNT(*) - COUNT(NULLIF(o_orderstatus, 'O')) AS BIGINT),
+          CAST(COUNT(DISTINCT NULLIF(o_orderstatus, 'O')) AS BIGINT),
+          CAST(MIN(NULLIF(o_orderstatus, 'O')) AS VARCHAR),
+          CAST(MAX(NULLIF(o_orderstatus, 'O')) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(COUNT(o_orderpriority) AS BIGINT),
+          CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+          CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+          CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+        FROM orders)
+      ORDER BY column_name""",
+
+    // exact-integer z-score test: (n-1)(nc-S)^2 > z^2 * n (nQ-S^2), all in
+    // HUGEINT (DuckDB) / DECIMAL(38,0) (Spark) — identical verdicts because
+    // both sides are exact integers, no float stddev anywhere
+    "x34_anomaly" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+          CAST(SUM(cnt) AS HUGEINT) AS s, CAST(SUM(cnt*cnt) AS HUGEINT) AS q
+        FROM daily GROUP BY 1)
+      SELECT d.event_type, STRFTIME(d.day, '%Y-%m-%d') AS day, d.cnt,
+        ((n - 1) * (n * CAST(d.cnt AS HUGEINT) - s) * (n * CAST(d.cnt AS HUGEINT) - s)
+          > 4 * n * (n * q - s * s)) AS is_anomaly
+      FROM daily d JOIN stats USING (event_type)
+      ORDER BY event_type, day""",
+
+    "x35_mixture_rebalance" -> s"""
+      WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CASE source WHEN 'src0' THEN 3 ELSE 1 END AS w
+        FROM documents
+        WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        GROUP BY source),
+      nout AS (SELECT MIN(cnt * 6 // w) AS n_out FROM c),
+      thr AS (SELECT source, (1000000 * w * n_out) // (6 * cnt) AS t FROM c, nout)
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents d JOIN thr ON d.source = thr.source
+      WHERE ${polySql("CAST(doc_id AS VARCHAR) || ':mixture'")} % 1000000 < thr.t
+      GROUP BY d.source
+      ORDER BY d.source""",
 
     "x31_pq_topk" -> s"""
       WITH sub AS (SELECT UNNEST(RANGE(8)) AS s),

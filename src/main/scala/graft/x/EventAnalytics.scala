@@ -1,0 +1,112 @@
+package graft.x
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics: ordered funnels, cohort retention, and
+  * exact-arithmetic anomaly flagging.
+  *
+  * These are the product-analytics queries a pipeline built on the
+  * reference's event tables runs daily (the reference's transformation
+  * phase is arbitrary Spark SQL, /root/reference/spark.json:57 — these
+  * operators package the recurring shapes). Every operator aggregates
+  * with one shuffle keyed on its natural partition column and keeps all
+  * per-key state bounded, so the plans survive a 1000-executor scale-up.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: how many users completed the first k stages IN ORDER,
+    * for every k. A stage counts only after all previous stages happened
+    * at a strictly earlier-or-equal event position (events are replayed in
+    * (ts, id) order, so simultaneous events resolve deterministically).
+    *
+    * Shape: one shuffle keyed by user (map-side partial `collect_list`),
+    * then a per-user left fold over the time-sorted event-type codes —
+    * state is ONE integer (stages completed so far), so per-user memory is
+    * O(events-per-user) for the sort and O(1) for the fold. The fold runs
+    * inside codegen'd `aggregate()`; no UDF, no driver loop. Output is
+    * stage-indexed counts (stages × 1 rows), produced by exploding
+    * `sequence(1, depth)` so one aggregation pass serves every stage.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String, idCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // time-sorted event codes per user: stage index, or -1 for noise
+    val caseCode = stages.zipWithIndex
+      .map { case (s, i) => s"WHEN x.e = '$s' THEN $i" }
+      .mkString("CASE ", " ", " ELSE -1 END")
+    val depthExpr =
+      s"""aggregate(
+            transform(
+              sort_array(collect_list(struct($tsCol AS t, $idCol AS i, $typeCol AS e))),
+              x -> $caseCode),
+            0, (st, c) -> IF(c = st, st + 1, st))"""
+    val byUser = events.groupBy(col(userCol)).agg(expr(depthExpr).as("depth"))
+    val stageName = stages.zipWithIndex.foldLeft(lit(null: String)) {
+      case (acc, (s, i)) => when(col("stage_idx") === i + 1, lit(s)).otherwise(acc)
+    }
+    byUser.filter(col("depth") >= 1)
+      .select(explode(sequence(lit(1), col("depth"))).as("stage_idx"))
+      .groupBy("stage_idx")
+      .agg(count(lit(1)).as("users_reached"))
+      .select(col("stage_idx").cast("int").as("stage_idx"), stageName.as("stage"),
+        col("users_reached").cast("long").as("users_reached"))
+  }
+
+  /** Weekly cohort retention: cohort = Monday-truncated week of a user's
+    * first event; a cohort is "retained at offset k" by every user with
+    * any activity k weeks after their cohort week.
+    *
+    * Shape: first-touch aggregation and the (user, week) activity dedup
+    * both shuffle on the user key, so the join between them is
+    * co-partitioned (no extra exchange under AQE); the final rollup
+    * aggregates cohorts × offsets — tiny. `count(*)` suffices for
+    * distinct users because (user, week) rows are already distinct and a
+    * user maps each week to exactly one offset. */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firsts = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val activity = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("week"))
+      .distinct()
+    activity.join(firsts, userCol)
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("active_users").cast("long").as("active_users"))
+  }
+
+  /** Daily-count anomaly flags per series: marks days whose event count
+    * deviates from the series mean by more than `z` sample standard
+    * deviations — computed in EXACT integer/decimal arithmetic, so the
+    * verdict is identical under any partitioning, executor count, or
+    * engine (a float stddev differs in low bits by reduction order and
+    * can flip a borderline day).
+    *
+    * z² < (c−μ)²/σ² with μ = S/n and σ² = (nQ−S²)/(n(n−1)) rearranges to
+    *   (n−1)·(n·c − S)² > z²·n·(n·Q − S²)
+    * — all terms are products of BIGINT counts, carried as DECIMAL(38,0)
+    * so 100 TB-scale daily counts (~1e9, cubed terms ~1e30) stay exact.
+    *
+    * Shape: daily counts shuffle once on (series, day); the per-series
+    * moment aggregation is tiny and broadcasts back — the big frame is
+    * touched exactly once. */
+  def dailyAnomalies(events: DataFrame, tsCol: String, seriesCol: String,
+      z: Int = 2): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = events
+      .groupBy(col(seriesCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = daily.groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("q"))
+    val n = col("n").cast(d38); val s = col("s").cast(d38)
+    val q = col("q").cast(d38); val c = col("cnt").cast(d38)
+    daily.join(broadcast(stats), seriesCol)
+      .withColumn("is_anomaly",
+        (n - 1) * (n * c - s) * (n * c - s) > lit(z * z) * n * (n * q - s * s))
+      .select(col(seriesCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt").cast("long").as("cnt"), col("is_anomaly"))
+  }
+}

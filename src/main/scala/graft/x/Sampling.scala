@@ -75,6 +75,46 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long") - 1)
   }
 
+  /** Rebalance a corpus to a TARGET MIXTURE: given integer weights per
+    * stratum (e.g. source/language shares for a training mix), compute the
+    * largest output that hits the exact target proportions without
+    * upsampling any stratum, and keep each stratum's share by
+    * deterministic hash-bucket sampling.
+    *
+    * With W = Σw and per-stratum counts c_k, the output size is
+    * `nOut = min_k (c_k · W / w_k)` (the binding stratum keeps everything)
+    * and stratum k keeps `w_k · nOut / W` rows via bucket threshold
+    * `thr_k = B · w_k · nOut / (W · c_k)` — all integer arithmetic
+    * (BigInt, so 100 TB-scale counts can't overflow), so the kept set is a
+    * pure function of (id, salt, weights, counts). Strata missing from
+    * `weights` are dropped (weight 0).
+    *
+    * The per-stratum counts are ONE tiny aggregate collected to the driver
+    * — strata are things like languages or crawl sources (dozens), never
+    * high-cardinality; the corpus itself is only touched by the narrow
+    * hash filter. */
+  def mixtureRebalance(df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Long], salt: String = "mixture"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val wTotal = weights.values.sum
+    val counts: Map[String, Long] = df
+      .filter(col(strataCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(strataCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nOut = weights.collect {
+      case (k, wk) if counts.getOrElse(k, 0L) > 0 => counts(k) * wTotal / wk
+    }.min
+    val thr = weights.map { case (k, wk) =>
+      k -> (BigInt(Buckets) * wk * nOut /
+        (BigInt(wTotal) * counts.getOrElse(k, 1L).max(1L))).toLong
+    }
+    val thrCol = thr.foldLeft(lit(0L): Column) { case (acc, (k, t)) =>
+      when(col(strataCol) === k, lit(t)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), salt) < thrCol)
+  }
+
   /** Deterministic fixed-size sample: the `n` rows with the smallest salted
     * hash — a reproducible stand-in for reservoir sampling (same marginal
     * uniformity, but re-runnable and mergeable: the global top-n of a

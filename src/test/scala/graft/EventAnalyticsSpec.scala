@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.x.{EventAnalytics, Profiler, Sampling}
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel counts stages completed strictly in order") {
+    // u1 completes all 3 in order; u2 does B before A (depth 1 after A);
+    // u3 never does A (depth 0, excluded); noise events are ignored
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 101L, "A"),
+      (1L, ts("2024-01-01 11:00:00"), 102L, "noise"),
+      (1L, ts("2024-01-01 12:00:00"), 103L, "B"),
+      (1L, ts("2024-01-02 09:00:00"), 104L, "C"),
+      (2L, ts("2024-01-01 08:00:00"), 201L, "B"),
+      (2L, ts("2024-01-01 09:00:00"), 202L, "A"),
+      (3L, ts("2024-01-01 09:00:00"), 301L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.funnel(ev, "user_id", "ts", "event_id", "event_type",
+      Seq("A", "B", "C")).orderBy("stage_idx").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1, "A", 2L), (2, "B", 1L), (3, "C", 1L)))
+  }
+
+  test("funnel advances on a later same-type event, not an earlier one") {
+    // B happens before A AND after A: the fold must use the later B
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "B"),
+      (1L, ts("2024-01-01 09:00:00"), 2L, "A"),
+      (1L, ts("2024-01-01 10:00:00"), 3L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.funnel(ev, "user_id", "ts", "event_id", "event_type",
+      Seq("A", "B")).orderBy("stage_idx").collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(2))).toSeq === Seq((1, 1L), (2, 1L)))
+  }
+
+  test("retention buckets users by first-event week and counts active weeks") {
+    val ev = Seq(
+      // u1: cohort week of Jan 1 (Mon); active weeks 0 and 2
+      (1L, ts("2024-01-02 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-16 10:00:00"), 2L, "view"),
+      // u2: cohort week of Jan 8; active weeks 0, 0 (dup), 1
+      (2L, ts("2024-01-08 10:00:00"), 3L, "view"),
+      (2L, ts("2024-01-09 10:00:00"), 4L, "view"),
+      (2L, ts("2024-01-15 10:00:00"), 5L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.retention(ev, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(out === Seq(
+      ("2024-01-01", 0, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
+  }
+
+  test("dailyAnomalies flags a spike day and nothing on a flat series") {
+    // flat series: 2 events every day → variance 0, no anomaly
+    // spiky series: 1/day for 9 days then 21 → z = 180/sqrt(...) > 2 on
+    // day 10 only (n must be ≥ 7: the max possible z of n points is
+    // (n-1)/sqrt(n), so short series can never flag — by design)
+    val rows =
+      (1 to 9).flatMap(d => Seq.tabulate(2)(i => ("flat", ts(f"2024-01-$d%02d 0$i:00:00")))) ++
+      (1 to 9).map(d => ("spiky", ts(f"2024-01-$d%02d 01:00:00"))) ++
+      Seq.tabulate(21)(i => ("spiky", ts(f"2024-01-10 ${10 + i % 10}:${i % 60}%02d:00")))
+    val ev = rows.toDF("event_type", "ts")
+    val out = EventAnalytics.dailyAnomalies(ev, "ts", "event_type")
+    assert(out.filter($"event_type" === "flat" && $"is_anomaly").count() === 0)
+    val flagged = out.filter($"event_type" === "spiky" && $"is_anomaly")
+      .select("day").as[String].collect().toSeq
+    assert(flagged === Seq("2024-01-10"))
+  }
+
+  test("profiler computes null/distinct/min/max per column in one pass") {
+    val df = Seq(
+      (1L, Some("a")), (2L, None), (3L, Some("b")), (4L, Some("a"))
+    ).toDF("id", "s")
+    val out = Profiler.profile(df, Seq("id", "s")).orderBy("column_name").collect()
+    val byName = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(byName("id") === ((4L, 0L, 4L, "1", "4")))
+    assert(byName("s") === ((3L, 1L, 2L, "a", "b")))
+  }
+
+  test("profiler approx mode avoids the Expand plan and stays within HLL error") {
+    val df = spark.range(1000).selectExpr("id", "CAST(id % 100 AS STRING) AS s")
+    val plan = Profiler.profile(df, Seq("id", "s"), exact = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    val approxPlan = Profiler.profile(df, Seq("id", "s"), exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"))
+    val nd = Profiler.profile(df, Seq("s"), exact = false)
+      .select("n_distinct").as[Long].head()
+    assert(nd > 90 && nd < 110)
+  }
+
+  test("mixtureRebalance hits the target mix without upsampling and is deterministic") {
+    val df = (0 until 1000).map(i => (i.toLong, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    // 2:1:1 over src0..src2; src3 dropped. Binding stratum keeps all.
+    val out = Sampling.mixtureRebalance(df, "doc_id", "source",
+      Map("src0" -> 2L, "src1" -> 1L, "src2" -> 1L))
+    val counts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("src3"))
+    // src0 is binding (needs 2x its own count): keeps everything
+    assert(counts("src0") === 250L)
+    // others sample toward 125 each (hash granularity gives a few ±)
+    assert(math.abs(counts("src1") - 125L) <= 15)
+    assert(math.abs(counts("src2") - 125L) <= 15)
+    // deterministic: same call, same kept set, regardless of partitioning
+    val again = Sampling.mixtureRebalance(df.repartition(7), "doc_id", "source",
+      Map("src0" -> 2L, "src1" -> 1L, "src2" -> 1L))
+    assert(out.select("doc_id").except(again.select("doc_id")).count() === 0)
+    assert(again.select("doc_id").except(out.select("doc_id")).count() === 0)
+  }
+}
