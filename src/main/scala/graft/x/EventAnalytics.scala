@@ -89,21 +89,24 @@ object EventAnalytics {
     * — all terms are products of BIGINT counts, carried as DECIMAL(38,0)
     * so 100 TB-scale daily counts (~1e9, cubed terms ~1e30) stay exact.
     *
-    * Shape: daily counts shuffle once on (series, day); the per-series
-    * moment aggregation is tiny and broadcasts back — the big frame is
-    * touched exactly once. */
+    * Shape: the raw events shuffle ONCE into (series, day) counts (with a
+    * map-side partial, so the exchange carries days, not events); the
+    * per-series moments are unbounded-frame window aggregates over that
+    * tiny daily frame — no second scan of the input, no self-join
+    * (a groupBy-stats-then-join-back would re-aggregate the events table
+    * from the scan, doubling the 100 TB pass). */
   def dailyAnomalies(events: DataFrame, tsCol: String, seriesCol: String,
       z: Int = 2): DataFrame = {
     val d38 = "decimal(38,0)"
     val daily = events
       .groupBy(col(seriesCol), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("cnt"))
-    val stats = daily.groupBy(col(seriesCol))
-      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
-        sum(col("cnt") * col("cnt")).as("q"))
-    val n = col("n").cast(d38); val s = col("s").cast(d38)
-    val q = col("q").cast(d38); val c = col("cnt").cast(d38)
-    daily.join(broadcast(stats), seriesCol)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(seriesCol))
+    val n = count(lit(1)).over(w).cast(d38)
+    val s = sum(col("cnt")).over(w).cast(d38)
+    val q = sum(col("cnt") * col("cnt")).over(w).cast(d38)
+    val c = col("cnt").cast(d38)
+    daily
       .withColumn("is_anomaly",
         (n - 1) * (n * c - s) * (n * c - s) > lit(z * z) * n * (n * q - s * s))
       .select(col(seriesCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
