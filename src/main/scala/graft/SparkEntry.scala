@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Scd2, Validations}
+import graft.operators.{IncrementalAgg, Scd2, Validations}
 import graft.sources.SourceReader
 import graft.config.ColumnMapping
 import graft.x.{Dedup, EventAnalytics, Multimodal, Profiler, Sampling, Similarity, TextAnalysis}
@@ -929,6 +929,29 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "etl_incremental_agg" -> ((s, dir) => {
+      reg(s, dir)
+      // materialized-view maintenance over the versioned table's change
+      // feed: two appends then a shrinking overwrite (retractions), each
+      // followed by a delta refresh — the final state must equal the
+      // direct aggregate of the last snapshot (the oracle's batch SQL)
+      val base = java.nio.file.Files.createTempDirectory("graft-incr").toString
+      val src = s"$base/src"; val state = s"$base/state"
+      val orders = s.table("orders").select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      import graft.sources.VersionedParquet
+      VersionedParquet.write(orders.filter(pmod(col("o_orderkey"), lit(4)) === 0), src, "overwrite")
+      IncrementalAgg.refresh(s, src, state, Seq("o_custkey"), Seq("price"))
+      VersionedParquet.write(orders.filter(pmod(col("o_orderkey"), lit(4)) === 1), src, "append")
+      IncrementalAgg.refresh(s, src, state, Seq("o_custkey"), Seq("price"))
+      VersionedParquet.write(orders.filter(pmod(col("o_orderkey"), lit(8)) < 2), src, "overwrite")
+      IncrementalAgg.refresh(s, src, state, Seq("o_custkey"), Seq("price"))
+      VersionedParquet.read(s, state)
+        .select(col("o_custkey"), col("cnt").cast("long").as("n_orders"),
+          col("sum_price").cast("double").as("total_price"))
+        .orderBy("o_custkey")
+    }),
+
     "q36_funnel" -> ((s, dir) => {
       reg(s, dir)
       EventAnalytics.funnel(s.table("events"), "user_id", "ts", "event_id",
@@ -1781,6 +1804,15 @@ object SparkEntry {
              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
       FROM h
       ORDER BY shard, pos""",
+
+    // the incremental state after append/append/shrinking-overwrite must
+    // equal the batch aggregate of the final snapshot
+    "etl_incremental_agg" -> """
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders WHERE o_orderkey % 8 < 2
+      GROUP BY o_custkey
+      ORDER BY o_custkey""",
 
     // replay the funnel fold exactly: per user, time-sort the events
     // (ts, id, type — struct comparison is positional on both engines),

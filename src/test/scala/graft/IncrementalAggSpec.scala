@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.IncrementalAgg
+import graft.sources.VersionedParquet
+
+class IncrementalAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft-inc").toString
+
+  private def stateMap(statePath: String): Map[Long, (Long, Long)] =
+    VersionedParquet.read(spark, statePath)
+      .select("k", "cnt", "sum_v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("delta refresh over appends matches the batch aggregate") {
+    val base = tmp(); val src = s"$base/s"; val st = s"$base/t"
+    VersionedParquet.write(Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "v"), src, "overwrite")
+    assert(IncrementalAgg.refresh(spark, src, st, Seq("k"), Seq("v")) === 0L)
+    assert(stateMap(st) === Map(1L -> ((2L, 30L)), 2L -> ((1L, 5L))))
+
+    VersionedParquet.write(Seq((2L, 7L), (3L, 1L)).toDF("k", "v"), src, "append")
+    IncrementalAgg.refresh(spark, src, st, Seq("k"), Seq("v"))
+    assert(stateMap(st) === Map(1L -> ((2L, 30L)), 2L -> ((2L, 12L)), 3L -> ((1L, 1L))))
+  }
+
+  test("overwrite retracts old contributions and drops emptied groups") {
+    val base = tmp(); val src = s"$base/s"; val st = s"$base/t"
+    VersionedParquet.write(Seq((1L, 10L), (2L, 5L)).toDF("k", "v"), src, "overwrite")
+    IncrementalAgg.refresh(spark, src, st, Seq("k"), Seq("v"))
+    // group 2 disappears entirely; group 1 changes value
+    VersionedParquet.write(Seq((1L, 99L)).toDF("k", "v"), src, "overwrite")
+    IncrementalAgg.refresh(spark, src, st, Seq("k"), Seq("v"))
+    assert(stateMap(st) === Map(1L -> ((1L, 99L))))
+  }
+
+  test("refresh is a no-op when current and resumes after catching up") {
+    val base = tmp(); val src = s"$base/s"; val st = s"$base/t"
+    VersionedParquet.write(Seq((1L, 1L)).toDF("k", "v"), src, "overwrite")
+    val v0 = IncrementalAgg.refresh(spark, src, st, Seq("k"), Seq("v"))
+    val versionsBefore = VersionedParquet.versions(st)
+    // no new source commits: watermark unchanged, no state commit written
+    assert(IncrementalAgg.refresh(spark, src, st, Seq("k"), Seq("v")) === v0)
+    assert(VersionedParquet.versions(st) === versionsBefore)
+    // two source commits, ONE refresh: delta spans both
+    VersionedParquet.write(Seq((1L, 2L)).toDF("k", "v"), src, "append")
+    VersionedParquet.write(Seq((2L, 3L)).toDF("k", "v"), src, "append")
+    IncrementalAgg.refresh(spark, src, st, Seq("k"), Seq("v"))
+    assert(stateMap(st) === Map(1L -> ((2L, 3L)), 2L -> ((1L, 3L))))
+  }
+
+  test("state is itself versioned: time travel shows each refresh") {
+    val base = tmp(); val src = s"$base/s"; val st = s"$base/t"
+    VersionedParquet.write(Seq((1L, 1L)).toDF("k", "v"), src, "overwrite")
+    IncrementalAgg.refresh(spark, src, st, Seq("k"), Seq("v"))
+    VersionedParquet.write(Seq((1L, 9L)).toDF("k", "v"), src, "append")
+    IncrementalAgg.refresh(spark, src, st, Seq("k"), Seq("v"))
+    val vs = VersionedParquet.versions(st)
+    assert(vs.size === 2)
+    val first = VersionedParquet.read(spark, st, Some(vs.head))
+      .select("cnt", "sum_v").head()
+    assert((first.getLong(0), first.getLong(1)) === ((1L, 1L)))
+  }
+}
