@@ -87,6 +87,39 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // event-analytics probe: inflate events by cloning users (user_id
+    // shifted per copy) — user count grows, per-user history stays fixed,
+    // which is exactly how real event logs grow. Funnel/retention shuffle
+    // once on user and fold O(per-user) state, so wall time should be
+    // scan/shuffle-bound linear; anomaly's post-shuffle state is days ×
+    // series regardless of event count.
+    {
+      // events.ts is TIMESTAMP(NANOS) — same read path as SparkEntry.reg
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      Seq(1, 4, 16).foreach { k =>
+        val inflated = (0 until k).map(i =>
+          events.withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L))
+            .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L)))
+          .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+        val n = inflated.count()
+        var t0 = System.nanoTime()
+        val fr = graft.x.EventAnalytics.funnel(inflated, "user_id", "ts", "event_id",
+          "event_type", Seq("signup", "view", "click", "purchase")).count()
+        val tF = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val rr = graft.x.EventAnalytics.retention(inflated, "user_id", "ts").count()
+        val tR = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val ar = graft.x.EventAnalytics.dailyAnomalies(inflated, "ts", "event_type").count()
+        val tA = (System.nanoTime() - t0) / 1e9
+        println(f"[scale-events] events=$n%8d  funnel=$tF%6.2fs($fr)  " +
+          f"retention=$tR%6.2fs($rr)  anomaly=$tA%6.2fs($ar)")
+        spark.catalog.clearCache()
+      }
+    }
+
     factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus
