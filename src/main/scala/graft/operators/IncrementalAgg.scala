@@ -61,27 +61,51 @@ object IncrementalAgg {
 
     val changes = VersionedParquet.readChanges(spark, sourcePath, from, Some(latest))
     val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
-    val deltaAggs: Seq[Column] =
-      sum(sign).as("cnt") +:
-        sumCols.map(c => sum(sign * col(c)).as(s"sum_$c"))
-    val delta = changes.groupBy(keyCols.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
+    val delta = deltaAgg(changes, keyCols, sumCols, sign)
 
     val combined =
       if (from < 0L) delta
-      else {
-        val prev = VersionedParquet.read(spark, statePath)
-        val valueCols = "cnt" +: sumCols.map(c => s"sum_$c")
-        val p = prev.select((keyCols ++ valueCols).map(col): _*)
-          .toDF(keyCols ++ valueCols.map("p_" + _): _*)
-        val d = delta.toDF(keyCols ++ valueCols.map("d_" + _): _*)
-        p.join(d, keyCols, "full_outer")
-          .select(keyCols.map(col) ++ valueCols.map(v =>
-            (coalesce(col(s"p_$v"), lit(0L)) + coalesce(col(s"d_$v"), lit(0L))).as(v)): _*)
-      }
+      else combine(VersionedParquet.read(spark, statePath), delta, keyCols, sumCols)
     val next = combined
       .filter(col("cnt") > 0)
       .withColumn(SrcVersion, lit(latest))
     VersionedParquet.write(next, statePath, "overwrite")
     latest
+  }
+
+  /** Fold one batch of NEW rows (all inserts — e.g. a streaming
+    * micro-batch inside `foreachBatch`, or an append-only ETL step's
+    * output) into the aggregate state at `statePath`. Unlike [[refresh]]
+    * there is no change-feed watermark, so re-applying the same batch
+    * double-counts — pair it with at-most-once delivery (the streaming
+    * orchestrator's checkpointed foreachBatch) or use [[refresh]] over a
+    * versioned source when exactly-once matters. */
+  def applyBatch(spark: SparkSession, batch: DataFrame, statePath: String,
+      keyCols: Seq[String], sumCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "incremental aggregate needs group keys")
+    val delta = deltaAgg(batch, keyCols, sumCols, lit(1L))
+    val combined =
+      if (VersionedParquet.versions(statePath).isEmpty) delta
+      else combine(VersionedParquet.read(spark, statePath), delta, keyCols, sumCols)
+    VersionedParquet.write(combined.filter(col("cnt") > 0), statePath, "overwrite")
+  }
+
+  private def deltaAgg(rows: DataFrame, keyCols: Seq[String], sumCols: Seq[String],
+      sign: Column): DataFrame = {
+    val aggs: Seq[Column] =
+      sum(sign).as("cnt") +: sumCols.map(c => sum(sign * col(c)).as(s"sum_$c"))
+    rows.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** prev ⊕ delta on the group keys: one full-outer join, absent side = 0. */
+  private def combine(prev: DataFrame, delta: DataFrame, keyCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    val valueCols = "cnt" +: sumCols.map(c => s"sum_$c")
+    val p = prev.select((keyCols ++ valueCols).map(col): _*)
+      .toDF(keyCols ++ valueCols.map("p_" + _): _*)
+    val d = delta.toDF(keyCols ++ valueCols.map("d_" + _): _*)
+    p.join(d, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ valueCols.map(v =>
+        (coalesce(col(s"p_$v"), lit(0L)) + coalesce(col(s"d_$v"), lit(0L))).as(v)): _*)
   }
 }

@@ -48,6 +48,18 @@ object SinkWriter {
       case "simpleinsert"   => writeFile(df, sink, SaveMode.valueOf(camel(sink.savemode)))
       case "truncateinsert" => writeFile(df, sink, SaveMode.Overwrite)
       case "scdtype2insert" => scd2Insert(spark, df, sink)
+      // maintained aggregate table: fold this batch into the versioned
+      // state at `path` (keys/sums from options aggKeys/aggSumCols) —
+      // the load strategy form of graft.operators.IncrementalAgg, reused
+      // verbatim by streaming foreachBatch
+      case "incrementalagginsert" =>
+        val keys = sink.options.getOrElse("aggKeys",
+          sys.error("incrementalAggInsert needs options.aggKeys")).split(",").map(_.trim).toSeq
+        val sums = sink.options.get("aggSumCols").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        graft.operators.IncrementalAgg.applyBatch(spark, df,
+          sink.path.getOrElse(sys.error(s"sink ${sink.dataFrameName} needs path")),
+          keys, sums)
       case other            => sys.error(s"unknown loadType '$other'")
     }
     // W9 sftp sink (spark.json:83-87): push the written output to the

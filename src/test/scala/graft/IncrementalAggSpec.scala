@@ -52,6 +52,36 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(stateMap(st) === Map(1L -> ((2L, 3L)), 2L -> ((1L, 3L))))
   }
 
+  test("incrementalAggInsert load type folds each written batch into the state") {
+    val base = tmp(); val st = s"$base/t"
+    val sink = graft.config.SinkSpec(dataFrameName = "agg", loadType = "incrementalAggInsert",
+      path = Some(st), options = Map("aggKeys" -> "k", "aggSumCols" -> "v"))
+    graft.sinks.SinkWriter.write(spark, Seq((1L, 10L), (2L, 5L)).toDF("k", "v"), sink)
+    graft.sinks.SinkWriter.write(spark, Seq((1L, 1L), (3L, 2L)).toDF("k", "v"), sink)
+    assert(stateMap(st) === Map(1L -> ((2L, 11L)), 2L -> ((1L, 5L)), 3L -> ((1L, 2L))))
+  }
+
+  test("streaming foreachBatch maintains the aggregate across micro-batches") {
+    val base = tmp(); val in = s"$base/in"; val st = s"$base/t"; val cp = s"$base/cp"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    Seq((1L, 10L), (2L, 5L)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(in)
+    val schema = "k LONG, v LONG"
+    val sink = graft.config.SinkSpec(dataFrameName = "agg", loadType = "incrementalAggInsert",
+      path = Some(st), options = Map("aggKeys" -> "k", "aggSumCols" -> "v"))
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(in)
+      val q = graft.streaming.StreamingJobs.startForeachBatch(stream, sink, cp)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(stateMap(st) === Map(1L -> ((1L, 10L)), 2L -> ((1L, 5L))))
+    // second file arrives; the checkpoint makes replay start after batch 0
+    Seq((1L, 7L)).toDF("k", "v").coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    assert(stateMap(st) === Map(1L -> ((2L, 17L)), 2L -> ((1L, 5L))))
+  }
+
   test("state is itself versioned: time travel shows each refresh") {
     val base = tmp(); val src = s"$base/s"; val st = s"$base/t"
     VersionedParquet.write(Seq((1L, 1L)).toDF("k", "v"), src, "overwrite")
