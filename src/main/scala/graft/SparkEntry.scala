@@ -929,6 +929,32 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "v3_ref_integrity" -> ((s, dir) => {
+      reg(s, dir)
+      // corrupt ~1% of supplier FKs, then catch exactly those as orphans
+      val li = s.table("lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        when(pmod(col("l_orderkey") + col("l_linenumber"), lit(97)) === 0,
+          col("l_suppkey") + 1000000L).otherwise(col("l_suppkey")).as("l_suppkey"))
+      Validations.refIntegrityCheck(li, s.table("supplier"),
+          Seq("l_suppkey" -> "s_suppkey"))
+        .bad.orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "v4_accepted_values" -> ((s, dir) => {
+      reg(s, dir)
+      Validations.acceptedValues(s.table("events")
+          .select(col("event_id"), expr("NULLIF(event_type, 'signup')").as("event_type")),
+          "event_type", Seq("click", "view", "purchase"))
+        .bad.orderBy("event_id")
+    }),
+
+    "x36_histogram" -> ((s, dir) => {
+      reg(s, dir)
+      Profiler.histogram(s.table("orders"), "o_totalprice",
+          nBuckets = 20, lo = 0.0, hi = 600000.0)
+        .orderBy("bucket")
+    }),
+
     "etl_incremental_agg" -> ((s, dir) => {
       reg(s, dir)
       // materialized-view maintenance over the versioned table's change
@@ -1804,6 +1830,38 @@ object SparkEntry {
              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
       FROM h
       ORDER BY shard, pos""",
+
+    "v3_ref_integrity" -> """
+      WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+          CASE WHEN (l_orderkey + l_linenumber) % 97 = 0
+               THEN l_suppkey + 1000000 ELSE l_suppkey END AS l_suppkey
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber, l_suppkey, 'fk_orphan' AS error_reason
+      FROM li
+      WHERE l_suppkey IS NOT NULL
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "v4_accepted_values" -> """
+      SELECT event_id, NULLIF(event_type, 'signup') AS event_type,
+             'unexpected_value:event_type' AS error_reason
+      FROM events
+      WHERE NULLIF(event_type, 'signup') IS NULL
+         OR NULLIF(event_type, 'signup') NOT IN ('click', 'view', 'purchase')
+      ORDER BY event_id""",
+
+    "x36_histogram" -> """
+      WITH b AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) * 20.0 / 600000.0),
+                                   0.0), 19.0) AS INT) AS bucket
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0.0 AND o_totalprice <= 600000.0)
+      SELECT bucket, bucket * 30000.0 + 0.0 AS bucket_lo,
+             (bucket + 1) * 30000.0 + 0.0 AS bucket_hi,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY bucket
+      ORDER BY bucket""",
 
     // the incremental state after append/append/shrinking-overwrite must
     // equal the batch aggregate of the final snapshot

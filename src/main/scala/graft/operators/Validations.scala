@@ -42,6 +42,40 @@ object Validations {
     )
   }
 
+  /** Referential-integrity validation (extension of the phase-2 family):
+    * child rows whose foreign-key tuple has no match in `parent` are
+    * invalid. SQL FK semantics: a NULL anywhere in the FK tuple is NOT a
+    * violation (route those through [[nullKeyCheck]] if they should be).
+    *
+    * Shape: one anti/semi join pair against the DISTINCT parent keys —
+    * dimension-sized parents broadcast, so the fact side is map-side only;
+    * a huge parent degrades to one co-partitioned shuffle join. */
+  def refIntegrityCheck(child: DataFrame, parent: DataFrame,
+      fk: Seq[(String, String)]): Routed = {
+    val pkeys = parent.select(fk.map { case (_, p) => col(p) }: _*).distinct()
+    val cond = fk.map { case (c, p) => child(c) === pkeys(p) }.reduce(_ && _)
+    val anyNull = fk.map { case (c, _) => col(c).isNull }.reduce(_ || _)
+    val nonNull = child.filter(!anyNull)
+    Routed(
+      good = child.filter(anyNull).unionByName(nonNull.join(pkeys, cond, "left_semi")),
+      bad = nonNull.join(pkeys, cond, "left_anti")
+        .withColumn("error_reason", lit("fk_orphan"))
+    )
+  }
+
+  /** Accepted-values validation: rows whose `column` is outside the
+    * declared domain are invalid (NULL counts as invalid here — an
+    * unexpected NULL in an enum column is exactly what this check is
+    * for). Pure narrow filter, no shuffle. */
+  def acceptedValues(df: DataFrame, column: String, allowed: Seq[String]): Routed = {
+    val ok = col(column).isin(allowed: _*)
+    Routed(
+      good = df.filter(ok),
+      bad = df.filter(!ok || col(column).isNull)
+        .withColumn("error_reason", lit(s"unexpected_value:$column"))
+    )
+  }
+
   /** V4 threshold gate (spark.json:7, e.g. "30%"): abort when the invalid
     * fraction exceeds the limit. Counts force one action each — callers
     * should pass already-persisted frames when both counts are needed. */

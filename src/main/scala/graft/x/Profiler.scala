@@ -40,4 +40,29 @@ object Profiler {
       s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, non_null, nulls, n_distinct, min_value, max_value)"))
   }
+
+  /** Fixed-domain equi-width histogram of a numeric column. The domain
+    * `[lo, hi]` is DECLARED by the caller rather than derived from the
+    * data, so the histogram is one scan with map-side partial counts — a
+    * data-derived domain would cost a min/max pre-pass (and make the
+    * bucket edges drift run-to-run on growing tables). Values outside
+    * the domain are dropped; `hi` itself clamps into the last bucket.
+    * Output rows: bucket index, [bucket_lo, bucket_hi) edges, count —
+    * at most `nBuckets` rows regardless of input size. */
+  def histogram(df: DataFrame, column: String, nBuckets: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "histogram needs nBuckets > 0 and hi > lo")
+    val v = col(column).cast("double")
+    val idx = least(
+      greatest(floor((v - lit(lo)) * lit(nBuckets.toDouble) / lit(hi - lo)), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("int")
+    val width = (hi - lo) / nBuckets
+    df.filter(v.isNotNull && v >= lo && v <= hi)
+      .groupBy(idx.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"),
+        (col("bucket") * lit(width) + lit(lo)).as("bucket_lo"),
+        ((col("bucket") + 1) * lit(width) + lit(lo)).as("bucket_hi"),
+        col("cnt").cast("long").as("cnt"))
+  }
 }

@@ -49,6 +49,39 @@ class ValidationsSpec extends AnyFunSuite {
     intercept[IllegalStateException] { Validations.countValidation(df, 6) }
   }
 
+  test("refIntegrityCheck routes orphan FKs, passes NULL FKs through") {
+    val parent = Seq((1L, "p1"), (2L, "p2")).toDF("pk", "name")
+    val child = Seq(
+      (10L, Some(1L)), (11L, Some(2L)), (12L, Some(9L)), (13L, None)
+    ).toDF("id", "fk")
+    val r = Validations.refIntegrityCheck(child, parent, Seq("fk" -> "pk"))
+    assert(r.bad.select("id").as[Long].collect().toSeq === Seq(12L))
+    assert(r.good.select("id").as[Long].collect().sorted.toSeq === Seq(10L, 11L, 13L))
+    assert(r.bad.columns.contains("error_reason"))
+  }
+
+  test("acceptedValues flags out-of-domain values and NULLs") {
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("zz")), (4L, None))
+      .toDF("id", "v")
+    val r = Validations.acceptedValues(df, "v", Seq("a", "b"))
+    assert(r.bad.select("id").as[Long].collect().sorted.toSeq === Seq(3L, 4L))
+    assert(r.good.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("histogram buckets a declared domain with clamped edges") {
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 100.0, 150.0).toDF("v")
+    // domain [0, 100), 10 buckets: -5 and 150 dropped, 100 clamps to bucket 9
+    val h = graft.x.Profiler.histogram(df, "v", nBuckets = 10, lo = 0.0, hi = 100.0)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(h === Seq(
+      (0, 0.0, 10.0, 2L),   // 0.0, 9.9
+      (1, 10.0, 20.0, 1L),  // 10.0
+      (5, 50.0, 60.0, 1L),  // 55.0
+      (9, 90.0, 100.0, 2L)  // 99.9, 100.0 (clamped)
+    ))
+  }
+
   test("reconcile compares counts and content checksums order-independently") {
     val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
     val shuffled = a.orderBy(rand(seed = 7))
