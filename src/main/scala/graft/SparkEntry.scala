@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{IncrementalAgg, Scd2, Validations}
+import graft.operators.{IncrementalAgg, Scd2, Upsert, Validations}
 import graft.sources.SourceReader
 import graft.config.ColumnMapping
 import graft.x.{Dedup, EventAnalytics, Multimodal, Profiler, Sampling, Similarity, TextAnalysis}
@@ -955,6 +955,26 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    "etl_upsert_merge" -> ((s, dir) => {
+      reg(s, dir)
+      // seed the dimension with all suppliers, then upsert a batch that
+      // rewrites every %7==0 row (+1000 balance) and adds new high keys
+      val base = java.nio.file.Files.createTempDirectory("graft-ups").toString
+      val dim = s"$base/dim"
+      val sup = s.table("supplier").select(col("s_suppkey"), col("s_name"),
+        col("s_acctbal").cast("decimal(18,2)").as("bal"))
+      Upsert.upsert(s, sup, dim, Seq("s_suppkey"))
+      val batch = sup.filter(pmod(col("s_suppkey"), lit(7)) === 0)
+        .withColumn("bal", col("bal") + 1000)
+        .unionByName(sup.filter(pmod(col("s_suppkey"), lit(13)) === 0)
+          .withColumn("s_suppkey", col("s_suppkey") + 500000L)
+          .withColumn("s_name", concat(lit("NEW-"), col("s_name"))))
+      Upsert.upsert(s, batch, dim, Seq("s_suppkey"))
+      graft.sources.VersionedParquet.read(s, dim)
+        .select(col("s_suppkey"), col("s_name"), col("bal").cast("double").as("bal"))
+        .orderBy("s_suppkey")
+    }),
+
     "etl_incremental_agg" -> ((s, dir) => {
       reg(s, dir)
       // materialized-view maintenance over the versioned table's change
@@ -1862,6 +1882,17 @@ object SparkEntry {
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM b GROUP BY bucket
       ORDER BY bucket""",
+
+    "etl_upsert_merge" -> """
+      SELECT s_suppkey, s_name,
+        CAST(CAST(s_acctbal AS DECIMAL(18,2))
+             + CASE WHEN s_suppkey % 7 = 0 THEN 1000 ELSE 0 END AS DOUBLE) AS bal
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey + 500000 AS s_suppkey, 'NEW-' || s_name AS s_name,
+        CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+      FROM supplier WHERE s_suppkey % 13 = 0
+      ORDER BY s_suppkey""",
 
     // the incremental state after append/append/shrinking-overwrite must
     // equal the batch aggregate of the final snapshot

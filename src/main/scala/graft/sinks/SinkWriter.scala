@@ -60,6 +60,12 @@ object SinkWriter {
         graft.operators.IncrementalAgg.applyBatch(spark, df,
           sink.path.getOrElse(sys.error(s"sink ${sink.dataFrameName} needs path")),
           keys, sums)
+      // MERGE-style upsert into the versioned table: batch rows replace
+      // same-key current rows, new keys insert (keys from scdKeys)
+      case "upsertinsert" =>
+        graft.operators.Upsert.upsert(spark, df,
+          sink.path.getOrElse(sys.error(s"sink ${sink.dataFrameName} needs path")),
+          sink.scdKeys)
       case other            => sys.error(s"unknown loadType '$other'")
     }
     // W9 sftp sink (spark.json:83-87): push the written output to the

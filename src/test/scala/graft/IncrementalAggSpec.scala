@@ -82,6 +82,36 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(stateMap(st) === Map(1L -> ((2L, 17L)), 2L -> ((1L, 5L))))
   }
 
+  test("upsert replaces matched keys, inserts new ones, keeps the rest") {
+    val base = tmp(); val dim = s"$base/d"
+    graft.operators.Upsert.upsert(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dim, Seq("k"))
+    graft.operators.Upsert.upsert(spark,
+      Seq((2L, "B"), (9L, "i")).toDF("k", "v"), dim, Seq("k"))
+    val out = VersionedParquet.read(spark, dim).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "i")))
+    // re-running the same batch converges (table-level idempotence)
+    graft.operators.Upsert.upsert(spark,
+      Seq((2L, "B"), (9L, "i")).toDF("k", "v"), dim, Seq("k"))
+    assert(VersionedParquet.read(spark, dim).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq === out)
+    // and history is queryable: version 0 still shows the seed
+    val v0 = VersionedParquet.versions(dim).head
+    assert(VersionedParquet.read(spark, dim, Some(v0)).count() === 3)
+  }
+
+  test("upsertInsert load type routes through SinkWriter with scdKeys") {
+    val base = tmp(); val dim = s"$base/d"
+    val sink = graft.config.SinkSpec(dataFrameName = "dim", loadType = "upsertInsert",
+      path = Some(dim), scdKeys = Seq("k"))
+    graft.sinks.SinkWriter.write(spark, Seq((1L, "a")).toDF("k", "v"), sink)
+    graft.sinks.SinkWriter.write(spark, Seq((1L, "A"), (2L, "b")).toDF("k", "v"), sink)
+    assert(VersionedParquet.read(spark, dim).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "A"), (2L, "b")))
+  }
+
   test("state is itself versioned: time travel shows each refresh") {
     val base = tmp(); val src = s"$base/s"; val st = s"$base/t"
     VersionedParquet.write(Seq((1L, 1L)).toDF("k", "v"), src, "overwrite")
