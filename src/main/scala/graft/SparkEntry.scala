@@ -983,8 +983,11 @@ object SparkEntry {
       // direct aggregate of the last snapshot (the oracle's batch SQL)
       val base = java.nio.file.Files.createTempDirectory("graft-incr").toString
       val src = s"$base/src"; val state = s"$base/state"
+      // each commit is a slice of a small dimension-sized feed: write it as
+      // few files (32 near-empty parts per commit would tax the 3 change-feed
+      // re-reads for no parallelism gain — same reasoning as formats_roundtrip)
       val orders = s.table("orders").select(col("o_custkey"), col("o_orderkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("price"))
+        col("o_totalprice").cast("decimal(18,2)").as("price")).repartition(4)
       import graft.sources.VersionedParquet
       VersionedParquet.write(orders.filter(pmod(col("o_orderkey"), lit(4)) === 0), src, "overwrite")
       IncrementalAgg.refresh(s, src, state, Seq("o_custkey"), Seq("price"))
