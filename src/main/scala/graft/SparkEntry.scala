@@ -990,8 +990,8 @@ object SparkEntry {
         col("o_totalprice").cast("decimal(18,2)").as("price")).repartition(4)
       import graft.sources.VersionedParquet
       VersionedParquet.write(orders.filter(pmod(col("o_orderkey"), lit(4)) === 0), src, "overwrite")
-      IncrementalAgg.refresh(s, src, state, Seq("o_custkey"), Seq("price"))
       VersionedParquet.write(orders.filter(pmod(col("o_orderkey"), lit(4)) === 1), src, "append")
+      // first refresh catches up across BOTH commits in one delta pass
       IncrementalAgg.refresh(s, src, state, Seq("o_custkey"), Seq("price"))
       VersionedParquet.write(orders.filter(pmod(col("o_orderkey"), lit(8)) < 2), src, "overwrite")
       IncrementalAgg.refresh(s, src, state, Seq("o_custkey"), Seq("price"))
