@@ -929,6 +929,12 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "x37_ngram_counts" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.ngramCounts(s.table("documents"), "text", n = 3, minCount = 3L)
+        .orderBy("gram")
+    }),
+
     "v3_ref_integrity" -> ((s, dir) => {
       reg(s, dir)
       // corrupt ~1% of supplier FKs, then catch exactly those as orphans
@@ -1853,6 +1859,19 @@ object SparkEntry {
              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
       FROM h
       ORDER BY shard, pos""",
+
+    "x37_ngram_counts" -> """
+      WITH toks AS (
+        SELECT STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+        FROM documents WHERE LENGTH(TRIM(text)) > 0),
+      grams AS (
+        SELECT ARRAY_TO_STRING(t[s : s+2], ' ') AS gram
+        FROM toks, LATERAL (SELECT UNNEST(RANGE(1, LEN(t) - 1)) AS s)
+        WHERE LEN(t) >= 3)
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM grams GROUP BY gram
+      HAVING COUNT(*) >= 3
+      ORDER BY gram""",
 
     "v3_ref_integrity" -> """
       WITH li AS (

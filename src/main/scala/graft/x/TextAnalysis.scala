@@ -144,6 +144,29 @@ object TextAnalysis {
       .withColumn("chunk_tokens", tokenCount(col("chunk_text")))
   }
 
+  /** Corpus n-gram frequency table: lowercase whitespace tokens, sliding
+    * n-token windows, global counts with an optional floor — the LM-data
+    * staple behind contamination scans, n-gram LM training, and
+    * memorization analysis. Map-side generator expansion plus ONE count
+    * shuffle keyed by the gram (partial aggregation collapses
+    * per-partition counts before the exchange); `minCount` prunes the
+    * long tail at the final aggregate, so the dominant cost at 100 TB is
+    * the scan and one gram-keyed exchange of partial counts. */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(n >= 1, "n-grams need n >= 1")
+    val toks = col("__toks")
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .filter(size(toks) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        s => concat_ws(" ", slice(toks, s, lit(n))))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("gram"), col("cnt").cast("long").as("cnt"))
+  }
+
   /** Sequence packing: assign token-counted chunks to fixed-budget packs
     * (`maxTokens` each) by contiguous fill — pack_id = exclusive-cumulative
     * token count ÷ budget within a shard. The standard pre-training batch

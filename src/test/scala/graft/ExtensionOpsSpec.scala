@@ -15,6 +15,17 @@ class ExtensionOpsSpec extends AnyFunSuite {
   lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
   lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
 
+  test("ngramCounts slides n-token windows and applies the count floor") {
+    val df = Seq("a b c a b c", "a b x", "", "a").toDF("text")
+    val all = graft.x.TextAnalysis.ngramCounts(df, "text", n = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "a b c a b c" → ab, bc, ca, ab, bc; "a b x" → ab, bx; short/empty drop
+    assert(all === Map("a b" -> 3L, "b c" -> 2L, "c a" -> 1L, "b x" -> 1L))
+    val floored = graft.x.TextAnalysis.ngramCounts(df, "text", n = 2, minCount = 2L)
+      .collect().map(r => r.getString(0)).toSet
+    assert(floored === Set("a b", "b c"))
+  }
+
   test("exact dedup is deterministic and idempotent") {
     val d1 = Dedup.exactByContent(docs, "text", "doc_id")
     val d2 = Dedup.exactByContent(d1, "text", "doc_id")
