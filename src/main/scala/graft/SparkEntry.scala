@@ -929,6 +929,12 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "x38_group_cap" -> ((s, dir) => {
+      reg(s, dir)
+      Sampling.capPerGroup(s.table("documents"), "source", "doc_id", k = 10)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     "x37_ngram_counts" -> ((s, dir) => {
       reg(s, dir)
       TextAnalysis.ngramCounts(s.table("documents"), "text", n = 3, minCount = 3L)
@@ -1859,6 +1865,15 @@ object SparkEntry {
              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
       FROM h
       ORDER BY shard, pos""",
+
+    "x38_group_cap" -> s"""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY ${polySql("CAST(doc_id AS VARCHAR) || ':cap'")} % 1000000, doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 10
+      ORDER BY doc_id""",
 
     "x37_ngram_counts" -> """
       WITH toks AS (

@@ -115,6 +115,26 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt) < thrCol)
   }
 
+  /** Cap each group at `k` rows, deterministically: keep the k rows with
+    * the smallest salted hash (ties by id) per group — the per-domain /
+    * per-source document cap every crawl pipeline applies so no single
+    * host dominates the training mix. Which rows survive is a pure
+    * function of (id, salt), not of partitioning or arrival order.
+    *
+    * Plan shape: the rank ≤ k filter compiles to WindowGroupLimit, which
+    * keeps a k-row heap per group on the MAP side before the exchange —
+    * at 100 TB the shuffle carries at most k rows per (partition, group),
+    * not the whole corpus. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int,
+      salt: String = "cap"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Deterministic fixed-size sample: the `n` rows with the smallest salted
     * hash — a reproducible stand-in for reservoir sampling (same marginal
     * uniformity, but re-runnable and mergeable: the global top-n of a

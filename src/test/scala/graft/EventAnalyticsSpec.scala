@@ -99,6 +99,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(nd > 90 && nd < 110)
   }
 
+  test("capPerGroup keeps exactly k deterministic rows per group, map-side limited") {
+    val df = (0 until 400).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "g")
+    val capped = Sampling.capPerGroup(df, "g", "id", k = 7)
+    val counts = capped.groupBy("g").count().collect().map(r => r.getLong(1)).toSeq
+    assert(counts === Seq.fill(4)(7L))
+    // deterministic under repartitioning
+    val again = Sampling.capPerGroup(df.repartition(13), "g", "id", k = 7)
+    assert(capped.select("id").except(again.select("id")).count() === 0)
+    // the rank<=k filter must compile to WindowGroupLimit (map-side top-k
+    // before the exchange — the 100 TB property)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+    // groups smaller than k keep everything
+    val small = Sampling.capPerGroup(
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g"), "g", "id", k = 7)
+    assert(small.count() === 3)
+  }
+
   test("mixtureRebalance hits the target mix without upsampling and is deterministic") {
     val df = (0 until 1000).map(i => (i.toLong, s"src${i % 4}"))
       .toDF("doc_id", "source")
