@@ -929,6 +929,16 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "x39_winsorize" -> ((s, dir) => {
+      reg(s, dir)
+      // clip the heavy-tailed price column at [P5, P95]; ROUND(…,4) absorbs
+      // any 1-ulp quantile difference between engines (same trick as q31)
+      Profiler.winsorize(s.table("lineitem"), "l_extendedprice", 0.05, 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          round(col("l_extendedprice_w"), 4).as("clipped"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "clipped")
+    }),
+
     "x38_group_cap" -> ((s, dir) => {
       reg(s, dir)
       Sampling.capPerGroup(s.table("documents"), "source", "doc_id", k = 10)
@@ -1865,6 +1875,15 @@ object SparkEntry {
              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
       FROM h
       ORDER BY shard, pos""",
+
+    "x39_winsorize" -> """
+      WITH q AS (SELECT QUANTILE_CONT(l_extendedprice, 0.05) AS lo,
+                        QUANTILE_CONT(l_extendedprice, 0.95) AS hi
+                 FROM lineitem)
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 4) AS clipped
+      FROM lineitem, q
+      ORDER BY l_orderkey, l_linenumber, l_partkey, clipped""",
 
     "x38_group_cap" -> s"""
       SELECT doc_id, source FROM (

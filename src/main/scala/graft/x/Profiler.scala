@@ -41,6 +41,31 @@ object Profiler {
         "(column_name, non_null, nulls, n_distinct, min_value, max_value)"))
   }
 
+  /** Winsorize: clip a numeric column at its exact interpolated
+    * `[pLo, pHi]` quantiles — the standard outlier-capping step before
+    * scaling/aggregating heavy-tailed metrics. Adds `<column>_w`, leaves
+    * the original in place.
+    *
+    * Shape: the two quantiles aggregate to ONE row that broadcasts back
+    * onto the scan; the clip is a narrow projection, so the table is
+    * touched twice (once sorted for the exact quantile, once to clip).
+    * At 100 TB swap the exact `percentile` for `approx_percentile` —
+    * identical plan shape, sketch-mergeable single pass, and a clip
+    * threshold off by a sketch-epsilon only moves values that sat within
+    * epsilon of the cap. */
+  def winsorize(df: DataFrame, column: String, pLo: Double, pHi: Double,
+      exact: Boolean = true): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val q = df.agg(
+      expr(s"$fn($column, $pLo)").cast("double").as("__lo"),
+      expr(s"$fn($column, $pHi)").cast("double").as("__hi"))
+    df.crossJoin(broadcast(q))
+      .withColumn(s"${column}_w",
+        least(greatest(col(column).cast("double"), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Fixed-domain equi-width histogram of a numeric column. The domain
     * `[lo, hi]` is DECLARED by the caller rather than derived from the
     * data, so the histogram is one scan with map-side partial counts — a

@@ -82,6 +82,18 @@ class ValidationsSpec extends AnyFunSuite {
     ))
   }
 
+  test("winsorize clips to the interpolated quantiles and keeps the original") {
+    // 0..100: P10 = 10.0, P90 = 90.0 (exact interpolation on the 101-point grid)
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val w = graft.x.Profiler.winsorize(df, "v", 0.10, 0.90)
+    assert(w.agg(min("v_w"), max("v_w")).head() ===
+      org.apache.spark.sql.Row(10.0, 90.0))
+    // interior values untouched; original column still present
+    assert(w.filter($"v" === 50.0).select("v_w").head().getDouble(0) === 50.0)
+    assert(w.filter($"v" === 0.0).select("v_w").head().getDouble(0) === 10.0)
+    assert(w.columns.contains("v"))
+  }
+
   test("reconcile compares counts and content checksums order-independently") {
     val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
     val shuffled = a.orderBy(rand(seed = 7))
