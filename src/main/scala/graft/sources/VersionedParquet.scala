@@ -99,6 +99,41 @@ object VersionedParquet {
     * guard): with concurrent APPENDs the carried-file set is read from
     * committed versions below ours at commit time, so true cross-append
     * linearization still wants one writer per table. */
+  /** Compact the latest snapshot into `targetFiles` files, committed as a
+    * new version — the small-file maintenance op: a 100 TB table fed by
+    * frequent small appends accumulates footer/open overhead per file
+    * until scans are metadata-bound; compaction rewrites the CURRENT
+    * snapshot only, never history (old versions still time-travel).
+    * No-op when the snapshot is already at or under the target.
+    * Note for change-feed consumers: compaction rewrites every file, so
+    * `readChanges` across it reports a full delete+insert — downstream
+    * incremental consumers converge (delta algebra cancels) but pay a
+    * snapshot-sized delta; schedule compaction right after a refresh. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val vs = versions(path)
+    require(vs.nonEmpty, s"no committed versions under $path")
+    if (manifestFiles(path, vs.max).size <= targetFiles) return
+    write(read(spark, path).repartition(targetFiles), path, "overwrite")
+  }
+
+  /** Drop history: delete manifests older than the last `keepVersions`
+    * commits and every data file no surviving manifest references. The
+    * storage-reclamation sibling of [[compact]] — after it, time travel
+    * reaches only the kept versions. Runs driver-side (file listing +
+    * deletes); at object-store scale the same walk batches into bulk
+    * deletes. Returns the number of data files removed. */
+  def vacuum(path: String, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val vs = versions(path)
+    val (dropped, kept) = vs.splitAt((vs.size - keepVersions).max(0))
+    val live = kept.flatMap(manifestFiles(path, _)).toSet
+    val dead = dropped.flatMap(manifestFiles(path, _)).toSet -- live
+    dead.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    dropped.foreach(v => Files.deleteIfExists(logDir(path).resolve(s"$v.json")))
+    dead.size
+  }
+
   def write(df: DataFrame, path: String, mode: String): Unit = {
     mode.toLowerCase match {
       case "append" | "overwrite" =>

@@ -35,6 +35,47 @@ class FormatsSpec extends AnyFunSuite {
       options = Map("versionAsOf" -> "1"))).count() == 3)
   }
 
+  test("versioned table compaction rewrites the snapshot, keeps history") {
+    val path = Files.createTempDirectory("graft-cmp").toString + "/tbl"
+    // many tiny appends → many files
+    (0 until 4).foreach { i =>
+      VersionedParquet.write(Seq((i, s"v$i")).toDF("id", "v").repartition(2), path, "append")
+    }
+    val before = VersionedParquet.read(spark, path)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    VersionedParquet.compact(spark, path, targetFiles = 1)
+    val vs = VersionedParquet.versions(path)
+    assert(vs.size == 5) // 4 appends + 1 compaction commit
+    val after = VersionedParquet.read(spark, path)
+    assert(after.collect().map(r => (r.getInt(0), r.getString(1))).toSet == before)
+    assert(after.inputFiles.length == 1)
+    // history intact: version 0 still readable
+    assert(VersionedParquet.read(spark, path, Some(vs.head)).count() == 1)
+    // already compact → no new commit
+    VersionedParquet.compact(spark, path, targetFiles = 1)
+    assert(VersionedParquet.versions(path).size == 5)
+  }
+
+  test("vacuum reclaims unreferenced files and prunes time travel") {
+    val path = Files.createTempDirectory("graft-vac").toString + "/tbl"
+    VersionedParquet.write(Seq((1, "a")).toDF("id", "v"), path, "overwrite")  // v0
+    VersionedParquet.write(Seq((2, "b")).toDF("id", "v"), path, "append")     // v1 (carries v0 files)
+    VersionedParquet.write(Seq((9, "z")).toDF("id", "v"), path, "overwrite")  // v2 (orphans v0/v1 files)
+    val removed = VersionedParquet.vacuum(path, keepVersions = 1)
+    assert(removed >= 2) // v0's and v1's data files are dead
+    assert(VersionedParquet.versions(path) == Seq(2L))
+    assert(VersionedParquet.read(spark, path).count() == 1)
+    intercept[IllegalArgumentException] {
+      VersionedParquet.read(spark, path, Some(0L))
+    }
+    // keepVersions honors shared files: append-carried files survive
+    val p2 = Files.createTempDirectory("graft-vac2").toString + "/tbl"
+    VersionedParquet.write(Seq((1, "a")).toDF("id", "v"), p2, "overwrite")
+    VersionedParquet.write(Seq((2, "b")).toDF("id", "v"), p2, "append")
+    assert(VersionedParquet.vacuum(p2, keepVersions = 1) == 0) // v1 still references v0's files
+    assert(VersionedParquet.read(spark, p2).count() == 2)
+  }
+
   test("versioned table change feed: manifest diffs yield insert/delete rows") {
     val path = Files.createTempDirectory("graft-cdf").toString + "/tbl"
     VersionedParquet.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), path, "overwrite") // v0
