@@ -151,6 +151,18 @@ object StreamingJobs {
     keys.foldLeft(joined)((df, k) => df.drop(r(k)))
   }
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension — the bread-and-butter streaming pattern (enrich clicks
+    * with user/product attributes). The dimension is broadcast, so the
+    * stream side never shuffles and no join state accumulates (the
+    * static side is bounded; Structured Streaming re-plans it per
+    * micro-batch, which also picks up dimension file changes between
+    * batches). Use `left` to keep events whose key has no dimension row
+    * yet — dropping them silently is the classic enrichment bug. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      joinType: String = "left"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, joinType)
+
   /** Run any transformed stream into the batch sink machinery per
     * micro-batch — this is how scdType2Insert works in streaming mode. */
   def startForeachBatch(stream: DataFrame, sink: SinkSpec,

@@ -23,6 +23,29 @@ class StreamingSpec extends AnyFunSuite {
     dir
   }
 
+  test("stream-static enrichment equals the batch join and keeps unmatched events") {
+    import spark.implicits._
+    val batchDf = spark.read.parquet(eventsDir)
+    // dimension covering only EVEN users: left-join must keep the rest
+    val dim = (0L until 200L by 2).map(u => (u, s"seg${u % 3}")).toDF("user_id", "segment")
+    val expected = batchDf.join(dim, Seq("user_id"), "left")
+      .groupBy("segment").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+    val stream = StreamingJobs.fileStream(spark, eventsDir, batchDf.schema,
+      maxFilesPerTrigger = 1)
+    val enriched = StreamingJobs.enrichWithStatic(stream, dim, Seq("user_id"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").groupBy("segment").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got === expected)
+      assert(got.contains(null)) // unmatched users survived the left join
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal the batch plan over the same data") {
     val batchDf = spark.read.parquet(eventsDir)
     val batch = StreamingJobs.windowedCounts(batchDf, "ts", "1 hour")
