@@ -929,6 +929,12 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "x40_top_terms" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.topTermsPerGroup(s.table("documents"), "text", "lang", k = 5)
+        .orderBy("lang", "rank")
+    }),
+
     "x39_winsorize" -> ((s, dir) => {
       reg(s, dir)
       // clip the heavy-tailed price column at [P5, P95]; ROUND(…,4) absorbs
@@ -1875,6 +1881,21 @@ object SparkEntry {
              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
       FROM h
       ORDER BY shard, pos""",
+
+    "x40_top_terms" -> """
+      WITH toks AS (
+        SELECT lang, UNNEST(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS term
+        FROM documents),
+      counts AS (
+        SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks WHERE LENGTH(term) > 0
+        GROUP BY lang, term)
+      SELECT lang, CAST(rank AS INT) AS rank, term, cnt FROM (
+        SELECT lang, term, cnt,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rank
+        FROM counts) t
+      WHERE rank <= 5
+      ORDER BY lang, rank""",
 
     "x39_winsorize" -> """
       WITH q AS (SELECT QUANTILE_CONT(l_extendedprice, 0.05) AS lo,

@@ -167,6 +167,29 @@ object TextAnalysis {
       .select(col("gram"), col("cnt").cast("long").as("cnt"))
   }
 
+  /** Grouped heavy hitters: the k most frequent tokens per group (e.g.
+    * per language) — corpus characterization, stopword discovery, and
+    * drift monitoring in one query. Counts aggregate with map-side
+    * partials in ONE (group, term)-keyed shuffle; the rank ≤ k filter
+    * compiles to WindowGroupLimit, so the second (group-keyed) exchange
+    * carries at most k terms per upstream partition, never the full
+    * vocabulary. Ties break by term so the result is total-order
+    * deterministic. */
+  def topTermsPerGroup(df: DataFrame, textCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    val counts = df
+      .select(col(groupCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("term").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank").cast("int").as("rank"),
+        col("term"), col("cnt").cast("long").as("cnt"))
+  }
+
   /** Sequence packing: assign token-counted chunks to fixed-budget packs
     * (`maxTokens` each) by contiguous fill — pack_id = exclusive-cumulative
     * token count ÷ budget within a shard. The standard pre-training batch

@@ -26,6 +26,20 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(floored === Set("a b", "b c"))
   }
 
+  test("topTermsPerGroup ranks by count with deterministic term ties") {
+    val df = Seq(
+      ("en", "a a a b b c"), ("en", "b"), ("fr", "x y x")
+    ).toDF("lang", "text")
+    val top = graft.x.TextAnalysis.topTermsPerGroup(df, "text", "lang", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(top === Set(
+      ("en", 1, "a", 3L), ("en", 2, "b", 3L), // tie a/b broken by term asc
+      ("fr", 1, "x", 2L), ("fr", 2, "y", 1L)))
+    val plan = graft.x.TextAnalysis.topTermsPerGroup(docs, "text", "lang", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("exact dedup is deterministic and idempotent") {
     val d1 = Dedup.exactByContent(docs, "text", "doc_id")
     val d2 = Dedup.exactByContent(d1, "text", "doc_id")
