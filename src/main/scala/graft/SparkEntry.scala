@@ -929,6 +929,13 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "x41_correlation" -> ((s, dir) => {
+      reg(s, dir)
+      Profiler.correlationMatrix(s.table("lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"), scale = 2)
+        .orderBy("col_a", "col_b")
+    }),
+
     "x40_top_terms" -> ((s, dir) => {
       reg(s, dir)
       TextAnalysis.topTermsPerGroup(s.table("documents"), "text", "lang", k = 5)
@@ -1881,6 +1888,39 @@ object SparkEntry {
              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
       FROM h
       ORDER BY shard, pos""",
+
+    // replay the exact-moment correlation: the same scaled integers, the
+    // same HUGEINT moment sums, the same one-shot IEEE finish
+    "x41_correlation" -> """
+      WITH i AS (
+        SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) AS q,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS e,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS HUGEINT) AS d
+        FROM lineitem),
+      m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(q) AS HUGEINT) AS sq, CAST(SUM(e) AS HUGEINT) AS se,
+               CAST(SUM(d) AS HUGEINT) AS sd,
+               CAST(SUM(q*q) AS HUGEINT) AS pqq, CAST(SUM(q*e) AS HUGEINT) AS pqe,
+               CAST(SUM(q*d) AS HUGEINT) AS pqd, CAST(SUM(e*e) AS HUGEINT) AS pee,
+               CAST(SUM(e*d) AS HUGEINT) AS ped, CAST(SUM(d*d) AS HUGEINT) AS pdd
+        FROM i)
+      SELECT * FROM (
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+          ROUND(CAST(n*pqe - sq*se AS DOUBLE) /
+            (SQRT(CAST(n*pqq - sq*sq AS DOUBLE)) * SQRT(CAST(n*pee - se*se AS DOUBLE))), 6) AS corr
+        FROM m
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount',
+          ROUND(CAST(n*pqd - sq*sd AS DOUBLE) /
+            (SQRT(CAST(n*pqq - sq*sq AS DOUBLE)) * SQRT(CAST(n*pdd - sd*sd AS DOUBLE))), 6)
+        FROM m
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount',
+          ROUND(CAST(n*ped - se*sd AS DOUBLE) /
+            (SQRT(CAST(n*pee - se*se AS DOUBLE)) * SQRT(CAST(n*pdd - sd*sd AS DOUBLE))), 6)
+        FROM m)
+      ORDER BY col_a, col_b""",
 
     "x40_top_terms" -> """
       WITH toks AS (

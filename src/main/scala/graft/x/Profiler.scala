@@ -41,6 +41,42 @@ object Profiler {
         "(column_name, non_null, nulls, n_distinct, min_value, max_value)"))
   }
 
+  /** Pairwise Pearson correlations from EXACT integer moments: values
+    * quantize to `scale` decimals, every moment (n, Σx, Σxy, Σx²)
+    * accumulates as an exact DECIMAL(38,0) integer, and only the final
+    * correlation does float math — identical exact inputs make the
+    * result bit-reproducible across partitionings, retries, and engines
+    * (a running float `corr` differs in low bits by reduction order).
+    * Same design as the anomaly z²-test: push exactness through the
+    * distributed part, spend IEEE ops once at the end.
+    *
+    * One scan, one reduce: all k(k+1)/2 moments ride a single `agg`, so
+    * profiling correlations at 100 TB costs one pass regardless of how
+    * many pairs are requested. Headroom: |x·10^scale| up to ~1e9 keeps
+    * Σxy under 1e38 for ~1e19 rows. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "correlation needs at least two columns")
+    val d0 = "decimal(38,0)"
+    val factor = math.pow(10, scale).toLong
+    val ints = cols.map(c =>
+      (col(c).cast(s"decimal(18,$scale)") * factor).cast(d0).as(s"__i_$c"))
+    val pairs = for (i <- cols.indices; j <- i until cols.size) yield (cols(i), cols(j))
+    val aggs =
+      count(lit(1)).cast(d0).as("__n") +:
+        (cols.map(c => sum(col(s"__i_$c")).cast(d0).as(s"__s_$c")) ++
+          pairs.map { case (a, b) =>
+            sum(col(s"__i_$a") * col(s"__i_$b")).cast(d0).as(s"__p_${a}_$b") })
+    val m = df.select(ints: _*).agg(aggs.head, aggs.tail: _*)
+    val corrExprs = pairs.filter { case (a, b) => a != b }.map { case (a, b) =>
+      s"""'$a', '$b',
+          ROUND(CAST(__n * `__p_${a}_$b` - `__s_$a` * `__s_$b` AS DOUBLE) /
+            (SQRT(CAST(__n * `__p_${a}_$a` - `__s_$a` * `__s_$a` AS DOUBLE)) *
+             SQRT(CAST(__n * `__p_${b}_$b` - `__s_$b` * `__s_$b` AS DOUBLE))), 6)"""
+    }
+    m.select(expr(
+      s"stack(${corrExprs.size}, ${corrExprs.mkString(", ")}) AS (col_a, col_b, corr)"))
+  }
+
   /** Winsorize: clip a numeric column at its exact interpolated
     * `[pLo, pHi]` quantiles — the standard outlier-capping step before
     * scaling/aggregating heavy-tailed metrics. Adds `<column>_w`, leaves

@@ -82,6 +82,20 @@ class ValidationsSpec extends AnyFunSuite {
     ))
   }
 
+  test("correlationMatrix matches known correlations and is partition-invariant") {
+    // y = 2x exactly → corr 1; z anti-correlated with x → corr -1
+    val df = (1 to 100).map(i => (i.toDouble, 2.0 * i, 101.0 - i)).toDF("x", "y", "z")
+    val c = graft.x.Profiler.correlationMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(c(("x", "y")) === 1.0)
+    assert(c(("x", "z")) === -1.0)
+    assert(c(("y", "z")) === -1.0)
+    // bit-identical under repartitioning (exact integer moments)
+    val again = graft.x.Profiler.correlationMatrix(df.repartition(13), Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(c === again)
+  }
+
   test("winsorize clips to the interpolated quantiles and keeps the original") {
     // 0..100: P10 = 10.0, P90 = 90.0 (exact interpolation on the 101-point grid)
     val df = (0 to 100).map(_.toDouble).toDF("v")
