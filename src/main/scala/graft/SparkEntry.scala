@@ -929,6 +929,13 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "x42_standardize" -> ((s, dir) => {
+      reg(s, dir)
+      Profiler.standardize(s.table("events"), "value", Seq("event_type"))
+        .select(col("event_id"), col("event_type"), round(col("value_z"), 6).as("z"))
+        .orderBy("event_id")
+    }),
+
     "x41_correlation" -> ((s, dir) => {
       reg(s, dir)
       Profiler.correlationMatrix(s.table("lineitem"),
@@ -1888,6 +1895,27 @@ object SparkEntry {
              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
       FROM h
       ORDER BY shard, pos""",
+
+    // replay per-group standardization: same scaled integers and exact
+    // moments, same fixed IEEE sequence for each row's z
+    "x42_standardize" -> """
+      WITH i AS (
+        SELECT event_id, event_type,
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS xi
+        FROM events),
+      m AS (
+        SELECT event_id, event_type, xi,
+          CAST(COUNT(*) OVER (PARTITION BY event_type) AS HUGEINT) AS n,
+          CAST(SUM(xi) OVER (PARTITION BY event_type) AS HUGEINT) AS s,
+          CAST(SUM(xi*xi) OVER (PARTITION BY event_type) AS HUGEINT) AS q
+        FROM i)
+      SELECT event_id, event_type,
+        CASE WHEN n > 1 AND (n*q - s*s) > 0 THEN
+          ROUND(CAST(n*xi - s AS DOUBLE) /
+            SQRT(CAST(n*q - s*s AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))), 6)
+        END AS z
+      FROM m
+      ORDER BY event_id""",
 
     // replay the exact-moment correlation: the same scaled integers, the
     // same HUGEINT moment sums, the same one-shot IEEE finish

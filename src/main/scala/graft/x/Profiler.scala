@@ -77,6 +77,30 @@ object Profiler {
       s"stack(${corrExprs.size}, ${corrExprs.mkString(", ")}) AS (col_a, col_b, corr)"))
   }
 
+  /** Per-group z-score standardization — the feature-normalization step
+    * of an ML-prep pipeline ((x − μ_g)/σ_g per group g), built on the
+    * same exact-moments design as [[correlationMatrix]]: group moments
+    * (n, Σx, Σx²) accumulate as exact DECIMAL(38,0) integers via window
+    * aggregates (one shuffle on the group key, no join-back, no second
+    * scan) and each row's z spends IEEE ops once, in a fixed sequence —
+    * so scores can't wobble across partitionings or engines. Groups with
+    * n < 2 or zero variance get NULL (a 0/0 z-score is noise, not data).
+    * Appends `<valueCol>_z`. */
+  def standardize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      scale: Int = 4): DataFrame = {
+    val d0 = "decimal(38,0)"
+    val factor = math.pow(10, scale).toLong
+    val xi = (col(valueCol).cast(s"decimal(18,$scale)") * factor).cast(d0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
+    val n = count(lit(1)).over(w).cast(d0)
+    val s = sum(xi).over(w).cast(d0)
+    val q = sum(xi * xi).over(w).cast(d0)
+    val mSq = n * q - s * s // n² · Σ(x−μ)² ≥ 0, exact
+    val z = (n * xi - s).cast("double") /
+      sqrt(mSq.cast("double") * (n.cast("double") / (n - 1).cast("double")))
+    df.withColumn(s"${valueCol}_z", when(n > 1 && mSq > 0, z))
+  }
+
   /** Winsorize: clip a numeric column at its exact interpolated
     * `[pLo, pHi]` quantiles — the standard outlier-capping step before
     * scaling/aggregating heavy-tailed metrics. Adds `<column>_w`, leaves

@@ -96,6 +96,22 @@ class ValidationsSpec extends AnyFunSuite {
     assert(c === again)
   }
 
+  test("standardize z-scores per group, nulls degenerate groups, partition-invariant") {
+    val df = Seq(
+      ("a", 10.0), ("a", 20.0), ("a", 30.0), // mean 20, σ 10 → z = -1, 0, 1
+      ("b", 5.0), ("b", 5.0),                // zero variance → NULL
+      ("c", 42.0)                            // n = 1 → NULL
+    ).toDF("g", "v")
+    val z = graft.x.Profiler.standardize(df, "v", Seq("g"))
+    val a = z.filter($"g" === "a").orderBy("v")
+      .select("v_z").as[Double].collect().toSeq
+    assert(a === Seq(-1.0, 0.0, 1.0))
+    assert(z.filter($"g" =!= "a").filter($"v_z".isNotNull).count() === 0)
+    val again = graft.x.Profiler.standardize(df.repartition(7), "v", Seq("g"))
+      .filter($"g" === "a").orderBy("v").select("v_z").as[Double].collect().toSeq
+    assert(a === again)
+  }
+
   test("winsorize clips to the interpolated quantiles and keeps the original") {
     // 0..100: P10 = 10.0, P90 = 90.0 (exact interpolation on the 101-point grid)
     val df = (0 to 100).map(_.toDouble).toDF("v")
