@@ -997,6 +997,45 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    "etl_pipeline_e2e" -> ((s, dir) => {
+      reg(s, dir)
+      // the reference DAG shape (example-shareprice.py:148-153) end to end
+      // THROUGH the declarative surface: JSON configs → Orchestrator phases
+      // → PipelineRunner steps → parquet sinks, then the final table is
+      // oracle-checked — this verifies the config machinery itself, not
+      // just the operators it dispatches to
+      val base = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+      val fetch = graft.config.JobConfig.parse(
+        s"""{
+           |"jobName": "fetch_prices",
+           |"inputs": [
+           |  {"dataFrameName": "orders_in", "format": "parquet", "path": "$dir/orders.parquet"},
+           |  {"dataFrameName": "lineitem_in", "format": "parquet", "path": "$dir/lineitem.parquet",
+           |   "selectColumns": ["l_orderkey", "l_extendedprice"]}],
+           |"transformations": [{"functionName": "stage",
+           |  "sqlQuery": "SELECT CAST(o.o_orderdate AS DATE) AS trade_date, l.l_extendedprice FROM orders_in o JOIN lineitem_in l ON o.o_orderkey = l.l_orderkey",
+           |  "outputDFName": "prices"}],
+           |"sinks": [{"dataFrameName": "prices", "format": "parquet",
+           |  "path": "$base/prices", "savemode": "overwrite"}]
+           |}""".stripMargin)
+      val calc = graft.config.JobConfig.parse(
+        s"""{
+           |"jobName": "calculate_daily_range",
+           |"inputs": [{"dataFrameName": "prices", "format": "parquet", "path": "$base/prices"}],
+           |"validations": [
+           |  {"type": "nullValueCheck", "dataFrameName": "prices", "primaryKeys": ["trade_date"]}],
+           |"transformations": [{"functionName": "range",
+           |  "sqlQuery": "SELECT trade_date, CAST(MAX(l_extendedprice) - MIN(l_extendedprice) AS DOUBLE) AS price_range, CAST(COUNT(*) AS BIGINT) AS n_lines FROM prices GROUP BY trade_date",
+           |  "outputDFName": "ranges", "countValidation": 1}],
+           |"sinks": [{"dataFrameName": "ranges", "format": "parquet",
+           |  "path": "$base/ranges", "savemode": "overwrite"}]
+           |}""".stripMargin)
+      new graft.run.PipelineRunner(s).run(Seq(
+        graft.run.PipelineStep("fetch_prices", fetch),
+        graft.run.PipelineStep("calculate_daily_range", calc)))
+      s.read.parquet(s"$base/ranges").orderBy("trade_date")
+    }),
+
     "etl_upsert_merge" -> ((s, dir) => {
       reg(s, dir)
       // seed the dimension with all suppliers, then upsert a batch that
@@ -2027,6 +2066,14 @@ object SparkEntry {
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM b GROUP BY bucket
       ORDER BY bucket""",
+
+    "etl_pipeline_e2e" -> """
+      SELECT CAST(o.o_orderdate AS DATE) AS trade_date,
+        CAST(MAX(l.l_extendedprice) - MIN(l.l_extendedprice) AS DOUBLE) AS price_range,
+        CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY CAST(o.o_orderdate AS DATE)
+      ORDER BY trade_date""",
 
     "etl_upsert_merge" -> """
       SELECT s_suppkey, s_name,
