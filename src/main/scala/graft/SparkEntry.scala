@@ -929,6 +929,14 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "x43_gap_fill" -> ((s, dir) => {
+      reg(s, dir)
+      // ~3% of events → guaranteed calendar gaps per type
+      val sparse = s.table("events").filter(pmod(col("event_id"), lit(37)) === 0)
+      EventAnalytics.fillDailyGaps(sparse, "ts", "event_type")
+        .orderBy("event_type", "day")
+    }),
+
     "x42_standardize" -> ((s, dir) => {
       reg(s, dir)
       Profiler.standardize(s.table("events"), "value", Seq("event_type"))
@@ -1934,6 +1942,23 @@ object SparkEntry {
              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
       FROM h
       ORDER BY shard, pos""",
+
+    "x43_gap_fill" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE event_id % 37 = 0
+        GROUP BY 1, 2),
+      grid AS (
+        SELECT event_type, CAST(UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM daily GROUP BY event_type)
+      SELECT g.event_type, STRFTIME(g.day, '%Y-%m-%d') AS day,
+        CAST(COALESCE(d.cnt, 0) AS BIGINT) AS filled_cnt,
+        CAST(LAST_VALUE(d.cnt IGNORE NULLS) OVER (
+          PARTITION BY g.event_type ORDER BY g.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS carried_cnt
+      FROM grid g LEFT JOIN daily d
+        ON g.event_type = d.event_type AND g.day = d.day
+      ORDER BY g.event_type, g.day""",
 
     // replay per-group standardization: same scaled integers and exact
     // moments, same fixed IEEE sequence for each row's z

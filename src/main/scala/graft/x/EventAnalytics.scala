@@ -77,6 +77,36 @@ object EventAnalytics {
         col("week_offset"), col("active_users").cast("long").as("active_users"))
   }
 
+  /** Calendar densification: make each series' daily history gapless
+    * over its own [first, last] span — absent days appear with a
+    * zero count AND the last observed count carried forward (the two
+    * fills reporting needs; pick per metric). Without this step,
+    * day-over-day deltas and moving windows silently skip missing days.
+    *
+    * Shape: daily counts shuffle once on (series, day); the calendar
+    * grid is `sequence(min_day, max_day)` exploded from the per-series
+    * bounds — days × series rows, never event-scale; the grid joins the
+    * counts on (series, day) and the carry-forward is one
+    * `last(ignoreNulls)` window per series. All post-shuffle frames are
+    * calendar-sized regardless of event volume. */
+  def fillDailyGaps(events: DataFrame, tsCol: String, seriesCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(seriesCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = daily.groupBy(col(seriesCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col(seriesCol),
+        explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(seriesCol)).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(daily, Seq(seriesCol, "day"), "left")
+      .withColumn("filled_cnt", coalesce(col("cnt"), lit(0L)).cast("long"))
+      .withColumn("carried_cnt", last(col("cnt"), ignoreNulls = true).over(w).cast("long"))
+      .select(col(seriesCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("filled_cnt"), col("carried_cnt"))
+  }
+
   /** Daily-count anomaly flags per series: marks days whose event count
     * deviates from the series mean by more than `z` sample standard
     * deviations — computed in EXACT integer/decimal arithmetic, so the

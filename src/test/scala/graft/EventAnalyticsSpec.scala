@@ -58,6 +58,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
   }
 
+  test("fillDailyGaps densifies the calendar with zero-fill and carry-forward") {
+    val ev = Seq(
+      ("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 11:00:00")),
+      ("a", ts("2024-01-04 10:00:00")), // gap: Jan 2, 3 missing
+      ("b", ts("2024-02-01 09:00:00"))  // single-day series: no gaps
+    ).toDF("event_type", "ts")
+    val out = EventAnalytics.fillDailyGaps(ev, "ts", "event_type")
+      .orderBy("event_type", "day")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out === Seq(
+      ("a", "2024-01-01", 2L, 2L),
+      ("a", "2024-01-02", 0L, 2L), // zero-filled; carry keeps Jan 1's count
+      ("a", "2024-01-03", 0L, 2L),
+      ("a", "2024-01-04", 1L, 1L),
+      ("b", "2024-02-01", 1L, 1L)))
+  }
+
   test("dailyAnomalies flags a spike day and nothing on a flat series") {
     // flat series: 2 events every day → variance 0, no anomaly
     // spiky series: 1/day for 9 days then 21 → z = 180/sqrt(...) > 2 on
