@@ -1097,6 +1097,13 @@ object SparkEntry {
         .orderBy("stage_idx")
     }),
 
+    "q38_funnel_windowed" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.funnelWithin(s.table("events"), "user_id", "ts", "event_id",
+          "event_type", Seq("signup", "view", "click", "purchase"), maxGap = "3 days")
+        .orderBy("stage_idx")
+    }),
+
     "q37_retention" -> ((s, dir) => {
       reg(s, dir)
       EventAnalytics.retention(s.table("events"), "user_id", "ts")
@@ -2135,6 +2142,35 @@ object SparkEntry {
                           WHEN x.e = 'click' THEN 2 WHEN x.e = 'purchase' THEN 3
                           ELSE -1 END)),
             (a, b) -> CASE WHEN b = a THEN a + 1 ELSE a END) AS depth
+        FROM events GROUP BY user_id)
+      SELECT CAST(k AS INT) AS stage_idx,
+        CASE k WHEN 1 THEN 'signup' WHEN 2 THEN 'view'
+               WHEN 3 THEN 'click' WHEN 4 THEN 'purchase' END AS stage,
+        CAST(COUNT(*) AS BIGINT) AS users_reached
+      FROM per_user, UNNEST(generate_series(1, depth)) AS u(k)
+      WHERE depth >= 1
+      GROUP BY k
+      ORDER BY stage_idx""",
+
+    // replay the windowed-funnel fold: state packs (stage, last-µs) into
+    // one BIGINT; 259200000000 µs = the 3-day conversion window
+    "q38_funnel_windowed" -> """
+      WITH per_user AS (
+        SELECT user_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(
+                list_sort(list(struct_pack(t := ts, i := event_id, e := event_type))),
+                x -> CAST((CASE WHEN x.e = 'signup' THEN 1 WHEN x.e = 'view' THEN 2
+                                WHEN x.e = 'click' THEN 3 WHEN x.e = 'purchase' THEN 4
+                                ELSE 0 END) AS BIGINT) * 10000000000000000
+                     + epoch_us(x.t))),
+            (a, b) -> CASE
+              WHEN b // 10000000000000000 - 1 = a // 10000000000000000
+                   AND (a // 10000000000000000 = 0
+                        OR b % 10000000000000000 - a % 10000000000000000 <= 259200000000)
+              THEN (a // 10000000000000000 + 1) * 10000000000000000 + b % 10000000000000000
+              ELSE a END) // 10000000000000000 AS depth
         FROM events GROUP BY user_id)
       SELECT CAST(k AS INT) AS stage_idx,
         CASE k WHEN 1 THEN 'signup' WHEN 2 THEN 'view'

@@ -53,6 +53,48 @@ object EventAnalytics {
         col("users_reached").cast("long").as("users_reached"))
   }
 
+  /** Conversion-window funnel: like [[funnel]], but each stage after the
+    * first must occur within `maxGap` of the previous stage's completion
+    * — "signed up, then purchased within 3 days", the form product
+    * funnels are actually asked in. Same single user-keyed shuffle; the
+    * fold state packs (stages-completed, last-completion-micros) into
+    * ONE BIGINT (state·10¹⁶ + µs — epoch micros stay below 10¹⁶ until
+    * year 2286), so the per-user fold remains O(1) integer arithmetic
+    * inside codegen, replayable exactly by any engine with 64-bit ints. */
+  def funnelWithin(events: DataFrame, userCol: String, tsCol: String, idCol: String,
+      typeCol: String, stages: Seq[String], maxGap: String): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val gapMicros = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(maxGap))
+    val gapUs = gapMicros.microseconds + gapMicros.days * 86400000000L
+    require(gapMicros.months == 0, "maxGap must be day-or-finer (months vary)")
+    val P = "10000000000000000" // 10^16 packing base
+    val caseCode = stages.zipWithIndex
+      .map { case (s, i) => s"WHEN x.e = '$s' THEN ${i + 1}" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val depthExpr =
+      s"""aggregate(
+            transform(
+              sort_array(collect_list(struct($tsCol AS t, $idCol AS i, $typeCol AS e))),
+              x -> CAST(($caseCode) AS BIGINT) * $P + unix_micros(x.t)),
+            CAST(0 AS BIGINT),
+            (a, b) -> CASE
+              WHEN b DIV $P - 1 = a DIV $P
+                   AND (a DIV $P = 0 OR b % $P - a % $P <= ${gapUs}L)
+              THEN (a DIV $P + 1) * $P + b % $P
+              ELSE a END) DIV $P"""
+    val byUser = events.groupBy(col(userCol)).agg(expr(depthExpr).as("depth"))
+    val stageName = stages.zipWithIndex.foldLeft(lit(null: String)) {
+      case (acc, (s, i)) => when(col("stage_idx") === i + 1, lit(s)).otherwise(acc)
+    }
+    byUser.filter(col("depth") >= 1)
+      .select(explode(sequence(lit(1L), col("depth"))).as("stage_idx"))
+      .groupBy("stage_idx")
+      .agg(count(lit(1)).as("users_reached"))
+      .select(col("stage_idx").cast("int").as("stage_idx"), stageName.as("stage"),
+        col("users_reached").cast("long").as("users_reached"))
+  }
+
   /** Weekly cohort retention: cohort = Monday-truncated week of a user's
     * first event; a cohort is "retained at offset k" by every user with
     * any activity k weeks after their cohort week.

@@ -40,6 +40,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.map(r => (r.getInt(0), r.getLong(2))).toSeq === Seq((1, 1L), (2, 1L)))
   }
 
+  test("funnelWithin enforces the conversion window between stages") {
+    val ev = Seq(
+      // u1: A then B 2 days later (inside the 3-day window) → depth 2
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A"),
+      (1L, ts("2024-01-03 10:00:00"), 2L, "B"),
+      // u2: A then B 5 days later (outside) → depth 1
+      (2L, ts("2024-01-01 10:00:00"), 3L, "A"),
+      (2L, ts("2024-01-06 10:00:00"), 4L, "B"),
+      // u3: window anchors on the FIRST completion of a stage — also depth 1
+      (3L, ts("2024-01-01 10:00:00"), 5L, "A"),
+      (3L, ts("2024-01-06 10:00:00"), 6L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.funnelWithin(ev, "user_id", "ts", "event_id", "event_type",
+      Seq("A", "B"), maxGap = "3 days").orderBy("stage_idx").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1, "A", 3L), (2, "B", 1L)))
+    // first stage has no window: a lone A years after epoch still counts
+    val first = EventAnalytics.funnelWithin(
+      Seq((9L, ts("2030-06-01 00:00:00"), 9L, "A")).toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type", Seq("A", "B"), maxGap = "1 hours")
+    assert(first.collect().map(r => r.getLong(2)).toSeq === Seq(1L))
+  }
+
   test("retention buckets users by first-event week and counts active weeks") {
     val ev = Seq(
       // u1: cohort week of Jan 1 (Mon); active weeks 0 and 2
