@@ -929,6 +929,17 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "x44_edit_distance" -> ((s, dir) => {
+      reg(s, dir)
+      // block on (source, 20-char length band): near-identical docs share
+      // both, and the band divides the per-block quadratic
+      val blocked = s.table("documents").withColumn("blk",
+        concat(col("source"), lit("|"), floor(col("n_chars") / 20).cast("string")))
+      Dedup.editDistancePairs(blocked, "text", "doc_id",
+          blockCol = "blk", maxDist = 40)
+        .orderBy("id_a", "id_b")
+    }),
+
     "x43_gap_fill" -> ((s, dir) => {
       reg(s, dir)
       // ~3% of events → guaranteed calendar gaps per type
@@ -1949,6 +1960,18 @@ object SparkEntry {
              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
       FROM h
       ORDER BY shard, pos""",
+
+    "x44_edit_distance" -> """
+      WITH t AS (
+        SELECT doc_id AS id, SUBSTR(text, 1, 80) AS p,
+               source || '|' || CAST(n_chars // 20 AS VARCHAR) AS b
+        FROM documents)
+      SELECT a.id AS id_a, c.id AS id_b,
+             CAST(levenshtein(a.p, c.p) AS INT) AS dist
+      FROM t a JOIN t c ON a.b = c.b AND a.id < c.id
+      WHERE ABS(LENGTH(a.p) - LENGTH(c.p)) <= 40
+        AND levenshtein(a.p, c.p) <= 40
+      ORDER BY id_a, id_b""",
 
     "x43_gap_fill" -> """
       WITH daily AS (

@@ -181,6 +181,34 @@ object Dedup {
     out
   }
 
+  /** Typo-level fuzzy duplicate pairs: edit distance ≤ `maxDist` over
+    * text PREFIXES, within blocks — catches character-level corruption
+    * (OCR noise, mojibake, re-typed titles) that shingle Jaccard misses
+    * and vice versa. Blocking bounds the quadratic term: pairs form only
+    * inside a block (source, domain, length band…), so cost is
+    * Σ|block|², not n² — pick blocks the way a crawl pipeline already
+    * partitions (per-source × length-band here — near-identical texts
+    * have near-identical lengths, so banding costs little recall and
+    * divides the quadratic). The prefix cap bounds each comparison at
+    * prefixLen·maxDist cells: the distance runs through Spark's BANDED
+    * levenshtein (threshold argument → O(n·d) diagonal band, -1 when the
+    * band is exceeded), and a length-difference pre-filter skips the DP
+    * for pairs that cannot pass (|len_a − len_b| lower-bounds edit
+    * distance). */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, maxDist: Int, prefixLen: Int = 80): DataFrame = {
+    val t = df.select(col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("p"), col(blockCol).as("b"))
+    val a = t.toDF("id_a", "p_a", "b")
+    val c = t.toDF("id_b", "p_b", "b")
+    a.join(c, Seq("b"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("p_a")) - length(col("p_b"))) <= maxDist)
+      .withColumn("dist", expr(s"levenshtein(p_a, p_b, $maxDist)"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
+
   /** MinHash-LSH near-dedup end-to-end: candidates → exact-Jaccard verify →
     * pairs ≥ threshold. Linear-cost scale path for [[ngramJaccardPairs]]. */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,

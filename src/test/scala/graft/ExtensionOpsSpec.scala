@@ -26,6 +26,18 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(floored === Set("a b", "b c"))
   }
 
+  test("editDistancePairs finds typo-level pairs only within blocks") {
+    val df = Seq(
+      (1L, "the quick brown fox", "s1"),
+      (2L, "the quick brwon fox", "s1"),  // transposition: dist 2
+      (3L, "completely different text here", "s1"),
+      (4L, "the quick brown fox", "s2")   // identical to 1 but other block
+    ).toDF("doc_id", "text", "source")
+    val pairs = graft.x.Dedup.editDistancePairs(df, "text", "doc_id", "source", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs === Seq((1L, 2L, 2)))
+  }
+
   test("topTermsPerGroup ranks by count with deterministic term ties") {
     val df = Seq(
       ("en", "a a a b b c"), ("en", "b"), ("fr", "x y x")
