@@ -929,6 +929,13 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "x45_daily_deltas" -> ((s, dir) => {
+      reg(s, dir)
+      val sparse = s.table("events").filter(pmod(col("event_id"), lit(37)) === 0)
+      EventAnalytics.dailyDeltas(sparse, "ts", "event_type")
+        .orderBy("event_type", "day")
+    }),
+
     "x44_edit_distance" -> ((s, dir) => {
       reg(s, dir)
       // block on (source, 20-char length band): near-identical docs share
@@ -1960,6 +1967,28 @@ object SparkEntry {
              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
       FROM h
       ORDER BY shard, pos""",
+
+    "x45_daily_deltas" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE event_id % 37 = 0
+        GROUP BY 1, 2),
+      grid AS (
+        SELECT event_type, CAST(UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM daily GROUP BY event_type),
+      filled AS (
+        SELECT g.event_type, g.day, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS filled_cnt
+        FROM grid g LEFT JOIN daily d
+          ON g.event_type = d.event_type AND g.day = d.day)
+      SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day, filled_cnt,
+        CAST(filled_cnt - LAG(filled_cnt) OVER w AS BIGINT) AS delta,
+        CASE WHEN LAG(filled_cnt) OVER w > 0 THEN
+          ROUND(CAST(filled_cnt - LAG(filled_cnt) OVER w AS DOUBLE) /
+                CAST(LAG(filled_cnt) OVER w AS DOUBLE) * 100.0, 4)
+        END AS pct_change
+      FROM filled
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      ORDER BY event_type, day""",
 
     "x44_edit_distance" -> """
       WITH t AS (

@@ -149,6 +149,27 @@ object EventAnalytics {
         col("filled_cnt"), col("carried_cnt"))
   }
 
+  /** Day-over-day deltas on the DENSIFIED calendar: absolute change and
+    * percent change per series per day. Built on [[fillDailyGaps]]
+    * deliberately — a lag over sparse days compares "last day with
+    * data", silently turning a week-long outage into one innocent-
+    * looking delta; on the gapless calendar the outage shows up as the
+    * -100% day it actually was. Deltas are exact integer differences;
+    * the percent is one IEEE division, NULL on the first day and after
+    * zero-count days. */
+  def dailyDeltas(events: DataFrame, tsCol: String, seriesCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(seriesCol)).orderBy(col("day"))
+    val prev = lag(col("filled_cnt"), 1).over(w)
+    fillDailyGaps(events, tsCol, seriesCol)
+      .withColumn("delta", (col("filled_cnt") - prev).cast("long"))
+      .withColumn("pct_change",
+        when(prev > 0, round((col("filled_cnt") - prev).cast("double") /
+          prev.cast("double") * 100.0, 4)))
+      .select(col(seriesCol), col("day"), col("filled_cnt"), col("delta"),
+        col("pct_change"))
+  }
+
   /** Daily-count anomaly flags per series: marks days whose event count
     * deviates from the series mean by more than `z` sample standard
     * deviations — computed in EXACT integer/decimal arithmetic, so the

@@ -98,6 +98,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("b", "2024-02-01", 1L, 1L)))
   }
 
+  test("dailyDeltas shows gap days as real -100% drops") {
+    val ev = Seq(
+      ("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 11:00:00")),
+      ("a", ts("2024-01-03 10:00:00")) // Jan 2 missing entirely
+    ).toDF("event_type", "ts")
+    val out = EventAnalytics.dailyDeltas(ev, "ts", "event_type").orderBy("day")
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))).toSeq
+    assert(out === Seq(
+      ("2024-01-01", 2L, null, null),          // first day: no prior
+      ("2024-01-02", 0L, -2L, -100.0),         // the outage is visible
+      ("2024-01-03", 1L, 1L, null)))           // prior was 0: pct undefined
+  }
+
   test("dailyAnomalies flags a spike day and nothing on a flat series") {
     // flat series: 2 events every day → variance 0, no anomaly
     // spiky series: 1/day for 9 days then 21 → z = 180/sqrt(...) > 2 on
