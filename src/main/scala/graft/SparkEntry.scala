@@ -1115,6 +1115,16 @@ object SparkEntry {
         .orderBy("stage_idx")
     }),
 
+    "q39_exists_subquery" -> sqlQ("""
+      SELECT c.c_custkey, c.c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                          AND o2.o_totalprice < 1000)
+      ORDER BY c.c_custkey"""),
+
     "q38_funnel_windowed" -> ((s, dir) => {
       reg(s, dir)
       EventAnalytics.funnelWithin(s.table("events"), "user_id", "ts", "event_id",
@@ -2203,6 +2213,16 @@ object SparkEntry {
       WHERE depth >= 1
       GROUP BY k
       ORDER BY stage_idx""",
+
+    "q39_exists_subquery" -> """
+      SELECT c.c_custkey, c.c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                          AND o2.o_totalprice < 1000)
+      ORDER BY c.c_custkey""",
 
     // replay the windowed-funnel fold: state packs (stage, last-µs) into
     // one BIGINT; 259200000000 µs = the 3-day conversion window
