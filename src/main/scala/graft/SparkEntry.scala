@@ -863,8 +863,12 @@ object SparkEntry {
       reg(s, dir)
       val o = s.table("orders")
         .withColumn("xc", graft.x.Layout.cell(col("o_totalprice"), 0.0, 500000.0, 10))
+        // anchored at/below the data minimum (orders span 1992-1998):
+        // a mid-range anchor fed NEGATIVE day cells into the interleave,
+        // aliasing pre-anchor days into the top of the cell range and
+        // weakening the tight-box clustering (ADVICE r2)
         .withColumn("yc", datediff(col("o_orderdate").cast("date"),
-          to_date(lit("1995-01-01"))).cast("long"))
+          to_date(lit("1992-01-01"))).cast("long"))
       graft.x.Layout.zOrder(o, col("xc"), col("yc"), bits = 12)
         .groupBy(shiftright(col("z"), 14).as("bucket"))
         .agg(count(lit(1)).as("n"),
@@ -1268,10 +1272,13 @@ object SparkEntry {
 
   /** DuckDB replay of [[graft.x.Layout.zValue]]: the identical bit
     * interleave as an OR-chain of shift/mask terms. */
-  private def zSql(x: String, y: String, bits: Int): String =
+  private def zSql(x: String, y: String, bits: Int): String = {
+    // mirror zValue's negative-input clamp so the replay stays bit-exact
+    val (xc, yc) = (s"GREATEST(0, $x)", s"GREATEST(0, $y)")
     (0 until bits).map(i =>
-      s"(((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1}))")
+      s"(((($xc >> $i) & 1) << ${2 * i}) | ((($yc >> $i) & 1) << ${2 * i + 1}))")
       .mkString("(", " | ", ")")
+  }
 
   /** Exact decontamination result — oracle for BOTH x23 (exact broadcast
     * anti-join) and x25 (Bloom prefilter + exact verify, equal by
@@ -1958,7 +1965,7 @@ object SparkEntry {
       WITH c AS (
         SELECT LEAST(1023, GREATEST(0,
                  CAST(FLOOR((o_totalprice - 0.0) / 500000.0 * 1023.0) AS BIGINT))) AS xc,
-               CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS yc
+               CAST(DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS yc
         FROM orders),
       z AS (SELECT xc, yc, ${zSql("xc", "yc", 12)} AS z FROM c)
       SELECT z >> 14 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,

@@ -68,6 +68,16 @@ object VersionedParquet {
     val vs = versions(path)
     require(vs.nonEmpty, s"no committed versions under $path")
     val to = toVersion.getOrElse(vs.max)
+    // Guard against vacuumed history (ADVICE r2): versions number from 0, so
+    // an oldest retained version > 0 means its predecessors were vacuumed.
+    // Diffing the oldest survivor against None would tag the ENTIRE carried
+    // snapshot "insert" — an incremental consumer whose watermark predates
+    // retention would silently double-count every carried row. Fail loudly
+    // instead (Delta's CDF errors here too rather than fabricating a delta).
+    require(fromVersion >= vs.min || vs.min == 0L,
+      s"history vacuumed past requested change range: fromVersion=$fromVersion " +
+        s"but oldest retained version under $path is ${vs.min}; re-seed from a " +
+        s"snapshot read instead of the change feed")
     val range = vs.filter(v => v > fromVersion && v <= to)
     val frames = range.flatMap { v =>
       val prev = vs.filter(_ < v).lastOption.map(manifestFiles(path, _)).getOrElse(Nil).toSet

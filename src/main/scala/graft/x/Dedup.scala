@@ -149,11 +149,34 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Per-shingle document frequencies ABOVE `maxDocFreq` — the audit
+    * surface for [[ngramJaccardPairs]]' skew cap, so a capped run is never
+    * silent: callers inspect exactly which stop-grams were excluded and how
+    * hot they were. Returns (__sh, __df) ordered hottest-first. */
+  def hotShingles(df: DataFrame, textCol: String, idCol: String, n: Int,
+      maxDocFreq: Int): DataFrame =
+    shingleHashes(df, textCol, idCol, n)
+      .groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .orderBy(col("__df").desc)
+
   /** Full exact n-gram-Jaccard near-dup pairs (co-shingle join → Jaccard ≥
     * threshold). Oracle-expressible in ANSI SQL; the MinHash path above is
-    * the 100 TB approximation of exactly this. */
+    * the 100 TB approximation of exactly this.
+    *
+    * Skew guard (`maxDocFreq`): a stop-shingle appearing in f documents
+    * contributes f² rows to the co-shingle self-join — ONE "of the and"
+    * trigram across a web corpus re-creates the quadratic blowup the
+    * operator otherwise avoids. Shingles with document frequency above the
+    * cap are excluded from BOTH the intersection and the set sizes, i.e.
+    * Jaccard is computed over the sub-cap shingle universe. That is exact
+    * whenever no shingle exceeds the cap (the default is far above any df
+    * the verification-scale fixtures produce), and at scale it drops only
+    * never-discriminative grams: a pair whose overlap is made purely of
+    * corpus-wide stop-grams is not a near-duplicate. The excluded set is
+    * auditable via [[hotShingles]] — no silent cap. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxDocFreq: Int = 100000): DataFrame = {
     // One co-shingle join straight into intersection counts — don't
     // materialize candidate pairs and re-join (that doubles the dominant
     // shuffle). Co-grouped pairs that never share a shingle have Jaccard 0
@@ -161,7 +184,13 @@ object Dedup {
     // Hashed shingles from the start: the dominant shuffle carries longs
     // that never existed as gram strings. Persisted because both join
     // sides and the sizes agg reference it.
-    val sh = shingleHashes(df, textCol, idCol, n).persist()
+    val shAll = shingleHashes(df, textCol, idCol, n).persist()
+    // document-frequency cap: the hot set is tiny by construction (grams in
+    // >maxDocFreq docs), so it broadcasts and the exclusion is a map-side
+    // anti-join — no extra shuffle on the corpus-sized shingle stream
+    val hot = shAll.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq).select("__sh")
+    val sh = shAll.join(broadcast(hot), Seq("__sh"), "left_anti")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col(idCol).as("id_a"), col("__sh"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh")), Seq("__sh"))
@@ -177,7 +206,7 @@ object Dedup {
       // materialize the (small) result, then release the shingle cache —
       // otherwise every call leaks pinned partitions into the session
       .localCheckpoint(true)
-    sh.unpersist()
+    shAll.unpersist()
     out
   }
 
@@ -195,13 +224,38 @@ object Dedup {
     * band is exceeded), and a length-difference pre-filter skips the DP
     * for pairs that cannot pass (|len_a − len_b| lower-bounds edit
     * distance). */
+  /** Audit surface for [[editDistancePairs]]' block cap: blocks whose row
+    * count exceeds `maxBlock`, with the sub-band fan-out each one gets —
+    * callers see exactly where the quadratic was bounded. */
+  def oversizedBlocks(df: DataFrame, blockCol: String, maxBlock: Int): DataFrame =
+    df.groupBy(col(blockCol).as("b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlock)
+      .withColumn("sub_bands", ceil(col("n") / maxBlock).cast("int"))
+      .orderBy(col("n").desc)
+
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
-      blockCol: String, maxDist: Int, prefixLen: Int = 80): DataFrame = {
+      blockCol: String, maxDist: Int, prefixLen: Int = 80,
+      maxBlock: Int = 100000): DataFrame = {
+    // Block-size cap (skew guard): join cost is Σ|block|², so ONE dominant
+    // block — a crawl with 90% of docs from a single (source × length-band)
+    // — re-creates the quadratic the blocking scheme exists to divide.
+    // Blocks over `maxBlock` rows are deterministically sub-banded by id
+    // hash into ⌈n/maxBlock⌉ salts and pairs form only within a salt:
+    // every row is kept, cost drops from n² to ~n·maxBlock, and the recall
+    // inside an oversized block degrades gracefully to ~1/salts (the same
+    // contract as lshCandidatePairs' maxBucket). Below the cap the salt is
+    // constant 0 — the output is bit-identical to the uncapped join (the
+    // default cap is far above any verification-scale block). Oversized
+    // blocks are auditable via [[oversizedBlocks]] — no silent cap.
+    val w = Window.partitionBy(col("b"))
     val t = df.select(col(idCol).as("id"),
       substring(col(textCol), 1, prefixLen).as("p"), col(blockCol).as("b"))
-    val a = t.toDF("id_a", "p_a", "b")
-    val c = t.toDF("id_b", "p_b", "b")
-    a.join(c, Seq("b"))
+      .withColumn("__salts", ceil(count(lit(1)).over(w) / maxBlock).cast("int"))
+      .withColumn("__salt", pmod(xxhash64(col("id")), col("__salts")))
+      .drop("__salts")
+    val a = t.toDF("id_a", "p_a", "b", "__salt")
+    val c = t.toDF("id_b", "p_b", "b", "__salt")
+    a.join(c, Seq("b", "__salt"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(length(col("p_a")) - length(col("p_b"))) <= maxDist)
       .withColumn("dist", expr(s"levenshtein(p_a, p_b, $maxDist)"))
@@ -241,8 +295,15 @@ object Dedup {
     * loop stops as soon as labels are stable. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       driverThreshold: Long = 1 << 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // ids are normalized to LongType up front (ADVICE r2): the driver
+    // union-find fast path reads getLong, and without the cast a caller
+    // with Int ids would hit a ClassCastException only when the edge count
+    // happened to fall under driverThreshold. String ids fail here loudly
+    // at analysis time instead — the documented contract is numeric ids.
+    val edges = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
       .localCheckpoint(true)
     // Adaptive strategy (same spirit as AQE's runtime join switch): the
     // edge list of a near-dup graph is orders of magnitude smaller than

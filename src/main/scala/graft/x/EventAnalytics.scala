@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  // The funnel fold is assembled as a SQL fragment (no Column-API form of
+  // `aggregate` over a struct sort exists); stage VALUES and column NAMES
+  // are user input, so both are escaped before splicing (ADVICE r2: a stage
+  // containing a quote must not change the predicate or kill the parse).
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+  private def qid(c: String): String = "`" + c.replace("`", "``") + "`"
+
   /** Ordered funnel: how many users completed the first k stages IN ORDER,
     * for every k. A stage counts only after all previous stages happened
     * at a strictly earlier-or-equal event position (events are replayed in
@@ -33,12 +41,12 @@ object EventAnalytics {
     require(stages.nonEmpty, "funnel needs at least one stage")
     // time-sorted event codes per user: stage index, or -1 for noise
     val caseCode = stages.zipWithIndex
-      .map { case (s, i) => s"WHEN x.e = '$s' THEN $i" }
+      .map { case (s, i) => s"WHEN x.e = ${sqlLit(s)} THEN $i" }
       .mkString("CASE ", " ", " ELSE -1 END")
     val depthExpr =
       s"""aggregate(
             transform(
-              sort_array(collect_list(struct($tsCol AS t, $idCol AS i, $typeCol AS e))),
+              sort_array(collect_list(struct(${qid(tsCol)} AS t, ${qid(idCol)} AS i, ${qid(typeCol)} AS e))),
               x -> $caseCode),
             0, (st, c) -> IF(c = st, st + 1, st))"""
     val byUser = events.groupBy(col(userCol)).agg(expr(depthExpr).as("depth"))
@@ -70,12 +78,12 @@ object EventAnalytics {
     require(gapMicros.months == 0, "maxGap must be day-or-finer (months vary)")
     val P = "10000000000000000" // 10^16 packing base
     val caseCode = stages.zipWithIndex
-      .map { case (s, i) => s"WHEN x.e = '$s' THEN ${i + 1}" }
+      .map { case (s, i) => s"WHEN x.e = ${sqlLit(s)} THEN ${i + 1}" }
       .mkString("CASE ", " ", " ELSE 0 END")
     val depthExpr =
       s"""aggregate(
             transform(
-              sort_array(collect_list(struct($tsCol AS t, $idCol AS i, $typeCol AS e))),
+              sort_array(collect_list(struct(${qid(tsCol)} AS t, ${qid(idCol)} AS i, ${qid(typeCol)} AS e))),
               x -> CAST(($caseCode) AS BIGINT) * $P + unix_micros(x.t)),
             CAST(0 AS BIGINT),
             (a, b) -> CASE

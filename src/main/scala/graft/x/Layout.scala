@@ -29,9 +29,16 @@ object Layout {
     * bits, so bits ≤ 31. Codegen'd end-to-end (pure builtin expressions). */
   def zValue(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits > 0 && bits <= 31, s"bits $bits out of range")
+    // clamp negatives to 0 (ADVICE r2): two's-complement low bits of a
+    // negative cell would alias into the TOP of the range — a silent
+    // clustering inversion. Clamping keeps the precondition enforced in
+    // the expression itself; callers should still anchor/quantize so the
+    // clamp never fires (a pile-up at cell 0 is visible, aliasing is not).
+    val xc = greatest(lit(0L), x.cast("long"))
+    val yc = greatest(lit(0L), y.cast("long"))
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc.bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      acc.bitwiseOR(shiftleft(shiftright(xc, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(yc, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
   }
 

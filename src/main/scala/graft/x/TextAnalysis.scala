@@ -303,8 +303,12 @@ object TextAnalysis {
     val bloomBc = train.sparkSession.sparkContext.broadcast(bloom)
     val probe = udf((fp: Long) => bloomBc.value.mightContainLong(fp))
     val fps = train.withColumn("__fp", fingerprint(col(textCol)))
-    val clean = fps.filter(!probe(col("__fp")))
-    val falsePositives = fps.filter(probe(col("__fp")))
+    // NULL text ⇒ NULL fingerprint ⇒ the primitive-Long probe returns NULL,
+    // which would fail BOTH filters and silently drop the row. The exact
+    // anti-join keeps NULL-fp rows (a NULL key never matches), so the clean
+    // branch must keep them too: a NULL fingerprint cannot be in the set.
+    val clean = fps.filter(coalesce(!probe(col("__fp")), lit(true)))
+    val falsePositives = fps.filter(coalesce(probe(col("__fp")), lit(false)))
       .join(broadcast(bfp), Seq("__fp"), "left_anti")
     clean.unionByName(falsePositives).drop("__fp")
   }

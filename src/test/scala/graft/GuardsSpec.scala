@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.x.{Dedup, EventAnalytics, Layout, TextAnalysis}
+import graft.sources.VersionedParquet
+
+/** Round-3 guard behaviors (ADVICE r2 + VERDICT r2 skew caps): each test
+  * pins the FIX, not just the happy path — null routing, vacuumed-history
+  * errors, quote-safe funnel stages, id-type widening, and the
+  * document-frequency / block-size caps with their audit surfaces. */
+class GuardsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bloomDecontaminate routes NULL-text rows exactly like decontaminate") {
+    val train = Seq((1L, "keep me"), (2L, "drop me"), (3L, null.asInstanceOf[String]),
+      (4L, "also keep")).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("drop me")).toDF("text")
+    val exact = TextAnalysis.decontaminate(train, bench, "text", "doc_id")
+    val bloom = TextAnalysis.bloomDecontaminate(train, bench, "text", "doc_id",
+      expectedItems = 100L)
+    // the NULL-text row must survive BOTH paths (a NULL fingerprint cannot
+    // be in the benchmark set); before the fix the bloom path dropped it
+    assert(exact.filter(col("doc_id") === 3L).count() == 1)
+    assert(bloom.filter(col("doc_id") === 3L).count() == 1)
+    assert(exact.exceptAll(bloom).isEmpty && bloom.exceptAll(exact).isEmpty)
+  }
+
+  test("readChanges fails loudly when fromVersion predates vacuumed history") {
+    val dir = java.nio.file.Files.createTempDirectory("vp_vacuum_guard").toString
+    val t = s"$dir/tbl"
+    VersionedParquet.write(Seq((1L, "a")).toDF("id", "v"), t, "overwrite") // v0
+    VersionedParquet.write(Seq((2L, "b")).toDF("id", "v"), t, "append")    // v1
+    VersionedParquet.write(Seq((3L, "c")).toDF("id", "v"), t, "append")    // v2
+    // full history retained: change feed from the beginning is fine
+    assert(VersionedParquet.readChanges(spark, t, -1L).count() == 3)
+    VersionedParquet.vacuum(t, keepVersions = 2) // drops v0's manifest
+    // watermark inside retained history still works (v1 survives as prev)
+    assert(VersionedParquet.readChanges(spark, t, 1L)
+      .filter(col("_change_type") === "insert").count() == 1)
+    // watermark older than retained history must error, not fabricate a
+    // snapshot-sized "insert" delta that double-counts carried rows
+    val e = intercept[IllegalArgumentException] {
+      VersionedParquet.readChanges(spark, t, 0L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("funnel stages containing quotes neither break the parse nor the match") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val events = Seq(
+      (1L, at(1), 10L, "it's view"), (1L, at(2), 11L, "o'brien buy"),
+      (2L, at(3), 12L, "it's view")).toDF("user_id", "ts", "event_id", "etype")
+    val out = EventAnalytics.funnel(events, "user_id", "ts", "event_id", "etype",
+      Seq("it's view", "o'brien buy")).orderBy("stage_idx").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "it's view", 2L), (2, "o'brien buy", 1L)))
+    val within = EventAnalytics.funnelWithin(events, "user_id", "ts", "event_id",
+      "etype", Seq("it's view", "o'brien buy"), "2 minutes")
+    assert(within.count() == 2)
+    assert(ts0 != null) // anchor referenced so the helper stays used
+  }
+
+  test("connectedComponents widens Int ids on the driver fast path") {
+    val pairs = Seq((1, 2), (2, 3), (10, 11)).toDF("id_a", "id_b")
+    // before the fix: ClassCastException (IntegerType rows read via getLong)
+    val comp = Dedup.connectedComponents(pairs)
+    val byComp = comp.groupBy("comp").agg(sort_array(collect_list("id")).as("ids"))
+      .collect().map(_.getAs[Seq[Long]]("ids").toList).toSet
+    assert(byComp == Set(List(1L, 2L, 3L), List(10L, 11L)))
+  }
+
+  test("ngramJaccardPairs document-frequency cap drops only stop-gram overlap") {
+    // docs 1,2: genuine near-dups; every doc shares the stop trigram
+    // "of the and"; docs 3-6 overlap ONLY through it
+    val docs = Seq(
+      (1L, "alpha beta gamma delta of the and"),
+      (2L, "alpha beta gamma delta of the and epsilon"),
+      (3L, "zeta eta theta of the and"),
+      (4L, "iota kappa lambda of the and"),
+      (5L, "mu nu xi of the and"),
+      (6L, "omicron pi rho of the and")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+      threshold = 0.1)
+    // cap at df>3: the 6-doc stop-grams leave the universe; the true pair
+    // survives on its discriminative grams, stop-gram-only pairs vanish
+    val capped = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+      threshold = 0.1, maxDocFreq = 3)
+    val cappedPairs = capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cappedPairs.contains((1L, 2L)))
+    assert(uncapped.count() > capped.count())
+    // audit surface: the hot grams are reported, hottest first
+    val hot = Dedup.hotShingles(docs, "text", "doc_id", n = 3, maxDocFreq = 3)
+    assert(hot.count() >= 1)
+    assert(hot.select(max("__df")).as[Long].head() == 6L)
+    // a cap nothing exceeds is bit-identical to the uncapped default
+    val wide = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+      threshold = 0.1, maxDocFreq = 1000)
+    assert(uncapped.exceptAll(wide).isEmpty && wide.exceptAll(uncapped).isEmpty)
+  }
+
+  test("editDistancePairs block cap sub-bands oversized blocks deterministically") {
+    val rows = (0 until 40).map(i => (i.toLong, s"document number $i", "big")) :+
+      (99L, "tiny block doc", "small")
+    val df = rows.toDF("doc_id", "text", "source")
+    val uncapped = Dedup.editDistancePairs(df, "text", "doc_id", "source",
+      maxDist = 3)
+    // cap far above every block: identical output
+    val wide = Dedup.editDistancePairs(df, "text", "doc_id", "source",
+      maxDist = 3, maxBlock = 1000)
+    assert(uncapped.exceptAll(wide).isEmpty && wide.exceptAll(uncapped).isEmpty)
+    // cap of 10 splits the 40-row block into 4 salts: pairs only form
+    // within a salt, so the capped result is a strict subset
+    val capped = Dedup.editDistancePairs(df, "text", "doc_id", "source",
+      maxDist = 3, maxBlock = 10)
+    assert(capped.count() < uncapped.count())
+    assert(capped.exceptAll(uncapped).isEmpty)
+    // and deterministic: same call, same pairs
+    val again = Dedup.editDistancePairs(df, "text", "doc_id", "source",
+      maxDist = 3, maxBlock = 10)
+    assert(capped.exceptAll(again).isEmpty && again.exceptAll(capped).isEmpty)
+    val over = Dedup.oversizedBlocks(df, "source", maxBlock = 10).collect()
+    assert(over.length == 1 && over.head.getString(0) == "big" &&
+      over.head.getInt(2) == 4)
+  }
+
+  test("zValue clamps negative cells instead of aliasing them high") {
+    val df = Seq((-5L, 3L), (0L, 3L)).toDF("x", "y")
+    val zs = df.select(Layout.zValue(col("x"), col("y"), 12).as("z"))
+      .as[Long].collect()
+    assert(zs(0) == zs(1)) // negative x behaves as cell 0, not cell 4095
+  }
+}
