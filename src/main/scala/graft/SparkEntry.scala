@@ -672,6 +672,30 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // The MATERIALIZED IVF path: corpus written hive-partitioned by cell,
+    // probe prunes to the 10 queries' nprobe cells at the scan
+    // (PartitionFilters — non-probed cell directories never open; plan
+    // asserted in ExtensionOpsSpec, excerpt in PLANS.md). Same parameters
+    // as x15, same oracle by construction: the layout changes WHERE the
+    // cell restriction applies (scan vs join), never the result.
+    "x46_ivf_layout_topk" -> ((s, dir) => {
+      reg(s, dir)
+      val emb = s.table("embeddings")
+      val centroids = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") >= 490 && col("vec_id") < 500)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val layout = java.nio.file.Files
+        .createTempDirectory("ivf_layout").resolve("embeddings_by_cell").toString
+      Similarity.writeIvfLayout(emb, centroids, "vec_id", "centroid_id",
+        "embedding", layout)
+      Similarity.ivfTopKFromLayout(s, layout, queries, centroids,
+          "vec_id", "q_id", "centroid_id", "embedding", k = 10, nprobe = 3)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // ---- X: text analysis (SURVEY.md §2.9 X4) ----
     "x8_text_stats" -> ((s, dir) => {
       reg(s, dir)
@@ -1152,6 +1176,32 @@ object SparkEntry {
         .orderBy("column_name")
     }),
 
+    // the 100 TB profile: HLL++ cardinalities keep the whole profile ONE
+    // streaming agg pass — no Expand, no input duplication per distinct
+    // column (x33's exact mode pays both; it stays as the verification-
+    // scale twin). Checked contract mirrors q23: non_null/nulls/min/max are
+    // bit-exact, and each HLL estimate must land within 10% (≈2σ at the
+    // default 5% rsd) of the exact cardinality. The Expand-free plan shape
+    // is asserted in EventAnalyticsSpec ("profiler approx mode").
+    "x33b_profile_approx" -> ((s, dir) => {
+      reg(s, dir)
+      val df = s.table("orders").select(col("o_orderkey"), col("o_custkey"),
+        expr("NULLIF(o_orderstatus, 'O')").as("status_nullable"), col("o_orderpriority"))
+      val cols = Seq("o_orderkey", "o_custkey", "status_nullable", "o_orderpriority")
+      val approx = Profiler.profile(df, cols, exact = false)
+      // the exact twin exists only to judge the envelope — at scale the
+      // approx profile runs alone (the whole point), so the comparison
+      // stays out of the operator and in this checked contract
+      val exact = Profiler.profile(df, cols).select(col("column_name"),
+        col("n_distinct").as("__exact_nd"))
+      approx.join(exact, Seq("column_name"))
+        .select(col("column_name"), col("non_null"), col("nulls"),
+          (abs(col("n_distinct").cast("double") - col("__exact_nd")) <=
+            lit(0.1) * col("__exact_nd")).as("nd_within_10pct"),
+          col("min_value"), col("max_value"))
+        .orderBy("column_name")
+    }),
+
     "x34_anomaly" -> ((s, dir) => {
       reg(s, dir)
       EventAnalytics.dailyAnomalies(s.table("events"), "ts", "event_type", z = 2)
@@ -1269,6 +1319,36 @@ object SparkEntry {
       val bi = s"CAST($b[s*$subDim+$i] AS DOUBLE)"
       s"($ai - $bi)*($ai - $bi)"
     }.mkString("(", " + ", ")") + ")"
+
+  /** Shared oracle for the inline (x15) and materialized-layout (x46) IVF
+    * probes — identical by construction. */
+  private lazy val ivfProbeSql: String = s"""
+      WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
+      assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${eucSql("e.embedding", "c.cv")} ASC, c.centroid_id ASC) AS rk
+          FROM embeddings e, c) WHERE rk = 1),
+      q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id >= 490 AND vec_id < 500),
+      qcells AS (
+        SELECT q_id, qv, cell FROM (
+          SELECT q.q_id, q.qv, c.centroid_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY q.q_id
+              ORDER BY ${eucSql("q.qv", "c.cv")} ASC, c.centroid_id ASC) AS rk
+          FROM q, c) WHERE rk <= 3),
+      scored AS (
+        SELECT qc.q_id, a.vec_id,
+          ${dotSql("a.embedding", "qc.qv")} /
+          (SQRT(${dotSql("a.embedding", "a.embedding")}) * SQRT(${dotSql("qc.qv", "qc.qv")})) AS cosine
+        FROM assigned a JOIN qcells qc ON a.cell = qc.cell AND a.vec_id <> qc.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored)
+      SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rank
+      FROM ranked WHERE rk <= 10
+      ORDER BY q_id, rank"""
 
   /** DuckDB replay of [[graft.x.Layout.zValue]]: the identical bit
     * interleave as an OR-chain of shift/mask terms. */
@@ -1731,33 +1811,12 @@ object SparkEntry {
       FROM votes
       ORDER BY doc_id""",
 
-    "x15_ivf_topk" -> s"""
-      WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
-      assigned AS (
-        SELECT vec_id, embedding, cell FROM (
-          SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              ORDER BY ${eucSql("e.embedding", "c.cv")} ASC, c.centroid_id ASC) AS rk
-          FROM embeddings e, c) WHERE rk = 1),
-      q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id >= 490 AND vec_id < 500),
-      qcells AS (
-        SELECT q_id, qv, cell FROM (
-          SELECT q.q_id, q.qv, c.centroid_id AS cell,
-            ROW_NUMBER() OVER (PARTITION BY q.q_id
-              ORDER BY ${eucSql("q.qv", "c.cv")} ASC, c.centroid_id ASC) AS rk
-          FROM q, c) WHERE rk <= 3),
-      scored AS (
-        SELECT qc.q_id, a.vec_id,
-          ${dotSql("a.embedding", "qc.qv")} /
-          (SQRT(${dotSql("a.embedding", "a.embedding")}) * SQRT(${dotSql("qc.qv", "qc.qv")})) AS cosine
-        FROM assigned a JOIN qcells qc ON a.cell = qc.cell AND a.vec_id <> qc.q_id),
-      ranked AS (
-        SELECT q_id, vec_id, cosine,
-          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
-        FROM scored)
-      SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rank
-      FROM ranked WHERE rk <= 10
-      ORDER BY q_id, rank""",
+    "x15_ivf_topk" -> ivfProbeSql,
+
+    // the materialized layout changes the PHYSICAL plan only (partition
+    // pruning at the scan instead of a post-assignment join filter); the
+    // answer — and therefore the oracle — is x15's, verbatim
+    "x46_ivf_layout_topk" -> ivfProbeSql,
 
     // replays the stub featurizer arithmetic exactly: payload = UTF-8 text
     // bytes (ASCII fixture → ord(char) = byte), checksum = Java long
@@ -2273,6 +2332,36 @@ object SparkEntry {
       FROM act JOIN firsts USING (user_id)
       GROUP BY cw, week_offset
       ORDER BY cohort_week, week_offset""",
+
+    // exact stats are bit-checked; the HLL cardinality is checked as its
+    // envelope contract (within 10% of exact ⇒ TRUE on the oracle side)
+    "x33b_profile_approx" -> """
+      SELECT column_name, non_null, nulls, TRUE AS nd_within_10pct,
+             min_value, max_value
+      FROM (
+        SELECT 'o_orderkey' AS column_name,
+          CAST(COUNT(o_orderkey) AS BIGINT) AS non_null,
+          CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS nulls,
+          CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+          CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(COUNT(o_custkey) AS BIGINT),
+          CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+          CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'status_nullable', CAST(COUNT(NULLIF(o_orderstatus, 'O')) AS BIGINT),
+          CAST(COUNT(*) - COUNT(NULLIF(o_orderstatus, 'O')) AS BIGINT),
+          CAST(MIN(NULLIF(o_orderstatus, 'O')) AS VARCHAR),
+          CAST(MAX(NULLIF(o_orderstatus, 'O')) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(COUNT(o_orderpriority) AS BIGINT),
+          CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+          CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+        FROM orders)
+      ORDER BY column_name""",
 
     "x33_profile" -> """
       SELECT * FROM (

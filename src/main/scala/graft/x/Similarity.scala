@@ -153,15 +153,33 @@ object Similarity {
       k: Int, nprobe: Int = 3
   ): DataFrame = {
     val assigned = assignToCentroids(corpus, centroids, idCol, centroidIdCol, vecCol)
+    val qc = queryCells(queries, centroids, qIdCol, centroidIdCol, vecCol, nprobe)
+    probeScore(assigned, qc, idCol, qIdCol, vecCol, k)
+  }
+
+  /** Each query's `nprobe` nearest cells: (qIdCol, __qv, cell, __qn). */
+  private def queryCells(
+      queries: DataFrame, centroids: DataFrame,
+      qIdCol: String, centroidIdCol: String, vecCol: String, nprobe: Int
+  ): DataFrame = {
     val c = centroids.select(col(centroidIdCol), col(vecCol).as("__cv"))
     val wq = Window.partitionBy(col(qIdCol)).orderBy(col("__d").asc, col(centroidIdCol).asc)
-    val qCells = queries.select(col(qIdCol), col(vecCol).as("__qv"))
+    queries.select(col(qIdCol), col(vecCol).as("__qv"))
       .crossJoin(broadcast(c))
       .withColumn("__d", euclideanDistance(col("__qv"), col("__cv")))
       .withColumn("__rk", row_number().over(wq))
       .filter(col("__rk") <= nprobe)
       .select(col(qIdCol), col("__qv"), col(centroidIdCol).as("cell"))
       .withColumn("__qn", l2Norm(col("__qv")))
+  }
+
+  /** Rank an assigned (cell-tagged) corpus against query cells: broadcast
+    * join on the cell + windowed per-query top-k — shared by the inline
+    * and the materialized-layout probe paths. */
+  private def probeScore(
+      assigned: DataFrame, qCells: DataFrame,
+      idCol: String, qIdCol: String, vecCol: String, k: Int
+  ): DataFrame = {
     val scored = assigned
       .withColumn("__cn", l2Norm(col(vecCol)))
       .join(broadcast(qCells), Seq("cell"))
@@ -174,6 +192,44 @@ object Similarity {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .select(col(qIdCol), col(idCol), col("cosine"), col("__rk").as("rank"))
+  }
+
+  /** Materialize the IVF layout: the corpus, assigned to coarse cells and
+    * written hive-partitioned BY the cell — the one-off write that turns
+    * cell membership from a computed column into a physical directory
+    * layout. After it, a probe query prunes to nprobe/nCells of the data
+    * at the SCAN (PartitionFilters, files never opened), which is the
+    * 100 TB IVF story the inline [[ivfTopK]] only simulates. */
+  def writeIvfLayout(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, centroidIdCol: String, vecCol: String, path: String
+  ): Unit =
+    assignToCentroids(corpus, centroids, idCol, centroidIdCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** IVF probe against a materialized [[writeIvfLayout]] table. The probe
+    * cell set (queries × nprobe ids — tiny by the small-query contract) is
+    * collected and pushed as an IN-list on the PARTITION column, so the
+    * scan's PartitionFilters prune every non-probed cell directory before
+    * a single file opens. Results are identical to [[ivfTopK]] on the same
+    * corpus/centroids (asserted in ExtensionOpsSpec). */
+  def ivfTopKFromLayout(
+      spark: org.apache.spark.sql.SparkSession, layoutPath: String,
+      queries: DataFrame, centroids: DataFrame,
+      idCol: String, qIdCol: String, centroidIdCol: String, vecCol: String,
+      k: Int, nprobe: Int = 3
+  ): DataFrame = {
+    val qc = queryCells(queries, centroids, qIdCol, centroidIdCol, vecCol, nprobe)
+      .localCheckpoint(true) // referenced by the collect AND the probe join
+    val probeCells = qc.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val assigned = spark.read.parquet(layoutPath)
+      .filter(col("cell").isin(probeCells: _*))
+      // partition-type inference may narrow the directory value to int;
+      // normalize back to the assignment's long so downstream joins and
+      // callers see the written schema
+      .withColumn("cell", col("cell").cast("long"))
+    probeScore(assigned, qc, idCol, qIdCol, vecCol, k)
   }
 
   /** Product-quantization encode: split each vector into `subspaces`

@@ -127,6 +127,40 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("materialized IVF layout prunes partitions and matches the inline probe") {
+    val centroids = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    val queries = emb.filter($"vec_id" >= 90 && $"vec_id" < 93)
+      .select($"vec_id".as("q_id"), $"embedding")
+    val layout = java.nio.file.Files
+      .createTempDirectory("ivf_layout_spec").resolve("by_cell").toString
+    Similarity.writeIvfLayout(emb, centroids, "vec_id", "centroid_id",
+      "embedding", layout)
+    // the written layout is one directory per cell
+    val cellDirs = new java.io.File(layout).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.length > 1)
+    val fromLayout = Similarity.ivfTopKFromLayout(spark, layout, queries,
+      centroids, "vec_id", "q_id", "centroid_id", "embedding", k = 5, nprobe = 2)
+    // the cell restriction must reach the scan as a PartitionFilter (files
+    // outside the probed cells never open), not a post-scan Filter
+    // sparkPlan, not executedPlan: AQE hides the scan until execution
+    val scans = fromLayout.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val layoutScan = scans.find(_.relation.location.rootPaths.exists(
+      _.toString.contains("by_cell"))).get
+    assert(layoutScan.partitionFilters.exists(_.references.exists(_.name == "cell")))
+    val probed = layoutScan.relation.location.listFiles(
+      layoutScan.partitionFilters, Nil).length
+    assert(probed < cellDirs.length) // strictly pruned: 3 queries × 2 probes
+    // and the physical layout changes nothing about the answer
+    val inline = Similarity.ivfTopK(emb, queries, centroids,
+      "vec_id", "q_id", "centroid_id", "embedding", k = 5, nprobe = 2)
+    assert(inline.exceptAll(fromLayout).isEmpty &&
+      fromLayout.exceptAll(inline).isEmpty)
+  }
+
   test("PQ: codes well-formed, ADC ranking finds same-label neighbors") {
     val cb = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("code"), col("embedding"))
