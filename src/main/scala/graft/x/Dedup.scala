@@ -176,7 +176,8 @@ object Dedup {
     * corpus-wide stop-grams is not a near-duplicate. The excluded set is
     * auditable via [[hotShingles]] — no silent cap. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
-      threshold: Double, maxDocFreq: Int = 100000): DataFrame = {
+      threshold: Double, maxDocFreq: Int = 100000,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     // One co-shingle join straight into intersection counts — don't
     // materialize candidate pairs and re-join (that doubles the dominant
     // shuffle). Co-grouped pairs that never share a shingle have Jaccard 0
@@ -196,7 +197,7 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_b"), col("__sh")), Seq("__sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val out = inter
+    val out0 = inter
       .join(broadcast(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a")), Seq("id_a"))
       .join(broadcast(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b")), Seq("id_b"))
       .withColumn("jaccard", col("inter").cast("double") /
@@ -205,10 +206,19 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
       // materialize the (small) result, then release the shingle cache —
       // otherwise every call leaks pinned partitions into the session
-      .localCheckpoint(true)
+    val out = staging.stage(out0, "jaccard-pairs")
     shAll.unpersist()
     out
   }
+
+  /** Audit surface for [[editDistancePairs]]' block cap: blocks whose row
+    * count exceeds `maxBlock`, with the sub-band fan-out each one gets —
+    * callers see exactly where the quadratic was bounded. */
+  def oversizedBlocks(df: DataFrame, blockCol: String, maxBlock: Int): DataFrame =
+    df.groupBy(col(blockCol).as("b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlock)
+      .withColumn("sub_bands", ceil(col("n") / maxBlock).cast("int"))
+      .orderBy(col("n").desc)
 
   /** Typo-level fuzzy duplicate pairs: edit distance ≤ `maxDist` over
     * text PREFIXES, within blocks — catches character-level corruption
@@ -224,15 +234,6 @@ object Dedup {
     * band is exceeded), and a length-difference pre-filter skips the DP
     * for pairs that cannot pass (|len_a − len_b| lower-bounds edit
     * distance). */
-  /** Audit surface for [[editDistancePairs]]' block cap: blocks whose row
-    * count exceeds `maxBlock`, with the sub-band fan-out each one gets —
-    * callers see exactly where the quadratic was bounded. */
-  def oversizedBlocks(df: DataFrame, blockCol: String, maxBlock: Int): DataFrame =
-    df.groupBy(col(blockCol).as("b")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBlock)
-      .withColumn("sub_bands", ceil(col("n") / maxBlock).cast("int"))
-      .orderBy(col("n").desc)
-
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, maxDist: Int, prefixLen: Int = 80,
       maxBlock: Int = 100000): DataFrame = {
@@ -266,19 +267,19 @@ object Dedup {
   /** MinHash-LSH near-dedup end-to-end: candidates → exact-Jaccard verify →
     * pairs ≥ threshold. Linear-cost scale path for [[ngramJaccardPairs]]. */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.8,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     val sh = shingleHashes(df, textCol, idCol, n).persist()
     // materialize the signatures: lshCandidatePairs references them on BOTH
     // sides of its bucket self-join, and without truncation each side
     // re-runs the whole shingle+32-agg pipeline (measured 3.5s → 1.1s for
     // the candidate stage at sf0.1). Same for the candidate set, which the
-    // verify stage references twice. On a cluster these would be reliable
-    // checkpoints or staged tables.
-    val sigs = minhashSignatures(sh, idCol, k).localCheckpoint(true)
-    val cands = lshCandidatePairs(sigs, idCol, k, bands).localCheckpoint()
-    val out = jaccardForPairs(sh, idCol, cands)
-      .filter(col("jaccard") >= threshold)
-      .localCheckpoint(true) // materialize, then release the shingle cache
+    // verify stage references twice. The staging seam decides HOW: local
+    // checkpoint here, durable staged tables on a cluster (Staging).
+    val sigs = staging.stage(minhashSignatures(sh, idCol, k), "minhash-signatures")
+    val cands = staging.stage(lshCandidatePairs(sigs, idCol, k, bands), "lsh-candidates")
+    val out = staging.stage(jaccardForPairs(sh, idCol, cands)
+      .filter(col("jaccard") >= threshold), "neardup-pairs")
     sh.unpersist()
     out
   }
@@ -294,17 +295,18 @@ object Dedup {
     * doesn't deepen; convergence is detected by a change count, so the
     * loop stops as soon as labels are stable. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-      driverThreshold: Long = 1 << 20): DataFrame = {
+      driverThreshold: Long = 1 << 20,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     // ids are normalized to LongType up front (ADVICE r2): the driver
     // union-find fast path reads getLong, and without the cast a caller
     // with Int ids would hit a ClassCastException only when the edge count
     // happened to fall under driverThreshold. String ids fail here loudly
     // at analysis time instead — the documented contract is numeric ids.
-    val edges = pairs.select(col("id_a").cast("long").as("src"),
-        col("id_b").cast("long").as("dst"))
-      .union(pairs.select(col("id_b").cast("long").as("src"),
-        col("id_a").cast("long").as("dst")))
-      .localCheckpoint(true)
+    val edges = staging.stage(
+      pairs.select(col("id_a").cast("long").as("src"),
+          col("id_b").cast("long").as("dst"))
+        .union(pairs.select(col("id_b").cast("long").as("src"),
+          col("id_a").cast("long").as("dst"))), "cc-edges")
     // Adaptive strategy (same spirit as AQE's runtime join switch): the
     // edge list of a near-dup graph is orders of magnitude smaller than
     // the corpus (it's the MATCHES, not the documents), so when it fits
@@ -335,8 +337,8 @@ object Dedup {
       import spark.implicits._
       return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "comp")
     }
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    var labels = staging.stage(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")), "cc-labels-0")
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -347,11 +349,11 @@ object Dedup {
       // comp ⇔ this round improved the label), so convergence detection is
       // a count over the already-materialized checkpoint — not a second
       // join against the previous labels
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val updated = staging.stage(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          coalesce(col("ncomp") < col("comp"), lit(false)).as("__chg"))
-        .localCheckpoint(true)
+          coalesce(col("ncomp") < col("comp"), lit(false)).as("__chg")),
+        s"cc-labels-${i + 1}")
       changed = updated.filter(col("__chg")).count()
       labels = updated.drop("__chg")
       i += 1
@@ -381,7 +383,8 @@ object Dedup {
     * generation is a bucket join, not a cross join, at ANY bound (a fixed
     * chunk count would silently lose recall past its design distance). */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming $maxHamming out of range")
     val nChunks = maxHamming + 1
     val width = (64 + nChunks - 1) / nChunks
@@ -400,12 +403,12 @@ object Dedup {
       col(idCol).as("id_a"), col("simhash").as("sig_a"))
     val b = bucketed.select(col("chunk"), col("ch"),
       col(idCol).as("id_b"), col("simhash").as("sig_b"))
-    val out = a.join(b, Seq("chunk", "ch"))
+    val out = staging.stage(a.join(b, Seq("chunk", "ch"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .localCheckpoint(true) // materialize, then release the signature cache
+      .filter(col("hamming") <= maxHamming),
+      "simhash-pairs") // materialize, then release the signature cache
     sig.unpersist()
     out
   }

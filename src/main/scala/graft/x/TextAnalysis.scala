@@ -219,15 +219,17 @@ object TextAnalysis {
     * frequency per term, `tfidf = tf * (ln((N+1)/(df+1)) + 1)` (smoothed,
     * sklearn-style). Two shuffles (doc-term tf, term df); the df side is
     * broadcast back, so the corpus never reshuffles twice. */
-  def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def tfidf(df: DataFrame, textCol: String, idCol: String,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     val terms = df.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
     // materialized once: both the df aggregation and the final join read it
-    // (without truncation the explode+tf shuffle runs twice — at 100 TB tf
-    // would be a staged table, the single most reused artifact of scoring)
-    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    // (without truncation the explode+tf shuffle runs twice — at 100 TB
+    // inject a durable Staging: tf is the single most reused scoring
+    // artifact, and executor loss mid-scoring would otherwise recompute it)
+    val tf = staging.stage(
+      terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")), "tf")
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val n = df.select(countDistinct(col(idCol)).as("__n"))
     tf.join(broadcast(dfreq), "term")

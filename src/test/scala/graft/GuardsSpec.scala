@@ -126,6 +126,35 @@ class GuardsSpec extends AnyFunSuite {
       over.head.getInt(2) == 4)
   }
 
+  test("operators stage through a durable path identically to local checkpoints") {
+    val root = java.nio.file.Files.createTempDirectory("graft_staging").toString
+    val st = new graft.util.Staging.PathStaging(root)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "completely different words over here now"),
+      (4L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val local = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+      n = 3, k = 8, bands = 4, threshold = 0.3)
+    val staged = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+      n = 3, k = 8, bands = 4, threshold = 0.3, staging = st)
+    assert(local.exceptAll(staged).isEmpty && staged.exceptAll(local).isEmpty)
+    // the intermediates really went through the path, named per artifact
+    val names = st.stagedPaths.map(p => p.substring(p.lastIndexOf('/') + 1))
+    assert(names.exists(_.endsWith("minhash-signatures")))
+    assert(names.exists(_.endsWith("lsh-candidates")))
+    assert(names.exists(_.endsWith("neardup-pairs")))
+    // per-round label staging on the distributed components path
+    val pairs = staged.select("id_a", "id_b")
+    val localCc = Dedup.connectedComponents(pairs, driverThreshold = 0L)
+    val stagedCc = Dedup.connectedComponents(pairs, driverThreshold = 0L, staging = st)
+    assert(localCc.exceptAll(stagedCc).isEmpty && stagedCc.exceptAll(localCc).isEmpty)
+    assert(st.stagedPaths.map(p => p.substring(p.lastIndexOf('/') + 1))
+      .exists(_.endsWith("cc-labels-0")))
+    st.cleanup()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root)))
+  }
+
   test("zValue clamps negative cells instead of aliasing them high") {
     val df = Seq((-5L, 3L), (0L, 3L)).toDF("x", "y")
     val zs = df.select(Layout.zValue(col("x"), col("y"), 12).as("z"))
