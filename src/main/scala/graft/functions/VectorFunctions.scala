@@ -69,13 +69,34 @@ object VectorFunctions {
     * joins within buckets instead of the full cross product (§2.9 X3 scale
     * path). Pure built-in expressions — `typedlit` hyperplanes are plan
     * constants, broadcast with the plan itself. */
-  def hyperplaneSignature(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column =
+    concat(signatureBits(vec, dim, planes, seed): _*)
+
+  /** Multi-probe signature set: the vector's own signature plus every
+    * 1-bit flip of it — the standard recall lever for hyperplane LSH at a
+    * FIXED bucket granularity. A near neighbor that lands one narrow
+    * hyperplane margin away (the dominant miss mode: the query sat close
+    * to one plane) is found in a flipped bucket, so recall rises without
+    * coarsening `planes` (which would inflate every bucket). The probes
+    * are pairwise distinct, so a corpus row still joins each query at most
+    * once. Returns `planes + 1` signatures; probe cost scales the SMALL
+    * (query) side only. */
+  def hyperplaneProbes(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+    val bits = signatureBits(vec, dim, planes, seed)
+    val flip = (b: Column) => when(b === "1", lit("0")).otherwise(lit("1"))
+    val flipped = bits.indices.map { i =>
+      concat(bits.zipWithIndex.map { case (b, j) =>
+        if (j == i) flip(b) else b }: _*)
+    }
+    array(concat(bits: _*) +: flipped: _*)
+  }
+
+  private def signatureBits(vec: Column, dim: Int, planes: Int, seed: Long): Seq[Column] = {
     val rnd = new scala.util.Random(seed)
     val hs: Seq[Seq[Float]] = // float planes: DotProductFloat operates on float arrays
       Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
-    val bits = hs.map { h =>
+    hs.map { h =>
       when(dotProduct(vec, typedlit(h)) > 0.0, lit("1")).otherwise(lit("0"))
     }
-    concat(bits: _*)
   }
 }

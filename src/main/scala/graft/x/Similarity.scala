@@ -45,18 +45,25 @@ object Similarity {
 
   /** Approximate top-k: corpus and queries both signed with the same
     * deterministic hyperplane LSH; candidates are same-bucket pairs only.
-    * Linear in corpus size; recall grows as `planes` shrinks. */
+    * Linear in corpus size; recall grows as `planes` shrinks — or, without
+    * coarsening any bucket, via `multiProbe`: each query additionally
+    * probes every 1-bit-flip neighbor of its signature
+    * ([[graft.functions.VectorFunctions.hyperplaneProbes]]), recovering
+    * neighbors that fell one hyperplane margin away. The probe fan-out
+    * multiplies only the broadcast (query) side by planes+1; the corpus
+    * still carries ONE signature per row and is never re-scanned. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, qIdCol: String, vecCol: String, k: Int,
-      dim: Int = 64, planes: Int = 8
+      dim: Int = 64, planes: Int = 8, multiProbe: Boolean = false
   ): DataFrame = {
-    val sig = (c: DataFrame) =>
-      c.withColumn("__sig", hyperplaneSignature(col(vecCol), dim, planes))
-    val q = sig(queries.select(col(qIdCol), col(vecCol).as("__qv")).withColumnRenamed("__qv", vecCol))
-      .withColumnRenamed(vecCol, "__qv")
+    val qBase = queries.select(col(qIdCol), col(vecCol).as("__qv"))
+    val q = (if (multiProbe)
+        qBase.withColumn("__sig", explode(hyperplaneProbes(col("__qv"), dim, planes)))
+      else qBase.withColumn("__sig", hyperplaneSignature(col("__qv"), dim, planes)))
       .withColumn("__qn", l2Norm(col("__qv")))
-    val scored = sig(corpus)
+    val scored = corpus
+      .withColumn("__sig", hyperplaneSignature(col(vecCol), dim, planes))
       .withColumn("__cn", l2Norm(col(vecCol)))
       .join(broadcast(q), Seq("__sig"))
       .filter(col(idCol) =!= col(qIdCol))

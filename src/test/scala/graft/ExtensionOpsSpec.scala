@@ -127,6 +127,30 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH beats single-probe recall at equal planes") {
+    val queries = emb.filter($"vec_id" < 20).select($"vec_id".as("q_id"), $"embedding")
+    val k = 10
+    val truth = Similarity.bruteForceTopK(emb, queries, "vec_id", "q_id", "embedding", k)
+      .select($"q_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(multiProbe: Boolean): Double = {
+      val hits = Similarity.lshTopK(emb, queries, "vec_id", "q_id", "embedding",
+        k, dim = 64, planes = 8, multiProbe = multiProbe)
+        .select($"q_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (hits intersect truth).size.toDouble / truth.size
+    }
+    val single = recallOf(false)
+    val multi = recallOf(multiProbe = true)
+    // the point of the probe fan-out: strictly more of the true top-k at
+    // the SAME bucket granularity (fixed seed ⇒ deterministic margins)
+    assert(multi > single,
+      s"multi-probe recall $multi should beat single-probe $single")
+    // multi-probe candidates are a superset, so cosines stay exact and
+    // every returned pair is still a true-cosine ranked result
+    assert(multi >= single + 0.05)
+  }
+
   test("materialized IVF layout prunes partitions and matches the inline probe") {
     val centroids = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("centroid_id"), $"embedding")
