@@ -122,6 +122,14 @@ class Orchestrator(spark: SparkSession) {
         System.err.println(s"[orchestrator] sink $name[$i] already committed in a prior attempt; skipping")
       }
       val cached = if (pending.sizeIs > 1) df.persist() else df
+      // pre-write snapshot for append-sink reconciliation (V5): an append
+      // target accumulates prior batches, so "target == batch" can never
+      // hold — the checkable contract is the DELTA this write added, which
+      // needs the target's state captured before the write
+      val preStates: Map[Int, Long] = pending.collect {
+        case (s, i) if s.reconciliation && isAppendSink(s) && s.path.isDefined =>
+          i -> appendPreState(s, s.path.get)
+      }.toMap
       try pending.foreach { case (s, i) =>
         SinkWriter.write(spark, cached, s)
         sinkMarker(cfg, commitToken, i).foreach { m =>
@@ -129,9 +137,9 @@ class Orchestrator(spark: SparkSession) {
           Files.writeString(m, java.time.Instant.now().toString)
         }
       } finally if (pending.sizeIs > 1) { cached.unpersist(); () }
-      sinksIdx.map(_._1).filter(_.reconciliation).foreach { s =>
+      sinksIdx.filter(_._1.reconciliation).foreach { case (s, i) =>
         s.path.foreach { p =>
-          reconcileSink(name, df, s, p)
+          reconcileSink(name, df, s, p, preStates.get(i))
         }
       }
     }
@@ -146,23 +154,68 @@ class Orchestrator(spark: SparkSession) {
 
   private def resolveSql(sql: String): String = Orchestrator.resolveSql(sql)
 
+  private def isDeltaFormat(s: SinkSpec): Boolean =
+    s.format == "delta" || s.format == "deltalake"
+
+  private def isAppendSink(s: SinkSpec): Boolean =
+    s.loadType.toLowerCase == "simpleinsert" && s.savemode.equalsIgnoreCase("append")
+
+  /** The append target's pre-write state: for delta sinks the latest
+    * committed VERSION (so the post-write check reads exactly this batch
+    * back through the change feed); for plain file sinks the current row
+    * count (0 for a first write). */
+  private def appendPreState(s: SinkSpec, p: String): Long =
+    if (isDeltaFormat(s)) graft.sources.VersionedParquet.versions(p).lastOption.getOrElse(-1L)
+    else
+      try spark.read.format(s.format).options(s.options).load(p).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+
   /** V5 reconciliation re-read (ADVICE r1): delta sinks go through the
     * manifest reader (not a registered Spark datasource), file sinks are
     * re-read with the sink's own options (csv header would otherwise count
-    * as a data row), and append-mode / scd2 sinks — whose target holds more
-    * than this batch by design — skip the whole-target count compare. */
-  private def reconcileSink(name: String, df: DataFrame, s: SinkSpec, p: String): Unit = {
+    * as a data row). Append-mode sinks — whose target holds more than this
+    * batch by design — reconcile against the DELTA instead of the whole
+    * target: delta-format appends read this batch back via the change feed
+    * (full count + checksum compare), plain file appends check the target
+    * grew by exactly the batch's row count (pre-state captured before the
+    * write). SCD2 targets are the merged dimension, not this batch — still
+    * skipped. */
+  private def reconcileSink(name: String, df: DataFrame, s: SinkSpec, p: String,
+      preState: Option[Long]): Unit = {
     val lt = s.loadType.toLowerCase
-    val appendMode = lt == "simpleinsert" && s.savemode.equalsIgnoreCase("append")
-    if (lt == "scdtype2insert" || appendMode) {
+    if (lt == "scdtype2insert") {
       System.err.println(s"[reconcile] skipped for sink $name → $p: " +
-        (if (appendMode) "append target accumulates prior batches"
-         else "scd2 target is the merged dimension, not this batch"))
+        "scd2 target is the merged dimension, not this batch")
+      return
+    }
+    if (isAppendSink(s)) {
+      preState match {
+        case None =>
+          // committed by a prior attempt — the pre-write state is gone, so
+          // the delta is unreconstructable for plain files; don't invent one
+          System.err.println(s"[reconcile] skipped for sink $name → $p: " +
+            "append sink committed by a prior attempt (no pre-write state)")
+        case Some(preVersion) if isDeltaFormat(s) =>
+          val appended = graft.sources.VersionedParquet
+            .readChanges(spark, p, preVersion)
+            .filter(org.apache.spark.sql.functions.col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          if (!Validations.reconcile(df, appended))
+            throw new IllegalStateException(
+              s"append reconciliation failed for sink $name → $p: " +
+                "change feed does not match the written batch")
+        case Some(preCount) =>
+          val after = spark.read.format(s.format).options(s.options).load(p).count()
+          val batch = df.count()
+          if (after - preCount != batch)
+            throw new IllegalStateException(
+              s"append reconciliation failed for sink $name → $p: target grew by " +
+                s"${after - preCount} rows, batch had $batch")
+      }
       return
     }
     val target =
-      if (s.format == "delta" || s.format == "deltalake")
-        graft.sources.VersionedParquet.read(spark, p)
+      if (isDeltaFormat(s)) graft.sources.VersionedParquet.read(spark, p)
       else spark.read.format(s.format).options(s.options).load(p)
     if (!Validations.reconcile(df, target))
       throw new IllegalStateException(s"reconciliation failed for sink $name → $p")

@@ -52,6 +52,36 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(errs.columns.contains("error_reason") && errs.columns.contains("error_job"))
   }
 
+  test("append sinks reconcile against the written delta, not the whole target") {
+    val out = tmpDir()
+    def cfg(sinkJson: String) = JobConfig.parse(
+      s"""{
+         |"jobName": "append_recon",
+         |"inputs": [{"dataFrameName": "nation", "format": "parquet", "path": "$sf/nation.parquet"}],
+         |"transformations": [
+         |  {"functionName": "pick",
+         |   "sqlQuery": "SELECT n_nationkey, n_name FROM nation",
+         |   "outputDFName": "picked"}
+         |],
+         |"sinks": [$sinkJson]
+         |}""".stripMargin)
+    // plain-format append: target grows by exactly the batch on every run
+    val pq =
+      s"""{"dataFrameName": "picked", "loadType": "simpleInsert", "format": "parquet",
+         | "path": "$out/pq", "savemode": "append", "reconciliation": true}""".stripMargin
+    new Orchestrator(spark).run(cfg(pq))
+    new Orchestrator(spark).run(cfg(pq))
+    assert(spark.read.parquet(s"$out/pq").count() == 50) // 25 nations × 2 appends
+    // delta-format append: the change feed replays the batch for a FULL
+    // count+checksum reconcile (stronger than the count-delta above)
+    val dl =
+      s"""{"dataFrameName": "picked", "loadType": "simpleInsert", "format": "delta",
+         | "path": "$out/dl", "savemode": "append", "reconciliation": true}""".stripMargin
+    new Orchestrator(spark).run(cfg(dl))
+    new Orchestrator(spark).run(cfg(dl))
+    assert(graft.sources.VersionedParquet.read(spark, s"$out/dl").count() == 50)
+  }
+
   test("threshold gate aborts a job with too many invalid rows") {
     val out = tmpDir()
     val cfg = JobConfig.parse(

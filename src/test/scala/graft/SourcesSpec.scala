@@ -28,6 +28,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 2 && df.columns.length == 2)
   }
 
+  test("s3a:// round trip through sink and source layers (aws-s3 dataSource)") {
+    // local object-store stub behind the fs.s3a.impl flag — the same conf
+    // surface a production deployment points at the real hadoop-aws
+    // connector; everything below it is genuine FileSystem-API traffic
+    val root = Files.createTempDirectory("graft-s3stub").toString
+    graft.sources.S3AStub.enable(spark, root)
+    val df = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+    SinkWriter.write(spark, df, SinkSpec("nation", "simpleInsert", "parquet",
+      Some("s3a://graft-test-bucket/warehouse/nation"), savemode = "overwrite"))
+    // the bucket materialized under the stub root — the write really went
+    // through the s3a scheme, not a silently-local path
+    assert(Files.exists(Paths.get(s"$root/graft-test-bucket/warehouse/nation")))
+    val back = SourceReader.read(spark, InputSpec("nation_s3", "parquet",
+      Some("s3a://graft-test-bucket/warehouse/nation")))
+    assert(back.count() == 25)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // append lands a second batch in the same bucket path
+    SinkWriter.write(spark, df, SinkSpec("nation", "simpleInsert", "parquet",
+      Some("s3a://graft-test-bucket/warehouse/nation"), savemode = "append"))
+    assert(spark.read.parquet("s3a://graft-test-bucket/warehouse/nation").count() == 50)
+  }
+
   test("sftp source stages through RemoteFs then reads (S11)") {
     val remote = Files.createTempDirectory("graft-remote").toString
     Files.writeString(Paths.get(s"$remote/feed.csv"), "id,v\n1,a\n2,b\n3,c\n")
