@@ -50,6 +50,70 @@ class StreamingOrchestratorSpec extends AnyFunSuite {
     assert(written.columns.toSet == Set("event_id", "user_id", "value"))
   }
 
+  test("streaming SCD2: mid-swap crash + batch replay yields no duplicate versions") {
+    import spark.implicits._
+    import java.nio.file.{Files => F, Paths}
+    val base = F.createTempDirectory("graft-scdx").toString
+    val in = s"$base/in"; val dim = s"$base/dim"; val ckpt = s"$base/ckpt"
+    F.createDirectories(Paths.get(in))
+    def cfg = JobConfig.parse(
+      s"""{
+         |"jobName": "scd_stream",
+         |"mode": "streaming",
+         |"tempPath": "$ckpt",
+         |"inputs": [{"dataFrameName": "src", "format": "parquet", "path": "$in",
+         |  "options": {"maxFilesPerTrigger": "1"}}],
+         |"sinks": [{"dataFrameName": "src", "loadType": "scdType2Insert",
+         |  "format": "parquet", "path": "$dim",
+         |  "scdKeys": ["id"], "scdTrackedCols": ["v"]}]
+         |}""".stripMargin)
+    // micro-batch 0: three keys at v1
+    Seq((1L, "a1"), (2L, "b1"), (3L, "c1")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(in)
+    new Orchestrator(spark).run(cfg)
+    // micro-batch 1: keys 1-2 change, key 4 appears
+    Seq((1L, "a2"), (2L, "b2"), (4L, "d1")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(in)
+    new Orchestrator(spark).run(cfg)
+    val want = spark.read.parquet(dim).collect().map(_.toString).sorted
+    assert(want.length == 6) // 3 v1 + 2 closed-replacing v2 + 1 new = 6 rows
+
+    // Reconstruct the EXACT crash window of the batch-1 swap: the merged
+    // staging is fully written, the old dimension was moved aside, and the
+    // JVM died before staging moved in and before the micro-batch
+    // committed. Disk: staging = post-batch-1 dim, old = pre-batch-1 dim,
+    // dimension path absent. Checkpoint: batch 1's commit marker deleted,
+    // so the restarted stream REPLAYS it (at-least-once delivery).
+    val dim2 = spark.read.parquet(dim)
+    dim2.collect() // materialize before the files underneath move
+    val staging = s"${dim}_scd2_staging"; val old = s"${dim}_scd2_old"
+    dim2.write.parquet(staging)
+    // pre-batch-1 dim: its 3 v1 rows, all still current
+    spark.read.parquet(staging)
+      .filter(col("effective_from") === spark.read.parquet(staging)
+        .agg(min("effective_from")).head().getTimestamp(0))
+      .withColumn("effective_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+      .write.parquet(old)
+    graft.util.Fs.walk(Paths.get(dim)).reverse.foreach(F.deleteIfExists(_))
+    val commit1 = Paths.get(s"$ckpt/scd_stream_sink0/commits/1")
+    assert(F.exists(commit1), "batch 1 commit marker expected in checkpoint")
+    F.delete(commit1)
+    F.deleteIfExists(Paths.get(s"$ckpt/scd_stream_sink0/commits/.1.crc"))
+
+    // restart: recovery must complete the interrupted swap, then the
+    // replayed merge must be a no-op (same tracked hashes) — the
+    // exactly-once EFFECT on an at-least-once channel
+    new Orchestrator(spark).run(cfg)
+    val got = spark.read.parquet(dim).collect().map(_.toString).sorted
+    assert(got.sameElements(want), "replayed batch must not open duplicate versions")
+    val dups = spark.read.parquet(dim).groupBy("id", "effective_from")
+      .count().filter(col("count") > 1).count()
+    assert(dups == 0)
+    assert(spark.read.parquet(dim).filter(col("is_current")).count() == 4)
+    assert(!F.exists(Paths.get(staging)) && !F.exists(Paths.get(old)))
+  }
+
   test("unwatermarked aggregation in append mode fails fast, not silently") {
     val out = Files.createTempDirectory("graft-sscd").toString
     val cfg = JobConfig.parse(
