@@ -120,6 +120,58 @@ object ScaleProbe {
       }
     }
 
+    // Skew probe (VERDICT r2): the two exact-pair paths with adversarial
+    // fixtures that re-create the quadratic the caps exist to bound.
+    // (a) stop-gram-heavy corpus: every document ends with the same words,
+    //     so two shingles acquire n-document posting lists — the uncapped
+    //     co-shingle join holds 2n² rows for them alone and must grow ~4×
+    //     per corpus doubling; the capped join excludes the stop grams and
+    //     stays ~linear. Output parity: the capped run still finds every
+    //     discriminative-gram pair.
+    Seq(1, 2, 4).foreach { k =>
+      val inflated = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+          .withColumn("text", concat(
+            regexp_replace(col("text"), "(\\S+)", "$1x" + i),
+            lit(" zzcommon yycommon xxcommon wwcommon"))))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      var t0 = System.nanoTime()
+      val capped = Dedup.ngramJaccardPairs(inflated, "text", "doc_id",
+        n = 3, threshold = 0.5, maxDocFreq = 1000).count()
+      val tC = (System.nanoTime() - t0) / 1e9
+      val hot = Dedup.hotShingles(inflated, "text", "doc_id", n = 3,
+        maxDocFreq = 1000).count()
+      val tU = if (k <= 2) { // uncapped at 4× is the blowup itself — skip
+        t0 = System.nanoTime()
+        Dedup.ngramJaccardPairs(inflated, "text", "doc_id",
+          n = 3, threshold = 0.5, maxDocFreq = Int.MaxValue).count()
+        (System.nanoTime() - t0) / 1e9
+      } else Double.NaN
+      println(f"[skew-jaccard] docs=$n%6d  capped=$tC%6.2fs pairs=$capped " +
+        f"hot_grams=$hot  uncapped=$tU%6.2fs")
+      spark.catalog.clearCache()
+    }
+    // (b) dominant-block fuzzy dedup: every document in ONE block — the
+    //     uncapped join is n²/2 banded-levenshtein comparisons; the cap
+    //     sub-bands the block so cost tracks n·maxBlock instead.
+    Seq(1, 2, 4).foreach { k =>
+      val oneBlock = docs.limit(500 * k).withColumn("blk", lit("all"))
+        .repartition(32).localCheckpoint(true)
+      val n = oneBlock.count()
+      var t0 = System.nanoTime()
+      val capped = Dedup.editDistancePairs(oneBlock, "text", "doc_id", "blk",
+        maxDist = 2, maxBlock = 250).count()
+      val tC = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val uncapped = Dedup.editDistancePairs(oneBlock, "text", "doc_id", "blk",
+        maxDist = 2, maxBlock = Int.MaxValue).count()
+      val tU = (System.nanoTime() - t0) / 1e9
+      println(f"[skew-editdist] docs=$n%5d  capped(250)=$tC%6.2fs pairs=$capped  " +
+        f"uncapped=$tU%6.2fs pairs=$uncapped")
+      spark.catalog.clearCache()
+    }
+
     factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus
