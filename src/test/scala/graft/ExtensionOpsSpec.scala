@@ -142,6 +142,7 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
     val single = recallOf(false)
     val multi = recallOf(multiProbe = true)
+    info(f"single-probe recall $single%.3f, multi-probe recall $multi%.3f")
     // the point of the probe fan-out: strictly more of the true top-k at
     // the SAME bucket granularity (fixed seed ⇒ deterministic margins)
     assert(multi > single,
