@@ -248,12 +248,21 @@ object Dedup {
     // constant 0 — the output is bit-identical to the uncapped join (the
     // default cap is far above any verification-scale block). Oversized
     // blocks are auditable via [[oversizedBlocks]] — no silent cap.
-    val w = Window.partitionBy(col("b"))
+    // The salt fan-out joins in from the (tiny, broadcast) oversized-block
+    // set rather than a count window: a window would shuffle+sort EVERY
+    // row on the block key just to tag the handful of hot blocks, while
+    // the broadcast join leaves the main frame un-shuffled (the count agg
+    // shuffles block keys with map-side partials — rows stay put).
+    val over = oversizedBlocks(df, blockCol, maxBlock)
+      .select(col("b"), col("sub_bands"))
     val t = df.select(col(idCol).as("id"),
       substring(col(textCol), 1, prefixLen).as("p"), col(blockCol).as("b"))
-      .withColumn("__salts", ceil(count(lit(1)).over(w) / maxBlock).cast("int"))
-      .withColumn("__salt", pmod(xxhash64(col("id")), col("__salts")))
-      .drop("__salts")
+      .join(broadcast(over), Seq("b"), "left")
+      .withColumn("__salt",
+        when(col("sub_bands").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), col("sub_bands"))))
+      .drop("sub_bands")
+      .select(col("id"), col("p"), col("b"), col("__salt"))
     val a = t.toDF("id_a", "p_a", "b", "__salt")
     val c = t.toDF("id_b", "p_b", "b", "__salt")
     a.join(c, Seq("b", "__salt"))
