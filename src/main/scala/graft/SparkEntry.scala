@@ -579,6 +579,32 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Asymmetric overlap coefficient (inter / min size): catches partial
+    // copies Jaccard structurally misses when sizes differ; same single
+    // capped co-shingle join as x2, different denominator
+    "x48_containment_pairs" -> ((s, dir) => {
+      reg(s, dir)
+      Dedup.containmentPairs(s.table("documents"), "text", "doc_id",
+          n = 3, threshold = 0.6)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Per-doc benchmark n-gram overlap fraction (GPT-3-style contamination
+    // analysis): surfaces partial benchmark leaks that exact-fingerprint
+    // decontamination (x23/x25) cannot see, with the leak size quantified
+    "x47_contamination" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      TextAnalysis.contaminationReport(docs, bench, "text", "doc_id", n = 3)
+        .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+          col("n_contaminated").cast("long").as("n_contaminated"),
+          col("overlap_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Oracle = the exact n-gram-Jaccard pairs (same SQL as x2): the LSH
     // stage only GENERATES candidates, the verify stage keeps exactly the
     // pairs with true jaccard ≥ threshold, and on this fixture (pair
@@ -1740,6 +1766,31 @@ object SparkEntry {
       WHERE rn = 1 ORDER BY doc_id""",
 
     "x2_jaccard_pairs" -> jaccardPairsSql,
+
+    "x48_containment_pairs" -> s"""
+      WITH $jaccardCtes
+      SELECT id_a, id_b,
+        ROUND(CAST(n_inter AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 4) AS containment
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) >= 0.6
+      ORDER BY id_a, id_b""",
+
+    "x47_contamination" -> """
+      WITH toks AS (
+        SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, LATERAL (SELECT UNNEST(RANGE(1, LEN(t) - 1)) AS i)
+        WHERE LEN(t) >= 3),
+      bg AS (SELECT DISTINCT shingle FROM grams WHERE doc_id % 13 = 0)
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        CAST(COUNT(b.shingle) AS BIGINT) AS n_contaminated,
+        ROUND(CAST(COUNT(b.shingle) AS DOUBLE) / COUNT(*), 4) AS overlap_frac
+      FROM grams g LEFT JOIN bg b ON g.shingle = b.shingle
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id""",
 
     "x3_minhash_neardup" -> jaccardPairsSql,
 

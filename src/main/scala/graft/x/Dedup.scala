@@ -177,14 +177,47 @@ object Dedup {
     * auditable via [[hotShingles]] — no silent cap. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
       threshold: Double, maxDocFreq: Int = 100000,
-      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
-    // One co-shingle join straight into intersection counts — don't
-    // materialize candidate pairs and re-join (that doubles the dominant
-    // shuffle). Co-grouped pairs that never share a shingle have Jaccard 0
-    // and can't pass any positive threshold, so skipping them is exact.
-    // Hashed shingles from the start: the dominant shuffle carries longs
-    // that never existed as gram strings. Persisted because both join
-    // sides and the sizes agg reference it.
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame =
+    coShinglePairScores(df, textCol, idCol, n, maxDocFreq, staging, "jaccard-pairs") {
+      base => base
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
+
+  /** Asymmetric containment pairs: overlap coefficient
+    * `|grams(a) ∩ grams(b)| / min(|grams(a)|, |grams(b)|)` ≥ threshold —
+    * the dedup measure Jaccard structurally MISSES when sizes differ: a
+    * document fully quoted inside a 10× larger one has Jaccard ≤ 0.1 at
+    * any threshold, but containment 1.0. Standard in training-data
+    * pipelines for catching partial copies, quote-wrapped reposts, and
+    * expanded re-edits. Same single co-shingle join (and the same
+    * `maxDocFreq` skew cap / [[hotShingles]] audit) as
+    * [[ngramJaccardPairs]] — only the denominator differs. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
+      threshold: Double, maxDocFreq: Int = 100000,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame =
+    coShinglePairScores(df, textCol, idCol, n, maxDocFreq, staging, "containment-pairs") {
+      base => base
+        .withColumn("containment", col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double"))
+        .filter(col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    }
+
+  /** Shared engine for the exact pairwise-overlap family: one capped
+    * co-shingle self-join into per-pair (inter, sz_a, sz_b) stats, scored
+    * by the caller. One co-shingle join straight into intersection counts
+    * — materializing candidate pairs and re-joining would double the
+    * dominant shuffle; co-grouped pairs that never share a shingle score 0
+    * on any overlap measure, so skipping them is exact. Hashed shingles
+    * from the start: the dominant shuffle carries longs that never existed
+    * as gram strings. */
+  private def coShinglePairScores(df: DataFrame, textCol: String, idCol: String,
+      n: Int, maxDocFreq: Int, staging: graft.util.Staging, hint: String)(
+      score: DataFrame => DataFrame): DataFrame = {
+    // persisted: both join sides and the sizes agg reference it
     val shAll = shingleHashes(df, textCol, idCol, n).persist()
     // document-frequency cap: the hot set is tiny by construction (grams in
     // >maxDocFreq docs), so it broadcasts and the exclusion is a map-side
@@ -197,16 +230,12 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_b"), col("__sh")), Seq("__sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val out0 = inter
+    val base = inter
       .join(broadcast(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a")), Seq("id_a"))
       .join(broadcast(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b")), Seq("id_b"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-      // materialize the (small) result, then release the shingle cache —
-      // otherwise every call leaks pinned partitions into the session
-    val out = staging.stage(out0, "jaccard-pairs")
+    // materialize the (small) result, then release the shingle cache —
+    // otherwise every call leaks pinned partitions into the session
+    val out = staging.stage(score(base), hint)
     shAll.unpersist()
     out
   }

@@ -315,6 +315,32 @@ object TextAnalysis {
     clean.unionByName(falsePositives).drop("__fp")
   }
 
+  /** Per-document benchmark-contamination report: the fraction of each
+    * training document's distinct word n-grams that also occur anywhere in
+    * the benchmark set — the GPT-3-style n-gram-overlap analysis that
+    * complements [[decontaminate]]: exact-fingerprint decontamination
+    * removes verbatim copies, while the overlap fraction SURFACES partial
+    * leaks (a benchmark question quoted inside a larger page) and
+    * quantifies how much, so a pipeline can threshold, audit, or stratify
+    * instead of only dropping.
+    *
+    * Shape: the benchmark's distinct gram hashes broadcast (benchmarks are
+    * small relative to the corpus by definition); the corpus explodes to
+    * hashed shingles ONCE (fused [[graft.functions.NGramPolyHash]] — no
+    * gram strings) and a map-side left join + per-doc count-aggregation
+    * produces one row per document. One shuffle, keyed by document. */
+  def contaminationReport(train: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val bg = graft.x.Dedup.shingleHashes(benchmark, textCol, idCol, n)
+      .select(col("__sh")).distinct().withColumn("__hit", lit(1))
+    graft.x.Dedup.shingleHashes(train, textCol, idCol, n)
+      .join(broadcast(bg), Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_contaminated"))
+      .withColumn("overlap_frac",
+        round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 4))
+  }
+
   /** Unigram language-model surprisal — the cheap perplexity proxy for
     * quality filtering: score(doc) = mean −ln p(token) under the corpus's
     * own unigram distribution. Gibberish / rare-token-stuffed documents

@@ -73,6 +73,43 @@ class ExtensionOpsSpec extends AnyFunSuite {
       assert(approx.size.toDouble / exact.size >= 0.8, s"recall ${approx.size}/${exact.size}")
   }
 
+  test("containment catches partial copies that Jaccard structurally misses") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = small + " " + (1 to 80).map(i => s"filler$i").mkString(" ")
+    val df = Seq((1L, small), (2L, big), (3L, "unrelated words entirely here today"))
+      .toDF("doc_id", "text")
+    // doc 1 is fully quoted inside doc 2: Jaccard ≈ 6/85 — invisible at
+    // any useful threshold — but containment is 1.0
+    val jac = Dedup.ngramJaccardPairs(df, "text", "doc_id", n = 3, threshold = 0.5)
+    assert(jac.count() == 0)
+    val cont = Dedup.containmentPairs(df, "text", "doc_id", n = 3, threshold = 0.9)
+      .collect()
+    assert(cont.length == 1)
+    assert(cont.head.getLong(0) == 1L && cont.head.getLong(1) == 2L)
+    assert(cont.head.getDouble(2) == 1.0)
+  }
+
+  test("contamination report quantifies partial benchmark leaks") {
+    val bench = Seq((100L, "what is the capital of france paris obviously"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "what is the capital of france paris obviously"), // verbatim leak
+      (2L, "quiz section what is the capital of france paris obviously end " +
+        "plus a lot of original discussion around european geography topics"),
+      (3L, "completely original text with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val rep = TextAnalysis.contaminationReport(train, bench, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(rep(0).getDouble(3) == 1.0) // verbatim: every gram contaminated
+    val partial = rep(1).getDouble(3)
+    assert(partial > 0.2 && partial < 0.8, s"partial leak should score midway, got $partial")
+    assert(rep(2).getDouble(3) == 0.0)
+    // exact decontamination only removes the verbatim copy — the report is
+    // what surfaces doc 2's leak
+    val kept = TextAnalysis.decontaminate(train, bench, "text", "doc_id")
+    assert(kept.count() == 2)
+  }
+
   test("simhash: identical docs at hamming 0; near-dup pairs found via chunks") {
     val sig = Dedup.simhash(docs, "text", "doc_id")
     assert(sig.count() == docs.count())
