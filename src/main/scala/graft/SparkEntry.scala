@@ -579,6 +579,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Incremental dedup against the persistent fingerprint store: day 1
+    // admits the first crawl slice, day 2's full recrawl admits ONLY
+    // content never seen before (in-batch dupes keep the lowest doc_id).
+    // The whole two-day flow replays in SQL via the portable fingerprint.
+    "x49_incremental_dedup" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("fp_store").resolve("fps").toString
+      Dedup.incrementalExact(docs.filter(col("doc_id") < 250),
+        "text", "doc_id", store).count() // day-1 commit
+      Dedup.incrementalExact(docs, "text", "doc_id", store) // day-2 recrawl
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // Asymmetric overlap coefficient (inter / min size): catches partial
     // copies Jaccard structurally misses when sizes differ; same single
     // capped co-shingle join as x2, different denominator
@@ -1766,6 +1781,18 @@ object SparkEntry {
       WHERE rn = 1 ORDER BY doc_id""",
 
     "x2_jaccard_pairs" -> jaccardPairsSql,
+
+    "x49_incremental_dedup" -> s"""
+      WITH fp AS (
+        SELECT doc_id, lang,
+          ${polySql("REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')")} AS f
+        FROM documents),
+      d1 AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250),
+      best AS (SELECT f, MIN(doc_id) AS keep FROM fp GROUP BY f)
+      SELECT fp.doc_id, fp.lang FROM fp
+      JOIN best ON best.f = fp.f AND best.keep = fp.doc_id
+      WHERE fp.f NOT IN (SELECT f FROM d1)
+      ORDER BY fp.doc_id""",
 
     "x48_containment_pairs" -> s"""
       WITH $jaccardCtes

@@ -38,6 +38,44 @@ object Dedup {
     exact(df.withColumn("__ch", xxhash64(col(contentCol))), Seq("__ch"), idCol)
       .drop("__ch")
 
+  /** Incremental exact dedup against a persistent fingerprint store — the
+    * form corpus dedup actually runs in production: each day's crawl batch
+    * dedups within itself AND against everything ever admitted, without
+    * re-reading historical documents. The store holds ONLY 8-byte content
+    * fingerprints (portable PolyHash56 of whitespace-normalized text, so
+    * the whole flow replays in the SQL oracle), committed through the
+    * versioned table layer — so the store itself has atomic commits, time
+    * travel, and compaction for the million-small-batches case.
+    *
+    * Returns the batch rows admitted (first-seen content, lowest `idCol`
+    * per duplicate group) and appends their fingerprints as one commit.
+    * Replay-safe: re-running an already-committed batch finds every
+    * fingerprint in the store and admits nothing — idempotence on an
+    * at-least-once scheduler, same contract as the SCD2 path.
+    *
+    * At 100 TB: the anti-join shuffles 8-byte hashes, never documents; a
+    * decade of 10⁹ docs is ~8 GB of store — and the same Bloom-prefilter
+    * trick as [[TextAnalysis.bloomDecontaminate]] turns the historical
+    * probe map-side when even that join matters. The result is staged
+    * BEFORE the store commit: the admitted set must not lazily re-read a
+    * store that now contains its own fingerprints. */
+  def incrementalExact(batch: DataFrame, textCol: String, idCol: String,
+      storePath: String,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    val spark = batch.sparkSession
+    val fps = batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val inBatch = exact(fps, Seq("__fp"), idCol)
+    val unseen =
+      if (graft.sources.VersionedParquet.versions(storePath).nonEmpty)
+        inBatch.join(graft.sources.VersionedParquet.read(spark, storePath),
+          Seq("__fp"), "left_anti")
+      else inBatch
+    val admitted = staging.stage(unseen, "incremental-dedup-admitted")
+    if (admitted.limit(1).count() > 0)
+      graft.sources.VersionedParquet.write(admitted.select("__fp"), storePath, "append")
+    admitted.drop("__fp")
+  }
+
   /** Word-level shingles (n-grams) of the whitespace-tokenized text.
     * Returns (idCol, shingle) exploded — distinct per doc. Tokenization is
     * materialized in its own projection (so the split runs once per row,

@@ -73,6 +73,26 @@ class ExtensionOpsSpec extends AnyFunSuite {
       assert(approx.size.toDouble / exact.size >= 0.8, s"recall ${approx.size}/${exact.size}")
   }
 
+  test("incremental dedup admits only never-seen content and replays as a no-op") {
+    val store = java.nio.file.Files
+      .createTempDirectory("fp_store_spec").resolve("fps").toString
+    val day1 = Seq((1L, "the quick brown fox"), (2L, "jumped over lazy dogs"),
+      (3L, "the quick brown fox")).toDF("doc_id", "text") // 3 dups 1 in-batch
+    val a1 = Dedup.incrementalExact(day1, "text", "doc_id", store)
+    assert(a1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // day 2: one old content (different id), one genuinely new
+    val day2 = Seq((10L, "the quick brown fox"), (11L, "completely new content today"))
+      .toDF("doc_id", "text")
+    val a2 = Dedup.incrementalExact(day2, "text", "doc_id", store)
+    assert(a2.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    // at-least-once replay of day 2: every fingerprint already committed
+    val a2again = Dedup.incrementalExact(day2, "text", "doc_id", store)
+    assert(a2again.count() == 0)
+    // the store carries hashes only — 8 bytes per admitted doc, never text
+    val st = graft.sources.VersionedParquet.read(spark, store)
+    assert(st.columns.toSeq == Seq("__fp") && st.count() == 3)
+  }
+
   test("containment catches partial copies that Jaccard structurally misses") {
     val small = "alpha beta gamma delta epsilon zeta eta theta"
     val big = small + " " + (1 to 80).map(i => s"filler$i").mkString(" ")
