@@ -210,9 +210,16 @@ object Similarity {
   def writeIvfLayout(
       corpus: DataFrame, centroids: DataFrame,
       idCol: String, centroidIdCol: String, vecCol: String, path: String
-  ): Unit =
-    assignToCentroids(corpus, centroids, idCol, centroidIdCol, vecCol)
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  ): Unit = {
+    val assigned = assignToCentroids(corpus, centroids, idCol, centroidIdCol, vecCol)
+    // through the sink layer, not a raw writer: the layout is an ordinary
+    // partitioned parquet sink, so a config-driven pipeline step can
+    // produce it with `"partitionBy": ["cell"]` and inherit every sink
+    // behavior (markers, compression, sizing conf) for free
+    graft.sinks.SinkWriter.write(corpus.sparkSession, assigned,
+      graft.config.SinkSpec("ivf_layout", "simpleInsert", "parquet",
+        Some(path), savemode = "overwrite", partitionBy = Seq("cell")))
+  }
 
   /** IVF probe against a materialized [[writeIvfLayout]] table. The probe
     * cell set (queries × nprobe ids — tiny by the small-query contract) is

@@ -105,6 +105,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(written.count() == batchDf.filter(col("event_type") === "purchase").count())
   }
 
+  test("cross-batch streaming dedup via the incremental fingerprint store") {
+    import spark.implicits._
+    // dropDuplicatesWithinWatermark bounds dedup state by the watermark;
+    // content recurring ARBITRARILY far apart needs the persistent store —
+    // incrementalExact inside foreachBatch is exactly that composition
+    val in = Files.createTempDirectory("graft-incdedup-in").toString
+    val out = Files.createTempDirectory("graft-incdedup-out").toString
+    val store = s"$out/fps"
+    Seq((1L, "first unique doc"), (2L, "second unique doc"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Seq((3L, "first unique doc"), (4L, "third unique doc"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamingJobs.fileStream(spark, in, schema, maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val admitted = graft.x.Dedup.incrementalExact(batch, "text", "doc_id", store)
+        if (!admitted.isEmpty)
+          admitted.write.mode("append").parquet(s"$out/admitted")
+      }
+      .start()
+    q.awaitTermination(); q.stop()
+    // docs 1 and 3 share content across micro-batches: whichever batch ran
+    // first wins, the other is rejected by the store (batch order follows
+    // file mtimes, which can tie — the dedup guarantee is order-agnostic)
+    val admitted = spark.read.parquet(s"$out/admitted")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(admitted.length == 3 && admitted.contains(2L) && admitted.contains(4L))
+    assert(admitted.contains(1L) ^ admitted.contains(3L))
+  }
+
   test("stream-stream interval join matches the equivalent batch join") {
     val batchDf = spark.read.parquet(eventsDir)
     // left: purchases; right: views by the same user within the 5 minutes
