@@ -1207,6 +1207,15 @@ object SparkEntry {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // first-order path analysis: (event → next event) counts + per-source
+    // transition probability over each user's time-ordered history
+    "q40_event_transitions" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.transitionMatrix(s.table("events"),
+          "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_type", "to_type")
+    }),
+
     "x33_profile" -> ((s, dir) => {
       reg(s, dir)
       // status_nullable injects NULLs so the null-count path is exercised
@@ -2410,6 +2419,20 @@ object SparkEntry {
       FROM act JOIN firsts USING (user_id)
       GROUP BY cw, week_offset
       ORDER BY cohort_week, week_offset""",
+
+    "q40_event_transitions" -> """
+      WITH steps AS (
+        SELECT event_type AS from_type,
+          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events),
+      agg AS (
+        SELECT from_type, to_type, COUNT(*) AS cnt
+        FROM steps WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type)
+      SELECT from_type, to_type, CAST(cnt AS BIGINT) AS n,
+        ROUND(CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
+      FROM agg
+      ORDER BY from_type, to_type""",
 
     // exact stats are bit-checked; the HLL cardinality is checked as its
     // envelope contract (within 10% of exact ⇒ TRUE on the oracle side)

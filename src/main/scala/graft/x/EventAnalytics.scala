@@ -1,6 +1,7 @@
 package graft.x
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-log analytics: ordered funnels, cohort retention, and
@@ -125,6 +126,31 @@ object EventAnalytics {
       .agg(count(lit(1)).as("active_users"))
       .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
         col("week_offset"), col("active_users").cast("long").as("active_users"))
+  }
+
+  /** Per-user event-transition matrix (first-order path analysis): counts
+    * of each (event_type → next event_type) step in every user's
+    * time-ordered history, with the per-source transition probability —
+    * the "where do users go after X" table product analytics derives
+    * funnels and drop-off maps from.
+    *
+    * Shape: one shuffle on the user key for the lead() window (events
+    * sorted per user, O(1) state per row), then the pair rollup aggregates
+    * event-type² rows — tiny. Determinism: simultaneous events order by
+    * (ts, id), same convention as [[funnel]]. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val steps = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy(col("from_type"))
+    steps.withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(wSrc).cast("double"), 4))
+      .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"), col("p"))
   }
 
   /** Calendar densification: make each series' daily history gapless
