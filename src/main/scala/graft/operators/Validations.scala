@@ -101,7 +101,7 @@ object Validations {
     if (written.count() != target.count()) return false
     if (!checksum) return true
     def sig(df: DataFrame): Long = {
-      val cols = df.columns.sorted.map(col)
+      val cols = df.columns.sorted.toIndexedSeq.map(col)
       df.select(xxhash64(cols: _*).as("h"))
         .agg(expr("bit_xor(h)").as("s")) // xor: order-independent, overflow-free
         .collect()(0).getLong(0)

@@ -15,8 +15,8 @@ import graft.functions.VectorFunctions._
   * is broadcast-join + per-query window top-k (TakeOrdered semantics, no
   * global sort). The LSH variant buckets both sides by random-hyperplane
   * signature so each corpus row is compared only against queries landing
-  * in its bucket (multi-probe omitted for brevity; recall is tunable via
-  * `planes`).
+  * in its bucket; recall is tunable via `planes` or, at fixed bucket
+  * granularity, via multi-probe (1-bit-flip neighbor buckets).
   */
 object Similarity {
 
@@ -238,7 +238,7 @@ object Similarity {
     val probeCells = qc.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     val assigned = spark.read.parquet(layoutPath)
-      .filter(col("cell").isin(probeCells: _*))
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
       // partition-type inference may narrow the directory value to int;
       // normalize back to the assignment's long so downstream joins and
       // callers see the written schema
