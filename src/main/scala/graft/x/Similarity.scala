@@ -78,16 +78,31 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold), LSH-
-    * bucketed so no full self-cross-join forms. Exact within buckets. */
+    * bucketed so no full self-cross-join forms. Exact within buckets.
+    *
+    * `multiProbe` extends candidate generation to signature pairs ONE
+    * hyperplane apart: side A explodes each vector's 1-bit-flip probe set
+    * ([[graft.functions.VectorFunctions.hyperplaneProbes]]) while side B
+    * keeps its exact signature — every hamming-≤1 pair meets in some
+    * bucket through exactly one ordering, so no dedup pass is needed and
+    * the fan-out multiplies ONE side by planes+1, not the join output.
+    * The cosine verify stays exact either way; multi-probe only widens
+    * which candidates get verified (recall, not precision). */
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int = 64, planes: Int = 8
+      threshold: Double, dim: Int = 64, planes: Int = 8,
+      multiProbe: Boolean = false
   ): DataFrame = {
     val signed = corpus
       .withColumn("__sig", hyperplaneSignature(col(vecCol), dim, planes))
       .withColumn("__n", l2Norm(col(vecCol))) // norm once per vector, not per pair
       .select(col("__sig"), col(idCol), col(vecCol), col("__n"))
-    val a = signed.select(col("__sig"), col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na"))
+    val a =
+      if (multiProbe) corpus
+        .withColumn("__sig", explode(hyperplaneProbes(col(vecCol), dim, planes)))
+        .withColumn("__n", l2Norm(col(vecCol)))
+        .select(col("__sig"), col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na"))
+      else signed.select(col("__sig"), col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na"))
     val b = signed.select(col("__sig"), col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
     a.join(b, Seq("__sig"))
       .filter(col("id_a") < col("id_b"))

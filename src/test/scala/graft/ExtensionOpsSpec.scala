@@ -209,6 +209,28 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(multi >= single + 0.05)
   }
 
+  test("multi-probe near-dup pairs are a superset of single-probe, cosines exact") {
+    // inject noisy near-dups: vec_id+5000 is vec_id with one dim nudged,
+    // so true pairs sit at cosine ≈ 1 but can straddle one hyperplane
+    val dups = emb.filter($"vec_id" < 200)
+      .withColumn("vec_id", $"vec_id" + 5000L)
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, j) -> IF(j = 0, float(x + 0.05), x))"))
+    val corpus = emb.unionByName(dups)
+    def pairsOf(mp: Boolean) = Similarity.cosineNearDupPairs(corpus, "vec_id",
+      "embedding", threshold = 0.99, dim = 64, planes = 8, multiProbe = mp)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairsOf(false)
+    val multi = pairsOf(mp = true)
+    assert(single.subsetOf(multi)) // widened candidates, same exact verify
+    assert(multi.size > single.size,
+      s"multi-probe should recover margin-straddling pairs: ${multi.size} vs ${single.size}")
+    // no pair double-counted by the probe fan-out
+    val raw = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.99, dim = 64, planes = 8, multiProbe = true)
+    assert(raw.count() == raw.distinct().count())
+  }
+
   test("materialized IVF layout prunes partitions and matches the inline probe") {
     val centroids = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("centroid_id"), $"embedding")
