@@ -121,13 +121,25 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Audit surface for [[lshCandidatePairs]]' `maxBucket` skew guard:
+    * the (band, bucket-hash) buckets that exceed the cap and get dropped,
+    * with their occupancy — no silent cap, same contract as
+    * [[hotShingles]] / [[oversizedBlocks]]. */
+  def oversizedLshBuckets(signatures: DataFrame, idCol: String, k: Int,
+      bands: Int, maxBucket: Int): DataFrame =
+    bandBuckets(signatures, idCol, k, bands)
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .orderBy(col("n").desc)
+
   /** X2 MinHash+LSH candidate pairs: band the k-signature into `bands`
     * rows of k/bands hashes; docs sharing any band bucket are candidates.
     * Returns distinct (id_a, id_b) with id_a < id_b.
     *
     * @param maxBucket skew guard: buckets larger than this are dropped
     *                  (degenerate shingles — e.g. empty docs — would
-    *                  otherwise create a quadratic bucket).
+    *                  otherwise create a quadratic bucket); audit what was
+    *                  dropped via [[oversizedLshBuckets]].
     */
   def lshCandidatePairs(
       signatures: DataFrame,
@@ -136,20 +148,7 @@ object Dedup {
       bands: Int,
       maxBucket: Int = 1000
   ): DataFrame = {
-    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val r = k / bands
-    // band hash: portable polynomial fold of the band's minhashes (each
-    // < 2^31, so acc*131 + mh stays under 2^63 with the 55-bit mask)
-    val bandHashes = (0 until bands).map { b =>
-      val folded = ((b * r) until ((b + 1) * r)).foldLeft(lit(0L)) {
-        (acc, i) => (acc * 131 + col(s"mh_$i")).bitwiseAND(graft.functions.PolyHash56.Mask55)
-      }
-      struct(lit(b).as("band"), folded.as("bh"))
-    }
-    val buckets = signatures
-      .select(col(idCol), explode(array(bandHashes: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bh"))
-    val capped = buckets
+    val capped = bandBuckets(signatures, idCol, k, bands)
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
       .filter(col("__n") <= maxBucket)
       .drop("__n")
@@ -159,6 +158,24 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** (idCol, band, bh): each signature's banded bucket memberships — the
+    * band hash is a portable polynomial fold of the band's minhashes (each
+    * < 2^31, so acc*131 + mh stays under 2^63 with the 55-bit mask). */
+  private def bandBuckets(signatures: DataFrame, idCol: String, k: Int,
+      bands: Int): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    val bandHashes = (0 until bands).map { b =>
+      val folded = ((b * r) until ((b + 1) * r)).foldLeft(lit(0L)) {
+        (acc, i) => (acc * 131 + col(s"mh_$i")).bitwiseAND(graft.functions.PolyHash56.Mask55)
+      }
+      struct(lit(b).as("band"), folded.as("bh"))
+    }
+    signatures
+      .select(col(idCol), explode(array(bandHashes: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bh"))
   }
 
   /** Exact pairwise Jaccard over shingle sets for a candidate-pair frame —

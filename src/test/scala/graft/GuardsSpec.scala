@@ -155,6 +155,22 @@ class GuardsSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root)))
   }
 
+  test("LSH bucket cap is auditable: dropped buckets surface with occupancy") {
+    // 30 identical docs: every band bucket holds all 30 signatures
+    val docs = (1L to 30L).map(i => (i, "same exact content every time here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleHashes(docs, "text", "doc_id", n = 3)
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", k = 8)
+    val over = Dedup.oversizedLshBuckets(sigs, "doc_id", k = 8, bands = 4,
+      maxBucket = 10).collect()
+    assert(over.length == 4 && over.forall(_.getLong(2) == 30L))
+    // and the capped candidate generation really drops them
+    assert(Dedup.lshCandidatePairs(sigs, "doc_id", k = 8, bands = 4,
+      maxBucket = 10).count() == 0)
+    assert(Dedup.lshCandidatePairs(sigs, "doc_id", k = 8, bands = 4,
+      maxBucket = 100).count() == 30L * 29 / 2)
+  }
+
   test("zValue clamps negative cells instead of aliasing them high") {
     val df = Seq((-5L, 3L), (0L, 3L)).toDF("x", "y")
     val zs = df.select(Layout.zValue(col("x"), col("y"), 12).as("z"))

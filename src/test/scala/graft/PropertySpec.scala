@@ -75,4 +75,22 @@ class PropertySpec extends AnyFunSuite {
       d1.count() == docs.distinct.size && d1.count() == d2.count()
     })
   }
+
+  test("containment dominates jaccard: same threshold ⇒ superset of pairs") {
+    // overlap/min-size ≥ overlap/union for every pair, so at any threshold
+    // the containment pair set must contain the jaccard pair set — a
+    // structural law of the two measures, checked over random corpora
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val genDoc = Gen.choose(4, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val genDocs = Gen.choose(3, 8).flatMap(n => Gen.listOfN(n, genDoc))
+    check(Prop.forAll(genDocs) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def pairs(d: org.apache.spark.sql.DataFrame) =
+        d.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val jac = pairs(Dedup.ngramJaccardPairs(df, "text", "doc_id", n = 2, threshold = 0.4))
+      val con = pairs(Dedup.containmentPairs(df, "text", "doc_id", n = 2, threshold = 0.4))
+      jac.subsetOf(con)
+    })
+  }
 }
