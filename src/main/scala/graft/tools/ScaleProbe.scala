@@ -153,10 +153,16 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
     // (b) dominant-block fuzzy dedup: every document in ONE block — the
-    //     uncapped join is n²/2 banded-levenshtein comparisons; the cap
-    //     sub-bands the block so cost tracks n·maxBlock instead.
-    Seq(1, 2, 4).foreach { k =>
-      val oneBlock = docs.limit(500 * k).withColumn("blk", lit("all"))
+    //     uncapped join is n²/2 length-filtered banded-levenshtein
+    //     candidates; the cap sub-bands the block so cost tracks
+    //     n·maxBlock instead. Sizes run to 8k rows (32M uncapped
+    //     candidates) because below that the per-pair work hides in task
+    //     overhead and the quadratic doesn't separate from noise.
+    Seq(1, 4, 16).foreach { k =>
+      val oneBlock = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _)
+        .limit(500 * k).withColumn("blk", lit("all"))
         .repartition(32).localCheckpoint(true)
       val n = oneBlock.count()
       var t0 = System.nanoTime()
