@@ -942,6 +942,24 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // crawl-dedup URL canonicalization over deterministically-messy URLs:
+    // mixed-case scheme/host, default port, tracking params in every
+    // position, fragments — canonical forms collapse to the dedup key
+    "x50_url_canonicalize" -> ((s, dir) => {
+      reg(s, dir)
+      val url = concat(
+        lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/Page/"),
+        col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("?utm_source=feed&utm_campaign=x&id=1")).otherwise(lit("?id=1")),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("&fbclid=XYZ#frag"))
+          .otherwise(lit("#sec")))
+      s.table("documents")
+        .select(col("doc_id"), url.as("url"),
+          graft.x.WebText.canonicalizeUrl(url).as("canonical"))
+        .orderBy("doc_id")
+    }),
+
     // per-domain corpus stats over synthesized (deterministic) URLs:
     // parse_url host extraction + registrable-domain rollup — the groupBy
     // a crawl pipeline uses for domain-level quality/robots decisions
@@ -2588,6 +2606,37 @@ object SparkEntry {
 
     // identical synthesis + identical RE2-safe strip chain ('g' flag makes
     // DuckDB's regexp_replace global like Spark's)
+    // mirrors canonicalizeUrl step-for-step ('g' flag: DuckDB replaces
+    // first-match-only by default, Spark replaces all)
+    "x50_url_canonicalize" -> s"""
+      WITH u AS (
+        SELECT doc_id,
+          'HTTPS://WWW.' || UPPER(source) || '.Example.COM:443/Page/' || CAST(doc_id AS VARCHAR)
+          || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=x&id=1' ELSE '?id=1' END
+          || CASE WHEN doc_id % 2 = 0 THEN '&fbclid=XYZ#frag' ELSE '#sec' END AS url
+        FROM documents),
+      s1 AS (SELECT doc_id, url, REGEXP_REPLACE(url, '#.*', '', 'g') AS v FROM u),
+      s2 AS (SELECT doc_id, url, REGEXP_REPLACE(v, '([?&])(${graft.x.WebText.TrackingParams})=[^&]*&', '\\1', 'g') AS v FROM s1),
+      s3 AS (SELECT doc_id, url, REGEXP_REPLACE(v, '([?&])(${graft.x.WebText.TrackingParams})=[^&]*&', '\\1', 'g') AS v FROM s2),
+      s4 AS (SELECT doc_id, url, REGEXP_REPLACE(v, '([?&])(${graft.x.WebText.TrackingParams})=[^&]*&', '\\1', 'g') AS v FROM s3),
+      s5 AS (SELECT doc_id, url, REGEXP_REPLACE(v, '[?&](${graft.x.WebText.TrackingParams})=[^&]*$$', '', 'g') AS v FROM s4),
+      s6 AS (SELECT doc_id, url, REGEXP_REPLACE(v, '\\?$$', '', 'g') AS v FROM s5),
+      parts AS (
+        SELECT doc_id, url, v,
+          LOWER(REGEXP_EXTRACT(v, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          LOWER(REGEXP_EXTRACT(v, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+          REGEXP_REPLACE(v, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '', 'g') AS rest
+        FROM s6)
+      SELECT doc_id, url,
+        CASE WHEN scheme = '' OR hostport = '' THEN v
+             ELSE scheme || '://' ||
+               CASE WHEN scheme = 'http' THEN REGEXP_REPLACE(hostport, ':80$$', '', 'g')
+                    WHEN scheme = 'https' THEN REGEXP_REPLACE(hostport, ':443$$', '', 'g')
+                    ELSE hostport END ||
+               CASE WHEN rest = '' THEN '/' ELSE rest END END AS canonical
+      FROM parts
+      ORDER BY doc_id""",
+
     "x28_html_strip" -> s"""
       WITH page AS (
         SELECT doc_id,

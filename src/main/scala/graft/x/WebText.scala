@@ -43,6 +43,44 @@ object WebText {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
+  // tracking parameters stripped by canonicalizeUrl — public so the
+  // oracle-SQL builder interpolates the identical alternation
+  val TrackingParams = "utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref"
+
+  /** Canonicalize a URL for crawl dedup — the normalization that makes
+    * "the same page" hash to the same key: strip the fragment, drop
+    * tracking parameters (utm_*, fbclid, gclid, msclkid, ref), lowercase
+    * scheme and host (NOT the path — paths are case-sensitive), drop the
+    * scheme's default port, and normalize an empty path to "/". Crawlers
+    * key frontier dedup and URL-level corpus dedup on exactly this form;
+    * without it every utm-tagged share of a page is a "new" document.
+    *
+    * Pure regexp/extract composition — codegen'd, no UDF, and every step
+    * replays in the oracle (RE2-safe: no lookaround, no backreferences in
+    * patterns; the one replacement backref `$1` is RE2-supported). The
+    * tracking-param pass runs three times because each pass consumes the
+    * separator of the NEXT parameter when trackers are adjacent — three
+    * passes converge for any realistic run of them. Non-URL input (no
+    * scheme://host) is returned with only fragment/tracker hygiene
+    * applied. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = (1 to 3).foldLeft(noFrag) { (u, _) =>
+      regexp_replace(u, s"([?&])($TrackingParams)=[^&]*&", "$1")
+    }
+    val noTail = regexp_replace(noTrack, s"[?&]($TrackingParams)=[^&]*$$", "")
+    val clean = regexp_replace(noTail, "\\?$", "")
+    val scheme = lower(regexp_extract(clean, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(clean, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val rest = regexp_replace(clean, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", "")
+    when(scheme === "" || hostPort === "", clean)
+      .otherwise(concat(scheme, lit("://"), host,
+        when(rest === "", lit("/")).otherwise(rest)))
+  }
+
   // public: the oracle-SQL builder interpolates the same map
   val AccentFrom = "áàâäãåçéèêëíìîïñóòôöõúùûüýÿ"
   val AccentTo = "aaaaaaceeeeiiiinooooouuuuyy"

@@ -33,6 +33,37 @@ class WebTextSpec extends AnyFunSuite {
     assert(got == "Hi a & b <x> 'q' done")
   }
 
+  test("canonicalizeUrl normalizes scheme/host/port/trackers/fragment, keeps path case") {
+    val cases = Seq(
+      // mixed case + default port + trackers everywhere + fragment
+      "HTTPS://WWW.Example.COM:443/Page/One?utm_source=a&id=7&fbclid=x#frag" ->
+        "https://www.example.com/Page/One?id=7",
+      // trackers only → query disappears entirely
+      "http://Example.com:80/p?utm_campaign=c&gclid=g" -> "http://example.com/p",
+      // adjacent trackers collapse across passes
+      "https://a.b/p?utm_a=1&utm_b=2&utm_c=3&keep=1" -> "https://a.b/p?keep=1",
+      // empty path → "/", non-default port kept
+      "https://Example.com:8443" -> "https://example.com:8443/",
+      // path case preserved, unrelated params untouched
+      "https://x.y/CaseSensitive/Path?b=2&a=1" -> "https://x.y/CaseSensitive/Path?b=2&a=1",
+      // non-URL input: only hygiene applied, no invention of scheme/host
+      "not a url #fragment" -> "not a url ")
+    val got = cases.map(_._1).toDF("u")
+      .select(WebText.canonicalizeUrl($"u")).as[String].collect().toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalizeUrl($in) = $g, wanted $want")
+    }
+    // the point of the op: every share-tagged variant of a page dedups to
+    // one key
+    val variants = Seq(
+      "https://news.example.com/story/42?utm_source=tw",
+      "HTTPS://NEWS.EXAMPLE.COM/story/42#top",
+      "https://news.example.com:443/story/42?fbclid=abc")
+    val keys = variants.toDF("u")
+      .select(WebText.canonicalizeUrl($"u")).as[String].collect().toSet
+    assert(keys == Set("https://news.example.com/story/42"))
+  }
+
   test("foldAccents maps accented Latin letters to base letters") {
     val got = Seq("café über niño à l'école ça va ou ça voilà")
       .toDF("s").select(WebText.foldAccents($"s")).as[String].head()
