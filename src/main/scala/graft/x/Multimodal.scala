@@ -1,6 +1,6 @@
 package graft.x
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2.9 X5): image/audio/video
@@ -92,6 +92,59 @@ object Multimodal {
   def filterByMeta(media: DataFrame, kind: String, minWidth: Int): DataFrame =
     media.filter(col("meta.kind") === kind && col("meta.width") >= minWidth)
       .select(col("media_id"), col("meta"))
+
+  /** 16-bit perceptual hash over a feature vector: bit i is set when
+    * feature i sits above the vector's own mean — the classic pHash shape
+    * (DCT coefficients vs median) applied to whatever the decoder seam
+    * emits, so two renditions of the same media (re-encode, resize,
+    * container change) that decode to near-identical features land at
+    * small hamming distance even when their BYTES share nothing. Pure
+    * builtin HOFs (aggregate/zip_with) — codegen'd, no UDF; the power-of-2
+    * bit fold is exact double arithmetic (16 bits ≪ 2⁵³). */
+  def perceptualHash(features: Column): Column = {
+    val mean = aggregate(features, lit(0.0d), (a, x) => a + x.cast("double")) /
+      size(features).cast("double")
+    aggregate(
+      zip_with(features, sequence(lit(0), size(features) - 1), (f, i) =>
+        when(f.cast("double") > mean, pow(lit(2.0), i.cast("double")))
+          .otherwise(lit(0.0))),
+      lit(0.0), (a, x) => a + x).cast("long")
+  }
+
+  /** Perceptual near-duplicate pairs over extracted features: pHash each
+    * row, then the same pigeonhole trick as text SimHash — the 16-bit hash
+    * splits into maxHamming+1 chunks, any pair within the bound shares an
+    * identical chunk, so candidates come from a bucket join (never a
+    * media × media cross join) and the hamming filter is exact. This is
+    * the media-dedup step a multimodal pipeline runs where byte-level
+    * dedup ([[graft.x.Dedup.exactByContent]]) stops working: re-encoded
+    * copies have distinct bytes but the same perception. */
+  def phashNearDupPairs(features: DataFrame, idCol: String, featCol: String,
+      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8, s"maxHamming $maxHamming out of range")
+    val nChunks = maxHamming + 1
+    val width = (16 + nChunks - 1) / nChunks
+    val sig = features.select(col(idCol), perceptualHash(col(featCol)).as("__ph"))
+    val chunks = (0 until nChunks).map { cI =>
+      val lo = cI * width
+      val bits = math.min(width, 16 - lo)
+      struct(lit(cI).as("chunk"),
+        shiftright(col("__ph"), lo).bitwiseAND((1L << bits) - 1L).as("ch"))
+    }
+    val bucketed = sig.select(col(idCol), col("__ph"),
+      explode(array(chunks: _*)).as("cb"))
+      .select(col(idCol), col("__ph"), col("cb.chunk"), col("cb.ch"))
+    val a = bucketed.select(col("chunk"), col("ch"),
+      col(idCol).as("id_a"), col("__ph").as("ph_a"))
+    val b = bucketed.select(col("chunk"), col("ch"),
+      col(idCol).as("id_b"), col("__ph").as("ph_b"))
+    a.join(b, Seq("chunk", "ch"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** Frame sampling for video rows: emit one row per sampled frame index
     * (every `everyMs` of duration) — the explode-shaped fan-out a video

@@ -113,6 +113,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-01-03", 1L, 1L, null)))           // prior was 0: pct undefined
   }
 
+  test("transitionMatrix: counts follow each user's timeline, probabilities normalize") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "buy"),
+      (2L, ts("2024-01-01 10:00:00"), 4L, "view"),
+      (2L, ts("2024-01-01 10:01:00"), 5L, "view"),
+      // user 3's single event produces NO transition
+      (3L, ts("2024-01-01 10:00:00"), 6L, "buy"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val m = EventAnalytics.transitionMatrix(ev, "user_id", "ts", "event_id", "event_type")
+    val got = m.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      ("view", "click") -> (1L, 0.5), ("view", "view") -> (1L, 0.5),
+      ("click", "buy") -> (1L, 1.0)))
+    // per-source probabilities always sum to 1 (a structural law)
+    val sums = m.groupBy("from_type").agg(sum("p").as("s"))
+      .collect().map(_.getDouble(1))
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
   test("dailyAnomalies flags a spike day and nothing on a flat series") {
     // flat series: 2 events every day → variance 0, no anomaly
     // spiky series: 1/day for 9 days then 21 → z = 180/sqrt(...) > 2 on

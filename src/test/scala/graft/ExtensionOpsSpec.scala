@@ -339,6 +339,26 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(exact.exceptAll(saturated).isEmpty && saturated.exceptAll(exact).isEmpty)
   }
 
+  test("perceptual-hash near-dup finds re-encoded media byte-dedup misses") {
+    // same "image" content with a trailing re-encode artifact: distinct
+    // BYTES (exact dedup keeps both) but near-identical byte-statistics
+    // features ⇒ small pHash hamming; doc 3 is unrelated content
+    val media = Multimodal.synthesizeFromText(Seq(
+      (1L, "a completely ordinary picture of a cat sitting on a mat today"),
+      (2L, "a completely ordinary picture of a cat sitting on a mat today."),
+      (3L, "QQQQQQQQ XXXXXXXX QQQQQQQQ XXXXXXXX QQQQQQQQ XXXXXXXX ZZZZZZZZ"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    assert(Dedup.exactByContent(media, "payload", "media_id").count() == 3)
+    val feats = Multimodal.extractFeatures(spark, media).toDF()
+    val pairs = Multimodal.phashNearDupPairs(feats, "media_id", "features",
+      maxHamming = 2).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // pHash is deterministic and bounded to 16 bits
+    val phs = feats.select(Multimodal.perceptualHash(col("features"))).collect()
+      .map(_.getLong(0))
+    assert(phs.forall(p => p >= 0 && p < (1 << 16)))
+  }
+
   test("multimodal: features deterministic, metadata filter prunes payload") {
     val media = Multimodal.synthesizeFromText(docs, "doc_id", "text").cache()
     val f1 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
