@@ -178,6 +178,33 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // incremental-dedup probe: a FIXED-size daily batch against a growing
+    // fingerprint store — the claim is that batch cost tracks the batch,
+    // not the accumulated history (the store side is 8-byte hashes, and
+    // the anti-join shuffles hashes, never documents)
+    {
+      val storeRoot = java.nio.file.Files
+        .createTempDirectory("scaleprobe_fps").toString
+      val store = s"$storeRoot/fps"
+      Seq(0, 1, 4, 16).foreach { gen =>
+        // seed the store with gen×5000 historical fingerprints
+        if (gen > 0) {
+          val hist = (0 until gen).map(i =>
+            docs.withColumn("doc_id", col("doc_id") + lit((i + 100).toLong * 1000000L))
+              .withColumn("text", concat(col("text"), lit(" h" + gen + "_" + i))))
+            .reduce(_ unionByName _)
+          graft.x.Dedup.incrementalExact(hist, "text", "doc_id", store).count()
+        }
+        val batch = docs.withColumn("text", concat(col("text"), lit(" fresh" + gen)))
+        val t0 = System.nanoTime()
+        val admitted = graft.x.Dedup.incrementalExact(batch, "text", "doc_id", store).count()
+        val storeN = graft.sources.VersionedParquet.read(spark, store).count()
+        println(f"[scale-incdedup] store=$storeN%7d  batch=5000  " +
+          f"admit=${(System.nanoTime() - t0) / 1e9}%6.2fs  admitted=$admitted")
+        spark.catalog.clearCache()
+      }
+    }
+
     factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus
