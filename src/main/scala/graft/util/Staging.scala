@@ -40,7 +40,12 @@ object Staging {
 
   /** Durable parquet staged tables under `root` — one numbered directory
     * per stage call. Call [[cleanup]] when the job's outputs are safely
-    * materialized (the staged intermediates are scratch, not results). */
+    * materialized (the staged intermediates are scratch, not results).
+    *
+    * Listing and cleanup go through the Hadoop FileSystem resolved FROM the
+    * root path (not java.nio), so a cluster scratch prefix on the shared
+    * store — `s3a://bucket/job-123/`, `hdfs://nn/tmp/...` — is listed and
+    * recursively deleted for real; local-FS roots behave identically. */
   final class PathStaging(root: String) extends Staging {
     private val n = new java.util.concurrent.atomic.AtomicInteger(0)
     override def stage(df: DataFrame, hint: String): DataFrame = {
@@ -48,10 +53,20 @@ object Staging {
       df.write.mode("errorifexists").parquet(path)
       df.sparkSession.read.parquet(path)
     }
-    def stagedPaths: Seq[String] =
-      Fs.list(java.nio.file.Paths.get(root)).map(_.toString).sorted
-    def cleanup(): Unit =
-      Fs.walk(java.nio.file.Paths.get(root)).reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    private def rootFs = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val conf = org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration
+      (p.getFileSystem(conf), p)
+    }
+    def stagedPaths: Seq[String] = {
+      val (fs, p) = rootFs
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath.toString).toSeq.sorted
+    }
+    def cleanup(): Unit = {
+      val (fs, p) = rootFs
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
   }
 }

@@ -58,12 +58,31 @@ object Dedup {
     * trick as [[TextAnalysis.bloomDecontaminate]] turns the historical
     * probe map-side when even that join matters. The result is staged
     * BEFORE the store commit: the admitted set must not lazily re-read a
-    * store that now contains its own fingerprints. */
+    * store that now contains its own fingerprints.
+    *
+    * Two-phase commit ordering: `persistAdmitted` (the caller's durable
+    * write of the admitted rows) runs BEFORE the fingerprint-store commit.
+    * A crash between the two phases replays as at-least-once — the rerun
+    * re-admits and re-writes the same rows (so `persistAdmitted` should be
+    * idempotent, e.g. an overwrite of the batch's output path) and then
+    * commits the fingerprints. The inverse ordering would lose data: a
+    * store commit that lands before the output is durable makes the replay
+    * admit NOTHING, permanently dropping the batch's first-seen documents.
+    * Callers that persist the returned frame themselves (tests, local
+    * runs) accept that crash window by leaving the default no-op.
+    *
+    * NULL text fingerprints as the empty string (a NULL key would never
+    * match the store's left_anti probe, so null-text rows would be
+    * re-admitted on every replay and NULLs would pile up in the store);
+    * the first null/empty-text row is admitted once and the class is
+    * deduped thereafter like any other content. */
   def incrementalExact(batch: DataFrame, textCol: String, idCol: String,
       storePath: String,
-      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint,
+      persistAdmitted: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
-    val fps = batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val fps = batch.withColumn("__fp",
+      TextAnalysis.fingerprint(coalesce(col(textCol), lit(""))))
     val inBatch = exact(fps, Seq("__fp"), idCol)
     val unseen =
       if (graft.sources.VersionedParquet.versions(storePath).nonEmpty)
@@ -71,9 +90,11 @@ object Dedup {
           Seq("__fp"), "left_anti")
       else inBatch
     val admitted = staging.stage(unseen, "incremental-dedup-admitted")
+    val out = admitted.drop("__fp")
+    persistAdmitted(out)
     if (admitted.limit(1).count() > 0)
       graft.sources.VersionedParquet.write(admitted.select("__fp"), storePath, "append")
-    admitted.drop("__fp")
+    out
   }
 
   /** Word-level shingles (n-grams) of the whitespace-tokenized text.

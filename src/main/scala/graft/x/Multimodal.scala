@@ -100,12 +100,21 @@ object Multimodal {
     * container change) that decode to near-identical features land at
     * small hamming distance even when their BYTES share nothing. Pure
     * builtin HOFs (aggregate/zip_with) — codegen'd, no UDF; the power-of-2
-    * bit fold is exact double arithmetic (16 bits ≪ 2⁵³). */
+    * bit fold is exact double arithmetic (16 bits ≪ 2⁵³).
+    *
+    * The hash is 16 bits by contract ([[phashNearDupPairs]] chunks on 16):
+    * wider feature vectors (production featurizers are 512+) use only the
+    * FIRST 16 dims — without the slice the double fold would silently lose
+    * exactness past ~53 bits and saturate the long cast past 62, collapsing
+    * distinct vectors onto identical hashes (hamming 0 → false duplicates).
+    * The mean threshold is computed over the same 16-dim slice so the bit
+    * pattern depends only on the dims that are hashed. */
   def perceptualHash(features: Column): Column = {
-    val mean = aggregate(features, lit(0.0d), (a, x) => a + x.cast("double")) /
-      size(features).cast("double")
+    val f16 = slice(features, 1, 16)
+    val mean = aggregate(f16, lit(0.0d), (a, x) => a + x.cast("double")) /
+      size(f16).cast("double")
     aggregate(
-      zip_with(features, sequence(lit(0), size(features) - 1), (f, i) =>
+      zip_with(f16, sequence(lit(0), size(f16) - 1), (f, i) =>
         when(f.cast("double") > mean, pow(lit(2.0), i.cast("double")))
           .otherwise(lit(0.0))),
       lit(0.0), (a, x) => a + x).cast("long")

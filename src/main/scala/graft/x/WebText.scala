@@ -44,8 +44,13 @@ object WebText {
   }
 
   // tracking parameters stripped by canonicalizeUrl — public so the
-  // oracle-SQL builder interpolates the identical alternation
-  val TrackingParams = "utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref"
+  // oracle-SQL builder interpolates the identical alternation. The (?i:)
+  // group makes the match case-insensitive (?UTM_SOURCE=, &FBCLID= are the
+  // same trackers — query keys are case-insensitively equivalent for these
+  // in practice, and a case-sensitive strip would leave "the same page"
+  // under multiple dedup keys); inline-group syntax is shared by Java
+  // regex and RE2, so Spark and the DuckDB oracle agree.
+  val TrackingParams = "(?i:utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref)"
 
   /** Canonicalize a URL for crawl dedup — the normalization that makes
     * "the same page" hash to the same key: strip the fragment, drop

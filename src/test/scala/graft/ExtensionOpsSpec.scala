@@ -93,6 +93,36 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(st.columns.toSeq == Seq("__fp") && st.count() == 3)
   }
 
+  test("incremental dedup: null text admits once; persistAdmitted runs before store commit") {
+    val store = java.nio.file.Files
+      .createTempDirectory("fp_store_null").resolve("fps").toString
+    // NULL text must not produce a NULL store key (which would never match
+    // the left_anti probe and re-admit forever): it fingerprints as ""
+    val day1 = Seq((1L, null.asInstanceOf[String]), (2L, "real content here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.incrementalExact(day1, "text", "doc_id", store)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val day2 = Seq((10L, null.asInstanceOf[String]), (11L, "")).toDF("doc_id", "text")
+    // replayed null AND empty text are the already-admitted "" class
+    assert(Dedup.incrementalExact(day2, "text", "doc_id", store).count() == 0)
+    // two-phase ordering: the durable persist of admitted rows runs BEFORE
+    // the fingerprint commit — a crash inside persistAdmitted leaves the
+    // store untouched, so the replay re-admits the same batch (at-least-once)
+    val store2 = java.nio.file.Files
+      .createTempDirectory("fp_store_2pc").resolve("fps").toString
+    val batch = Seq((1L, "only seen once")).toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      Dedup.incrementalExact(batch, "text", "doc_id", store2,
+        persistAdmitted = _ => throw new RuntimeException("crash mid-write"))
+    }
+    assert(graft.sources.VersionedParquet.versions(store2).isEmpty,
+      "fingerprints must not commit before the admitted output is durable")
+    var persisted = 0L
+    val replay = Dedup.incrementalExact(batch, "text", "doc_id", store2,
+      persistAdmitted = df => persisted = df.count())
+    assert(replay.count() == 1 && persisted == 1L, "replay re-admits the batch")
+  }
+
   test("containment catches partial copies that Jaccard structurally misses") {
     val small = "alpha beta gamma delta epsilon zeta eta theta"
     val big = small + " " + (1 to 80).map(i => s"filler$i").mkString(" ")
@@ -357,6 +387,15 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val phs = feats.select(Multimodal.perceptualHash(col("features"))).collect()
       .map(_.getLong(0))
     assert(phs.forall(p => p >= 0 && p < (1 << 16)))
+    // wider feature vectors (production featurizers) hash only the first 16
+    // dims — the fold stays exact and never saturates the long cast
+    val wide = Seq((1L, (0 until 512).map(i => i.toFloat).toArray))
+      .toDF("media_id", "features")
+    val first16 = Seq((1L, (0 until 16).map(i => i.toFloat).toArray))
+      .toDF("media_id", "features")
+    val wphs = wide.select(Multimodal.perceptualHash(col("features"))).as[Long].head()
+    assert(wphs == first16.select(Multimodal.perceptualHash(col("features"))).as[Long].head())
+    assert(wphs >= 0 && wphs < (1 << 16))
   }
 
   test("multimodal: features deterministic, metadata filter prunes payload") {

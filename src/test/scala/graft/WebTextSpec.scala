@@ -46,6 +46,8 @@ class WebTextSpec extends AnyFunSuite {
       "https://Example.com:8443" -> "https://example.com:8443/",
       // path case preserved, unrelated params untouched
       "https://x.y/CaseSensitive/Path?b=2&a=1" -> "https://x.y/CaseSensitive/Path?b=2&a=1",
+      // trackers match case-insensitively (?UTM_SOURCE= is the same tracker)
+      "https://a.b/p?UTM_SOURCE=x&id=7&FBClid=y" -> "https://a.b/p?id=7",
       // non-URL input: only hygiene applied, no invention of scheme/host
       "not a url #fragment" -> "not a url ")
     val got = cases.map(_._1).toDF("u")
