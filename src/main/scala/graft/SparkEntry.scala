@@ -1348,6 +1348,27 @@ object SparkEntry {
       Multimodal.sampleFrames(media, everyMs = 10000)
         .select(col("media_id"), col("frame_ms"))
         .orderBy("media_id", "frame_ms")
+    }),
+
+    // Perceptual-hash media near-dup: every 7th doc gets a "re-encoded"
+    // copy (one trailing byte appended — distinct BYTES, so exactByContent
+    // keeps both) and the pHash pigeonhole join must recover exactly the
+    // copy pairs plus whatever organically-close feature pairs exist. The
+    // stub featurizer + the pHash sign fold are deterministic arithmetic,
+    // so DuckDB replays hash and pairs bit-for-bit (full O(n²) join on the
+    // oracle side — the pigeonhole bucketing is the thing under test).
+    "mm4_phash_neardup" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      val reenc = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(col("text"), lit(".")))
+      val media = Multimodal.synthesizeFromText(
+        docs.unionByName(reenc), "doc_id", "text")
+      val feats = Multimodal.extractFeatures(s, media).toDF()
+      Multimodal.phashNearDupPairs(feats, "media_id", "features", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -2836,6 +2857,43 @@ object SparkEntry {
       FROM documents,
         LATERAL (SELECT UNNEST(RANGE(0, (doc_id * 137) % 60000 + 1, 10000)) AS frame_ms)
       WHERE doc_id % 3 = 2
-      ORDER BY media_id, frame_ms"""
+      ORDER BY media_id, frame_ms""",
+
+    // replays the stub featurizer (same arithmetic as mm2's oracle), then
+    // the pHash sign fold: mean = left-to-right double fold of the 16
+    // floats / 16, bit i set when feat_i > mean (2^i terms are exact
+    // integers, so SUM order doesn't matter), pairs = full self-join at
+    // hamming ≤ 3 — the engine's pigeonhole bucketing must produce exactly
+    // this set
+    "mm4_phash_neardup" -> """
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || '.' FROM documents WHERE doc_id % 7 = 0),
+      feats AS (
+        SELECT d.doc_id AS media_id, r.i,
+          CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(list_filter(range(1, LENGTH(d.text) + 1), p -> (p - 1) % 16 = r.i),
+                p -> CAST(CAST(ord(d.text[p]) AS REAL) / CAST(255 AS REAL) AS DOUBLE))),
+              (a, x) -> a + x)
+            / GREATEST(LENGTH(d.text) // 16, 1) AS REAL) AS feat
+        FROM all_docs d CROSS JOIN RANGE(16) r(i)),
+      means AS (
+        SELECT media_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(feat AS DOUBLE) ORDER BY i)), (a, x) -> a + x)
+            / CAST(16 AS DOUBLE) AS m
+        FROM feats GROUP BY media_id),
+      ph AS (
+        SELECT f.media_id,
+          CAST(SUM(CASE WHEN CAST(f.feat AS DOUBLE) > m.m
+                        THEN CAST(POWER(2, f.i) AS BIGINT) ELSE 0 END) AS BIGINT) AS phv
+        FROM feats f JOIN means m USING (media_id)
+        GROUP BY f.media_id)
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             CAST(bit_count(xor(a.phv, b.phv)) AS BIGINT) AS hamming
+      FROM ph a JOIN ph b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.phv, b.phv)) <= 3
+      ORDER BY id_a, id_b"""
   )
 }

@@ -46,8 +46,11 @@ object ScaleProbe {
         .repartition(32).localCheckpoint(true)
       val n = inflated.count()
       val t0 = System.nanoTime()
+      // uncapped here on purpose: this probe measures how planes must track
+      // log2(n); the skew cap has its own probe below
       val pairs = graft.x.Similarity.cosineNearDupPairs(
-        inflated, "vec_id", "embedding", threshold = 0.99, dim = 64, planes = planes).count()
+        inflated, "vec_id", "embedding", threshold = 0.99, dim = 64, planes = planes,
+        maxBucket = Int.MaxValue).count()
       println(f"[scale-ann] vecs=$n%6d planes=$planes%2d  " +
         f"neardup=${(System.nanoTime() - t0) / 1e9}%6.2fs  pairs=$pairs")
       spark.catalog.clearCache()
@@ -175,6 +178,68 @@ object ScaleProbe {
       val tU = (System.nanoTime() - t0) / 1e9
       println(f"[skew-editdist] docs=$n%5d  capped(250)=$tC%6.2fs pairs=$capped  " +
         f"uncapped=$tU%6.2fs pairs=$uncapped")
+      spark.catalog.clearCache()
+    }
+
+    // (c) mass-duplicate embedding bucket: half the corpus shares ONE
+    //     vector (the zero-vector / boilerplate-embedding batch), so one
+    //     hyperplane bucket holds n/2 rows ⇒ n²/8 uncapped candidate rows.
+    //     The cap drops that bucket (auditable) and the run stays linear —
+    //     the mass-dup class itself is exactByContent's job, not the
+    //     pairwise verifier's.
+    Seq(1, 2, 4).foreach { k =>
+      val base = (0 until k).map(i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _)
+      val inflated = base.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .unionByName(base.filter(pmod(col("vec_id"), lit(2)) === 0)
+          .withColumn("embedding", expr("transform(embedding, x -> float(1.0))")))
+        .repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      var t0 = System.nanoTime()
+      val capped = graft.x.Similarity.cosineNearDupPairs(inflated, "vec_id",
+        "embedding", threshold = 0.99, dim = 64, planes = 8, maxBucket = 1000).count()
+      val tC = (System.nanoTime() - t0) / 1e9
+      val over = graft.x.Similarity.oversizedSignatureBuckets(inflated,
+        "embedding", dim = 64, planes = 8, maxBucket = 1000).count()
+      val tU = if (k <= 2) { // uncapped at 4× is the blowup itself — skip
+        t0 = System.nanoTime()
+        graft.x.Similarity.cosineNearDupPairs(inflated, "vec_id", "embedding",
+          threshold = 0.99, dim = 64, planes = 8, maxBucket = Int.MaxValue).count()
+        (System.nanoTime() - t0) / 1e9
+      } else Double.NaN
+      println(f"[skew-cosine] vecs=$n%6d  capped=$tC%6.2fs pairs=$capped " +
+        f"hot_buckets=$over  uncapped=$tU%6.2fs")
+      spark.catalog.clearCache()
+    }
+    // (d) mass-duplicate simhash class: half the docs carry the SAME
+    //     boilerplate text, so every pigeonhole chunk has one bucket with
+    //     n/2 rows ⇒ (maxHamming+1)·n²/8 uncapped candidate rows. Same
+    //     contract: cap drops the degenerate class, audit surfaces it.
+    Seq(1, 2, 4).foreach { k =>
+      val base = (0 until k).map(i =>
+        docs.limit(2000).withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1x" + i)))
+        .reduce(_ unionByName _)
+      val inflated = base.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .unionByName(base.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("text", lit("cookie consent banner please accept our terms and conditions")))
+        .repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      var t0 = System.nanoTime()
+      val capped = Dedup.simhashNearDupPairs(inflated, "text", "doc_id",
+        maxHamming = 3, maxBucket = 500).count()
+      val tC = (System.nanoTime() - t0) / 1e9
+      val over = Dedup.oversizedSimhashBuckets(inflated, "text", "doc_id",
+        maxHamming = 3, maxBucket = 500).count()
+      val tU = if (k <= 2) {
+        t0 = System.nanoTime()
+        Dedup.simhashNearDupPairs(inflated, "text", "doc_id",
+          maxHamming = 3, maxBucket = Int.MaxValue).count()
+        (System.nanoTime() - t0) / 1e9
+      } else Double.NaN
+      println(f"[skew-simhash] docs=$n%6d  capped=$tC%6.2fs pairs=$capped " +
+        f"hot_buckets=$over  uncapped=$tU%6.2fs")
       spark.catalog.clearCache()
     }
 

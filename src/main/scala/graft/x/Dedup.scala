@@ -491,31 +491,83 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Audit surface for [[simhashNearDupPairs]]' `maxBucket` skew guard:
+    * the (chunk, chunk-value) buckets whose occupancy exceeds the cap,
+    * hottest first — no silent cap, same contract as
+    * [[oversizedLshBuckets]]. */
+  def oversizedSimhashBuckets(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int, maxBucket: Int): DataFrame =
+    simhashChunks(simhash(df, textCol, idCol), idCol, maxHamming)
+      .groupBy(col("chunk"), col("ch")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .orderBy(col("n").desc)
+
+  /** (idCol, simhash, chunk, ch): pigeonhole chunk memberships of each
+    * signature — maxHamming+1 chunks, so any pair within the hamming bound
+    * shares at least one identical chunk.
+    *
+    * Bits are distributed EVENLY (⌊64/n⌋ or ⌈64/n⌉ per chunk), never by a
+    * fixed ⌈64/n⌉ stride: the stride layout leaves the last chunk EMPTY
+    * whenever ⌈64/n⌉·(n−1) ≥ 64 (e.g. 9 chunks of 8 bits cover 64 at chunk
+    * 8 → 0 bits), and an empty chunk is a single bucket every row shares —
+    * a silent all-pairs cross join hiding inside the "bucketed" plan. Even
+    * distribution keeps every chunk non-empty for any maxHamming < 32, and
+    * the pigeonhole argument (≤ maxHamming differing bits across
+    * maxHamming+1 non-empty chunks ⇒ some chunk identical) stays intact. */
+  private def simhashChunks(sig: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val chunks = pigeonholeChunks(64, maxHamming + 1, col("simhash"))
+    sig.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("cb"))
+      .select(col(idCol), col("simhash"), col("cb.chunk"), col("cb.ch"))
+  }
+
+  /** Even pigeonhole split of `totalBits` into `nChunks` non-empty bit
+    * ranges of a signature column: chunk i of width ⌊total/n⌋(+1 for the
+    * first total%n chunks). Shared by the 64-bit text simhash and the
+    * 16-bit media pHash paths. */
+  private[x] def pigeonholeChunks(totalBits: Int, nChunks: Int,
+      sigCol: Column): Seq[Column] = {
+    require(nChunks <= totalBits, s"$nChunks chunks over $totalBits bits")
+    val base = totalBits / nChunks
+    val rem = totalBits % nChunks
+    val bounds = (0 until nChunks).scanLeft(0)((lo, i) =>
+      lo + base + (if (i < rem) 1 else 0))
+    (0 until nChunks).map { cI =>
+      val lo = bounds(cI)
+      val bits = bounds(cI + 1) - lo
+      val mask = if (bits >= 64) -1L else (1L << bits) - 1L
+      struct(lit(cI).as("chunk"),
+        shiftright(sigCol, lo).bitwiseAND(mask).as("ch"))
+    }
+  }
+
   /** SimHash near-dup pairs within `maxHamming`, bucketed by pigeonhole:
     * the 64-bit signature is split into maxHamming+1 chunks, so any pair
     * within the bound shares at least one identical chunk — candidate
     * generation is a bucket join, not a cross join, at ANY bound (a fixed
-    * chunk count would silently lose recall past its design distance). */
+    * chunk count would silently lose recall past its design distance).
+    *
+    * `maxBucket` (skew guard): a mass-duplicate corpus segment — the
+    * boilerplate pages this operator exists to find — puts its whole
+    * duplicate class into ONE (chunk, value) bucket per chunk, n²/2
+    * candidate rows each. Buckets over the cap are dropped from both join
+    * sides, bounding the join at maxBucket²/2 per bucket; the chunks get
+    * NARROW as maxHamming grows (width = ⌈64/(maxHamming+1)⌉ bits), so
+    * legitimate uniform occupancy is ~n/2^width per chunk — size the cap
+    * accordingly and audit drops via [[oversizedSimhashBuckets]]. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3,
+      maxHamming: Int = 3, maxBucket: Int = 10000,
       staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming $maxHamming out of range")
-    val nChunks = maxHamming + 1
-    val width = (64 + nChunks - 1) / nChunks
     val sig = simhash(df, textCol, idCol).persist()
-    val chunks = (0 until nChunks).map { cI =>
-      val lo = cI * width
-      val bits = math.min(width, 64 - lo)
-      val mask = if (bits >= 64) -1L else (1L << bits) - 1L
-      struct(lit(cI).as("chunk"),
-        shiftright(col("simhash"), lo).bitwiseAND(mask).as("ch"))
-    }
-    val bucketed = sig.select(col(idCol), col("simhash"),
-      explode(array(chunks: _*)).as("cb"))
-      .select(col(idCol), col("simhash"), col("cb.chunk"), col("cb.ch"))
-    val a = bucketed.select(col("chunk"), col("ch"),
+    val bucketed = simhashChunks(sig, idCol, maxHamming)
+    // hot set is tiny (buckets over the cap): broadcast anti-join both
+    // sides instead of count-window-sorting the whole bucketed frame
+    val hot = bucketed.groupBy(col("chunk"), col("ch")).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucket).select("chunk", "ch")
+    val capped = bucketed.join(broadcast(hot), Seq("chunk", "ch"), "left_anti")
+    val a = capped.select(col("chunk"), col("ch"),
       col(idCol).as("id_a"), col("simhash").as("sig_a"))
-    val b = bucketed.select(col("chunk"), col("ch"),
+    val b = capped.select(col("chunk"), col("ch"),
       col(idCol).as("id_b"), col("simhash").as("sig_b"))
     val out = staging.stage(a.join(b, Seq("chunk", "ch"))
       .filter(col("id_a") < col("id_b"))

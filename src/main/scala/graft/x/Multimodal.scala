@@ -131,15 +131,11 @@ object Multimodal {
   def phashNearDupPairs(features: DataFrame, idCol: String, featCol: String,
       maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8, s"maxHamming $maxHamming out of range")
-    val nChunks = maxHamming + 1
-    val width = (16 + nChunks - 1) / nChunks
     val sig = features.select(col(idCol), perceptualHash(col(featCol)).as("__ph"))
-    val chunks = (0 until nChunks).map { cI =>
-      val lo = cI * width
-      val bits = math.min(width, 16 - lo)
-      struct(lit(cI).as("chunk"),
-        shiftright(col("__ph"), lo).bitwiseAND((1L << bits) - 1L).as("ch"))
-    }
+    // even bit split (see Dedup.pigeonholeChunks): a fixed-stride split
+    // leaves chunk n−1 EMPTY past maxHamming 3 (⌈16/n⌉·(n−1) ≥ 16) — a
+    // bucket every row shares, i.e. a hidden cross join
+    val chunks = Dedup.pigeonholeChunks(16, maxHamming + 1, col("__ph"))
     val bucketed = sig.select(col(idCol), col("__ph"),
       explode(array(chunks: _*)).as("cb"))
       .select(col(idCol), col("__ph"), col("cb.chunk"), col("cb.ch"))

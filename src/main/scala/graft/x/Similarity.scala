@@ -77,6 +77,19 @@ object Similarity {
       .select(col(qIdCol), col(idCol), col("cosine"), col("__rk").as("rank"))
   }
 
+  /** Audit surface for [[cosineNearDupPairs]]' `maxBucket` skew guard: the
+    * hyperplane-signature buckets whose occupancy exceeds the cap, with
+    * their counts, hottest first — no silent cap, same contract as
+    * [[graft.x.Dedup.oversizedLshBuckets]]. */
+  def oversizedSignatureBuckets(
+      corpus: DataFrame, vecCol: String,
+      dim: Int = 64, planes: Int = 8, maxBucket: Int = 10000
+  ): DataFrame =
+    corpus.select(hyperplaneSignature(col(vecCol), dim, planes).as("__sig"))
+      .groupBy(col("__sig")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .orderBy(col("n").desc)
+
   /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold), LSH-
     * bucketed so no full self-cross-join forms. Exact within buckets.
     *
@@ -87,23 +100,43 @@ object Similarity {
     * bucket through exactly one ordering, so no dedup pass is needed and
     * the fan-out multiplies ONE side by planes+1, not the join output.
     * The cosine verify stays exact either way; multi-probe only widens
-    * which candidates get verified (recall, not precision). */
+    * which candidates get verified (recall, not precision).
+    *
+    * `maxBucket` (skew guard): a bucket holding n vectors contributes
+    * n²/2 candidate rows to the self-join, and the mass-duplicate corpus
+    * segment — boilerplate pages, zero-vector embedding batches — is
+    * EXACTLY what a near-dup operator meets in production, so one
+    * degenerate signature would otherwise re-create the quadratic the
+    * bucketing exists to avoid. Buckets whose EXACT-signature occupancy
+    * exceeds the cap are excluded from both sides (under multi-probe,
+    * probe rows landing in an excluded bucket are dropped with it); the
+    * survivors bound the join at maxBucket²/2 per bucket. Legitimate
+    * occupancy is ~n/2^planes for near-uniform corpora — size the cap
+    * ≥ c·n/2^planes (or raise `planes` with the corpus) and audit what
+    * was dropped via [[oversizedSignatureBuckets]] — no silent cap. */
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int = 64, planes: Int = 8,
-      multiProbe: Boolean = false
+      multiProbe: Boolean = false, maxBucket: Int = 10000
   ): DataFrame = {
     val signed = corpus
       .withColumn("__sig", hyperplaneSignature(col(vecCol), dim, planes))
       .withColumn("__n", l2Norm(col(vecCol))) // norm once per vector, not per pair
       .select(col("__sig"), col(idCol), col(vecCol), col("__n"))
+    // the hot set is tiny by construction (buckets over the cap), so the
+    // exclusion is a broadcast anti-join on both sides — no shuffle or
+    // count-window sort of the corpus-sized frame just to tag hot buckets
+    val hot = signed.groupBy(col("__sig")).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucket).select("__sig")
     val a =
-      if (multiProbe) corpus
+      (if (multiProbe) corpus
         .withColumn("__sig", explode(hyperplaneProbes(col(vecCol), dim, planes)))
         .withColumn("__n", l2Norm(col(vecCol)))
         .select(col("__sig"), col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na"))
-      else signed.select(col("__sig"), col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na"))
+      else signed.select(col("__sig"), col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na")))
+        .join(broadcast(hot), Seq("__sig"), "left_anti")
     val b = signed.select(col("__sig"), col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
+      .join(broadcast(hot), Seq("__sig"), "left_anti")
     a.join(b, Seq("__sig"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",

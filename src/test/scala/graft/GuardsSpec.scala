@@ -153,6 +153,68 @@ class GuardsSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root)))
   }
 
+  test("simhash bucket cap drops only the mass-duplicate class, auditable") {
+    // 30 identical boilerplate docs (one simhash → one bucket per chunk)
+    // plus two distinct near-dup docs the capped run must still find
+    val boiler = (1L to 30L).map(i =>
+      (i, "cookie consent banner please accept our terms and conditions"))
+    // identical pair (hamming 0 — deterministic at any bound): the test
+    // pins the CAP's behavior, recall-at-distance is pinned elsewhere
+    val real = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val df = (boiler ++ real).toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDupPairs(df, "text", "doc_id",
+      maxHamming = 3, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the boilerplate class (435 pairs uncapped) is dropped wholesale…
+    assert(capped.forall { case (a, b) => a >= 100L && b >= 100L })
+    // …while pairs outside hot buckets survive
+    assert(capped.contains((100L, 101L)))
+    // and the drop is auditable: every chunk's boiler bucket at occupancy 30
+    val over = Dedup.oversizedSimhashBuckets(df, "text", "doc_id",
+      maxHamming = 3, maxBucket = 10).collect()
+    assert(over.nonEmpty && over.forall(_.getLong(2) == 30L))
+    // cap above occupancy ⇒ bit-identical to uncapped (the oracle contract)
+    val wide = Dedup.simhashNearDupPairs(df, "text", "doc_id",
+      maxHamming = 3, maxBucket = 1000)
+    val un = Dedup.simhashNearDupPairs(df, "text", "doc_id",
+      maxHamming = 3, maxBucket = Int.MaxValue)
+    assert(wide.exceptAll(un).isEmpty && un.exceptAll(wide).isEmpty)
+  }
+
+  test("cosine bucket cap drops only the mass-duplicate bucket, auditable") {
+    import graft.x.Similarity
+    val rnd = new scala.util.Random(7)
+    def vec(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    // 40 copies of ONE vector (zero-information embedding batch) + two
+    // near-identical distinct vectors + background noise
+    val v = vec(1)
+    val near = v.clone(); near(0) = near(0) + 1e-4f
+    val boiler = (1000L to 1039L).map(i => (i, Array.fill(64)(0.5f)))
+    val rows = boiler ++ Seq((1L, v), (2L, near)) ++
+      (10L to 29L).map(i => (i, vec(i.toInt)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val capped = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.99, dim = 64, planes = 4, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)), "near-identical pair outside the hot bucket survives")
+    assert(capped.forall { case (a, b) => a < 1000L && b < 1000L },
+      "the 40-copy bucket is dropped wholesale")
+    val over = Similarity.oversizedSignatureBuckets(corpus, "embedding",
+      dim = 64, planes = 4, maxBucket = 10).collect()
+    assert(over.length >= 1 && over.exists(_.getLong(1) >= 40L))
+    // cap above occupancy ⇒ identical to uncapped
+    val wide = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.99, dim = 64, planes = 4, maxBucket = 1000)
+    val un = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.99, dim = 64, planes = 4, maxBucket = Int.MaxValue)
+    assert(wide.exceptAll(un).isEmpty && un.exceptAll(wide).isEmpty)
+  }
+
   test("LSH bucket cap is auditable: dropped buckets surface with occupancy") {
     // 30 identical docs: every band bucket holds all 30 signatures
     val docs = (1L to 30L).map(i => (i, "same exact content every time here"))
