@@ -201,9 +201,18 @@ object SinkWriter {
     * reads ONLY those dimension partitions (partition pruning), (3) merges,
     * and (4) rewrites only the touched partitions via dynamic partition
     * overwrite. Untouched partitions — at real scale, the overwhelming
-    * majority — are never read or rewritten. The merged frame is
-    * materialized (localCheckpoint) before the overwrite because its
-    * lineage reads the same files the write replaces. */
+    * majority — are never read or rewritten.
+    *
+    * The merged frame MUST be materialized before the overwrite (its
+    * lineage reads the same files the write replaces), and the
+    * materialization is load-bearing: once the overwrite starts renaming
+    * source partitions aside, losing the materialized copy loses the
+    * merge. HOW it is materialized goes through the [[graft.util.Staging]]
+    * seam — local checkpoint by default (single-node semantics), or a
+    * durable staged table when the sink carries `scdStagingPath` (cluster
+    * semantics: executor loss mid-overwrite cannot drop pinned blocks the
+    * rewrite still needs; the staged merge survives for replay). The
+    * staged scratch is cleaned up only AFTER the overwrite commits. */
   def scd2InsertPartitioned(spark: SparkSession, staged: DataFrame, sink: SinkSpec,
       nBuckets: Int): Unit = {
     val path = sink.path.getOrElse(sys.error("scd2 sink needs path"))
@@ -212,6 +221,10 @@ object SinkWriter {
     val bucket = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
     val stagedB = staged.withColumn("scd_bucket", bucket)
     val exists = graft.util.Fs.nonEmptyDir(Paths.get(path))
+    val pathStaging = sink.options.get("scdStagingPath")
+      .map(new graft.util.Staging.PathStaging(_))
+    val staging: graft.util.Staging =
+      pathStaging.getOrElse(graft.util.Staging.LocalCheckpoint)
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -226,10 +239,11 @@ object SinkWriter {
           .filter(col("scd_bucket").isin(touched: _*))
         val merged = Scd2.merge(dimTouched, stagedB, keys,
           sink.scdTrackedCols, batchTs)
-        merged.localCheckpoint(true)
+        staging.stage(merged, "scd2-merged")
           .write.mode(SaveMode.Overwrite).partitionBy("scd_bucket")
           .format(sink.format).save(path)
       }
+      pathStaging.foreach(_.cleanup()) // only after the overwrite commits
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
 

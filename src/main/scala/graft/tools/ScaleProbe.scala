@@ -202,12 +202,12 @@ object ScaleProbe {
       val tC = (System.nanoTime() - t0) / 1e9
       val over = graft.x.Similarity.oversizedSignatureBuckets(inflated,
         "embedding", dim = 64, planes = 8, maxBucket = 1000).count()
-      val tU = if (k <= 2) { // uncapped at 4× is the blowup itself — skip
+      val tU = { // uncapped at every size: the 4× point IS the evidence
         t0 = System.nanoTime()
         graft.x.Similarity.cosineNearDupPairs(inflated, "vec_id", "embedding",
           threshold = 0.99, dim = 64, planes = 8, maxBucket = Int.MaxValue).count()
         (System.nanoTime() - t0) / 1e9
-      } else Double.NaN
+      }
       println(f"[skew-cosine] vecs=$n%6d  capped=$tC%6.2fs pairs=$capped " +
         f"hot_buckets=$over  uncapped=$tU%6.2fs")
       spark.catalog.clearCache()
@@ -232,12 +232,12 @@ object ScaleProbe {
       val tC = (System.nanoTime() - t0) / 1e9
       val over = Dedup.oversizedSimhashBuckets(inflated, "text", "doc_id",
         maxHamming = 3, maxBucket = 500).count()
-      val tU = if (k <= 2) {
+      val tU = {
         t0 = System.nanoTime()
         Dedup.simhashNearDupPairs(inflated, "text", "doc_id",
           maxHamming = 3, maxBucket = Int.MaxValue).count()
         (System.nanoTime() - t0) / 1e9
-      } else Double.NaN
+      }
       println(f"[skew-simhash] docs=$n%6d  capped=$tC%6.2fs pairs=$capped " +
         f"hot_buckets=$over  uncapped=$tU%6.2fs")
       spark.catalog.clearCache()

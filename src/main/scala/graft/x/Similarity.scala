@@ -279,10 +279,15 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, layoutPath: String,
       queries: DataFrame, centroids: DataFrame,
       idCol: String, qIdCol: String, centroidIdCol: String, vecCol: String,
-      k: Int, nprobe: Int = 3
+      k: Int, nprobe: Int = 3,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint
   ): DataFrame = {
-    val qc = queryCells(queries, centroids, qIdCol, centroidIdCol, vecCol, nprobe)
-      .localCheckpoint(true) // referenced by the collect AND the probe join
+    // referenced by the collect AND the probe join; tiny by the small-query
+    // contract, but materialized through the seam so cluster callers can
+    // make even this frame durable alongside the rest of the pipeline
+    val qc = staging.stage(
+      queryCells(queries, centroids, qIdCol, centroidIdCol, vecCol, nprobe),
+      "ivf-query-cells")
     val probeCells = qc.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     val assigned = spark.read.parquet(layoutPath)

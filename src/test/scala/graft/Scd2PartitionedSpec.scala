@@ -51,6 +51,29 @@ class Scd2PartitionedSpec extends AnyFunSuite {
     assert(dim.filter($"is_current").count() == 200)
   }
 
+  test("path-staged merge (scdStagingPath) is bit-equal and cleans its scratch") {
+    val pLocal = Files.createTempDirectory("graft-scdp-l").toString + "/dim"
+    val pStaged = Files.createTempDirectory("graft-scdp-s").toString + "/dim"
+    val scratch = Files.createTempDirectory("graft-scdp-scratch").toString + "/stg"
+    val mk = (p: String, opts: Map[String, String]) => SinkSpec("dim",
+      loadType = "scdType2Insert", format = "parquet", path = Some(p),
+      scdKeys = Seq("id"), scdTrackedCols = Seq("v"), options = opts)
+    val b1 = (1L to 50L).map(k => (k, s"v$k")).toDF("id", "v")
+    val b2 = (1L to 55L).map(k => (k, if (k % 3 == 0) s"w$k" else s"v$k")).toDF("id", "v")
+    SinkWriter.write(spark, b1, mk(pLocal, Map("scdBuckets" -> "4")))
+    SinkWriter.write(spark, b2, mk(pLocal, Map("scdBuckets" -> "4")))
+    SinkWriter.write(spark, b1,
+      mk(pStaged, Map("scdBuckets" -> "4", "scdStagingPath" -> scratch)))
+    SinkWriter.write(spark, b2,
+      mk(pStaged, Map("scdBuckets" -> "4", "scdStagingPath" -> scratch)))
+    val a = spark.read.parquet(pLocal).select("id", "v", "is_current")
+    val b = spark.read.parquet(pStaged).select("id", "v", "is_current")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the durable merge staging is scratch, removed once the overwrite lands
+    assert(!Files.exists(Paths.get(scratch)),
+      "staged merge scratch must be cleaned up after the overwrite commits")
+  }
+
   test("partitioned and unpartitioned SCD2 agree on the merged content") {
     val p1 = Files.createTempDirectory("graft-scdp1").toString + "/dim"
     val p2 = Files.createTempDirectory("graft-scdp2").toString + "/dim"
