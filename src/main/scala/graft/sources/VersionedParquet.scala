@@ -39,6 +39,14 @@ object VersionedParquet {
     node.get("files").elements().asScala.map(_.asText()).toSeq
   }
 
+  /** Number of data files in the latest committed snapshot — the signal
+    * maintenance schedules on: appends only ever grow it, [[compact]]
+    * resets it to its target. */
+  def snapshotFileCount(path: String): Int = {
+    val vs = versions(path)
+    if (vs.isEmpty) 0 else manifestFiles(path, vs.max).size
+  }
+
   /** Snapshot read; `version = None` reads the latest commit. */
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
     val vs = versions(path)

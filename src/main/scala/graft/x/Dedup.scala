@@ -75,11 +75,24 @@ object Dedup {
     * match the store's left_anti probe, so null-text rows would be
     * re-admitted on every replay and NULLs would pile up in the store);
     * the first null/empty-text row is admitted once and the class is
-    * deduped thereafter like any other content. */
+    * deduped thereafter like any other content.
+    *
+    * Store lifecycle: every batch appends one commit, so a year of daily
+    * batches is ~365 small files — the anti-join probe goes
+    * metadata-bound long before it goes data-bound. When the snapshot's
+    * file count reaches `compactAtFiles`, the store is compacted to
+    * `compactTarget` files as a new version (maintenance runs AFTER the
+    * append commit, so the two-phase persist/commit ordering above is
+    * untouched, and replay idempotence is snapshot-based — an overwrite
+    * commit changes file layout, never the fingerprint set). The store is
+    * fingerprints-only (8 bytes/row): a handful of files holds billions of
+    * docs; size `compactTarget` ≈ store bytes / 256 MB on a cluster.
+    * `compactAtFiles = 0` disables maintenance. */
   def incrementalExact(batch: DataFrame, textCol: String, idCol: String,
       storePath: String,
       staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint,
-      persistAdmitted: DataFrame => Unit = _ => ()): DataFrame = {
+      persistAdmitted: DataFrame => Unit = _ => (),
+      compactAtFiles: Int = 64, compactTarget: Int = 4): DataFrame = {
     val spark = batch.sparkSession
     val fps = batch.withColumn("__fp",
       TextAnalysis.fingerprint(coalesce(col(textCol), lit(""))))
@@ -92,8 +105,12 @@ object Dedup {
     val admitted = staging.stage(unseen, "incremental-dedup-admitted")
     val out = admitted.drop("__fp")
     persistAdmitted(out)
-    if (admitted.limit(1).count() > 0)
+    if (admitted.limit(1).count() > 0) {
       graft.sources.VersionedParquet.write(admitted.select("__fp"), storePath, "append")
+      if (compactAtFiles > 0 &&
+          graft.sources.VersionedParquet.snapshotFileCount(storePath) >= compactAtFiles)
+        graft.sources.VersionedParquet.compact(spark, storePath, compactTarget)
+    }
     out
   }
 
@@ -225,6 +242,27 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Sentinel for the exact pair family's `maxDocFreq`: derive the cap
+    * from the corpus instead of trusting a fixed constant. See
+    * [[deriveDocFreqCap]]. */
+  val DerivedDocFreqCap: Int = -1
+
+  /** Corpus-derived document-frequency cap: `max(1000, 0.5% of docs)`.
+    *
+    * Rationale: a word n-gram present in more than ~0.5% of a web corpus
+    * is corpus-wide boilerplate ("of the and", cookie banners, license
+    * headers) — it cannot discriminate near-duplicates at any useful
+    * threshold, while its f² contribution to the co-shingle join grows
+    * with the corpus. A FIXED default has no safe value: 100k is
+    * exact-but-quadratic at 10⁹ docs (a df-100k gram still admits ~5×10⁹
+    * pair rows) and 1k would cap legitimate grams in a 10⁷-doc corpus
+    * slice with heavy templating. Scaling the cap with n keeps the
+    * worst-case join volume Σf² ≤ (grams/cap)·cap² = grams·cap linear-ish
+    * in corpus size at fixed cap FRACTION, and the 1000 floor keeps
+    * verification-scale fixtures bit-identical to uncapped. */
+  def deriveDocFreqCap(nDocs: Long): Int =
+    math.max(1000L, math.ceil(nDocs * 0.005).toLong).min(Int.MaxValue.toLong).toInt
+
   /** Per-shingle document frequencies ABOVE `maxDocFreq` — the audit
     * surface for [[ngramJaccardPairs]]' skew cap, so a capped run is never
     * silent: callers inspect exactly which stop-grams were excluded and how
@@ -245,14 +283,25 @@ object Dedup {
     * trigram across a web corpus re-creates the quadratic blowup the
     * operator otherwise avoids. Shingles with document frequency above the
     * cap are excluded from BOTH the intersection and the set sizes, i.e.
-    * Jaccard is computed over the sub-cap shingle universe. That is exact
-    * whenever no shingle exceeds the cap (the default is far above any df
-    * the verification-scale fixtures produce), and at scale it drops only
-    * never-discriminative grams: a pair whose overlap is made purely of
-    * corpus-wide stop-grams is not a near-duplicate. The excluded set is
-    * auditable via [[hotShingles]] — no silent cap. */
+    * Jaccard is computed over the sub-cap shingle universe. The default is
+    * [[DerivedDocFreqCap]]: the cap scales with the corpus
+    * ([[deriveDocFreqCap]] — max(1000, 0.5% of docs)) instead of a fixed
+    * constant that is quadratic at web scale; pass an explicit value to
+    * pin it.
+    *
+    * Exactness: the capped result is BIT-IDENTICAL to uncapped whenever no
+    * shingle's document frequency exceeds the cap (nothing is excluded —
+    * true for the verification fixtures under the derived floor). When the
+    * cap does bite, only corpus-wide boilerplate grams leave the universe,
+    * and the error is bounded: a pair sharing h excluded grams with
+    * sub-cap union u scores jaccard' ≥ (true_inter − h)/u, so a MISSED
+    * pair at threshold t must have had more than (1−t)·|A∩B| of its
+    * overlap inside df-above-cap stop-grams — i.e. its qualifying overlap
+    * was majority boilerplate, which is exactly the overlap a near-dup
+    * pipeline should not count. The excluded set is auditable via
+    * [[hotShingles]] — no silent cap. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
-      threshold: Double, maxDocFreq: Int = 100000,
+      threshold: Double, maxDocFreq: Int = DerivedDocFreqCap,
       staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame =
     coShinglePairScores(df, textCol, idCol, n, maxDocFreq, staging, "jaccard-pairs") {
       base => base
@@ -269,10 +318,12 @@ object Dedup {
     * any threshold, but containment 1.0. Standard in training-data
     * pipelines for catching partial copies, quote-wrapped reposts, and
     * expanded re-edits. Same single co-shingle join (and the same
-    * `maxDocFreq` skew cap / [[hotShingles]] audit) as
-    * [[ngramJaccardPairs]] — only the denominator differs. */
+    * `maxDocFreq` skew cap — [[DerivedDocFreqCap]] by default, see
+    * [[ngramJaccardPairs]] for the derivation and exactness bound — with
+    * the [[hotShingles]] audit) as [[ngramJaccardPairs]]; only the
+    * denominator differs. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
-      threshold: Double, maxDocFreq: Int = 100000,
+      threshold: Double, maxDocFreq: Int = DerivedDocFreqCap,
       staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame =
     coShinglePairScores(df, textCol, idCol, n, maxDocFreq, staging, "containment-pairs") {
       base => base
@@ -293,13 +344,20 @@ object Dedup {
   private def coShinglePairScores(df: DataFrame, textCol: String, idCol: String,
       n: Int, maxDocFreq: Int, staging: graft.util.Staging, hint: String)(
       score: DataFrame => DataFrame): DataFrame = {
+    require(maxDocFreq == DerivedDocFreqCap || maxDocFreq > 0,
+      s"maxDocFreq must be positive or DerivedDocFreqCap, got $maxDocFreq")
+    // the derived cap needs the doc count — one metadata-cheap count job
+    // against the source, dwarfed by the co-shingle join it protects
+    val cap =
+      if (maxDocFreq == DerivedDocFreqCap) deriveDocFreqCap(df.count())
+      else maxDocFreq
     // persisted: both join sides and the sizes agg reference it
     val shAll = shingleHashes(df, textCol, idCol, n).persist()
     // document-frequency cap: the hot set is tiny by construction (grams in
     // >maxDocFreq docs), so it broadcasts and the exclusion is a map-side
     // anti-join — no extra shuffle on the corpus-sized shingle stream
     val hot = shAll.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDocFreq).select("__sh")
+      .filter(col("__df") > cap).select("__sh")
     val sh = shAll.join(broadcast(hot), Seq("__sh"), "left_anti")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col(idCol).as("id_a"), col("__sh"))

@@ -231,6 +231,70 @@ class GuardsSpec extends AnyFunSuite {
       maxBucket = 100).count() == 30L * 29 / 2)
   }
 
+  test("derived maxDocFreq cap scales with the corpus and stays exact under it") {
+    // the formula: 1000 floor until 0.5% of the corpus exceeds it
+    assert(Dedup.deriveDocFreqCap(500L) == 1000)
+    assert(Dedup.deriveDocFreqCap(200000L) == 1000)
+    assert(Dedup.deriveDocFreqCap(1000000L) == 5000)
+    assert(Dedup.deriveDocFreqCap(1000000000L) == 5000000)
+    // exactness property: when no gram's df exceeds the derived cap (true
+    // for any corpus under 1000 docs — df ≤ nDocs ≤ floor), the derived
+    // default is BIT-identical to an uncapped run
+    val docs = Seq(
+      (1L, "alpha beta gamma delta of the and"),
+      (2L, "alpha beta gamma delta of the and epsilon"),
+      (3L, "zeta eta theta of the and"),
+      (4L, "iota kappa lambda of the and")).toDF("doc_id", "text")
+    val derived = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+      threshold = 0.1) // default = DerivedDocFreqCap
+    val uncapped = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+      threshold = 0.1, maxDocFreq = Int.MaxValue)
+    assert(derived.exceptAll(uncapped).isEmpty && uncapped.exceptAll(derived).isEmpty)
+    val derivedC = Dedup.containmentPairs(docs, "text", "doc_id", n = 3,
+      threshold = 0.3)
+    val uncappedC = Dedup.containmentPairs(docs, "text", "doc_id", n = 3,
+      threshold = 0.3, maxDocFreq = Int.MaxValue)
+    assert(derivedC.exceptAll(uncappedC).isEmpty && uncappedC.exceptAll(derivedC).isEmpty)
+    // invalid caps fail loudly, not as a silent uncapped run
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+        threshold = 0.1, maxDocFreq = 0).count()
+    }
+  }
+
+  test("fingerprint-store compaction bounds small files without changing admissions") {
+    import graft.sources.VersionedParquet
+    def store() = java.nio.file.Files
+      .createTempDirectory("fp_compact").resolve("fps").toString
+    val (raw, compacted) = (store(), store())
+    def batch(day: Int) = // 3 new docs/day + 2 repeats of day-0 content
+      ((0 until 3).map(i => (day * 10L + i, s"day $day doc $i")) ++
+        Seq((day * 10L + 8, "day 0 doc 0"), (day * 10L + 9, "day 0 doc 1")))
+        .toDF("doc_id", "text")
+    // 12 daily batches against both stores: maintenance OFF vs compact at 6
+    val admits = (0 until 12).map { d =>
+      val a = Dedup.incrementalExact(batch(d), "text", "doc_id", raw,
+        compactAtFiles = 0).select("doc_id").as[Long].collect().sorted.toSeq
+      val b = Dedup.incrementalExact(batch(d), "text", "doc_id", compacted,
+        compactAtFiles = 6, compactTarget = 2).select("doc_id").as[Long]
+        .collect().sorted.toSeq
+      (a, b)
+    }
+    // identical admissions every day — compaction is invisible to dedup
+    admits.foreach { case (a, b) => assert(a == b) }
+    // day-0 repeats dedup IN-batch, later repeats against the store: every
+    // day admits exactly its 3 first-seen docs
+    admits.foreach { case (a, _) => assert(a.size == 3) }
+    // the raw store accumulated one file set per day; the compacted one is
+    // bounded by the maintenance target regardless of history length
+    assert(VersionedParquet.snapshotFileCount(raw) >= 12)
+    assert(VersionedParquet.snapshotFileCount(compacted) <= 6)
+    // and the fingerprint SETS are identical — compaction rewrote layout only
+    val fa = VersionedParquet.read(spark, raw).as[Long].collect().toSet
+    val fb = VersionedParquet.read(spark, compacted).as[Long].collect().toSet
+    assert(fa == fb)
+  }
+
   test("zValue clamps negative cells instead of aliasing them high") {
     val df = Seq((-5L, 3L), (0L, 3L)).toDF("x", "y")
     val zs = df.select(Layout.zValue(col("x"), col("y"), 12).as("z"))
