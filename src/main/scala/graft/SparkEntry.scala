@@ -737,6 +737,34 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF-PQ end-to-end: the canonical billion-scale ANN stack composed —
+    // coarse cells prune the SCAN (PartitionFilters on the hive-partition
+    // column), PQ codes replace floats for ranking (the materialized
+    // layout has no embedding column at all: ~30× smaller corpus table,
+    // zero float reads at query time). Decimal-exact ADC sums make the
+    // whole composed path — assign, encode, prune, rank — replayable in
+    // SQL.
+    "x51_ivfpq_topk" -> ((s, dir) => {
+      reg(s, dir)
+      val emb = s.table("embeddings")
+      val centroids = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val cb = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"), col("embedding"))
+      val queries = emb.filter(col("vec_id") >= 490 && col("vec_id") < 500)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val layout = java.nio.file.Files
+        .createTempDirectory("ivfpq_layout").resolve("codes_by_cell").toString
+      Similarity.writeIvfPqLayout(emb, centroids, cb, "vec_id", "centroid_id",
+        "code", "embedding", subspaces = 8, subDim = 8, layout)
+      Similarity.ivfPqTopKFromLayout(s, layout, queries, centroids, cb,
+          "vec_id", "q_id", "centroid_id", "code", "embedding",
+          subspaces = 8, subDim = 8, k = 10, nprobe = 3)
+        .select(col("q_id"), col("vec_id"), col("adc_dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // ---- X: text analysis (SURVEY.md §2.9 X4) ----
     "x8_text_stats" -> ((s, dir) => {
       reg(s, dir)
@@ -2589,6 +2617,54 @@ object SparkEntry {
         FROM adc)
       SELECT q_id, vec_id, CAST(dist AS DOUBLE) AS adc_dist, CAST(rk AS BIGINT) AS rank
       FROM ranked WHERE rk <= 5
+      ORDER BY q_id, rank""",
+
+    // IVF-PQ composed oracle: the assigned/qcells CTEs are x15's coarse
+    // quantizer, enc/qt/adc are x31's PQ encode + decimal ADC; the join
+    // through (assigned, qcells) applies the per-query cell restriction
+    // the engine's partition pruning + broadcast probe-table join apply
+    "x51_ivfpq_topk" -> s"""
+      WITH sub AS (SELECT UNNEST(RANGE(8)) AS s),
+      c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
+      cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.centroid_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${eucSql("e.embedding", "c.cv")} ASC, c.centroid_id ASC) AS rk
+          FROM embeddings e, c) WHERE rk = 1),
+      enc AS (
+        SELECT vec_id, s, code FROM (
+          SELECT e.vec_id, sub.s, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, sub.s
+              ORDER BY ${subEucSql("e.embedding", "cb.cv")} ASC, cb.code ASC) AS rk
+          FROM embeddings e, sub, cb) t
+        WHERE rk = 1),
+      q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id >= 490 AND vec_id < 500),
+      qcells AS (
+        SELECT q_id, cell FROM (
+          SELECT q.q_id, c.centroid_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY q.q_id
+              ORDER BY ${eucSql("q.qv", "c.cv")} ASC, c.centroid_id ASC) AS rk
+          FROM q, c) WHERE rk <= 3),
+      qt AS (
+        SELECT q.q_id, sub.s, cb.code,
+          CAST(${subEucSql("q.qv", "cb.cv")} AS DECIMAL(20,10)) AS d
+        FROM q, sub, cb),
+      adc AS (
+        SELECT qt.q_id, e.vec_id, SUM(qt.d) AS dist
+        FROM enc e
+        JOIN assigned a ON a.vec_id = e.vec_id
+        JOIN qcells qc ON qc.cell = a.cell
+        JOIN qt ON qt.q_id = qc.q_id AND qt.s = e.s AND qt.code = e.code
+        WHERE e.vec_id <> qt.q_id
+        GROUP BY qt.q_id, e.vec_id),
+      ranked AS (
+        SELECT q_id, vec_id, dist,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, vec_id ASC) AS rk
+        FROM adc)
+      SELECT q_id, vec_id, CAST(dist AS DOUBLE) AS adc_dist, CAST(rk AS BIGINT) AS rank
+      FROM ranked WHERE rk <= 10
       ORDER BY q_id, rank""",
 
     "x30_unigram_quality" -> """

@@ -373,6 +373,117 @@ object Similarity {
         col("__dist").cast("double").as("adc_dist"), col("__rk").as("rank"))
   }
 
+  /** Materialize the IVF-PQ layout: the canonical billion-scale ANN table.
+    * Each corpus vector is assigned to its coarse cell
+    * ([[assignToCentroids]]) and PQ-encoded ([[pqEncode]]); what lands on
+    * disk is `(idCol, codes)` hive-partitioned BY the cell — the float
+    * vector column is GONE. At 100 TB that is the whole story: 64 floats
+    * (256 B) become `subspaces` small ints (~8 B), a 30× shrink of the
+    * corpus table, and the probe below never reads a float from the corpus
+    * side — queries rank against codes alone.
+    *
+    * Build cost: one broadcast-assign pass + one encode shuffle keyed on
+    * the vector id, then the id-join of cell to codes — a one-off write
+    * that amortizes over every query, exactly like [[writeIvfLayout]]. */
+  def writeIvfPqLayout(
+      corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      idCol: String, centroidIdCol: String, codeCol: String, vecCol: String,
+      subspaces: Int, subDim: Int, path: String
+  ): Unit = {
+    val assigned = assignToCentroids(corpus, centroids, idCol, centroidIdCol, vecCol)
+      .select(col(idCol), col("cell"))
+    val enc = pqEncode(corpus, codebook, idCol, codeCol, vecCol, subspaces, subDim)
+    graft.sinks.SinkWriter.write(corpus.sparkSession, assigned.join(enc, Seq(idCol)),
+      graft.config.SinkSpec("ivfpq_layout", "simpleInsert", "parquet",
+        Some(path), savemode = "overwrite", partitionBy = Seq("cell")))
+  }
+
+  /** IVF-PQ probe against a materialized [[writeIvfPqLayout]] table: the
+    * probe cell set prunes partitions at the scan (same IN-list push as
+    * [[ivfTopKFromLayout]] — non-probed cell directories never open), and
+    * ranking inside the probed cells is ADC over the stored codes: each
+    * query's `subspaces × C` distance table rides a broadcast, a corpus
+    * row's distance is the sum of its codes' entries, and the corpus side
+    * never touches a float (the layout doesn't even HAVE the float column
+    * — asserted on the scan schema in ExtensionOpsSpec). DECIMAL(20,10)
+    * table entries keep the distributed sum exact, so the whole pipeline
+    * — coarse quantize, prune, ADC rank — replays in the SQL oracle.
+    *
+    * Results match [[ivfPqTopK]] (the inline twin) bit-for-bit; accuracy
+    * vs float IVF ([[ivfTopKFromLayout]]) is the standard PQ trade. */
+  def ivfPqTopKFromLayout(
+      spark: org.apache.spark.sql.SparkSession, layoutPath: String,
+      queries: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      idCol: String, qIdCol: String, centroidIdCol: String, codeCol: String,
+      vecCol: String, subspaces: Int, subDim: Int, k: Int, nprobe: Int = 3,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint
+  ): DataFrame = {
+    val qc = staging.stage(
+      queryCells(queries, centroids, qIdCol, centroidIdCol, vecCol, nprobe)
+        .select(col(qIdCol), col("cell")), "ivfpq-query-cells")
+    val probeCells = qc.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val layout = spark.read.parquet(layoutPath)
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .withColumn("cell", col("cell").cast("long")) // partition-type inference may narrow to int
+    val encCell = layout
+      .select(col(idCol), col("cell"), posexplode(col("codes")))
+      .select(col(idCol), col("cell"), col("pos").as("s"), col("col").as("code"))
+    adcProbeScore(encCell, qc, queries, codebook,
+      idCol, qIdCol, codeCol, vecCol, subspaces, subDim, k)
+  }
+
+  /** Inline IVF-PQ (no materialized layout): assign, encode, and ADC-rank
+    * in one plan — the semantics twin of [[ivfPqTopKFromLayout]] for
+    * ad-hoc runs and for asserting the layout path changes nothing. */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, idCol: String, qIdCol: String,
+      centroidIdCol: String, codeCol: String, vecCol: String,
+      subspaces: Int, subDim: Int, k: Int, nprobe: Int = 3
+  ): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroids, idCol, centroidIdCol, vecCol)
+      .select(col(idCol), col("cell"))
+    val encCell = pqEncodeLong(corpus, codebook, idCol, codeCol, vecCol,
+      subspaces, subDim).join(assigned, Seq(idCol))
+    val qc = queryCells(queries, centroids, qIdCol, centroidIdCol, vecCol, nprobe)
+      .select(col(qIdCol), col("cell"))
+    adcProbeScore(encCell, qc, queries, codebook,
+      idCol, qIdCol, codeCol, vecCol, subspaces, subDim, k)
+  }
+
+  /** ADC ranking of a cell-tagged encoded corpus `(idCol, cell, s, code)`
+    * against per-query probe cells: the query distance tables join their
+    * probe cells into one (cell, s, code, q, d) frame — tiny by the
+    * small-query contract (queries × nprobe × subspaces × C rows) — which
+    * broadcasts, so the only shuffle on the corpus side is the final
+    * (query, id) distance aggregation of `subspaces` rows per candidate. */
+  private def adcProbeScore(
+      encCell: DataFrame, qCells: DataFrame,
+      queries: DataFrame, codebook: DataFrame,
+      idCol: String, qIdCol: String, codeCol: String, vecCol: String,
+      subspaces: Int, subDim: Int, k: Int
+  ): DataFrame = {
+    val cb = subspaced(codebook, codeCol, vecCol, subspaces, subDim)
+      .withColumnRenamed("__sv", "__cbv").withColumnRenamed(codeCol, "code")
+    val qt = subspaced(queries, qIdCol, vecCol, subspaces, subDim)
+      .withColumnRenamed("__sv", "__qv")
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("__d",
+        euclideanDistance(col("__qv"), col("__cbv")).cast("decimal(20,10)"))
+      .select(col(qIdCol), col("s"), col("code"), col("__d"))
+    val qtc = qt.join(qCells, Seq(qIdCol)) // (q, cell, s, code, d)
+    val adc = encCell.join(broadcast(qtc), Seq("cell", "s", "code"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(sum("__d").as("__dist"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("__dist").asc, col(idCol).asc)
+    adc.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(qIdCol), col(idCol),
+        col("__dist").cast("double").as("adc_dist"), col("__rk").as("rank"))
+  }
+
   /** (id, s, __sv): one row per subspace with the vector's s-th slice. */
   private def subspaced(df: DataFrame, idCol: String, vecCol: String,
       subspaces: Int, subDim: Int): DataFrame =

@@ -329,6 +329,52 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(inExact / total >= 0.4, s"ADC∩exactL2@20 recall $inExact/$total")
   }
 
+  test("IVF-PQ layout: no float column on disk, partition-pruned probe, inline-equal") {
+    val centroids = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    val cb = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("code"), $"embedding")
+    val queries = emb.filter($"vec_id" >= 90 && $"vec_id" < 93)
+      .select($"vec_id".as("q_id"), $"embedding")
+    val layout = java.nio.file.Files
+      .createTempDirectory("ivfpq_layout_spec").resolve("codes_by_cell").toString
+    Similarity.writeIvfPqLayout(emb, centroids, cb, "vec_id", "centroid_id",
+      "code", "embedding", subspaces = 8, subDim = 8, layout)
+    // the layout is cell directories of (vec_id, codes) — the 256-byte
+    // float vector never reaches disk
+    val cellDirs = new java.io.File(layout).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.length > 1)
+    assert(spark.read.parquet(layout).schema.fieldNames.toSet ==
+      Set("vec_id", "codes", "cell"))
+    val fromLayout = Similarity.ivfPqTopKFromLayout(spark, layout, queries,
+      centroids, cb, "vec_id", "q_id", "centroid_id", "code", "embedding",
+      subspaces = 8, subDim = 8, k = 5, nprobe = 2)
+    // probe plan: cell restriction reaches the scan as a PartitionFilter
+    // (non-probed directories never open) AND the scan schema carries only
+    // id + codes — queries rank a 100 TB corpus without reading one float
+    val scans = fromLayout.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val layoutScan = scans.find(_.relation.location.rootPaths.exists(
+      _.toString.contains("codes_by_cell"))).get
+    // the static IN-list is what we pushed; Spark may ADD a dynamic-pruning
+    // subquery on top (runtime re-prune off the broadcast probe table —
+    // welcome at scale, but not evaluable in a manual listFiles call)
+    val staticFilters = layoutScan.partitionFilters.filterNot(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+    assert(staticFilters.exists(_.references.exists(_.name == "cell")))
+    val probed = layoutScan.relation.location.listFiles(staticFilters, Nil).length
+    assert(probed < cellDirs.length) // strictly pruned: 3 queries × 2 probes
+    assert(layoutScan.requiredSchema.fieldNames.toSet == Set("vec_id", "codes"))
+    // and the layout path is bit-equal to the inline twin
+    val inline = Similarity.ivfPqTopK(emb, queries, centroids, cb,
+      "vec_id", "q_id", "centroid_id", "code", "embedding",
+      subspaces = 8, subDim = 8, k = 5, nprobe = 2)
+    assert(inline.exceptAll(fromLayout).isEmpty &&
+      fromLayout.exceptAll(inline).isEmpty)
+  }
+
   test("text profile: counts and ratios are consistent") {
     val p = TextAnalysis.profile(docs, "text").cache()
     assert(p.count() == docs.count())
