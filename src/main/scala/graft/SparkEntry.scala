@@ -620,6 +620,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Substring-level dedup — the modality document-level Jaccard misses:
+    // every 10th doc gets the same 12-token boilerplate tail, and the
+    // operator must emit exactly the [tail start, tail end) extent per
+    // marked doc (5 consecutive hit windows at L=8 merge into one span),
+    // plus any organic repeated 8-grams, which the oracle replays
+    // identically by grouping on the gram itself.
+    "x52_repeated_passages" -> ((s, dir) => {
+      reg(s, dir)
+      val marked = s.table("documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(col("text"),
+            lit(" the quick brown fox jumps over the lazy dog again and again")))
+          .otherwise(col("text")).as("text"))
+      Dedup.repeatedPassages(marked, "text", "doc_id", windowTokens = 8)
+        .select(col("doc_id"), col("start_tok").cast("long").as("start_tok"),
+          col("end_tok").cast("long").as("end_tok"),
+          col("span_tokens").cast("long").as("span_tokens"),
+          col("n_windows").cast("long").as("n_windows"))
+        .orderBy("doc_id", "start_tok")
+    }),
+
     // Oracle = the exact n-gram-Jaccard pairs (same SQL as x2): the LSH
     // stage only GENERATES candidates, the verify stage keeps exactly the
     // pairs with true jaccard ≥ threshold, and on this fixture (pair
@@ -2618,6 +2639,43 @@ object SparkEntry {
       SELECT q_id, vec_id, CAST(dist AS DOUBLE) AS adc_dist, CAST(rk AS BIGINT) AS rank
       FROM ranked WHERE rk <= 5
       ORDER BY q_id, rank""",
+
+    // passage-dedup oracle groups on the gram STRING where the engine
+    // groups on its 55-bit poly-hash — equal by injectivity-up-to-
+    // collision (odds ~ windows²/2⁵⁵, immaterial at any fixture scale);
+    // the output carries only offsets, so no hash value needs replaying
+    "x52_repeated_passages" -> """
+      WITH marked AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0
+               THEN text || ' the quick brown fox jumps over the lazy dog again and again'
+               ELSE text END AS text
+        FROM documents),
+      toks AS (SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM marked),
+      wins AS (
+        SELECT doc_id, i - 1 AS off,
+          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+          t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS gram
+        FROM toks, LATERAL (SELECT UNNEST(RANGE(1, LEN(t) - 6)) AS i)
+        WHERE LEN(t) >= 8),
+      rep AS (
+        SELECT gram FROM wins GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= 100000),
+      hits AS (SELECT DISTINCT w.doc_id, w.off FROM wins w JOIN rep USING (gram)),
+      grp AS (
+        SELECT doc_id, off,
+          off - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off) AS g
+        FROM hits),
+      ext AS (
+        SELECT doc_id, MIN(off) AS start_tok, MAX(off) + 8 AS end_tok,
+          COUNT(*) AS n_windows
+        FROM grp GROUP BY doc_id, g)
+      SELECT doc_id, CAST(start_tok AS BIGINT) AS start_tok,
+        CAST(end_tok AS BIGINT) AS end_tok,
+        CAST(end_tok - start_tok AS BIGINT) AS span_tokens,
+        CAST(n_windows AS BIGINT) AS n_windows
+      FROM ext
+      ORDER BY doc_id, start_tok""",
 
     // IVF-PQ composed oracle: the assigned/qcells CTEs are x15's coarse
     // quantizer, enc/qt/adc are x31's PQ encode + decimal ADC; the join

@@ -270,6 +270,31 @@ object ScaleProbe {
       }
     }
 
+    // passage-dedup probe: corpus inflates with constant repeated-passage
+    // DENSITY (every 10th doc carries the same 9-token boilerplate tail, so
+    // the repeated class grows WITH the corpus). The shape claim under
+    // test: no self-join anywhere — one 8-byte fingerprint per token
+    // through two hash shuffles — so runtime stays linear even as the
+    // repeated class reaches thousands of members, where any pairwise
+    // formulation would grow quadratically in the class size.
+    Seq(1, 4, 16).foreach { k =>
+      val inflated = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+          .withColumn("text", concat(
+            regexp_replace(col("text"), "(\\S+)", "$1x" + i),
+            when(pmod(col("doc_id"), lit(10)) === 0,
+              lit(" shared boilerplate tail repeated across documents every single time"))
+              .otherwise(lit("")))))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val t0 = System.nanoTime()
+      val ext = Dedup.repeatedPassages(inflated, "text", "doc_id",
+        windowTokens = 8).count()
+      println(f"[scale-passages] docs=$n%7d  " +
+        f"repeated_passages=${(System.nanoTime() - t0) / 1e9}%6.2fs  extents=$ext")
+      spark.catalog.clearCache()
+    }
+
     factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus

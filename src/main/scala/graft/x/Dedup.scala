@@ -436,6 +436,91 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 
+  /** (idCol, off, __fp): the sliding `windowTokens`-token window
+    * fingerprint at every 0-based token offset — one
+    * [[graft.functions.NGramPolyHash]] value per position, no gram
+    * strings materialized. Docs shorter than the window emit nothing
+    * (they cannot CONTAIN an L-token passage; whole-short-doc duplication
+    * is [[exactByContent]]'s job). */
+  private def passageWindows(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int): DataFrame =
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= windowTokens)
+      .select(col(idCol), posexplode(
+        graft.functions.NGramPolyHash(col("__toks"), windowTokens)))
+      .select(col(idCol), col("pos").as("off"), col("col").as("__fp"))
+
+  /** Audit surface for [[repeatedPassages]]' `maxFreq` cap: window
+    * fingerprints whose total occurrence count exceeds the cap — the
+    * corpus-universal boilerplate passages reported ONCE each instead of
+    * as an extent in every host document. Hottest first. */
+  def hotPassages(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int, maxFreq: Int): DataFrame =
+    passageWindows(df, textCol, idCol, windowTokens)
+      .groupBy(col("__fp")).agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > maxFreq)
+      .orderBy(col("__occ").desc)
+
+  /** X2c substring-level (passage) dedup: maximal extents of token spans
+    * ≥ `windowTokens` long that repeat across ≥ `minDocs` distinct
+    * documents — licenses, boilerplate headers, quoted passages. This is
+    * the dedup modality document-level Jaccard/MinHash structurally MISS:
+    * a 200-token license inside otherwise-unrelated 10k-token documents
+    * moves whole-doc Jaccard by ~2% at any threshold, but every one of its
+    * windows repeats verbatim. Returns `(idCol, start_tok, end_tok,
+    * span_tokens, n_windows)` with 0-based token offsets, `end_tok`
+    * exclusive — the spans a training pipeline masks or cuts.
+    *
+    * Shape — and why it scales where the pair family can't: there is NO
+    * self-join anywhere. Every doc explodes into one 8-byte fingerprint
+    * per token position ([[graft.functions.NGramPolyHash]] — no gram
+    * strings ever exist); repeated fingerprints are found by ONE group-by
+    * on the hash (map-side partial counts), survivors semi-join back
+    * (co-partitioned on the same key — no second shuffle of the corpus),
+    * and runs of consecutive hit offsets merge per doc with the classic
+    * islands trick (off − row_number is constant within a run). Total
+    * cost is O(corpus tokens) rows through two hash shuffles — linear at
+    * any duplication level, proven flat-per-token in ScaleProbe.
+    *
+    * Any repeated span of length S ≥ windowTokens produces S−windowTokens+1
+    * consecutive hit windows in each host doc and therefore ONE extent of
+    * exactly [span start, span end) — window granularity costs nothing at
+    * the extent level. Overlapping repeats from different sources merge
+    * into one extent (for masking that is the right answer; per-source
+    * attribution would key extents by fingerprint instead).
+    *
+    * `maxFreq` (reporting cap, auditable via [[hotPassages]]): a passage
+    * in a million docs is corpus-universal boilerplate — emitting a
+    * million identical extents restates what ONE audit row says better.
+    * Unlike the pair family's caps this is NOT a cost guard (the group-by
+    * is linear regardless); it keeps the OUTPUT proportional to
+    * information. Set it to Int.MaxValue to emit everything. */
+  def repeatedPassages(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int, minDocs: Int = 2, maxFreq: Int = 100000,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be positive, got $windowTokens")
+    require(minDocs >= 2, s"minDocs < 2 would flag every window, got $minDocs")
+    val wins = passageWindows(df, textCol, idCol, windowTokens).persist()
+    val rep = wins.groupBy(col("__fp"))
+      .agg(countDistinct(col(idCol)).as("__nd"), count(lit(1)).as("__occ"))
+      .filter(col("__nd") >= minDocs && col("__occ") <= maxFreq)
+      .select("__fp")
+    val hits = wins.join(rep, Seq("__fp"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("off").asc)
+    val out = staging.stage(hits
+      .select(col(idCol), col("off"))
+      .withColumn("__grp", col("off") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min("off").as("start_tok"),
+        (max("off") + windowTokens).as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("span_tokens"), col("n_windows")),
+      "repeated-passages")
+    wins.unpersist()
+    out
+  }
+
   /** MinHash-LSH near-dedup end-to-end: candidates → exact-Jaccard verify →
     * pairs ≥ threshold. Linear-cost scale path for [[ngramJaccardPairs]]. */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,

@@ -139,6 +139,40 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(cont.head.getDouble(2) == 1.0)
   }
 
+  test("repeatedPassages emits maximal cross-doc extents, capped and auditable") {
+    val common = (1 to 10).map(i => s"c$i").mkString(" ") // 10-token passage
+    val df = Seq(
+      (1L, s"a1 a2 a3 $common z1"),                   // passage at tokens [3,13)
+      (2L, s"b1 $common y1 y2"),                      // passage at tokens [1,11)
+      (3L, (1 to 11).map(i => s"d$i").mkString(" ")), // no repeats
+      // 7-token overlap with the passage: below the L=8 window, invisible
+      (4L, "e1 c1 c2 c3 c4 c5 c6 c7 e2")).toDF("doc_id", "text")
+    val ext = Dedup.repeatedPassages(df, "text", "doc_id", windowTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4))).toSet
+    // a 10-token shared span = 3 consecutive hit windows merging into ONE
+    // extent of exactly the span, per host doc
+    assert(ext == Set((1L, 3, 13, 10, 3L), (2L, 1, 11, 10, 3L)))
+    // minDocs above the passage's doc count: nothing repeats enough
+    assert(Dedup.repeatedPassages(df, "text", "doc_id", windowTokens = 8,
+      minDocs = 3).isEmpty)
+    // reporting cap: an 8-token passage in 5 docs vanishes from extents at
+    // maxFreq=4 and surfaces once through the audit instead
+    val boiler = (10L to 14L).map(i => (i, s"x$i " + (1 to 8).map(j => s"p$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.repeatedPassages(boiler, "text", "doc_id", windowTokens = 8,
+      maxFreq = 4).isEmpty)
+    val hot = Dedup.hotPassages(boiler, "text", "doc_id", windowTokens = 8,
+      maxFreq = 4).collect()
+    assert(hot.length == 1 && hot.head.getLong(1) == 5L)
+    // and a cap nothing exceeds is identical to uncapped
+    val capped = Dedup.repeatedPassages(boiler, "text", "doc_id", windowTokens = 8,
+      maxFreq = 5)
+    val un = Dedup.repeatedPassages(boiler, "text", "doc_id", windowTokens = 8,
+      maxFreq = Int.MaxValue)
+    assert(capped.exceptAll(un).isEmpty && un.exceptAll(capped).isEmpty)
+  }
+
   test("contamination report quantifies partial benchmark leaks") {
     val bench = Seq((100L, "what is the capital of france paris obviously"))
       .toDF("doc_id", "text")
