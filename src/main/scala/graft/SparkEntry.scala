@@ -1418,6 +1418,28 @@ object SparkEntry {
       Multimodal.phashNearDupPairs(feats, "media_id", "features", maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // The composed video-dedup pipeline: frame-sample → per-frame decode
+    // (stub seam) → per-frame pHash → aligned-frame bucket join → matched-
+    // frame fraction. Every other synthetic video gets a re-encoded copy
+    // at doc_id+300000 — the shift preserves kind (300000 ≡ 0 mod 3) and
+    // durationMs (300000·137 ≡ 0 mod 60000), so the copy lives on the
+    // SAME frame grid while its payload differs; the pipeline must
+    // recover the copy pairs from frame content alone.
+    "mm5_video_neardup" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      val reenc = docs.filter(pmod(col("doc_id"), lit(6)) === 5)
+        .withColumn("doc_id", col("doc_id") + 300000L)
+        .withColumn("text", concat(col("text"), lit(".")))
+      val media = Multimodal.synthesizeFromText(
+        docs.unionByName(reenc), "doc_id", "text")
+      Multimodal.videoNearDupPairs(s, media, everyMs = 10000,
+          maxHamming = 2, minMatchFrac = 0.5)
+        .select(col("id_a"), col("id_b"),
+          col("n_matched").cast("long").as("n_matched"), col("match_frac"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -3028,6 +3050,58 @@ object SparkEntry {
              CAST(bit_count(xor(a.phv, b.phv)) AS BIGINT) AS hamming
       FROM ph a JOIN ph b ON a.media_id < b.media_id
       WHERE bit_count(xor(a.phv, b.phv)) <= 3
+      ORDER BY id_a, id_b""",
+
+    // replays the whole composed video pipeline: synthetic meta (duration
+    // from the id), frame grid (RANGE ≡ Spark's sequence: every multiple
+    // of 10000 ≤ dur), the frame decoder stub (whole-payload fold starting
+    // at byte offset kk = frame index), the 16-bit pHash sign fold, then
+    // aligned-frame pairs as a full join ON ms — the engine's pigeonhole
+    // bucketing must produce exactly this set — and the matched-frame
+    // fraction as one IEEE division of exact longs
+    "mm5_video_neardup" -> """
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 300000, text || '.' FROM documents WHERE doc_id % 6 = 5),
+      vids AS (
+        SELECT doc_id AS media_id, text, (doc_id * 137) % 60000 AS dur
+        FROM all_docs WHERE doc_id % 3 = 2),
+      frames AS (
+        SELECT media_id, text, f.ms, CAST(f.ms // 10000 AS INTEGER) AS kk
+        FROM vids, LATERAL (SELECT UNNEST(RANGE(0, dur + 1, 10000)) AS ms) f),
+      feats AS (
+        SELECT fr.media_id, fr.ms, r.i,
+          CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(list_filter(range(1, LENGTH(fr.text) + 1),
+                p -> p > fr.kk AND (p - 1 - fr.kk) % 16 = r.i),
+                p -> CAST(CAST(ord(fr.text[p]) AS REAL) / CAST(255 AS REAL) AS DOUBLE))),
+              (a, x) -> a + x)
+            / GREATEST((LENGTH(fr.text) - fr.kk) // 16, 1) AS REAL) AS feat
+        FROM frames fr CROSS JOIN RANGE(16) r(i)),
+      means AS (
+        SELECT media_id, ms,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(feat AS DOUBLE) ORDER BY i)), (a, x) -> a + x)
+            / CAST(16 AS DOUBLE) AS m
+        FROM feats GROUP BY media_id, ms),
+      ph AS (
+        SELECT f.media_id, f.ms,
+          CAST(SUM(CASE WHEN CAST(f.feat AS DOUBLE) > m.m
+                        THEN CAST(POWER(2, f.i) AS BIGINT) ELSE 0 END) AS BIGINT) AS phv
+        FROM feats f JOIN means m ON f.media_id = m.media_id AND f.ms = m.ms
+        GROUP BY f.media_id, f.ms),
+      counts AS (SELECT media_id, COUNT(*) AS nf FROM ph GROUP BY media_id),
+      matched AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b, COUNT(*) AS n_matched
+        FROM ph a JOIN ph b ON a.media_id < b.media_id AND a.ms = b.ms
+        WHERE bit_count(xor(a.phv, b.phv)) <= 2
+        GROUP BY a.media_id, b.media_id)
+      SELECT m.id_a, m.id_b, CAST(m.n_matched AS BIGINT) AS n_matched,
+        CAST(m.n_matched AS DOUBLE) / CAST(LEAST(ca.nf, cb.nf) AS DOUBLE) AS match_frac
+      FROM matched m JOIN counts ca ON ca.media_id = m.id_a
+        JOIN counts cb ON cb.media_id = m.id_b
+      WHERE CAST(m.n_matched AS DOUBLE) / CAST(LEAST(ca.nf, cb.nf) AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b"""
   )
 }

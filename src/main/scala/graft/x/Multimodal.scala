@@ -28,6 +28,8 @@ object Multimodal {
   final case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
       checksum: Long, features: Array[Float])
+  final case class FrameFeatures(media_id: Long, frame_ms: Long,
+      features: Array[Float])
 
   /** Build a media table from any frame with an id + binary column (the
     * fixture-free synthetic path: payloads derived from the documents
@@ -49,19 +51,27 @@ object Multimodal {
   /** The decoder seam. Production: real codec here. This build: a
     * deterministic fake — features are a 16-dim projection of byte
     * statistics, so results are stable across runs/executors. */
-  private def decodeImpl(bytes: Array[Byte]): Array[Float] = {
-    // STUB(decode): stands in for image/audio decode + model featurizer.
-    // Accumulates in DOUBLE with sequential order so the oracle's SQL fold
-    // reproduces each feature bit-for-bit (float accumulation order would
-    // diverge); each term (byte/255f) is itself an exact float value.
+  private def decodeImpl(bytes: Array[Byte]): Array[Float] =
+    decodeFrameImpl(bytes, 0)
+
+  /** The frame variant of the decoder seam: frame k of a payload decodes
+    * the bytes from offset k — a deterministic stand-in for seeking to a
+    * frame and decoding it (production swaps a real demux+decode here).
+    * `skip = 0` is whole-payload decode.
+    *
+    * STUB(decode): stands in for image/audio decode + model featurizer.
+    * Accumulates in DOUBLE with sequential order so the oracle's SQL fold
+    * reproduces each feature bit-for-bit (float accumulation order would
+    * diverge); each term (byte/255f) is itself an exact float value. */
+  private def decodeFrameImpl(bytes: Array[Byte], skip: Int): Array[Float] = {
     val dim = 16
     val acc = new Array[Double](dim)
-    var i = 0
+    var i = skip
     while (i < bytes.length) {
-      acc(i % dim) += ((bytes(i) & 0xFF) / 255.0f).toDouble
+      acc((i - skip) % dim) += ((bytes(i) & 0xFF) / 255.0f).toDouble
       i += 1
     }
-    val n = math.max(1, bytes.length / dim)
+    val n = math.max(1, (bytes.length - skip) / dim)
     acc.map(a => (a / n).toFloat)
   }
 
@@ -151,12 +161,107 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Per-frame feature extraction over a [[sampleFrames]] output: each
+    * (video, frame) row decodes through the frame seam — same
+    * partition-parallel batch shape as [[extractFeatures]], so a real
+    * decoder initializes once per partition and seeks per frame. */
+  def extractFrameFeatures(spark: SparkSession, frames: DataFrame,
+      everyMs: Long): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    frames.selectExpr("media_id", "frame_ms", "payload")
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, ms, payload) =>
+          FrameFeatures(id, ms, decodeFrameImpl(payload, (ms / everyMs).toInt))
+        }
+      }
+  }
+
+  /** Audit surface for [[videoNearDupPairs]]' `maxBucket` guard: the
+    * (frame_ms, chunk, chunk-value) buckets whose occupancy exceeds the
+    * cap — the all-black-intro / station-ident frames that would otherwise
+    * re-create the quadratic — hottest first. */
+  def oversizedFrameBuckets(spark: SparkSession, media: DataFrame,
+      everyMs: Long, maxHamming: Int, maxBucket: Int): DataFrame =
+    frameSignatures(spark, media, everyMs, maxHamming)
+      .groupBy(col("frame_ms"), col("chunk"), col("ch"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .orderBy(col("n").desc)
+
+  /** (media_id, frame_ms, __ph, chunk, ch): per-frame perceptual hashes
+    * with their pigeonhole chunk memberships. */
+  private def frameSignatures(spark: SparkSession, media: DataFrame,
+      everyMs: Long, maxHamming: Int): DataFrame = {
+    val feats = extractFrameFeatures(spark, sampleFrames(media, everyMs), everyMs).toDF()
+    val sig = feats.select(col("media_id"), col("frame_ms"),
+      perceptualHash(col("features")).as("__ph"))
+    val chunks = Dedup.pigeonholeChunks(16, maxHamming + 1, col("__ph"))
+    sig.select(col("media_id"), col("frame_ms"), col("__ph"),
+        explode(array(chunks: _*)).as("cb"))
+      .select(col("media_id"), col("frame_ms"), col("__ph"),
+        col("cb.chunk"), col("cb.ch"))
+  }
+
+  /** The composed video-dedup pipeline: frame-sample → per-frame decode
+    * (stub seam) → per-frame pHash → ALIGNED-frame pigeonhole join →
+    * per-pair matched-frame fraction. Two videos are near-duplicates when
+    * ≥ `minMatchFrac` of their aligned sampled frames match at hamming ≤
+    * `maxHamming` — the re-encoded-copy detector for the rendition case
+    * where byte dedup sees nothing and even whole-payload pHash drifts
+    * (container metadata, re-muxing) but frame CONTENT survives.
+    *
+    * Plan shape: candidates come from a bucket join keyed on
+    * (frame_ms, chunk, value) — frames only ever meet frames at the SAME
+    * timestamp, so the blowup surface is per-aligned-frame, and the same
+    * `maxBucket` guard as the text/embedding paths bounds the
+    * mass-duplicate case (every video opening on the same black frame —
+    * audit via [[oversizedFrameBuckets]]). Per-video frame counts join the
+    * (small) matched-pair aggregate WITHOUT a broadcast hint: the count
+    * frame is linear in corpus videos, so it must stay a shuffle join.
+    * `match_frac = n_matched / min(frames_a, frames_b)` is one IEEE
+    * division of two exact longs — oracle-replayable. */
+  def videoNearDupPairs(spark: SparkSession, media: DataFrame, everyMs: Long,
+      maxHamming: Int = 2, minMatchFrac: Double = 0.5, maxBucket: Int = 10000,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8, s"maxHamming $maxHamming out of range")
+    val bucketed = staging.stage(
+      frameSignatures(spark, media, everyMs, maxHamming), "video-frame-buckets")
+    val counts = bucketed.filter(col("chunk") === 0)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("__nf"))
+    val hot = bucketed.groupBy(col("frame_ms"), col("chunk"), col("ch"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucket).select("frame_ms", "chunk", "ch")
+    val capped = bucketed.join(broadcast(hot), Seq("frame_ms", "chunk", "ch"), "left_anti")
+    val a = capped.select(col("frame_ms"), col("chunk"), col("ch"),
+      col("media_id").as("id_a"), col("__ph").as("ph_a"))
+    val b = capped.select(col("frame_ms"), col("chunk"), col("ch"),
+      col("media_id").as("id_b"), col("__ph").as("ph_b"))
+    val matched = a.join(b, Seq("frame_ms", "chunk", "ch"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("frame_ms"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_matched"))
+    matched
+      .join(counts.select(col("media_id").as("id_a"), col("__nf").as("__nfa")), Seq("id_a"))
+      .join(counts.select(col("media_id").as("id_b"), col("__nf").as("__nfb")), Seq("id_b"))
+      .withColumn("match_frac", col("n_matched").cast("double") /
+        least(col("__nfa"), col("__nfb")).cast("double"))
+      .filter(col("match_frac") >= minMatchFrac)
+      .select(col("id_a"), col("id_b"), col("n_matched"), col("match_frac"))
+  }
+
   /** Frame sampling for video rows: emit one row per sampled frame index
     * (every `everyMs` of duration) — the explode-shaped fan-out a video
-    * pipeline feeds to the image path. Payload decode is the same stub. */
+    * pipeline feeds to the image path. Payload rides along so a frame
+    * decoder ([[extractFrameFeatures]]) can run without re-joining the
+    * media table; metadata-only consumers just don't select it (parquet
+    * column pruning keeps their scans narrow). */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
     media.filter(col("meta.kind") === "video")
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("meta.durationMs"), lit(everyMs))))
-      .select(col("media_id"), col("frame_ms"), col("meta"))
+      .select(col("media_id"), col("frame_ms"), col("meta"), col("payload"))
 }

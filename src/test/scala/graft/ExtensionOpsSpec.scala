@@ -478,6 +478,45 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(wphs >= 0 && wphs < (1 << 16))
   }
 
+  test("video near-dup: re-encoded copies recovered from aligned frame content") {
+    // ids ≡ 2 (mod 3) synthesize as videos; 74 → duration 10138 ms, so a
+    // 10000 ms grid samples TWO frames; the +300000 shift preserves kind
+    // and duration, so the re-encoded copy (one appended byte — distinct
+    // payload) lives on the same frame grid
+    val vids = Seq(
+      (74L, "a perfectly ordinary home video of a dog catching a ball outside"),
+      (300074L, "a perfectly ordinary home video of a dog catching a ball outside."),
+      (77L, "completely different footage entirely unrelated to anything else here"),
+      (80L, "QQQQQQQQ XXXXXXXX QQQQQQQQ XXXXXXXX QQQQQQQQ XXXXXXXX ZZZZZZZZ wild"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthesizeFromText(vids, "doc_id", "text")
+    assert(media.filter(col("meta.kind") === "video").count() == 4)
+    assert(Dedup.exactByContent(media, "payload", "media_id").count() == 4)
+    val pairs = Multimodal.videoNearDupPairs(spark, media, everyMs = 10000,
+      maxHamming = 2, minMatchFrac = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((74L, 300074L)))
+    assert(pairs.head.getDouble(3) == 1.0) // every aligned frame matches
+    // mass-duplicate frame bucket (the black-intro/station-ident case): 30
+    // videos with IDENTICAL payload and duration (ids 60000 apart keep
+    // kind AND duration) put 30 rows in one (frame, chunk, value) bucket
+    val flood = (0 until 30).map(i =>
+      (2L + 60000L * i, "station ident card identical on every channel tonight ok"))
+      .toDF("doc_id", "text")
+    val flooded = Multimodal.synthesizeFromText(vids.unionByName(flood), "doc_id", "text")
+    val uncapped = Multimodal.videoNearDupPairs(spark, flooded, everyMs = 10000,
+      maxHamming = 2, minMatchFrac = 0.5)
+    assert(uncapped.count() == 30L * 29 / 2 + 1) // flood clique + the copy pair
+    val capped = Multimodal.videoNearDupPairs(spark, flooded, everyMs = 10000,
+      maxHamming = 2, minMatchFrac = 0.5, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((74L, 300074L)), "pair outside hot buckets survives")
+    assert(capped.forall { case (a, b) => a == 74L && b == 300074L },
+      "the 30-copy frame bucket is dropped wholesale")
+    val over = Multimodal.oversizedFrameBuckets(spark, flooded,
+      everyMs = 10000, maxHamming = 2, maxBucket = 10).collect()
+    assert(over.nonEmpty && over.forall(_.getLong(3) >= 30L))
+  }
+
   test("multimodal: features deterministic, metadata filter prunes payload") {
     val media = Multimodal.synthesizeFromText(docs, "doc_id", "text").cache()
     val f1 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
