@@ -641,6 +641,32 @@ object SparkEntry {
         .orderBy("doc_id", "start_tok")
     }),
 
+    // Passage-level decontamination: whole-doc fingerprints (x23/x25) and
+    // gram counts (x47) can't LOCALIZE a leak — this emits the exact spans
+    // to mask. Benchmark docs carry an 11-token canary passage; marked
+    // training docs quote it verbatim, and the operator must emit exactly
+    // the [quote start, quote end) extent per marked doc (plus organic
+    // 8-gram overlaps with benchmark texts, replayed identically).
+    "x53_passage_decontaminate" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      val canary =
+        " judge the model answer on this exact benchmark prompt please carefully"
+      val bench = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"), concat(col("text"), lit(canary)).as("text"))
+      val train = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(17)) === 1, concat(col("text"), lit(canary)))
+            .otherwise(col("text")).as("text"))
+      TextAnalysis.passageDecontaminate(train, bench, "text", "doc_id",
+          windowTokens = 8)
+        .select(col("doc_id"), col("start_tok").cast("long").as("start_tok"),
+          col("end_tok").cast("long").as("end_tok"),
+          col("span_tokens").cast("long").as("span_tokens"),
+          col("n_windows").cast("long").as("n_windows"))
+        .orderBy("doc_id", "start_tok")
+    }),
+
     // Oracle = the exact n-gram-Jaccard pairs (same SQL as x2): the LSH
     // stage only GENERATES candidates, the verify stage keeps exactly the
     // pairs with true jaccard ≥ threshold, and on this fixture (pair
@@ -704,6 +730,23 @@ object SparkEntry {
         .withColumn("vec_id", col("vec_id") + 100000L)
       Similarity.cosineNearDupPairs(emb.unionByName(dupes), "vec_id", "embedding",
           threshold = 0.99, dim = 64, planes = 6)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SemDeDup-style semantic near-dup: deterministic k-means cells bound
+    // the pairwise cosine verify — unlike the seeded hyperplane buckets of
+    // x7, the WHOLE operator replays in SQL (cells, join, cosines), so the
+    // oracle checks the full semantics, not just an injected-pair contract.
+    "x54_semantic_neardup" -> ((s, dir) => {
+      reg(s, dir)
+      val emb = s.table("embeddings")
+      val dupes = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+      val centroids = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Similarity.semanticNearDupPairs(emb.unionByName(dupes), centroids,
+          "vec_id", "centroid_id", "embedding", threshold = 0.99)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
@@ -1981,6 +2024,30 @@ object SparkEntry {
       FROM embeddings WHERE vec_id % 7 = 0
       ORDER BY id_a, id_b""",
 
+    // full-semantics replay (the point of deterministic cells): rank-1
+    // centroid assignment, within-cell self-join, exact cosine folds
+    "x54_semantic_neardup" -> s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 7 = 0),
+      c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
+      assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${eucSql("e.embedding", "c.cv")} ASC, c.centroid_id ASC) AS rk
+          FROM corpus e, c) WHERE rk = 1),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${dotSql("a.embedding", "b.embedding")} /
+          (SQRT(${dotSql("a.embedding", "a.embedding")}) *
+           SQRT(${dotSql("b.embedding", "b.embedding")})) AS cosine
+        FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM pairs
+      WHERE cosine >= 0.99
+      ORDER BY id_a, id_b""",
+
     "x9_langid_fingerprint" -> s"""
       WITH t AS (
         SELECT doc_id, lang, text,
@@ -2684,6 +2751,49 @@ object SparkEntry {
         SELECT gram FROM wins GROUP BY gram
         HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= 100000),
       hits AS (SELECT DISTINCT w.doc_id, w.off FROM wins w JOIN rep USING (gram)),
+      grp AS (
+        SELECT doc_id, off,
+          off - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off) AS g
+        FROM hits),
+      ext AS (
+        SELECT doc_id, MIN(off) AS start_tok, MAX(off) + 8 AS end_tok,
+          COUNT(*) AS n_windows
+        FROM grp GROUP BY doc_id, g)
+      SELECT doc_id, CAST(start_tok AS BIGINT) AS start_tok,
+        CAST(end_tok AS BIGINT) AS end_tok,
+        CAST(end_tok - start_tok AS BIGINT) AS span_tokens,
+        CAST(n_windows AS BIGINT) AS n_windows
+      FROM ext
+      ORDER BY doc_id, start_tok""",
+
+    // same gram-string grouping trick as x52: the output carries only
+    // offsets, so the oracle joins on the 8-token gram itself where the
+    // engine semi-joins on its broadcast poly-hash set
+    "x53_passage_decontaminate" -> """
+      WITH bench AS (
+        SELECT doc_id, text || ' judge the model answer on this exact benchmark prompt please carefully' AS text
+        FROM documents WHERE doc_id % 13 = 0),
+      train AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 17 = 1
+               THEN text || ' judge the model answer on this exact benchmark prompt please carefully'
+               ELSE text END AS text
+        FROM documents WHERE doc_id % 13 <> 0),
+      btoks AS (SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM bench),
+      bwins AS (
+        SELECT DISTINCT
+          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+          t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS gram
+        FROM btoks, LATERAL (SELECT UNNEST(RANGE(1, LEN(t) - 6)) AS i)
+        WHERE LEN(t) >= 8),
+      ttoks AS (SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM train),
+      twins AS (
+        SELECT doc_id, i - 1 AS off,
+          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+          t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS gram
+        FROM ttoks, LATERAL (SELECT UNNEST(RANGE(1, LEN(t) - 6)) AS i)
+        WHERE LEN(t) >= 8),
+      hits AS (SELECT DISTINCT w.doc_id, w.off FROM twins w JOIN bwins USING (gram)),
       grp AS (
         SELECT doc_id, off,
           off - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off) AS g

@@ -442,7 +442,7 @@ object Dedup {
     * strings materialized. Docs shorter than the window emit nothing
     * (they cannot CONTAIN an L-token passage; whole-short-doc duplication
     * is [[exactByContent]]'s job). */
-  private def passageWindows(df: DataFrame, textCol: String, idCol: String,
+  private[x] def passageWindows(df: DataFrame, textCol: String, idCol: String,
       windowTokens: Int): DataFrame =
     df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
       .filter(size(col("__toks")) >= windowTokens)
@@ -506,8 +506,20 @@ object Dedup {
       .filter(col("__nd") >= minDocs && col("__occ") <= maxFreq)
       .select("__fp")
     val hits = wins.join(rep, Seq("__fp"), "left_semi")
+    val out = staging.stage(mergeWindowExtents(hits, idCol, windowTokens),
+      "repeated-passages")
+    wins.unpersist()
+    out
+  }
+
+  /** Merge a (idCol, off) window-hit frame into maximal per-doc extents
+    * via the islands trick (off − row_number is constant within a run of
+    * consecutive offsets). Shared by [[repeatedPassages]] and
+    * [[TextAnalysis.passageDecontaminate]]. */
+  private[x] def mergeWindowExtents(hits: DataFrame, idCol: String,
+      windowTokens: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("off").asc)
-    val out = staging.stage(hits
+    hits
       .select(col(idCol), col("off"))
       .withColumn("__grp", col("off") - row_number().over(w))
       .groupBy(col(idCol), col("__grp"))
@@ -515,10 +527,7 @@ object Dedup {
         (max("off") + windowTokens).as("end_tok"),
         count(lit(1)).as("n_windows"))
       .select(col(idCol), col("start_tok"), col("end_tok"),
-        (col("end_tok") - col("start_tok")).as("span_tokens"), col("n_windows")),
-      "repeated-passages")
-    wins.unpersist()
-    out
+        (col("end_tok") - col("start_tok")).as("span_tokens"), col("n_windows"))
   }
 
   /** MinHash-LSH near-dedup end-to-end: candidates → exact-Jaccard verify →

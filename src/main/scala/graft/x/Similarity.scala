@@ -146,6 +146,70 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Audit surface for [[semanticNearDupPairs]]' `maxCell` guard: the
+    * coarse cells whose occupancy exceeds the cap, hottest first — the
+    * degenerate-centroid / mass-duplicate case, same no-silent-cap
+    * contract as [[oversizedSignatureBuckets]]. */
+  def oversizedCells(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, centroidIdCol: String, vecCol: String, maxCell: Int
+  ): DataFrame =
+    assignToCentroids(corpus, centroids, idCol, centroidIdCol, vecCol)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCell)
+      .orderBy(col("n").desc)
+
+  /** SemDeDup-style semantic near-duplicate pairs: assign every vector to
+    * its nearest coarse centroid ([[assignToCentroids]] — k-means cells,
+    * refined via [[kmeansStep]]), then verify cosine ≥ `threshold` ONLY
+    * within each cell. This is the embedding-dedup recipe for the
+    * "same meaning, different words" class (translations, paraphrases,
+    * templated rewrites) that text shingles miss entirely.
+    *
+    * Versus [[cosineNearDupPairs]] (hyperplane LSH buckets): cells are
+    * DETERMINISTIC — no seeded hashing — so the whole operator replays in
+    * the SQL oracle, and cell geometry adapts to the corpus (centroids
+    * live where the data is) where random hyperplanes don't. The recall
+    * trade is the classic one: a pair straddling a cell boundary is
+    * missed (rank-1 assignment ≡ nprobe=1); raise k to shrink cells or
+    * run the LSH path when boundary recall matters more than
+    * replayability. Cost is Σ|cell|²/2 cosines — k tracks corpus size
+    * exactly as SemDeDup prescribes (their 100k clusters at web scale).
+    *
+    * `maxCell` (skew guard): a degenerate centroid set or a
+    * mass-duplicate class concentrates the corpus into ONE cell and
+    * re-creates the quadratic; cells over the cap drop from both join
+    * sides (bounding the join at maxCell²/2 per cell) and surface via
+    * [[oversizedCells]] — no silent cap. */
+  def semanticNearDupPairs(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, centroidIdCol: String, vecCol: String,
+      threshold: Double, maxCell: Int = 10000,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint
+  ): DataFrame = {
+    // staged: the assignment feeds the occupancy count AND both join sides
+    // — without truncation each consumer re-runs the broadcast-assign pass
+    val assigned = staging.stage(
+      assignToCentroids(corpus, centroids, idCol, centroidIdCol, vecCol)
+        .withColumn("__n", l2Norm(col(vecCol))) // norm once per vector
+        .select(col("cell"), col(idCol), col(vecCol), col("__n")),
+      "semantic-cells")
+    val hot = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__cn"))
+      .filter(col("__cn") > maxCell).select("cell")
+    val capped = assigned.join(broadcast(hot), Seq("cell"), "left_anti")
+    val a = capped.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = capped.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        when(col("__na") * col("__nb") === 0.0, lit(null).cast("double"))
+          .otherwise(dotProduct(col("__va"), col("__vb")) / (col("__na") * col("__nb"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest of
     * `centroids` (small broadcast frame (centroidId, vecCol)); search then
     * probes only the closest cell(s). This is the classic inverted-file

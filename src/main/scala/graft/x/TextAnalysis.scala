@@ -280,6 +280,35 @@ object TextAnalysis {
       .drop("__fp")
   }
 
+  /** Substring-level (passage) decontamination: the extents of every
+    * training-doc token span ≥ `windowTokens` long that appears VERBATIM
+    * in the benchmark set — the leak surface [[decontaminate]] (whole-doc
+    * fingerprints) and [[contaminationReport]] (gram counts) can't
+    * localize. A benchmark question quoted inside an otherwise-fine
+    * training doc should cost a SPAN, not the document: this emits
+    * `(idCol, start_tok, end_tok, span_tokens, n_windows)` per leak
+    * (0-based token offsets, `end_tok` exclusive — the regions a pipeline
+    * masks before pre-training), so whole-doc dropping becomes targeted
+    * surgery.
+    *
+    * Plan: benchmark windows (tiny by nature — eval suites) distinct into
+    * a broadcast set of 8-byte fingerprints; the training corpus explodes
+    * to one [[graft.functions.NGramPolyHash]] fingerprint per token
+    * position and semi-joins MAP-SIDE against the broadcast (no shuffle
+    * of the corpus — same shape as [[decontaminate]]); only the (small)
+    * leak hits shuffle once for the per-doc islands merge
+    * ([[graft.x.Dedup.mergeWindowExtents]]). A benchmark side too big to
+    * broadcast composes with the Bloom prefilter exactly like
+    * [[bloomDecontaminate]]. */
+  def passageDecontaminate(train: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, windowTokens: Int): DataFrame = {
+    val bfp = graft.x.Dedup.passageWindows(benchmark, textCol, idCol, windowTokens)
+      .select(col("__fp")).distinct()
+    val hits = graft.x.Dedup.passageWindows(train, textCol, idCol, windowTokens)
+      .join(broadcast(bfp), Seq("__fp"), "left_semi")
+    graft.x.Dedup.mergeWindowExtents(hits, idCol, windowTokens)
+  }
+
   /** Bloom-filter decontamination — same contract and EXACT same result as
     * [[decontaminate]], with the benchmark set carried as a Bloom filter
     * instead of an exact broadcast set. Why it exists: at 100 TB the

@@ -435,6 +435,62 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(f == PolyHash56.hash("only two"))
   }
 
+  test("passage decontamination localizes benchmark leaks to spans") {
+    // 11-token benchmark doc quoted verbatim inside a training doc after a
+    // 5-token prefix: the leak must surface as ONE extent of exactly the
+    // quote — [5, 16) — not as a dropped document
+    val quote = "what is the capital of france the answer is paris obviously"
+    val bench = Seq((100L, quote)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"some training text here today $quote and more"),
+      (2L, "completely unrelated training document with nothing quoted at all here"))
+      .toDF("doc_id", "text")
+    val ext = TextAnalysis.passageDecontaminate(train, bench, "text", "doc_id",
+      windowTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4))).toSet
+    assert(ext == Set((1L, 5, 16, 11, 4L)))
+    // window longer than every benchmark doc ⇒ no bench windows ⇒ no leaks
+    assert(TextAnalysis.passageDecontaminate(train, bench, "text", "doc_id",
+      windowTokens = 13).isEmpty)
+    // whole-doc decontamination (x23 semantics) would KEEP doc 1 entirely —
+    // its full-text fingerprint differs from the benchmark's — which is
+    // exactly the leak class this operator exists to catch
+    assert(TextAnalysis.decontaminate(train, bench, "text", "doc_id").count() == 2)
+  }
+
+  test("semantic near-dup via cells: full-semantics determinism, capped, auditable") {
+    val centroids = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    val dupes = emb.filter(pmod($"vec_id", lit(7)) === 0)
+      .withColumn("vec_id", $"vec_id" + 100000L)
+    val corpus = emb.unionByName(dupes)
+    val pairs = Similarity.semanticNearDupPairs(corpus, centroids,
+      "vec_id", "centroid_id", "embedding", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors assign to the identical cell (deterministic
+    // distances, centroid-id tie-break), so recall on exact dups is 1 and
+    // nothing organic reaches 0.99 on this fixture
+    val expected = emb.filter(pmod($"vec_id", lit(7)) === 0)
+      .select($"vec_id").as[Long].collect()
+      .map(id => (id, id + 100000L)).toSet
+    assert(pairs == expected)
+    // mass-duplicate cell: 40 copies of one constant vector concentrate in
+    // ONE cell; the cap drops that cell wholesale and the audit reports it
+    val flood = (1000L to 1039L).map(i => (i, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val flooded = corpus.select($"vec_id", $"embedding").unionByName(flood)
+    val capped = Similarity.semanticNearDupPairs(flooded, centroids,
+      "vec_id", "centroid_id", "embedding", threshold = 0.99, maxCell = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.forall { case (a, b) => a < 1000L && (b < 1000L || b >= 100000L) },
+      "the flood cell is dropped wholesale")
+    assert(capped.nonEmpty && capped.subsetOf(expected))
+    val over = Similarity.oversizedCells(flooded, centroids,
+      "vec_id", "centroid_id", "embedding", maxCell = 80).collect()
+    assert(over.length >= 1 && over.exists(_.getLong(1) >= 40L))
+  }
+
   test("bloom decontamination equals exact decontamination") {
     val bench = docs.filter(col("doc_id") % 13 === 0)
     val exact = TextAnalysis.decontaminate(docs, bench, "text", "doc_id")
