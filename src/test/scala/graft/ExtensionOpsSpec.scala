@@ -435,6 +435,42 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(f == PolyHash56.hash("only two"))
   }
 
+  test("repeatedPassages matches a brute-force reference on random corpora") {
+    // tiny vocabulary ⇒ dense organic repeats ⇒ the islands merge sees
+    // single-window hits, adjacent-run merges, and multi-extent docs far
+    // beyond what the curated fixtures produce
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val L = 3
+    (0 until 3).foreach { trial =>
+      val corpus = (0 until 30).map(i => (i.toLong,
+        (0 until (L + rnd.nextInt(30))).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      val wins = corpus.flatMap { case (id, text) =>
+        val t = text.trim.split("\\s+")
+        if (t.length >= L)
+          (0 to t.length - L).map(o => (t.slice(o, o + L).mkString(" "), id, o))
+        else Nil
+      }
+      val repeated = wins.groupBy(_._1)
+        .filter { case (_, occ) => occ.map(_._2).distinct.size >= 2 }
+        .values.flatten
+      val expected = repeated.groupBy(_._2).flatMap { case (id, occ) =>
+        val offs = occ.map(_._3).toSeq.distinct.sorted
+        val runs = offs.foldLeft(List.empty[List[Int]]) {
+          case (run :: rest, o) if run.head == o - 1 => (o :: run) :: rest
+          case (acc, o) => List(o) :: acc
+        }
+        runs.map(g => (id, g.min, g.max + L, g.max + L - g.min, g.size.toLong))
+      }.toSet
+      val actual = Dedup.repeatedPassages(corpus.toDF("doc_id", "text"),
+        "text", "doc_id", windowTokens = L).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getLong(4))).toSet
+      assert(actual == expected, s"trial $trial diverged from brute force")
+    }
+  }
+
   test("passage decontamination localizes benchmark leaks to spans") {
     // 11-token benchmark doc quoted verbatim inside a training doc after a
     // 5-token prefix: the leak must surface as ONE extent of exactly the
