@@ -169,45 +169,78 @@ object Similarity {
     * Versus [[cosineNearDupPairs]] (hyperplane LSH buckets): cells are
     * DETERMINISTIC — no seeded hashing — so the whole operator replays in
     * the SQL oracle, and cell geometry adapts to the corpus (centroids
-    * live where the data is) where random hyperplanes don't. The recall
-    * trade is the classic one: a pair straddling a cell boundary is
-    * missed (rank-1 assignment ≡ nprobe=1); raise k to shrink cells or
-    * run the LSH path when boundary recall matters more than
-    * replayability. Cost is Σ|cell|²/2 cosines — k tracks corpus size
-    * exactly as SemDeDup prescribes (their 100k clusters at web scale).
+    * live where the data is) where random hyperplanes don't. Cost is
+    * Σ|cell|²/2 cosines — k tracks corpus size exactly as SemDeDup
+    * prescribes (their 100k clusters at web scale).
+    *
+    * `nprobe` (boundary recall): at 1, a pair straddling a cell boundary
+    * is missed — the classic coarse-quantizer trade. At n, the PROBE side
+    * of the join additionally carries each vector's n nearest cells while
+    * the home side stays rank-1 (the [[lshTopK]] multi-probe shape: the
+    * fan-out multiplies one side by n, never the join output), so a
+    * boundary pair is found whenever either member's probe set reaches
+    * the other's home cell; matches through several shared cells
+    * normalize and dedup. Verification stays exact either way — nprobe
+    * widens which candidates get VERIFIED, not what passes.
     *
     * `maxCell` (skew guard): a degenerate centroid set or a
     * mass-duplicate class concentrates the corpus into ONE cell and
-    * re-creates the quadratic; cells over the cap drop from both join
-    * sides (bounding the join at maxCell²/2 per cell) and surface via
+    * re-creates the quadratic; cells over the cap (HOME occupancy — the
+    * physical-layout notion) drop from both join sides (bounding the
+    * join at nprobe·maxCell²/2 per cell) and surface via
     * [[oversizedCells]] — no silent cap. */
   def semanticNearDupPairs(
       corpus: DataFrame, centroids: DataFrame,
       idCol: String, centroidIdCol: String, vecCol: String,
-      threshold: Double, maxCell: Int = 10000,
+      threshold: Double, maxCell: Int = 10000, nprobe: Int = 1,
       staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint
   ): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val c = centroids.select(col(centroidIdCol), col(vecCol).as("__cv"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__d").asc, col(centroidIdCol).asc)
     // staged: the assignment feeds the occupancy count AND both join sides
     // — without truncation each consumer re-runs the broadcast-assign pass
     val assigned = staging.stage(
-      assignToCentroids(corpus, centroids, idCol, centroidIdCol, vecCol)
+      corpus.select(col(idCol), col(vecCol))
+        .crossJoin(broadcast(c))
+        .withColumn("__d", euclideanDistance(col(vecCol), col("__cv")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= nprobe)
         .withColumn("__n", l2Norm(col(vecCol))) // norm once per vector
-        .select(col("cell"), col(idCol), col(vecCol), col("__n")),
+        .select(col(centroidIdCol).as("cell"), col(idCol), col(vecCol),
+          col("__n"), col("__rk")),
       "semantic-cells")
-    val hot = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__cn"))
+    val home = assigned.filter(col("__rk") === 1)
+    val hot = home.groupBy(col("cell")).agg(count(lit(1)).as("__cn"))
       .filter(col("__cn") > maxCell).select("cell")
-    val capped = assigned.join(broadcast(hot), Seq("cell"), "left_anti")
-    val a = capped.select(col("cell"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"), col("__n").as("__na"))
-    val b = capped.select(col("cell"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"), col("__n").as("__nb"))
-    a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
+    val a = assigned.join(broadcast(hot), Seq("cell"), "left_anti")
+      .select(col("cell"), col(idCol).as("id_a"),
+        col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = home.join(broadcast(hot), Seq("cell"), "left_anti")
+      .select(col("cell"), col(idCol).as("id_b"),
+        col(vecCol).as("__vb"), col("__n").as("__nb"))
+    val joined = a.join(b, Seq("cell"))
+    val scored =
+      (if (nprobe == 1)
+        // probe set == home cell: each unordered pair meets exactly once
+        // under id_a < id_b — no normalization or dedup pass needed
+        joined.filter(col("id_a") < col("id_b"))
+      else
+        // a pair can meet through either ordering and several shared
+        // cells: normalize the orientation and dedup (cosine is computed
+        // from the same two vectors every time — bit-identical, so
+        // distinct collapses the copies exactly)
+        joined.filter(col("id_a") =!= col("id_b")))
       .withColumn("cosine",
         when(col("__na") * col("__nb") === 0.0, lit(null).cast("double"))
           .otherwise(dotProduct(col("__va"), col("__vb")) / (col("__na") * col("__nb"))))
       .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+    if (nprobe == 1) scored.select("id_a", "id_b", "cosine")
+    else scored
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))
+      .distinct()
   }
 
   /** IVF-style coarse quantization: assign every vector to its nearest of

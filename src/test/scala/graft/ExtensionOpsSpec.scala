@@ -525,6 +525,21 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val over = Similarity.oversizedCells(flooded, centroids,
       "vec_id", "centroid_id", "embedding", maxCell = 80).collect()
     assert(over.length >= 1 && over.exists(_.getLong(1) >= 40L))
+    // boundary recall: probing each vector's 2 nearest cells widens the
+    // candidate set (superset law), verification stays exact, and matches
+    // through several shared cells collapse to one row
+    val multi = Similarity.semanticNearDupPairs(corpus, centroids,
+      "vec_id", "centroid_id", "embedding", threshold = 0.2, nprobe = 2)
+    val single = Similarity.semanticNearDupPairs(corpus, centroids,
+      "vec_id", "centroid_id", "embedding", threshold = 0.2)
+    val mset = multi.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sset = single.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sset.subsetOf(mset))
+    assert(mset.size > sset.size,
+      s"nprobe=2 should recover boundary pairs: ${mset.size} vs ${sset.size}")
+    assert(multi.count() == multi.distinct().count(), "no pair double-counted")
   }
 
   test("bloom decontamination equals exact decontamination") {

@@ -138,6 +138,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted.contains(1L) ^ admitted.contains(3L))
   }
 
+  test("streaming passage decontamination masks benchmark leaks per micro-batch") {
+    import spark.implicits._
+    // the decontamination benchmark set is STATIC (eval suites change
+    // rarely), so the streaming composition is passageDecontaminate inside
+    // foreachBatch against the same benchmark frame — each arriving crawl
+    // slice gets its leak extents localized without global state
+    val in = Files.createTempDirectory("graft-pdecon-in").toString
+    val out = Files.createTempDirectory("graft-pdecon-out").toString
+    val quote = "name every planet of the solar system in order from the sun"
+    val bench = Seq((100L, quote)).toDF("doc_id", "text")
+    Seq((1L, s"intro words here $quote closing words"),
+        (2L, "clean document with original content and nothing quoted anywhere"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Seq((3L, s"$quote right at the start this time"),
+        (4L, "another clean one entirely"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamingJobs.fileStream(spark, in, schema, maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ext = graft.x.TextAnalysis.passageDecontaminate(
+          batch, bench, "text", "doc_id", windowTokens = 8)
+        if (!ext.isEmpty) ext.write.mode("append").parquet(s"$out/extents")
+      }
+      .start()
+    q.awaitTermination(); q.stop()
+    val ext = spark.read.parquet(s"$out/extents")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // quote = 12 tokens: doc 1 leaks at [3, 15) (3-token prefix), doc 3 at
+    // [0, 12); clean docs emit nothing
+    assert(ext == Set((1L, 3, 15), (3L, 0, 12)))
+  }
+
   test("stream-stream interval join matches the equivalent batch join") {
     val batchDf = spark.read.parquet(eventsDir)
     // left: purchases; right: views by the same user within the 5 minutes
