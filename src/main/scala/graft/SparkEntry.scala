@@ -649,15 +649,7 @@ object SparkEntry {
     // 8-gram overlaps with benchmark texts, replayed identically).
     "x53_passage_decontaminate" -> ((s, dir) => {
       reg(s, dir)
-      val docs = s.table("documents")
-      val canary =
-        " judge the model answer on this exact benchmark prompt please carefully"
-      val bench = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
-        .select(col("doc_id"), concat(col("text"), lit(canary)).as("text"))
-      val train = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
-        .select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(17)) === 1, concat(col("text"), lit(canary)))
-            .otherwise(col("text")).as("text"))
+      val (train, bench) = passageLeakFixture(s)
       TextAnalysis.passageDecontaminate(train, bench, "text", "doc_id",
           windowTokens = 8)
         .select(col("doc_id"), col("start_tok").cast("long").as("start_tok"),
@@ -665,6 +657,19 @@ object SparkEntry {
           col("span_tokens").cast("long").as("span_tokens"),
           col("n_windows").cast("long").as("n_windows"))
         .orderBy("doc_id", "start_tok")
+    }),
+
+    // The surgery step on x53's extents: leaks are CUT, not dropped with
+    // their documents — masked docs rebuild from surviving tokens, clean
+    // docs pass through byte-identical.
+    "x55_mask_spans" -> ((s, dir) => {
+      reg(s, dir)
+      val (train, bench) = passageLeakFixture(s)
+      val ext = TextAnalysis.passageDecontaminate(train, bench, "text",
+        "doc_id", windowTokens = 8)
+      TextAnalysis.maskSpans(train, ext, "text", "doc_id")
+        .select(col("doc_id"), col("masked"))
+        .orderBy("doc_id")
     }),
 
     // Oracle = the exact n-gram-Jaccard pairs (same SQL as x2): the LSH
@@ -1485,6 +1490,57 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     })
   )
+
+  /** Shared x53/x55 oracle CTE chain: the leak fixture, benchmark/train
+    * window grams, and the merged leak extents (`ext`), with `train` and
+    * `ttoks` left in scope for x55's rebuild. */
+  private val passageLeakCtes: String = """bench AS (
+        SELECT doc_id, text || ' judge the model answer on this exact benchmark prompt please carefully' AS text
+        FROM documents WHERE doc_id % 13 = 0),
+      train AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 17 = 1
+               THEN text || ' judge the model answer on this exact benchmark prompt please carefully'
+               ELSE text END AS text
+        FROM documents WHERE doc_id % 13 <> 0),
+      btoks AS (SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM bench),
+      bwins AS (
+        SELECT DISTINCT
+          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+          t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS gram
+        FROM btoks, LATERAL (SELECT UNNEST(RANGE(1, LEN(t) - 6)) AS i)
+        WHERE LEN(t) >= 8),
+      ttoks AS (SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM train),
+      twins AS (
+        SELECT doc_id, i - 1 AS off,
+          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+          t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS gram
+        FROM ttoks, LATERAL (SELECT UNNEST(RANGE(1, LEN(t) - 6)) AS i)
+        WHERE LEN(t) >= 8),
+      hits AS (SELECT DISTINCT w.doc_id, w.off FROM twins w JOIN bwins USING (gram)),
+      grp AS (
+        SELECT doc_id, off,
+          off - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off) AS g
+        FROM hits),
+      ext AS (
+        SELECT doc_id, MIN(off) AS start_tok, MAX(off) + 8 AS end_tok,
+          COUNT(*) AS n_windows
+        FROM grp GROUP BY doc_id, g)"""
+
+  /** Shared x53/x55 fixture: benchmark docs carry an 11-token canary
+    * passage; marked training docs quote it verbatim. */
+  private def passageLeakFixture(s: SparkSession): (DataFrame, DataFrame) = {
+    val docs = s.table("documents")
+    val canary =
+      " judge the model answer on this exact benchmark prompt please carefully"
+    val bench = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .select(col("doc_id"), concat(col("text"), lit(canary)).as("text"))
+    val train = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(17)) === 1, concat(col("text"), lit(canary)))
+          .otherwise(col("text")).as("text"))
+    (train, bench)
+  }
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -2769,45 +2825,36 @@ object SparkEntry {
     // same gram-string grouping trick as x52: the output carries only
     // offsets, so the oracle joins on the 8-token gram itself where the
     // engine semi-joins on its broadcast poly-hash set
-    "x53_passage_decontaminate" -> """
-      WITH bench AS (
-        SELECT doc_id, text || ' judge the model answer on this exact benchmark prompt please carefully' AS text
-        FROM documents WHERE doc_id % 13 = 0),
-      train AS (
-        SELECT doc_id,
-          CASE WHEN doc_id % 17 = 1
-               THEN text || ' judge the model answer on this exact benchmark prompt please carefully'
-               ELSE text END AS text
-        FROM documents WHERE doc_id % 13 <> 0),
-      btoks AS (SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM bench),
-      bwins AS (
-        SELECT DISTINCT
-          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
-          t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS gram
-        FROM btoks, LATERAL (SELECT UNNEST(RANGE(1, LEN(t) - 6)) AS i)
-        WHERE LEN(t) >= 8),
-      ttoks AS (SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM train),
-      twins AS (
-        SELECT doc_id, i - 1 AS off,
-          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
-          t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS gram
-        FROM ttoks, LATERAL (SELECT UNNEST(RANGE(1, LEN(t) - 6)) AS i)
-        WHERE LEN(t) >= 8),
-      hits AS (SELECT DISTINCT w.doc_id, w.off FROM twins w JOIN bwins USING (gram)),
-      grp AS (
-        SELECT doc_id, off,
-          off - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off) AS g
-        FROM hits),
-      ext AS (
-        SELECT doc_id, MIN(off) AS start_tok, MAX(off) + 8 AS end_tok,
-          COUNT(*) AS n_windows
-        FROM grp GROUP BY doc_id, g)
+    "x53_passage_decontaminate" -> s"""
+      WITH $passageLeakCtes
       SELECT doc_id, CAST(start_tok AS BIGINT) AS start_tok,
         CAST(end_tok AS BIGINT) AS end_tok,
         CAST(end_tok - start_tok AS BIGINT) AS span_tokens,
         CAST(n_windows AS BIGINT) AS n_windows
       FROM ext
       ORDER BY doc_id, start_tok""",
+
+    // x53's extents applied: positions inside any [start, end) span drop,
+    // survivors STRING_AGG back in order; docs with no extents keep their
+    // original text byte-identically
+    "x55_mask_spans" -> s"""
+      WITH $passageLeakCtes,
+      pos AS (
+        SELECT doc_id, i, t[i] AS tok
+        FROM ttoks, LATERAL (SELECT UNNEST(RANGE(1, LEN(t) + 1)) AS i)),
+      keep AS (
+        SELECT p.doc_id, p.i, p.tok FROM pos p
+        WHERE NOT EXISTS (SELECT 1 FROM ext e
+          WHERE e.doc_id = p.doc_id
+            AND p.i - 1 >= e.start_tok AND p.i - 1 < e.end_tok)),
+      rebuilt AS (
+        SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY i) AS m
+        FROM keep GROUP BY doc_id)
+      SELECT t.doc_id,
+        CASE WHEN t.doc_id IN (SELECT doc_id FROM ext)
+             THEN COALESCE(r.m, '') ELSE t.text END AS masked
+      FROM train t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+      ORDER BY t.doc_id""",
 
     // IVF-PQ composed oracle: the assigned/qcells CTEs are x15's coarse
     // quantizer, enc/qt/adc are x31's PQ encode + decimal ADC; the join

@@ -309,6 +309,35 @@ object TextAnalysis {
     graft.x.Dedup.mergeWindowExtents(hits, idCol, windowTokens)
   }
 
+  /** Apply masking extents to documents: drop every token inside a
+    * `[start_tok, end_tok)` span of `extents` (the
+    * [[passageDecontaminate]] / [[graft.x.Dedup.repeatedPassages]] output
+    * shape) — the surgery step that turns localized leaks and boilerplate
+    * into clean training text. Documents WITHOUT extents pass through
+    * byte-identical; masked documents are rebuilt from their surviving
+    * tokens (single-space joined — the tokenization the extents were
+    * computed against).
+    *
+    * Plan: extents collect per doc into a (tiny-per-doc) span array and
+    * join on the doc id — no hint, so Catalyst broadcasts when the leak
+    * set is small (the decontamination case) and shuffle-joins when a
+    * boilerplate-heavy corpus puts extents in most docs. The rebuild is a
+    * codegen'd `filter((tok, i) => !exists(spans, …))` over the token
+    * array — no explode of the corpus. */
+  def maskSpans(df: DataFrame, extents: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val spans = extents.groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__spans"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("masked",
+        when(col("__spans").isNull, col(textCol)).otherwise(
+          concat_ws(" ", filter(split(trim(col(textCol)), "\\s+"), (t, i) =>
+            !exists(col("__spans"), s =>
+              i >= s.getField("start_tok").cast("int") &&
+                i < s.getField("end_tok").cast("int"))))))
+      .drop("__spans")
+  }
+
   /** Bloom-filter decontamination — same contract and EXACT same result as
     * [[decontaminate]], with the benchmark set carried as a Bloom filter
     * instead of an exact broadcast set. Why it exists: at 100 TB the

@@ -542,6 +542,29 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(multi.count() == multi.distinct().count(), "no pair double-counted")
   }
 
+  test("maskSpans cuts extents; decontaminate-then-mask leaves no leaks") {
+    val quote = "name every planet of the solar system in order from the sun"
+    val bench = Seq((100L, quote)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"intro words here $quote closing words"),
+      (2L, "untouched   doc   with   odd    spacing"),
+      (3L, quote)).toDF("doc_id", "text")
+    val ext = TextAnalysis.passageDecontaminate(train, bench, "text", "doc_id",
+      windowTokens = 8)
+    val maskedDf = TextAnalysis.maskSpans(train, ext, "text", "doc_id")
+    val masked = maskedDf.select("doc_id", "masked").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(masked(1L) == "intro words here closing words")
+    // no extents ⇒ byte-identical pass-through, odd whitespace preserved
+    assert(masked(2L) == "untouched   doc   with   odd    spacing")
+    assert(masked(3L) == "") // fully-leaked doc masks to empty
+    // closure: after surgery, a second decontamination pass finds nothing
+    val again = TextAnalysis.passageDecontaminate(
+      maskedDf.select(col("doc_id"), col("masked").as("text")),
+      bench, "text", "doc_id", windowTokens = 8)
+    assert(again.isEmpty)
+  }
+
   test("bloom decontamination equals exact decontamination") {
     val bench = docs.filter(col("doc_id") % 13 === 0)
     val exact = TextAnalysis.decontaminate(docs, bench, "text", "doc_id")
