@@ -270,6 +270,65 @@ object ScaleProbe {
       }
     }
 
+    // semantic-cells probe: corpus inflates over a FIXED centroid set —
+    // cell sizes grow linearly, so the within-cell verify grows ~n²/k per
+    // cell. Like the fixed-planes ANN probe above, this measures the
+    // design rule the operator documents: k must TRACK corpus size
+    // (SemDeDup's 100k clusters at web scale), it is not a free constant.
+    Seq(1, 2, 4).foreach { k =>
+      // per-copy sign-flip decorrelation + ~100 sentinel exact dups — the
+      // same constant-density recipe as the [scale-ann] probe (identical
+      // copies would make the pair count itself quadratic by construction)
+      val base = (0 until k).map { i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L))
+          .withColumn("embedding",
+            if (i == 0) col("embedding")
+            else expr(s"transform(embedding, (x, j) -> " +
+              s"float(x * (case when pmod(hash(j, $i), 2) = 0 then 1.0 else -1.0 end)))"))
+      }.reduce(_ unionByName _)
+      val sentinels = emb.filter(col("vec_id") < 100)
+        .withColumn("vec_id", col("vec_id") + 90000000L)
+      val inflated = base.unionByName(sentinels)
+        .repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val centroids = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      val pairs = graft.x.Similarity.semanticNearDupPairs(inflated, centroids,
+        "vec_id", "centroid_id", "embedding", threshold = 0.99,
+        maxCell = Int.MaxValue).count()
+      println(f"[scale-semantic] vecs=$n%6d cells=10  " +
+        f"neardup=${(System.nanoTime() - t0) / 1e9}%6.2fs  pairs=$pairs")
+      spark.catalog.clearCache()
+    }
+
+    // video-dedup probe: the video corpus inflates (per-copy token
+    // suffixes decorrelate frame features), frame grid fixed. What this
+    // probe MEASURES is the 16-bit hash contract's ceiling: organic
+    // collisions per aligned frame grow ~n²/2^B (birthday bound), so at
+    // ~10⁴+ videos the stub's 16-bit space saturates and the pair count
+    // goes quadratic — the documented design rule is B ≥ 2·log₂(n)
+    // (production featurizers are 512-dim: a 64-bit fold has headroom to
+    // ~10⁹ videos, exactly like the text simhash).
+    Seq(1, 4, 16).foreach { k =>
+      // every token gets a per-copy suffix: payload bytes shift everywhere,
+      // so frame features decorrelate across copies and near-dup DENSITY
+      // stays constant as the corpus grows (a trailing-byte-only change
+      // would leave all copies mutual near-dups — quadratic pairs)
+      val inflated = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 3000000L))
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1v" + i)))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val media = graft.x.Multimodal.synthesizeFromText(inflated, "doc_id", "text")
+      val n = media.filter(col("meta.kind") === "video").count()
+      val t0 = System.nanoTime()
+      val pairs = graft.x.Multimodal.videoNearDupPairs(spark, media,
+        everyMs = 10000, maxHamming = 2, minMatchFrac = 0.5).count()
+      println(f"[scale-video] videos=$n%7d  " +
+        f"video_neardup=${(System.nanoTime() - t0) / 1e9}%6.2fs  pairs=$pairs")
+      spark.catalog.clearCache()
+    }
+
     // passage-dedup probe: corpus inflates with constant repeated-passage
     // DENSITY (every 10th doc carries the same 9-token boilerplate tail, so
     // the repeated class grows WITH the corpus). The shape claim under

@@ -220,7 +220,15 @@ object Multimodal {
     * (small) matched-pair aggregate WITHOUT a broadcast hint: the count
     * frame is linear in corpus videos, so it must stay a shuffle join.
     * `match_frac = n_matched / min(frames_a, frames_b)` is one IEEE
-    * division of two exact longs — oracle-replayable. */
+    * division of two exact longs — oracle-replayable.
+    *
+    * Hash-width design rule (measured in ScaleProbe): organic collisions
+    * per aligned frame grow ~n²/2^B for a B-bit hash, so B must be at
+    * least 2·log₂(corpus videos). The STUB featurizer yields 16 usable
+    * bits ([[perceptualHash]]'s contract) — saturated by ~10⁴ videos; a
+    * production 512-dim featurizer feeds a 64-bit fold (swap the slice
+    * width and the pigeonhole total together), with headroom to ~10⁹,
+    * exactly like the 64-bit text simhash. */
   def videoNearDupPairs(spark: SparkSession, media: DataFrame, everyMs: Long,
       maxHamming: Int = 2, minMatchFrac: Double = 0.5, maxBucket: Int = 10000,
       staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
