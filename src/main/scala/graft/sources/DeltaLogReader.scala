@@ -1,0 +1,211 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Reader for REAL Delta Lake tables — no delta-spark dependency.
+  *
+  * The Delta transaction log is a public, documented format (the Delta
+  * Transaction Log Protocol): `_delta_log/%020d.json` commits of
+  * newline-delimited actions (`protocol`, `metaData`, `add`, `remove`),
+  * optionally compacted into `%020d.checkpoint.parquet` files referenced
+  * by `_delta_log/_last_checkpoint`. A reader reconstructs a snapshot by
+  * taking the newest checkpoint at-or-below the requested version and
+  * replaying the JSON commits after it: live files = adds minus removes.
+  * This module implements exactly that reconstruction, which closes the
+  * S9 gap the offline build left (`VersionedParquet` reproduces delta
+  * SEMANTICS for tables this engine writes, but could not open a table an
+  * existing Delta deployment hands it).
+  *
+  * Supported: reader protocol 1 and 2 (without column mapping), simple
+  * single-part checkpoints, time travel by version, partitioned tables
+  * (partition columns rebuilt from `add.partitionValues` and cast to the
+  * table schema's types — the SPEC's source of truth, so non-hive file
+  * layouts read correctly too). Unsupported features fail LOUDLY, never
+  * silently mis-read: column mapping, deletion vectors, reader protocol
+  * ≥ 3 with unknown reader features, multi-part checkpoints.
+  *
+  * Writing stays on [[VersionedParquet]]: emitting a protocol-correct
+  * Delta log (writer features, checkpoint cadence, stats) is a much
+  * larger contract than reading one, and the reference's pipelines
+  * CONSUME existing tables far more often than they must produce logs
+  * a foreign Delta reader opens. */
+object DeltaLogReader {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** A directory is a Delta table when its transaction log has at least
+    * one commit or checkpoint. */
+  def isDeltaTable(path: String): Boolean = {
+    val log = Paths.get(path, "_delta_log")
+    Files.isDirectory(log) && graft.util.Fs.list(log).exists { p =>
+      val n = p.getFileName.toString
+      n.matches("\\d{20}\\.json") || n.matches("\\d{20}\\.checkpoint\\.parquet")
+    }
+  }
+
+  private final case class AddFile(path: String, partitionValues: Map[String, Option[String]])
+  private final case class State(
+      var minReaderVersion: Int = 1,
+      var readerFeatures: Set[String] = Set.empty,
+      var schemaJson: Option[String] = None,
+      var partitionColumns: Seq[String] = Nil,
+      var configuration: Map[String, String] = Map.empty,
+      files: scala.collection.mutable.LinkedHashMap[String, AddFile] =
+        scala.collection.mutable.LinkedHashMap.empty)
+
+  /** Snapshot read of a Delta table; `version = None` reads the latest
+    * commit, `Some(v)` time-travels. */
+  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+    val log = Paths.get(path, "_delta_log")
+    val entries = graft.util.Fs.list(log).map(_.getFileName.toString)
+    require(entries.exists(n => n.matches("\\d{20}\\.json") ||
+      n.matches("\\d{20}\\.checkpoint\\.parquet")), s"no Delta log under $path")
+    entries.filter(_.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+      .foreach(n => sys.error(s"multi-part Delta checkpoint $n not supported"))
+    val commits = entries.filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong).sorted
+    val checkpoints = entries.filter(_.matches("\\d{20}\\.checkpoint\\.parquet"))
+      .map(_.stripSuffix(".checkpoint.parquet").toLong).sorted
+    val latest = (commits ++ checkpoints).max
+    val target = version.getOrElse(latest)
+    require(commits.contains(target) || checkpoints.contains(target),
+      s"version $target not in Delta log (commits ${commits.headOption.getOrElse("-")}..$latest)")
+
+    val state = new State()
+    val cp = checkpoints.filter(_ <= target).lastOption
+    cp.foreach(v => applyCheckpoint(spark, state,
+      log.resolve(f"$v%020d.checkpoint.parquet").toString))
+    commits.filter(v => v > cp.getOrElse(-1L) && v <= target).foreach { v =>
+      Files.readAllLines(log.resolve(f"$v%020d.json")).asScala
+        .filter(_.trim.nonEmpty).foreach(line => applyAction(state, mapper.readTree(line)))
+    }
+    guardProtocol(state, path)
+
+    val schema = state.schemaJson
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+      .getOrElse(sys.error(s"Delta log under $path has no metaData action"))
+    val adds = state.files.values.toSeq
+    if (adds.isEmpty) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+    def resolve(p: String): String = {
+      val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+      if (decoded.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || decoded.startsWith("/")) decoded
+      else s"$path/$decoded"
+    }
+    if (state.partitionColumns.isEmpty)
+      spark.read.parquet(adds.map(a => resolve(a.path)): _*)
+    else {
+      // partition columns are NOT in the data files: rebuild them from
+      // add.partitionValues (the spec's source of truth — independent of
+      // any hive-style directory layout) and cast to the schema's types
+      val pTypes = state.partitionColumns.map(c =>
+        c -> schema.fields.find(_.name == c).map(_.dataType).getOrElse(StringType))
+      adds.groupBy(_.partitionValues).map { case (pv, group) =>
+        pTypes.foldLeft(spark.read.parquet(group.map(a => resolve(a.path)): _*)) {
+          case (df, (c, t)) =>
+            df.withColumn(c, lit(pv.get(c).flatten.orNull).cast(t))
+        }
+      }.reduce(_ unionByName _).select(schema.fieldNames.map(col).toSeq: _*)
+    }
+  }
+
+  private def applyCheckpoint(spark: SparkSession, state: State, file: String): Unit = {
+    val cp = spark.read.parquet(file)
+    val cols = cp.schema.fieldNames.toSet
+    if (cols.contains("protocol"))
+      cp.filter(col("protocol").isNotNull).select("protocol.*").collect()
+        .foreach { r =>
+          state.minReaderVersion = r.getAs[Any]("minReaderVersion") match {
+            case null => 1; case i: Int => i; case l: Long => l.toInt
+          }
+          if (r.schema.fieldNames.contains("readerFeatures"))
+            state.readerFeatures = Option(r.getAs[scala.collection.Seq[String]]("readerFeatures"))
+              .map(_.toSet).getOrElse(Set.empty)
+        }
+    if (cols.contains("metaData")) {
+      val md = cp.filter(col("metaData").isNotNull).select("metaData.*")
+      md.collect().foreach { r =>
+        state.schemaJson = Option(r.getAs[String]("schemaString"))
+        state.partitionColumns =
+          Option(r.getAs[scala.collection.Seq[String]]("partitionColumns"))
+            .map(_.toSeq).getOrElse(Nil)
+        if (r.schema.fieldNames.contains("configuration"))
+          state.configuration = Option(r.getAs[Map[String, String]]("configuration"))
+            .getOrElse(Map.empty)
+      }
+    }
+    if (cols.contains("add")) {
+      val addFields = cp.select("add.*").schema.fieldNames.toSet
+      require(!addFields.contains("deletionVector") ||
+        cp.filter(col("add.deletionVector").isNotNull).isEmpty,
+        "Delta deletion vectors not supported")
+      cp.filter(col("add").isNotNull)
+        .select(col("add.path"), col("add.partitionValues"))
+        .collect().foreach { r =>
+          val pv = Option(r.getAs[Map[String, String]](1)).getOrElse(Map.empty)
+          state.files(r.getString(0)) =
+            AddFile(r.getString(0), pv.map { case (k, v) => k -> Option(v) })
+        }
+    }
+  }
+
+  private def applyAction(state: State, node: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    if (node.has("protocol")) {
+      val p = node.get("protocol")
+      state.minReaderVersion = p.path("minReaderVersion").asInt(1)
+      state.readerFeatures =
+        if (p.has("readerFeatures"))
+          p.get("readerFeatures").elements().asScala.map(_.asText()).toSet
+        else Set.empty
+    }
+    if (node.has("metaData")) {
+      val m = node.get("metaData")
+      state.schemaJson = Option(m.path("schemaString").asText(null))
+      state.partitionColumns =
+        if (m.has("partitionColumns"))
+          m.get("partitionColumns").elements().asScala.map(_.asText()).toSeq
+        else Nil
+      state.configuration =
+        if (m.has("configuration"))
+          m.get("configuration").properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        else Map.empty
+    }
+    if (node.has("add")) {
+      val a = node.get("add")
+      require(!a.has("deletionVector") || a.get("deletionVector").isNull,
+        "Delta deletion vectors not supported")
+      val p = a.get("path").asText()
+      val pv =
+        if (a.has("partitionValues"))
+          a.get("partitionValues").properties().asScala
+            .map(e => e.getKey ->
+              (if (e.getValue.isNull) None else Some(e.getValue.asText()))).toMap
+        else Map.empty[String, Option[String]]
+      state.files(p) = AddFile(p, pv)
+    }
+    if (node.has("remove")) {
+      state.files.remove(node.get("remove").get("path").asText()); ()
+    }
+  }
+
+  /** Refuse, loudly, anything this reader cannot faithfully interpret. */
+  private def guardProtocol(state: State, path: String): Unit = {
+    val knownReaderFeatures = Set("timestampNtz") // spec features that need no reader work here
+    if (state.minReaderVersion >= 3) {
+      val unknown = state.readerFeatures -- knownReaderFeatures
+      require(unknown.isEmpty,
+        s"Delta table $path requires reader features ${unknown.mkString(", ")} — not supported")
+    }
+    require(state.minReaderVersion <= 3,
+      s"Delta table $path requires reader protocol ${state.minReaderVersion} — not supported")
+    val cm = state.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cm == "none" || cm == "",
+      s"Delta table $path uses column mapping '$cm' — not supported")
+  }
+}

@@ -49,12 +49,23 @@ object SourceReader {
         withTarget.options(in.options).load()
       case "sql" => // additional-input SQL over already-registered views (spark.json:36-38)
         spark.sql(in.sql.getOrElse(sys.error(s"sql input ${in.dataFrameName} needs sql")))
-      case "deltalake" | "delta" => // S9: versioned-parquet substitute (offline build)
-        // incremental consumption: changesSince=<v> binds the CDF rows
-        // committed after version v (insert/delete + _commit_version)
-        // instead of a snapshot — the input an incremental pipeline step
-        // declares to avoid re-reading the accumulated table
-        in.options.get("changesSince") match {
+      case "deltalake" | "delta" => // S9: real Delta log reader, or the versioned-parquet twin
+        // A REAL Delta table (written by an existing deployment) is
+        // detected by its _delta_log and read through the dependency-free
+        // protocol reader; tables this engine writes use VersionedParquet
+        // (same user-facing semantics: snapshots, time travel, CDF).
+        if (DeltaLogReader.isDeltaTable(in.path.get)) {
+          require(in.options.get("changesSince").isEmpty,
+            "change-feed reads of foreign Delta tables are not supported " +
+              "(CDF requires _change_data files this reader does not interpret); " +
+              "read snapshots via versionAsOf instead")
+          DeltaLogReader.read(spark, in.path.get,
+            in.options.get("versionAsOf").map(_.toLong))
+        } else in.options.get("changesSince") match {
+          // incremental consumption: changesSince=<v> binds the CDF rows
+          // committed after version v (insert/delete + _commit_version)
+          // instead of a snapshot — the input an incremental pipeline step
+          // declares to avoid re-reading the accumulated table
           case Some(v) => VersionedParquet.readChanges(spark, in.path.get, v.toLong,
             in.options.get("changesUntil").map(_.toLong))
           case None => VersionedParquet.read(spark, in.path.get,
