@@ -139,9 +139,15 @@ object Multimodal {
     * dedup ([[graft.x.Dedup.exactByContent]]) stops working: re-encoded
     * copies have distinct bytes but the same perception. */
   def phashNearDupPairs(features: DataFrame, idCol: String, featCol: String,
-      maxHamming: Int = 2): DataFrame = {
+      maxHamming: Int = 2,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8, s"maxHamming $maxHamming out of range")
-    val sig = features.select(col(idCol), perceptualHash(col(featCol)).as("__ph"))
+    // staged: BOTH sides of the bucket self-join consume the signatures —
+    // without truncation each side re-runs the upstream featurization
+    // (typically a mapPartitions decode, the expensive stage by far)
+    val sig = staging.stage(
+      features.select(col(idCol), perceptualHash(col(featCol)).as("__ph")),
+      "phash-signatures")
     // even bit split (see Dedup.pigeonholeChunks): a fixed-stride split
     // leaves chunk n−1 EMPTY past maxHamming 3 (⌈16/n⌉·(n−1) ≥ 16) — a
     // bucket every row shares, i.e. a hidden cross join
