@@ -594,6 +594,21 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // the near-dup twin: day-1 batch seeds a band-bucket store, the day-2
+    // recrawl admits only docs near-duplicate of neither the retained
+    // corpus nor a smaller batch sibling — the full band pipeline
+    // (portable minhash + 55-bit band folds) replays in the oracle
+    "x58_incremental_neardup" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("band_store").resolve("bands").toString
+      Dedup.incrementalNearDup(docs.filter(col("doc_id") < 250),
+        "text", "doc_id", store).count() // day-1 commit
+      Dedup.incrementalNearDup(docs, "text", "doc_id", store) // day-2 recrawl
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // Asymmetric overlap coefficient (inter / min size): catches partial
     // copies Jaccard structurally misses when sizes differ; same single
     // capped co-shingle join as x2, different denominator
@@ -970,6 +985,20 @@ object SparkEntry {
           n = 3, threshold = 0.5)
       Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // near-dup clusters feed the split decision: every member of a
+    // cluster shares a split_key, so no near-copy pair straddles the
+    // train/test boundary (the leakage the dedup literature warns about)
+    "x57_leakage_safe_split" -> ((s, dir) => {
+      reg(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(s.table("documents"), "text", "doc_id",
+          n = 3, threshold = 0.5)
+      val clusters = Dedup.connectedComponents(pairs)
+      Sampling.leakageSafeSplit(s.table("documents"), "doc_id", clusters,
+          testFraction = 0.1, validationFraction = 0.1)
+        .select(col("doc_id"), col("split_key"), col("split"))
         .orderBy("doc_id")
     }),
 
@@ -1415,6 +1444,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "x56_ngram_repetition" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.ngramRepetitionStats(s.table("documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_chars"),
+          round(col("top_share"), 4).as("top_share"),
+          round(col("dup_frac"), 4).as("dup_frac"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal plumbing (SURVEY.md §2.9 X5) ----
     "mm1_meta_filter" -> ((s, dir) => {
       reg(s, dir)
@@ -1560,6 +1598,40 @@ object SparkEntry {
   private val stopwordList = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "that", "for", "on", "with", "as", "at", "by", "be")
       .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB replay of the full MinHash/LSH band pipeline behind
+    * x58_incremental_neardup: 3-gram shingle poly-hashes → `k` universal
+    * affine min-hashes → `bands` 55-bit polynomial band folds, each
+    * constant re-derived from [[graft.functions.PortableHash]] so the two
+    * engines agree by construction. Produces CTE `bb(doc_id, band, bh)`. */
+  private def bandBucketCtes(k: Int, bands: Int): String = {
+    import graft.functions.{PortableHash => PH, PolyHash56}
+    val r = k / bands
+    val mins = (0 until k).map(i =>
+      s"MIN((${PH.minhashA(i)} * h31 + ${PH.minhashB(i)}) % ${PH.M31}) AS mh_$i")
+      .mkString(",\n               ")
+    val bandSelects = (0 until bands).map { b =>
+      val fold = ((b * r) until ((b + 1) * r)).foldLeft("CAST(0 AS BIGINT)") {
+        (acc, i) => s"(($acc * 131 + mh_$i) & ${PolyHash56.Mask55})"
+      }
+      s"SELECT doc_id, $b AS band, $fold AS bh FROM mh"
+    }.mkString("\n        UNION ALL\n        ")
+    s"""toksb AS (
+        SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents),
+      gramsb AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toksb, LATERAL (SELECT UNNEST(RANGE(1, LEN(t) - 1)) AS i)
+        WHERE LEN(t) >= 3
+        UNION
+        SELECT doc_id, ARRAY_TO_STRING(t, ' ') AS shingle
+        FROM toksb WHERE LEN(t) < 3),
+      shb AS (
+        SELECT DISTINCT doc_id, ${polySql("shingle")} % ${PH.M31} AS h31
+        FROM gramsb),
+      mh AS (SELECT doc_id, $mins FROM shb GROUP BY doc_id),
+      bb AS (
+        $bandSelects)"""
+  }
 
   /** DuckDB replay of [[graft.functions.PolyHash56]]: identical fold,
     * identical 55-bit mask (`&` keeps BIGINT products overflow-free on both
@@ -2012,6 +2084,31 @@ object SparkEntry {
       WHERE fp.f NOT IN (SELECT f FROM d1)
       ORDER BY fp.doc_id""",
 
+    "x58_incremental_neardup" -> s"""
+      WITH ${bandBucketCtes(32, 8)},
+      b1 AS (SELECT doc_id, band, bh FROM bb WHERE doc_id < 250),
+      bmin1 AS (SELECT band, bh, MIN(doc_id) AS m FROM b1 GROUP BY 1, 2),
+      blocked1 AS (
+        SELECT DISTINCT b1.doc_id FROM b1
+        JOIN bmin1 USING (band, bh) WHERE bmin1.m < b1.doc_id),
+      adm1 AS (
+        SELECT DISTINCT doc_id FROM b1
+        WHERE doc_id NOT IN (SELECT doc_id FROM blocked1)),
+      store1 AS (SELECT DISTINCT band, bh FROM b1 JOIN adm1 USING (doc_id)),
+      hit2 AS (SELECT DISTINCT bb.doc_id FROM bb JOIN store1 USING (band, bh)),
+      miss2 AS (
+        SELECT doc_id, band, bh FROM bb
+        WHERE doc_id NOT IN (SELECT doc_id FROM hit2)),
+      bmin2 AS (SELECT band, bh, MIN(doc_id) AS m FROM miss2 GROUP BY 1, 2),
+      blocked2 AS (
+        SELECT DISTINCT miss2.doc_id FROM miss2
+        JOIN bmin2 USING (band, bh) WHERE bmin2.m < miss2.doc_id),
+      adm2 AS (
+        SELECT DISTINCT doc_id FROM miss2
+        WHERE doc_id NOT IN (SELECT doc_id FROM blocked2))
+      SELECT d.doc_id, d.lang FROM documents d JOIN adm2 USING (doc_id)
+      ORDER BY d.doc_id""",
+
     "x48_containment_pairs" -> s"""
       WITH $jaccardCtes
       SELECT id_a, id_b,
@@ -2277,6 +2374,38 @@ object SparkEntry {
         FROM reach GROUP BY src)
       SELECT doc_id, cluster_id FROM comp
       ORDER BY doc_id""",
+
+    "x57_leakage_safe_split" -> s"""
+      WITH RECURSIVE $jaccardCtes,
+      p AS (
+        SELECT id_a, id_b
+        FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM p),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      keyed AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN comp c USING (doc_id)),
+      b AS (
+        SELECT doc_id, split_key,
+               ${polySql("CAST(split_key AS VARCHAR) || ':split'")} % 1000000 AS hb
+        FROM keyed)
+      SELECT doc_id, split_key,
+        CASE WHEN hb < 100000 THEN 'test'
+             WHEN hb < 200000 THEN 'validation'
+             ELSE 'train' END AS split
+      FROM b ORDER BY doc_id""",
 
     "x22_kmeans_step" -> s"""
       WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
@@ -3018,6 +3147,61 @@ object SparkEntry {
         (CAST(n_uniq AS DOUBLE) / n_tokens >= 0.3
          AND CAST(top_count AS DOUBLE) / n_tokens <= 0.2) AS keep
       FROM st ORDER BY doc_id""",
+
+    "x56_ngram_repetition" -> """
+      WITH toks AS (
+        SELECT doc_id, STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS a
+        FROM documents),
+      tot AS (
+        SELECT doc_id,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(a, t -> LENGTH(t))), 0) AS BIGINT) AS n_chars
+        FROM toks),
+      occ2 AS (
+        SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(a) - 1)) AS start, a
+        FROM toks),
+      c2 AS (
+        SELECT doc_id, ARRAY_TO_STRING(a[start:start+1], ' ') AS gram,
+               COUNT(*) AS c,
+               COUNT(*) * LENGTH(REPLACE(ARRAY_TO_STRING(a[start:start+1], ' '), ' ', '')) AS chars
+        FROM occ2 GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+      top AS (
+        SELECT doc_id, chars AS top_chars FROM (
+          SELECT doc_id, chars,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY c DESC, chars DESC) AS rn
+          FROM c2) WHERE rn = 1),
+      occ5 AS (
+        SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(a) - 4)) AS start, a
+        FROM toks),
+      g5 AS (
+        SELECT doc_id, start, ARRAY_TO_STRING(a[start:start+4], ' ') AS gram
+        FROM occ5),
+      d5 AS (
+        SELECT doc_id, gram FROM g5 GROUP BY 1, 2 HAVING COUNT(*) > 1),
+      cov0 AS (
+        SELECT g5.doc_id, UNNEST(GENERATE_SERIES(g5.start, g5.start + 4)) AS p
+        FROM g5 JOIN d5 USING (doc_id, gram)),
+      cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+      pos0 AS (
+        SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(a))) AS p, a FROM toks),
+      pos AS (SELECT doc_id, p, LENGTH(a[p]) AS l FROM pos0),
+      dupc AS (
+        SELECT cov.doc_id, SUM(pos.l) AS dup_chars
+        FROM cov JOIN pos USING (doc_id, p) GROUP BY 1)
+      SELECT t.doc_id, t.n_chars,
+        ROUND(CASE WHEN t.n_chars = 0 THEN 0.0
+              ELSE CAST(COALESCE(tp.top_chars, 0) AS DOUBLE) / t.n_chars END, 4) AS top_share,
+        ROUND(CASE WHEN t.n_chars = 0 THEN 0.0
+              ELSE CAST(COALESCE(d.dup_chars, 0) AS DOUBLE) / t.n_chars END, 4) AS dup_frac,
+        (CASE WHEN t.n_chars = 0 THEN 0.0
+              ELSE CAST(COALESCE(tp.top_chars, 0) AS DOUBLE) / t.n_chars END <= 0.2
+         AND CASE WHEN t.n_chars = 0 THEN 0.0
+              ELSE CAST(COALESCE(d.dup_chars, 0) AS DOUBLE) / t.n_chars END <= 0.3) AS keep
+      FROM tot t
+      LEFT JOIN top tp USING (doc_id)
+      LEFT JOIN dupc d USING (doc_id)
+      ORDER BY doc_id""",
 
     "x20_bm25" -> """
       WITH terms AS (

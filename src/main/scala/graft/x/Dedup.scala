@@ -114,6 +114,79 @@ object Dedup {
     out
   }
 
+  /** Incremental NEAR-dedup against a persistent band-bucket store — the
+    * MinHash/LSH twin of [[incrementalExact]]: each batch admits only
+    * documents that are near-duplicates of NEITHER the retained corpus
+    * (all previously admitted documents, represented by their LSH band
+    * buckets) NOR a smaller-id batch sibling, then appends the admitted
+    * documents' buckets to the store. The store never holds text or
+    * signatures — only distinct `(band, bh)` pairs, 12 bytes of state per
+    * band per retained doc, so a billion-doc retained corpus is a few GB.
+    *
+    * Semantics (deterministic, engine-independent, oracle-replayed):
+    *   1. store hit — any of the doc's `bands` buckets already in the
+    *      store ⇒ dropped (near-dup of a retained doc, LSH-approximate
+    *      exactly like [[minhashNearDupPairs]]'s candidate stage);
+    *   2. intra-batch — among store MISSES, a doc is dropped iff some
+    *      bucket it occupies contains a smaller-id miss. Each
+    *      bucket-connected group admits its minimum like the
+    *      keep-one-per-cluster convention; on a collision CHAIN
+    *      (d1<d2<d3, buckets {d1,d2},{d2,d3}) this drops d3 where strict
+    *      sequential greedy would admit it — the difference is confined
+    *      to within-batch chains and documented here by design, because
+    *      the bucket-minimum rule needs ONE aggregation where sequential
+    *      greedy needs an iterative frontier.
+    *
+    * Shape at 100 TB: band buckets shuffle as (band, 8-byte fold) — never
+    * text; the store probe is a semi-join on those 12-byte keys; the
+    * intra-batch decision is a groupBy-min plus one co-keyed join-back —
+    * NO candidate-pair materialization anywhere, so a mass-duplicate
+    * batch (the boilerplate-crawl worst case) costs the same as a clean
+    * one and there is no bucket cap to tune. Two-phase ordering, NULL
+    * handling, replay idempotence and store compaction all follow
+    * [[incrementalExact]]'s contract (null text hashes as the empty
+    * string; `persistAdmitted` runs before the store commit; maintenance
+    * compacts AFTER the append). */
+  def incrementalNearDup(batch: DataFrame, textCol: String, idCol: String,
+      storePath: String, n: Int = 3, k: Int = 32, bands: Int = 8,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint,
+      persistAdmitted: DataFrame => Unit = _ => (),
+      compactAtFiles: Int = 64, compactTarget: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val withTxt = batch.withColumn("__txt", coalesce(col(textCol), lit("")))
+    // (id, band, bh): staged — referenced by the store probe, the
+    // intra-batch decision (twice), and the store append
+    val bb = staging.stage(
+      bandBuckets(minhashSignatures(
+        shingleHashes(withTxt, "__txt", idCol, n), idCol, k), idCol, k, bands),
+      "incremental-neardup-bands")
+    val hitIds =
+      if (graft.sources.VersionedParquet.versions(storePath).nonEmpty)
+        bb.join(graft.sources.VersionedParquet.read(spark, storePath),
+            Seq("band", "bh"), "left_semi")
+          .select(col(idCol)).distinct()
+      else bb.select(col(idCol)).limit(0)
+    val missBuckets = bb.join(hitIds, Seq(idCol), "left_anti")
+    val bucketMin = missBuckets.groupBy(col("band"), col("bh"))
+      .agg(min(col(idCol)).as("__bmin"))
+    val blockedIds = missBuckets.join(bucketMin, Seq("band", "bh"))
+      .filter(col("__bmin") < col(idCol))
+      .select(col(idCol)).distinct()
+    val admitted = staging.stage(
+      batch.join(hitIds.union(blockedIds), Seq(idCol), "left_anti"),
+      "incremental-neardup-admitted")
+    persistAdmitted(admitted)
+    if (admitted.limit(1).count() > 0) {
+      val newBuckets = bb.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
+        .select("band", "bh").distinct()
+      graft.sources.VersionedParquet.write(newBuckets, storePath, "append")
+      if (compactAtFiles > 0 &&
+          graft.sources.VersionedParquet.snapshotFileCount(storePath) >= compactAtFiles)
+        graft.sources.VersionedParquet.compact(spark, storePath, compactTarget)
+    }
+    admitted
+  }
+
   /** Word-level shingles (n-grams) of the whitespace-tokenized text.
     * Returns (idCol, shingle) exploded — distinct per doc. Tokenization is
     * materialized in its own projection (so the split runs once per row,

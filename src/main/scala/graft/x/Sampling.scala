@@ -52,6 +52,41 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** Leakage-safe train/validation/test assignment: every member of a
+    * near-duplicate cluster lands in the SAME split. A plain per-document
+    * split ([[trainTestSplit]]) puts two near-copies of one page on
+    * opposite sides of the train/test boundary — the evaluation then
+    * scores memorization, not generalization (the published dedup
+    * literature's motivating failure). Here the hash-bucket decision is
+    * made on a per-document SPLIT KEY: the document's connected-component
+    * representative from near-dup clustering
+    * ([[graft.x.Dedup.connectedComponents]]'s `(id, comp)` output), or the
+    * document's own id when it belongs to no cluster. Same cluster → same
+    * key → same bucket → same split, with the same disjoint-and-exhaustive
+    * cumulative ranges as the per-document operator.
+    *
+    * Shape at 100 TB: the clusters frame only contains documents that
+    * matched a near-dup pair (a small fraction of the corpus), so the left
+    * join is broadcast-able in the common case and at worst shuffles on
+    * the id the corpus is already keyed by; the split itself stays a
+    * narrow projection. The `split_key` column is kept in the output as
+    * the audit surface (group by it to verify no key straddles splits). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+      testFraction: Double, validationFraction: Double = 0.0,
+      salt: String = "split"): DataFrame = {
+    val reps = clusters.select(col("id").as(idCol), col("comp").as("__rep"))
+    val b = hashBucket(col("split_key"), salt)
+    val testLim = (testFraction * Buckets).toLong
+    val valLim = testLim + (validationFraction * Buckets).toLong
+    df.join(reps, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("__rep"), col(idCol)))
+      .drop("__rep")
+      .withColumn("split",
+        when(b < testLim, "test")
+          .when(b < valLim, "validation")
+          .otherwise("train"))
+  }
+
   /** Deterministic epoch shuffle, sharded: assigns every row a
     * (shard, pos) — a reproducible random permutation expressed the way
     * training pipelines consume one (shard = output file, pos = order

@@ -462,6 +462,82 @@ object TextAnalysis {
         col("uniq_ratio") >= minUniqRatio && col("top_share") <= maxTopShare)
   }
 
+  /** Gopher-style n-gram repetition metrics — the two rules from the
+    * published quality suite (Rae et al. 2021, table A1) that token-level
+    * [[repetitionStats]] cannot express:
+    *
+    *  - `top_share`: characters covered by the occurrences of the single
+    *    most frequent REPEATED `topN`-gram / total token characters (0
+    *    when no `topN`-gram occurs twice — a gram seen once is length, not
+    *    repetition; ties broken by covered characters, so the metric is
+    *    deterministic);
+    *  - `dup_frac`: characters at token positions covered by at least one
+    *    `dupN`-gram that occurs more than once in the document, counting
+    *    each position ONCE (the union of covered extents, not the sum —
+    *    overlapping repeats don't double-bill).
+    *
+    * Boilerplate listings, keyword stuffing and degenerate generations
+    * score high on both while keeping a healthy unique-TOKEN ratio, which
+    * is exactly why the n-gram rules exist alongside the token rules.
+    *
+    * Shape at 100 TB: every aggregation/join in here is keyed by the
+    * document id (or (id, gram) with map-side partial aggregation), so the
+    * shuffled bytes are token-position/gram rows for ONE document class at
+    * a time — nothing global, no self-join, linear in corpus size. Token
+    * totals are a narrow higher-order fold (no shuffle). Docs shorter than
+    * `n` tokens have no n-grams: both metrics are 0 and the doc is kept. */
+  def ngramRepetitionStats(df: DataFrame, textCol: String, idCol: String,
+      topN: Int = 2, dupN: Int = 5,
+      maxTopShare: Double = 0.2, maxDupFrac: Double = 0.3): DataFrame = {
+    val a = col("__a")
+    val toks = df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__a"))
+    // total token characters (spaces excluded) — narrow fold, no shuffle
+    val totals = toks.select(col(idCol),
+      aggregate(transform(a, t => length(t).cast("long")), lit(0L),
+        (acc, x) => acc + x).as("n_chars"))
+    // n-gram occurrences with their 1-based start position
+    def occurrences(n: Int): DataFrame = {
+      val starts = when(size(a) >= n,
+        sequence(lit(1), size(a) - (n - 1))).otherwise(array().cast("array<int>"))
+      toks.select(col(idCol), explode(transform(starts,
+          i => struct(i.as("start"),
+            concat_ws(" ", (0 until n).map(j => element_at(a, i + j)): _*).as("gram"))))
+          .as("o"))
+        .select(col(idCol), col("o.start").as("start"), col("o.gram").as("gram"))
+    }
+    // most frequent topN-gram: chars covered by all its occurrences
+    val top = occurrences(topN)
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col(idCol), struct(col("c"),
+        (col("c") * length(translate(col("gram"), " ", ""))).as("chars")).as("s"))
+      .groupBy(col(idCol)).agg(max(col("s")).as("m"))
+      .select(col(idCol), col("m.chars").as("top_chars"))
+    // union of token positions covered by duplicated dupN-grams
+    val dupOcc = occurrences(dupN)
+    val dupGrams = dupOcc.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).drop("c")
+    val posLen = toks.select(col(idCol), posexplode(a).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("p"), length(col("tok")).as("l"))
+    val dupChars = dupOcc.join(dupGrams, Seq(idCol, "gram"))
+      .select(col(idCol), explode(sequence(col("start"), col("start") + (dupN - 1))).as("p"))
+      .distinct()
+      .join(posLen, Seq(idCol, "p"))
+      .groupBy(col(idCol)).agg(sum("l").as("dup_chars"))
+    totals
+      .join(top, Seq(idCol), "left")
+      .join(dupChars, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        when(col("n_chars") === 0, 0.0).otherwise(
+          coalesce(col("top_chars"), lit(0L)).cast("double") / col("n_chars"))
+          .as("top_share"),
+        when(col("n_chars") === 0, 0.0).otherwise(
+          coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n_chars"))
+          .as("dup_frac"))
+      .withColumn("keep",
+        col("top_share") <= maxTopShare && col("dup_frac") <= maxDupFrac)
+  }
+
   /** Per-document profile frame: one narrow projection, no shuffle. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.select(

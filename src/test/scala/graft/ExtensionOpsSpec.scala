@@ -661,4 +661,74 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, everyMs = 10000)
     assert(frames.count() >= media.filter(col("meta.kind") === "video").count())
   }
+
+  test("ngramRepetitionStats: top repeated bigram share + duplicated 5-gram coverage") {
+    val df = Seq(
+      (1L, "a b a b a b"),                 // "a b" ×3 of 5 bigrams; no repeated 5-gram
+      (2L, "x y z w v x y z w v"),         // "x y z w v" ×2 covers all 10 positions
+      (3L, "one two three four five six seven") // nothing repeats at any n
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetitionStats(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 6 single-char tokens → n_chars 6; top bigram chars 3×2=6 → 1.0
+    assert(out(1L).getAs[Long]("n_chars") == 6L)
+    assert(out(1L).getAs[Double]("top_share") == 1.0)
+    assert(out(1L).getAs[Double]("dup_frac") == 0.0)
+    assert(!out(1L).getAs[Boolean]("keep"))
+    // doc 2: every position sits under an occurrence of the repeated 5-gram
+    assert(out(2L).getAs[Double]("dup_frac") == 1.0)
+    assert(!out(2L).getAs[Boolean]("keep"))
+    // doc 3: no gram occurs twice → both metrics 0, kept
+    assert(out(3L).getAs[Double]("top_share") == 0.0)
+    assert(out(3L).getAs[Double]("dup_frac") == 0.0)
+    assert(out(3L).getAs[Boolean]("keep"))
+  }
+
+  test("leakageSafeSplit: cluster members share a split; singletons match per-doc split") {
+    val ids = (0L until 300L)
+    val docsDf = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val clusters = Seq((3L, 3L), (10L, 3L), (77L, 3L), (120L, 120L), (150L, 120L))
+      .toDF("id", "comp")
+    val out = graft.x.Sampling.leakageSafeSplit(docsDf, "doc_id", clusters,
+      testFraction = 0.3, validationFraction = 0.3).cache()
+    // no split_key straddles splits (the audit the column exists for)
+    val straddle = out.groupBy("split_key")
+      .agg(countDistinct(col("split")).as("ns")).filter(col("ns") > 1).count()
+    assert(straddle == 0L)
+    // the named cluster lands together
+    assert(out.filter(col("doc_id").isin(3L, 10L, 77L))
+      .select("split").distinct().count() == 1L)
+    // docs in no cluster get exactly the per-doc assignment (same salt)
+    val solo = graft.x.Sampling.trainTestSplit(docsDf, "doc_id", 0.3, 0.3)
+      .select(col("doc_id"), col("split").as("solo_split"))
+    val clustered = Seq(3L, 10L, 77L, 120L, 150L)
+    val diff = out.join(solo, "doc_id")
+      .filter(!col("doc_id").isin(clustered: _*))
+      .filter(col("split") =!= col("solo_split")).count()
+    assert(diff == 0L)
+    out.unpersist()
+  }
+
+  test("incrementalNearDup: store blocks cross-batch copies, bucket-min keeps one per class") {
+    val store = java.nio.file.Files
+      .createTempDirectory("band_store_spec").resolve("bands").toString
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (5L, "completely unrelated text about catalyst optimizer rule injection")
+    ).toDF("doc_id", "text")
+    val a1 = Dedup.incrementalNearDup(b1, "text", "doc_id", store)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a1 sameElements Array(1L, 5L)) // 2 is a copy of 1 → bucket-min keeps 1
+    val b2 = Seq(
+      (9L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "a fresh document resembling nothing the store has ever admitted")
+    ).toDF("doc_id", "text")
+    val a2 = Dedup.incrementalNearDup(b2, "text", "doc_id", store)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a2 sameElements Array(11L)) // 9 collides with retained doc 1's buckets
+    // after the commit, a full replay of batch 2 admits nothing new
+    val a3 = Dedup.incrementalNearDup(b2, "text", "doc_id", store).count()
+    assert(a3 == 0L)
+  }
 }
