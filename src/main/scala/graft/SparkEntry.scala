@@ -1435,6 +1435,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the bigram tier of the same fluency stack: add-one-smoothed
+    // transition NLL, decimal-exact like x30 (raw -ln cast ONCE to
+    // DECIMAL(18,8), exact decimal per-doc sums, one final IEEE division)
+    "x59_bigram_quality" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.bigramLogProb(s.table("documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+          col("mean_nll"))
+        .orderBy("doc_id")
+    }),
+
     "x24_repetition_filter" -> ((s, dir) => {
       reg(s, dir)
       TextAnalysis.repetitionStats(s.table("documents"), "text", "doc_id")
@@ -3048,6 +3059,34 @@ object SparkEntry {
       FROM tf JOIN vocab USING (tok), tot
       GROUP BY tf.doc_id
       ORDER BY tf.doc_id""",
+
+    "x59_bigram_quality" -> """
+      WITH toksq AS (
+        SELECT doc_id,
+               LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                           t -> LENGTH(t) > 0) AS a
+        FROM documents),
+      bg AS (
+        SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+        FROM toksq, LATERAL (SELECT UNNEST(RANGE(1, LEN(a))) AS i)
+        WHERE LEN(a) >= 2),
+      docbig AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+      corpusbig AS (
+        SELECT w1, w2, SUM(c) AS gb FROM docbig GROUP BY 1, 2),
+      ctx AS (SELECT w1, SUM(gb) AS cw1 FROM corpusbig GROUP BY 1),
+      vocab AS (
+        SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT UNNEST(a) AS tok FROM toksq))
+      SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(-LN(CAST(gb + 1 AS DOUBLE) / CAST(cw1 + v AS DOUBLE))
+                           AS DECIMAL(18,8)) * d.c) AS DOUBLE)
+               / CAST(SUM(d.c) AS DOUBLE) AS mean_nll
+      FROM docbig d
+        JOIN corpusbig USING (w1, w2)
+        JOIN ctx USING (w1), vocab
+      GROUP BY d.doc_id
+      ORDER BY d.doc_id""",
 
     "x27_domain_stats" -> """
       WITH u AS (

@@ -354,6 +354,52 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // incremental NEAR-dedup probe: fixed batch vs a growing band-bucket
+    // store — same flat-cost claim as [scale-incdedup], now for the LSH
+    // twin: the probe shuffles (band, 8-byte fold) pairs, never text, and
+    // the intra-batch decision is one aggregation (no candidate pairs)
+    {
+      val storeRoot = java.nio.file.Files
+        .createTempDirectory("scaleprobe_bands").toString
+      val store = s"$storeRoot/bands"
+      Seq(0, 1, 4, 16).foreach { gen =>
+        if (gen > 0) {
+          // per-token suffix: history docs are near-dups of NOTHING else
+          // (an appended word would leave jaccard ≈ 0.9 and the whole
+          // batch would store-hit — measured the hard way)
+          val hist = (0 until gen).map(i =>
+            docs.withColumn("doc_id", col("doc_id") + lit((i + 100).toLong * 1000000L))
+              .withColumn("text",
+                regexp_replace(col("text"), "(\\S+)", "$1h" + gen + "_" + i)))
+            .reduce(_ unionByName _)
+          Dedup.incrementalNearDup(hist, "text", "doc_id", store).count()
+        }
+        val batch = docs.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1f" + gen))
+        val t0 = System.nanoTime()
+        val admitted = Dedup.incrementalNearDup(batch, "text", "doc_id", store).count()
+        val storeN = graft.sources.VersionedParquet.read(spark, store).count()
+        println(f"[scale-incneardup] store_buckets=$storeN%8d  batch=5000  " +
+          f"admit=${(System.nanoTime() - t0) / 1e9}%6.2fs  admitted=$admitted")
+        spark.catalog.clearCache()
+      }
+    }
+
+    // n-gram repetition probe: doc-keyed aggregations only, so growth
+    // must be linear regardless of cross-doc duplication
+    Seq(1, 4, 16).foreach { k =>
+      val inflated = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val t0 = System.nanoTime()
+      val flagged = graft.x.TextAnalysis.ngramRepetitionStats(inflated, "text", "doc_id")
+        .filter(!col("keep")).count()
+      println(f"[scale-ngramrep] docs=$n%7d  " +
+        f"stats=${(System.nanoTime() - t0) / 1e9}%6.2fs  flagged=$flagged")
+      spark.catalog.clearCache()
+    }
+
     factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus

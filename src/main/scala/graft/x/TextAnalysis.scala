@@ -438,6 +438,53 @@ object TextAnalysis {
         (sum("__nll").cast("double") / sum("c").cast("double")).as("mean_nll"))
   }
 
+  /** Per-document mean negative log-likelihood under an add-one-smoothed
+    * BIGRAM model trained on the corpus itself — the KenLM-style fluency
+    * proxy one tier above [[unigramLogProb]]: word salad and shuffled
+    * boilerplate keep plausible unigram stats but improbable transitions,
+    * so they surface here and not there. `P(w2|w1) = (c(w1 w2) + 1) /
+    * (ctx(w1) + V)` with `ctx` = bigram-prefix count and `V` = corpus
+    * vocabulary size; documents with fewer than two tokens have no
+    * transitions and drop out.
+    *
+    * Determinism contract (shared with [[unigramLogProb]]): each
+    * transition's raw IEEE -ln() double is cast ONCE to DECIMAL(18,8);
+    * per-doc sums are exact decimal arithmetic, so the mean is the same
+    * on every engine and partitioning and the oracle can replay it.
+    *
+    * Shape at 100 TB: one (doc, bigram) aggregation, one corpus bigram
+    * aggregation (map-side combined; bigram types grow sub-linearly in
+    * corpus size), prefix counts derived FROM the bigram table (no second
+    * corpus pass), V and the token total as one broadcast scalar row.
+    * Joins are keyed by bigram/prefix — co-partitioned with the counts
+    * they enrich. */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val a = col("__a")
+    val toksArr = df.select(col(idCol),
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("__a"))
+    val bigrams = toksArr
+      .select(col(idCol), explode(when(size(a) >= 2,
+          transform(sequence(lit(1), size(a) - 1),
+            i => struct(element_at(a, i).as("w1"), element_at(a, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val docBig = bigrams.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val corpusBig = docBig.groupBy("w1", "w2").agg(sum("c").as("gb"))
+    val ctx = corpusBig.groupBy("w1").agg(sum("gb").as("cw1"))
+    val vocab = toksArr
+      .select(explode(a).as("tok")).agg(countDistinct("tok").as("__v"))
+    val nll = (-log((col("gb") + 1).cast("double") /
+        (col("cw1") + col("__v")).cast("double"))).cast("decimal(18,8)")
+    docBig.join(corpusBig, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nll", nll * col("c").cast("decimal(10,0)"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_bigrams"),
+        (sum("__nll").cast("double") / sum("c").cast("double")).as("mean_nll"))
+  }
+
   /** Repetition statistics (Gopher-style quality rules): unique-token
     * ratio and the share of the single most frequent token. Highly
     * repetitive documents (boilerplate, keyword stuffing, degenerate

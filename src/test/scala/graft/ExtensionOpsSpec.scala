@@ -684,6 +684,19 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(out(3L).getAs[Boolean]("keep"))
   }
 
+  test("bigramLogProb: add-one transition NLL against hand computation") {
+    val df = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // corpus: c(a,b)=3, c(b,a)=1; ctx(a)=3, ctx(b)=1; V=2
+    val nllAB = -math.log(4.0 / 5.0) // (3+1)/(3+2)
+    val nllBA = -math.log(2.0 / 3.0) // (1+1)/(1+2)
+    assert(out(1L).getAs[Long]("n_bigrams") == 3L)
+    assert(math.abs(out(1L).getAs[Double]("mean_nll") - (2 * nllAB + nllBA) / 3) < 1e-6)
+    assert(out(2L).getAs[Long]("n_bigrams") == 1L)
+    assert(math.abs(out(2L).getAs[Double]("mean_nll") - nllAB) < 1e-6)
+  }
+
   test("leakageSafeSplit: cluster members share a split; singletons match per-doc split") {
     val ids = (0L until 300L)
     val docsDf = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
