@@ -3187,9 +3187,9 @@ object SparkEntry {
          AND CAST(top_count AS DOUBLE) / n_tokens <= 0.2) AS keep
       FROM st ORDER BY doc_id""",
 
-    "x56_ngram_repetition" -> """
+    "x56_ngram_repetition" -> s"""
       WITH toks AS (
-        SELECT doc_id, STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS a
+        SELECT doc_id, STR_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS a
         FROM documents),
       tot AS (
         SELECT doc_id,
@@ -3198,11 +3198,14 @@ object SparkEntry {
       occ2 AS (
         SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(a) - 1)) AS start, a
         FROM toks),
+      g2 AS (
+        SELECT doc_id,
+               ${polySql("ARRAY_TO_STRING(a[start:start+1], ' ')")} AS gh,
+               LENGTH(REPLACE(ARRAY_TO_STRING(a[start:start+1], ' '), ' ', '')) AS chars
+        FROM occ2),
       c2 AS (
-        SELECT doc_id, ARRAY_TO_STRING(a[start:start+1], ' ') AS gram,
-               COUNT(*) AS c,
-               COUNT(*) * LENGTH(REPLACE(ARRAY_TO_STRING(a[start:start+1], ' '), ' ', '')) AS chars
-        FROM occ2 GROUP BY 1, 2
+        SELECT doc_id, gh, COUNT(*) AS c, COUNT(*) * MAX(chars) AS chars
+        FROM g2 GROUP BY 1, 2
         HAVING COUNT(*) >= 2),
       top AS (
         SELECT doc_id, chars AS top_chars FROM (
@@ -3214,13 +3217,14 @@ object SparkEntry {
         SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(a) - 4)) AS start, a
         FROM toks),
       g5 AS (
-        SELECT doc_id, start, ARRAY_TO_STRING(a[start:start+4], ' ') AS gram
+        SELECT doc_id, start,
+               ${polySql("ARRAY_TO_STRING(a[start:start+4], ' ')")} AS gh
         FROM occ5),
       d5 AS (
-        SELECT doc_id, gram FROM g5 GROUP BY 1, 2 HAVING COUNT(*) > 1),
+        SELECT doc_id, gh FROM g5 GROUP BY 1, 2 HAVING COUNT(*) > 1),
       cov0 AS (
         SELECT g5.doc_id, UNNEST(GENERATE_SERIES(g5.start, g5.start + 4)) AS p
-        FROM g5 JOIN d5 USING (doc_id, gram)),
+        FROM g5 JOIN d5 USING (doc_id, gh)),
       cov AS (SELECT DISTINCT doc_id, p FROM cov0),
       pos0 AS (
         SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(a))) AS p, a FROM toks),

@@ -528,46 +528,56 @@ object TextAnalysis {
     * is exactly why the n-gram rules exist alongside the token rules.
     *
     * Shape at 100 TB: every aggregation/join in here is keyed by the
-    * document id (or (id, gram) with map-side partial aggregation), so the
-    * shuffled bytes are token-position/gram rows for ONE document class at
-    * a time — nothing global, no self-join, linear in corpus size. Token
-    * totals are a narrow higher-order fold (no shuffle). Docs shorter than
-    * `n` tokens have no n-grams: both metrics are 0 and the doc is kept. */
+    * document id (or (id, gram-hash) with map-side partial aggregation),
+    * so the shuffled bytes are token-position rows for ONE document class
+    * at a time — nothing global, no self-join, linear in corpus size.
+    * Grams travel as fused 8-byte [[graft.functions.NGramPolyHash]] keys,
+    * never strings (the same reason the near-dup family hashes shingles:
+    * gram text is ~5× the tokens it covers and would dominate the
+    * shuffle); the oracle replays the identical hash, so a within-doc
+    * hash collision — ~2⁻⁵⁵ per gram pair — cannot cause a divergence.
+    * Token totals are a narrow higher-order fold (no shuffle). Docs
+    * shorter than `n` tokens have no repeatable n-grams: both metrics are
+    * 0 and the doc is kept. */
   def ngramRepetitionStats(df: DataFrame, textCol: String, idCol: String,
       topN: Int = 2, dupN: Int = 5,
       maxTopShare: Double = 0.2, maxDupFrac: Double = 0.3): DataFrame = {
     val a = col("__a")
+    val ls = col("__ls")
     val toks = df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__a"))
+      .withColumn("__ls", transform(a, t => length(t).cast("long")))
     // total token characters (spaces excluded) — narrow fold, no shuffle
     val totals = toks.select(col(idCol),
-      aggregate(transform(a, t => length(t).cast("long")), lit(0L),
-        (acc, x) => acc + x).as("n_chars"))
-    // n-gram occurrences with their 1-based start position
-    def occurrences(n: Int): DataFrame = {
-      val starts = when(size(a) >= n,
-        sequence(lit(1), size(a) - (n - 1))).otherwise(array().cast("array<int>"))
-      toks.select(col(idCol), explode(transform(starts,
-          i => struct(i.as("start"),
-            concat_ws(" ", (0 until n).map(j => element_at(a, i + j)): _*).as("gram"))))
-          .as("o"))
-        .select(col(idCol), col("o.start").as("start"), col("o.gram").as("gram"))
-    }
-    // most frequent topN-gram: chars covered by all its occurrences
+      aggregate(ls, lit(0L), (acc, x) => acc + x).as("n_chars"))
+    // n-gram occurrences: (start, 8-byte gram hash, token chars covered,
+    // span) — NGramPolyHash emits one whole-doc gram for docs shorter
+    // than n; it can never repeat within the doc, so the c >= 2 filters
+    // below discard it and short docs score 0 on both metrics
+    def occurrences(n: Int): DataFrame =
+      toks.select(col(idCol), ls,
+          posexplode(graft.functions.NGramPolyHash(a, n)).as(Seq("__p0", "gh")))
+        .select(col(idCol), (col("__p0") + 1).as("start"), col("gh"),
+          aggregate(slice(ls, col("__p0") + 1, least(lit(n), size(ls))),
+            lit(0L), (acc, x) => acc + x).as("chars"),
+          least(lit(n), size(ls)).as("span"))
+    // most frequent repeated topN-gram: chars covered by its occurrences
     val top = occurrences(topN)
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("gh"))
+      .agg(count(lit(1)).as("c"), max("chars").as("gchars"))
       .filter(col("c") >= 2)
       .select(col(idCol), struct(col("c"),
-        (col("c") * length(translate(col("gram"), " ", ""))).as("chars")).as("s"))
+        (col("c") * col("gchars")).as("chars")).as("s"))
       .groupBy(col(idCol)).agg(max(col("s")).as("m"))
       .select(col(idCol), col("m.chars").as("top_chars"))
     // union of token positions covered by duplicated dupN-grams
     val dupOcc = occurrences(dupN)
-    val dupGrams = dupOcc.groupBy(col(idCol), col("gram"))
+    val dupGrams = dupOcc.groupBy(col(idCol), col("gh"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).drop("c")
-    val posLen = toks.select(col(idCol), posexplode(a).as(Seq("p0", "tok")))
-      .select(col(idCol), (col("p0") + 1).as("p"), length(col("tok")).as("l"))
-    val dupChars = dupOcc.join(dupGrams, Seq(idCol, "gram"))
-      .select(col(idCol), explode(sequence(col("start"), col("start") + (dupN - 1))).as("p"))
+    val posLen = toks.select(col(idCol), posexplode(ls).as(Seq("p0", "l")))
+      .select(col(idCol), (col("p0") + 1).as("p"), col("l"))
+    val dupChars = dupOcc.join(dupGrams, Seq(idCol, "gh"))
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + col("span") - 1)).as("p"))
       .distinct()
       .join(posLen, Seq(idCol, "p"))
       .groupBy(col(idCol)).agg(sum("l").as("dup_chars"))
