@@ -1435,6 +1435,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the composed curation pipeline: quality gate → exact dedup →
+    // near-dup cluster keep-one → deterministic split, end-to-end as one
+    // operator — the oracle replays all four stages over the same corpus
+    "x60_curate_e2e" -> ((s, dir) => {
+      reg(s, dir)
+      graft.x.Curation.curate(s.table("documents"), "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // the bigram tier of the same fluency stack: add-one-smoothed
     // transition NLL, decimal-exact like x30 (raw -ln cast ONCE to
     // DECIMAL(18,8), exact decimal per-doc sums, one final IEEE division)
@@ -1718,8 +1728,11 @@ object SparkEntry {
   /** Shared CTE chain computing exact n-gram-Jaccard shingle/intersection
     * stats — consumed by the x2/x3 pair oracle and the x21 clustering
     * oracle (which wraps it in a recursive CTE). */
-  private val jaccardCtes = """toks AS (
-        SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+  /** Exact 3-gram Jaccard machinery (`toks`/`grams`/`sizes`/`inter` CTEs)
+    * over any relation with (doc_id, text) — `from` parameterized so the
+    * composed-pipeline oracles can run it on a FILTERED corpus. */
+  private def jaccardCtesFrom(from: String): String = s"""toks AS (
+        SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM $from),
       grams AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
         FROM toks, LATERAL (SELECT UNNEST(RANGE(1, LEN(t) - 1)) AS i)
@@ -1729,6 +1742,8 @@ object SparkEntry {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
         FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id)"""
+
+  private val jaccardCtes = jaccardCtesFrom("documents")
 
   /** Exact n-gram-Jaccard near-dup pairs — the oracle for BOTH x2 (the
     * exact operator) and x3 (MinHash+LSH, whose exact-Jaccard verify stage
@@ -3059,6 +3074,61 @@ object SparkEntry {
       FROM tf JOIN vocab USING (tok), tot
       GROUP BY tf.doc_id
       ORDER BY tf.doc_id""",
+
+    "x60_curate_e2e" -> s"""
+      WITH RECURSIVE tk AS (
+        SELECT doc_id, UNNEST(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS tok
+        FROM documents),
+      tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk
+             WHERE LENGTH(tok) > 0 GROUP BY 1, 2),
+      st AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_uniq,
+                    MAX(c) AS top_count FROM tc GROUP BY 1),
+      gate AS (
+        SELECT doc_id FROM st
+        WHERE CAST(n_uniq AS DOUBLE) / n_tokens >= 0.3
+          AND CAST(top_count AS DOUBLE) / n_tokens <= 0.2
+          AND n_tokens >= 5),
+      kept AS (
+        SELECT d.doc_id, d.text, d.lang FROM documents d JOIN gate USING (doc_id)),
+      fpk AS (
+        SELECT doc_id, text, lang,
+               ${polySql("REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')")} AS f
+        FROM kept),
+      ek AS (
+        SELECT fpk.doc_id, fpk.text, fpk.lang FROM fpk
+        JOIN (SELECT f, MIN(doc_id) AS m FROM fpk GROUP BY f) b
+          ON b.f = fpk.f AND b.m = fpk.doc_id),
+      ${jaccardCtesFrom("ek")},
+      p AS (
+        SELECT id_a, id_b
+        FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM p),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      nk AS (
+        SELECT ek.doc_id, ek.lang FROM ek
+        LEFT JOIN comp ON comp.doc_id = ek.doc_id
+        WHERE comp.doc_id IS NULL OR comp.cluster_id = ek.doc_id),
+      sb AS (
+        SELECT doc_id, lang,
+               ${polySql("CAST(doc_id AS VARCHAR) || ':split'")} % 1000000 AS hb
+        FROM nk)
+      SELECT doc_id, lang,
+        CASE WHEN hb < 100000 THEN 'test'
+             WHEN hb < 200000 THEN 'validation'
+             ELSE 'train' END AS split
+      FROM sb ORDER BY doc_id""",
 
     "x59_bigram_quality" -> """
       WITH toksq AS (

@@ -722,6 +722,24 @@ class ExtensionOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("curate: composed pipeline gates junk, collapses exact+near dups, splits") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // jaccard 5/7 ≈ .71 vs 1
+      (4L, "spam spam spam spam spam spam"),                 // uniq_ratio 1/6 → gated
+      (5L, "one two three four five six seven eight nine"),
+      (6L, "tiny doc")                                       // < 5 tokens → gated
+    ).toDF("doc_id", "text")
+    val out = graft.x.Curation.curate(df, "text", "doc_id").cache()
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 5L))
+    // survivors carry a split and contain no remaining near-dup pair
+    assert(out.filter(!col("split").isin("train", "validation", "test")).count() == 0)
+    assert(graft.x.Dedup.ngramJaccardPairs(
+      out.select("doc_id", "text"), "text", "doc_id", n = 3, threshold = 0.5).count() == 0)
+    out.unpersist()
+  }
+
   test("incrementalNearDup: store blocks cross-batch copies, bucket-min keeps one per class") {
     val store = java.nio.file.Files
       .createTempDirectory("band_store_spec").resolve("bands").toString

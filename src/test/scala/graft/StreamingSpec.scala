@@ -138,6 +138,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted.contains(1L) ^ admitted.contains(3L))
   }
 
+  test("cross-batch streaming NEAR-dedup via the incremental band store") {
+    import spark.implicits._
+    // the near-dup twin of the fingerprint-store composition: a re-crawl
+    // arriving micro-batches apart is caught by the persistent band
+    // buckets even when watermark-bounded state has long expired
+    val in = Files.createTempDirectory("graft-incnd-in").toString
+    val out = Files.createTempDirectory("graft-incnd-out").toString
+    val store = s"$out/bands"
+    Seq((1L, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2L, "an entirely different report about structured streaming state"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Seq((3L, "the quick brown fox jumps over the lazy dog again and again today"),
+        (4L, "a third document sharing no shingles with either earlier one"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamingJobs.fileStream(spark, in, schema, maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val admitted = graft.x.Dedup.incrementalNearDup(batch, "text", "doc_id", store)
+        if (!admitted.isEmpty)
+          admitted.write.mode("append").parquet(s"$out/admitted")
+      }
+      .start()
+    q.awaitTermination(); q.stop()
+    // 1 and 3 are copies across micro-batches: exactly one wins (order
+    // follows file mtimes, which can tie — the guarantee is order-agnostic)
+    val admitted = spark.read.parquet(s"$out/admitted")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(admitted.length == 3 && admitted.contains(2L) && admitted.contains(4L))
+    assert(admitted.contains(1L) ^ admitted.contains(3L))
+  }
+
   test("streaming passage decontamination masks benchmark leaks per micro-batch") {
     import spark.implicits._
     // the decontamination benchmark set is STATIC (eval suites change
