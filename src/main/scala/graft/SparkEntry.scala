@@ -1411,6 +1411,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // α=0.5 temperature flattening over the (en-heavy) language mix:
+    // weights = isqrt(counts), thresholds exact-integer, fully replayable
+    "x61_temperature_mix" -> ((s, dir) => {
+      reg(s, dir)
+      Sampling.temperatureRebalance(s.table("documents"), "doc_id", "lang",
+          Seq("de", "en", "es", "fr", "zh"))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
     "x31_pq_topk" -> ((s, dir) => {
       reg(s, dir)
       val emb = s.table("embeddings")
@@ -2913,6 +2923,26 @@ object SparkEntry {
       WHERE ${polySql("CAST(doc_id AS VARCHAR) || ':mixture'")} % 1000000 < thr.t
       GROUP BY d.source
       ORDER BY d.source""",
+
+    "x61_temperature_mix" -> s"""
+      WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+               GREATEST(CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT), 1) AS w
+        FROM documents
+        WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+        GROUP BY lang),
+      tot AS (SELECT SUM(w) AS wt FROM c),
+      nout AS (SELECT MIN(cnt * wt // w) AS n_out FROM c, tot),
+      thr AS (
+        SELECT lang,
+               (CAST(1000000 AS HUGEINT) * w * n_out)
+                 // (CAST(wt AS HUGEINT) * cnt) AS t
+        FROM c, tot, nout)
+      SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents d JOIN thr ON d.lang = thr.lang
+      WHERE ${polySql("CAST(doc_id AS VARCHAR) || ':mixture'")} % 1000000 < thr.t
+      GROUP BY d.lang
+      ORDER BY d.lang""",
 
     "x31_pq_topk" -> s"""
       WITH sub AS (SELECT UNNEST(RANGE(8)) AS s),

@@ -132,11 +132,43 @@ object Sampling {
       weights: Map[String, Long], salt: String = "mixture"): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixture weights must be positive")
+    rebalanceCore(df, idCol, strataCol, weights,
+      countStrata(df, strataCol, weights.keys.toSeq), salt)
+  }
+
+  /** α=0.5 temperature rebalancing — the standard multilingual data-mix
+    * flattening (sample stratum s proportionally to count^α): target
+    * weights are the integer square roots of the observed stratum counts,
+    * fed through [[mixtureRebalance]]'s exact integer threshold machinery.
+    * Dominant strata shrink, tail strata keep (relatively) more — without
+    * anyone hand-picking the weights.
+    *
+    * α is pinned to 1/2 on purpose: IEEE `sqrt` is correctly-rounded by
+    * the standard, so `floor(sqrt(count))` is the SAME integer on every
+    * engine and the oracle can replay the whole derivation — a general
+    * `pow(count, α)` has no such guarantee across libm implementations.
+    * One count pass (collect bounded by #strata), then a narrow filter:
+    * identical shape to [[mixtureRebalance]]. */
+  def temperatureRebalance(df: DataFrame, idCol: String, strataCol: String,
+      strata: Seq[String], salt: String = "mixture"): DataFrame = {
+    require(strata.nonEmpty, "need at least one stratum")
+    val counts = countStrata(df, strataCol, strata)
+    val weights = strata.flatMap(k => counts.get(k).filter(_ > 0)
+      .map(c => k -> math.max(math.sqrt(c.toDouble).toLong, 1L))).toMap
+    require(weights.nonEmpty, "no rows in any requested stratum")
+    rebalanceCore(df, idCol, strataCol, weights, counts, salt)
+  }
+
+  private def countStrata(df: DataFrame, strataCol: String,
+      keys: Seq[String]): Map[String, Long] = df
+    .filter(col(strataCol).isin(keys: _*))
+    .groupBy(col(strataCol)).count()
+    .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def rebalanceCore(df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Long], counts: Map[String, Long],
+      salt: String): DataFrame = {
     val wTotal = weights.values.sum
-    val counts: Map[String, Long] = df
-      .filter(col(strataCol).isin(weights.keys.toSeq: _*))
-      .groupBy(col(strataCol)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val nOut = weights.collect {
       case (k, wk) if counts.getOrElse(k, 0L) > 0 => counts(k) * wTotal / wk
     }.min

@@ -722,6 +722,27 @@ class ExtensionOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("temperatureRebalance flattens the mix via isqrt weights") {
+    val df = (1L to 900L).map(i =>
+      (i, if (i <= 800) "en" else if (i <= 880) "fr" else "zh"))
+      .toDF("doc_id", "lang")
+    val out = graft.x.Sampling.temperatureRebalance(df, "doc_id", "lang",
+      Seq("en", "fr", "zh")).cache()
+    // definitionally equal to mixtureRebalance with explicit isqrt weights
+    // (en 800→28, fr 80→8, zh 20→4)
+    val manual = graft.x.Sampling.mixtureRebalance(df, "doc_id", "lang",
+      Map("en" -> 28L, "fr" -> 8L, "zh" -> 4L))
+    assert(out.select("doc_id").except(manual.select("doc_id")).count() == 0)
+    assert(manual.select("doc_id").except(out.select("doc_id")).count() == 0)
+    // the dominant stratum's share shrinks, the tail's grows
+    val n = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalOut = n.values.sum.toDouble
+    assert(n("en") / totalOut < 800.0 / 900.0)
+    assert(n("zh") / totalOut > 20.0 / 900.0)
+    out.unpersist()
+  }
+
   test("curate: composed pipeline gates junk, collapses exact+near dups, splits") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
@@ -761,5 +782,21 @@ class ExtensionOpsSpec extends AnyFunSuite {
     // after the commit, a full replay of batch 2 admits nothing new
     val a3 = Dedup.incrementalNearDup(b2, "text", "doc_id", store).count()
     assert(a3 == 0L)
+    // two-phase ordering (same contract as incrementalExact): a crash in
+    // persistAdmitted leaves the band store untouched → replay re-admits
+    val store2 = java.nio.file.Files
+      .createTempDirectory("band_store_2pc").resolve("bands").toString
+    val batch = Seq((1L, "a perfectly unique document seen exactly once ever"))
+      .toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      Dedup.incrementalNearDup(batch, "text", "doc_id", store2,
+        persistAdmitted = _ => throw new RuntimeException("crash mid-write"))
+    }
+    assert(graft.sources.VersionedParquet.versions(store2).isEmpty,
+      "band buckets must not commit before the admitted output is durable")
+    var persisted = 0L
+    val replay = Dedup.incrementalNearDup(batch, "text", "doc_id", store2,
+      persistAdmitted = df => persisted = df.count())
+    assert(replay.count() == 1 && persisted == 1L, "replay re-admits the batch")
   }
 }
