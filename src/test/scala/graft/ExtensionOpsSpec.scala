@@ -722,6 +722,68 @@ class ExtensionOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("ngramRepetitionStats equals a driver-side brute force on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "d", "ee")
+    val docsSeq = (1L to 60L).map { id =>
+      val len = 1 + rnd.nextInt(30)
+      id -> (1 to len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val got = TextAnalysis.ngramRepetitionStats(
+        docsSeq.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    docsSeq.foreach { case (id, text) =>
+      val toks = text.split("\\s+").toVector
+      val nChars = toks.map(_.length).sum.toLong
+      def grams(n: Int): Vector[(Int, String)] =
+        if (toks.size >= n)
+          (0 to toks.size - n).map(i => i -> toks.slice(i, i + n).mkString(" ")).toVector
+        else Vector(0 -> toks.mkString(" "))
+      val c2 = grams(2).groupBy(_._2).view.mapValues(_.size).toMap.filter(_._2 >= 2)
+      val top = if (c2.isEmpty) 0L
+        // .toSeq first: mapping a Map would key tuples by count and silently
+        // drop tied entries
+        else c2.toSeq.map { case (g, c) => (c.toLong, c.toLong * g.count(_ != ' ')) }.max._2
+      val g5 = grams(5)
+      val cnt5 = g5.groupBy(_._2).view.mapValues(_.size).toMap
+      val span5 = math.min(5, toks.size)
+      val covered = g5.filter(o => cnt5(o._2) > 1)
+        .flatMap { case (st, _) => st until (st + span5) }.toSet
+      val dup = covered.toSeq.map(p => toks(p).length).sum.toLong
+      val (gn, gt, gd) = got(id)
+      assert(gn == nChars, s"doc $id n_chars")
+      assert(math.abs(gt - top.toDouble / nChars) < 1e-12, s"doc $id top_share")
+      assert(math.abs(gd - dup.toDouble / nChars) < 1e-12, s"doc $id dup_frac")
+    }
+  }
+
+  test("incrementalNearDup first batch equals the candidate-pair reference") {
+    // the bucket-minimum rule is definitionally: drop d iff some candidate
+    // pair (d', d) with d' < d exists — i.e. lshCandidatePairs' id_b side
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val texts = collection.mutable.ArrayBuffer[String]()
+    val docsSeq = (0L until 40L).map { id =>
+      val text =
+        if (id % 3 == 2 && texts.nonEmpty) texts(rnd.nextInt(texts.length)) // copy class
+        else (1 to 12 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      texts += text
+      id -> text
+    }
+    val df = docsSeq.toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(
+      Dedup.shingleHashes(df, "text", "doc_id", 3), "doc_id", 32)
+    val blockedRef = Dedup.lshCandidatePairs(sigs, "doc_id", 32, 8,
+        maxBucket = Int.MaxValue)
+      .select("id_b").as[Long].collect().toSet
+    val store = java.nio.file.Files
+      .createTempDirectory("band_store_prop").resolve("bands").toString
+    val admitted = Dedup.incrementalNearDup(df, "text", "doc_id", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == docsSeq.map(_._1).toSet -- blockedRef)
+  }
+
   test("temperatureRebalance flattens the mix via isqrt weights") {
     val df = (1L to 900L).map(i =>
       (i, if (i <= 800) "en" else if (i <= 880) "fr" else "zh"))
