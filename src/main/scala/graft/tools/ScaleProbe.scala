@@ -389,6 +389,28 @@ object ScaleProbe {
       }
     }
 
+    // composed-curation probe: the four-stage pipeline end-to-end. The
+    // copy-suffix keeps near-dup DENSITY constant (each copy is near-dup
+    // of nothing) while the ORGANIC dup classes inside each copy still
+    // exercise exact dedup and the capped pairwise stage — so growth
+    // should track the corpus, dominated by the jaccard+components
+    // stages x21 already proves linear.
+    if (on("curate")) Seq(1, 4, 16).foreach { k =>
+      val inflated = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1x" + i)))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      var kept = 0L
+      val times = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        kept = graft.x.Curation.curate(inflated, "text", "doc_id").count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scale-curate] docs=$n%7d  curate=${times.min}%6.2fs  kept=$kept")
+      spark.catalog.clearCache()
+    }
+
     // n-gram repetition probe: doc-keyed aggregations only, so growth
     // must be linear regardless of cross-doc duplication
     if (on("ngramrep")) Seq(1, 4, 16).foreach { k =>
