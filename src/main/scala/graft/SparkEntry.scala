@@ -1455,6 +1455,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the pipeline's lineage surface: docs remaining after each stage
+    "x62_curation_report" -> ((s, dir) => {
+      reg(s, dir)
+      graft.x.Curation.curationReport(s.table("documents"), "text", "doc_id")
+        .orderBy("stage")
+    }),
+
     // the bigram tier of the same fluency stack: add-one-smoothed
     // transition NLL, decimal-exact like x30 (raw -ln cast ONCE to
     // DECIMAL(18,8), exact decimal per-doc sums, one final IEEE division)
@@ -1754,6 +1761,55 @@ object SparkEntry {
         GROUP BY a.doc_id, b.doc_id)"""
 
   private val jaccardCtes = jaccardCtesFrom("documents")
+
+  /** The composed curation pipeline's stage CTEs (x60/x62): quality gate
+    * (`gate`), exact dedup (`ek`), near-dup keep-one (`nk`) — each stage's
+    * relation named so both the row-level replay and the per-stage count
+    * report read off the same chain. */
+  private lazy val curationCtes: String = s"""tk AS (
+        SELECT doc_id, UNNEST(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS tok
+        FROM documents),
+      tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk
+             WHERE LENGTH(tok) > 0 GROUP BY 1, 2),
+      st AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_uniq,
+                    MAX(c) AS top_count FROM tc GROUP BY 1),
+      gate AS (
+        SELECT doc_id FROM st
+        WHERE CAST(n_uniq AS DOUBLE) / n_tokens >= 0.3
+          AND CAST(top_count AS DOUBLE) / n_tokens <= 0.2
+          AND n_tokens >= 5),
+      kept AS (
+        SELECT d.doc_id, d.text, d.lang FROM documents d JOIN gate USING (doc_id)),
+      fpk AS (
+        SELECT doc_id, text, lang,
+               ${polySql("REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')")} AS f
+        FROM kept),
+      ek AS (
+        SELECT fpk.doc_id, fpk.text, fpk.lang FROM fpk
+        JOIN (SELECT f, MIN(doc_id) AS m FROM fpk GROUP BY f) b
+          ON b.f = fpk.f AND b.m = fpk.doc_id),
+      ${jaccardCtesFrom("ek")},
+      p AS (
+        SELECT id_a, id_b
+        FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM p),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      nk AS (
+        SELECT ek.doc_id, ek.lang FROM ek
+        LEFT JOIN comp ON comp.doc_id = ek.doc_id
+        WHERE comp.doc_id IS NULL OR comp.cluster_id = ek.doc_id)"""
 
   /** Exact n-gram-Jaccard near-dup pairs — the oracle for BOTH x2 (the
     * exact operator) and x3 (MinHash+LSH, whose exact-Jaccard verify stage
@@ -3106,50 +3162,7 @@ object SparkEntry {
       ORDER BY tf.doc_id""",
 
     "x60_curate_e2e" -> s"""
-      WITH RECURSIVE tk AS (
-        SELECT doc_id, UNNEST(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS tok
-        FROM documents),
-      tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk
-             WHERE LENGTH(tok) > 0 GROUP BY 1, 2),
-      st AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_uniq,
-                    MAX(c) AS top_count FROM tc GROUP BY 1),
-      gate AS (
-        SELECT doc_id FROM st
-        WHERE CAST(n_uniq AS DOUBLE) / n_tokens >= 0.3
-          AND CAST(top_count AS DOUBLE) / n_tokens <= 0.2
-          AND n_tokens >= 5),
-      kept AS (
-        SELECT d.doc_id, d.text, d.lang FROM documents d JOIN gate USING (doc_id)),
-      fpk AS (
-        SELECT doc_id, text, lang,
-               ${polySql("REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')")} AS f
-        FROM kept),
-      ek AS (
-        SELECT fpk.doc_id, fpk.text, fpk.lang FROM fpk
-        JOIN (SELECT f, MIN(doc_id) AS m FROM fpk GROUP BY f) b
-          ON b.f = fpk.f AND b.m = fpk.doc_id),
-      ${jaccardCtesFrom("ek")},
-      p AS (
-        SELECT id_a, id_b
-        FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5),
-      edges AS (
-        SELECT id_a AS src, id_b AS dst FROM p
-        UNION
-        SELECT id_b AS src, id_a AS dst FROM p),
-      reach(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-      comp AS (
-        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-        FROM reach GROUP BY src),
-      nk AS (
-        SELECT ek.doc_id, ek.lang FROM ek
-        LEFT JOIN comp ON comp.doc_id = ek.doc_id
-        WHERE comp.doc_id IS NULL OR comp.cluster_id = ek.doc_id),
+      WITH RECURSIVE $curationCtes,
       sb AS (
         SELECT doc_id, lang,
                ${polySql("CAST(doc_id AS VARCHAR) || ':split'")} % 1000000 AS hb
@@ -3159,6 +3172,14 @@ object SparkEntry {
              WHEN hb < 200000 THEN 'validation'
              ELSE 'train' END AS split
       FROM sb ORDER BY doc_id""",
+
+    "x62_curation_report" -> s"""
+      WITH RECURSIVE $curationCtes
+      SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS docs FROM documents
+      UNION ALL SELECT '1_quality_gate', CAST(COUNT(*) AS BIGINT) FROM gate
+      UNION ALL SELECT '2_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM ek
+      UNION ALL SELECT '3_near_dup', CAST(COUNT(*) AS BIGINT) FROM nk
+      ORDER BY stage""",
 
     "x59_bigram_quality" -> """
       WITH toksq AS (

@@ -39,6 +39,40 @@ object Curation {
       jaccardN: Int = 3, jaccardThreshold: Double = 0.5,
       testFraction: Double = 0.1, validationFraction: Double = 0.1,
       staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    val (_, _, nearKept) = stages(docs, textCol, idCol, minTokens,
+      minUniqRatio, maxTopShare, jaccardN, jaccardThreshold, staging)
+    // 4. deterministic split over the retained corpus
+    Sampling.trainTestSplit(nearKept, idCol, testFraction, validationFraction)
+  }
+
+  /** Per-stage retention audit for [[curate]] — the lineage surface a
+    * curation run reports: how many documents each stage admitted. Rows
+    * are (stage, docs-remaining-after-stage), stage-prefixed so they sort
+    * in pipeline order. Counts are exact and deterministic (every stage
+    * is), so the report is oracle-checkable like any other query; the
+    * split stage is a pure projection and cannot change the count, which
+    * the report makes visible rather than assuming. */
+  def curationReport(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Long = 5L,
+      minUniqRatio: Double = 0.3, maxTopShare: Double = 0.2,
+      jaccardN: Int = 3, jaccardThreshold: Double = 0.5,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    val (gated, exactKept, nearKept) = stages(docs, textCol, idCol, minTokens,
+      minUniqRatio, maxTopShare, jaccardN, jaccardThreshold, staging)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(
+      ("0_input", docs.count()),
+      ("1_quality_gate", gated.count()),
+      ("2_exact_dedup", exactKept.count()),
+      ("3_near_dup", nearKept.count())
+    ).toDF("stage", "docs")
+  }
+
+  private def stages(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Long, minUniqRatio: Double, maxTopShare: Double,
+      jaccardN: Int, jaccardThreshold: Double,
+      staging: graft.util.Staging): (DataFrame, DataFrame, DataFrame) = {
     // 1. quality gate (semi-join keeps the caller's full row set intact)
     val stats = TextAnalysis.repetitionStats(docs, textCol, idCol,
       minUniqRatio, maxTopShare)
@@ -60,7 +94,6 @@ object Curation {
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     val nearKept = survivors.join(dropIds, Seq(idCol), "left_anti")
-    // 4. deterministic split over the retained corpus
-    Sampling.trainTestSplit(nearKept, idCol, testFraction, validationFraction)
+    (gated, exactKept, nearKept)
   }
 }

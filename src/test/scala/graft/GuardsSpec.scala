@@ -295,6 +295,42 @@ class GuardsSpec extends AnyFunSuite {
     assert(fa == fb)
   }
 
+  test("band-store compaction bounds small files without changing admissions") {
+    import graft.sources.VersionedParquet
+    def store() = java.nio.file.Files
+      .createTempDirectory("band_compact").resolve("bands").toString
+    val (raw, compacted) = (store(), store())
+    def batch(day: Int) = {
+      // every token carries the (day, i) tag, so docs share NO shingles
+      // across tags; 8/9 are exact copies of day-0 docs 0/1
+      def doc(i: Long, tag: String) =
+        (day * 10L + i, (1 to 10).map(t => s"w${t}_$tag").mkString(" "))
+      ((0L until 3L).map(i => doc(i, s"${day}_$i")) ++
+        Seq(doc(8L, "0_0"), doc(9L, "0_1"))).toDF("doc_id", "text")
+    }
+    val admits = (0 until 12).map { d =>
+      val a = Dedup.incrementalNearDup(batch(d), "text", "doc_id", raw,
+        compactAtFiles = 0).select("doc_id").as[Long].collect().sorted.toSeq
+      val b = Dedup.incrementalNearDup(batch(d), "text", "doc_id", compacted,
+        compactAtFiles = 6, compactTarget = 2).select("doc_id").as[Long]
+        .collect().sorted.toSeq
+      (a, b)
+    }
+    // identical admissions every day — compaction is invisible to dedup
+    admits.foreach { case (a, b) => assert(a == b) }
+    // day 0 admits its 3 fresh docs (8/9 are copies of 0/1); later days
+    // admit 3 fresh docs, their 8/9 rows blocked by the persistent store
+    admits.foreach { case (a, _) => assert(a.size == 3) }
+    assert(VersionedParquet.snapshotFileCount(raw) >= 12)
+    assert(VersionedParquet.snapshotFileCount(compacted) <= 6)
+    // bucket SETS identical — compaction rewrote layout only
+    val fa = VersionedParquet.read(spark, raw)
+      .select("band", "bh").as[(Int, Long)].collect().toSet
+    val fb = VersionedParquet.read(spark, compacted)
+      .select("band", "bh").as[(Int, Long)].collect().toSet
+    assert(fa == fb)
+  }
+
   test("zValue clamps negative cells instead of aliasing them high") {
     val df = Seq((-5L, 3L), (0L, 3L)).toDF("x", "y")
     val zs = df.select(Layout.zValue(col("x"), col("y"), 12).as("z"))
