@@ -897,6 +897,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PII as EXTENTS through the generic span surgery: piiExtents emits
+    // the same [start_tok, end_tok) coordinates the decontamination
+    // extents use, and maskSpans applies them unchanged — one masking
+    // mechanism for every extent source
+    "x63_pii_extents_mask" -> ((s, dir) => {
+      reg(s, dir)
+      val dirty = s.table("documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com for details")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" see https://example.org/d/"), col("doc_id"), lit(" today")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" call +1555000"),
+              lpad(col("doc_id").cast("string"), 4, "0"), lit(" now")))
+            .otherwise(lit(""))).as("text"))
+      val ext = TextAnalysis.piiExtents(dirty, "text", "doc_id")
+      val counts = ext.groupBy("doc_id").agg(count(lit(1)).as("n_pii"))
+      TextAnalysis.maskSpans(dirty, ext, "text", "doc_id")
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_pii"), lit(0L)).as("n_pii"),
+          col("masked"))
+        .orderBy("doc_id")
+    }),
+
     "x12_chunking" -> ((s, dir) => {
       reg(s, dir)
       TextAnalysis.chunkDocuments(s.table("documents"), "text", "doc_id",
@@ -3452,6 +3479,43 @@ object SparkEntry {
           '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS BIGINT) AS n_phones
       FROM dirty
       ORDER BY doc_id""",
+
+    "x63_pii_extents_mask" -> """
+      WITH dirty AS (
+        SELECT doc_id,
+          text ||
+          CASE WHEN doc_id % 2 = 0
+               THEN ' contact user' || doc_id || '@example.com for details'
+               ELSE '' END ||
+          CASE WHEN doc_id % 3 = 0
+               THEN ' see https://example.org/d/' || doc_id || ' today'
+               ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0
+               THEN ' call +1555000' || LPAD(CAST(doc_id AS VARCHAR), 4, '0') || ' now'
+               ELSE '' END AS t
+        FROM documents),
+      toksp AS (SELECT doc_id, STR_SPLIT_REGEX(TRIM(t), '\s+') AS a FROM dirty),
+      pos AS (
+        SELECT doc_id, a, UNNEST(GENERATE_SERIES(1, LEN(a))) AS p FROM toksp),
+      tok AS (
+        SELECT doc_id, p, a[p] AS tk,
+          (REGEXP_MATCHES(a[p], '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+           OR REGEXP_MATCHES(a[p], 'https?://[^\s]+')
+           OR REGEXP_MATCHES(a[p], '\+?[0-9][0-9()\-.]{6,}[0-9]')) AS is_pii
+        FROM pos),
+      n AS (
+        SELECT doc_id,
+               CAST(COUNT(*) FILTER (WHERE is_pii) AS BIGINT) AS n_pii
+        FROM tok GROUP BY 1),
+      m AS (
+        SELECT doc_id,
+               COALESCE(STRING_AGG(CASE WHEN NOT is_pii THEN tk END, ' ' ORDER BY p),
+                        '') AS rejoined
+        FROM tok GROUP BY 1)
+      SELECT d.doc_id, n.n_pii,
+        CASE WHEN n.n_pii = 0 THEN d.t ELSE m.rejoined END AS masked
+      FROM dirty d JOIN n USING (doc_id) JOIN m USING (doc_id)
+      ORDER BY d.doc_id""",
 
     "x12_chunking" -> """
       WITH toks AS (SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\s+') AS t

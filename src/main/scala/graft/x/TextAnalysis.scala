@@ -123,6 +123,28 @@ object TextAnalysis {
       lit(phoneRe), lit(0))) // count phones on the email/url-stripped text, like redaction order does
   )
 
+  /** Token-level PII extents: (idCol, start_tok, end_tok, kind) for every
+    * token containing an email / URL / phone-shaped substring — the same
+    * `[start_tok, end_tok)` coordinates the decontamination extents use,
+    * so [[maskSpans]] applies them unchanged (PII surgery instead of
+    * whole-doc redaction: [[redactPii]] rewrites the string in place;
+    * this pinpoints WHERE, feeds the audit trail, and composes with any
+    * other extent source). The phone pattern is the token-granular form
+    * of the redaction one (no spaces — a token can't contain them).
+    * Narrow generator + filter: no shuffle, map-side at any scale. */
+  def piiExtents(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tokenPhoneRe = "\\+?[0-9][0-9()\\-.]{6,}[0-9]"
+    df.select(col(idCol),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__p", "__tok")))
+      .withColumn("kind",
+        when(col("__tok").rlike(emailRe), "email")
+          .when(col("__tok").rlike(urlRe), "url")
+          .when(col("__tok").rlike(tokenPhoneRe), "phone"))
+      .filter(col("kind").isNotNull)
+      .select(col(idCol), col("__p").as("start_tok"),
+        (col("__p") + 1).as("end_tok"), col("kind"))
+  }
+
   /** Document chunking for training pipelines: split each doc into
     * overlapping token windows (`chunkTokens` per chunk, stepping by
     * `chunkTokens - overlap`). Pure generator expansion — no shuffle, no

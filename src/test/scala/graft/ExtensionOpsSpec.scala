@@ -784,6 +784,27 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(admitted == docsSeq.map(_._1).toSet -- blockedRef)
   }
 
+  test("piiExtents coordinates feed maskSpans like any other extent source") {
+    val df = Seq(
+      (1L, "hello reach me at bob@corp.io or https://x.io/a then call +12345678901 bye"),
+      (2L, "nothing sensitive in here at all")
+    ).toDF("doc_id", "text")
+    val ext = TextAnalysis.piiExtents(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toSet
+    // token positions (0-based): bob@corp.io at 4, url at 6, phone at 9
+    assert(ext == Set((1L, 4, "email"), (1L, 6, "url"), (1L, 9, "phone")))
+    val masked = TextAnalysis.maskSpans(df,
+        TextAnalysis.piiExtents(df, "text", "doc_id"), "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("masked")).toMap
+    assert(masked(1L) == "hello reach me at or then call bye")
+    assert(masked(2L) == "nothing sensitive in here at all") // untouched, byte-identical
+    // after surgery a second scan finds nothing (closure)
+    assert(TextAnalysis.piiExtents(
+      TextAnalysis.maskSpans(df, TextAnalysis.piiExtents(df, "text", "doc_id"),
+        "text", "doc_id").select(col("doc_id"), col("masked").as("text")),
+      "text", "doc_id").count() == 0)
+  }
+
   test("temperatureRebalance flattens the mix via isqrt weights") {
     val df = (1L to 900L).map(i =>
       (i, if (i <= 800) "en" else if (i <= 880) "fr" else "zh"))
