@@ -57,14 +57,16 @@ object Curation {
       minUniqRatio: Double = 0.3, maxTopShare: Double = 0.2,
       jaccardN: Int = 3, jaccardThreshold: Double = 0.5,
       staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
-    val (gated, exactKept, nearKept) = stages(docs, textCol, idCol, minTokens,
+    val (gated, survivors, nearKept) = stages(docs, textCol, idCol, minTokens,
       minUniqRatio, maxTopShare, jaccardN, jaccardThreshold, staging)
     val spark = docs.sparkSession
     import spark.implicits._
+    // survivors is the STAGED exact-dedup output: counting it reads the
+    // materialization instead of re-deriving gate + dedup a second time
     Seq(
       ("0_input", docs.count()),
       ("1_quality_gate", gated.count()),
-      ("2_exact_dedup", exactKept.count()),
+      ("2_exact_dedup", survivors.count()),
       ("3_near_dup", nearKept.count())
     ).toDF("stage", "docs")
   }
@@ -94,6 +96,6 @@ object Curation {
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     val nearKept = survivors.join(dropIds, Seq(idCol), "left_anti")
-    (gated, exactKept, nearKept)
+    (gated, survivors, nearKept)
   }
 }

@@ -172,6 +172,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted.contains(1L) ^ admitted.contains(3L))
   }
 
+  test("streaming curation: quality gate + incremental near-dedup per micro-batch") {
+    import spark.implicits._
+    // the batch curation stages recompose for streams: the gate is a
+    // per-batch filter (stateless) and cross-batch dedup rides the
+    // persistent band store — no global pairwise stage needed
+    val in = Files.createTempDirectory("graft-scur-in").toString
+    val out = Files.createTempDirectory("graft-scur-out").toString
+    val store = s"$out/bands"
+    Seq((1L, "a clean article with plenty of distinct words in it today"),
+        (2L, "spam spam spam spam spam spam spam spam"))  // fails the gate
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Seq((3L, "a clean article with plenty of distinct words in it today"), // re-crawl of 1
+        (4L, "another well formed document about something else entirely"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamingJobs.fileStream(spark, in, schema, maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val stats = graft.x.TextAnalysis.repetitionStats(batch, "text", "doc_id")
+        val gated = batch.join(
+          stats.filter(col("keep") && col("n_tokens") >= 5).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val admitted = graft.x.Dedup.incrementalNearDup(gated, "text", "doc_id", store)
+        if (!admitted.isEmpty)
+          admitted.write.mode("append").parquet(s"$out/admitted")
+      }
+      .start()
+    q.awaitTermination(); q.stop()
+    val admitted = spark.read.parquet(s"$out/admitted")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 2 gated out; one of {1, 3} deduped against the store; 4 admitted
+    assert(admitted.length == 2 && admitted.contains(4L))
+    assert(admitted.contains(1L) ^ admitted.contains(3L))
+  }
+
   test("streaming passage decontamination masks benchmark leaks per micro-batch") {
     import spark.implicits._
     // the decontamination benchmark set is STATIC (eval suites change
