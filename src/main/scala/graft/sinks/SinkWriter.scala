@@ -95,9 +95,16 @@ object SinkWriter {
     }
     val path = sink.path.getOrElse(sys.error(s"sink ${sink.dataFrameName} needs path"))
     if (sink.format == "deltalake" || sink.format == "delta") {
-      // W4 delta sink → versioned-parquet substitute (SURVEY.md §7.4)
-      graft.sources.VersionedParquet.write(df, path,
-        if (mode == SaveMode.Overwrite) "overwrite" else "append")
+      // W4 delta sink. Default: versioned-parquet substitute (SURVEY.md
+      // §7.4 — the engine's own table layer with CDF/compact/vacuum).
+      // option log=delta writes a REAL Delta transaction log instead
+      // (DeltaLogWriter), for tables a foreign Delta reader must open;
+      // SourceReader auto-detects `_delta_log` and reads either back.
+      val m = if (mode == SaveMode.Overwrite) "overwrite" else "append"
+      if (sink.options.get("log").contains("delta"))
+        graft.sources.DeltaLogWriter.write(df, path, m)
+      else
+        graft.sources.VersionedParquet.write(df, path, m)
       return
     }
     if (sink.format == "excel" || sink.format == "xlsx") {

@@ -28,11 +28,11 @@ import scala.jdk.CollectionConverters._
   * silently mis-read: column mapping, deletion vectors, reader protocol
   * ≥ 3 with unknown reader features, multi-part checkpoints.
   *
-  * Writing stays on [[VersionedParquet]]: emitting a protocol-correct
-  * Delta log (writer features, checkpoint cadence, stats) is a much
-  * larger contract than reading one, and the reference's pipelines
-  * CONSUME existing tables far more often than they must produce logs
-  * a foreign Delta reader opens. */
+  * The write side lives in [[DeltaLogWriter]]: minimal protocol-correct
+  * commits (protocol/metaData/add/remove, atomic `%020d.json` publish)
+  * for unpartitioned append/overwrite — enough for a foreign Delta
+  * reader to open what this engine writes; engine-internal stores stay
+  * on [[VersionedParquet]]. */
 object DeltaLogReader {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -47,8 +47,8 @@ object DeltaLogReader {
     }
   }
 
-  private final case class AddFile(path: String, partitionValues: Map[String, Option[String]])
-  private final case class State(
+  private[sources] final case class AddFile(path: String, partitionValues: Map[String, Option[String]])
+  private[sources] final case class State(
       var minReaderVersion: Int = 1,
       var readerFeatures: Set[String] = Set.empty,
       var schemaJson: Option[String] = None,
@@ -57,9 +57,10 @@ object DeltaLogReader {
       files: scala.collection.mutable.LinkedHashMap[String, AddFile] =
         scala.collection.mutable.LinkedHashMap.empty)
 
-  /** Snapshot read of a Delta table; `version = None` reads the latest
-    * commit, `Some(v)` time-travels. */
-  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+  /** Replay the log to the requested (or latest) version; shared by
+    * [[read]] and the writer's snapshot of live files. */
+  private[sources] def loadState(spark: SparkSession, path: String,
+      version: Option[Long]): (State, Long) = {
     val log = Paths.get(path, "_delta_log")
     val entries = graft.util.Fs.list(log).map(_.getFileName.toString)
     require(entries.exists(n => n.matches("\\d{20}\\.json") ||
@@ -84,6 +85,13 @@ object DeltaLogReader {
         .filter(_.trim.nonEmpty).foreach(line => applyAction(state, mapper.readTree(line)))
     }
     guardProtocol(state, path)
+    (state, target)
+  }
+
+  /** Snapshot read of a Delta table; `version = None` reads the latest
+    * commit, `Some(v)` time-travels. */
+  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+    val (state, _) = loadState(spark, path, version)
 
     val schema = state.schemaJson
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])

@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{DataType, StructType}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Writer for REAL Delta Lake tables — the other half of
+  * [[DeltaLogReader]], still with no delta-spark dependency.
+  *
+  * Each call is ONE commit of the public transaction-log protocol: data
+  * files land under a per-commit subdirectory, then a
+  * `_delta_log/%020d.json` of newline-delimited actions is published
+  * atomically (temp file + ATOMIC_MOVE, with the same create-file lock
+  * CAS [[VersionedParquet]] uses, so concurrent writers serialize onto
+  * distinct versions instead of clobbering). The first commit carries
+  * `protocol` (minReader 1 / minWriter 2 — no writer features, so any
+  * spec-compliant reader opens the table) and `metaData`
+  * (schemaString = Spark's StructType JSON, which IS the spec's schema
+  * serialization); every commit carries one `add` per data file;
+  * overwrite additionally emits a `remove` for every previously-live
+  * file — time travel to pre-overwrite versions keeps working because
+  * removed files are tombstoned, not deleted.
+  *
+  * Scope, on purpose: unpartitioned tables, append/overwrite, no
+  * checkpoints (readers replay JSON commits; Delta only REQUIRES
+  * checkpoints for log compaction, readers must work without them), no
+  * per-file stats (optional in the spec). Appends REQUIRE a matching
+  * schema — loud failure, never silent schema drift; overwrite may
+  * replace the schema and then re-emits `metaData` (the spec's
+  * overwriteSchema shape). */
+object DeltaLogWriter {
+
+  def write(df: DataFrame, path: String, mode: String = "append"): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"delta writer supports append|overwrite, got '$mode'")
+    val spark = df.sparkSession
+    val log = Paths.get(path, "_delta_log")
+    Files.createDirectories(log)
+
+    val prev =
+      if (DeltaLogReader.isDeltaTable(path))
+        Some(DeltaLogReader.loadState(spark, path, None)._1)
+      else None
+    val prevSchema = prev.flatMap(_.schemaJson)
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+    prev.foreach { s =>
+      require(s.partitionColumns.isEmpty,
+        s"delta writer does not support partitioned table $path")
+      if (mode == "append")
+        require(prevSchema.contains(df.schema),
+          s"append schema mismatch on $path: table has " +
+            s"${prevSchema.map(_.simpleString).getOrElse("?")}, batch has ${df.schema.simpleString}")
+    }
+
+    // data files: one fresh subdirectory per commit, so `add` paths are
+    // unique forever and no file is ever rewritten in place
+    val sub = "part-" + java.util.UUID.randomUUID().toString.take(8)
+    df.write.mode("errorifexists").parquet(s"$path/$sub")
+    val dataFiles = graft.util.Fs.list(Paths.get(path, sub))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def obj() = mapper.createObjectNode()
+    val now = System.currentTimeMillis()
+    val actions = collection.mutable.ArrayBuffer[String]()
+    val firstCommit = prev.isEmpty
+    val schemaChanged = prevSchema.exists(_ != df.schema)
+    if (firstCommit) {
+      val p = obj(); val pp = p.putObject("protocol")
+      pp.put("minReaderVersion", 1); pp.put("minWriterVersion", 2)
+      actions += mapper.writeValueAsString(p)
+    }
+    if (firstCommit || (mode == "overwrite" && schemaChanged)) {
+      val m = obj(); val md = m.putObject("metaData")
+      md.put("id", java.util.UUID.randomUUID().toString)
+      val fmt = md.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+      md.put("schemaString", df.schema.json)
+      md.putArray("partitionColumns")
+      md.putObject("configuration")
+      md.put("createdTime", now)
+      actions += mapper.writeValueAsString(m)
+    }
+    if (mode == "overwrite") prev.foreach(_.files.keys.foreach { f =>
+      val r = obj(); val rm = r.putObject("remove")
+      rm.put("path", f); rm.put("deletionTimestamp", now); rm.put("dataChange", true)
+      actions += mapper.writeValueAsString(r)
+    })
+    dataFiles.foreach { f =>
+      val a = obj(); val ad = a.putObject("add")
+      ad.put("path", s"$sub/${f.getFileName}")
+      ad.putObject("partitionValues")
+      ad.put("size", Files.size(f))
+      ad.put("modificationTime", now)
+      ad.put("dataChange", true)
+      actions += mapper.writeValueAsString(a)
+    }
+
+    // commit: CAS a lock for the next free version, publish atomically
+    var next = prev.map(_ => DeltaLogReader.loadState(spark, path, None)._2 + 1).getOrElse(0L)
+    var lock: java.nio.file.Path = null
+    while (lock == null) {
+      if (Files.exists(log.resolve(f"$next%020d.json"))) next += 1
+      else {
+        val cand = log.resolve(f"$next%020d.lock")
+        try { Files.createFile(cand); lock = cand }
+        catch { case _: java.nio.file.FileAlreadyExistsException => next += 1 }
+      }
+    }
+    try {
+      val staged = Files.createTempFile(log, f".$next%020d", ".staging")
+      Files.writeString(staged, actions.mkString("", "\n", "\n"))
+      Files.move(staged, log.resolve(f"$next%020d.json"), StandardCopyOption.ATOMIC_MOVE)
+    } finally { Files.deleteIfExists(lock); () }
+    next
+  }
+}
