@@ -21,16 +21,18 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * file — time travel to pre-overwrite versions keeps working because
   * removed files are tombstoned, not deleted.
   *
-  * Scope, on purpose: unpartitioned tables, append/overwrite, no
-  * checkpoints (readers replay JSON commits; Delta only REQUIRES
-  * checkpoints for log compaction, readers must work without them), no
-  * per-file stats (optional in the spec). Appends REQUIRE a matching
+  * Scope, on purpose: unpartitioned tables, append/overwrite,
+  * single-part checkpoints every `checkpointInterval` commits (the
+  * spec's log-compaction cadence — without it a year of daily commits
+  * makes every reader replay hundreds of JSON files), no per-file
+  * stats (optional in the spec). Appends REQUIRE a matching
   * schema — loud failure, never silent schema drift; overwrite may
   * replace the schema and then re-emits `metaData` (the spec's
   * overwriteSchema shape). */
 object DeltaLogWriter {
 
-  def write(df: DataFrame, path: String, mode: String = "append"): Long = {
+  def write(df: DataFrame, path: String, mode: String = "append",
+      checkpointInterval: Int = 10): Long = {
     require(mode == "append" || mode == "overwrite",
       s"delta writer supports append|overwrite, got '$mode'")
     val spark = df.sparkSession
@@ -112,6 +114,70 @@ object DeltaLogWriter {
       Files.writeString(staged, actions.mkString("", "\n", "\n"))
       Files.move(staged, log.resolve(f"$next%020d.json"), StandardCopyOption.ATOMIC_MOVE)
     } finally { Files.deleteIfExists(lock); () }
+    // log lifecycle: every `checkpointInterval` commits, compact the
+    // replay state into a checkpoint so readers stop paying O(commits)
+    if (checkpointInterval > 0 && (next + 1) % checkpointInterval == 0)
+      checkpoint(spark, path)
     next
+  }
+
+  /** Write a single-part checkpoint of the CURRENT snapshot at the latest
+    * version — the spec's log-compaction primitive: one parquet of
+    * `protocol` / `metaData` / `add` action rows, after which a reader
+    * needs only the commits PAST the checkpoint (the reader side of this
+    * pair already prefers the newest checkpoint at-or-below its target).
+    * Commits are never deleted here — time travel to any version keeps
+    * working; history retention is a separate policy decision. */
+  def checkpoint(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val (state, version) = DeltaLogReader.loadState(spark, path, None)
+    val schemaJson = state.schemaJson.getOrElse(
+      sys.error(s"cannot checkpoint $path: no metaData in log"))
+    val protocolT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val formatT = StructType(Seq(
+      StructField("provider", StringType),
+      StructField("options", MapType(StringType, StringType))))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", formatT),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("dataChange", BooleanType)))
+    val cpT = StructType(Seq(
+      StructField("protocol", protocolT),
+      StructField("metaData", metaT),
+      StructField("add", addT)))
+    val rows =
+      Row(Row(state.minReaderVersion, 2), null, null) +:
+      Row(null, Row(java.util.UUID.randomUUID().toString,
+        Row("parquet", Map.empty[String, String]), schemaJson,
+        state.partitionColumns, state.configuration,
+        System.currentTimeMillis()), null) +:
+      state.files.values.toSeq.map(a =>
+        Row(null, null, Row(a.path,
+          a.partitionValues.map { case (k, v) => k -> v.orNull }, true)))
+    val log = Paths.get(path, "_delta_log")
+    val tmp = Files.createTempDirectory(log, ".cp").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpT)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = graft.util.Fs.list(Paths.get(tmp))
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error("checkpoint write produced no parquet"))
+    Files.move(part, log.resolve(f"$version%020d.checkpoint.parquet"),
+      StandardCopyOption.ATOMIC_MOVE)
+    graft.util.Fs.walk(Paths.get(tmp)).reverse.foreach(Files.deleteIfExists(_))
+    val lc = Files.createTempFile(log, "._last_checkpoint", ".staging")
+    Files.writeString(lc, s"""{"version":$version,"size":${rows.size}}""")
+    Files.move(lc, log.resolve("_last_checkpoint"),
+      StandardCopyOption.REPLACE_EXISTING)
+    version
   }
 }

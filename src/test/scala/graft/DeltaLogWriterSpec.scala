@@ -72,6 +72,24 @@ class DeltaLogWriterSpec extends AnyFunSuite {
       a.get("dataChange").asBoolean() && a.get("size").asLong() > 0))
   }
 
+  test("checkpoints compact the log; reader survives vacuumed early commits") {
+    val t = table()
+    // interval 4 → checkpoints at versions 3, 7, 11
+    (0 until 12).foreach(i =>
+      DeltaLogWriter.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), t,
+        checkpointInterval = 4))
+    val log = Paths.get(t, "_delta_log")
+    assert(Files.exists(log.resolve("0" * 19 + "3.checkpoint.parquet")))
+    assert(Files.exists(log.resolve("0" * 18 + "11.checkpoint.parquet")))
+    assert(Files.exists(log.resolve("_last_checkpoint")))
+    // vacuum the history BEFORE the newest checkpoint: commits 0..10 gone
+    (0 until 11).foreach(v =>
+      Files.delete(log.resolve(f"$v%020d.json")))
+    val rows = DeltaLogReader.read(spark, t)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows == (0 until 12).map(i => (i.toLong, s"v$i")))
+  }
+
   test("the config-driven sink writes a real log the source auto-detects") {
     val t = table()
     val sink = graft.config.SinkSpec(dataFrameName = "d", format = "deltalake",
