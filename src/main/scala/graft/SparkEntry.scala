@@ -1113,6 +1113,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // crawl consolidation: re-crawls and tracker variants of one page
+    // collapse onto the canonical URL, and the richest capture wins
+    // (keep-best by content size, deterministic tiebreak) — V2's routed
+    // dedup machinery on the canonicalization key
+    "x64_url_dedup_keep_best" -> ((s, dir) => {
+      reg(s, dir)
+      val url = concat(
+        lit("HTTPS://"), upper(col("source")), lit(".example.com/page/"),
+        pmod(col("doc_id"), lit(100)).cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("?utm_source=rss")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("#top")).otherwise(lit("")))
+      val withCanon = s.table("documents").select(col("doc_id"), col("n_chars"),
+        graft.x.WebText.canonicalizeUrl(url).as("canonical"))
+      Validations.dedup(withCanon, Seq("canonical"), Seq("n_chars", "doc_id")).good
+        .select(col("doc_id"), col("canonical"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // per-domain corpus stats over synthesized (deterministic) URLs:
     // parse_url host extraction + registrable-domain rollup — the groupBy
     // a crawl pipeline uses for domain-level quality/robots decisions
@@ -1663,6 +1681,32 @@ object SparkEntry {
   private val stopwordList = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "that", "for", "on", "with", "as", "at", "by", "be")
       .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** CTE chain replaying [[graft.x.WebText.canonicalizeUrl]] over any
+    * synthesized `url` expression — shared by x50 (row-level replay) and
+    * x64 (keep-best consolidation on the canonical key). Emits CTEs
+    * `u`..`parts`; select [[canonicalCase]] from `parts`. */
+  private def canonChain(urlSql: String): String = s"""u AS (
+        SELECT doc_id, $urlSql AS url FROM documents),
+      s1 AS (SELECT doc_id, url, REGEXP_REPLACE(url, '#.*', '', 'g') AS v FROM u),
+      s2 AS (SELECT doc_id, url, REGEXP_REPLACE(v, '([?&])(${graft.x.WebText.TrackingParams})=[^&]*&', '\\1', 'g') AS v FROM s1),
+      s3 AS (SELECT doc_id, url, REGEXP_REPLACE(v, '([?&])(${graft.x.WebText.TrackingParams})=[^&]*&', '\\1', 'g') AS v FROM s2),
+      s4 AS (SELECT doc_id, url, REGEXP_REPLACE(v, '([?&])(${graft.x.WebText.TrackingParams})=[^&]*&', '\\1', 'g') AS v FROM s3),
+      s5 AS (SELECT doc_id, url, REGEXP_REPLACE(v, '[?&](${graft.x.WebText.TrackingParams})=[^&]*$$', '', 'g') AS v FROM s4),
+      s6 AS (SELECT doc_id, url, REGEXP_REPLACE(v, '\\?$$', '', 'g') AS v FROM s5),
+      parts AS (
+        SELECT doc_id, url, v,
+          LOWER(REGEXP_EXTRACT(v, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          LOWER(REGEXP_EXTRACT(v, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+          REGEXP_REPLACE(v, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '', 'g') AS rest
+        FROM s6)"""
+
+  private val canonicalCase: String = """CASE WHEN scheme = '' OR hostport = '' THEN v
+             ELSE scheme || '://' ||
+               CASE WHEN scheme = 'http' THEN REGEXP_REPLACE(hostport, ':80$', '', 'g')
+                    WHEN scheme = 'https' THEN REGEXP_REPLACE(hostport, ':443$', '', 'g')
+                    ELSE hostport END ||
+               CASE WHEN rest = '' THEN '/' ELSE rest END END"""
 
   /** DuckDB replay of the full MinHash/LSH band pipeline behind
     * x58_incremental_neardup: 3-gram shingle poly-hashes → `k` universal
@@ -3259,32 +3303,27 @@ object SparkEntry {
     // mirrors canonicalizeUrl step-for-step ('g' flag: DuckDB replaces
     // first-match-only by default, Spark replaces all)
     "x50_url_canonicalize" -> s"""
-      WITH u AS (
-        SELECT doc_id,
-          'HTTPS://WWW.' || UPPER(source) || '.Example.COM:443/Page/' || CAST(doc_id AS VARCHAR)
+      WITH ${canonChain(
+        """'HTTPS://WWW.' || UPPER(source) || '.Example.COM:443/Page/' || CAST(doc_id AS VARCHAR)
           || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=x&id=1' ELSE '?id=1' END
-          || CASE WHEN doc_id % 2 = 0 THEN '&fbclid=XYZ#frag' ELSE '#sec' END AS url
-        FROM documents),
-      s1 AS (SELECT doc_id, url, REGEXP_REPLACE(url, '#.*', '', 'g') AS v FROM u),
-      s2 AS (SELECT doc_id, url, REGEXP_REPLACE(v, '([?&])(${graft.x.WebText.TrackingParams})=[^&]*&', '\\1', 'g') AS v FROM s1),
-      s3 AS (SELECT doc_id, url, REGEXP_REPLACE(v, '([?&])(${graft.x.WebText.TrackingParams})=[^&]*&', '\\1', 'g') AS v FROM s2),
-      s4 AS (SELECT doc_id, url, REGEXP_REPLACE(v, '([?&])(${graft.x.WebText.TrackingParams})=[^&]*&', '\\1', 'g') AS v FROM s3),
-      s5 AS (SELECT doc_id, url, REGEXP_REPLACE(v, '[?&](${graft.x.WebText.TrackingParams})=[^&]*$$', '', 'g') AS v FROM s4),
-      s6 AS (SELECT doc_id, url, REGEXP_REPLACE(v, '\\?$$', '', 'g') AS v FROM s5),
-      parts AS (
-        SELECT doc_id, url, v,
-          LOWER(REGEXP_EXTRACT(v, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-          LOWER(REGEXP_EXTRACT(v, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
-          REGEXP_REPLACE(v, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '', 'g') AS rest
-        FROM s6)
-      SELECT doc_id, url,
-        CASE WHEN scheme = '' OR hostport = '' THEN v
-             ELSE scheme || '://' ||
-               CASE WHEN scheme = 'http' THEN REGEXP_REPLACE(hostport, ':80$$', '', 'g')
-                    WHEN scheme = 'https' THEN REGEXP_REPLACE(hostport, ':443$$', '', 'g')
-                    ELSE hostport END ||
-               CASE WHEN rest = '' THEN '/' ELSE rest END END AS canonical
+          || CASE WHEN doc_id % 2 = 0 THEN '&fbclid=XYZ#frag' ELSE '#sec' END""")}
+      SELECT doc_id, url, $canonicalCase AS canonical
       FROM parts
+      ORDER BY doc_id""",
+
+    "x64_url_dedup_keep_best" -> s"""
+      WITH ${canonChain(
+        """'HTTPS://' || UPPER(source) || '.example.com/page/' || CAST(doc_id % 100 AS VARCHAR)
+          || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=rss' ELSE '' END
+          || CASE WHEN doc_id % 3 = 0 THEN '#top' ELSE '' END""")},
+      c AS (SELECT doc_id, $canonicalCase AS canonical FROM parts),
+      r AS (
+        SELECT c.doc_id, c.canonical, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.canonical
+                                  ORDER BY d.n_chars DESC, c.doc_id DESC) AS rn
+        FROM c JOIN documents d USING (doc_id))
+      SELECT doc_id, canonical, CAST(n_chars AS BIGINT) AS n_chars
+      FROM r WHERE rn = 1
       ORDER BY doc_id""",
 
     "x28_html_strip" -> s"""
