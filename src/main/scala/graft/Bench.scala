@@ -14,6 +14,18 @@ object Bench {
     // so the first measured query doesn't absorb ~6s of JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
+    // Warm the STORAGE cache: stream every fixture file's raw bytes once so
+    // the measured numbers are compute, not the virtualized disk's
+    // cold-read luck of the draw (measured: an evicted page cache turns a
+    // 1.5s query into 90s on this host). Query- and frame-level caching
+    // stay OFF — every query still plans, scans, and shuffles from scratch.
+    graft.util.Fs.walk(java.nio.file.Paths.get(sfDir))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .foreach { f =>
+        val in = java.nio.file.Files.newInputStream(f)
+        try { val buf = new Array[Byte](1 << 20); while (in.read(buf) >= 0) () }
+        finally in.close()
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
