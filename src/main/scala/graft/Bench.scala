@@ -19,13 +19,7 @@ object Bench {
     // cold-read luck of the draw (measured: an evicted page cache turns a
     // 1.5s query into 90s on this host). Query- and frame-level caching
     // stay OFF — every query still plans, scans, and shuffles from scratch.
-    graft.util.Fs.walk(java.nio.file.Paths.get(sfDir))
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .foreach { f =>
-        val in = java.nio.file.Files.newInputStream(f)
-        try { val buf = new Array[Byte](1 << 20); while (in.read(buf) >= 0) () }
-        finally in.close()
-      }
+    graft.util.Fs.warmStorage(sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -24,6 +24,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.util.Fs.warmStorage(sfDir)
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       (1 to reps).foreach { i =>

@@ -22,7 +22,9 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    // warm the session so factor-1 isn't charged for JVM startup
+    // warm the session so factor-1 isn't charged for JVM startup,
+    // and the storage cache so fixture reads aren't cold-disk luck
+    graft.util.Fs.warmStorage(sfDir)
     docs.count(); spark.range(100000).selectExpr("sum(id)").collect()
 
     // ANN scaling: cosine near-dup over an inflated embedding corpus.

@@ -18,4 +18,17 @@ object Fs {
     else { val s = Files.walk(p); try s.iterator().asScala.toList finally s.close() }
 
   def nonEmptyDir(p: Path): Boolean = list(p).nonEmpty
+
+  /** Stream every regular file under `dir` through a scratch buffer once:
+    * pins the bytes in the OS page cache so timing runs (Bench, Explain,
+    * ScaleProbe) measure compute, not the virtualized disk's cold-read
+    * luck — this host intermittently drops the cache and a 1.5s query
+    * reads as 90s+. No Spark-level caching involved. */
+  def warmStorage(dir: String): Unit = {
+    val buf = new Array[Byte](1 << 20)
+    walk(java.nio.file.Paths.get(dir)).filter(Files.isRegularFile(_)).foreach { f =>
+      val in = Files.newInputStream(f)
+      try { while (in.read(buf) >= 0) () } finally in.close()
+    }
+  }
 }
