@@ -719,6 +719,22 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // dense-retriever hard negatives: top-k excluding labeled positives,
+    // which are anti-joined BEFORE ranking so they never consume slots
+    "x65_hard_negatives" -> ((s, dir) => {
+      reg(s, dir)
+      val emb = s.table("embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val positives = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), (col("vec_id") + 100).as("vec_id"))
+      Similarity.hardNegatives(emb, queries, positives,
+          "vec_id", "q_id", "embedding", k = 10)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // The seeded hyperplane buckets make a general top-k unverifiable, so
     // the checked contract is the one LSH actually guarantees: a query
     // IDENTICAL to a corpus vector lands in its twin's bucket (equal
@@ -3458,6 +3474,25 @@ object SparkEntry {
           ${dotSql("e.embedding", "q.qv")} /
           (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("q.qv", "q.qv")})) AS cosine
         FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored)
+      SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rank
+      FROM ranked WHERE rk <= 10
+      ORDER BY q_id, rank""",
+
+    "x65_hard_negatives" -> s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      pos AS (SELECT vec_id AS q_id, vec_id + 100 AS pid FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.q_id, e.vec_id,
+          ${dotSql("e.embedding", "q.qv")} /
+          (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("q.qv", "q.qv")})) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id
+          AND NOT EXISTS (SELECT 1 FROM pos
+                          WHERE pos.q_id = q.q_id AND pos.pid = e.vec_id)),
       ranked AS (
         SELECT q_id, vec_id, cosine,
           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk

@@ -27,15 +27,44 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, qIdCol: String, vecCol: String, k: Int
-  ): DataFrame = {
+  ): DataFrame =
+    rankTopK(cosineScored(corpus, queries, idCol, qIdCol, vecCol), idCol, qIdCol, k)
+
+  /** Hard-negative mining for retrieval training: per query, the top-k
+    * most similar corpus items that are NOT known positives — the
+    * standard dense-retriever training step (a model learns little from
+    * random negatives; it learns from near-misses). `positives` is the
+    * labeled (query, item) relevance set; it is anti-joined BEFORE the
+    * ranking window, so positives never consume candidate slots — the
+    * result is top-k of the non-positive corpus, not top-k with holes.
+    *
+    * Shape at 100 TB: identical to [[bruteForceTopK]] (queries broadcast,
+    * one codegen'd dot product per (query, item), per-query
+    * WindowGroupLimit — no global sort); the positives set is label data
+    * (tiny by nature) and joins map-side. For a corpus too large to
+    * brute-force, mine within probed IVF cells instead — the composition
+    * [[ivfPqTopKFromLayout]] + this anti-join shape carries over. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, positives: DataFrame,
+      idCol: String, qIdCol: String, vecCol: String, k: Int): DataFrame =
+    rankTopK(
+      cosineScored(corpus, queries, idCol, qIdCol, vecCol)
+        .join(positives.select(col(qIdCol), col(idCol)), Seq(qIdCol, idCol), "left_anti"),
+      idCol, qIdCol, k)
+
+  private def cosineScored(corpus: DataFrame, queries: DataFrame,
+      idCol: String, qIdCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(qIdCol), col(vecCol).as("__qv"))
       .withColumn("__qn", l2Norm(col("__qv")))
-    val scored = corpus
+    corpus
       .withColumn("__cn", l2Norm(col(vecCol)))
       .join(broadcast(q), col(idCol) =!= col(qIdCol)) // exclude self-match
       .withColumn("cosine",
         when(col("__cn") * col("__qn") === 0.0, lit(null).cast("double"))
           .otherwise(dotProduct(col(vecCol), col("__qv")) / (col("__cn") * col("__qn"))))
+  }
+
+  private def rankTopK(scored: DataFrame, idCol: String, qIdCol: String,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol).asc)
     scored
       .withColumn("__rk", row_number().over(w))

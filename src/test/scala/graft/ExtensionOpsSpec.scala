@@ -784,6 +784,25 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(admitted == docsSeq.map(_._1).toSet -- blockedRef)
   }
 
+  test("hardNegatives excludes positives before ranking, not after") {
+    // corpus of 4: item 10 is (near-)identical to the query → would be
+    // top-1; as a labeled positive it must vanish AND free its slot
+    val mk = (s: Float) => Array.tabulate(4)(i => if (i == 0) s else 0.1f * i)
+    val corpus = Seq((10L, mk(1.0f)), (11L, mk(0.9f)), (12L, mk(0.8f)), (13L, mk(0.7f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, mk(1.0f))).toDF("q_id", "embedding")
+    val positives = Seq((1L, 10L)).toDF("q_id", "vec_id")
+    val out = Similarity.hardNegatives(corpus, queries, positives,
+      "vec_id", "q_id", "embedding", k = 2)
+      .select("vec_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq == Seq(11L, 12L)) // 10 excluded, 11 takes rank 1
+    assert(out.map(_._2).toSeq == Seq(1, 2))
+    // sanity: without labels the positive wins rank 1
+    val top = Similarity.bruteForceTopK(corpus, queries, "vec_id", "q_id", "embedding", 1)
+      .select("vec_id").as[Long].head()
+    assert(top == 10L)
+  }
+
   test("piiExtents coordinates feed maskSpans like any other extent source") {
     val df = Seq(
       (1L, "hello reach me at bob@corp.io or https://x.io/a then call +12345678901 bye"),
