@@ -635,6 +635,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // eval hygiene for a PER-DOCUMENT split: which train docs share
+    // content with the held-out test side? Near-dup pairs straddling a
+    // plain hash split surface here — the leakage x57's cluster-keyed
+    // split exists to prevent
+    "x66_split_contamination" -> ((s, dir) => {
+      reg(s, dir)
+      val split = Sampling.trainTestSplit(s.table("documents"), "doc_id",
+        testFraction = 0.1, validationFraction = 0.1)
+      val train = split.filter(col("split") === "train")
+      val testSide = split.filter(col("split") === "test")
+      TextAnalysis.contaminationReport(train, testSide, "text", "doc_id", n = 3)
+        .filter(col("n_contaminated") > 0)
+        .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+          col("n_contaminated").cast("long").as("n_contaminated"),
+          col("overlap_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Substring-level dedup — the modality document-level Jaccard misses:
     // every 10th doc gets the same 12-token boilerplate tail, and the
     // operator must emit exactly the [tail start, tail end) extent per
@@ -2312,6 +2330,35 @@ object SparkEntry {
       FROM grams g LEFT JOIN bg b ON g.shingle = b.shingle
       GROUP BY g.doc_id
       ORDER BY g.doc_id""",
+
+    "x66_split_contamination" -> s"""
+      WITH cls AS (
+        SELECT doc_id,
+          CASE WHEN ${polySql("CAST(doc_id AS VARCHAR) || ':split'")} % 1000000 < 100000
+                 THEN 'test'
+               WHEN ${polySql("CAST(doc_id AS VARCHAR) || ':split'")} % 1000000 < 200000
+                 THEN 'validation'
+               ELSE 'train' END AS split
+        FROM documents),
+      toks AS (
+        SELECT doc_id, STR_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, LATERAL (SELECT UNNEST(RANGE(1, LEN(t) - 1)) AS i)
+        WHERE LEN(t) >= 3),
+      bg AS (
+        SELECT DISTINCT shingle FROM grams JOIN cls USING (doc_id)
+        WHERE split = 'test'),
+      tr AS (
+        SELECT g.doc_id, g.shingle FROM grams g JOIN cls USING (doc_id)
+        WHERE split = 'train')
+      SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        CAST(COUNT(b.shingle) AS BIGINT) AS n_contaminated,
+        ROUND(CAST(COUNT(b.shingle) AS DOUBLE) / COUNT(*), 4) AS overlap_frac
+      FROM tr LEFT JOIN bg b ON tr.shingle = b.shingle
+      GROUP BY tr.doc_id
+      HAVING COUNT(b.shingle) > 0
+      ORDER BY tr.doc_id""",
 
     "x3_minhash_neardup" -> jaccardPairsSql,
 

@@ -39,10 +39,11 @@ object DeltaLogWriter {
     val log = Paths.get(path, "_delta_log")
     Files.createDirectories(log)
 
-    val prev =
+    val prevLoaded =
       if (DeltaLogReader.isDeltaTable(path))
-        Some(DeltaLogReader.loadState(spark, path, None)._1)
+        Some(DeltaLogReader.loadState(spark, path, None))
       else None
+    val prev = prevLoaded.map(_._1)
     val prevSchema = prev.flatMap(_.schemaJson)
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
     prev.foreach { s =>
@@ -99,7 +100,7 @@ object DeltaLogWriter {
     }
 
     // commit: CAS a lock for the next free version, publish atomically
-    var next = prev.map(_ => DeltaLogReader.loadState(spark, path, None)._2 + 1).getOrElse(0L)
+    var next = prevLoaded.map(_._2 + 1).getOrElse(0L)
     var lock: java.nio.file.Path = null
     while (lock == null) {
       if (Files.exists(log.resolve(f"$next%020d.json"))) next += 1
