@@ -1085,6 +1085,24 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    // sparse retrieval: every 97th doc contributes a 6-token query (tokens
+    // 3..8 of its own text); top-5 docs per query by summed BM25 — exact
+    // decimal score sums make the ranking engine-replayable
+    "x67_bm25_retrieval" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      val qs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(filter(
+            split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0), 3, 6))
+            .as("q_text"))
+      TextAnalysis.bm25TopK(docs, qs, "text", "doc_id", "q_text", "q_id", k = 5)
+        .select(col("q_id"), col("doc_id"),
+          col("matched_terms").cast("long").as("matched_terms"),
+          round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // eval-leakage guard: every 13th doc stands in for a benchmark set;
     // training docs colliding on normalized fingerprint are dropped
     "x23_decontaminate" -> ((s, dir) => {
@@ -3513,6 +3531,41 @@ object SparkEntry {
       FROM tf t JOIN dfr d USING (term) JOIN lens l USING (doc_id), st
       WHERE t.tf >= 4
       ORDER BY t.doc_id, t.term""",
+
+    // replays x20's IEEE weight arithmetic, then quantizes each weight to
+    // DECIMAL(18,8) exactly once — the exact-decimal sum makes the
+    // per-(query, doc) score and the ranking engine-independent
+    "x67_bm25_retrieval" -> """
+      WITH terms AS (
+        SELECT doc_id, UNNEST(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS term
+        FROM documents),
+      t2 AS (SELECT doc_id, term FROM terms WHERE LENGTH(term) > 0),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+      lens AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY 1),
+      dfr AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+      st AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS nd FROM lens),
+      w AS (SELECT t.doc_id, t.term,
+              CAST(LN((nd - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / avgdl))
+                AS DECIMAL(18,8)) AS wgt
+            FROM tf t JOIN dfr d USING (term) JOIN lens l USING (doc_id), st),
+      q AS (SELECT doc_id AS q_id,
+              LIST_SLICE(LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                         t -> LENGTH(t) > 0), 3, 8) AS toks
+            FROM documents WHERE doc_id % 97 = 0),
+      qt AS (SELECT DISTINCT q_id, UNNEST(toks) AS term FROM q),
+      scored AS (SELECT qt.q_id, w.doc_id, COUNT(*) AS matched_terms,
+                        SUM(wgt) AS score
+                 FROM w JOIN qt USING (term) GROUP BY 1, 2),
+      ranked AS (SELECT q_id, doc_id, matched_terms, score,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY score DESC, doc_id) AS rk
+                 FROM scored)
+      SELECT q_id, doc_id, CAST(matched_terms AS BIGINT) AS matched_terms,
+             ROUND(CAST(score AS DOUBLE), 6) AS score, CAST(rk AS BIGINT) AS rank
+      FROM ranked WHERE rk <= 5
+      ORDER BY q_id, rank""",
 
     "x5_cosine_topk" -> s"""
       WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

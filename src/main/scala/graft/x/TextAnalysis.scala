@@ -287,6 +287,52 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("dfreq"), col("dl"), col("bm25"))
   }
 
+  /** Full-text retrieval: top-`k` documents per query, ranked by summed
+    * Okapi BM25 over the query's terms — the classic sparse-retrieval
+    * ranker ([[bm25]] scores a (doc, term) matrix; this composes it into
+    * the search operation a retrieval pipeline actually runs, e.g. when
+    * mining pre-training corpora for RAG evaluation sets).
+    *
+    * `queries` and `docs` MUST use distinct id column names (the output
+    * carries both). Query terms are de-duplicated per query (standard
+    * bag-of-words query semantics; repeating a term in a query does not
+    * double its weight here).
+    *
+    * Determinism contract (shared with [[unigramLogProb]]): each (doc,
+    * term) weight's raw IEEE double is cast ONCE to DECIMAL(18,8); the
+    * per-(query, doc) sum is exact decimal arithmetic, so ranking and
+    * scores replay identically on any engine and partitioning. Ties break
+    * on doc id.
+    *
+    * Shape at 100 TB: the corpus-side weight matrix comes from [[bm25]]
+    * (one (doc, term) shuffle; df/length stats ride broadcasts). The
+    * query set is small by nature — its exploded terms BROADCAST, so the
+    * weight matrix joins map-side and only MATCHED (query, doc) partials
+    * shuffle once for the score sum. The `rank <= k` filter compiles to
+    * WindowGroupLimit: each map task keeps a k-row heap per query before
+    * the final exchange, so the ranking moves ≤ k rows per (partition,
+    * query) — never the full match list. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame,
+      textCol: String, idCol: String,
+      qTextCol: String, qIdCol: String, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(qIdCol != idCol, s"query id column must differ from doc id column ($idCol)")
+    val weights = bm25(docs, textCol, idCol, k1, b)
+      .withColumn("__w", col("bm25").cast("decimal(18,8)"))
+    val qTerms = queries.select(col(qIdCol),
+      explode(array_distinct(filter(
+        split(lower(trim(col(qTextCol))), "\\s+"), t => length(t) > 0))).as("term"))
+    val scored = weights.join(broadcast(qTerms), "term")
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(count(lit(1)).as("matched_terms"), sum("__w").as("__score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("__score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("matched_terms"),
+        col("__score").cast("double").as("score"), col("rank"))
+  }
+
   /** Benchmark decontamination: drop training documents whose normalized
     * content fingerprint collides with any document in `benchmark` — the
     * standard eval-leakage guard before pre-training. The benchmark side is

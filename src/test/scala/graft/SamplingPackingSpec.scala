@@ -142,4 +142,33 @@ class SamplingPackingSpec extends AnyFunSuite {
     sameTf.foreach(r => assert(r.getDouble(0) > r.getDouble(1)))
     out.unpersist()
   }
+
+  test("bm25TopK: a doc's own distinctive text retrieves it first; repeated query terms don't double-weight") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha alpha alpha common words here"),
+      (3L, "zeta eta theta iota kappa"),
+      (4L, "common words here and more common words")).toDF("doc_id", "text")
+    val qs = Seq((10L, "zeta eta theta"), (11L, "zeta zeta zeta eta theta"))
+      .toDF("q_id", "q_text")
+    val out = TextAnalysis.bm25TopK(corpus, qs, "text", "doc_id", "q_text", "q_id", k = 3)
+      .cache()
+    // the uniquely-matching doc ranks first for its own terms
+    val top10 = out.filter(col("q_id") === 10 && col("rank") === 1).head()
+    assert(top10.getAs[Long]("doc_id") == 3L)
+    assert(top10.getAs[Long]("matched_terms") == 3L)
+    // query-term dedup: q11 repeats 'zeta' but must score identically to q10
+    val s10 = out.filter(col("q_id") === 10).select("doc_id", "score", "rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val s11 = out.filter(col("q_id") === 11).select("doc_id", "score", "rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(s10 == s11, "bag-of-words query semantics: term multiplicity is ignored")
+    out.unpersist()
+    // rank<=k must compile to WindowGroupLimit (map-side per-query top-k
+    // heap BEFORE the exchange — the ranking never moves the full match list)
+    val plan = TextAnalysis.bm25TopK(corpus, qs, "text", "doc_id", "q_text", "q_id", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
 }
