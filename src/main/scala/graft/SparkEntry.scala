@@ -1085,6 +1085,24 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    // sub-document dedup: documents re-chunked into 12-token paragraphs
+    // (the fixture has no newlines), then each distinct paragraph survives
+    // only at its first (doc, pos) occurrence corpus-wide and docs are
+    // reassembled — the Lee-et-al-style boilerplate-removal granularity
+    "x68_paragraph_dedup" -> ((s, dir) => {
+      reg(s, dir)
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)
+      val nChunks = greatest(ceil(size(toks) / lit(12.0)).cast("int"), lit(1))
+      val docs = s.table("documents").select(col("doc_id"),
+        concat_ws("\n\n", transform(sequence(lit(0), nChunks - 1),
+          g => concat_ws(" ", slice(toks, g * 12 + 1, lit(12))))).as("text"))
+      Dedup.paragraphDedup(docs, "text", "doc_id")
+        .select(col("doc_id"), col("text"),
+          col("kept_paras").cast("long").as("kept_paras"),
+          col("total_paras").cast("long").as("total_paras"))
+        .orderBy("doc_id")
+    }),
+
     // sparse retrieval: every 97th doc contributes a 6-token query (tokens
     // 3..8 of its own text); top-5 docs per query by summed BM25 — exact
     // decimal score sums make the ranking engine-replayable
@@ -3531,6 +3549,39 @@ object SparkEntry {
       FROM tf t JOIN dfr d USING (term) JOIN lens l USING (doc_id), st
       WHERE t.tf >= 4
       ORDER BY t.doc_id, t.term""",
+
+    // replays the 12-token re-chunking, elects each paragraph's keeper by
+    // ROW_NUMBER over (doc, pos) — identical to the engine's min-struct
+    // election — and reassembles survivors in position order
+    "x68_paragraph_dedup" -> """
+      WITH t AS (
+        SELECT doc_id, LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                 x -> LENGTH(x) > 0) AS toks
+        FROM documents),
+      built AS (
+        SELECT doc_id,
+          LIST_TRANSFORM(RANGE(0, GREATEST(CAST(CEIL(LEN(toks) / 12.0) AS BIGINT), 1)),
+            g -> ARRAY_TO_STRING(LIST_SLICE(toks, g*12 + 1, g*12 + 12), ' ')) AS paras
+        FROM t),
+      praw AS (
+        SELECT doc_id, UNNEST(paras) AS para,
+               UNNEST(RANGE(0, LEN(paras))) AS pos
+        FROM built),
+      p AS (SELECT * FROM praw WHERE LENGTH(TRIM(para)) > 0),
+      k AS (
+        SELECT doc_id, pos, para,
+          ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        FROM p),
+      agg AS (
+        SELECT doc_id,
+          COALESCE(ARRAY_TO_STRING(LIST(para ORDER BY pos) FILTER (WHERE rn = 1),
+            chr(10) || chr(10)), '') AS text,
+          COUNT(*) FILTER (WHERE rn = 1) AS kept_paras,
+          COUNT(*) AS total_paras
+        FROM k GROUP BY doc_id)
+      SELECT doc_id, text, CAST(kept_paras AS BIGINT) AS kept_paras,
+             CAST(total_paras AS BIGINT) AS total_paras
+      FROM agg ORDER BY doc_id""",
 
     // replays x20's IEEE weight arithmetic, then quantizes each weight to
     // DECIMAL(18,8) exactly once — the exact-decimal sum makes the

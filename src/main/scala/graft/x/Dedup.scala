@@ -38,6 +38,50 @@ object Dedup {
     exact(df.withColumn("__ch", xxhash64(col(contentCol))), Seq("__ch"), idCol)
       .drop("__ch")
 
+  /** Paragraph-level corpus dedup: split every document on `sep`, keep ONE
+    * copy of each distinct paragraph corpus-wide (the lexicographically
+    * first `(idCol, position)` occurrence), and reassemble the surviving
+    * paragraphs back into documents. This is the sub-document granularity
+    * between whole-doc [[exactByContent]] and span-level
+    * [[repeatedPassages]]: boilerplate blocks (navigation, footers,
+    * license stanzas) repeated across millions of pages are removed
+    * everywhere but their first occurrence, while the unique prose around
+    * them survives — dropping or keeping whole documents would do the
+    * wrong thing on both counts.
+    *
+    * Whitespace-only paragraphs are dropped and separators normalized to
+    * `sep` on reassembly; documents whose every paragraph was deduplicated
+    * away come back with empty text (kept_paras = 0), so row counts are
+    * auditable. Output: `(idCol, textCol (rebuilt), kept_paras,
+    * total_paras)`.
+    *
+    * Shape at 100 TB: two shuffles, both linear — (1) paragraphs shuffle
+    * by `(hash, paragraph)` for the keeper election (the 8-byte
+    * [[graft.functions.PolyHash56]] prefix makes key comparisons cheap;
+    * the paragraph itself stays in the key so the election is EXACT even
+    * under hash collisions — the bytes ride the shuffle anyway for
+    * reassembly); (2) survivors regroup by document. No self-join, no
+    * skew surface: a paragraph duplicated n times is n rows in one
+    * election group, reduced by a min — never n² anything. */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol),
+      posexplode(filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
+        p => length(trim(p)) > 0)).as(Seq("__pos", "__para")))
+    val w = Window.partitionBy(graft.functions.PolyHash56(col("__para")), col("__para"))
+    paras
+      .withColumn("__keep",
+        min(struct(col(idCol).as("i"), col("__pos").as("p"))).over(w))
+      .withColumn("__f", col("__keep.i") === col(idCol) && col("__keep.p") === col("__pos"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("__f"), struct(col("__pos"), col("__para"))))),
+          s => s("__para"))).as(textCol),
+        sum(when(col("__f"), 1L).otherwise(0L)).as("kept_paras"),
+        count(lit(1)).as("total_paras"))
+  }
+
   /** Incremental exact dedup against a persistent fingerprint store — the
     * form corpus dedup actually runs in production: each day's crawl batch
     * dedups within itself AND against everything ever admitted, without

@@ -62,6 +62,30 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(d1.count() == viaGroup)
   }
 
+  test("paragraphDedup keeps the first occurrence corpus-wide and reassembles in order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "unique alpha\n\nshared boilerplate\n\nunique beta"),
+      (2L, "shared boilerplate\n\nunique gamma"),
+      (3L, "shared boilerplate"),
+      (4L, "  \n\nunique delta")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 is the boilerplate's first occurrence: keeps everything, in order
+    assert(out(1L) == (("unique alpha\n\nshared boilerplate\n\nunique beta", 3L, 3L)))
+    // later docs lose the shared paragraph but keep their unique prose
+    assert(out(2L) == (("unique gamma", 1L, 2L)))
+    // a doc that was ONLY boilerplate comes back empty but stays auditable
+    assert(out(3L) == (("", 0L, 1L)))
+    // whitespace-only paragraphs are dropped before the election
+    assert(out(4L) == (("unique delta", 1L, 1L)))
+    // idempotent: re-running over the deduped corpus changes nothing
+    val again = Dedup.paragraphDedup(
+      Dedup.paragraphDedup(corpus, "text", "doc_id"), "text", "doc_id")
+    assert(again.filter(col("kept_paras") =!= col("total_paras")).isEmpty)
+  }
+
   test("minhash-LSH near-dup pairs ⊆ exact jaccard pairs, with high recall") {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
