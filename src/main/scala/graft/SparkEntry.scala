@@ -1085,6 +1085,24 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    // fastText-shaped corpus filter: tokens hash into 4096 buckets, the
+    // "model" is a deterministic (bucket, fixed-point weight) table, and a
+    // doc's score is the mean bucket weight — exact integer margins make
+    // the classifier engine-replayable
+    "x69_quality_classifier" -> ((s, dir) => {
+      reg(s, dir)
+      val weights = s.range(4096).select(col("id").as("bucket"),
+        (((col("id") * 2654435761L) % 2001L) - 1000L).as("weight"))
+      TextAnalysis.hashedLinearScore(s.table("documents"), weights, "text", "doc_id", 4096)
+        // score stays an UNROUNDED double: both engines run the identical
+        // (margin/1000)/n association over identical integers, so the bits
+        // match (same contract as x30/x59 means); rounding would instead
+        // create half-tie disagreements
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("score"), col("label").cast("long").as("label"))
+        .orderBy("doc_id")
+    }),
+
     // sub-document dedup: documents re-chunked into 12-token paragraphs
     // (the fixture has no newlines), then each distinct paragraph survives
     // only at its first (doc, pos) occurrence corpus-wide and docs are
@@ -3549,6 +3567,24 @@ object SparkEntry {
       FROM tf t JOIN dfr d USING (term) JOIN lens l USING (doc_id), st
       WHERE t.tf >= 4
       ORDER BY t.doc_id, t.term""",
+
+    // replays the token bucketing (PolyHash56 % 4096), the synthesized
+    // fixed-point model, and the exact integer margin sum; IEEE math only
+    // in the final (margin/1000)/n division, same association order
+    "x69_quality_classifier" -> s"""
+      WITH toks AS (
+        SELECT doc_id, UNNEST(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS tok
+        FROM documents),
+      t2 AS (SELECT doc_id, tok FROM toks WHERE LENGTH(tok) > 0),
+      b AS (SELECT doc_id, ${polySql("tok")} % 4096 AS bucket FROM t2),
+      w AS (SELECT g AS bucket, ((g * 2654435761) % 2001) - 1000 AS weight
+            FROM (SELECT UNNEST(RANGE(0, 4096)) AS g)),
+      m AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(COALESCE(weight, 0)) AS margin
+            FROM b LEFT JOIN w USING (bucket) GROUP BY 1)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        (CAST(margin AS DOUBLE) / 1000.0) / n_tokens AS score,
+        CAST(((CAST(margin AS DOUBLE) / 1000.0) / n_tokens > 0) AS BIGINT) AS label
+      FROM m ORDER BY doc_id""",
 
     // replays the 12-token re-chunking, elects each paragraph's keeper by
     // ROW_NUMBER over (doc, pos) — identical to the engine's min-struct

@@ -287,6 +287,45 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("dfreq"), col("dl"), col("bm25"))
   }
 
+  /** Hashed-linear document scorer — the fastText/CCNet-style quality
+    * classifier shape: each token hashes into one of `nBuckets` feature
+    * buckets, the model is a `(bucket, weight)` table, and a document's
+    * score is the mean bucket weight over its tokens. This is how
+    * production corpus filters actually run (a linear model over hashed
+    * bag-of-words features, trained offline, applied at full corpus
+    * scale); the training step is out of scope — `weights` is any table
+    * with `bucket: BIGINT` and `weight: BIGINT` columns.
+    *
+    * Weights are FIXED-POINT integers (`weight` = real weight × `scale`),
+    * so the per-document accumulation is exact integer arithmetic —
+    * partial-aggregation order can't perturb it, and the score replays
+    * bit-for-bit on any engine: the only IEEE operations are the final
+    * `(margin / scale) / n_tokens`, in that fixed association order.
+    *
+    * Shape at 100 TB: the model rides a BROADCAST (nBuckets rows — 2²⁰
+    * buckets is ~16 MB); tokens bucket via the codegen'd
+    * [[graft.functions.PolyHash56]] and join the model MAP-SIDE, then ONE
+    * document-keyed shuffle with map-side partial sums carries 16 bytes
+    * per doc. Documents with zero tokens produce no row (nothing to
+    * average). */
+  def hashedLinearScore(df: DataFrame, weights: DataFrame,
+      textCol: String, idCol: String, nBuckets: Int,
+      scale: Long = 1000L): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    toks
+      .withColumn("bucket", pmod(graft.functions.PolyHash56(col("tok")), lit(nBuckets.toLong)))
+      .join(broadcast(weights.select(col("bucket"), col("weight"))), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("weight"), lit(0L))).as("__margin"))
+      .withColumn("score",
+        (col("__margin").cast("double") / lit(scale.toDouble)) / col("n_tokens").cast("double"))
+      .select(col(idCol), col("n_tokens"), col("score"),
+        (col("score") > 0).cast("int").as("label"))
+  }
+
   /** Full-text retrieval: top-`k` documents per query, ranked by summed
     * Okapi BM25 over the query's terms — the classic sparse-retrieval
     * ranker ([[bm25]] scores a (doc, term) matrix; this composes it into

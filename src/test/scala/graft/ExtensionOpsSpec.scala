@@ -197,6 +197,27 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(capped.exceptAll(un).isEmpty && un.exceptAll(capped).isEmpty)
   }
 
+  test("hashedLinearScore: broadcast model, sparse buckets score zero, exact mean") {
+    import spark.implicits._
+    import graft.functions.PolyHash56
+    val corpus = Seq((1L, "good good"), (2L, "bad"), (3L, "good unknown")).toDF("doc_id", "text")
+    val nB = 64
+    val bucketOf = (t: String) => java.lang.Math.floorMod(PolyHash56.hash(t), nB.toLong)
+    // sparse model: only 'good' (+2.0) and 'bad' (-1.5) carry weight
+    val weights = Seq((bucketOf("good"), 2000L), (bucketOf("bad"), -1500L))
+      .toDF("bucket", "weight")
+    val out = TextAnalysis.hashedLinearScore(corpus, weights, "text", "doc_id", nB)
+    val m = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(m(1L) == ((2L, 2.0, 1)))
+    assert(m(2L) == ((1L, -1.5, 0)))
+    // the unmodeled token counts toward n but contributes weight 0
+    assert(m(3L) == ((2L, 1.0, 1)))
+    // the model must ride a broadcast — never a shuffled join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("contamination report quantifies partial benchmark leaks") {
     val bench = Seq((100L, "what is the capital of france paris obviously"))
       .toDF("doc_id", "text")
