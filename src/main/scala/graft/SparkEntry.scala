@@ -1085,6 +1085,33 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    // open-vocabulary heavy hitters: a deterministic skewed stream (two
+    // ~25%-share items + a ~997-item tail) through the bounded-memory
+    // Misra-Gries sketch; the contract checks the sketch's PROVEN
+    // guarantees against exact counts on the real 32-partition execution —
+    // presence above n/(m+1) and the two-sided [count-error, count] bound
+    "x70_heavy_hitters" -> ((s, dir) => {
+      reg(s, dir)
+      val m = 64
+      val stream = s.table("events").select(
+        when(pmod(col("event_id"), lit(4)) < 2,
+          concat(lit("heavy_"), pmod(col("event_id"), lit(2)).cast("string")))
+        .otherwise(concat(lit("tail_"), pmod(col("event_id"), lit(997)).cast("string")))
+        .as("item"))
+      val sketch = stream.agg(
+        graft.functions.FrequentItemsAgg.frequentItems(col("item"), m).as("sk"),
+        count(lit(1)).as("n"))
+      val exact = stream.groupBy("item").agg(count(lit(1)).as("exact_count"))
+      exact.crossJoin(broadcast(sketch))
+        .filter(col("exact_count") * (m + 1) > col("n"))
+        .select(col("item"), col("exact_count").cast("long").as("exact_count"),
+          exists(col("sk"), x => x("term") === col("item")).as("in_sketch"),
+          exists(col("sk"), x => x("term") === col("item") &&
+            x("count") >= col("exact_count") &&
+            x("count") - x("error") <= col("exact_count")).as("bounds_ok"))
+        .orderBy("item")
+    }),
+
     // fastText-shaped corpus filter: tokens hash into 4096 buckets, the
     // "model" is a deterministic (bucket, fixed-point weight) table, and a
     // doc's score is the mean bucket weight — exact integer margins make
@@ -3567,6 +3594,22 @@ object SparkEntry {
       FROM tf t JOIN dfr d USING (term) JOIN lens l USING (doc_id), st
       WHERE t.tf >= 4
       ORDER BY t.doc_id, t.term""",
+
+    // the sketch side cannot be replayed (content below the guarantee
+    // threshold depends on the partition split); the contract is the
+    // q23-style envelope: exact counts + the guarantee booleans, which
+    // the Misra-Gries theorems force to TRUE on every valid execution
+    "x70_heavy_hitters" -> """
+      WITH stream AS (
+        SELECT CASE WHEN event_id % 4 < 2
+                 THEN 'heavy_' || CAST(event_id % 2 AS VARCHAR)
+                 ELSE 'tail_' || CAST(event_id % 997 AS VARCHAR) END AS item
+        FROM events),
+      ex AS (SELECT item, COUNT(*) AS exact_count FROM stream GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n FROM stream)
+      SELECT item, CAST(exact_count AS BIGINT) AS exact_count,
+             TRUE AS in_sketch, TRUE AS bounds_ok
+      FROM ex, n WHERE exact_count * 65 > n ORDER BY item""",
 
     // replays the token bucketing (PolyHash56 % 4096), the synthesized
     // fixed-point model, and the exact integer margin sum; IEEE math only

@@ -68,7 +68,14 @@ object GraftFunctions {
     // AggregateExpression itself, so the builder returns the bare function
     (FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "simhash_agg(token_hash) - 64-bit SimHash signature of the group"),
-      es => { arity("simhash_agg", 1, es); SimHashAgg(es.head) })
+      es => { arity("simhash_agg", 1, es); SimHashAgg(es.head) }),
+
+    (FunctionIdentifier("frequent_items_agg"),
+      info("frequent_items_agg",
+        "frequent_items_agg(item, m) - m-counter Misra-Gries heavy-hitter summary"),
+      es => { arity("frequent_items_agg", 2, es)
+        require(es(1).foldable, "frequent_items_agg capacity must be a literal")
+        FrequentItemsAgg(es.head, es(1).eval().asInstanceOf[Number].intValue) })
   )
 
   /** Register every graft function into a live session (idempotent — a

@@ -42,6 +42,42 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty)
   }
 
+  test("frequent_items_agg: exact when vocab fits; guarantees hold under any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.FrequentItemsAgg
+    // vocab fits the capacity and n < m+1 → zero error, exact counts
+    val tiny = Seq("a", "a", "b", "c").toDF("item")
+    val exactRows = tiny.agg(FrequentItemsAgg.frequentItems(col("item"), 10).as("sk"))
+      .select(explode(col("sk")).as("e")).select("e.term", "e.count", "e.error")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exactRows.toSeq == Seq(("a", 2L, 0L), ("b", 1L, 0L), ("c", 1L, 0L)),
+      "order (count desc, term asc), exact counts, zero error")
+
+    // skewed stream, capacity << vocab: the heavy item must survive with a
+    // bracketing interval, no matter how the stream is partitioned
+    val stream = spark.range(10000).select(
+      when(col("id") % 3 === 0, lit("heavy"))
+        .otherwise(concat(lit("t"), (col("id") % 911).cast("string"))).as("item"))
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = stream.repartition(parts)
+        .agg(FrequentItemsAgg.frequentItems(col("item"), 16).as("sk"))
+        .select(explode(col("sk")).as("e")).select("e.term", "e.count", "e.error")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(sk.contains("heavy"), s"true share 1/3 >> n/17 must survive $parts partitions")
+      val (c, e) = sk("heavy")
+      assert(c >= 3334L && c - e <= 3334L, s"interval must bracket the true count at $parts partitions")
+      assert(sk.size <= 16, "capacity bound")
+    }
+
+    // SQL surface
+    GraftFunctions.register(spark)
+    stream.createOrReplaceTempView("gf_stream")
+    val viaSql = spark.sql(
+      "SELECT frequent_items_agg(item, 16) AS sk FROM gf_stream").head()
+    assert(viaSql.getSeq[org.apache.spark.sql.Row](0).exists(_.getString(0) == "heavy"))
+  }
+
   test("GraftExtensions injects the same function table at session build") {
     // exercised structurally: the extension applies the identical specs
     // list injectFunction consumes (a second live session would need its
@@ -49,7 +85,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     assert(GraftFunctions.specs.map(_._1.funcName).toSet ==
-      Set("poly_hash56", "dot_f32", "cosine_f32", "hamming64", "simhash_agg"))
+      Set("poly_hash56", "dot_f32", "cosine_f32", "hamming64", "simhash_agg",
+        "frequent_items_agg"))
   }
 
   test("custom scalar functions stay inside whole-stage codegen") {
