@@ -24,9 +24,11 @@ import graft.sources.VersionedParquet
   *   - commits the new state back as a versioned table — so the
   *     aggregate itself gets snapshot isolation and time travel.
   *
-  * The refresh high-water mark rides IN the state rows (`_src_version`):
-  * state and watermark commit atomically together, so a crash between
-  * "state written" and "watermark written" cannot double-apply a delta.
+  * The refresh high-water mark rides in the state commit itself — in the
+  * manifest metadata (read without a Spark job) AND in the state rows
+  * (`_src_version`): one atomic rename publishes state and watermark
+  * together, so a crash between "state written" and "watermark written"
+  * cannot double-apply a delta.
   * An empty/missing state falls back to replaying the full feed from
   * version −1 onto nothing — which rebuilds the exact state, so recovery
   * is always "just call refresh again".
@@ -40,14 +42,26 @@ object IncrementalAgg {
 
   val SrcVersion = "_src_version"
 
-  /** Current high-water mark of `statePath` (−1 if absent/empty). */
-  def watermark(spark: SparkSession, statePath: String): Long =
-    if (VersionedParquet.versions(statePath).isEmpty) -1L
-    else {
-      val st = VersionedParquet.read(spark, statePath)
-      if (st.isEmpty) -1L
-      else st.agg(max(col(SrcVersion))).head().getLong(0)
+  /** Current high-water mark of `statePath` (−1 if absent/empty).
+    *
+    * Fast path: the mark rides the state commit's MANIFEST metadata
+    * ([[VersionedParquet.commitMeta]]) — reading it is a log lookup, no
+    * Spark job, no state-file open. States written before the metadata
+    * channel existed fall back to scanning the `_src_version` column
+    * (which every refresh still writes — the rows and the manifest are
+    * published by the same atomic rename, so the two can never
+    * disagree). */
+  def watermark(spark: SparkSession, statePath: String): Long = {
+    val vs = VersionedParquet.versions(statePath)
+    if (vs.isEmpty) -1L
+    else VersionedParquet.commitMeta(statePath, vs.max).get(SrcVersion) match {
+      case Some(v) => v.toLong
+      case None =>
+        val st = VersionedParquet.read(spark, statePath)
+        if (st.isEmpty) -1L
+        else st.agg(max(col(SrcVersion))).head().getLong(0)
     }
+  }
 
   /** Refresh sum/count aggregates of `sourcePath` grouped by `keyCols`
     * into `statePath`. Returns the source version the state now reflects
@@ -69,7 +83,7 @@ object IncrementalAgg {
     val next = combined
       .filter(col("cnt") > 0)
       .withColumn(SrcVersion, lit(latest))
-    VersionedParquet.write(next, statePath, "overwrite")
+    VersionedParquet.write(next, statePath, "overwrite", Map(SrcVersion -> latest.toString))
     latest
   }
 

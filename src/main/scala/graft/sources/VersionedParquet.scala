@@ -152,7 +152,27 @@ object VersionedParquet {
     dead.size
   }
 
-  def write(df: DataFrame, path: String, mode: String): Unit = {
+  /** Commit-level metadata of `version` (empty for commits written before
+    * metadata existed, or when none was attached). Reading it is a log
+    * lookup — NO Spark job, no data-file open: the cheap channel for
+    * transactional bookkeeping like [[graft.operators.IncrementalAgg]]'s
+    * refresh watermark (the same role Delta's `txn` action plays). */
+  def commitMeta(path: String, version: Long): Map[String, String] = {
+    val txt = new String(Files.readAllBytes(logDir(path).resolve(s"$version.json")), "UTF-8")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(txt)
+    Option(node.get("meta")).map { m =>
+      m.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+  }
+
+  def write(df: DataFrame, path: String, mode: String): Unit =
+    write(df, path, mode, Map.empty[String, String])
+
+  /** Like [[write]], with `meta` key-values embedded in the commit
+    * manifest itself — state and bookkeeping become atomic by
+    * construction (one rename publishes both). */
+  def write(df: DataFrame, path: String, mode: String, meta: Map[String, String]): Unit = {
     mode.toLowerCase match {
       case "append" | "overwrite" =>
       case m => sys.error(s"versioned table supports append|overwrite, got '$m'")
@@ -176,9 +196,14 @@ object VersionedParquet {
         if (mode.equalsIgnoreCase("append"))
           versions(path).filter(_ < next).lastOption.map(manifestFiles(path, _)).getOrElse(Nil)
         else Nil
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val metaJson =
+        if (meta.isEmpty) ""
+        else meta.toSeq.sorted.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+          .mkString(""", "meta": {""", ",", "}")
       val manifest = (carried ++ newFiles)
-        .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .mkString("""{"version": """ + next + """, "files": [""", ",", "]}")
+        .map(f => "\"" + esc(f) + "\"")
+        .mkString("""{"version": """ + next + """, "files": [""", ",", "]" + metaJson + "}")
       val staged = Files.createTempFile(logDir(path), s".$next", ".staging")
       Files.writeString(staged, manifest)
       Files.move(staged, logDir(path).resolve(s"$next.json"), StandardCopyOption.ATOMIC_MOVE)

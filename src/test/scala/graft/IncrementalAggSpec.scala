@@ -52,6 +52,29 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(stateMap(st) === Map(1L -> ((2L, 3L)), 2L -> ((1L, 3L))))
   }
 
+  test("watermark rides the commit manifest (no scan); pre-metadata states fall back to rows") {
+    val base = tmp(); val src = s"$base/s"; val st = s"$base/t"
+    VersionedParquet.write(Seq((1L, 1L)).toDF("k", "v"), src, "overwrite")
+    VersionedParquet.write(Seq((2L, 2L)).toDF("k", "v"), src, "append")
+    IncrementalAgg.refresh(spark, src, st, Seq("k"), Seq("v"))
+    // the mark is in the manifest metadata, atomically with the state
+    val stV = VersionedParquet.versions(st).max
+    assert(VersionedParquet.commitMeta(st, stV) ===
+      Map(IncrementalAgg.SrcVersion -> "1"))
+    assert(IncrementalAgg.watermark(spark, st) === 1L)
+    // a state written WITHOUT metadata (pre-upgrade layout) still resolves
+    // through the _src_version rows — and the next refresh re-publishes meta
+    val rows = VersionedParquet.read(spark, st)
+    VersionedParquet.write(rows, st, "overwrite") // meta-less commit
+    assert(VersionedParquet.commitMeta(st, VersionedParquet.versions(st).max) === Map.empty)
+    assert(IncrementalAgg.watermark(spark, st) === 1L, "row fallback")
+    VersionedParquet.write(Seq((3L, 3L)).toDF("k", "v"), src, "append")
+    IncrementalAgg.refresh(spark, src, st, Seq("k"), Seq("v"))
+    assert(VersionedParquet.commitMeta(st, VersionedParquet.versions(st).max) ===
+      Map(IncrementalAgg.SrcVersion -> "2"))
+    assert(stateMap(st) === Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+  }
+
   test("incrementalAggInsert load type folds each written batch into the state") {
     val base = tmp(); val st = s"$base/t"
     val sink = graft.config.SinkSpec(dataFrameName = "agg", loadType = "incrementalAggInsert",
