@@ -40,9 +40,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * At 100 TB: the exact alternative shuffles one row per DISTINCT item
   * ([[graft.x.TextAnalysis.topTermsPerGroup]] is fine when the
   * vocabulary fits a shuffle; an open-vocabulary stream's does not).
-  * This sketch moves m counters per map task, period. Tracked-item
-  * updates are O(1); the decrement path and the merge truncation are
-  * O(m) — keep m in the 10²-10⁴ range, the usual operating point.
+  * This sketch moves m counters per map task, period. Updates are
+  * amortized O(1): instead of the classic per-miss decrement sweep, the
+  * map grows to 2m and overflow triggers ONE truncation per ≥m
+  * insertions (the DataSketches purge strategy) — and since that
+  * truncation is exactly the merge's, every operation stays an instance
+  * of the mergeable-summaries merge, bounds unchanged (delaying
+  * truncation only lowers error).
   *
   * Summary CONTENT below the n/(m+1) threshold legitimately depends on
   * the partition split; consumers rely on the guaranteed items and the
@@ -76,14 +80,24 @@ case class FrequentItemsAgg(
       val item = v.asInstanceOf[UTF8String].toString
       buf.counts.get(item) match {
         case Some(c) => buf.counts.update(item, c + 1)
-        case None if buf.counts.size < capacity => buf.counts.update(item, 1L)
         case None =>
-          // classic Misra-Gries step: the newcomer and every counter pay 1
-          buf.counts.mapValuesInPlace((_, c) => c - 1)
-          buf.counts.filterInPlace((_, c) => c > 0)
+          buf.counts.update(item, 1L)
+          if (buf.counts.size > capacity * 2) truncate(buf.counts)
       }
     }
     buf
+  }
+
+  /** Subtract the (m+1)-th largest count from every counter and drop the
+    * non-positive ones — at most m counters can exceed that value, so
+    * the survivor set fits by construction. This is the one truncation
+    * primitive everything uses (merge, update overflow, eval), which is
+    * what keeps the proof obligations to a single operation. */
+  private def truncate(counts: mutable.HashMap[String, Long]): Unit = {
+    val v = counts.valuesIterator.toArray.sortBy(-_).apply(capacity)
+    counts.mapValuesInPlace((_, c) => c - v)
+    counts.filterInPlace((_, c) => c > 0)
+    ()
   }
 
   override def merge(buf: Summary, other: Summary): Summary = {
@@ -92,17 +106,14 @@ case class FrequentItemsAgg(
     other.counts.foreach { case (k, c) =>
       buf.counts.update(k, buf.counts.getOrElse(k, 0L) + c)
     }
-    if (buf.counts.size > capacity) {
-      // subtract the (m+1)-th largest combined count everywhere; at most m
-      // counters can exceed it, so the survivor set fits by construction
-      val v = buf.counts.valuesIterator.toArray.sortBy(-_).apply(capacity)
-      buf.counts.mapValuesInPlace((_, c) => c - v)
-      buf.counts.filterInPlace((_, c) => c > 0)
-    }
+    if (buf.counts.size > capacity * 2) truncate(buf.counts)
     buf
   }
 
   override def eval(buf: Summary): Any = {
+    // the working map runs to 2m between purges; the OUTPUT honors the
+    // m-counter contract
+    if (buf.counts.size > capacity) truncate(buf.counts)
     val err = buf.n / (capacity + 1)
     val sorted = buf.counts.toSeq.sortBy { case (k, c) => (-c, k) }
     new GenericArrayData(sorted.map { case (k, c) =>

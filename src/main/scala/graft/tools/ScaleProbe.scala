@@ -434,6 +434,62 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // paragraph-dedup probe: copies keep their text VERBATIM, so every
+    // paragraph's election group grows ∝ K — the mass-duplication worst
+    // case (boilerplate everywhere). The plan reduces each group with a
+    // min, never a self-join, so growth must stay linear even here.
+    if (on("paradedup")) Seq(1, 4, 16).foreach { k =>
+      val withParas = docs.withColumn("text",
+        regexp_replace(col("text"), "((\\S+\\s+){11}\\S+)\\s+", "$1\n\n"))
+      val inflated = (0 until k).map(i =>
+        withParas.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      var kept = 0L
+      val times = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        kept = Dedup.paragraphDedup(inflated, "text", "doc_id")
+          .agg(sum("kept_paras")).head().getLong(0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scale-paradedup] docs=$n%7d  dedup=${times.min}%6.2fs  kept=$kept")
+      spark.catalog.clearCache()
+    }
+
+    // heavy-hitter probe: stream grows K× AND the tail vocabulary grows
+    // with it (open vocabulary — the regime the sketch exists for). The
+    // sketch moves m counters per map task regardless of vocab; the exact
+    // top-k it replaces shuffles one row per distinct item. Both are
+    // linear in stream length here, but the exact path's shuffle rows
+    // grow with vocab while the sketch's stay constant — that gap is the
+    // printed evidence.
+    if (on("heavyhitters")) Seq(1, 4, 16).foreach { k =>
+      val n0 = 1000000L
+      // no checkpoint: the source is a codegen'd range (no storage to warm,
+      // nothing cached to pressure the heap at 16M rows); both timed paths
+      // pay the identical generation cost
+      val stream = spark.range(0, n0 * k, 1, 32).select(
+        when(col("id") % 4 < 2, concat(lit("h"), (col("id") % 8).cast("string")))
+          .otherwise(concat(lit("t"), (col("id") % (50000L * k)).cast("string")))
+          .as("item"))
+      val n = n0 * k
+      val t0 = System.nanoTime()
+      val sk = stream.agg(
+        graft.functions.FrequentItemsAgg.frequentItems(col("item"), 256).as("sk"))
+        .select(size(col("sk"))).head().getInt(0)
+      val tSketch = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val exactRows = stream.groupBy("item").count()
+        .orderBy(col("count").desc, col("item")).limit(256).count()
+      val tExact = (System.nanoTime() - t1) / 1e9
+      println(f"[scale-hh] n=$n%9d vocab~${50000L * k + 8}%8d  " +
+        f"sketch=$tSketch%6.2fs (counters=$sk)  exact_topk=$tExact%6.2fs (rows=$exactRows)")
+      spark.catalog.clearCache()
+      // localCheckpoint blocks outlive catalog.clearCache — drop them so the
+      // next (bigger) round isn't timed under this round's storage pressure
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+
     if (on("lsh")) factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus
