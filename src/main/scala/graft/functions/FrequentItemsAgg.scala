@@ -77,27 +77,9 @@ case class FrequentItemsAgg(
     val v = child.eval(input)
     if (v != null) {
       buf.n += 1
-      val item = v.asInstanceOf[UTF8String].toString
-      buf.counts.get(item) match {
-        case Some(c) => buf.counts.update(item, c + 1)
-        case None =>
-          buf.counts.update(item, 1L)
-          if (buf.counts.size > capacity * 2) truncate(buf.counts)
-      }
+      FrequentItemsAgg.mgObserve(buf.counts, v.asInstanceOf[UTF8String].toString, capacity)
     }
     buf
-  }
-
-  /** Subtract the (m+1)-th largest count from every counter and drop the
-    * non-positive ones — at most m counters can exceed that value, so
-    * the survivor set fits by construction. This is the one truncation
-    * primitive everything uses (merge, update overflow, eval), which is
-    * what keeps the proof obligations to a single operation. */
-  private def truncate(counts: mutable.HashMap[String, Long]): Unit = {
-    val v = counts.valuesIterator.toArray.sortBy(-_).apply(capacity)
-    counts.mapValuesInPlace((_, c) => c - v)
-    counts.filterInPlace((_, c) => c > 0)
-    ()
   }
 
   override def merge(buf: Summary, other: Summary): Summary = {
@@ -106,14 +88,14 @@ case class FrequentItemsAgg(
     other.counts.foreach { case (k, c) =>
       buf.counts.update(k, buf.counts.getOrElse(k, 0L) + c)
     }
-    if (buf.counts.size > capacity * 2) truncate(buf.counts)
+    if (buf.counts.size > capacity * 2) FrequentItemsAgg.mgTruncate(buf.counts, capacity)
     buf
   }
 
   override def eval(buf: Summary): Any = {
     // the working map runs to 2m between purges; the OUTPUT honors the
     // m-counter contract
-    if (buf.counts.size > capacity) truncate(buf.counts)
+    if (buf.counts.size > capacity) FrequentItemsAgg.mgTruncate(buf.counts, capacity)
     val err = buf.n / (capacity + 1)
     val sorted = buf.counts.toSeq.sortBy { case (k, c) => (-c, k) }
     new GenericArrayData(sorted.map { case (k, c) =>
@@ -156,6 +138,34 @@ case class FrequentItemsAgg(
 object FrequentItemsAgg {
   /** Mutable aggregation state: observation total + the m-counter map. */
   final class Summary(var n: Long, val counts: mutable.HashMap[String, Long])
+
+  /** One Misra-Gries observation: tracked items increment; a newcomer
+    * inserts at 1 and an overflow past 2m triggers one [[mgTruncate]] —
+    * amortized O(1) per observation. Shared by the batch aggregate and
+    * the stateful-streaming job ([[graft.streaming.StreamingJobs
+    * .statefulHeavyHitters]]), so there is exactly one sketch
+    * implementation to trust. */
+  def mgObserve(counts: mutable.HashMap[String, Long], item: String,
+      capacity: Int): Unit =
+    counts.get(item) match {
+      case Some(c) => counts.update(item, c + 1)
+      case None =>
+        counts.update(item, 1L)
+        if (counts.size > capacity * 2) mgTruncate(counts, capacity)
+    }
+
+  /** Subtract the (m+1)-th largest count from every counter and drop the
+    * non-positive ones — at most m counters can exceed that value, so
+    * the survivor set fits by construction. This is the ONE truncation
+    * primitive everything uses (merge, update overflow, eval, streaming
+    * snapshot), which keeps the proof obligations to a single
+    * operation. */
+  def mgTruncate(counts: mutable.HashMap[String, Long], capacity: Int): Unit = {
+    val v = counts.valuesIterator.toArray.sortBy(-_).apply(capacity)
+    counts.mapValuesInPlace((_, c) => c - v)
+    counts.filterInPlace((_, c) => c > 0)
+    ()
+  }
 
   /** Aggregate Column: the m-counter frequent-items summary of `item`, as
     * array<struct<term, count, error>> sorted by (count desc, term) —

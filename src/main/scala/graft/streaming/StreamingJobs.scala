@@ -163,6 +163,58 @@ object StreamingJobs {
       joinType: String = "left"): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, joinType)
 
+  /** Per-group state of [[statefulHeavyHitters]]: observation total +
+    * the Misra-Gries counter map (bounded at 2·capacity between purges). */
+  final case class HHState(n: Long, counts: Map[String, Long])
+  /** One tracked counter in the group's current summary. `count` upper-
+    * bounds the item's true frequency in the stream so far, `count -
+    * error` lower-bounds it; any item with true frequency > n/(m+1) is
+    * guaranteed tracked (the [[graft.functions.FrequentItemsAgg]]
+    * guarantees, which survive incremental maintenance — each micro-batch
+    * is just more observations on the same summary). */
+  final case class HHSnapshot(group: String, n: Long, term: String,
+      count: Long, error: Long)
+
+  /** Continuously-maintained heavy hitters per group: the
+    * [[graft.functions.FrequentItemsAgg]] Misra-Gries summary held as
+    * flatMapGroupsWithState state, re-emitted (Update mode) for every
+    * group that saw traffic in the micro-batch. The streaming form of
+    * "top URLs / user agents / error keys right now" over an open
+    * vocabulary — per-group state is m..2m counters FOREVER, regardless
+    * of stream length or vocabulary, which is the whole point: an exact
+    * streaming groupBy(item).count() holds one state row per distinct
+    * item and dies on an unbounded domain.
+    *
+    * Observations run through the SAME `mgObserve`/`mgTruncate`
+    * primitives as the batch aggregate — one sketch implementation, one
+    * set of proofs; emitted snapshots are truncated to m counters and
+    * carry the same (count, error) interval semantics as x70. */
+  def statefulHeavyHitters(spark: SparkSession, items: DataFrame,
+      groupCol: String, itemCol: String, capacity: Int):
+      org.apache.spark.sql.Dataset[HHSnapshot] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.FrequentItemsAgg.{mgObserve, mgTruncate}
+    items
+      .select(col(groupCol).cast("string"), col(itemCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HHState, HHSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[(String, String)], state: GroupState[HHState]) =>
+          val prev = state.getOption.getOrElse(HHState(0L, Map.empty))
+          val counts = scala.collection.mutable.HashMap.empty[String, Long] ++ prev.counts
+          var n = prev.n
+          rows.foreach { case (_, item) => n += 1; mgObserve(counts, item, capacity) }
+          state.update(HHState(n, counts.toMap))
+          val out = counts.clone()
+          if (out.size > capacity) mgTruncate(out, capacity)
+          val err = n / (capacity + 1)
+          out.toSeq.sortBy { case (k, c) => (-c, k) }.iterator
+            .map { case (k, c) => HHSnapshot(group, n, k, c + err, err) }
+      }
+  }
+
   /** Run any transformed stream into the batch sink machinery per
     * micro-batch — this is how scdType2Insert works in streaming mode. */
   def startForeachBatch(stream: DataFrame, sink: SinkSpec,

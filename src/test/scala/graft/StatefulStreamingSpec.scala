@@ -60,6 +60,43 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(emitted.count() >= ref.count() - openPerUser)
   }
 
+  test("statefulHeavyHitters keeps MG guarantees across micro-batches with bounded state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-hh").toString
+    // batch 1: group A — heavy 'x' (6/10) over a small tail
+    (Seq.fill(6)(("A", "x")) ++ Seq("y1", "y2", "y3", "y4").map(("A", _)))
+      .toDF("grp", "item").coalesce(1).write.mode("overwrite").parquet(s"$dir/b")
+    // batch 2: more A traffic (x now 16/30) + a brand-new group B
+    (Seq.fill(10)(("A", "x")) ++ (1 to 10).map(i => ("A", s"z$i")) :+ (("B", "only")))
+      .toDF("grp", "item").coalesce(1).write.mode("append").parquet(s"$dir/b")
+    import scala.jdk.CollectionConverters._
+    val parts = Files.list(java.nio.file.Paths.get(s"$dir/b")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(Files.getLastModifiedTime(_))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 1000))
+    }
+    val schema = spark.read.parquet(s"$dir/b").schema
+    val stream = StreamingJobs.fileStream(spark, s"$dir/b", schema, maxFilesPerTrigger = 1)
+    val hh = StreamingJobs.statefulHeavyHitters(spark, stream, "grp", "item", capacity = 4)
+    val q = hh.writeStream.outputMode("update")
+      .format("memory").queryName("hh_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("hh_stream")
+    // group A's final snapshot reflects BOTH batches (state carried over)
+    val latestA = out.filter(col("group") === "A" && col("n") === 30)
+    assert(latestA.count() > 0, "second-batch snapshot must exist with cumulative n")
+    assert(latestA.count() <= 4, "snapshot honors the m-counter contract")
+    // true(x) = 16 > n/(m+1) = 6 → guaranteed tracked, with bracketing bounds
+    val x = latestA.filter(col("term") === "x").head()
+    assert(x.getAs[Long]("count") >= 16L &&
+      x.getAs[Long]("count") - x.getAs[Long]("error") <= 16L)
+    // a group born in batch 2 starts its own summary: exact at tiny n
+    val b = out.filter(col("group") === "B").head()
+    assert(b.getAs[Long]("n") == 1L && b.getAs[String]("term") == "only" &&
+      b.getAs[Long]("count") == 1L && b.getAs[Long]("error") == 0L)
+  }
+
   test("sql file path works as a transformation step (spark.json:57)") {
     val tmp = Files.createTempDirectory("graft-sqlfile").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/step.sql"),
