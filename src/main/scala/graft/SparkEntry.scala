@@ -1085,6 +1085,17 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    // mixture-design input: per-language doc/token totals with exact
+    // shares and cumulative share in descending-token order
+    "x71_token_budget" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.tokenBudget(s.table("documents"), "text", Seq("lang"))
+        .select(col("lang"), col("docs").cast("long").as("docs"),
+          col("tokens").cast("long").as("tokens"),
+          col("share"), col("cum_share"), col("rank").cast("long").as("rank"))
+        .orderBy("rank")
+    }),
+
     // open-vocabulary heavy hitters: a deterministic skewed stream (two
     // ~25%-share items + a ~997-item tail) through the bounded-memory
     // Misra-Gries sketch; the contract checks the sketch's PROVEN
@@ -3594,6 +3605,26 @@ object SparkEntry {
       FROM tf t JOIN dfr d USING (term) JOIN lens l USING (doc_id), st
       WHERE t.tf >= 4
       ORDER BY t.doc_id, t.term""",
+
+    // shares replay exactly: BIGINT token totals divided in the same
+    // association order on both engines
+    "x71_token_budget" -> """
+      WITH g AS (
+        SELECT lang, COUNT(*) AS docs,
+          SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                   ELSE LEN(STR_SPLIT_REGEX(TRIM(text), '\s+')) END) AS tokens
+        FROM documents GROUP BY 1),
+      t AS (SELECT SUM(tokens) AS total FROM g),
+      r AS (SELECT lang, docs, tokens,
+              SUM(tokens) OVER (ORDER BY tokens DESC, lang
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              ROW_NUMBER() OVER (ORDER BY tokens DESC, lang) AS rank
+            FROM g)
+      SELECT lang, CAST(docs AS BIGINT) AS docs, CAST(tokens AS BIGINT) AS tokens,
+             CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+             CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+             CAST(rank AS BIGINT) AS rank
+      FROM r, t ORDER BY rank""",
 
     // the sketch side cannot be replayed (content below the guarantee
     // threshold depends on the partition split); the contract is the

@@ -287,6 +287,39 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("dfreq"), col("dl"), col("bm25"))
   }
 
+  /** Training-budget accounting: per-group document/token totals with
+    * exact token shares and the cumulative share in descending-token
+    * order — the report a mixture designer reads before setting sampling
+    * weights ("the top 3 sources are 80% of the tokens"), and the input
+    * [[graft.x.Sampling.mixtureRebalance]] / `temperatureRebalance`
+    * targets are derived from.
+    *
+    * Shape at 100 TB: ONE corpus aggregation with map-side partials (the
+    * token count is a codegen'd expression, not a tokenize-explode);
+    * everything after runs on the #groups-row result — groups are
+    * sources/languages/domains by contract (thousands, not millions), so
+    * the single-partition ranking window is driver-sized work. Shares
+    * divide exact BIGINT totals in one fixed association order, so every
+    * column replays engine-exact. */
+  def tokenBudget(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "token budget needs at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("tokens"))
+    val ord = col("tokens").desc +: groupCols.map(col(_).asc)
+    val cum = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__total", sum("tokens").over(Window.partitionBy()))
+      .withColumn("share", col("tokens").cast("double") / col("__total").cast("double"))
+      .withColumn("cum_share",
+        sum("tokens").over(cum).cast("double") / col("__total").cast("double"))
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+      .select(groupCols.map(col) ++ Seq(col("docs"), col("tokens"),
+        col("share"), col("cum_share"), col("rank")): _*)
+  }
+
   /** Hashed-linear document scorer — the fastText/CCNet-style quality
     * classifier shape: each token hashes into one of `nBuckets` feature
     * buckets, the model is a `(bucket, weight)` table, and a document's

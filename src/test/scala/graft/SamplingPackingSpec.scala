@@ -143,6 +143,22 @@ class SamplingPackingSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("tokenBudget: shares sum to 1, cumulative share is monotone, rank follows tokens desc") {
+    val out = TextAnalysis.tokenBudget(docs, "text", Seq("lang"))
+      .orderBy("rank").collect()
+    assert(out.nonEmpty)
+    val shares = out.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    val cums = out.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(cums.last - 1.0) < 1e-9)
+    val toks = out.map(_.getAs[Long]("tokens"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b },
+      "rank order must be descending tokens")
+    // docs are conserved across the report
+    assert(out.map(_.getAs[Long]("docs")).sum == docs.count())
+  }
+
   test("bm25TopK: a doc's own distinctive text retrieves it first; repeated query terms don't double-weight") {
     import spark.implicits._
     val corpus = Seq(
