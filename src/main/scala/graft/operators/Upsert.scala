@@ -42,4 +42,40 @@ object Upsert {
       }
     VersionedParquet.write(next, path, "overwrite")
   }
+
+  /** The same MERGE semantics against a REAL Delta Lake table
+    * ([[graft.sources.DeltaLogReader]]/[[graft.sources.DeltaLogWriter]]):
+    * read the current snapshot from the transaction log, anti-join +
+    * union exactly like [[upsert]], and publish the merged table as ONE
+    * overwrite commit — previous files are tombstoned by `remove`
+    * actions, so time travel to every pre-merge version keeps working
+    * and any spec-compliant Delta reader sees the merge atomically.
+    *
+    * This is copy-on-write MERGE at table granularity — correct always,
+    * and the right tool for dimension-sized Delta tables. The
+    * production-scale refinement is FILE-level copy-on-write (rewrite
+    * only data files whose per-file key min/max overlap the batch,
+    * carried in `add.stats`); our writer records no stats by declared
+    * scope, so that pruning is out of reach here and documented rather
+    * than half-done. A first call on a non-table seeds it (initial
+    * commit = the batch). */
+  def upsertDelta(spark: SparkSession, batch: DataFrame, path: String,
+      keyCols: Seq[String],
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): Long = {
+    require(keyCols.nonEmpty, "upsert needs business keys")
+    import graft.sources.{DeltaLogReader, DeltaLogWriter}
+    val next =
+      if (!DeltaLogReader.isDeltaTable(path)) batch
+      else {
+        val current = DeltaLogReader.read(spark, path)
+        val keys = batch.select(keyCols.map(col): _*).distinct()
+        current.join(broadcast(keys), keyCols, "left_anti").unionByName(batch)
+      }
+    // the merged frame re-reads the files the commit is about to
+    // tombstone — materialize it BEFORE publishing (same self-overwrite
+    // hazard the SCD2 bucketed rewrite stages against; pass a durable
+    // PathStaging on a cluster so executor loss mid-commit can't lose it)
+    val staged = staging.stage(next, "delta_upsert")
+    DeltaLogWriter.write(staged, path, "overwrite")
+  }
 }

@@ -90,6 +90,28 @@ class DeltaLogWriterSpec extends AnyFunSuite {
     assert(rows == (0 until 12).map(i => (i.toLong, s"v$i")))
   }
 
+  test("upsertDelta: MERGE semantics as one commit; pre-merge versions time-travel") {
+    val t = table()
+    val seed = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    assert(graft.operators.Upsert.upsertDelta(spark, seed, t, Seq("id")) == 0L)
+    // batch rewrites key 2, inserts key 4; keys 1 and 3 carry forward
+    val batch = Seq((2L, "B!"), (4L, "d")).toDF("id", "v")
+    val v1 = graft.operators.Upsert.upsertDelta(spark, batch, t, Seq("id"))
+    assert(v1 == 1L)
+    val now = DeltaLogReader.read(spark, t)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(now == Seq((1L, "a"), (2L, "B!"), (3L, "c"), (4L, "d")))
+    // the merge is ONE atomic commit; the pre-merge snapshot is intact
+    val atV0 = DeltaLogReader.read(spark, t, Some(0L))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(atV0 == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // re-running the same batch converges (retry safety at table level)
+    graft.operators.Upsert.upsertDelta(spark, batch, t, Seq("id"))
+    val again = DeltaLogReader.read(spark, t)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(again == now)
+  }
+
   test("the config-driven sink writes a real log the source auto-detects") {
     val t = table()
     val sink = graft.config.SinkSpec(dataFrameName = "d", format = "deltalake",
