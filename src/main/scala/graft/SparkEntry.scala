@@ -1085,6 +1085,17 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    // fuzzy eval-leakage guard: same benchmark convention as x23, but a
+    // train doc drops when its 3-gram Jaccard vs ANY benchmark doc
+    // reaches 0.5 — catches edited near-copies exact fingerprints miss
+    "x72_fuzzy_decontaminate" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      TextAnalysis.jaccardDecontaminate(docs, bench, "text", "doc_id")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // mixture-design input: per-language doc/token totals with exact
     // shares and cumulative share in descending-token order
     "x71_token_budget" -> ((s, dir) => {
@@ -3605,6 +3616,24 @@ object SparkEntry {
       FROM tf t JOIN dfr d USING (term) JOIN lens l USING (doc_id), st
       WHERE t.tf >= 4
       ORDER BY t.doc_id, t.term""",
+
+    // string shingles in the oracle vs 8-byte NGramPolyHash in the engine
+    // — the same equivalence x2/x48 already validate
+    "x72_fuzzy_decontaminate" -> s"""
+      WITH ${jaccardCtesFrom("documents")},
+      bgrams AS (SELECT doc_id AS bid, shingle FROM grams WHERE doc_id % 13 = 0),
+      bsizes AS (SELECT bid, COUNT(*) AS bsz FROM bgrams GROUP BY bid),
+      binter AS (
+        SELECT g.doc_id, b.bid, COUNT(*) AS i
+        FROM grams g JOIN bgrams b USING (shingle) GROUP BY 1, 2),
+      flagged AS (
+        SELECT DISTINCT i.doc_id FROM binter i
+        JOIN sizes s ON s.doc_id = i.doc_id
+        JOIN bsizes b ON b.bid = i.bid
+        WHERE CAST(i.i AS DOUBLE) / CAST(s.sz + b.bsz - i.i AS DOUBLE) >= 0.5)
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+      ORDER BY doc_id""",
 
     // shares replay exactly: BIGINT token totals divided in the same
     // association order on both engines

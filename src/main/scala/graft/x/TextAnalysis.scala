@@ -420,6 +420,45 @@ object TextAnalysis {
       .drop("__fp")
   }
 
+  /** Fuzzy (near-duplicate) decontamination: drop training documents
+    * whose n-gram-set Jaccard similarity with ANY benchmark document
+    * reaches `threshold` — the n-gram-overlap eval-leakage guard
+    * large-LM training runs apply, one tier stronger than
+    * [[decontaminate]] (exact normalized fingerprints miss a lightly
+    * edited benchmark copy) and stronger than [[passageDecontaminate]]
+    * for whole-document paraphrase-ish leaks (it needs a verbatim
+    * window; this needs only set overlap). A benchmark member itself
+    * (Jaccard 1) always drops, so this SUBSUMES exact decontamination
+    * wherever docs are ≥ n tokens.
+    *
+    * EXACT, not LSH-approximate: the benchmark side is tiny by nature,
+    * so its shingle set rides a broadcast and every (train, benchmark)
+    * intersection is computed map-side — the corpus is never
+    * self-joined and never shuffled by shingle; only the (train doc,
+    * bench doc) HITS shuffle once for the intersection counts, the same
+    * shape as [[contaminationReport]]. Shingles travel as fused 8-byte
+    * [[graft.functions.NGramPolyHash]] values (never gram strings). A
+    * benchmark too big to broadcast composes with the LSH band store
+    * exactly like [[graft.x.Dedup.incrementalNearDup]] — at that point
+    * the candidates are approximate and verification stays exact. */
+  def jaccardDecontaminate(train: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val tSh = Dedup.shingleHashes(train, textCol, idCol, n)
+    val bSh = Dedup.shingleHashes(benchmark, textCol, idCol, n).toDF("__bid", "__sh")
+    val tSizes = tSh.groupBy(col(idCol)).agg(count(lit(1)).as("__tn"))
+    val bSizes = bSh.groupBy("__bid").agg(count(lit(1)).as("__bn"))
+    val inter = tSh.join(broadcast(bSh), "__sh")
+      .groupBy(col(idCol), col("__bid")).agg(count(lit(1)).as("__i"))
+    val flagged = inter
+      .join(tSizes, idCol)
+      .join(broadcast(bSizes), "__bid")
+      .filter(col("__i").cast("double") /
+        (col("__tn") + col("__bn") - col("__i")).cast("double") >= threshold)
+      .select(col(idCol)).distinct()
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Substring-level (passage) decontamination: the extents of every
     * training-doc token span ≥ `windowTokens` long that appears VERBATIM
     * in the benchmark set — the leak surface [[decontaminate]] (whole-doc

@@ -218,6 +218,29 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("jaccardDecontaminate drops edited near-copies exact fingerprints miss") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),         // exact copy
+      (2L, "the quick brown fox jumps over the lazy dog yesterday"),     // one-word edit
+      (3L, "completely different text about spark shuffle partitions")) // clean
+      .toDF("doc_id", "text")
+    val fuzzy = TextAnalysis.jaccardDecontaminate(train, bench, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fuzzy == Set(3L), "exact copy AND edited near-copy must drop")
+    // exact decontamination keeps the edited copy — the gap fuzzy closes
+    val exact = TextAnalysis.decontaminate(train, bench, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(2L, 3L))
+    // the benchmark side must ride broadcasts — the corpus is never
+    // shuffled by shingle
+    val plan = TextAnalysis.jaccardDecontaminate(train, bench, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("contamination report quantifies partial benchmark leaks") {
     val bench = Seq((100L, "what is the capital of france paris obviously"))
       .toDF("doc_id", "text")
