@@ -1644,6 +1644,17 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
+    // row-level lineage off the same stage chain: each document's final
+    // disposition (which stage dropped it / which split kept it) plus the
+    // surviving representative that stands in for the two duplicate classes
+    "x73_curation_lineage" -> ((s, dir) => {
+      reg(s, dir)
+      graft.x.Curation.curationLineage(s.table("documents"), "text", "doc_id")
+        .select(col("doc_id"), col("outcome"),
+          col("kept_by").cast("long").as("kept_by"))
+        .orderBy("doc_id")
+    }),
+
     // the bigram tier of the same fluency stack: add-one-smoothed
     // transition NLL, decimal-exact like x30 (raw -ln cast ONCE to
     // DECIMAL(18,8), exact decimal per-doc sums, one final IEEE division)
@@ -3417,6 +3428,39 @@ object SparkEntry {
       UNION ALL SELECT '2_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM ek
       UNION ALL SELECT '3_near_dup', CAST(COUNT(*) AS BIGINT) FROM nk
       ORDER BY stage""",
+
+    // reads the identical CTE chain as x60/x62 and labels every input doc:
+    // keeper = min doc per fingerprint class, representative = recursive
+    // component minimum, split thresholds = x60's
+    "x73_curation_lineage" -> s"""
+      WITH RECURSIVE $curationCtes,
+      keeper AS (
+        SELECT fpk.doc_id, b.m AS keep
+        FROM fpk JOIN (SELECT f, MIN(doc_id) AS m FROM fpk GROUP BY f) b
+          ON b.f = fpk.f),
+      sb AS (
+        SELECT doc_id, ${polySql("CAST(doc_id AS VARCHAR) || ':split'")} % 1000000 AS hb
+        FROM nk),
+      sp AS (
+        SELECT doc_id,
+          CASE WHEN hb < 100000 THEN 'test'
+               WHEN hb < 200000 THEN 'validation'
+               ELSE 'train' END AS split
+        FROM sb)
+      SELECT d.doc_id,
+        CASE WHEN k.keep IS NULL THEN 'dropped_quality'
+             WHEN k.keep <> d.doc_id THEN 'dropped_exact_dup'
+             WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
+               THEN 'dropped_near_dup'
+             ELSE 'kept_' || sp.split END AS outcome,
+        CASE WHEN k.keep <> d.doc_id THEN k.keep
+             WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
+               THEN c.cluster_id END AS kept_by
+      FROM documents d
+      LEFT JOIN keeper k ON k.doc_id = d.doc_id
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+      LEFT JOIN sp ON sp.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
 
     "x59_bigram_quality" -> """
       WITH toksq AS (

@@ -39,10 +39,59 @@ object Curation {
       jaccardN: Int = 3, jaccardThreshold: Double = 0.5,
       testFraction: Double = 0.1, validationFraction: Double = 0.1,
       staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
-    val (_, _, nearKept) = stages(docs, textCol, idCol, minTokens,
+    val sf = stages(docs, textCol, idCol, minTokens,
       minUniqRatio, maxTopShare, jaccardN, jaccardThreshold, staging)
     // 4. deterministic split over the retained corpus
-    Sampling.trainTestSplit(nearKept, idCol, testFraction, validationFraction)
+    Sampling.trainTestSplit(sf.nearKept, idCol, testFraction, validationFraction)
+  }
+
+  /** Per-DOCUMENT curation lineage — the row-level companion to
+    * [[curationReport]]'s counts, and the answer to the question every
+    * pipeline owner eventually debugs: "why is my document not in the
+    * training set?" One row per input document:
+    *
+    *   - `outcome` ∈ `dropped_quality` | `dropped_exact_dup` |
+    *     `dropped_near_dup` | `kept_train` | `kept_validation` |
+    *     `kept_test` (the same stage chain, split labels included so the
+    *     lineage row IS the final disposition);
+    *   - `kept_by` — for the two duplicate classes, the id of the
+    *     representative that survived in this document's place (the
+    *     exact-dup keeper / the near-dup component representative);
+    *     NULL otherwise.
+    *
+    * Derived off the SAME lazy stage chain as [[curate]] (one
+    * implementation of the stages, three surfaces), stitched with
+    * id-keyed left joins — everything is keyed by document id, so the
+    * joins co-partition with the stages that produced them. */
+  def curationLineage(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Long = 5L,
+      minUniqRatio: Double = 0.3, maxTopShare: Double = 0.2,
+      jaccardN: Int = 3, jaccardThreshold: Double = 0.5,
+      testFraction: Double = 0.1, validationFraction: Double = 0.1,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sf = stages(docs, textCol, idCol, minTokens,
+      minUniqRatio, maxTopShare, jaccardN, jaccardThreshold, staging)
+    val keeper = sf.fpTagged
+      .withColumn("__keep", min(col(idCol)).over(Window.partitionBy("__fp")))
+      .select(col(idCol), col("__keep"))
+    val compMap = sf.comps.select(col("id").as(idCol), col("comp"))
+    val split = Sampling.trainTestSplit(sf.nearKept, idCol,
+        testFraction, validationFraction)
+      .select(col(idCol), col("split"))
+    val isExactDrop = col("__keep").isNotNull && col("__keep") =!= col(idCol)
+    val isNearDrop = col("comp").isNotNull && col("comp") =!= col(idCol)
+    docs.select(col(idCol))
+      .join(keeper, Seq(idCol), "left")
+      .join(compMap, Seq(idCol), "left")
+      .join(split, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__keep").isNull, lit("dropped_quality"))
+          .when(isExactDrop, lit("dropped_exact_dup"))
+          .when(isNearDrop, lit("dropped_near_dup"))
+          .otherwise(concat(lit("kept_"), col("split"))).as("outcome"),
+        when(isExactDrop, col("__keep"))
+          .when(isNearDrop, col("comp")).as("kept_by"))
   }
 
   /** Per-stage retention audit for [[curate]] — the lineage surface a
@@ -57,7 +106,7 @@ object Curation {
       minUniqRatio: Double = 0.3, maxTopShare: Double = 0.2,
       jaccardN: Int = 3, jaccardThreshold: Double = 0.5,
       staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
-    val (gated, survivors, nearKept) = stages(docs, textCol, idCol, minTokens,
+    val sf = stages(docs, textCol, idCol, minTokens,
       minUniqRatio, maxTopShare, jaccardN, jaccardThreshold, staging)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -65,16 +114,22 @@ object Curation {
     // materialization instead of re-deriving gate + dedup a second time
     Seq(
       ("0_input", docs.count()),
-      ("1_quality_gate", gated.count()),
-      ("2_exact_dedup", survivors.count()),
-      ("3_near_dup", nearKept.count())
+      ("1_quality_gate", sf.gated.count()),
+      ("2_exact_dedup", sf.survivors.count()),
+      ("3_near_dup", sf.nearKept.count())
     ).toDF("stage", "docs")
   }
+
+  /** The lazy stage chain every surface reads — nothing here is computed
+    * until a caller evaluates the frame it needs, so [[curate]] pays
+    * nothing for the lineage-only frames. */
+  private final case class StageFrames(gated: DataFrame, fpTagged: DataFrame,
+      survivors: DataFrame, comps: DataFrame, nearKept: DataFrame)
 
   private def stages(docs: DataFrame, textCol: String, idCol: String,
       minTokens: Long, minUniqRatio: Double, maxTopShare: Double,
       jaccardN: Int, jaccardThreshold: Double,
-      staging: graft.util.Staging): (DataFrame, DataFrame, DataFrame) = {
+      staging: graft.util.Staging): StageFrames = {
     // 1. quality gate (semi-join keeps the caller's full row set intact)
     val stats = TextAnalysis.repetitionStats(docs, textCol, idCol,
       minUniqRatio, maxTopShare)
@@ -82,20 +137,20 @@ object Curation {
       stats.filter(col("keep") && col("n_tokens") >= minTokens).select(col(idCol)),
       Seq(idCol), "left_semi")
     // 2. exact dedup: smallest id per normalized-content class
-    val exactKept = Dedup.exact(
-      gated.withColumn("__fp",
-        TextAnalysis.fingerprint(coalesce(col(textCol), lit("")))),
-      Seq("__fp"), idCol).drop("__fp")
+    val fpTagged = gated.withColumn("__fp",
+      TextAnalysis.fingerprint(coalesce(col(textCol), lit(""))))
+    val exactKept = Dedup.exact(fpTagged, Seq("__fp"), idCol).drop("__fp")
     // 3. near-dup collapse: drop every non-representative cluster member.
     // connectedComponents labels each member with the component's minimum
     // id, so "representative" and "kept exact-dup" agree on the tiebreak.
     val survivors = staging.stage(exactKept, "curate-exact-kept")
     val pairs = Dedup.ngramJaccardPairs(survivors, textCol, idCol,
       jaccardN, jaccardThreshold, staging = staging)
-    val dropIds = Dedup.connectedComponents(pairs)
+    val comps = Dedup.connectedComponents(pairs)
+    val dropIds = comps
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     val nearKept = survivors.join(dropIds, Seq(idCol), "left_anti")
-    (gated, survivors, nearKept)
+    StageFrames(gated, fpTagged, survivors, comps, nearKept)
   }
 }

@@ -931,6 +931,32 @@ class ExtensionOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("curationLineage labels every doc with its disposition and representative") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near-dup of 1
+      (4L, "spam spam spam spam spam spam"),                 // gated
+      (5L, "one two three four five six seven eight nine"),
+      (6L, "tiny doc")                                       // gated
+    ).toDF("doc_id", "text")
+    val lin = graft.x.Curation.curationLineage(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(lin.size == 6, "one lineage row per input doc, always")
+    assert(lin(2L) == (("dropped_exact_dup", 1L)))
+    assert(lin(3L) == (("dropped_near_dup", 1L)))
+    assert(lin(4L)._1 == "dropped_quality" && lin(4L)._2 == -1L)
+    assert(lin(6L)._1 == "dropped_quality")
+    assert(lin(1L)._1.startsWith("kept_") && lin(1L)._2 == -1L)
+    assert(lin(5L)._1.startsWith("kept_"))
+    // the kept set and its splits agree with curate() exactly
+    val kept = graft.x.Curation.curate(df, "text", "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> s"kept_${r.getString(1)}").toMap
+    assert(lin.filter(_._2._1.startsWith("kept_")).view.mapValues(_._1).toMap == kept)
+  }
+
   test("incrementalNearDup: store blocks cross-batch copies, bucket-min keeps one per class") {
     val store = java.nio.file.Files
       .createTempDirectory("band_store_spec").resolve("bands").toString
