@@ -490,6 +490,55 @@ object ScaleProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
 
+    // retrieval probe: corpus inflates (per-copy token suffix so copies
+    // aren't spurious matches), query set FIXED — the weight matrix and
+    // the map-side broadcast join grow linearly; the rank heap keeps the
+    // final exchange at k rows per (partition, query)
+    if (on("retrieval")) Seq(1, 4, 16).foreach { k =>
+      val inflated = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1x" + i)))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val qs = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(filter(
+            split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0), 3, 6))
+            .as("q_text"))
+        .withColumn("q_text", regexp_replace(col("q_text"), "(\\S+)", "$1x0"))
+      var rows = 0L
+      val times = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        rows = graft.x.TextAnalysis.bm25TopK(inflated, qs,
+          "text", "doc_id", "q_text", "q_id", k = 10).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scale-retrieval] docs=$n%7d  bm25_topk=${times.min}%6.2fs  rows=$rows")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+
+    // fuzzy-decontamination probe: corpus inflates, benchmark FIXED — the
+    // benchmark grams broadcast once and the corpus is a single map-side
+    // pass; only (train, bench) hits shuffle, so growth must be linear
+    if (on("fuzzydecon")) Seq(1, 4, 16).foreach { k =>
+      val inflated = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val bench = docs.filter(col("doc_id") % 13 === 0)
+      var kept = 0L
+      val times = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        kept = graft.x.TextAnalysis.jaccardDecontaminate(
+          inflated, bench, "text", "doc_id").count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scale-fuzzydecon] docs=$n%7d  decon=${times.min}%6.2fs  kept=$kept")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+
     if (on("lsh")) factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus
