@@ -76,6 +76,65 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("frequent-items sketch: MG guarantees hold vs exact counts on random streams") {
+    import graft.functions.FrequentItemsAgg
+    val genStream: Gen[(List[String], Int)] = Gen.zip(
+      Gen.listOfN(400, Gen.frequency(
+        (5, Gen.const("hot")),
+        (2, Gen.oneOf("warm1", "warm2")),
+        (3, Gen.choose(0, 200).map(i => s"cold$i")))),
+      Gen.choose(2, 12))
+    check(Prop.forAll(genStream) { case (items, m) =>
+      if (items.isEmpty) true
+      else {
+        val df = items.toDF("item").repartition(5)
+        val sk = df.agg(FrequentItemsAgg.frequentItems(col("item"), m).as("sk"))
+          .select(explode(col("sk")).as("e")).select("e.term", "e.count", "e.error")
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val n = items.size.toLong
+        val capOk = sk.size <= m
+        // presence: every item above n/(m+1) tracked
+        val presOk = exact.filter(_._2 > n / (m + 1)).keys.forall(sk.contains)
+        // two-sided interval brackets the true count for every tracked item
+        val boundsOk = sk.forall { case (t, (c, e)) =>
+          val truth = exact.getOrElse(t, 0L); c >= truth && c - e <= truth
+        }
+        capOk && presOk && boundsOk
+      }
+    })
+  }
+
+  test("paragraphDedup: kept paragraphs = distinct paragraphs, each at its first occurrence") {
+    val paraPool = Seq("aa bb", "cc dd", "ee ff", "gg hh", "ii jj")
+    val genDocs: Gen[List[List[String]]] = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.oneOf(paraPool)).map(_.take(4))).map(_.take(6))
+    check(Prop.forAll(genDocs) { docLists =>
+      val df = docLists.zipWithIndex
+        .map { case (ps, i) => (i.toLong, ps.mkString("\n\n")) }
+        .toDF("doc_id", "text")
+      val out = Dedup.paragraphDedup(df, "text", "doc_id").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      // every distinct paragraph survives exactly once, corpus-wide
+      val keptParas = out.values.flatMap(_._1.split("\n\n")).filter(_.nonEmpty).toList
+      val allParas = docLists.flatten
+      val exactlyOnce = keptParas.sorted == allParas.distinct.sorted
+      // and it survives at its lexicographically-first (doc, pos) occurrence
+      val firstOcc = allParas.distinct.map { p =>
+        val (d, ps) = docLists.zipWithIndex.map(_.swap)
+          .flatMap { case (i, l) => l.zipWithIndex.filter(_._1 == p).map(z => (i.toLong, z._2)) }
+          .minBy(identity)
+        p -> d
+      }.toMap
+      val placedOk = out.forall { case (doc, (text, _, _)) =>
+        text.split("\n\n").filter(_.nonEmpty).forall(p => firstOcc(p) == doc)
+      }
+      // counts audit: totals conserved
+      val totalsOk = out.values.map(_._3).sum == allParas.size
+      exactlyOnce && placedOk && totalsOk
+    })
+  }
+
   test("containment dominates jaccard: same threshold ⇒ superset of pairs") {
     // overlap/min-size ≥ overlap/union for every pair, so at any threshold
     // the containment pair set must contain the jaccard pair set — a
