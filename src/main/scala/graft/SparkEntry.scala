@@ -1085,6 +1085,24 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    // record linkage: parts plus typo-corrupted twins (6th char → 'x',
+    // ids shifted) resolve into entities — block on the 4-char name
+    // prefix, verify at levenshtein ≤ 2, keep the min-id canonical row
+    "x74_entity_resolution" -> ((s, dir) => {
+      reg(s, dir)
+      val base = s.table("part").select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val corrupted = base.filter(pmod(col("id"), lit(17)) === 0)
+        .select((col("id") + 1000000L).as("id"),
+          concat(substring(col("name"), 1, 5), lit("x"),
+            expr("substring(name, 7)")).as("name"))
+      val entities = base.unionByName(corrupted)
+        .withColumn("blk", substring(col("name"), 1, 4))
+      Dedup.resolveEntities(entities, "id", "name", "blk", maxDist = 2)
+        .select(col("entity_id"), col("name"),
+          col("n_members").cast("long").as("n_members"))
+        .orderBy("entity_id")
+    }),
+
     // fuzzy eval-leakage guard: same benchmark convention as x23, but a
     // train doc drops when its 3-gram Jaccard vs ANY benchmark doc
     // reaches 0.5 — catches edited near-copies exact fingerprints miss
@@ -3660,6 +3678,42 @@ object SparkEntry {
       FROM tf t JOIN dfr d USING (term) JOIN lens l USING (doc_id), st
       WHERE t.tf >= 4
       ORDER BY t.doc_id, t.term""",
+
+    // replays corruption, blocking, the banded-levenshtein verify (plain
+    // levenshtein ≤ maxDist — x44 proved the equivalence), the recursive
+    // transitive closure, and min-id canonical selection
+    "x74_entity_resolution" -> """
+      WITH RECURSIVE base AS (
+        SELECT p_partkey AS id, p_name AS name FROM part),
+      corr AS (
+        SELECT id + 1000000 AS id,
+               SUBSTR(name, 1, 5) || 'x' || SUBSTR(name, 7) AS name
+        FROM base WHERE id % 17 = 0),
+      all_e AS (SELECT * FROM base UNION ALL SELECT * FROM corr),
+      blocked AS (
+        SELECT id, SUBSTR(name, 1, 80) AS p, SUBSTR(name, 1, 4) AS b
+        FROM all_e),
+      prs AS (
+        SELECT a.id AS id_a, c.id AS id_b
+        FROM blocked a JOIN blocked c ON a.b = c.b AND a.id < c.id
+        WHERE ABS(LENGTH(a.p) - LENGTH(c.p)) <= 2
+          AND levenshtein(a.p, c.p) <= 2),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM prs
+        UNION SELECT id_b, id_a FROM prs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cmp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS c FROM reach GROUP BY src),
+      ent AS (
+        SELECT a.id, a.name, COALESCE(cmp.c, a.id) AS entity_id
+        FROM all_e a LEFT JOIN cmp ON cmp.id = a.id),
+      agg AS (SELECT entity_id, COUNT(*) AS n_members FROM ent GROUP BY 1)
+      SELECT e.entity_id, e.name, CAST(a.n_members AS BIGINT) AS n_members
+      FROM ent e JOIN agg a USING (entity_id)
+      WHERE e.id = e.entity_id
+      ORDER BY entity_id""",
 
     // string shingles in the oracle vs 8-byte NGramPolyHash in the engine
     // — the same equivalence x2/x48 already validate

@@ -491,6 +491,46 @@ object Dedup {
     out
   }
 
+  /** Entity resolution over STRUCTURED records — the record-linkage
+    * sibling of document dedup: rows whose `nameCol` differs only by
+    * typo-level noise (OCR, re-keyed vendor names, crawl-duplicated
+    * product titles) are clustered into one entity and each entity keeps
+    * one canonical row. The classic three-stage shape:
+    *
+    *   1. blocking + bounded verify — [[editDistancePairs]] within
+    *      `blockCol` (pick it the way a real MDM pipeline does: region ×
+    *      name prefix…), banded levenshtein ≤ `maxDist`, `maxBlock` skew
+    *      cap + [[oversizedBlocks]] audit, all inherited;
+    *   2. transitive closure — [[connectedComponents]] labels each
+    *      member with the cluster's minimum id;
+    *   3. canonical selection — the minimum-id member represents the
+    *      entity (`entity_id` IS the representative's id, so references
+    *      stay resolvable). Callers wanting a richer survivorship rule
+    *      (most non-null fields, freshest capture) compose
+    *      [[graft.operators.Validations.dedup]]'s keep-best ordering on
+    *      `entity_id` instead — the same mechanism x64 uses for crawl
+    *      consolidation.
+    *
+    * Returns one row per ENTITY: the canonical member's full row plus
+    * `entity_id` and `n_members`. Cost is the capped Σ|block|² verify
+    * plus two id-keyed shuffles — never corpus-quadratic. */
+  def resolveEntities(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, maxDist: Int = 2, prefixLen: Int = 80,
+      maxBlock: Int = 100000): DataFrame = {
+    val pairs = editDistancePairs(df, nameCol, idCol, blockCol, maxDist,
+      prefixLen, maxBlock).select("id_a", "id_b")
+    val comps = connectedComponents(pairs)
+    val withEntity = df
+      .join(comps.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+      .withColumn("entity_id", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    val wEnt = Window.partitionBy("entity_id")
+    withEntity
+      .withColumn("n_members", count(lit(1)).over(wEnt))
+      .filter(col(idCol) === col("entity_id"))
+      .drop(idCol)
+  }
+
   /** Audit surface for [[editDistancePairs]]' block cap: blocks whose row
     * count exceeds `maxBlock`, with the sub-band fan-out each one gets —
     * callers see exactly where the quadratic was bounded. */

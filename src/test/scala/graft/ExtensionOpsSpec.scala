@@ -931,6 +931,26 @@ class ExtensionOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("resolveEntities links typo variants within blocks, keeps min-id canonicals") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "Acme Corporation", "us"),
+      (2L, "Acme Corporation", "us"),   // exact dup
+      (3L, "Acme Corporatoin", "us"),   // transposition, dist 2
+      (4L, "Acme Corporation", "eu"),   // same name, DIFFERENT block — not linked
+      (5L, "Zenith Industries", "us"),
+      (6L, "Zenith Industrial", "us"))  // dist 2 tail edit
+      .toDF("id", "name", "region")
+      .withColumn("blk", concat(col("region"), substring(col("name"), 1, 3)))
+    val out = Dedup.resolveEntities(rows, "id", "name", "blk", maxDist = 2)
+      .collect().map(r => r.getAs[Long]("entity_id") ->
+        ((r.getAs[String]("name"), r.getAs[Long]("n_members")))).toMap
+    assert(out.keySet == Set(1L, 4L, 5L), "three entities: us-Acme, eu-Acme, us-Zenith")
+    assert(out(1L) == (("Acme Corporation", 3L)), "min-id canonical, members 1,2,3")
+    assert(out(4L) == (("Acme Corporation", 1L)), "blocking isolates regions")
+    assert(out(5L) == (("Zenith Industries", 2L)))
+  }
+
   test("curationLineage labels every doc with its disposition and representative") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
