@@ -497,6 +497,12 @@ object Dedup {
     * product titles) are clustered into one entity and each entity keeps
     * one canonical row. The classic three-stage shape:
     *
+    *   0. exact-name collapse — the pairwise stage runs over DISTINCT
+    *      `(nameCol, blockCol)` values, each represented by its minimum
+    *      row id: a crawl with the same product title duplicated a
+    *      million times costs one hash aggregation, not 10¹² levenshtein
+    *      calls (the same stage-ordering principle as
+    *      [[graft.x.Curation.curate]]);
     *   1. blocking + bounded verify — [[editDistancePairs]] within
     *      `blockCol` (pick it the way a real MDM pipeline does: region ×
     *      name prefix…), banded levenshtein ≤ `maxDist`, `maxBlock` skew
@@ -505,25 +511,33 @@ object Dedup {
     *      member with the cluster's minimum id;
     *   3. canonical selection — the minimum-id member represents the
     *      entity (`entity_id` IS the representative's id, so references
-    *      stay resolvable). Callers wanting a richer survivorship rule
-    *      (most non-null fields, freshest capture) compose
+    *      stay resolvable; name representatives are min-per-name, so the
+    *      component minimum is the global minimum row id of the entity).
+    *      Callers wanting a richer survivorship rule (most non-null
+    *      fields, freshest capture) compose
     *      [[graft.operators.Validations.dedup]]'s keep-best ordering on
     *      `entity_id` instead — the same mechanism x64 uses for crawl
     *      consolidation.
     *
     * Returns one row per ENTITY: the canonical member's full row plus
-    * `entity_id` and `n_members`. Cost is the capped Σ|block|² verify
-    * plus two id-keyed shuffles — never corpus-quadratic. */
+    * `entity_id` and `n_members`. Cost is the capped Σ|distinct-block|²
+    * verify plus key-keyed shuffles — never corpus-quadratic, and never
+    * quadratic in DUPLICATION either. */
   def resolveEntities(df: DataFrame, idCol: String, nameCol: String,
       blockCol: String, maxDist: Int = 2, prefixLen: Int = 80,
       maxBlock: Int = 100000): DataFrame = {
-    val pairs = editDistancePairs(df, nameCol, idCol, blockCol, maxDist,
-      prefixLen, maxBlock).select("id_a", "id_b")
+    val nameKeys = df.groupBy(col(nameCol), col(blockCol))
+      .agg(min(col(idCol)).as("__nk"))
+    val pairs = editDistancePairs(
+      nameKeys.select(col("__nk").as(idCol), col(nameCol), col(blockCol)),
+      nameCol, idCol, blockCol, maxDist, prefixLen, maxBlock)
+      .select("id_a", "id_b")
     val comps = connectedComponents(pairs)
-    val withEntity = df
-      .join(comps.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
-      .withColumn("entity_id", coalesce(col("comp"), col(idCol)))
-      .drop("comp")
+    val entityOfName = nameKeys
+      .join(comps.select(col("id").as("__nk"), col("comp")), Seq("__nk"), "left")
+      .withColumn("entity_id", coalesce(col("comp"), col("__nk")))
+      .select(col(nameCol), col(blockCol), col("entity_id"))
+    val withEntity = df.join(entityOfName, Seq(nameCol, blockCol))
     val wEnt = Window.partitionBy("entity_id")
     withEntity
       .withColumn("n_members", count(lit(1)).over(wEnt))
