@@ -1085,6 +1085,26 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    // threshold calibration for the near-dup family: the similarity
+    // distribution of candidate pairs at a LOW floor (0.1), bucketed, with
+    // the "pairs kept at or above this bucket" cumulative — the number a
+    // pipeline owner reads before picking x2/x3's production threshold.
+    // Pure composition: ngramJaccardPairs (x2) feeding Profiler.histogram
+    // (x36) feeding a ranking window
+    "x75_similarity_calibration" -> ((s, dir) => {
+      reg(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(s.table("documents"), "text", "doc_id",
+        n = 3, threshold = 0.0)
+      val h = Profiler.histogram(pairs, "jaccard", nBuckets = 10, lo = 0.0, hi = 1.0)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      h.withColumn("pairs_at_or_above", sum("cnt").over(w))
+        .select(col("bucket").cast("long").as("bucket"), col("cnt"),
+          col("pairs_at_or_above").cast("long").as("pairs_at_or_above"))
+        .orderBy("bucket")
+    }),
+
     // record linkage: parts plus typo-corrupted twins (6th char → 'x',
     // ids shifted) resolve into entities — block on the 4-char name
     // prefix, verify at levenshtein ≤ 2, keep the min-id canonical row
@@ -3678,6 +3698,26 @@ object SparkEntry {
       FROM tf t JOIN dfr d USING (term) JOIN lens l USING (doc_id), st
       WHERE t.tf >= 4
       ORDER BY t.doc_id, t.term""",
+
+    // replays x2's jaccard doubles, the engine's exact bucket arithmetic
+    // (floor over identical IEEE inputs), and the descending cumulative
+    "x75_similarity_calibration" -> s"""
+      WITH $jaccardCtes,
+      j AS (
+        SELECT CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jac
+        FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.0),
+      h AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR((jac - 0.0) * 10.0 / 1.0), 0.0), 9.0) AS INT) AS bucket,
+               COUNT(*) AS cnt
+        FROM j WHERE jac <= 1.0 GROUP BY 1)
+      SELECT CAST(bucket AS BIGINT) AS bucket, CAST(cnt AS BIGINT) AS cnt,
+        CAST(SUM(cnt) OVER (ORDER BY bucket DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS pairs_at_or_above
+      FROM h ORDER BY bucket""",
 
     // replays corruption, blocking, the banded-levenshtein verify (plain
     // levenshtein ≤ maxDist — x44 proved the equivalence), the recursive
