@@ -1368,6 +1368,18 @@ object SparkEntry {
       EventAnalytics.dailyDeltas(sparse, "ts", "event_type")
         .orderBy("event_type", "day")
     }),
+    "x76_sessionize" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.sessionStats(s.table("events"), "user_id", "ts",
+          "event_id", gapSeconds = 1800)
+        .select(col("user_id"), col("session_idx"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_end"),
+          col("n_events"), col("duration_us"))
+        .orderBy("user_id", "session_idx")
+    }),
 
     "x44_edit_distance" -> ((s, dir) => {
       reg(s, dir)
@@ -2892,6 +2904,28 @@ object SparkEntry {
       FROM filled
       WINDOW w AS (PARTITION BY event_type ORDER BY day)
       ORDER BY event_type, day""",
+
+    // microsecond-exact gap rule: epoch_us mirrors Spark's unix_micros
+    "x76_sessionize" -> """
+      WITH marked AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN LAG(ts) OVER w IS NULL
+                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM marked)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+      FROM sess GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx""",
 
     "x44_edit_distance" -> """
       WITH t AS (

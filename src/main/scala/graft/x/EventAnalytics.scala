@@ -239,4 +239,52 @@ object EventAnalytics {
       .select(col(seriesCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("cnt").cast("long").as("cnt"), col("is_anomaly"))
   }
+
+  /** Batch gap-based sessionization: assign every event a per-user
+    * `session_idx` that increments whenever the gap since the previous
+    * event (in `(ts, id)` replay order — the same deterministic tiebreak
+    * the funnel fold uses) exceeds `gapSeconds`. This is the HISTORICAL
+    * twin of the streaming `session_window` job (ev2): reprocessing a
+    * year of logs must produce the sessions the live stream would have,
+    * and a batch backfill can't use a streaming state store.
+    *
+    * The boundary rule is `gap > gapSeconds` on MICROSECOND-exact BIGINT
+    * timestamp arithmetic (`unix_micros` difference — no float rounding
+    * and no whole-second truncation at the boundary, which would merge
+    * sessions split by a 1800.4s gap), matching Spark's session-window
+    * semantics where an event exactly at `gap` still extends the session.
+    *
+    * Shape: ONE user-keyed exchange feeding two stacked window passes
+    * (lag, then running sum) over the SAME (user)×(ts, id) sort order —
+    * Spark plans both in a single Sort+Window chain, so the 100 TB event
+    * table shuffles once and never materializes per-user collections;
+    * window state is O(1) per row. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gap = unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w)
+    events
+      .withColumn("__new",
+        when(gap.isNull || gap > gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+
+  /** Per-session rollup over [[sessionize]]: bounds, size, and duration
+    * per (user, session). `duration_us` is exact BIGINT microsecond
+    * arithmetic. The rollup groups on (user, session_idx) — a refinement
+    * of the sessionize exchange's (user) key, so the aggregation reuses
+    * the existing partitioning and moves nothing. */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long): DataFrame =
+    sessionize(events, userCol, tsCol, idCol, gapSeconds)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
+          .as("duration_us"))
 }

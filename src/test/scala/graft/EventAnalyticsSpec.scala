@@ -214,4 +214,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.select("doc_id").except(again.select("doc_id")).count() === 0)
     assert(again.select("doc_id").except(out.select("doc_id")).count() === 0)
   }
+
+  test("sessionize splits on gap > g, keeps a gap exactly at g, micro-exact") {
+    def us(base: String, micros: Long) =
+      java.sql.Timestamp.from(java.time.Instant.parse(base).plusNanos(micros * 1000))
+    val t0 = "2024-01-01T10:00:00Z"
+    val ev = Seq(
+      // u1: e2 exactly 60s after e1 (same session: rule is strict >),
+      // e3 60.000001s after e2 (one microsecond over: NEW session)
+      (1L, us(t0, 0L), 1L),
+      (1L, us(t0, 60000000L), 2L),
+      (1L, us(t0, 120000001L), 3L),
+      // u2: isolated single event — its own session, duration 0
+      (2L, us(t0, 0L), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = EventAnalytics.sessionize(ev, "user_id", "ts", "event_id", gapSeconds = 60)
+      .select("user_id", "event_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
+    val stats = EventAnalytics.sessionStats(ev, "user_id", "ts", "event_id", 60)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "duration_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.toSeq === Seq((1L, 1L, 2L, 60000000L), (1L, 2L, 1L, 0L),
+      (2L, 1L, 1L, 0L)))
+    // partitioning-invariant: the session assignment is a pure function of
+    // the (user)-ordered timeline, not of physical layout
+    val again = EventAnalytics.sessionize(ev.repartition(7), "user_id", "ts",
+      "event_id", 60).select("user_id", "event_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === out)
+  }
 }
