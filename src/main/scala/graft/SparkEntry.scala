@@ -673,6 +673,11 @@ object SparkEntry {
           col("n_windows").cast("long").as("n_windows"))
         .orderBy("doc_id", "start_tok")
     }),
+    "x77_winnowing" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.winnow(s.table("documents"), "text", "doc_id", n = 3, w = 4)
+        .orderBy("doc_id", "pos")
+    }),
 
     // Passage-level decontamination: whole-doc fingerprints (x23/x25) and
     // gram counts (x47) can't LOCALIZE a leak — this emits the exact spans
@@ -3382,6 +3387,34 @@ object SparkEntry {
         CAST(n_windows AS BIGINT) AS n_windows
       FROM ext
       ORDER BY doc_id, start_tok""",
+
+    // rightmost-min-per-window replayed via the same h*2^31 + (2^31-1-pos)
+    // numeric key the engine minimizes, carried as HUGEINT
+    "x77_winnowing" -> s"""
+      WITH toks AS (
+        SELECT doc_id, STR_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS a
+        FROM documents),
+      occ AS (
+        SELECT doc_id, LEN(a) - 2 AS ng,
+          UNNEST(GENERATE_SERIES(1, LEN(a) - 2)) AS i, a
+        FROM toks WHERE LEN(a) >= 3),
+      g AS (
+        SELECT doc_id, ng, i - 1 AS s,
+          CAST(${polySql("ARRAY_TO_STRING(a[i:i+2], ' ')")} AS HUGEINT) AS h
+        FROM occ),
+      k AS (
+        SELECT doc_id, ng, s, h * 2147483648 + (2147483647 - s) AS key FROM g),
+      m AS (
+        SELECT doc_id, ng, s,
+          MIN(key) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mkey
+        FROM k),
+      sel AS (
+        SELECT DISTINCT doc_id,
+          CAST(2147483647 - (mkey % 2147483648) AS BIGINT) AS pos,
+          CAST((mkey - (mkey % 2147483648)) // 2147483648 AS BIGINT) AS fp
+        FROM m WHERE s <= ng - 4 OR s = 0)
+      SELECT doc_id, pos, fp FROM sel ORDER BY doc_id, pos""",
 
     // same gram-string grouping trick as x52: the output carries only
     // offsets, so the oracle joins on the 8-token gram itself where the

@@ -88,6 +88,56 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.functions.PolyHash56(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Robust winnowing (Schleimer/Wilkerson/Aiken, the MOSS algorithm):
+    * from every window of `w` consecutive n-gram hashes select the
+    * minimum, ties broken by the RIGHTMOST occurrence; the distinct
+    * selected `(pos, fingerprint)` set is the document's sketch. The
+    * guarantee: any token run of length ≥ n+w−1 shared by two documents
+    * contributes at least one IDENTICAL selected fingerprint to both —
+    * so a fingerprint-store join finds every long overlap while storing
+    * only ~2/(w+1) of the gram hashes. THAT density reduction is the
+    * 100 TB story: the posting store shrinks ~(w+1)/2× versus indexing
+    * every shingle ([[graft.x.Dedup.repeatedPassages]] keeps all windows;
+    * winnowing is the bounded-storage sibling for corpus-wide indexes).
+    *
+    * Mechanics: min-hash-with-rightmost-tiebreak is ONE numeric `min`
+    * over the key `h·2³¹ + (2³¹−1−pos)` carried as DECIMAL(38,0) — the
+    * high bits compare the hash, the complemented low bits break ties
+    * toward the larger position; the whole comparison stays inside a
+    * codegen'd window min (no struct ordering, no UDF), and DuckDB
+    * replays it verbatim in HUGEINT. Only full windows select (start ≤
+    * N−w); a doc with fewer than `w` grams degenerates to the global
+    * minimum (window = everything), matching [[minShingleFingerprint]].
+    *
+    * Shape: narrow gram expansion, ONE doc-keyed exchange for the window
+    * sort, O(w) state per row — linear in corpus size at any scale. */
+  def winnow(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, w: Int = 4): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val B = 2147483648L // 2^31: more gram positions than any document has
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = df
+      .select(col(idCol), toks.as("__toks"))
+      .withColumn("__ng", size(col("__toks")) - (n - 1))
+      .filter(col("__ng") >= 1)
+      .select(col(idCol), col("__ng"),
+        posexplode(transform(sequence(lit(0), col("__ng") - 1),
+          i => graft.functions.PolyHash56(concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
+          .as(Seq("s", "__h")))
+    val key = col("__h").cast("decimal(38,0)") * lit(B) + (lit(B - 1) - col("s"))
+    val v = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    grams
+      .withColumn("__mkey", min(key).over(v))
+      .filter(col("s") <= col("__ng") - w || col("s") === 0)
+      .select(col(idCol),
+        (lit(B - 1) - (col("__mkey") % lit(B))).cast("long").as("pos"),
+        ((col("__mkey") - (col("__mkey") % lit(B))) / lit(B)).cast("long").as("fp"))
+      .distinct()
+  }
+
   /** Rolling-hash winnowing fingerprint: minimum shingle hash per window —
     * here the global minimum n-gram hash (w = ∞), the degenerate winnow
     * that still identifies containment-heavy near-dups cheaply. */

@@ -1015,4 +1015,75 @@ class ExtensionOpsSpec extends AnyFunSuite {
       persistAdmitted = df => persisted = df.count())
     assert(replay.count() == 1 && persisted == 1L, "replay re-admits the batch")
   }
+
+  test("winnow matches a brute-force rightmost-min reference on random corpora") {
+    import spark.implicits._
+    import graft.functions.PolyHash56
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val (n, w) = (3, 4)
+    val corpus = (0 until 40).map(i => (i.toLong,
+      (0 until (1 + rnd.nextInt(25))).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val expected = corpus.flatMap { case (id, text) =>
+      val t = text.trim.toLowerCase.split("\\s+")
+      if (t.length < n) Nil
+      else {
+        val hs = (0 to t.length - n).map(p => PolyHash56.hash(t.slice(p, p + n).mkString(" ")))
+        val starts = if (hs.length <= w) Seq(0) else 0 to hs.length - w
+        starts.map { s =>
+          val win = hs.slice(s, s + w).zipWithIndex.map { case (h, i) => (h, s + i) }
+          // rightmost minimum: min hash, ties to the LARGEST position
+          val m = win.minBy { case (h, p) => (h, -p) }
+          (id, m._2.toLong, m._1)
+        }.distinct
+      }
+    }.toSet
+    val actual = TextAnalysis.winnow(corpus.toDF("doc_id", "text"), "text", "doc_id", n, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(actual == expected)
+    // the winnowing coverage guarantee: every full window contributes a selection
+    corpus.foreach { case (id, text) =>
+      val t = text.trim.toLowerCase.split("\\s+")
+      val nGrams = t.length - n + 1
+      val sel = actual.filter(_._1 == id).map(_._2)
+      if (nGrams >= 1) {
+        assert(sel.nonEmpty)
+        val starts = if (nGrams <= w) Seq(0) else 0 to nGrams - w
+        starts.foreach { s =>
+          assert(sel.exists(p => p >= s && p < s + w),
+            s"doc $id window at $s has no selected fingerprint")
+        }
+      }
+    }
+  }
+
+  test("winnow: shared long runs share a fingerprint; density shrinks the sketch") {
+    import spark.implicits._
+    // two docs that differ everywhere except a shared (n+w-1)-token run:
+    // the guarantee says they must share at least one selected fingerprint
+    val shared = "zero one two three four five" // 6 tokens = n+w-1 for (3,4)
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"omicron pi rho sigma $shared tau")).toDF("doc_id", "text")
+    val out = TextAnalysis.winnow(docs, "text", "doc_id", n = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val common = out.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(out.filter(_._1 == 2L).map(_._2).toSet)
+    assert(common.nonEmpty, "shared >= n+w-1 token run must share a fingerprint")
+    // rightmost tiebreak on an all-equal-hash doc: n=1, w=3 over "a a a a a"
+    // windows [0,2],[1,3],[2,4] each select their rightmost position
+    val ties = TextAnalysis.winnow(Seq((9L, "a a a a a")).toDF("doc_id", "text"),
+      "text", "doc_id", n = 1, w = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(ties == Set(2L, 3L, 4L))
+    // sketch is materially smaller than the full gram set: expected
+    // density 2/(w+1) = 0.4 on uncorrelated gram hashes (random tokens)
+    val rnd = new scala.util.Random(11)
+    val doc = (0 until 102).map(_ => rnd.nextLong().toHexString).mkString(" ")
+    val full = 100L // grams at n=3
+    val k = TextAnalysis.winnow(Seq((3L, doc)).toDF("doc_id", "text"),
+      "text", "doc_id", n = 3, w = 4).count()
+    assert(k < full * 6 / 10, s"winnowed sketch ($k) should be ~2/(w+1) of $full grams")
+  }
 }
