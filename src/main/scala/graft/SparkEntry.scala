@@ -1230,6 +1230,31 @@ object SparkEntry {
           round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
         .orderBy("q_id", "rank")
     }),
+    "x78_hybrid_rrf" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      val qs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(filter(
+            split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0), 3, 6))
+            .as("q_text"))
+      val sparse = TextAnalysis.bm25TopK(docs, qs, "text", "doc_id",
+        "q_text", "q_id", k = 10)
+      val emb = s.table("embeddings")
+      val qv = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val dense = Similarity.bruteForceTopK(emb, qv, "vec_id", "q_id",
+          "embedding", k = 10)
+        .withColumnRenamed("vec_id", "doc_id")
+      Similarity.rrfFuse(
+          Seq(sparse.select("q_id", "doc_id", "rank"),
+            dense.select("q_id", "doc_id", "rank")),
+          "q_id", "doc_id", "rank", k = 5)
+        .select(col("q_id"), col("doc_id"),
+          round(col("rrf_score"), 6).as("rrf_score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
 
     // eval-leakage guard: every 13th doc stands in for a benchmark set;
     // training docs colliding on normalized fingerprint are dropped
@@ -3960,6 +3985,63 @@ object SparkEntry {
       SELECT q_id, doc_id, CAST(matched_terms AS BIGINT) AS matched_terms,
              ROUND(CAST(score AS DOUBLE), 6) AS score, CAST(rk AS BIGINT) AS rank
       FROM ranked WHERE rk <= 5
+      ORDER BY q_id, rank""",
+
+    // x67's BM25 ranking (k=10) + x5's dense ranking over the %97 query
+    // set, fused as 1/(60+rank) sums — contributions added sparse-then-
+    // dense, each one correctly-rounded division, so doubles match
+    "x78_hybrid_rrf" -> s"""
+      WITH terms AS (
+        SELECT doc_id, UNNEST(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS term
+        FROM documents),
+      t2 AS (SELECT doc_id, term FROM terms WHERE LENGTH(term) > 0),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+      lens AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY 1),
+      dfr AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+      st AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS nd FROM lens),
+      w AS (SELECT t.doc_id, t.term,
+              CAST(LN((nd - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / avgdl))
+                AS DECIMAL(18,8)) AS wgt
+            FROM tf t JOIN dfr d USING (term) JOIN lens l USING (doc_id), st),
+      q AS (SELECT doc_id AS q_id,
+              LIST_SLICE(LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                         t -> LENGTH(t) > 0), 3, 8) AS toks
+            FROM documents WHERE doc_id % 97 = 0),
+      qt AS (SELECT DISTINCT q_id, UNNEST(toks) AS term FROM q),
+      sscored AS (SELECT qt.q_id, w.doc_id, SUM(wgt) AS score
+                  FROM w JOIN qt USING (term) GROUP BY 1, 2),
+      sranked AS (SELECT q_id, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY score DESC, doc_id) AS rk
+                  FROM sscored),
+      s10 AS (SELECT q_id, doc_id, rk FROM sranked WHERE rk <= 10),
+      qv AS (SELECT vec_id AS q_id, embedding AS qvec FROM embeddings
+             WHERE vec_id % 97 = 0),
+      dscored AS (
+        SELECT qv.q_id, e.vec_id AS doc_id,
+          ${dotSql("e.embedding", "qv.qvec")} /
+          (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("qv.qvec", "qv.qvec")})) AS cosine
+        FROM embeddings e, qv WHERE e.vec_id <> qv.q_id),
+      dranked AS (SELECT q_id, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY cosine DESC, doc_id) AS rk
+                  FROM dscored),
+      d10 AS (SELECT q_id, doc_id, rk FROM dranked WHERE rk <= 10),
+      fused AS (
+        SELECT COALESCE(s.q_id, d.q_id) AS q_id,
+          COALESCE(s.doc_id, d.doc_id) AS doc_id,
+          COALESCE(CAST(1 AS DOUBLE) / (60 + s.rk), CAST(0 AS DOUBLE)) +
+          COALESCE(CAST(1 AS DOUBLE) / (60 + d.rk), CAST(0 AS DOUBLE)) AS rrf
+        FROM s10 s FULL OUTER JOIN d10 d
+          ON s.q_id = d.q_id AND s.doc_id = d.doc_id),
+      outr AS (SELECT q_id, doc_id, rrf,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY rrf DESC, doc_id) AS rank
+               FROM fused)
+      SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
+      FROM outr WHERE rank <= 5
       ORDER BY q_id, rank""",
 
     "x5_cosine_topk" -> s"""

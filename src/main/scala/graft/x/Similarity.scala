@@ -63,6 +63,43 @@ object Similarity {
           .otherwise(dotProduct(col(vecCol), col("__qv")) / (col("__cn") * col("__qn"))))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher): merge per-query
+    * ranked lists from heterogeneous retrievers — canonically BM25
+    * ([[graft.x.TextAnalysis.bm25TopK]]) and dense cosine
+    * ([[bruteForceTopK]] / [[ivfPqTopKFromLayout]]) — by summing
+    * `1/(kRrf + rank)` per list, treating absence as zero. RRF needs no
+    * score calibration between systems (it consumes only RANKS), which
+    * is exactly why it's the default hybrid-search combiner; kRrf = 60
+    * is the paper's constant.
+    *
+    * Determinism: each contribution is one correctly-rounded IEEE
+    * division and contributions sum in the fixed `rankings` order, so an
+    * oracle replaying the same expressions matches bit-for-bit; final
+    * ties (same fused score) break on ascending id.
+    *
+    * Shape at 100 TB: the inputs are already top-k lists — |queries|·k
+    * rows each, tiny regardless of corpus size — so the fusion is a
+    * (q, id)-keyed join of driver-small frames; ALL the heavy lifting
+    * stays inside the upstream retrievers where it's already bounded. */
+  def rrfFuse(rankings: Seq[DataFrame], qCol: String, idCol: String,
+      rankCol: String, k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    val contribs = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(qCol), col(idCol),
+        (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol).cast("double")))
+          .as(s"__c$i"))
+    }
+    val joined = contribs.reduce((a, b) => a.join(b, Seq(qCol, idCol), "full_outer"))
+    val fused = contribs.indices
+      .map(i => coalesce(col(s"__c$i"), lit(0.0))).reduce(_ + _)
+    val w = Window.partitionBy(col(qCol)).orderBy(col("__rrf").desc, col(idCol).asc)
+    joined.withColumn("__rrf", fused)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qCol), col(idCol), col("__rrf").as("rrf_score"), col("rank"))
+  }
+
   private def rankTopK(scored: DataFrame, idCol: String, qIdCol: String,
       k: Int): DataFrame = {
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol).asc)

@@ -1016,6 +1016,37 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(replay.count() == 1 && persisted == 1L, "replay re-admits the batch")
   }
 
+  test("rrfFuse: both-list hits outrank single-list, absence counts zero, id tiebreak") {
+    import spark.implicits._
+    val sparse = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q_id", "doc_id", "rank")
+    val dense = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 12L, 3))
+      .toDF("q_id", "doc_id", "rank")
+    val out = Similarity.rrfFuse(Seq(sparse, dense), "q_id", "doc_id", "rank", k = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // doc 11 (ranks 2+1) and doc 12 (ranks 3+3) appear in both lists;
+    // 10 and 13 in one each. Exact expected scores:
+    def c(r: Int) = 1.0 / (60.0 + r)
+    assert(out.map(_._1).toSeq === Seq(11L, 12L, 10L, 13L))
+    assert(out(0)._2 === c(2) + c(1))
+    assert(out(1)._2 === c(3) + c(3))
+    assert(out(2)._2 === c(1)) // sparse-only: dense contributes exactly 0
+    assert(out(3)._2 === c(2))
+    // equal fused scores break toward the smaller id
+    val tied = Similarity.rrfFuse(
+      Seq(Seq((1L, 21L, 1), (1L, 20L, 2)).toDF("q_id", "doc_id", "rank")),
+      "q_id", "doc_id", "rank", k = 2).orderBy("rank")
+      .collect().map(_.getLong(1)).toSeq
+    assert(tied === Seq(21L, 20L)) // distinct ranks: no tie, order by score
+    val tied2 = Similarity.rrfFuse(
+      Seq(Seq((1L, 31L, 1)).toDF("q_id", "doc_id", "rank"),
+        Seq((1L, 30L, 1)).toDF("q_id", "doc_id", "rank")),
+      "q_id", "doc_id", "rank", k = 2).orderBy("rank")
+      .collect().map(_.getLong(1)).toSeq
+    assert(tied2 === Seq(30L, 31L)) // same 1/(60+1) score: id ascending
+  }
+
   test("winnow matches a brute-force rightmost-min reference on random corpora") {
     import spark.implicits._
     import graft.functions.PolyHash56
