@@ -1255,6 +1255,26 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy("q_id", "rank")
     }),
+    // zone-map data skipping on the real Delta log: the write clusters by
+    // date so file [min,max] ranges are disjoint; readPruned opens ONLY
+    // files overlapping the 1997 window (skipping asserted in the spec) —
+    // the result is identical to a plain filtered scan, which is exactly
+    // what the oracle replays
+    "x79_delta_skipping" -> ((s, dir) => {
+      reg(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-x79").toString + "/t"
+      val orders = s.table("orders").repartitionByRange(8, col("o_orderdate"))
+      graft.sources.DeltaLogWriter.write(orders, base,
+        statsCols = Seq("o_orderdate"))
+      graft.sources.DeltaLogReader.readPruned(s, base, "o_orderdate",
+          "1997-01-01 00:00:00", "1997-12-31 23:59:59")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        .select(col("month"), col("n_orders"),
+          col("rev").cast("double").as("revenue"))
+        .orderBy("month")
+    }),
 
     // eval-leakage guard: every 13th doc stands in for a benchmark set;
     // training docs colliding on normalized fingerprint are dropped
@@ -4043,6 +4063,17 @@ object SparkEntry {
       SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
       FROM outr WHERE rank <= 5
       ORDER BY q_id, rank""",
+
+    // skipping is a pure scan optimization: the oracle is the plain
+    // filtered aggregate the pruned read must equal byte-for-byte
+    "x79_delta_skipping" -> """
+      SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 23:59:59'
+      GROUP BY 1 ORDER BY 1""",
 
     "x5_cosine_topk" -> s"""
       WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

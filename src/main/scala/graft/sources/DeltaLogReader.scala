@@ -47,8 +47,9 @@ object DeltaLogReader {
     }
   }
 
-  private[sources] final case class AddFile(path: String, partitionValues: Map[String, Option[String]])
-  private[sources] final case class State(
+  private[graft] final case class AddFile(path: String,
+      partitionValues: Map[String, Option[String]], stats: Option[String] = None)
+  private[graft] final case class State(
       var minReaderVersion: Int = 1,
       var readerFeatures: Set[String] = Set.empty,
       var schemaJson: Option[String] = None,
@@ -59,7 +60,7 @@ object DeltaLogReader {
 
   /** Replay the log to the requested (or latest) version; shared by
     * [[read]] and the writer's snapshot of live files. */
-  private[sources] def loadState(spark: SparkSession, path: String,
+  private[graft] def loadState(spark: SparkSession, path: String,
       version: Option[Long]): (State, Long) = {
     val log = Paths.get(path, "_delta_log")
     val entries = graft.util.Fs.list(log).map(_.getFileName.toString)
@@ -122,6 +123,92 @@ object DeltaLogReader {
     }
   }
 
+  /** Data-skipping snapshot read: prune files whose `add.stats` zone map
+    * proves `colName BETWEEN lo AND hi` matches nothing, then read only
+    * the survivors and apply the exact filter on top. Pruning is a
+    * SUPERSET optimization — a file is only skipped when its [min, max]
+    * misses the range entirely or it is provably all-NULL (BETWEEN never
+    * matches NULL), so the result is byte-identical to filtering a full
+    * [[read]]; files with no stats for the column are always kept.
+    *
+    * This is THE 100 TB scan economy for time-windowed queries over
+    * date-clustered tables: the decision happens on driver-side log
+    * metadata (one tiny JSON blob per file — ~100k files of metadata for
+    * a 100 TB table), so non-overlapping files are never opened, never
+    * footer-read, never scheduled. Comparisons run in the column's own
+    * domain (numeric as BigDecimal; date/timestamp parsed from their
+    * JDBC string forms; strings lexically — matching parquet/Delta
+    * binary-stat ordering). Unpartitioned tables only, like the writer;
+    * partitioned tables get directory-level pruning from
+    * `add.partitionValues` via the ordinary [[read]] path. */
+  def readPruned(spark: SparkSession, path: String, colName: String,
+      lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+    val (state, _) = loadState(spark, path, version)
+    require(state.partitionColumns.isEmpty,
+      s"readPruned supports unpartitioned tables; $path is partitioned")
+    val schema = state.schemaJson
+      .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+      .getOrElse(sys.error(s"Delta log under $path has no metaData action"))
+    val field = schema.fields.find(_.name == colName)
+      .getOrElse(sys.error(s"column '$colName' not in table schema ${schema.simpleString}"))
+    val (kept, _) = pruneByStats(state, field, lo, hi)
+    def resolve(p: String): String = {
+      val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+      if (decoded.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || decoded.startsWith("/")) decoded
+      else s"$path/$decoded"
+    }
+    val base =
+      if (kept.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(kept.map(resolve): _*)
+    base.filter(col(colName).between(
+      lit(lo).cast(field.dataType), lit(hi).cast(field.dataType)))
+  }
+
+  /** The pruning decision alone — (kept, skipped) add-file paths — the
+    * audit surface tests and operators use to ASSERT skipping happened. */
+  private[graft] def pruneByStats(state: State,
+      field: org.apache.spark.sql.types.StructField, lo: Any, hi: Any)
+      : (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.types._
+    def key(v: Any): Option[AnyRef] = Option(v).map(x => field.dataType match {
+      case _: NumericType => new java.math.BigDecimal(x.toString)
+      case DateType => java.sql.Date.valueOf(x.toString)
+      case TimestampType => java.sql.Timestamp.valueOf(x.toString)
+      case _ => x.toString
+    })
+    def cmp(a: AnyRef, b: AnyRef): Int = (a, b) match {
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+      case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => sys.error(s"incomparable stat values $a / $b")
+    }
+    val loK = key(lo).getOrElse(sys.error("lo bound must be non-null"))
+    val hiK = key(hi).getOrElse(sys.error("hi bound must be non-null"))
+    val (keep, skip) = state.files.values.toSeq.partition { a =>
+      a.stats match {
+        case None => true // no stats: must read
+        case Some(s) =>
+          val n = mapper.readTree(s)
+          val minN = n.path("minValues").path(field.name)
+          val maxN = n.path("maxValues").path(field.name)
+          val nullCount = n.path("nullCount").path(field.name)
+          val numRecords = n.path("numRecords")
+          if (minN.isMissingNode || maxN.isMissingNode || minN.isNull || maxN.isNull)
+            // min/max unknown: skip only a provably all-NULL file
+            !(nullCount.isIntegralNumber && numRecords.isIntegralNumber &&
+              nullCount.asLong() == numRecords.asLong())
+          else {
+            val minK = key(minN.asText()).get
+            val maxK = key(maxN.asText()).get
+            cmp(maxK, loK) >= 0 && cmp(minK, hiK) <= 0
+          }
+      }
+    }
+    (keep.map(_.path), skip.map(_.path))
+  }
+
   private def applyCheckpoint(spark: SparkSession, state: State, file: String): Unit = {
     val cp = spark.read.parquet(file)
     val cols = cp.schema.fieldNames.toSet
@@ -152,12 +239,16 @@ object DeltaLogReader {
       require(!addFields.contains("deletionVector") ||
         cp.filter(col("add.deletionVector").isNotNull).isEmpty,
         "Delta deletion vectors not supported")
+      val statsCol =
+        if (addFields.contains("stats")) col("add.stats")
+        else lit(null).cast(StringType)
       cp.filter(col("add").isNotNull)
-        .select(col("add.path"), col("add.partitionValues"))
+        .select(col("add.path"), col("add.partitionValues"), statsCol)
         .collect().foreach { r =>
           val pv = Option(r.getAs[Map[String, String]](1)).getOrElse(Map.empty)
           state.files(r.getString(0)) =
-            AddFile(r.getString(0), pv.map { case (k, v) => k -> Option(v) })
+            AddFile(r.getString(0), pv.map { case (k, v) => k -> Option(v) },
+              Option(r.getString(2)))
         }
     }
   }
@@ -195,7 +286,7 @@ object DeltaLogReader {
             .map(e => e.getKey ->
               (if (e.getValue.isNull) None else Some(e.getValue.asText()))).toMap
         else Map.empty[String, Option[String]]
-      state.files(p) = AddFile(p, pv)
+      state.files(p) = AddFile(p, pv, Option(a.path("stats").asText(null)))
     }
     if (node.has("remove")) {
       state.files.remove(node.get("remove").get("path").asText()); ()

@@ -24,15 +24,25 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * Scope, on purpose: unpartitioned tables, append/overwrite,
   * single-part checkpoints every `checkpointInterval` commits (the
   * spec's log-compaction cadence — without it a year of daily commits
-  * makes every reader replay hundreds of JSON files), no per-file
-  * stats (optional in the spec). Appends REQUIRE a matching
-  * schema — loud failure, never silent schema drift; overwrite may
-  * replace the schema and then re-emits `metaData` (the spec's
-  * overwriteSchema shape). */
+  * makes every reader replay hundreds of JSON files). Appends REQUIRE a
+  * matching schema — loud failure, never silent schema drift; overwrite
+  * may replace the schema and then re-emits `metaData` (the spec's
+  * overwriteSchema shape).
+  *
+  * Per-file column stats (`add.stats`, the spec's optional JSON blob of
+  * numRecords/minValues/maxValues/nullCount): pass `statsCols` and each
+  * add action carries zone-map stats for those columns, which
+  * [[DeltaLogReader.readPruned]] uses to SKIP whole files whose
+  * [min,max] cannot satisfy a range predicate — the log-metadata
+  * data-skipping that makes a 100 TB time-range query read only the
+  * files that overlap the range instead of opening every footer. Stats
+  * are collected by one grouped scan of the freshly written (hot)
+  * files, grouping on `input_file_name()`; timestamps/dates serialize
+  * via their JDBC string forms, which this pair parses back exactly. */
 object DeltaLogWriter {
 
   def write(df: DataFrame, path: String, mode: String = "append",
-      checkpointInterval: Int = 10): Long = {
+      checkpointInterval: Int = 10, statsCols: Seq[String] = Nil): Long = {
     require(mode == "append" || mode == "overwrite",
       s"delta writer supports append|overwrite, got '$mode'")
     val spark = df.sparkSession
@@ -57,6 +67,8 @@ object DeltaLogWriter {
 
     // data files: one fresh subdirectory per commit, so `add` paths are
     // unique forever and no file is ever rewritten in place
+    statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"statsCols column '$c' not in batch schema ${df.schema.simpleString}"))
     val sub = "part-" + java.util.UUID.randomUUID().toString.take(8)
     df.write.mode("errorifexists").parquet(s"$path/$sub")
     val dataFiles = graft.util.Fs.list(Paths.get(path, sub))
@@ -64,6 +76,47 @@ object DeltaLogWriter {
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def obj() = mapper.createObjectNode()
+    val statsByName: Map[String, String] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, when}
+        val aggs = count(lit(1)).as("__n") +: statsCols.flatMap(c => Seq(
+          min(col(c)), max(col(c)), count(when(col(c).isNull, 1))))
+        // one grouped pass over the just-written files; column pruning
+        // keeps the scan to statsCols only
+        val grouped = spark.read.parquet(s"$path/$sub")
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        grouped.map { r =>
+          val fname = java.net.URLDecoder
+            .decode(r.getString(0).split("/").last, "UTF-8")
+          val root = obj()
+          root.put("numRecords", r.getLong(1))
+          val mins = root.putObject("minValues")
+          val maxs = root.putObject("maxValues")
+          val nulls = root.putObject("nullCount")
+          statsCols.zipWithIndex.foreach { case (c, i) =>
+            def putVal(n: com.fasterxml.jackson.databind.node.ObjectNode, v: Any): Unit =
+              v match {
+                case null => ()
+                case x: Int => n.put(c, x)
+                case x: Long => n.put(c, x)
+                case x: Short => n.put(c, x.toInt)
+                case x: Byte => n.put(c, x.toInt)
+                case x: Double => n.put(c, x)
+                case x: Float => n.put(c, x.toDouble)
+                case x: java.math.BigDecimal => n.put(c, x)
+                case x: Boolean => n.put(c, x)
+                case x => n.put(c, x.toString)
+              }
+            putVal(mins, r.get(2 + 3 * i))
+            putVal(maxs, r.get(3 + 3 * i))
+            nulls.put(c, r.getLong(4 + 3 * i))
+          }
+          fname -> mapper.writeValueAsString(root)
+        }.toMap
+      }
     val now = System.currentTimeMillis()
     val actions = collection.mutable.ArrayBuffer[String]()
     val firstCommit = prev.isEmpty
@@ -96,6 +149,8 @@ object DeltaLogWriter {
       ad.put("size", Files.size(f))
       ad.put("modificationTime", now)
       ad.put("dataChange", true)
+      // spec shape: stats is a JSON-encoded STRING field, not a nested node
+      statsByName.get(f.getFileName.toString).foreach(s => ad.put("stats", s))
       actions += mapper.writeValueAsString(a)
     }
 
@@ -151,7 +206,8 @@ object DeltaLogWriter {
     val addT = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
     val cpT = StructType(Seq(
       StructField("protocol", protocolT),
       StructField("metaData", metaT),
@@ -164,7 +220,8 @@ object DeltaLogWriter {
         System.currentTimeMillis()), null) +:
       state.files.values.toSeq.map(a =>
         Row(null, null, Row(a.path,
-          a.partitionValues.map { case (k, v) => k -> v.orNull }, true)))
+          a.partitionValues.map { case (k, v) => k -> v.orNull }, true,
+          a.stats.orNull)))
     val log = Paths.get(path, "_delta_log")
     val tmp = Files.createTempDirectory(log, ".cp").toString
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpT)

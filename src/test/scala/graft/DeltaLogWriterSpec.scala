@@ -121,4 +121,70 @@ class DeltaLogWriterSpec extends AnyFunSuite {
     assert(DeltaLogReader.read(spark, t)
       .as[(Long, String)].collect().toSeq == Seq((1L, "x")))
   }
+
+  test("add.stats zone maps: written in spec shape, pruned reads skip files") {
+    val t = table()
+    // three single-file commits with disjoint id ranges + one all-null batch
+    def batch(r: Seq[Option[Long]]) = r.toDF("id").coalesce(1)
+    DeltaLogWriter.write(batch((1L to 10L).map(Some(_))), t, statsCols = Seq("id"))
+    DeltaLogWriter.write(batch((11L to 20L).map(Some(_))), t, statsCols = Seq("id"))
+    DeltaLogWriter.write(batch((21L to 30L).map(Some(_))), t, statsCols = Seq("id"))
+    DeltaLogWriter.write(batch(Seq(None, None)), t, statsCols = Seq("id"))
+    // the commit JSON carries stats as a STRING field in spec shape
+    val line = Files.readAllLines(Paths.get(t, "_delta_log").resolve(
+      f"${0L}%020d.json")).asScala.find(_.contains("\"add\"")).get
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val statsNode = mapper.readTree(line).get("add").get("stats")
+    assert(statsNode.isTextual, "stats must be a JSON-encoded string field")
+    val stats = mapper.readTree(statsNode.asText())
+    assert(stats.get("numRecords").asLong() == 10L)
+    assert(stats.get("minValues").get("id").asLong() == 1L)
+    assert(stats.get("maxValues").get("id").asLong() == 10L)
+    assert(stats.get("nullCount").get("id").asLong() == 0L)
+
+    // pruning: a [12, 18] window keeps exactly the middle file (the
+    // all-NULL file is provably skippable for BETWEEN)
+    val (state, _) = DeltaLogReader.loadState(spark, t, None)
+    val field = org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType)
+    val (kept, skipped) = DeltaLogReader.pruneByStats(state, field, 12L, 18L)
+    assert(kept.size == 1 && skipped.size == 3,
+      s"expected 1 kept / 3 skipped, got $kept / $skipped")
+    // and the pruned result equals the unpruned filter exactly
+    val pruned = DeltaLogReader.readPruned(spark, t, "id", 12L, 18L)
+      .as[Long].collect().sorted.toSeq
+    assert(pruned == (12L to 18L).toSeq)
+    // a file without stats is never skipped: strip stats via checkpoint-free
+    // manual commit is covered by the None branch in pruneByStats — the
+    // all-None case is the legacy-table shape, asserted through a statless write
+    val t2 = table()
+    DeltaLogWriter.write((1L to 5L).toDF("id").coalesce(1), t2) // no statsCols
+    val (s2, _) = DeltaLogReader.loadState(spark, t2, None)
+    val (k2, sk2) = DeltaLogReader.pruneByStats(s2, field, 100L, 200L)
+    assert(k2.size == 1 && sk2.isEmpty, "statless files must always be read")
+  }
+
+  test("stats survive checkpoint compaction; timestamp stats prune correctly") {
+    val t = table()
+    def tsDf(day: Int) = Seq.tabulate(4)(i =>
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 0$i:00:00.5")).toDF("ts")
+    DeltaLogWriter.write(tsDf(1).coalesce(1), t, statsCols = Seq("ts"))
+    DeltaLogWriter.write(tsDf(2).coalesce(1), t, statsCols = Seq("ts"))
+    DeltaLogWriter.write(tsDf(3).coalesce(1), t, statsCols = Seq("ts"))
+    DeltaLogWriter.checkpoint(spark, t)
+    // force the reader through the checkpoint by vacuuming early commits
+    (0L to 1L).foreach(v =>
+      Files.delete(Paths.get(t, "_delta_log").resolve(f"$v%020d.json")))
+    val out = DeltaLogReader.readPruned(spark, t, "ts",
+        "2024-01-02 00:00:00", "2024-01-02 23:59:59")
+      .as[java.sql.Timestamp].collect()
+    assert(out.length == 4 && out.forall(_.toString.startsWith("2024-01-02")))
+    val (state, _) = DeltaLogReader.loadState(spark, t, None)
+    val field = org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.TimestampType)
+    val (kept, skipped) = DeltaLogReader.pruneByStats(state, field,
+      "2024-01-02 00:00:00", "2024-01-02 23:59:59")
+    assert(kept.size == 1 && skipped.size == 2,
+      "checkpointed stats must still drive skipping")
+  }
 }
