@@ -1260,6 +1260,22 @@ object SparkEntry {
     // files overlapping the 1997 window (skipping asserted in the spec) —
     // the result is identical to a plain filtered scan, which is exactly
     // what the oracle replays
+    // JL projection as the coarse ANN pass: rank by cosine in the
+    // 16-dim projected space (4x smaller vectors); floats stored, exact
+    // double ranking — the re-rank-with-full-vectors step is x5 itself
+    "x80_random_projection" -> ((s, dir) => {
+      reg(s, dir)
+      val signs = Similarity.jlSigns(64, 16)
+      val proj = s.table("embeddings").select(col("vec_id"),
+        Similarity.jlProject(col("embedding"), signs).cast("array<float>")
+          .as("pvec"))
+      val q = proj.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("pvec"))
+      Similarity.bruteForceTopK(proj, q, "vec_id", "q_id", "pvec", k = 10)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
     "x79_delta_skipping" -> ((s, dir) => {
       reg(s, dir)
       val base = java.nio.file.Files.createTempDirectory("graft-x79").toString + "/t"
@@ -1918,6 +1934,22 @@ object SparkEntry {
     * `aggregate()` does (both left-to-right). */
   private def dotSql(a: String, b: String): String =
     (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString("(", " + ", ")")
+
+  /** x80: the 16 projected REAL columns, generated from the SAME constant
+    * JL sign matrix the engine unrolls — each chain is the engine's fixed
+    * left-to-right association, then one float rounding. */
+  private lazy val jlProjSql: String = {
+    val signs = graft.x.Similarity.jlSigns(64, 16)
+    (1 to 16).map { j =>
+      val chain = (1 to 64).map(i =>
+        s"CAST(embedding[$i] AS DOUBLE)*(${signs(j - 1)(i - 1)})")
+        .mkString("(", " + ", ")")
+      s"CAST($chain AS REAL) AS p$j"
+    }.mkString(", ")
+  }
+  private def pDotSql(a: String, b: String): String =
+    (1 to 16).map(i => s"CAST($a.p$i AS DOUBLE)*CAST($b.p$i AS DOUBLE)")
+      .mkString("(", " + ", ")")
 
   /** 64-term explicit squared-euclidean — same fixed-association trick as
     * [[dotSql]] so DuckDB reproduces the engine's fold bit-for-bit. */
@@ -4062,6 +4094,23 @@ object SparkEntry {
                FROM fused)
       SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
       FROM outr WHERE rank <= 5
+      ORDER BY q_id, rank""",
+
+    "x80_random_projection" -> s"""
+      WITH proj AS (SELECT vec_id, $jlProjSql FROM embeddings),
+      q AS (SELECT vec_id AS q_id, ${(1 to 16).map(i => s"p$i").mkString(", ")}
+            FROM proj WHERE vec_id < 5),
+      scored AS (
+        SELECT q.q_id, e.vec_id,
+          ${pDotSql("e", "q")} /
+          (SQRT(${pDotSql("e", "e")}) * SQRT(${pDotSql("q", "q")})) AS cosine
+        FROM proj e, q WHERE e.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored)
+      SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rank
+      FROM ranked WHERE rk <= 10
       ORDER BY q_id, rank""",
 
     // skipping is a pure scan optimization: the oracle is the plain

@@ -1,6 +1,6 @@
 package graft.x
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
@@ -61,6 +61,41 @@ object Similarity {
       .withColumn("cosine",
         when(col("__cn") * col("__qn") === 0.0, lit(null).cast("double"))
           .otherwise(dotProduct(col(vecCol), col("__qv")) / (col("__cn") * col("__qn"))))
+  }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (Achlioptas'
+    * database-friendly projection: entries in {−1, +1} preserve pairwise
+    * distances in expectation exactly like Gaussian projections, at one
+    * multiply per term). Drawn from `java.util.Random(seed)` — the JDK
+    * spec FIXES that generator's algorithm, so every JVM, every executor,
+    * every retry, and the oracle-SQL generator (which inlines the matrix
+    * as ±1 literals) derive the identical matrix from one seed; the plan
+    * ships dim×outDim constants, no RNG state ever crosses the wire. */
+  def jlSigns(dim: Int, outDim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    require(dim >= 1 && outDim >= 1, s"bad JL shape $dim -> $outDim")
+    val rnd = new java.util.Random(seed)
+    Array.fill(outDim, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Project a `dim`-sized vector onto `signs.length` JL components:
+    * out_j = Σ_i vec_i · signs_ji, summed in fixed left-to-right order so
+    * the fold replays bit-exactly (the [[graft.functions.DotProductFloat]]
+    * association contract). Because `signs` is a compile-time constant
+    * matrix, the whole projection unrolls into codegen'd scalar
+    * arithmetic — no lambda interpretation, no per-row hash evaluation.
+    *
+    * Why at 100 TB: a 64-dim float corpus shrinks 4× at outDim = 16 —
+    * projected vectors are the cheap FIRST pass (shortlist by projected
+    * cosine, re-rank survivors with full vectors), the same
+    * coarse-then-exact shape as [[ivfPqTopKFromLayout]]'s ADC. JL's
+    * guarantee is distance preservation within ε with high probability,
+    * independent of the source dimension. */
+  def jlProject(vec: Column, signs: Array[Array[Double]]): Column = {
+    val dim = signs(0).length
+    array(signs.map { row =>
+      (1 to dim).map(i => element_at(vec, i).cast("double") * lit(row(i - 1)))
+        .reduce(_ + _)
+    }.toIndexedSeq: _*)
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher): merge per-query

@@ -1016,6 +1016,35 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(replay.count() == 1 && persisted == 1L, "replay re-admits the batch")
   }
 
+  test("jlProject: constant deterministic signs, structure-preserving projection") {
+    import spark.implicits._
+    val signs = Similarity.jlSigns(64, 16)
+    // pure function of (i, j, seed): rebuild equals, different seed differs
+    assert(Similarity.jlSigns(64, 16).map(_.toSeq).toSeq == signs.map(_.toSeq).toSeq)
+    assert(Similarity.jlSigns(64, 16, seed = 7L).map(_.toSeq).toSeq !=
+      signs.map(_.toSeq).toSeq)
+    // signs are balanced enough to be a real mixing matrix
+    val total = signs.map(_.sum).sum
+    assert(math.abs(total) < 64 * 16 / 4.0, s"sign matrix too lopsided: $total")
+    // two tight clusters stay separated after 64 -> 16 projection
+    val rnd = new scala.util.Random(5)
+    def near(center: Array[Float]) =
+      center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val c1 = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val c2 = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val vecs = (0 until 10).map(i => (i.toLong, near(c1))) ++
+      (10 until 20).map(i => (i.toLong, near(c2)))
+    val proj = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.jlProject(col("embedding"), signs)
+        .cast("array<float>").as("pvec"))
+    val q = proj.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("pvec"))
+    val top = Similarity.bruteForceTopK(proj, q, "vec_id", "q_id", "pvec", k = 9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top == (1L to 9L).toSet,
+      s"projected neighbors of cluster-1 member must be cluster 1, got $top")
+  }
+
   test("rrfFuse: both-list hits outrank single-list, absence counts zero, id tiebreak") {
     import spark.implicits._
     val sparse = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
