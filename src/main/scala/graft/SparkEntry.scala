@@ -1260,6 +1260,19 @@ object SparkEntry {
     // files overlapping the 1997 window (skipping asserted in the spec) —
     // the result is identical to a plain filtered scan, which is exactly
     // what the oracle replays
+    // int8-quantized retrieval: 4x smaller vectors, exact BIGINT dot /
+    // norm sums (order-independent), one double division at the finish
+    "x81_int8_quantization" -> ((s, dir) => {
+      reg(s, dir)
+      val codes = s.table("embeddings").select(col("vec_id"),
+        Similarity.int8Codes(col("embedding")).as("codes"))
+      val q = codes.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("codes"))
+      Similarity.int8TopK(codes, q, "vec_id", "q_id", "codes", k = 10)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
     // JL projection as the coarse ANN pass: rank by cosine in the
     // 16-dim projected space (4x smaller vectors); floats stored, exact
     // double ranking — the re-rank-with-full-vectors step is x5 itself
@@ -1949,6 +1962,12 @@ object SparkEntry {
   }
   private def pDotSql(a: String, b: String): String =
     (1 to 16).map(i => s"CAST($a.p$i AS DOUBLE)*CAST($b.p$i AS DOUBLE)")
+      .mkString("(", " + ", ")")
+
+  /** x81: exact BIGINT dot over int8 code lists (integer addition is
+    * associative — no ordering caveat needed). */
+  private def idotSql(a: String, b: String): String =
+    (1 to 64).map(i => s"CAST($a[$i] AS BIGINT)*CAST($b[$i] AS BIGINT)")
       .mkString("(", " + ", ")")
 
   /** 64-term explicit squared-euclidean — same fixed-association trick as
@@ -4094,6 +4113,32 @@ object SparkEntry {
                FROM fused)
       SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
       FROM outr WHERE rank <= 5
+      ORDER BY q_id, rank""",
+
+    "x81_int8_quantization" -> s"""
+      WITH sc AS (
+        SELECT vec_id, embedding,
+          LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings),
+      codes AS (
+        SELECT vec_id,
+          CASE WHEN m IS NULL OR m = 0 THEN LIST_TRANSFORM(embedding, x -> 0)
+               ELSE LIST_TRANSFORM(embedding, x ->
+                 CAST(FLOOR(CAST(x AS DOUBLE) / m * 127.0 + 0.5) AS INT)) END AS c
+        FROM sc),
+      q AS (SELECT vec_id AS q_id, c AS qc FROM codes WHERE vec_id < 5),
+      scored AS (
+        SELECT q.q_id, e.vec_id,
+          CAST(${idotSql("e.c", "q.qc")} AS DOUBLE) /
+          (SQRT(CAST(${idotSql("e.c", "e.c")} AS DOUBLE)) *
+           SQRT(CAST(${idotSql("q.qc", "q.qc")} AS DOUBLE))) AS cosine
+        FROM codes e, q WHERE e.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored)
+      SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rank
+      FROM ranked WHERE rk <= 10
       ORDER BY q_id, rank""",
 
     "x80_random_projection" -> s"""

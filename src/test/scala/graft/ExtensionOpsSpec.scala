@@ -1045,6 +1045,38 @@ class ExtensionOpsSpec extends AnyFunSuite {
       s"projected neighbors of cluster-1 member must be cluster 1, got $top")
   }
 
+  test("int8Codes: bounded codes, extreme maps to ±127, zero vector safe") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(2.0f, 1.0f, -2.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = vecs.select(col("vec_id"),
+        Similarity.int8Codes(col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // v1: maxabs 1.0 -> codes are round(v*127)
+    assert(out(1L) == Seq(64, -127, 32, 0)) // floor(63.5+0.5)=64, floor(-127+0.5)=-127
+    assert(out(2L) == Seq(0, 0, 0, 0))
+    assert(out(3L) == Seq(127, 64, -127, 32))
+    assert(out.values.flatten.forall(c => c >= -127 && c <= 127))
+    // quantized ranking agrees with exact ranking on separated clusters
+    val rnd = new scala.util.Random(13)
+    def near(center: Array[Float]) =
+      center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val c1 = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val c2 = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val corpus = ((0 until 10).map(i => (i.toLong, near(c1))) ++
+      (10 until 20).map(i => (i.toLong, near(c2)))).toDF("vec_id", "embedding")
+    val codes = corpus.select(col("vec_id"),
+      Similarity.int8Codes(col("embedding")).as("codes"))
+    val q = codes.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("codes"))
+    val top = Similarity.int8TopK(codes, q, "vec_id", "q_id", "codes", k = 9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top == (1L to 9L).toSet, s"quantized neighbors must stay in-cluster: $top")
+  }
+
   test("rrfFuse: both-list hits outrank single-list, absence counts zero, id tiebreak") {
     import spark.implicits._
     val sparse = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
