@@ -539,6 +539,46 @@ object ScaleProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
 
+    // winnowing: one doc-keyed window pass — time should track corpus
+    // size linearly and the sketch should hold ~2/(w+1) of the gram count
+    // (the density claim behind the (w+1)/2x posting-store shrink)
+    if (on("winnow")) Seq(1, 4, 16).foreach { k =>
+      val inflated = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val grams = inflated.select(
+        greatest(size(split(lower(trim(col("text"))), "\\s+")) - 2, lit(0))
+          .as("g")).agg(sum("g")).head().getLong(0)
+      val t0 = System.nanoTime()
+      val fps = graft.x.TextAnalysis.winnow(inflated, "text", "doc_id",
+        n = 3, w = 4).count()
+      println(f"[scale-winnow] docs=$n%7d  winnow=${(System.nanoTime() - t0) / 1e9}%6.2fs  " +
+        f"fps=$fps%8d  grams=$grams%8d  density=${fps.toDouble / grams}%.3f")
+      spark.catalog.clearCache()
+    }
+
+    // sessionize: the lag + running-sum window chain plans as ONE
+    // user-keyed exchange; inflating users (not events-per-user) must
+    // scale linearly with flat per-event cost
+    if (on("sessionize")) Seq(1, 4, 16).foreach { k =>
+      // events.ts is TIMESTAMP(NANOS): same nanos->micros read as reg()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val inflated = (0 until k).map(i =>
+        ev.withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L))
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L)))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val t0 = System.nanoTime()
+      val sessions = graft.x.EventAnalytics.sessionStats(inflated,
+        "user_id", "ts", "event_id", gapSeconds = 1800).count()
+      println(f"[scale-sessionize] events=$n%8d  sessions=${(System.nanoTime() - t0) / 1e9}%6.2fs  " +
+        f"n_sessions=$sessions")
+      spark.catalog.clearCache()
+    }
+
     if (on("lsh")) factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus
