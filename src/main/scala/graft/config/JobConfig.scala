@@ -36,7 +36,8 @@ final case class JobConfig(
     sinks: Seq[SinkSpec] = Nil,
     errorSink: Option[SinkSpec] = None,
     postExecutionScripts: Seq[String] = Nil,
-    mode: String = "batch" // batch | streaming (SURVEY §2.8 extension)
+    mode: String = "batch", // batch | streaming (SURVEY §2.8 extension)
+    planAudit: String = "warn" // off | warn | strict (graft.util.PlanAudit)
 )
 
 final case class ArchiveSpec(archivePath: String, deleteSourceAfterArchival: Boolean)
@@ -239,7 +240,8 @@ object JobConfig {
       sinks = objs(root, "sinks").map(sink),
       errorSink = obj(root, "errorSink").map(sink),
       postExecutionScripts = strs(root, "postExecutionScripts"),
-      mode = str(root, "mode").getOrElse("batch")
+      mode = str(root, "mode").getOrElse("batch"),
+      planAudit = str(root, "planAudit").getOrElse("warn")
     )
   }
 }

@@ -106,6 +106,19 @@ class Orchestrator(spark: SparkSession) {
     var last: DataFrame = inputFrames.values.lastOption.orNull
     cfg.transformations.foreach { t =>
       val out = spark.sql(resolveSql(t.sqlQuery))
+      // pre-flight plan lint: a typo'd join predicate is invisible at dev
+      // scale and a cluster-week at 100 TB — catch it before execution.
+      // warn: surface findings, never block (a cross join CAN be a tiny
+      // intentional dim×dim); strict: fail the step on error/warn findings
+      if (cfg.planAudit != "off") {
+        val findings =
+          if (cfg.planAudit == "strict")
+            graft.util.PlanAudit.assertSafe(out, allowWarnings = false)
+          else graft.util.PlanAudit.audit(out)
+        findings.filter(_.severity != "info")
+          .foreach(f => System.err.println(
+            s"[plan-audit] ${t.outputDFName}: ${f.severity} ${f.node} — ${f.detail}"))
+      }
       out.createOrReplaceTempView(t.outputDFName)
       t.countValidation.foreach(Validations.countValidation(out, _))
       last = out

@@ -202,6 +202,56 @@ class OrchestratorSpec extends AnyFunSuite {
        |  "path": "$base/dim", "scdKeys": ["trade_date"], "scdTrackedCols": ["price_range", "n"]}]
        |}""".stripMargin
 
+  test("plan audit: flags cartesian/BNLJ, strict mode fails the job pre-execution") {
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("pa_l")
+    Seq((2L, "b")).toDF("id", "w").createOrReplaceTempView("pa_r")
+    // a tiny side gets broadcast, so the cross join plans as BNLJ (warn);
+    // with broadcast off it is the true CartesianProduct (error) — the
+    // shape it takes when BOTH sides are big, which is the fatal case
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (cross, crossF) =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = spark.sql("SELECT * FROM pa_l CROSS JOIN pa_r")
+        (df, graft.util.PlanAudit.audit(df)) // plan fixed while broadcast is off
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert(crossF.exists(f => f.severity == "error" && f.node == "CartesianProduct"))
+    val theta = spark.sql("SELECT * FROM pa_l l JOIN pa_r r ON l.id < r.id")
+    assert(graft.util.PlanAudit.audit(theta)
+      .exists(f => f.severity == "warn" && f.node == "BroadcastNestedLoopJoin"))
+    // an equi join is clean (broadcast or sort-merge, either way no finding)
+    val equi = spark.sql("SELECT * FROM pa_l l JOIN pa_r r ON l.id = r.id")
+    assert(graft.util.PlanAudit.audit(equi).forall(_.severity == "info"))
+    intercept[RuntimeException](graft.util.PlanAudit.assertSafe(cross))
+
+    // strict mode stops the step BEFORE execution; warn mode lets it run
+    val out = tmpDir()
+    def cfg(mode: String) = JobConfig.parse(
+      s"""{
+         |"jobName": "audit_$mode", "planAudit": "$mode",
+         |"inputs": [
+         |  {"dataFrameName": "nation", "format": "parquet", "path": "$sf/nation.parquet"},
+         |  {"dataFrameName": "region", "format": "parquet", "path": "$sf/region.parquet"}
+         |],
+         |"transformations": [
+         |  {"functionName": "boom",
+         |   "sqlQuery": "SELECT * FROM nation CROSS JOIN region",
+         |   "outputDFName": "boom_out"}
+         |],
+         |"sinks": [
+         |  {"dataFrameName": "boom_out", "loadType": "simpleInsert",
+         |   "format": "parquet", "path": "$out/boom_$mode", "savemode": "overwrite"}
+         |]
+         |}""".stripMargin)
+    val e = intercept[RuntimeException](new Orchestrator(spark).run(cfg("strict")))
+    assert(e.getMessage.contains("plan audit failed"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/boom_strict")),
+      "strict audit must fail before the sink writes")
+    new Orchestrator(spark).run(cfg("warn")) // intentional tiny cross: runs
+    assert(spark.read.parquet(s"$out/boom_warn").count() == 25 * 5)
+  }
+
   test("pipeline step retries then surfaces the failure") {
     val bad = JobConfig.parse(
       """{"jobName": "boom",
