@@ -107,7 +107,10 @@ object DeltaLogReader {
       else s"$path/$decoded"
     }
     if (state.partitionColumns.isEmpty)
-      spark.read.parquet(adds.map(a => resolve(a.path)): _*)
+      // the log's schemaString IS the table schema (spec): reading with it
+      // pinned makes pre-evolution files null-fill later-added columns
+      // instead of failing a parquet schema merge
+      spark.read.schema(schema).parquet(adds.map(a => resolve(a.path)): _*)
     else {
       // partition columns are NOT in the data files: rebuild them from
       // add.partitionValues (the spec's source of truth — independent of

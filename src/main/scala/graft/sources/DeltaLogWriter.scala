@@ -42,7 +42,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object DeltaLogWriter {
 
   def write(df: DataFrame, path: String, mode: String = "append",
-      checkpointInterval: Int = 10, statsCols: Seq[String] = Nil): Long = {
+      checkpointInterval: Int = 10, statsCols: Seq[String] = Nil,
+      mergeSchema: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite",
       s"delta writer supports append|overwrite, got '$mode'")
     val spark = df.sparkSession
@@ -59,11 +60,35 @@ object DeltaLogWriter {
     prev.foreach { s =>
       require(s.partitionColumns.isEmpty,
         s"delta writer does not support partitioned table $path")
-      if (mode == "append")
+      if (mode == "append" && !mergeSchema)
         require(prevSchema.contains(df.schema),
           s"append schema mismatch on $path: table has " +
             s"${prevSchema.map(_.simpleString).getOrElse("?")}, batch has ${df.schema.simpleString}")
     }
+    // schema evolution (the spec's mergeSchema append): table columns keep
+    // their position and MUST keep their exact type (widening would
+    // silently re-type old files — loud failure instead); batch-only
+    // columns append at the end. Old data files simply lack the new
+    // columns; the reader null-fills them from the table schema.
+    val mergedSchema: StructType =
+      if (mode == "append" && mergeSchema && prevSchema.isDefined) {
+        val old = prevSchema.get
+        df.schema.fields.foreach { f =>
+          old.fields.find(_.name == f.name).foreach { o =>
+            require(o.dataType == f.dataType,
+              s"mergeSchema cannot change column '${f.name}' from " +
+                s"${o.dataType.simpleString} to ${f.dataType.simpleString} on $path")
+            require(o.nullable || !f.nullable,
+              s"mergeSchema cannot write nullable data into non-null " +
+                s"column '${f.name}' on $path")
+          }
+        }
+        // appended columns are nullable by construction: every
+        // pre-evolution file null-fills them
+        StructType(old.fields ++ df.schema.fields
+          .filterNot(f => old.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true)))
+      } else df.schema
 
     // data files: one fresh subdirectory per commit, so `add` paths are
     // unique forever and no file is ever rewritten in place
@@ -120,18 +145,18 @@ object DeltaLogWriter {
     val now = System.currentTimeMillis()
     val actions = collection.mutable.ArrayBuffer[String]()
     val firstCommit = prev.isEmpty
-    val schemaChanged = prevSchema.exists(_ != df.schema)
+    val schemaChanged = prevSchema.exists(_ != mergedSchema)
     if (firstCommit) {
       val p = obj(); val pp = p.putObject("protocol")
       pp.put("minReaderVersion", 1); pp.put("minWriterVersion", 2)
       actions += mapper.writeValueAsString(p)
     }
-    if (firstCommit || (mode == "overwrite" && schemaChanged)) {
+    if (firstCommit || schemaChanged) {
       val m = obj(); val md = m.putObject("metaData")
       md.put("id", java.util.UUID.randomUUID().toString)
       val fmt = md.putObject("format")
       fmt.put("provider", "parquet"); fmt.putObject("options")
-      md.put("schemaString", df.schema.json)
+      md.put("schemaString", mergedSchema.json)
       md.putArray("partitionColumns")
       md.putObject("configuration")
       md.put("createdTime", now)

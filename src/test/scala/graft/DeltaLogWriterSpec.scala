@@ -164,6 +164,35 @@ class DeltaLogWriterSpec extends AnyFunSuite {
     assert(k2.size == 1 && sk2.isEmpty, "statless files must always be read")
   }
 
+  test("mergeSchema append evolves the table; old files null-fill new columns") {
+    val t = table()
+    DeltaLogWriter.write(Seq((1L, "a")).toDF("id", "v"), t)
+    // plain append with a wider batch still fails loudly
+    intercept[IllegalArgumentException](
+      DeltaLogWriter.write(Seq((2L, "b", 9L)).toDF("id", "v", "score"), t))
+    // mergeSchema admits it and re-emits metaData with the merged schema
+    DeltaLogWriter.write(Seq((2L, "b", 9L)).toDF("id", "v", "score"), t,
+      mergeSchema = true)
+    val now = DeltaLogReader.read(spark, t)
+    assert(now.columns.toSeq == Seq("id", "v", "score"))
+    val rows = now.as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", Some(9L))),
+      "pre-evolution rows must null-fill the added column")
+    // time travel to v0 still shows the original two-column schema
+    assert(DeltaLogReader.read(spark, t, Some(0L)).columns.toSeq == Seq("id", "v"))
+    // a type change is never mergeable
+    val e = intercept[IllegalArgumentException](
+      DeltaLogWriter.write(Seq((3L, 5.0, 1L)).toDF("id", "v", "score"), t,
+        mergeSchema = true))
+    assert(e.getMessage.contains("cannot change column"))
+    // a batch MISSING an old column merges too (its files null-fill 'v')
+    DeltaLogWriter.write(Seq((4L, 7L)).toDF("id", "score"), t, mergeSchema = true)
+    val after = DeltaLogReader.read(spark, t)
+      .as[(Long, Option[String], Option[Long])].collect().sortBy(_._1).toSeq
+    assert(after == Seq((1L, Some("a"), None), (2L, Some("b"), Some(9L)),
+      (4L, None, Some(7L))))
+  }
+
   test("stats survive checkpoint compaction; timestamp stats prune correctly") {
     val t = table()
     def tsDf(day: Int) = Seq.tabulate(4)(i =>
