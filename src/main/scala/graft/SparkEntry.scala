@@ -1260,6 +1260,13 @@ object SparkEntry {
     // files overlapping the 1997 window (skipping asserted in the spec) —
     // the result is identical to a plain filtered scan, which is exactly
     // what the oracle replays
+    // the corpus release summary: one grouped agg composing the library's
+    // own token count + fingerprint primitives
+    "x82_dataset_card" -> ((s, dir) => {
+      reg(s, dir)
+      graft.x.Curation.datasetCard(s.table("documents"), "text", Seq("source", "lang"))
+        .orderBy("source", "lang")
+    }),
     // int8-quantized retrieval: 4x smaller vectors, exact BIGINT dot /
     // norm sums (order-independent), one double division at the finish
     "x81_int8_quantization" -> ((s, dir) => {
@@ -4114,6 +4121,21 @@ object SparkEntry {
       SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
       FROM outr WHERE rank <= 5
       ORDER BY q_id, rank""",
+
+    "x82_dataset_card" -> s"""
+      WITH g AS (
+        SELECT source, lang, COUNT(*) AS docs,
+          SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                   ELSE LEN(STR_SPLIT_REGEX(TRIM(text), '\\s+')) END) AS tokens,
+          COUNT(DISTINCT ${polySql("REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')")}) AS uniq
+        FROM documents GROUP BY 1, 2),
+      t AS (SELECT SUM(tokens) AS total FROM g)
+      SELECT source, lang, CAST(docs AS BIGINT) AS docs,
+        CAST(tokens AS BIGINT) AS tokens,
+        CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
+        CAST(tokens AS DOUBLE) / CAST(docs AS DOUBLE) AS mean_tokens,
+        CAST(docs - uniq AS DOUBLE) / CAST(docs AS DOUBLE) AS dup_rate
+      FROM g, t ORDER BY source, lang""",
 
     "x81_int8_quantization" -> s"""
       WITH sc AS (

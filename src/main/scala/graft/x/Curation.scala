@@ -126,6 +126,39 @@ object Curation {
   private final case class StageFrames(gated: DataFrame, fpTagged: DataFrame,
       survivors: DataFrame, comps: DataFrame, nearKept: DataFrame)
 
+  /** Dataset card: the per-(group) summary table a corpus release ships —
+    * docs, exact token totals, corpus token share, mean document length,
+    * and the WITHIN-group exact-duplicate rate (1 − distinct normalized
+    * fingerprints / docs — the "how much of this source is re-crawls of
+    * itself" number). Composes the library's own primitives
+    * ([[TextAnalysis.tokenCount]], [[TextAnalysis.fingerprint]]) so the
+    * card's numbers are definitionally consistent with what the curation
+    * operators act on.
+    *
+    * Shape at 100 TB: ONE grouped aggregation over the corpus (count,
+    * exact BIGINT token sum, one distinct-fingerprint sub-aggregation —
+    * 8-byte hashes shuffle, never text); the share denominators ride an
+    * unpartitioned window over the group-count-sized frame. Doubles are
+    * single divisions of exact BIGINTs in fixed form — engine-replayable. */
+  def datasetCard(df: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "dataset card needs at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("tokens"),
+        countDistinct(TextAnalysis.fingerprint(col(textCol))).as("__uniq"))
+      .withColumn("__total", sum("tokens").over(Window.partitionBy()))
+      .withColumn("token_share",
+        col("tokens").cast("double") / col("__total").cast("double"))
+      .withColumn("mean_tokens",
+        col("tokens").cast("double") / col("docs").cast("double"))
+      .withColumn("dup_rate",
+        (col("docs") - col("__uniq")).cast("double") / col("docs").cast("double"))
+      .select(groupCols.map(col) ++ Seq(col("docs"), col("tokens"),
+        col("token_share"), col("mean_tokens"), col("dup_rate")): _*)
+  }
+
   private def stages(docs: DataFrame, textCol: String, idCol: String,
       minTokens: Long, minUniqRatio: Double, maxTopShare: Double,
       jaccardN: Int, jaccardThreshold: Double,

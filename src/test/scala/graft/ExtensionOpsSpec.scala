@@ -1045,6 +1045,29 @@ class ExtensionOpsSpec extends AnyFunSuite {
       s"projected neighbors of cluster-1 member must be cluster 1, got $top")
   }
 
+  test("datasetCard: exact tokens, share conservation, within-group dup rate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", "hello world"),          // 2 tokens
+      (2L, "srcA", "  Hello   WORLD  "),    // exact dup of 1 after normalize
+      (3L, "srcA", "three tokens here"),
+      (4L, "srcB", "solo doc")
+    ).toDF("doc_id", "source", "text")
+    val card = graft.x.Curation.datasetCard(docs, "text", Seq("source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val (aDocs, aToks, aShare, aMean, aDup) = card("srcA")
+    assert(aDocs == 3 && aToks == 7)
+    assert(aMean == 7.0 / 3.0)
+    assert(aDup == 1.0 / 3.0, "case/whitespace variants are exact dups")
+    val (bDocs, bToks, _, _, bDup) = card("srcB")
+    assert(bDocs == 1 && bToks == 2 && bDup == 0.0)
+    assert(math.abs(card.values.map(_._3).sum - 1.0) < 1e-12,
+      "token shares must conserve the corpus")
+    assert(aShare == 7.0 / 9.0)
+  }
+
   test("int8Codes: bounded codes, extreme maps to ±127, zero vector safe") {
     import spark.implicits._
     val vecs = Seq(
