@@ -1260,6 +1260,20 @@ object SparkEntry {
     // files overlapping the 1997 window (skipping asserted in the spec) —
     // the result is identical to a plain filtered scan, which is exactly
     // what the oracle replays
+    // margin-based bitext mining: best target per source by hubness-
+    // corrected margin over even/odd corpus halves
+    "x83_margin_mining" -> ((s, dir) => {
+      reg(s, dir)
+      val emb = s.table("embeddings")
+      Similarity.marginMine(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", k = 4)
+        .select(col("src_id"), col("tgt_id"),
+          round(col("cosine"), 6).as("cosine"),
+          round(col("margin"), 6).as("margin"))
+        .orderBy("src_id")
+    }),
     // the corpus release summary: one grouped agg composing the library's
     // own token count + fingerprint primitives
     "x82_dataset_card" -> ((s, dir) => {
@@ -4121,6 +4135,47 @@ object SparkEntry {
       SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
       FROM outr WHERE rank <= 5
       ORDER BY q_id, rank""",
+
+    // one symmetric scored CTE serves both top-k directions (IEEE multiply
+    // is commutative, so norm order doesn't matter); the k-NN means fold
+    // in rank order via list_reduce, mirroring the engine's sorted fold
+    "x83_margin_mining" -> s"""
+      WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+      tgt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+      scored AS (
+        SELECT s.vec_id AS sid, t.vec_id AS tid,
+          ${dotSql("t.embedding", "s.embedding")} /
+          (SQRT(${dotSql("t.embedding", "t.embedding")}) *
+           SQRT(${dotSql("s.embedding", "s.embedding")})) AS cosine
+        FROM src s, tgt t),
+      f4 AS (SELECT * FROM (
+          SELECT sid, tid, cosine,
+            ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cosine DESC, tid) AS rk
+          FROM scored) WHERE rk <= 4),
+      b4 AS (SELECT * FROM (
+          SELECT sid, tid, cosine,
+            ROW_NUMBER() OVER (PARTITION BY tid ORDER BY cosine DESC, sid) AS rk
+          FROM scored) WHERE rk <= 4),
+      ax AS (SELECT sid,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 LIST(cosine ORDER BY rk)), (a, x) -> a + x) / 8 AS ax
+             FROM f4 GROUP BY sid),
+      ay AS (SELECT tid,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 LIST(cosine ORDER BY rk)), (a, x) -> a + x) / 8 AS ay
+             FROM b4 GROUP BY tid),
+      m AS (
+        SELECT f4.sid, f4.tid, f4.cosine,
+          f4.cosine / (ax.ax + ay.ay) AS margin
+        FROM f4 JOIN ax USING (sid) JOIN ay USING (tid)),
+      r AS (SELECT sid, tid, cosine, margin,
+              ROW_NUMBER() OVER (PARTITION BY sid
+                ORDER BY margin DESC, tid) AS rk
+            FROM m)
+      SELECT sid AS src_id, tid AS tgt_id,
+        ROUND(cosine, 6) AS cosine, ROUND(margin, 6) AS margin
+      FROM r WHERE rk = 1
+      ORDER BY src_id""",
 
     "x82_dataset_card" -> s"""
       WITH g AS (

@@ -180,6 +180,52 @@ object Similarity {
       .select(col(qCol), col(idCol), col("__rrf").as("rrf_score"), col("rank"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, the CCMatrix/LASER
+    * miner): for each source vector, the best target match scored by
+    *   margin(x, y) = cos(x, y) / (avgₖNN(x)/2 + avgₖNN(y)/2)
+    * — absolute cosine misleads (hub vectors are "close" to everything);
+    * dividing by both sides' mean k-NN similarity cancels hubness, which
+    * is why production parallel-corpus mining ranks by margin, not
+    * cosine. Emits one row per source with its best-margin target.
+    *
+    * Determinism: the k-NN mean folds in rank order (sorted struct fold,
+    * same association trick as the funnel), each margin is one division
+    * of replayable doubles, ties break on ascending target id.
+    *
+    * Shape: candidate generation is [[bruteForceTopK]] both directions —
+    * exact at demo scale; at 100 TB swap the candidate stage for the IVF
+    * layout probe ([[ivfPqTopKFromLayout]]) and keep the margin scoring
+    * unchanged (it only consumes the two top-k lists, |src|·k and
+    * |tgt|·k rows — tiny). The mean-normalizer aggregations group on the
+    * same keys the top-k windows partition on, so they reuse the
+    * existing exchanges. */
+  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val fwd = bruteForceTopK(tgt,
+        src.select(col(idCol).as("__sid"), col(vecCol)), idCol, "__sid", vecCol, k)
+      .withColumnRenamed(idCol, "__tid")
+    val bwd = bruteForceTopK(src,
+        tgt.select(col(idCol).as("__tid2"), col(vecCol)), idCol, "__tid2", vecCol, k)
+    def avgTopK(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key)).agg(
+        (aggregate(
+          transform(array_sort(collect_list(struct(col("rank"), col("cosine")))),
+            s => s.getField("cosine")),
+          lit(0.0), (a, v) => a + v) / lit(2.0 * k)).as("__avg"))
+    val ax = avgTopK(fwd, "__sid").withColumnRenamed("__avg", "__ax")
+    val ay = avgTopK(bwd, "__tid2").withColumnRenamed("__avg", "__ay")
+      .withColumnRenamed("__tid2", "__tid")
+    val w = Window.partitionBy(col("__sid"))
+      .orderBy(col("margin").desc, col("__tid").asc)
+    fwd.join(ax, "__sid").join(ay, "__tid")
+      .withColumn("margin", col("cosine") / (col("__ax") + col("__ay")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("__sid").as("src_id"), col("__tid").as("tgt_id"),
+        col("cosine"), col("margin"))
+  }
+
   private def rankTopK(scored: DataFrame, idCol: String, qIdCol: String,
       k: Int): DataFrame = {
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol).asc)

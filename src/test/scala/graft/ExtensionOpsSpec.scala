@@ -1045,6 +1045,33 @@ class ExtensionOpsSpec extends AnyFunSuite {
       s"projected neighbors of cluster-1 member must be cluster 1, got $top")
   }
 
+  test("marginMine: margin demotes the hub target that raw cosine prefers") {
+    import spark.implicits._
+    def v(parts: (Int, Double)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a
+    }
+    val s3 = math.sqrt(3.0)
+    // sources on three axes; a hub target equally close (0.577) to ALL of
+    // them; a dedicated target for s2 at cosine 0.575 — lower than the hub
+    val src = Seq(
+      (1L, v(0 -> 1.0)), (2L, v(1 -> 1.0)), (3L, v(2 -> 1.0))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (101L, v(0 -> 1 / s3, 1 -> 1 / s3, 2 -> 1 / s3)), // hub
+      (103L, v(1 -> 0.575, 3 -> math.sqrt(1 - 0.575 * 0.575))), // s2's true pair
+      (105L, v(4 -> 1.0)) // far from everything
+    ).toDF("vec_id", "embedding")
+    val mined = Similarity.marginMine(src, tgt, "vec_id", "embedding", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // raw cosine for s2: hub 0.577 > t2 0.575 — but the hub's high k-NN
+    // mean (close to every source) demotes it under margin scoring
+    assert(mined(2L) == 103L, s"margin must pick the dedicated pair, got $mined")
+    // s1/s3 have no dedicated target: the hub is their best match
+    assert(mined(1L) == 101L && mined(3L) == 101L)
+  }
+
   test("datasetCard: exact tokens, share conservation, within-group dup rate") {
     import spark.implicits._
     val docs = Seq(
