@@ -1260,6 +1260,25 @@ object SparkEntry {
     // files overlapping the 1997 window (skipping asserted in the spec) —
     // the result is identical to a plain filtered scan, which is exactly
     // what the oracle replays
+    // content-defined chunking: %5==0 docs get re-crawled with an injected
+    // banner; CDC boundaries re-align after the insertion, so the shared
+    // tail surfaces as cross-doc chunk hashes (fixed-size framing would
+    // lose every chunk after the edit)
+    "x84_cdc_chunks" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      val marked = docs.unionByName(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("SYNDICATED VIA MIRROR NETWORK :: "), col("text")).as("text"),
+            col("lang"), col("source"), col("n_chars")))
+      Dedup.contentDefinedChunks(marked, "text", "doc_id")
+        .groupBy("chunk_hash")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("chunk_hash")
+    }),
     // margin-based bitext mining: best target per source by hubness-
     // corrected margin over even/odd corpus halves
     "x83_margin_mining" -> ((s, dir) => {
@@ -4135,6 +4154,39 @@ object SparkEntry {
       SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
       FROM outr WHERE rank <= 5
       ORDER BY q_id, rank""",
+
+    // rolling-hash boundaries replayed per char position; extents via the
+    // same lag-over-ends window; chunk hashes via polySql on substrings
+    "x84_cdc_chunks" -> s"""
+      WITH marked AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, 'SYNDICATED VIA MIRROR NETWORK :: ' || text
+        FROM documents WHERE doc_id % 5 = 0),
+      base AS (SELECT doc_id, text FROM marked WHERE LENGTH(text) >= 1),
+      cand AS (
+        SELECT doc_id, text,
+          UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(text) - 7, 0))) AS p
+        FROM base),
+      bnd AS (
+        SELECT doc_id, p + 7 AS e FROM cand
+        WHERE ${polySql("SUBSTRING(text, p, 8)")} % 32 = 0),
+      ends AS (
+        SELECT DISTINCT doc_id, e FROM (
+          SELECT doc_id, e FROM bnd
+          UNION ALL SELECT doc_id, LENGTH(text) FROM base)),
+      ext AS (
+        SELECT doc_id,
+          COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s, e
+        FROM ends),
+      ch AS (
+        SELECT ext.doc_id,
+          ${polySql("SUBSTRING(b.text, s, e - s + 1)")} AS chunk_hash
+        FROM ext JOIN base b USING (doc_id))
+      SELECT chunk_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY chunk_hash""",
 
     // one symmetric scored CTE serves both top-k directions (IEEE multiply
     // is commutative, so norm order doesn't matter); the k-NN means fold

@@ -901,4 +901,49 @@ object Dedup {
     sig.unpersist()
     out
   }
+
+  /** Content-defined chunking (the FastCDC/rsync family): split each
+    * document at positions where the rolling `window`-char hash satisfies
+    * `h mod 2^maskBits == 0`. Boundaries are a LOCAL property of the
+    * content, so inserting or deleting a prefix shifts every byte offset
+    * but leaves every boundary AFTER the edit in place — the chunks
+    * downstream of the edit re-align and hash identically, which is
+    * exactly what fixed-size chunking cannot do (one inserted byte
+    * re-frames every later chunk). Expected chunk length ≈ 2^maskBits
+    * chars; the final chunk always closes at end-of-document, so chunks
+    * tile [1, len] exactly.
+    *
+    * This is the storage/near-identical-revision dedup modality the
+    * document-level family doesn't cover: shared chunk hashes across
+    * revisions/mirrors of the same page localize WHAT stayed identical.
+    * Chunk hashes are [[graft.functions.PolyHash56]] of the chunk text —
+    * oracle-replayable, like every fingerprint in this library.
+    *
+    * Shape at 100 TB: the boundary scan is a narrow generator (one
+    * window hash per char, codegen'd), the extent assembly is ONE
+    * doc-keyed window pass, and everything downstream joins on 8-byte
+    * chunk hashes — never chunk text. Emits (id, start, end, chunk_hash)
+    * with 1-based inclusive extents. */
+  def contentDefinedChunks(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 8, maskBits: Int = 5): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(maskBits >= 1 && maskBits <= 20, s"maskBits $maskBits out of range")
+    val modulus = 1L << maskBits
+    val len = length(col(textCol))
+    val base = df.filter(len >= 1).select(col(idCol), col(textCol))
+    val bnd = base
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(1), greatest(len - (window - 1), lit(0)))).as("__p"))
+      .filter(pmod(graft.functions.PolyHash56(
+        substring(col(textCol), col("__p"), lit(window))), lit(modulus)) === 0)
+      .select(col(idCol), (col("__p") + (window - 1)).as("end"))
+    val ends = bnd.unionByName(base.select(col(idCol), len.as("end"))).distinct()
+    val w = Window.partitionBy(col(idCol)).orderBy(col("end"))
+    ends
+      .withColumn("start", coalesce(lag(col("end"), 1).over(w), lit(0)) + 1)
+      .join(base, Seq(idCol))
+      .select(col(idCol), col("start"), col("end"),
+        graft.functions.PolyHash56(substring(col(textCol), col("start"),
+          col("end") - col("start") + 1)).as("chunk_hash"))
+  }
 }

@@ -1045,6 +1045,37 @@ class ExtensionOpsSpec extends AnyFunSuite {
       s"projected neighbors of cluster-1 member must be cluster 1, got $top")
   }
 
+  test("contentDefinedChunks: tiles the doc exactly, re-aligns after insertion") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val body = (0 until 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, body), (2L, "INSERTED PREFIX >> " + body))
+      .toDF("doc_id", "text")
+    val chunks = Dedup.contentDefinedChunks(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // coverage: chunks tile [1, len] with no gaps or overlaps
+    Seq(1L -> body.length, 2L -> (body.length + 19)).foreach { case (id, len) =>
+      val ext = chunks.filter(_._1 == id).sortBy(_._2)
+      assert(ext.head._2 == 1 && ext.last._3 == len)
+      ext.sliding(2).foreach { case Array((_, _, e1, _), (_, s2, _, _)) =>
+        assert(s2 == e1 + 1, s"gap/overlap at $e1 -> $s2 in doc $id")
+      case _ => ()
+      }
+    }
+    // insertion robustness: the copy shares most chunk hashes with the
+    // original even though every offset shifted by 19 chars — the CDC
+    // property fixed-size framing lacks
+    val h1 = chunks.filter(_._1 == 1L).map(_._4).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._4).toSet
+    val shared = h1.intersect(h2).size
+    assert(shared >= h1.size / 2,
+      s"expected most of ${h1.size} chunks shared after prefix insertion, got $shared")
+    // determinism under repartitioning
+    val again = Dedup.contentDefinedChunks(docs.repartition(7), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(again.toSet == chunks.toSet)
+  }
+
   test("marginMine: margin demotes the hub target that raw cosine prefers") {
     import spark.implicits._
     def v(parts: (Int, Double)*): Array[Float] = {
