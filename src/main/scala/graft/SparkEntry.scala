@@ -1260,6 +1260,16 @@ object SparkEntry {
     // files overlapping the 1997 window (skipping asserted in the spec) —
     // the result is identical to a plain filtered scan, which is exactly
     // what the oracle replays
+    // median/MAD outlier fences per order priority — moment-free, so the
+    // fence survives a polluted group
+    "x85_robust_outliers" -> ((s, dir) => {
+      reg(s, dir)
+      Profiler.robustOutliers(s.table("orders"), "o_totalprice",
+          Seq("o_orderpriority"), z = 3.0)
+        .select(col("o_orderpriority"), round(col("med"), 4).as("med"),
+          round(col("mad"), 4).as("mad"), col("n"), col("n_outliers"))
+        .orderBy("o_orderpriority")
+    }),
     // content-defined chunking: %5==0 docs get re-crawled with an injected
     // banner; CDC boundaries re-align after the insertion, so the shared
     // tail surfaces as cross-doc chunk hashes (fixed-size framing would
@@ -4154,6 +4164,28 @@ object SparkEntry {
       SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
       FROM outr WHERE rank <= 5
       ORDER BY q_id, rank""",
+
+    // exact interpolated medians (QUANTILE_CONT ≡ percentile, proven by
+    // q31); the fence multiplies double-cast constants in Spark's order
+    "x85_robust_outliers" -> """
+      WITH med AS (
+        SELECT o_orderpriority, QUANTILE_CONT(o_totalprice, 0.5) AS med
+        FROM orders GROUP BY 1),
+      mad AS (
+        SELECT o.o_orderpriority,
+          QUANTILE_CONT(ABS(o.o_totalprice - m.med), 0.5) AS mad
+        FROM orders o JOIN med m USING (o_orderpriority) GROUP BY 1),
+      f AS (
+        SELECT o.o_orderpriority, m.med, d.mad, COUNT(*) AS n,
+          SUM(CASE WHEN ABS(o.o_totalprice - m.med) >
+                CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * d.mad
+              THEN 1 ELSE 0 END) AS n_outliers
+        FROM orders o JOIN med m USING (o_orderpriority)
+                      JOIN mad d USING (o_orderpriority)
+        GROUP BY 1, 2, 3)
+      SELECT o_orderpriority, ROUND(med, 4) AS med, ROUND(mad, 4) AS mad,
+        CAST(n AS BIGINT) AS n, CAST(n_outliers AS BIGINT) AS n_outliers
+      FROM f ORDER BY o_orderpriority""",
 
     // rolling-hash boundaries replayed per char position; extents via the
     // same lag-over-ends window; chunk hashes via polySql on substrings

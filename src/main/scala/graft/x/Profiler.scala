@@ -150,4 +150,38 @@ object Profiler {
         ((col("bucket") + 1) * lit(width) + lit(lo)).as("bucket_hi"),
         col("cnt").cast("long").as("cnt"))
   }
+
+  /** Robust per-group outlier summary: median / MAD instead of mean /
+    * stddev. The z²-test ([[graft.x.EventAnalytics.dailyAnomalies]]) and
+    * [[standardize]] both break down when the group ITSELF is polluted —
+    * outliers inflate the moments that define "outlier" (masking). The
+    * median and the median-absolute-deviation have a 50% breakdown
+    * point: half a group can be garbage and the fence still stands.
+    * Flag rule: |x − median| > z · 1.4826 · MAD (1.4826 = 1/Φ⁻¹(3/4),
+    * the consistency constant that makes MAD estimate σ under
+    * normality). A degenerate group (MAD = 0) flags every value off the
+    * median, the conventional strict reading.
+    *
+    * Shape: exact interpolated percentiles aggregate the group to ONE
+    * row; the medians/MADs join back group-keyed (group cardinality is
+    * small by nature — broadcast) and the flag is a narrow projection.
+    * Three passes over the column, each a plain group agg — no window
+    * over the raw rows, no sort of the 100 TB side beyond the
+    * percentile's own per-group collection. */
+  def robustOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      z: Double = 3.0): DataFrame = {
+    require(groupCols.nonEmpty, "robustOutliers needs at least one group column")
+    val gc = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(gc: _*).agg(percentile(v, lit(0.5)).as("med"))
+    val mad = df.join(med, groupCols)
+      .groupBy(gc: _*)
+      .agg(percentile(abs(v - col("med")), lit(0.5)).as("mad"))
+    val fence = lit(z) * lit(1.4826) * col("mad")
+    df.join(med, groupCols).join(mad, groupCols)
+      .groupBy((gc :+ col("med") :+ col("mad")): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(v - col("med")) > fence, 1L).otherwise(0L)).as("n_outliers"))
+      .select(gc ++ Seq(col("med"), col("mad"), col("n"), col("n_outliers")): _*)
+  }
 }

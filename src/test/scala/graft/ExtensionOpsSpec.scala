@@ -1045,6 +1045,30 @@ class ExtensionOpsSpec extends AnyFunSuite {
       s"projected neighbors of cluster-1 member must be cluster 1, got $top")
   }
 
+  test("robustOutliers: median/MAD fence survives pollution that breaks z-scores") {
+    import spark.implicits._
+    // 45 inliers near 100 + 5 extreme outliers at 10000: the outliers drag
+    // a mean/stddev fence wide open (z-score flags nothing at z=3), while
+    // the median/MAD fence still catches all 5
+    val vals = (0 until 45).map(i => 100.0 + (i % 11) - 5) ++ Seq.fill(5)(10000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "v")
+    val out = graft.x.Profiler.robustOutliers(df, "v", Seq("grp")).head()
+    assert(math.abs(out.getDouble(1) - 100.0) <= 6.0) // median stays with inliers
+    assert(out.getLong(3) == 50L && out.getLong(4) == 5L,
+      s"MAD fence must flag exactly the 5 extremes, got ${out.getLong(4)}")
+    // the moment-based fence is masked: mean ~1090, stddev ~2900 → no flags
+    val (mean, std) = (vals.sum / vals.size,
+      math.sqrt(vals.map(x => math.pow(x - vals.sum / vals.size, 2)).sum / (vals.size - 1)))
+    assert(vals.count(x => math.abs(x - mean) > 3 * std) == 0,
+      "precondition: z-score masking must hold for this fixture")
+    // degenerate group: MAD = 0 flags everything off the median
+    val deg = Seq((1L, "d", 5.0), (2L, "d", 5.0), (3L, "d", 7.0))
+      .toDF("id", "grp", "v")
+    val d = graft.x.Profiler.robustOutliers(deg, "v", Seq("grp")).head()
+    assert(d.getDouble(2) == 0.0 && d.getLong(4) == 1L)
+  }
+
   test("contentDefinedChunks: tiles the doc exactly, re-aligns after insertion") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
