@@ -1260,6 +1260,19 @@ object SparkEntry {
     // files overlapping the 1997 window (skipping asserted in the spec) —
     // the result is identical to a plain filtered scan, which is exactly
     // what the oracle replays
+    // coarse-to-fine serving stack: JL shortlist (50 of 500) bounds the
+    // exact full-vector rerank — the float corpus is probed, not scanned
+    "x86_two_stage_topk" -> ((s, dir) => {
+      reg(s, dir)
+      val signs = Similarity.jlSigns(64, 16)
+      val emb = s.table("embeddings")
+      Similarity.twoStageTopK(emb,
+          emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+          "vec_id", "q_id", "embedding", signs, shortlist = 50, k = 10)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
     // median/MAD outlier fences per order priority — moment-free, so the
     // fence survives a polluted group
     "x85_robust_outliers" -> ((s, dir) => {
@@ -4163,6 +4176,38 @@ object SparkEntry {
                FROM fused)
       SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
       FROM outr WHERE rank <= 5
+      ORDER BY q_id, rank""",
+
+    // stage 1 replays x80's projected ranking to a 50-deep shortlist;
+    // stage 2 replays x5's exact cosine over just those candidates
+    "x86_two_stage_topk" -> s"""
+      WITH proj AS (SELECT vec_id, $jlProjSql FROM embeddings),
+      q AS (SELECT vec_id AS q_id, ${(1 to 16).map(i => s"p$i").mkString(", ")}
+            FROM proj WHERE vec_id < 5),
+      cscored AS (
+        SELECT q.q_id, e.vec_id,
+          ${pDotSql("e", "q")} /
+          (SQRT(${pDotSql("e", "e")}) * SQRT(${pDotSql("q", "q")})) AS pcos
+        FROM proj e, q WHERE e.vec_id <> q.q_id),
+      short AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY pcos DESC, vec_id) AS rk
+          FROM cscored) WHERE rk <= 50),
+      qv AS (SELECT vec_id AS q_id, embedding AS qvec FROM embeddings
+             WHERE vec_id < 5),
+      rescored AS (
+        SELECT s.q_id, s.vec_id,
+          ${dotSql("e.embedding", "qv.qvec")} /
+          (SQRT(${dotSql("e.embedding", "e.embedding")}) *
+           SQRT(${dotSql("qv.qvec", "qv.qvec")})) AS cosine
+        FROM short s JOIN embeddings e ON s.vec_id = e.vec_id
+                     JOIN qv ON s.q_id = qv.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM rescored)
+      SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rank
+      FROM ranked WHERE rk <= 10
       ORDER BY q_id, rank""",
 
     // exact interpolated medians (QUANTILE_CONT ≡ percentile, proven by

@@ -180,6 +180,43 @@ object Similarity {
       .select(col(qCol), col(idCol), col("__rrf").as("rrf_score"), col("rank"))
   }
 
+  /** Two-stage coarse-to-fine retrieval: shortlist by cosine in the JL
+    * projected space ([[jlProject]] — 4× smaller vectors), then re-rank
+    * ONLY the shortlist with exact full-vector cosine. This is the
+    * standard serving composition (compressed first pass bounds the
+    * expensive pass); with `shortlist` ≫ k the exact top-k is recovered
+    * with high probability at a fraction of the full-vector work — and
+    * the full float corpus is only ever touched for |queries|·shortlist
+    * rows, not |corpus| rows.
+    *
+    * Shape at 100 TB: stage 1 is [[bruteForceTopK]] over projected
+    * vectors (broadcast queries + WindowGroupLimit); stage 2 joins the
+    * shortlist BACK to the corpus on id — a semi-join-sized probe of the
+    * full-vector store, which is the entire point: the wide column is
+    * read for shortlist rows only (with the corpus laid out id-sorted,
+    * that read also row-group-prunes). */
+  def twoStageTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      qIdCol: String, vecCol: String, signs: Array[Array[Double]],
+      shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val pc = corpus.select(col(idCol),
+      jlProject(col(vecCol), signs).cast("array<float>").as("__pvec"))
+    val pq = queries.select(col(qIdCol),
+      jlProject(col(vecCol), signs).cast("array<float>").as("__pvec"))
+    val coarse = bruteForceTopK(pc, pq, idCol, qIdCol, "__pvec", shortlist)
+      .select(col(qIdCol), col(idCol))
+    val full = corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .withColumn("__cn", l2Norm(col("__cv")))
+    val qfull = queries.select(col(qIdCol), col(vecCol).as("__qv"))
+      .withColumn("__qn", l2Norm(col("__qv")))
+    val rescored = coarse
+      .join(full, idCol).join(broadcast(qfull), qIdCol)
+      .withColumn("cosine",
+        when(col("__cn") * col("__qn") === 0.0, lit(null).cast("double"))
+          .otherwise(dotProduct(col("__cv"), col("__qv")) / (col("__cn") * col("__qn"))))
+    rankTopK(rescored, idCol, qIdCol, k)
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk, the CCMatrix/LASER
     * miner): for each source vector, the best target match scored by
     *   margin(x, y) = cos(x, y) / (avgₖNN(x)/2 + avgₖNN(y)/2)

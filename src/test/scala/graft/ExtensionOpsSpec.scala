@@ -1045,6 +1045,34 @@ class ExtensionOpsSpec extends AnyFunSuite {
       s"projected neighbors of cluster-1 member must be cluster 1, got $top")
   }
 
+  test("twoStageTopK: recovers exact top-k when the shortlist is deep enough") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val signs = Similarity.jlSigns(64, 16)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "q_id",
+        "embedding", k = 5)
+      .select("q_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // with shortlist = corpus size the composition is EXACTLY brute force
+    val full = Similarity.twoStageTopK(corpus, queries, "vec_id", "q_id",
+        "embedding", signs, shortlist = 200, k = 5)
+      .select("q_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == exact)
+    // a 40-deep shortlist on random vectors keeps most of the true top-5
+    val narrow = Similarity.twoStageTopK(corpus, queries, "vec_id", "q_id",
+        "embedding", signs, shortlist = 40, k = 5)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(t => (t._1, t._2))
+    val recall = narrow.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"coarse-pass recall collapsed: $recall")
+  }
+
   test("robustOutliers: median/MAD fence survives pollution that breaks z-scores") {
     import spark.implicits._
     // 45 inliers near 100 + 5 extreme outliers at 10000: the outliers drag
