@@ -1260,6 +1260,19 @@ object SparkEntry {
     // files overlapping the 1997 window (skipping asserted in the spec) —
     // the result is identical to a plain filtered scan, which is exactly
     // what the oracle replays
+    // short-to-long curriculum per language: NTILE phases + percent_rank
+    // over token count, exchange-parallel per group
+    "x87_curriculum_phases" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.curriculumPhases(docs, "n_tokens", "doc_id", Seq("lang"), nPhases = 5)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("phase").cast("long").as("phase"),
+          round(col("pct_rank"), 6).as("pct_rank"))
+        .orderBy("doc_id")
+    }),
     // coarse-to-fine serving stack: JL shortlist (50 of 500) bounds the
     // exact full-vector rerank — the float corpus is probed, not scanned
     "x86_two_stage_topk" -> ((s, dir) => {
@@ -4177,6 +4190,21 @@ object SparkEntry {
       SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
       FROM outr WHERE rank <= 5
       ORDER BY q_id, rank""",
+
+    // NTILE and PERCENT_RANK are SQL-standard in both engines; ties break
+    // on doc_id so the phases replay exactly
+    "x87_curriculum_phases" -> """
+      WITH d AS (
+        SELECT doc_id, lang,
+          CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+               ELSE LEN(STR_SPLIT_REGEX(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT doc_id, lang, n_tokens,
+        CAST(NTILE(5) OVER w AS BIGINT) AS phase,
+        ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+      FROM d
+      WINDOW w AS (PARTITION BY lang ORDER BY n_tokens, doc_id)
+      ORDER BY doc_id""",
 
     // stage 1 replays x80's projected ranking to a 50-deep shortlist;
     // stage 2 replays x5's exact cosine over just those candidates

@@ -213,4 +213,28 @@ object Sampling {
       .orderBy(col("__hb").asc, col(idCol).asc)
       .limit(n)
       .drop("__hb")
+
+  /** Curriculum phase assignment: order each group by a difficulty score
+    * (canonically document length — the short-to-long curriculum) and
+    * bucket into `nPhases` NTILE phases, with `pct_rank` as the
+    * continuous position. Ties break on id, so phases are deterministic
+    * under any partitioning.
+    *
+    * The window partitions by `groupCols` — per-group frames, a real
+    * exchange-parallel plan. For a GROUP too large for one partition's
+    * sort, swap the NTILE for broadcast quantile thresholds (the
+    * [[graft.x.Profiler.winsorize]] pattern: one agg → nPhases-1 cut
+    * points → a narrow projection); the phase semantics stay the same,
+    * which is why the cut-point variant isn't duplicated here. */
+  def curriculumPhases(df: DataFrame, scoreCol: String, idCol: String,
+      groupCols: Seq[String], nPhases: Int): DataFrame = {
+    require(nPhases >= 1, s"nPhases must be >= 1, got $nPhases")
+    require(groupCols.nonEmpty,
+      "curriculumPhases needs group columns (a global NTILE is a one-partition sort)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    df.withColumn("phase", ntile(nPhases).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+  }
 }

@@ -187,4 +187,25 @@ class SamplingPackingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"))
   }
+
+  test("curriculumPhases: balanced monotone phases, deterministic under layout") {
+    import spark.implicits._
+    val docs = (0 until 23).map(i => (i.toLong, "g", (i * 7) % 100L))
+      .toDF("id", "grp", "score")
+    val out = Sampling.curriculumPhases(docs, "score", "id", Seq("grp"), nPhases = 4)
+      .select("id", "score", "phase", "pct_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // balanced: NTILE sizes differ by at most one (23 = 6+6+6+5)
+    val sizes = out.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.values.toSeq.sorted == Seq(5, 6, 6, 6))
+    // monotone: a higher score never lands in an earlier phase
+    val byScore = out.sortBy(t => (t._2, t._1))
+    assert(byScore.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    assert(byScore.head._4 == 0.0 && byScore.last._4 == 1.0)
+    // physical layout cannot move a document's phase
+    val again = Sampling.curriculumPhases(docs.repartition(7), "score", "id",
+        Seq("grp"), nPhases = 4)
+      .select("id", "phase").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == out.map(t => (t._1, t._3)).toSet)
+  }
 }
