@@ -1260,6 +1260,21 @@ object SparkEntry {
     // files overlapping the 1997 window (skipping asserted in the spec) —
     // the result is identical to a plain filtered scan, which is exactly
     // what the oracle replays
+    // DSIR data selection (Xie et al. 2023): hashed-unigram
+    // log-likelihood-ratio weights against a "looks like src0" target
+    // corpus, then Gumbel top-100 resample — exact decimal λ-sums and a
+    // hash-derived Gumbel key make both the weights and the ranking
+    // engine-replayable
+    "x88_dsir_select" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      TextAnalysis.dsirResample(docs, docs.filter(col("source") === "src0"),
+          "text", "doc_id", n = 100, nBuckets = 4096)
+        .select(col("doc_id"), col("n_tokens"),
+          col("llr").cast("double").as("llr"),
+          col("sel_key").cast("double").as("sel_key"))
+        .orderBy("doc_id")
+    }),
     // short-to-long curriculum per language: NTILE phases + percent_rank
     // over token count, exchange-parallel per group
     "x87_curriculum_phases" -> ((s, dir) => {
@@ -4190,6 +4205,46 @@ object SparkEntry {
       SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
       FROM outr WHERE rank <= 5
       ORDER BY q_id, rank""",
+
+    // replays the bucket hashing, the add-one-smoothed λ table (LN cast
+    // ONCE to DECIMAL(18,8)), the exact per-doc decimal sums, and the
+    // hash-derived Gumbel key — the top-100 ranking compares exact
+    // decimals, so the selected set is engine-independent
+    "x88_dsir_select" -> s"""
+      WITH toks AS (
+        SELECT doc_id, UNNEST(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS tok
+        FROM documents),
+      t2 AS (SELECT doc_id, tok FROM toks WHERE LENGTH(tok) > 0),
+      b AS (SELECT doc_id, ${polySql("tok")} % 4096 AS bucket FROM t2),
+      tgt AS (SELECT b.bucket FROM b JOIN documents USING (doc_id)
+              WHERE source = 'src0'),
+      rc AS (SELECT bucket, COUNT(*) AS rc FROM b GROUP BY 1),
+      tc AS (SELECT bucket, COUNT(*) AS tc FROM tgt GROUP BY 1),
+      grid AS (SELECT UNNEST(RANGE(0, 4096)) AS bucket),
+      counts AS (
+        SELECT g.bucket, COALESCE(rc.rc, 0) AS rc, COALESCE(tc.tc, 0) AS tc
+        FROM grid g LEFT JOIN rc ON g.bucket = rc.bucket
+                    LEFT JOIN tc ON g.bucket = tc.bucket),
+      tot AS (SELECT SUM(rc) AS rtot, SUM(tc) AS ttot FROM counts),
+      lam AS (
+        SELECT bucket,
+          CAST(LN((CAST(tc + 1 AS DOUBLE) / CAST(ttot + 4096 AS DOUBLE)) /
+                  (CAST(rc + 1 AS DOUBLE) / CAST(rtot + 4096 AS DOUBLE)))
+               AS DECIMAL(18,8)) AS lam
+        FROM counts, tot),
+      sc AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, SUM(lam) AS llr
+        FROM b JOIN lam USING (bucket) GROUP BY 1),
+      keyed AS (
+        SELECT doc_id, n_tokens, llr,
+          llr + CAST(-LN(-LN(
+              (CAST(${polySql("CAST(doc_id AS VARCHAR) || ':dsir'")} AS DOUBLE) + 0.5)
+              / 3.6028797018963968e16)) AS DECIMAL(18,8)) AS sel_key
+        FROM sc),
+      sel AS (SELECT * FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 100)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(llr AS DOUBLE) AS llr, CAST(sel_key AS DOUBLE) AS sel_key
+      FROM sel ORDER BY doc_id""",
 
     // NTILE and PERCENT_RANK are SQL-standard in both engines; ties break
     // on doc_id so the phases replay exactly

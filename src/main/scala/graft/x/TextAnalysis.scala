@@ -824,6 +824,78 @@ object TextAnalysis {
         col("top_share") <= maxTopShare && col("dup_frac") <= maxDupFrac)
   }
 
+  /** DSIR-style importance weighting for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every raw document by how much more likely its
+    * hashed-unigram bag is under a target-domain distribution than under
+    * the raw-corpus distribution, then resample by Gumbel-perturbed
+    * log-weights — the standard "pick web documents that look like
+    * Wikipedia" pre-training selection step.
+    *
+    * Mechanics: tokens hash into `nBuckets` [[graft.functions.PolyHash56]]
+    * buckets; each bucket's add-one-smoothed log-likelihood ratio
+    * `λ_b = ln(p_target(b) / p_raw(b))` is computed once on the ≤nBuckets-row
+    * stats frame and quantized ONCE to DECIMAL(18,8), so per-document
+    * weights `llr = Σ_tokens λ_bucket` are EXACT decimal sums — identical
+    * under any partitioning and engine-replayable. The Gumbel key derives
+    * from a salted portable hash of the id (never an RNG): `sel_key =
+    * llr + (-ln(-ln(u)))` with `u = (hash+0.5)/2^55`, also quantized to
+    * decimal, so top-n resampling is a deterministic exact-decimal ranking.
+    *
+    * Scale shape: the corpus pays ONE (id, bucket)-level shuffle (map-side
+    * partial counts); bucket stats are two ≤nBuckets-row aggregates whose
+    * λ table broadcasts back; selection via [[dsirResample]] compiles to
+    * TakeOrderedAndProject (per-partition top-n heaps, driver merges n
+    * rows) — nothing global ever materializes. Zero-token documents have
+    * no bag and drop out (they cannot be selected).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, nBuckets: Int = 4096, salt: String = "dsir"): DataFrame = {
+    require(nBuckets > 0, "dsirWeights needs nBuckets > 0")
+    val b = lit(nBuckets.toLong)
+    def buckets(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"): _*)
+        .filter(length(col("tok")) > 0)
+        .select(cols :+ pmod(graft.functions.PolyHash56(col("tok")), b).as("bucket"): _*)
+    // per-doc bucket bags: the only corpus-sized shuffle in the operator
+    val docBuckets = buckets(raw, col(idCol))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
+    val rc = docBuckets.groupBy("bucket").agg(sum("c").as("rc"))
+    val tc = buckets(target).groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val grid = raw.sparkSession.range(nBuckets.toLong).select(col("id").as("bucket"))
+    val counts = grid
+      .join(rc, Seq("bucket"), "left").join(tc, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+    val totals = counts.agg(sum("rc").as("rtot"), sum("tc").as("ttot"))
+    val lam = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        log(((col("tc") + 1).cast("double") / (col("ttot") + b).cast("double")) /
+            ((col("rc") + 1).cast("double") / (col("rtot") + b).cast("double")))
+          .cast("decimal(18,8)").as("lam"))
+    val u = (graft.functions.PolyHash56(
+      concat(col(idCol).cast("string"), lit(":" + salt))).cast("double") + lit(0.5)) /
+      lit(3.6028797018963968e16) // 2^55: hash is 55-bit, so u ∈ (0,1) strictly
+    docBuckets
+      .join(broadcast(lam), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum("c").cast("long").as("n_tokens"),
+        // the raw decimal sum is (38,8); re-bound to (20,8) (|llr| ≤ ~4e7
+        // even at 1e6 tokens/doc) so adding the (18,8) Gumbel key below
+        // stays under precision 38 — Spark would otherwise silently drop
+        // the 8th decimal digit to fit (38,7)
+        sum(col("lam") * col("c").cast("decimal(10,0)")).cast("decimal(20,8)").as("llr"))
+      .withColumn("sel_key", col("llr") + (-log(-log(u))).cast("decimal(18,8)"))
+  }
+
+  /** Gumbel top-n resampling over [[dsirWeights]]: equivalent to sampling
+    * n documents without replacement with probability ∝ exp(llr). The
+    * order-by-limit compiles to a per-partition heap + driver merge. */
+  def dsirResample(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, n: Int, nBuckets: Int = 4096, salt: String = "dsir"): DataFrame =
+    dsirWeights(raw, target, textCol, idCol, nBuckets, salt)
+      .orderBy(col("sel_key").desc, col(idCol)).limit(n)
+
   /** Per-document profile frame: one narrow projection, no shuffle. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.select(

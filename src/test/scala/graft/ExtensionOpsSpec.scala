@@ -1311,4 +1311,31 @@ class ExtensionOpsSpec extends AnyFunSuite {
       "text", "doc_id", n = 3, w = 4).count()
     assert(k < full * 6 / 10, s"winnowed sketch ($k) should be ~2/(w+1) of $full grams")
   }
+
+  test("dsirWeights: target≡raw zeroes every λ; target-vocab docs outrank off-vocab") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "wiki article about science and history"),
+      (2L, "buy cheap pills online now discount"),
+      (3L, "science history article encyclopedia entry"),
+      (4L, "click here casino bonus free spins")).toDF("doc_id", "text")
+    // degenerate target = raw: tc==rc and T==R make every smoothed λ
+    // exactly ln(1) = 0, so llr is exactly zero for all docs
+    val same = TextAnalysis.dsirWeights(docs, docs, "text", "doc_id", nBuckets = 64)
+      .select("llr").collect().map(_.getDecimal(0))
+    assert(same.forall(_.signum == 0), s"target≡raw must give llr=0, got ${same.toSeq}")
+    // a wiki-like target lifts wiki-vocabulary docs above spam-vocabulary docs
+    val target = docs.filter($"doc_id" === 1L || $"doc_id" === 3L)
+    val w = TextAnalysis.dsirWeights(docs, target, "text", "doc_id", nBuckets = 4096)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(2).doubleValue()).toMap
+    assert(w(1L) > w(2L) && w(3L) > w(4L) && w(1L) > w(4L),
+      s"target-like docs must outrank off-target docs: $w")
+    // partitioning invariance: the exact-decimal weights and the resampled
+    // set cannot depend on the physical layout
+    val a = TextAnalysis.dsirResample(docs.repartition(7), target, "text", "doc_id", n = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextAnalysis.dsirResample(docs.coalesce(1), target, "text", "doc_id", n = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 2)
+  }
 }
