@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.{IncrementalAgg, Scd2, Upsert, Validations}
 import graft.sources.SourceReader
 import graft.config.ColumnMapping
-import graft.x.{Dedup, EventAnalytics, Multimodal, Profiler, Sampling, Similarity, TextAnalysis}
+import graft.x.{Dedup, EventAnalytics, Multimodal, Privacy, Profiler, Sampling, Similarity, TextAnalysis}
 import graft.streaming.StreamingJobs
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1260,6 +1260,67 @@ object SparkEntry {
     // files overlapping the 1997 window (skipping asserted in the spec) —
     // the result is identical to a plain filtered scan, which is exactly
     // what the oracle replays
+    // k-anonymity release gate: customers in (nation, segment) groups
+    // smaller than 15 get both quasi-identifiers masked, auditable via
+    // the suppressed flag
+    "x92_k_anonymize" -> ((s, dir) => {
+      reg(s, dir)
+      Privacy.kAnonymize(s.table("customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 15)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("suppressed"))
+        .orderBy("c_custkey")
+    }),
+    // l-diversity audit on the released quasi-groups: a nation where every
+    // customer shares one market segment would leak it even at k-anonymity
+    "x93_l_diversity" -> ((s, dir) => {
+      reg(s, dir)
+      Privacy.lDiversityAudit(s.table("customer"), Seq("c_nationkey"),
+          "c_mktsegment", l = 3)
+        .select(col("c_nationkey"), col("n_rows").cast("long").as("n_rows"),
+          col("n_sensitive").cast("long").as("n_sensitive"), col("l_ok"))
+        .orderBy("c_nationkey")
+    }),
+    // ANN evaluation harness: recall@10 of the int8-quantized retriever
+    // (x81) against exact float brute force (x5) — both rankings are
+    // engine-replayable, so the recall numbers are too
+    "x91_recall_at_k" -> ((s, dir) => {
+      reg(s, dir)
+      val emb = s.table("embeddings")
+      val exact = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding")),
+        "vec_id", "q_id", "embedding", k = 10)
+      val codes = emb.select(col("vec_id"), Similarity.int8Codes(col("embedding")).as("codes"))
+      val approx = Similarity.int8TopK(codes,
+        codes.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("codes")),
+        "vec_id", "q_id", "codes", k = 10)
+      Similarity.recallAtK(approx, exact, "q_id", "vec_id", k = 10)
+        .orderBy("q_id")
+    }),
+    // PSI drift monitor: order-value distribution pre- vs post-1998 on a
+    // fixed 20-bucket grid; per-bucket contributions quantized to decimal
+    // so the reported PSI is an exact sum — the drift verdict can't flip
+    // across partitionings or engines
+    "x90_psi_drift" -> ((s, dir) => {
+      reg(s, dir)
+      val orders = s.table("orders")
+      val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+      Profiler.psiDrift(
+          orders.filter(col("o_orderdate") < cut),
+          orders.filter(col("o_orderdate") >= cut),
+          "o_totalprice", nBuckets = 20, lo = 0.0, hi = 500000.0)
+        .orderBy("bucket")
+    }),
+    // πps weighted sampling: documents kept with probability ∝ n_chars
+    // (token-mass-preserving corpus sampling); the inclusion test is
+    // exact integer arithmetic on a salted portable hash, so the kept
+    // set replays bit-for-bit in any engine
+    "x89_weighted_sample" -> ((s, dir) => {
+      reg(s, dir)
+      Sampling.weightedSample(s.table("documents"), "doc_id", "n_chars", n = 150)
+        .select(col("doc_id"), col("n_chars"), col("p_incl"))
+        .orderBy("doc_id")
+    }),
     // DSIR data selection (Xie et al. 2023): hashed-unigram
     // log-likelihood-ratio weights against a "looks like src0" target
     // corpus, then Gumbel top-100 resample — exact decimal λ-sums and a
@@ -4205,6 +4266,124 @@ object SparkEntry {
       SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
       FROM outr WHERE rank <= 5
       ORDER BY q_id, rank""",
+
+    // group sizes + the <15 mask rule replay directly; quasi columns are
+    // strings on both sides after masking
+    "x92_k_anonymize" -> """
+      WITH n AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS qn
+        FROM customer GROUP BY 1, 2)
+      SELECT c_custkey,
+        CASE WHEN qn < 15 THEN '*' ELSE CAST(c.c_nationkey AS VARCHAR) END AS c_nationkey,
+        CASE WHEN qn < 15 THEN '*' ELSE c.c_mktsegment END AS c_mktsegment,
+        qn < 15 AS suppressed
+      FROM customer c JOIN n USING (c_nationkey, c_mktsegment)
+      ORDER BY c_custkey""",
+
+    "x93_l_diversity" -> """
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+             COUNT(DISTINCT c_mktsegment) >= 3 AS l_ok
+      FROM customer GROUP BY c_nationkey
+      ORDER BY c_nationkey""",
+
+    // replays BOTH retrievals — x5's exact float ranking and x81's
+    // integer-exact int8 ranking — then intersects the two top-10 lists;
+    // counts are integers, recall one IEEE division
+    "x91_recall_at_k" -> s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      fsc AS (
+        SELECT q.q_id, e.vec_id,
+          ${dotSql("e.embedding", "q.qv")} /
+          (SQRT(${dotSql("e.embedding", "e.embedding")}) * SQRT(${dotSql("q.qv", "q.qv")})) AS cosine
+        FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      ex AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+          FROM fsc) WHERE rk <= 10),
+      sc AS (
+        SELECT vec_id, embedding,
+          LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings),
+      codes AS (
+        SELECT vec_id,
+          CASE WHEN m IS NULL OR m = 0 THEN LIST_TRANSFORM(embedding, x -> 0)
+               ELSE LIST_TRANSFORM(embedding, x ->
+                 CAST(FLOOR(CAST(x AS DOUBLE) / m * 127.0 + 0.5) AS INT)) END AS c
+        FROM sc),
+      q8 AS (SELECT vec_id AS q_id, c AS qc FROM codes WHERE vec_id < 5),
+      isc AS (
+        SELECT q8.q_id, e.vec_id,
+          CAST(${idotSql("e.c", "q8.qc")} AS DOUBLE) /
+          (SQRT(CAST(${idotSql("e.c", "e.c")} AS DOUBLE)) *
+           SQRT(CAST(${idotSql("q8.qc", "q8.qc")} AS DOUBLE))) AS cosine
+        FROM codes e, q8 WHERE e.vec_id <> q8.q_id),
+      ap AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+          FROM isc) WHERE rk <= 10),
+      hits AS (SELECT q_id, COUNT(*) AS h FROM ap JOIN ex USING (q_id, vec_id) GROUP BY 1),
+      ne AS (SELECT q_id, COUNT(*) AS n FROM ex GROUP BY 1)
+      SELECT ne.q_id, CAST(COALESCE(h, 0) AS BIGINT) AS n_hit,
+             CAST(n AS BIGINT) AS n_exact,
+             CAST(COALESCE(h, 0) AS DOUBLE) / CAST(n AS DOUBLE) AS recall
+      FROM ne LEFT JOIN hits ON ne.q_id = hits.q_id
+      ORDER BY ne.q_id""",
+
+    // replays the fixed-grid bucketing (x36's arithmetic), add-one
+    // smoothing, and the DECIMAL(18,8)-quantized PSI contributions; the
+    // total is a sum of ≤20 exact decimals on both sides
+    "x90_psi_drift" -> """
+      WITH ba AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) * 20.0 / 500000.0),
+                                   0.0), 19.0) AS INT) AS bucket
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND o_totalprice IS NOT NULL AND o_totalprice >= 0.0 AND o_totalprice <= 500000.0),
+      bb AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) * 20.0 / 500000.0),
+                                   0.0), 19.0) AS INT) AS bucket
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND o_totalprice IS NOT NULL AND o_totalprice >= 0.0 AND o_totalprice <= 500000.0),
+      ca AS (SELECT bucket, COUNT(*) AS c FROM ba GROUP BY 1),
+      cb AS (SELECT bucket, COUNT(*) AS c FROM bb GROUP BY 1),
+      grid AS (SELECT CAST(UNNEST(RANGE(0, 20)) AS INT) AS bucket),
+      counts AS (
+        SELECT g.bucket, COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+        FROM grid g LEFT JOIN ca ON g.bucket = ca.bucket
+                    LEFT JOIN cb ON g.bucket = cb.bucket),
+      tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts),
+      per AS (
+        SELECT bucket, ca, cb,
+          CAST((CAST(ca + 1 AS DOUBLE) / CAST(na + 20 AS DOUBLE)
+                - CAST(cb + 1 AS DOUBLE) / CAST(nb + 20 AS DOUBLE))
+               * LN((CAST(ca + 1 AS DOUBLE) / CAST(na + 20 AS DOUBLE))
+                    / (CAST(cb + 1 AS DOUBLE) / CAST(nb + 20 AS DOUBLE)))
+               AS DECIMAL(18,8)) AS contrib
+        FROM counts, tot),
+      t2 AS (SELECT SUM(contrib) AS psi FROM per)
+      SELECT bucket, CAST(ca AS BIGINT) AS cnt_a, CAST(cb AS BIGINT) AS cnt_b,
+             CAST(contrib AS DOUBLE) AS contrib, CAST(psi AS DOUBLE) AS psi
+      FROM per, t2 ORDER BY bucket""",
+
+    // replays the exact-integer πps inclusion test in HUGEINT — both
+    // engines compare hash·ΣW against n·w·2^55 with no float anywhere,
+    // so the kept set is identical; p_incl is one IEEE division
+    "x89_weighted_sample" -> s"""
+      WITH tot AS (
+        SELECT SUM(CAST(CASE WHEN n_chars > 0 THEN n_chars ELSE 0 END AS HUGEINT)) AS w
+        FROM documents)
+      SELECT doc_id, n_chars,
+        LEAST(1.0, 150.0 * CAST(n_chars AS DOUBLE) / CAST(w AS DOUBLE)) AS p_incl
+      FROM documents, tot
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+        AND CAST(${polySql("CAST(doc_id AS VARCHAR) || ':wsample'")} AS HUGEINT) * w
+            < CAST(150 AS HUGEINT) * CAST(n_chars AS HUGEINT)
+              * CAST(36028797018963968 AS HUGEINT)
+      ORDER BY doc_id""",
 
     // replays the bucket hashing, the add-one-smoothed λ table (LN cast
     // ONCE to DECIMAL(18,8)), the exact per-doc decimal sums, and the

@@ -184,4 +184,54 @@ object Profiler {
         sum(when(abs(v - col("med")) > fence, 1L).otherwise(0L)).as("n_outliers"))
       .select(gc ++ Seq(col("med"), col("mad"), col("n"), col("n_outliers")): _*)
   }
+
+  /** Population-Stability-Index drift report between two snapshots of the
+    * same column — the standard "did this feature's distribution move
+    * between yesterday's load and today's" data-quality monitor
+    * (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 investigate).
+    *
+    * Both snapshots bucket on the SAME fixed [lo, hi) grid (same exact
+    * arithmetic as [[histogram]], out-of-range rows excluded, so the two
+    * sides are always comparable across runs), counts are add-one
+    * smoothed so an empty bucket on one side cannot produce ±∞, and each
+    * bucket's `(p_a − p_b)·ln(p_a/p_b)` contribution is quantized ONCE to
+    * DECIMAL(18,8) — the reported PSI is an exact decimal sum over
+    * ≤nBuckets terms, identical under any partitioning and engine.
+    *
+    * Scale shape: each snapshot pays one bucket-keyed aggregate with
+    * map-side partials (output ≤ nBuckets rows); everything downstream —
+    * the smoothing, the log-ratios, the PSI total — runs on the
+    * nBuckets-row frame with the totals broadcast. The 100 TB cost is two
+    * scans, full stop.
+    */
+  def psiDrift(a: DataFrame, b: DataFrame, valueCol: String, nBuckets: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "psiDrift needs nBuckets > 0 and hi > lo")
+    def bucketCounts(df: DataFrame, out: String): DataFrame = {
+      val v = col(valueCol).cast("double")
+      val idx = least(
+        greatest(floor((v - lit(lo)) * lit(nBuckets.toDouble) / lit(hi - lo)), lit(0.0)),
+        lit((nBuckets - 1).toDouble)).cast("int")
+      df.filter(v.isNotNull && v >= lo && v <= hi)
+        .groupBy(idx.as("bucket")).agg(count(lit(1)).as(out))
+    }
+    val grid = a.sparkSession.range(nBuckets.toLong)
+      .select(col("id").cast("int").as("bucket"))
+    val counts = grid
+      .join(bucketCounts(a, "ca"), Seq("bucket"), "left")
+      .join(bucketCounts(b, "cb"), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tots = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val sm = lit(nBuckets.toLong)
+    val pa = (col("ca") + 1).cast("double") / (col("na") + sm).cast("double")
+    val pb = (col("cb") + 1).cast("double") / (col("nb") + sm).cast("double")
+    val per = counts.crossJoin(broadcast(tots))
+      .withColumn("contrib", ((pa - pb) * log(pa / pb)).cast("decimal(18,8)"))
+    per.crossJoin(broadcast(per.agg(sum("contrib").as("__psi"))))
+      .select(col("bucket"), col("ca").cast("long").as("cnt_a"),
+        col("cb").cast("long").as("cnt_b"),
+        col("contrib").cast("double").as("contrib"),
+        col("__psi").cast("double").as("psi"))
+  }
 }

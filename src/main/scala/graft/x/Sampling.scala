@@ -207,6 +207,46 @@ object Sampling {
     * uniformity, but re-runnable and mergeable: the global top-n of a
     * uniform hash is a TakeOrdered, no reservoir state, no shuffle of the
     * losers at 100 TB). */
+  /** Weighted (probability-proportional-to-size) Poisson sampling: each
+    * row is kept independently with inclusion probability
+    * `p_i = min(1, n·w_i / ΣW)` — the classic πps design whose sample size
+    * concentrates around `n` and whose `1/p_i` Horvitz–Thompson weights
+    * give unbiased total estimates. Canonical pipeline use: sample
+    * documents proportional to length/token count so the SAMPLE holds the
+    * same token mass per stratum the corpus does.
+    *
+    * The inclusion test is EXACT integer arithmetic, never a float:
+    * keep ⟺ `hash55(id:salt) · ΣW < n · w_i · 2^55`, evaluated in
+    * DECIMAL(38,0) (fits up to petabyte-scale weight totals: hash < 2^55
+    * ≈ 3.6e16 times ΣW ≤ 1e21 stays under 1e38). min(1,·) is automatic —
+    * when `n·w_i ≥ ΣW` the right side exceeds the hash ceiling times ΣW.
+    * The same salted-portable-hash discipline as [[sample]]: identical
+    * results under any partitioning, retry, or engine; doubling every
+    * weight provably leaves the selected set unchanged (both sides scale).
+    *
+    * Scale shape: ΣW is a 1-row aggregate broadcast back; the corpus side
+    * is a narrow map-side filter — zero shuffles. Null or non-positive
+    * weights are never selected (p_i = 0). `p_incl` (one IEEE division)
+    * rides along for downstream HT reweighting.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, n: Long,
+      salt: String = "wsample"): DataFrame = {
+    require(n > 0, s"weightedSample needs a positive target size, got $n")
+    val d19 = "decimal(19,0)"
+    val tot = df.agg(
+      sum(when(col(weightCol) > 0, col(weightCol)).otherwise(0L).cast("decimal(28,0)"))
+        .as("__wtot"))
+    val h = PolyHash56(concat(col(idCol).cast("string"), lit(":" + salt)))
+    df.crossJoin(broadcast(tot))
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
+        h.cast(d19) * col("__wtot").cast("decimal(28,0)") <
+          lit(n).cast(d19) * col(weightCol).cast(d19) *
+            lit(36028797018963968L).cast(d19)) // 2^55: the hash ceiling
+      .withColumn("p_incl", least(lit(1.0),
+        lit(n.toDouble) * col(weightCol).cast("double") / col("__wtot").cast("double")))
+      .drop("__wtot")
+  }
+
   def deterministicReservoir(df: DataFrame, idCol: String, n: Int,
       salt: String = "reservoir"): DataFrame =
     df.withColumn("__hb", hashBucket(col(idCol), salt))

@@ -161,6 +161,37 @@ object Similarity {
     * rows each, tiny regardless of corpus size — so the fusion is a
     * (q, id)-keyed join of driver-small frames; ALL the heavy lifting
     * stays inside the upstream retrievers where it's already bounded. */
+  /** Retrieval-quality evaluator: per-query recall@k of an approximate
+    * retriever's top-k list against the exact one — the number every ANN
+    * config decision (nprobe, JL dim, int8 vs float, LSH planes) should
+    * be read from, produced by the library itself so the measurement
+    * composes with any retriever pair here ([[int8TopK]] vs
+    * [[bruteForceTopK]], [[ivfTopKFromLayout]] vs exact, …).
+    *
+    * Contract: both inputs carry `(qIdCol, idCol, rank)` as produced by
+    * the shared [[rankTopK]]; rows with rank > k are ignored so callers
+    * can pass deeper lists. recall = |approx ∩ exact| / |exact| per query
+    * (exact lists shorter than k — tiny corpora — divide by their true
+    * size, not k). Scale shape: both sides are top-k lists (|Q|·k rows);
+    * the intersection and counts are joins on frames that small — the
+    * corpus is never touched.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, qIdCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"recallAtK needs k > 0, got $k")
+    val a = approx.filter(col("rank") <= k).select(col(qIdCol), col(idCol))
+    val e = exact.filter(col("rank") <= k).select(col(qIdCol), col(idCol))
+    val hits = a.join(e, Seq(qIdCol, idCol))
+      .groupBy(col(qIdCol)).agg(count(lit(1)).as("__hit"))
+    e.groupBy(col(qIdCol)).agg(count(lit(1)).as("__ex"))
+      .join(hits, Seq(qIdCol), "left")
+      .select(col(qIdCol),
+        coalesce(col("__hit"), lit(0L)).cast("long").as("n_hit"),
+        col("__ex").cast("long").as("n_exact"),
+        (coalesce(col("__hit"), lit(0L)).cast("double") /
+          col("__ex").cast("double")).as("recall"))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], qCol: String, idCol: String,
       rankCol: String, k: Int, kRrf: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")

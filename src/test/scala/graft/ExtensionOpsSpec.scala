@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
-import graft.x.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.x.{Dedup, Multimodal, Privacy, Profiler, Sampling, Similarity, TextAnalysis}
 
 /** Extension operators (SURVEY.md §2.9): dedup family, similarity search,
   * text analysis, multimodal plumbing. */
@@ -1310,6 +1310,78 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val k = TextAnalysis.winnow(Seq((3L, doc)).toDF("doc_id", "text"),
       "text", "doc_id", n = 3, w = 4).count()
     assert(k < full * 6 / 10, s"winnowed sketch ($k) should be ~2/(w+1) of $full grams")
+  }
+
+  test("weightedSample: scale-invariant, zero-weight-proof, size near target") {
+    import spark.implicits._
+    val rows = (1L to 1000L).map(i => (i, 100L + (i % 7) * 50L)).toDF("id", "w")
+    val kept = Sampling.weightedSample(rows, "id", "w", n = 200)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // hash-deterministic: size concentrates around n (fixed, not random)
+    assert(kept.size > 140 && kept.size < 260, s"size ${kept.size} far from 200")
+    // doubling every weight scales both sides of the exact inclusion test
+    val doubled = Sampling.weightedSample(
+      rows.select($"id", ($"w" * 2).as("w")), "id", "w", n = 200)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(doubled == kept)
+    // zero/negative weights can never be selected; layout can't matter
+    val withJunk = rows.union(Seq((2000L, 0L), (2001L, -5L)).toDF("id", "w"))
+    val k2 = Sampling.weightedSample(withJunk.repartition(13), "id", "w", n = 200)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(k2 == kept && !k2.contains(2000L) && !k2.contains(2001L))
+    // p_incl is the πps probability, capped at 1
+    val p = Sampling.weightedSample(rows, "id", "w", n = 200)
+      .select("p_incl").collect().map(_.getDouble(0))
+    assert(p.forall(x => x > 0.0 && x <= 1.0))
+  }
+
+  test("psiDrift: identical snapshots give PSI 0; a shifted snapshot doesn't") {
+    import spark.implicits._
+    val a = (1 to 1000).map(i => i % 100).toDF("v")
+    val same = Profiler.psiDrift(a, a, "v", nBuckets = 10, lo = 0.0, hi = 100.0)
+      .select("psi").head().getDouble(0)
+    assert(same == 0.0, s"identical snapshots must give PSI exactly 0, got $same")
+    // shift the mass up by 50: a real distribution move must dominate the
+    // smoothing noise (rule of thumb: > 0.25 = investigate)
+    val b = (1 to 1000).map(i => 50 + i % 50).toDF("v")
+    val moved = Profiler.psiDrift(a, b, "v", nBuckets = 10, lo = 0.0, hi = 100.0)
+      .select("psi").head().getDouble(0)
+    assert(moved > 0.25, s"a half-range shift must flag, got $moved")
+    // bucket counts exclude out-of-range rows on both sides consistently
+    val withJunk = a.union(Seq(-5, 500).toDF("v"))
+    val j = Profiler.psiDrift(withJunk, a, "v", nBuckets = 10, lo = 0.0, hi = 100.0)
+      .select("psi").head().getDouble(0)
+    assert(j == 0.0)
+  }
+
+  test("recallAtK: self-comparison gives 1; disjoint lists give 0; deep lists truncate") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2)).toDF("q_id", "vec_id", "rank")
+    val self = Similarity.recallAtK(exact, exact, "q_id", "vec_id", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(self == Map(1L -> 1.0, 2L -> 1.0))
+    // approx missed everything for q1, got 1/2 for q2; rank-4 hits ignored
+    val approx = Seq((1L, 99L, 1), (1L, 98L, 2), (1L, 10L, 4),
+      (2L, 20L, 1), (2L, 97L, 2)).toDF("q_id", "vec_id", "rank")
+    val r = Similarity.recallAtK(approx, exact, "q_id", "vec_id", k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSet == Set((1L, 0L, 3L, 0.0), (2L, 1L, 2L, 0.5)))
+  }
+
+  test("kAnonymize masks sub-k groups only; lDiversityAudit flags homogeneous groups") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "us", "A"), (2L, "us", "A"), (3L, "us", "B"),
+      (4L, "nz", "A")).toDF("id", "geo", "seg")
+    val anon = Privacy.kAnonymize(df, Seq("geo"), k = 2)
+      .select("id", "geo", "suppressed")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(anon == Set((1L, "us", false), (2L, "us", false), (3L, "us", false),
+      (4L, "*", true)), s"got $anon")
+    val ld = Privacy.lDiversityAudit(df, Seq("geo"), "seg", l = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(ld == Set(("us", 3L, 2L, true), ("nz", 1L, 1L, false)))
   }
 
   test("dsirWeights: target≡raw zeroes every λ; target-vocab docs outrank off-vocab") {
