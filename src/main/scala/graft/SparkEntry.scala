@@ -1260,6 +1260,18 @@ object SparkEntry {
     // files overlapping the 1997 window (skipping asserted in the spec) —
     // the result is identical to a plain filtered scan, which is exactly
     // what the oracle replays
+    // stupid-backoff trigram fluency vs an even-doc reference LM: odd docs
+    // hit unseen trigrams, so all three backoff tiers fire; per-tier logs
+    // quantize to decimal once, making the means engine-replayable
+    "x94_stupid_backoff" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      TextAnalysis.stupidBackoffLogProb(docs,
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id")
+        .select(col("doc_id"), col("n_trigrams").cast("long").as("n_trigrams"),
+          col("mean_nll"))
+        .orderBy("doc_id")
+    }),
     // k-anonymity release gate: customers in (nation, segment) groups
     // smaller than 15 get both quasi-identifiers masked, auditable via
     // the suppressed flag
@@ -4266,6 +4278,53 @@ object SparkEntry {
       SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
       FROM outr WHERE rank <= 5
       ORDER BY q_id, rank""",
+
+    // replays the LM count tables from even docs, the three-tier backoff
+    // CASE with identical double association, and the decimal-exact
+    // per-doc sums — x59's contract extended one order up
+    "x94_stupid_backoff" -> """
+      WITH t AS (
+        SELECT doc_id, LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                                   x -> LENGTH(x) > 0) AS a
+        FROM documents),
+      lmt AS (SELECT a FROM t WHERE doc_id % 2 = 0),
+      uni AS (SELECT tok AS w, COUNT(*) AS c1
+              FROM (SELECT UNNEST(a) AS tok FROM lmt) GROUP BY 1),
+      tot AS (SELECT SUM(c1) AS n_lm, COUNT(*) AS v_lm FROM uni),
+      big AS (
+        SELECT a[i] AS w1, a[i+1] AS w2, COUNT(*) AS c2
+        FROM lmt, LATERAL (SELECT UNNEST(RANGE(1, LEN(a))) AS i)
+        WHERE LEN(a) >= 2 GROUP BY 1, 2),
+      tri AS (
+        SELECT a[i] AS w1, a[i+1] AS w2, a[i+2] AS w3, COUNT(*) AS c3
+        FROM lmt, LATERAL (SELECT UNNEST(RANGE(1, LEN(a) - 1)) AS i)
+        WHERE LEN(a) >= 3 GROUP BY 1, 2, 3),
+      dt AS (
+        SELECT doc_id, a[i] AS w1, a[i+1] AS w2, a[i+2] AS w3, COUNT(*) AS c
+        FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(a) - 1)) AS i)
+        WHERE LEN(a) >= 3 GROUP BY 1, 2, 3, 4),
+      j AS (
+        SELECT dt.doc_id, dt.c, tri.c3, b12.c2 AS ctx12, b23.c2 AS b23,
+               u2.c1 AS u2, u3.c1 AS u3, tot.n_lm, tot.v_lm
+        FROM dt LEFT JOIN tri USING (w1, w2, w3)
+                LEFT JOIN big b12 ON dt.w1 = b12.w1 AND dt.w2 = b12.w2
+                LEFT JOIN big b23 ON dt.w2 = b23.w1 AND dt.w3 = b23.w2
+                LEFT JOIN uni u2 ON dt.w2 = u2.w
+                LEFT JOIN uni u3 ON dt.w3 = u3.w, tot),
+      sc AS (
+        SELECT doc_id, c,
+          CAST(-(CASE
+            WHEN c3 IS NOT NULL THEN LN(CAST(c3 AS DOUBLE) / CAST(ctx12 AS DOUBLE))
+            WHEN b23 IS NOT NULL THEN
+              LN((CAST(0.4 AS DOUBLE) * CAST(b23 AS DOUBLE)) / CAST(u2 AS DOUBLE))
+            ELSE LN(((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE))
+                     * CAST(COALESCE(u3, 0) + 1 AS DOUBLE))
+                    / CAST(n_lm + v_lm AS DOUBLE))
+          END) AS DECIMAL(18,8)) * c AS s
+        FROM j)
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+             CAST(SUM(s) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS mean_nll
+      FROM sc GROUP BY 1 ORDER BY doc_id""",
 
     // group sizes + the <15 mask rule replay directly; quasi columns are
     // strings on both sides after masking

@@ -824,6 +824,70 @@ object TextAnalysis {
         col("top_share") <= maxTopShare && col("dup_frac") <= maxDupFrac)
   }
 
+  /** Stupid-backoff trigram fluency scoring (Brants et al., "Large
+    * Language Models in Machine Translation", EMNLP 2007) — the trigram
+    * tier of the x59 fluency stack, scored against a SEPARATE reference
+    * corpus `lm` so the backoff chain actually fires (self-scoring never
+    * backs off: every observed trigram has count ≥ 1 in its own corpus).
+    *
+    * Per trigram occurrence (w1 w2 w3):
+    *   c3 > 0         →  s = ln(c3(w1w2w3) / c2(w1w2))
+    *   else c2 > 0    →  s = ln(α · c2(w2w3) / c1(w2))
+    *   else           →  s = ln(α² · (c1(w3)+1) / (N+V))   (add-one tail)
+    * with α = 0.4 as published. Each tier's log is cast ONCE to
+    * DECIMAL(18,8); per-doc sums are exact decimal arithmetic, so
+    * `mean_nll = −Σs / n_trigrams` is engine-replayable (one final IEEE
+    * division, fixed association — the x30/x59 contract).
+    *
+    * Scale shape: LM count tables are corpus-keyed aggregates with
+    * map-side partials; the doc-side joins key on gram columns
+    * (co-partitioned shuffle joins — a trigram table is corpus-sized, so
+    * none of them is broadcastable by design), then ONE doc-keyed
+    * aggregate. Documents shorter than 3 tokens have no trigrams and drop
+    * out, mirroring x59's ≥2-token contract.
+    */
+  def stupidBackoffLogProb(docs: DataFrame, lm: DataFrame, textCol: String,
+      idCol: String, alpha: Double = 0.4): DataFrame = {
+    val a = col("__a")
+    def toksArr(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+
+        filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("__a"): _*)
+    def grams(df: DataFrame, n: Int, cols: Column*): DataFrame = {
+      val fields = (0 until n).map(j => element_at(a, col("__i") + j).as(s"w${j + 1}"))
+      toksArr(df, cols: _*)
+        .select(cols ++ Seq(a,
+          explode(when(size(a) >= n, sequence(lit(1), size(a) - (n - 1)))
+            .otherwise(array().cast("array<int>"))).as("__i")): _*)
+        .select(cols ++ fields: _*)
+    }
+    val uni = grams(lm, 1).groupBy("w1").agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum("c1").as("__n_lm"), count(lit(1)).as("__v_lm"))
+    val big = grams(lm, 2).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val tri = grams(lm, 3).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val docTri = grams(docs, 3, col(idCol))
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+    val s =
+      when(col("c3").isNotNull,
+        log(col("c3").cast("double") / col("ctx12").cast("double")))
+      .when(col("b23").isNotNull,
+        log(lit(alpha) * col("b23").cast("double") / col("u2").cast("double")))
+      .otherwise(
+        log(lit(alpha * alpha) * (coalesce(col("u3"), lit(0L)) + 1).cast("double") /
+          (col("__n_lm") + col("__v_lm")).cast("double")))
+    docTri
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(big.select(col("w1"), col("w2"), col("c2").as("ctx12")), Seq("w1", "w2"), "left")
+      .join(big.select(col("w1").as("w2"), col("w2").as("w3"), col("c2").as("b23")),
+        Seq("w2", "w3"), "left")
+      .join(uni.select(col("w1").as("w2"), col("c1").as("u2")), Seq("w2"), "left")
+      .join(uni.select(col("w1").as("w3"), col("c1").as("u3")), Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__s", (-s).cast("decimal(18,8)") * col("c").cast("decimal(10,0)"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_trigrams"),
+        (sum("__s").cast("double") / sum("c").cast("double")).as("mean_nll"))
+  }
+
   /** DSIR-style importance weighting for data selection (Xie et al.,
     * "Data Selection for Language Models via Importance Resampling",
     * NeurIPS 2023): score every raw document by how much more likely its

@@ -1384,6 +1384,23 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(ld == Set(("us", 3L, 2L, true), ("nz", 1L, 1L, false)))
   }
 
+  test("stupidBackoff: all three tiers fire with the published α weighting") {
+    import spark.implicits._
+    // LM: unigrams a2 b2 c1 d1 (N=6, V=4); bigrams ab:2 bc:1 ca:1 bd:1;
+    // trigrams abc bca cab abd
+    val lm = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c x y z"), (2L, "d a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoffLogProb(docs, lm, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 1: (a,b,c) tier-1 ln(1/2); (b,c,x),(c,x,y),(x,y,z) tier-3
+    // ln(α²·1/10); doc 2: (d,a,b) unseen trigram but bigram ab exists →
+    // tier-2 ln(α·2/2)
+    val exp1 = -(math.log(1.0 / 2.0) + 3 * math.log(0.4 * 0.4 * 1.0 / 10.0)) / 4
+    val exp2 = -math.log(0.4 * 2.0 / 2.0)
+    assert(out(1L)._1 == 4L && math.abs(out(1L)._2 - exp1) < 1e-6, s"got ${out(1L)}")
+    assert(out(2L)._1 == 1L && math.abs(out(2L)._2 - exp2) < 1e-6, s"got ${out(2L)}")
+  }
+
   test("dsirWeights: target≡raw zeroes every λ; target-vocab docs outrank off-vocab") {
     import spark.implicits._
     val docs = Seq(
