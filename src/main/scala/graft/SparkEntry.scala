@@ -1260,6 +1260,25 @@ object SparkEntry {
     // files overlapping the 1997 window (skipping asserted in the spec) —
     // the result is identical to a plain filtered scan, which is exactly
     // what the oracle replays
+    // PMI collocations: bigrams beating independence at min count 5 —
+    // the multi-word-expression mining step before vocab decisions
+    "x95_pmi_collocations" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.collocations(s.table("documents"), "text", minCount = 5)
+        .orderBy("w1", "w2")
+    }),
+    // per-column null-rate drift across the mid-January boundary: the
+    // data-contract presence check (same null rule both sides, so drift
+    // reflects the data, not the probe)
+    "x96_null_drift" -> ((s, dir) => {
+      reg(s, dir)
+      val ev = s.table("events").withColumn("value_n",
+        when(col("value") < 100, lit(null).cast("double")).otherwise(col("value")))
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      Profiler.nullRateDrift(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          Seq("value_n", "props"))
+        .orderBy("col_name")
+    }),
     // stupid-backoff trigram fluency vs an even-doc reference LM: odd docs
     // hit unseen trigrams, so all three backoff tiers fire; per-tier logs
     // quantize to decimal once, making the means engine-replayable
@@ -4278,6 +4297,58 @@ object SparkEntry {
       SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
       FROM outr WHERE rank <= 5
       ORDER BY q_id, rank""",
+
+    // integer counts + one fixed-association double per pair, quantized
+    // to decimal — B spans ALL bigram events, minCount only gates output
+    "x95_pmi_collocations" -> """
+      WITH t AS (
+        SELECT LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                           x -> LENGTH(x) > 0) AS a
+        FROM documents),
+      uni AS (SELECT tok AS w, COUNT(*) AS c1
+              FROM (SELECT UNNEST(a) AS tok FROM t) GROUP BY 1),
+      n AS (SELECT SUM(c1) AS n FROM uni),
+      big AS (
+        SELECT a[i] AS w1, a[i+1] AS w2, COUNT(*) AS c2
+        FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(a))) AS i)
+        WHERE LEN(a) >= 2 GROUP BY 1, 2),
+      btot AS (SELECT SUM(c2) AS b FROM big)
+      SELECT w1, w2, CAST(c2 AS BIGINT) AS c2,
+        CAST(CAST(LN((CAST(c2 AS DOUBLE) / CAST(b AS DOUBLE)) /
+               ((CAST(u1.c1 AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+                (CAST(u2.c1 AS DOUBLE) / CAST(n.n AS DOUBLE))))
+             AS DECIMAL(18,8)) AS DOUBLE) AS pmi
+      FROM big JOIN uni u1 ON big.w1 = u1.w
+               JOIN uni u2 ON big.w2 = u2.w, n, btot
+      WHERE c2 >= 5
+      ORDER BY w1, w2""",
+
+    // two single-pass conditional-count aggregates; rates and drift are
+    // single IEEE divisions/subtractions on both engines
+    "x96_null_drift" -> """
+      WITH e AS (
+        SELECT ts, CASE WHEN value < 100 THEN NULL ELSE value END AS value_n, props
+        FROM events),
+      a AS (SELECT COUNT(*) AS n, COUNT(*) FILTER (WHERE value_n IS NULL) AS cv,
+                   COUNT(*) FILTER (WHERE props IS NULL) AS cp
+            FROM e WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+      b AS (SELECT COUNT(*) AS n, COUNT(*) FILTER (WHERE value_n IS NULL) AS cv,
+                   COUNT(*) FILTER (WHERE props IS NULL) AS cp
+            FROM e WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+      SELECT 'value_n' AS col_name,
+        CAST(a.cv AS DOUBLE) / CAST(a.n AS DOUBLE) AS null_rate_a,
+        CAST(b.cv AS DOUBLE) / CAST(b.n AS DOUBLE) AS null_rate_b,
+        CAST(b.cv AS DOUBLE) / CAST(b.n AS DOUBLE)
+          - CAST(a.cv AS DOUBLE) / CAST(a.n AS DOUBLE) AS drift
+      FROM a, b
+      UNION ALL
+      SELECT 'props',
+        CAST(a.cp AS DOUBLE) / CAST(a.n AS DOUBLE),
+        CAST(b.cp AS DOUBLE) / CAST(b.n AS DOUBLE),
+        CAST(b.cp AS DOUBLE) / CAST(b.n AS DOUBLE)
+          - CAST(a.cp AS DOUBLE) / CAST(a.n AS DOUBLE)
+      FROM a, b
+      ORDER BY col_name""",
 
     // replays the LM count tables from even docs, the three-tier backoff
     // CASE with identical double association, and the decimal-exact

@@ -185,6 +185,31 @@ object Profiler {
       .select(gc ++ Seq(col("med"), col("mad"), col("n"), col("n_outliers")): _*)
   }
 
+  /** Per-column null-rate drift between two snapshots — the cheapest,
+    * highest-yield data-contract check: an upstream schema change or
+    * parser regression almost always shows up first as a null-rate jump
+    * in one column. Complements [[psiDrift]] (value drift) with
+    * presence drift.
+    *
+    * One single-pass aggregate per snapshot (conditional sums, map-side
+    * partials, 1-row output each); the per-column unpivot runs on the
+    * joined 1-row frame. Rates are one IEEE division each; `drift` is
+    * their difference — deterministic under any partitioning.
+    */
+  def nullRateDrift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "nullRateDrift needs at least one column")
+    def rates(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as(s"__n_$tag"),
+        cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__c_${tag}_$c")): _*)
+    val joined = rates(a, "a").crossJoin(rates(b, "b"))
+    cols.map { c =>
+      joined.select(lit(c).as("col_name"),
+        (col(s"__c_a_$c").cast("double") / col("__n_a").cast("double")).as("null_rate_a"),
+        (col(s"__c_b_$c").cast("double") / col("__n_b").cast("double")).as("null_rate_b"))
+        .withColumn("drift", col("null_rate_b") - col("null_rate_a"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Population-Stability-Index drift report between two snapshots of the
     * same column — the standard "did this feature's distribution move
     * between yesterday's load and today's" data-quality monitor

@@ -888,6 +888,47 @@ object TextAnalysis {
         (sum("__s").cast("double") / sum("c").cast("double")).as("mean_nll"))
   }
 
+  /** PMI collocation extraction (Church & Hanks 1990): bigrams whose
+    * observed frequency beats the independence assumption —
+    * `pmi(w1,w2) = ln( (c2/B) / ((c1(w1)/N)·(c1(w2)/N)) )` — the classic
+    * corpus-analysis step for multi-word expressions ("new york",
+    * "machine learning") before tokenizer/vocab decisions. `minCount`
+    * drops the unstable low-frequency tail (PMI's known bias toward
+    * hapax pairs).
+    *
+    * Exactness: counts are integers; each pair's PMI is ONE double
+    * expression with fixed association, quantized to DECIMAL(18,8) at the
+    * end — no distributed float accumulation anywhere. Scale shape: one
+    * bigram aggregate and one unigram aggregate (map-side partials), the
+    * bigram table joins unigram counts on w1 and w2 (gram-keyed shuffle
+    * joins — vocabulary tables, not corpus tables), totals broadcast.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5): DataFrame = {
+    val a = col("__a")
+    val toksArr = df.select(
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("__a"))
+    val uni = toksArr.select(explode(a).as("w")).groupBy("w").agg(count(lit(1)).as("c1"))
+    val bigAll = toksArr
+      .select(explode(when(size(a) >= 2, transform(sequence(lit(1), size(a) - 1),
+          i => struct(element_at(a, i).as("w1"), element_at(a, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val totals = uni.agg(sum("c1").as("__n"))
+    // B counts ALL bigram events — the probability space — not just the
+    // pairs that survive minCount
+    val btot = bigAll.agg(sum("c2").as("__b"))
+    bigAll.filter(col("c2") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c1").as("cw1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("cw2")), Seq("w2"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), col("c2").cast("long").as("c2"),
+        log((col("c2").cast("double") / col("__b").cast("double")) /
+            ((col("cw1").cast("double") / col("__n").cast("double")) *
+             (col("cw2").cast("double") / col("__n").cast("double"))))
+          .cast("decimal(18,8)").cast("double").as("pmi"))
+  }
+
   /** DSIR-style importance weighting for data selection (Xie et al.,
     * "Data Selection for Language Models via Importance Resampling",
     * NeurIPS 2023): score every raw document by how much more likely its

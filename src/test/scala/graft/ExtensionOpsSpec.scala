@@ -1384,6 +1384,34 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(ld == Set(("us", 3L, 2L, true), ("nz", 1L, 1L, false)))
   }
 
+  test("collocations: PMI beats independence for real pairs; minCount gates the tail") {
+    import spark.implicits._
+    // corpus "a b a b a c": unigrams a3 b2 c1 (N=6); bigrams ab:2 ba:2 ac:1 (B=5)
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(("a", "b"), ("b", "a")), s"minCount=2 keeps ab/ba only: $out")
+    val exp = math.log((2.0 / 5.0) / ((3.0 / 6.0) * (2.0 / 6.0)))
+    assert(math.abs(out(("a", "b"))._2 - exp) < 1e-7 && out(("a", "b"))._1 == 2L)
+    // a frequent-but-independent pair scores below a true collocation:
+    // "x y" always adjacent vs "p"/"q" co-frequent but shuffled
+    val c2 = Seq((1L, "x y x y x y x y p q q p p q q p")).toDF("doc_id", "text")
+    val m = TextAnalysis.collocations(c2, "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(m(("x", "y")) > m(("p", "q")))
+  }
+
+  test("nullRateDrift: exact rates per column, drift is the b−a difference") {
+    import spark.implicits._
+    val a = Seq((Some(1), Some("x")), (None, Some("y")), (Some(3), None),
+      (Some(4), Some("z"))).toDF("v", "s")
+    val b = Seq[(Option[Int], Option[String])]((None, Some("x")), (None, None)).toDF("v", "s")
+    val out = Profiler.nullRateDrift(a, b, Seq("v", "s"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("v") == ((0.25, 1.0, 0.75)))
+    assert(out("s") == ((0.25, 0.5, 0.25)))
+  }
+
   test("stupidBackoff: all three tiers fire with the published α weighting") {
     import spark.implicits._
     // LM: unigrams a2 b2 c1 d1 (N=6, V=4); bigrams ab:2 bc:1 ca:1 bd:1;
