@@ -579,6 +579,51 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // DSIR probe: raw corpus inflates K× while the target stays fixed —
+    // the production shape (the target is a small curated corpus; the raw
+    // pool is the 100 TB crawl). The bucket-stats aggs stay ≤nBuckets
+    // rows, the λ broadcast is constant, so cost must track the one
+    // (id, bucket) shuffle linearly.
+    if (on("dsir")) Seq(1, 4, 16).foreach { k =>
+      val inflated = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val target = docs.filter(col("source") === "src0")
+      var picked = 0L
+      val times = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        picked = graft.x.TextAnalysis.dsirResample(
+          inflated, target, "text", "doc_id", n = 100).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scale-dsir] docs=$n%7d  select=${times.min}%6.2fs  picked=$picked")
+      spark.catalog.clearCache()
+    }
+
+    // stupid-backoff probe: both the LM corpus and the scored corpus
+    // inflate together — the worst case, since every gram count table
+    // (uni/bi/tri) grows with the corpus and every doc-side join is a
+    // gram-keyed shuffle join. Linearity here means the co-partitioned
+    // join plan holds; superlinear growth would mean a broadcast flipped
+    // into a replicated join somewhere.
+    if (on("backoff")) Seq(1, 4, 16).foreach { k =>
+      val inflated = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val lm = inflated.filter(pmod(col("doc_id"), lit(2)) === 0)
+      var scored = 0L
+      val times = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        scored = graft.x.TextAnalysis.stupidBackoffLogProb(
+          inflated, lm, "text", "doc_id").count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scale-backoff] docs=$n%7d  score=${times.min}%6.2fs  scored=$scored")
+      spark.catalog.clearCache()
+    }
+
     if (on("lsh")) factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus

@@ -244,6 +244,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(ext == Set((1L, 3, 15), (3L, 0, 12)))
   }
 
+  test("streaming drift monitor: per-micro-batch PSI against a static reference") {
+    import spark.implicits._
+    // psiDrift composes into foreachBatch unchanged: the reference
+    // snapshot is static (yesterday's accepted distribution) and each
+    // arriving slice is scored against it — the alerting pattern for a
+    // continuously-loading table, no global state needed
+    val in = Files.createTempDirectory("graft-psi-in").toString
+    val out = Files.createTempDirectory("graft-psi-out").toString
+    val ref = (1 to 1000).map(i => i % 100).toDF("v")
+    // batch 1 matches the reference; batch 2 is shifted by half the range
+    (1 to 500).map(i => i % 100).toDF("v").coalesce(1).write.mode("append").parquet(in)
+    (1 to 500).map(i => 50 + i % 50).toDF("v").coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamingJobs.fileStream(spark, in, schema, maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val psi = graft.x.Profiler.psiDrift(ref, batch, "v",
+          nBuckets = 10, lo = 0.0, hi = 100.0)
+          .select(lit(id).as("batch_id"), col("psi")).limit(1)
+        psi.write.mode("append").parquet(s"$out/psi")
+      }
+      .start()
+    q.awaitTermination(); q.stop()
+    val psis = spark.read.parquet(s"$out/psi")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(psis.size == 2)
+    val (low, high) = (psis.values.min, psis.values.max)
+    assert(low < 0.05, s"matching batch must read stable, got $low")
+    assert(high > 0.25, s"shifted batch must flag, got $high")
+  }
+
   test("stream-stream interval join matches the equivalent batch join") {
     val batchDf = spark.read.parquet(eventsDir)
     // left: purchases; right: views by the same user within the 5 minutes
