@@ -1260,6 +1260,28 @@ object SparkEntry {
     // files overlapping the 1997 window (skipping asserted in the spec) —
     // the result is identical to a plain filtered scan, which is exactly
     // what the oracle replays
+    // binned interval-overlap join: 30-day order exposure windows ×
+    // generated weekly maintenance windows, rewritten as an equi-join on
+    // 16-day bins (first-shared-bin dedup) — the linear plan where the
+    // naive non-equi join nested-loops; the oracle runs the naive join,
+    // proving the rewrite's result equivalence
+    "x97_interval_join" -> ((s, dir) => {
+      reg(s, dir)
+      val epoch = lit("1970-01-01").cast("date")
+      val ordersIv = s.table("orders").select(col("o_orderkey"), col("o_totalprice"),
+        datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("o_lo"))
+        .withColumn("o_hi", col("o_lo") + 30)
+      val windowsIv = s.range(80).select(
+        add_months(lit("1995-01-01").cast("date"), col("id").cast("int")).as("w_start"))
+        .select(col("w_start"), datediff(col("w_start"), epoch).cast("long").as("w_lo"))
+        .withColumn("w_hi", col("w_lo") + 7)
+      graft.operators.IntervalJoin.overlap(ordersIv, windowsIv,
+          "o_lo", "o_hi", "w_lo", "w_hi", binSize = 16)
+        .groupBy(date_format(col("w_start"), "yyyy-MM-dd").as("w_start"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("w_start")
+    }),
     // PMI collocations: bigrams beating independence at min count 5 —
     // the multi-word-expression mining step before vocab decisions
     "x95_pmi_collocations" -> ((s, dir) => {
@@ -4297,6 +4319,28 @@ object SparkEntry {
       SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
       FROM outr WHERE rank <= 5
       ORDER BY q_id, rank""",
+
+    // the NAIVE overlap join — if the binned rewrite dropped or
+    // duplicated a single pair, counts or sums would diverge
+    "x97_interval_join" -> """
+      WITH w AS (
+        SELECT CAST(UNNEST(RANGE(DATE '1995-01-01', DATE '2001-09-01',
+                                 INTERVAL 1 MONTH)) AS DATE) AS w_start),
+      wiv AS (
+        SELECT w_start, DATE_DIFF('day', DATE '1970-01-01', w_start) AS w_lo,
+               DATE_DIFF('day', DATE '1970-01-01', w_start) + 7 AS w_hi
+        FROM w),
+      oiv AS (
+        SELECT o_orderkey, o_totalprice,
+               DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS o_lo,
+               DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 30 AS o_hi
+        FROM orders)
+      SELECT STRFTIME(w_start, '%Y-%m-%d') AS w_start,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM oiv JOIN wiv ON oiv.o_lo < wiv.w_hi AND wiv.w_lo < oiv.o_hi
+      GROUP BY w_start
+      ORDER BY w_start""",
 
     // integer counts + one fixed-association double per pair, quantized
     // to decimal — B spans ALL bigram events, minCount only gates output

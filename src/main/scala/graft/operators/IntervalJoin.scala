@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap join without the nested loop.
+  *
+  * Spark compiles a plain `a.start < b.end AND b.start < a.end` join to
+  * BroadcastNestedLoopJoin (or worse, CartesianProduct) — O(|L|·|R|) row
+  * comparisons, the classic cluster-killer the PlanAudit linter flags.
+  * This operator rewrites the overlap join as an EQUI-join on fixed-width
+  * bins: every interval explodes into the bins it touches, bins hash-join,
+  * and the true overlap predicate filters the candidates. Each surviving
+  * pair is emitted exactly once — at the FIRST bin both intervals share
+  * (`bin == max(floor(lStart/w), floor(rStart/w))`) — so no distinct is
+  * needed afterwards.
+  *
+  * Cost: |L|·(avg interval length / binSize + 1) + |R|·(…) exploded rows
+  * through ONE shuffle hash join keyed by bin. Pick `binSize` near the
+  * typical interval length: too small multiplies the explode fan-out, too
+  * large multiplies candidates per bin (the q22-style band trick,
+  * generalized to two interval sides). Both cost terms are linear in input
+  * — this is the plan that survives 100 TB where the nested loop dies.
+  *
+  * Contract: integer coordinates (epoch days/seconds/micros — callers cast
+  * timestamps first), intervals half-open `[start, end)`, non-negative
+  * starts (integer `div` is floor only for non-negatives). Empty intervals
+  * (`end <= start`) match nothing.
+  */
+object IntervalJoin {
+
+  def overlap(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binSize: Long): DataFrame = {
+    require(binSize > 0, s"overlap needs binSize > 0, got $binSize")
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) > col(s))
+        .withColumn("__bin", explode(sequence(
+          expr(s"CAST($s AS BIGINT) div $binSize"),
+          expr(s"(CAST($e AS BIGINT) - 1) div $binSize"))))
+    val l = binned(left, lStart, lEnd)
+    val r = binned(right, rStart, rEnd)
+    l.join(r, Seq("__bin"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("__bin") ===
+        greatest(expr(s"CAST($lStart AS BIGINT) div $binSize"),
+                 expr(s"CAST($rStart AS BIGINT) div $binSize")))
+      .drop("__bin")
+  }
+}

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.col
 import graft.operators.AsOfJoin
 
 class AsOfJoinSpec extends AnyFunSuite {
@@ -9,6 +10,42 @@ class AsOfJoinSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("IntervalJoin.overlap: result-equal to the naive join, duplicate-free, no nested loop") {
+    import graft.operators.IntervalJoin
+    val rnd = new scala.util.Random(7)
+    // adversarial mix: tiny intervals, bin-straddling ones, ones spanning
+    // many bins, empty ones, and shared boundaries (half-open semantics)
+    val left = (1 to 300).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i.toLong, s, s + Seq(0L, 1L, 7L, 40L, 200L)(rnd.nextInt(5)))
+    }.toDF("l_id", "ls", "le")
+    val right = (1 to 300).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i.toLong, s, s + Seq(0L, 1L, 10L, 64L)(rnd.nextInt(4)))
+    }.toDF("r_id", "rs", "re")
+    val binned = IntervalJoin.overlap(left, right, "ls", "le", "rs", "re", binSize = 16)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the bare ls<re && rs<le predicate spuriously matches EMPTY intervals
+    // (e.g. [5,5) "overlaps" [3,8)); half-open semantics say they contain
+    // no points, so the honest naive reference excludes them too
+    val naive = left.filter(col("le") > col("ls"))
+      .join(right.filter(col("re") > col("rs")),
+        col("ls") < col("re") && col("rs") < col("le"))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(binned.length == binned.distinct.length, "first-shared-bin dedup must hold")
+    assert(binned.toSet == naive.toSet,
+      s"binned join must equal naive (binned=${binned.length}, naive=${naive.length})")
+    // the point of the rewrite: an equi-join plan, not a nested loop
+    val plan = IntervalJoin.overlap(left, right, "ls", "le", "rs", "re", 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"binned plan must hash-join:\n$plan")
+    val naivePlan = left.join(right, col("ls") < col("re") && col("rs") < col("le"))
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") || naivePlan.contains("CartesianProduct"),
+      "the naive formulation is the nested loop the rewrite exists to avoid")
+  }
 
   test("attaches the latest right row at-or-before; null payloads never tear") {
     val left = Seq(
