@@ -1282,6 +1282,16 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("w_start")
     }),
+    // word2vec preprocessing: frequency-subsampled skip-gram pairs
+    // (window 2, t=1e-3) — the drop decision is a salted portable hash
+    // against floor(keepProb·2^55), so DuckDB replays the exact multiset
+    "x98_skipgram_pairs" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.skipgramPairs(s.table("documents"), "text", "doc_id",
+          window = 2, subsampleT = 1e-3, salt = "sg")
+        .filter(col("cnt") >= 5)
+        .orderBy("center", "context")
+    }),
     // PMI collocations: bigrams beating independence at min count 5 —
     // the multi-word-expression mining step before vocab decisions
     "x95_pmi_collocations" -> ((s, dir) => {
@@ -4341,6 +4351,41 @@ object SparkEntry {
       FROM oiv JOIN wiv ON oiv.o_lo < wiv.w_hi AND wiv.w_lo < oiv.o_hi
       GROUP BY w_start
       ORDER BY w_start""",
+
+    // full replay of the subsample decision: identical keep-probability
+    // doubles, identical 55-bit poly hash of (doc_id:pos:salt), identical
+    // integer comparison — then positions re-compact and pair via a
+    // bounded self-join equivalent to the engine's offset explode
+    "x98_skipgram_pairs" -> s"""
+      WITH t AS (
+        SELECT doc_id, LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                                   x -> LENGTH(x) > 0) AS a
+        FROM documents),
+      toks AS (
+        SELECT doc_id, i AS pos, a[i] AS tok
+        FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(a) + 1)) AS i)),
+      freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+      n AS (SELECT SUM(c) AS n FROM freq),
+      th AS (
+        SELECT tok, CAST(FLOOR(LEAST(CAST(1 AS DOUBLE),
+            SQRT(1e-3 / (CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)))
+            + 1e-3 / (CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)))
+            * 3.6028797018963968e16) AS BIGINT) AS keep
+        FROM freq, n),
+      kept AS (
+        SELECT toks.doc_id, toks.pos, toks.tok
+        FROM toks JOIN th USING (tok)
+        WHERE ${polySql("(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':sg')")} < keep),
+      comp AS (
+        SELECT doc_id, tok,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS np
+        FROM kept)
+      SELECT c1.tok AS center, c2.tok AS context, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM comp c1 JOIN comp c2
+        ON c1.doc_id = c2.doc_id AND c2.np BETWEEN c1.np - 2 AND c1.np + 2
+       AND c2.np <> c1.np
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+      ORDER BY center, context""",
 
     // integer counts + one fixed-association double per pair, quantized
     // to decimal — B spans ALL bigram events, minCount only gates output

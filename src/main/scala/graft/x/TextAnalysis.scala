@@ -888,6 +888,53 @@ object TextAnalysis {
         (sum("__s").cast("double") / sum("c").cast("double")).as("mean_nll"))
   }
 
+  /** Skip-gram training-pair extraction with frequency subsampling
+    * (Mikolov et al. 2013): the word2vec/embedding-training preprocessing
+    * step — drop each token occurrence of word w with the published
+    * keep-probability `p(w) = min(1, √(t/f(w)) + t/f(w))`, re-compact the
+    * surviving sequence, then emit (center, context) pairs within
+    * `window` positions of the compacted sequence (word2vec pairs AFTER
+    * subsampling, which is why frequent-word windows effectively widen).
+    *
+    * Determinism: the drop decision is a salted portable hash of
+    * (id, pos) against `floor(p·2^55)` — an exact integer comparison, so
+    * the emitted pair multiset is identical under any partitioning,
+    * retry, or engine (the [[Sampling.weightedSample]] discipline; no
+    * RNG anywhere). Scale shape: frequency table = one vocabulary-keyed
+    * agg broadcast back; compaction = one doc-keyed window (per-document
+    * frames); pairing = offsets exploded into an equi-join on
+    * (doc, position) — co-partitioned, never a per-doc cross join; the
+    * final (center, context) count has map-side partials.
+    */
+  def skipgramPairs(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 2, subsampleT: Double = 1e-3, salt: String = "sg"): DataFrame = {
+    require(window >= 1, s"skipgramPairs needs window >= 1, got $window")
+    val toks = df.select(col(idCol),
+        posexplode(filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = freq.agg(sum("c").as("__n"))
+    // keep-threshold per word, ONE double chain then floor to an integer
+    val thresh = freq.crossJoin(broadcast(n)).select(col("tok"), {
+      val f = col("c").cast("double") / col("__n").cast("double")
+      val p = least(lit(1.0), sqrt(lit(subsampleT) / f) + lit(subsampleT) / f)
+      floor(p * lit(3.6028797018963968e16)).cast("decimal(19,0)").as("__keep")
+    })
+    val kept = toks.join(thresh, Seq("tok"))
+      .filter(graft.functions.PolyHash56(concat(col(idCol).cast("string"), lit(":"),
+        col("pos").cast("string"), lit(":" + salt))).cast("decimal(19,0)") < col("__keep"))
+    val compacted = kept.withColumn("np", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+      .select(col(idCol), col("np"), col("tok"))
+    val offsets = ((-window to window).filter(_ != 0)).map(o => lit(o))
+    val centers = compacted
+      .withColumn("__off", explode(array(offsets: _*)))
+      .select(col(idCol), col("tok").as("center"), (col("np") + col("__off")).as("np"))
+    centers.join(compacted, Seq(idCol, "np"))
+      .groupBy(col("center"), col("tok").as("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** PMI collocation extraction (Church & Hanks 1990): bigrams whose
     * observed frequency beats the independence assumption —
     * `pmi(w1,w2) = ln( (c2/B) / ((c1(w1)/N)·(c1(w2)/N)) )` — the classic

@@ -188,6 +188,31 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("skipgramPairs: exact window pairs with subsampling off; layout-invariant with it on") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    // t huge → keep-prob 1 everywhere → pure windowed pair extraction
+    val full = TextAnalysis.skipgramPairs(tiny, "text", "doc_id", window = 2, subsampleT = 1e9)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(full(("a", "b")) == 2 && full(("b", "a")) == 2) // once per doc
+    assert(full(("a", "c")) == 1 && full(("c", "a")) == 1)
+    assert(!full.contains(("a", "d")), "window 2 must not reach distance 3")
+    assert(full.values.sum == 12L) // doc1: 10 ordered pairs, doc2: 2
+    // subsampling on: the salted-hash drop must be layout-invariant and thin
+    val corpus = (1L to 40L)
+      .map(i => (i, ("the quick the fox the dog " * 8).trim)).toDF("doc_id", "text")
+    val a = TextAnalysis.skipgramPairs(corpus.repartition(7), "text", "doc_id", 2, 1e-3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val b = TextAnalysis.skipgramPairs(corpus.coalesce(1), "text", "doc_id", 2, 1e-3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b, "hash-salted subsample must not depend on partitioning")
+    val nFull = TextAnalysis.skipgramPairs(corpus, "text", "doc_id", 2, 1e9)
+      .agg(sum("cnt")).head.getLong(0)
+    val nSub = TextAnalysis.skipgramPairs(corpus, "text", "doc_id", 2, 1e-3)
+      .agg(sum("cnt")).head.getLong(0)
+    assert(nSub < nFull, "aggressive t must drop pairs")
+  }
+
   test("curriculumPhases: balanced monotone phases, deterministic under layout") {
     import spark.implicits._
     val docs = (0 until 23).map(i => (i.toLong, "g", (i * 7) % 100L))
