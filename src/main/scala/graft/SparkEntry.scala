@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.{IncrementalAgg, Scd2, Upsert, Validations}
 import graft.sources.SourceReader
 import graft.config.ColumnMapping
-import graft.x.{Dedup, EventAnalytics, Multimodal, Privacy, Profiler, Sampling, Similarity, TextAnalysis}
+import graft.x.{Dedup, EventAnalytics, Graph, Multimodal, Privacy, Profiler, Sampling, Similarity, TextAnalysis}
 import graft.streaming.StreamingJobs
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1282,6 +1282,24 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("w_start")
     }),
+    // co-purchase PageRank: parts linked by order-line adjacency, 5 damped
+    // rounds in exact integer nano-rank arithmetic — BIGINT sums are
+    // associative, so the fixpoint is bit-identical on any engine/layout
+    "x99_pagerank" -> ((s, dir) => {
+      reg(s, dir)
+      // the fixture duplicates l_linenumber within orders — l_partkey
+      // completes a total order so the LEAD sequence is deterministic
+      // (equal-key ties can't change the partkey sequence)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val e = s.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("dst", lead("l_partkey", 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("l_partkey").as("src"), col("dst"))
+      Graph.pageRank(e, "src", "dst", iters = 5)
+        .orderBy("node")
+    }),
     // word2vec preprocessing: frequency-subsampled skip-gram pairs
     // (window 2, t=1e-3) — the drop decision is a salted portable hash
     // against floor(keepProb·2^55), so DuckDB replays the exact multiset
@@ -2255,6 +2273,29 @@ object SparkEntry {
       bb AS (
         $bandSelects)"""
   }
+
+  /** DuckDB replay of [[graft.x.Graph.pageRank]]'s integer recurrence,
+    * unrolled to `iters` CTE rounds over `e`/`nodes`/`od`/`nn`/`r0`:
+    * dangling mass = ranks of nodes with no out-edge, per-edge
+    * contribution = `r // d`, update = `(15·base + 85·(in + dang//n))
+    * // 100` — DuckDB `//` is the same floor division as Spark's `div`
+    * on these non-negative BIGINTs. */
+  private def pageRankIterCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""dang$k AS (
+        SELECT COALESCE(SUM(r), 0) AS dm FROM r${k - 1} p
+        LEFT JOIN od ON p.node = od.src WHERE od.src IS NULL),
+      inc$k AS (
+        SELECT e.dst AS node, SUM(p.r // od.d) AS s
+        FROM e JOIN r${k - 1} p ON e.src = p.node JOIN od ON od.src = e.src
+        GROUP BY e.dst),
+      r$k AS (
+        SELECT n.node,
+               (15 * (SELECT 1000000000 // n FROM nn)
+                + 85 * (COALESCE(i.s, 0)
+                        + (SELECT dm FROM dang$k) // (SELECT n FROM nn))) // 100 AS r
+        FROM nodes n LEFT JOIN inc$k i ON n.node = i.node)"""
+    }.mkString(",\n      ")
 
   /** DuckDB replay of [[graft.functions.PolyHash56]]: identical fold,
     * identical 55-bit mask (`&` keeps BIGINT products overflow-free on both
@@ -4351,6 +4392,24 @@ object SparkEntry {
       FROM oiv JOIN wiv ON oiv.o_lo < wiv.w_hi AND wiv.w_lo < oiv.o_hi
       GROUP BY w_start
       ORDER BY w_start""",
+
+    // the identical integer recurrence unrolled: floor divisions and
+    // BIGINT sums only, so the 5-round fixpoint matches bit-for-bit
+    "x99_pagerank" -> s"""
+      WITH e AS (
+        SELECT src, dst FROM (
+          SELECT l_partkey AS src,
+                 LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_linenumber, l_partkey) AS dst
+          FROM lineitem)
+        WHERE dst IS NOT NULL AND src <> dst
+        GROUP BY src, dst),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      r0 AS (SELECT node, (SELECT 1000000000 // n FROM nn) AS r FROM nodes),
+      ${pageRankIterCtes(5)}
+      SELECT node, CAST(r AS BIGINT) AS rank_nano FROM r5 ORDER BY node""",
 
     // full replay of the subsample decision: identical keep-probability
     // doubles, identical 55-bit poly hash of (doc_id:pos:salt), identical

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.x.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("pageRank: exact match to a scalar integer reference; layout-invariant; mass-conserving") {
+    import spark.implicits._
+    // self-loop (2,2) must drop, duplicate (2,3) must dedup, 6 is dangling
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (1L, 4L), (2L, 2L), (2L, 3L), (1L, 6L))
+    val got = Graph.pageRank(raw.toDF("src", "dst"), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // the identical recurrence, scalar Longs (Scala / is floor on non-negatives)
+    val edges = raw.filter(e => e._1 != e._2).distinct
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val od = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = 1000000000L / n
+    var ref = nodes.map(_ -> base).toMap
+    for (_ <- 1 to 4) {
+      val dang = nodes.filterNot(od.contains).map(ref).sum
+      val inc = edges.groupBy(_._2).view
+        .mapValues(_.map(e => ref(e._1) / od(e._1)).sum).toMap
+      ref = nodes.map(v =>
+        v -> ((15L * base + 85L * (inc.getOrElse(v, 0L) + dang / n)) / 100L)).toMap
+    }
+    assert(got == ref, s"got $got\nref $ref")
+    // dangling node received teleport + redistributed mass, not zero
+    assert(got(6L) > 0L)
+    // hub 1 (three in-edges) outranks everything
+    assert(got(1L) == got.values.max)
+
+    // exact integers ⇒ bit-identical under any partitioning
+    val got2 = Graph.pageRank(raw.toDF("src", "dst").repartition(7), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+
+    // div flooring leaks < 1 nano per node per round; mass otherwise conserved
+    val total = got.values.sum
+    assert(total <= 1000000000L && total >= 1000000000L - 5 * n * 100,
+      s"mass off: $total")
+  }
+}
