@@ -1282,6 +1282,45 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("w_start")
     }),
+    // KMV theta sketch distinct-count: k smallest PolyHash56 values are a
+    // pure function of the value SET, so even the ESTIMATE replays exactly
+    // — alongside the exact count it is judged against
+    "x100_kmv_distinct" -> ((s, dir) => {
+      reg(s, dir)
+      import graft.functions.KmvSketchAgg
+      val k = 128
+      s.table("lineitem")
+        .select(col("l_returnflag"),
+          KmvSketchAgg.hash55(col("l_partkey").cast("string")).as("h"),
+          col("l_partkey"))
+        .groupBy("l_returnflag")
+        .agg(KmvSketchAgg.kmvSketch(col("h"), k).as("sk"),
+          countDistinct("l_partkey").as("exact"))
+        .select(col("l_returnflag"), KmvSketchAgg.estimate(col("sk"), k).as("est"),
+          col("exact"))
+        .orderBy("l_returnflag")
+    }),
+    // KMV set algebra: customer-audience overlap between two order-priority
+    // segments from the SKETCHES alone (no re-scan) — the union/Jaccard/
+    // intersection composition HLL registers cannot express
+    "x101_kmv_overlap" -> ((s, dir) => {
+      reg(s, dir)
+      import graft.functions.KmvSketchAgg
+      val k = 128
+      val o = s.table("orders").select(col("o_orderpriority").as("p"),
+        KmvSketchAgg.hash55(col("o_custkey").cast("string")).as("h"),
+        col("o_custkey"))
+      def sk(p: String, as: String) = o.filter(col("p") === p)
+        .agg(KmvSketchAgg.kmvSketch(col("h"), k).as(as))
+      def cust(p: String) = o.filter(col("p") === p).select("o_custkey").distinct()
+      val exact = cust("1-URGENT").join(cust("2-HIGH"), Seq("o_custkey"))
+        .agg(count(lit(1)).as("exact_inter"))
+      sk("1-URGENT", "ska").crossJoin(sk("2-HIGH", "skb")).crossJoin(exact)
+        .select(
+          KmvSketchAgg.jaccard(col("ska"), col("skb"), k).as("jaccard_est"),
+          KmvSketchAgg.intersectionEstimate(col("ska"), col("skb"), k).as("inter_est"),
+          col("exact_inter"))
+    }),
     // co-purchase PageRank: parts linked by order-line adjacency, 5 damped
     // rounds in exact integer nano-rank arithmetic — BIGINT sums are
     // associative, so the fixpoint is bit-identical on any engine/layout
@@ -2272,6 +2311,14 @@ object SparkEntry {
       mh AS (SELECT doc_id, $mins FROM shb GROUP BY doc_id),
       bb AS (
         $bandSelects)"""
+  }
+
+  /** DuckDB replay of [[graft.functions.KmvSketchAgg.spread55]]: the same
+    * `(h·A + B) mod 2^55` bijection, HUGEINT keeping the 74-bit product
+    * exact where the engine uses DECIMAL(38,0). */
+  private def spreadSql(e: String): String = {
+    import graft.functions.KmvSketchAgg.{SpreadA, SpreadB}
+    s"CAST((CAST($e AS HUGEINT) * $SpreadA + $SpreadB) % ${1L << 55} AS BIGINT)"
   }
 
   /** DuckDB replay of [[graft.x.Graph.pageRank]]'s integer recurrence,
@@ -4392,6 +4439,55 @@ object SparkEntry {
       FROM oiv JOIN wiv ON oiv.o_lo < wiv.w_hi AND wiv.w_lo < oiv.o_hi
       GROUP BY w_start
       ORDER BY w_start""",
+
+    // bottom-k of the distinct hash set via ROW_NUMBER — the sketch is a
+    // pure function of the set, so the estimate divides identical operands
+    "x100_kmv_distinct" -> s"""
+      WITH hs AS (
+        SELECT DISTINCT l_returnflag,
+               ${spreadSql(polySql("CAST(l_partkey AS VARCHAR)"))} AS h
+        FROM lineitem),
+      ex AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact
+             FROM lineitem GROUP BY 1),
+      rk AS (SELECT l_returnflag, h,
+                    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS r,
+                    COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+             FROM hs),
+      est AS (SELECT l_returnflag,
+                CASE WHEN MAX(nd) < 128 THEN CAST(MAX(nd) AS DOUBLE)
+                     ELSE 127.0 * 3.6028797018963968e16 /
+                          CAST(MAX(CASE WHEN r = 128 THEN h END) AS DOUBLE) END AS est
+              FROM rk GROUP BY 1)
+      SELECT e.l_returnflag, e.est, CAST(x.exact AS BIGINT) AS exact
+      FROM est e JOIN ex x USING (l_returnflag)
+      ORDER BY l_returnflag""",
+
+    // the same bottom-k lists composed with plain set ops: union sketch =
+    // bottom-k of the merged sets, ρ = |u∩a∩b|/|u|, intersection = ρ·|a∪b|
+    "x101_kmv_overlap" -> s"""
+      WITH ska AS (
+        SELECT DISTINCT ${spreadSql(polySql("CAST(o_custkey AS VARCHAR)"))} AS h
+        FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY h LIMIT 128),
+      skb AS (
+        SELECT DISTINCT ${spreadSql(polySql("CAST(o_custkey AS VARCHAR)"))} AS h
+        FROM orders WHERE o_orderpriority = '2-HIGH' ORDER BY h LIMIT 128),
+      u AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+            ORDER BY h LIMIT 128),
+      m AS (SELECT COUNT(*) AS c FROM u
+            WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+      ue AS (SELECT CASE WHEN COUNT(*) < 128 THEN CAST(COUNT(*) AS DOUBLE)
+                         ELSE 127.0 * 3.6028797018963968e16 /
+                              CAST(MAX(h) AS DOUBLE) END AS est,
+                    COUNT(*) AS nu FROM u),
+      ex AS (SELECT COUNT(*) AS exact_inter FROM
+               (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT') a
+             JOIN (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderpriority = '2-HIGH') b USING (o_custkey))
+      SELECT CAST(m.c AS DOUBLE) / CAST(ue.nu AS DOUBLE) AS jaccard_est,
+             (CAST(m.c AS DOUBLE) / CAST(ue.nu AS DOUBLE)) * ue.est AS inter_est,
+             CAST(ex.exact_inter AS BIGINT) AS exact_inter
+      FROM m, ue, ex""",
 
     // the identical integer recurrence unrolled: floor divisions and
     // BIGINT sums only, so the 5-round fixpoint matches bit-for-bit

@@ -75,7 +75,14 @@ object GraftFunctions {
         "frequent_items_agg(item, m) - m-counter Misra-Gries heavy-hitter summary"),
       es => { arity("frequent_items_agg", 2, es)
         require(es(1).foldable, "frequent_items_agg capacity must be a literal")
-        FrequentItemsAgg(es.head, es(1).eval().asInstanceOf[Number].intValue) })
+        FrequentItemsAgg(es.head, es(1).eval().asInstanceOf[Number].intValue) }),
+
+    (FunctionIdentifier("kmv_sketch_agg"),
+      info("kmv_sketch_agg",
+        "kmv_sketch_agg(hash55, k) - k-minimum-values theta sketch (sorted array<bigint>)"),
+      es => { arity("kmv_sketch_agg", 2, es)
+        require(es(1).foldable, "kmv_sketch_agg k must be a literal")
+        KmvSketchAgg(es.head, es(1).eval().asInstanceOf[Number].intValue) })
   )
 
   /** Register every graft function into a live session (idempotent — a

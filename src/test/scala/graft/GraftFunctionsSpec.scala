@@ -78,6 +78,45 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(viaSql.getSeq[org.apache.spark.sql.Row](0).exists(_.getString(0) == "heavy"))
   }
 
+  test("kmv_sketch_agg: set-deterministic, accurate, mergeable via re-agg; set ops exact below k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.KmvSketchAgg
+    val k = 64
+    val vals = spark.range(20000)
+      .select(KmvSketchAgg.hash55(concat(lit("v"), col("id").cast("string"))).as("h"),
+        col("id"))
+    // layout invariance: the bottom-k of a SET ignores partitioning
+    val one = vals.coalesce(1).agg(KmvSketchAgg.kmvSketch(col("h"), k)).head.getSeq[Long](0)
+    val many = vals.repartition(13).agg(KmvSketchAgg.kmvSketch(col("h"), k)).head.getSeq[Long](0)
+    assert(one == many && one.length == k && one == one.sorted)
+    // estimate within the ~1/sqrt(k) KMV band for a uniform hash
+    val est = vals.agg(KmvSketchAgg.kmvSketch(col("h"), k).as("sk"))
+      .select(KmvSketchAgg.estimate(col("sk"), k)).head.getDouble(0)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.5, s"est $est vs 20000")
+    // merging stored per-batch sketches (explode + re-agg) is lossless
+    val batched = vals.withColumn("b", col("id") % 4)
+      .groupBy("b").agg(KmvSketchAgg.kmvSketch(col("h"), k).as("sk"))
+      .select(explode(col("sk")).as("h"))
+      .agg(KmvSketchAgg.kmvSketch(col("h"), k)).head.getSeq[Long](0)
+    assert(batched == one, "bottom-k of bottom-k unions = bottom-k of the union")
+    // below k the sketch IS the set: Jaccard and intersection go exact
+    val a = spark.range(30).select(KmvSketchAgg.hash55(col("id").cast("string")).as("h"))
+      .agg(KmvSketchAgg.kmvSketch(col("h"), k).as("ska"))
+    val b = spark.range(10, 40).select(KmvSketchAgg.hash55(col("id").cast("string")).as("h"))
+      .agg(KmvSketchAgg.kmvSketch(col("h"), k).as("skb"))
+    val row = a.crossJoin(b).select(
+      KmvSketchAgg.jaccard(col("ska"), col("skb"), k),
+      KmvSketchAgg.intersectionEstimate(col("ska"), col("skb"), k)).head
+    assert(math.abs(row.getDouble(0) - 20.0 / 40.0) < 1e-12)
+    assert(math.abs(row.getDouble(1) - 20.0) < 1e-9)
+    // SQL surface
+    GraftFunctions.register(spark)
+    vals.createOrReplaceTempView("kmv_vals")
+    val viaSql = spark.sql(s"SELECT kmv_sketch_agg(h, $k) FROM kmv_vals").head.getSeq[Long](0)
+    assert(viaSql == one)
+  }
+
   test("GraftExtensions injects the same function table at session build") {
     // exercised structurally: the extension applies the identical specs
     // list injectFunction consumes (a second live session would need its
@@ -86,7 +125,7 @@ class GraftFunctionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     assert(GraftFunctions.specs.map(_._1.funcName).toSet ==
       Set("poly_hash56", "dot_f32", "cosine_f32", "hamming64", "simhash_agg",
-        "frequent_items_agg"))
+        "frequent_items_agg", "kmv_sketch_agg"))
   }
 
   test("custom scalar functions stay inside whole-stage codegen") {
