@@ -33,6 +33,11 @@ object IntervalJoin {
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       binSize: Long): DataFrame = {
     require(binSize > 0, s"overlap needs binSize > 0, got $binSize")
+    // the overlap predicate names columns across the join — same-named
+    // interval columns would be ambiguous after it; fail loudly up front
+    require(Set(lStart, lEnd).intersect(Set(rStart, rEnd)).isEmpty,
+      s"overlap needs distinct interval column names across sides, " +
+        s"got ($lStart,$lEnd) vs ($rStart,$rEnd)")
     def binned(df: DataFrame, s: String, e: String): DataFrame =
       df.filter(col(e) > col(s))
         .withColumn("__bin", explode(sequence(

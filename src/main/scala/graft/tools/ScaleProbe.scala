@@ -624,6 +624,91 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // interval-join probe: BOTH interval sides inflate K× — the regime
+    // where the naive non-equi join is K² and the binned equi-join is K.
+    // Linear growth in the binned timings is the whole point of the
+    // rewrite; the naive reference runs at factor 1 only (at 16× it would
+    // be 256× that number).
+    if (on("intervaljoin")) {
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 30)
+      def windows(k: Int) = spark.range(80L * k).select(col("id").as("w_id"),
+        (lit(9131L) + (col("id") % 80) * 30 + (col("id") / 80)).as("wlo"))
+        .withColumn("whi", col("wlo") + 7)
+      val w1 = windows(1)
+      val naiveT0 = System.nanoTime()
+      val naivePairs = ord.join(w1, ord("lo") < w1("whi") && w1("wlo") < ord("hi")).count()
+      println(f"[scale-intervaljoin] factor=1 naive_pairs=$naivePairs " +
+        f"naive=${(System.nanoTime() - naiveT0) / 1e9}%6.2fs (K² reference)")
+      Seq(1, 4, 16).foreach { k =>
+        val left = (0 until k).map(i =>
+          ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L)))
+          .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+        val right = windows(k).repartition(32).localCheckpoint(true)
+        val (nl, nr) = (left.count(), right.count())
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.IntervalJoin.overlap(
+          left, right, "lo", "hi", "wlo", "whi", binSize = 16).count()
+        println(f"[scale-intervaljoin] left=$nl%8d right=$nr%6d  " +
+          f"overlap=${(System.nanoTime() - t0) / 1e9}%6.2fs  pairs=$pairs")
+        spark.catalog.clearCache()
+      }
+    }
+
+    // pagerank probe: K disjoint copies of the co-purchase graph — nodes
+    // and edges both K×, 5 rounds each. The per-round plan is one
+    // src-keyed join + one dst-keyed sum, so wall time must track K
+    // linearly; superlinear would mean the rank-edge join degenerated.
+    if (on("pagerank")) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      Seq(1, 4, 16).foreach { k =>
+        val inflated = (0 until k).map(i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+            .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+        val edges = inflated.withColumn("dst", lead("l_partkey", 1).over(w))
+          .filter(col("dst").isNotNull)
+          .select(col("l_partkey").as("src"), col("dst"))
+        val t0 = System.nanoTime()
+        val ranked = graft.x.Graph.pageRank(edges, "src", "dst", iters = 5).count()
+        println(f"[scale-pagerank] lines=${inflated.count()}%8d  " +
+          f"pr5=${(System.nanoTime() - t0) / 1e9}%6.2fs  nodes=$ranked")
+        spark.catalog.clearCache()
+      }
+    }
+
+    // KMV probe: values inflate K× per group; the sketch moves ≤k longs
+    // per map task per group, so time must track the scan linearly AND the
+    // estimate must stay inside the ~1/sqrt(k) band as the true
+    // cardinality grows 16× — accuracy that degrades with scale would
+    // make the sketch useless exactly where it matters.
+    if (on("kmv")) {
+      import graft.functions.KmvSketchAgg
+      Seq(1, 4, 16).foreach { k =>
+        val inflated = spark.range(200000L * k).select(
+          (col("id") % 4).as("g"),
+          KmvSketchAgg.hash55(concat(lit("v"), col("id").cast("string"))).as("h"))
+          .repartition(32).localCheckpoint(true)
+        val n = inflated.count()
+        val t0 = System.nanoTime()
+        val ests = inflated.groupBy("g")
+          .agg(KmvSketchAgg.kmvSketch(col("h"), 256).as("sk"))
+          .select(KmvSketchAgg.estimate(col("sk"), 256).as("est"))
+          .collect().map(_.getDouble(0))
+        val trueCard = 50000.0 * k
+        val worstErr = ests.map(e => math.abs(e - trueCard) / trueCard).max
+        println(f"[scale-kmv] values=$n%8d  sketch=${(System.nanoTime() - t0) / 1e9}%6.2fs  " +
+          f"worst_rel_err=$worstErr%.4f")
+        spark.catalog.clearCache()
+      }
+    }
+
     if (on("lsh")) factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus
