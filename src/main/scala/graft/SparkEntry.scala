@@ -1321,6 +1321,25 @@ object SparkEntry {
           KmvSketchAgg.intersectionEstimate(col("ska"), col("skb"), k).as("inter_est"),
           col("exact_inter"))
     }),
+    // sorted-neighborhood merge/purge: customers pair when their names
+    // sort within a 4-row window and banded edit distance accepts — the
+    // two-phase distributed rank means no global-window task exists
+    "x102_sorted_neighborhood" -> ((s, dir) => {
+      reg(s, dir)
+      Dedup.sortedNeighborhoodPairs(s.table("customer"), "c_name", "c_custkey",
+          window = 4, maxDist = 1)
+        .orderBy("id_a", "id_b")
+    }),
+    // lossless prefix-filtered set-similarity self-join: candidates form
+    // only on each doc's rarest-first gram prefix — skew-safe WITHOUT the
+    // maxDocFreq recall trade; the oracle is the unfiltered all-pairs
+    // join, so a single missed pair fails the hash
+    "x103_prefix_filter" -> ((s, dir) => {
+      reg(s, dir)
+      Dedup.prefixFilterPairs(s.table("documents"), "text", "doc_id",
+          n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
     // co-purchase PageRank: parts linked by order-line adjacency, 5 damped
     // rounds in exact integer nano-rank arithmetic — BIGINT sums are
     // associative, so the fixpoint is bit-identical on any engine/layout
@@ -4488,6 +4507,31 @@ object SparkEntry {
              (CAST(m.c AS DOUBLE) / CAST(ue.nu AS DOUBLE)) * ue.est AS inter_est,
              CAST(ex.exact_inter AS BIGINT) AS exact_inter
       FROM m, ue, ex""",
+
+    // the naive single-partition ROW_NUMBER is fine for the oracle at
+    // sf0.01 — the engine's distributed two-phase rank must agree exactly
+    "x102_sorted_neighborhood" -> """
+      WITH t AS (
+        SELECT c_custkey AS id, c_name AS k,
+               ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS r
+        FROM customer)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(LEVENSHTEIN(a.k, b.k) AS BIGINT) AS dist
+      FROM t a JOIN t b ON b.r > a.r AND b.r <= a.r + 3
+      WHERE LEVENSHTEIN(a.k, b.k) <= 1
+      ORDER BY id_a, id_b""",
+
+    // the UNFILTERED all-pairs join at the same threshold: the prefix
+    // filter claims losslessness, so any missed pair fails the hash
+    "x103_prefix_filter" -> s"""
+      WITH $jaccardCtes
+      SELECT id_a, id_b,
+        CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b""",
 
     // the identical integer recurrence unrolled: floor divisions and
     // BIGINT sums only, so the 5-round fixpoint matches bit-for-bit

@@ -946,4 +946,123 @@ object Dedup {
         graft.functions.PolyHash56(substring(col(textCol), col("start"),
           col("end") - col("start") + 1)).as("chunk_hash"))
   }
+
+  /** Dense 1-based global row number under `sortCols` — which MUST form a
+    * total order (append a unique id as the final key) — WITHOUT the
+    * single-partition window `row_number() OVER (ORDER BY …)` compiles to.
+    * Two-phase: range-repartition on the sort key, rank inside each range
+    * in parallel, then add per-range offsets. The offsets frame is one row
+    * per partition (driver-scale), broadcast back onto the ranked rows; the
+    * two identical range exchanges dedupe under ReuseExchange. A global
+    * window would funnel all 100 TB through ONE task; this keeps the rank
+    * as parallel as the range split and is exactly how sort-order-dependent
+    * ops (sorted-neighborhood blocking below) stay distributed. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    val rn = ranged.withColumn("__rn", row_number().over(w).cast("long"))
+    // one count per range partition; the cumulative-offset window runs
+    // over `parts` rows, not data rows
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val off = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .select("__pid", "__off")
+    rn.join(broadcast(off), Seq("__pid"))
+      .withColumn("rank", col("__off") + col("__rn"))
+      .drop("__pid", "__rn", "__off")
+  }
+
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo's merge/purge):
+    * sort the corpus by a fuzzy blocking key, then compare only rows whose
+    * sort positions differ by < `window` — candidates are O(n·window)
+    * instead of the O(Σ|block|²) of equality blocking, and near-identical
+    * keys that equality blocking separates (serial typos, off-by-one ids,
+    * trailing-whitespace variants) land adjacent. Complements
+    * [[editDistancePairs]]: that op needs a block key that already agrees
+    * between variants; this one only needs the CORRUPTION to sort nearby.
+    *
+    * Emits (id_a, id_b, dist) where id_a precedes id_b in (key, id) order
+    * and banded `levenshtein(key_a, key_b, maxDist)` accepts — the
+    * length-difference pre-filter skips DP for pairs that cannot pass.
+    *
+    * Shape at 100 TB: [[globalRowNumber]] keeps the sort distributed; the
+    * neighbor step is a shift-explode equi-join on the dense rank (each row
+    * emits `window−1` probes at rank+g), an AQE-friendly bigint join that
+    * shuffles (window−1)·n slim rows — no windowed self-comparison ever
+    * collapses onto one task, and no quadratic block exists to cap. */
+  def sortedNeighborhoodPairs(df: DataFrame, keyCol: String, idCol: String,
+      window: Int, maxDist: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val t = globalRowNumber(
+      df.select(col(idCol).as("id"), col(keyCol).as("k")),
+      Seq(col("k"), col("id")))
+    val probes = t.select(col("id").as("id_a"), col("k").as("k_a"),
+        col("rank"), explode(sequence(lit(1), lit(window - 1))).as("__g"))
+      .withColumn("__r2", col("rank") + col("__g"))
+      .drop("rank", "__g")
+    val base = t.select(col("id").as("id_b"), col("k").as("k_b"),
+      col("rank").as("__r2"))
+    probes.join(base, "__r2")
+      .filter(abs(length(col("k_a")) - length(col("k_b"))) <= maxDist)
+      .withColumn("dist", expr(s"levenshtein(k_a, k_b, $maxDist)").cast("long"))
+      .filter(col("dist") >= 0)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Prefix-filtered exact set-similarity self-join (Bayardo et al.'s
+    * All-Pairs / Xiao et al.'s PPJoin prefix filter): distinct word
+    * n-gram sets, tokens ordered globally rarest-first; two sets with
+    * Jaccard ≥ `threshold` MUST share a token within each one's first
+    * `sz − ⌈threshold·sz⌉ + 1` tokens, so candidates form only on prefix
+    * tokens. Unlike [[ngramJaccardPairs]]' `maxDocFreq` cap — which trades
+    * recall on corpus-hot shingles for a bounded join — the prefix filter
+    * is LOSSLESS at the same skew protection: hot tokens sort to the END
+    * of every set, so they enter a prefix only for a document that is
+    * nearly all-boilerplate, and the candidate join fans out on the
+    * globally rarest tokens per doc.
+    *
+    * Shape at 100 TB: one token-keyed shuffle attaches document
+    * frequencies ([[shingleHashes]] longs — gram strings never
+    * materialize), one doc-keyed agg builds the ordered set, the candidate
+    * join carries prefix entries only (≈ (1−threshold)·tokens), and
+    * verification joins the bounded per-doc arrays for the candidate pairs
+    * alone. A size-compatibility filter (`min ≥ threshold·max`) prunes
+    * candidates the length bound already rejects. */
+  def prefixFilterPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = shingleHashes(df, textCol, idCol, n)
+    val freq = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    val sets = sh.join(freq, "__sh")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__sh")))).as("__o"))
+      .select(col(idCol),
+        transform(col("__o"), e => e("__sh")).as("__set"),
+        size(col("__o")).as("__sz"))
+    val pref = sets.select(col(idCol), col("__sz"),
+      explode(slice(col("__set"), lit(1),
+        (col("__sz") - ceil(lit(threshold) * col("__sz")) + 1).cast("int")))
+        .as("__sh"))
+    val cand = pref.select(col(idCol).as("id_a"), col("__sz").as("__sza"), col("__sh"))
+      .join(pref.select(col(idCol).as("id_b"), col("__sz").as("__szb"), col("__sh")),
+        "__sh")
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("__sza"), col("__szb")).cast("double") >=
+        lit(threshold) * greatest(col("__sza"), col("__szb")).cast("double"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa"),
+        col("__sz").as("__sza")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb"),
+        col("__sz").as("__szb")), "id_b")
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", col("__i").cast("double") /
+        (col("__sza") + col("__szb") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 }
