@@ -1340,6 +1340,26 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
+    // exact tf-weighted cosine via the inverted index: integer dot/norm
+    // sums through every shuffle, ONE double op per surviving pair —
+    // catches same-vocabulary-same-rates paraphrase duplication
+    "x104_tf_cosine" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.tfCosinePairs(s.table("documents"), "text", "doc_id",
+          threshold = 0.95)
+        .orderBy("id_a", "id_b")
+    }),
+    // BPE round-0 statistics: adjacent char-pair counts weighted by word
+    // frequency over the vocabulary (not the corpus) — the argmax is the
+    // first tokenizer merge; ties break on (s1, s2) so top-50 is stable
+    "x105_bpe_pairs" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.bpePairCounts(
+          TextAnalysis.bpeWordInventory(s.table("documents"), "text"))
+        .select(col("s1"), col("s2"), col("cnt").cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(50)
+    }),
     // co-purchase PageRank: parts linked by order-line adjacency, 5 damped
     // rounds in exact integer nano-rank arithmetic — BIGINT sums are
     // associative, so the fixpoint is bit-identical on any engine/layout
@@ -4532,6 +4552,41 @@ object SparkEntry {
         JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b""",
+
+    // identical integer dot and norm operands, identical one-shot double
+    // formula — association order never varies, so raw doubles hash-match
+    "x104_tf_cosine" -> """
+      WITH tc AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM (
+          SELECT doc_id,
+                 UNNEST(LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                                    x -> LENGTH(x) > 0)) AS tok
+          FROM documents) GROUP BY 1, 2),
+      n2 AS (SELECT doc_id, SUM(tf*tf) AS n2 FROM tc GROUP BY 1),
+      d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf*b.tf) AS d
+            FROM tc a JOIN tc b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             CAST(d AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+      FROM d JOIN n2 na ON na.doc_id = id_a JOIN n2 nb ON nb.doc_id = id_b
+      WHERE CAST(d AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.95
+      ORDER BY id_a, id_b""",
+
+    // vocabulary-weighted char-pair counts; the LIMIT boundary is safe
+    // because the (cnt DESC, s1, s2) order is total
+    "x105_bpe_pairs" -> """
+      WITH w AS (
+        SELECT word, COUNT(*) AS cnt FROM (
+          SELECT UNNEST(LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                                    x -> LENGTH(x) > 0)) AS word
+          FROM documents)
+        GROUP BY 1),
+      p AS (SELECT SUBSTR(word, i, 1) AS s1, SUBSTR(word, i+1, 1) AS s2,
+                   SUM(cnt) AS cnt
+            FROM w, LATERAL (SELECT UNNEST(RANGE(1, LENGTH(word))) AS i)
+            WHERE LENGTH(word) >= 2 GROUP BY 1, 2)
+      SELECT s1, s2, CAST(cnt AS BIGINT) AS cnt
+      FROM p ORDER BY cnt DESC, s1, s2 LIMIT 50""",
 
     // the identical integer recurrence unrolled: floor divisions and
     // BIGINT sums only, so the 5-round fixpoint matches bit-for-bit

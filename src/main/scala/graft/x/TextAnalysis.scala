@@ -1048,6 +1048,129 @@ object TextAnalysis {
     dsirWeights(raw, target, textCol, idCol, nBuckets, salt)
       .orderBy(col("sel_key").desc, col(idCol)).limit(n)
 
+  /** Exact sparse cosine-similarity self-join over raw term-frequency
+    * vectors, via the inverted index (Baeza-Yates/Zobel's document-at-a-
+    * time turned term-at-a-time): explode (doc, term, tf), join on term,
+    * accumulate integer partial dot products, then ONE double op per
+    * surviving pair. Complements [[graft.x.Similarity.cosineNearDupPairs]]
+    * (dense embeddings) and [[graft.x.Dedup.ngramJaccardPairs]] (set
+    * semantics): tf-weighted cosine catches documents that repeat the same
+    * vocabulary at the same RATES — paraphrase-level duplication where the
+    * gram sets already diverge.
+    *
+    * Exactness through the shuffle: dot products and squared norms are
+    * integer sums (associative, layout-independent); `cos = dot /
+    * √(na·nb)` happens once per pair with both operands exact — the oracle
+    * divides identical integers. Norms use the CAPPED vectors, so the
+    * measure is self-consistent under `maxDocFreq`.
+    *
+    * Shape at 100 TB: the term join is the dominant shuffle and fans out
+    * quadratically on corpus-hot terms — `maxDocFreq` drops terms present
+    * in more documents than the cap (classic stopword pruning: a term in
+    * half the corpus carries no similarity signal but n²/4 join rows).
+    * Hashed terms keep the shuffle to 8-byte longs. */
+  def tfCosinePairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("id"), graft.functions.PolyHash56(col("tok")).as("__t"))
+    val tf = toks.groupBy("id", "__t").agg(count(lit(1)).as("tf"))
+    val kept =
+      if (maxDocFreq == Int.MaxValue) tf
+      else tf.join(tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDocFreq).select("__t"), "__t")
+    val n2 = kept.groupBy("id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val dot = kept.select(col("__t"), col("id").as("id_a"), col("tf").as("tf_a"))
+      .join(kept.select(col("__t"), col("id").as("id_b"), col("tf").as("tf_b")),
+        "__t")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("tf_a") * col("tf_b")).as("__d"))
+    dot
+      .join(n2.select(col("id").as("id_a"), col("n2").as("__na")), "id_a")
+      .join(n2.select(col("id").as("id_b"), col("n2").as("__nb")), "id_b")
+      // na·nb as double BEFORE the product: two ~1e10 long norms overflow
+      // int64 multiplied, and the sqrt is double anyway
+      .withColumn("cos", col("__d").cast("double") /
+        sqrt(col("__na").cast("double") * col("__nb").cast("double")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Corpus word inventory for BPE learning: distinct lowercased words
+    * with occurrence counts and their symbol sequence (single characters
+    * to start). BPE statistics are per-WORD-TYPE, so everything downstream
+    * runs on the vocabulary (≪ corpus) — the one corpus-sized pass is
+    * this count. */
+  def bpeWordInventory(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      // split on "" leaves a zero-width trailing element under limit=-1
+      .withColumn("syms",
+        filter(split(col("word"), ""), x => length(x) > 0))
+
+  /** Adjacent symbol-pair statistics for one BPE round: (s1, s2, total
+    * occurrence count weighted by word frequency), the quantity whose
+    * argmax is the next merge. Narrow explode over the vocabulary + one
+    * pair-keyed agg with map-side partials. */
+  def bpePairCounts(inventory: DataFrame): DataFrame =
+    inventory
+      .filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("s1"),
+          element_at(col("syms"), i + 1).as("s2")))).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Byte-pair-encoding merge learning (Sennrich et al., ACL 2016 — the
+    * public algorithm behind most LLM tokenizers): `k` rounds of
+    * count-adjacent-pairs → merge the argmax (ties broken by (s1, s2)
+    * order, so the sequence is deterministic on any engine/layout).
+    * Returns the learned merges in order. Each round is one vocabulary-
+    * scale job: pair stats via [[bpePairCounts]], argmax via a driver-side
+    * `limit(1)` on a vocabulary-bounded agg, and the merge rewrite is a
+    * typed map over symbol arrays (greedy left-to-right, the reference
+    * semantics — genuinely imperative, so a Dataset map rather than a
+    * contorted expression). Production BPE learns on a sampled inventory;
+    * at 100 TB the inventory agg is the only full pass and the k rounds
+    * never rescan the corpus. */
+  def bpeMerges(df: DataFrame, textCol: String, k: Int): Seq[(String, String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var inv = bpeWordInventory(df, textCol)
+      .select(col("cnt"), col("syms")).as[(Long, Seq[String])]
+      .cache()
+    val merges = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 0 until k) {
+      val top = bpePairCounts(inv.toDF("cnt", "syms"))
+        .orderBy(col("cnt").desc, col("s1"), col("s2")).limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val r = top.head
+        val (s1, s2, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += ((s1, s2, c))
+        val prev = inv
+        inv = prev.map { case (cnt, syms) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == s1 && syms(i + 1) == s2) {
+              out += s1 + s2; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (cnt, out.toSeq)
+        }.cache()
+        prev.unpersist()
+      }
+    }
+    inv.unpersist()
+    merges.result()
+  }
+
   /** Per-document profile frame: one narrow projection, no shuffle. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.select(

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.x.TextAnalysis
+
+/** BPE merge learning + tf-cosine join: the merge sequence must replay the
+  * reference greedy algorithm exactly (Sennrich's low/lower example), and
+  * the inverted-index cosine must equal the hand-computed values. */
+class BpeCosineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bpeMerges replays the classic low/lower sequence deterministically") {
+    // vocabulary: low ×3, lower ×1 → pairs (l,o):4 (o,w):4 (w,e):1 (e,r):1
+    // round 1: tie (l,o)/(o,w) breaks lexicographically → (l,o)
+    // round 2: (lo,w):4 wins; round 3: tie (e,r)/(low,e) → (e,r)
+    val docs = Seq(Tuple1("low low low lower")).toDF("text")
+    val merges = TextAnalysis.bpeMerges(docs, "text", k = 3)
+    assert(merges == Seq(("l", "o", 4L), ("lo", "w", 4L), ("e", "r", 1L)))
+  }
+
+  test("bpeMerges merges greedily left-to-right within a word") {
+    // "aaa": pairs (a,a):2 → merge (a,a); greedy rewrite gives [aa, a],
+    // NOT [a, aa] — round 2's top pair must therefore be (aa, a)
+    val docs = Seq(Tuple1("aaa")).toDF("text")
+    val merges = TextAnalysis.bpeMerges(docs, "text", k = 2)
+    assert(merges == Seq(("a", "a", 2L), ("aa", "a", 1L)))
+  }
+
+  test("tfCosinePairs matches hand-computed cosines and honors the df cap") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "a a b"),   // identical rates → cos 1 with 1
+      (3L, "a b b"),   // dot 4, norms 5 → 0.8 with 1
+      (4L, "z z q")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.tfCosinePairs(docs, "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs == Set((1L, 2L, 1.0)))
+    val loose = TextAnalysis.tfCosinePairs(docs, "text", "doc_id", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // df cap 2: "a" and "b" appear in 3 docs → dropped; no vectors remain
+    // for docs 1-3, and doc 4 has no partner
+    val capped = TextAnalysis.tfCosinePairs(docs, "text", "doc_id",
+      threshold = 0.1, maxDocFreq = 2)
+    assert(capped.count() == 0)
+  }
+}
