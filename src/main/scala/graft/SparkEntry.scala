@@ -1340,6 +1340,21 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
+    // degree-ordered triangle counting on the co-purchase graph: the
+    // orientation bounds wedge fanout by O(√m) — hub skew never builds
+    // deg² pairs — and every count is BIGINT with one double per node
+    "x106_triangles" -> ((s, dir) => {
+      reg(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val e = s.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("dst", lead("l_partkey", 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("l_partkey").as("src"), col("dst"))
+      Graph.triangles(e, "src", "dst")
+        .orderBy("node")
+    }),
     // exact tf-weighted cosine via the inverted index: integer dot/norm
     // sums through every shuffle, ONE double op per surviving pair —
     // catches same-vocabulary-same-rates paraphrase duplication
@@ -4552,6 +4567,33 @@ object SparkEntry {
         JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b""",
+
+    // naive canonical-triple enumeration (a<b<c) — the engine's oriented
+    // wedge join must produce the identical triangle relation
+    "x106_triangles" -> """
+      WITH raw AS (
+        SELECT l_partkey AS src,
+               LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) AS dst
+        FROM lineitem),
+      e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM raw WHERE dst IS NOT NULL AND src <> dst),
+      deg AS (SELECT v, COUNT(*) AS deg FROM
+                (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+      pn AS (SELECT x AS v, COUNT(*) AS tri FROM
+               (SELECT u AS x FROM t UNION ALL SELECT v FROM t
+                UNION ALL SELECT w FROM t) GROUP BY 1)
+      SELECT deg.v AS node, CAST(deg.deg AS BIGINT) AS deg,
+             CAST(COALESCE(pn.tri, 0) AS BIGINT) AS triangles,
+             CASE WHEN deg.deg >= 2
+                  THEN CAST(COALESCE(pn.tri, 0) * 2 AS DOUBLE) /
+                       CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+                  ELSE 0.0 END AS coeff
+      FROM deg LEFT JOIN pn ON pn.v = deg.v
+      ORDER BY node""",
 
     // identical integer dot and norm operands, identical one-shot double
     // formula — association order never varies, so raw doubles hash-match

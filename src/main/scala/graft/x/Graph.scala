@@ -77,4 +77,58 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact per-node triangle counts + local clustering coefficient over an
+    * undirected graph (edges canonicalized to `a < b`, self-loops and
+    * duplicates dropped).
+    *
+    * Uses the degree-ordered orientation (Chiba–Nishizeki / Schank &
+    * Wagner's node-iterator-core, the shape behind every distributed
+    * triangle counter): each edge points from its lower-(degree, id)
+    * endpoint to the higher one, wedges form only between a node's
+    * OUT-neighbors, and each triangle materializes exactly once — at its
+    * unique minimum-rank corner. Out-degrees under this orientation are
+    * bounded by O(√m) regardless of raw degree, so a celebrity hub with
+    * 10⁸ neighbors contributes wedges only through its (rare) higher-rank
+    * neighbors instead of the 10¹⁶ pairs the naive wedge join would build
+    * — the orientation IS the skew guard, with zero recall loss.
+    *
+    * Shape at 100 TB: one edge-keyed dedup shuffle, one degree agg, the
+    * wedge self-join keyed on the wedge center, and the closing equi-join
+    * against canonical edges on (x, y) — every join an AQE-friendly
+    * two-column equi-join. Counts are BIGINT; the coefficient
+    * `2·tri / (deg·(deg−1))` is ONE double division per node. */
+  def triangles(edgesIn: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edgesIn
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("deg").as("__da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("__db")), "b")
+      .select(
+        when(struct(col("__da"), col("a")) < struct(col("__db"), col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.w").as("w"))
+    val wedges = oriented.select(col("u"), col("w").as("x"))
+      .join(oriented.select(col("u"), col("w").as("y")), "u")
+      .filter(col("x") < col("y"))
+    val tri = wedges
+      .join(e.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("v"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("coeff", when(col("deg") >= 2,
+        (col("triangles") * 2).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double"))
+        .otherwise(lit(0.0)))
+      .select(col("v").as("node"), col("deg").cast("long").as("deg"),
+        col("triangles").cast("long").as("triangles"), col("coeff"))
+  }
 }

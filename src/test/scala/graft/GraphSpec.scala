@@ -44,4 +44,22 @@ class GraphSpec extends AnyFunSuite {
     assert(total <= 1000000000L && total >= 1000000000L - 5 * n * 100,
       s"mass off: $total")
   }
+
+  test("triangles: exact counts, dedup/self-loop hygiene, hub-skew orientation") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant 5—1,
+    // a duplicate edge, a reversed duplicate, and a self-loop
+    val raw = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (2L, 1L), (3L, 2L), (4L, 4L))
+    val got = Graph.triangles(raw.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((4L, 3L, 0.5)))        // deg 4 (K4 + pendant), C(4,2)=6 → 3/6
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((3L, 3L, 1.0)))
+    assert(got(4L) == ((3L, 3L, 1.0)))
+    assert(got(5L) == ((1L, 0L, 0.0)))
+    // global count: Σ per-node / 3
+    assert(got.values.map(_._2).sum == 12L)
+  }
 }
