@@ -1340,6 +1340,37 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
+    // decayed daily revenue signal: every decay weight is a binary
+    // exponent and every sum integer/decimal — the EWMA replays
+    // bit-for-bit on any layout, unlike a pow(0.5,g) float pipeline
+    "x107_ewma" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.ewmaDaily(s.table("events"), "ts", "event_type", "value",
+          windowDays = 20)
+        .orderBy("event_type", "day")
+    }),
+    // linear gap reconstruction on a deterministically thinned calendar:
+    // one fixed-shape double expression per synthetic day
+    "x108_interpolate" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.interpolateDaily(
+          s.table("events").filter(dayofmonth(col("ts")) % 3 =!= 0),
+          "ts", "event_type", "value")
+        .orderBy("event_type", "day")
+    }),
+    // per-series OLS trend of daily revenue cents vs epoch day: all four
+    // moments ride one shuffle as DECIMAL(38,0); IEEE math happens twice
+    // per group on exact operands
+    "x109_trend" -> ((s, dir) => {
+      reg(s, dir)
+      val daily = s.table("events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+        .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date")))
+      Profiler.trend(daily, "x", "cents", Seq("event_type"))
+        .orderBy("event_type")
+    }),
     // degree-ordered triangle counting on the co-purchase graph: the
     // orientation bounds wedge fanout by O(√m) — hub skew never builds
     // deg² pairs — and every count is BIGINT with one double per node
@@ -4567,6 +4598,71 @@ object SparkEntry {
         JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b""",
+
+    // HUGEINT carries the exact shifted terms; the closing two divisions
+    // are the only IEEE ops, in the same order as the engine
+    "x107_ewma" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT) AS cents
+        FROM events GROUP BY 1, 2),
+      sh AS (
+        SELECT d.event_type, d.day + CAST(g AS INTEGER) AS day,
+               SUM(d.cents * (CAST(1 AS BIGINT) << CAST(20 - g AS INTEGER))) AS s
+        FROM daily d, LATERAL (SELECT UNNEST(RANGE(0, 21)) AS g)
+        GROUP BY 1, 2)
+      SELECT d.event_type, STRFTIME(d.day, '%Y-%m-%d') AS day,
+             CAST(sh.s AS DOUBLE) / 1048576.0 / 100.0 AS ewma
+      FROM daily d JOIN sh ON sh.event_type = d.event_type AND sh.day = d.day
+      ORDER BY d.event_type, d.day""",
+
+    // same thinning filter, same LEAD lookup, same single interpolation
+    // expression — synthetic days materialize once each
+    "x108_interpolate" -> """
+      WITH f AS (SELECT * FROM events WHERE DATE_PART('day', ts) % 3 <> 0),
+      daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+                FROM f GROUP BY 1, 2),
+      nx AS (SELECT event_type, day AS d0, v AS v0,
+                    LEAD(day) OVER (PARTITION BY event_type ORDER BY day) AS d1,
+                    LEAD(v) OVER (PARTITION BY event_type ORDER BY day) AS v1
+             FROM daily),
+      ex AS (SELECT event_type, d0, v0, d1, v1,
+                    CAST(UNNEST(CASE WHEN d1 IS NULL
+                      THEN [CAST(d0 AS TIMESTAMP)]
+                      ELSE RANGE(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                 INTERVAL 1 DAY) END) AS DATE) AS day
+             FROM nx)
+      SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day,
+             CASE WHEN day = d0 THEN v0
+                  ELSE v0 + (v1 - v0) *
+                       (CAST(DATE_DIFF('day', d0, day) AS DOUBLE) /
+                        CAST(DATE_DIFF('day', d0, d1) AS DOUBLE)) END AS value,
+             day <> d0 AS interpolated
+      FROM ex ORDER BY event_type, day""",
+
+    // HUGEINT moments, then the identical two-division closed form —
+    // the intercept re-states the slope expression so the tree matches
+    "x109_trend" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type,
+              CAST(COUNT(*) AS HUGEINT) AS n,
+              CAST(SUM(DATE_DIFF('day', DATE '1970-01-01', day)) AS HUGEINT) AS sx,
+              CAST(SUM(cents) AS HUGEINT) AS sy,
+              CAST(SUM(CAST(DATE_DIFF('day', DATE '1970-01-01', day) AS HUGEINT)
+                       * cents) AS HUGEINT) AS sxy,
+              CAST(SUM(CAST(DATE_DIFF('day', DATE '1970-01-01', day) AS HUGEINT)
+                       * DATE_DIFF('day', DATE '1970-01-01', day)) AS HUGEINT) AS sxx
+            FROM daily GROUP BY 1)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+             (CAST(sy AS DOUBLE) -
+              (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+      FROM m ORDER BY event_type""",
 
     // naive canonical-triple enumeration (a<b<c) — the engine's oriented
     // wedge join must produce the identical triangle relation

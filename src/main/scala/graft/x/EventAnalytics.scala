@@ -287,4 +287,78 @@ object EventAnalytics {
         count(lit(1)).as("n_events"),
         (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
           .as("duration_us"))
+
+  /** Exponentially-decayed daily value sum per series (one-day half-life,
+    * trailing `windowDays`): `ewma_d = Σ_{g=0..W} daily_{d−g} · 2^{−g}`,
+    * the recency-weighted signal behind trending-topic scores and decayed
+    * source weights. Exact by construction: daily sums quantize to integer
+    * cents via DECIMAL, each term is `cents · 2^{W−g}` (an integer — the
+    * decay is a binary exponent, never a rounded double), the sum runs in
+    * DECIMAL(38,0), and the single closing division by 2^W is an exponent
+    * shift. A float `pow(0.5, g)` pipeline differs in low bits by
+    * reduction order; this one is bit-identical on any layout — the
+    * [[dailyAnomalies]] discipline applied to a weighted window.
+    *
+    * Shape at 100 TB: events shuffle ONCE into (series, day) sums with
+    * map-side partials; the decay is a `windowDays+1`-way shift-explode
+    * on that daily frame (calendar-scale, not event-scale) re-aggregated
+    * on the same key family. No per-event window sort exists. */
+  def ewmaDaily(events: DataFrame, tsCol: String, seriesCol: String,
+      valueCol: String, windowDays: Int = 30): DataFrame = {
+    require(windowDays >= 0 && windowDays <= 60,
+      s"windowDays must be in [0, 60] (2^windowDays must fit a term), got $windowDays")
+    val daily = events
+      .groupBy(col(seriesCol), to_date(col(tsCol)).as("day"))
+      .agg((sum(col(valueCol).cast("decimal(18,2)")) * 100)
+        .cast("decimal(38,0)").as("__cents"))
+    val shifted = daily
+      .select(col(seriesCol), col("day"), col("__cents"),
+        explode(sequence(lit(0), lit(windowDays))).as("__g"))
+      .select(col(seriesCol), expr("date_add(day, __g)").as("day"),
+        (col("__cents") * expr(s"shiftleft(CAST(1 AS BIGINT), $windowDays - __g)"))
+          .cast("decimal(38,0)").as("__term"))
+      .groupBy(col(seriesCol), col("day"))
+      .agg(sum(col("__term")).cast("decimal(38,0)").as("__s"))
+    daily.select(col(seriesCol), col("day"))
+      .join(shifted, Seq(seriesCol, "day"))
+      .select(col(seriesCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("__s").cast("double") /
+          lit(math.pow(2.0, windowDays)) / 100.0).as("ewma"))
+  }
+
+  /** Linear interpolation over missing calendar days: between consecutive
+    * observed days the series takes `v0 + (v1−v0)·(d−d0)/(d1−d0)` — the
+    * reconstruction [[fillDailyGaps]]' forward-fill deliberately avoids
+    * (a carried count asserts "nothing changed"; interpolation asserts
+    * "the change was gradual" — pick per signal). The last observation
+    * emits itself only (no extrapolation). `interpolated` flags synthetic
+    * days. Values quantize to cents via DECIMAL first; the interpolation
+    * itself is ONE fixed-shape double expression per row, deterministic
+    * on any engine.
+    *
+    * Shape: one (series, day) aggregation shuffle, one series-keyed
+    * window for the next-observation lookup, then a narrow
+    * sequence-explode — gap days materialize exactly once each. */
+  def interpolateDaily(events: DataFrame, tsCol: String, seriesCol: String,
+      valueCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(seriesCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("__v"))
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col("day"))
+    daily
+      .withColumn("__d1", lead(col("day"), 1).over(w))
+      .withColumn("__v1", lead(col("__v"), 1).over(w))
+      .select(col(seriesCol), col("day").as("__d0"), col("__v").as("__v0"),
+        col("__d1"), col("__v1"),
+        explode(when(col("__d1").isNotNull,
+            expr("sequence(day, date_sub(__d1, 1), interval 1 day)"))
+          .otherwise(array(col("day")))).as("day"))
+      .withColumn("value",
+        when(col("day") === col("__d0"), col("__v0"))
+          .otherwise(col("__v0") + (col("__v1") - col("__v0")) *
+            (datediff(col("day"), col("__d0")).cast("double") /
+             datediff(col("__d1"), col("__d0")).cast("double"))))
+      .select(col(seriesCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("value"), (col("day") =!= col("__d0")).as("interpolated"))
+  }
 }

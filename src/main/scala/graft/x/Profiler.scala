@@ -185,6 +185,44 @@ object Profiler {
       .select(gc ++ Seq(col("med"), col("mad"), col("n"), col("n_outliers")): _*)
   }
 
+  /** Per-group ordinary-least-squares trend: slope and intercept of
+    * integer-valued `yCol` against integer-valued `xCol` (day index,
+    * version number, epoch…) via the closed form
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * with every moment carried as DECIMAL(38,0) — the products of 1e13-
+    * scale daily totals and epoch-day indices stay exact where double
+    * partial sums would drift by reduction order ([[correlationMatrix]]'s
+    * discipline pointed at trend detection: "is this source growing,
+    * rotting, or flat"). IEEE math happens exactly twice per group, on
+    * exact operands, in a fixed expression shape — replayable on any
+    * engine. Groups with < 2 points or zero x-variance yield NULL slope.
+    *
+    * Shape: ONE aggregation with map-side partials; all four moments ride
+    * the same shuffle. Output is group-cardinality — driver-scale. */
+  def trend(df: DataFrame, xCol: String, yCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "trend needs at least one group column")
+    val d38 = "decimal(38,0)"
+    val x = col(xCol).cast(d38)
+    val y = col(yCol).cast(d38)
+    val gc = groupCols.map(col)
+    df.groupBy(gc: _*)
+      .agg(count(lit(1)).cast(d38).as("__n"), sum(x).as("__sx"),
+        sum(y).as("__sy"), sum(x * y).cast(d38).as("__sxy"),
+        sum(x * x).cast(d38).as("__sxx"))
+      .withColumn("__num", (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+        .cast(d38))
+      .withColumn("__den", (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+        .cast(d38))
+      .withColumn("slope", when(col("__den") =!= 0,
+        col("__num").cast("double") / col("__den").cast("double")))
+      .withColumn("intercept",
+        (col("__sy").cast("double") - col("slope") * col("__sx").cast("double")) /
+          col("__n").cast("double"))
+      .select(gc ++ Seq(col("__n").cast("long").as("n"), col("slope"),
+        col("intercept")): _*)
+  }
+
   /** Per-column null-rate drift between two snapshots — the cheapest,
     * highest-yield data-contract check: an upstream schema change or
     * parser regression almost always shows up first as a null-rate jump

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.x.{EventAnalytics, Profiler}
+
+/** EWMA decay, linear interpolation, OLS trend: hand-computed references
+  * plus the layout-invariance assertion the exact-arithmetic design
+  * promises. */
+class TimeSeriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(day: Int, v: Double) =
+    (f"2024-01-$day%02d 12:00:00", "s", v)
+
+  test("ewmaDaily: binary decay over the trailing window, bit-exact") {
+    val events = Seq(ev(1, 8.0), ev(2, 4.0), ev(4, 2.0))
+      .toDF("ts", "series", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = EventAnalytics.ewmaDaily(events, "ts", "series", "value", windowDays = 30)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(got("2024-01-01") == 8.0)
+    assert(got("2024-01-02") == 4.0 + 8.0 / 2)             // 8.0
+    assert(got("2024-01-04") == 2.0 + 4.0 / 4 + 8.0 / 8)   // 4.0
+    // layout invariance: same result from a 13-partition scramble
+    val got2 = EventAnalytics.ewmaDaily(events.repartition(13), "ts", "series",
+      "value", windowDays = 30)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(got2 == got)
+  }
+
+  test("ewmaDaily: observations older than the window fall out") {
+    val events = Seq(ev(1, 1024.0), ev(5, 1.0)).toDF("ts", "series", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = EventAnalytics.ewmaDaily(events, "ts", "series", "value", windowDays = 2)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(got("2024-01-05") == 1.0) // day 1 is 4 days back, window is 2
+  }
+
+  test("interpolateDaily reconstructs gradual change; endpoints exact") {
+    val events = Seq(ev(1, 10.0), ev(4, 16.0), ev(5, 2.0))
+      .toDF("ts", "series", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val rows = EventAnalytics.interpolateDaily(events, "ts", "series", "value")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.toSet == Set(
+      ("2024-01-01", 10.0, false),
+      ("2024-01-02", 12.0, true),
+      ("2024-01-03", 14.0, true),
+      ("2024-01-04", 16.0, false),
+      ("2024-01-05", 2.0, false)))
+  }
+
+  test("trend recovers an exact linear series; degenerate groups are NULL") {
+    val df = Seq(
+      ("a", 10, 35L), ("a", 11, 38L), ("a", 12, 41L), ("a", 13, 44L),
+      ("b", 5, 7L),                      // single point: slope NULL
+      ("c", 9, 1L), ("c", 9, 5L)         // zero x-variance: slope NULL
+    ).toDF("g", "x", "y")
+    val got = Profiler.trend(df, "x", "y", Seq("g")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("a").getLong(1) == 4L)
+    assert(got("a").getDouble(2) == 3.0)   // y = 3x + 5
+    assert(got("a").getDouble(3) == 5.0)
+    assert(got("b").isNullAt(2) && got("c").isNullAt(2))
+  }
+}
