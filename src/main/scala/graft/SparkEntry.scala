@@ -1340,6 +1340,45 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
+    // survivorship after entity resolution: per-field highest-priority
+    // non-null value via ONE lexicographic struct-max aggregation — no
+    // per-field window passes, members shuffle once
+    "x110_golden_record" -> ((s, dir) => {
+      reg(s, dir)
+      val c = s.table("customer")
+      val feedA = c.select(col("c_custkey").as("cluster"), lit(2).as("prio"),
+        (col("c_custkey") * 2).as("rid"),
+        when(pmod(col("c_custkey"), lit(3)) === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("seg"),
+        col("c_acctbal").as("bal"))
+      val feedB = c.select(col("c_custkey").as("cluster"), lit(1).as("prio"),
+        (col("c_custkey") * 2 + 1).as("rid"),
+        col("c_mktsegment").as("seg"),
+        when(pmod(col("c_custkey"), lit(4)) === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal") + 10).as("bal"))
+      graft.x.Curation.goldenRecord(feedA.unionByName(feedB), "cluster", "prio", "rid",
+          Seq("seg", "bal"))
+        .orderBy("cluster")
+    }),
+    // fixed-radius spatial self-join on an integer grid: 3x3 cell
+    // replication on one side, every pair meets exactly once, BIGINT
+    // distances — no float epsilon at the radius boundary
+    "x111_grid_neighbors" -> ((s, dir) => {
+      reg(s, dir)
+      val pts = s.table("customer").select(col("c_custkey").as("id"),
+        pmod(col("c_custkey") * 37, lit(499)).as("x"),
+        pmod(col("c_custkey") * 101, lit(503)).as("y"))
+      graft.x.Spatial.gridNeighborPairs(pts, "id", "x", "y", radius = 12)
+        .orderBy("id_a", "id_b")
+    }),
+    // Gopher quality rules in pure integer arithmetic: cross-multiplied
+    // thresholds mean no float boundary can flip a flag between engines
+    "x112_gopher_flags" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.gopherQualityFlags(s.table("documents"), "text", "doc_id",
+          minWords = 20, maxWords = 100000)
+        .orderBy("doc_id")
+    }),
     // decayed daily revenue signal: every decay weight is a binary
     // exponent and every sum integer/decimal — the EWMA replays
     // bit-for-bit on any layout, unlike a pow(0.5,g) float pipeline
@@ -4598,6 +4637,70 @@ object SparkEntry {
         JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b""",
+
+    // per-field ROW_NUMBER over (prio DESC, rid DESC) among non-null rows
+    // — the windowed restatement of the engine's struct-max rule
+    "x110_golden_record" -> """
+      WITH f AS (
+        SELECT c_custkey AS cluster, 2 AS prio, c_custkey*2 AS rid,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+               c_acctbal AS bal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 1, c_custkey*2+1, c_mktsegment,
+               CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_acctbal + 10 END
+        FROM customer),
+      s AS (SELECT cluster, seg FROM (
+              SELECT cluster, seg, ROW_NUMBER() OVER (PARTITION BY cluster
+                ORDER BY prio DESC, rid DESC) AS rn
+              FROM f WHERE seg IS NOT NULL) WHERE rn = 1),
+      b AS (SELECT cluster, bal FROM (
+              SELECT cluster, bal, ROW_NUMBER() OVER (PARTITION BY cluster
+                ORDER BY prio DESC, rid DESC) AS rn
+              FROM f WHERE bal IS NOT NULL) WHERE rn = 1)
+      SELECT s.cluster, s.seg, b.bal
+      FROM s JOIN b ON b.cluster = s.cluster
+      ORDER BY s.cluster""",
+
+    // brute-force all-pairs within the radius — the engine's grid join
+    // must produce the identical relation
+    "x111_grid_neighbors" -> """
+      WITH p AS (SELECT c_custkey AS id, (c_custkey * 37) % 499 AS x,
+                        (c_custkey * 101) % 503 AS y FROM customer)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+      FROM p a JOIN p b ON a.id < b.id
+      WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 144
+      ORDER BY id_a, id_b""",
+
+    // identical integer counts and cross-multiplied comparisons — the
+    // flags cannot disagree by a float boundary
+    "x112_gopher_flags" -> """
+      WITH t AS (
+        SELECT doc_id,
+               LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                           x -> LENGTH(x) > 0) AS a
+        FROM documents),
+      m AS (
+        SELECT doc_id, LEN(a) AS n_words,
+               COALESCE(LIST_SUM(LIST_TRANSFORM(a, x -> LENGTH(x))), 0) AS n_chars,
+               LEN(LIST_FILTER(a, x -> REGEXP_MATCHES(x, '[a-z]'))) AS n_alpha_words,
+               LEN(LIST_FILTER(a, x -> LIST_CONTAINS(
+                 ['the','be','to','of','and','that','have','with','a','in'], x)))
+                 AS n_stop_hits
+        FROM t)
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+             CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+             n_words BETWEEN 20 AND 100000 AS wc_ok,
+             n_chars >= n_words * 3 AND n_chars <= n_words * 10 AS mwl_ok,
+             n_alpha_words * 10 >= n_words * 8 AS alpha_ok,
+             n_stop_hits >= 2 AS stop_ok,
+             (n_words BETWEEN 20 AND 100000) AND
+             (n_chars >= n_words * 3 AND n_chars <= n_words * 10) AND
+             (n_alpha_words * 10 >= n_words * 8) AND (n_stop_hits >= 2) AS pass
+      FROM m ORDER BY doc_id""",
 
     // HUGEINT carries the exact shifted terms; the closing two divisions
     // are the only IEEE ops, in the same order as the engine

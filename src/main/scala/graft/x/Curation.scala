@@ -186,4 +186,27 @@ object Curation {
     val nearKept = survivors.join(dropIds, Seq(idCol), "left_anti")
     StageFrames(gated, fpTagged, survivors, comps, nearKept)
   }
+
+  /** Survivorship / golden-record construction — the step after entity
+    * resolution ([[Dedup.resolveEntities]]) in every MDM pipeline: one
+    * output row per cluster, where each field independently takes its
+    * value from the highest-priority record that HAS one (nulls never
+    * win), ties broken by highest `idCol` so the choice is total and
+    * deterministic.
+    *
+    * Implementation is one hash aggregation: per field,
+    * `max(struct(priority, id, field))` over non-null-field rows — the
+    * lexicographic struct max IS the survivorship rule, computed with
+    * map-side partials on the cluster key. No per-field window passes
+    * (`fields.length` sorted shuffles), no self-joins; 100 TB of member
+    * rows shuffle once. */
+  def goldenRecord(df: DataFrame, clusterCol: String, priorityCol: String,
+      idCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "goldenRecord needs at least one field")
+    val aggs = fields.map { f =>
+      max(when(col(f).isNotNull,
+        struct(col(priorityCol), col(idCol), col(f)))).getField(f).as(f)
+    }
+    df.groupBy(col(clusterCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -1,0 +1,70 @@
+package graft.x
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-radius spatial joins over integer planar coordinates.
+  *
+  * The curation use case: UMAP/t-SNE-projected embedding grids, tile/patch
+  * coordinates from image sharding, or any quantized 2-D key where
+  * "points within distance r" is the join predicate. The grid-bucket
+  * pattern here is the standard public technique (uniform grid spatial
+  * hashing); keeping coordinates INTEGER makes every distance an exact
+  * BIGINT, so results are engine- and layout-invariant — no float
+  * epsilon at the radius boundary.
+  */
+object Spatial {
+
+  /** Exact fixed-radius self-join: all pairs (id_a < id_b) with squared
+    * euclidean distance ≤ radius², over non-negative integer coordinates.
+    *
+    * Grid bucketing with cell size = radius: the probe side replicates to
+    * its 3×3 cell neighborhood, the build side stays in its own cell —
+    * every qualifying pair meets in EXACTLY one (cell, replicate)
+    * combination, so no dedup pass is needed, and the join is a plain
+    * two-column equi-join on cell coordinates. A naive cross join is
+    * O(n²); this is O(n · density) with a constant 9× replication on one
+    * side only.
+    *
+    * Shape at 100 TB: one shuffle each side keyed on (cx, cy); density
+    * skew (a hot cell) is bounded by cell area — pick `radius` so a cell
+    * holds bounded points, exactly the guidance for every other bucketed
+    * join in this library ([[graft.x.Dedup.lshCandidatePairs]]'
+    * maxBucket analogue; audit hot cells via [[hotCells]]). Distances
+    * are BIGINT products — bit-exact on any engine. */
+  def gridNeighborPairs(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, radius: Long): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val r2 = radius * radius
+    val pts = df.select(col(idCol).as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val build = pts.select(col("id").as("id_a"), col("x").as("xa"),
+      col("y").as("ya"), (col("x") / radius).cast("long").as("cx"),
+      (col("y") / radius).cast("long").as("cy"))
+    val probe = pts.select(col("id").as("id_b"), col("x").as("xb"),
+        col("y").as("yb"),
+        explode(sequence(lit(-1), lit(1))).as("__dx"),
+        (col("y") / radius).cast("long").as("__cy0"))
+      .select(col("id_b"), col("xb"), col("yb"),
+        ((col("xb") / radius).cast("long") + col("__dx")).as("cx"),
+        explode(sequence(col("__cy0") - 1, col("__cy0") + 1)).as("cy"))
+    build.join(probe, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("dist2") <= r2)
+      .select(col("id_a"), col("id_b"), col("dist2").cast("long").as("dist2"))
+  }
+
+  /** Audit surface for [[gridNeighborPairs]]' density skew: cells holding
+    * more than `maxCell` points — the quadratic hot spots, reported
+    * before they become the join's straggler task. */
+  def hotCells(df: DataFrame, xCol: String, yCol: String, radius: Long,
+      maxCell: Int): DataFrame =
+    df.groupBy((col(xCol).cast("long") / radius).cast("long").as("cx"),
+        (col(yCol).cast("long") / radius).cast("long").as("cy"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCell)
+      .orderBy(col("n").desc)
+}

@@ -1099,6 +1099,44 @@ object TextAnalysis {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, appendix A —
+    * the public ruleset behind most LLM corpus gates): word-count range,
+    * mean-word-length range, minimum fraction of words containing a
+    * letter, minimum stopword hits. Every flag is computed in PURE
+    * integer arithmetic — thresholds are cross-multiplied (`chars ≥
+    * 3·words` instead of `chars/words ≥ 3.0`), so there is no float
+    * boundary to disagree across engines, ever. Narrow projection, zero
+    * shuffles, full codegen; `pass` is the conjunction.
+    *
+    * The rule constants that are ratios are fixed by the published
+    * ruleset (mean word length 3–10, ≥80% alphabetic, ≥2 stopwords);
+    * the corpus-dependent word-count range is parameterized. */
+  def gopherQualityFlags(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val nWords = size(toks).cast("long")
+    val nChars = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+    val alphaCnt = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val stopCnt = size(filter(toks,
+      t => t.isInCollection(GopherStopwords))).cast("long")
+    df.select(col(idCol),
+      nWords.as("n_words"), nChars.as("n_chars"),
+      alphaCnt.as("n_alpha_words"), stopCnt.as("n_stop_hits"),
+      nWords.between(minWords, maxWords).as("wc_ok"),
+      (nChars >= nWords * 3 && nChars <= nWords * 10).as("mwl_ok"),
+      (alphaCnt * 10 >= nWords * 8).as("alpha_ok"),
+      (stopCnt >= 2).as("stop_ok"))
+      .withColumn("pass",
+        col("wc_ok") && col("mwl_ok") && col("alpha_ok") && col("stop_ok"))
+  }
+
+  /** The Gopher rule's stopword probe set (a presence check, not a
+    * linguistic inventory — the published rule uses exactly this kind of
+    * tiny high-frequency list). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
   /** Corpus word inventory for BPE learning: distinct lowercased words
     * with occurrence counts and their symbol sequence (single characters
     * to start). BPE statistics are per-WORD-TYPE, so everything downstream

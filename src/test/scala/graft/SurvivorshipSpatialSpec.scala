@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.x.{Curation, Spatial, TextAnalysis}
+
+/** Golden-record survivorship, integer-grid spatial join, Gopher rules. */
+class SurvivorshipSpatialSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("goldenRecord: per-field priority, nulls never win, ties break by id") {
+    val df = Seq(
+      // cluster 1: high-prio record has null city → low-prio city survives
+      (1L, 2, 10L, Some("Ann"), None: Option[String]),
+      (1L, 1, 11L, Some("Anne"), Some("Berlin")),
+      // cluster 2: two records at the same priority → higher id wins
+      (2L, 1, 20L, Some("Bob"), Some("Paris")),
+      (2L, 1, 21L, Some("Rob"), Some("Lyon")),
+      // cluster 3: every value null in one field
+      (3L, 5, 30L, None: Option[String], None: Option[String])).toDF(
+      "cluster", "prio", "rid", "name", "city")
+    val got = Curation.goldenRecord(df, "cluster", "prio", "rid",
+      Seq("name", "city")).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), Option(r.getString(2)))))
+      .toMap
+    assert(got(1L) == ((Some("Ann"), Some("Berlin"))))
+    assert(got(2L) == ((Some("Rob"), Some("Lyon"))))
+    assert(got(3L) == ((None, None)))
+  }
+
+  test("gridNeighborPairs matches brute force, including cell-boundary pairs") {
+    val n = 400
+    val pts = spark.range(0, n).select(col("id"),
+      pmod(col("id") * 37, lit(97)).as("x"), pmod(col("id") * 61, lit(89)).as("y"))
+    val r = 7L
+    val got = Spatial.gridNeighborPairs(pts, "id", "x", "y", r)
+    val a = pts.toDF("id_a", "xa", "ya")
+    val b = pts.toDF("id_b", "xb", "yb")
+    val ref = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("dist2", (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("dist2") <= r * r)
+      .select("id_a", "id_b", "dist2")
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
+  test("gopherQualityFlags: each rule fires on its designed violation") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to a barn " +
+        "with seven other foxes in the misty morning light of autumn"),
+      (2L, "short text only"),                           // wc_ok false
+      (3L, ("a " * 25).trim),                            // mean word length 1
+      (4L, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 21 22 23 24"),
+      (5L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQualityFlags(docs, "text", "doc_id",
+      minWords = 20, maxWords = 100).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("pass"))
+    assert(!got(2L).getAs[Boolean]("wc_ok"))
+    assert(!got(3L).getAs[Boolean]("mwl_ok"))            // chars < 3·words
+    assert(!got(4L).getAs[Boolean]("alpha_ok"))          // digits only
+    assert(!got(4L).getAs[Boolean]("stop_ok"))
+    assert(!got(5L).getAs[Boolean]("stop_ok"))           // latin, no stopwords
+  }
+}
