@@ -1340,6 +1340,31 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
+    // link-prediction scores per co-purchase edge: common neighbors via
+    // the degree-ordered triangle machinery (each triangle credits all
+    // three edges), BIGINT counts, one double division per edge
+    "x113_edge_scores" -> ((s, dir) => {
+      reg(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val e = s.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("dst", lead("l_partkey", 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("l_partkey").as("src"), col("dst"))
+      Graph.edgeNeighborScores(e, "src", "dst")
+        .orderBy("a", "b")
+    }),
+    // FD violation profile: does the candidate determinant actually
+    // determine the dependent in this load — all-integer verdicts
+    "x114_fd_profile" -> ((s, dir) => {
+      reg(s, dir)
+      Profiler.functionalDependencies(s.table("orders"), Seq(
+          ("o_orderkey", "o_custkey"),
+          ("o_custkey", "o_orderpriority"),
+          ("o_orderpriority", "o_orderstatus")))
+        .orderBy("determinant", "dependent")
+    }),
     // survivorship after entity resolution: per-field highest-priority
     // non-null value via ONE lexicographic struct-max aggregation — no
     // per-field window passes, members shuffle once
@@ -4637,6 +4662,64 @@ object SparkEntry {
         JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b""",
+
+    // naive triangle enumeration credited to all three member edges, then
+    // degree algebra — identical integers, one identical division
+    "x113_edge_scores" -> """
+      WITH raw AS (
+        SELECT l_partkey AS src,
+               LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) AS dst
+        FROM lineitem),
+      e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM raw WHERE dst IS NOT NULL AND src <> dst),
+      deg AS (SELECT v, COUNT(*) AS deg FROM
+                (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+      cm AS (SELECT a, b, COUNT(*) AS common FROM (
+               SELECT u AS a, v AS b FROM t
+               UNION ALL SELECT u, w FROM t
+               UNION ALL SELECT v, w FROM t) GROUP BY 1, 2)
+      SELECT e.a, e.b, CAST(COALESCE(cm.common, 0) AS BIGINT) AS common,
+             CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+             CASE WHEN da.deg + db.deg - 2 - COALESCE(cm.common, 0) > 0
+                  THEN CAST(COALESCE(cm.common, 0) AS DOUBLE) /
+                       CAST(da.deg + db.deg - 2 - COALESCE(cm.common, 0) AS DOUBLE)
+                  ELSE 0.0 END AS jaccard
+      FROM e LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b
+        JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+      ORDER BY e.a, e.b""",
+
+    // one aggregate per candidate pair, all-integer outputs
+    "x114_fd_profile" -> """
+      WITH p1 AS (
+        SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_keys,
+               CAST(SUM(GREATEST(nd - 1, 0)) AS BIGINT) AS excess_values,
+               SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS nd
+              FROM orders GROUP BY 1)),
+      p2 AS (
+        SELECT 'o_custkey', 'o_orderpriority',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(GREATEST(nd - 1, 0)) AS BIGINT),
+               SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+        FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nd
+              FROM orders GROUP BY 1)),
+      p3 AS (
+        SELECT 'o_orderpriority', 'o_orderstatus',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(GREATEST(nd - 1, 0)) AS BIGINT),
+               SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+        FROM (SELECT o_orderpriority, COUNT(DISTINCT o_orderstatus) AS nd
+              FROM orders GROUP BY 1))
+      SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+      ORDER BY determinant, dependent""",
 
     // per-field ROW_NUMBER over (prio DESC, rid DESC) among non-null rows
     // — the windowed restatement of the engine's struct-max rule

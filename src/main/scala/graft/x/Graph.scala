@@ -98,14 +98,36 @@ object Graph {
     * against canonical edges on (x, y) — every join an AQE-friendly
     * two-column equi-join. Counts are BIGINT; the coefficient
     * `2·tri / (deg·(deg−1))` is ONE double division per node. */
-  def triangles(edgesIn: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edgesIn
+  /** Neighborhood-overlap link scores for every existing edge: common
+    * neighbors, Jaccard `|N(a)∩N(b)| / |N(a)∪N(b)∖{a,b}|`, and the
+    * Adamic–Adar-style raw counts — the classic link-prediction /
+    * edge-strength features (Liben-Nowell & Kleinberg 2003), used in
+    * curation to score co-occurrence edges before thresholding a
+    * similarity graph.
+    *
+    * Common neighbors of edge (a,b) = triangles through that edge, so
+    * this rides the same degree-ordered wedge machinery as [[triangles]]
+    * — the orientation again bounds the wedge fanout by O(√m), and each
+    * (edge, common-neighbor) is found exactly once. Counts are BIGINT;
+    * the Jaccard is ONE double division per edge. Edges whose endpoints
+    * share no neighbor score 0 via the left join. */
+  /** Canonical undirected edges (a < b, no self-loops, dedup'd). */
+  private def canonicalEdges(edgesIn: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edgesIn
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
-    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+
+  /** Triangle triples (u, x, y): u the minimum-(degree, id)-rank corner,
+    * x < y by id — each triangle exactly once, wedge fanout bounded by
+    * the degree orientation (see [[triangles]]). */
+  private def triangleTriples(e: DataFrame, deg: DataFrame): DataFrame = {
     val oriented = e
       .join(deg.select(col("v").as("a"), col("deg").as("__da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("__db")), "b")
@@ -114,11 +136,45 @@ object Graph {
           struct(col("a").as("u"), col("b").as("w")))
           .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("__e"))
       .select(col("__e.u").as("u"), col("__e.w").as("w"))
-    val wedges = oriented.select(col("u"), col("w").as("x"))
+    oriented.select(col("u"), col("w").as("x"))
       .join(oriented.select(col("u"), col("w").as("y")), "u")
       .filter(col("x") < col("y"))
-    val tri = wedges
       .join(e.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+  }
+
+  def edgeNeighborScores(edgesIn: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = canonicalEdges(edgesIn, srcCol, dstCol)
+    val deg = degrees(e)
+    // every triangle contributes one common neighbor to EACH of its three
+    // edges — explode the canonical edge triple and count per edge
+    val common = triangleTriples(e, deg)
+      .select(explode(array(
+        struct(least(col("u"), col("x")).as("a"),
+          greatest(col("u"), col("x")).as("b")),
+        struct(least(col("u"), col("y")).as("a"),
+          greatest(col("u"), col("y")).as("b")),
+        struct(col("x").as("a"), col("y").as("b")))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    e.join(common, Seq("a", "b"), "left")
+      .join(deg.select(col("v").as("a"), col("deg").as("__da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("__db")), "b")
+      .withColumn("common", coalesce(col("common"), lit(0L)).cast("long"))
+      .select(col("a"), col("b"), col("common"),
+        col("__da").cast("long").as("deg_a"),
+        col("__db").cast("long").as("deg_b"),
+        // |N(a)∪N(b)∖{a,b}| = da + db − 2 − common (a∈N(b), b∈N(a) always)
+        when(col("__da") + col("__db") - 2 - col("common") > 0,
+          col("common").cast("double") /
+            (col("__da") + col("__db") - 2 - col("common")).cast("double"))
+          .otherwise(lit(0.0)).as("jaccard"))
+  }
+
+  def triangles(edgesIn: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = canonicalEdges(edgesIn, srcCol, dstCol)
+    val deg = degrees(e)
+    val tri = triangleTriples(e, deg)
     val perNode = tri
       .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("triangles"))

@@ -185,6 +185,37 @@ object Profiler {
       .select(gc ++ Seq(col("med"), col("mad"), col("n"), col("n_outliers")): _*)
   }
 
+  /** Functional-dependency violation profile over candidate
+    * determinant→dependent column pairs (the Metanome/data-profiling
+    * check "does A determine B in this load"): per pair, the number of
+    * determinant keys, how many of them map to >1 distinct dependent
+    * value, and the total excess values — `violating_keys = 0` means the
+    * FD holds exactly. The first integrity check to run on a fresh feed:
+    * a violated expected FD (order → customer, SKU → brand) is an
+    * upstream join bug surfacing as data.
+    *
+    * NULL dependents are ignored (SQL COUNT(DISTINCT) semantics on both
+    * engines); a NULL determinant forms its own key group. Each pair is
+    * one (determinant)-keyed aggregate with map-side partials collapsing
+    * to ONE row — pairs are independent jobs over the same scan, and all
+    * outputs are integers (engine-invariant). */
+  def functionalDependencies(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "functionalDependencies needs at least one pair")
+    pairs.map { case (aCol, bCol) =>
+      df.groupBy(col(aCol).as("__k"))
+        .agg(countDistinct(col(bCol)).as("__nd"))
+        .agg(count(lit(1)).as("__nk"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("__vk"),
+          sum(greatest(col("__nd") - 1, lit(0L))).as("__ev"))
+        .select(lit(aCol).as("determinant"), lit(bCol).as("dependent"),
+          col("__nk").cast("long").as("n_keys"),
+          col("__vk").cast("long").as("violating_keys"),
+          col("__ev").cast("long").as("excess_values"),
+          (col("__vk") === 0).as("holds"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Per-group ordinary-least-squares trend: slope and intercept of
     * integer-valued `yCol` against integer-valued `xCol` (day index,
     * version number, epoch…) via the closed form

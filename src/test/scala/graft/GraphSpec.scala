@@ -62,4 +62,22 @@ class GraphSpec extends AnyFunSuite {
     // global count: Σ per-node / 3
     assert(got.values.map(_._2).sum == 12L)
   }
+
+  test("edgeNeighborScores: common neighbors credit all three triangle edges") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + pendant 5—1: every K4 edge has the other two
+    // nodes as common neighbors; the pendant edge has none
+    val raw = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L))
+    val got = Graph.edgeNeighborScores(raw.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // edge (2,3): common {1,4}; union = deg2+deg3−2−common = 3+3−2−2 = 2
+    assert(got((2L, 3L)) == ((2L, 3L, 3L, 1.0)))
+    // edge (1,2): deg1 = 4 (pendant), union = 4+3−2−2 = 3 → 2/3
+    assert(got((1L, 2L)) == ((2L, 4L, 3L, 2.0 / 3.0)))
+    // pendant edge (1,5): no common neighbors, guard yields 0.0
+    assert(got((1L, 5L)) == ((0L, 4L, 1L, 0.0)))
+  }
 }

@@ -46,6 +46,22 @@ class SurvivorshipSpatialSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("functionalDependencies: holds on a key, violations counted exactly") {
+    val df = Seq(
+      (1, "x", "p"), (1, "x", "p"),       // key 1 → one value: fine
+      (2, "y", "p"), (2, "z", "p"),       // key 2 → two values: violation
+      (3, null.asInstanceOf[String], "q") // null dependent ignored
+    ).toDF("k", "v", "c")
+    val got = graft.x.Profiler.functionalDependencies(df,
+      Seq(("k", "v"), ("c", "k"))).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val kv = got(("k", "v"))
+    assert(kv.getLong(2) == 3L && kv.getLong(3) == 1L && kv.getLong(4) == 1L
+      && !kv.getBoolean(5))
+    val ck = got(("c", "k"))   // p → {1,2}, q → {3}: one violating key
+    assert(ck.getLong(3) == 1L && ck.getLong(4) == 1L && !ck.getBoolean(5))
+  }
+
   test("gopherQualityFlags: each rule fires on its designed violation") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs to a barn " +
