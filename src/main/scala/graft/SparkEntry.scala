@@ -1452,11 +1452,11 @@ object SparkEntry {
     }),
     // exact tf-weighted cosine via the inverted index: integer dot/norm
     // sums through every shuffle, ONE double op per surviving pair —
-    // catches same-vocabulary-same-rates paraphrase duplication
+    // 3-gram terms keep document frequencies (and the join fanout) low
     "x104_tf_cosine" -> ((s, dir) => {
       reg(s, dir)
       TextAnalysis.tfCosinePairs(s.table("documents"), "text", "doc_id",
-          threshold = 0.95)
+          threshold = 0.7, n = 3)
         .orderBy("id_a", "id_b")
     }),
     // BPE round-0 statistics: adjacent char-pair counts weighted by word
@@ -4880,12 +4880,15 @@ object SparkEntry {
     // identical integer dot and norm operands, identical one-shot double
     // formula — association order never varies, so raw doubles hash-match
     "x104_tf_cosine" -> """
-      WITH tc AS (
+      WITH t AS (
+        SELECT doc_id, LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                                   x -> LENGTH(x) > 0) AS a
+        FROM documents),
+      tc AS (
         SELECT doc_id, tok, COUNT(*) AS tf FROM (
-          SELECT doc_id,
-                 UNNEST(LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
-                                    x -> LENGTH(x) > 0)) AS tok
-          FROM documents) GROUP BY 1, 2),
+          SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS tok
+          FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(a) - 1)) AS i)
+          WHERE LEN(a) >= 3) GROUP BY 1, 2),
       n2 AS (SELECT doc_id, SUM(tf*tf) AS n2 FROM tc GROUP BY 1),
       d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf*b.tf) AS d
             FROM tc a JOIN tc b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -4893,7 +4896,7 @@ object SparkEntry {
       SELECT id_a, id_b,
              CAST(d AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
       FROM d JOIN n2 na ON na.doc_id = id_a JOIN n2 nb ON nb.doc_id = id_b
-      WHERE CAST(d AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.95
+      WHERE CAST(d AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.7
       ORDER BY id_a, id_b""",
 
     // vocabulary-weighted char-pair counts; the LIMIT boundary is safe

@@ -1065,18 +1065,24 @@ object TextAnalysis {
     * measure is self-consistent under `maxDocFreq`.
     *
     * Shape at 100 TB: the term join is the dominant shuffle and fans out
-    * quadratically on corpus-hot terms — `maxDocFreq` drops terms present
-    * in more documents than the cap (classic stopword pruning: a term in
-    * half the corpus carries no similarity signal but n²/4 join rows).
-    * Hashed terms keep the shuffle to 8-byte longs. */
+    * quadratically on corpus-hot terms. TWO levers bound it: `n` > 1
+    * makes the terms word n-grams — far more discriminative, so document
+    * frequencies collapse (measured on the fixture corpus: unigram terms
+    * live in ~every document and the join builds ~n²/4 pairs; 3-gram
+    * terms cut candidate pairs ~700×) — and `maxDocFreq` drops terms
+    * present in more documents than the cap (classic stopword pruning: a
+    * term in half the corpus carries no similarity signal but a
+    * quadratic join bill). Hashed grams ([[graft.functions.NGramPolyHash]])
+    * keep the shuffle to 8-byte longs; docs shorter than `n` tokens
+    * contribute one whole-doc gram ([[graft.x.Dedup.shingles]]' rule). */
   def tfCosinePairs(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+      threshold: Double, n: Int = 1, maxDocFreq: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     val toks = df.select(col(idCol).as("id"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .select(col("id"), graft.functions.PolyHash56(col("tok")).as("__t"))
+        explode(graft.functions.NGramPolyHash(
+          filter(split(lower(trim(col(textCol))), "\\s+"),
+            t => length(t) > 0), n)).as("__t"))
     val tf = toks.groupBy("id", "__t").agg(count(lit(1)).as("tf"))
     val kept =
       if (maxDocFreq == Int.MaxValue) tf
