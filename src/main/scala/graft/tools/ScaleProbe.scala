@@ -709,6 +709,74 @@ object ScaleProbe {
       }
     }
 
+    // triangle probe: K disjoint copies of the co-purchase graph. Wedge
+    // count under the degree orientation is a per-copy invariant, so both
+    // wedges and wall time must track K linearly — superlinear growth
+    // would mean the orientation stopped bounding the wedge fanout.
+    if (on("triangles")) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      Seq(1, 4, 16).foreach { k =>
+        val inflated = (0 until k).map(i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+            .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+        val edges = inflated.withColumn("dst", lead("l_partkey", 1).over(w))
+          .filter(col("dst").isNotNull)
+          .select(col("l_partkey").as("src"), col("dst"))
+        val t0 = System.nanoTime()
+        val tri = graft.x.Graph.triangles(edges, "src", "dst")
+          .agg(sum("triangles")).collect()(0).getLong(0) / 3
+        println(f"[scale-triangles] lines=${inflated.count()}%8d  " +
+          f"tri=${(System.nanoTime() - t0) / 1e9}%6.2fs  triangles=$tri")
+        spark.catalog.clearCache()
+      }
+    }
+
+    // sorted-neighborhood probe: customers inflated K× with per-copy name
+    // suffixes (copies sort adjacent but never pair across copies at
+    // maxDist 1). The rank is two exchanges + a partition-parallel window;
+    // the neighbor join carries (window−1)·n slim rows — time must track
+    // K·log K (the range sort), nothing quadratic.
+    if (on("sortedneighborhood")) {
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"))
+      Seq(1, 4, 16).foreach { k =>
+        val inflated = (0 until k).map(i =>
+          cust.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * 10000000L))
+            .withColumn("c_name", concat(col("c_name"), lit("#" + i))))
+          .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+        val n = inflated.count()
+        val t0 = System.nanoTime()
+        val pairs = Dedup.sortedNeighborhoodPairs(inflated, "c_name", "c_custkey",
+          window = 4, maxDist = 1).count()
+        println(f"[scale-sortedneighborhood] rows=$n%8d  " +
+          f"snm=${(System.nanoTime() - t0) / 1e9}%6.2fs  pairs=$pairs")
+        spark.catalog.clearCache()
+      }
+    }
+
+    // prefix-filter probe: copy-suffixed tokens keep near-dup density
+    // constant (the lsh probe's discipline). The candidate join fans out
+    // on per-doc rarest grams whose doc-frequency is scale-invariant
+    // here, so time must track the corpus linearly.
+    if (on("prefixfilter")) Seq(1, 4, 16).foreach { k =>
+      val inflated = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1x" + i)))
+        .reduce(_ unionByName _)
+        .repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val t0 = System.nanoTime()
+      val pairs = Dedup.prefixFilterPairs(inflated, "text", "doc_id",
+        n = 3, threshold = 0.5).count()
+      println(f"[scale-prefixfilter] docs=$n%7d  " +
+        f"ppjoin=${(System.nanoTime() - t0) / 1e9}%7.2fs  pairs=$pairs")
+      spark.catalog.clearCache()
+    }
+
     if (on("lsh")) factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus

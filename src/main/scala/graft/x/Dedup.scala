@@ -956,11 +956,19 @@ object Dedup {
     * two identical range exchanges dedupe under ReuseExchange. A global
     * window would funnel all 100 TB through ONE task; this keeps the rank
     * as parallel as the range split and is exactly how sort-order-dependent
-    * ops (sorted-neighborhood blocking below) stay distributed. */
-  def globalRowNumber(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    * ops (sorted-neighborhood blocking below) stay distributed.
+    *
+    * The range-partitioned frame is STAGED before fan-out: both the rank
+    * window and the per-partition counts read it, and without truncated
+    * lineage each branch re-runs the scan + range exchange (visible as a
+    * doubled `Scan parquet` in the un-staged plan). */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = staging.stage(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()),
+      "global-rank-ranged")
     val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
     val rn = ranged.withColumn("__rn", row_number().over(w).cast("long"))
     // one count per range partition; the cumulative-offset window runs
@@ -993,12 +1001,15 @@ object Dedup {
     * shuffles (window−1)·n slim rows — no windowed self-comparison ever
     * collapses onto one task, and no quadratic block exists to cap. */
   def sortedNeighborhoodPairs(df: DataFrame, keyCol: String, idCol: String,
-      window: Int, maxDist: Int): DataFrame = {
+      window: Int, maxDist: Int,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val t = globalRowNumber(
+    // staged: both the probe and base side of the neighbor join read the
+    // ranked frame — unstaged, each side re-runs the rank window
+    val t = staging.stage(globalRowNumber(
       df.select(col(idCol).as("id"), col(keyCol).as("k")),
-      Seq(col("k"), col("id")))
+      Seq(col("k"), col("id")), staging), "sorted-neighborhood-ranks")
     val probes = t.select(col("id").as("id_a"), col("k").as("k_a"),
         col("rank"), explode(sequence(lit(1), lit(window - 1))).as("__g"))
       .withColumn("__r2", col("rank") + col("__g"))
