@@ -1340,6 +1340,34 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
+    // k-core density gate: iterative peel with cascade to fixpoint — all
+    // integer, so the data-dependent round count replays exactly in an
+    // unrolled-CTE oracle (extra rounds are no-ops)
+    "x115_kcore" -> ((s, dir) => {
+      reg(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val e = s.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("dst", lead("l_partkey", 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("l_partkey").as("src"), col("dst"))
+      Graph.kCore(e, "src", "dst", k = 30)
+        .orderBy("node")
+    }),
+    // Newman degree assortativity: five exact DECIMAL moments in one
+    // aggregation, one closing IEEE division
+    "x116_assortativity" -> ((s, dir) => {
+      reg(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val e = s.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("dst", lead("l_partkey", 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("l_partkey").as("src"), col("dst"))
+      Graph.degreeAssortativity(e, "src", "dst")
+    }),
     // link-prediction scores per co-purchase edge: common neighbors via
     // the degree-ordered triangle machinery (each triangle credits all
     // three edges), BIGINT counts, one double division per edge
@@ -2476,6 +2504,20 @@ object SparkEntry {
     * contribution = `r // d`, update = `(15·base + 85·(in + dang//n))
     * // 100` — DuckDB `//` is the same floor division as Spark's `div`
     * on these non-negative BIGINTs. */
+  /** Unrolled k-core peel rounds (see x115): round r removes nodes whose
+    * degree over the surviving edges is < k; unrolling PAST the measured
+    * convergence round count is safe because converged rounds are
+    * identity transforms. */
+  private def kCoreIterCtes(rounds: Int, k: Int): String =
+    (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM
+           (SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+         GROUP BY 1),
+      e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+              WHERE a NOT IN (SELECT v FROM d$r WHERE deg < $k)
+                AND b NOT IN (SELECT v FROM d$r WHERE deg < $k))"""
+    }.mkString(",\n      ")
+
   private def pageRankIterCtes(iters: Int): String =
     (1 to iters).map { k =>
       s"""dang$k AS (
@@ -4662,6 +4704,45 @@ object SparkEntry {
         JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b""",
+
+    // 6 unrolled peel rounds (measured convergence: 3 at sf0.01; extra
+    // rounds are identity) — integer fixpoint, exact replay
+    "x115_kcore" -> s"""
+      WITH raw AS (
+        SELECT l_partkey AS src,
+               LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) AS dst
+        FROM lineitem),
+      e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+             FROM raw WHERE dst IS NOT NULL AND src <> dst),
+      ${kCoreIterCtes(6, 30)}
+      SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        (SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6)
+      GROUP BY 1 ORDER BY node""",
+
+    // HUGEINT moments over the symmetrized edge list; one division
+    "x116_assortativity" -> """
+      WITH raw AS (
+        SELECT l_partkey AS src,
+               LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) AS dst
+        FROM lineitem),
+      e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM raw WHERE dst IS NOT NULL AND src <> dst),
+      deg AS (SELECT v, COUNT(*) AS deg FROM
+                (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      j AS (SELECT da.deg AS x, db.deg AS y
+            FROM sym JOIN deg da ON da.v = sym.a JOIN deg db ON db.v = sym.b),
+      m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(x) AS HUGEINT) AS sx,
+                   CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+            FROM j)
+      SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+             CAST(n*sxy - sx*sx AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+               AS assortativity
+      FROM m""",
 
     // naive triangle enumeration credited to all three member edges, then
     // degree algebra — identical integers, one identical division

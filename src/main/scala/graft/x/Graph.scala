@@ -171,6 +171,72 @@ object Graph {
           .otherwise(lit(0.0)).as("jaccard"))
   }
 
+  /** k-core decomposition membership: iteratively peel nodes of degree
+    * < k (with the cascade — removing a weak node lowers its neighbors)
+    * until fixpoint; returns the surviving nodes with their within-core
+    * degrees. The standard graph-curation density gate: spam/link-farm
+    * filtering keeps the k-core, collaboration analytics report core
+    * membership, and community pipelines use it as a cheap seed.
+    *
+    * Each round is one degree aggregation + two broadcast-able anti-joins
+    * (the weak-node set is small by construction — it shrinks every
+    * round); edges re-stage per round to cut lineage, the
+    * [[pageRank]] loop discipline. Rounds are data-dependent but bounded
+    * by `maxIters`; only a scalar count reaches the driver per round.
+    * Everything is integer — the fixpoint is engine- and
+    * layout-invariant, so a SQL replay that unrolls ≥ the convergence
+    * round count reproduces it exactly (extra unrolled rounds are
+    * no-ops). */
+  def kCore(edgesIn: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 50,
+      staging: Staging = Staging.LocalCheckpoint): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = staging.stage(canonicalEdges(edgesIn, srcCol, dstCol), "kcore-edges-0")
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIters) {
+      val deg = degrees(e)
+      val weak = deg.filter(col("deg") < k).select("v")
+      if (weak.isEmpty) converged = true
+      else {
+        round += 1
+        e = staging.stage(
+          e.join(weak.select(col("v").as("a")), Seq("a"), "left_anti")
+            .join(weak.select(col("v").as("b")), Seq("b"), "left_anti")
+            .select("a", "b"),
+          s"kcore-edges-$round")
+      }
+    }
+    degrees(e).select(col("v").as("node"), col("deg").cast("long").as("deg"))
+  }
+
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over all (symmetrized) edges — Newman 2002's "do hubs link to
+    * hubs" coefficient, the one-number structural fingerprint that
+    * separates social graphs (positive) from web/biology graphs
+    * (negative). All five moments ride ONE aggregation as DECIMAL(38,0)
+    * (x = deg_a, y = deg_b over both edge orientations, so Σx = Σy and
+    * the symmetric closed form needs only n, Σx, Σx², Σxy); IEEE math
+    * happens once, on exact operands. */
+  def degreeAssortativity(edgesIn: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val e = canonicalEdges(edgesIn, srcCol, dstCol)
+    val deg = degrees(e)
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .join(deg.select(col("v").as("a"), col("deg").as("__x")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("__y")), "b")
+    sym.agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col("__x").cast(d38)).as("__sx"),
+        sum((col("__x") * col("__x")).cast(d38)).as("__sxx"),
+        sum((col("__x") * col("__y")).cast(d38)).as("__sxy"))
+      .select(
+        (col("__n") / 2).cast("long").as("n_edges"),
+        ((col("__n") * col("__sxy") - col("__sx") * col("__sx")).cast("double") /
+         (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+          .as("assortativity"))
+  }
+
   def triangles(edgesIn: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = canonicalEdges(edgesIn, srcCol, dstCol)
     val deg = degrees(e)

@@ -63,6 +63,27 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == 12L)
   }
 
+  test("kCore peels with cascade to the exact fixpoint") {
+    import spark.implicits._
+    // triangle {1,2,3} + a chain 3—4—5: k=2 must drop 5, CASCADE-drop 4
+    // (its degree falls to 1 only after 5 leaves), and keep the triangle
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val got = Graph.kCore(raw.toDF("src", "dst"), "src", "dst", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree: empty core
+    assert(Graph.kCore(raw.toDF("src", "dst"), "src", "dst", k = 10).isEmpty)
+  }
+
+  test("degreeAssortativity: exact closed form on a hand-checked graph") {
+    import spark.implicits._
+    // star 1—{2,3,4}: every edge links deg 3 to deg 1 → r = −1 exactly
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val r = Graph.degreeAssortativity(star.toDF("src", "dst"), "src", "dst")
+      .collect()(0)
+    assert(r.getLong(0) == 3L && r.getDouble(1) == -1.0)
+  }
+
   test("edgeNeighborScores: common neighbors credit all three triangle edges") {
     import spark.implicits._
     // K4 on {1,2,3,4} + pendant 5—1: every K4 edge has the other two
