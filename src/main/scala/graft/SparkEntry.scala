@@ -1340,6 +1340,21 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
+    // cross-source overlap heatmap: fingerprint-keyed join over distinct
+    // (fp, source) rows — sources × fingerprints, never documents²
+    "x117_source_overlap" -> ((s, dir) => {
+      reg(s, dir)
+      graft.x.Curation.sourceOverlapMatrix(s.table("documents"), "text", "source")
+        .orderBy("src_a", "src_b")
+    }),
+    // weighted median by token mass: cross-multiplied rational reach
+    // test over a RANGE-frame cumsum — no float boundary at the pick
+    "x118_weighted_median" -> ((s, dir) => {
+      reg(s, dir)
+      Profiler.weightedQuantile(s.table("lineitem"), "l_extendedprice",
+          "l_quantity", Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    }),
     // k-core density gate: iterative peel with cascade to fixpoint — all
     // integer, so the data-dependent round count replays exactly in an
     // unrolled-CTE oracle (extra rounds are no-ops)
@@ -4704,6 +4719,32 @@ object SparkEntry {
         JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b""",
+
+    // raw text as the join key (the engine's xxhash64 is a cheap alias
+    // for the same distinct-content relation)
+    "x117_source_overlap" -> """
+      WITH fps AS (SELECT DISTINCT source AS src_a, text FROM documents),
+      sz AS (SELECT src_a, COUNT(*) AS na FROM fps GROUP BY 1)
+      SELECT a.src_a, b.src_a AS src_b, CAST(COUNT(*) AS BIGINT) AS overlap,
+             CAST(MAX(sz.na) AS BIGINT) AS distinct_a,
+             CAST(COUNT(*) AS DOUBLE) / CAST(MAX(sz.na) AS DOUBLE) AS share_of_a
+      FROM fps a JOIN fps b ON a.text = b.text
+      JOIN sz ON sz.src_a = a.src_a
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the same RANGE-frame cumulative weights and the same integer
+    // cross-multiplied reach test
+    "x118_weighted_median" -> """
+      WITH t AS (SELECT l_returnflag, l_extendedprice AS v,
+                        CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+      c AS (SELECT l_returnflag, v, w,
+              SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+            FROM t)
+      SELECT l_returnflag, MIN(v) AS wq, CAST(MAX(tot) AS BIGINT) AS total_weight
+      FROM c WHERE cum * 2 >= tot * 1
+      GROUP BY 1 ORDER BY 1""",
 
     // 6 unrolled peel rounds (measured convergence: 3 at sf0.01; extra
     // rounds are identity) — integer fixpoint, exact replay

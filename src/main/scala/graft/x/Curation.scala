@@ -200,6 +200,31 @@ object Curation {
     * map-side partials on the cluster key. No per-field window passes
     * (`fields.length` sorted shuffles), no self-joins; 100 TB of member
     * rows shuffle once. */
+  /** Cross-source exact-duplicate overlap matrix: for every ordered
+    * source pair, how many of A's DISTINCT content fingerprints also
+    * appear in B, as count and share — the corpus-card heatmap that
+    * answers "is this new crawl actually new" before any pairwise dedup
+    * runs. Diagonal rows report each source's distinct count against
+    * itself (share 1.0), so the output is self-describing.
+    *
+    * One fingerprint-distinct aggregation, then a fingerprint-keyed
+    * self-join restricted to distinct (fp, source) rows — cardinality
+    * sources × fingerprints, NOT documents² (a fingerprint present in s
+    * sources contributes s² matrix cells, bounded by the source count).
+    * Counts are BIGINT; the share is one division per cell. */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val fps = df.select(col(sourceCol).as("src_a"),
+        xxhash64(col(textCol)).as("__fp")).distinct()
+    val sizes = fps.groupBy("src_a").agg(count(lit(1)).as("__na"))
+    fps.join(fps.select(col("src_a").as("src_b"), col("__fp")), "__fp")
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("overlap"))
+      .join(sizes, "src_a")
+      .select(col("src_a"), col("src_b"), col("overlap").cast("long").as("overlap"),
+        col("__na").cast("long").as("distinct_a"),
+        (col("overlap").cast("double") / col("__na").cast("double")).as("share_of_a"))
+  }
+
   def goldenRecord(df: DataFrame, clusterCol: String, priorityCol: String,
       idCol: String, fields: Seq[String]): DataFrame = {
     require(fields.nonEmpty, "goldenRecord needs at least one field")

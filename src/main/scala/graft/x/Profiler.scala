@@ -1,6 +1,7 @@
 package graft.x
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling: per-column null counts, cardinality, and
@@ -183,6 +184,43 @@ object Profiler {
       .agg(count(lit(1)).as("n"),
         sum(when(abs(v - col("med")) > fence, 1L).otherwise(0L)).as("n_outliers"))
       .select(gc ++ Seq(col("med"), col("mad"), col("n"), col("n_outliers")): _*)
+  }
+
+  /** Exact weighted quantile per group: the smallest value v such that
+    * the cumulative weight of rows ≤ v reaches q = qNum/qDen of the
+    * group's total weight — weighted median (1/2), token-budget P90
+    * (9/10), etc. The weighted form is what corpus work actually needs:
+    * "the median document BY TOKEN MASS" is not the median document.
+    *
+    * The quantile fraction is a RATIONAL, and the reach test is
+    * cross-multiplied (`cum·qDen ≥ total·qNum`) over integer weights —
+    * no float boundary, so the picked value is engine- and
+    * layout-invariant even when weights tie at the threshold
+    * ([[graft.x.TextAnalysis.gopherQualityFlags]]' discipline applied to
+    * quantiles). Ties in the value column are broken by the value itself
+    * (cumulative weight accumulates over equal values deterministically
+    * via a RANGE frame: all rows of one value share one cumulative sum).
+    *
+    * Shape: one group-keyed window cumsum over (group, value) — a single
+    * shuffle + sort; the pick is `min(value where reached)` in the same
+    * aggregation pass. */
+  def weightedQuantile(df: DataFrame, valueCol: String, weightCol: String,
+      groupCols: Seq[String], qNum: Long = 1, qDen: Long = 2): DataFrame = {
+    require(groupCols.nonEmpty, "weightedQuantile needs a group column")
+    require(qNum >= 0 && qDen > 0 && qNum <= qDen,
+      s"quantile $qNum/$qDen out of [0, 1]")
+    val gc = groupCols.map(col)
+    val wTotal = Window.partitionBy(gc: _*)
+    // RANGE frame: equal values share ONE cumulative weight, so the reach
+    // test cannot depend on intra-value row order
+    val wCum = Window.partitionBy(gc: _*).orderBy(col(valueCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select((gc :+ col(valueCol) :+ col(weightCol).cast("long").as("__w")): _*)
+      .withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wTotal))
+      .filter(col("__cum") * qDen >= col("__tot") * qNum)
+      .groupBy(gc: _*)
+      .agg(min(col(valueCol)).as("wq"), max(col("__tot")).cast("long").as("total_weight"))
   }
 
   /** Functional-dependency violation profile over candidate

@@ -1215,6 +1215,41 @@ object TextAnalysis {
     merges.result()
   }
 
+  /** Apply learned BPE merges ([[bpeMerges]]) to the corpus and report
+    * the post-merge token count per document — the tokenizer-true length
+    * signal for budget planning once a vocabulary exists. Merges apply
+    * in learned order, greedy left-to-right within each word (the
+    * reference semantics). The merge list is driver-small and ships in
+    * the closure; the pass is narrow (no shuffle). */
+  def bpeSegment(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ms = merges.toArray
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val words = Option(text).toSeq
+          .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        var n = 0L
+        words.foreach { w =>
+          var syms: Array[String] = w.split("").filter(_.nonEmpty)
+          ms.foreach { case (s1, s2) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == s1 && syms(i + 1) == s2) {
+                out += s1 + s2; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.toArray
+          }
+          n += syms.length
+        }
+        (id, n)
+      }.toDF(idCol, "n_bpe_tokens")
+  }
+
   /** Per-document profile frame: one narrow projection, no shuffle. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.select(

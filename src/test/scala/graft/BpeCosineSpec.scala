@@ -28,6 +28,28 @@ class BpeCosineSpec extends AnyFunSuite {
     assert(merges == Seq(("a", "a", 2L), ("aa", "a", 1L)))
   }
 
+  test("bpeSegment applies merges in order, greedy within words") {
+    val docs = Seq((1L, "low lower"), (2L, "wow")).toDF("doc_id", "text")
+    // merges from the classic example: (l,o), (lo,w), (e,r)
+    val got = TextAnalysis.bpeSegment(docs, "text", "doc_id",
+      Seq(("l", "o"), ("lo", "w"), ("e", "r"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "low"→[low]=1, "lower"→[low,er]=2 → 3; "wow" has no merge pair
+    // except none apply (w o w) → 3 chars
+    assert(got == Map(1L -> 3L, 2L -> 3L))
+  }
+
+  test("weightedQuantile: exact reach test, ties share cumulative weight") {
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 2.0, 1L), ("g", 9.0, 1L),
+      ("h", 5.0, 97L), ("h", 6.0, 1L), ("h", 7.0, 1L)).toDF("grp", "v", "w")
+    val got = graft.x.Profiler.weightedQuantile(df, "v", "w", Seq("grp"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // g: total 4, cum at v=2 is 3 ≥ 2 → median 2.0 (both ties share cum 3)
+    assert(got("g") == ((2.0, 4L)))
+    // h: the heavy first value already reaches half
+    assert(got("h") == ((5.0, 99L)))
+  }
+
   test("tfCosinePairs matches hand-computed cosines and honors the df cap") {
     val docs = Seq(
       (1L, "a a b"),
