@@ -1340,6 +1340,15 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
+    // bipartite projection: orders × parts → the weighted co-purchase
+    // graph; quadratic only in capped per-order degree — the graph
+    // builder every graph query above composes on
+    "x119_copurchase_graph" -> ((s, dir) => {
+      reg(s, dir)
+      Graph.bipartiteProject(s.table("lineitem"), "l_orderkey", "l_partkey",
+          maxLeftDegree = 100)
+        .orderBy("a", "b")
+    }),
     // cross-source overlap heatmap: fingerprint-keyed join over distinct
     // (fp, source) rows — sources × fingerprints, never documents²
     "x117_source_overlap" -> ((s, dir) => {
@@ -4719,6 +4728,14 @@ object SparkEntry {
         JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b""",
+
+    // the same distinct-membership self-join (no order exceeds the cap
+    // at this scale, so the capped and exact relations coincide)
+    "x119_copurchase_graph" -> """
+      WITH m AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r FROM lineitem)
+      SELECT a.r AS a, b.r AS b, CAST(COUNT(*) AS BIGINT) AS weight
+      FROM m a JOIN m b ON a.l = b.l AND a.r < b.r
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // raw text as the join key (the engine's xxhash64 is a cheap alias
     // for the same distinct-content relation)

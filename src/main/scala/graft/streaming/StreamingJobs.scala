@@ -215,6 +215,72 @@ object StreamingJobs {
       }
   }
 
+  final case class EwmaState(days: Map[Int, Long])
+  final case class EwmaSnapshot(series: String, day: String, ewma: Double)
+
+  /** Streaming twin of [[graft.x.EventAnalytics.ewmaDaily]]: per-series
+    * exponentially-decayed daily value (1-day half-life, trailing
+    * `windowDays`) maintained in `flatMapGroupsWithState`. State is the
+    * trailing window's (epoch-day → cents) map — BOUNDED at windowDays+1
+    * longs per series regardless of stream length. Each trigger emits a
+    * snapshot for every day the batch TOUCHED, computed BEFORE the window
+    * truncation, so with in-event-time-order arrival (the ordering
+    * contract statefulSessions documents) every emitted day carries its
+    * complete trailing window and the latest snapshot per (series, day)
+    * is the day's final answer; late data older than the retained window
+    * is absorbed into state but cannot retro-correct emitted days.
+    *
+    * Exactness matches the batch op bit-for-bit: cents are integers, the
+    * weighted sum runs in BigInt with binary-exponent weights, and the
+    * closing toDouble/÷2^W/÷100 is the identical correctly-rounded
+    * sequence — a backfill with ewmaDaily reproduces exactly what the
+    * live stream emitted. */
+  def statefulEwma(spark: SparkSession, events: DataFrame, seriesCol: String,
+      tsCol: String, valueCol: String, windowDays: Int = 30):
+      org.apache.spark.sql.Dataset[EwmaSnapshot] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(windowDays >= 0 && windowDays <= 60,
+      s"windowDays must be in [0, 60], got $windowDays")
+    events
+      .select(col(seriesCol).cast("string"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date")).as("d"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Int, Long)],
+         state: GroupState[EwmaState]) =>
+          val days = scala.collection.mutable.HashMap.empty[Int, Long] ++
+            state.getOption.map(_.days).getOrElse(Map.empty)
+          val rows2 = rows
+          val touched = scala.collection.mutable.TreeSet.empty[Int]
+          rows2.foreach { case (_, d, c) =>
+            days(d) = days.getOrElse(d, 0L) + c
+            touched += d
+          }
+          if (days.isEmpty) Iterator.empty
+          else {
+            val maxDay = days.keys.max
+            // emit from the PRE-truncation map: an earlier touched day's
+            // window may legitimately reach below maxDay - windowDays
+            val out = touched.toSeq.map { day =>
+              val sum = days.iterator
+                .filter { case (d, _) => d <= day && day - d <= windowDays }
+                .map { case (d, c) => BigInt(c) << (windowDays - (day - d)) }
+                .sum
+              EwmaSnapshot(series,
+                java.time.LocalDate.ofEpochDay(day.toLong).toString,
+                sum.toDouble / math.pow(2.0, windowDays) / 100.0)
+            }
+            state.update(EwmaState(
+              days.filter { case (d, _) => maxDay - d <= windowDays }.toMap))
+            out.iterator
+          }
+      }
+  }
+
   /** Run any transformed stream into the batch sink machinery per
     * micro-batch — this is how scdType2Insert works in streaming mode. */
   def startForeachBatch(stream: DataFrame, sink: SinkSpec,

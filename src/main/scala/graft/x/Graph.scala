@@ -171,6 +171,42 @@ object Graph {
           .otherwise(lit(0.0)).as("jaccard"))
   }
 
+  /** Bipartite co-occurrence projection: distinct (left, right)
+    * membership → the weighted right–right graph, edge weight = number
+    * of shared left keys. THE graph builder for everything above it:
+    * parts-per-order → co-purchase ([[pageRank]], [[triangles]]), docs-
+    * per-cluster → similarity graphs, users-per-session → co-visitation.
+    *
+    * The projection is quadratic in LEFT degree (a left key with d
+    * members emits d·(d−1)/2 pairs), so `maxLeftDegree` drops left keys
+    * past the cap — the mega-order/mega-session skew guard, same
+    * contract as every other cap in this library: no silent truncation,
+    * audit the dropped keys via [[oversizedLeftKeys]]. Below the cap the
+    * output is exact. One distinct shuffle, one degree agg, one
+    * left-keyed self-join whose fanout the cap bounds. */
+  def bipartiteProject(df: DataFrame, leftCol: String, rightCol: String,
+      maxLeftDegree: Int = 1000): DataFrame = {
+    require(maxLeftDegree >= 2, s"maxLeftDegree must be >= 2, got $maxLeftDegree")
+    val m = df.select(col(leftCol).as("l"), col(rightCol).as("r")).distinct()
+    val kept = m.join(
+      m.groupBy("l").agg(count(lit(1)).as("__dl"))
+        .filter(col("__dl") <= maxLeftDegree).select("l"), "l")
+    kept.select(col("l"), col("r").as("a"))
+      .join(kept.select(col("l"), col("r").as("b")), "l")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).cast("long").as("weight"))
+  }
+
+  /** Audit surface for [[bipartiteProject]]'s degree cap: the left keys
+    * whose membership exceeds the cap, with their degrees — hottest
+    * first, nothing silently dropped. */
+  def oversizedLeftKeys(df: DataFrame, leftCol: String, rightCol: String,
+      maxLeftDegree: Int): DataFrame =
+    df.select(col(leftCol).as("l"), col(rightCol).as("r")).distinct()
+      .groupBy("l").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > maxLeftDegree)
+      .orderBy(col("deg").desc)
+
   /** k-core decomposition membership: iteratively peel nodes of degree
     * < k (with the cascade — removing a weak node lowers its neighbors)
     * until fixpoint; returns the surviving nodes with their within-core

@@ -63,6 +63,25 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == 12L)
   }
 
+  test("bipartiteProject: co-occurrence weights, degree cap drops whole keys") {
+    import spark.implicits._
+    val m = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L), (11L, 2L),
+      (11L, 2L),                              // duplicate membership dedups
+      (12L, 1L), (12L, 2L), (12L, 3L), (12L, 4L))
+    val got = Graph.bipartiteProject(m.toDF("order", "part"), "order", "part")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 3L && got((1L, 3L)) == 2L && got((2L, 3L)) == 2L
+      && got((3L, 4L)) == 1L)
+    // cap 3: order 12 (degree 4) drops entirely; its exclusive pairs vanish
+    val capped = Graph.bipartiteProject(m.toDF("order", "part"), "order", "part",
+      maxLeftDegree = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!capped.contains((3L, 4L)) && capped((1L, 2L)) == 2L)
+    val audit = Graph.oversizedLeftKeys(m.toDF("order", "part"), "order", "part", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(audit.toSeq == Seq(12L -> 4L))
+  }
+
   test("kCore peels with cascade to the exact fixpoint") {
     import spark.implicits._
     // triangle {1,2,3} + a chain 3—4—5: k=2 must drop 5, CASCADE-drop 4

@@ -97,6 +97,29 @@ class StatefulStreamingSpec extends AnyFunSuite {
       b.getAs[Long]("count") == 1L && b.getAs[Long]("error") == 0L)
   }
 
+  test("statefulEwma snapshots equal the batch EWMA bit-for-bit") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val stream = StreamingJobs.fileStream(spark, eventsDir, batchDf.schema,
+      maxFilesPerTrigger = 1)
+    val snaps = StreamingJobs.statefulEwma(spark, stream, "event_type", "ts",
+      "value", windowDays = 20)
+    val q = snaps.writeStream.outputMode("update")
+      .format("memory").queryName("stateful_ewma").start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.table("stateful_ewma")
+    assert(emitted.count() > 0)
+    val ref = graft.x.EventAnalytics.ewmaDaily(batchDf, "ts", "event_type",
+      "value", windowDays = 20)
+      .withColumnRenamed("event_type", "series")
+    // files are event-time-ordered, so the LAST emission per (series, day)
+    // is that day's complete window — and must equal the batch op exactly
+    // (partial-day emissions along the way are <= the final value)
+    val lastPerDay = emitted.groupBy("series", "day")
+      .agg(max(col("ewma")).as("ewma"))
+    assert(lastPerDay.exceptAll(ref).isEmpty && ref.exceptAll(lastPerDay).isEmpty,
+      "streamed EWMA must reproduce the batch EWMA for every (series, day)")
+  }
+
   test("sql file path works as a transformation step (spark.json:57)") {
     val tmp = Files.createTempDirectory("graft-sqlfile").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/step.sql"),
