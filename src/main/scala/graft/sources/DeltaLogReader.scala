@@ -310,4 +310,40 @@ object DeltaLogReader {
     require(cm == "none" || cm == "",
       s"Delta table $path uses column mapping '$cm' — not supported")
   }
+
+  /** Row-level diff between two snapshots of a keyed Delta table:
+    * `(key…, change)` with change ∈ added | removed | changed — the
+    * "what did this load actually do" audit, and the CDF substitute for
+    * foreign tables whose writers don't emit a change feed. Keys are
+    * assumed unique per snapshot (the upsert-table contract); non-key
+    * columns are compared via a single hash over the columns COMMON to
+    * both versions, so a schema-evolved table diffs on the shared
+    * surface (new columns' values alone don't mark rows changed —
+    * document/accept or project them explicitly).
+    *
+    * Shape: two snapshot scans reduced to (key, hash) immediately — the
+    * full-outer join shuffles 8-byte hashes plus keys, never payload
+    * columns. */
+  def snapshotDiff(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    val a = read(spark, path, Some(fromVersion))
+    val b = read(spark, path, Some(toVersion))
+    val common = a.columns.toSet.intersect(b.columns.toSet)
+      .diff(keyCols.toSet).toSeq.sorted
+    // to_json keeps null-vs-value distinctions unambiguous (a plain
+    // multi-arg hash silently skips nulls, colliding ("a",null)/(null,"a"))
+    def hashed(df: DataFrame, as: String) = df.select(
+      keyCols.map(col) :+
+        (if (common.isEmpty) lit(0L)
+         else xxhash64(to_json(struct(common.map(col): _*)))).as(as): _*)
+    hashed(a, "__ha").join(hashed(b, "__hb"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__ha").isNull, lit("added"))
+          .when(col("__hb").isNull, lit("removed"))
+          .when(col("__ha") =!= col("__hb"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
 }

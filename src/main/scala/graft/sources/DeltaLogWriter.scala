@@ -263,4 +263,39 @@ object DeltaLogWriter {
       StandardCopyOption.REPLACE_EXISTING)
     version
   }
+
+  /** VACUUM: delete data files referenced by NO snapshot within the last
+    * `keepVersions` commits — the spec's storage-reclamation semantics.
+    * The log itself is untouched, so the table's history metadata stays
+    * inspectable, but time travel to a vacuumed version fails LOUDLY at
+    * scan time on the missing file (the [[VersionedParquet.vacuum]]
+    * contract — never a silently partial snapshot). Returns the deleted
+    * file names.
+    *
+    * Listing replays each retained version's log state (log-scale work,
+    * no data scan); deletion compares the directory listing against the
+    * retained file union. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
+      keepVersions: Int): Seq[String] = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val (_, latest) = DeltaLogReader.loadState(spark, path, None)
+    val horizon = math.max(0L, latest - keepVersions + 1)
+    val retained = (horizon to latest).flatMap { v =>
+      DeltaLogReader.loadState(spark, path, Some(v))._1.files.keys
+    }.map(p => java.net.URLDecoder.decode(p, "UTF-8")).toSet
+    val dir = java.nio.file.Paths.get(path)
+    import scala.jdk.CollectionConverters._
+    // add.path entries are table-relative (the writer stages each commit
+    // in its own subdirectory) — walk recursively and compare relative
+    // paths, skipping the transaction log itself
+    val walked = java.nio.file.Files.walk(dir).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(p => (p, dir.relativize(p).toString))
+      .filterNot { case (_, rel) => rel.startsWith("_delta_log") }
+      .filterNot { case (_, rel) => retained.contains(rel) }
+      .toList
+    walked.foreach { case (p, _) => java.nio.file.Files.delete(p) }
+    walked.map(_._2)
+  }
 }

@@ -216,4 +216,42 @@ class DeltaLogWriterSpec extends AnyFunSuite {
     assert(kept.size == 1 && skipped.size == 2,
       "checkpointed stats must still drive skipping")
   }
+
+  test("snapshotDiff classifies added/removed/changed across versions") {
+    val t = table()
+    DeltaLogWriter.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), t) // v0
+    DeltaLogWriter.write(
+      Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "v"), t, "overwrite")       // v1
+    val diff = DeltaLogReader.snapshotDiff(spark, t, 0L, 1L, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // null-vs-value must not collide: (null) → ("x") is a change
+    val t2 = table()
+    DeltaLogWriter.write(Seq((1L, Option.empty[String])).toDF("id", "v"), t2)
+    DeltaLogWriter.write(Seq((1L, Option("x"))).toDF("id", "v"), t2, "overwrite")
+    val d2 = DeltaLogReader.snapshotDiff(spark, t2, 0L, 1L, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2 == Map(1L -> "changed"))
+  }
+
+  test("vacuum deletes only unreferenced files; vacuumed versions fail loudly") {
+    val t = table()
+    DeltaLogWriter.write(Seq((1L, "old")).toDF("id", "v"), t)                // v0
+    DeltaLogWriter.write(Seq((2L, "mid")).toDF("id", "v"), t, "overwrite")   // v1
+    DeltaLogWriter.write(Seq((3L, "new")).toDF("id", "v"), t, "overwrite")   // v2
+    val deleted = DeltaLogWriter.vacuum(spark, t, keepVersions = 2)
+    assert(deleted.nonEmpty, "v0's overwritten file must be reclaimed")
+    // retained versions read exactly as before
+    assert(DeltaLogReader.read(spark, t)
+      .as[(Long, String)].collect().toSeq == Seq((3L, "new")))
+    assert(DeltaLogReader.read(spark, t, Some(1L))
+      .as[(Long, String)].collect().toSeq == Seq((2L, "mid")))
+    // the vacuumed snapshot errors at scan, never a silent partial read
+    val err = intercept[Exception] {
+      DeltaLogReader.read(spark, t, Some(0L)).collect()
+    }
+    assert(err != null)
+    // idempotent: nothing else to reclaim
+    assert(DeltaLogWriter.vacuum(spark, t, keepVersions = 2).isEmpty)
+  }
 }
