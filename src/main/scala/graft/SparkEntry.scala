@@ -1340,6 +1340,21 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
+    // length-grouped batching: longest-first global rank (distributed,
+    // no single-partition window) cut into fixed batches; the report is
+    // per-batch padding waste — all integers
+    "x120_length_batches" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("len"))
+      Sampling.lengthBatches(docs, "len", "doc_id", batchSize = 64)
+        .groupBy("batch_id")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          max(col("len")).as("max_len"), sum(col("len")).as("sum_len"))
+        .withColumn("padding_waste",
+          (col("n_docs") * col("max_len") - col("sum_len")).cast("long"))
+        .orderBy("batch_id")
+    }),
     // bipartite projection: orders × parts → the weighted co-purchase
     // graph; quadratic only in capped per-order degree — the graph
     // builder every graph query above composes on
@@ -4728,6 +4743,24 @@ object SparkEntry {
         JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b""",
+
+    // single-partition ROW_NUMBER is fine at oracle scale; the engine's
+    // distributed rank must produce the identical batching
+    "x120_length_batches" -> """
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                    ELSE LEN(STR_SPLIT_REGEX(TRIM(text), '\s+')) END AS len
+        FROM documents),
+      r AS (SELECT doc_id, len,
+                   ROW_NUMBER() OVER (ORDER BY len DESC, doc_id) AS rn
+            FROM d),
+      b AS (SELECT (rn - 1) // 64 AS batch_id, len FROM r)
+      SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MAX(len) AS BIGINT) AS max_len,
+             CAST(SUM(len) AS BIGINT) AS sum_len,
+             CAST(COUNT(*) * MAX(len) - SUM(len) AS BIGINT) AS padding_waste
+      FROM b GROUP BY 1 ORDER BY batch_id""",
 
     // the same distinct-membership self-join (no order exceeds the cap
     // at this scale, so the capped and exact relations coincide)

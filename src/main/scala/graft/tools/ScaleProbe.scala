@@ -777,6 +777,42 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // spatial probe: K× points on a growing grid (constant density — the
+    // cell side scales with √K so points-per-cell holds). Cost is the
+    // two cell-keyed shuffles + bounded per-cell pairs → linear.
+    if (on("spatial")) Seq(1, 4, 16).foreach { k =>
+      val side = 499L * math.sqrt(k.toDouble).round
+      val pts = spark.range(0, 1500L * k).select(col("id"),
+        pmod(col("id") * 37, lit(side)).as("x"),
+        pmod(col("id") * 101, lit(side + 4)).as("y"))
+        .repartition(32).localCheckpoint(true)
+      val n = pts.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.x.Spatial.gridNeighborPairs(pts, "id", "x", "y", 12L).count()
+      println(f"[scale-spatial] points=$n%8d  grid=${(System.nanoTime() - t0) / 1e9}%6.2fs  pairs=$pairs")
+      spark.catalog.clearCache()
+    }
+
+    // bipartite-projection probe: K disjoint order-sets — per-order degree
+    // (the quadratic term) is fixed, so pairs and time track K linearly.
+    if (on("bipartite")) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      Seq(1, 4, 16).foreach { k =>
+        val inflated = (0 until k).map(i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+            .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+        val n = inflated.count()
+        val t0 = System.nanoTime()
+        val edges = graft.x.Graph.bipartiteProject(inflated, "l_orderkey",
+          "l_partkey", maxLeftDegree = 100).count()
+        println(f"[scale-bipartite] lines=$n%8d  " +
+          f"project=${(System.nanoTime() - t0) / 1e9}%6.2fs  edges=$edges")
+        spark.catalog.clearCache()
+      }
+    }
+
     if (on("lsh")) factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus

@@ -53,6 +53,25 @@ class LinkageSpec extends AnyFunSuite {
     assert(pairs.count() == 499)
   }
 
+  test("lengthBatches groups similar lengths and beats shuffled batching on waste") {
+    val docs = spark.range(0, 256).select(col("id"),
+      (pmod(col("id") * 37, lit(97)) + 1).as("len"))
+    val batches = graft.x.Sampling.lengthBatches(docs, "len", "id", batchSize = 32)
+    // partition: every doc in exactly one batch, batches full
+    assert(batches.count() == 256)
+    assert(batches.select("batch_id").distinct().count() == 8)
+    val waste = batches.groupBy("batch_id")
+      .agg((count(lit(1)) * max("len") - sum("len")).as("w"))
+      .agg(sum("w")).collect()(0).getLong(0)
+    // shuffled reference: batch by id order instead of length order
+    val shuffled = docs.withColumn("batch_id", expr("id div 32"))
+      .groupBy("batch_id")
+      .agg((count(lit(1)) * max("len") - sum("len")).as("w"))
+      .agg(sum("w")).collect()(0).getLong(0)
+    assert(waste < shuffled / 4,
+      s"length grouping should collapse padding waste ($waste vs $shuffled)")
+  }
+
   test("prefixFilterPairs is lossless vs the uncapped all-pairs join") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
