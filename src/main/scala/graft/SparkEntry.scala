@@ -1340,6 +1340,38 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
+    // point-in-time feature retrieval: SCD2 dimension versions joined
+    // as-of each event's timestamp — the feature-store correctness
+    // contract (no future leakage), composed from Scd2 + AsOfJoin
+    "x121_pit_join" -> ((s, dir) => {
+      reg(s, dir)
+      import graft.operators.Scd2
+      val cust = s.table("customer")
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+      val updated = cust.withColumn("c_acctbal",
+        when(pmod(col("c_custkey"), lit(10)) === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+      val dim = Scd2.merge(Scd2.initialize(cust, t0), updated, Seq("c_custkey"),
+          Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"), t1)
+        .select(col("c_custkey").as("user_id"), col("c_acctbal").as("bal"),
+          col(Scd2.EffectiveFrom).as("ts"))
+      val facts = s.table("events").select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asOf(facts, dim, Seq("user_id"), "ts", Seq("bal"))
+        .select(col("event_id"), col("user_id"), col("right_bal").as("bal_at_event"))
+        .orderBy("event_id")
+    }),
+    // conversion A/B test: chi-square verdict by DECIMAL cross-
+    // multiplication against 3.841459 — borderline experiments cannot
+    // flip between engines
+    "x122_ab_test" -> ((s, dir) => {
+      reg(s, dir)
+      val perUser = s.table("events").groupBy(col("user_id"))
+        .agg(max(col("event_type") === "purchase").as("converted"))
+        .withColumn("variant",
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+      EventAnalytics.abTest(perUser, "variant", "converted")
+    }),
     // length-grouped batching: longest-first global rank (distributed,
     // no single-partition window) cut into fixed batches; the report is
     // per-batch padding waste — all integers
@@ -4743,6 +4775,45 @@ object SparkEntry {
         JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b""",
+
+    // the two-version dimension stated directly, probed with DuckDB's
+    // native ASOF join — the engine's Scd2+AsOfJoin must agree row-for-row
+    "x121_pit_join" -> """
+      WITH dim AS (
+        SELECT c_custkey AS user_id, c_acctbal AS bal,
+               TIMESTAMP '2024-01-01 00:00:00' AS vts
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 100.0, TIMESTAMP '2024-01-15 00:00:00'
+        FROM customer WHERE c_custkey % 10 = 0)
+      SELECT f.event_id, f.user_id, d.bal AS bal_at_event
+      FROM events f ASOF LEFT JOIN dim d
+        ON f.user_id = d.user_id AND f.ts >= d.vts
+      ORDER BY f.event_id""",
+
+    // identical 2x2 counts, identical cross-multiplied verdict and one
+    // identical double expression for the statistic
+    "x122_ab_test" -> """
+      WITH pu AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS converted,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        FROM events GROUP BY user_id),
+      s AS (SELECT
+              CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+              CAST(SUM(CASE WHEN variant = 'A' AND converted THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+              CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+              CAST(SUM(CASE WHEN variant = 'B' AND converted THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+            FROM pu)
+      SELECT 'A' AS variant_a, 'B' AS variant_b,
+             CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+             CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+             CAST((na + nb) * (ca*(nb-cb) - cb*(na-ca)) * (ca*(nb-cb) - cb*(na-ca)) AS DOUBLE)
+               / CAST(na * nb * (ca+cb) * (na+nb-ca-cb) AS DOUBLE) AS chi2,
+             (na + nb) * (ca*(nb-cb) - cb*(na-ca)) * (ca*(nb-cb) - cb*(na-ca)) * 1000000
+               > na * nb * (ca+cb) * (na+nb-ca-cb) * 3841459 AS significant,
+             CAST(2 AS BIGINT) AS n_variants
+      FROM s""",
 
     // single-partition ROW_NUMBER is fine at oracle scale; the engine's
     // distributed rank must produce the identical batching

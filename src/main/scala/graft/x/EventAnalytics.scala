@@ -288,6 +288,46 @@ object EventAnalytics {
         (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
           .as("duration_us"))
 
+  /** Two-variant conversion A/B test with an INTEGER-EXACT significance
+    * verdict: Pearson chi-square on the 2×2 (variant × converted) table,
+    * compared against the α=0.05 critical value 3.841459 by
+    * cross-multiplication in DECIMAL(38,0) — `10⁶·n·(ad−bc)² >
+    * 3841459·n_a·n_b·(a+c)·(b+d)` — so a borderline experiment cannot
+    * flip verdicts between engines or layouts ([[dailyAnomalies]]'
+    * z²-rearrangement applied to the 2×2 test). The reported chi2 is one
+    * fixed-shape double expression over the same exact operands.
+    *
+    * Input is a per-subject frame (one row per unit: variant label +
+    * boolean converted). Shape: one variant-keyed aggregation (two
+    * groups), then a 1-row reduce — nothing else touches the data. */
+  def abTest(perSubject: DataFrame, variantCol: String,
+      convertedCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val stats = perSubject
+      .groupBy(col(variantCol).cast("string").as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(convertedCol), 1L).otherwise(0L)).as("conv"))
+    val two = stats.agg(
+      min(col("variant")).as("variant_a"), max(col("variant")).as("variant_b"),
+      min_by(struct(col("n"), col("conv")), col("variant")).as("__a"),
+      max_by(struct(col("n"), col("conv")), col("variant")).as("__b"),
+      count(lit(1)).as("n_variants"))
+    val (na, ca) = (col("__a.n").cast(d38), col("__a.conv").cast(d38))
+    val (nb, cb) = (col("__b.n").cast(d38), col("__b.conv").cast(d38))
+    val n = na + nb
+    val cross = (ca * (nb - cb) - cb * (na - ca)).cast(d38)
+    val den = (na * nb * (ca + cb) * (n - ca - cb)).cast(d38)
+    two
+      .withColumn("chi2", when(den =!= 0,
+        (n * cross * cross).cast("double") / den.cast("double")))
+      .withColumn("significant",
+        den =!= 0 && (n * cross * cross * 1000000L).cast(d38) > (den * 3841459L).cast(d38))
+      .select(col("variant_a"), col("variant_b"),
+        col("__a.n").cast("long").as("n_a"), col("__a.conv").cast("long").as("conv_a"),
+        col("__b.n").cast("long").as("n_b"), col("__b.conv").cast("long").as("conv_b"),
+        col("chi2"), col("significant"), col("n_variants").cast("long").as("n_variants"))
+  }
+
   /** Exponentially-decayed daily value sum per series (one-day half-life,
     * trailing `windowDays`): `ewma_d = Σ_{g=0..W} daily_{d−g} · 2^{−g}`,
     * the recency-weighted signal behind trending-topic scores and decayed

@@ -52,6 +52,23 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("2024-01-05", 2.0, false)))
   }
 
+  test("abTest: hand-computed chi-square and exact boundary verdicts") {
+    def cohort(variant: String, n: Int, conv: Int) =
+      (0 until n).map(i => (s"$variant$i", variant, i < conv))
+    val df = (cohort("a", 100, 60) ++ cohort("b", 100, 40))
+      .toDF("uid", "variant", "converted")
+    val r = EventAnalytics.abTest(df, "variant", "converted").collect()(0)
+    // 2x2: (60,40 / 40,60), n=200 → chi2 = 200·2000²/100⁴ = 8.0 exactly
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("conv_a") == 60L)
+    assert(r.getAs[Double]("chi2") == 8.0)
+    assert(r.getAs[Boolean]("significant"))
+    // identical rates: chi2 = 0, not significant
+    val even = (cohort("a", 50, 20) ++ cohort("b", 50, 20))
+      .toDF("uid", "variant", "converted")
+    val r2 = EventAnalytics.abTest(even, "variant", "converted").collect()(0)
+    assert(r2.getAs[Double]("chi2") == 0.0 && !r2.getAs[Boolean]("significant"))
+  }
+
   test("trend recovers an exact linear series; degenerate groups are NULL") {
     val df = Seq(
       ("a", 10, 35L), ("a", 11, 38L), ("a", 12, 41L), ("a", 13, 44L),
