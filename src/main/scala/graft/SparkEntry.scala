@@ -1340,6 +1340,27 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
+    // Theil-Sen robust slope: median of pairwise slopes — each slope one
+    // IEEE division of exact integer differences; exact median selection
+    "x123_theil_sen" -> ((s, dir) => {
+      reg(s, dir)
+      val daily = s.table("events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+        .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date")))
+      Profiler.theilSen(daily, "x", "cents", Seq("event_type"))
+        .orderBy("event_type")
+    }),
+    // correlated LATERAL subquery (Tier B): per-nation top-2 customers —
+    // the dependent-join surface q16's scalar subqueries don't cover
+    "q41_lateral_topn" -> sqlQ("""
+      SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+      FROM nation n,
+      LATERAL (SELECT c_name, c_acctbal FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY nation, c_acctbal DESC, c_name"""),
     // point-in-time feature retrieval: SCD2 dimension versions joined
     // as-of each event's timestamp — the feature-store correctness
     // contract (no future leakage), composed from Scd2 + AsOfJoin
@@ -4775,6 +4796,37 @@ object SparkEntry {
         JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b""",
+
+    // same pairwise slopes, same (s, xa, ya, xb, yb) total order, same
+    // lower-median selection
+    "x123_theil_sen" -> """
+      WITH daily AS (
+        SELECT event_type,
+               DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      p AS (SELECT a.event_type,
+                   CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s,
+                   a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+            FROM daily a JOIN daily b ON a.event_type = b.event_type
+              AND (a.x < b.x OR (a.x = b.x AND a.y < b.y)) AND a.x <> b.x),
+      r AS (SELECT event_type, s,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY s, xa, ya, xb, yb) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS m
+            FROM p)
+      SELECT event_type, MIN(s) AS ts_slope, CAST(MAX(m) AS BIGINT) AS n_pairs
+      FROM r WHERE rn * 2 = m OR rn * 2 = m + 1
+      GROUP BY 1 ORDER BY event_type""",
+
+    // DuckDB's native LATERAL over the same correlated top-2
+    "q41_lateral_topn" -> """
+      SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+      FROM nation n,
+      LATERAL (SELECT c_name, c_acctbal FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY nation, c_acctbal DESC, c_name""",
 
     // the two-version dimension stated directly, probed with DuckDB's
     // native ASOF join — the engine's Scd2+AsOfJoin must agree row-for-row

@@ -223,6 +223,47 @@ object Profiler {
       .agg(min(col(valueCol)).as("wq"), max(col("__tot")).cast("long").as("total_weight"))
   }
 
+  /** Theil–Sen robust trend: the MEDIAN of all pairwise slopes
+    * `(y_j−y_i)/(x_j−x_i)` per group — a 29.3%-breakdown estimator that
+    * shrugs off the outlier days that drag OLS ([[trend]]) around; the
+    * robust half of the same question [[robustOutliers]] answers for
+    * levels. Pairs explode within each group, so cost is Σ|group|²:
+    * right for grouped SERIES (days, versions — bounded cardinality per
+    * group), not for raw-event groups; the require below guards the
+    * contract.
+    *
+    * Each slope is ONE IEEE division of exact integer differences
+    * (deterministic on any engine); the median picks the ⌈m/2⌉-th slope
+    * by (value, i, j) total order — an exact selection, replayable in
+    * SQL. Equal-x pairs are excluded (vertical slopes). */
+  def theilSen(df: DataFrame, xCol: String, yCol: String,
+      groupCols: Seq[String], maxGroupRows: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "theilSen needs at least one group column")
+    val gc = groupCols.map(col)
+    val t = df.select((gc :+ col(xCol).cast("long").as("__x")
+      :+ col(yCol).cast("long").as("__y")): _*)
+    // the quadratic guard runs BEFORE the pair join: groups past the cap
+    // never explode (they are excluded, loudly visible via the missing
+    // output row — series-shaped groups stay far below it)
+    val small = t.join(broadcast(t.groupBy(gc: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxGroupRows).select(gc: _*)), groupCols)
+    val a = small.toDF(small.columns.map(c => if (c.startsWith("__")) c + "a" else c): _*)
+    val b = small.toDF(small.columns.map(c => if (c.startsWith("__")) c + "b" else c): _*)
+    val pairs = a.join(b, groupCols)
+      .filter(struct(col("__xa"), col("__ya")) < struct(col("__xb"), col("__yb")))
+      .filter(col("__xa") =!= col("__xb"))
+      .withColumn("__s", (col("__yb") - col("__ya")).cast("double") /
+        (col("__xb") - col("__xa")).cast("double"))
+    val w = Window.partitionBy(gc: _*)
+      .orderBy(col("__s"), col("__xa"), col("__ya"), col("__xb"), col("__yb"))
+    pairs
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy(gc: _*)))
+      .filter(col("__r") * 2 === col("__m") || col("__r") * 2 === col("__m") + 1)
+      .groupBy(gc: _*)
+      .agg(min(col("__s")).as("ts_slope"), max(col("__m")).cast("long").as("n_pairs"))
+  }
+
   /** Functional-dependency violation profile over candidate
     * determinant→dependent column pairs (the Metanome/data-profiling
     * check "does A determine B in this load"): per pair, the number of

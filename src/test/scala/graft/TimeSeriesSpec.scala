@@ -52,6 +52,20 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("2024-01-05", 2.0, false)))
   }
 
+  test("theilSen shrugs off the outlier that drags OLS") {
+    val clean = (1 to 9).map(x => ("g", x, 3L * x + 5))
+    val df = (clean :+ (("g", 10, 1000L))).toDF("g", "x", "y")
+    val ts = Profiler.theilSen(df, "x", "y", Seq("g")).collect()(0)
+    assert(ts.getDouble(1) == 3.0, s"robust slope ${ts.getDouble(1)}")
+    val ols = Profiler.trend(df, "x", "y", Seq("g")).collect()(0)
+    assert(ols.getDouble(2) > 30.0, "the outlier must visibly drag OLS")
+    // the maxGroupRows guard excludes oversized groups instead of exploding
+    val big = spark.range(0, 200).select(lit("h").as("g"),
+      col("id").cast("int").as("x"), col("id").as("y"))
+    assert(Profiler.theilSen(big.toDF("g", "x", "y"), "x", "y", Seq("g"),
+      maxGroupRows = 100).isEmpty)
+  }
+
   test("abTest: hand-computed chi-square and exact boundary verdicts") {
     def cohort(variant: String, n: Int, conv: Int) =
       (0 until n).map(i => (s"$variant$i", variant, i < conv))
