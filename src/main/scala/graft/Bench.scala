@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,7 +33,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val perQueryLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(perQueryLine)
+    // The driver captures only the TAIL of stdout; with 183 queries the
+    // line above exceeds that window and the leading total is lost. Emit a
+    // compact total-only line LAST so a truncated capture still parses, and
+    // persist the full record beside the fixtures-independent cwd.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"sf":"$sfDir"}""")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), perQueryLine + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

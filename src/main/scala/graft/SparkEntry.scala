@@ -34,16 +34,13 @@ object SparkEntry {
 
   private def reg(s: SparkSession, dir: String): Unit =
     if (registeredKey != ((System.identityHashCode(s), dir))) {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; read it as raw nanos and truncate to micros (exactly what
-    // DuckDB's nanos→TIMESTAMP conversion does, so the oracle agrees).
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tables.foreach { t =>
-      val df = s.read.parquet(s"$dir/$t.parquet")
-      val fixed =
-        if (t == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else df
-      fixed.createOrReplaceTempView(t)
+      // events.ts has shipped in several parquet encodings across fixture
+      // builds; SourceReader.readEvents adapts to whichever is on disk.
+      val df =
+        if (t == "events") SourceReader.readEvents(s, s"$dir/$t.parquet")
+        else s.read.parquet(s"$dir/$t.parquet")
+      df.createOrReplaceTempView(t)
     }
     registeredKey = (System.identityHashCode(s), dir)
   }

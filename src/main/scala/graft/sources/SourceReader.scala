@@ -116,4 +116,30 @@ object SourceReader {
     }
     df.select(cleaned.toSeq: _*)
   }
+
+  /** Schema-adaptive read of the `events` fixture: the driver has shipped
+    * `ts` as parquet TIMESTAMP(NANOS) in some builds and TIMESTAMP(MICROS)
+    * (isAdjustedToUTC=false → Spark TIMESTAMP_NTZ) in others. Normalize to
+    * session-TZ TimestampType (sessions here pin UTC, matching the DuckDB
+    * oracle's naive-timestamp read) by inspecting the column's ACTUAL type
+    * instead of hard-coding one encoding:
+    *   - LongType (nanosAsLong fallback for NANOS files) → truncate to
+    *     micros, exactly DuckDB's nanos→TIMESTAMP conversion;
+    *   - TimestampNTZType (current MICROS fixtures) → cast; under a UTC
+    *     session this relabels the same micros value, no instant shift;
+    *   - TimestampType → pass through.
+    * Single seam for SparkEntry.reg, the streaming specs and ScaleProbe —
+    * round 5 failed precisely because this adaptation was copy-pasted. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    // harmless for micros files; required before reading NANOS files
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path)
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+  }
 }

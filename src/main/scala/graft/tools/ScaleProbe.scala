@@ -103,10 +103,8 @@ object ScaleProbe {
     // scan/shuffle-bound linear; anomaly's post-shuffle state is days ×
     // series regardless of event count.
     if (on("events")) {
-      // events.ts is TIMESTAMP(NANOS) — same read path as SparkEntry.reg
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // same schema-adaptive read path as SparkEntry.reg
+      val events = graft.sources.SourceReader.readEvents(spark, s"$sfDir/events.parquet")
       Seq(1, 4, 16).foreach { k =>
         val inflated = (0 until k).map(i =>
           events.withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L))
@@ -562,10 +560,8 @@ object ScaleProbe {
     // user-keyed exchange; inflating users (not events-per-user) must
     // scale linearly with flat per-event cost
     if (on("sessionize")) Seq(1, 4, 16).foreach { k =>
-      // events.ts is TIMESTAMP(NANOS): same nanos->micros read as reg()
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // same schema-adaptive read path as reg()
+      val ev = graft.sources.SourceReader.readEvents(spark, s"$sfDir/events.parquet")
       val inflated = (0 until k).map(i =>
         ev.withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L))
           .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L)))

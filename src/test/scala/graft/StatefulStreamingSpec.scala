@@ -12,10 +12,8 @@ class StatefulStreamingSpec extends AnyFunSuite {
   val sf = TestSpark.sfDir
 
   private lazy val eventsDir: String = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = Files.createTempDirectory("graft-stateful").toString
-    spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.SourceReader.readEvents(spark, s"$sf/events.parquet")
       // time-ranged files → micro-batches arrive in event-time order, the
       // ordering contract statefulSessions documents
       .repartitionByRange(4, col("ts"))

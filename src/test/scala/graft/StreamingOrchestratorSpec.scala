@@ -14,10 +14,8 @@ class StreamingOrchestratorSpec extends AnyFunSuite {
   val sf = TestSpark.sfDir
 
   private lazy val eventsDir: String = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = Files.createTempDirectory("graft-sevents").toString
-    spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.SourceReader.readEvents(spark, s"$sf/events.parquet")
       .write.mode("overwrite").parquet(dir)
     dir
   }

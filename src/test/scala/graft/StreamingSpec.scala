@@ -13,12 +13,10 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sfDir
 
-  // events.ts is TIMESTAMP(NANOS) parquet: stage a micros copy for streaming
+  // stage a normalized (session-TZ timestamp) events copy for streaming
   private lazy val eventsDir: String = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = Files.createTempDirectory("graft-events").toString
-    spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.SourceReader.readEvents(spark, s"$sf/events.parquet")
       .write.mode("overwrite").parquet(dir)
     dir
   }
