@@ -1171,42 +1171,96 @@ object TextAnalysis {
       .agg(sum(col("cnt")).as("cnt"))
 
   /** Byte-pair-encoding merge learning (Sennrich et al., ACL 2016 — the
-    * public algorithm behind most LLM tokenizers): `k` rounds of
-    * count-adjacent-pairs → merge the argmax (ties broken by (s1, s2)
-    * order, so the sequence is deterministic on any engine/layout).
-    * Returns the learned merges in order. Each round is one vocabulary-
-    * scale job: pair stats via [[bpePairCounts]], argmax via a driver-side
-    * `limit(1)` on a vocabulary-bounded agg, and the merge rewrite is a
-    * typed map over symbol arrays (greedy left-to-right, the reference
-    * semantics — genuinely imperative, so a Dataset map rather than a
-    * contorted expression). Production BPE learns on a sampled inventory;
-    * at 100 TB the inventory agg is the only full pass and the k rounds
-    * never rescan the corpus. */
-  def bpeMerges(df: DataFrame, textCol: String, k: Int): Seq[(String, String, Long)] = {
+    * public algorithm behind most LLM tokenizers): count adjacent pairs,
+    * merge the argmax (ties broken by (s1, s2) order, so the sequence is
+    * deterministic on any engine/layout), repeat `k` times. Returns the
+    * learned merges in order.
+    *
+    * Rounds are BATCHED: one vocabulary-scale job collects the top pairs,
+    * and the driver applies the longest sorted PREFIX p1..pm (m ≤
+    * `maxBatch`) that is provably order-equivalent to m sequential argmax
+    * rounds, so tokenizer-scale k needs ~⌈k/m⌉ jobs, not k. The prefix is
+    * safe when (a) the pairs are pairwise symbol-disjoint — each pj's
+    * count is then unchanged by the earlier merges; (b) each pj has
+    * s1 ≠ s2 and a concatenation that is a FRESH symbol (not in the
+    * current vocabulary or the batch) — pairs involving a merged symbol
+    * are then genuinely new, and each of their occurrences consumes an
+    * occurrence of a non-batch progenitor pair ((x,s1)→(x,s1s2) or
+    * (s2,y)→(s1s2,y)), bounding their counts by c(m+1); and (c)
+    * c(m) > c(m+1) strictly — so neither surviving old pairs (counts only
+    * decrease) nor new pairs can outrank any pj mid-batch, even by
+    * tie-break. A prefix of 1 is always exact (it IS the sequential
+    * step), so adversarial inputs degrade to the unbatched sequence,
+    * never to a different one.
+    *
+    * BPE statistics are per word TYPE: the one corpus-sized pass is
+    * [[bpeWordInventory]]'s count; every round after runs on the
+    * vocabulary (≪ corpus), and at 100 TB the batching matters because k
+    * driver round-trips at tokenizer scale (32k merges) would dominate.
+    * The merge rewrite is a typed map over symbol arrays (greedy
+    * left-to-right, the reference semantics — genuinely imperative, so a
+    * Dataset map rather than a contorted expression). */
+  def bpeMerges(df: DataFrame, textCol: String, k: Int,
+      maxBatch: Int = 16): Seq[(String, String, Long)] = {
     val spark = df.sparkSession
     import spark.implicits._
     var inv = bpeWordInventory(df, textCol)
       .select(col("cnt"), col("syms")).as[(Long, Seq[String])]
       .cache()
+    // Superset of the live symbol vocabulary: initial characters + every
+    // merge made so far. Superset is safe — the freshness check in (b)
+    // only gets more conservative — and it keeps vocabulary maintenance
+    // off the cluster after this one job.
+    val vocab = scala.collection.mutable.Set[String](
+      inv.select(explode(col("syms"))).distinct().as[String].collect().toSeq: _*)
     val merges = Seq.newBuilder[(String, String, Long)]
-    for (_ <- 0 until k) {
+    var learned = 0
+    var exhausted = false
+    while (learned < k && !exhausted) {
+      // +1 beyond the largest admissible batch: condition (c) needs c(m+1)
+      val fetch = maxBatch.max(1) + 1
       val top = bpePairCounts(inv.toDF("cnt", "syms"))
-        .orderBy(col("cnt").desc, col("s1"), col("s2")).limit(1)
+        .orderBy(col("cnt").desc, col("s1"), col("s2")).limit(fetch)
         .collect()
-      if (top.nonEmpty) {
-        val r = top.head
-        val (s1, s2, c) = (r.getString(0), r.getString(1), r.getLong(2))
-        merges += ((s1, s2, c))
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        val want = (k - learned).min(maxBatch.max(1)).min(
+          if (top.length < fetch) top.length else top.length - 1)
+        // longest safe prefix: scan forward while (a)/(b) hold, then trim
+        // to the last position with a strict count gap to its successor
+        val used = scala.collection.mutable.Set[String]()
+        var scanned = 0
+        var valid = true
+        while (valid && scanned < want) {
+          val (s1, s2, _) = top(scanned)
+          valid = s1 != s2 && !used(s1) && !used(s2) && !used(s1 + s2) &&
+            !vocab(s1 + s2)
+          if (valid) { used += s1; used += s2; used += (s1 + s2); scanned += 1 }
+        }
+        var m = scanned
+        while (m > 1 && m < top.length && top(m - 1)._3 <= top(m)._3) m -= 1
+        if (m < 1) m = 1 // a single merge needs no safety conditions
+        val batch = top.take(m)
+        batch.foreach { case (s1, s2, c) =>
+          merges += ((s1, s2, c)); vocab += (s1 + s2)
+        }
+        learned += m
+        val bArr = batch.map { case (s1, s2, _) => (s1, s2) }
         val prev = inv
         inv = prev.map { case (cnt, syms) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == s1 && syms(i + 1) == s2) {
-              out += s1 + s2; i += 2
-            } else { out += syms(i); i += 1 }
+          var cur = syms
+          bArr.foreach { case (s1, s2) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < cur.length) {
+              if (i + 1 < cur.length && cur(i) == s1 && cur(i + 1) == s2) {
+                out += s1 + s2; i += 2
+              } else { out += cur(i); i += 1 }
+            }
+            cur = out.toSeq
           }
-          (cnt, out.toSeq)
+          (cnt, cur)
         }.cache()
         prev.unpersist()
       }

@@ -28,6 +28,17 @@ class BpeCosineSpec extends AnyFunSuite {
     assert(merges == Seq(("a", "a", 2L), ("aa", "a", 1L)))
   }
 
+  test("batched bpeMerges replays the one-at-a-time sequence exactly") {
+    // real-text fixture: plenty of count ties, shared-symbol top pairs and
+    // concat collisions, so every safety condition in the batch selector
+    // gets exercised; maxBatch=1 IS the sequential reference
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val sequential = TextAnalysis.bpeMerges(docs, "text", k = 24, maxBatch = 1)
+    val batched = TextAnalysis.bpeMerges(docs, "text", k = 24, maxBatch = 8)
+    assert(batched == sequential)
+    assert(batched.length == 24)
+  }
+
   test("bpeSegment applies merges in order, greedy within words") {
     val docs = Seq((1L, "low lower"), (2L, "wow")).toDF("doc_id", "text")
     // merges from the classic example: (l,o), (lo,w), (e,r)
