@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.{IncrementalAgg, Scd2, Upsert, Validations}
 import graft.sources.SourceReader
 import graft.config.ColumnMapping
-import graft.x.{Dedup, EventAnalytics, Graph, Multimodal, Privacy, Profiler, Sampling, Similarity, TextAnalysis}
+import graft.x.{Dedup, EventAnalytics, Graph, Multimodal, Privacy, Profiler, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.streaming.StreamingJobs
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1349,6 +1349,34 @@ object SparkEntry {
       Profiler.theilSen(daily, "x", "cents", Seq("event_type"))
         .orderBy("event_type")
     }),
+    // register-based HLL distinct over the portable 55-bit hash: the
+    // fixed-memory sibling of x100's KMV — register index, rank and the
+    // power-of-two denominator are integer-exact, the estimate one shared
+    // IEEE expression, so even the approximation oracle-matches
+    "x124_hll_distinct" -> ((s, dir) => {
+      reg(s, dir)
+      Sketches.hllDistinct(s.table("lineitem"), Seq("l_returnflag"), "l_partkey", b = 8)
+        .join(s.table("lineitem").groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").cast("long").as("exact")),
+          Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("est"), col("v_zero"), col("exact"))
+        .orderBy("l_returnflag")
+    }),
+    // count-min point-frequency estimates: the any-key complement of
+    // x70's Misra-Gries top-k — depth x width counters, min over rows,
+    // integer end to end (est >= true by construction)
+    "x125_cms_counts" -> ((s, dir) => {
+      reg(s, dir)
+      val events = s.table("events")
+      val sketch = Sketches.cmsBuild(events, "user_id", depth = 4, widthBits = 8)
+      val truth = events.groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
+      val probes = truth.orderBy(col("true_cnt").desc, col("user_id")).limit(10)
+      Sketches.cmsEstimate(sketch, probes, "user_id", depth = 4, widthBits = 8)
+        .join(probes, Seq("user_id"))
+        .select(col("user_id"), col("est").cast("long").as("est"),
+          col("true_cnt").cast("long").as("true_cnt"))
+        .orderBy("user_id")
+    }),
     // correlated LATERAL subquery (Tier B): per-nation top-2 customers —
     // the dependent-join surface q16's scalar subqueries don't cover
     "q41_lateral_topn" -> sqlQ("""
@@ -2627,6 +2655,19 @@ object SparkEntry {
   /** DuckDB replay of [[graft.functions.PolyHash56]]: identical fold,
     * identical 55-bit mask (`&` keeps BIGINT products overflow-free on both
     * engines). Empty string → 0, matching the Scala loop. */
+  /** One hex nibble's value (0-15) via alphabet position — DuckDB has no
+    * base-16 `conv`, but STRPOS over the md5 alphabet is the same
+    * integer (the Spark side uses `conv(c, 16, 10)`). */
+  private def hexNibbleSql(c: String): String =
+    s"(STRPOS('0123456789abcdef', $c) - 1)"
+
+  /** [[graft.x.Sketches.cmsIndex]] in DuckDB: first two md5 hex chars of
+    * the depth-prefixed key, decoded as an 8-bit counter address. */
+  private def cmsIndexSql(i: String, key: String): String = {
+    val h = s"MD5(CONCAT(CAST($i AS VARCHAR), '|', CAST($key AS VARCHAR)))"
+    s"(16 * ${hexNibbleSql(s"SUBSTR($h, 1, 1)")} + ${hexNibbleSql(s"SUBSTR($h, 2, 1)")})"
+  }
+
   private def polySql(e: String): String =
     s"(CASE WHEN $e = '' THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
@@ -4815,6 +4856,66 @@ object SparkEntry {
       SELECT event_type, MIN(s) AS ts_slope, CAST(MAX(m) AS BIGINT) AS n_pairs
       FROM r WHERE rn * 2 = m OR rn * 2 = m + 1
       GROUP BY 1 ORDER BY event_type""",
+
+    // identical HLL register pipeline in SQL: same md5 hex, nibble-decoded
+    // register, leading-zero-bit rank from string arithmetic, DECIMAL
+    // power-of-two denominator and one shared IEEE estimate expression
+    "x124_hll_distinct" -> s"""
+      WITH hs AS (
+        SELECT l_returnflag, MD5(CAST(l_partkey AS VARCHAR)) AS h
+        FROM lineitem),
+      nz AS (
+        SELECT l_returnflag,
+               (16 * ${hexNibbleSql("SUBSTR(h, 1, 1)")}
+                   + ${hexNibbleSql("SUBSTR(h, 2, 1)")}) AS j,
+               REGEXP_REPLACE(SUBSTR(h, 3, 30), '^0*', '') AS t
+        FROM hs),
+      reg AS (
+        SELECT l_returnflag, j,
+               CASE WHEN t = '' THEN 48 ELSE LEAST(
+                 4 * (30 - LENGTH(t)) +
+                 (CASE WHEN ${hexNibbleSql("SUBSTR(t, 1, 1)")} >= 8 THEN 0
+                       WHEN ${hexNibbleSql("SUBSTR(t, 1, 1)")} >= 4 THEN 1
+                       WHEN ${hexNibbleSql("SUBSTR(t, 1, 1)")} >= 2 THEN 2
+                       ELSE 3 END) + 1, 48) END AS rho
+        FROM nz),
+      mj AS (SELECT l_returnflag, j, MAX(rho) AS mj FROM reg GROUP BY 1, 2),
+      z AS (SELECT l_returnflag, COUNT(*) AS present,
+              SUM(CAST((CAST(1 AS BIGINT) << (56 - mj)) AS DECIMAL(38,0))) AS zp
+            FROM mj GROUP BY 1),
+      ex AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact
+             FROM lineitem GROUP BY 1)
+      SELECT z.l_returnflag,
+        (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+           CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+         * CAST(65536.0 AS DOUBLE)) * CAST(72057594037927936.0 AS DOUBLE)
+         / CAST(zp + CAST(256 - present AS DECIMAL(38,0)) *
+                CAST(${1L << 56} AS DECIMAL(38,0)) AS DOUBLE) AS est,
+        CAST(256 - present AS BIGINT) AS v_zero,
+        CAST(ex.exact AS BIGINT) AS exact
+      FROM z JOIN ex USING (l_returnflag)
+      ORDER BY l_returnflag""",
+
+    // identical counter matrix: same prefixed hash per depth row, same
+    // high-8-bit counter index, same min-over-rows estimate — BIGINTs only
+    "x125_cms_counts" -> s"""
+      WITH truth AS (SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY 1),
+      probes AS (SELECT user_id, true_cnt FROM truth
+                 ORDER BY true_cnt DESC, user_id LIMIT 10),
+      cms AS (
+        SELECT t.i, ${cmsIndexSql("t.i", "e.user_id")} AS c, COUNT(*) AS cnt
+        FROM events e CROSS JOIN range(4) t(i)
+        GROUP BY 1, 2),
+      addr AS (
+        SELECT p.user_id, t.i, ${cmsIndexSql("t.i", "p.user_id")} AS c
+        FROM probes p CROSS JOIN range(4) t(i)),
+      est AS (SELECT a.user_id, MIN(s.cnt) AS est
+              FROM addr a JOIN cms s ON s.i = a.i AND s.c = a.c
+              GROUP BY 1)
+      SELECT e.user_id, CAST(e.est AS BIGINT) AS est,
+             CAST(p.true_cnt AS BIGINT) AS true_cnt
+      FROM est e JOIN probes p USING (user_id)
+      ORDER BY user_id""",
 
     // DuckDB's native LATERAL over the same correlated top-2
     "q41_lateral_topn" -> """

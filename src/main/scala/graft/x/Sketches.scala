@@ -1,0 +1,173 @@
+package graft.x
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Register-based cardinality and frequency sketches (HyperLogLog,
+  * count-min) over md5 — a hash BOTH engines ship natively with identical
+  * hex output, so every register index, rank and counter — and therefore
+  * the ESTIMATES — replay exactly on the DuckDB oracle in SQL. md5 and
+  * not [[graft.functions.PolyHash56]]+spread: rank statistics (leading-
+  * zero counts, max-per-register) need avalanche quality; an affine LCG
+  * spread of polynomial hashes leaves near-consecutive keys on a lattice
+  * whose low-bit structure biases max-rho by whole units (measured: 2×
+  * cardinality underestimate on a keyN corpus), while md5's bits are
+  * independent of input structure. KMV ([[graft.functions.KmvSketchAgg]])
+  * keeps the cheap poly hash because bottom-k ORDER statistics only need
+  * distinctness + equidistribution, not per-bit independence.
+  *
+  * Complements the KMV theta sketch ([[KmvSketchAgg]]): KMV buys set
+  * algebra (union/Jaccard from sketch columns), HLL buys fixed O(m)
+  * memory per group independent of k-th-order statistics, and count-min
+  * answers point frequency queries Misra-Gries
+  * ([[graft.functions.FrequentItemsAgg]]) cannot — MG keeps only the
+  * top-k survivors, CMS estimates ANY key after one pass.
+  *
+  * At 100 TB: both sketches reduce per map task (a groupBy over
+  * register/counter indexes with map-side partial max/sum), so the
+  * shuffle carries ≤ m (HLL) or depth×width (CMS) rows per group per
+  * task instead of one row per distinct value — the reason these are the
+  * standard telemetry/profiling sketches at cluster scale. Sketch rows
+  * are data: persist them per batch/segment and re-aggregate (max/sum
+  * re-associates losslessly) to merge across days without re-scanning.
+  *
+  * Reference anchor: profiling/validation counts are the reference's
+  * Tier-A surface (/root/reference/spark.json:40-52); these are their
+  * at-scale approximate siblings.
+  */
+object Sketches {
+
+  /** Register/counter address bits come in whole hex chars (the md5
+    * output unit), and rho is capped at 48 so 2^(56-rho) stays exact in
+    * BIGINT before the DECIMAL register sum. */
+  private def checkB(b: Int): Unit =
+    require(b >= 4 && b <= 16 && b % 4 == 0,
+      s"register bits b=$b must be a multiple of 4 in [4,16]")
+
+  /** Max rho: deeper leading-zero runs are astronomically rare
+    * (P ≈ 2^-48 per value) and capping keeps every 2^(56-rho) in BIGINT. */
+  val MaxRho = 48
+
+  /** md5 hex of a value's string form — identical on Spark and DuckDB
+    * (`MD5(CAST(x AS VARCHAR))`), the shared base of register and rank. */
+  def md5Hex(value: Column): Column = md5(value.cast("string"))
+
+  /** Per-value HLL register index: the first b/4 hex chars of the md5,
+    * as an integer (conv base 16; the oracle unrolls STRPOS nibbles). */
+  def hllRegister(hex: Column, b: Int): Column = {
+    checkB(b)
+    conv(substring(hex, 1, b / 4), 16, 10).cast("long")
+  }
+
+  /** Per-value HLL rank rho = leading zero BITS of the hex tail after
+    * the register chars + 1, from string arithmetic only (no floating
+    * log, no engine-specific bit intrinsics): strip leading '0' hex
+    * chars, then count the leading zero bits inside the first surviving
+    * nibble via a 4-way CASE. An all-zero tail gets [[MaxRho]]. */
+  def hllRho(hex: Column, b: Int): Column = {
+    checkB(b)
+    val tailLen = 32 - b / 4
+    val t = regexp_replace(substring(hex, b / 4 + 1, tailLen), "^0*", "")
+    val dv = conv(substring(t, 1, 1), 16, 10).cast("int")
+    val nzBits = when(dv >= 8, lit(0)).when(dv >= 4, lit(1))
+      .when(dv >= 2, lit(2)).otherwise(lit(3))
+    when(t === "", lit(MaxRho))
+      .otherwise(least(lit(4) * (lit(tailLen) - length(t)) + nzBits + lit(1),
+        lit(MaxRho)))
+  }
+
+  /** The standard HLL bias constant alpha_m, built from double literals
+    * with the same IEEE expression the SQL oracle uses. */
+  def hllAlpha(m: Int): Double = 0.7213 / (1.0 + 1.079 / m.toDouble)
+
+  /** Grouped HyperLogLog distinct estimate (Flajolet et al. 2007) of
+    * `valueCol` with 2^b registers. Returns one row per group:
+    * `est` (raw HLL estimate — no small-range correction, see below),
+    * `v_zero` (empty registers, the linear-counting input a consumer
+    * needs to decide whether to trust `est`), and the register sum
+    * `z56` (DECIMAL-exact Σ 2^(56-M_j), the mergeable denominator).
+    *
+    * Determinism: register index, rho, max-rank and the power-of-two
+    * denominator are all integer; the estimate is one double multiply
+    * chain + divide of identical operands, so it replays bit-for-bit on
+    * the oracle. The ln-based small-range correction is intentionally
+    * NOT applied — `ln` is not correctly-rounded-portable across libm
+    * implementations; callers with v_zero > 0 and a small estimate
+    * should prefer the exact count (they are in exact-count range). */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      b: Int = 8): DataFrame = {
+    checkB(b)
+    val m = 1 << b
+    val g = groupCols.map(col)
+    val h = md5Hex(col(valueCol))
+    val regs = df
+      .select(g :+ hllRegister(h, b).as("__j") :+ hllRho(h, b).as("__rho"): _*)
+      .groupBy(g :+ col("__j"): _*)
+      .agg(max(col("__rho")).as("__mj"))
+    regs
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("__present"),
+        // 2^(56-Mj) exactly, as BIGINT then DECIMAL (the register sum can
+        // exceed BIGINT at 56-bit scale); shiftleft-by-column needs the
+        // SQL form — the Scala helper only takes literal bit counts
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 56 - __mj) AS DECIMAL(38,0))"))
+          .as("__zp"))
+      .select(g ++ Seq(
+        (lit(hllAlpha(m) * (m.toLong * m.toLong).toDouble) *
+          lit((1L << 56).toDouble) /
+          (col("__zp") + (lit(m.toLong) - col("__present"))
+            .cast("decimal(38,0)") * lit(java.math.BigDecimal.valueOf(1L << 56)))
+            .cast("double")).as("est"),
+        (lit(m.toLong) - col("__present")).cast("long").as("v_zero"),
+        (col("__zp") + (lit(m.toLong) - col("__present")).cast("decimal(38,0)") *
+          lit(java.math.BigDecimal.valueOf(1L << 56))).cast("decimal(38,0)")
+          .as("z56")): _*)
+  }
+
+  /** Count-min counter index for hash row `i`: the first widthBits/4
+    * hex chars of `md5("<i>|<key>")` — `depth` independent hash rows
+    * from one family by key prefixing. */
+  def cmsIndex(keyCol: Column, i: Int, widthBits: Int): Column = {
+    checkB(widthBits)
+    conv(substring(
+      md5Hex(concat(lit(i.toString), lit("|"), keyCol.cast("string"))),
+      1, widthBits / 4), 16, 10).cast("long")
+  }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) of `keyCol`
+    * occurrence counts: `depth` × 2^widthBits counters, returned as one
+    * row per (i, c) with the summed count. Mergeable: counter matrices
+    * from different batches add cell-wise (re-aggregate by (i, c)). */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int = 4,
+      widthBits: Int = 8): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"cms depth $depth outside [1,8]")
+    checkB(widthBits)
+    df.select(
+        explode(array((0 until depth).map { i =>
+          struct(lit(i).as("i"), cmsIndex(col(keyCol), i, widthBits).as("c"))
+        }: _*)).as("__ic"))
+      .groupBy(col("__ic.i").as("i"), col("__ic.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[cmsBuild]] sketch for each
+    * distinct key in `probes(keyCol)`: est = min over hash rows of the
+    * addressed counter — the classic CMS upper bound (est ≥ true count,
+    * overshoot bounded by collisions). Integer-exact end to end. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int = 4, widthBits: Int = 8): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"cms depth $depth outside [1,8]")
+    checkB(widthBits)
+    val addressed = probes.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(array((0 until depth).map { i =>
+          struct(lit(i).as("i"), cmsIndex(col(keyCol), i, widthBits).as("c"))
+        }: _*)).as("__ic"))
+      .select(col(keyCol), col("__ic.i").as("i"), col("__ic.c").as("c"))
+    addressed
+      .join(sketch, Seq("i", "c"))
+      .groupBy(keyCol)
+      .agg(min(col("cnt")).as("est"))
+  }
+}

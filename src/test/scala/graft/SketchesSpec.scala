@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.x.Sketches
+
+/** HLL + count-min contracts: estimator accuracy in its design regime,
+  * CMS's one-sided error, and the mergeability both sketches exist for. */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sfDir
+
+  test("hllDistinct lands within the m=256 error envelope in its regime") {
+    import spark.implicits._
+    // n >> m so the raw (uncorrected) estimator is in its design regime:
+    // 6000 distinct keys vs 256 registers; typical error 1.04/sqrt(256)
+    // ≈ 6.5%, assert a generous 4-sigma band
+    val df = (1 to 6000).map(i => ("g", s"key$i")).toDF("g", "k")
+    val row = Sketches.hllDistinct(df, Seq("g"), "k", b = 8).head()
+    val est = row.getAs[Double]("est")
+    assert(math.abs(est - 6000.0) / 6000.0 < 0.26, s"est $est vs 6000")
+    assert(row.getAs[Long]("v_zero") == 0L)
+  }
+
+  test("hllDistinct is layout-invariant (same registers under any partitioning)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val a = Sketches.hllDistinct(li, Seq("l_returnflag"), "l_partkey")
+      .orderBy("l_returnflag").collect().toSeq
+    val b = Sketches.hllDistinct(li.repartition(7), Seq("l_returnflag"), "l_partkey")
+      .orderBy("l_returnflag").collect().toSeq
+    assert(a == b)
+  }
+
+  test("cms estimates are >= true counts and exact for heavy keys here") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val sketch = Sketches.cmsBuild(ev, "user_id")
+    val truth = ev.groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
+    val probes = truth.orderBy(col("true_cnt").desc, col("user_id")).limit(20)
+    val got = Sketches.cmsEstimate(sketch, probes, "user_id")
+      .join(probes, Seq("user_id"))
+      .select(col("user_id"), col("est"), col("true_cnt"))
+      .collect()
+    // sf0.001 has fewer than 20 distinct users; every probe must resolve
+    assert(got.length == probes.count())
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (est, t) = (r.getLong(1), r.getLong(2))
+      assert(est >= t, s"CMS must never underestimate: $est < $t")
+      // 1000 events over 4x256 counters: collision overshoot stays small
+      assert(est <= t + 100, s"implausible overshoot $est vs $t")
+    }
+  }
+
+  test("cms counter matrices merge by cell-wise re-aggregation") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val full = Sketches.cmsBuild(ev, "user_id")
+    val lo = Sketches.cmsBuild(ev.filter(col("event_id") % 2 === 0), "user_id")
+    val hi = Sketches.cmsBuild(ev.filter(col("event_id") % 2 === 1), "user_id")
+    val merged = lo.unionByName(hi).groupBy("i", "c").agg(sum("cnt").as("cnt"))
+    val diff = merged.join(full, Seq("i", "c"), "full_outer")
+      .filter(not(merged("cnt") <=> full("cnt")))
+    assert(diff.count() == 0)
+  }
+}
