@@ -1377,6 +1377,59 @@ object SparkEntry {
           col("true_cnt").cast("long").as("true_cnt"))
         .orderBy("user_id")
     }),
+    // Hilbert-curve clustered layout (the locality-tighter sibling of
+    // x26's z-order): a codegen'd integer state machine, exercised through
+    // its registered SQL surface; per-zone coordinate ranges SHOW the
+    // clustering the layout buys at file-skipping time
+    "x126_hilbert_layout" -> sqlX("""
+      WITH cells AS (
+        SELECT pmod(l_partkey, 1024) AS cx, pmod(l_suppkey, 1024) AS cy,
+               hilbert_idx(pmod(l_partkey, 1024), pmod(l_suppkey, 1024), 10) AS d
+        FROM lineitem)
+      SELECT shiftright(d, 14) AS zone, CAST(COUNT(*) AS BIGINT) AS cnt,
+             MIN(d) AS min_d, MAX(d) AS max_d,
+             MIN(cx) AS min_cx, MAX(cx) AS max_cx,
+             MIN(cy) AS min_cy, MAX(cy) AS max_cy
+      FROM cells GROUP BY 1 ORDER BY zone"""),
+    // marketing-style last-touch attribution: each purchase credited to
+    // the user's most recent prior non-purchase event within 7 days —
+    // one user-keyed window, no self-join
+    "x127_attribution" -> ((s, dir) => {
+      reg(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sevenDaysUs = 7L * 86400L * 1000000L
+      val withPrior = s.table("events").withColumn("prior",
+        last(when(col("event_type") =!= "purchase",
+            struct(col("ts").as("pts"), col("event_id").as("pid"),
+              col("event_type").as("ptype"))),
+          ignoreNulls = true).over(w))
+      val inWindow = col("prior").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("prior.pts")) <= sevenDaysUs
+      withPrior.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          when(inWindow, col("prior.pid")).as("touch_id"),
+          when(inWindow, col("prior.ptype")).as("touch_type"),
+          when(inWindow, unix_micros(col("ts")) - unix_micros(col("prior.pts")))
+            .as("gap_us"))
+        .orderBy("event_id")
+    }),
+    // the HLL persist-and-merge pattern x124's registers exist for:
+    // per-day register rows re-aggregated (max per (type, j)) into the
+    // full-period sketch — merging never rescans the events
+    "x128_hll_daily_merge" -> ((s, dir) => {
+      reg(s, dir)
+      val ev = s.table("events").withColumn("day", to_date(col("ts")))
+      val daily = Sketches.hllRegisters(ev, Seq("event_type", "day"), "user_id")
+      val merged = daily.groupBy(col("event_type"), col("__j"))
+        .agg(max(col("__mj")).as("__mj"))
+      Sketches.hllEstimateFromRegisters(merged, Seq("event_type"))
+        .join(s.table("events").groupBy("event_type")
+          .agg(countDistinct("user_id").cast("long").as("exact")), Seq("event_type"))
+        .select(col("event_type"), col("est"), col("v_zero"), col("exact"))
+        .orderBy("event_type")
+    }),
     // correlated LATERAL subquery (Tier B): per-nation top-2 customers —
     // the dependent-join surface q16's scalar subqueries don't cover
     "q41_lateral_topn" -> sqlQ("""
@@ -2667,6 +2720,53 @@ object SparkEntry {
     val h = s"MD5(CONCAT(CAST($i AS VARCHAR), '|', CAST($key AS VARCHAR)))"
     s"(16 * ${hexNibbleSql(s"SUBSTR($h, 1, 1)")} + ${hexNibbleSql(s"SUBSTR($h, 2, 1)")})"
   }
+
+  /** [[graft.x.Sketches.hllRegisters]] in DuckDB: the hs→nz→reg CTE chain
+    * (md5 hex → register j + zero-stripped tail → leading-zero-bit rank).
+    * `selectCols` may alias (e.g. `CAST(ts AS DATE) AS day`); `carryCols`
+    * are the resulting plain names carried through nz/reg. */
+  private def hllRegSql(fromSql: String, selectCols: String,
+      carryCols: String, valueExpr: String): String =
+    s"""hs AS (SELECT $selectCols, MD5(CAST($valueExpr AS VARCHAR)) AS h
+       FROM $fromSql),
+      nz AS (SELECT $carryCols,
+        (16 * ${hexNibbleSql("SUBSTR(h, 1, 1)")}
+            + ${hexNibbleSql("SUBSTR(h, 2, 1)")}) AS j,
+        REGEXP_REPLACE(SUBSTR(h, 3, 30), '^0*', '') AS t FROM hs),
+      reg AS (SELECT $carryCols, j,
+        CASE WHEN t = '' THEN 48 ELSE LEAST(
+          4 * (30 - LENGTH(t)) +
+          (CASE WHEN ${hexNibbleSql("SUBSTR(t, 1, 1)")} >= 8 THEN 0
+                WHEN ${hexNibbleSql("SUBSTR(t, 1, 1)")} >= 4 THEN 1
+                WHEN ${hexNibbleSql("SUBSTR(t, 1, 1)")} >= 2 THEN 2
+                ELSE 3 END) + 1, 48) END AS rho FROM nz)"""
+
+  /** The HLL estimate over columns `zp`/`present` — textually ONE IEEE
+    * expression, kept identical to `Sketches.hllEstimateFromRegisters`. */
+  private val hllEstSql: String =
+    "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+      "CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)) " +
+      "* CAST(65536.0 AS DOUBLE)) * CAST(72057594037927936.0 AS DOUBLE) " +
+      s"/ CAST(zp + CAST(256 - present AS DECIMAL(38,0)) * " +
+      s"CAST(${1L << 56} AS DECIMAL(38,0)) AS DOUBLE)"
+
+  /** [[graft.functions.HilbertIndex]] in DuckDB: the xy2d walk unrolled
+    * to `bits` CTE rounds r1..r{bits} over state (x, y, d) seeded by r0;
+    * each round reads the PREVIOUS round's row, so the conditional swap
+    * and the d increment use the same pre-round values the loop does. */
+  private def hilbertRoundsSql(bits: Int): String =
+    (0 until bits).map { k =>
+      val s = 1L << (bits - 1 - k)
+      s"""r${k + 1} AS (SELECT cx, cy,
+        CASE WHEN (y & $s) = 0 THEN
+          (CASE WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END) ELSE x END AS x,
+        CASE WHEN (y & $s) = 0 THEN
+          (CASE WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END) ELSE y END AS y,
+        d + ${s * s} * CAST(xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+                                (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END))
+                       AS BIGINT) AS d
+        FROM r$k)"""
+    }.mkString(",\n      ")
 
   private def polySql(e: String): String =
     s"(CASE WHEN $e = '' THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -4861,40 +4961,80 @@ object SparkEntry {
     // register, leading-zero-bit rank from string arithmetic, DECIMAL
     // power-of-two denominator and one shared IEEE estimate expression
     "x124_hll_distinct" -> s"""
-      WITH hs AS (
-        SELECT l_returnflag, MD5(CAST(l_partkey AS VARCHAR)) AS h
-        FROM lineitem),
-      nz AS (
-        SELECT l_returnflag,
-               (16 * ${hexNibbleSql("SUBSTR(h, 1, 1)")}
-                   + ${hexNibbleSql("SUBSTR(h, 2, 1)")}) AS j,
-               REGEXP_REPLACE(SUBSTR(h, 3, 30), '^0*', '') AS t
-        FROM hs),
-      reg AS (
-        SELECT l_returnflag, j,
-               CASE WHEN t = '' THEN 48 ELSE LEAST(
-                 4 * (30 - LENGTH(t)) +
-                 (CASE WHEN ${hexNibbleSql("SUBSTR(t, 1, 1)")} >= 8 THEN 0
-                       WHEN ${hexNibbleSql("SUBSTR(t, 1, 1)")} >= 4 THEN 1
-                       WHEN ${hexNibbleSql("SUBSTR(t, 1, 1)")} >= 2 THEN 2
-                       ELSE 3 END) + 1, 48) END AS rho
-        FROM nz),
+      WITH ${hllRegSql("lineitem", "l_returnflag", "l_returnflag", "l_partkey")},
       mj AS (SELECT l_returnflag, j, MAX(rho) AS mj FROM reg GROUP BY 1, 2),
       z AS (SELECT l_returnflag, COUNT(*) AS present,
               SUM(CAST((CAST(1 AS BIGINT) << (56 - mj)) AS DECIMAL(38,0))) AS zp
             FROM mj GROUP BY 1),
       ex AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact
              FROM lineitem GROUP BY 1)
-      SELECT z.l_returnflag,
-        (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
-           CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
-         * CAST(65536.0 AS DOUBLE)) * CAST(72057594037927936.0 AS DOUBLE)
-         / CAST(zp + CAST(256 - present AS DECIMAL(38,0)) *
-                CAST(${1L << 56} AS DECIMAL(38,0)) AS DOUBLE) AS est,
+      SELECT z.l_returnflag, $hllEstSql AS est,
         CAST(256 - present AS BIGINT) AS v_zero,
         CAST(ex.exact AS BIGINT) AS exact
       FROM z JOIN ex USING (l_returnflag)
       ORDER BY l_returnflag""",
+
+    // the same register pipeline built PER DAY first, then merged by
+    // max(mj) — must equal the direct sketch, and the estimate expression
+    // is the shared one
+    "x128_hll_daily_merge" -> s"""
+      WITH ${hllRegSql("events", "event_type, CAST(ts AS DATE) AS day",
+        "event_type, day", "user_id")},
+      mjd AS (SELECT event_type, day, j, MAX(rho) AS mj
+              FROM reg GROUP BY 1, 2, 3),
+      mj AS (SELECT event_type, j, MAX(mj) AS mj FROM mjd GROUP BY 1, 2),
+      z AS (SELECT event_type, COUNT(*) AS present,
+              SUM(CAST((CAST(1 AS BIGINT) << (56 - mj)) AS DECIMAL(38,0))) AS zp
+            FROM mj GROUP BY 1),
+      ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact
+             FROM events GROUP BY 1)
+      SELECT z.event_type, $hllEstSql AS est,
+        CAST(256 - present AS BIGINT) AS v_zero,
+        CAST(ex.exact AS BIGINT) AS exact
+      FROM z JOIN ex USING (event_type)
+      ORDER BY event_type""",
+
+    // the xy2d walk unrolled to 10 CTE rounds — same per-round masks,
+    // rotations and d increments as the codegen'd expression
+    "x126_hilbert_layout" -> s"""
+      WITH r0 AS (
+        SELECT (l_partkey % 1024) AS cx, (l_suppkey % 1024) AS cy,
+               (l_partkey % 1024) AS x, (l_suppkey % 1024) AS y,
+               CAST(0 AS BIGINT) AS d
+        FROM lineitem),
+      ${hilbertRoundsSql(10)}
+      SELECT (d >> 14) AS zone, CAST(COUNT(*) AS BIGINT) AS cnt,
+             MIN(d) AS min_d, MAX(d) AS max_d,
+             MIN(cx) AS min_cx, MAX(cx) AS max_cx,
+             MIN(cy) AS min_cy, MAX(cy) AS max_cy
+      FROM r10 GROUP BY 1 ORDER BY zone""",
+
+    // same window (user-keyed, (ts, event_id) order, rows to 1 preceding),
+    // same 7-day micros cutoff, IGNORE NULLS carry of the last non-purchase
+    "x127_attribution" -> """
+      WITH t AS (
+        SELECT event_id, user_id, event_type, ts,
+          LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_id END
+            IGNORE NULLS) OVER w AS pid,
+          LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+            IGNORE NULLS) OVER w AS ptype,
+          LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END
+            IGNORE NULLS) OVER w AS pts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id,
+        CASE WHEN pts IS NOT NULL
+              AND epoch_us(ts) - epoch_us(pts) <= 604800000000
+             THEN pid END AS touch_id,
+        CASE WHEN pts IS NOT NULL
+              AND epoch_us(ts) - epoch_us(pts) <= 604800000000
+             THEN ptype END AS touch_type,
+        CASE WHEN pts IS NOT NULL
+              AND epoch_us(ts) - epoch_us(pts) <= 604800000000
+             THEN epoch_us(ts) - epoch_us(pts) END AS gap_us
+      FROM t WHERE event_type = 'purchase'
+      ORDER BY event_id""",
 
     // identical counter matrix: same prefixed hash per depth row, same
     // high-8-bit counter index, same min-over-rows estimate — BIGINTs only

@@ -60,6 +60,13 @@ object GraftFunctions {
         If(EqualTo(denom, Literal(0.0)), Literal.create(null, DoubleType),
           Divide(DotProductFloat(es.head, es(1)), denom)) }),
 
+    (FunctionIdentifier("hilbert_idx"),
+      info("hilbert_idx",
+        "hilbert_idx(x, y, bits) - Hilbert curve index of a 2-D cell (layout clustering)"),
+      es => { arity("hilbert_idx", 3, es)
+        require(es(2).foldable, "hilbert_idx bits must be a literal")
+        HilbertIndex(es.head, es(1), es(2).eval().asInstanceOf[Number].intValue) }),
+
     (FunctionIdentifier("hamming64"),
       info("hamming64", "hamming64(bigint, bigint) - Hamming distance between 64-bit signatures"),
       es => { arity("hamming64", 2, es); BitwiseCount(BitwiseXor(es.head, es(1))) }),

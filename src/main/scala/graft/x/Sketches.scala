@@ -95,15 +95,33 @@ object Sketches {
     * implementations; callers with v_zero > 0 and a small estimate
     * should prefer the exact count (they are in exact-count range). */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      b: Int = 8): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, groupCols, valueCol, b), groupCols, b)
+
+  /** The register rows themselves: one (group, register j, max-rank mj)
+    * row per occupied register — the PERSISTABLE form of the sketch.
+    * Store these per day/batch/segment; sketches over any union of
+    * segments come from re-aggregating `max(mj)` by (group, j) — max
+    * re-associates losslessly, so merging never rescans the data
+    * ([[hllEstimateFromRegisters]] accepts the re-aggregated rows
+    * directly). ≤ 2^b rows per group regardless of input size. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      b: Int = 8): DataFrame = {
+    checkB(b)
+    val g = groupCols.map(col)
+    val h = md5Hex(col(valueCol))
+    df.select(g :+ hllRegister(h, b).as("__j") :+ hllRho(h, b).as("__rho"): _*)
+      .groupBy(g :+ col("__j"): _*)
+      .agg(max(col("__rho")).as("__mj"))
+  }
+
+  /** Estimate from [[hllRegisters]] rows (possibly merged across
+    * segments by max-re-aggregation on (group, __j)). */
+  def hllEstimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
       b: Int = 8): DataFrame = {
     checkB(b)
     val m = 1 << b
     val g = groupCols.map(col)
-    val h = md5Hex(col(valueCol))
-    val regs = df
-      .select(g :+ hllRegister(h, b).as("__j") :+ hllRho(h, b).as("__rho"): _*)
-      .groupBy(g :+ col("__j"): _*)
-      .agg(max(col("__rho")).as("__mj"))
     regs
       .groupBy(g: _*)
       .agg(

@@ -52,6 +52,19 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("per-day HLL registers merged by max equal the direct sketch") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("day", to_date(col("ts").cast("timestamp")))
+    val daily = Sketches.hllRegisters(ev, Seq("event_type", "day"), "user_id")
+    val merged = daily.groupBy(col("event_type"), col("__j"))
+      .agg(max(col("__mj")).as("__mj"))
+    val viaMerge = Sketches.hllEstimateFromRegisters(merged, Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    val direct = Sketches.hllDistinct(ev, Seq("event_type"), "user_id")
+      .orderBy("event_type").collect().toSeq
+    assert(viaMerge == direct)
+  }
+
   test("cms counter matrices merge by cell-wise re-aggregation") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$sf/events.parquet")
