@@ -1430,6 +1430,55 @@ object SparkEntry {
         .select(col("event_type"), col("est"), col("v_zero"), col("exact"))
         .orderBy("event_type")
     }),
+    // equal-frequency feature binning: NTILE over a deterministic total
+    // order — the bucketizer a training pipeline fits per feature; bin
+    // boundaries come out with the counts
+    "x129_quantile_binning" -> sqlQ("""
+      WITH binned AS (
+        SELECT l_returnflag,
+               NTILE(10) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin,
+               l_extendedprice
+        FROM lineitem)
+      SELECT l_returnflag, CAST(bin AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      FROM binned GROUP BY l_returnflag, bin
+      ORDER BY l_returnflag, bin"""),
+    // smoothed target encoding (mean encoding with an m-estimate prior):
+    // the standard categorical feature for tabular models; all divisions
+    // are one IEEE expression over exact BIGINT counts so the encodings
+    // replay bit-for-bit
+    "x130_target_encoding" -> sqlQ("""
+      WITH joined AS (
+        SELECT p.p_brand,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS hit
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      prior AS (
+        SELECT CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p
+        FROM joined),
+      agg AS (
+        SELECT p_brand, CAST(SUM(hit) AS BIGINT) AS hits,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM joined GROUP BY p_brand)
+      SELECT a.p_brand, a.hits, a.cnt,
+             (CAST(a.hits AS DOUBLE) + CAST(50.0 AS DOUBLE) * pr.p) /
+             (CAST(a.cnt AS DOUBLE) + CAST(50.0 AS DOUBLE)) AS encoded
+      FROM agg a CROSS JOIN prior pr
+      ORDER BY p_brand"""),
+    // recency-weighted engagement: per-user score Σ 2^(55 - age_days) —
+    // exponential half-life-one-day decay in EXACT power-of-two integers
+    // (DECIMAL sum), the feature-store recency signal with no float drift
+    "x131_decayed_engagement" -> sqlQ("""
+      SELECT user_id,
+        CAST(SUM(CAST(SHIFTLEFT(CAST(1 AS BIGINT),
+          55 - LEAST(DATEDIFF((SELECT MAX(CAST(ts AS DATE)) FROM events),
+                              CAST(ts AS DATE)), 55))
+          AS DECIMAL(38,0))) AS STRING) AS score56,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""),
     // correlated LATERAL subquery (Tier B): per-nation top-2 customers —
     // the dependent-join surface q16's scalar subqueries don't cover
     "q41_lateral_topn" -> sqlQ("""
@@ -5055,6 +5104,52 @@ object SparkEntry {
       SELECT e.user_id, CAST(e.est AS BIGINT) AS est,
              CAST(p.true_cnt AS BIGINT) AS true_cnt
       FROM est e JOIN probes p USING (user_id)
+      ORDER BY user_id""",
+
+    // identical NTILE semantics (equal heights, remainder to the first
+    // buckets) over the same deterministic total order
+    "x129_quantile_binning" -> """
+      WITH binned AS (
+        SELECT l_returnflag,
+               NTILE(10) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin,
+               l_extendedprice
+        FROM lineitem)
+      SELECT l_returnflag, CAST(bin AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      FROM binned GROUP BY l_returnflag, bin
+      ORDER BY l_returnflag, bin""",
+
+    // same BIGINT counts, same single IEEE smoothing expression
+    "x130_target_encoding" -> """
+      WITH joined AS (
+        SELECT p.p_brand,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS hit
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      prior AS (
+        SELECT CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p
+        FROM joined),
+      agg AS (
+        SELECT p_brand, CAST(SUM(hit) AS BIGINT) AS hits,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM joined GROUP BY p_brand)
+      SELECT a.p_brand, a.hits, a.cnt,
+             (CAST(a.hits AS DOUBLE) + CAST(50.0 AS DOUBLE) * pr.p) /
+             (CAST(a.cnt AS DOUBLE) + CAST(50.0 AS DOUBLE)) AS encoded
+      FROM agg a CROSS JOIN prior pr
+      ORDER BY p_brand""",
+
+    // same power-of-two decay sum (DuckDB datediff takes the unit first)
+    "x131_decayed_engagement" -> """
+      SELECT user_id,
+        CAST(SUM(CAST((CAST(1 AS BIGINT) <<
+          (55 - LEAST(DATEDIFF('day', CAST(ts AS DATE),
+                      (SELECT MAX(CAST(ts AS DATE)) FROM events)), 55)))
+          AS DECIMAL(38,0))) AS VARCHAR) AS score56,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events
+      GROUP BY user_id
       ORDER BY user_id""",
 
     // DuckDB's native LATERAL over the same correlated top-2
