@@ -705,6 +705,53 @@ object ScaleProbe {
       }
     }
 
+    // HLL probe: values inflate, the SHUFFLE stays ≤ m register rows per
+    // group — the whole point of the sketch. Wall time must be scan-bound
+    // linear while the post-shuffle row count stays constant at m, and the
+    // estimate must stay inside the 1.04/sqrt(m) envelope as n grows.
+    if (on("hll")) {
+      import graft.x.Sketches
+      Seq(1, 4, 16).foreach { k =>
+        val inflated = spark.range(200000L * k).select(
+          (col("id") % 4).cast("string").as("g"),
+          concat(lit("v"), (col("id") / 4).cast("long").cast("string")).as("v"))
+          .repartition(32).localCheckpoint(true)
+        val n = inflated.count()
+        val t0 = System.nanoTime()
+        val regs = Sketches.hllRegisters(inflated, Seq("g"), "v")
+          .localCheckpoint(true)
+        val regRows = regs.count()
+        val ests = Sketches.hllEstimateFromRegisters(regs, Seq("g"))
+          .select("est").collect().map(_.getDouble(0))
+        val trueCard = 50000.0 * k
+        val worstErr = ests.map(e => math.abs(e - trueCard) / trueCard).max
+        println(f"[scale-hll] values=$n%8d  sketch=${(System.nanoTime() - t0) / 1e9}%6.2fs  " +
+          f"reg_rows=$regRows%5d (cap ${4 * 256})  worst_rel_err=$worstErr%.4f")
+        spark.catalog.clearCache()
+      }
+    }
+
+    // Hilbert layout probe: index cost is a per-row constant (one codegen
+    // loop, no shuffle until the layout sort), so indexing K× the rows
+    // must be linear; the sort is the same exchange any layout write pays.
+    if (on("hilbert")) {
+      import graft.functions.HilbertIndex.hilbertIdx
+      Seq(1, 4, 16).foreach { k =>
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val inflated = (0 until k).map(i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+          .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+        val n = inflated.count()
+        val t0 = System.nanoTime()
+        val zones = inflated.select(
+            hilbertIdx(pmod(col("l_partkey"), lit(1024)),
+              pmod(col("l_suppkey"), lit(1024)), 10).as("d"))
+          .groupBy(shiftright(col("d"), 14).as("zone")).count().count()
+        println(f"[scale-hilbert] rows=$n%8d  index+zone=${(System.nanoTime() - t0) / 1e9}%6.2fs  zones=$zones")
+        spark.catalog.clearCache()
+      }
+    }
+
     // triangle probe: K disjoint copies of the co-purchase graph. Wedge
     // count under the degree orientation is a per-copy invariant, so both
     // wedges and wall time must track K linearly — superlinear growth
