@@ -1479,6 +1479,32 @@ object SparkEntry {
       FROM events
       GROUP BY user_id
       ORDER BY user_id"""),
+    // join-key skew diagnosis: the measurement behind the salting
+    // decision — skew_ratio is the direct input to the salt factor R
+    "x132_key_skew" -> ((s, dir) => {
+      reg(s, dir)
+      Profiler.keySkew(s.table("lineitem"),
+          Seq("l_partkey", "l_suppkey", "l_returnflag"))
+        .orderBy("key_col")
+    }),
+    // salting correctness: the R=8-salted join must produce EXACTLY the
+    // plain join's rows (the oracle runs the unsalted join) — the
+    // mitigation changes the shuffle, never the answer
+    "x133_salted_join" -> ((s, dir) => {
+      reg(s, dir)
+      import graft.operators.SkewJoin
+      import graft.functions.PolyHash56
+      val big = s.table("lineitem")
+      val small = s.table("supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      SkewJoin.saltedInnerJoin(big, small, Seq("l_suppkey"), r = 8,
+          bigSalt = PolyHash56(concat(col("l_orderkey").cast("string"),
+            lit(":"), col("l_linenumber").cast("string"))))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("s_nationkey")
+    }),
     // correlated LATERAL subquery (Tier B): per-nation top-2 customers —
     // the dependent-join surface q16's scalar subqueries don't cover
     "q41_lateral_topn" -> sqlQ("""
@@ -5151,6 +5177,52 @@ object SparkEntry {
       FROM events
       GROUP BY user_id
       ORDER BY user_id""",
+
+    // same exact counts, same single IEEE divisions, same smallest-key
+    // tie-break for the hot key
+    "x132_key_skew" -> """
+      WITH stats AS (
+        SELECT key_col, SUM(cnt) AS n, COUNT(*) AS nd, MAX(cnt) AS mx,
+               SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))) AS sq
+        FROM (
+          SELECT 'l_partkey' AS key_col, CAST(l_partkey AS VARCHAR) AS k,
+                 COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2
+          UNION ALL
+          SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR), COUNT(*)
+          FROM lineitem GROUP BY 1, 2
+          UNION ALL
+          SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR), COUNT(*)
+          FROM lineitem GROUP BY 1, 2)
+        GROUP BY key_col),
+      tops AS (
+        SELECT c.key_col, MIN(c.k) AS top_key
+        FROM (
+          SELECT 'l_partkey' AS key_col, CAST(l_partkey AS VARCHAR) AS k,
+                 COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2
+          UNION ALL
+          SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR), COUNT(*)
+          FROM lineitem GROUP BY 1, 2
+          UNION ALL
+          SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR), COUNT(*)
+          FROM lineitem GROUP BY 1, 2) c
+        JOIN stats s ON c.key_col = s.key_col AND c.cnt = s.mx
+        GROUP BY c.key_col)
+      SELECT s.key_col, CAST(s.n AS BIGINT) AS n, CAST(s.nd AS BIGINT) AS n_distinct,
+             t.top_key,
+             CAST(s.mx AS DOUBLE) / CAST(s.n AS DOUBLE) AS top_share,
+             CAST(s.sq AS DOUBLE) /
+               CAST(CAST(s.n AS DECIMAL(38,0)) * CAST(s.n AS DECIMAL(38,0)) AS DOUBLE) AS hhi,
+             CAST(s.mx AS DOUBLE) * CAST(s.nd AS DOUBLE) / CAST(s.n AS DOUBLE) AS skew_ratio
+      FROM stats s JOIN tops t USING (key_col)
+      ORDER BY key_col""",
+
+    // the PLAIN join — the salted implementation must reproduce it exactly
+    "x133_salted_join" -> """
+      SELECT s.s_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey
+      ORDER BY s.s_nationkey""",
 
     // DuckDB's native LATERAL over the same correlated top-2
     "q41_lateral_topn" -> """

@@ -407,4 +407,45 @@ object Profiler {
         col("contrib").cast("double").as("contrib"),
         col("__psi").cast("double").as("psi"))
   }
+
+  /** Join-key skew diagnosis — the measurement BEHIND the salting
+    * decision: for each candidate key column, the frequency concentration
+    * of its values. `skew_ratio` = max key frequency over mean frequency
+    * (how many times fatter the hottest shuffle partition's key is than
+    * average — the direct input to choosing a salt factor R ≈ ratio);
+    * `hhi` = Herfindahl index Σ(cnt/n)² (1/hhi ≈ effective number of
+    * keys); `top_share` = the hot key's share of all rows. All counts are
+    * exact BIGINTs (Σcnt² stays DECIMAL-exact), divisions are single IEEE
+    * expressions, `top_key` ties break to the smallest key string.
+    *
+    * Shape at 100 TB: one groupBy per column (the same shuffle the join
+    * under diagnosis would pay) feeding a scalar agg — run it on a sample
+    * or reuse it as the join's own dry-run statistics pass. */
+  def keySkew(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "keySkew needs at least one column")
+    cols.map { c =>
+      val counts = df.groupBy(col(c).cast("string").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(
+        sum("cnt").as("n"),
+        count(lit(1)).as("nd"),
+        max("cnt").as("mx"),
+        sum(col("cnt").cast("decimal(38,0)") * col("cnt").cast("decimal(38,0)"))
+          .as("sq"))
+      val top = counts.join(broadcast(stats.select(col("mx"))),
+          col("cnt") === col("mx"))
+        .agg(min("k").as("top_key"))
+      stats.crossJoin(broadcast(top)).select(
+        lit(c).as("key_col"),
+        col("n").cast("long").as("n"),
+        col("nd").cast("long").as("n_distinct"),
+        col("top_key"),
+        (col("mx").cast("double") / col("n").cast("double")).as("top_share"),
+        (col("sq").cast("double") /
+          (col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)"))
+            .cast("double")).as("hhi"),
+        (col("mx").cast("double") * col("nd").cast("double") /
+          col("n").cast("double")).as("skew_ratio"))
+    }.reduce(_ unionByName _)
+  }
 }
