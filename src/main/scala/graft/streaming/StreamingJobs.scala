@@ -292,4 +292,41 @@ object StreamingJobs {
         SinkWriter.write(batch.sparkSession, batch, sink)
       }
       .start()
+
+  /** Streaming distinct-count via HLL registers: each micro-batch's
+    * register rows ([[graft.x.Sketches.hllRegisters]]) are merged into a
+    * parquet register STORE by `max(mj)` per (group, j) — the idempotent,
+    * lossless merge the register representation exists for. State is the
+    * store itself (≤ groups × 2^b rows), NOT streaming state: no
+    * watermark needed, the merge is associative and commutative, and a
+    * replayed batch can only re-assert maxima it already set, so the
+    * store is exactly-once-correct under at-least-once foreachBatch
+    * (contrast a count store, where replays double-count — the same
+    * reasoning as the SCD2 foreachBatch merge above).
+    * [[graft.x.Sketches.hllEstimateFromRegisters]] over the store gives
+    * the running estimate at any time, equal to the batch sketch of
+    * everything ingested so far. */
+  def startHllRegisterStore(stream: DataFrame, groupCols: Seq[String],
+      valueCol: String, storeDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val incoming = graft.x.Sketches.hllRegisters(batch, groupCols, valueCol)
+        val merged =
+          if (new java.io.File(storeDir).exists()) {
+            val prior = spark.read.parquet(storeDir)
+            prior.unionByName(incoming)
+              .groupBy((groupCols :+ "__j").map(col): _*)
+              .agg(max(col("__mj")).as("__mj"))
+          } else incoming
+        // two-phase write: registers are tiny, so rewrite-in-place via a
+        // staged temp dir keeps the store readable mid-stream
+        val tmp = storeDir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(storeDir)
+      }
+      .start()
 }

@@ -275,6 +275,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(high > 0.25, s"shifted batch must flag, got $high")
   }
 
+  test("streaming HLL register store equals the batch sketch after all batches") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val store = Files.createTempDirectory("graft-hllstore").resolve("regs").toString
+    val ckpt = Files.createTempDirectory("graft-hllckpt").toString
+    val stream = StreamingJobs.fileStream(spark, eventsDir, batchDf.schema,
+      maxFilesPerTrigger = 1) // several micro-batches → real cross-batch merge
+    val q = StreamingJobs.startHllRegisterStore(stream, Seq("event_type"),
+      "user_id", store, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = graft.x.Sketches.hllEstimateFromRegisters(
+        spark.read.parquet(store), Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    val direct = graft.x.Sketches.hllDistinct(batchDf, Seq("event_type"), "user_id")
+      .orderBy("event_type").collect().toSeq
+    assert(streamed == direct)
+  }
+
   test("stream-stream interval join matches the equivalent batch join") {
     val batchDf = spark.read.parquet(eventsDir)
     // left: purchases; right: views by the same user within the 5 minutes
