@@ -1505,6 +1505,30 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy("s_nationkey")
     }),
+    // deterministic synchronous label propagation over the part-supplier
+    // bipartite graph: 3 rounds, most-frequent-neighbor-label with
+    // smallest-label tie-break — community detection a pipeline can replay
+    "x134_label_propagation" -> ((s, dir) => {
+      reg(s, dir)
+      val edges = s.table("lineitem").select(col("l_partkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst")).distinct()
+      Graph.labelPropagation(edges, "src", "dst", iters = 3)
+        .select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("label"))
+        .orderBy("node")
+    }),
+    // rendezvous (highest-random-weight) routing: stable shard assignment
+    // under topology change — hash(id) mod N moves ~everything when N
+    // grows; HRW moves only the new shard's winners
+    "x135_rendezvous_routing" -> ((s, dir) => {
+      reg(s, dir)
+      val routed = s.table("documents")
+        .select(col("doc_id"), Sampling.rendezvousShard(col("doc_id"), 8).as("shard"))
+      routed.groupBy("shard")
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")
+    }),
     // correlated LATERAL subquery (Tier B): per-nation top-2 customers —
     // the dependent-join surface q16's scalar subqueries don't cover
     "q41_lateral_topn" -> sqlQ("""
@@ -2842,6 +2866,23 @@ object SparkEntry {
                        AS BIGINT) AS d
         FROM r$k)"""
     }.mkString(",\n      ")
+
+  /** First `chars` md5 hex chars as a BIGINT (Horner over nibbles) — the
+    * DuckDB twin of Spark's `conv(substring(md5(e), 1, chars), 16, 10)`. */
+  private def hexIntSql(h: String, chars: Int): String =
+    (2 to chars).map(i => hexNibbleSql(s"SUBSTR($h, $i, 1)"))
+      // BIGINT seed so the Horner chain can't overflow 32-bit integers
+      .foldLeft(s"CAST(${hexNibbleSql(s"SUBSTR($h, 1, 1)")} AS BIGINT)")(
+        (acc, nib) => s"($acc * 16 + $nib)")
+
+  /** One synchronous LPA round (see x134): count neighbor labels, take
+    * the (count desc, label asc) argmax per node. */
+  private def lpaRoundSql(i: Int): String =
+    s"""n$i AS (SELECT e.src AS node, l${i - 1}.label, COUNT(*) AS c
+        FROM e JOIN l${i - 1} ON e.dst = l${i - 1}.node GROUP BY 1, 2),
+      l$i AS (SELECT node, label FROM (
+        SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+          ORDER BY c DESC, label) AS rn FROM n$i) WHERE rn = 1)"""
 
   private def polySql(e: String): String =
     s"(CASE WHEN $e = '' THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -5223,6 +5264,32 @@ object SparkEntry {
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY s.s_nationkey
       ORDER BY s.s_nationkey""",
+
+    // identical synchronous rounds unrolled as CTEs: same undirected edge
+    // set, same most-frequent/smallest-label argmax per round
+    "x134_label_propagation" -> s"""
+      WITH d AS (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+                 FROM lineitem),
+      e AS (SELECT src, dst FROM d UNION SELECT dst, src FROM d),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+      ${(1 to 3).map(lpaRoundSql).mkString(",\n      ")}
+      SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+      FROM l3 ORDER BY node""",
+
+    // same per-(id, shard) md5 weights, same (weight desc, shard) argmax
+    "x135_rendezvous_routing" -> s"""
+      WITH w AS (
+        SELECT d.doc_id, t.s,
+          ${hexIntSql(
+            "MD5(CONCAT(CAST(d.doc_id AS VARCHAR), ':shard', CAST(t.s AS VARCHAR)))",
+            8)} AS wt
+        FROM documents d CROSS JOIN range(8) t(s)),
+      a AS (SELECT doc_id, s FROM (
+        SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY wt DESC, s) AS rn FROM w) WHERE rn = 1)
+      SELECT CAST(s AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS cnt,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM a GROUP BY 1 ORDER BY shard""",
 
     // DuckDB's native LATERAL over the same correlated top-2
     "q41_lateral_topn" -> """

@@ -289,4 +289,51 @@ object Graph {
       .select(col("v").as("node"), col("deg").cast("long").as("deg"),
         col("triangles").cast("long").as("triangles"), col("coeff"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection, made fully DETERMINISTIC: labels start as node ids; each
+    * round EVERY node simultaneously takes the most frequent label among
+    * its neighbors (undirected view), ties broken by the smallest label.
+    * Classic LPA breaks ties randomly and updates asynchronously — fine
+    * for exploration, useless for a reproducible pipeline; synchronous
+    * min-tie-break makes the round a pure function of the previous
+    * labeling, so any engine/layout replays it bit-for-bit (the oracle
+    * unrolls the rounds as CTEs, same discipline as [[pageRank]]).
+    *
+    * Scale shape per round: one neighbor-keyed equi-join of labels to the
+    * staged undirected edge list (same key every round — bucket edges
+    * once on a cluster), one (node, label) count agg, one per-node
+    * WindowGroupLimit argmax. Labels re-stage per round to cut lineage;
+    * nothing reaches the driver. `iters` is a fixed budget, not a
+    * convergence loop — LPA oscillates on bipartite structures under
+    * synchronous update, so a fixed round count is the reproducible
+    * choice (and what an at-scale run does anyway). */
+  def labelPropagation(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3,
+      staging: Staging = Staging.LocalCheckpoint): DataFrame = {
+    require(iters >= 1, s"labelPropagation needs iters >= 1, got $iters")
+    val directed = edgesIn.filter(col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+    val edges = staging.stage(
+      directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(), "lpa-edges")
+    val nodes = staging.stage(
+      edges.select(col("src").as("node")).distinct(), "lpa-nodes")
+    var labels = nodes.withColumn("label", col("node"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("__c").desc, col("label").asc)
+    for (i <- 1 to iters) {
+      val counted = edges
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      labels = staging.stage(
+        counted.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("node"), col("label")),
+        s"lpa-labels-$i")
+    }
+    labels
+  }
 }

@@ -301,4 +301,33 @@ object Sampling {
     df.withColumn("phase", ntile(nPhases).over(w))
       .withColumn("pct_rank", percent_rank().over(w))
   }
+
+  /** Rendezvous (highest-random-weight) shard routing: each id goes to
+    * `argmax over s in [0, shards) of hash(id # s)` (ties → smallest s).
+    * The property plain `hash(id) mod N` lacks: growing N → N+1 moves
+    * ONLY the ids whose new shard wins the argmax (≈ 1/(N+1) of them) —
+    * every other assignment is untouched, because each (id, s) weight is
+    * independent of N. That is the stable routing a 100 TB ingest wants
+    * for shard/bucket/store assignment under topology change (Thaler &
+    * Ravishankar 1996, the scheme behind most distributed caches).
+    * Narrow: the argmax unrolls to a codegen'd greatest-of-N over N
+    * hash expressions — no explode, no shuffle. */
+  def rendezvousShard(id: Column, shards: Int): Column = {
+    require(shards >= 1 && shards <= 64, s"shards $shards outside [1,64]")
+    if (shards == 1) return lit(0L)
+    // md5, NOT hashBucket's polynomial: HRW compares weights ACROSS salts
+    // of the SAME id, and a poly hash of inputs differing only in the
+    // shard digit yields CONSECUTIVE weights (the last shard always wins
+    // — measured). Same avalanche requirement as x/Sketches' rank bits.
+    // 8 hex chars = 32 uniform bits, plenty of weight resolution.
+    def w(s: Int): Column = conv(substring(
+      md5(concat(id.cast("string"), lit(s":shard$s"))), 1, 8), 16, 10)
+      .cast("long")
+    // greatest() on structs orders lexicographically: max weight first;
+    // the shard id is negated so WEIGHT ties resolve to the smallest shard
+    val negged = (0 until shards).map { s =>
+      struct(w(s).as("w"), lit(-s.toLong).as("ns"))
+    }
+    (-greatest(negged: _*).getField("ns")).cast("long")
+  }
 }

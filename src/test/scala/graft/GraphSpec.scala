@@ -120,4 +120,21 @@ class GraphSpec extends AnyFunSuite {
     // pendant edge (1,5): no common neighbors, guard yields 0.0
     assert(got((1L, 5L)) == ((0L, 4L, 1L, 0.0)))
   }
+
+  test("labelPropagation: two cliques converge to their min labels; layout-invariant") {
+    import spark.implicits._
+    // clique {1,2,3} bridged to clique {10,11,12} by one edge 3-10
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: every node takes its neighborhood min → clique mins spread
+    // rounds 2-3: stable communities {1,2,3}→1 and {10,11,12}→min-reachable
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(Set(got(10L), got(11L), got(12L)).size == 1,
+      s"right clique split: $got")
+    val shuffled = Graph.labelPropagation(edges.repartition(7), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == got)
+  }
 }

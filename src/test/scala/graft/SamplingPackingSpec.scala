@@ -233,4 +233,22 @@ class SamplingPackingSpec extends AnyFunSuite {
       .select("id", "phase").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(again == out.map(t => (t._1, t._3)).toSet)
   }
+
+  test("rendezvousShard: balanced-ish, and growing the ring moves only ~1/(N+1)") {
+    val routed8 = docs.select(col("doc_id"),
+        Sampling.rendezvousShard(col("doc_id"), 8).as("s8"),
+        Sampling.rendezvousShard(col("doc_id"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = routed8.length
+    // every shard used, no pathological imbalance (uniform-ish weights)
+    val bySizes = routed8.groupBy(_._2).view.mapValues(_.length)
+    assert(bySizes.size == 8)
+    assert(bySizes.values.max < n / 8 * 3)
+    // THE rendezvous property: 8→9 shards, ids either keep their shard
+    // or move to the NEW shard 8 — never shuffle among the old shards
+    val moved = routed8.filter { case (_, a, b) => a != b }
+    assert(moved.forall(_._3 == 8L), "a rerouted id landed on an old shard")
+    assert(moved.length < n / 4, s"${moved.length}/$n moved; expected ~1/9")
+    assert(moved.nonEmpty)
+  }
 }
