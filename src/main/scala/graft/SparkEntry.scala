@@ -1529,6 +1529,39 @@ object SparkEntry {
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("shard")
     }),
+    // Spark 4 VariantType surface: parse once into the binary variant
+    // encoding, typed extraction + canonical re-serialization — the
+    // at-scale replacement for per-access get_json_object re-parsing (q14)
+    "x136_variant_json" -> sqlQ("""
+      SELECT event_id,
+             VARIANT_GET(PARSE_JSON(props), '$.k', 'bigint') AS k_num,
+             TO_JSON(PARSE_JSON(props)) AS normalized
+      FROM events
+      WHERE VARIANT_GET(PARSE_JSON(props), '$.k', 'bigint') % 7 = 0
+      ORDER BY event_id"""),
+    // Merkle range reconciliation: localize WHICH of 256 key ranges
+    // differ between a table and its drifted copy — re-sync ships leaves,
+    // not tables; the 3 injected edits must surface as ≤3 leaves
+    "x137_merkle_diff" -> ((s, dir) => {
+      reg(s, dir)
+      import graft.operators.Validations
+      val keyStr = concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string"))
+      def rowStr = concat(keyStr, lit("|"),
+        col("l_quantity").cast("decimal(18,2)").cast("string"))
+      val a = s.table("lineitem")
+      val b = a.withColumn("l_quantity",
+        when(col("l_orderkey").isin(1L, 7L, 42L) && col("l_linenumber") === 1,
+          col("l_quantity") + 1.0).otherwise(col("l_quantity")))
+      Validations.merkleDiff(
+          Validations.merkleLeaves(a, keyStr, rowStr),
+          Validations.merkleLeaves(b, keyStr, rowStr))
+        .select(col("leaf").cast("long").as("leaf"),
+          col("a_xor"), col("b_xor"),
+          col("a_cnt").cast("long").as("a_cnt"),
+          col("b_cnt").cast("long").as("b_cnt"))
+        .orderBy("leaf")
+    }),
     // correlated LATERAL subquery (Tier B): per-nation top-2 customers —
     // the dependent-join surface q16's scalar subqueries don't cover
     "q41_lateral_topn" -> sqlQ("""
@@ -5290,6 +5323,47 @@ object SparkEntry {
       SELECT CAST(s AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS cnt,
              MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       FROM a GROUP BY 1 ORDER BY shard""",
+
+    // DuckDB JSON: typed extract; the canonical (minified, sorted-key)
+    // form Spark's variant round-trip emits is reconstructed from the
+    // typed value — DuckDB's JSON cast preserves source spacing
+    "x136_variant_json" -> """
+      SELECT event_id,
+             CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_num,
+             CONCAT('{"k":',
+               CAST(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS VARCHAR),
+               '}') AS normalized
+      FROM events
+      WHERE CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) % 7 = 0
+      ORDER BY event_id""",
+
+    // identical leaf bucketing, row hashes and XOR signatures in SQL
+    "x137_merkle_diff" -> s"""
+      WITH a AS (
+        SELECT CONCAT(CAST(l_orderkey AS VARCHAR), '|',
+                      CAST(l_linenumber AS VARCHAR)) AS k,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS q
+        FROM lineitem),
+      b AS (
+        SELECT CONCAT(CAST(l_orderkey AS VARCHAR), '|',
+                      CAST(l_linenumber AS VARCHAR)) AS k,
+               CAST(CAST(CASE WHEN l_orderkey IN (1, 7, 42) AND l_linenumber = 1
+                              THEN l_quantity + 1.0 ELSE l_quantity END
+                    AS DECIMAL(18,2)) AS VARCHAR) AS q
+        FROM lineitem),
+      al AS (SELECT ${polySql("k")} % 256 AS leaf,
+                    BIT_XOR(${polySql("CONCAT(k, '|', q)")}) AS a_xor,
+                    COUNT(*) AS a_cnt
+             FROM a GROUP BY 1),
+      bl AS (SELECT ${polySql("k")} % 256 AS leaf,
+                    BIT_XOR(${polySql("CONCAT(k, '|', q)")}) AS b_xor,
+                    COUNT(*) AS b_cnt
+             FROM b GROUP BY 1)
+      SELECT CAST(leaf AS BIGINT) AS leaf, a_xor, b_xor,
+             CAST(a_cnt AS BIGINT) AS a_cnt, CAST(b_cnt AS BIGINT) AS b_cnt
+      FROM al FULL OUTER JOIN bl USING (leaf)
+      WHERE a_xor IS DISTINCT FROM b_xor OR a_cnt IS DISTINCT FROM b_cnt
+      ORDER BY leaf""",
 
     // DuckDB's native LATERAL over the same correlated top-2
     "q41_lateral_topn" -> """

@@ -108,4 +108,47 @@ object Validations {
     }
     sig(written) == sig(target)
   }
+
+  /** V5 extension — Merkle-style RANGE reconciliation: where [[reconcile]]
+    * answers "are these tables identical?", this answers "WHICH key ranges
+    * differ?", the anti-entropy primitive behind replica repair
+    * (Cassandra/Dynamo-style): re-sync ships only the differing leaves'
+    * rows, not the table.
+    *
+    * Leaves: rows bucket by a portable hash of the KEY (so the same row
+    * lands in the same leaf on both sides regardless of layout/engine);
+    * each leaf's signature is the XOR of portable ROW hashes — XOR is
+    * order-independent and overflow-free, so leaf signatures are exact
+    * under any partitioning. One shuffle of (leaf, hash) pairs per table,
+    * `fanout` rows out. Caller contract: `rowStr` must render doubles
+    * through DECIMAL (float formatting is not engine-portable).
+    *
+    * XOR caveat (inherent to xor sketches, shared with [[reconcile]]'s
+    * checksum): an EVEN number of identical rows cancels to 0, so an edit
+    * applied to both rows of an identical pair is invisible to the
+    * signature (counts still catch adds/drops). Feed unique rows — or
+    * include a uniquifier column in `rowStr` — when the table allows
+    * full duplicates. */
+  def merkleLeaves(df: DataFrame, keyStr: Column, rowStr: Column,
+      fanout: Int = 256): DataFrame = {
+    require(fanout >= 2 && fanout <= (1 << 20), s"fanout $fanout out of range")
+    df.select(
+        pmod(graft.functions.PolyHash56(keyStr), lit(fanout.toLong)).as("leaf"),
+        graft.functions.PolyHash56(rowStr).as("__h"))
+      .groupBy("leaf")
+      .agg(expr("bit_xor(__h)").as("xor_hash"), count(lit(1)).as("cnt"))
+  }
+
+  /** Differing leaves between two tables' [[merkleLeaves]] trees: full
+    * outer join on leaf id, keep leaves whose signature or count
+    * disagrees (including leaves present on one side only). */
+  def merkleDiff(aLeaves: DataFrame, bLeaves: DataFrame): DataFrame = {
+    val a = aLeaves.select(col("leaf"), col("xor_hash").as("a_xor"),
+      col("cnt").as("a_cnt"))
+    val b = bLeaves.select(col("leaf"), col("xor_hash").as("b_xor"),
+      col("cnt").as("b_cnt"))
+    a.join(b, Seq("leaf"), "full_outer")
+      .filter(not(col("a_xor") <=> col("b_xor")) ||
+        not(col("a_cnt") <=> col("b_cnt")))
+  }
 }

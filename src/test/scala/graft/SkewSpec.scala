@@ -45,6 +45,36 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.count() == 810)
   }
 
+  test("merkleDiff: identical tables diff empty; edits localize to their leaves") {
+    import graft.operators.Validations
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val key = concat(col("l_orderkey").cast("string"), lit("|"),
+      col("l_linenumber").cast("string"))
+    def row = concat(key, lit("|"),
+      col("l_quantity").cast("decimal(18,2)").cast("string"))
+    val base = Validations.merkleLeaves(li, key, row)
+    assert(Validations.merkleDiff(base, base).count() == 0)
+    // fixture (l_orderkey, l_linenumber) is NOT unique — pick a key pair
+    // that identifies exactly one row so the edit provably lands
+    val solo = li.groupBy("l_orderkey", "l_linenumber").count()
+      .filter(col("count") === 1).orderBy("l_orderkey", "l_linenumber").head()
+    val (ok, ln) = (solo.getLong(0), solo.getInt(1))
+    val hit = col("l_orderkey") === ok && col("l_linenumber") === ln
+    // one edited row → exactly one differing leaf, same counts both sides
+    val edited = li.withColumn("l_quantity",
+      when(hit, col("l_quantity") + 1.0).otherwise(col("l_quantity")))
+    val diff = Validations.merkleDiff(base,
+      Validations.merkleLeaves(edited, key, row)).collect()
+    assert(diff.length == 1)
+    assert(diff.head.getAs[Long]("a_cnt") == diff.head.getAs[Long]("b_cnt"))
+    // a dropped row surfaces as a count mismatch in its leaf
+    val dropDiff = Validations.merkleDiff(base,
+      Validations.merkleLeaves(li.filter(!hit), key, row)).collect()
+    assert(dropDiff.length == 1)
+    assert(dropDiff.head.getAs[Long]("a_cnt") ==
+      dropDiff.head.getAs[Long]("b_cnt") + 1)
+  }
+
   test("keySkew is exact on a hand-checked frame") {
     import spark.implicits._
     // k: a×4, b×2, c,d,e,f ×1 → n=10, nd=6, mx=4,
