@@ -1492,14 +1492,11 @@ object SparkEntry {
     // mitigation changes the shuffle, never the answer
     "x133_salted_join" -> ((s, dir) => {
       reg(s, dir)
-      import graft.operators.SkewJoin
-      import graft.functions.PolyHash56
+      import graft.operators.SkewOps
       val big = s.table("lineitem")
       val small = s.table("supplier")
         .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
-      SkewJoin.saltedInnerJoin(big, small, Seq("l_suppkey"), r = 8,
-          bigSalt = PolyHash56(concat(col("l_orderkey").cast("string"),
-            lit(":"), col("l_linenumber").cast("string"))))
+      SkewOps.saltedJoin(big, small, Seq("l_suppkey"), saltFactor = 8)
         .groupBy("s_nationkey")
         .agg(count(lit(1)).cast("long").as("cnt"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))

@@ -124,8 +124,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     assert(GraftFunctions.specs.map(_._1.funcName).toSet ==
-      Set("poly_hash56", "dot_f32", "cosine_f32", "hamming64", "simhash_agg",
-        "frequent_items_agg", "kmv_sketch_agg"))
+      Set("poly_hash56", "dot_f32", "cosine_f32", "hamming64", "hilbert_idx",
+        "simhash_agg", "frequent_items_agg", "kmv_sketch_agg"))
   }
 
   test("custom scalar functions stay inside whole-stage codegen") {

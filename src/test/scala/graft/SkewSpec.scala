@@ -2,30 +2,16 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.SkewJoin
+import graft.operators.SkewOps
 import graft.x.Profiler
-import graft.functions.PolyHash56
 
-/** Skew diagnosis + salted-join contract: the mitigation must never change
-  * the answer, and the diagnostic must be exact on a hand-checked frame. */
+/** Skew diagnosis + mitigation contracts around the pre-existing
+  * [[SkewOps]] (whose salted==plain equality lives in `SkewOpsSpec`):
+  * the hot key must actually SPREAD, and the keySkew diagnostic that
+  * picks the salt factor must be exact. */
 class SkewSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sfDir
-
-  test("salted inner join returns exactly the plain join's rows") {
-    val big = spark.read.parquet(s"$sf/lineitem.parquet")
-    val small = spark.read.parquet(s"$sf/supplier.parquet")
-      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
-    val salt = PolyHash56(concat(col("l_orderkey").cast("string"), lit(":"),
-      col("l_linenumber").cast("string")))
-    val saltedRows = SkewJoin.saltedInnerJoin(big, small, Seq("l_suppkey"), 8, salt)
-      .select("l_orderkey", "l_linenumber", "l_suppkey", "s_nationkey")
-    val plainRows = big.join(small, Seq("l_suppkey"))
-      .select("l_orderkey", "l_linenumber", "l_suppkey", "s_nationkey")
-    assert(saltedRows.exceptAll(plainRows).isEmpty &&
-      plainRows.exceptAll(saltedRows).isEmpty)
-    assert(saltedRows.count() == plainRows.count())
-  }
 
   test("salting actually spreads a hot key over the salt space") {
     import spark.implicits._
@@ -33,15 +19,15 @@ class SkewSpec extends AnyFunSuite {
     val big = ((1 to 800).map(i => (1L, i.toLong)) ++
       (1 to 10).map(i => (2L, 1000L + i))).toDF("k", "id")
     val small = Seq((1L, "hot"), (2L, "cold")).toDF("k", "v")
+    // the content-derived salt SkewOps applies: spread of the hot key
     val shards = big.withColumn("__salt",
-        pmod(PolyHash56(col("id").cast("string")), lit(8L)))
+        pmod(xxhash64(col("k"), col("id")), lit(8)))
       .filter(col("k") === 1L)
       .groupBy("__salt").count().collect().map(_.getLong(1))
     assert(shards.length == 8, s"hot key hit only ${shards.length}/8 shards")
     assert(shards.max <= 800 / 8 * 2, s"worst shard ${shards.max} of 800")
     // and the join result still matches the plain join
-    val salted = SkewJoin.saltedInnerJoin(big, small, Seq("k"), 8,
-      PolyHash56(col("id").cast("string")))
+    val salted = SkewOps.saltedJoin(big, small, Seq("k"), saltFactor = 8)
     assert(salted.count() == 810)
   }
 
