@@ -1559,6 +1559,29 @@ object SparkEntry {
           col("b_cnt").cast("long").as("b_cnt"))
         .orderBy("leaf")
     }),
+    // rolling 7-day distinct users from MERGED daily registers — exact
+    // rolling distinct needs a 7x re-scan (the `exact` branch shows it);
+    // the sketch path merges ≤256 register rows per day instead
+    "x138_hll_rolling_distinct" -> ((s, dir) => {
+      reg(s, dir)
+      val ev = s.table("events").withColumn("day", to_date(col("ts")))
+      val daily = Sketches.hllRegisters(ev, Seq("day"), "user_id")
+      val days = ev.select(col("day")).distinct()
+      val merged = days.as("d").join(daily.as("r"),
+          col("r.day") <= col("d.day") &&
+            col("r.day") >= date_sub(col("d.day"), 6))
+        .groupBy(col("d.day").as("day"), col("r.__j").as("__j"))
+        .agg(max(col("r.__mj")).as("__mj"))
+      val exact = days.as("d").join(ev.as("e"),
+          col("e.day") <= col("d.day") &&
+            col("e.day") >= date_sub(col("d.day"), 6))
+        .groupBy(col("d.day").as("day"))
+        .agg(countDistinct(col("e.user_id")).cast("long").as("exact"))
+      Sketches.hllEstimateFromRegisters(merged, Seq("day"))
+        .join(exact, Seq("day"))
+        .select(col("day"), col("est"), col("v_zero"), col("exact"))
+        .orderBy("day")
+    }),
     // correlated LATERAL subquery (Tier B): per-nation top-2 customers —
     // the dependent-join surface q16's scalar subqueries don't cover
     "q41_lateral_topn" -> sqlQ("""
@@ -5361,6 +5384,30 @@ object SparkEntry {
       FROM al FULL OUTER JOIN bl USING (leaf)
       WHERE a_xor IS DISTINCT FROM b_xor OR a_cnt IS DISTINCT FROM b_cnt
       ORDER BY leaf""",
+
+    // same daily registers, same trailing-window max-merge, shared
+    // estimate expression; exact branch is the same 7x range join
+    "x138_hll_rolling_distinct" -> s"""
+      WITH ${hllRegSql("events", "CAST(ts AS DATE) AS day", "day", "user_id")},
+      mjd AS (SELECT day, j, MAX(rho) AS mj FROM reg GROUP BY 1, 2),
+      days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      merged AS (
+        SELECT d.day, r.j, MAX(r.mj) AS mj
+        FROM days d JOIN mjd r ON r.day <= d.day AND r.day >= d.day - 6
+        GROUP BY 1, 2),
+      z AS (SELECT day, COUNT(*) AS present,
+              SUM(CAST((CAST(1 AS BIGINT) << (56 - mj)) AS DECIMAL(38,0))) AS zp
+            FROM merged GROUP BY 1),
+      ex AS (SELECT d.day, COUNT(DISTINCT e.user_id) AS exact
+             FROM days d JOIN (SELECT CAST(ts AS DATE) AS day, user_id
+                               FROM events) e
+               ON e.day <= d.day AND e.day >= d.day - 6
+             GROUP BY 1)
+      SELECT z.day, $hllEstSql AS est,
+             CAST(256 - present AS BIGINT) AS v_zero,
+             CAST(ex.exact AS BIGINT) AS exact
+      FROM z JOIN ex USING (day)
+      ORDER BY day""",
 
     // DuckDB's native LATERAL over the same correlated top-2
     "q41_lateral_topn" -> """
