@@ -321,17 +321,18 @@ object Graph {
     val nodes = staging.stage(
       edges.select(col("src").as("node")).distinct(), "lpa-nodes")
     var labels = nodes.withColumn("label", col("node"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("node").orderBy(col("__c").desc, col("label").asc)
     for (i <- 1 to iters) {
       val counted = edges
         .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
+      // argmax by (count desc, label asc) as ONE hash agg: max over the
+      // (count, -label) struct — labels are non-negative node ids, so the
+      // negation flips the tie-break without a sort-based window
       labels = staging.stage(
-        counted.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("node"), col("label")),
+        counted.groupBy("node")
+          .agg(max(struct(col("__c").as("c"), (-col("label")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("label")),
         s"lpa-labels-$i")
     }
     labels
