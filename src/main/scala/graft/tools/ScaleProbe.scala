@@ -752,6 +752,26 @@ object ScaleProbe {
       }
     }
 
+    // LPA probe: K disjoint copies of the part-supplier graph — community
+    // structure is a per-copy invariant, so labels per copy must be
+    // identical (shifted) and wall time linear in K: each round is one
+    // edge-sized join + two hash aggs, nothing quadratic.
+    if (on("lpa")) Seq(1, 4).foreach { k =>
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val base = li.select(col("l_partkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst")).distinct()
+      val inflated = (0 until k).map(i =>
+        base.select((col("src") + lit(i.toLong * 10000000L)).as("src"),
+          (col("dst") + lit(i.toLong * 10000000L)).as("dst")))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val e = inflated.count()
+      val t0 = System.nanoTime()
+      val communities = graft.x.Graph.labelPropagation(inflated, "src", "dst", iters = 3)
+        .select(countDistinct("label")).head().getLong(0)
+      println(f"[scale-lpa] edges=$e%8d  lpa3=${(System.nanoTime() - t0) / 1e9}%6.2fs  communities=$communities")
+      spark.catalog.clearCache()
+    }
+
     // triangle probe: K disjoint copies of the co-purchase graph. Wedge
     // count under the degree orientation is a per-copy invariant, so both
     // wedges and wall time must track K linearly — superlinear growth
