@@ -1582,6 +1582,24 @@ object SparkEntry {
         .select(col("day"), col("est"), col("v_zero"), col("exact"))
         .orderBy("day")
     }),
+    // salted two-phase aggregation: hot grouping keys spread over
+    // (key, salt) partials, then combine — the oracle is the PLAIN
+    // GROUP BY, so the re-association must be exact (hence the DECIMAL
+    // sum; a double sum would change under re-grouping)
+    "x139_salted_agg" -> ((s, dir) => {
+      reg(s, dir)
+      import graft.operators.SkewOps
+      import s.implicits._
+      SkewOps.saltedAgg(s.table("lineitem"), Seq("l_returnflag"), saltFactor = 8, Seq(
+          "sum_qty" -> SkewOps.sumOf($"l_quantity".cast("decimal(18,2)")),
+          "cnt" -> SkewOps.countAll,
+          "lo" -> SkewOps.minOf($"l_extendedprice"),
+          "hi" -> SkewOps.maxOf($"l_extendedprice")))
+        .select(col("l_returnflag"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("cnt").cast("long").as("cnt"), col("lo"), col("hi"))
+        .orderBy("l_returnflag")
+    }),
     // correlated LATERAL subquery (Tier B): per-nation top-2 customers —
     // the dependent-join surface q16's scalar subqueries don't cover
     "q41_lateral_topn" -> sqlQ("""
@@ -5408,6 +5426,16 @@ object SparkEntry {
              CAST(ex.exact AS BIGINT) AS exact
       FROM z JOIN ex USING (day)
       ORDER BY day""",
+
+    // the plain one-phase GROUP BY — salting must re-associate exactly
+    "x139_salted_agg" -> """
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     // DuckDB's native LATERAL over the same correlated top-2
     "q41_lateral_topn" -> """
