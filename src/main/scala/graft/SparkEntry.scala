@@ -476,9 +476,10 @@ object SparkEntry {
 
     "etl_formats_roundtrip" -> ((s, dir) => {
       reg(s, dir)
-      // S2/S5/S6 source connectors: write the nation table out as csv, json
-      // and xml, read each back through SourceReader, and 3-way-join — the
-      // output matches the original table only if every format round-trips
+      // S2/S3/S4/S5/S6/S7 source connectors: write the nation table out as
+      // csv, json, xml, orc and xlsx, read each back through SourceReader,
+      // and 5-way-join — the output matches the original table only if
+      // EVERY format round-trips both values and null handling
       val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
       // nation is a 25-row dimension: write each format as ONE file (32
       // near-empty part files per format would triple the read-back's file
@@ -488,6 +489,8 @@ object SparkEntry {
       nation.write.mode("overwrite").json(s"$base/json")
       nation.write.mode("overwrite").format("xml")
         .option("rowTag", "nation").save(s"$base/xml")
+      nation.write.mode("overwrite").orc(s"$base/orc")
+      graft.sinks.ExcelSink.write(nation, s"$base/xlsx", header = true)
       val c = SourceReader.read(s, graft.config.InputSpec("nation_csv", "csv", Some(s"$base/csv")))
         .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name_csv"))
       val j = SourceReader.read(s, graft.config.InputSpec("nation_json", "json", Some(s"$base/json")))
@@ -495,8 +498,14 @@ object SparkEntry {
       val x = SourceReader.read(s, graft.config.InputSpec("nation_xml", "xml", Some(s"$base/xml"),
           options = Map("rowTag" -> "nation")))
         .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name_xml"))
-      c.join(j, "k").join(x, "k")
-        .filter(col("name_csv") === col("name_json") && col("name_json") === col("name_xml"))
+      val o = SourceReader.read(s, graft.config.InputSpec("nation_orc", "orc", Some(s"$base/orc")))
+        .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name_orc"))
+      val e = SourceReader.read(s, graft.config.InputSpec("nation_xlsx", "xlsx", Some(s"$base/xlsx"),
+          header = true))
+        .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name_xlsx"))
+      c.join(j, "k").join(x, "k").join(o, "k").join(e, "k")
+        .filter(col("name_csv") === col("name_json") && col("name_json") === col("name_xml")
+          && col("name_xml") === col("name_orc") && col("name_orc") === col("name_xlsx"))
         .select(col("k").as("n_nationkey"), col("name_csv").as("n_name"))
         .orderBy("n_nationkey")
     }),

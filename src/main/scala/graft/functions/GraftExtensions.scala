@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Divide, EqualTo, Expression, ExpressionInfo, If, Literal, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Cast, Divide, EqualTo, Expression, ExpressionInfo, If, Literal, Multiply, Sqrt}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** SQL-surface registration for graft's custom Catalyst expressions.
   *
@@ -60,12 +60,17 @@ object GraftFunctions {
         If(EqualTo(denom, Literal(0.0)), Literal.create(null, DoubleType),
           Divide(DotProductFloat(es.head, es(1)), denom)) }),
 
+    // children cast to LongType explicitly: HilbertIndex.nullSafeEval
+    // unboxes Long, so an un-cast IntegerType input would work under
+    // codegen (Java int widens) yet ClassCastException on the interpreted
+    // fallback — the Cast makes both eval paths identical
     (FunctionIdentifier("hilbert_idx"),
       info("hilbert_idx",
         "hilbert_idx(x, y, bits) - Hilbert curve index of a 2-D cell (layout clustering)"),
       es => { arity("hilbert_idx", 3, es)
         require(es(2).foldable, "hilbert_idx bits must be a literal")
-        HilbertIndex(es.head, es(1), es(2).eval().asInstanceOf[Number].intValue) }),
+        HilbertIndex(Cast(es.head, LongType), Cast(es(1), LongType),
+          es(2).eval().asInstanceOf[Number].intValue) }),
 
     (FunctionIdentifier("hamming64"),
       info("hamming64", "hamming64(bigint, bigint) - Hamming distance between 64-bit signatures"),

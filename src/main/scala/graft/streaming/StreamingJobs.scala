@@ -305,7 +305,20 @@ object StreamingJobs {
     * reasoning as the SCD2 foreachBatch merge above).
     * [[graft.x.Sketches.hllEstimateFromRegisters]] over the store gives
     * the running estimate at any time, equal to the batch sketch of
-    * everything ingested so far. */
+    * everything ingested so far.
+    *
+    * Crash-safety: the store is a directory of numbered GENERATIONS
+    * (`gen=00000007/` parquet dirs); each batch writes the merged
+    * registers as a brand-new generation and never touches the prior one,
+    * so there is no window where a failure loses the store (the old
+    * rewrite-in-place had one: overwrite deletes before it copies). The
+    * current state is simply the highest generation carrying parquet's
+    * `_SUCCESS` marker — a torn write leaves a markerless directory that
+    * readers and the next batch ignore. Replays after a crash re-merge
+    * into a fresh generation; max-merge makes that a no-op. Generations
+    * older than the previous one are GC'd best-effort. All path
+    * operations go through the Hadoop FileSystem of `storeDir`, so an
+    * object-store or HDFS store path behaves identically to local disk. */
   def startHllRegisterStore(stream: DataFrame, groupCols: Seq[String],
       valueCol: String, storeDir: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -315,18 +328,46 @@ object StreamingJobs {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val incoming = graft.x.Sketches.hllRegisters(batch, groupCols, valueCol)
-        val merged =
-          if (new java.io.File(storeDir).exists()) {
-            val prior = spark.read.parquet(storeDir)
-            prior.unionByName(incoming)
+        val gens = completeGenerations(spark, storeDir)
+        val merged = gens.lastOption match {
+          case Some(cur) =>
+            spark.read.parquet(cur.toString).unionByName(incoming)
               .groupBy((groupCols :+ "__j").map(col): _*)
               .agg(max(col("__mj")).as("__mj"))
-          } else incoming
-        // two-phase write: registers are tiny, so rewrite-in-place via a
-        // staged temp dir keeps the store readable mid-stream
-        val tmp = storeDir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(storeDir)
+          case None => incoming
+        }
+        val nextId = gens.lastOption
+          .map(_.getName.stripPrefix("gen=").toLong + 1L).getOrElse(1L)
+        val root = new org.apache.hadoop.fs.Path(storeDir)
+        merged.write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(root, f"gen=$nextId%08d").toString)
+        // keep the new + one prior generation; GC the rest best-effort
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        gens.dropRight(1).foreach(p =>
+          try { fs.delete(p, true); () } catch { case _: Throwable => () })
       }
       .start()
+
+  /** Complete (SUCCESS-marked) generations of a register store, oldest
+    * first; empty if the store doesn't exist yet. */
+  private def completeGenerations(spark: SparkSession,
+      storeDir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .sortBy(_.getName)
+  }
+
+  /** Read the current state of a [[startHllRegisterStore]] store: the
+    * register rows of the latest complete generation (empty-schema-safe
+    * only once a generation exists; call after the first batch). */
+  def readHllRegisterStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val gens = completeGenerations(spark, storeDir)
+    require(gens.nonEmpty, s"no complete register-store generation under $storeDir")
+    spark.read.parquet(gens.last.toString)
+  }
 }

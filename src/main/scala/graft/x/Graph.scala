@@ -31,29 +31,42 @@ object Graph {
     * deterministic.)
     *
     * Scale shape: `edges`/`nodes`/`outdeg` are staged once and re-read
-    * every round, never recomputed. Each iteration is ONE src-keyed
-    * equi-join of ranks to edges (the same key every round — a cluster
-    * deployment would bucket edges by src once and never reshuffle
-    * them), one dst-keyed partial+final SUM, and one scalar dangling
-    * aggregate; ranks re-stage per round to cut lineage. Nothing larger
-    * than one scalar per round reaches the driver — same job shape as
-    * [[Similarity.kmeansStep]] loops.
+    * every round, never recomputed — and staged ALREADY HASH-PARTITIONED
+    * (and sorted) on `src`, the per-round join key, so every round's
+    * rank⋈edge⋈outdeg join moves ONLY the small ranks frame: the static
+    * edge side satisfies the join's required distribution from its
+    * checkpointed layout (`localCheckpoint` pins the physical plan's
+    * `outputPartitioning`/`outputOrdering` in the `LogicalRDD`) and is
+    * never re-shuffled after round 1. `ranks` itself stays partitioned on
+    * `node` through the round-closing join, so the dangling anti-join and
+    * the nodes⋈incoming join are exchange-free too — per round, only the
+    * dst-keyed SUM shuffle and one scalar move. On a durable
+    * [[graft.util.Staging.PathStaging]] deployment the same pinning is
+    * bucketBy(src) on the staged edge table. Ranks re-stage per round to
+    * cut lineage; nothing larger than one scalar per round reaches the
+    * driver — same job shape as [[Similarity.kmeansStep]] loops.
     */
   def pageRank(edgesIn: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, dampNum: Long = 85L, scale: Long = 1000000000L,
       staging: Staging = Staging.LocalCheckpoint): DataFrame = {
     require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
     require(dampNum >= 0 && dampNum <= 100, s"dampNum is a percentage, got $dampNum")
+    // repartition BEFORE the dedup: hash(src) satisfies the (src, dst)
+    // grouping's ClusteredDistribution (subset rule), so the dedup agg
+    // runs in place and the staged frame carries hash(src) + src order —
+    // one shuffle total, and rounds >= 2 never move the edge side again
     val edges = staging.stage(
       edgesIn.filter(col(srcCol) =!= col(dstCol))
         .select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"))
-        .distinct(), "pr-edges")
+        .repartition(col("src")).dropDuplicates("src", "dst")
+        .sortWithinPartitions("src"), "pr-edges")
     val nodes = staging.stage(
       edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct(), "pr-nodes")
     val outdeg = staging.stage(
-      edges.groupBy("src").agg(count(lit(1)).as("__od")), "pr-outdeg")
+      edges.groupBy("src").agg(count(lit(1)).as("__od"))
+        .sortWithinPartitions("src"), "pr-outdeg")
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph")
     val base = scale / n
@@ -214,9 +227,14 @@ object Graph {
     * filtering keeps the k-core, collaboration analytics report core
     * membership, and community pipelines use it as a cheap seed.
     *
-    * Each round is one degree aggregation + two broadcast-able anti-joins
-    * (the weak-node set is small by construction — it shrinks every
-    * round); edges re-stage per round to cut lineage, the
+    * Each round is one degree aggregation + two anti-joins against the
+    * weak-node set. The weak set shrinks every round (after the first
+    * peel it is the cascade frontier — typically tiny), so the anti-joins
+    * BROADCAST it whenever its count is within `broadcastWeakLimit`,
+    * leaving the big edge side entirely unshuffled for that round; a
+    * huge first peel (sparse graph, high k) exceeds the limit and falls
+    * back to the shuffled anti-join, which is the correct plan for two
+    * big sides. Edges re-stage per round to cut lineage, the
     * [[pageRank]] loop discipline. Rounds are data-dependent but bounded
     * by `maxIters`; only a scalar count reaches the driver per round.
     * Everything is integer — the fixpoint is engine- and
@@ -224,7 +242,7 @@ object Graph {
     * round count reproduces it exactly (extra unrolled rounds are
     * no-ops). */
   def kCore(edgesIn: DataFrame, srcCol: String, dstCol: String, k: Int,
-      maxIters: Int = 50,
+      maxIters: Int = 50, broadcastWeakLimit: Long = 5000000L,
       staging: Staging = Staging.LocalCheckpoint): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     var e = staging.stage(canonicalEdges(edgesIn, srcCol, dstCol), "kcore-edges-0")
@@ -232,10 +250,13 @@ object Graph {
     var converged = false
     while (!converged && round < maxIters) {
       val deg = degrees(e)
-      val weak = deg.filter(col("deg") < k).select("v")
-      if (weak.isEmpty) converged = true
+      val weakAll = deg.filter(col("deg") < k).select("v")
+      val nWeak = weakAll.count()
+      if (nWeak == 0L) converged = true
       else {
         round += 1
+        val weak =
+          if (nWeak <= broadcastWeakLimit) broadcast(weakAll) else weakAll
         e = staging.stage(
           e.join(weak.select(col("v").as("a")), Seq("a"), "left_anti")
             .join(weak.select(col("v").as("b")), Seq("b"), "left_anti")
@@ -301,10 +322,14 @@ object Graph {
     * unrolls the rounds as CTEs, same discipline as [[pageRank]]).
     *
     * Scale shape per round: one neighbor-keyed equi-join of labels to the
-    * staged undirected edge list (same key every round — bucket edges
-    * once on a cluster), one (node, label) count agg, one per-node
-    * WindowGroupLimit argmax. Labels re-stage per round to cut lineage;
-    * nothing reaches the driver. `iters` is a fixed budget, not a
+    * staged undirected edge list — the edges are staged ONCE
+    * hash-partitioned and sorted on `dst`, the per-round join key, and
+    * the labels frame stays hash(node)-partitioned through the argmax
+    * agg, so the join needs NO exchange on either side (on a durable
+    * PathStaging deployment: bucketBy(dst) the staged edges) — then one
+    * (node, label) count agg and one per-node struct-max hash-agg argmax.
+    * Labels re-stage per round to cut lineage; nothing reaches the
+    * driver. `iters` is a fixed budget, not a
     * convergence loop — LPA oscillates on bipartite structures under
     * synchronous update, so a fixed round count is the reproducible
     * choice (and what an at-scale run does anyway). */
@@ -315,9 +340,16 @@ object Graph {
     val directed = edgesIn.filter(col(srcCol) =!= col(dstCol))
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
+    // staged pre-partitioned on dst, the per-round join key (see
+    // [[pageRank]]): hash(dst) satisfies the (src, dst) dedup grouping via
+    // the subset rule, so one shuffle builds layout + dedup together and
+    // rounds >= 2 move only the labels frame — which itself stays
+    // hash(node)-partitioned through the argmax agg, so the label⋈edge
+    // join is exchange-free on BOTH sides
     val edges = staging.stage(
       directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct(), "lpa-edges")
+        .repartition(col("dst")).dropDuplicates("src", "dst")
+        .sortWithinPartitions("dst"), "lpa-edges")
     val nodes = staging.stage(
       edges.select(col("src").as("node")).distinct(), "lpa-nodes")
     var labels = nodes.withColumn("label", col("node"))

@@ -172,7 +172,14 @@ object Sketches {
   /** Point-frequency estimates from a [[cmsBuild]] sketch for each
     * distinct key in `probes(keyCol)`: est = min over hash rows of the
     * addressed counter — the classic CMS upper bound (est ≥ true count,
-    * overshoot bounded by collisions). Integer-exact end to end. */
+    * overshoot bounded by collisions). Integer-exact end to end.
+    *
+    * The addressed cells LEFT-join the sketch with empty cells counting
+    * as 0: [[cmsBuild]] materializes only touched counters, so an
+    * unseen probe key addressing an untouched cell must see 0 there —
+    * the inner-join alternative would both loosen the min (skipping the
+    * zero cells) and silently DROP keys whose cells are all empty,
+    * instead of answering est = 0. */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
       depth: Int = 4, widthBits: Int = 8): DataFrame = {
     require(depth >= 1 && depth <= 8, s"cms depth $depth outside [1,8]")
@@ -184,8 +191,8 @@ object Sketches {
         }: _*)).as("__ic"))
       .select(col(keyCol), col("__ic.i").as("i"), col("__ic.c").as("c"))
     addressed
-      .join(sketch, Seq("i", "c"))
+      .join(sketch, Seq("i", "c"), "left")
       .groupBy(keyCol)
-      .agg(min(col("cnt")).as("est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 }

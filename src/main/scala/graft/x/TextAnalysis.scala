@@ -581,23 +581,29 @@ object TextAnalysis {
     *                                            anti-join of the suspects)
     *
     * which equals the exact anti-join by construction — the approximation
-    * lives in the data structure, never in the answer. The probe is a UDF
-    * because Spark exposes no bloom-probe expression on a driver-built
-    * sketch; it guards the join, it is not the hot arithmetic path. */
+    * lives in the data structure, never in the answer. The probe is
+    * Spark's own codegen'd `BloomFilterMightContain` over a
+    * `BloomFilterAggregate`-built filter (via
+    * [[graft.functions.BloomProbe]]), so the corpus-side filter stays
+    * inside whole-stage codegen — no ScalaUDF boundary per row — and the
+    * filter binary rides a scalar subquery computed once and reused by
+    * both probe sites. */
   def bloomDecontaminate(train: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val bfp = benchmark.select(fingerprint(col(textCol)).as("__fp")).distinct()
-    val bloom = bfp.stat.bloomFilter("__fp", expectedItems, fpp)
-    val bloomBc = train.sparkSession.sparkContext.broadcast(bloom)
-    val probe = udf((fp: Long) => bloomBc.value.mightContainLong(fp))
+    val bloomDf = bfp.filter(col("__fp").isNotNull)
+      .agg(graft.functions.BloomProbe.bloomAgg(col("__fp"), expectedItems, fpp)
+        .as("__bloom"))
+    def probe = graft.functions.BloomProbe.mightContain(bloomDf, col("__fp"))
     val fps = train.withColumn("__fp", fingerprint(col(textCol)))
-    // NULL text ⇒ NULL fingerprint ⇒ the primitive-Long probe returns NULL,
-    // which would fail BOTH filters and silently drop the row. The exact
-    // anti-join keeps NULL-fp rows (a NULL key never matches), so the clean
-    // branch must keep them too: a NULL fingerprint cannot be in the set.
-    val clean = fps.filter(coalesce(!probe(col("__fp")), lit(true)))
-    val falsePositives = fps.filter(coalesce(probe(col("__fp")), lit(false)))
+    // NULL text ⇒ NULL fingerprint ⇒ the null-intolerant probe returns
+    // NULL, which would fail BOTH filters and silently drop the row. The
+    // exact anti-join keeps NULL-fp rows (a NULL key never matches), so the
+    // clean branch must keep them too: a NULL fingerprint cannot be in the
+    // set.
+    val clean = fps.filter(coalesce(!probe, lit(true)))
+    val falsePositives = fps.filter(coalesce(probe, lit(false)))
       .join(broadcast(bfp), Seq("__fp"), "left_anti")
     clean.unionByName(falsePositives).drop("__fp")
   }

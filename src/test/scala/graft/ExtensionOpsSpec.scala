@@ -640,6 +640,13 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val bloom = TextAnalysis.bloomDecontaminate(docs, bench, "text", "doc_id",
       expectedItems = 1000L).select("doc_id")
     assert(exact.exceptAll(bloom).isEmpty && bloom.exceptAll(exact).isEmpty)
+    // the probe is Spark's native codegen'd might_contain over a
+    // bloom_filter_agg scalar subquery — no ScalaUDF boundary in the plan
+    val planStr = bloom.queryExecution.executedPlan.toString
+    assert(!planStr.contains("ScalaUDF"),
+      s"bloom probe must not cross a UDF boundary:\n$planStr")
+    assert(bloom.queryExecution.optimizedPlan.toString.contains("might_contain"),
+      "expected the native BloomFilterMightContain probe in the plan")
     // and with a deliberately tiny/over-saturated filter (high fpp): still
     // exact, only the prefilter selectivity degrades
     val saturated = TextAnalysis.bloomDecontaminate(docs, bench, "text", "doc_id",

@@ -92,6 +92,29 @@ class FixtureContractSpec extends AnyFunSuite {
         "do NOT hard-code the new encoding at call sites.")
   }
 
+  test("events.props is exactly a single-key integer JSON object") {
+    // The x136_variant_json DuckDB oracle reconstructs the canonical
+    // `normalized` form as CONCAT('{"k":', CAST(... AS ...), '}'), which is
+    // correct ONLY while every props value is a one-key integer object
+    // {"k": <int>}. The Spark side canonicalizes for real (to_json ∘
+    // parse_json), so a driver regeneration that adds keys or non-integer
+    // values would break the ORACLE, not the implementation — pin the
+    // shape here so that drift fails with a named message instead of an
+    // unexplained x136 hash mismatch.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val props = spark.read.parquet(s"$sf/events.parquet").select("props")
+    val offenders = props
+      .filter(!org.apache.spark.sql.functions.col("props")
+        .rlike("""^\{"k": -?\d+\}$"""))
+      .limit(5).collect().map(_.getString(0))
+    assert(offenders.isEmpty,
+      s"""\nFIXTURE DRIFT — events.props no longer matches {"k": <int>}:\n - """ +
+        offenders.mkString("\n - ") +
+        "\nUpdate the x136_variant_json oracle's CONCAT reconstruction " +
+        "(SparkEntry.oracleSql) to the new props shape — the Spark side " +
+        "(to_json ∘ parse_json) is already shape-agnostic.")
+  }
+
   test("readEvents normalizes ts to session-TZ TimestampType with micros intact") {
     val ev = graft.sources.SourceReader.readEvents(spark, s"$sf/events.parquet")
     assert(ev.schema("ts").dataType == TimestampType,

@@ -1,10 +1,44 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.util.Staging
 import graft.x.Graph
 
 class GraphSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+
+  /** Staging that records each staged frame's physical plan before
+    * delegating to the real local checkpoint — the only way to see a
+    * round's plan, since the returned frame is itself already staged. */
+  private class PlanCapture extends Staging {
+    val plans = scala.collection.mutable.LinkedHashMap[String, SparkPlan]()
+    override def stage(df: DataFrame, hint: String): DataFrame = {
+      plans(hint) = df.queryExecution.executedPlan
+      Staging.LocalCheckpoint.stage(df, hint)
+    }
+  }
+
+  /** Shuffles sitting DIRECTLY over the (projected/filtered/sorted) edge
+    * scan — i.e. a re-shuffle of the static edge side. Shuffles above a
+    * join/agg that merely CONTAIN the scan deeper down don't count. */
+  private def edgeSideShuffles(plan: SparkPlan): Seq[SparkPlan] = {
+    def unaryPathToEdgeScan(p: SparkPlan): Boolean = p match {
+      case r: RDDScanExec => r.output.map(_.name) == Seq("src", "dst")
+      case u if u.children.size == 1 => unaryPathToEdgeScan(u.children.head)
+      case _ => false
+    }
+    plan.collect {
+      case s: ShuffleExchangeExec if unaryPathToEdgeScan(s.child) => s
+    }
+  }
+
+  private def hasEdgeScan(plan: SparkPlan): Boolean =
+    plan.collect {
+      case r: RDDScanExec if r.output.map(_.name) == Seq("src", "dst") => r
+    }.nonEmpty
 
   test("pageRank: exact match to a scalar integer reference; layout-invariant; mass-conserving") {
     import spark.implicits._
@@ -136,5 +170,34 @@ class GraphSpec extends AnyFunSuite {
     val shuffled = Graph.labelPropagation(edges.repartition(7), "src", "dst", iters = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(shuffled == got)
+  }
+
+  test("iterative rounds never re-shuffle the staged edge side (pageRank + LPA)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (1L, 4L), (1L, 6L), (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L))
+      .toDF("src", "dst")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // static plans so EnsureRequirements' exchanges are inspectable
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+      val prCap = new PlanCapture
+      val pr = Graph.pageRank(edges, "src", "dst", iters = 2, staging = prCap)
+      val prRound2 = prCap.plans("pr-ranks-2")
+      assert(hasEdgeScan(prRound2), s"round-2 plan lost the edge scan:\n$prRound2")
+      assert(edgeSideShuffles(prRound2).isEmpty,
+        s"pageRank round 2 re-shuffled the static edges:\n$prRound2")
+
+      val lpCap = new PlanCapture
+      val lp = Graph.labelPropagation(edges, "src", "dst", iters = 2, staging = lpCap)
+      val lpRound2 = lpCap.plans("lpa-labels-2")
+      assert(hasEdgeScan(lpRound2), s"round-2 plan lost the edge scan:\n$lpRound2")
+      assert(edgeSideShuffles(lpRound2).isEmpty,
+        s"labelPropagation round 2 re-shuffled the static edges:\n$lpRound2")
+
+      // the pinning is pure layout: results identical to the default path
+      pr.collect(); lp.collect()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }

@@ -66,6 +66,23 @@ class HilbertSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("SQL surface accepts INT coords on BOTH eval paths (codegen + interpreted)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // codegen path through SQL with IntegerType inputs
+    val viaSql = spark.sql("SELECT hilbert_idx(CAST(3 AS INT), CAST(5 AS INT), 10) AS d")
+      .head().getLong(0)
+    assert(viaSql == ref(3L, 5L, 10))
+    // interpreted path: eval() the registered builder's expression directly
+    // with Integer inputs — this is what threw ClassCastException before
+    // the registration wrapped children in Cast(_, LongType)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val built = graft.functions.GraftFunctions.specs
+      .find(_._1.funcName == "hilbert_idx").get._3
+      .apply(Seq(Literal(3), Literal(5), Literal(10)))
+    assert(built.eval(null).asInstanceOf[Long] == ref(3L, 5L, 10))
+  }
+
   test("zone ranges are compact: each 16k-index zone spans a bounded coordinate box") {
     import spark.implicits._
     // the property the layout buys: contiguous index ranges map to small

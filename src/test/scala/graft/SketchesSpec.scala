@@ -33,7 +33,7 @@ class SketchesSpec extends AnyFunSuite {
 
   test("cms estimates are >= true counts and exact for heavy keys here") {
     import spark.implicits._
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.sources.SourceReader.readEvents(spark, s"$sf/events.parquet")
     val sketch = Sketches.cmsBuild(ev, "user_id")
     val truth = ev.groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
     val probes = truth.orderBy(col("true_cnt").desc, col("user_id")).limit(20)
@@ -53,8 +53,10 @@ class SketchesSpec extends AnyFunSuite {
   }
 
   test("per-day HLL registers merged by max equal the direct sketch") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("day", to_date(col("ts").cast("timestamp")))
+    // events reads go through the schema-adaptive seam (SKILL.md): a raw
+    // parquet read of a NANOS-era fixture would cast nanos-as-seconds here
+    val ev = graft.sources.SourceReader.readEvents(spark, s"$sf/events.parquet")
+      .withColumn("day", to_date(col("ts")))
     val daily = Sketches.hllRegisters(ev, Seq("event_type", "day"), "user_id")
     val merged = daily.groupBy(col("event_type"), col("__j"))
       .agg(max(col("__mj")).as("__mj"))
@@ -65,9 +67,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(viaMerge == direct)
   }
 
+  test("cms probe of an unseen key answers est=0 (or its collision bound), never drops") {
+    import spark.implicits._
+    // tiny sketch: 3 occurrences of one key; most counters stay empty
+    val sketch = Sketches.cmsBuild(Seq("a", "a", "a").toDF("k"), "k")
+    val got = Sketches.cmsEstimate(sketch,
+        Seq("a", "never-seen-1", "never-seen-2").toDF("k"), "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("a", "never-seen-1", "never-seen-2"),
+      s"unseen probe keys must not vanish: $got")
+    assert(got("a") == 3L)
+    // an unseen key hits >= 1 empty counter out of 4x256 with these sizes,
+    // so the min-including-zeros answer is exactly 0
+    assert(got("never-seen-1") == 0L && got("never-seen-2") == 0L, s"$got")
+  }
+
   test("cms counter matrices merge by cell-wise re-aggregation") {
     import spark.implicits._
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.sources.SourceReader.readEvents(spark, s"$sf/events.parquet")
     val full = Sketches.cmsBuild(ev, "user_id")
     val lo = Sketches.cmsBuild(ev.filter(col("event_id") % 2 === 0), "user_id")
     val hi = Sketches.cmsBuild(ev.filter(col("event_id") % 2 === 1), "user_id")

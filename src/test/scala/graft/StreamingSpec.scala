@@ -285,8 +285,13 @@ class StreamingSpec extends AnyFunSuite {
       "user_id", store, ckpt)
     try q.processAllAvailable() finally q.stop()
     val streamed = graft.x.Sketches.hllEstimateFromRegisters(
-        spark.read.parquet(store), Seq("event_type"))
+        StreamingJobs.readHllRegisterStore(spark, store), Seq("event_type"))
       .orderBy("event_type").collect().toSeq
+    // generation layout: latest complete generation wins; at most the new
+    // + one prior generation survive GC
+    val gens = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen=")).map(_.getName).sorted
+    assert(gens.length <= 2, s"generation GC left ${gens.mkString(", ")}")
     val direct = graft.x.Sketches.hllDistinct(batchDf, Seq("event_type"), "user_id")
       .orderBy("event_type").collect().toSeq
     assert(streamed == direct)
