@@ -1568,6 +1568,28 @@ object SparkEntry {
           col("b_cnt").cast("long").as("b_cnt"))
         .orderBy("leaf")
     }),
+    // 2-level Merkle drill-down: localize the same 3 injected edits to
+    // 1/65,536 key ranges (≤3 second-level leaves) — level 2 re-scans only
+    // rows whose level-1 leaf differed, the anti-entropy repair shape
+    "x140_merkle_drill" -> ((s, dir) => {
+      reg(s, dir)
+      import graft.operators.Validations
+      val keyStr = concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string"))
+      def rowStr = concat(keyStr, lit("|"),
+        col("l_quantity").cast("decimal(18,2)").cast("string"))
+      val a = s.table("lineitem")
+      val b = a.withColumn("l_quantity",
+        when(col("l_orderkey").isin(1L, 7L, 42L) && col("l_linenumber") === 1,
+          col("l_quantity") + 1.0).otherwise(col("l_quantity")))
+      Validations.merkleDrill(a, b, keyStr, rowStr, levels = 2)
+        .select(col("leaf_1").cast("long").as("leaf_1"),
+          col("leaf_2").cast("long").as("leaf_2"),
+          col("a_xor"), col("b_xor"),
+          col("a_cnt").cast("long").as("a_cnt"),
+          col("b_cnt").cast("long").as("b_cnt"))
+        .orderBy("leaf_1", "leaf_2")
+    }),
     // rolling 7-day distinct users from MERGED daily registers — exact
     // rolling distinct needs a 7x re-scan (the `exact` branch shows it);
     // the sketch path merges ≤256 register rows per day instead
@@ -5411,6 +5433,49 @@ object SparkEntry {
       FROM al FULL OUTER JOIN bl USING (leaf)
       WHERE a_xor IS DISTINCT FROM b_xor OR a_cnt IS DISTINCT FROM b_cnt
       ORDER BY leaf""",
+
+    // level-1 diff feeds the drill filter; level-2 path = hash mod 256^2,
+    // decomposed root-first into (leaf_1, leaf_2)
+    "x140_merkle_drill" -> s"""
+      WITH a AS (
+        SELECT CONCAT(CAST(l_orderkey AS VARCHAR), '|',
+                      CAST(l_linenumber AS VARCHAR)) AS k,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS q
+        FROM lineitem),
+      b AS (
+        SELECT CONCAT(CAST(l_orderkey AS VARCHAR), '|',
+                      CAST(l_linenumber AS VARCHAR)) AS k,
+               CAST(CAST(CASE WHEN l_orderkey IN (1, 7, 42) AND l_linenumber = 1
+                              THEN l_quantity + 1.0 ELSE l_quantity END
+                    AS DECIMAL(18,2)) AS VARCHAR) AS q
+        FROM lineitem),
+      al1 AS (SELECT ${polySql("k")} % 256 AS leaf,
+                     BIT_XOR(${polySql("CONCAT(k, '|', q)")}) AS a_x,
+                     COUNT(*) AS a_c
+              FROM a GROUP BY 1),
+      bl1 AS (SELECT ${polySql("k")} % 256 AS leaf,
+                     BIT_XOR(${polySql("CONCAT(k, '|', q)")}) AS b_x,
+                     COUNT(*) AS b_c
+              FROM b GROUP BY 1),
+      d1 AS (SELECT leaf FROM al1 FULL OUTER JOIN bl1 USING (leaf)
+             WHERE a_x IS DISTINCT FROM b_x OR a_c IS DISTINCT FROM b_c),
+      al2 AS (SELECT ${polySql("k")} % 65536 AS path,
+                     BIT_XOR(${polySql("CONCAT(k, '|', q)")}) AS a_xor,
+                     COUNT(*) AS a_cnt
+              FROM a WHERE ${polySql("k")} % 256 IN (SELECT leaf FROM d1)
+              GROUP BY 1),
+      bl2 AS (SELECT ${polySql("k")} % 65536 AS path,
+                     BIT_XOR(${polySql("CONCAT(k, '|', q)")}) AS b_xor,
+                     COUNT(*) AS b_cnt
+              FROM b WHERE ${polySql("k")} % 256 IN (SELECT leaf FROM d1)
+              GROUP BY 1)
+      SELECT CAST(path % 256 AS BIGINT) AS leaf_1,
+             CAST(path // 256 AS BIGINT) AS leaf_2,
+             a_xor, b_xor,
+             CAST(a_cnt AS BIGINT) AS a_cnt, CAST(b_cnt AS BIGINT) AS b_cnt
+      FROM al2 FULL OUTER JOIN bl2 USING (path)
+      WHERE a_xor IS DISTINCT FROM b_xor OR a_cnt IS DISTINCT FROM b_cnt
+      ORDER BY leaf_1, leaf_2""",
 
     // same daily registers, same trailing-window max-merge, shared
     // estimate expression; exact branch is the same 7x range join

@@ -151,4 +151,66 @@ object Validations {
       .filter(not(col("a_xor") <=> col("b_xor")) ||
         not(col("a_cnt") <=> col("b_cnt")))
   }
+
+  /** Multi-level Merkle drill-down: where [[merkleDiff]] localizes drift to
+    * 1/`fanout` of the key space, drilling `levels` deep localizes it to
+    * 1/`fanout^levels` (2 levels × 256 = 1/65,536) — the granularity a real
+    * 100 TB anti-entropy repair ships, at one extra aggregate per level.
+    *
+    * The level-`k` leaf path is `hash(key) mod fanout^k`: level 1 reads the
+    * low `log2(fanout)` bits, level 2 the next ones, so a path PREFIXES its
+    * parent — no second hash needed, and the drill filter for "rows in a
+    * differing parent" is a single `pmod(h, fanout^(k-1)) IN hot` predicate.
+    *
+    * Scale shape: level 1 aggregates the full table once (partial-agg'd, ≤
+    * `fanout` rows shuffle). Each deeper level re-scans ONLY rows whose
+    * parent path differs — the hot-path list is driver-collected (bounded by
+    * `fanout^k`, in practice ≈ #edits) and applied as a narrow filter, so a
+    * 3-row drift drills through a 100 TB table touching 3/256 then 3/65,536
+    * of it. If more than `maxDrillPaths` parents differ the filter is
+    * skipped (full re-scan at finer grain — same answer, more IO) rather
+    * than building a megabyte `IN` list.
+    *
+    * Returns the differing deepest-level leaves as
+    * `(leaf_1 … leaf_levels, a_xor, b_xor, a_cnt, b_cnt)` where `leaf_i` is
+    * the level-`i` bucket on the root→leaf path. Same XOR-cancellation
+    * caveat as [[merkleLeaves]]. */
+  def merkleDrill(a: DataFrame, b: DataFrame, keyStr: Column, rowStr: Column,
+      levels: Int = 2, fanout: Int = 256, maxDrillPaths: Int = 4096): DataFrame = {
+    require(levels >= 1 && levels <= 4, s"levels $levels out of range [1,4]")
+    require(fanout >= 2 && (fanout & (fanout - 1)) == 0 && fanout <= (1 << 16),
+      s"fanout $fanout must be a power of two in [2, 65536]")
+    val keyHash = graft.functions.PolyHash56(keyStr)
+
+    def leavesAt(df: DataFrame, level: Int, hot: Option[Seq[Long]]): DataFrame = {
+      val mod = math.pow(fanout.toDouble, level.toDouble).toLong
+      val base = hot match {
+        case Some(ids) => df.filter(pmod(keyHash, lit(mod / fanout)).isin(ids: _*))
+        case None      => df
+      }
+      base.select(pmod(keyHash, lit(mod)).as("leaf"),
+          graft.functions.PolyHash56(rowStr).as("__h"))
+        .groupBy("leaf")
+        .agg(expr("bit_xor(__h)").as("xor_hash"), count(lit(1)).as("cnt"))
+    }
+
+    var level = 1
+    var hot: Option[Seq[Long]] = None
+    var diff = merkleDiff(leavesAt(a, 1, None), leavesAt(b, 1, None))
+    while (level < levels) {
+      // ≤ fanout^level rows, in practice ≈ #differing ranges: bounded scalar
+      val parents = diff.select("leaf").collect().map(_.getLong(0)).toSeq
+      hot = if (parents.nonEmpty && parents.length <= maxDrillPaths) Some(parents)
+            else None // empty → next diff is empty too; huge → full finer scan
+      level += 1
+      diff = merkleDiff(leavesAt(a, level, hot), leavesAt(b, level, hot))
+    }
+    // decompose the path id into per-level bucket columns, root first
+    val shift = java.lang.Long.numberOfTrailingZeros(fanout.toLong)
+    val leafCols = (1 to levels).map(i =>
+      pmod(shiftright(col("leaf"), shift * (i - 1)), lit(fanout.toLong))
+        .as(s"leaf_$i"))
+    diff.select(leafCols ++ Seq(col("a_xor"), col("b_xor"),
+      col("a_cnt"), col("b_cnt")): _*)
+  }
 }

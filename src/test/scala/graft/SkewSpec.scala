@@ -61,6 +61,39 @@ class SkewSpec extends AnyFunSuite {
       dropDiff.head.getAs[Long]("b_cnt") + 1)
   }
 
+  test("merkleDrill: edits localize to <=3 second-level leaves; drill " +
+      "filter and full-rescan fallback agree") {
+    import graft.operators.Validations
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val key = concat(col("l_orderkey").cast("string"), lit("|"),
+      col("l_linenumber").cast("string"))
+    def row = concat(key, lit("|"),
+      col("l_quantity").cast("decimal(18,2)").cast("string"))
+    val edited = li.withColumn("l_quantity",
+      when(col("l_orderkey").isin(1L, 7L, 42L) && col("l_linenumber") === 1,
+        col("l_quantity") + 1.0).otherwise(col("l_quantity")))
+    val drill = Validations.merkleDrill(li, edited, key, row, levels = 2)
+      .orderBy("leaf_1", "leaf_2").collect()
+    // 3 edited keys → at most 3 differing 1/65,536 ranges (fewer only on
+    // a path collision), every one an edit (equal counts both sides)
+    assert(drill.nonEmpty && drill.length <= 3, s"got ${drill.length} leaves")
+    drill.foreach { r =>
+      assert(r.getAs[Long]("a_cnt") == r.getAs[Long]("b_cnt"))
+      assert(r.getAs[Long]("leaf_1") < 256 && r.getAs[Long]("leaf_2") < 256)
+    }
+    // each differing level-2 path sits under a differing level-1 leaf
+    val l1 = Validations.merkleDrill(li, edited, key, row, levels = 1)
+      .collect().map(_.getAs[Long]("leaf_1")).toSet
+    assert(drill.map(_.getAs[Long]("leaf_1")).toSet.subsetOf(l1))
+    // maxDrillPaths=0 disables the hot-parent filter (full finer re-scan):
+    // the answer must be identical, only the IO differs
+    val full = Validations.merkleDrill(li, edited, key, row, levels = 2,
+      maxDrillPaths = 0).orderBy("leaf_1", "leaf_2").collect()
+    assert(full.toSeq == drill.toSeq)
+    // identical tables drill to an empty diff
+    assert(Validations.merkleDrill(li, li, key, row, levels = 2).count() == 0)
+  }
+
   test("keySkew is exact on a hand-checked frame") {
     import spark.implicits._
     // k: a×4, b×2, c,d,e,f ×1 → n=10, nd=6, mx=4,
