@@ -419,8 +419,12 @@ object Profiler {
     * expressions, `top_key` ties break to the smallest key string.
     *
     * Shape at 100 TB: one groupBy per column (the same shuffle the join
-    * under diagnosis would pay) feeding a scalar agg — run it on a sample
-    * or reuse it as the join's own dry-run statistics pass. */
+    * under diagnosis would pay) feeding ONE scalar agg — run it on a
+    * sample or reuse it as the join's own dry-run statistics pass. The
+    * arg-max lives in the same aggregate as the stats:
+    * `min(struct(-cnt, k))` orders first by -cnt (= max frequency) then
+    * by k ascending, so its `k` field IS "hottest key, ties to smallest
+    * string" — no second pass over the counts, no max-key re-join. */
   def keySkew(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "keySkew needs at least one column")
     cols.map { c =>
@@ -431,15 +435,13 @@ object Profiler {
         count(lit(1)).as("nd"),
         max("cnt").as("mx"),
         sum(col("cnt").cast("decimal(38,0)") * col("cnt").cast("decimal(38,0)"))
-          .as("sq"))
-      val top = counts.join(broadcast(stats.select(col("mx"))),
-          col("cnt") === col("mx"))
-        .agg(min("k").as("top_key"))
-      stats.crossJoin(broadcast(top)).select(
+          .as("sq"),
+        min(struct((-col("cnt")).as("nc"), col("k").as("k"))).as("topkv"))
+      stats.select(
         lit(c).as("key_col"),
         col("n").cast("long").as("n"),
         col("nd").cast("long").as("n_distinct"),
-        col("top_key"),
+        col("topkv").getField("k").as("top_key"),
         (col("mx").cast("double") / col("n").cast("double")).as("top_share"),
         (col("sq").cast("double") /
           (col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)"))
