@@ -476,10 +476,10 @@ object SparkEntry {
 
     "etl_formats_roundtrip" -> ((s, dir) => {
       reg(s, dir)
-      // S2/S3/S4/S5/S6/S7 source connectors: write the nation table out as
-      // csv, json, xml, orc and xlsx, read each back through SourceReader,
-      // and 5-way-join — the output matches the original table only if
-      // EVERY format round-trips both values and null handling
+      // S2/S3/S4/S5/S6/S7/S8 source connectors: write the nation table out
+      // as csv, json, xml, orc, xlsx and line-text, read each back through
+      // SourceReader, and 6-way-join — the output matches the original
+      // table only if EVERY format round-trips both values and null handling
       val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
       // nation is a 25-row dimension: write each format as ONE file (32
       // near-empty part files per format would triple the read-back's file
@@ -491,6 +491,9 @@ object SparkEntry {
         .option("rowTag", "nation").save(s"$base/xml")
       nation.write.mode("overwrite").orc(s"$base/orc")
       graft.sinks.ExcelSink.write(nation, s"$base/xlsx", header = true)
+      // S8 text is a line format: serialize key|name, split on read-back
+      nation.select(concat_ws("|", col("n_nationkey"), col("n_name")))
+        .write.mode("overwrite").text(s"$base/text")
       val c = SourceReader.read(s, graft.config.InputSpec("nation_csv", "csv", Some(s"$base/csv")))
         .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name_csv"))
       val j = SourceReader.read(s, graft.config.InputSpec("nation_json", "json", Some(s"$base/json")))
@@ -503,9 +506,13 @@ object SparkEntry {
       val e = SourceReader.read(s, graft.config.InputSpec("nation_xlsx", "xlsx", Some(s"$base/xlsx"),
           header = true))
         .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name_xlsx"))
-      c.join(j, "k").join(x, "k").join(o, "k").join(e, "k")
+      val t = SourceReader.read(s, graft.config.InputSpec("nation_text", "text", Some(s"$base/text")))
+        .select(split(col("value"), "\\|").getItem(0).cast("long").as("k"),
+          split(col("value"), "\\|").getItem(1).as("name_text"))
+      c.join(j, "k").join(x, "k").join(o, "k").join(e, "k").join(t, "k")
         .filter(col("name_csv") === col("name_json") && col("name_json") === col("name_xml")
-          && col("name_xml") === col("name_orc") && col("name_orc") === col("name_xlsx"))
+          && col("name_xml") === col("name_orc") && col("name_orc") === col("name_xlsx")
+          && col("name_xlsx") === col("name_text"))
         .select(col("k").as("n_nationkey"), col("name_csv").as("n_name"))
         .orderBy("n_nationkey")
     }),
