@@ -200,4 +200,45 @@ class GraphSpec extends AnyFunSuite {
       pr.collect(); lp.collect()
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("kCore rounds >=2: weak set broadcasts under the limit, edge side unshuffled") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    // triangle {1,2,3} with tail 3-10-11: k=2 peels 11 (round 1), then the
+    // cascade peels 10 (round 2), then converges on the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L), (10L, 11L))
+      .toDF("src", "dst")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val cap = new PlanCapture
+      val core = Graph.kCore(edges, "src", "dst", k = 2, staging = cap)
+      val round2 = cap.plans("kcore-edges-2")
+      // the tiny cascade frontier rides a broadcast into BOTH anti-joins …
+      val anti = round2.collect {
+        case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j
+      }
+      assert(anti.size == 2,
+        s"round-2 weak set did not broadcast into both anti-joins:\n$round2")
+      // … so the staged edge side needs no exchange at all: every shuffle
+      // in the round sits inside the weak-set (degree-agg) subtree, under
+      // its BroadcastExchange — none on the streamed edge path
+      def streamedPath(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case r: RDDScanExec => r.output.map(_.name) == Seq("a", "b")
+          case j: BroadcastHashJoinExec => streamedPath(j.left)
+          case u if u.children.size == 1 => streamedPath(u.children.head)
+          case _ => false
+        }
+      val edgeShuffles = round2.collect {
+        case s: ShuffleExchangeExec if streamedPath(s.child) => s
+      }
+      assert(edgeShuffles.isEmpty,
+        s"round-2 re-shuffled the staged edge side:\n$round2")
+      // and the peel itself is correct: the triangle survives with deg 2
+      val got = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"core wrong: $got")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }

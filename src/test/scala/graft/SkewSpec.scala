@@ -31,6 +31,58 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.count() == 810)
   }
 
+  test("AQE splits the skewed partition of an UNSALTED sort-merge join " +
+      "(OptimizeSkewedJoin) — salting is only for what AQE can't see") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // When the skewed join IS a sort-merge join AQE observes at runtime,
+    // the right tool is no tool: OptimizeSkewedJoin splits the fat
+    // partition into advisory-sized slices and replicates the matching
+    // build rows. SkewOps.saltedJoin earns its replication cost only where
+    // AQE can't act — broadcast-ineligible plans it can't split (stream
+    // side of an outer join it must preserve), or a skewed AGGREGATION
+    // (saltedAgg), which AQE never rewrites.
+    val keep = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // test-sized detection bars (defaults are 256 MB / 5×median)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val pad = "x" * 256
+      // key 1 carries 50k of 55k rows: one shuffle partition dwarfs the rest
+      val large = spark.range(0, 55000).select(
+        when($"id" < 50000, lit(1L)).otherwise(pmod($"id", lit(100)) + 2L).as("k"),
+        concat(lit(pad), $"id".cast("string")).as("payload"))
+      val small = spark.range(0, 200).select($"id".as("k"),
+        concat(lit(pad), $"id".cast("string")).as("v"))
+      val agg = large.join(small, Seq("k"))
+        .agg(sum(length($"payload")).as("s"))
+      agg.collect()
+      // materialized query stages are leaf nodes, so render the final
+      // adaptive plan and assert on SortMergeJoin's skew=true marker
+      val finalPlan = (agg.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+      assert(finalPlan.contains("SortMergeJoin"),
+        s"expected a sort-merge join:\n$finalPlan")
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire on the hot key:\n$finalPlan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("merkleDiff: identical tables diff empty; edits localize to their leaves") {
     import graft.operators.Validations
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
