@@ -311,12 +311,21 @@ object StreamingJobs {
     * (`gen=00000007/` parquet dirs); each batch writes the merged
     * registers as a brand-new generation and never touches the prior one,
     * so there is no window where a failure loses the store (the old
-    * rewrite-in-place had one: overwrite deletes before it copies). The
-    * current state is simply the highest generation carrying parquet's
-    * `_SUCCESS` marker — a torn write leaves a markerless directory that
-    * readers and the next batch ignore. Replays after a crash re-merge
-    * into a fresh generation; max-merge makes that a no-op. Generations
-    * older than the previous one are GC'd best-effort. All path
+    * rewrite-in-place had one: overwrite deletes before it copies). A
+    * generation COMMITS by an explicit `_GRAFT_COMMIT` marker written
+    * after its parquet job returns — the store does not depend on the
+    * committer's `_SUCCESS` (disabled by the common object-store override
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false`), though a
+    * pre-existing `_SUCCESS`-only generation (written by an older build)
+    * still counts as committed. The current state is the highest committed
+    * generation; a torn write leaves a markerless directory that readers
+    * and the next batch ignore and GC later removes. Replays after a
+    * crash re-merge into a fresh generation; max-merge makes that a
+    * no-op. A LEGACY store (flat parquet files from the old
+    * rewrite-in-place layout) is adopted in place as `gen=00000001` on
+    * first touch, so upgrading never silently drops accumulated state.
+    * GC keeps the new + one prior committed generation and best-effort
+    * deletes everything else, torn directories included. All path
     * operations go through the Hadoop FileSystem of `storeDir`, so an
     * object-store or HDFS store path behaves identically to local disk. */
   def startHllRegisterStore(stream: DataFrame, groupCols: Seq[String],
@@ -339,27 +348,51 @@ object StreamingJobs {
         val nextId = gens.lastOption
           .map(_.getName.stripPrefix("gen=").toLong + 1L).getOrElse(1L)
         val root = new org.apache.hadoop.fs.Path(storeDir)
-        merged.write.mode("overwrite")
-          .parquet(new org.apache.hadoop.fs.Path(root, f"gen=$nextId%08d").toString)
-        // keep the new + one prior generation; GC the rest best-effort
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        gens.dropRight(1).foreach(p =>
-          try { fs.delete(p, true); () } catch { case _: Throwable => () })
+        val next = new org.apache.hadoop.fs.Path(root, f"gen=$nextId%08d")
+        merged.write.mode("overwrite").parquet(next.toString)
+        // commit: our own marker, not the committer's _SUCCESS
+        fs.create(new org.apache.hadoop.fs.Path(next, CommitMarker), true).close()
+        // keep the new + one prior committed generation; GC everything
+        // else best-effort — stale committed gens AND torn markerless dirs
+        val keep = Set(next.getName) ++ gens.lastOption.map(_.getName)
+        fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+          .map(_.getPath).filterNot(p => keep(p.getName))
+          .foreach(p => try { fs.delete(p, true); () }
+            catch { case _: Throwable => () })
       }
       .start()
 
-  /** Complete (SUCCESS-marked) generations of a register store, oldest
-    * first; empty if the store doesn't exist yet. */
+  private val CommitMarker = "_GRAFT_COMMIT"
+
+  /** Committed generations of a register store, oldest first; empty if
+    * the store doesn't exist yet. Committed = carries [[CommitMarker]],
+    * or `_SUCCESS` from a generation written by an older build. A legacy
+    * FLAT store (parquet files directly under `storeDir`, the pre-
+    * generation layout) is adopted in place as `gen=00000001` so
+    * upgraded deployments keep their accumulated registers. */
   private def completeGenerations(spark: SparkSession,
       storeDir: String): Seq[org.apache.hadoop.fs.Path] = {
-    val root = new org.apache.hadoop.fs.Path(storeDir)
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
+    if (!fs.exists(root)) return Seq.empty
+    def committed(p: Path): Boolean =
+      fs.exists(new Path(p, CommitMarker)) || fs.exists(new Path(p, "_SUCCESS"))
+    val entries = fs.listStatus(root).toSeq
+    val gens = entries
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
       .map(_.getPath)
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-      .sortBy(_.getName)
+    val flat = entries.filter(_.isFile).map(_.getPath)
+    if (gens.isEmpty && flat.exists(_.getName.endsWith(".parquet"))) {
+      // legacy rewrite-in-place layout: adopt the flat files as gen 1
+      val g1 = new Path(root, "gen=00000001")
+      fs.mkdirs(g1)
+      flat.foreach(f => fs.rename(f, new Path(g1, f.getName)))
+      fs.create(new Path(g1, CommitMarker), true).close()
+      Seq(g1)
+    } else gens.filter(committed).sortBy(_.getName)
   }
 
   /** Read the current state of a [[startHllRegisterStore]] store: the

@@ -32,6 +32,59 @@ class StatefulStreamingSpec extends AnyFunSuite {
     dir
   }
 
+  test("HLL register store: torn generations ignored, replay idempotent, " +
+      "stale + torn dirs GC'd, legacy flat layout adopted") {
+    import org.apache.hadoop.fs.Path
+    val batchDf = spark.read.parquet(eventsDir)
+    val store = Files.createTempDirectory("graft-hllcrash").resolve("regs").toString
+    def runBatches(ckptName: String): Unit = {
+      val ckpt = Files.createTempDirectory(ckptName).toString
+      val stream = StreamingJobs.fileStream(spark, eventsDir, batchDf.schema,
+        maxFilesPerTrigger = 2)
+      val q = StreamingJobs.startHllRegisterStore(stream, Seq("event_type"),
+        "user_id", store, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runBatches("graft-hllck1")
+    def estimate() = graft.x.Sketches.hllEstimateFromRegisters(
+        StreamingJobs.readHllRegisterStore(spark, store), Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    val afterFirst = estimate()
+    // a crash mid-write leaves a markerless (torn) generation sorting
+    // NEWEST — readers must keep answering from the last committed one
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = new Path(store, "gen=99999999")
+    fs.mkdirs(torn)
+    fs.create(new Path(torn, "part-00000.parquet"), true).close() // 0-byte torn file
+    assert(estimate() == afterFirst, "torn generation changed the answer")
+    // a full replay of every batch (fresh checkpoint, same data) must be a
+    // no-op under max-merge, and GC must remove the torn dir + stale gens
+    runBatches("graft-hllck2")
+    assert(estimate() == afterFirst, "replay was not idempotent")
+    assert(!fs.exists(torn), "GC left the torn generation behind")
+    val gens = fs.listStatus(new Path(store)).map(_.getPath.getName)
+      .filter(_.startsWith("gen=")).sorted
+    assert(gens.length <= 2, s"GC left ${gens.mkString(", ")}")
+    // every surviving generation carries the explicit commit marker — the
+    // store must not depend on the committer's _SUCCESS setting
+    gens.foreach(g => assert(
+      fs.exists(new Path(new Path(store, g), "_GRAFT_COMMIT")),
+      s"$g lacks the explicit commit marker"))
+
+    // legacy flat layout (pre-generation store): registers directly under
+    // storeDir are adopted as gen=00000001, nothing dropped
+    val legacy = Files.createTempDirectory("graft-hlllegacy").resolve("regs").toString
+    graft.x.Sketches.hllRegisters(batchDf, Seq("event_type"), "user_id")
+      .coalesce(1).write.mode("overwrite").parquet(legacy)
+    // strip the committer's _SUCCESS to model marksuccessfuljobs=false
+    fs.delete(new Path(legacy, "_SUCCESS"), false)
+    val adopted = graft.x.Sketches.hllEstimateFromRegisters(
+        StreamingJobs.readHllRegisterStore(spark, legacy), Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    assert(adopted == afterFirst, "legacy store adoption lost state")
+    assert(fs.exists(new Path(legacy, "gen=00000001/_GRAFT_COMMIT")))
+  }
+
   test("flatMapGroupsWithState sessions agree with session_window on closed sessions") {
     val batchDf = spark.read.parquet(eventsDir)
     val stream = StreamingJobs.fileStream(spark, eventsDir, batchDf.schema,
