@@ -43,7 +43,20 @@ object BloomProbe {
   /** Probe Column: membership of `value` in the one-row, one-column
     * BINARY bloom frame `bloom1Row` (built with [[bloomAgg]]), attached
     * as a scalar subquery — the shape `BloomFilterMightContain` requires.
-    * NULL value probes yield NULL, like every null-intolerant expression. */
+    * NULL value probes yield NULL, like every null-intolerant expression.
+    *
+    * CALLER CONTRACT — build the bloom from an INDEPENDENT plan: the
+    * bloom frame's analyzed plan is embedded verbatim as the subquery, so
+    * if it shares a plan subtree with the frame being probed, the same
+    * attribute exprIds appear both outside and inside the subquery and
+    * analysis can misresolve or trip duplicate-attribute checks (Spark's
+    * own InjectRuntimeFilter deduplicates attributes for exactly this
+    * reason). Derive the bloom from its own `spark.read`/`spark.table`
+    * lineage — the natural shape for a blocklist anyway. Probing the
+    * SAME TABLE the bloom was built from is fine as long as the
+    * DataFrames are separate reads (fresh exprIds), e.g. two
+    * `spark.table(...)` calls; what breaks is literally reusing one
+    * DataFrame object (or a transform of it) on both sides. */
   def mightContain(bloom1Row: DataFrame, value: Column): Column =
     ColumnBridge.column(BloomFilterMightContain(
       ScalarSubquery(bloom1Row.queryExecution.analyzed),

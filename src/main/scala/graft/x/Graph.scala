@@ -230,28 +230,37 @@ object Graph {
     * Each round is one degree aggregation + two anti-joins against the
     * weak-node set. The weak set shrinks every round (after the first
     * peel it is the cascade frontier — typically tiny), so the anti-joins
-    * BROADCAST it whenever its count is within `broadcastWeakLimit`,
-    * leaving the big edge side entirely unshuffled for that round; a
-    * huge first peel (sparse graph, high k) exceeds the limit and falls
-    * back to the shuffled anti-join, which is the correct plan for two
-    * big sides. Edges re-stage per round to cut lineage, the
-    * [[pageRank]] loop discipline. Rounds are data-dependent but bounded
-    * by `maxIters`; only a scalar count reaches the driver per round.
+    * BROADCAST it whenever it fits within `broadcastWeakLimit` rows (the
+    * 1M default is ≈8-16 MB of broadcast node ids — explicit hints bypass
+    * autoBroadcastJoinThreshold, so the limit IS the byte gate), leaving
+    * the big edge side entirely unshuffled for that round; a huge first
+    * peel (sparse graph, high k) exceeds the limit and falls back to the
+    * shuffled anti-join, which is the correct plan for two big sides.
+    * The per-round driver scalar is a `limit(broadcastWeakLimit+1)`
+    * count, NOT a full count: it answers both "converged?" (0 rows) and
+    * "broadcastable?" (≤ limit rows) while short-circuiting the scan as
+    * soon as limit+1 weak nodes are found — a huge first peel never pays
+    * a full count just to learn it isn't broadcastable. Edges re-stage
+    * per round to cut lineage, the [[pageRank]] loop discipline. Rounds
+    * are data-dependent but bounded by `maxIters`.
     * Everything is integer — the fixpoint is engine- and
     * layout-invariant, so a SQL replay that unrolls ≥ the convergence
     * round count reproduces it exactly (extra unrolled rounds are
     * no-ops). */
   def kCore(edgesIn: DataFrame, srcCol: String, dstCol: String, k: Int,
-      maxIters: Int = 50, broadcastWeakLimit: Long = 5000000L,
+      maxIters: Int = 50, broadcastWeakLimit: Long = 1000000L,
       staging: Staging = Staging.LocalCheckpoint): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(broadcastWeakLimit >= 0 && broadcastWeakLimit < Int.MaxValue,
+      s"broadcastWeakLimit $broadcastWeakLimit out of range")
     var e = staging.stage(canonicalEdges(edgesIn, srcCol, dstCol), "kcore-edges-0")
     var round = 0
     var converged = false
     while (!converged && round < maxIters) {
       val deg = degrees(e)
       val weakAll = deg.filter(col("deg") < k).select("v")
-      val nWeak = weakAll.count()
+      // bounded probe: stops scanning at limit+1 rows — never a full count
+      val nWeak = weakAll.limit(broadcastWeakLimit.toInt + 1).count()
       if (nWeak == 0L) converged = true
       else {
         round += 1
