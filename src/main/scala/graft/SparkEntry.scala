@@ -1597,6 +1597,19 @@ object SparkEntry {
           col("b_cnt").cast("long").as("b_cnt"))
         .orderBy("leaf_1", "leaf_2")
     }),
+    // token-budget selection: best-first corpus assembly under a global
+    // token budget — the running sum is range-partitioned cumsum + carry
+    // offsets, never a single-partition window; ranges past the budget
+    // are pruned before their window runs
+    "x141_token_budget" -> ((s, dir) => {
+      reg(s, dir)
+      val d = s.table("documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+        TextAnalysis.qualityScore(col("text")).as("pri"))
+      Sampling.tokenBudgetSelect(d, "doc_id", "toks", "pri", budget = 15000L)
+        .select(col("doc_id"), col("toks"), col("pri"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
     // rolling 7-day distinct users from MERGED daily registers — exact
     // rolling distinct needs a 7x re-scan (the `exact` branch shows it);
     // the sketch path merges ≤256 register rows per day instead
@@ -5483,6 +5496,32 @@ object SparkEntry {
       FROM al2 FULL OUTER JOIN bl2 USING (path)
       WHERE a_xor IS DISTINCT FROM b_xor OR a_cnt IS DISTINCT FROM b_cnt
       ORDER BY leaf_1, leaf_2""",
+
+    // same token / quality expressions as x8; the selection is the
+    // inclusive running sum over (pri DESC, doc_id) cut at the budget —
+    // ROWS frame spelled out (RANGE would pool priority ties)
+    "x141_token_budget" -> """
+      WITH t AS (
+        SELECT doc_id,
+          CAST(LEN(STR_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS toks,
+          ROUND(
+            (CASE WHEN LENGTH(text) BETWEEN 50 AND 20000 THEN 1.0
+                  WHEN LENGTH(text) BETWEEN 20 AND 50 THEN 0.5 ELSE 0.0 END) * 0.4 +
+            (CASE WHEN (CAST(LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS DOUBLE)
+                        / LEN(STR_SPLIT_REGEX(TRIM(text), '\s+'))) BETWEEN 2.0 AND 12.0
+                  THEN 1.0 ELSE 0.3 END) * 0.4 +
+            (CASE WHEN (CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                        / GREATEST(LENGTH(text), 1)) <= 0.2 THEN 1.0 ELSE 0.2 END) * 0.2,
+            4) AS pri
+        FROM documents),
+      c AS (
+        SELECT doc_id, toks, pri,
+               SUM(toks) OVER (ORDER BY pri DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT doc_id, toks, pri, CAST(cum AS BIGINT) AS cum_tokens
+      FROM c WHERE cum <= 15000
+      ORDER BY doc_id""",
 
     // same daily registers, same trailing-window max-merge, shared
     // estimate expression; exact branch is the same 7x range join

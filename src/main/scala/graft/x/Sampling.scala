@@ -134,6 +134,60 @@ object Sampling {
       .drop("rank")
   }
 
+  /** Token-budget selection — assemble a training set of AT MOST `budget`
+    * tokens by taking documents best-first: rows are ordered by
+    * (`priorityCol` DESC, `idCol` ASC) and kept while the inclusive
+    * running token total stays within the budget (the document that would
+    * cross the line is excluded, not truncated). This is the "give me N
+    * billion tokens of the best data" primitive every training-mix
+    * assembly ends with, made a pure function of (priority, id, budget) —
+    * no RNG, no partition dependence, replayable by any engine.
+    *
+    * The running total is the [[graft.x.Dedup.globalRowNumber]]
+    * discipline applied to a SUM: `SUM(tokens) OVER (ORDER BY …)` would
+    * funnel the corpus through ONE task, so instead the frame
+    * range-partitions on the sort key, each range cumsums in parallel
+    * under a per-range window, and the cross-range carry is a
+    * driver-scale offsets frame (one row per partition) broadcast back.
+    * Ranges whose carry-in already exceeds the budget are dropped BEFORE
+    * their window runs — the selection never windows more than one range
+    * past the cut, so a 1%-of-corpus budget pays the range exchange plus
+    * a window over roughly the selected slice only.
+    *
+    * Contract: `idCol` unique (the deterministic tiebreak), token counts
+    * ≥ 0 (negative counts would break the prefix monotonicity the
+    * partition pruning relies on). Emits the kept rows with their
+    * inclusive global `cum_tokens` as the audit column. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, tokenCol: String,
+      priorityCol: String, budget: Long,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val sortCols = Seq(col(priorityCol).desc, col(idCol))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = staging.stage(
+      df.select(col(idCol), col(tokenCol).cast("long").as(tokenCol), col(priorityCol))
+        .repartitionByRange(parts, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()),
+      "token-budget-ranged")
+    // per-range token totals → exclusive carry-in per range: driver-scale
+    // (one row per partition), windowed over `parts` rows, broadcast back
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val off = ranged.groupBy("__pid").agg(sum(col(tokenCol)).as("__t"))
+      .withColumn("__off", coalesce(sum("__t").over(wOff), lit(0L)))
+      .select("__pid", "__off")
+    // ranges already past the budget never window a row
+    val eligible = ranged.join(broadcast(off), Seq("__pid"))
+      .filter(col("__off") <= budget)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    eligible
+      .withColumn("cum_tokens", col("__off") + sum(col(tokenCol)).over(wIn))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__pid", "__off")
+  }
+
   /** Rebalance a corpus to a TARGET MIXTURE: given integer weights per
     * stratum (e.g. source/language shares for a training mix), compute the
     * largest output that hits the exact target proportions without

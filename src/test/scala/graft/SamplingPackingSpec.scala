@@ -23,6 +23,37 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(small.subsetOf(a))
   }
 
+  test("tokenBudgetSelect equals the single-window reference; edges exact") {
+    import spark.implicits._
+    // hand-sized frame with priority ties and an exact-fill boundary
+    val rows = Seq(
+      (1L, 10L, 0.9), (2L, 20L, 0.9), (3L, 30L, 0.8), (4L, 25L, 0.8),
+      (5L, 40L, 0.7), (6L, 5L, 0.7), (7L, 100L, 0.6), (8L, 1L, 0.5))
+    val df = rows.toDF("id", "toks", "pri").repartition(5) // layout-hostile
+    def brute(budget: Long): Seq[(Long, Long)] = {
+      // scalar reference: order (pri desc, id), inclusive cumsum, cut
+      val ordered = rows.sortBy { case (id, _, p) => (-p, id) }
+      ordered.scanLeft((0L, 0L)) { case ((_, cum), (id, t, _)) => (id, cum + t) }
+        .tail.filter(_._2 <= budget)
+    }
+    for (budget <- Seq(0L, 10L, 30L, 60L, 85L, 130L, 231L, 1000L)) {
+      val got = Sampling.tokenBudgetSelect(df, "id", "toks", "pri", budget)
+        .select("id", "cum_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == brute(budget).sortBy(_._1),
+        s"budget $budget: got $got, want ${brute(budget)}")
+    }
+    // exact fill: budget 85 = 10+20+30+25 keeps ids 1,2,3,4 and excludes
+    // the crossing doc 5 rather than truncating it
+    val exact = Sampling.tokenBudgetSelect(df, "id", "toks", "pri", 85L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L, 2L, 3L, 4L))
+    // ties split by id: within pri=0.8, id 3 (30 toks) precedes id 4
+    val tie = Sampling.tokenBudgetSelect(df, "id", "toks", "pri", 60L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(tie == Set(1L, 2L, 3L), s"tie order broke: $tie")
+  }
+
   test("stratified sample applies per-stratum fractions") {
     val out = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.0))
     val byLang = out.groupBy("lang").count().collect()
