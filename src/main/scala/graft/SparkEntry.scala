@@ -1610,6 +1610,16 @@ object SparkEntry {
         .select(col("doc_id"), col("toks"), col("pri"), col("cum_tokens"))
         .orderBy("doc_id")
     }),
+    // fractional-epoch mixture: en 2.5 epochs (every doc twice, the
+    // deterministic half-share a third time), de 1, fr 0.25 (downsample),
+    // es/zh dropped — one narrow explode pass, no shuffle
+    "x142_epoch_mixture" -> ((s, dir) => {
+      reg(s, dir)
+      Sampling.epochMixture(s.table("documents").select("doc_id", "lang"),
+          "doc_id", "lang", Map("en" -> 2.5, "de" -> 1.0, "fr" -> 0.25))
+        .select(col("doc_id"), col("lang"), col("epoch").cast("long").as("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
     // rolling 7-day distinct users from MERGED daily registers — exact
     // rolling distinct needs a 7x re-scan (the `exact` branch shows it);
     // the sketch path merges ≤256 register rows per day instead
@@ -5522,6 +5532,23 @@ object SparkEntry {
       SELECT doc_id, toks, pri, CAST(cum AS BIGINT) AS cum_tokens
       FROM c WHERE cum <= 15000
       ORDER BY doc_id""",
+
+    // repeats = floor(epochs) + (hash-share < frac(epochs)); the same
+    // :epochs-salted bucket hash as the Spark side, unrolled per row via
+    // generate_series
+    "x142_epoch_mixture" -> s"""
+      WITH r AS (
+        SELECT doc_id, lang,
+          CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1 WHEN 'fr' THEN 0
+          END
+          + CASE WHEN ${polySql("CAST(doc_id AS VARCHAR) || ':epochs'")} % 1000000 <
+                      CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 0
+                                WHEN 'fr' THEN 250000 END
+                 THEN 1 ELSE 0 END AS rep
+        FROM documents WHERE lang IN ('en', 'de', 'fr'))
+      SELECT doc_id, lang, CAST(e.epoch AS BIGINT) AS epoch
+      FROM r JOIN generate_series(0, 2) e(epoch) ON e.epoch < r.rep
+      ORDER BY doc_id, epoch""",
 
     // same daily registers, same trailing-window max-merge, shared
     // estimate expression; exact branch is the same 7x range join

@@ -188,6 +188,42 @@ object Sampling {
       .drop("__pid", "__off")
   }
 
+  /** Fractional-EPOCH mixture: materialize each stratum `epochs(k)` times,
+    * where the factor need not be an integer — the public data-recipe
+    * shape (quality domains repeat 2-4 epochs, bulk crawl under 1) that
+    * [[mixtureRebalance]]'s downsample-only contract can't express. Every
+    * row of stratum k appears `floor(e_k)` times, plus once more for the
+    * deterministic `frac(e_k)` hash-share of ids — so the stratum's
+    * expected multiplicity is exactly e_k, the SAME ids are the
+    * upsampled ones on every run/engine, and factors < 1 degrade to plain
+    * deterministic downsampling. Strata absent from `epochs` drop
+    * (factor 0), matching [[mixtureRebalance]].
+    *
+    * Emits the input row with a 0-based `epoch` column — downstream can
+    * shuffle-shard each epoch copy independently ([[shuffleShards]] keyed
+    * by (id, epoch)) or skip materialization entirely and let the loader
+    * replay row ids per epoch. Shape at 100 TB: one narrow
+    * filter+explode pass, NO shuffle — the write amplification is the
+    * semantics, not the plan (floor+1 copies max per row). */
+  def epochMixture(df: DataFrame, idCol: String, strataCol: String,
+      epochs: Map[String, Double], salt: String = "epochs"): DataFrame = {
+    require(epochs.nonEmpty && epochs.values.forall(e => e >= 0.0 && e <= 100.0),
+      "epoch factors must be in [0, 100]")
+    val whole = epochs.map { case (k, e) => k -> math.floor(e).toLong }
+    val thr = epochs.map { case (k, e) =>
+      k -> math.floor((e - math.floor(e)) * Buckets).toLong }
+    val stratum = col(strataCol).cast("string")
+    val repeats =
+      coalesce(element_at(typedLit(whole), stratum), lit(0L)) +
+        when(hashBucket(col(idCol), salt) <
+          coalesce(element_at(typedLit(thr), stratum), lit(0L)), 1L).otherwise(0L)
+    df.filter(stratum.isin(epochs.keys.toSeq: _*))
+      .withColumn("__rep", repeats)
+      .filter(col("__rep") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__rep") - 1)))
+      .drop("__rep")
+  }
+
   /** Rebalance a corpus to a TARGET MIXTURE: given integer weights per
     * stratum (e.g. source/language shares for a training mix), compute the
     * largest output that hits the exact target proportions without

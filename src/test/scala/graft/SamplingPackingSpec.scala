@@ -54,6 +54,33 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(tie == Set(1L, 2L, 3L), s"tie order broke: $tie")
   }
 
+  test("epochMixture: floor+fractional repeats per stratum, deterministic") {
+    val out = Sampling.epochMixture(docs.select("doc_id", "lang"),
+      "doc_id", "lang", Map("en" -> 2.5, "de" -> 1.0, "fr" -> 0.25)).cache()
+    val byDoc = out.groupBy("doc_id", "lang").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // en: every doc 2 or 3 copies, ~half get the third
+    val en = byDoc.filter(_._2 == "en")
+    assert(en.forall(d => d._3 == 2 || d._3 == 3))
+    val enFrac = en.count(_._3 == 3).toDouble / en.length
+    assert(math.abs(enFrac - 0.5) < 0.15, s"en third-epoch share $enFrac")
+    // de: exactly once; fr: ~25% appear, never twice; es/zh: dropped
+    assert(byDoc.filter(_._2 == "de").forall(_._3 == 1))
+    val frBase = docs.filter(col("lang") === "fr").count().toDouble
+    val fr = byDoc.filter(_._2 == "fr")
+    assert(fr.forall(_._3 == 1) && math.abs(fr.length / frBase - 0.25) < 0.15)
+    assert(!byDoc.exists(d => d._2 == "es" || d._2 == "zh"))
+    // epoch indices dense 0..rep-1 and the whole assignment reproducible
+    val epochs = out.filter(col("doc_id") === en.head._1)
+      .select("epoch").collect().map(_.getLong(0)).sorted
+    assert(epochs.sameElements(0L until en.head._3))
+    val again = Sampling.epochMixture(docs.select("doc_id", "lang"),
+      "doc_id", "lang", Map("en" -> 2.5, "de" -> 1.0, "fr" -> 0.25))
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.map(d => d._1 -> d._3).toMap == again)
+    out.unpersist()
+  }
+
   test("stratified sample applies per-stratum fractions") {
     val out = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.0))
     val byLang = out.groupBy("lang").count().collect()
