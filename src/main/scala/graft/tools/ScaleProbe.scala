@@ -876,6 +876,30 @@ object ScaleProbe {
       }
     }
 
+    // token-budget probe: corpus inflates K×, budget FIXED — the range
+    // exchange is corpus-linear (every selection pays one sort shuffle),
+    // but the cumsum window must track the SELECTED slice, not the
+    // corpus: over-budget ranges are pruned before their window runs, so
+    // the kept-row count stays flat while input grows 16×. Superlinear
+    // window time here would mean the pruning regressed to windowing
+    // everything.
+    if (on("tokenbudget")) Seq(1, 4, 16).foreach { k =>
+      val inflated = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _)
+        .select(col("doc_id"),
+          graft.x.TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+          graft.x.TextAnalysis.qualityScore(col("text")).as("pri"))
+        .repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val t0 = System.nanoTime()
+      val kept = graft.x.Sampling.tokenBudgetSelect(
+        inflated, "doc_id", "toks", "pri", budget = 15000L).count()
+      println(f"[scale-tokenbudget] docs=$n%8d  " +
+        f"select=${(System.nanoTime() - t0) / 1e9}%6.2fs  kept=$kept")
+      spark.catalog.clearCache()
+    }
+
     if (on("lsh")) factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus
