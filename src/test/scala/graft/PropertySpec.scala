@@ -152,4 +152,57 @@ class PropertySpec extends AnyFunSuite {
       jac.subsetOf(con)
     })
   }
+
+  test("merkleDrill localizes every random edit set to exactly its paths") {
+    val genEdits: Gen[Set[Int]] =
+      Gen.nonEmptyContainerOf[Set, Int](Gen.choose(0, 199)).map(_.take(6))
+    check(Prop.forAll(genEdits) { edits =>
+      val base = spark.range(0, 200).select(
+        col("id"), (col("id") * 7 % 1000).as("v"))
+      val hit = col("id").isin(edits.toSeq.map(_.toLong): _*)
+      val edited = base.withColumn("v",
+        when(hit, col("v") + 1).otherwise(col("v")))
+      val key = col("id").cast("string")
+      def row = concat(key, lit("|"), col("v").cast("string"))
+      val diff = Validations.merkleDrill(base, edited, key, row, levels = 2)
+        .collect()
+      // every differing leaf is an edit (equal counts), the count of
+      // differing leaves never exceeds the edit count, and each edited
+      // key's level-2 path appears in the diff
+      val pathsOk = diff.forall(r =>
+        r.getAs[Long]("a_cnt") == r.getAs[Long]("b_cnt"))
+      val editPaths = edits.map { e =>
+        val h = graft.functions.PolyHash56.hash(e.toString)
+        (h % 256, (h >> 8) % 256)
+      }
+      val diffPaths = diff.map(r =>
+        (r.getAs[Long]("leaf_1"), r.getAs[Long]("leaf_2"))).toSet
+      pathsOk && diff.length <= edits.size && editPaths == diffPaths
+    })
+  }
+
+  test("tokenBudgetSelect: monotone in budget, never over, order-greedy") {
+    val genRows: Gen[List[(Int, Int)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 50), Gen.choose(0, 9))).map(
+      _.zipWithIndex.map { case ((t, p), i) => (i, t * 10 + p) }.take(40))
+    check(Prop.forAll(genRows) { rows =>
+      // synth: id unique, tokens in [0,500], priority derived (ties common)
+      val df = rows.map { case (id, x) => (id.toLong, (x % 97).toLong, (x % 5) / 4.0) }
+        .toDF("id", "toks", "pri").repartition(3)
+      val budgets = Seq(0L, 50L, 200L, 100000L)
+      val sels = budgets.map(b => b ->
+        graft.x.Sampling.tokenBudgetSelect(df, "id", "toks", "pri", b)
+          .select("id", "cum_tokens").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      // within budget; monotone: a bigger budget keeps a superset with
+      // identical cum values on the shared prefix
+      sels.forall { case (b, m) => m.values.forall(_ <= b) } &&
+        sels.sliding(2).forall {
+          case Seq((_, small), (_, big)) =>
+            small.keySet.subsetOf(big.keySet) &&
+              small.forall { case (id, c) => big(id) == c }
+          case _ => true
+        }
+    })
+  }
 }
