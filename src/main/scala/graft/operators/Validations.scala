@@ -180,6 +180,10 @@ object Validations {
     require(levels >= 1 && levels <= 4, s"levels $levels out of range [1,4]")
     require(fanout >= 2 && (fanout & (fanout - 1)) == 0 && fanout <= (1 << 16),
       s"fanout $fanout must be a power of two in [2, 65536]")
+    // the tree consumes levels*log2(fanout) bits of the 55-bit key hash;
+    // deeper than the hash has bits would alias paths (and overflow mod)
+    require(levels * java.lang.Long.numberOfTrailingZeros(fanout.toLong) <= 55,
+      s"levels=$levels x fanout=$fanout exceeds the 55-bit hash")
     val keyHash = graft.functions.PolyHash56(keyStr)
 
     def leavesAt(df: DataFrame, level: Int, hot: Option[Seq[Long]]): DataFrame = {
