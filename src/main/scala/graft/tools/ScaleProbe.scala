@@ -679,6 +679,33 @@ object ScaleProbe {
       }
     }
 
+    // kcore probe: K disjoint graph copies — per-copy peel structure is
+    // identical, so the round count stays fixed and wall time must track
+    // K linearly. The cascade frontier stays under broadcastWeakLimit
+    // throughout, so every round ≥2 runs the broadcast anti-join path
+    // (the shape GraphSpec pins); superlinear growth would mean the
+    // degree agg or the weak-set probe degenerated.
+    if (on("kcore")) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      Seq(1, 4, 16).foreach { k =>
+        val inflated = (0 until k).map(i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+            .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+        val edges = inflated.withColumn("dst", lead("l_partkey", 1).over(w))
+          .filter(col("dst").isNotNull)
+          .select(col("l_partkey").as("src"), col("dst"))
+        val t0 = System.nanoTime()
+        val core = graft.x.Graph.kCore(edges, "src", "dst", k = 4).count()
+        println(f"[scale-kcore] lines=${inflated.count()}%8d  " +
+          f"kcore4=${(System.nanoTime() - t0) / 1e9}%6.2fs  nodes=$core")
+        spark.catalog.clearCache()
+      }
+    }
+
     // KMV probe: values inflate K× per group; the sketch moves ≤k longs
     // per map task per group, so time must track the scan linearly AND the
     // estimate must stay inside the ~1/sqrt(k) band as the true
