@@ -873,6 +873,32 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Incremental IVF maintenance: base layout from the first 300
+    // vectors, the rest APPENDED batch-wise against the same centroids —
+    // the live-store ingest path. Probe result must equal x15/x46's full
+    // build (same oracle by construction): assignment is per-row
+    // deterministic, so WHERE a row was written never changes WHAT the
+    // probe returns.
+    "x143_ivf_incremental" -> ((s, dir) => {
+      reg(s, dir)
+      val emb = s.table("embeddings")
+      val centroids = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") >= 490 && col("vec_id") < 500)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val layout = java.nio.file.Files
+        .createTempDirectory("ivf_inc").resolve("embeddings_by_cell").toString
+      Similarity.writeIvfLayout(emb.filter(col("vec_id") < 300), centroids,
+        "vec_id", "centroid_id", "embedding", layout)
+      Similarity.appendToIvfLayout(emb.filter(col("vec_id") >= 300), centroids,
+        "vec_id", "centroid_id", "embedding", layout)
+      Similarity.ivfTopKFromLayout(s, layout, queries, centroids,
+          "vec_id", "q_id", "centroid_id", "embedding", k = 10, nprobe = 3)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // IVF-PQ end-to-end: the canonical billion-scale ANN stack composed —
     // coarse cells prune the SCAN (PartitionFilters on the hive-partition
     // column), PQ codes replace floats for ranking (the materialized
@@ -3697,6 +3723,8 @@ object SparkEntry {
     // pruning at the scan instead of a post-assignment join filter); the
     // answer — and therefore the oracle — is x15's, verbatim
     "x46_ivf_layout_topk" -> ivfProbeSql,
+    // incremental build writes the same logical table, so the same probe
+    "x143_ivf_incremental" -> ivfProbeSql,
 
     // replays the stub featurizer arithmetic exactly: payload = UTF-8 text
     // bytes (ASCII fixture → ord(char) = byte), checksum = Java long

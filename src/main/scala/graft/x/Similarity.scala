@@ -626,6 +626,28 @@ object Similarity {
         Some(path), savemode = "overwrite", partitionBy = Seq("cell")))
   }
 
+  /** Incremental maintenance of a [[writeIvfLayout]] table: assign ONLY
+    * the new batch to the EXISTING centroids and append its rows into the
+    * matching cell partitions — the steady-state ingest path of a live
+    * embedding store, where rebuilding the layout per batch would
+    * re-write the whole corpus. Assignment is per-row deterministic, so
+    * base-then-append probes byte-identically to a full rebuild over the
+    * union (x143 shares x15/x46's oracle for exactly this reason).
+    *
+    * Centroids must be the SAME frame the base layout used — moving
+    * centroids changes the cell geometry and requires a rebuild (that is
+    * k-means maintenance, not layout maintenance). Appends accumulate
+    * small files per cell; compact on the usual sink-sizing cadence. */
+  def appendToIvfLayout(
+      newBatch: DataFrame, centroids: DataFrame,
+      idCol: String, centroidIdCol: String, vecCol: String, path: String
+  ): Unit = {
+    val assigned = assignToCentroids(newBatch, centroids, idCol, centroidIdCol, vecCol)
+    graft.sinks.SinkWriter.write(newBatch.sparkSession, assigned,
+      graft.config.SinkSpec("ivf_layout_append", "simpleInsert", "parquet",
+        Some(path), savemode = "append", partitionBy = Seq("cell")))
+  }
+
   /** IVF probe against a materialized [[writeIvfLayout]] table. The probe
     * cell set (queries × nprobe ids — tiny by the small-query contract) is
     * collected and pushed as an IN-list on the PARTITION column, so the

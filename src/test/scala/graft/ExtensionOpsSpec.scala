@@ -397,6 +397,38 @@ class ExtensionOpsSpec extends AnyFunSuite {
       fromLayout.exceptAll(inline).isEmpty)
   }
 
+  test("incremental IVF append: base files untouched, probe equals full rebuild") {
+    val centroids = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    val queries = emb.filter($"vec_id" >= 90 && $"vec_id" < 93)
+      .select($"vec_id".as("q_id"), $"embedding")
+    val layout = java.nio.file.Files
+      .createTempDirectory("ivf_inc_spec").resolve("by_cell").toString
+    Similarity.writeIvfLayout(emb.filter($"vec_id" < 50), centroids,
+      "vec_id", "centroid_id", "embedding", layout)
+    def files() = {
+      val root = new java.io.File(layout)
+      root.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val baseFiles = files()
+    Similarity.appendToIvfLayout(emb.filter($"vec_id" >= 50), centroids,
+      "vec_id", "centroid_id", "embedding", layout)
+    // append-only: every base data file survives byte-identical (same
+    // path, same mtime) — the append never rewrites existing partitions
+    val after = files()
+    assert(baseFiles.forall { case (p, m) => after.get(p).contains(m) },
+      "append rewrote base files")
+    assert(after.size > baseFiles.size, "append added no files")
+    // and the incrementally-built store probes exactly like a full build
+    val incremental = Similarity.ivfTopKFromLayout(spark, layout, queries,
+      centroids, "vec_id", "q_id", "centroid_id", "embedding", k = 5, nprobe = 2)
+    val full = Similarity.ivfTopK(emb, queries, centroids,
+      "vec_id", "q_id", "centroid_id", "embedding", k = 5, nprobe = 2)
+    assert(incremental.exceptAll(full).isEmpty && full.exceptAll(incremental).isEmpty)
+  }
+
   test("PQ: codes well-formed, ADC ranking finds same-label neighbors") {
     val cb = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("code"), col("embedding"))
