@@ -199,15 +199,19 @@ object Validations {
     }
 
     var level = 1
-    var hot: Option[Seq[Long]] = None
     var diff = merkleDiff(leavesAt(a, 1, None), leavesAt(b, 1, None))
-    while (level < levels) {
+    var clean = false
+    while (level < levels && !clean) {
       // ≤ fanout^level rows, in practice ≈ #differing ranges: bounded scalar
       val parents = diff.select("leaf").collect().map(_.getLong(0)).toSeq
-      hot = if (parents.nonEmpty && parents.length <= maxDrillPaths) Some(parents)
-            else None // empty → next diff is empty too; huge → full finer scan
-      level += 1
-      diff = merkleDiff(leavesAt(a, level, hot), leavesAt(b, level, hot))
+      if (parents.isEmpty) clean = true // nothing to drill into: stop —
+      // the common clean-comparison case pays ONE pass, not `levels`
+      else {
+        val hot = if (parents.length <= maxDrillPaths) Some(parents)
+                  else None // huge drift: full finer scan, same answer
+        level += 1
+        diff = merkleDiff(leavesAt(a, level, hot), leavesAt(b, level, hot))
+      }
     }
     // decompose the path id into per-level bucket columns, root first
     val shift = java.lang.Long.numberOfTrailingZeros(fanout.toLong)
