@@ -6,6 +6,7 @@ import graft.operators.{IncrementalAgg, Scd2, Upsert, Validations}
 import graft.sources.SourceReader
 import graft.config.ColumnMapping
 import graft.x.{Dedup, EventAnalytics, Graph, Multimodal, Privacy, Profiler, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.functions.TopKAgg
 import graft.streaming.StreamingJobs
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -897,6 +898,36 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))
         .orderBy("q_id", "rank")
+    }),
+
+    // Per-group top-k as a bounded-heap aggregate (functions.TopKAgg):
+    // each map task contributes at most k entries per group to the
+    // shuffle, vs. the row_number() window pattern that shuffles and
+    // sorts EVERY group row. Exact and deterministic (part_key
+    // tie-break); the oracle IS the window formulation it replaces.
+    "x144_grouped_topk" -> ((s, dir) => {
+      reg(s, dir)
+      s.table("part")
+        .groupBy(col("p_brand"))
+        .agg(TopKAgg.topKBy(col("p_retailprice"),
+          col("p_partkey").cast("long"), 3).as("tk"))
+        .select(col("p_brand"), explode(col("tk")).as("e"))
+        .select(col("p_brand"), col("e.ord").as("retailprice"),
+          col("e.item").as("part_key"))
+        .orderBy(col("p_brand"), col("retailprice").desc, col("part_key"))
+    }),
+
+    // Market-basket association rules over order baskets: pairwise
+    // support/confidence/lift with exact BIGINT supports (ratios are
+    // single IEEE divisions of integer products — bit-deterministic,
+    // hash-compared unrounded). The minSupport filter prunes the pair
+    // table before any item-support join runs.
+    "x145_association_rules" -> ((s, dir) => {
+      reg(s, dir)
+      Graph.associationRules(
+          s.table("lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy("ante", "cons")
     }),
 
     // IVF-PQ end-to-end: the canonical billion-scale ANN stack composed —
@@ -5560,6 +5591,43 @@ object SparkEntry {
       SELECT doc_id, toks, pri, CAST(cum AS BIGINT) AS cum_tokens
       FROM c WHERE cum <= 15000
       ORDER BY doc_id""",
+
+    // the window formulation the heap aggregate replaces — identical
+    // selection by construction (same (price DESC, partkey ASC) rank)
+    "x144_grouped_topk" -> """
+      SELECT p_brand, CAST(p_retailprice AS DOUBLE) AS retailprice,
+             CAST(p_partkey AS BIGINT) AS part_key
+      FROM (SELECT p_brand, p_partkey, p_retailprice,
+              ROW_NUMBER() OVER (PARTITION BY p_brand
+                ORDER BY p_retailprice DESC, p_partkey) AS rn
+            FROM part)
+      WHERE rn <= 3
+      ORDER BY p_brand, retailprice DESC, part_key""",
+
+    // same basket/pair/support construction; both engines divide the
+    // same exact integers, so confidence/lift hash-match unrounded
+    "x145_association_rules" -> """
+      WITH m AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      kept AS (SELECT m.* FROM m
+        JOIN (SELECT b FROM m GROUP BY b HAVING COUNT(*) <= 1000) s USING (b)),
+      isupp AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS supp FROM kept GROUP BY i),
+      psupp AS (
+        SELECT a.i AS x, c.i AS y, CAST(COUNT(*) AS BIGINT) AS pair_supp
+        FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      n AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM kept),
+      d AS (
+        SELECT x AS ante, y AS cons, pair_supp FROM psupp
+        UNION ALL SELECT y, x, pair_supp FROM psupp)
+      SELECT d.ante, d.cons, d.pair_supp,
+             sa.supp AS ante_supp, sc.supp AS cons_supp,
+             CAST(d.pair_supp AS DOUBLE) / CAST(sa.supp AS DOUBLE) AS confidence,
+             CAST(d.pair_supp * n.n AS DOUBLE)
+               / CAST(sa.supp * sc.supp AS DOUBLE) AS lift
+      FROM d JOIN isupp sa ON d.ante = sa.i
+             JOIN isupp sc ON d.cons = sc.i
+             CROSS JOIN n
+      ORDER BY ante, cons""",
 
     // repeats = floor(epochs) + (hash-share < frac(epochs)); the same
     // :epochs-salted bucket hash as the Spark side, unrolled per row via

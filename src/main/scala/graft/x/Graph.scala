@@ -220,6 +220,58 @@ object Graph {
       .filter(col("deg") > maxLeftDegree)
       .orderBy(col("deg").desc)
 
+  /** Association rules (support / confidence / lift) over (basket, item)
+    * memberships — the market-basket formulation (Agrawal et al. 1993)
+    * restricted to the pairwise rules that cover the overwhelming share
+    * of production use (recommendations, query expansion, co-occurrence
+    * weighting). For every ordered pair a→c co-occurring in at least
+    * `minSupport` baskets:
+    *
+    *   confidence(a→c) = supp(a,c) / supp(a)
+    *   lift(a→c)       = supp(a,c)·N / (supp(a)·supp(c))
+    *
+    * with N the kept-basket count. All supports are exact BIGINT counts;
+    * the two ratios are single IEEE divisions of exact integer products,
+    * so the output is bit-deterministic under any partitioning (the x145
+    * oracle hash-compares them unrounded).
+    *
+    * Shape at scale: one distinct shuffle on (basket, item), one basket-
+    * size aggregate, one basket-keyed self-join whose fanout
+    * `maxBasketSize` bounds (audit the dropped baskets via
+    * [[oversizedLeftKeys]] — same no-silent-truncation contract as
+    * [[bipartiteProject]]), then the `minSupport` filter prunes the pair
+    * table BEFORE the two item-support joins run; the scalar N joins by
+    * broadcast. No all-pairs stage: everything downstream of the capped
+    * self-join is linear in the number of FREQUENT pairs. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2, maxBasketSize: Int = 1000): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val m = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val kept = m.join(
+      m.groupBy("b").agg(count(lit(1)).as("__sz"))
+        .filter(col("__sz") <= maxBasketSize).select("b"), "b")
+    val itemSupp = kept.groupBy(col("i")).agg(count(lit(1)).cast("long").as("supp"))
+    val pairSupp = kept.select(col("b"), col("i").as("x"))
+      .join(kept.select(col("b"), col("i").as("y")), "b")
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).cast("long").as("pair_supp"))
+      .filter(col("pair_supp") >= minSupport)
+    val total = kept.select(countDistinct(col("b")).cast("long").as("__n"))
+    val directed = pairSupp.select(col("x").as("ante"), col("y").as("cons"), col("pair_supp"))
+      .unionAll(pairSupp.select(col("y").as("ante"), col("x").as("cons"), col("pair_supp")))
+    directed
+      .join(itemSupp.select(col("i").as("ante"), col("supp").as("ante_supp")), "ante")
+      .join(itemSupp.select(col("i").as("cons"), col("supp").as("cons_supp")), "cons")
+      .crossJoin(broadcast(total))
+      .select(col("ante"), col("cons"), col("pair_supp"), col("ante_supp"),
+        col("cons_supp"),
+        (col("pair_supp").cast("double") / col("ante_supp").cast("double"))
+          .as("confidence"),
+        ((col("pair_supp") * col("__n")).cast("double") /
+          (col("ante_supp") * col("cons_supp")).cast("double")).as("lift"))
+  }
+
   /** k-core decomposition membership: iteratively peel nodes of degree
     * < k (with the cascade — removing a weak node lowers its neighbors)
     * until fixpoint; returns the surviving nodes with their within-core

@@ -116,6 +116,25 @@ class GraphSpec extends AnyFunSuite {
     assert(audit.toSeq == Seq(12L -> 4L))
   }
 
+  test("associationRules: hand-checked supports, confidence, lift; minSupport prunes") {
+    import spark.implicits._
+    // b1{A,B,C} b2{A,B} b3{A,C} b4{B,D} (+1 duplicate membership to dedup)
+    val m = Seq((1L, "A"), (1L, "B"), (1L, "C"), (2L, "A"), (2L, "B"),
+      (2L, "B"), (3L, "A"), (3L, "C"), (4L, "B"), (4L, "D"))
+    val got = Graph.associationRules(m.toDF("basket", "item"), "basket", "item",
+        minSupport = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)), (r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // pairs below minSupport ((B,C), (B,D)) emit no rule in either direction
+    assert(got.keySet == Set(("A", "B"), ("B", "A"), ("A", "C"), ("C", "A")))
+    assert(got(("A", "B")) == (((2L, 3L, 3L), (2.0 / 3.0, 8.0 / 9.0))))
+    assert(got(("B", "A")) == (((2L, 3L, 3L), (2.0 / 3.0, 8.0 / 9.0))))
+    assert(got(("A", "C")) == (((2L, 3L, 2L), (2.0 / 3.0, 4.0 / 3.0))))
+    assert(got(("C", "A")) == (((2L, 2L, 3L), (1.0, 4.0 / 3.0))))
+  }
+
   test("kCore peels with cascade to the exact fixpoint") {
     import spark.implicits._
     // triangle {1,2,3} + a chain 3—4—5: k=2 must drop 5, CASCADE-drop 4
