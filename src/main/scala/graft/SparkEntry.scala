@@ -901,9 +901,11 @@ object SparkEntry {
     }),
 
     // Per-group top-k as a bounded-heap aggregate (functions.TopKAgg):
-    // each map task contributes at most k entries per group to the
-    // shuffle, vs. the row_number() window pattern that shuffles and
-    // sorts EVERY group row. Exact and deterministic (part_key
+    // like the WindowGroupLimit plan the optimizer builds for an
+    // adjacent rank filter, ≤ k entries per (map task × group) reach
+    // the shuffle — but with a hash-grouped heap instead of a map-side
+    // sort + post-shuffle window sort, and composable with sibling
+    // aggregates in the same groupBy. Exact and deterministic (part_key
     // tie-break); the oracle IS the window formulation it replaces.
     "x144_grouped_topk" -> ((s, dir) => {
       reg(s, dir)

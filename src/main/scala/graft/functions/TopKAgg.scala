@@ -12,21 +12,27 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Per-group top-k as a bounded-heap aggregate — the map-side-combining
-  * alternative to the `row_number() OVER (PARTITION BY g ORDER BY v DESC)
-  * <= k` window pattern.
+/** Per-group top-k as a bounded-heap aggregate — the sort-free,
+  * composable alternative to the `row_number() OVER (PARTITION BY g
+  * ORDER BY v DESC) <= k` window pattern.
   *
-  * The window formulation is the scale trap hiding in almost every
-  * "top N per group" query: it shuffles EVERY input row to its group's
-  * reducer and sorts the entire group there before discarding all but k
-  * rows. This aggregate keeps a k-entry min-heap per group inside the
-  * partial (map-side) aggregate, so what crosses the exchange is at most
-  * k entries per (map task × group) — at 100 TB with k=10 that is the
-  * difference between shuffling the corpus and shuffling kilobytes.
-  * `merge` re-offers the other buffer's entries into the heap, so
-  * arbitrary combine trees (partial → partial-merge → final) preserve the
-  * exact answer; top-k selection is a mergeable summary in the Agarwal
-  * et al. "Mergeable Summaries" sense, with zero error.
+  * Spark's optimizer already rescues the adjacent rank-filter case from
+  * the naive shuffle-everything plan: InferWindowGroupLimit inserts a
+  * partial WindowGroupLimit map-side, so both formulations ship at most
+  * k rows per (map task × group). What the window path still pays — and
+  * this aggregate does not — is SORTS: WindowGroupLimit requires each
+  * map partition sorted on (group, ord) before it can limit, and the
+  * final window sorts again after the exchange; this aggregate is a
+  * hash-grouped O(n log k) heap inside ObjectHashAggregate, no sort on
+  * either side. It also composes where the optimizer's rank-filter
+  * inference cannot reach: the top-k shortlist lands in the SAME
+  * groupBy as sibling aggregates (count/sum/avg in one pass), and the
+  * collapsed `array<struct>` form is directly storable as a per-group
+  * shortlist column. `merge` re-offers the other buffer's entries into
+  * the heap, so arbitrary combine trees (partial → partial-merge →
+  * final) preserve the exact answer; top-k selection is a mergeable
+  * summary in the Agarwal et al. "Mergeable Summaries" sense, with zero
+  * error.
   *
   * Determinism: entries rank by (ord DESC, item ASC) — the item
   * tie-break makes the selected set and its order a pure function of the

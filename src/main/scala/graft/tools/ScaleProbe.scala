@@ -927,6 +927,36 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // Grouped top-k, heap aggregate vs window: BOTH ship ≤ k rows per
+    // (map task × group) — the optimizer's InferWindowGroupLimit sees the
+    // adjacent rank filter — so the probe isolates what actually differs:
+    // the window path sorts every map partition on (group, ord) and
+    // re-sorts groups after the exchange; the TopKAgg path replaces both
+    // sorts with a hash-grouped O(n log k) heap. Both should scale
+    // linearly; the heap's advantage is the constant (and composability).
+    if (on("groupedtopk")) Seq(1, 4, 16).foreach { k =>
+      val rows = 500000L * k
+      val inflated = spark.range(rows).select(
+        pmod(col("id") * 2654435761L, lit(1000)).as("g"),
+        pmod(col("id") * 40503L, lit(1000003)).cast("double").as("v"),
+        col("id"))
+        .repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val t0 = System.nanoTime()
+      val viaAgg = inflated.groupBy(col("g"))
+        .agg(graft.functions.TopKAgg.topKBy(col("v"), col("id"), 10).as("tk"))
+        .select(explode(col("tk"))).count()
+      val t1 = System.nanoTime()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val viaWin = inflated.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10).count()
+      val t2 = System.nanoTime()
+      println(f"[scale-groupedtopk] rows=$n%9d  heap=${(t1 - t0) / 1e9}%6.2fs  " +
+        f"window=${(t2 - t1) / 1e9}%6.2fs  rows_out=$viaAgg/$viaWin")
+      spark.catalog.clearCache()
+    }
+
     if (on("lsh")) factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus

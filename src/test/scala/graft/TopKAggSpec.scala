@@ -10,9 +10,9 @@ import graft.functions.TopKAgg
 /** TopKAgg: the bounded-heap per-group top-k aggregate. Contract:
   * identical rows to the `row_number()` window formulation (same
   * (ord DESC, item ASC) rank), under any partitioning; and the partial
-  * aggregate must sit BELOW the exchange, because shipping only k
-  * entries per (map task × group) is the operator's entire reason to
-  * exist. */
+  * aggregate must sit BELOW the exchange — shipping ≤ k entries per
+  * (map task × group) without the sorts WindowGroupLimit needs is the
+  * operator's reason to exist. */
 class TopKAggSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
