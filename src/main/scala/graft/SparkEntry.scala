@@ -932,6 +932,23 @@ object SparkEntry {
         .orderBy("ante", "cons")
     }),
 
+    // CMS inner-product join-size estimation: predict |lineitem ⋈
+    // lineitem on l_suppkey| (the self-join blow-up check) from two
+    // sketch scans, never by running the join; exact Σc² alongside for
+    // the oracle's upper-bound + tightness contract
+    "x146_join_size_estimate" -> ((s, dir) => {
+      reg(s, dir)
+      val li = s.table("lineitem")
+      val sk = Sketches.cmsBuild(li, "l_suppkey", depth = 4, widthBits = 8)
+      val est = Sketches.cmsJoinSizeEstimate(sk, sk, depth = 4, widthBits = 8)
+      val exact = li.groupBy("l_suppkey").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).cast("long").as("exact_join_size"))
+      est.crossJoin(broadcast(exact))
+        .select(col("est_join_size"), col("exact_join_size"),
+          (col("est_join_size").cast("double") /
+            col("exact_join_size").cast("double")).as("ratio"))
+    }),
+
     // IVF-PQ end-to-end: the canonical billion-scale ANN stack composed —
     // coarse cells prune the SCAN (PartitionFilters on the hive-partition
     // column), PQ codes replace floats for ranking (the materialized
@@ -5630,6 +5647,23 @@ object SparkEntry {
              JOIN isupp sc ON d.cons = sc.i
              CROSS JOIN n
       ORDER BY ante, cons""",
+
+    // same md5 cell indexing as x125; self inner product needs no join
+    // in SQL (Σ cnt² per depth row, min over rows)
+    "x146_join_size_estimate" -> s"""
+      WITH cms AS (
+        SELECT t.i, ${cmsIndexSql("t.i", "l.l_suppkey")} AS c,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem l CROSS JOIN range(4) t(i)
+        GROUP BY 1, 2),
+      ip AS (SELECT i, SUM(cnt * cnt) AS ip FROM cms GROUP BY i),
+      est AS (SELECT MIN(ip) AS est FROM ip),
+      ex AS (SELECT SUM(c * c) AS ex FROM
+        (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY l_suppkey))
+      SELECT CAST(est.est AS BIGINT) AS est_join_size,
+             CAST(ex.ex AS BIGINT) AS exact_join_size,
+             CAST(est.est AS DOUBLE) / CAST(ex.ex AS DOUBLE) AS ratio
+      FROM est CROSS JOIN ex""",
 
     // repeats = floor(epochs) + (hash-share < frac(epochs)); the same
     // :epochs-salted bucket hash as the Spark side, unrolled per row via

@@ -215,6 +215,56 @@ object StreamingJobs {
       }
   }
 
+  /** Per-group state of [[statefulTopK]]: the current ≤ k best
+    * (ord, item) pairs — bounded regardless of stream length. */
+  final case class TopKState(entries: Seq[(Double, String)])
+  /** One row of a group's refreshed top-k, best-first (`rank` 1-based;
+    * ties on ord break by item ASC — the [[graft.functions.TopKAgg]]
+    * total order, so a batch backfill reproduces the stream's answer). */
+  final case class TopKSnapshot(group: String, rank: Int, ord: Double,
+      item: String)
+
+  /** Continuously-maintained per-group top-k: the [[graft.functions
+    * .TopKAgg]] bounded heap held as flatMapGroupsWithState state,
+    * re-emitted (Update mode) for every group that saw traffic in the
+    * micro-batch — "current leaderboard per group" over an unbounded
+    * stream with ≤ k doubles+strings of state per group forever.
+    * Selection runs through the SAME `Buffer.offer` primitive as the
+    * batch aggregate — one top-k implementation, one total order
+    * ((ord DESC, item ASC)), so [[graft.functions.TopKAgg.topKBy]] over
+    * the accumulated history equals the stream's latest snapshot
+    * exactly. Rows with null group/ord/item are dropped (the batch
+    * aggregate's null contract). */
+  def statefulTopK(spark: SparkSession, items: DataFrame, groupCol: String,
+      ordCol: String, itemCol: String, k: Int):
+      org.apache.spark.sql.Dataset[TopKSnapshot] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.TopKAgg.{Buffer, Entry}
+    require(k > 0, s"statefulTopK k must be positive, got $k")
+    items
+      .select(col(groupCol).cast("string"), col(ordCol).cast("double"),
+        col(itemCol).cast("string"))
+      .na.drop()
+      .as[(String, Double, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TopKState, TopKSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[(String, Double, String)],
+            state: GroupState[TopKState]) =>
+          val buf = new Buffer(k, itemIsLong = false)
+          state.getOption.foreach(_.entries.foreach { case (o, it) =>
+            buf.offer(Entry(o, it))
+          })
+          rows.foreach { case (_, o, it) => buf.offer(Entry(o, it)) }
+          state.update(TopKState(buf.heap.toSeq.map(e =>
+            (e.ord, e.item.asInstanceOf[String]))))
+          buf.entriesBestFirst.iterator.zipWithIndex.map { case (e, i) =>
+            TopKSnapshot(group, i + 1, e.ord, e.item.asInstanceOf[String])
+          }
+      }
+  }
+
   final case class EwmaState(days: Map[Int, Long])
   final case class EwmaSnapshot(series: String, day: String, ewma: Double)
 

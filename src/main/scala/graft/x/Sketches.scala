@@ -195,4 +195,40 @@ object Sketches {
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** Equi-join-size estimation from two [[cmsBuild]] sketches over the
+    * SAME (depth, widthBits) geometry — the count-min inner-product
+    * estimate (Cormode & Muthukrishnan 2005, §4.2):
+    *
+    *   |A ⋈_key B| ≤ est = min_i Σ_c A[i][c]·B[i][c]
+    *
+    * an upper bound whose overshoot is collision cross-talk (per row
+    * E[overshoot] ≤ ‖A‖₁·‖B‖₁ / 2^widthBits; the min over depth rows
+    * tightens it). This is the answer a planner needs BEFORE committing
+    * to a join strategy at 100 TB: whether |A ⋈ B| explodes (pre-salt /
+    * pre-aggregate first) or stays benign is read off two sketch scans,
+    * never by running the join. With `b eq a` it estimates self-join
+    * size Σ_k c_k² — the degree-squared sum that predicts self-join
+    * blow-up, the same quantity [[graft.x.Profiler.keySkew]] diagnoses
+    * exactly but from a mergeable summary that can be kept per
+    * batch/partition and added cell-wise.
+    *
+    * Integer-exact: BIGINT sums of BIGINT products (safe while per-cell
+    * counts stay under ~2^31), the same md5 indexing the x146 oracle
+    * replays. Cells present on one side only multiply to zero (inner
+    * join); a depth row with NO overlapping cells contributes inner
+    * product 0 (left join from the literal depth range), so disjoint
+    * key sets answer est = 0 rather than dropping the row from the
+    * min. */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame, depth: Int = 4,
+      widthBits: Int = 8): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"cms depth $depth outside [1,8]")
+    checkB(widthBits)
+    val prods = a.select(col("i"), col("c"), col("cnt").as("__ca"))
+      .join(b.select(col("i"), col("c"), col("cnt").as("__cb")), Seq("i", "c"))
+      .groupBy("i").agg(sum(col("__ca") * col("__cb")).as("__ip"))
+    a.sparkSession.range(depth).select(col("id").cast("int").as("i"))
+      .join(prods, Seq("i"), "left")
+      .agg(min(coalesce(col("__ip"), lit(0L))).cast("long").as("est_join_size"))
+  }
 }

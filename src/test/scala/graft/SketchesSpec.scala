@@ -52,6 +52,28 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("cmsJoinSizeEstimate: upper bound, exact on tiny vocab, zero on disjoint keys") {
+    import spark.implicits._
+    // tiny vocab (4 keys in 4x256 cells): collisions are absent, so the
+    // inner-product estimate must be EXACTLY the true join size
+    val a = Seq("k1", "k1", "k1", "k2", "k2", "k3").toDF("k")
+    val b = Seq("k1", "k2", "k2", "k2", "k4").toDF("k")
+    val ska = Sketches.cmsBuild(a, "k")
+    val skb = Sketches.cmsBuild(b, "k")
+    val est = Sketches.cmsJoinSizeEstimate(ska, skb).head().getLong(0)
+    assert(est == 3L * 1 + 2L * 3, s"collision-free estimate must be exact, got $est")
+    // self-join estimate >= exact degree-squared sum (upper-bound law)
+    val ev = graft.sources.SourceReader.readEvents(spark, s"$sf/events.parquet")
+    val sk = Sketches.cmsBuild(ev, "user_id")
+    val selfEst = Sketches.cmsJoinSizeEstimate(sk, sk).head().getLong(0)
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).head().getLong(0)
+    assert(selfEst >= exact, s"CMS join size must never underestimate: $selfEst < $exact")
+    // disjoint key sets answer 0 even when a depth row has no shared cells
+    val skc = Sketches.cmsBuild(Seq("z9", "z8").toDF("k"), "k")
+    assert(Sketches.cmsJoinSizeEstimate(ska, skc).head().getLong(0) == 0L)
+  }
+
   test("per-day HLL registers merged by max equal the direct sketch") {
     // events reads go through the schema-adaptive seam (SKILL.md): a raw
     // parquet read of a NANOS-era fixture would cast nanos-as-seconds here

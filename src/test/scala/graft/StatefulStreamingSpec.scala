@@ -148,6 +148,49 @@ class StatefulStreamingSpec extends AnyFunSuite {
       b.getAs[Long]("count") == 1L && b.getAs[Long]("error") == 0L)
   }
 
+  test("statefulTopK: state carries across batches; final snapshot equals the batch backfill") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-topk").toString
+    // batch 1: group A only
+    Seq(("A", 9.0, "a1"), ("A", 8.0, "a2"), ("A", 7.0, "a3"), ("A", 1.0, "a4"))
+      .toDF("grp", "v", "item").coalesce(1).write.mode("overwrite").parquet(s"$dir/b")
+    // batch 2: a new global best for A, a loser, and a brand-new group B
+    Seq(("A", 100.0, "win"), ("A", 0.5, "meh"), ("B", 3.0, "b1"))
+      .toDF("grp", "v", "item").coalesce(1).write.mode("append").parquet(s"$dir/b")
+    import scala.jdk.CollectionConverters._
+    val parts = Files.list(java.nio.file.Paths.get(s"$dir/b")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(Files.getLastModifiedTime(_))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 1000))
+    }
+    val schema = spark.read.parquet(s"$dir/b").schema
+    val stream = StreamingJobs.fileStream(spark, s"$dir/b", schema, maxFilesPerTrigger = 1)
+    val tk = StreamingJobs.statefulTopK(spark, stream, "grp", "v", "item", k = 3)
+    val q = tk.writeStream.outputMode("update")
+      .format("memory").queryName("topk_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("topk_stream")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    // batch-1 snapshot re-emitted in Update mode
+    assert(out.contains(("A", 1, 9.0, "a1")))
+    // final snapshot: batch-2 state merged over carried batch-1 state
+    val expected = Seq(("A", 9.0, "a1"), ("A", 8.0, "a2"), ("A", 7.0, "a3"),
+        ("A", 1.0, "a4"), ("A", 100.0, "win"), ("A", 0.5, "meh"), ("B", 3.0, "b1"))
+      .toDF("grp", "v", "item")
+      .groupBy($"grp")
+      .agg(graft.functions.TopKAgg.topKBy($"v", $"item", 3).as("tk"))
+      .select($"grp", posexplode($"tk"))
+      .select($"grp", ($"pos" + 1).cast("int").as("rank"),
+        $"col.ord", $"col.item")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getString(3)))
+    assert(expected.toSet.subsetOf(out),
+      s"stream snapshots must contain the batch backfill; missing ${expected.toSet -- out}")
+    // the new group's first snapshot is exact
+    assert(out.contains(("B", 1, 3.0, "b1")))
+  }
+
   test("statefulEwma snapshots equal the batch EWMA bit-for-bit") {
     val batchDf = spark.read.parquet(eventsDir)
     val stream = StreamingJobs.fileStream(spark, eventsDir, batchDf.schema,
