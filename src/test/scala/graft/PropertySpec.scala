@@ -205,4 +205,79 @@ class PropertySpec extends AnyFunSuite {
         }
     })
   }
+
+  test("topKBy equals the window formulation on random frames and k") {
+    val genCase: Gen[(List[(Int, Int, Int)], Int)] = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 4), Gen.choose(0, 9),
+        Gen.choose(0, 999))).map(_.take(120)),
+      Gen.choose(1, 6))
+    check(Prop.forAll(genCase) { case (rows, k) =>
+      // ord collides heavily (10 values) so ties exercise the item order;
+      // ids may repeat across rows — the contract only needs a total order
+      val df = rows.zipWithIndex
+        .map { case ((g, v, _), i) => (s"g$g", v.toDouble, i.toLong) }
+        .toDF("g", "v", "id").repartition(5)
+      val viaAgg = df.groupBy(col("g"))
+        .agg(graft.functions.TopKAgg.topKBy(col("v"), col("id"), k).as("tk"))
+        .select(col("g"), posexplode(col("tk")))
+        .select(col("g"), (col("pos") + 1).cast("long").as("rn"),
+          col("col.ord"), col("col.item"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val viaWin = df.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .select(col("g"), col("rn"), col("v"), col("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      viaAgg == viaWin
+    })
+  }
+
+  test("cmsJoinSizeEstimate upper-bounds the true join size on random key multisets") {
+    val genSides: Gen[(List[Int], List[Int])] = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(0, 30)).map(_.take(200)),
+      Gen.nonEmptyListOf(Gen.choose(10, 40)).map(_.take(200)))
+    check(Prop.forAll(genSides) { case (ka, kb) =>
+      val a = ka.map(i => s"k$i").toDF("k")
+      val b = kb.map(i => s"k$i").toDF("k")
+      val est = graft.x.Sketches.cmsJoinSizeEstimate(
+        graft.x.Sketches.cmsBuild(a, "k"), graft.x.Sketches.cmsBuild(b, "k"))
+        .head().getLong(0)
+      val ca = ka.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val exact = kb.groupBy(identity).view.mapValues(_.size.toLong)
+        .map { case (key, cb) => ca.getOrElse(key, 0L) * cb }.sum
+      est >= exact
+    })
+  }
+
+  test("associationRules: supports consistent, confidence bounds, lift symmetry") {
+    val genBaskets: Gen[List[(Int, Int)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 12), Gen.choose(0, 8))).map(_.take(80))
+    check(Prop.forAll(genBaskets) { memb =>
+      val df = memb.map { case (b, i) => (b.toLong, s"i$i") }.toDF("basket", "item")
+      val rules = graft.x.Graph.associationRules(df, "basket", "item", minSupport = 1)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      val dedup = memb.map { case (b, i) => (b.toLong, s"i$i") }.distinct
+      val supp = dedup.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = dedup.map(_._1).distinct.size.toLong
+      rules.forall { case (a, c, ps, sa, sc, conf, lift) =>
+        val byBasket = dedup.groupBy(_._1)
+        val truePair = byBasket.values.count(rows =>
+          rows.exists(_._2 == a) && rows.exists(_._2 == c))
+        sa == supp(a) && sc == supp(c) &&
+          ps == truePair && ps >= 1 && ps <= math.min(sa, sc) &&
+          conf > 0.0 && conf <= 1.0 &&
+          conf == ps.toDouble / sa.toDouble &&
+          lift == (ps * n).toDouble / (sa * sc).toDouble
+      } && {
+        // lift is direction-symmetric; both directions always co-emitted
+        val m = rules.map(r => (r._1, r._2) -> r._7).toMap
+        m.forall { case ((a, c), l) => m.get((c, a)).contains(l) }
+      }
+    })
+  }
 }
