@@ -949,6 +949,44 @@ object SparkEntry {
             col("exact_join_size").cast("double")).as("ratio"))
     }),
 
+    // exact distinct via word-aligned bitmaps: one row per occupied
+    // 64-id word, bit_or partial-combines map-side, popcount sums to the
+    // EXACT count — the lossless sibling of x124's HLL when ids are
+    // integers; n_words is the store's size (compactness audit)
+    "x147_bitmap_distinct" -> ((s, dir) => {
+      reg(s, dir)
+      val words = Sketches.bitmapWords(s.table("lineitem"),
+        Seq("l_returnflag"), "l_partkey")
+      Sketches.bitmapDistinct(words, Seq("l_returnflag"))
+        .join(s.table("lineitem").groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").cast("long").as("exact")),
+          Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("distinct_cnt"), col("n_words"),
+          col("exact"))
+        .orderBy("l_returnflag")
+    }),
+
+    // day-over-day returning users from persisted daily bitmaps: the
+    // retention question answered by a word-keyed join + popcount of the
+    // AND — never re-joining raw events; exact, unlike any sketch path
+    "x148_bitmap_retention" -> ((s, dir) => {
+      reg(s, dir)
+      val ev = s.table("events").withColumn("day", to_date(col("ts")))
+      val words = Sketches.bitmapWords(ev, Seq("day"), "user_id")
+      val active = Sketches.bitmapDistinct(words, Seq("day"))
+        .select(col("day"), col("distinct_cnt").as("active"))
+      val prev = words.select(date_add(col("day"), 1).as("day"), col("__w"),
+        col("__bits").as("__prev"))
+      val ret = words.join(prev, Seq("day", "__w"))
+        .groupBy("day")
+        .agg(sum(bit_count(col("__bits").bitwiseAND(col("__prev"))))
+          .cast("long").as("returning"))
+      active.join(ret, Seq("day"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("active"),
+          coalesce(col("returning"), lit(0L)).as("returning"))
+        .orderBy("day")
+    }),
+
     // IVF-PQ end-to-end: the canonical billion-scale ANN stack composed —
     // coarse cells prune the SCAN (PartitionFilters on the hive-partition
     // column), PQ codes replace floats for ranking (the materialized
@@ -5664,6 +5702,27 @@ object SparkEntry {
              CAST(ex.ex AS BIGINT) AS exact_join_size,
              CAST(est.est AS DOUBLE) / CAST(ex.ex AS DOUBLE) AS ratio
       FROM est CROSS JOIN ex""",
+
+    // the bitmap path is EXACT, so the oracle computes everything
+    // independently: distinct_cnt must equal COUNT(DISTINCT id) and
+    // n_words must equal COUNT(DISTINCT id // 64)
+    "x147_bitmap_distinct" -> """
+      SELECT l_returnflag,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_cnt,
+        CAST(COUNT(DISTINCT l_partkey // 64) AS BIGINT) AS n_words,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+
+    // independent join-based truth: users active on day d AND d-1
+    "x148_bitmap_retention" -> """
+      WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      a AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS active FROM d GROUP BY 1),
+      r AS (SELECT t.day, CAST(COUNT(*) AS BIGINT) AS returning
+            FROM d t JOIN d p ON p.user_id = t.user_id AND p.day = t.day - 1
+            GROUP BY 1)
+      SELECT STRFTIME(a.day, '%Y-%m-%d') AS day, a.active,
+             COALESCE(r.returning, CAST(0 AS BIGINT)) AS returning
+      FROM a LEFT JOIN r USING (day) ORDER BY day""",
 
     // repeats = floor(epochs) + (hash-share < frac(epochs)); the same
     // :epochs-salted bucket hash as the Spark side, unrolled per row via

@@ -115,4 +115,42 @@ class SketchesSpec extends AnyFunSuite {
       .filter(not(merged("cnt") <=> full("cnt")))
     assert(diff.count() == 0)
   }
+
+  test("bitmap words: exact distinct, lossless merge, exact intersection") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val words = Sketches.bitmapWords(li, Seq("l_returnflag"), "l_partkey")
+    // exact distinct per group, any id distribution
+    val got = Sketches.bitmapDistinct(words, Seq("l_returnflag"))
+      .select("l_returnflag", "distinct_cnt").as[(String, Long)].collect().toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("e")).as[(String, Long)].collect().toMap
+    assert(got == exact)
+    // split the input, build per-half stores, bit_or-merge: identical words
+    val lo = Sketches.bitmapWords(li.filter(col("l_orderkey") % 2 === 0),
+      Seq("l_returnflag"), "l_partkey")
+    val hi = Sketches.bitmapWords(li.filter(col("l_orderkey") % 2 === 1),
+      Seq("l_returnflag"), "l_partkey")
+    val merged = Sketches.bitmapMerge(lo.unionByName(hi), Seq("l_returnflag"))
+    val wordDiff = merged.join(words, Seq("l_returnflag", "__w"), "full_outer")
+      .filter(not(merged("__bits") <=> words("__bits")))
+    assert(wordDiff.count() == 0)
+    // intersection popcount equals the join-based distinct overlap
+    val a = Sketches.bitmapWords(li.filter(col("l_returnflag") === "A")
+      .withColumn("g", lit(1)), Seq("g"), "l_partkey")
+    val b = Sketches.bitmapWords(li.filter(col("l_returnflag") === "R")
+      .withColumn("g", lit(1)), Seq("g"), "l_partkey")
+    val overlap = Sketches.bitmapIntersect(a, b, Seq("g"), Seq("g"))
+      .select("overlap_cnt").as[Long].head()
+    val exactOverlap = li.filter(col("l_returnflag") === "A")
+      .select("l_partkey").distinct()
+      .intersect(li.filter(col("l_returnflag") === "R")
+        .select("l_partkey").distinct()).count()
+    assert(overlap == exactOverlap, s"$overlap vs $exactOverlap")
+    // negative ids are excluded by contract, never folded into a word
+    val neg = Sketches.bitmapWords(
+      Seq(-1L, 0L, 63L, 64L).toDF("id").withColumn("g", lit(1)), Seq("g"), "id")
+    assert(Sketches.bitmapDistinct(neg, Seq("g"))
+      .select("distinct_cnt").as[Long].head() == 3L)
+  }
 }
