@@ -987,6 +987,33 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // MMR diversified re-ranking between first-stage retrieval and the
+    // context window: greedy λ·rel − (1−λ)·max-sim-to-selected over each
+    // query's top-12 candidate pool, k=5 picks — near-duplicate passages
+    // stop wasting prompt slots; the greedy trajectory is deterministic
+    // (id tie-break) and replayed round-by-round in the oracle
+    "x149_mmr_diversify" -> ((s, dir) => {
+      reg(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.dotProduct
+      val emb = s.table("embeddings")
+      val corpus = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val qs = emb.filter(col("vec_id") >= 490 && col("vec_id") < 500)
+        .select(col("vec_id").as("q_id"), col("embedding").as("__qv"))
+      val scored = corpus.crossJoin(broadcast(qs))
+        .withColumn("rel", dotProduct(col("embedding"), col("__qv")))
+      val w = Window.partitionBy("q_id").orderBy(col("rel").desc, col("id"))
+      val cands = scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 12)
+        .select(col("q_id"), col("id"), col("rel"), col("embedding"))
+      Similarity.mmrSelect(cands, "q_id", "id", "rel", "embedding",
+          k = 5, lambda = 0.7)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("id"),
+          col("rel"), col("mmr_score"))
+        .orderBy("q_id", "rank")
+    }),
+
     // IVF-PQ end-to-end: the canonical billion-scale ANN stack composed —
     // coarse cells prune the SCAN (PartitionFilters on the hive-partition
     // column), PQ codes replace floats for ranking (the materialized
@@ -2933,6 +2960,51 @@ object SparkEntry {
   private def idotSql(a: String, b: String): String =
     (1 to 64).map(i => s"CAST($a[$i] AS BIGINT)*CAST($b[$i] AS BIGINT)")
       .mkString("(", " + ", ")")
+
+  /** x149: greedy MMR replayed as k unrolled rounds. Round i joins the
+    * i−1 prior single-row-per-query picks and takes GREATEST of the
+    * [[dotSql]] chains — associative max over identical IEEE doubles, so
+    * it equals the engine's incremental running greatest. `1−λ` is
+    * interpolated from the SAME Scala double subtraction the engine
+    * performs (0.30000000000000004 for λ=0.7), not re-derived in SQL. */
+  private def mmrOracleSql(k: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    val oneMinus = (1.0 - lambda).toString
+    val rounds = (2 to k).map { i =>
+      val joins = (1 to i - 1).map(j => s"JOIN s$j p$j USING (q_id)").mkString(" ")
+      val excl = (1 to i - 1).map(j => s"c.id <> p$j.id").mkString(" AND ")
+      val dots = (1 to i - 1).map(j => dotSql("c.embedding", s"p$j.embedding"))
+      val maxsim = if (i == 2) dots.head else dots.mkString("GREATEST(", ", ", ")")
+      s"""p$i AS (
+        SELECT c.q_id, c.id, c.rel, c.embedding, $maxsim AS maxsim
+        FROM cands c $joins
+        WHERE $excl),
+      s$i AS (
+        SELECT q_id, $i AS rank, id, rel,
+               $lam*rel - $oneMinus*maxsim AS score, embedding
+        FROM p$i
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY $lam*rel - $oneMinus*maxsim DESC, id) = 1)"""
+    }.mkString(",\n      ")
+    val unioned = (1 to k).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+                 WHERE vec_id >= 490 AND vec_id < 500),
+      corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id < 200),
+      scored AS (SELECT q_id, id, ${dotSql("qv", "embedding")} AS rel, embedding
+                 FROM q CROSS JOIN corpus),
+      cands AS (SELECT q_id, id, rel, embedding FROM scored
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY rel DESC, id) <= 12),
+      s1 AS (SELECT q_id, 1 AS rank, id, rel, $lam*rel AS score, embedding
+             FROM cands
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY $lam*rel DESC, id) = 1),
+      $rounds
+      SELECT q_id, CAST(rank AS BIGINT) AS rank, id, rel, score AS mmr_score
+      FROM ($unioned)
+      ORDER BY q_id, rank"""
+  }
 
   /** 64-term explicit squared-euclidean — same fixed-association trick as
     * [[dotSql]] so DuckDB reproduces the engine's fold bit-for-bit. */
@@ -5712,6 +5784,12 @@ object SparkEntry {
         CAST(COUNT(DISTINCT l_partkey // 64) AS BIGINT) AS n_words,
         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact
       FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+
+    // greedy MMR unrolled: round i joins the i-1 single-row-per-query
+    // prior picks, GREATEST of the fixed-association dots = the engine's
+    // running greatest; pick via ROW_NUMBER (score DESC, id) = the
+    // engine's struct-argmax tie-break
+    "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
 
     // independent join-based truth: users active on day d AND d-1
     "x148_bitmap_retention" -> """

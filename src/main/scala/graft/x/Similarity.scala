@@ -870,4 +870,63 @@ object Similarity {
         col(vecCol))
       .select(col(idCol), col("s"),
         slice(col(vecCol), col("s") * subDim + 1, lit(subDim)).as("__sv"))
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily pick `k` of each query's candidates maximizing
+    *
+    *   λ·rel(d)  −  (1−λ)·max_{s ∈ selected} dot(d, s)
+    *
+    * — the standard diversified-retrieval step between first-stage
+    * retrieval and a context window: near-duplicate passages waste
+    * prompt slots, so the second pick is penalized for similarity to
+    * the first, and so on. Round 1 maximizes λ·rel alone (empty set's
+    * max); ties break toward the smaller id, making the whole greedy
+    * trajectory deterministic and oracle-replayable.
+    *
+    * Shape at 100 TB: `cands` is a first-stage top-N per query
+    * ([[bruteForceTopK]] / [[ivfPqTopKFromLayout]] output joined back to
+    * vectors), so the frame is queries × N rows — per-round work is one
+    * broadcast join against the single NEWLY-picked row per query
+    * (incremental running-max of dots, O(k·N) dot products per query,
+    * not O(k²·N) from recomputing the max over all selected) plus one
+    * struct-argmax aggregate. The selected frame never exceeds
+    * queries × k rows; the candidate pool shrinks by one per round.
+    * For large k, checkpoint the state frame every ~10 rounds — the
+    * lineage grows linearly like the iterative-graph ops'
+    * ([[graft.x.Graph]] staging notes apply). */
+  def mmrSelect(cands: DataFrame, qIdCol: String, idCol: String,
+      relCol: String, vecCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda outside [0,1]")
+    val base = cands.select(col(qIdCol).as("__q"), col(idCol).cast("long").as("__id"),
+      col(relCol).cast("double").as("__rel"), col(vecCol).as("__v"))
+    def argmax(scored: DataFrame, rank: Int): DataFrame =
+      scored.groupBy("__q")
+        .agg(max_by(
+          struct(col("__id"), col("__rel"), col("__score"), col("__v")),
+          struct(col("__score"), negate(col("__id")))).as("__p"))
+        .select(col("__q"), lit(rank).as("__rank"), col("__p.__id").as("__id"),
+          col("__p.__rel").as("__rel"), col("__p.__score").as("__score"),
+          col("__p.__v").as("__v"))
+    var picked = argmax(base.withColumn("__score", lit(lambda) * col("__rel")), 1)
+    // state: candidates not yet selected, carrying the running max dot
+    // against everything selected so far (absent until round 2's update)
+    var state = base.join(picked.select("__q", "__id"), Seq("__q", "__id"), "left_anti")
+    for (r <- 2 to k) {
+      val newest = picked.filter(col("__rank") === r - 1)
+        .select(col("__q"), col("__v").as("__pv"))
+      val updated = state.join(broadcast(newest), Seq("__q"))
+        .withColumn("__d", dotProduct(col("__v"), col("__pv")))
+        .withColumn("__maxsim",
+          if (r == 2) col("__d") else greatest(col("__maxsim"), col("__d")))
+        .drop("__pv", "__d")
+      val scored = updated.withColumn("__score",
+        lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__maxsim"))
+      val pick = argmax(scored, r)
+      picked = picked.unionByName(pick)
+      state = updated.join(pick.select("__q", "__id"), Seq("__q", "__id"), "left_anti")
+    }
+    picked.select(col("__q").as(qIdCol), col("__rank").as("rank"),
+      col("__id").as(idCol), col("__rel").as("rel"), col("__score").as("mmr_score"))
+  }
 }

@@ -1494,4 +1494,28 @@ class ExtensionOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b && a.size == 2)
   }
+
+  test("mmrSelect demotes near-duplicates of already-selected candidates") {
+    import spark.implicits._
+    // one query; candidates: id 1 and 2 are identical high-relevance
+    // vectors, id 3 is orthogonal with lower relevance. Plain top-3 by rel
+    // picks (1, 2, 3); MMR must pick 1, then skip the duplicate 2 in
+    // favor of the diverse 3.
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val cands = Seq(
+      (10L, 1L, 1.00, e1), (10L, 2L, 0.99, e1), (10L, 3L, 0.50, e2))
+      .toDF("q_id", "id", "rel", "embedding")
+    val got = graft.x.Similarity
+      .mmrSelect(cands, "q_id", "id", "rel", "embedding", k = 3, lambda = 0.5)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L, 2L), s"MMR order was $got")
+    // rank 1 is always the pure-relevance argmax; picks never repeat
+    assert(got.distinct == got)
+    // λ=1 degenerates to pure relevance ordering
+    val rel = graft.x.Similarity
+      .mmrSelect(cands, "q_id", "id", "rel", "embedding", k = 3, lambda = 1.0)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(rel == Seq(1L, 2L, 3L), s"λ=1 order was $rel")
+  }
 }
