@@ -1014,6 +1014,28 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // incremental view maintenance for an append-only join: the rows a
+    // refresh ADDS are ΔA⋈(B_old∪ΔB) ∪ A_old⋈ΔB — deltas broadcast, the
+    // stored tables never join each other; the oracle derives the same
+    // delta independently as (full join) EXCEPT ALL (old join)
+    "x150_incremental_join" -> ((s, dir) => {
+      reg(s, dir)
+      import graft.operators.IncrementalJoin
+      val o = s.table("orders")
+      val l = s.table("lineitem")
+      val aNew = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      val aOld = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      val bNew = l.filter(col("l_linenumber") >= 4)
+      val bOld = l.filter(col("l_linenumber") < 4)
+      IncrementalJoin.deltaJoinAppend(aOld, aNew, bOld, bNew,
+          "o_orderkey", "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("long").as("delta_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("delta_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // IVF-PQ end-to-end: the canonical billion-scale ANN stack composed —
     // coarse cells prune the SCAN (PartitionFilters on the hive-partition
     // column), PQ codes replace floats for ranking (the materialized
@@ -5790,6 +5812,22 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // independent truth for the join delta: bag difference of the full
+    // join vs the old-only join (projection commutes with bag difference
+    // because the old bag is a sub-bag of the full one)
+    "x150_incremental_join" -> """
+      WITH full_j AS (
+        SELECT o_orderpriority, l_quantity
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      old_j AS (
+        SELECT o_orderpriority, l_quantity
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey % 10 <> 0 AND l_linenumber < 4),
+      delta AS (SELECT * FROM full_j EXCEPT ALL SELECT * FROM old_j)
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS delta_rows,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS delta_qty
+      FROM delta GROUP BY 1 ORDER BY o_orderpriority""",
 
     // independent join-based truth: users active on day d AND d-1
     "x148_bitmap_retention" -> """

@@ -147,4 +147,31 @@ class IncrementalAggSpec extends AnyFunSuite {
       .select("cnt", "sum_v").head()
     assert((first.getLong(0), first.getLong(1)) === ((1L, 1L)))
   }
+
+  test("deltaJoinAppend: old view + delta is bag-identical to full recompute") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sfDir
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    val aNew = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+    val aOld = o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val bNew = l.filter(col("l_linenumber") >= 5)
+    val bOld = l.filter(col("l_linenumber") < 5)
+    val proj = Seq("o_orderkey", "l_linenumber", "l_quantity").map(col)
+    val oldView = aOld.join(bOld, aOld("o_orderkey") === bOld("l_orderkey"))
+      .select(proj: _*)
+    val delta = graft.operators.IncrementalJoin
+      .deltaJoinAppend(aOld, aNew, bOld, bNew, "o_orderkey", "l_orderkey")
+      .select(proj: _*)
+    val full = o.join(l, o("o_orderkey") === l("l_orderkey")).select(proj: _*)
+    // bag equality via keyed multiplicity counts (exceptAll both ways is
+    // two extra shuffles; count-compare is one)
+    val got = oldView.unionByName(delta).groupBy(proj: _*).count()
+    val want = full.groupBy(proj: _*).count()
+    val diff = got.join(want, Seq("o_orderkey", "l_linenumber", "l_quantity"),
+        "full_outer")
+      .filter(not(got("count") <=> want("count")))
+    assert(diff.count() === 0)
+    assert(delta.count() > 0, "fixture split must produce a non-empty delta")
+  }
 }
