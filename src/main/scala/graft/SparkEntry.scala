@@ -1036,6 +1036,22 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // mergeable quantiles via HDR-histogram buckets: bit-length exponent
+    // + 2^5 linear sub-buckets (≤3.1% relative error), no floating log
+    // anywhere — a persistable per-segment sketch whose p50/p90/p99 are
+    // read from ≤ ~2k bucket rows per group, never a data-scale sort
+    "x151_hdr_quantiles" -> ((s, dir) => {
+      reg(s, dir)
+      val li = s.table("lineitem")
+        .withColumn("price_usd", floor(col("l_extendedprice")))
+      val hist = Sketches.hdrHistogram(li, Seq("l_returnflag"), "price_usd", p = 5)
+      Sketches.hdrQuantiles(hist, Seq("l_returnflag"),
+          Seq("0.5", "0.9", "0.99"), p = 5)
+        .select(col("l_returnflag"), col("q"), col("n"),
+          col("q_value").cast("long").as("q_value"))
+        .orderBy("l_returnflag", "q")
+    }),
+
     // IVF-PQ end-to-end: the canonical billion-scale ANN stack composed —
     // coarse cells prune the SCAN (PartitionFilters on the hive-partition
     // column), PQ codes replace floats for ranking (the materialized
@@ -5812,6 +5828,33 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // same integer bucket arithmetic replayed: bit-length exponent via
+    // length(bin(v)), decimal-exact rank threshold, lower-bound decode
+    "x151_hdr_quantiles" -> """
+      WITH v AS (SELECT l_returnflag, CAST(FLOOR(l_extendedprice) AS BIGINT) AS v
+                 FROM lineitem WHERE FLOOR(l_extendedprice) >= 0),
+      bk AS (SELECT l_returnflag,
+               CASE WHEN v < 64 THEN v
+               ELSE CAST(length(bin(v)) - 1 - 5 AS BIGINT) * 32
+                    + (v >> (length(bin(v)) - 1 - 5)) END AS b
+             FROM v),
+      h AS (SELECT l_returnflag, b, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM bk GROUP BY 1, 2),
+      c AS (SELECT l_returnflag, b, cnt,
+              SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum,
+              SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+            FROM h),
+      qs AS (SELECT UNNEST(['0.5', '0.9', '0.99']) AS q),
+      pick AS (SELECT l_returnflag, q, MIN(b) AS b, MAX(n) AS n
+               FROM c CROSS JOIN qs
+               WHERE cum >= CEIL(CAST(q AS DECIMAL(10,6)) * n)
+               GROUP BY 1, 2)
+      SELECT l_returnflag, q, CAST(n AS BIGINT) AS n,
+        CAST(CASE WHEN b < 64 THEN b
+             ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
+          AS q_value
+      FROM pick ORDER BY l_returnflag, q""",
 
     // independent truth for the join delta: bag difference of the full
     // join vs the old-only join (projection commutes with bag difference

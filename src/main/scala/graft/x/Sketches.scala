@@ -297,4 +297,78 @@ object Sketches {
       .agg(sum(bit_count(col("__ba").bitwiseAND(col("__bb"))))
         .cast("long").as("overlap_cnt"))
   }
+
+  // ------------------------------------------------------- HDR histogram
+
+  /** HDR-histogram bucketing (Tene's HdrHistogram design): non-negative
+    * integer values bucket by base-2 exponent with 2^p linear sub-buckets
+    * per octave, so every bucket's width is ≤ 2^-p of its value —
+    * bounded RELATIVE error at every magnitude, from nanoseconds to
+    * hours, with ~64·2^p buckets total. Unlike log-base-γ sketches
+    * (DDSketch) the index needs NO floating log: the exponent is the
+    * value's bit length (`length(bin(v)) - 1`), integer-exact on any
+    * engine — which is what makes the whole sketch, and its quantile
+    * answers, hash-replayable on the oracle.
+    *
+    *   v < 2^(p+1):  id = v                      (exact region)
+    *   else:         id = (e−p)·2^p + (v >> (e−p)),  e = bitlen(v)−1
+    *
+    * ids are contiguous and monotone in v, so quantiles come from a
+    * cumulative count over id order. Bucket rows are DATA, exactly like
+    * [[hllRegisters]]/[[bitmapWords]]: counts partial-aggregate map-side,
+    * per-day/segment histograms merge by (group, id) count-sum without
+    * rescanning, and a 100 TB p99 is answered from ≤ ~2k rows per group
+    * — no global sort of the raw values, which is what
+    * `percentile`/`approx_percentile` would shuffle toward a single
+    * reduce per group. */
+  def hdrHistogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      p: Int = 5): DataFrame = {
+    require(p >= 1 && p <= 16, s"sub-bucket bits p=$p outside [1,16]")
+    val twoP = 1L << p
+    df.select((groupCols.map(col) :+ col(valueCol).cast("long").as("__v")): _*)
+      .filter(col("__v") >= 0)
+      .withColumn("__b", expr(
+        s"""CASE WHEN __v < ${2 * twoP} THEN __v
+            ELSE CAST(length(bin(__v)) - 1 - $p AS BIGINT) * $twoP
+                 + shiftright(__v, length(bin(__v)) - 1 - $p) END"""))
+      .groupBy((groupCols.map(col) :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+  }
+
+  /** Merge [[hdrHistogram]] rows across stores (same p): count-sum. */
+  def hdrMerge(hist: DataFrame, groupCols: Seq[String]): DataFrame =
+    hist.groupBy((groupCols.map(col) :+ col("__b")): _*)
+      .agg(sum("__cnt").as("__cnt"))
+
+  /** Inclusive lower bound of bucket `__b` — the sketch's quantile
+    * answer; the true value lies in [lb, lb·(1+2^-p)). */
+  def hdrLowerBoundSql(p: Int): String = {
+    val twoP = 1L << p
+    s"""CASE WHEN __b < ${2 * twoP} THEN __b
+        ELSE shiftleft((__b % $twoP) + $twoP, CAST(__b div $twoP AS INT) - 1) END"""
+  }
+
+  /** Discrete quantiles from [[hdrHistogram]] rows: per group, the first
+    * bucket whose cumulative count reaches ⌈q·n⌉, answered as the bucket
+    * lower bound. `qs` are decimal-literal strings ("0.5", "0.99") so
+    * ⌈q·n⌉ is DECIMAL-exact — no float product in the rank arithmetic.
+    * One cumulative window per group over ≤ ~64·2^p bucket rows (tiny by
+    * construction — this is post-sketch math, not data-scale work). */
+  def hdrQuantiles(hist: DataFrame, groupCols: Seq[String],
+      qs: Seq[String], p: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gw = if (groupCols.isEmpty) Window.partitionBy(lit(1))
+      else Window.partitionBy(groupCols.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum("__cnt").over(gw.orderBy("__b")))
+      .withColumn("__n", sum("__cnt").over(gw))
+    val qFrame = qs.map(q => s"SELECT CAST($q AS STRING) AS q").mkString(" UNION ALL ")
+    val qDf = hist.sparkSession.sql(qFrame)
+    cum.crossJoin(broadcast(qDf))
+      .filter(col("__cum") >= expr("CEIL(CAST(q AS DECIMAL(10,6)) * __n)"))
+      .groupBy((groupCols.map(col) :+ col("q")): _*)
+      .agg(min("__b").as("__b"), max("__n").cast("long").as("n"))
+      .withColumn("q_value", expr(hdrLowerBoundSql(p)))
+      .drop("__b")
+  }
 }

@@ -153,4 +153,40 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.bitmapDistinct(neg, Seq("g"))
       .select("distinct_cnt").as[Long].head() == 3L)
   }
+
+  test("hdr quantiles: ≤2^-p relative error vs exact, lossless store merge") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("v", floor(col("l_extendedprice")))
+    val p = 5
+    val hist = Sketches.hdrHistogram(li, Seq("l_returnflag"), "v", p)
+    val got = Sketches.hdrQuantiles(hist, Seq("l_returnflag"),
+        Seq("0.5", "0.9", "0.99"), p)
+      .select("l_returnflag", "q", "q_value")
+      .as[(String, String, Long)].collect()
+    // exact discrete percentiles (same ⌈q·n⌉ rank convention)
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(v, array(0.5, 0.9, 0.99))").as("ps"))
+      .as[(String, Seq[Double])].collect()
+      .map { case (g, ps) => g -> ps }.toMap
+    val qIdx = Map("0.5" -> 0, "0.9" -> 1, "0.99" -> 2)
+    got.foreach { case (g, q, lb) =>
+      val ex = exact(g)(qIdx(q))
+      // sketch answers the bucket lower bound: lb ≤ true < lb·(1+2^-p)
+      // (percentile() interpolates, so allow the bound on either side)
+      assert(lb <= ex * (1 + math.pow(2.0, -p)) + 1,
+        s"$g q=$q: lb $lb above exact $ex")
+      assert(ex <= (lb + 1) * (1 + math.pow(2.0, -p)) + 1,
+        s"$g q=$q: exact $ex above bucket range of $lb")
+    }
+    // per-half histograms merged by count-sum equal the direct histogram
+    val lo = Sketches.hdrHistogram(li.filter(col("l_orderkey") % 2 === 0),
+      Seq("l_returnflag"), "v", p)
+    val hi = Sketches.hdrHistogram(li.filter(col("l_orderkey") % 2 === 1),
+      Seq("l_returnflag"), "v", p)
+    val merged = Sketches.hdrMerge(lo.unionByName(hi), Seq("l_returnflag"))
+    val diff = merged.join(hist, Seq("l_returnflag", "__b"), "full_outer")
+      .filter(not(merged("__cnt") <=> hist("__cnt")))
+    assert(diff.count() == 0)
+  }
 }
