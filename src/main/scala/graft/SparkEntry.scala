@@ -1036,6 +1036,19 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // interpolated Kneser–Ney bigram LM scoring: discounted seen-bigram
+    // mass redistributed by continuation probability — the principled
+    // fluency scorer next to x94's stupid backoff, same split fixture
+    "x152_kneser_ney" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      val lm = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      TextAnalysis.kneserNeyLogProb(docs, lm, "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+          col("mean_nll"))
+        .orderBy("doc_id")
+    }),
+
     // mergeable quantiles via HDR-histogram buckets: bit-length exponent
     // + 2^5 linear sub-buckets (≤3.1% relative error), no floating log
     // anywhere — a persistable per-segment sketch whose p50/p90/p99 are
@@ -5828,6 +5841,51 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // same count tables, same interpolated-KN expression shape (x94's
+    // LN + DECIMAL(18,8) truncation contract)
+    "x152_kneser_ney" -> """
+      WITH t AS (
+        SELECT doc_id, LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                                   x -> LENGTH(x) > 0) AS a
+        FROM documents),
+      lmt AS (SELECT a FROM t WHERE doc_id % 2 = 0),
+      big AS (
+        SELECT a[i] AS w1, a[i+1] AS w2, COUNT(*) AS c2
+        FROM lmt, LATERAL (SELECT UNNEST(RANGE(1, LEN(a))) AS i)
+        WHERE LEN(a) >= 2 GROUP BY 1, 2),
+      ctx AS (SELECT w1, SUM(c2) AS c1dot, COUNT(*) AS n1plus FROM big GROUP BY 1),
+      cont AS (SELECT w2, COUNT(*) AS nctx FROM big GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS ntypes, COUNT(DISTINCT w2) AS v FROM big),
+      dt AS (
+        SELECT doc_id, a[i] AS w1, a[i+1] AS w2, COUNT(*) AS c
+        FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(a))) AS i)
+        WHERE LEN(a) >= 2 GROUP BY 1, 2, 3),
+      j AS (
+        SELECT dt.doc_id, dt.c, big.c2, ctx.c1dot, ctx.n1plus, cont.nctx,
+               tot.ntypes, tot.v
+        FROM dt LEFT JOIN big USING (w1, w2)
+                LEFT JOIN ctx USING (w1)
+                LEFT JOIN cont USING (w2), tot),
+      sc AS (
+        SELECT doc_id, c,
+          CAST(-(LN(
+            CASE WHEN c1dot IS NOT NULL THEN
+              (CASE WHEN c2 IS NOT NULL
+                    THEN (CAST(c2 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                         / CAST(c1dot AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END)
+              + ((CAST(0.75 AS DOUBLE) * CAST(n1plus AS DOUBLE))
+                 / CAST(c1dot AS DOUBLE))
+                * (CAST(COALESCE(nctx, 0) + 1 AS DOUBLE)
+                   / CAST(ntypes + v AS DOUBLE))
+            ELSE CAST(COALESCE(nctx, 0) + 1 AS DOUBLE)
+                 / CAST(ntypes + v AS DOUBLE) END
+          )) AS DECIMAL(18,8)) * c AS s
+        FROM j)
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(SUM(s) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS mean_nll
+      FROM sc GROUP BY 1 ORDER BY doc_id""",
 
     // same integer bucket arithmetic replayed: bit-length exponent via
     // length(bin(v)), decimal-exact rank threshold, lower-bound decode

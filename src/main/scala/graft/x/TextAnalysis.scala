@@ -1310,6 +1310,69 @@ object TextAnalysis {
       }.toDF(idCol, "n_bpe_tokens")
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form) — the principled sibling of
+    * [[stupidBackoffLogProb]]: instead of a fixed backoff penalty, mass
+    * discounted from seen bigrams is redistributed by CONTINUATION
+    * probability (how many distinct contexts a word completes), which is
+    * what makes "francisco" (frequent, one context) score below "report"
+    * (less frequent, many contexts):
+    *
+    *   P(w2|w1) = max(c(w1,w2)−D, 0)/c(w1·)
+    *              + [D·N1+(w1,·)/c(w1·)] · Pcont(w2)
+    *   Pcont(w2) = (N1+(·,w2)+1) / (N1+(·,·)+V)
+    *
+    * with D = 0.75 (binary-exact), add-one on the continuation
+    * distribution so unseen words keep a positive floor, and unseen-w1
+    * rows falling back to Pcont alone. Per-doc `mean_nll` follows the
+    * x94 determinism contract: −ln(p) truncated to DECIMAL(18,8) per
+    * gram type, decimal-summed, one final IEEE division.
+    *
+    * Scale shape identical to x94: LM tables are corpus aggregates with
+    * map-side partials; doc bigrams join them on gram keys
+    * (co-partitioned, not broadcast — a bigram table is corpus-sized);
+    * one doc-keyed aggregate ends the plan. Docs under 2 tokens drop. */
+  def kneserNeyLogProb(docs: DataFrame, lm: DataFrame, textCol: String,
+      idCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount $discount outside (0,1)")
+    val a = col("__a")
+    def toksArr(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+
+        filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("__a"): _*)
+    def bigrams(df: DataFrame, cols: Column*): DataFrame =
+      toksArr(df, cols: _*)
+        .select(cols ++ Seq(a,
+          explode(when(size(a) >= 2, sequence(lit(1), size(a) - 1))
+            .otherwise(array().cast("array<int>"))).as("__i")): _*)
+        .select(cols ++ Seq(element_at(a, col("__i")).as("w1"),
+          element_at(a, col("__i") + 1).as("w2")): _*)
+    val big = bigrams(lm).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val ctx = big.groupBy("w1")
+      .agg(sum("c2").as("c1dot"), count(lit(1)).as("n1plus"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("nctx"))
+    val totals = big.agg(count(lit(1)).as("__ntypes"),
+      countDistinct("w2").as("__v"))
+    val docBig = bigrams(docs, col(idCol))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val pc = (coalesce(col("nctx"), lit(0L)) + 1).cast("double") /
+      (col("__ntypes") + col("__v")).cast("double")
+    val pSeen =
+      when(col("c2").isNotNull,
+        (col("c2").cast("double") - lit(discount)) / col("c1dot").cast("double"))
+        .otherwise(lit(0.0)) +
+      (lit(discount) * col("n1plus").cast("double") / col("c1dot").cast("double")) * pc
+    val p = when(col("c1dot").isNotNull, pSeen).otherwise(pc)
+    docBig
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__s", (-log(p)).cast("decimal(18,8)") * col("c").cast("decimal(10,0)"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_bigrams"),
+        (sum("__s").cast("double") / sum("c").cast("double")).as("mean_nll"))
+  }
+
   /** Per-document profile frame: one narrow projection, no shuffle. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.select(

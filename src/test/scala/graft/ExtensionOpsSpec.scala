@@ -1495,6 +1495,33 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(a == b && a.size == 2)
   }
 
+  test("kneserNey: continuation probability beats raw frequency in unseen contexts") {
+    import spark.implicits._
+    // "francisco": frequent but completes only ONE context ("san").
+    // "report": same total frequency but completes many contexts. After
+    // an unseen context word, KN must prefer "report" — the property the
+    // continuation distribution exists for (raw-frequency backoff,
+    // x94-style, scores them equally).
+    val lm = (
+      Seq.fill(6)("san francisco") ++
+      Seq("the report", "a report", "my report", "our report", "his report",
+        "her report")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val probes = Seq((100L, "zzz francisco"), (101L, "zzz report"))
+      .toDF("doc_id", "text")
+    val got = graft.x.TextAnalysis
+      .kneserNeyLogProb(probes, lm, "text", "doc_id")
+      .select("doc_id", "mean_nll").as[(Long, Double)].collect().toMap
+    assert(got(101L) < got(100L),
+      s"many-context 'report' must score better (lower NLL): $got")
+    // seen bigrams score far better than the smoothed floor
+    val seen = graft.x.TextAnalysis
+      .kneserNeyLogProb(Seq((102L, "san francisco")).toDF("doc_id", "text"),
+        lm, "text", "doc_id")
+      .select("mean_nll").as[Double].head()
+    assert(seen < got(101L), s"seen bigram NLL $seen must beat unseen $got")
+  }
+
   test("mmrSelect demotes near-duplicates of already-selected candidates") {
     import spark.implicits._
     // one query; candidates: id 1 and 2 are identical high-relevance
