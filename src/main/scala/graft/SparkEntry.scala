@@ -1036,6 +1036,30 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // daily OHLC candlestick bars — the reference flagship's share-price
+    // family completed: open/close via (ts, id)-struct min_by/max_by in
+    // the SAME single aggregate as the extremes, no ordering window
+    "x153_ohlc_bars" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.ohlcBars(s.table("events"), "event_type", "ts",
+          "event_id", "value")
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("open"), col("high"), col("low"), col("close"), col("n_obs"))
+        .orderBy("event_type", "day")
+    }),
+
+    // time-weighted average price over irregular ticks: each value holds
+    // until the next observation — burst-proof where the tick mean isn't;
+    // microsecond-BIGINT durations, decimal-cast products, one division
+    "x154_twap" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.timeWeightedAvg(s.table("events"), "event_type", "ts",
+          "event_id", "value")
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("twa"), 6).as("twa"), col("span_us"), col("n_obs"))
+        .orderBy("event_type", "day")
+    }),
+
     // interpolated Kneser–Ney bigram LM scoring: discounted seen-bigram
     // mass redistributed by continuation probability — the principled
     // fluency scorer next to x94's stupid backoff, same split fixture
@@ -5841,6 +5865,46 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // open/close replayed via ROW_NUMBER in the same (ts, id) replay
+    // order the engine's struct-argmin/argmax uses
+    "x153_ohlc_bars" -> """
+      WITH o AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+            ORDER BY ts, event_id) AS rn_a,
+          ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+            ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events)
+      SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day,
+        MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        MAX(value) AS high, MIN(value) AS low,
+        MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM o GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    // epoch_us mirrors unix_micros; the decimal product/IEEE-division
+    // split is the engine's exactly
+    "x154_twap" -> """
+      WITH t AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, value,
+          COALESCE(LEAD(epoch_us(ts)) OVER (PARTITION BY event_type,
+              CAST(ts AS DATE) ORDER BY ts, event_id) - epoch_us(ts), 0) AS dur,
+          ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+            ORDER BY ts, event_id) AS rn
+        FROM events),
+      a AS (
+        SELECT event_type, day,
+          SUM(CAST(value AS DECIMAL(18,6)) * dur) AS wsum,
+          SUM(dur) AS span,
+          MAX(CASE WHEN rn = 1 THEN value END) AS firstv,
+          COUNT(*) AS n
+        FROM t GROUP BY 1, 2)
+      SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day,
+        ROUND(CASE WHEN span > 0 THEN CAST(wsum AS DOUBLE) / CAST(span AS DOUBLE)
+             ELSE firstv END, 6) AS twa,
+        CAST(span AS BIGINT) AS span_us, CAST(n AS BIGINT) AS n_obs
+      FROM a ORDER BY event_type, day""",
 
     // same count tables, same interpolated-KN expression shape (x94's
     // LN + DECIMAL(18,8) truncation contract)

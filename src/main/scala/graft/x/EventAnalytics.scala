@@ -401,4 +401,62 @@ object EventAnalytics {
       .select(col(seriesCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("value"), (col("day") =!= col("__d0")).as("interpolated"))
   }
+
+  /** Daily OHLC candlestick bars — the share-price aggregation family the
+    * reference's flagship pipeline belongs to (example-shareprice.py's
+    * calculate_daily_range is the high−low slice of this): per
+    * (series, day), the first/last observed value in strict (ts, id)
+    * replay order plus the extremes and observation count. Simultaneous
+    * ticks resolve by the id tiebreak, so the bar is deterministic under
+    * any partitioning.
+    *
+    * One shuffle on the bar key; open/close ride the SAME aggregate as
+    * min_by/max_by over the (ts, id) struct — no ordering window, no
+    * second pass, map-side partials throughout. */
+  def ohlcBars(events: DataFrame, seriesCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame =
+    events
+      .groupBy(col(seriesCol), to_date(col(tsCol)).as("day"))
+      .agg(
+        min_by(col(valueCol), struct(col(tsCol), col(idCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("close"),
+        count(lit(1)).cast("long").as("n_obs"))
+
+  /** Time-weighted average over irregularly-spaced observations (TWAP):
+    * each value holds until the next observation, so the day's average is
+    * the piecewise-constant integral over [first, last] —
+    * Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_n−t₁) — not the tick mean, which over-weights
+    * bursts (the classic quote-stuffing artifact). Single-observation
+    * groups answer the value itself.
+    *
+    * Determinism: durations are exact microsecond BIGINTs; each v·dur
+    * product goes through one DECIMAL(18,6) cast (the repo's double-agg
+    * contract) so the sum is association-free; one final IEEE division.
+    * Shape: one (series, day)-keyed window for the lead timestamp, then
+    * one aggregate — no self-join. */
+  def timeWeightedAvg(events: DataFrame, seriesCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val day = to_date(col(tsCol)).as("day")
+    val w = Window.partitionBy(col(seriesCol), col("day"))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(seriesCol), day, col(tsCol), col(idCol),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__next", lead(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("__dur",
+        coalesce(col("__next") - unix_micros(col(tsCol)), lit(0L)))
+      .groupBy(col(seriesCol), col("day"))
+      .agg(
+        sum(col("__v").cast("decimal(18,6)") * col("__dur")).as("__wsum"),
+        min_by(col("__v"), struct(col(tsCol), col(idCol))).as("__first"),
+        sum(col("__dur")).cast("long").as("span_us"),
+        count(lit(1)).cast("long").as("n_obs"))
+      .withColumn("twa",
+        when(col("span_us") > 0,
+          col("__wsum").cast("double") / col("span_us").cast("double"))
+          .otherwise(col("__first")))
+      .drop("__wsum", "__first")
+  }
 }

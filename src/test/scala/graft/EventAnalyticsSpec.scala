@@ -245,4 +245,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(again === out)
   }
+
+  test("ohlcBars: first/last by (ts,id) replay; twap ignores tick bursts") {
+    def ts(m: Int, s: Int = 0): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-03-01 10:$m%02d:$s%02d")
+    // price holds at 10.0 for 59 min, then a 1-minute burst of 20.0 ticks
+    val ev = Seq(
+      (1L, ts(0), "s", 10.0),
+      (2L, ts(59), "s", 20.0), (3L, ts(59, 10), "s", 20.0),
+      (4L, ts(59, 20), "s", 20.0), (5L, ts(60), "s", 20.0))
+      .toDF("event_id", "ts", "sym", "value")
+    val bar = EventAnalytics.ohlcBars(ev, "sym", "ts", "event_id", "value")
+      .select("open", "high", "low", "close", "n_obs").head()
+    assert((bar.getDouble(0), bar.getDouble(1), bar.getDouble(2),
+      bar.getDouble(3), bar.getLong(4)) === ((10.0, 20.0, 10.0, 20.0, 5L)))
+    val twa = EventAnalytics.timeWeightedAvg(ev, "sym", "ts", "event_id", "value")
+      .select("twa").head().getDouble(0)
+    // tick mean = 18.0 (burst-dominated); time-weighted ≈ 10·(59/60)+20·(1/60)
+    assert(math.abs(twa - (10.0 * 59 + 20.0) / 60) < 1e-9, s"twa $twa")
+    // single observation: twa is the value itself, zero span
+    val one = EventAnalytics.timeWeightedAvg(
+      Seq((9L, ts(5), "t", 7.5)).toDF("event_id", "ts", "sym", "value"),
+      "sym", "ts", "event_id", "value").select("twa", "span_us").head()
+    assert(one.getDouble(0) === 7.5 && one.getLong(1) === 0L)
+  }
 }
