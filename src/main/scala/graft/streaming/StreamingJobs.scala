@@ -381,18 +381,48 @@ object StreamingJobs {
   def startHllRegisterStore(stream: DataFrame, groupCols: Seq[String],
       valueCol: String, storeDir: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startMergedSketchStore(stream, storeDir, checkpoint, trigger)(
+      batch => graft.x.Sketches.hllRegisters(batch, groupCols, valueCol))(
+      (cur, incoming) => cur.unionByName(incoming)
+        .groupBy((groupCols :+ "__j").map(col): _*)
+        .agg(max(col("__mj")).as("__mj")))
+
+  /** The bitmap sibling of [[startHllRegisterStore]] — EXACT streaming
+    * distinct over non-negative integer ids: each batch's
+    * [[graft.x.Sketches.bitmapWords]] rows `bit_or`-merge into the store
+    * (idempotent, so batch replay after a crash is a no-op), behind the
+    * same crash-safe numbered generations. Read back with
+    * [[readSketchStore]] + [[graft.x.Sketches.bitmapDistinct]] /
+    * `bitmapIntersect` for exact audience counts and overlaps without
+    * rescanning history. */
+  def startBitmapStore(stream: DataFrame, groupCols: Seq[String],
+      idCol: String, storeDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startMergedSketchStore(stream, storeDir, checkpoint, trigger)(
+      batch => graft.x.Sketches.bitmapWords(batch, groupCols, idCol))(
+      (cur, incoming) =>
+        graft.x.Sketches.bitmapMerge(cur.unionByName(incoming), groupCols))
+
+  /** Generation-safe persist-and-merge loop shared by the sketch stores:
+    * `build` turns a batch into mergeable sketch rows, `merge` folds them
+    * into the prior committed generation (must be idempotent under batch
+    * replay — max for HLL registers, bit_or for bitmaps, sum only when
+    * the checkpoint guarantees exactly-once). Each refresh writes a NEW
+    * `gen=N` dir, commits it with an explicit marker (never the
+    * committer's _SUCCESS, which object-store configs may disable), then
+    * GCs stale + torn generations best-effort. */
+  private def startMergedSketchStore(stream: DataFrame, storeDir: String,
+      checkpoint: String, trigger: Trigger)(build: DataFrame => DataFrame)(
+      merge: (DataFrame, DataFrame) => DataFrame): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val incoming = graft.x.Sketches.hllRegisters(batch, groupCols, valueCol)
+        val incoming = build(batch)
         val gens = completeGenerations(spark, storeDir)
         val merged = gens.lastOption match {
-          case Some(cur) =>
-            spark.read.parquet(cur.toString).unionByName(incoming)
-              .groupBy((groupCols :+ "__j").map(col): _*)
-              .agg(max(col("__mj")).as("__mj"))
+          case Some(cur) => merge(spark.read.parquet(cur.toString), incoming)
           case None => incoming
         }
         val nextId = gens.lastOption
@@ -445,12 +475,17 @@ object StreamingJobs {
     } else gens.filter(committed).sortBy(_.getName)
   }
 
-  /** Read the current state of a [[startHllRegisterStore]] store: the
-    * register rows of the latest complete generation (empty-schema-safe
-    * only once a generation exists; call after the first batch). */
-  def readHllRegisterStore(spark: SparkSession, storeDir: String): DataFrame = {
+  /** Read the current state of a generation store ([[startHllRegisterStore]]
+    * / [[startBitmapStore]]): the sketch rows of the latest complete
+    * generation (empty-schema-safe only once a generation exists; call
+    * after the first batch). */
+  def readSketchStore(spark: SparkSession, storeDir: String): DataFrame = {
     val gens = completeGenerations(spark, storeDir)
-    require(gens.nonEmpty, s"no complete register-store generation under $storeDir")
+    require(gens.nonEmpty, s"no complete sketch-store generation under $storeDir")
     spark.read.parquet(gens.last.toString)
   }
+
+  /** Historical name for [[readSketchStore]] (HLL was the first store). */
+  def readHllRegisterStore(spark: SparkSession, storeDir: String): DataFrame =
+    readSketchStore(spark, storeDir)
 }

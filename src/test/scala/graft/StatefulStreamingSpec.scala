@@ -32,6 +32,32 @@ class StatefulStreamingSpec extends AnyFunSuite {
     dir
   }
 
+  test("bitmap store: exact streaming distinct, replay-idempotent merge") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val store = Files.createTempDirectory("graft-bmstore").resolve("words").toString
+    def runBatches(ckptName: String): Unit = {
+      val ckpt = Files.createTempDirectory(ckptName).toString
+      val stream = StreamingJobs.fileStream(spark, eventsDir, batchDf.schema,
+        maxFilesPerTrigger = 2)
+      val q = StreamingJobs.startBitmapStore(stream, Seq("event_type"),
+        "user_id", store, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runBatches("graft-bmck1")
+    def counts() = graft.x.Sketches
+      .bitmapDistinct(StreamingJobs.readSketchStore(spark, store), Seq("event_type"))
+      .select("event_type", "distinct_cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the streamed store answers the EXACT batch distinct — not an estimate
+    val exact = batchDf.groupBy("event_type")
+      .agg(countDistinct("user_id").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts() == exact, "streamed bitmap distinct must be exact")
+    // bit_or is idempotent: a full replay (fresh checkpoint) is a no-op
+    runBatches("graft-bmck2")
+    assert(counts() == exact, "replay was not idempotent")
+  }
+
   test("HLL register store: torn generations ignored, replay idempotent, " +
       "stale + torn dirs GC'd, legacy flat layout adopted") {
     import org.apache.hadoop.fs.Path
