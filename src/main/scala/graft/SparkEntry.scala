@@ -1036,6 +1036,19 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // gaps-and-islands: longest consecutive-day streak per user via the
+    // day − row_number island key — no calendar self-join; per-user
+    // argmax ties break toward the earliest streak
+    "x155_activity_streaks" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.activityStreaks(s.table("events"), "user_id", "ts")
+        .select(col("user_id"), col("best_streak"),
+          date_format(col("streak_start"), "yyyy-MM-dd").as("streak_start"),
+          date_format(col("streak_end"), "yyyy-MM-dd").as("streak_end"),
+          col("n_streaks"))
+        .orderBy("user_id")
+    }),
+
     // daily OHLC candlestick bars — the reference flagship's share-price
     // family completed: open/close via (ts, id)-struct min_by/max_by in
     // the SAME single aggregate as the extremes, no ordering window
@@ -5865,6 +5878,27 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // the island key replays as day − row_number; the per-user pick via
+    // QUALIFY (len DESC, start) = the engine's struct-argmax tie-break
+    "x155_activity_streaks" -> """
+      WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      g AS (SELECT user_id, day,
+              day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY day) AS INT) AS grp
+            FROM d),
+      s AS (SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+              CAST(COUNT(*) AS BIGINT) AS len
+            FROM g GROUP BY user_id, grp),
+      n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks
+            FROM s GROUP BY 1)
+      SELECT s.user_id, len AS best_streak,
+        STRFTIME(streak_start, '%Y-%m-%d') AS streak_start,
+        STRFTIME(streak_end, '%Y-%m-%d') AS streak_end, n.n_streaks
+      FROM s JOIN n USING (user_id)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY s.user_id
+        ORDER BY len DESC, streak_start) = 1
+      ORDER BY user_id""",
 
     // open/close replayed via ROW_NUMBER in the same (ts, id) replay
     // order the engine's struct-argmin/argmax uses

@@ -424,6 +424,34 @@ object EventAnalytics {
         max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("close"),
         count(lit(1)).cast("long").as("n_obs"))
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands shape: distinct active days, island key =
+    * `day − row_number` (constant exactly while days are consecutive),
+    * one aggregate per island, then a per-user argmax with ties broken
+    * toward the EARLIEST streak so the answer is deterministic.
+    *
+    * Scale: one distinct shuffle on (user, day) — bounded at
+    * users × days regardless of event volume — one user-keyed window,
+    * two aggregates with map-side partials. No self-join against the
+    * calendar, which is the naive formulation's O(users × span) trap. */
+  def activityStreaks(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val d = events.select(col(userCol), to_date(col(tsCol)).as("day")).distinct()
+    val w = Window.partitionBy(col(userCol)).orderBy(col("day"))
+    val streaks = d
+      .withColumn("__grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col(userCol), col("__grp"))
+      .agg(min("day").as("streak_start"), max("day").as("streak_end"),
+        count(lit(1)).cast("long").as("len"))
+    streaks.groupBy(col(userCol))
+      .agg(max_by(
+        struct(col("streak_start"), col("streak_end"), col("len")),
+        struct(col("len"), negate(unix_date(col("streak_start"))))).as("__b"),
+        count(lit(1)).cast("long").as("n_streaks"))
+      .select(col(userCol), col("__b.len").as("best_streak"),
+        col("__b.streak_start").as("streak_start"),
+        col("__b.streak_end").as("streak_end"), col("n_streaks"))
+  }
+
   /** Time-weighted average over irregularly-spaced observations (TWAP):
     * each value holds until the next observation, so the day's average is
     * the piecewise-constant integral over [first, last] —

@@ -246,6 +246,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(again === out)
   }
 
+  test("activityStreaks: island detection, earliest-streak tie-break") {
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-05-$day%02d 09:00:00")
+    // user 1: streaks [1-3] and [10-12] (tie on length → earliest wins);
+    // user 2: one day only
+    val ev = Seq(
+      (1L, d(1)), (1L, d(2)), (1L, d(3)), (1L, d(2)), // dup day collapses
+      (1L, d(10)), (1L, d(11)), (1L, d(12)),
+      (2L, d(20)))
+      .zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("event_id", "user_id", "ts")
+    val got = EventAnalytics.activityStreaks(ev, "user_id", "ts")
+      .select("user_id", "best_streak", "streak_start", "n_streaks")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDate(2).toString, r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 3L, "2024-05-01", 2L), (2L, 1L, "2024-05-20", 1L)))
+  }
+
   test("ohlcBars: first/last by (ts,id) replay; twap ignores tick bursts") {
     def ts(m: Int, s: Int = 0): java.sql.Timestamp =
       java.sql.Timestamp.valueOf(f"2024-03-01 10:$m%02d:$s%02d")
