@@ -1036,6 +1036,16 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Jaro–Winkler as a codegen'd Catalyst expression on the SQL surface
+    // — the record-linkage comparator Spark lacks, exercised over a
+    // blocked pair set (never un-blocked; the x45/x44 discipline)
+    "x156_jaro_winkler" -> sqlX("""
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        jaro_winkler(a.c_name, b.c_name) AS name_jw,
+        jaro_winkler(a.c_mktsegment, b.c_mktsegment) AS seg_jw
+      FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+      ORDER BY id_a"""),
+
     // gaps-and-islands: longest consecutive-day streak per user via the
     // day − row_number island key — no calendar self-join; per-user
     // argmax ties break toward the earliest streak
@@ -5878,6 +5888,15 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // DuckDB's jaro_winkler_similarity IS the reference semantics the
+    // expression was built to match (0.7 boost threshold, prefix<=4)
+    "x156_jaro_winkler" -> """
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        jaro_winkler_similarity(a.c_name, b.c_name) AS name_jw,
+        jaro_winkler_similarity(a.c_mktsegment, b.c_mktsegment) AS seg_jw
+      FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+      ORDER BY id_a""",
 
     // the island key replays as day − row_number; the per-user pick via
     // QUALIFY (len DESC, start) = the engine's struct-argmax tie-break

@@ -76,6 +76,11 @@ object GraftFunctions {
       info("hamming64", "hamming64(bigint, bigint) - Hamming distance between 64-bit signatures"),
       es => { arity("hamming64", 2, es); BitwiseCount(BitwiseXor(es.head, es(1))) }),
 
+    (FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(str, str) - Jaro-Winkler similarity (record-linkage comparator)"),
+      es => { arity("jaro_winkler", 2, es); JaroWinklerExpr(es.head, es(1)) }),
+
     // aggregate: the analyzer wraps a returned AggregateFunction in the
     // AggregateExpression itself, so the builder returns the bare function
     (FunctionIdentifier("simhash_agg"),

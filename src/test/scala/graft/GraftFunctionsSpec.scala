@@ -125,7 +125,31 @@ class GraftFunctionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     assert(GraftFunctions.specs.map(_._1.funcName).toSet ==
       Set("poly_hash56", "dot_f32", "cosine_f32", "hamming64", "hilbert_idx",
-        "simhash_agg", "frequent_items_agg", "kmv_sketch_agg"))
+        "jaro_winkler", "simhash_agg", "frequent_items_agg", "kmv_sketch_agg"))
+  }
+
+  test("jaro_winkler: textbook values, DuckDB conventions, codegen = interpreted") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // textbook pairs (Winkler 1990) + the conventions verified against
+    // DuckDB: empty → 0, boost only above jaro 0.7, prefix capped at 4
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("abcdxxxxxx", "abcdyyyyyyyyyyyy", 0.5499999999999999), // prefix, jaro<=0.7: no boost
+      ("apple", "apple", 1.0),
+      ("abc", "", 0.0), ("", "", 0.0), ("a", "b", 0.0))
+    cases.foreach { case (a, b, want) =>
+      assert(graft.functions.JaroWinklerExpr.compute(a, b) == want, s"($a,$b)")
+    }
+    // SQL surface, codegen path, equals the direct computation
+    val got = cases.toDF("a", "b", "want")
+      .selectExpr("jaro_winkler(a, b) AS jw", "want")
+      .as[(Double, Double)].collect()
+    got.foreach { case (jw, want) => assert(jw == want) }
   }
 
   test("custom scalar functions stay inside whole-stage codegen") {
