@@ -1036,6 +1036,35 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Benford first-digit audit: the data-forensics screen as a 9-row
+    // digit histogram (exact string-of-BIGINT digits, no float log10 in
+    // the assignment); chi-square terms rank the deviation
+    "x158_benford_audit" -> ((s, dir) => {
+      reg(s, dir)
+      Profiler.benfordAudit(s.table("lineitem"), "l_extendedprice")
+        .orderBy("digit")
+    }),
+
+    // two families composed: funnel conversion lag (first view → first
+    // subsequent purchase per user) quantiled through the x151 HDR
+    // sketch — the conversion-latency SLO readout, no data-scale sort
+    "x157_funnel_lag_quantiles" -> ((s, dir) => {
+      reg(s, dir)
+      val ev = s.table("events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("vts"))
+      val lags = ev.filter(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") >= col("vts"))
+        .groupBy(col("user_id"), col("vts")).agg(min(col("ts")).as("pts"))
+        .select(((unix_micros(col("pts")) - unix_micros(col("vts"))) / 1000000L)
+          .cast("long").as("lag_s"))
+      val hist = Sketches.hdrHistogram(lags, Seq.empty, "lag_s", p = 5)
+      Sketches.hdrQuantiles(hist, Seq.empty, Seq("0.5", "0.9", "0.99"), p = 5)
+        .select(col("q"), col("n"), col("q_value").cast("long").as("q_value"))
+        .orderBy("q")
+    }),
+
     // Jaro–Winkler as a codegen'd Catalyst expression on the SQL surface
     // — the record-linkage comparator Spark lacks, exercised over a
     // blocked pair set (never un-blocked; the x45/x44 discipline)
@@ -5888,6 +5917,53 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // integer-string first digit, LN-ratio shares, same chi-square shape
+    "x158_benford_audit" -> """
+      WITH v AS (SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS v FROM lineitem),
+      d AS (SELECT CAST(SUBSTR(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM v WHERE v >= 1),
+      c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+      n AS (SELECT SUM(cnt) AS n FROM c)
+      SELECT digit, cnt,
+        ROUND(CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS obs_share,
+        ROUND(LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0), 6) AS benford_share,
+        ROUND((CAST(cnt AS DOUBLE) - CAST(n.n AS DOUBLE)
+                 * (LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0)))
+              * (CAST(cnt AS DOUBLE) - CAST(n.n AS DOUBLE)
+                 * (LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0)))
+              / (CAST(n.n AS DOUBLE)
+                 * (LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0))), 6)
+          AS chi2_term
+      FROM c CROSS JOIN n ORDER BY digit""",
+
+    // first-view/first-purchase lag replayed, then the same x151 HDR
+    // bucket arithmetic ungrouped
+    "x157_funnel_lag_quantiles" -> """
+      WITH fv AS (SELECT user_id, MIN(ts) AS vts FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+      pp AS (SELECT e.user_id, fv.vts, MIN(e.ts) AS pts
+             FROM events e JOIN fv USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts >= fv.vts
+             GROUP BY 1, 2),
+      l AS (SELECT (epoch_us(pts) - epoch_us(vts)) // 1000000 AS v FROM pp),
+      bk AS (SELECT CASE WHEN v < 64 THEN v
+               ELSE CAST(length(bin(v)) - 1 - 5 AS BIGINT) * 32
+                    + (v >> (length(bin(v)) - 1 - 5)) END AS b
+             FROM l WHERE v >= 0),
+      h AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM bk GROUP BY 1),
+      c AS (SELECT b, cnt, SUM(cnt) OVER (ORDER BY b) AS cum,
+              SUM(cnt) OVER () AS n FROM h),
+      qs AS (SELECT UNNEST(['0.5', '0.9', '0.99']) AS q),
+      pick AS (SELECT q, MIN(b) AS b, MAX(n) AS n
+               FROM c CROSS JOIN qs
+               WHERE cum >= CEIL(CAST(q AS DECIMAL(10,6)) * n)
+               GROUP BY 1)
+      SELECT q, CAST(n AS BIGINT) AS n,
+        CAST(CASE WHEN b < 64 THEN b
+             ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
+          AS q_value
+      FROM pick ORDER BY q""",
 
     // DuckDB's jaro_winkler_similarity IS the reference semantics the
     // expression was built to match (0.7 boost threshold, prefix<=4)

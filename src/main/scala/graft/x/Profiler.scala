@@ -450,4 +450,38 @@ object Profiler {
           col("n").cast("double")).as("skew_ratio"))
     }.reduce(_ unionByName _)
   }
+
+  /** Benford's-law audit (Benford 1938; Nigrini's fraud-detection use):
+    * first-significant-digit distribution of a positive numeric column
+    * vs the expected share log10(1+1/d). Organic multiplicative data
+    * (prices, populations, transaction amounts) follows it; fabricated
+    * or truncated data doesn't — the classic data-forensics screen, and
+    * at pipeline scale a cheap per-batch drift alarm (the digit
+    * histogram is 9 rows; per-segment histograms merge by count-sum).
+    *
+    * The first digit is taken from the BIGINT's decimal string — integer
+    * formatting, not float log10, so the digit assignment is exact on
+    * any engine. One digit-keyed aggregate with map-side partials; the
+    * chi-square term per digit is (obs − n·e)²/(n·e) for badness
+    * ranking (Σ over 8 d.o.f. for the formal test). */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val v = floor(col(valueCol)).cast("long")
+    val digits = df.select(v.as("__v")).filter(col("__v") >= 1)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("int").as("digit"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val n = counts.agg(sum("cnt").as("__n"))
+    counts.crossJoin(broadcast(n))
+      .withColumn("benford_share",
+        log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
+      .withColumn("obs_share",
+        col("cnt").cast("double") / col("__n").cast("double"))
+      .withColumn("chi2_term", {
+        val e = col("__n").cast("double") * col("benford_share")
+        (col("cnt").cast("double") - e) * (col("cnt").cast("double") - e) / e
+      })
+      .select(col("digit"), col("cnt").cast("long").as("cnt"),
+        round(col("obs_share"), 6).as("obs_share"),
+        round(col("benford_share"), 6).as("benford_share"),
+        round(col("chi2_term"), 6).as("chi2_term"))
+  }
 }

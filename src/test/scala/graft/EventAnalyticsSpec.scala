@@ -246,6 +246,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(again === out)
   }
 
+  test("benfordAudit: geometric data conforms, uniform data flags") {
+    import spark.implicits._
+    // log-uniform (multiplicative) data follows Benford; uniform [1000,2000)
+    // puts every first digit at 1 — chi2 explodes
+    val geo = (0 until 4000).map(i => math.pow(10.0, i % 400 / 100.0) * 1.07)
+      .toDF("v")
+    val chiGeo = Profiler.benfordAudit(geo, "v")
+      .agg(sum("chi2_term")).head().getDouble(0)
+    val uni = (0 until 4000).map(i => 1000.0 + (i % 1000)).toDF("v")
+    val chiUni = Profiler.benfordAudit(uni, "v")
+      .agg(sum("chi2_term")).head().getDouble(0)
+    // chi-square critical value at 8 d.o.f., p=0.001 is 26.1
+    assert(chiUni > 50 * chiGeo && chiUni > 26.1,
+      s"uniform must flag hard: geo=$chiGeo uni=$chiUni")
+    // digits 2-9 absent from the uniform set, present in the geometric
+    assert(Profiler.benfordAudit(uni, "v").count() == 1)
+    assert(Profiler.benfordAudit(geo, "v").count() == 9)
+  }
+
   test("activityStreaks: island detection, earliest-streak tie-break") {
     def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-05-$day%02d 09:00:00")
     // user 1: streaks [1-3] and [10-12] (tie on length → earliest wins);
