@@ -1036,6 +1036,32 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // audience-overlap matrix from the x147 bitmap stores: |A ∩ B| is a
+    // word-keyed join + popcount of the AND — the id lists are never
+    // materialized or re-joined; Jaccard falls out with the per-segment
+    // distinct counts. Exact, unlike the KMV/HLL overlap estimates
+    "x159_audience_overlap" -> ((s, dir) => {
+      reg(s, dir)
+      val words = Sketches.bitmapWords(s.table("events"), Seq("event_type"),
+        "user_id")
+      val sizes = Sketches.bitmapDistinct(words, Seq("event_type"))
+        .select(col("event_type"), col("distinct_cnt"))
+      val pairs = Sketches.bitmapIntersect(words, words,
+          Seq("event_type"), Seq("event_type"))
+        .filter(col("a_event_type") < col("b_event_type"))
+        .filter(col("overlap_cnt") > 0)
+      pairs
+        .join(sizes.select(col("event_type").as("a_event_type"),
+          col("distinct_cnt").as("__na")), Seq("a_event_type"))
+        .join(sizes.select(col("event_type").as("b_event_type"),
+          col("distinct_cnt").as("__nb")), Seq("b_event_type"))
+        .select(col("a_event_type"), col("b_event_type"), col("overlap_cnt"),
+          (col("overlap_cnt").cast("double") /
+            (col("__na") + col("__nb") - col("overlap_cnt")).cast("double"))
+            .as("jaccard"))
+        .orderBy("a_event_type", "b_event_type")
+    }),
+
     // Benford first-digit audit: the data-forensics screen as a 9-row
     // digit histogram (exact string-of-BIGINT digits, no float log10 in
     // the assignment); chi-square terms rank the deviation
@@ -5917,6 +5943,23 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // independent truth: distinct-pair self-join overlap counts; the
+    // bitmap path must be EXACTLY these numbers
+    "x159_audience_overlap" -> """
+      WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+      p AS (SELECT a.event_type AS a_event_type, b.event_type AS b_event_type,
+              CAST(COUNT(*) AS BIGINT) AS overlap_cnt
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2),
+      c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1)
+      SELECT p.a_event_type, p.b_event_type, p.overlap_cnt,
+        CAST(p.overlap_cnt AS DOUBLE)
+          / CAST(ca.n + cb.n - p.overlap_cnt AS DOUBLE) AS jaccard
+      FROM p JOIN c ca ON ca.event_type = p.a_event_type
+             JOIN c cb ON cb.event_type = p.b_event_type
+      ORDER BY 1, 2""",
 
     // integer-string first digit, LN-ratio shares, same chi-square shape
     "x158_benford_audit" -> """

@@ -885,48 +885,28 @@ object Similarity {
     *
     * Shape at 100 TB: `cands` is a first-stage top-N per query
     * ([[bruteForceTopK]] / [[ivfPqTopKFromLayout]] output joined back to
-    * vectors), so the frame is queries × N rows — per-round work is one
-    * broadcast join against the single NEWLY-picked row per query
-    * (incremental running-max of dots, O(k·N) dot products per query,
-    * not O(k²·N) from recomputing the max over all selected) plus one
-    * struct-argmax aggregate. The selected frame never exceeds
-    * queries × k rows; the candidate pool shrinks by one per round.
-    * For large k, checkpoint the state frame every ~10 rounds — the
-    * lineage grows linearly like the iterative-graph ops'
-    * ([[graft.x.Graph]] staging notes apply). */
+    * vectors), so the frame is queries × N rows and the whole operator is
+    * ONE query-keyed shuffle: `collect_list` gathers each query's bounded
+    * candidate pool (O(N·dim) per group — [[graft.functions.TopKAgg]]'s
+    * memory contract) and the greedy trajectory runs in registers inside
+    * the codegen'd [[graft.functions.MmrSelectExpr]]. The original
+    * k-round DataFrame formulation (anti-join + broadcast-join + argmax
+    * per round) re-scanned the candidate frame k times behind k job
+    * barriers — same algebra, strictly worse engine shape; the per-round
+    * plans are preserved in the expression's Scaladoc contract and the
+    * x149 oracle still replays them round by round. */
   def mmrSelect(cands: DataFrame, qIdCol: String, idCol: String,
       relCol: String, vecCol: String, k: Int, lambda: Double): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda outside [0,1]")
-    val base = cands.select(col(qIdCol).as("__q"), col(idCol).cast("long").as("__id"),
-      col(relCol).cast("double").as("__rel"), col(vecCol).as("__v"))
-    def argmax(scored: DataFrame, rank: Int): DataFrame =
-      scored.groupBy("__q")
-        .agg(max_by(
-          struct(col("__id"), col("__rel"), col("__score"), col("__v")),
-          struct(col("__score"), negate(col("__id")))).as("__p"))
-        .select(col("__q"), lit(rank).as("__rank"), col("__p.__id").as("__id"),
-          col("__p.__rel").as("__rel"), col("__p.__score").as("__score"),
-          col("__p.__v").as("__v"))
-    var picked = argmax(base.withColumn("__score", lit(lambda) * col("__rel")), 1)
-    // state: candidates not yet selected, carrying the running max dot
-    // against everything selected so far (absent until round 2's update)
-    var state = base.join(picked.select("__q", "__id"), Seq("__q", "__id"), "left_anti")
-    for (r <- 2 to k) {
-      val newest = picked.filter(col("__rank") === r - 1)
-        .select(col("__q"), col("__v").as("__pv"))
-      val updated = state.join(broadcast(newest), Seq("__q"))
-        .withColumn("__d", dotProduct(col("__v"), col("__pv")))
-        .withColumn("__maxsim",
-          if (r == 2) col("__d") else greatest(col("__maxsim"), col("__d")))
-        .drop("__pv", "__d")
-      val scored = updated.withColumn("__score",
-        lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__maxsim"))
-      val pick = argmax(scored, r)
-      picked = picked.unionByName(pick)
-      state = updated.join(pick.select("__q", "__id"), Seq("__q", "__id"), "left_anti")
-    }
-    picked.select(col("__q").as(qIdCol), col("__rank").as("rank"),
-      col("__id").as(idCol), col("__rel").as("rel"), col("__score").as("mmr_score"))
+    cands
+      .groupBy(col(qIdCol))
+      .agg(collect_list(struct(col(idCol).cast("long").as("id"),
+        col(relCol).cast("double").as("rel"), col(vecCol).as("vec"))).as("__cands"))
+      .select(col(qIdCol),
+        explode(graft.functions.MmrSelectExpr.select(col("__cands"), k, lambda))
+          .as("__p"))
+      .select(col(qIdCol), col("__p.rank").as("rank"), col("__p.id").as(idCol),
+        col("__p.rel").as("rel"), col("__p.score").as("mmr_score"))
   }
 }
