@@ -1036,6 +1036,33 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // sketch cube: the (type, day) HLL registers built ONCE, every
+    // coarser grouping set — per-type, per-day, global — derived by
+    // max-merging register rows; a 100 TB distinct-count lattice costs
+    // one scan + three tiny re-aggregations, never a GROUPING SETS
+    // rescan per level
+    "x160_hll_gset_distinct" -> ((s, dir) => {
+      reg(s, dir)
+      val ev = s.table("events")
+        .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+      val regs = Sketches.hllRegisters(ev, Seq("event_type", "day"), "user_id")
+      def estOf(merged: DataFrame, gcols: Seq[String]) =
+        Sketches.hllEstimateFromRegisters(merged, gcols)
+      val fine = estOf(regs, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("est"))
+      val byType = estOf(regs.groupBy("event_type", "__j")
+          .agg(max("__mj").as("__mj")), Seq("event_type"))
+        .select(col("event_type"), lit("ALL").as("day"), col("est"))
+      val byDay = estOf(regs.groupBy("day", "__j")
+          .agg(max("__mj").as("__mj")), Seq("day"))
+        .select(lit("ALL").as("event_type"), col("day"), col("est"))
+      val total = estOf(regs.groupBy("__j").agg(max("__mj").as("__mj")),
+          Seq.empty)
+        .select(lit("ALL").as("event_type"), lit("ALL").as("day"), col("est"))
+      fine.unionByName(byType).unionByName(byDay).unionByName(total)
+        .orderBy("event_type", "day")
+    }),
+
     // audience-overlap matrix from the x147 bitmap stores: |A ∩ B| is a
     // word-keyed join + popcount of the AND — the id lists are never
     // materialized or re-joined; Jaccard falls out with the per-segment
@@ -5943,6 +5970,38 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // one register CTE, three max-merge lattices, the shared estimate
+    // expression on every level
+    "x160_hll_gset_distinct" -> s"""
+      WITH ${hllRegSql("events",
+        "event_type, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day",
+        "event_type, day", "user_id")},
+      mj AS (SELECT event_type, day, j, MAX(rho) AS mj FROM reg GROUP BY 1, 2, 3),
+      zfine AS (SELECT event_type, day, COUNT(*) AS present,
+          SUM(CAST((CAST(1 AS BIGINT) << (56 - mj)) AS DECIMAL(38,0))) AS zp
+        FROM mj GROUP BY 1, 2),
+      tmj AS (SELECT event_type, j, MAX(mj) AS mj FROM mj GROUP BY 1, 2),
+      ztype AS (SELECT event_type, COUNT(*) AS present,
+          SUM(CAST((CAST(1 AS BIGINT) << (56 - mj)) AS DECIMAL(38,0))) AS zp
+        FROM tmj GROUP BY 1),
+      dmj AS (SELECT day, j, MAX(mj) AS mj FROM mj GROUP BY 1, 2),
+      zday AS (SELECT day, COUNT(*) AS present,
+          SUM(CAST((CAST(1 AS BIGINT) << (56 - mj)) AS DECIMAL(38,0))) AS zp
+        FROM dmj GROUP BY 1),
+      gmj AS (SELECT j, MAX(mj) AS mj FROM mj GROUP BY 1),
+      ztot AS (SELECT COUNT(*) AS present,
+          SUM(CAST((CAST(1 AS BIGINT) << (56 - mj)) AS DECIMAL(38,0))) AS zp
+        FROM gmj)
+      SELECT event_type, day, est FROM (
+        SELECT event_type, day, $hllEstSql AS est FROM zfine
+        UNION ALL
+        SELECT event_type, 'ALL' AS day, $hllEstSql AS est FROM ztype
+        UNION ALL
+        SELECT 'ALL' AS event_type, day, $hllEstSql AS est FROM zday
+        UNION ALL
+        SELECT 'ALL' AS event_type, 'ALL' AS day, $hllEstSql AS est FROM ztot)
+      ORDER BY event_type, day""",
 
     // independent truth: distinct-pair self-join overlap counts; the
     // bitmap path must be EXACTLY these numbers

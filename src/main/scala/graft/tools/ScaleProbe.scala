@@ -957,6 +957,34 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // Bitmap retention: user universe inflates ×k, days fixed. Word rows
+    // grow as universe/64 per day (dense ids), the retention join stays
+    // word-keyed — time should track the id universe linearly with a flat
+    // per-word cost, and the answer is exact at every size.
+    if (on("bitmap")) Seq(1, 4, 16).foreach { k =>
+      val ev = graft.sources.SourceReader.readEvents(spark, s"$sfDir/events.parquet")
+      val inflated = (0 until k).map(i =>
+        ev.withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionByName _)
+        .withColumn("day", to_date(col("ts")))
+        .repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val t0 = System.nanoTime()
+      val words = graft.x.Sketches.bitmapWords(inflated, Seq("day"), "user_id")
+        .localCheckpoint(true)
+      val t1 = System.nanoTime()
+      val prev = words.select(date_add(col("day"), 1).as("day"), col("__w"),
+        col("__bits").as("__prev"))
+      val returning = words.join(prev, Seq("day", "__w"))
+        .agg(sum(bit_count(col("__bits").bitwiseAND(col("__prev"))))).head().getLong(0)
+      val t2 = System.nanoTime()
+      val wordRows = words.count()
+      println(f"[scale-bitmap] events=$n%8d  words=$wordRows%7d  " +
+        f"build=${(t1 - t0) / 1e9}%6.2fs  retention=${(t2 - t1) / 1e9}%6.2fs  " +
+        f"returning=$returning")
+      spark.catalog.clearCache()
+    }
+
     if (on("lsh")) factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus
