@@ -3057,6 +3057,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           col("n_matched").cast("long").as("n_matched"), col("match_frac"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // shot-boundary detection: per-video lag window over sampled-frame
+    // pHashes — a cut is a >= minHamming jump; frames never leave their
+    // video, so there is NO join surface (the cheap precursor to
+    // per-scene keyframe sampling in a video curation pipeline)
+    "mm6_scene_cuts" -> ((s, dir) => {
+      reg(s, dir)
+      val media = Multimodal.synthesizeFromText(s.table("documents"),
+        "doc_id", "text")
+      Multimodal.sceneCuts(s, media, everyMs = 10000, minHamming = 3)
+        .orderBy("media_id", "cut_ms")
     })
   )
 
@@ -7478,6 +7490,46 @@ object SparkEntry {
       FROM matched m JOIN counts ca ON ca.media_id = m.id_a
         JOIN counts cb ON cb.media_id = m.id_b
       WHERE CAST(m.n_matched AS DOUBLE) / CAST(LEAST(ca.nf, cb.nf) AS DOUBLE) >= 0.5
-      ORDER BY id_a, id_b"""
+      ORDER BY id_a, id_b""",
+
+    // mm5's frame/pHash replay minus the re-encoded union, then a
+    // per-video LAG window — same stub decode, same hash fold
+    "mm6_scene_cuts" -> """
+      WITH vids AS (
+        SELECT doc_id AS media_id, text, (doc_id * 137) % 60000 AS dur
+        FROM documents WHERE doc_id % 3 = 2),
+      frames AS (
+        SELECT media_id, text, f.ms, CAST(f.ms // 10000 AS INTEGER) AS kk
+        FROM vids, LATERAL (SELECT UNNEST(RANGE(0, dur + 1, 10000)) AS ms) f),
+      feats AS (
+        SELECT fr.media_id, fr.ms, r.i,
+          CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(list_filter(range(1, LENGTH(fr.text) + 1),
+                p -> p > fr.kk AND (p - 1 - fr.kk) % 16 = r.i),
+                p -> CAST(CAST(ord(fr.text[p]) AS REAL) / CAST(255 AS REAL) AS DOUBLE))),
+              (a, x) -> a + x)
+            / GREATEST((LENGTH(fr.text) - fr.kk) // 16, 1) AS REAL) AS feat
+        FROM frames fr CROSS JOIN RANGE(16) r(i)),
+      means AS (
+        SELECT media_id, ms,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(feat AS DOUBLE) ORDER BY i)), (a, x) -> a + x)
+            / CAST(16 AS DOUBLE) AS m
+        FROM feats GROUP BY media_id, ms),
+      ph AS (
+        SELECT f.media_id, f.ms,
+          CAST(SUM(CASE WHEN CAST(f.feat AS DOUBLE) > m.m
+                        THEN CAST(POWER(2, f.i) AS BIGINT) ELSE 0 END) AS BIGINT) AS phv
+        FROM feats f JOIN means m ON f.media_id = m.media_id AND f.ms = m.ms
+        GROUP BY f.media_id, f.ms),
+      lagged AS (
+        SELECT media_id, ms, phv,
+          LAG(phv) OVER (PARTITION BY media_id ORDER BY ms) AS prev
+        FROM ph)
+      SELECT media_id, CAST(ms AS BIGINT) AS cut_ms,
+        CAST(bit_count(xor(phv, prev)) AS BIGINT) AS hamming
+      FROM lagged
+      WHERE prev IS NOT NULL AND bit_count(xor(phv, prev)) >= 3
+      ORDER BY media_id, cut_ms"""
   )
 }

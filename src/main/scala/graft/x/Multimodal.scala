@@ -267,6 +267,32 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("n_matched"), col("match_frac"))
   }
 
+  /** Scene-cut detection: a cut is a sampled frame whose perceptual hash
+    * jumps ≥ `minHamming` bits from the previous frame — the shot-boundary
+    * primitive a video curation pipeline runs before per-scene sampling /
+    * captioning (one keyframe per scene instead of one per N ms). Same
+    * decode seam and pHash as [[videoNearDupPairs]]; the comparison is a
+    * per-video `lag` window over sampled frames — frames never leave
+    * their video, so the cost is one video-keyed window over
+    * corpus-frames rows, no join surface at all.
+    *
+    * The 16-bit stub hash makes `minHamming` coarse here (production:
+    * 64-bit hash, threshold ~10 — the [[videoNearDupPairs]] width rule). */
+  def sceneCuts(spark: SparkSession, media: DataFrame, everyMs: Long,
+      minHamming: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = extractFrameFeatures(spark, sampleFrames(media, everyMs), everyMs).toDF()
+    val sig = feats.select(col("media_id"), col("frame_ms"),
+      perceptualHash(col("features")).as("__ph"))
+    val w = Window.partitionBy("media_id").orderBy("frame_ms")
+    sig.withColumn("__prev", lag(col("__ph"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("hamming",
+        bit_count(col("__ph").bitwiseXOR(col("__prev"))).cast("long"))
+      .filter(col("hamming") >= minHamming)
+      .select(col("media_id"), col("frame_ms").as("cut_ms"), col("hamming"))
+  }
+
   /** Frame sampling for video rows: emit one row per sampled frame index
     * (every `everyMs` of duration) — the explode-shaped fan-out a video
     * pipeline feeds to the image path. Payload rides along so a frame
