@@ -1036,6 +1036,28 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // DBSCAN's noise split over the grid-bucketed neighbor join: points
+    // with < minPts neighbors within the radius are outliers — one
+    // O(n·density) pair frame + one id-keyed count, never all-pairs
+    "x162_density_outliers" -> ((s, dir) => {
+      reg(s, dir)
+      val pts = s.table("customer").select(col("c_custkey").as("id"),
+        pmod(col("c_custkey") * 37, lit(499)).as("x"),
+        pmod(col("c_custkey") * 101, lit(503)).as("y"))
+      graft.x.Spatial.densityOutliers(pts, "id", "x", "y",
+          radius = 12, minPts = 3)
+        .orderBy("id")
+    }),
+
+    // Flesch / Flesch–Kincaid readability: vowel-group syllables with a
+    // 1-per-word floor, sentence runs floored at 1 — regexp-count
+    // integer arithmetic + two fixed IEEE chains, zero shuffles
+    "x161_readability" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.readabilityScores(s.table("documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // sketch cube: the (type, day) HLL registers built ONCE, every
     // coarser grouping set — per-type, per-day, global — derived by
     // max-merging register rows; a 100 TB distinct-count lattice costs
@@ -5982,6 +6004,47 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // x111's all-pairs truth re-aggregated into per-point neighbor
+    // counts — the bucketed path must produce exactly these
+    "x162_density_outliers" -> """
+      WITH p AS (SELECT c_custkey AS id, (c_custkey * 37) % 499 AS x,
+                        (c_custkey * 101) % 503 AS y FROM customer),
+      n AS (SELECT a.id, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+            FROM p a JOIN p b ON a.id <> b.id
+            WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 144
+            GROUP BY 1)
+      SELECT p.id, CAST(p.x AS BIGINT) AS x, CAST(p.y AS BIGINT) AS y,
+        COALESCE(n.n_neighbors, CAST(0 AS BIGINT)) AS n_neighbors,
+        COALESCE(n.n_neighbors, CAST(0 AS BIGINT)) < 3 AS is_outlier
+      FROM p LEFT JOIN n USING (id) ORDER BY id""",
+
+    // same regexp counts (RE2/Java dialects agree on these character
+    // classes), same floors, same IEEE chains
+    "x161_readability" -> """
+      WITH t AS (
+        SELECT doc_id, text,
+          LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+            x -> LENGTH(x) > 0) AS w
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          CAST(LEN(w) AS BIGINT) AS n_words,
+          GREATEST(CAST(1 AS BIGINT),
+            CAST(LEN(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+          CAST(LEN(regexp_extract_all(LOWER(text), '[aeiouy]+')) AS BIGINT)
+            + CAST(LEN(LIST_FILTER(w, x -> NOT regexp_matches(x, '[aeiouy]')))
+                AS BIGINT) AS n_syllables
+        FROM t)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        ROUND(206.835
+          - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4)
+          AS flesch,
+        ROUND(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+          - 15.59, 4) AS fk_grade
+      FROM c WHERE n_words > 0 ORDER BY doc_id""",
 
     // one register CTE, three max-merge lattices, the shared estimate
     // expression on every level

@@ -57,6 +57,30 @@ object Spatial {
       .select(col("id_a"), col("id_b"), col("dist2").cast("long").as("dist2"))
   }
 
+  /** Density-based outlier flagging — DBSCAN's core/noise split without
+    * the cluster expansion (Ester et al. 1996): a point with fewer than
+    * `minPts` neighbors within `radius` is noise. Neighbor counts come
+    * from [[gridNeighborPairs]]' bucketed join (each unordered pair
+    * counts once per side), so the cost is the O(n · density) grid join
+    * plus one id-keyed count — never an all-pairs distance pass. The
+    * full DBSCAN clustering would chain cores via the same pair frame
+    * into connected components ([[graft.x.Dedup]]'s CC machinery); the
+    * noise split alone is the curation-relevant screen (drop isolated
+    * embedding-space points / GPS glitches before training). */
+  def densityOutliers(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, radius: Long, minPts: Int): DataFrame = {
+    val pairs = gridNeighborPairs(df, idCol, xCol, yCol, radius)
+    val cnt = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__n"))
+    df.select(col(idCol).as("id"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .join(cnt, Seq("id"), "left")
+      .select(col("id"), col("x"), col("y"),
+        coalesce(col("__n"), lit(0L)).cast("long").as("n_neighbors"),
+        (coalesce(col("__n"), lit(0L)) < minPts).as("is_outlier"))
+  }
+
   /** Audit surface for [[gridNeighborPairs]]' density skew: cells holding
     * more than `maxCell` points — the quadratic hot spots, reported
     * before they become the join's straggler task. */

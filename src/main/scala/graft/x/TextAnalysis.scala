@@ -1373,6 +1373,43 @@ object TextAnalysis {
         (sum("__s").cast("double") / sum("c").cast("double")).as("mean_nll"))
   }
 
+  /** Flesch reading-ease + Flesch–Kincaid grade (Flesch 1948; Kincaid
+    * 1975) — the classic readability screens used as cheap quality
+    * features in web-corpus curation (too-low reading ease flags
+    * boilerplate/gibberish; grade level stratifies difficulty for
+    * curriculum mixes). Syllables are approximated as vowel GROUPS
+    * (`[aeiouy]+` runs) with a floor of 1 per word (zero-vowel tokens —
+    * numbers, acronyms — count one); sentences as `[.!?]+` runs floored
+    * at 1. Everything is regexp-count integer arithmetic plus two fixed
+    * IEEE chains, so the scores replay exactly on the oracle.
+    *
+    * One narrow projection, no shuffle — [[profile]]'s shape. */
+  def readabilityScores(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = expr(
+      s"filter(split(lower(trim($textCol)), '\\\\s+'), w -> length(w) > 0)")
+    df.select(col(idCol), col(textCol), words.as("__w"))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_words"),
+        greatest(lit(1L),
+          expr(s"size(regexp_extract_all($textCol, '[.!?]+', 0))").cast("long"))
+          .as("n_sentences"),
+        (expr(s"size(regexp_extract_all(lower($textCol), '[aeiouy]+', 0))")
+          .cast("long") +
+          expr("size(filter(__w, w -> NOT w rlike '[aeiouy]'))").cast("long"))
+          .as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 4).as("flesch"),
+        round(lit(0.39) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) +
+          lit(11.8) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")) - lit(15.59), 4).as("fk_grade"))
+  }
+
   /** Per-document profile frame: one narrow projection, no shuffle. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.select(

@@ -82,4 +82,35 @@ class SurvivorshipSpatialSpec extends AnyFunSuite {
     assert(!got(4L).getAs[Boolean]("stop_ok"))
     assert(!got(5L).getAs[Boolean]("stop_ok"))           // latin, no stopwords
   }
+
+  test("densityOutliers: isolated points flag, clustered points don't") {
+    import spark.implicits._
+    // 5 points in a tight cluster, 1 far away
+    val pts = Seq((1L, 10L, 10L), (2L, 11L, 10L), (3L, 10L, 11L),
+      (4L, 11L, 11L), (5L, 12L, 10L), (9L, 400L, 400L))
+      .toDF("id", "x", "y")
+    val got = graft.x.Spatial.densityOutliers(pts, "id", "x", "y",
+        radius = 5, minPts = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(9L) == ((0L, true)), s"isolated point must flag: $got")
+    (1L to 5L).foreach(id =>
+      assert(got(id)._1 >= 4L && !got(id)._2, s"clustered $id flagged: $got"))
+  }
+
+  test("readabilityScores: monosyllabic prose reads easier than polysyllabic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat. it was a big cat."),
+      (2L, "extraordinary organizational methodologies necessitate considerable administrative deliberation."),
+      (3L, "42 7 13")) // zero-vowel tokens: 1 syllable each, floor applies
+      .toDF("doc_id", "text")
+    val got = graft.x.TextAnalysis
+      .readabilityScores(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("flesch") > got(2L).getAs[Double]("flesch"))
+    assert(got(1L).getAs[Double]("fk_grade") < got(2L).getAs[Double]("fk_grade"))
+    assert(got(3L).getAs[Long]("n_syllables") == 3L &&
+      got(3L).getAs[Long]("n_sentences") == 1L)
+    assert(got(1L).getAs[Long]("n_sentences") == 2L)
+  }
 }
