@@ -1036,6 +1036,23 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // multi-source BFS hop distance (seed-expansion primitive): per
+    // round one frontier ⋈ staged-edges join — the x99/x134 "edge side
+    // never re-shuffles" discipline — plus a visited anti-join; dist is
+    // the true BFS layer (first-reach wins)
+    "x163_bfs_hops" -> ((s, dir) => {
+      reg(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val e = s.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("dst", lead("l_partkey", 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("l_partkey").as("src"), col("dst"))
+      Graph.bfsHops(e, "src", "dst", seeds = Seq(1L, 2L, 3L), maxHops = 3)
+        .orderBy("node")
+    }),
+
     // DBSCAN's noise split over the grid-bucketed neighbor join: points
     // with < minPts neighbors within the radius are outliers — one
     // O(n·density) pair frame + one id-keyed count, never all-pairs
@@ -3380,6 +3397,18 @@ object SparkEntry {
       "* CAST(65536.0 AS DOUBLE)) * CAST(72057594037927936.0 AS DOUBLE) " +
       s"/ CAST(zp + CAST(256 - present AS DECIMAL(38,0)) * " +
       s"CAST(${1L << 56} AS DECIMAL(38,0)) AS DOUBLE)"
+
+  /** x163: BFS frontier rounds — f_h = distinct neighbors of f_{h-1}
+    * minus everything already in v_{h-1}; v_h appends f_h at dist h.
+    * First-reach-wins exactly like the engine's anti-join. */
+  private def bfsRoundSql(rounds: Int): String =
+    (1 to rounds).map { h =>
+      s"""f$h AS (SELECT DISTINCT e.dst AS node
+           FROM e JOIN f${h - 1} ON e.src = f${h - 1}.node
+           WHERE e.dst NOT IN (SELECT node FROM v${h - 1})),
+         v$h AS (SELECT node, dist FROM v${h - 1}
+                 UNION ALL SELECT node, CAST($h AS BIGINT) AS dist FROM f$h)"""
+    }.mkString(",\n      ")
 
   /** [[graft.functions.HilbertIndex]] in DuckDB: the xy2d walk unrolled
     * to `bits` CTE rounds r1..r{bits} over state (x, y, d) seeded by r0;
@@ -6004,6 +6033,23 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // frontier rounds unrolled: f_h = neighbors of f_{h-1} not yet in
+    // v_{h-1}; UNION (distinct) canonicalizes the undirected edges
+    "x163_bfs_hops" -> s"""
+      WITH d0 AS (
+        SELECT src, dst FROM (
+          SELECT l_partkey AS src,
+                 LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_linenumber, l_partkey) AS dst
+          FROM lineitem)
+        WHERE dst IS NOT NULL AND src <> dst),
+      e AS (SELECT src, dst FROM d0 UNION SELECT dst, src FROM d0),
+      f0 AS (SELECT UNNEST([CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+                            CAST(3 AS BIGINT)]) AS node),
+      v0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM f0),
+      ${bfsRoundSql(3)}
+      SELECT node, dist FROM v3 ORDER BY node""",
 
     // x111's all-pairs truth re-aggregated into per-point neighbor
     // counts — the bucketed path must produce exactly these

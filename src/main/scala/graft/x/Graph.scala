@@ -430,4 +430,46 @@ object Graph {
     }
     labels
   }
+
+  /** Multi-source BFS hop distance over the undirected graph: every node
+    * within `maxHops` of any seed, labeled with its minimum hop count —
+    * the frontier-expansion primitive behind "degrees of separation",
+    * contamination-radius, and seed-expansion curation (grow a trusted
+    * domain set by k hops; everything past the horizon stays unlabeled).
+    *
+    * Per round ONE join: frontier ⋈ staged edges (the [[pageRank]]
+    * discipline — edges hash-partitioned + sorted on src once, rounds
+    * ≥ 2 never re-shuffle the edge side), one distinct, one anti-join
+    * against the visited set. Synchronous frontiers make `dist` the true
+    * BFS layer number: a node is labeled the FIRST round it is reached,
+    * and the anti-join keeps later rounds from relabeling it. The
+    * frontier is data-dependent but bounded by the node set; `maxHops`
+    * bounds rounds (no convergence probe — the fixed-round
+    * reproducibility choice [[labelPropagation]] documents). */
+  def bfsHops(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], maxHops: Int,
+      staging: Staging = Staging.LocalCheckpoint): DataFrame = {
+    require(maxHops >= 1, s"bfsHops needs maxHops >= 1, got $maxHops")
+    require(seeds.nonEmpty, "bfsHops needs at least one seed")
+    val directed = edgesIn.filter(col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val edges = staging.stage(
+      directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src")).dropDuplicates("src", "dst")
+        .sortWithinPartitions("src"), "bfs-edges")
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    var frontier = seeds.toDF("node")
+    var visited = staging.stage(frontier.withColumn("dist", lit(0L)), "bfs-v0")
+    for (h <- 1 to maxHops) {
+      val next = edges
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+      visited = staging.stage(visited.unionByName(next), s"bfs-v$h")
+      frontier = visited.filter(col("dist") === h).select("node")
+    }
+    visited
+  }
 }

@@ -260,4 +260,20 @@ class GraphSpec extends AnyFunSuite {
       assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"core wrong: $got")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("bfsHops: layer numbers exact, horizon unlabeled, shortcut wins") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus shortcut 1-4: node 4 is 1 hop via shortcut,
+    // not 3 via the path; node 6 is beyond maxHops=3 from seed 1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 4L))
+      .toDF("src", "dst")
+    val got = graft.x.Graph.bfsHops(e, "src", "dst", Seq(1L), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L),
+      s"bfs layers wrong: $got")
+    // undirected: seeding from the other end reaches backwards
+    val rev = graft.x.Graph.bfsHops(e, "src", "dst", Seq(6L), maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rev == Map(6L -> 0L, 5L -> 1L), s"reverse reach wrong: $rev")
+  }
 }
