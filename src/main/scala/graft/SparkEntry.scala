@@ -1036,6 +1036,19 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // classical additive decomposition: 7-day centered DECIMAL trend,
+    // weekday-mean seasonal, residual — what anomaly z-scores should
+    // consume instead of the raw series (Monday dips aren't incidents)
+    "x164_seasonal_decompose" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.seasonalDecompose(s.table("events"), "ts", "event_type",
+          "value")
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("v"), col("trend"), col("seasonal"), col("residual"))
+        .orderBy("event_type", "day")
+    }),
+
     // multi-source BFS hop distance (seed-expansion primitive): per
     // round one frontier ⋈ staged-edges join — the x99/x134 "edge side
     // never re-shuffles" discipline — plus a visited anti-join; dist is
@@ -6033,6 +6046,34 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // decimal window trend, decimal-summed weekday means, identical
+    // IEEE chains; isodow−1 = Spark's weekday (Monday 0)
+    "x164_seasonal_decompose" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events GROUP BY 1, 2),
+      t AS (
+        SELECT event_type, day, CAST(v AS DOUBLE) AS vd,
+          CASE WHEN COUNT(*) OVER w7 = 7
+               THEN CAST(SUM(v) OVER w7 AS DOUBLE) / 7.0 END AS trend,
+          ISODOW(day) - 1 AS dow
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      s AS (
+        SELECT event_type, dow,
+          SUM(CAST(vd - trend AS DECIMAL(18,6))) AS sd, COUNT(*) AS c
+        FROM t WHERE trend IS NOT NULL GROUP BY 1, 2),
+      se AS (SELECT event_type, dow,
+               CAST(sd AS DOUBLE) / CAST(c AS DOUBLE) AS seasonal FROM s)
+      SELECT t.event_type, STRFTIME(t.day, '%Y-%m-%d') AS day,
+        ROUND(vd, 6) AS v, ROUND(trend, 6) AS trend,
+        ROUND(seasonal, 6) AS seasonal,
+        ROUND(vd - trend - seasonal, 6) AS residual
+      FROM t LEFT JOIN se ON se.event_type = t.event_type AND se.dow = t.dow
+      ORDER BY t.event_type, day""",
 
     // frontier rounds unrolled: f_h = neighbors of f_{h-1} not yet in
     // v_{h-1}; UNION (distinct) canonicalizes the undirected edges

@@ -402,6 +402,52 @@ object EventAnalytics {
         col("value"), (col("day") =!= col("__d0")).as("interpolated"))
   }
 
+  /** Classical additive seasonal decomposition (one pass of the
+    * moving-average method STL generalizes): per series,
+    *
+    *   trend_d    = centered 7-day moving average (full windows only)
+    *   seasonal_w = mean of (v − trend) over each weekday w
+    *   residual_d = v − trend_d − seasonal_weekday(d)
+    *
+    * — the weekday-effect / trend / anomaly split a metrics pipeline
+    * runs before alerting (a Monday dip is seasonality, not an
+    * incident; the residual is what [[dailyAnomalies]]-style z-scoring
+    * should consume). Determinism: daily values and the 7-day window
+    * sum stay DECIMAL (window sums of doubles are engine-specific
+    * association); detrended values re-enter decimal before the
+    * weekday mean; each output is one fixed IEEE chain rounded to 6 dp.
+    * Edge days (incomplete window) keep null trend/residual rather
+    * than a biased partial mean.
+    *
+    * Shape: one (series, day) aggregate, one series-keyed window, one
+    * (series, weekday) aggregate, one broadcast-sized join back. */
+  def seasonalDecompose(events: DataFrame, tsCol: String, seriesCol: String,
+      valueCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(seriesCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__v"))
+    val w7 = Window.partitionBy(col(seriesCol)).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("__vd", col("__v").cast("double"))
+      .withColumn("trend",
+        when(count(lit(1)).over(w7) === 7,
+          sum(col("__v")).over(w7).cast("double") / lit(7.0)))
+      .withColumn("__dow", weekday(col("day")))
+    val seasonal = t.filter(col("trend").isNotNull)
+      .groupBy(col(seriesCol), col("__dow"))
+      .agg(sum((col("__vd") - col("trend")).cast("decimal(18,6)")).as("__sd"),
+        count(lit(1)).as("__c"))
+      .select(col(seriesCol), col("__dow"),
+        (col("__sd").cast("double") / col("__c").cast("double")).as("seasonal"))
+    t.join(broadcast(seasonal), Seq(seriesCol, "__dow"), "left")
+      .select(col(seriesCol), col("day"),
+        round(col("__vd"), 6).as("v"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("__vd") - col("trend") - col("seasonal"), 6).as("residual"))
+  }
+
   /** Daily OHLC candlestick bars — the share-price aggregation family the
     * reference's flagship pipeline belongs to (example-shareprice.py's
     * calculate_daily_range is the high−low slice of this): per

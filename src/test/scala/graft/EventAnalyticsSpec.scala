@@ -246,6 +246,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(again === out)
   }
 
+  test("seasonalDecompose recovers a planted weekday effect") {
+    import spark.implicits._
+    // 4 weeks of flat level 100 plus +7 every Monday: trend must stay
+    // ~100+1 (the Monday bump spread over the 7-day window), the Monday
+    // seasonal must absorb ~+6, residuals ~0
+    val ev = (0 until 28).map { d =>
+      val day = java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+      val dow = java.time.LocalDate.of(2024, 1, d + 1).getDayOfWeek.getValue
+      (d.toLong, day, "m", if (dow == 1) 107.0 else 100.0)
+    }.toDF("event_id", "ts", "sym", "value")
+    val out = EventAnalytics.seasonalDecompose(ev, "ts", "sym", "value")
+      .filter(col("trend").isNotNull).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val res = r.getAs[Double]("residual")
+      assert(math.abs(res) < 1.0, s"residual should be ~0, got $r")
+    }
+    val monday = out.find(r => r.getAs[java.sql.Date]("day").toLocalDate
+      .getDayOfWeek.getValue == 1).get
+    assert(monday.getAs[Double]("seasonal") > 4.0,
+      s"Monday seasonal must absorb the bump: $monday")
+    val tuesday = out.find(r => r.getAs[java.sql.Date]("day").toLocalDate
+      .getDayOfWeek.getValue == 2).get
+    assert(tuesday.getAs[Double]("seasonal") < 0.0, s"off-days dip: $tuesday")
+  }
+
   test("benfordAudit: geometric data conforms, uniform data flags") {
     import spark.implicits._
     // log-uniform (multiplicative) data follows Benford; uniform [1000,2000)
