@@ -1036,6 +1036,31 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // CUSUM changepoints: slack-adjusted one-sided cumulative sums —
+    // the small-persistent-shift detector a per-day z-score misses;
+    // prefix folds over the tiny per-series day array
+    "x166_cusum_changepoints" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.cusumChangepoints(s.table("events"), "ts", "event_type",
+          "value")
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("x"), col("s_plus"), col("s_minus"), col("alarm"))
+        .orderBy("event_type", "day")
+    }),
+
+    // frequency-ordered dictionary encoding (vocab building): dense ids
+    // via range-partitioned ranking + per-range offsets — never a global
+    // single-partition row_number; id 0 = most frequent token
+    "x165_dictionary_encode" -> ((s, dir) => {
+      reg(s, dir)
+      val toks = s.table("documents").select(
+        explode(expr("filter(split(lower(trim(text)), '\\\\s+'), w -> length(w) > 0)"))
+          .as("token"))
+      Profiler.dictionaryEncode(toks, "token", minCount = 5)
+        .orderBy("id")
+    }),
+
     // classical additive decomposition: 7-day centered DECIMAL trend,
     // weekday-mean seasonal, residual — what anomaly z-scores should
     // consume instead of the raw series (Monday dips aren't incidents)
@@ -6046,6 +6071,57 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // identical left-to-right folds via list_reduce with the prepend-0
+    // trick; alarms compare the UNROUNDED statistics on both engines
+    "x166_cusum_changepoints" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events GROUP BY 1, 2),
+      g AS (
+        SELECT event_type,
+          list(CAST(v AS DOUBLE) ORDER BY day) AS vs,
+          list(day ORDER BY day) AS ds,
+          CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS mu,
+          CAST(SUM(CAST(v * v AS DECIMAL(28,6))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS ex2
+        FROM daily GROUP BY 1),
+      gs AS (
+        SELECT event_type, vs, ds, mu,
+          SQRT(GREATEST(ex2 - mu * mu, CAST(0 AS DOUBLE))) AS sigma
+        FROM g),
+      e AS (
+        SELECT event_type, vs, ds, mu, sigma,
+          UNNEST(RANGE(1, LEN(vs) + 1)) AS i
+        FROM gs),
+      st AS (
+        SELECT event_type, ds, vs, mu, sigma, i,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), vs[1:i]),
+            (s, x) -> GREATEST(CAST(0 AS DOUBLE),
+              s + (x - mu) - 0.5 * sigma)) AS sp,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), vs[1:i]),
+            (s, x) -> GREATEST(CAST(0 AS DOUBLE),
+              s + -(x - mu) - 0.5 * sigma)) AS sm
+        FROM e)
+      SELECT event_type, STRFTIME(ds[i], '%Y-%m-%d') AS day, vs[i] AS x,
+        ROUND(sp, 6) AS s_plus, ROUND(sm, 6) AS s_minus,
+        (sp > 4.0 * sigma OR sm > 4.0 * sigma) AS alarm
+      FROM st ORDER BY event_type, day""",
+
+    // the same (cnt DESC, token) total order as one ROW_NUMBER
+    "x165_dictionary_encode" -> """
+      WITH toks AS (
+        SELECT UNNEST(LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+          x -> LENGTH(x) > 0)) AS token
+        FROM documents),
+      c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+            GROUP BY 1 HAVING COUNT(*) >= 5)
+      SELECT token,
+        CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS id,
+        cnt
+      FROM c ORDER BY id""",
 
     // decimal window trend, decimal-summed weekday means, identical
     // IEEE chains; isodow−1 = Spark's weekday (Monday 0)

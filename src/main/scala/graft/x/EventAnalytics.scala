@@ -402,6 +402,58 @@ object EventAnalytics {
         col("value"), (col("day") =!= col("__d0")).as("interpolated"))
   }
 
+  /** Tabular CUSUM changepoint detection (Page 1954): one-sided
+    * cumulative sums of slack-adjusted deviations,
+    *
+    *   s⁺_t = max(0, s⁺_{t-1} + (x_t − μ − kσ))
+    *   s⁻_t = max(0, s⁻_{t-1} + (μ − x_t − kσ))
+    *
+    * alarming when either exceeds hσ — the standard small-persistent-
+    * shift detector that per-day z-scores miss (a 1σ drift alarms CUSUM
+    * in a few days and never trips a 3σ rule). The max(0,·) recursion is
+    * genuinely nonlinear, so no [[ewmaDaily]]-style closed form exists;
+    * each day's statistic is an O(t) prefix fold over the series' SORTED
+    * value array (series length = days, tiny by construction — the fold
+    * runs in registers per group, O(days²) total, and both engines fold
+    * the identical left-to-right IEEE sequence, which is what makes the
+    * alarms oracle-replayable).
+    *
+    * Shape: one (series, day) aggregate, one series-keyed collect (rows
+    * = days per series), one explode. μ/σ are in-sample population
+    * moments via DECIMAL sums. */
+  def cusumChangepoints(events: DataFrame, tsCol: String, seriesCol: String,
+      valueCol: String, kSigma: Double = 0.5, hSigma: Double = 4.0): DataFrame = {
+    val daily = events
+      .groupBy(col(seriesCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__v"))
+    val grouped = daily.groupBy(col(seriesCol)).agg(
+      sort_array(collect_list(struct(col("day"), col("__v")))).as("__a"),
+      sum(col("__v").cast("decimal(28,6)")).as("__sx"),
+      sum((col("__v") * col("__v")).cast("decimal(28,6)")).as("__sxx"),
+      count(lit(1)).as("__n"))
+      .withColumn("__mu", col("__sx").cast("double") / col("__n").cast("double"))
+      .withColumn("__var",
+        col("__sxx").cast("double") / col("__n").cast("double") -
+          col("__mu") * col("__mu"))
+      .withColumn("__sigma", sqrt(greatest(col("__var"), lit(0.0))))
+    val zero = "CAST(0 AS DOUBLE)"
+    def fold(sign: String): String =
+      s"""aggregate(slice(__a, 1, __i), $zero,
+          (s, e) -> greatest($zero, s + $sign(CAST(e.__v AS DOUBLE) - __mu) - $kSigma * __sigma))"""
+    grouped
+      .select(col(seriesCol), col("__a"), col("__mu"), col("__sigma"),
+        explode(expr("sequence(1, size(__a))")).as("__i"))
+      .withColumn("__sp", expr(fold("")))
+      .withColumn("__sm", expr(fold("-")))
+      .select(col(seriesCol),
+        expr("element_at(__a, __i).day").as("day"),
+        expr("CAST(element_at(__a, __i).__v AS DOUBLE)").as("x"),
+        round(col("__sp"), 6).as("s_plus"),
+        round(col("__sm"), 6).as("s_minus"),
+        (col("__sp") > lit(hSigma) * col("__sigma") ||
+          col("__sm") > lit(hSigma) * col("__sigma")).as("alarm"))
+  }
+
   /** Classical additive seasonal decomposition (one pass of the
     * moving-average method STL generalizes): per series,
     *

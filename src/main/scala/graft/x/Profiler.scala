@@ -451,6 +451,42 @@ object Profiler {
     }.reduce(_ unionByName _)
   }
 
+  /** Frequency-ordered dictionary encoding: dense integer ids for a
+    * categorical key, id 0 = most frequent (the id order that makes
+    * downstream varint/dictionary compression and "top-N classes" cuts
+    * cheap — the standard vocab-building step). Deterministic total
+    * order (count DESC, key ASC), so the vocabulary is a pure function
+    * of the data under any partitioning.
+    *
+    * The dense ids also unlock [[graft.x.Sketches.bitmapWords]]'
+    * EXACT-bitmap family for string keys — encode once, bitmap forever
+    * (the "dense-rank dictionary" that doc points at).
+    *
+    * Scale shape: NOT a global `row_number()` window (that is a single
+    * partition holding the whole vocabulary) — the id is assigned
+    * range-partitioned with per-range offsets, the
+    * [[graft.x.Sampling.tokenBudgetSelect]] pattern: the only
+    * SinglePartition work is one row per shuffle partition. */
+  def dictionaryEncode(df: DataFrame, keyCol: String, minCount: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val sortCols = Seq(col("cnt").desc, col(keyCol))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = counts.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .select("__pid", "__off")
+    val wIn = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    ranged.join(broadcast(off), Seq("__pid"))
+      .select(col(keyCol),
+        (col("__off") + row_number().over(wIn) - 1).cast("long").as("id"),
+        col("cnt").cast("long").as("cnt"))
+  }
+
   /** Benford's-law audit (Benford 1938; Nigrini's fraud-detection use):
     * first-significant-digit distribution of a positive numeric column
     * vs the expected share log10(1+1/d). Organic multiplicative data

@@ -246,6 +246,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(again === out)
   }
 
+  test("cusum alarms on a small persistent shift that z-scores miss") {
+    import spark.implicits._
+    // 20 days at 100, then 10 days at 101.2 — a ~1.2-unit shift on a
+    // series whose overall σ is small; per-day z never reaches 3σ-style
+    // extremes but the cumulative sum marches past hσ
+    val ev = (0 until 30).map { d =>
+      val day = java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00")
+      (d.toLong, day, "m", if (d < 20) 100.0 else 101.2)
+    }.toDF("event_id", "ts", "sym", "value")
+    val out = EventAnalytics.cusumChangepoints(ev, "ts", "sym", "value")
+      .orderBy("day").collect()
+    val alarms = out.filter(_.getAs[Boolean]("alarm"))
+      .map(_.getAs[java.sql.Date]("day").toString)
+    assert(alarms.nonEmpty, "persistent shift must eventually alarm")
+    // with in-sample μ both sides drift (pre-shift values sit below the
+    // contaminated mean, so s⁻ legitimately climbs too); the structural
+    // claims are: the HIGH side stays exactly 0 until the shift, and the
+    // post-shift tail alarms
+    assert(out.last.getAs[Boolean]("alarm"), "post-shift tail must alarm")
+    // s_plus is identically 0 before the shift (values sit at −kσ slack)
+    out.take(19).foreach(r =>
+      assert(r.getAs[Double]("s_plus") == 0.0, s"pre-shift s+ nonzero: $r"))
+  }
+
   test("seasonalDecompose recovers a planted weekday effect") {
     import spark.implicits._
     // 4 weeks of flat level 100 plus +7 every Monday: trend must stay
