@@ -133,10 +133,19 @@ object StreamingJobs {
     * state grows without bound and the job dies at scale. Inner join only
     * here (outer interval joins additionally delay emission to the
     * watermark horizon). */
+  /** `joinType` extends the inner default to Structured Streaming's
+    * outer variants ("left_outer"/"right_outer"/"full_outer"): the
+    * watermark + both-sided time bound make the state store provably
+    * expirable, so the engine can emit the null-padded unmatched rows
+    * once the watermark passes the join window — WITHOUT the bound an
+    * outer stream-stream join is rejected (unmatched rows could match
+    * forever). Outer rows therefore arrive LATE by up to
+    * watermark + upper: the correctness/latency trade every streaming
+    * outer join carries. */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftTs: String, rightTs: String, keys: Seq[String],
       lower: String = "0 seconds", upper: String = "5 minutes",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes", joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r0 = right.withWatermark(rightTs, watermark)
     // disambiguate column names: keys stay shared, payloads get prefixed
@@ -147,7 +156,7 @@ object StreamingJobs {
     val timeCond =
       col(s"r_$rightTs") >= col(leftTs) - expr(s"INTERVAL $lower") &&
       col(s"r_$rightTs") <= col(leftTs) + expr(s"INTERVAL $upper")
-    val joined = l.join(r, keyCond && timeCond, "inner")
+    val joined = l.join(r, keyCond && timeCond, joinType)
     keys.foldLeft(joined)((df, k) => df.drop(r(k)))
   }
 

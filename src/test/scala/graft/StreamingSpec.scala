@@ -297,6 +297,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == direct)
   }
 
+  test("left-outer interval join pads unmatched rows once the watermark passes") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def stage(rows: Seq[Seq[(Long, java.sql.Timestamp, String)]]): String = {
+      val dir = Files.createTempDirectory("graft-ojoin").toString
+      rows.zipWithIndex.foreach { case (batch, i) =>
+        batch.toDF("event_id", "ts", "k").coalesce(1)
+          .write.mode("append").parquet(dir)
+      }
+      // stamp ascending mtimes so micro-batches replay in write order
+      import scala.jdk.CollectionConverters._
+      val parts = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 60000 + i * 1000))
+      }
+      dir
+    }
+    // left: A matches, B has no right row; a far-future pusher on BOTH
+    // sides advances the watermark so B's null-padded row can flush
+    val ldir = stage(Seq(
+      Seq((1L, t("2024-01-01 10:00:00"), "A"), (2L, t("2024-01-01 10:00:00"), "B")),
+      Seq((9L, t("2024-01-01 13:00:00"), "ZL"))))
+    val rdir = stage(Seq(
+      Seq((11L, t("2024-01-01 09:58:00"), "A")),
+      Seq((19L, t("2024-01-01 13:00:00"), "ZR"))))
+    val schema = spark.read.parquet(ldir).schema
+    val joined = StreamingJobs.intervalJoin(
+      StreamingJobs.fileStream(spark, ldir, schema, maxFilesPerTrigger = 1),
+      StreamingJobs.fileStream(spark, rdir, schema, maxFilesPerTrigger = 1),
+      leftTs = "ts", rightTs = "ts", keys = Seq("k"),
+      lower = "5 minutes", upper = "0 seconds", watermark = "10 minutes",
+      joinType = "left_outer")
+    val q = joined.select(col("event_id"), col("r_event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("oj_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("oj_out")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got.contains((1L, 11L)), s"matched pair missing: $got")
+      assert(got.contains((2L, -1L)), s"null-padded unmatched row missing: $got")
+      // the pushers sit at the watermark frontier — never null-padded yet
+      assert(!got.exists(_._1 == 9L), s"frontier row must not flush: $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the equivalent batch join") {
     val batchDf = spark.read.parquet(eventsDir)
     // left: purchases; right: views by the same user within the 5 minutes
