@@ -1036,6 +1036,16 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // cohort LTV curves: retention's monetized sibling — cumulative
+    // purchase revenue per cohort week, diluted by FULL cohort size
+    // (no survivorship bias); decimal running totals, one division/row
+    "x167_cohort_ltv" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.cohortLtv(s.table("events"), "user_id", "ts", "value",
+          col("event_type") === "purchase")
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // CUSUM changepoints: slack-adjusted one-sided cumulative sums —
     // the small-persistent-shift detector a per-day z-score misses;
     // prefix folds over the tiny per-series day array
@@ -6071,6 +6081,31 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // q37's cohort arithmetic with decimal revenue cumsums
+    "x167_cohort_ltv" -> """
+      WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+        FROM events GROUP BY 1),
+      sizes AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_users
+                FROM firsts GROUP BY 1),
+      weekly AS (
+        SELECT f.cw,
+          CAST(date_diff('day', f.cw,
+            CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT) AS week_offset,
+          SUM(CAST(e.value AS DECIMAL(18,2))) AS rev
+        FROM events e JOIN firsts f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2),
+      c AS (SELECT cw, week_offset, rev,
+              SUM(rev) OVER (PARTITION BY cw ORDER BY week_offset) AS cum
+            FROM weekly)
+      SELECT STRFTIME(c.cw, '%Y-%m-%d') AS cohort_week, c.week_offset,
+        s.cohort_users,
+        CAST(c.rev AS DOUBLE) AS week_rev, CAST(c.cum AS DOUBLE) AS cum_rev,
+        CAST(c.cum AS DOUBLE) / CAST(s.cohort_users AS DOUBLE) AS ltv_per_user
+      FROM c JOIN sizes s USING (cw)
+      ORDER BY cohort_week, week_offset""",
 
     // identical left-to-right folds via list_reduce with the prepend-0
     // trick; alarms compare the UNROUNDED statistics on both engines

@@ -1,6 +1,6 @@
 package graft.x
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -126,6 +126,46 @@ object EventAnalytics {
       .agg(count(lit(1)).as("active_users"))
       .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
         col("week_offset"), col("active_users").cast("long").as("active_users"))
+  }
+
+  /** Cohort lifetime-value curves: cumulative revenue per user by weeks
+    * since the cohort's first activity — [[retention]]'s monetized
+    * sibling and the payback-period readout (which acquisition week has
+    * crossed its cost, and how fast the curves bend). Cohort size counts
+    * EVERY user in the cohort, so `ltv_per_user` dilutes by churned
+    * users rather than survivorship-biasing upward — the standard
+    * mistake this operator's denominator choice avoids.
+    *
+    * Determinism: weekly revenue and the running total stay DECIMAL
+    * (cumulative window over ≤ weeks rows per cohort); one IEEE
+    * division per output row. Shape: one user-keyed first-touch agg,
+    * one (cohort, offset) revenue agg, a cohort-keyed window over
+    * weeks-count rows, a broadcast-sized cohort-size join. */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, revenueFilter: Column): DataFrame = {
+    val firsts = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val sizes = firsts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    val weekly = events.filter(revenueFilter)
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("week"),
+        col(valueCol).cast("decimal(18,2)").as("__v"))
+      .join(firsts, userCol)
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(sum(col("__v")).as("__rev"))
+    val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    weekly
+      .withColumn("__cum", sum(col("__rev")).over(w))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"),
+        col("cohort_users").cast("long").as("cohort_users"),
+        col("__rev").cast("double").as("week_rev"),
+        col("__cum").cast("double").as("cum_rev"),
+        (col("__cum").cast("double") / col("cohort_users").cast("double"))
+          .as("ltv_per_user"))
   }
 
   /** Per-user event-transition matrix (first-order path analysis): counts
