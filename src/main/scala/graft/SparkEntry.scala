@@ -1036,6 +1036,20 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Holt level+trend smoothing: the EWMA that doesn't lag a trending
+    // series; honest fitted values (each day predicted from pre-day
+    // state) via array-state prefix folds
+    "x168_holt_forecast" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.holtForecast(s.table("events"), "ts", "event_type",
+          "value")
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("x"), col("level"), col("trend"), col("fitted"),
+          col("forecast_next"))
+        .orderBy("event_type", "day")
+    }),
+
     // cohort LTV curves: retention's monetized sibling — cumulative
     // purchase revenue per cohort week, diluted by FULL cohort size
     // (no survivorship bias); decimal running totals, one division/row
@@ -6081,6 +6095,42 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // the same level/trend fold with DOUBLE[2] state on both engines;
+    // the inner new-level expression is written out twice identically
+    "x168_holt_forecast" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events GROUP BY 1, 2),
+      g AS (
+        SELECT event_type,
+          list(CAST(v AS DOUBLE) ORDER BY day) AS vs,
+          list(day ORDER BY day) AS ds
+        FROM daily GROUP BY 1 HAVING COUNT(*) >= 2),
+      ex AS (
+        SELECT event_type, vs, ds, UNNEST(RANGE(1, LEN(vs) + 1)) AS i
+        FROM g),
+      st AS (
+        SELECT event_type, ds, vs, i,
+          list_reduce(
+            list_prepend([vs[1], vs[2] - vs[1]],
+              list_transform(vs[2:i], x -> [x, CAST(0 AS DOUBLE)])),
+            (s, e2) -> [0.2 * e2[1] + 0.8 * (s[1] + s[2]),
+              0.1 * (0.2 * e2[1] + 0.8 * (s[1] + s[2]) - s[1]) + 0.9 * s[2]])
+            AS cur,
+          CASE WHEN i >= 2 THEN list_reduce(
+            list_prepend([vs[1], vs[2] - vs[1]],
+              list_transform(vs[2:i-1], x -> [x, CAST(0 AS DOUBLE)])),
+            (s, e2) -> [0.2 * e2[1] + 0.8 * (s[1] + s[2]),
+              0.1 * (0.2 * e2[1] + 0.8 * (s[1] + s[2]) - s[1]) + 0.9 * s[2]])
+          END AS prev
+        FROM ex)
+      SELECT event_type, STRFTIME(ds[i], '%Y-%m-%d') AS day, vs[i] AS x,
+        ROUND(cur[1], 6) AS level, ROUND(cur[2], 6) AS trend,
+        ROUND(prev[1] + prev[2], 6) AS fitted,
+        ROUND(cur[1] + cur[2], 6) AS forecast_next
+      FROM st ORDER BY event_type, day""",
 
     // q37's cohort arithmetic with decimal revenue cumsums
     "x167_cohort_ltv" -> """

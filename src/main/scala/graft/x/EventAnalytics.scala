@@ -128,6 +128,61 @@ object EventAnalytics {
         col("week_offset"), col("active_users").cast("long").as("active_users"))
   }
 
+  /** Holt double exponential smoothing (Holt 1957): level + trend state,
+    *
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * with the standard init l₁ = x₁, b₁ = x₂ − x₁ — the one-step-ahead
+    * forecaster ([[ewmaDaily]] + a trend component: EWMA alone lags a
+    * trending series by a constant, Holt doesn't). `fitted_t =
+    * l_{t−1} + b_{t−1}` is the honest out-of-sample-style fit (each
+    * day predicted from state BEFORE it); `forecast_next = l_t + b_t`.
+    *
+    * Like [[cusumChangepoints]], the recursion is nonlinear in no
+    * useful way — BUT unlike CUSUM it has no max(0,·) so a closed form
+    * exists in theory; the fold keeps α/β arbitrary without the
+    * 2^windowDays dyadic-α restriction the EWMA closed form needs.
+    * Array-state prefix folds over the per-series day array, O(days²)
+    * per series in registers, identical left-to-right IEEE sequences on
+    * both engines. */
+  def holtForecast(events: DataFrame, tsCol: String, seriesCol: String,
+      valueCol: String, alpha: Double = 0.2, beta: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha/beta must be in (0,1), got $alpha/$beta")
+    val oma = 1.0 - alpha
+    val omb = 1.0 - beta
+    val daily = events
+      .groupBy(col(seriesCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__v"))
+    val grouped = daily.groupBy(col(seriesCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("__v")))).as("__a"))
+      .filter(size(col("__a")) >= 2)
+    val x1 = "CAST(element_at(__a, 1).__v AS DOUBLE)"
+    val x2 = "CAST(element_at(__a, 2).__v AS DOUBLE)"
+    def newL = s"$alpha * CAST(e.__v AS DOUBLE) + $oma * (element_at(s, 1) + element_at(s, 2))"
+    def stateAfter(lenExpr: String): String =
+      s"""aggregate(slice(__a, 2, $lenExpr),
+          array($x1, $x2 - $x1),
+          (s, e) -> array($newL,
+            $beta * ($newL - element_at(s, 1)) + $omb * element_at(s, 2)))"""
+    grouped
+      .select(col(seriesCol), col("__a"),
+        explode(expr("sequence(1, size(__a))")).as("__i"))
+      .withColumn("__st", expr(stateAfter("__i - 1")))
+      .withColumn("__prev",
+        expr(s"CASE WHEN __i >= 2 THEN ${stateAfter("__i - 2")} END"))
+      .select(col(seriesCol),
+        expr("element_at(__a, __i).day").as("day"),
+        expr("CAST(element_at(__a, __i).__v AS DOUBLE)").as("x"),
+        round(expr("element_at(__st, 1)"), 6).as("level"),
+        round(expr("element_at(__st, 2)"), 6).as("trend"),
+        round(expr("element_at(__prev, 1) + element_at(__prev, 2)"), 6)
+          .as("fitted"),
+        round(expr("element_at(__st, 1) + element_at(__st, 2)"), 6)
+          .as("forecast_next"))
+  }
+
   /** Cohort lifetime-value curves: cumulative revenue per user by weeks
     * since the cohort's first activity — [[retention]]'s monetized
     * sibling and the payback-period readout (which acquisition week has

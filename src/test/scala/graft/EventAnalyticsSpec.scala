@@ -246,6 +246,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(again === out)
   }
 
+  test("holtForecast tracks a linear trend where EWMA would lag") {
+    import spark.implicits._
+    // perfectly linear series 100, 102, 104, ...: Holt's trend state must
+    // converge to the slope and the fit must become exact
+    val ev = (0 until 25).map { d =>
+      val day = java.sql.Timestamp.valueOf(f"2024-04-${d + 1}%02d 12:00:00")
+      (d.toLong, day, "m", 100.0 + 2.0 * d)
+    }.toDF("event_id", "ts", "sym", "value")
+    val out = EventAnalytics.holtForecast(ev, "ts", "sym", "value")
+      .orderBy("day").collect()
+    val last = out.last
+    // on an exactly linear series init already gives l=x1, b=slope and the
+    // recursion preserves it: trend stays 2, fitted equals x exactly
+    assert(math.abs(last.getAs[Double]("trend") - 2.0) < 1e-9, s"$last")
+    assert(math.abs(last.getAs[Double]("fitted") - last.getAs[Double]("x")) < 1e-9)
+    assert(math.abs(last.getAs[Double]("forecast_next") -
+      (last.getAs[Double]("x") + 2.0)) < 1e-9)
+    // first day has no prior state: fitted is null
+    assert(out.head.isNullAt(out.head.fieldIndex("fitted")))
+  }
+
   test("cusum alarms on a small persistent shift that z-scores miss") {
     import spark.implicits._
     // 20 days at 100, then 10 days at 101.2 — a ~1.2-unit shift on a
