@@ -124,4 +124,36 @@ class SinksSpec extends AnyFunSuite {
     assert(!Files.exists(src))
     assert(Files.exists(Paths.get(arch, src.getFileName.toString, "data.csv")))
   }
+
+  test("compaction: FFD bins merge small files, rows preserved, big files untouched") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // 12 tiny single-row files + 1 larger file written separately
+    (1 to 12).foreach { i =>
+      Seq((i.toLong, s"row$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    (100L to 400L).map(i => (i, s"bulk$i")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.orderBy("id").collect().toSeq
+    val nBefore = Files.list(Paths.get(dir)).filter(_.toString.endsWith(".parquet"))
+      .count()
+    // target comfortably above tiny-file size so they bin together, but
+    // below the bulk file's size so it is left alone
+    val bulkBytes = Files.list(Paths.get(dir)).filter(_.toString.endsWith(".parquet"))
+      .mapToLong(p => Files.size(p)).max().getAsLong
+    val (binsMerged, removed, added) =
+      graft.sinks.Compaction.compact(spark, dir, targetBytes = bulkBytes)
+    assert(binsMerged >= 1 && removed >= 2 && added == binsMerged)
+    val nAfter = Files.list(Paths.get(dir)).filter(_.toString.endsWith(".parquet"))
+      .count()
+    assert(nAfter == nBefore - removed + added, s"$nBefore -> $nAfter")
+    assert(nAfter < nBefore)
+    // content identical
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == beforeRows)
+    // idempotent: nothing left to merge at this target after one more run
+    val (again, _, _) = graft.sinks.Compaction.compact(spark, dir, bulkBytes)
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == beforeRows)
+  }
 }
