@@ -1036,6 +1036,25 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // the x151 sketch applied in the INVERSE direction: per-row
+    // percentile lookup against broadcast cumulative bucket rows — a
+    // history-sized question answered without touching history
+    "x169_hdr_cdf_lookup" -> ((s, dir) => {
+      reg(s, dir)
+      val li = s.table("lineitem")
+        .withColumn("price_usd", floor(col("l_extendedprice")))
+      val hist = Sketches.hdrHistogram(li, Seq("l_returnflag"), "price_usd", p = 5)
+      val probes = li.filter(pmod(col("l_orderkey"), lit(100)) === 0)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("price_usd"))
+      Sketches.hdrCdf(hist, probes, Seq("l_returnflag"), "price_usd", p = 5)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n_probes"),
+          sum(col("cdf").cast("decimal(18,9)")).cast("double").as("cdf_sum"),
+          min("cdf").as("cdf_min"), max("cdf").as("cdf_max"))
+        .orderBy("l_returnflag")
+    }),
+
     // Holt level+trend smoothing: the EWMA that doesn't lag a trending
     // series; honest fitted values (each day predicted from pre-day
     // state) via array-state prefix folds
@@ -6095,6 +6114,38 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // the x151 bucket arithmetic + cumulative counts; probe rows join
+    // their bucket's cum/n
+    "x169_hdr_cdf_lookup" -> """
+      WITH v AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+                   CAST(FLOOR(l_extendedprice) AS BIGINT) AS v
+                 FROM lineitem WHERE FLOOR(l_extendedprice) >= 0),
+      bk AS (SELECT l_returnflag,
+               CASE WHEN v < 64 THEN v
+               ELSE CAST(length(bin(v)) - 1 - 5 AS BIGINT) * 32
+                    + (v >> (length(bin(v)) - 1 - 5)) END AS b
+             FROM v),
+      h AS (SELECT l_returnflag, b, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM bk GROUP BY 1, 2),
+      c AS (SELECT l_returnflag, b,
+              SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum,
+              SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+            FROM h),
+      probes AS (
+        SELECT l_returnflag,
+          CASE WHEN v < 64 THEN v
+          ELSE CAST(length(bin(v)) - 1 - 5 AS BIGINT) * 32
+               + (v >> (length(bin(v)) - 1 - 5)) END AS b
+        FROM v WHERE l_orderkey % 100 = 0),
+      cdfs AS (
+        SELECT p.l_returnflag,
+          CAST(c.cum AS DOUBLE) / CAST(c.n AS DOUBLE) AS cdf
+        FROM probes p JOIN c ON c.l_returnflag = p.l_returnflag AND c.b = p.b)
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_probes,
+        CAST(SUM(CAST(cdf AS DECIMAL(18,9))) AS DOUBLE) AS cdf_sum,
+        MIN(cdf) AS cdf_min, MAX(cdf) AS cdf_max
+      FROM cdfs GROUP BY 1 ORDER BY l_returnflag""",
 
     // the same level/trend fold with DOUBLE[2] state on both engines;
     // the inner new-level expression is written out twice identically

@@ -348,6 +348,40 @@ object Sketches {
         ELSE shiftleft((__b % $twoP) + $twoP, CAST(__b div $twoP AS INT) - 1) END"""
   }
 
+  /** Per-row CDF lookup against [[hdrHistogram]] rows — the inverse
+    * direction of [[hdrQuantiles]]: each probe row gets the fraction of
+    * the sketched distribution at or below its bucket (within 2^-p
+    * relative value error). This is how a persisted histogram store
+    * answers "what percentile is THIS latency/price" for a stream of
+    * rows without touching the raw history: the probe side joins
+    * (group, bucket) against ≤ ~64·2^p cumulative rows per group —
+    * broadcast-sized by construction.
+    *
+    * Probes whose bucket never occurred in the sketched data drop (inner
+    * join); build the histogram over a superset of the probe values (the
+    * natural same-table or history-covers-today usage). */
+  def hdrCdf(hist: DataFrame, probes: DataFrame, groupCols: Seq[String],
+      valueCol: String, p: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gw = if (groupCols.isEmpty) Window.partitionBy(lit(1))
+      else Window.partitionBy(groupCols.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum("__cnt").over(gw.orderBy("__b")))
+      .withColumn("__n", sum("__cnt").over(gw))
+      .select((groupCols.map(col) ++ Seq(col("__b"), col("__cum"), col("__n"))): _*)
+    val twoP = 1L << p
+    val pb = probes
+      .select((groupCols.map(col) :+ col(valueCol).cast("long").as("__v")): _*)
+      .filter(col("__v") >= 0)
+      .withColumn("__b", expr(
+        s"""CASE WHEN __v < ${2 * twoP} THEN __v
+            ELSE CAST(length(bin(__v)) - 1 - $p AS BIGINT) * $twoP
+                 + shiftright(__v, length(bin(__v)) - 1 - $p) END"""))
+    pb.join(broadcast(cum), groupCols :+ "__b")
+      .select((groupCols.map(col) ++ Seq(col("__v"),
+        (col("__cum").cast("double") / col("__n").cast("double")).as("cdf"))): _*)
+  }
+
   /** Discrete quantiles from [[hdrHistogram]] rows: per group, the first
     * bucket whose cumulative count reaches ⌈q·n⌉, answered as the bucket
     * lower bound. `qs` are decimal-literal strings ("0.5", "0.99") so

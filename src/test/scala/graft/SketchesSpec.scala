@@ -179,6 +179,15 @@ class SketchesSpec extends AnyFunSuite {
       assert(ex <= (lb + 1) * (1 + math.pow(2.0, -p)) + 1,
         s"$g q=$q: exact $ex above bucket range of $lb")
     }
+    // CDF lookup: monotone in v, max value maps to exactly 1.0
+    val cdf = Sketches.hdrCdf(hist, li, Seq("l_returnflag"), "v", p)
+    import spark.implicits._
+    val byV = cdf.filter(col("l_returnflag") === "A")
+      .select("__v", "cdf").distinct().as[(Long, Double)].collect().sortBy(_._1)
+    assert(byV.sliding(2).forall(w => w.length < 2 || w(0)._2 <= w(1)._2),
+      "cdf must be monotone in value")
+    assert(math.abs(byV.last._2 - 1.0) < 1e-12, s"max cdf ${byV.last}")
+    assert(byV.head._2 > 0.0)
     // per-half histograms merged by count-sum equal the direct histogram
     val lo = Sketches.hdrHistogram(li.filter(col("l_orderkey") % 2 === 0),
       Seq("l_returnflag"), "v", p)
