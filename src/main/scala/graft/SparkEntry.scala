@@ -1036,6 +1036,17 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Kaplan–Meier churn curve with censoring: still-active users
+    // contribute at-risk time without counting as churn — the mistake
+    // "avg lifetime of churned users" bakes in; prefix product fold
+    "x170_kaplan_meier" -> ((s, dir) => {
+      reg(s, dir)
+      val durs = EventAnalytics.conversionDurations(s.table("events"),
+        "user_id", "ts", "event_type", "purchase")
+      EventAnalytics.kaplanMeier(durs, "dur", "event")
+        .orderBy("t_days")
+    }),
+
     // the x151 sketch applied in the INVERSE direction: per-row
     // percentile lookup against broadcast cumulative bucket rows — a
     // history-sized question answered without touching history
@@ -6114,6 +6125,46 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // same censoring rule, same cumulative at-risk counts, same
+    // left-to-right product fold via list_reduce
+    "x170_kaplan_meier" -> """
+      WITH firsts AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS f FROM events GROUP BY 1),
+      convs AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS p FROM events
+        WHERE event_type = 'purchase' GROUP BY 1),
+      m AS (SELECT CAST(MAX(ts) AS DATE) AS md FROM events),
+      durs AS (
+        SELECT f.user_id, (c.p IS NOT NULL) AS ev,
+          CASE WHEN c.p IS NOT NULL
+               THEN date_diff('day', f.f, c.p)
+               ELSE date_diff('day', f.f, m.md) END AS dur
+        FROM firsts f LEFT JOIN convs c USING (user_id) CROSS JOIN m),
+      byd AS (
+        SELECT dur, CAST(COUNT(*) AS BIGINT) AS al,
+          CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM durs GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM durs),
+      risk AS (
+        SELECT dur, d,
+          CAST(tot.n - COALESCE(SUM(al) OVER (ORDER BY dur
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS n_risk
+        FROM byd CROSS JOIN tot),
+      steps AS (SELECT dur, d, n_risk FROM risk WHERE d > 0),
+      arr AS (
+        SELECT list(dur ORDER BY dur) AS ts,
+          list(CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+               ORDER BY dur) AS fs,
+          list(d ORDER BY dur) AS dsl,
+          list(n_risk ORDER BY dur) AS ns
+        FROM steps),
+      ex AS (SELECT ts, fs, dsl, ns, UNNEST(RANGE(1, LEN(ts) + 1)) AS i FROM arr)
+      SELECT CAST(ts[i] AS BIGINT) AS t_days, dsl[i] AS d, ns[i] AS n_risk,
+        ROUND(list_reduce(list_prepend(CAST(1 AS DOUBLE), fs[1:i]),
+          (s, x) -> s * x), 6) AS survival
+      FROM ex ORDER BY t_days""",
 
     // the x151 bucket arithmetic + cumulative counts; probe rows join
     // their bucket's cum/n

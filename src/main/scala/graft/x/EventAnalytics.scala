@@ -128,6 +128,71 @@ object EventAnalytics {
         col("week_offset"), col("active_users").cast("long").as("active_users"))
   }
 
+  /** Kaplan–Meier survival estimate (Kaplan & Meier 1958) over user
+    * lifetimes — the churn curve computed the RIGHT way: users still
+    * active at the observation horizon are CENSORED (they contribute
+    * at-risk time without counting as churn), which is what a naive
+    * "average lifetime of churned users" silently gets wrong. A user
+    * churns here when their last activity is ≥ `horizonDays` before the
+    * dataset's last day; lifetime = last − first activity day.
+    *
+    *   S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)
+    *
+    * with dᵢ churns at lifetime tᵢ and nᵢ the at-risk count (everyone
+    * whose observed time ≥ tᵢ). At-risk counts come from one cumulative
+    * window over per-duration counts — no per-time self-join; the
+    * product is a left-to-right prefix fold over the ≤ distinct-duration
+    * array (the [[cusumChangepoints]] fold discipline, multiplicative),
+    * so the curve replays exactly on the oracle. */
+  def kaplanMeier(durations: DataFrame, durCol: String,
+      eventCol: String): DataFrame = {
+    val durs = durations.select(col(durCol).cast("long").as("__dur"),
+      col(eventCol).cast("boolean").as("__event"))
+    val byDur = durs.groupBy("__dur")
+      .agg(count(lit(1)).as("__all"),
+        sum(when(col("__event"), 1L).otherwise(0L)).as("__d"))
+    val wAsc = Window.orderBy("__dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = durs.count()
+    val risk = byDur
+      .withColumn("__before", coalesce(sum("__all").over(wAsc), lit(0L)))
+      .withColumn("__n_risk", lit(n) - col("__before"))
+      .filter(col("__d") > 0) // KM steps only at event times
+    // ordered (t, d, n) array → prefix product folds
+    risk.agg(sort_array(collect_list(
+        struct(col("__dur"), col("__d"), col("__n_risk")))).as("__a"))
+      .select(explode(expr("sequence(1, size(__a))")).as("__i"), col("__a"))
+      .select(
+        expr("element_at(__a, __i).__dur").as("t_days"),
+        expr("element_at(__a, __i).__d").cast("long").as("d"),
+        expr("element_at(__a, __i).__n_risk").cast("long").as("n_risk"),
+        round(expr(
+          """aggregate(slice(__a, 1, __i), CAST(1 AS DOUBLE),
+             (s, e) -> s * (CAST(1 AS DOUBLE) -
+               CAST(e.__d AS DOUBLE) / CAST(e.__n_risk AS DOUBLE)))"""), 6)
+          .as("survival"))
+  }
+
+  /** Time-to-first-`targetType` durations with censoring — the standard
+    * [[kaplanMeier]] input: per user, days from first activity to first
+    * target event; users who never convert are censored at the dataset's
+    * last day (they contribute at-risk time without counting as an
+    * event — dropping them is the conversion-analysis survivorship
+    * bug). */
+  def conversionDurations(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, targetType: String): DataFrame = {
+    val firsts = events.groupBy(col(userCol))
+      .agg(to_date(min(col(tsCol))).as("__f"))
+    val convs = events.filter(col(typeCol) === targetType)
+      .groupBy(col(userCol)).agg(to_date(min(col(tsCol))).as("__p"))
+    val m = events.agg(to_date(max(col(tsCol))).as("__m"))
+    firsts.join(convs, Seq(userCol), "left").crossJoin(broadcast(m))
+      .select(col(userCol),
+        col("__p").isNotNull.as("event"),
+        when(col("__p").isNotNull, datediff(col("__p"), col("__f")))
+          .otherwise(datediff(col("__m"), col("__f"))).cast("long").as("dur"))
+  }
+
   /** Holt double exponential smoothing (Holt 1957): level + trend state,
     *
     *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})

@@ -246,6 +246,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(again === out)
   }
 
+  test("kaplanMeier: censoring keeps at-risk mass that naive averaging drops") {
+    import spark.implicits._
+    // 4 events at t=1 (of 10 at risk), 2 at t=2 (of 6 at risk after 4
+    // died... minus nothing censored before), censored users at t>=2
+    val durs = Seq(
+      (1L, true), (1L, true), (1L, true), (1L, true),
+      (2L, true), (2L, true),
+      (2L, false), (3L, false), (3L, false), (4L, false))
+      .toDF("dur", "event")
+    val got = EventAnalytics.kaplanMeier(durs, "dur", "event")
+      .orderBy("t_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // t=1: d=4, n=10 → S = 0.6; t=2: d=2, n=6 → S = 0.6·(1−2/6) = 0.4
+    assert(got.toSeq == Seq((1L, 4L, 10L, 0.6), (2L, 2L, 6L, 0.4)), got.toSeq)
+    // without censoring support the curve would end at 0 — the censored
+    // tail keeps S(2) strictly positive
+    assert(got.last._4 > 0.0)
+  }
+
   test("holtForecast tracks a linear trend where EWMA would lag") {
     import spark.implicits._
     // perfectly linear series 100, 102, 104, ...: Holt's trend state must
