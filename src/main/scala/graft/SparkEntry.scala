@@ -1036,6 +1036,17 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Markov removal-effect attribution: journeys as a first-order
+    // chain, channel credit = conversion-probability drop when the
+    // channel is knocked out — exact 10^12-scaled integer fixed point,
+    // the principled sibling of x127's last-touch
+    "x171_markov_attribution" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.markovAttribution(s.table("events"), "user_id", "ts",
+          "event_id", "event_type", convType = "purchase", iters = 12)
+        .orderBy("channel")
+    }),
+
     // Kaplan–Meier churn curve with censoring: still-active users
     // contribute at-risk time without counting as churn — the mistake
     // "avg lifetime of churned users" bakes in; prefix product fold
@@ -3489,6 +3500,25 @@ object SparkEntry {
       "* CAST(65536.0 AS DOUBLE)) * CAST(72057594037927936.0 AS DOUBLE) " +
       s"/ CAST(zp + CAST(256 - present AS DECIMAL(38,0)) * " +
       s"CAST(${1L << 56} AS DECIMAL(38,0)) AS DOUBLE)"
+
+  /** x171: one Markov fixed-point run — `iters` rounds of the exact
+    * integer update v(s) = Σ c(s,t)·val(t) div total(s), with the
+    * removed channel (if any) valued 0 like NULL. Round CTEs are
+    * `v$tag$k`; read v(START) from `v$tag$iters`. */
+  private def markovRunSql(tag: String, removed: Option[String], iters: Int): String = {
+    val removedClause = removed.map(c => s"WHEN tm.tt = '$c' THEN 0").getOrElse("")
+    (1 to iters).map { k =>
+      val prev = if (k == 1) "v0" else s"v$tag${k - 1}"
+      s"""v$tag$k AS (
+        SELECT tm.f AS s,
+          SUM(tm.c * CASE WHEN tm.tt = 'CONV' THEN CAST(1000000000000 AS BIGINT)
+                          WHEN tm.tt = 'NULL' THEN 0
+                          $removedClause
+                          ELSE COALESCE(v.v, 0) END) // MIN(tm.tot) AS v
+        FROM tm LEFT JOIN $prev v ON v.s = tm.tt
+        GROUP BY tm.f)"""
+    }.mkString(",\n      ")
+  }
 
   /** x163: BFS frontier rounds — f_h = distinct neighbors of f_{h-1}
     * minus everything already in v_{h-1}; v_h appends f_h at dist h.
@@ -6125,6 +6155,67 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // path construction replayed (rank / first-purchase absorb / lag +
+    // terminal), then 5 exact-integer fixed-point runs (base + one per
+    // channel) unrolled to 12 rounds each
+    "x171_markov_attribution" -> {
+      val runs = Seq("b" -> None, "rc" -> Some("click"), "re" -> Some("error"),
+        "rs" -> Some("signup"), "rv" -> Some("view"))
+        .map { case (t, r) => markovRunSql(t, r, 12) }.mkString(",\n      ")
+      val chan = Seq("click" -> "rc", "error" -> "re", "signup" -> "rs",
+        "view" -> "rv")
+        .map { case (c, t) =>
+          s"""SELECT '$c' AS channel,
+            GREATEST(sc.vb - (SELECT CAST(v AS BIGINT) FROM v${t}12
+                              WHERE s = 'START'), 0) AS eff
+          FROM sc""" }
+        .mkString(" UNION ALL ")
+      s"""
+      WITH ranked AS (
+        SELECT user_id, event_type AS t,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+        FROM events),
+      fp AS (SELECT user_id, MIN(r) AS fpr FROM ranked
+             WHERE t = 'purchase' GROUP BY 1),
+      kept AS (
+        SELECT k.user_id, k.t, f.fpr,
+          ROW_NUMBER() OVER (PARTITION BY k.user_id ORDER BY k.r) AS rr
+        FROM ranked k LEFT JOIN fp f USING (user_id)
+        WHERE f.fpr IS NULL OR k.r < f.fpr),
+      mid AS (
+        SELECT COALESCE(LAG(t) OVER (PARTITION BY user_id ORDER BY rr),
+                 'START') AS f, t AS tt
+        FROM kept),
+      term AS (
+        SELECT t AS f,
+          CASE WHEN fpr IS NOT NULL THEN 'CONV' ELSE 'NULL' END AS tt
+        FROM kept QUALIFY rr = MAX(rr) OVER (PARTITION BY user_id)),
+      direct AS (
+        SELECT 'START' AS f, 'CONV' AS tt FROM fp
+        WHERE user_id NOT IN (SELECT DISTINCT user_id FROM kept)),
+      trans AS (
+        SELECT f, tt, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT * FROM mid UNION ALL SELECT * FROM term
+              UNION ALL SELECT * FROM direct)
+        GROUP BY 1, 2),
+      tot AS (SELECT f, CAST(SUM(c) AS BIGINT) AS tot FROM trans GROUP BY 1),
+      tm AS (SELECT t.f, t.tt, t.c, o.tot FROM trans t JOIN tot o USING (f)),
+      v0 AS (SELECT f AS s, CAST(0 AS BIGINT) AS v FROM tot),
+      $runs,
+      sc AS (SELECT (SELECT CAST(v AS BIGINT) FROM vb12 WHERE s = 'START') AS vb),
+      effs AS ($chan),
+      te AS (SELECT CAST(SUM(eff) AS BIGINT) AS total FROM effs)
+      SELECT e.channel,
+        CAST(sc.vb AS DOUBLE) / 1.0E12 AS base_cvr,
+        CAST(sc.vb - e.eff AS DOUBLE) / 1.0E12 AS removed_cvr,
+        CAST(e.eff AS BIGINT) AS removal_effect,
+        CASE WHEN te.total > 0
+             THEN CAST(e.eff AS DOUBLE) / CAST(te.total AS DOUBLE)
+             ELSE 0.0 END AS attribution_share
+      FROM effs e CROSS JOIN sc CROSS JOIN te
+      ORDER BY channel"""
+    },
 
     // same censoring rule, same cumulative at-risk counts, same
     // left-to-right product fold via list_reduce

@@ -128,6 +128,97 @@ object EventAnalytics {
         col("week_offset"), col("active_users").cast("long").as("active_users"))
   }
 
+  /** Markov-chain data-driven attribution (the removal-effect model,
+    * Anderl et al. 2016) — the principled alternative to x127's
+    * last-touch heuristic: user journeys become a first-order chain
+    * START → touchpoints → CONV/NULL (absorbed at the FIRST `convType`
+    * event), and a channel's credit is its REMOVAL EFFECT — how much
+    * the chain's conversion probability drops when that channel is
+    * knocked out (its state becomes NULL-absorbing) — normalized across
+    * channels.
+    *
+    * Conversion probabilities come from `iters` fixed-point rounds of
+    *   v(s) ← (Σ_t c(s,t)·val(t) + c(s,CONV)·SCALE) div total(s)
+    * in SCALE=10¹² integer arithmetic — exact, engine-replayable, and
+    * convergent geometrically (12 rounds ≈ 12 path steps; journeys here
+    * are shorter). The transition matrix is |states|² ≤ event-type² rows
+    * — broadcast-sized BY CONSTRUCTION (event vocabularies are small;
+    * the data-sized work is the ONE user-keyed window building paths).
+    * Only v(START) is read out per run; runs = 1 base + one per
+    * channel. */
+  def markovAttribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, convType: String,
+      iters: Int = 12): DataFrame = {
+    val Scale = 1000000000000L
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val ranked = events.select(col(userCol), col(typeCol).as("__t"),
+      row_number().over(w).as("__r"))
+    val fp = ranked.filter(col("__t") === convType)
+      .groupBy(col(userCol)).agg(min("__r").as("__fpr"))
+    val wR = Window.partitionBy(col(userCol)).orderBy("__r")
+    val kept = ranked.join(fp, Seq(userCol), "left")
+      .filter(col("__fpr").isNull || col("__r") < col("__fpr"))
+      .withColumn("__rr", row_number().over(wR))
+    val wSeq = Window.partitionBy(col(userCol)).orderBy("__rr")
+    val mid = kept
+      .withColumn("__from", coalesce(lag(col("__t"), 1).over(wSeq), lit("START")))
+      .select(col("__from"), col("__t").as("__to"))
+    val terminal = kept.groupBy(col(userCol), col("__fpr"))
+      .agg(max_by(col("__t"), col("__rr")).as("__last"))
+      .select(col("__last").as("__from"),
+        when(col("__fpr").isNotNull, lit("CONV")).otherwise(lit("NULL")).as("__to"))
+    // users with NO kept events but a terminal (e.g. purchase-first)
+    val direct = fp.join(kept.select(col(userCol)).distinct(), Seq(userCol), "left_anti")
+      .select(lit("START").as("__from"), lit("CONV").as("__to"))
+    val trans = mid.unionByName(terminal).unionByName(direct)
+      .groupBy("__from", "__to").agg(count(lit(1)).as("__c"))
+    val totals = trans.groupBy("__from").agg(sum("__c").as("__tot"))
+    // The transition MATRIX is |states|² ≤ event-vocabulary² rows — a
+    // bounded driver scalar set by construction (the data-scale work,
+    // path building, already aggregated it away). Collect it once and
+    // run the 5 fixed-point solves in exact integer arithmetic on the
+    // driver: 12 rounds over ≤10⁶ entries beats 60 distributed job
+    // barriers over 30-row frames by three orders of magnitude.
+    val tmRows = trans.join(totals, Seq("__from"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    require(tmRows.length <= 1000000,
+      s"transition matrix too large to collect: ${tmRows.length} rows")
+    val byFrom = tmRows.groupBy(_._1)
+    val channels = byFrom.keys.filterNot(_ == "START").toSeq.sorted
+    def convProb(removed: Option[String]): Long = {
+      var v = Map.empty[String, Long]
+      for (_ <- 1 to iters) {
+        v = byFrom.map { case (s, rs) =>
+          val num = rs.map { case (_, t, c, _) =>
+            val value = t match {
+              case "CONV" => Scale
+              case "NULL" => 0L
+              case x if removed.contains(x) => 0L
+              case x => v.getOrElse(x, 0L)
+            }
+            c * value
+          }.sum
+          s -> num / rs.head._4
+        }
+      }
+      v.getOrElse("START", 0L)
+    }
+    val base = convProb(None)
+    val effects = channels.map(c => c -> math.max(0L, base - convProb(Some(c))))
+    val totalEffect = effects.map(_._2).sum
+    val spark = events.sparkSession
+    import spark.implicits._
+    effects.toSeq.toDF("channel", "__eff")
+      .select(col("channel"),
+        (lit(base).cast("double") / lit(Scale.toDouble)).as("base_cvr"),
+        ((lit(base) - col("__eff")).cast("double") / lit(Scale.toDouble))
+          .as("removed_cvr"),
+        col("__eff").cast("long").as("removal_effect"),
+        when(lit(totalEffect) > 0,
+          col("__eff").cast("double") / lit(totalEffect.toDouble))
+          .otherwise(lit(0.0)).as("attribution_share"))
+  }
+
   /** Kaplan–Meier survival estimate (Kaplan & Meier 1958) over user
     * lifetimes — the churn curve computed the RIGHT way: users still
     * active at the observation horizon are CENSORED (they contribute

@@ -246,6 +246,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(again === out)
   }
 
+  test("markovAttribution: removal effect credits the load-bearing channel") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-06-01 10:$m%02d:00")
+    // every conversion goes through 'ad'; 'spam' appears only on
+    // non-converting journeys. Removing 'ad' must zero conversions
+    // (share → 1); removing 'spam' must change nothing (share → 0).
+    val ev = Seq(
+      (1L, t(0), 1L, "ad"), (1L, t(1), 2L, "buy"),
+      (2L, t(0), 3L, "ad"), (2L, t(1), 4L, "buy"),
+      (3L, t(0), 5L, "spam"), (3L, t(1), 6L, "spam"),
+      (4L, t(0), 7L, "spam"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.markovAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", convType = "buy")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(3), r.getDouble(4))).toMap
+    val (baseCvr, _, adShare) = got("ad")
+    assert(math.abs(baseCvr - 0.5) < 1e-9, s"base CVR should be 2/4: $got")
+    assert(math.abs(adShare - 1.0) < 1e-9, s"'ad' carries all credit: $got")
+    assert(got("spam")._3 == 0.0 && got("spam")._2 == 0L,
+      s"'spam' earns nothing: $got")
+  }
+
   test("kaplanMeier: censoring keeps at-risk mass that naive averaging drops") {
     import spark.implicits._
     // 4 events at t=1 (of 10 at risk), 2 at t=2 (of 6 at risk after 4
