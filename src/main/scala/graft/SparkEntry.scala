@@ -1036,6 +1036,17 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // deterministic Poisson bootstrap: resampling as ONE pass of exact
+    // integer hash-weights — the error bar a sampled metric should
+    // carry, replayable down to the resampling plan itself
+    "x172_bootstrap_ci" -> ((s, dir) => {
+      reg(s, dir)
+      Profiler.bootstrapMeanCi(s.table("lineitem"), Seq("l_returnflag"),
+          "l_quantity",
+          concat(col("l_orderkey"), lit(":"), col("l_linenumber")), reps = 32)
+        .orderBy("l_returnflag")
+    }),
+
     // Markov removal-effect attribution: journeys as a first-order
     // chain, channel credit = conversion-probability drop when the
     // channel is knocked out — exact 10^12-scaled integer fixed point,
@@ -6155,6 +6166,43 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // same portable hash → same integer cutoffs → same weights; replica
+    // means via decimal sums; same rank-based interval picks
+    "x172_bootstrap_ci" -> {
+      val cuts = graft.x.Profiler.poissonCutoffs20
+      val wCase = "CASE " + cuts.zipWithIndex
+        .map { case (c, k) => s"WHEN u < ${c}" + s" THEN $k" }
+        .mkString(" ") + s" ELSE ${cuts.length} END"
+      s"""
+      WITH ex AS (
+        SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS x,
+          ${polySql("CAST(l_orderkey AS VARCHAR) || ':' || " +
+            "CAST(l_linenumber AS VARCHAR) || ':boot:' || CAST(r.rep AS VARCHAR)")}
+            % ${1L << 20} AS u,
+          r.rep
+        FROM lineitem CROSS JOIN RANGE(32) r(rep)),
+      wts AS (SELECT l_returnflag, x, rep, $wCase AS w FROM ex),
+      means AS (
+        SELECT l_returnflag, rep,
+          CAST(SUM(x * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+        FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0),
+      ranked AS (
+        SELECT l_returnflag, m, rep,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY m, rep) AS rk
+        FROM means),
+      lo AS (SELECT l_returnflag, ROUND(m, 6) AS ci_lo FROM ranked WHERE rk = 2),
+      hi AS (SELECT l_returnflag, ROUND(m, 6) AS ci_hi FROM ranked WHERE rk = 31),
+      est AS (
+        SELECT l_returnflag,
+          ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS mean_est,
+          CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1)
+      SELECT est.l_returnflag, est.n_rows, est.mean_est, lo.ci_lo, hi.ci_hi
+      FROM est JOIN lo USING (l_returnflag) JOIN hi USING (l_returnflag)
+      ORDER BY l_returnflag"""
+    },
 
     // path construction replayed (rank / first-purchase absorb / lag +
     // terminal), then 5 exact-integer fixed-point runs (base + one per

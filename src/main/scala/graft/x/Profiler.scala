@@ -1,6 +1,6 @@
 package graft.x
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -449,6 +449,77 @@ object Profiler {
         (col("mx").cast("double") * col("nd").cast("double") /
           col("n").cast("double")).as("skew_ratio"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Deterministic Poisson bootstrap confidence intervals for a group
+    * mean (Efron 1979; the Poisson(1)-weight approximation — Chamandy
+    * et al., "Estimating Uncertainty for Massive Data Streams" — that
+    * makes the bootstrap a SINGLE distributed pass instead of `reps`
+    * resampling shuffles): each (row, replica) draws a Poisson(1)
+    * multiplicity from the inverse CDF applied to a PORTABLE integer
+    * hash in 2^20 space — every comparison is integer-exact, so the
+    * entire resampling plan, not just the point estimate, replays on
+    * any engine or retry. Replica means use DECIMAL sums; the interval
+    * is the rank-based [⌈α/2·reps⌉, reps+1−⌈α/2·reps⌉] spread of the
+    * replica means.
+    *
+    * Shape at 100 TB: one narrow `reps`-way explode (map-side, no
+    * shuffle amplification beyond the single (group, rep) aggregate —
+    * ≤ groups × reps rows out), one window over the reps rows per
+    * group. This is the error bar every sampled/selected metric in a
+    * curation report should carry. */
+  def bootstrapMeanCi(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      idExpr: Column, reps: Int = 32, salt: String = "boot"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(reps >= 8 && reps <= 256, s"reps $reps outside [8,256]")
+    val cuts = Profiler.poissonCutoffs20
+    val rep = col("__rep")
+    val u = pmod(graft.functions.PolyHash56(
+      concat(col("__id"), lit(":" + salt + ":"), rep.cast("string"))),
+      lit(1L << 20))
+    // when-chains evaluate the FIRST true branch, so fold from the
+    // largest cutoff down to leave "u < cuts(0) -> 0" outermost
+    val wOrdered = cuts.zipWithIndex.reverse
+      .foldLeft(lit(cuts.length): Column) { case (acc, (c, k)) =>
+        when(u < c, lit(k)).otherwise(acc) }
+    val exploded = df
+      .select((groupCols.map(col) :+ col(valueCol).cast("decimal(18,2)").as("__x")
+        :+ idExpr.cast("string").as("__id")): _*)
+      .withColumn("__rep", explode(expr(s"sequence(0, ${reps - 1})")))
+      .withColumn("__w", wOrdered.cast("long"))
+    val means = exploded.groupBy((groupCols.map(col) :+ rep): _*)
+      .agg(sum(col("__x") * col("__w")).as("__ws"), sum("__w").as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__m", col("__ws").cast("double") / col("__n").cast("double"))
+    val gw = if (groupCols.isEmpty) Window.partitionBy(lit(1))
+      else Window.partitionBy(groupCols.map(col): _*)
+    val loRank = math.max(1, math.ceil(reps * 0.05).toInt)
+    val hiRank = reps + 1 - loRank
+    val ranked = means.withColumn("__rk",
+      row_number().over(gw.orderBy(col("__m"), rep)))
+    val lo = ranked.filter(col("__rk") === loRank)
+      .select((groupCols.map(col) :+ round(col("__m"), 6).as("ci_lo")): _*)
+    val hi = ranked.filter(col("__rk") === hiRank)
+      .select((groupCols.map(col) :+ round(col("__m"), 6).as("ci_hi")): _*)
+    val est = df.groupBy(groupCols.map(col): _*)
+      .agg((sum(col(valueCol).cast("decimal(18,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("__e"),
+        count(lit(1)).cast("long").as("n_rows"))
+      .withColumn("mean_est", round(col("__e"), 6)).drop("__e")
+    est.join(lo, groupCols).join(hi, groupCols)
+  }
+
+  /** Poisson(1) inverse-CDF cutoffs ⌊cum·2^20⌋ for k = 0..6 (mass above
+    * k=7 is ~8·10⁻⁶ and rounds into the top bucket) — interpolated
+    * identically into the oracle so the weights are integer-exact. */
+  lazy val poissonCutoffs20: Seq[Long] = {
+    var p = math.exp(-1.0)
+    var c = 0.0
+    (0 to 6).map { k =>
+      c += p
+      p = p / (k + 1)
+      (c * (1L << 20)).toLong
+    }
   }
 
   /** Frequency-ordered dictionary encoding: dense integer ids for a

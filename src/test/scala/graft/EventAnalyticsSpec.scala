@@ -246,6 +246,31 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(again === out)
   }
 
+  test("bootstrapMeanCi: interval brackets the mean and narrows with n") {
+    import spark.implicits._
+    def frame(n: Int) = (1 to n)
+      .map(i => ("g", i.toLong, 50.0 + (i % 21) - 10)).toDF("g", "id", "v")
+    def ci(n: Int) = {
+      val r = Profiler.bootstrapMeanCi(frame(n), Seq("g"), "v", col("id"))
+        .head()
+      (r.getAs[Double]("mean_est"), r.getAs[Double]("ci_lo"),
+        r.getAs[Double]("ci_hi"))
+    }
+    val (m1, lo1, hi1) = ci(200)
+    assert(lo1 <= m1 && m1 <= hi1, s"interval must bracket the mean: $lo1 $m1 $hi1")
+    assert(hi1 > lo1, "nonzero width")
+    val (_, lo2, hi2) = ci(3200)
+    assert(hi2 - lo2 < hi1 - lo1,
+      s"16x data must narrow the interval: ${hi1 - lo1} -> ${hi2 - lo2}")
+    // deterministic under partitioning
+    val a = Profiler.bootstrapMeanCi(frame(200).repartition(7), Seq("g"), "v",
+      col("id")).head()
+    val b = Profiler.bootstrapMeanCi(frame(200).coalesce(1), Seq("g"), "v",
+      col("id")).head()
+    assert(a.getAs[Double]("ci_lo") == b.getAs[Double]("ci_lo") &&
+      a.getAs[Double]("ci_hi") == b.getAs[Double]("ci_hi"))
+  }
+
   test("markovAttribution: removal effect credits the load-bearing channel") {
     import spark.implicits._
     def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-06-01 10:$m%02d:00")
