@@ -6171,21 +6171,30 @@ object SparkEntry {
     // means via decimal sums; same rank-based interval picks
     "x172_bootstrap_ci" -> {
       val cuts = graft.x.Profiler.poissonCutoffs20
+      val m31 = graft.functions.PortableHash.M31
+      val ka = graft.functions.PortableHash.KnuthA
+      val lb = graft.functions.PortableHash.LcgB
       val wCase = "CASE " + cuts.zipWithIndex
         .map { case (c, k) => s"WHEN u < ${c}" + s" THEN $k" }
         .mkString(" ") + s" ELSE ${cuts.length} END"
       s"""
       WITH ex AS (
-        SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        SELECT l_returnflag,
+          CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
           ${polySql("CAST(l_orderkey AS VARCHAR) || ':' || " +
-            "CAST(l_linenumber AS VARCHAR) || ':boot:' || CAST(r.rep AS VARCHAR)")}
-            % ${1L << 20} AS u,
+            "CAST(l_linenumber AS VARCHAR) || ':boot'")}
+            % $m31 AS h,
           r.rep
         FROM lineitem CROSS JOIN RANGE(32) r(rep)),
-      wts AS (SELECT l_returnflag, x, rep, $wCase AS w FROM ex),
+      us AS (
+        SELECT l_returnflag, x, rep,
+          ((((rep + 1) * $ka) % $m31) * h + (((rep + 1) * $lb) % $m31))
+            % $m31 % ${1L << 20} AS u
+        FROM ex),
+      wts AS (SELECT l_returnflag, x, rep, $wCase AS w FROM us),
       means AS (
         SELECT l_returnflag, rep,
-          CAST(SUM(x * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+          CAST(SUM(x * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100.0 AS m
         FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0),
       ranked AS (
         SELECT l_returnflag, m, rep,

@@ -474,23 +474,35 @@ object Profiler {
     require(reps >= 8 && reps <= 256, s"reps $reps outside [8,256]")
     val cuts = Profiler.poissonCutoffs20
     val rep = col("__rep")
-    val u = pmod(graft.functions.PolyHash56(
-      concat(col("__id"), lit(":" + salt + ":"), rep.cast("string"))),
-      lit(1L << 20))
+    // ONE string hash per row; per-replica draws derive via PortableHash
+    // universal affine transforms mod 2^31−1 (the minhash-permutation
+    // discipline) — 32 integer ops instead of 32 string hashes, and the
+    // ≤0.05% modulo bias of the final 2^20 fold is far below bootstrap
+    // noise
+    val M31 = graft.functions.PortableHash.M31
+    val aRep = pmod((rep + 1) * lit(graft.functions.PortableHash.KnuthA), lit(M31))
+    val bRep = pmod((rep + 1) * lit(graft.functions.PortableHash.LcgB), lit(M31))
+    val u = pmod(pmod(aRep * col("__h") + bRep, lit(M31)), lit(1L << 20))
     // when-chains evaluate the FIRST true branch, so fold from the
     // largest cutoff down to leave "u < cuts(0) -> 0" outermost
     val wOrdered = cuts.zipWithIndex.reverse
       .foldLeft(lit(cuts.length): Column) { case (acc, (c, k)) =>
         when(u < c, lit(k)).otherwise(acc) }
+    // hot path stays integer end-to-end: values quantize to exact cents
+    // (one decimal cast per ROW, not per replica term), weighted sums are
+    // BIGINT, and the only doubles are the final per-replica divisions
     val exploded = df
-      .select((groupCols.map(col) :+ col(valueCol).cast("decimal(18,2)").as("__x")
-        :+ idExpr.cast("string").as("__id")): _*)
+      .select((groupCols.map(col)
+        :+ (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("__x")
+        :+ pmod(graft.functions.PolyHash56(
+          concat(idExpr.cast("string"), lit(":" + salt))), lit(M31)).as("__h")): _*)
       .withColumn("__rep", explode(expr(s"sequence(0, ${reps - 1})")))
       .withColumn("__w", wOrdered.cast("long"))
     val means = exploded.groupBy((groupCols.map(col) :+ rep): _*)
       .agg(sum(col("__x") * col("__w")).as("__ws"), sum("__w").as("__n"))
       .filter(col("__n") > 0)
-      .withColumn("__m", col("__ws").cast("double") / col("__n").cast("double"))
+      .withColumn("__m", col("__ws").cast("double") / col("__n").cast("double")
+        / lit(100.0))
     val gw = if (groupCols.isEmpty) Window.partitionBy(lit(1))
       else Window.partitionBy(groupCols.map(col): _*)
     val loRank = math.max(1, math.ceil(reps * 0.05).toInt)
