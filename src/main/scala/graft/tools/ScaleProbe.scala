@@ -985,6 +985,56 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // Bootstrap CI: rows inflate ×k, replicas fixed at 32 — per-row cost
+    // is one string hash + 32 integer draws, so time should be linear
+    // with a flat per-row constant, and the interval should narrow ~1/√k.
+    if (on("bootstrap")) Seq(1, 4, 16).foreach { k =>
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val inflated = (0 until k).map(i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val t0 = System.nanoTime()
+      val row = graft.x.Profiler.bootstrapMeanCi(inflated, Seq("l_returnflag"),
+          "l_quantity",
+          concat(col("l_orderkey"), lit(":"), col("l_linenumber")), reps = 32)
+        .filter(col("l_returnflag") === "A").head()
+      val width = row.getAs[Double]("ci_hi") - row.getAs[Double]("ci_lo")
+      println(f"[scale-bootstrap] rows=$n%8d  " +
+        f"time=${(System.nanoTime() - t0) / 1e9}%6.2fs  ci_width=$width%.6f")
+      spark.catalog.clearCache()
+    }
+
+    // MMR: queries inflate ×k, candidate pool fixed at 12 — the operator
+    // is ONE query-keyed shuffle; time should stay flat while work grows
+    // linearly in queries (the greedy runs in registers per group).
+    if (on("mmr")) Seq(1, 4, 16).foreach { k =>
+      val emb2 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val corpus = emb2.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val qs = (0 until k).map(i =>
+        emb2.filter(col("vec_id") >= 400)
+          .select((col("vec_id") + lit(i.toLong * 1000000L)).as("q_id"),
+            col("embedding").as("__qv")))
+        .reduce(_ unionByName _).localCheckpoint(true)
+      val nq = qs.count()
+      val scored = corpus.crossJoin(broadcast(qs))
+        .withColumn("rel", graft.functions.VectorFunctions
+          .dotProduct(col("embedding"), col("__qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("rel").desc, col("id"))
+      val cands = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 12)
+        .select(col("q_id"), col("id"), col("rel"), col("embedding"))
+        .repartition(32).localCheckpoint(true) // time the MMR, not stage 1
+      val t0 = System.nanoTime()
+      val picks = graft.x.Similarity.mmrSelect(cands, "q_id", "id", "rel",
+        "embedding", k = 5, lambda = 0.7).count()
+      println(f"[scale-mmr] queries=$nq%6d  " +
+        f"time=${(System.nanoTime() - t0) / 1e9}%6.2fs  picks=$picks")
+      spark.catalog.clearCache()
+    }
+
     if (on("lsh")) factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus
