@@ -1036,6 +1036,17 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // top pre-conversion paths with per-path conversion rates — the
+    // qualitative companion to x171's removal effects, same absorption
+    // rule, deterministic (users DESC, path) top-N cut
+    "x173_conversion_paths" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.conversionPaths(s.table("events"), "user_id", "ts",
+          "event_id", "event_type", convType = "purchase",
+          maxLen = 4, topN = 15)
+        .orderBy(col("users").desc, col("path"))
+    }),
+
     // deterministic Poisson bootstrap: resampling as ONE pass of exact
     // integer hash-weights — the error bar a sampled metric should
     // carry, replayable down to the resampling plan itself
@@ -6166,6 +6177,32 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // same path construction as x171's CTEs, list-ordered path strings,
+    // same deterministic top-N cut
+    "x173_conversion_paths" -> """
+      WITH ranked AS (
+        SELECT user_id, event_type AS t,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+        FROM events),
+      fp AS (SELECT user_id, MIN(r) AS fpr FROM ranked
+             WHERE t = 'purchase' GROUP BY 1),
+      per_user AS (
+        SELECT k.user_id, (MAX(f.fpr) IS NOT NULL) AS conv,
+          array_to_string(list(k.t ORDER BY k.r)[1:4], '>') AS path
+        FROM ranked k LEFT JOIN fp f USING (user_id)
+        WHERE f.fpr IS NULL OR k.r < f.fpr
+        GROUP BY k.user_id),
+      direct AS (
+        SELECT user_id, TRUE AS conv, '(direct)' AS path FROM fp
+        WHERE user_id NOT IN (SELECT user_id FROM per_user)),
+      allp AS (SELECT * FROM per_user UNION ALL SELECT * FROM direct)
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS users,
+        CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS conversions,
+        CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS cvr
+      FROM allp GROUP BY path
+      ORDER BY users DESC, path LIMIT 15""",
 
     // same portable hash → same integer cutoffs → same weights; replica
     // means via decimal sums; same rank-based interval picks

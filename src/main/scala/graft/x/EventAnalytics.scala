@@ -219,6 +219,44 @@ object EventAnalytics {
           .otherwise(lit(0.0)).as("attribution_share"))
   }
 
+  /** Top pre-conversion paths: each user's journey truncated at the
+    * FIRST `convType` event (the same absorption rule as
+    * [[markovAttribution]]), reduced to its first `maxLen` touchpoints,
+    * and ranked by traffic with the per-path conversion rate — the
+    * path-mining table behind every "which journeys convert" dashboard
+    * and the qualitative companion to the removal-effect numbers.
+    * Deterministic: paths build from (ts, id)-sorted arrays; the top-N
+    * cut orders by (users DESC, path). One user-keyed shuffle + one
+    * path rollup. */
+  def conversionPaths(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, convType: String,
+      maxLen: Int = 5, topN: Int = 20): DataFrame = {
+    require(maxLen >= 1 && topN >= 1, "maxLen and topN must be >= 1")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val ranked = events.select(col(userCol), col(typeCol).as("__t"),
+      row_number().over(w).as("__r"))
+    val fp = ranked.filter(col("__t") === convType)
+      .groupBy(col(userCol)).agg(min("__r").as("__fpr"))
+    val perUser = ranked.join(fp, Seq(userCol), "left")
+      .filter(col("__fpr").isNull || col("__r") < col("__fpr"))
+      .groupBy(col(userCol))
+      .agg(max(col("__fpr").isNotNull).as("__conv"),
+        expr(s"""array_join(slice(transform(
+            sort_array(collect_list(struct(__r, __t))), e -> e.__t),
+          1, $maxLen), '>')""").as("path"))
+    // purchase-first users have no pre-conversion rows at all
+    val direct = fp.join(perUser.select(col(userCol)), Seq(userCol), "left_anti")
+      .select(col(userCol), lit(true).as("__conv"), lit("(direct)").as("path"))
+    perUser.unionByName(direct)
+      .groupBy("path")
+      .agg(count(lit(1)).cast("long").as("users"),
+        sum(when(col("__conv"), 1L).otherwise(0L)).cast("long").as("conversions"))
+      .withColumn("cvr",
+        col("conversions").cast("double") / col("users").cast("double"))
+      .orderBy(col("users").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Kaplan–Meier survival estimate (Kaplan & Meier 1958) over user
     * lifetimes — the churn curve computed the RIGHT way: users still
     * active at the observation horizon are CENSORED (they contribute

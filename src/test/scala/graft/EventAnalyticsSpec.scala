@@ -294,6 +294,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       s"'spam' earns nothing: $got")
   }
 
+  test("conversionPaths: absorption at first conversion, direct bucket, cvr") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-06-01 10:$m%02d:00")
+    val ev = Seq(
+      // two users: view>click then buy; one user: view>click, no buy
+      (1L, t(0), 1L, "view"), (1L, t(1), 2L, "click"), (1L, t(2), 3L, "buy"),
+      (2L, t(0), 4L, "view"), (2L, t(1), 5L, "click"), (2L, t(2), 6L, "buy"),
+      (3L, t(0), 7L, "view"), (3L, t(1), 8L, "click"),
+      // purchase-first user → "(direct)"
+      (4L, t(0), 9L, "buy"),
+      // post-conversion events must NOT extend the path
+      (1L, t(5), 10L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.conversionPaths(ev, "user_id", "ts", "event_id",
+        "event_type", convType = "buy")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got("view>click") == ((3L, 2L, 2.0 / 3.0)), s"$got")
+    assert(got("(direct)") == ((1L, 1L, 1.0)), s"$got")
+    assert(got.size == 2, s"unexpected paths: $got")
+  }
+
   test("kaplanMeier: censoring keeps at-risk mass that naive averaging drops") {
     import spark.implicits._
     // 4 events at t=1 (of 10 at risk), 2 at t=2 (of 6 at risk after 4
