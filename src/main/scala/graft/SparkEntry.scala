@@ -1036,6 +1036,24 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // EXACT 7-day rolling distinct users from the daily bitmap store —
+    // x138's HLL answers made lossless: day d ORs the word rows of
+    // [d−6, d] (≤ 7·universe/64 rows per day), popcount sums the truth
+    "x174_bitmap_rolling_distinct" -> ((s, dir) => {
+      reg(s, dir)
+      val ev = s.table("events").withColumn("day", to_date(col("ts")))
+      val words = Sketches.bitmapWords(ev, Seq("day"), "user_id")
+      val days = words.select(col("day").as("d")).distinct()
+      val rolled = days.join(words,
+          col("day") <= col("d") && col("day") >= date_sub(col("d"), 6))
+        .groupBy(col("d"), col("__w"))
+        .agg(expr("bit_or(__bits)").as("__bits"))
+      Sketches.bitmapDistinct(rolled, Seq("d"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("distinct_cnt").as("rolling_users"), col("n_words"))
+        .orderBy("day")
+    }),
+
     // top pre-conversion paths with per-path conversion rates — the
     // qualitative companion to x171's removal effects, same absorption
     // rule, deterministic (users DESC, path) top-N cut
@@ -6177,6 +6195,22 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // independent truth: exact trailing-window COUNT(DISTINCT) via the
+    // same 7-day range join over raw (day, user) pairs; n_words from
+    // the word-level OR replayed
+    "x174_bitmap_rolling_distinct" -> """
+      WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      days AS (SELECT DISTINCT day AS dd FROM d),
+      ex AS (SELECT days.dd, CAST(COUNT(DISTINCT t.user_id) AS BIGINT) AS rolling_users
+             FROM days JOIN d t ON t.day <= days.dd AND t.day >= days.dd - 6
+             GROUP BY 1),
+      w AS (SELECT days.dd, t.user_id // 64 AS wrd
+            FROM days JOIN d t ON t.day <= days.dd AND t.day >= days.dd - 6
+            GROUP BY 1, 2),
+      nw AS (SELECT dd, CAST(COUNT(*) AS BIGINT) AS n_words FROM w GROUP BY 1)
+      SELECT STRFTIME(ex.dd, '%Y-%m-%d') AS day, ex.rolling_users, nw.n_words
+      FROM ex JOIN nw USING (dd) ORDER BY day""",
 
     // same path construction as x171's CTEs, list-ordered path strings,
     // same deterministic top-N cut
