@@ -340,6 +340,74 @@ object StreamingJobs {
       }
   }
 
+  final case class CusumState(days: Map[Int, Long])
+  final case class CusumSnapshot(series: String, day: String, x: Double,
+    sPlus: Double, sMinus: Double, alarm: Boolean)
+
+  /** Streaming CUSUM monitor — the live sibling of
+    * [[graft.x.EventAnalytics.cusumChangepoints]], run the way production
+    * CUSUM is actually deployed: `muRef`/`sigmaRef` are CALIBRATED ON
+    * HISTORY (the batch op's in-sample moments over a stable period) and
+    * the stream is judged against that frozen reference — re-estimating μ
+    * on the monitored window would let a slow drift recalibrate itself
+    * invisible. State per series is the day→cents map ([[statefulEwma]]'s
+    * representation; daily series stay tiny), so late events fold into
+    * their day and every touched day re-emits its corrected statistic.
+    * The fold is bit-identical to the batch op's (cents→double, the same
+    * IEEE sequence), so a backfill reproduces exactly what the monitor
+    * emitted. */
+  def statefulCusum(spark: SparkSession, events: DataFrame, seriesCol: String,
+      tsCol: String, valueCol: String, refs: Map[String, (Double, Double)],
+      kSigma: Double = 0.5, hSigma: Double = 4.0):
+      org.apache.spark.sql.Dataset[CusumSnapshot] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col(seriesCol).cast("string"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date")).as("d"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Int, Long)],
+         state: GroupState[CusumState]) =>
+          val days = scala.collection.mutable.HashMap.empty[Int, Long] ++
+            state.getOption.map(_.days).getOrElse(Map.empty)
+          val touched = scala.collection.mutable.TreeSet.empty[Int]
+          rows.foreach { case (_, d, c) =>
+            days(d) = days.getOrElse(d, 0L) + c
+            touched += d
+          }
+          val ref = refs.get(series)
+          if (days.isEmpty || ref.isEmpty) Iterator.empty
+          else {
+            val (muRef, sigmaRef) = ref.get
+            state.update(CusumState(days.toMap))
+            val sorted = days.toSeq.sortBy(_._1)
+            def round6(v: Double): Double =
+              BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            // a touched day can correct every LATER day's statistic too;
+            // re-emit from the earliest touched day forward
+            val from = touched.min
+            var sp = 0.0
+            var sm = 0.0
+            val out = scala.collection.mutable.ArrayBuffer.empty[CusumSnapshot]
+            sorted.foreach { case (d, cents) =>
+              val x = cents / 100.0
+              sp = math.max(0.0, sp + (x - muRef) - kSigma * sigmaRef)
+              sm = math.max(0.0, sm + -(x - muRef) - kSigma * sigmaRef)
+              if (d >= from)
+                out += CusumSnapshot(series,
+                  java.time.LocalDate.ofEpochDay(d.toLong).toString, x,
+                  round6(sp), round6(sm),
+                  sp > hSigma * sigmaRef || sm > hSigma * sigmaRef)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Run any transformed stream into the batch sink machinery per
     * micro-batch — this is how scdType2Insert works in streaming mode. */
   def startForeachBatch(stream: DataFrame, sink: SinkSpec,

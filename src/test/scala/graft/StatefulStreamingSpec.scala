@@ -240,6 +240,52 @@ class StatefulStreamingSpec extends AnyFunSuite {
       "streamed EWMA must reproduce the batch EWMA for every (series, day)")
   }
 
+  test("statefulCusum reproduces the batch CUSUM under its calibration") {
+    import spark.implicits._
+    val batchDf = spark.read.parquet(eventsDir)
+    // per-series reference moments computed EXACTLY like the batch op
+    val refs = batchDf
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+      .groupBy("event_type")
+      .agg(sum(col("v").cast("decimal(28,6)")).as("sx"),
+        sum((col("v") * col("v")).cast("decimal(28,6)")).as("sxx"),
+        count(lit(1)).as("n"))
+      .collect().map { r =>
+        val n = r.getLong(3).toDouble
+        val mu = r.getDecimal(1).doubleValue() / n
+        val varx = r.getDecimal(2).doubleValue() / n - mu * mu
+        r.getString(0) -> ((mu, math.sqrt(math.max(varx, 0.0))))
+      }.toMap
+    val stream = StreamingJobs.fileStream(spark, eventsDir, batchDf.schema,
+      maxFilesPerTrigger = 1)
+    val snaps = StreamingJobs.statefulCusum(spark, stream, "event_type", "ts",
+      "value", refs)
+    val q = snaps.writeStream.outputMode("update")
+      .format("memory").queryName("stateful_cusum").start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.table("stateful_cusum")
+    assert(emitted.count() > 0)
+    // files replay in event-time order, so per (series, day) the emission
+    // carrying the day's COMPLETE total (max x) is the final statistic
+    val lastPerDay = emitted.groupBy("series", "day")
+      .agg(max_by(struct(col("x"), col("sPlus"), col("sMinus")), col("x")).as("f"))
+      .select(col("series").as("event_type"), col("day"),
+        col("f.sPlus").as("s_plus_s"), col("f.sMinus").as("s_minus_s"))
+    // the batch op uses its own in-sample moments — identical to `refs`
+    // by construction, so the trajectories must agree bit-for-bit
+    val ref = graft.x.EventAnalytics
+      .cusumChangepoints(batchDf, "ts", "event_type", "value")
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("s_plus"), col("s_minus"))
+    val joined = lastPerDay.join(ref, Seq("event_type", "day"))
+    assert(joined.count() == ref.count(), "every batch day must be streamed")
+    val diffs = joined.filter(col("s_plus_s") =!= col("s_plus") ||
+      col("s_minus_s") =!= col("s_minus"))
+    assert(diffs.count() == 0,
+      s"stream/batch divergence: ${diffs.take(3).mkString(", ")}")
+  }
+
   test("sql file path works as a transformation step (spark.json:57)") {
     val tmp = Files.createTempDirectory("graft-sqlfile").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/step.sql"),
