@@ -1036,6 +1036,35 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // the HDR persist-and-merge pattern as an oracle row (x128's shape
+    // for histograms): per-day bucket rows count-sum into the full
+    // period and must answer the same quantiles as the direct sketch
+    "x175_hdr_daily_merge" -> ((s, dir) => {
+      reg(s, dir)
+      val ev = s.table("events")
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("v", floor(col("value") * 100))
+      val daily = Sketches.hdrHistogram(ev, Seq("event_type", "day"), "v", p = 5)
+      val merged = Sketches.hdrMerge(daily.drop("day"), Seq("event_type"))
+      Sketches.hdrQuantiles(merged, Seq("event_type"),
+          Seq("0.5", "0.9", "0.99"), p = 5)
+        .select(col("event_type"), col("q"), col("n"),
+          col("q_value").cast("long").as("q_value"))
+        .orderBy("event_type", "q")
+    }),
+
+    // t-closeness audit (Li et al. 2007) — the distribution-leak check
+    // k-anonymity and l-diversity miss: a quasi-group whose SENSITIVE
+    // distribution diverges from the global one leaks even when large
+    // and diverse. Ordered EMD in EXACT cross-multiplied integers; one
+    // IEEE division per group at the end
+    "x176_t_closeness" -> ((s, dir) => {
+      reg(s, dir)
+      Privacy.tClosenessAudit(s.table("customer"), Seq("c_mktsegment"),
+          "c_nationkey", threshold = 0.15)
+        .orderBy("c_mktsegment")
+    }),
+
     // EXACT 7-day rolling distinct users from the daily bitmap store —
     // x138's HLL answers made lossless: day d ORs the word rows of
     // [d−6, d] (≤ 7·universe/64 rows per day), popcount sums the truth
@@ -6195,6 +6224,64 @@ object SparkEntry {
     // running greatest; pick via ROW_NUMBER (score DESC, id) = the
     // engine's struct-argmax tie-break
     "x149_mmr_diversify" -> mmrOracleSql(k = 5, lambda = 0.7),
+
+    // merge is count-sum lossless, so the oracle answers from the
+    // DIRECT full-period sketch (x151's bucket arithmetic on cents)
+    "x175_hdr_daily_merge" -> """
+      WITH v AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v
+                 FROM events WHERE FLOOR(value * 100) >= 0),
+      bk AS (SELECT event_type,
+               CASE WHEN v < 64 THEN v
+               ELSE CAST(length(bin(v)) - 1 - 5 AS BIGINT) * 32
+                    + (v >> (length(bin(v)) - 1 - 5)) END AS b
+             FROM v),
+      h AS (SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM bk GROUP BY 1, 2),
+      c AS (SELECT event_type, b, cnt,
+              SUM(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+              SUM(cnt) OVER (PARTITION BY event_type) AS n
+            FROM h),
+      qs AS (SELECT UNNEST(['0.5', '0.9', '0.99']) AS q),
+      pick AS (SELECT event_type, q, MIN(b) AS b, MAX(n) AS n
+               FROM c CROSS JOIN qs
+               WHERE cum >= CEIL(CAST(q AS DECIMAL(10,6)) * n)
+               GROUP BY 1, 2)
+      SELECT event_type, q, CAST(n AS BIGINT) AS n,
+        CAST(CASE WHEN b < 64 THEN b
+             ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
+          AS q_value
+      FROM pick ORDER BY event_type, q""",
+
+    // cross-multiplied integer EMD replayed with the same cumulative
+    // window; the flag compares the UNROUNDED t on both engines
+    "x176_t_closeness" -> """
+      WITH g AS (SELECT c_nationkey AS v, CAST(COUNT(*) AS BIGINT) AS gc
+                 FROM customer GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+      mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM g),
+      sizes AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS ng
+                FROM customer GROUP BY 1),
+      grpc AS (SELECT c_mktsegment, c_nationkey AS v,
+                 CAST(COUNT(*) AS BIGINT) AS c
+               FROM customer GROUP BY 1, 2),
+      f AS (SELECT s.c_mktsegment, s.ng, g.v, g.gc,
+              COALESCE(grpc.c, 0) AS c
+            FROM sizes s CROSS JOIN g
+            LEFT JOIN grpc ON grpc.c_mktsegment = s.c_mktsegment AND grpc.v = g.v),
+      r AS (SELECT c_mktsegment, ng,
+              SUM(c * (SELECT n FROM tot) - gc * ng)
+                OVER (PARTITION BY c_mktsegment ORDER BY v) AS r
+            FROM f),
+      sagg AS (SELECT c_mktsegment, ng,
+                 CAST(SUM(ABS(r)) AS DECIMAL(38,0)) AS s
+               FROM r GROUP BY 1, 2),
+      tv AS (SELECT c_mktsegment, ng,
+               CAST(s AS DOUBLE) / CAST((SELECT m FROM mm) - 1 AS DOUBLE)
+                 / CAST(ng * (SELECT n FROM tot) AS DOUBLE) AS t
+             FROM sagg)
+      SELECT c_mktsegment, ng AS n_rows, ROUND(t, 6) AS t,
+        (t <= 0.15) AS t_ok
+      FROM tv ORDER BY c_mktsegment""",
 
     // independent truth: exact trailing-window COUNT(DISTINCT) via the
     // same 7-day range join over raw (day, user) pairs; n_words from

@@ -51,4 +51,49 @@ object Privacy {
         count_distinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("l_ok", col("n_sensitive") >= l)
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the leak
+    * [[kAnonymize]] and [[lDiversityAudit]] both miss: a quasi-group can
+    * be large AND diverse yet still reveal that its members skew toward
+    * particular sensitive values. The group-vs-global divergence is the
+    * ordered Earth Mover's Distance over the sensitive domain,
+    *
+    *   t_g = (1/(m−1)) · Σᵢ |Rᵢ|,   Rᵢ = Σ_{j≤i} (p_j − q_j)
+    *
+    * computed in EXACT cross-multiplied integers: Rᵢ·(n_g·N) =
+    * Σ_{j≤i} (c_gj·N − C_j·n_g), accumulated as DECIMAL(38,0) (headroom
+    * to ~10¹⁹-row tables), so the flags cannot wobble across engines —
+    * the last step is one fixed IEEE chain per group.
+    *
+    * Shape: one global value histogram (broadcast — sensitive domains
+    * are small by definition), one (quasi, value) count, a groups ×
+    * values completion join, one cumulative window over ≤ m rows per
+    * group. */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, threshold: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "tClosenessAudit needs quasi-identifier columns")
+    require(threshold > 0 && threshold < 1, s"threshold $threshold outside (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val glob = df.groupBy(col(sensitiveCol).as("__v")).agg(count(lit(1)).as("__gcnt"))
+    val nTot = df.count()
+    val m = glob.count()
+    require(m >= 2, "t-closeness needs at least two sensitive values")
+    val grp = df.groupBy((quasiCols.map(col) :+ col(sensitiveCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val sizes = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__ng"))
+    val w = Window.partitionBy(quasiCols.map(col): _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val t = sizes.crossJoin(broadcast(glob))
+      .join(grp, quasiCols :+ "__v", "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+      .withColumn("__r", sum(
+        (col("__c") * nTot - col("__gcnt") * col("__ng")).cast("decimal(38,0)"))
+        .over(w))
+      .groupBy((quasiCols.map(col) :+ col("__ng")): _*)
+      .agg(sum(abs(col("__r"))).cast("decimal(38,0)").as("__S"))
+      .withColumn("t", col("__S").cast("double") / lit((m - 1).toDouble) /
+        (col("__ng") * lit(nTot)).cast("double"))
+    t.select((quasiCols.map(col) :+ col("__ng").cast("long").as("n_rows") :+
+      round(col("t"), 6).as("t") :+ (col("t") <= threshold).as("t_ok")): _*)
+  }
 }

@@ -246,6 +246,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(again === out)
   }
 
+  test("tCloseness flags a skewed quasi-group that k-anon and l-div pass") {
+    import spark.implicits._
+    // group A mirrors the global 50/50 split; group B is 45/5 — large
+    // (k-anonymous) and diverse (2 sensitive values) yet skewed
+    val rows =
+      (1 to 25).map(i => ("A", 0)) ++ (1 to 25).map(i => ("A", 1)) ++
+      (1 to 45).map(i => ("B", 0)) ++ (1 to 5).map(i => ("B", 1))
+    val df = rows.toDF("seg", "sensitive")
+    val got = graft.x.Privacy.tClosenessAudit(df, Seq("seg"), "sensitive", 0.15)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    // global q = (0.7, 0.3); with m=2 the EMD/(m−1) reduces to |p0−q0|:
+    // A p = (0.5, 0.5) → t = 0.2; B p = (0.9, 0.1) → t = 0.2
+    assert(math.abs(got("A")._1 - 0.2) < 1e-9, s"$got")
+    assert(math.abs(got("B")._1 - 0.2) < 1e-9, s"$got")
+    assert(!got("A")._2 && !got("B")._2)
+    // a group matching the global distribution has t = 0 and passes
+    val df2 = rows.toDF("seg", "sensitive")
+      .union(Seq.fill(35)(("C", 0)).toDF("seg", "sensitive"))
+      .union(Seq.fill(15)(("C", 1)).toDF("seg", "sensitive"))
+    val g2 = graft.x.Privacy.tClosenessAudit(df2, Seq("seg"), "sensitive", 0.15)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(g2("C")._1 == 0.0 && g2("C")._2, s"$g2")
+  }
+
   test("bootstrapMeanCi: interval brackets the mean and narrows with n") {
     import spark.implicits._
     def frame(n: Int) = (1 to n)
