@@ -1053,6 +1053,16 @@ object SparkEntry {
         .orderBy("event_type", "q")
     }),
 
+    // RFM segmentation: exact equal-count tiling by the DISTRIBUTED
+    // global rank (no single-partition NTILE window anywhere); scores
+    // 1..5 higher=better, standard marketing labels from the triple
+    "x177_rfm_segments" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.rfmSegments(s.table("orders"), "o_custkey",
+          "o_orderdate", "o_totalprice", asOf = "1998-12-31")
+        .orderBy("id")
+    }),
+
     // t-closeness audit (Li et al. 2007) — the distribution-leak check
     // k-anonymity and l-diversity miss: a quasi-group whose SENSITIVE
     // distribution diverges from the global one leaks even when large
@@ -6251,6 +6261,38 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // same metric triple, same rank-tile formula (ROW_NUMBER replays the
+    // engine's (metric, id) total order), same CASE ladder
+    "x177_rfm_segments" -> """
+      WITH base AS (
+        SELECT o_custkey AS id,
+          CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+            DATE '1998-12-31') AS BIGINT) AS r_days,
+          CAST(COUNT(*) AS BIGINT) AS freq,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        FROM orders GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+      r AS (SELECT id, CAST(1 + ((ROW_NUMBER() OVER
+               (ORDER BY r_days DESC, id DESC)) - 1) * 5 // n.n AS INT)
+               AS r_score FROM base, n),
+      f AS (SELECT id, CAST(1 + ((ROW_NUMBER() OVER
+               (ORDER BY freq ASC, id ASC)) - 1) * 5 // n.n AS INT)
+               AS f_score FROM base, n),
+      mo AS (SELECT id, CAST(1 + ((ROW_NUMBER() OVER
+               (ORDER BY m ASC, id ASC)) - 1) * 5 // n.n AS INT)
+               AS m_score FROM base, n)
+      SELECT b.id, b.r_days, b.freq, CAST(b.m AS DOUBLE) AS monetary,
+        r.r_score, f.f_score, mo.m_score,
+        CASE WHEN r.r_score >= 4 AND f.f_score >= 4 AND mo.m_score >= 4
+               THEN 'champion'
+             WHEN r.r_score >= 4 AND f.f_score >= 3 THEN 'loyal'
+             WHEN mo.m_score >= 4 AND r.r_score >= 3 THEN 'big_spender'
+             WHEN r.r_score <= 2 AND f.f_score >= 3 THEN 'at_risk'
+             WHEN r.r_score <= 2 AND f.f_score <= 2 THEN 'hibernating'
+             ELSE 'regular' END AS segment
+      FROM base b JOIN r USING (id) JOIN f USING (id) JOIN mo USING (id)
+      ORDER BY id""",
 
     // cross-multiplied integer EMD replayed with the same cumulative
     // window; the flag compares the UNROUNDED t on both engines

@@ -874,4 +874,59 @@ object EventAnalytics {
           .otherwise(col("__first")))
       .drop("__wsum", "__first")
   }
+
+  /** RFM customer segmentation (Hughes 1994): recency / frequency /
+    * monetary quantile scores (1..`tiles`, higher = better) plus the
+    * standard marketing segment labels — the canonical churn/value
+    * slicing run over an order or event log.
+    *
+    * Scoring is EXACT equal-count tiling by global rank, not NTILE over
+    * a global window: each metric's rank comes from
+    * [[Dedup.globalRowNumber]] (range-partition → per-partition
+    * row_number → broadcast per-partition offsets), so no
+    * single-partition sort exists at any scale. The tile is
+    * `1 + (rank−1)·tiles div n` with ties broken by (metric, id) — a
+    * total order, so scores are layout- and engine-invariant (the
+    * NTILE remainder rule differs; this formula is its replayable
+    * sibling, same ±1-row tile balance).
+    *
+    * Shape at 100 TB: one id-keyed aggregate collapses the log to one
+    * row per customer; then per metric one range shuffle over those
+    * slim rows and a parts-sized offset broadcast; three id-keyed
+    * equi-joins reassemble (AQE-friendly; customer rows, not events). */
+  def rfmSegments(orders: DataFrame, idCol: String, tsCol: String,
+      valueCol: String, asOf: String, tiles: Int = 5,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    require(tiles >= 2 && tiles <= 100, s"tiles must be in [2,100], got $tiles")
+    val base = staging.stage(
+      orders.groupBy(col(idCol).cast("long").as("id"))
+        .agg(
+          datediff(lit(asOf).cast("date"), max(to_date(col(tsCol))))
+            .cast("long").as("r_days"),
+          count(lit(1)).cast("long").as("freq"),
+          sum(col(valueCol).cast("decimal(18,2)")).as("__m")),
+      "rfm-base")
+    val n = base.count()
+    require(n > 0, "rfmSegments needs at least one customer")
+    // higher score = better: rank ascending-by-badness so rank 1 lands in
+    // tile 1 (worst) and rank n in tile `tiles` (best)
+    def scoreOf(order: Seq[Column], name: String): DataFrame =
+      Dedup.globalRowNumber(base, order, staging)
+        .select(col("id"),
+          expr(s"CAST(1 + ((rank - 1) * $tiles) div ${n}L AS INT)").as(name))
+    val r = scoreOf(Seq(col("r_days").desc, col("id").desc), "r_score")
+    val f = scoreOf(Seq(col("freq").asc, col("id").asc), "f_score")
+    val m = scoreOf(Seq(col("__m").asc, col("id").asc), "m_score")
+    base.join(r, Seq("id")).join(f, Seq("id")).join(m, Seq("id"))
+      .select(col("id"), col("r_days"), col("freq"),
+        col("__m").cast("double").as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+          "champion")
+          .when(col("r_score") >= 4 && col("f_score") >= 3, "loyal")
+          .when(col("m_score") >= 4 && col("r_score") >= 3, "big_spender")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("regular").as("segment"))
+  }
 }

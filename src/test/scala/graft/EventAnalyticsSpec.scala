@@ -491,4 +491,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "sym", "ts", "event_id", "value").select("twa", "span_us").head()
     assert(one.getDouble(0) === 7.5 && one.getLong(1) === 0L)
   }
+
+  test("rfmSegments: exact rank tiles, higher=better, label ladder") {
+    // 10 customers, one order each except ids 1-2 (3 orders). Recency
+    // spreads over distinct days so ranks are unambiguous.
+    val rows = (1L to 10L).flatMap { id =>
+      val n = if (id <= 2) 3 else 1
+      (1 to n).map(k => (id, ts(f"2024-01-${id + 10}%02d 10:00:00"),
+        id.toDouble * 100 + k))
+    }
+    val df = rows.toDF("cust", "ots", "price")
+    val out = EventAnalytics.rfmSegments(df, "cust", "ots", "price",
+        asOf = "2024-02-01", tiles = 5)
+      .orderBy("id").collect()
+    assert(out.length === 10)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // id=10 ordered most recently (Jan 21) -> top recency tile
+    assert(byId(10L).getInt(4) === 5, "most recent customer gets r_score 5")
+    assert(byId(1L).getInt(4) === 1, "least recent customer gets r_score 1")
+    // freq: ids 1,2 have 3 orders, everyone else 1 -> they take the top tiles
+    assert(Seq(1L, 2L).map(byId(_).getInt(5)).min >= 4)
+    // monetary ascends with id (price = id*100*count-ish); id 10 high tile
+    assert(byId(10L).getInt(6) === 4 || byId(10L).getInt(6) === 5)
+    // tile balance: exact formula puts 2 customers in each of 5 tiles
+    val fScores = out.map(_.getInt(5)).groupBy(identity).view.mapValues(_.length)
+    assert(fScores.values.toSet === Set(2), s"unbalanced tiles: $fScores")
+    // labels come from the documented CASE ladder
+    val seg1 = byId(1L).getString(7)
+    assert(seg1 === "at_risk", s"id1 (old but frequent) -> at_risk, got $seg1")
+    // partitioning invariance: same result from a different layout
+    val out2 = EventAnalytics.rfmSegments(df.repartition(7), "cust", "ots",
+        "price", asOf = "2024-02-01", tiles = 5)
+      .orderBy("id").collect()
+    assert(out.map(_.toString).toSeq === out2.map(_.toString).toSeq)
+  }
 }
