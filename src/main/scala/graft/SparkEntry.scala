@@ -1053,6 +1053,20 @@ object SparkEntry {
         .orderBy("event_type", "q")
     }),
 
+    // Holt-Winters triple smoothing: x168's Holt plus a 7-slot seasonal
+    // queue — two-period classical init, fold from observation 15;
+    // honest pre-day fitted values, IEEE-identical array-state folds
+    "x178_holt_winters" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.holtWintersForecast(s.table("events"), "ts",
+          "event_type", "value", period = 7)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("x"), col("level"), col("trend"), col("seasonal"),
+          col("fitted"), col("forecast_next"))
+        .orderBy("event_type", "day")
+    }),
+
     // RFM segmentation: exact equal-count tiling by the DISTRIBUTED
     // global rank (no single-partition NTILE window anywhere); scores
     // 1..5 higher=better, standard marketing labels from the triple
@@ -6261,6 +6275,52 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // same two-period init, same fold, same IEEE order: list_reduce
+    // replays the engine's aggregate() left fold element for element
+    "x178_holt_winters" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events GROUP BY 1, 2),
+      g AS (
+        SELECT event_type,
+          list(CAST(v AS DOUBLE) ORDER BY day) AS vs,
+          list(day ORDER BY day) AS ds
+        FROM daily GROUP BY 1 HAVING COUNT(*) >= 15),
+      g2 AS (
+        SELECT event_type, vs, ds,
+          list_reduce(vs[1:7], (a, b) -> a + b) / 7.0 AS a1,
+          list_reduce(vs[8:14], (a, b) -> a + b) / 7.0 AS a2
+        FROM g),
+      g3 AS (
+        SELECT event_type, vs, ds,
+          ([a2, (a2 - a1) / 7.0] || list_transform(range(1, 8),
+            i -> ((vs[i] - a1) + (vs[i + 7] - a2)) / 2.0)) AS ini
+        FROM g2),
+      ex AS (SELECT event_type, vs, ds, ini,
+        UNNEST(RANGE(15, LEN(vs) + 1)) AS i FROM g3),
+      st AS (
+        SELECT event_type, ds, vs, i,
+          list_reduce(list_prepend(ini, list_transform(vs[15:i], x -> [x])),
+            (s, e2) -> [0.25 * (e2[1] - s[3]) + 0.75 * (s[1] + s[2]),
+              0.1 * ((0.25 * (e2[1] - s[3]) + 0.75 * (s[1] + s[2])) - s[1])
+                + 0.9 * s[2]] || s[4:9]
+              || [0.25 * (e2[1] - (0.25 * (e2[1] - s[3])
+                    + 0.75 * (s[1] + s[2]))) + 0.75 * s[3]]) AS cur,
+          list_reduce(list_prepend(ini, list_transform(vs[15:i-1], x -> [x])),
+            (s, e2) -> [0.25 * (e2[1] - s[3]) + 0.75 * (s[1] + s[2]),
+              0.1 * ((0.25 * (e2[1] - s[3]) + 0.75 * (s[1] + s[2])) - s[1])
+                + 0.9 * s[2]] || s[4:9]
+              || [0.25 * (e2[1] - (0.25 * (e2[1] - s[3])
+                    + 0.75 * (s[1] + s[2]))) + 0.75 * s[3]]) AS prev
+        FROM ex)
+      SELECT event_type, STRFTIME(ds[i], '%Y-%m-%d') AS day, vs[i] AS x,
+        ROUND(cur[1], 6) AS level, ROUND(cur[2], 6) AS trend,
+        ROUND(cur[9], 6) AS seasonal,
+        ROUND(prev[1] + prev[2] + prev[3], 6) AS fitted,
+        ROUND(cur[1] + cur[2] + cur[3], 6) AS forecast_next
+      FROM st ORDER BY event_type, day""",
 
     // same metric triple, same rank-tile formula (ROW_NUMBER replays the
     // engine's (metric, id) total order), same CASE ladder

@@ -875,6 +875,82 @@ object EventAnalytics {
       .drop("__wsum", "__first")
   }
 
+  /** Holt–Winters additive triple exponential smoothing (Winters 1960):
+    * level + trend + a `period`-slot seasonal queue,
+    *
+    *   l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ·(x_t − l_t) + (1−γ)·s_{t−m}
+    *
+    * — [[holtForecast]] plus the seasonal component, for series where
+    * the dominant signal is a weekly/daily cycle Holt alone smears.
+    * Init is the classical two-period recipe: A₁/A₂ = the first/second
+    * period means, l₀ = A₂, b₀ = (A₂−A₁)/m, and each seasonal slot the
+    * average of its two de-meaned observations; the fold starts at
+    * observation 2m+1 (series shorter than that are dropped). `fitted`
+    * is the honest one-step-ahead l+b+s from PRE-day state; `seasonal`
+    * is the slot updated by the day's observation.
+    *
+    * Seasons are indexed by OBSERVATION position, not calendar day, so
+    * a gap shifts the phase — the documented contract (the daily agg
+    * emits only days that occurred; run [[interpolateDaily]] first for
+    * calendar alignment). Same engine-replay discipline as
+    * [[holtForecast]]: array-state prefix folds, identical
+    * left-to-right IEEE sequences on both engines, O(days²) per series
+    * in registers. */
+  def holtWintersForecast(events: DataFrame, tsCol: String, seriesCol: String,
+      valueCol: String, period: Int = 7, alpha: Double = 0.25,
+      beta: Double = 0.1, gamma: Double = 0.25): DataFrame = {
+    require(period >= 2 && period <= 366, s"period must be in [2,366], got $period")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1, s"alpha/beta/gamma must be in (0,1)")
+    val m = period
+    val oma = 1.0 - alpha
+    val omb = 1.0 - beta
+    val omg = 1.0 - gamma
+    val daily = events
+      .groupBy(col(seriesCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__v"))
+    val grouped = daily.groupBy(col(seriesCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("__v")))).as("__a"))
+      .filter(size(col("__a")) >= 2 * m + 1)
+    def periodMean(from: Int) =
+      s"(aggregate(slice(__a, $from, $m), 0D, " +
+        s"(acc, e) -> acc + CAST(e.__v AS DOUBLE)) / ${m}.0)"
+    val a1 = periodMean(1)
+    val a2 = periodMean(m + 1)
+    val init =
+      s"""concat(array($a2, ($a2 - $a1) / ${m}.0),
+          transform(sequence(1, $m), i ->
+            ((CAST(element_at(__a, i).__v AS DOUBLE) - $a1)
+              + (CAST(element_at(__a, i + $m).__v AS DOUBLE) - $a2)) / 2.0))"""
+    def newL = s"$alpha * (CAST(e.__v AS DOUBLE) - element_at(s, 3)) " +
+      s"+ $oma * (element_at(s, 1) + element_at(s, 2))"
+    def stateAfter(lenExpr: String): String =
+      s"""aggregate(slice(__a, ${2 * m + 1}, $lenExpr), $init,
+          (s, e) -> concat(
+            array($newL,
+              $beta * (($newL) - element_at(s, 1)) + $omb * element_at(s, 2)),
+            slice(s, 4, ${m - 1}),
+            array($gamma * (CAST(e.__v AS DOUBLE) - ($newL))
+              + $omg * element_at(s, 3))))"""
+    grouped
+      .select(col(seriesCol), col("__a"),
+        explode(expr(s"sequence(${2 * m + 1}, size(__a))")).as("__i"))
+      .withColumn("__cur", expr(stateAfter(s"__i - ${2 * m}")))
+      .withColumn("__prev", expr(stateAfter(s"__i - ${2 * m + 1}")))
+      .select(col(seriesCol),
+        expr("element_at(__a, __i).day").as("day"),
+        expr("CAST(element_at(__a, __i).__v AS DOUBLE)").as("x"),
+        round(expr("element_at(__cur, 1)"), 6).as("level"),
+        round(expr("element_at(__cur, 2)"), 6).as("trend"),
+        round(expr(s"element_at(__cur, ${m + 2})"), 6).as("seasonal"),
+        round(expr("element_at(__prev, 1) + element_at(__prev, 2) " +
+          "+ element_at(__prev, 3)"), 6).as("fitted"),
+        round(expr("element_at(__cur, 1) + element_at(__cur, 2) " +
+          "+ element_at(__cur, 3)"), 6).as("forecast_next"))
+  }
+
   /** RFM customer segmentation (Hughes 1994): recency / frequency /
     * monetary quantile scores (1..`tiles`, higher = better) plus the
     * standard marketing segment labels — the canonical churn/value

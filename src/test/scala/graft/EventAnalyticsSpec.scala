@@ -492,6 +492,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(one.getDouble(0) === 7.5 && one.getLong(1) === 0L)
   }
 
+  test("holtWintersForecast matches a scalar reference fold; learns the cycle") {
+    // 2 seasons of init + 8 folded days; value = trend + period-4 cycle
+    val m = 4
+    val xs = (0 until 16).map(t => 100.0 + 2.0 * t + Seq(10.0, -5.0, 0.0, -5.0)(t % 4))
+    val ev = xs.zipWithIndex.map { case (v, t) =>
+      (t.toLong, ts(f"2024-01-${t + 1}%02d 12:00:00"), "s", v) }
+      .toDF("event_id", "ts", "sym", "value")
+    val out = EventAnalytics.holtWintersForecast(ev, "ts", "sym", "value",
+        period = m, alpha = 0.25, beta = 0.1, gamma = 0.25)
+      .orderBy("day").collect()
+    assert(out.length === 16 - 2 * m)
+    // scalar reference: identical init + fold in plain doubles
+    val a1 = xs.take(m).sum / m
+    val a2 = xs.slice(m, 2 * m).sum / m
+    var l = a2; var b = (a2 - a1) / m
+    var q = (0 until m).map(i => ((xs(i) - a1) + (xs(i + m) - a2)) / 2.0).toVector
+    val got = out.map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(6)))
+    for (t <- 2 * m until 16) {
+      val fitted = l + b + q.head
+      val nl = 0.25 * (xs(t) - q.head) + 0.75 * (l + b)
+      val nb = 0.1 * (nl - l) + 0.9 * b
+      val nq = 0.25 * (xs(t) - nl) + 0.75 * q.head
+      q = q.tail :+ nq; l = nl; b = nb
+      val (gl, gb, gf) = got(t - 2 * m)
+      assert(math.abs(gl - l) < 1e-6 && math.abs(gb - b) < 1e-6 &&
+        math.abs(gf - fitted) < 1e-6, s"t=$t got=($gl,$gb,$gf) exp=($l,$b,$fitted)")
+    }
+    // the one-step fit error shrinks as the seasonal slots converge
+    val errs = out.map(r => math.abs(r.getDouble(6) - r.getDouble(2)))
+    assert(errs.takeRight(4).max < errs.head,
+      s"late fits should beat the first: ${errs.toSeq}")
+  }
+
   test("rfmSegments: exact rank tiles, higher=better, label ladder") {
     // 10 customers, one order each except ids 1-2 (3 orders). Recency
     // spreads over distinct days so ranks are unambiguous.
