@@ -1067,6 +1067,24 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // personalized PageRank: x99's integer fixpoint with the teleport
+    // (and dangling restart) concentrated on a seed set — proximity-to-
+    // seeds scores for related-item recommendation; same staged-edge
+    // no-reshuffle discipline, seed test is a literal IN, never a join
+    "x179_personalized_pagerank" -> ((s, dir) => {
+      reg(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val e = s.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("dst", lead("l_partkey", 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("l_partkey").as("src"), col("dst"))
+      Graph.personalizedPageRank(e, "src", "dst", seeds = Seq(1L, 2L, 3L),
+          iters = 4)
+        .orderBy("node")
+    }),
+
     // RFM segmentation: exact equal-count tiling by the DISTRIBUTED
     // global rank (no single-partition NTILE window anywhere); scores
     // 1..5 higher=better, standard marketing labels from the triple
@@ -3547,6 +3565,27 @@ object SparkEntry {
                 + 85 * (COALESCE(i.s, 0)
                         + (SELECT dm FROM dang$k) // (SELECT n FROM nn))) // 100 AS r
         FROM nodes n LEFT JOIN inc$k i ON n.node = i.node)"""
+    }.mkString(",\n      ")
+
+  /** x179: [[pageRankIterCtes]] with the teleport + dangling restart
+    * concentrated on the seed set (damp fixed at 85, matching the
+    * engine default). `base` = scale div |seeds|. */
+  private def pprIterCtes(iters: Int, seedsSql: String, base: Long, k: Int): String =
+    (1 to iters).map { kk =>
+      s"""dang$kk AS (
+        SELECT COALESCE(SUM(r), 0) AS dm FROM r${kk - 1} p
+        LEFT JOIN od ON p.node = od.src WHERE od.src IS NULL),
+      inc$kk AS (
+        SELECT e.dst AS node, SUM(p.r // od.d) AS s
+        FROM e JOIN r${kk - 1} p ON e.src = p.node JOIN od ON od.src = e.src
+        GROUP BY e.dst),
+      r$kk AS (
+        SELECT n.node,
+               ((CASE WHEN n.node IN $seedsSql THEN ${15L * base} ELSE 0 END)
+                + 85 * (COALESCE(i.s, 0)
+                        + (CASE WHEN n.node IN $seedsSql
+                           THEN (SELECT dm FROM dang$kk) // $k ELSE 0 END))) // 100 AS r
+        FROM nodes n LEFT JOIN inc$kk i ON n.node = i.node)"""
     }.mkString(",\n      ")
 
   /** DuckDB replay of [[graft.functions.PolyHash56]]: identical fold,
@@ -6275,6 +6314,24 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // x99's unrolled-CTE replay with the seeded teleport/restart rule;
+    // same floor-div integer arithmetic, so hashes match exactly
+    "x179_personalized_pagerank" -> s"""
+      WITH e AS (
+        SELECT src, dst FROM (
+          SELECT l_partkey AS src,
+                 LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_linenumber, l_partkey) AS dst
+          FROM lineitem)
+        WHERE dst IS NOT NULL AND src <> dst
+        GROUP BY src, dst),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+      r0 AS (SELECT node, CASE WHEN node IN (1, 2, 3)
+               THEN 333333333 ELSE 0 END AS r FROM nodes),
+      ${pprIterCtes(4, "(1, 2, 3)", 333333333L, 3)}
+      SELECT node, CAST(r AS BIGINT) AS rank_nano FROM r4 ORDER BY node""",
 
     // same two-period init, same fold, same IEEE order: list_reduce
     // replays the engine's aggregate() left fold element for element

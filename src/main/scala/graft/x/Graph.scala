@@ -91,6 +91,73 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (Haveliwala 2002; the random-walk-with-restart
+    * variant of [[pageRank]]): the teleport vector concentrates on
+    * `seeds` instead of spreading uniformly, so rank mass measures
+    * proximity TO THE SEED SET — the standard "related items" /
+    * neighborhood-relevance score (seed = a user's purchases, rank =
+    * recommendation weights; seed = known-spam hosts, rank = spam
+    * proximity a la TrustRank's inverse).
+    *
+    * Same exact integer nano-rank discipline as [[pageRank]] — teleport
+    * `scale div |seeds|` to each seed, dangling mass returns to the
+    * seeds (the walk restarts), floor-div updates over BIGINTs — so
+    * results are bit-identical under any partitioning/engine. Seeds
+    * absent from the graph are dropped (their teleport share too: the
+    * divisor is the REQUESTED distinct seed count, keeping shares
+    * stable as the graph drifts under a fixed seed list).
+    *
+    * Scale shape: identical to [[pageRank]] — edges/nodes/outdeg staged
+    * once, hash-partitioned + sorted on `src`; rounds ≥ 2 never
+    * re-shuffle the edge side; the seed indicator is a literal IN over
+    * a driver-small list, never a join. */
+  def personalizedPageRank(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], iters: Int = 5, dampNum: Long = 85L,
+      scale: Long = 1000000000L,
+      staging: Staging = Staging.LocalCheckpoint): DataFrame = {
+    require(iters >= 1, s"personalizedPageRank needs iters >= 1, got $iters")
+    require(dampNum >= 0 && dampNum <= 100, s"dampNum is a percentage, got $dampNum")
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    require(seeds.size <= 100000, s"seed list is a driver literal; got ${seeds.size}")
+    val seedList = seeds.distinct
+    val k = seedList.size
+    val base = scale / k
+    val inSeeds = s"node IN (${seedList.mkString(", ")})"
+    val edges = staging.stage(
+      edgesIn.filter(col(srcCol) =!= col(dstCol))
+        .select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .repartition(col("src")).dropDuplicates("src", "dst")
+        .sortWithinPartitions("src"), "ppr-edges")
+    val nodes = staging.stage(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct(), "ppr-nodes")
+    val outdeg = staging.stage(
+      edges.groupBy("src").agg(count(lit(1)).as("__od"))
+        .sortWithinPartitions("src"), "ppr-outdeg")
+    var ranks = nodes.withColumn("rank_nano",
+      expr(s"CASE WHEN $inSeeds THEN ${base}L ELSE 0L END"))
+    for (i <- 1 to iters) {
+      val dangling = ranks
+        .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum("rank_nano"), lit(0L))).head.getLong(0)
+      val incoming = edges
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"), expr("rank_nano div __od").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__in"))
+      ranks = staging.stage(
+        nodes.join(incoming, Seq("node"), "left")
+          .select(col("node"), expr(
+            s"((CASE WHEN $inSeeds THEN ${(100L - dampNum) * base} ELSE 0 END)" +
+              s" + $dampNum * (coalesce(__in, 0L) + " +
+              s"(CASE WHEN $inSeeds THEN ${dangling / k} ELSE 0 END))) div 100")
+            .as("rank_nano")),
+        s"ppr-ranks-$i")
+    }
+    ranks
+  }
+
   /** Exact per-node triangle counts + local clustering coefficient over an
     * undirected graph (edges canonicalized to `a < b`, self-loops and
     * duplicates dropped).

@@ -79,6 +79,41 @@ class GraphSpec extends AnyFunSuite {
       s"mass off: $total")
   }
 
+  test("personalizedPageRank: scalar reference; seed locality; layout-invariant") {
+    import spark.implicits._
+    // seed component {1,2,3} cycle + tail 3->4; disconnected pair 10->11
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (10L, 11L))
+    val got = Graph.personalizedPageRank(raw.toDF("src", "dst"), "src", "dst",
+        seeds = Seq(1L), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // identical recurrence in scalar Longs, teleport/restart only to seed 1
+    val edges = raw.distinct
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val od = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = 1000000000L
+    var ref = nodes.map(v => v -> (if (v == 1L) base else 0L)).toMap
+    for (_ <- 1 to 4) {
+      val dang = nodes.filterNot(od.contains).map(ref).sum
+      val inc = edges.groupBy(_._2).view
+        .mapValues(_.map(e => ref(e._1) / od(e._1)).sum).toMap
+      ref = nodes.map(v => v -> (((if (v == 1L) 15L * base else 0L) +
+        85L * (inc.getOrElse(v, 0L) + (if (v == 1L) dang else 0L))) / 100L)).toMap
+    }
+    assert(got == ref, s"got $got\nref $ref")
+    // mass never reaches the disconnected component; seed holds the max
+    assert(got(10L) === 0L && got(11L) === 0L)
+    assert(got(1L) == got.values.max)
+    // walk distance ordering within the component: 2 (1 hop) > 4 (2 hops
+    // via the 3-split); everything reachable from the seed has mass
+    assert(got(2L) > got(4L) && got(3L) > 0L && got(4L) > 0L)
+
+    val got2 = Graph.personalizedPageRank(raw.toDF("src", "dst").repartition(5),
+        "src", "dst", seeds = Seq(1L), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
+
   test("triangles: exact counts, dedup/self-loop hygiene, hub-skew orientation") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant 5—1,
