@@ -1085,6 +1085,23 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // HyperBall neighborhood function: per-node HLL balls max-merged
+    // along edges for 3 rounds — distance structure (reach growth,
+    // effective diameter) without all-pairs BFS; register arithmetic is
+    // engine-exact so even the ESTIMATES hash-match the oracle
+    "x180_hyperball_reach" -> ((s, dir) => {
+      reg(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val e = s.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("dst", lead("l_partkey", 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("l_partkey").as("src"), col("dst"))
+      Graph.hyperBall(e, "src", "dst", maxHops = 3)
+        .orderBy("h")
+    }),
+
     // RFM segmentation: exact equal-count tiling by the DISTRIBUTED
     // global rank (no single-partition NTILE window anywhere); scores
     // 1..5 higher=better, standard marketing labels from the triple
@@ -3566,6 +3583,29 @@ object SparkEntry {
                         + (SELECT dm FROM dang$k) // (SELECT n FROM nn))) // 100 AS r
         FROM nodes n LEFT JOIN inc$k i ON n.node = i.node)"""
     }.mkString(",\n      ")
+
+  /** x180: one HyperBall round — propagate register rows backward along
+    * edges (ball(src) absorbs ball(dst)), then (node, j) max-merge. */
+  private def hyperBallRoundsSql(rounds: Int): String =
+    (1 to rounds).map { h =>
+      s"""p$h AS (SELECT e0.src AS node, r.j, r.mj
+           FROM e0 JOIN r${h - 1} r ON r.node = e0.dst),
+         r$h AS (SELECT node, j, MAX(mj) AS mj FROM (
+             SELECT node, j, mj FROM r${h - 1}
+             UNION ALL SELECT node, j, mj FROM p$h) u GROUP BY 1, 2)"""
+    }.mkString(",\n      ")
+
+  /** x180: per-node HLL estimate from round-h registers, ROUND 6 →
+    * exact DECIMAL sum (the engine's association-free aggregate). */
+  private def hyperBallEstSql(h: Int): String =
+    s"""z$h AS (SELECT node, COUNT(*) AS present,
+          SUM(CAST((CAST(1 AS BIGINT) << (56 - mj)) AS DECIMAL(38,0))) AS zp
+        FROM r$h GROUP BY 1),
+       s$h AS (SELECT CAST($h AS INT) AS h, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          SUM(CAST(ROUND(CASE
+            WHEN (256 - present) > 0 AND ($hllEstSql) <= 640.0
+            THEN 256.0 * LN(256.0 / CAST(256 - present AS DOUBLE))
+            ELSE ($hllEstSql) END, 6) AS DECIMAL(28,6))) AS t FROM z$h)"""
 
   /** x179: [[pageRankIterCtes]] with the teleport + dangling restart
     * concentrated on the seed set (damp fixed at 85, matching the
@@ -6314,6 +6354,28 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // register-exact replay: same md5 buckets/rho, same max-merge per
+    // round, same ROUND-6 DECIMAL reach sums — hashes match exactly
+    "x180_hyperball_reach" -> s"""
+      WITH e0 AS (
+        SELECT src, dst FROM (
+          SELECT l_partkey AS src,
+                 LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_linenumber, l_partkey) AS dst
+          FROM lineitem)
+        WHERE dst IS NOT NULL AND src <> dst
+        GROUP BY src, dst),
+      nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+      ${hllRegSql("nodes", "node", "node", "node")},
+      r0 AS (SELECT node, j, MAX(rho) AS mj FROM reg GROUP BY 1, 2),
+      ${hyperBallRoundsSql(3)},
+      ${(0 to 3).map(hyperBallEstSql).mkString(",\n      ")}
+      SELECT h, n_nodes, CAST(t AS DOUBLE) AS total_reach,
+        CAST(t AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS avg_reach
+      FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+            UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+      ORDER BY h""",
 
     // x99's unrolled-CTE replay with the seeded teleport/restart rule;
     // same floor-div integer arithmetic, so hashes match exactly

@@ -114,6 +114,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  test("hyperBall: corrected estimates track exact ball sizes; layout-invariant") {
+    import spark.implicits._
+    // directed path 1->2->3->4: exact Σ|ball(v,h)| = 4, 7, 9, 10
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = Graph.hyperBall(raw.toDF("src", "dst"), "src", "dst", maxHops = 3)
+      .orderBy("h").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    assert(got.forall(_._2 == 4L))
+    val exact = Seq(4.0, 7.0, 9.0, 10.0)
+    got.zip(exact).foreach { case ((h, _, tot), ex) =>
+      assert(math.abs(tot - ex) / ex < 0.05,
+        s"h=$h total_reach $tot should be within 5% of $ex")
+    }
+    // neighborhood function is monotone
+    assert(got.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    val got2 = Graph.hyperBall(raw.toDF("src", "dst").repartition(5),
+        "src", "dst", maxHops = 3)
+      .orderBy("h").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got2.toSeq === got.toSeq)
+  }
+
   test("triangles: exact counts, dedup/self-loop hygiene, hub-skew orientation") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant 5—1,
