@@ -1102,6 +1102,17 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // Apriori level-3: frequent triples generated only from frequent
+    // pairs (downward closure — lossless prune), counted only after the
+    // candidate semi-join; x145's basket caps and exact supports
+    "x181_frequent_triples" -> ((s, dir) => {
+      reg(s, dir)
+      Graph.frequentTriples(
+          s.table("lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy("x", "y", "z")
+    }),
+
     // RFM segmentation: exact equal-count tiling by the DISTRIBUTED
     // global rank (no single-partition NTILE window anywhere); scores
     // 1..5 higher=better, standard marketing labels from the triple
@@ -6354,6 +6365,25 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // the naive 3-way basket self-join IS the truth the Apriori prune
+    // must preserve (downward closure makes the prune lossless)
+    "x181_frequent_triples" -> """
+      WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                 FROM lineitem),
+      kept AS MATERIALIZED (SELECT m.b, m.i FROM m JOIN (
+                 SELECT b FROM m GROUP BY b HAVING COUNT(*) <= 1000) s
+               USING (b)),
+      t AS (SELECT a.i AS x, c.i AS y, d.i AS z,
+              CAST(COUNT(*) AS BIGINT) AS supp
+            FROM kept a
+            JOIN kept c ON a.b = c.b AND a.i < c.i
+            JOIN kept d ON a.b = d.b AND c.i < d.i
+            GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+      n AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM kept)
+      SELECT x, y, z, supp,
+        CAST(supp AS DOUBLE) / CAST(n.n AS DOUBLE) AS support
+      FROM t, n ORDER BY x, y, z""",
 
     // register-exact replay: same md5 buckets/rho, same max-merge per
     // round, same ROUND-6 DECIMAL reach sums — hashes match exactly

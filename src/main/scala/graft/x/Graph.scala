@@ -408,6 +408,58 @@ object Graph {
           (col("ante_supp") * col("cons_supp")).cast("double")).as("lift"))
   }
 
+  /** Frequent 3-itemsets via one Apriori level (Agrawal & Srikant 1994)
+    * on top of [[associationRules]]'s pair layer: candidate triples are
+    * generated ONLY from frequent pairs joined on their shared first
+    * item and pruned by the third sub-pair (the downward-closure
+    * property makes this lossless), and only the surviving candidates
+    * are counted against baskets. The prune is the entire point at
+    * scale: the triple-occurrence frame explodes baskets through
+    * FREQUENT pairs only — on a skewed corpus that is orders of
+    * magnitude below the naive 3-way basket self-join, with zero recall
+    * loss at the same `minSupport`.
+    *
+    * Shape: the pair layer is [[associationRules]]'s capped self-join
+    * (same `maxBasketSize` audit contract via [[oversizedLeftKeys]]);
+    * candidates are a frequent-pair self-join on the first item plus a
+    * (y,z) semi-join; the count stage joins basket-pair occurrences
+    * (pre-filtered to frequent (x,y)) to basket items with z > y, then
+    * semi-joins candidates BEFORE the final (x,y,z) count — everything
+    * an equi-join on slim columns, supports exact BIGINTs, one IEEE
+    * division per output row for the support ratio. */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2, maxBasketSize: Int = 1000): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 3, s"maxBasketSize must be >= 3, got $maxBasketSize")
+    val m = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val kept = m.join(
+      m.groupBy("b").agg(count(lit(1)).as("__sz"))
+        .filter(col("__sz") <= maxBasketSize).select("b"), "b")
+    val bp = kept.select(col("b"), col("i").as("x"))
+      .join(kept.select(col("b"), col("i").as("y")), "b")
+      .filter(col("x") < col("y"))
+    val freqPairs = bp.groupBy("x", "y")
+      .agg(count(lit(1)).cast("long").as("ps"))
+      .filter(col("ps") >= minSupport)
+      .select("x", "y")
+    // Apriori candidates: (x,y)+(x,z) frequent with y<z, pruned by (y,z)
+    val cands = freqPairs
+      .join(freqPairs.select(col("x"), col("y").as("z")), "x")
+      .filter(col("y") < col("z"))
+      .join(freqPairs.select(col("x").as("y"), col("y").as("z")),
+        Seq("y", "z"), "left_semi")
+    val total = kept.select(countDistinct(col("b")).cast("long").as("__n"))
+    bp.join(freqPairs, Seq("x", "y"), "left_semi")
+      .join(kept.select(col("b"), col("i").as("z")), "b")
+      .filter(col("y") < col("z"))
+      .join(cands, Seq("x", "y", "z"), "left_semi")
+      .groupBy("x", "y", "z").agg(count(lit(1)).cast("long").as("supp"))
+      .filter(col("supp") >= minSupport)
+      .crossJoin(broadcast(total))
+      .select(col("x"), col("y"), col("z"), col("supp"),
+        (col("supp").cast("double") / col("__n").cast("double")).as("support"))
+  }
+
   /** k-core decomposition membership: iteratively peel nodes of degree
     * < k (with the cascade — removing a weak node lowers its neighbors)
     * until fixpoint; returns the surviving nodes with their within-core

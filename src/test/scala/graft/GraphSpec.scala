@@ -192,6 +192,34 @@ class GraphSpec extends AnyFunSuite {
     assert(got(("C", "A")) == (((2L, 2L, 3L), (1.0, 4.0 / 3.0))))
   }
 
+  test("frequentTriples: hand-checked supports; Apriori prune is lossless") {
+    import spark.implicits._
+    // baskets: {1,2,3} x3, {1,2,3,4} x1, {5,6,7} x1, {1,2} x1
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 3L),
+      (13L, 1L), (13L, 2L), (13L, 3L), (13L, 4L),
+      (14L, 5L), (14L, 6L), (14L, 7L),
+      (15L, 1L), (15L, 2L))
+    val df = rows.toDF("b", "i")
+    val got = Graph.frequentTriples(df, "b", "i", minSupport = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // only (1,2,3) reaches support 2 (it has 4); {5,6,7} appears once,
+    // triples with 4 appear once — all pruned
+    assert(got.map(t => (t._1, t._2)) === Seq(((1L, 2L, 3L), 4L)))
+    assert(math.abs(got.head._3 - 4.0 / 6.0) < 1e-12)
+    // minSupport=1 recovers every triple the naive expansion would emit
+    val all = Graph.frequentTriples(df, "b", "i", minSupport = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = rows.groupBy(_._1).values.flatMap { bs =>
+      bs.map(_._2).distinct.sorted.combinations(3).map {
+        case Seq(a, b, c) => (a, b, c) }
+    }.toSet
+    assert(all === naive, s"got $all expected $naive")
+  }
+
   test("kCore peels with cascade to the exact fixpoint") {
     import spark.implicits._
     // triangle {1,2,3} + a chain 3—4—5: k=2 must drop 5, CASCADE-drop 4
