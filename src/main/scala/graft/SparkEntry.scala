@@ -2265,6 +2265,25 @@ object SparkEntry {
     }),
     // correlated LATERAL subquery (Tier B): per-nation top-2 customers —
     // the dependent-join surface q16's scalar subqueries don't cover
+    // Spark 4's WITH RECURSIVE (UnionLoop): the calendar-spine gap-fill
+    // — recursion generates the date dimension, a left join zero-fills
+    // days a sparse series skipped; the loop is bounded by the literal
+    // stop date, not data (the safe recursion shape at any scale)
+    "q42_recursive_cte" -> sqlQ("""
+      WITH RECURSIVE spine(day) AS (
+        SELECT DATE '2024-01-01'
+        UNION ALL SELECT date_add(day, 1) FROM spine
+        WHERE day < DATE '2024-01-31')
+      SELECT t.event_type, date_format(s.day, 'yyyy-MM-dd') AS day,
+        CAST(COALESCE(d.cnt, 0) AS BIGINT) AS cnt
+      FROM spine s
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      LEFT JOIN (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2) d
+        ON d.event_type = t.event_type AND d.day = s.day
+      ORDER BY event_type, day"""),
+
     "q41_lateral_topn" -> sqlQ("""
       SELECT n.n_name AS nation, t.c_name, t.c_acctbal
       FROM nation n,
@@ -7270,6 +7289,20 @@ object SparkEntry {
       ORDER BY l_returnflag""",
 
     // DuckDB's native LATERAL over the same correlated top-2
+    "q42_recursive_cte" -> """
+      WITH RECURSIVE spine(day) AS (
+        SELECT DATE '2024-01-01'
+        UNION ALL SELECT day + 1 FROM spine WHERE day < DATE '2024-01-31')
+      SELECT t.event_type, STRFTIME(s.day, '%Y-%m-%d') AS day,
+        CAST(COALESCE(d.cnt, 0) AS BIGINT) AS cnt
+      FROM spine s
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      LEFT JOIN (SELECT event_type, CAST(ts AS DATE) AS day,
+                   COUNT(*) AS cnt
+                 FROM events GROUP BY 1, 2) d
+        ON d.event_type = t.event_type AND d.day = s.day
+      ORDER BY t.event_type, 2""",
+
     "q41_lateral_topn" -> """
       SELECT n.n_name AS nation, t.c_name, t.c_acctbal
       FROM nation n,
