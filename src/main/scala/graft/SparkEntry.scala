@@ -1102,6 +1102,19 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // two-feature OLS price model: exact DECIMAL(38,0) moments on one
+    // shuffle, Cramer's 3x3 solve as a fixed double expression — x109's
+    // trend widened to multiple regression with R^2
+    "x182_ols2_price_model" -> ((s, dir) => {
+      reg(s, dir)
+      val li = s.table("lineitem").select(col("l_returnflag"),
+        floor(col("l_quantity")).as("x1"),
+        floor(col("l_discount") * 100).as("x2"),
+        floor(col("l_extendedprice") * 100).as("y"))
+      Profiler.ols2(li, "x1", "x2", "y", Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    }),
+
     // Apriori level-3: frequent triples generated only from frequent
     // pairs (downward closure — lossless prune), counted only after the
     // candidate semi-join; x145's basket caps and exact supports
@@ -6384,6 +6397,56 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // HUGEINT moments mirror the engine's DECIMAL(38,0) exactly; the
+    // Cramer solve is the same double expression text, so ROUND-6
+    // coefficients hash-match
+    "x182_ols2_price_model" -> """
+      WITH b AS (
+        SELECT l_returnflag,
+          CAST(FLOOR(l_quantity) AS HUGEINT) AS x1,
+          CAST(FLOOR(l_discount * 100) AS HUGEINT) AS x2,
+          CAST(FLOOR(l_extendedprice * 100) AS HUGEINT) AS y
+        FROM lineitem),
+      m AS (SELECT l_returnflag,
+          CAST(COUNT(*) AS HUGEINT) AS n,
+          SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+          SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+          SUM(x1*y) AS s1y, SUM(x2*y) AS s2y, SUM(y*y) AS syy
+        FROM b GROUP BY 1),
+      d AS (SELECT l_returnflag, CAST(n AS BIGINT) AS nb,
+          CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+          CAST(s2 AS DOUBLE) AS s2d, CAST(sy AS DOUBLE) AS syd,
+          CAST(s11 AS DOUBLE) AS s11d, CAST(s12 AS DOUBLE) AS s12d,
+          CAST(s22 AS DOUBLE) AS s22d, CAST(s1y AS DOUBLE) AS s1yd,
+          CAST(s2y AS DOUBLE) AS s2yd, CAST(syy AS DOUBLE) AS syyd
+        FROM m),
+      c AS (SELECT *,
+          nd * (s11d * s22d - s12d * s12d)
+            - s1d * (s1d * s22d - s12d * s2d)
+            + s2d * (s1d * s12d - s11d * s2d) AS det
+        FROM d),
+      e AS (SELECT *,
+          CASE WHEN det <> 0.0 AND nd >= 3.0 THEN
+            (syd * (s11d * s22d - s12d * s12d)
+             - s1d * (s1yd * s22d - s12d * s2yd)
+             + s2d * (s1yd * s12d - s11d * s2yd)) / det END AS b0,
+          CASE WHEN det <> 0.0 AND nd >= 3.0 THEN
+            (nd * (s1yd * s22d - s12d * s2yd)
+             - syd * (s1d * s22d - s12d * s2d)
+             + s2d * (s1d * s2yd - s1yd * s2d)) / det END AS b1,
+          CASE WHEN det <> 0.0 AND nd >= 3.0 THEN
+            (nd * (s11d * s2yd - s1yd * s12d)
+             - s1d * (s1d * s2yd - s1yd * s2d)
+             + syd * (s1d * s12d - s11d * s2d)) / det END AS b2
+        FROM c)
+      SELECT l_returnflag, nb AS n,
+        ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+        ROUND(CASE WHEN det <> 0.0 AND nd >= 3.0
+            AND (syyd - syd * syd / nd) <> 0.0 THEN
+          1.0 - (syyd - b0 * syd - b1 * s1yd - b2 * s2yd)
+            / (syyd - syd * syd / nd) END, 6) AS r2
+      FROM e ORDER BY l_returnflag""",
 
     // the naive 3-way basket self-join IS the truth the Apriori prune
     // must preserve (downward closure makes the prune lossless)

@@ -333,6 +333,75 @@ object Profiler {
         col("intercept")): _*)
   }
 
+  /** Per-group TWO-feature ordinary least squares — [[trend]] widened to
+    * y = b0 + b1·x1 + b2·x2 via Cramer's rule on the 3×3 normal
+    * equations. The nine moments (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2²,
+    * Σx1y, Σx2y, plus Σy² for R²) are carried as exact DECIMAL(38,0)
+    * over integer-valued inputs, so the single shuffle is
+    * association-free; the cofactor determinants are then a FIXED
+    * double expression over those exact scalars — the repo's "IEEE on
+    * exact operands, fixed shape" replay contract. Groups that are
+    * rank-deficient (det = 0, e.g. collinear features) or have < 3
+    * points yield NULL coefficients rather than garbage.
+    *
+    * Two features is the honest exact-replay ceiling: the k-feature
+    * generalization needs a Gram-matrix factorization whose pivot
+    * order is engine-specific — that path belongs in a numeric
+    * library, not an oracle-replayable engine op.
+    *
+    * Shape: ONE aggregation, map-side partials, all ten moments on the
+    * same shuffle; output is group-cardinality. */
+  def ols2(df: DataFrame, x1Col: String, x2Col: String, yCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "ols2 needs at least one group column")
+    val d38 = "decimal(38,0)"
+    val x1 = col(x1Col).cast(d38)
+    val x2 = col(x2Col).cast(d38)
+    val y = col(yCol).cast(d38)
+    val gc = groupCols.map(col)
+    val m = df.groupBy(gc: _*)
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(x1).as("__s1"), sum(x2).as("__s2"), sum(y).as("__sy"),
+        sum(x1 * x1).cast(d38).as("__s11"),
+        sum(x1 * x2).cast(d38).as("__s12"),
+        sum(x2 * x2).cast(d38).as("__s22"),
+        sum(x1 * y).cast(d38).as("__s1y"),
+        sum(x2 * y).cast(d38).as("__s2y"),
+        sum(y * y).cast(d38).as("__syy"))
+    // fixed-shape IEEE over exact operands; identical text in the oracle
+    val dbl = Seq("__n", "__s1", "__s2", "__sy", "__s11", "__s12", "__s22",
+      "__s1y", "__s2y", "__syy")
+      .foldLeft(m) { (d, c) => d.withColumn(c + "d", col(c).cast("double")) }
+    dbl
+      .withColumn("__det", expr(
+        "__nd * (__s11d * __s22d - __s12d * __s12d) " +
+          "- __s1d * (__s1d * __s22d - __s12d * __s2d) " +
+          "+ __s2d * (__s1d * __s12d - __s11d * __s2d)"))
+      .withColumn("b0", expr(
+        "CASE WHEN __det <> 0.0 AND __nd >= 3.0 THEN " +
+          "(__syd * (__s11d * __s22d - __s12d * __s12d) " +
+          "- __s1d * (__s1yd * __s22d - __s12d * __s2yd) " +
+          "+ __s2d * (__s1yd * __s12d - __s11d * __s2yd)) / __det END"))
+      .withColumn("b1", expr(
+        "CASE WHEN __det <> 0.0 AND __nd >= 3.0 THEN " +
+          "(__nd * (__s1yd * __s22d - __s12d * __s2yd) " +
+          "- __syd * (__s1d * __s22d - __s12d * __s2d) " +
+          "+ __s2d * (__s1d * __s2yd - __s1yd * __s2d)) / __det END"))
+      .withColumn("b2", expr(
+        "CASE WHEN __det <> 0.0 AND __nd >= 3.0 THEN " +
+          "(__nd * (__s11d * __s2yd - __s1yd * __s12d) " +
+          "- __s1d * (__s1d * __s2yd - __s1yd * __s2d) " +
+          "+ __syd * (__s1d * __s12d - __s11d * __s2d)) / __det END"))
+      .withColumn("r2", expr(
+        "CASE WHEN __det <> 0.0 AND __nd >= 3.0 " +
+          "AND (__syyd - __syd * __syd / __nd) <> 0.0 THEN " +
+          "1.0 - (__syyd - b0 * __syd - b1 * __s1yd - b2 * __s2yd) " +
+          "/ (__syyd - __syd * __syd / __nd) END"))
+      .select(gc ++ Seq(col("__n").cast("long").as("n"),
+        round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
+        round(col("b2"), 6).as("b2"), round(col("r2"), 6).as("r2")): _*)
+  }
+
   /** Per-column null-rate drift between two snapshots — the cheapest,
     * highest-yield data-contract check: an upstream schema change or
     * parser regression almost always shows up first as a null-rate jump

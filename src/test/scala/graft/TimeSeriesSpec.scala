@@ -52,6 +52,29 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("2024-01-05", 2.0, false)))
   }
 
+  test("ols2 recovers planted coefficients; degenerate groups yield NULLs") {
+    // y = 7 + 3*x1 - 2*x2 exactly (integer lattice, zero residual)
+    val pts = for (x1 <- 0L to 9L; x2 <- 0L to 9L)
+      yield ("g", x1, x2, 7L + 3L * x1 - 2L * x2)
+    // collinear group: x2 = 2*x1 -> det = 0 -> NULL coefficients
+    val bad = (0L to 9L).map(i => ("c", i, 2L * i, 5L + i))
+    val df = (pts ++ bad).toDF("g", "x1", "x2", "y")
+    val rows = Profiler.ols2(df, "x1", "x2", "y", Seq("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val good = rows("g")
+    assert(good.getLong(1) === 100L)
+    assert(math.abs(good.getDouble(2) - 7.0) < 1e-6, s"b0 ${good.getDouble(2)}")
+    assert(math.abs(good.getDouble(3) - 3.0) < 1e-6, s"b1 ${good.getDouble(3)}")
+    assert(math.abs(good.getDouble(4) - (-2.0)) < 1e-6, s"b2 ${good.getDouble(4)}")
+    assert(math.abs(good.getDouble(5) - 1.0) < 1e-6, s"r2 ${good.getDouble(5)}")
+    assert(rows("c").isNullAt(2) && rows("c").isNullAt(3) && rows("c").isNullAt(4),
+      "collinear group must yield NULL coefficients, not garbage")
+    // layout invariance
+    val again = Profiler.ols2(df.repartition(11), "x1", "x2", "y", Seq("g"))
+      .collect().map(r => r.getString(0) -> r.toString).toMap
+    assert(again === rows.view.mapValues(_.toString).toMap)
+  }
+
   test("theilSen shrugs off the outlier that drags OLS") {
     val clean = (1 to 9).map(x => ("g", x, 3L * x + 5))
     val df = (clean :+ (("g", 10, 1000L))).toDF("g", "x", "y")
