@@ -194,14 +194,37 @@ object Graph {
     val nodes = staging.stage(
       edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct(), "hb-nodes")
-    // Flajolet's small-range (linear counting) correction — balls start
-    // at size 1, exactly the regime where the raw HLL estimate is ~0.72m
-    // regardless of truth; HyperBall proper applies the same switch
+    // Registers ride PACKED as one array<byte>(256) per node, so each
+    // round's edge join moves |E| slim rows, not |E|·256 register rows
+    // — the representation HyperBall proper uses. The (j, mj) row form
+    // appears only at h=0 construction; merges are the custom
+    // register-wise max aggregate (order-independent, so the packed
+    // path is value-identical to the row form the oracle replays).
+    val m = 256
+    // per-node estimate from the packed array: present / zeta in exact
+    // integer+DECIMAL arithmetic, the hllEstimateFromRegisters formula,
+    // then Flajolet's small-range (linear counting) correction — balls
+    // start at size 1, exactly the regime where the raw HLL estimate is
+    // ~0.72m regardless of truth; HyperBall proper applies the same
+    // switch
     def estOf(regs: DataFrame, h: Int): DataFrame =
-      Sketches.hllEstimateFromRegisters(regs, Seq("node"))
+      regs
+        .select(
+          expr("CAST(size(filter(__regs, x -> x > 0)) AS BIGINT)").as("__present"),
+          expr("aggregate(__regs, CAST(0 AS DECIMAL(38,0)), (acc, x) -> " +
+            "acc + (CASE WHEN x > 0 THEN " +
+            "CAST(shiftleft(CAST(1 AS BIGINT), 56 - x) AS DECIMAL(38,0)) " +
+            "ELSE CAST(0 AS DECIMAL(38,0)) END))").as("__zp"))
+        .select(
+          (lit(Sketches.hllAlpha(m) * (m.toLong * m.toLong).toDouble) *
+            lit((1L << 56).toDouble) /
+            (col("__zp") + (lit(m.toLong) - col("__present"))
+              .cast("decimal(38,0)") * lit(java.math.BigDecimal.valueOf(1L << 56)))
+              .cast("double")).as("est"),
+          (lit(m.toLong) - col("__present")).as("v_zero"))
         .withColumn("__e",
-          when(col("v_zero") > 0 && col("est") <= lit(640.0),
-            lit(256.0) * log(lit(256.0) / col("v_zero").cast("double")))
+          when(col("v_zero") > 0 && col("est") <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
             .otherwise(col("est")))
         .agg(count(lit(1)).cast("long").as("n_nodes"),
           sum(round(col("__e"), 6).cast("decimal(28,6)")).as("__t"))
@@ -211,16 +234,21 @@ object Graph {
             .as("avg_reach"))
     var regs = staging.stage(
       Sketches.hllRegisters(nodes, Seq("node"), "node")
+        .select(col("node"), expr(s"transform(sequence(0, ${m - 1}), " +
+          "i -> CAST(CASE WHEN i = __j THEN __mj ELSE 0 END AS BYTE))")
+          .as("__regs"))
         .repartition(col("node")), "hb-regs-0")
     var out = estOf(regs, 0)
     for (h <- 1 to maxHops) {
       val prop = edges
         .join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
-        .select(col("src").as("node"), col("__j"), col("__mj"))
+        .select(col("src").as("node"), col("__regs"))
       regs = staging.stage(
         regs.unionByName(prop)
           .repartition(col("node"))
-          .groupBy("node", "__j").agg(max("__mj").as("__mj")),
+          .groupBy("node")
+          .agg(graft.functions.HllRegsMaxAgg.regsMax(col("__regs"), m)
+            .as("__regs")),
         s"hb-regs-$h")
       out = out.unionByName(estOf(regs, h))
     }
