@@ -1102,6 +1102,16 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // TextRank keywords: PageRank's integer fixpoint over the adjacency
+    // co-occurrence graph with PolyHash56 word ids — tokenize, hash,
+    // rank, top-20 by (rank, word); composed entirely from engine
+    // primitives the oracle already replays exactly
+    "x183_textrank_keywords" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.textRankKeywords(s.table("documents"), "text", "doc_id",
+          iters = 4, topK = 20)
+    }),
+
     // two-feature OLS price model: exact DECIMAL(38,0) moments on one
     // shuffle, Cramer's 3x3 solve as a fixed double expression — x109's
     // trend widened to multiple regression with R^2
@@ -6397,6 +6407,36 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // same tokens, same PolyHash56 ids, same unrolled integer fixpoint
+    // (pageRankIterCtes), same (rank DESC, word) total-order cut
+    "x183_textrank_keywords" -> s"""
+      WITH t AS (
+        SELECT LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                           x -> LENGTH(x) > 0) AS a
+        FROM documents),
+      adj AS (
+        SELECT a[i] AS w1, a[i+1] AS w2
+        FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(a))) AS i)
+        WHERE a[i] <> a[i+1]),
+      e AS (
+        SELECT src, dst FROM (
+          SELECT ${polySql("w1")} AS src, ${polySql("w2")} AS dst FROM adj
+          UNION ALL
+          SELECT ${polySql("w2")} AS src, ${polySql("w1")} AS dst FROM adj)
+        WHERE src <> dst GROUP BY src, dst),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      r0 AS (SELECT node, (SELECT 1000000000 // n FROM nn) AS r FROM nodes),
+      ${pageRankIterCtes(4)},
+      vocab AS (
+        SELECT w AS word, ${polySql("w")} AS h FROM (
+          SELECT DISTINCT w1 AS w FROM adj
+          UNION SELECT DISTINCT w2 FROM adj))
+      SELECT v.word, CAST(r.r AS BIGINT) AS rank_nano
+      FROM r4 r JOIN vocab v ON v.h = r.node
+      ORDER BY rank_nano DESC, word LIMIT 20""",
 
     // HUGEINT moments mirror the engine's DECIMAL(38,0) exactly; the
     // Cramer solve is the same double expression text, so ROUND-6

@@ -1410,6 +1410,55 @@ object TextAnalysis {
             col("n_words").cast("double")) - lit(15.59), 4).as("fk_grade"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): rank words by
+    * running PageRank over the adjacency co-occurrence graph — the
+    * unsupervised keyword/keyphrase baseline, here composed from the
+    * engine's own primitives: tokenization (the [[skipgramPairs]] split
+    * discipline), [[graft.functions.PolyHash56]] node ids (word → 55-bit
+    * portable hash, so the graph layer stays BIGINT and the oracle
+    * replays ids exactly), and [[Graph.pageRank]]'s exact integer
+    * nano-rank fixpoint. Edges are distinct adjacent-token pairs in both
+    * directions (TextRank's undirected window-2 graph); rank ties break
+    * by word, so the top-k cut is total-ordered and engine-invariant.
+    *
+    * Shape at 100 TB: tokenization is embarrassingly parallel; the edge
+    * build is one distinct shuffle on (src, dst) hashes; the fixpoint
+    * inherits pageRank's staged-edge no-reshuffle discipline; the final
+    * join is rank-rows ⋈ vocab (both word-cardinality, far below corpus
+    * cardinality) and the top-k is TakeOrderedAndProject, never a full
+    * sort. A hash collision merges two words into one node for BOTH
+    * engines (PolyHash56 is the shared id space) — at 2^55 that is the
+    * right trade for keeping the rank table float- and string-free. */
+  def textRankKeywords(docs: DataFrame, textCol: String, idCol: String,
+      iters: Int = 4, topK: Int = 20,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    require(topK >= 1, s"textRankKeywords needs topK >= 1, got $topK")
+    val toks = docs.select(
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+        .as("__t"))
+    val adj = toks.filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__t) - 1), " +
+          "i -> struct(element_at(__t, i) AS a, element_at(__t, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val vocab = staging.stage(
+      adj.select(col("a").as("word")).union(adj.select(col("b"))).distinct()
+        .withColumn("__h", graft.functions.PolyHash56(col("word"))),
+      "tr-vocab")
+    val directed = adj.select(
+      graft.functions.PolyHash56(col("a")).as("src"),
+      graft.functions.PolyHash56(col("b")).as("dst"))
+    val und = directed.union(
+      directed.select(col("dst").as("src"), col("src").as("dst")))
+    val ranks = Graph.pageRank(und, "src", "dst", iters, staging = staging)
+    ranks.join(vocab, ranks("node") === vocab("__h"))
+      .select(col("word"), col("rank_nano"))
+      .orderBy(col("rank_nano").desc, col("word"))
+      .limit(topK)
+  }
+
   /** Per-document profile frame: one narrow projection, no shuffle. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.select(

@@ -15,6 +15,25 @@ class ExtensionOpsSpec extends AnyFunSuite {
   lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
   lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
 
+  test("textRankKeywords: the hub word outranks spokes; layout-invariant") {
+    // star-shaped co-occurrence: "hub" is adjacent to every spoke word,
+    // spokes only ever touch hub — classic TextRank centrality shape
+    val docsDf = Seq(
+      (1L, "alpha hub beta hub gamma"),
+      (2L, "delta hub epsilon"),
+      (3L, "hub zeta hub alpha"),
+      (4L, "beta hub delta")).toDF("doc_id", "text")
+    val got = TextAnalysis.textRankKeywords(docsDf, "text", "doc_id",
+        iters = 4, topK = 5).collect()
+    assert(got.head.getString(0) === "hub",
+      s"hub must rank first, got ${got.map(_.getString(0)).toSeq}")
+    // strictly above every spoke, not tied
+    assert(got.tail.forall(_.getLong(1) < got.head.getLong(1)))
+    val again = TextAnalysis.textRankKeywords(docsDf.repartition(7), "text",
+        "doc_id", iters = 4, topK = 5).collect()
+    assert(again.map(_.toString).toSeq === got.map(_.toString).toSeq)
+  }
+
   test("ngramCounts slides n-token windows and applies the count floor") {
     val df = Seq("a b c a b c", "a b x", "", "a").toDF("text")
     val all = graft.x.TextAnalysis.ngramCounts(df, "text", n = 2)
