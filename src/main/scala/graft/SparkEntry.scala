@@ -1102,6 +1102,15 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // mutual information + NMI between segment and nation: per-cell
+    // double chains quantized to DECIMAL(18,8) so the cell sum is
+    // association-free — the dependence profile for feature selection
+    "x184_mutual_information" -> ((s, dir) => {
+      reg(s, dir)
+      Profiler.mutualInformation(s.table("customer"),
+        "c_mktsegment", "c_nationkey")
+    }),
+
     // TextRank keywords: PageRank's integer fixpoint over the adjacency
     // co-occurrence graph with PolyHash56 word ids — tokenize, hash,
     // rank, top-20 by (rank, word); composed entirely from engine
@@ -6407,6 +6416,39 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // same exact counts, same per-cell double chain, same DECIMAL(18,8)
+    // quantization before the sum, same final IEEE NMI expression
+    "x184_mutual_information" -> """
+      WITH b AS (SELECT c_mktsegment AS a, c_nationkey AS bb FROM customer
+                 WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
+      cells AS (SELECT a, bb, CAST(COUNT(*) AS BIGINT) AS cab
+                FROM b GROUP BY 1, 2),
+      ca AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM b GROUP BY 1),
+      cb AS (SELECT bb, CAST(COUNT(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+      mi AS (SELECT COALESCE(SUM(CAST(
+               (CAST(cab AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+               LN((CAST(cab AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+                  (CAST(ca.ca AS DOUBLE) * CAST(cb.cb AS DOUBLE)))
+               AS DECIMAL(18,8))), CAST(0 AS DECIMAL(18,8))) AS mi
+             FROM cells JOIN ca USING (a) JOIN cb USING (bb), n),
+      ha AS (SELECT COALESCE(SUM(CAST(
+               -(CAST(ca AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+               LN(CAST(ca AS DOUBLE) / CAST(n.n AS DOUBLE))
+               AS DECIMAL(18,8))), CAST(0 AS DECIMAL(18,8))) AS ha
+             FROM ca, n),
+      hb AS (SELECT COALESCE(SUM(CAST(
+               -(CAST(cb AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+               LN(CAST(cb AS DOUBLE) / CAST(n.n AS DOUBLE))
+               AS DECIMAL(18,8))), CAST(0 AS DECIMAL(18,8))) AS hb
+             FROM cb, n)
+      SELECT n.n AS n, CAST(mi.mi AS DOUBLE) AS mi,
+        CAST(ha.ha AS DOUBLE) AS h_a, CAST(hb.hb AS DOUBLE) AS h_b,
+        CASE WHEN ha.ha > 0 AND hb.hb > 0 THEN
+          CAST(mi.mi AS DOUBLE) /
+          SQRT(CAST(ha.ha AS DOUBLE) * CAST(hb.hb AS DOUBLE)) END AS nmi
+      FROM mi, ha, hb, n""",
 
     // same tokens, same PolyHash56 ids, same unrolled integer fixpoint
     // (pageRankIterCtes), same (rank DESC, word) total-order cut

@@ -402,6 +402,56 @@ object Profiler {
         round(col("b2"), 6).as("b2"), round(col("r2"), 6).as("r2")): _*)
   }
 
+  /** Mutual information between two categorical columns, with marginal
+    * entropies and the normalized coefficient NMI = I/√(H_a·H_b) — the
+    * dependence profile behind feature selection, redundant-column
+    * detection, and quasi-identifier risk scoring (a high-MI pair leaks
+    * one column through the other; the information-theoretic sibling of
+    * [[functionalDependencies]]' exact test).
+    *
+    * Determinism: counts are exact BIGINTs; each cell contributes ONE
+    * fixed-shape double chain `(c_ab/n)·ln(c_ab·n/(c_a·c_b))` quantized
+    * to DECIMAL(18,8) (the fluency-NLL discipline — the sum over cells
+    * is then association-free), and NMI is one IEEE chain over the
+    * exact sums. Null keys are excluded (documented: MI over observed
+    * pairs; use [[nullRateDrift]] for presence structure).
+    *
+    * Shape: three aggregates off the same scan; the cell frame joins
+    * BROADCAST marginals (cell cardinality |A|·|B| is the bound, the
+    * marginals are its square roots); output is one row. */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val cells = base.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__cab"))
+    val ca = base.groupBy(col(aCol).as("__a")).agg(count(lit(1)).as("__ca"))
+    val cb = base.groupBy(col(bCol).as("__b")).agg(count(lit(1)).as("__cb"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    val mi = cells.join(broadcast(ca), "__a").join(broadcast(cb), "__b")
+      .crossJoin(broadcast(n))
+      .select(((col("__cab").cast("double") / col("__n").cast("double")) *
+        log((col("__cab").cast("double") * col("__n").cast("double")) /
+          (col("__ca").cast("double") * col("__cb").cast("double"))))
+        .cast("decimal(18,8)").as("__t"))
+      .agg(coalesce(sum("__t"), lit(0).cast("decimal(18,8)")).as("__mi"))
+    def entropy(m: DataFrame, cnt: String, out: String) =
+      m.crossJoin(broadcast(n))
+        .select((-(col(cnt).cast("double") / col("__n").cast("double")) *
+          log(col(cnt).cast("double") / col("__n").cast("double")))
+          .cast("decimal(18,8)").as("__t"))
+        .agg(coalesce(sum("__t"), lit(0).cast("decimal(18,8)")).as(out))
+    mi.crossJoin(entropy(ca, "__ca", "__ha"))
+      .crossJoin(entropy(cb, "__cb", "__hb"))
+      .crossJoin(n)
+      .select(col("__n").cast("long").as("n"),
+        col("__mi").cast("double").as("mi"),
+        col("__ha").cast("double").as("h_a"),
+        col("__hb").cast("double").as("h_b"),
+        when(col("__ha") > 0 && col("__hb") > 0,
+          col("__mi").cast("double") /
+            sqrt(col("__ha").cast("double") * col("__hb").cast("double")))
+          .as("nmi"))
+  }
+
   /** Per-column null-rate drift between two snapshots — the cheapest,
     * highest-yield data-contract check: an upstream schema change or
     * parser regression almost always shows up first as a null-rate jump

@@ -75,6 +75,24 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(again === rows.view.mapValues(_.toString).toMap)
   }
 
+  test("mutualInformation: NMI=1 on a bijection, ~0 on independence") {
+    // bijection: b = a -> MI = H(a) = H(b) -> NMI = 1
+    val dep = (0 until 64).map(i => (s"k${i % 4}", (i % 4).toLong))
+      .toDF("a", "b")
+    val d = Profiler.mutualInformation(dep, "a", "b").head()
+    assert(d.getLong(0) === 64L)
+    assert(math.abs(d.getDouble(1) - d.getDouble(2)) < 1e-6, "MI = H(a)")
+    assert(math.abs(d.getDouble(4) - 1.0) < 1e-6, s"NMI ${d.getDouble(4)}")
+    // independence: uniform 4x4 grid -> MI exactly 0 (each cell term ln(1))
+    val ind = (0 until 64).map(i => (s"k${i % 4}", ((i / 4) % 4).toLong))
+      .toDF("a", "b")
+    val ir = Profiler.mutualInformation(ind, "a", "b").head()
+    assert(math.abs(ir.getDouble(1)) < 1e-9, s"independent MI ${ir.getDouble(1)}")
+    // nulls excluded, not crashed on
+    val withNulls = dep.union(Seq((null.asInstanceOf[String], 9L)).toDF("a", "b"))
+    assert(Profiler.mutualInformation(withNulls, "a", "b").head().getLong(0) === 64L)
+  }
+
   test("theilSen shrugs off the outlier that drags OLS") {
     val clean = (1 to 9).map(x => ("g", x, 3L * x + 5))
     val df = (clean :+ (("g", 10, 1000L))).toDF("g", "x", "y")
