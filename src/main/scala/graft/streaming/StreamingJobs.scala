@@ -277,6 +277,104 @@ object StreamingJobs {
   final case class EwmaState(days: Map[Int, Long])
   final case class EwmaSnapshot(series: String, day: String, ewma: Double)
 
+  final case class HoltState(nFolded: Long, firstCents: Long, level: Double,
+    trend: Double, frozenDay: Int, days: Map[Int, Long])
+  final case class HoltSnapshot(series: String, day: String, level: Double,
+    trend: Double, forecast_next: Double)
+
+  /** Streaming twin of [[graft.x.EventAnalytics.holtForecast]]: per-series
+    * Holt level+trend state maintained live, emitting a snapshot per
+    * (series, day) as data arrives.
+    *
+    * Holt's recursion is a fold over the FULL day sequence, so unbounded
+    * exactness would need unbounded state. The contract instead: day
+    * sums within `graceDays` of the series frontier stay mutable (each
+    * batch re-folds them PROVISIONALLY from the frozen prefix and
+    * re-emits); once a day falls `graceDays` behind the frontier it is
+    * folded irrevocably into the frozen (level, trend) pair and its
+    * snapshot is final. Rows older than the frozen boundary are DROPPED
+    * from the recursion (the explicit late-data contract — same "no
+    * retro-correction" stance as [[statefulEwma]], made visible by the
+    * freeze). State per series: two doubles + ≤ graceDays day sums.
+    *
+    * Exactness: cents are integers; `cents/100.0` is the same
+    * correctly-rounded double as the batch op's DECIMAL(18,2)→DOUBLE
+    * cast, and each fold step runs the identical IEEE expression order
+    * (`α·x + (1−α)·(l+b)`, `β·(l′−l) + (1−β)·b`), so for any day whose
+    * window is complete the last emitted snapshot equals the batch
+    * `holtForecast` row bit-for-bit. The batch op's day-1 row (whose
+    * level peeks at day 2 through the init) has no streaming
+    * counterpart — emissions start at the second folded day, exactly
+    * where the recursion becomes causal. */
+  def statefulHolt(spark: SparkSession, events: DataFrame, seriesCol: String,
+      tsCol: String, valueCol: String, alpha: Double = 0.2,
+      beta: Double = 0.1, graceDays: Int = 14):
+      org.apache.spark.sql.Dataset[HoltSnapshot] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha/beta must be in (0,1), got $alpha/$beta")
+    require(graceDays >= 0 && graceDays <= 366,
+      s"graceDays must be in [0, 366], got $graceDays")
+    val oma = 1.0 - alpha
+    val omb = 1.0 - beta
+    events
+      .select(col(seriesCol).cast("string"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date")).as("d"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HoltState, HoltSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (series: String, rows: Iterator[(String, Int, Long)],
+         state: GroupState[HoltState]) =>
+          val st = state.getOption
+            .getOrElse(HoltState(0L, 0L, 0.0, 0.0, Int.MinValue, Map.empty))
+          val days = scala.collection.mutable.HashMap.empty[Int, Long] ++ st.days
+          // a batch of exclusively-late rows changes nothing: don't
+          // re-emit (or re-fold) the unchanged provisional tail
+          var changed = false
+          rows.foreach { case (_, d, c) =>
+            if (d > st.frozenDay) { days(d) = days.getOrElse(d, 0L) + c; changed = true }
+          }
+          if (days.isEmpty || !changed) Iterator.empty
+          else {
+            def dayStr(d: Int) = java.time.LocalDate.ofEpochDay(d.toLong).toString
+            val out = scala.collection.mutable.ArrayBuffer.empty[HoltSnapshot]
+            val fb = days.keys.max - graceDays
+            var (nf, fc, l, b) = (st.nFolded, st.firstCents, st.level, st.trend)
+            var frozen = st.frozenDay
+            days.keys.filter(_ <= fb).toSeq.sorted.foreach { d =>
+              val c = days.remove(d).get
+              val x = c.toDouble / 100.0
+              if (nf == 0L) { fc = c; nf = 1L }
+              else {
+                if (nf == 1L) { val x1 = fc.toDouble / 100.0; l = x1; b = x - x1 }
+                val nl = alpha * x + oma * (l + b)
+                val nb = beta * (nl - l) + omb * b
+                l = nl; b = nb; nf += 1L
+                out += HoltSnapshot(series, dayStr(d), l, b, l + b)
+              }
+              frozen = d
+            }
+            var (pn, pfc, pl, pb) = (nf, fc, l, b)
+            days.keys.toSeq.sorted.foreach { d =>
+              val x = days(d).toDouble / 100.0
+              if (pn == 0L) { pfc = days(d); pn = 1L }
+              else {
+                if (pn == 1L) { val x1 = pfc.toDouble / 100.0; pl = x1; pb = x - x1 }
+                val nl = alpha * x + oma * (pl + pb)
+                val nb = beta * (nl - pl) + omb * pb
+                pl = nl; pb = nb; pn += 1L
+                out += HoltSnapshot(series, dayStr(d), pl, pb, pl + pb)
+              }
+            }
+            state.update(HoltState(nf, fc, l, b, frozen, days.toMap))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming twin of [[graft.x.EventAnalytics.ewmaDaily]]: per-series
     * exponentially-decayed daily value (1-day half-life, trailing
     * `windowDays`) maintained in `flatMapGroupsWithState`. State is the

@@ -240,6 +240,64 @@ class StatefulStreamingSpec extends AnyFunSuite {
       "streamed EWMA must reproduce the batch EWMA for every (series, day)")
   }
 
+  test("statefulHolt: frozen snapshots equal batch Holt; late rows drop") {
+    import spark.implicits._
+    val batchDf = spark.read.parquet(eventsDir)
+    val dir = Files.createTempDirectory("graft-holt-stream").toString
+    // copy the time-ranged files so the late-data phase can append here
+    import scala.jdk.CollectionConverters._
+    val parts = Files.list(java.nio.file.Paths.get(eventsDir)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val dst = java.nio.file.Paths.get(dir, p.getFileName.toString)
+      Files.copy(p, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - 60000 + i * 1000))
+    }
+    val stream = StreamingJobs.fileStream(spark, dir, batchDf.schema,
+      maxFilesPerTrigger = 1)
+    // graceDays=1: a file-boundary day stays mutable until the next file
+    // moves the frontier past it, then freezes complete
+    val snaps = StreamingJobs.statefulHolt(spark, stream, "event_type", "ts",
+      "value", graceDays = 1)
+    val q = snaps.writeStream.outputMode("update")
+      .format("memory").queryName("stateful_holt").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("stateful_holt").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+      // batch reference: every day from the 2nd onward must have an
+      // emission matching level/trend/forecast within the ROUND(6) slack
+      val ref = graft.x.EventAnalytics.holtForecast(batchDf, "ts",
+          "event_type", "value")
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("level"), col("trend"), col("forecast_next"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+      val firstDay = ref.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val want = ref.filter(r => r._2 != firstDay(r._1))
+      want.foreach { w =>
+        assert(emitted.exists(e => e._1 == w._1 && e._2 == w._2 &&
+          math.abs(e._3 - w._3) < 6e-7 && math.abs(e._4 - w._4) < 6e-7 &&
+          math.abs(e._5 - w._5) < 6e-7),
+          s"no emission matches batch row $w")
+      }
+      // the causal stream never emits the batch op's peeking day-1 row
+      assert(!emitted.exists(e => e._2 == firstDay(e._1)))
+      // late-data contract: a file whose rows are all far behind the
+      // frozen frontier produces NO state change and NO emissions
+      val before = spark.table("stateful_holt").count()
+      batchDf.filter(to_date(col("ts")) === "2024-01-02")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("stateful_holt").count() === before,
+        "late rows behind the frozen boundary must be dropped, not folded")
+    } finally q.stop()
+  }
+
   test("statefulCusum reproduces the batch CUSUM under its calibration") {
     import spark.implicits._
     val batchDf = spark.read.parquet(eventsDir)
