@@ -1102,6 +1102,16 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // exact two-sample KS: max CDF gap between click and view value
+    // distributions in cross-multiplied integers over a parallel
+    // cumsum (no single-partition sort), Smirnov p-value at the end
+    "x185_ks_test" -> ((s, dir) => {
+      reg(s, dir)
+      val ev = s.table("events")
+        .withColumn("cents", floor(col("value") * 100))
+      Profiler.ksTest(ev, "cents", "event_type", "click", "view")
+    }),
+
     // mutual information + NMI between segment and nation: per-cell
     // double chains quantized to DECIMAL(18,8) so the cell sum is
     // association-free — the dependence profile for feature selection
@@ -6416,6 +6426,65 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // plain window cumsum is the truth the parallel-cumsum must equal;
+    // identical integer gap numerators and final IEEE expressions
+    "x185_ks_test" -> """
+      WITH w AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+                 FROM events
+                 WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      base AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+                 CAST(SUM(b) AS BIGINT) AS cb
+               FROM w GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                CAST(SUM(cb) AS BIGINT) AS nb FROM base),
+      cum AS (SELECT v,
+                SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cuma,
+                SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cumb
+              FROM base),
+      sc AS (SELECT v, ABS(cuma * nb - cumb * na) AS num FROM cum, tot),
+      mx AS (SELECT MAX(num) AS dnum FROM sc),
+      at AS (SELECT MIN(v) AS ks_at FROM sc, mx WHERE num = dnum)
+      SELECT na AS n_a, nb AS n_b, CAST(dnum AS BIGINT) AS d_num, ks_at,
+        ROUND(CAST(dnum AS DOUBLE) /
+          (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d_stat,
+        ROUND(LEAST(1.0, GREATEST(0.0,
+          2.0 * (EXP(-2.0 * ((SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+              (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) + 0.12 +
+              0.11 / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+              (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))) *
+              (CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))))
+              * ((SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+              (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) + 0.12 +
+              0.11 / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+              (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))) *
+              (CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))))
+           - EXP(-8.0 * ((SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+              (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) + 0.12 +
+              0.11 / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+              (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))) *
+              (CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))))
+              * ((SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+              (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) + 0.12 +
+              0.11 / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+              (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))) *
+              (CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))))
+           + EXP(-18.0 * ((SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+              (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) + 0.12 +
+              0.11 / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+              (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))) *
+              (CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))))
+              * ((SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+              (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) + 0.12 +
+              0.11 / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+              (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))) *
+              (CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))))
+          ))), 6) AS p_approx
+      FROM tot, mx, at""",
 
     // same exact counts, same per-cell double chain, same DECIMAL(18,8)
     // quantization before the sum, same final IEEE NMI expression

@@ -402,6 +402,77 @@ object Profiler {
         round(col("b2"), 6).as("b2"), round(col("r2"), 6).as("r2")): _*)
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov test between the `valueCol`
+    * distributions of two groups: D = max_v |F_A(v) − F_B(v)| computed
+    * in CROSS-MULTIPLIED integers (max |c_A·n_B − c_B·n_A|, one IEEE
+    * division at the end), the location of the maximum gap (smallest
+    * value on ties — a total order), and the asymptotic p-value
+    * (Smirnov's series, 3 terms, fixed expression shape). The
+    * distribution-shift gate for A/B assignment checks, drift
+    * monitoring between snapshots, and segment comparison — [[psiDrift]]
+    * without the bucketing choice.
+    *
+    * No single-partition sort exists: per-value counts range-partition
+    * by value, cumulate within partitions, and add broadcast
+    * per-partition carry-ins — the [[Sampling.tokenBudgetSelect]]
+    * parallel-cumsum shape. `valueCol` must be numeric (the tie-break
+    * negates it). Output is one row.
+    *
+    * Shape: one (value) count shuffle, one range shuffle of value-
+    * cardinality rows, a parts-sized offset broadcast, one max
+    * aggregate. */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    val wanted = df.filter(col(groupCol).isin(groupA, groupB) &&
+      col(valueCol).isNotNull)
+    val base = wanted.select(col(valueCol).as("__v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__a"),
+        when(col(groupCol) === groupB, 1L).otherwise(0L).as("__b"))
+      .groupBy("__v").agg(sum("__a").as("__ca"), sum("__b").as("__cb"))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = staging.stage(
+      base.repartitionByRange(parts, col("__v"))
+        .withColumn("__pid", spark_partition_id()), "ks-ranged")
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val off = ranged.groupBy("__pid")
+      .agg(sum("__ca").as("__ta"), sum("__cb").as("__tb"))
+      .withColumn("__offa", coalesce(sum("__ta").over(wOff), lit(0L)))
+      .withColumn("__offb", coalesce(sum("__tb").over(wOff), lit(0L)))
+      .select("__pid", "__offa", "__offb")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = base.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    ranged.join(broadcast(off), Seq("__pid"))
+      .select(col("__v"),
+        (col("__offa") + sum("__ca").over(wIn)).as("__cuma"),
+        (col("__offb") + sum("__cb").over(wIn)).as("__cumb"))
+      .crossJoin(broadcast(totals))
+      .select(col("__v"), col("__na"), col("__nb"),
+        abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na"))
+          .as("__num"))
+      .agg(max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        max(col("__num")).as("__dnum"),
+        expr("max_by(__v, struct(__num, -__v))").as("ks_at"))
+      .select(col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"),
+        col("__dnum").cast("long").as("d_num"), col("ks_at"),
+        round(col("__dnum").cast("double") /
+          (col("__na").cast("double") * col("__nb").cast("double")), 6)
+          .as("d_stat"),
+        round(least(lit(1.0), greatest(lit(0.0), {
+          val d = col("__dnum").cast("double") /
+            (col("__na").cast("double") * col("__nb").cast("double"))
+          val ne = col("__na").cast("double") * col("__nb").cast("double") /
+            (col("__na").cast("double") + col("__nb").cast("double"))
+          val lam = (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * d
+          lit(2.0) * (exp(lit(-2.0) * lam * lam) - exp(lit(-8.0) * lam * lam)
+            + exp(lit(-18.0) * lam * lam))
+        })), 6).as("p_approx"))
+  }
+
   /** Mutual information between two categorical columns, with marginal
     * entropies and the normalized coefficient NMI = I/√(H_a·H_b) — the
     * dependence profile behind feature selection, redundant-column

@@ -75,6 +75,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(again === rows.view.mapValues(_.toString).toMap)
   }
 
+  test("ksTest: hand-checked max gap, tie takes smallest value; invariant") {
+    // A={1,2,3,4}, B={3,4,5,6}: D = 0.5, first reached at v=2 (tie at 3)
+    val df = (Seq(1L, 2L, 3L, 4L).map(("A", _)) ++
+      Seq(3L, 4L, 5L, 6L).map(("B", _))).toDF("g", "v")
+    val r = Profiler.ksTest(df, "v", "g", "A", "B").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 4L, 8L, 2L)))
+    assert(r.getDouble(4) === 0.5)
+    // identical samples: D = 0, p clamps to 1
+    val same = Profiler.ksTest(
+      (Seq(1L, 2L).map(("A", _)) ++ Seq(1L, 2L).map(("B", _))).toDF("g", "v"),
+      "v", "g", "A", "B").head()
+    assert(same.getLong(2) === 0L && same.getDouble(5) === 1.0)
+    // disjoint supports: D = 1, p near 0
+    val far = Profiler.ksTest(
+      ((1L to 50L).map(("A", _)) ++ (100L to 149L).map(("B", _))).toDF("g", "v"),
+      "v", "g", "A", "B").head()
+    assert(far.getDouble(4) === 1.0 && far.getDouble(5) < 1e-6)
+    // layout invariance
+    val r2 = Profiler.ksTest(df.repartition(7), "v", "g", "A", "B").head()
+    assert(r2.toString === r.toString)
+  }
+
   test("mutualInformation: NMI=1 on a bijection, ~0 on independence") {
     // bijection: b = a -> MI = H(a) = H(b) -> NMI = 1
     val dep = (0 until 64).map(i => (s"k${i % 4}", (i % 4).toLong))
