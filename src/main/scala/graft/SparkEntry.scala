@@ -1102,6 +1102,17 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // per-priority revenue Gini: rank-formula concentration in exact
+    // DECIMAL moments, per-group ranks from range-partitioned carry-ins
+    // (no group ever sorts on one task)
+    "x186_gini_concentration" -> ((s, dir) => {
+      reg(s, dir)
+      val o = s.table("orders")
+        .withColumn("cents", floor(col("o_totalprice") * 100))
+      Profiler.gini(o, Seq("o_orderpriority"), "cents", "o_orderkey")
+        .orderBy("o_orderpriority")
+    }),
+
     // exact two-sample KS: max CDF gap between click and view value
     // distributions in cross-multiplied integers over a parallel
     // cumsum (no single-partition sort), Smirnov p-value at the end
@@ -6426,6 +6437,26 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // plain per-group ROW_NUMBER is the truth the two-phase rank must
+    // equal; HUGEINT moments, identical final double expression
+    "x186_gini_concentration" -> """
+      WITH b AS (SELECT o_orderpriority AS g,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v,
+                   o_orderkey AS id
+                 FROM orders),
+      r AS (SELECT g, v, ROW_NUMBER() OVER
+              (PARTITION BY g ORDER BY v, id) AS rk FROM b),
+      m AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+              CAST(SUM(v) AS HUGEINT) AS s,
+              CAST(SUM(CAST(rk AS HUGEINT) * v) AS HUGEINT) AS rs
+            FROM r GROUP BY 1)
+      SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+        CAST(s AS DOUBLE) AS total,
+        ROUND(CASE WHEN s > 0 THEN
+          2.0 * CAST(rs AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+          - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) END, 6) AS gini
+      FROM m ORDER BY o_orderpriority""",
 
     // plain window cumsum is the truth the parallel-cumsum must equal;
     // identical integer gap numerators and final IEEE expressions

@@ -402,6 +402,62 @@ object Profiler {
         round(col("b2"), 6).as("b2"), round(col("r2"), 6).as("r2")): _*)
   }
 
+  /** Per-group Gini concentration coefficient over non-negative integer
+    * values (cents, tokens, bytes): the rank formula
+    *   G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n
+    * over values sorted ascending — revenue concentration per segment,
+    * token-mass concentration per source, the inequality readout behind
+    * "is this corpus dominated by a handful of domains".
+    *
+    * Within equal values the rank assignment is arbitrary; Σ i·xᵢ is
+    * invariant under permutations inside a tie group, so the statistic
+    * is well-defined and the (value, id) tie-break exists purely to
+    * pin the engine's total order. Ranks come from the two-phase
+    * range-partition scheme ([[Dedup.globalRowNumber]] GENERALIZED to
+    * per-group carry-ins: per-(group, partition) counts window over the
+    * parts-sized frame, broadcast back), so no group ever collapses
+    * onto one task no matter how large. Moments are exact DECIMALs; G
+    * is one fixed-shape double expression per group.
+    *
+    * Requires non-negative values (negative mass makes G meaningless);
+    * groups with zero total yield NULL. */
+  def gini(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      idCol: String,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    require(groupCols.nonEmpty, "gini needs at least one group column")
+    val gc = groupCols.map(col)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sortCols = gc ++ Seq(col(valueCol), col(idCol))
+    val ranged = staging.stage(
+      df.select(gc :+ col(valueCol).cast("long").as("__v") :+
+          col(idCol).as("__id"): _*)
+        .repartitionByRange(parts, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()), "gini-ranged")
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc: _*).orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val off = ranged.groupBy(gc :+ col("__pid"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum("__c").over(wOff), lit(0L)))
+      .select(gc :+ col("__pid") :+ col("__off"): _*)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc :+ col("__pid"): _*)
+      .orderBy(col("__v"), col("__id"))
+    ranged.join(broadcast(off), groupCols :+ "__pid")
+      .withColumn("__rank", col("__off") + row_number().over(wIn))
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__v").cast("decimal(38,0)")).as("__s"),
+        sum((col("__rank") * col("__v")).cast("decimal(38,0)")).as("__rs"))
+      .select(gc ++ Seq(col("__n").cast("long").as("n"),
+        col("__s").cast("double").as("total"),
+        round(when(col("__s") > 0,
+          lit(2.0) * col("__rs").cast("double") /
+            (col("__n").cast("double") * col("__s").cast("double")) -
+            (col("__n").cast("double") + lit(1.0)) / col("__n").cast("double")),
+          6).as("gini")): _*)
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov test between the `valueCol`
     * distributions of two groups: D = max_v |F_A(v) − F_B(v)| computed
     * in CROSS-MULTIPLIED integers (max |c_A·n_B − c_B·n_A|, one IEEE

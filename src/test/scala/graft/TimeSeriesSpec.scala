@@ -75,6 +75,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(again === rows.view.mapValues(_.toString).toMap)
   }
 
+  test("gini: perfect equality 0, extreme concentration -> (n-1)/n; invariant") {
+    // group E: all equal -> G = 0; group C: one holder -> G = (n-1)/n
+    val e = (1L to 8L).map(i => ("E", 100L, i))
+    val c = (1L to 7L).map(i => ("C", 0L, i)) :+ (("C", 800L, 8L))
+    val df = (e ++ c).toDF("g", "v", "id")
+    val rows = Profiler.gini(df, Seq("g"), "v", "id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("E").getDouble(3) === 0.0)
+    assert(math.abs(rows("C").getDouble(3) - 7.0 / 8.0) < 1e-9)
+    // hand case: {1,3} -> G = 2*(1*1+2*3)/(2*4) - 3/2 = 14/8 - 12/8 = 0.25
+    val h = Profiler.gini(Seq(("H", 1L, 1L), ("H", 3L, 2L)).toDF("g", "v", "id"),
+      Seq("g"), "v", "id").head()
+    assert(math.abs(h.getDouble(3) - 0.25) < 1e-9)
+    // zero-total group yields NULL, and layout does not change anything
+    val z = Profiler.gini(Seq(("Z", 0L, 1L)).toDF("g", "v", "id"),
+      Seq("g"), "v", "id").head()
+    assert(z.isNullAt(3))
+    val again = Profiler.gini(df.repartition(9), Seq("g"), "v", "id")
+      .collect().map(r => r.getString(0) -> r.toString).toMap
+    assert(again === rows.view.mapValues(_.toString).toMap)
+  }
+
   test("ksTest: hand-checked max gap, tie takes smallest value; invariant") {
     // A={1,2,3,4}, B={3,4,5,6}: D = 0.5, first reached at v=2 (tie at 3)
     val df = (Seq(1L, 2L, 3L, 4L).map(("A", _)) ++
