@@ -1102,6 +1102,22 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // Adamic-Adar link prediction on the co-purchase graph: distance-2
+    // non-edges scored by 1/ln(deg) over common neighbors (DECIMAL-
+    // quantized terms), hub centers capped (their terms -> 0 anyway),
+    // deterministic (aa DESC, a, b) top-100
+    "x187_adamic_adar" -> ((s, dir) => {
+      reg(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val e = s.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("dst", lead("l_partkey", 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("l_partkey").as("src"), col("dst"))
+      Graph.adamicAdar(e, "src", "dst", maxCenterDegree = 1000, topN = 100)
+    }),
+
     // per-priority revenue Gini: rank-formula concentration in exact
     // DECIMAL moments, per-group ranks from range-partitioned carry-ins
     // (no group ever sorts on one task)
@@ -6437,6 +6453,32 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // naive wedge expansion with the same cap, same DECIMAL(18,8) term
+    // quantization, same anti-join and total-order cut
+    "x187_adamic_adar" -> """
+      WITH raw AS (
+        SELECT l_partkey AS src,
+               LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) AS dst
+        FROM lineitem),
+      e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM raw WHERE dst IS NOT NULL AND src <> dst),
+      deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM
+                (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+      kept AS (SELECT adj.w, adj.n, deg.deg FROM adj
+               JOIN deg ON deg.v = adj.w WHERE deg.deg <= 1000),
+      wed AS (SELECT p.n AS a, q.n AS b, p.deg
+              FROM kept p JOIN kept q ON p.w = q.w AND p.n < q.n),
+      sc AS (SELECT a, b,
+               SUM(CAST(1.0 / LN(CAST(deg AS DOUBLE)) AS DECIMAL(18,8))) AS aa,
+               CAST(COUNT(*) AS BIGINT) AS common
+             FROM wed GROUP BY 1, 2),
+      nc AS (SELECT sc.a, sc.b, sc.common, sc.aa FROM sc
+             LEFT JOIN e ON e.a = sc.a AND e.b = sc.b WHERE e.a IS NULL)
+      SELECT a, b, common, CAST(aa AS DOUBLE) AS aa FROM nc
+      ORDER BY aa DESC, a, b LIMIT 100""",
 
     // plain per-group ROW_NUMBER is the truth the two-phase rank must
     // equal; HUGEINT moments, identical final double expression

@@ -348,6 +348,55 @@ object Graph {
           .otherwise(lit(0.0)).as("jaccard"))
   }
 
+  /** Adamic–Adar link prediction over NON-edges (Adamic & Adar 2003;
+    * the strongest of the classic local similarity indices in the
+    * Liben-Nowell & Kleinberg study): for every distance-2 pair (a, b)
+    * not already linked, AA = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg w) — common
+    * neighbors weighted down by their promiscuity. The "who to connect
+    * next" / related-entity scorer; complements [[edgeNeighborScores]],
+    * which scores edges that already EXIST.
+    *
+    * Candidates come from wedges through each center w, which is
+    * quadratic in center degree — `maxCenterDegree` drops hub centers
+    * with the standard audit contract ([[oversizedLeftKeys]] on the
+    * adjacency frame surfaces them). The cap is PRINCIPLED here, not
+    * just protective: a hub's term is 1/ln(deg) → 0, so dropped centers
+    * are precisely the ones that contribute least.
+    *
+    * Each wedge contributes one fixed-shape `1/ln(deg)` double
+    * quantized to DECIMAL(18,8), so the per-pair sum is
+    * association-free; the top-N cut orders by (aa DESC, a, b) — a
+    * total order. Shape: one canonical-edge dedup, one degree agg, one
+    * capped center-keyed self-join, one (a, b) agg, an anti-join
+    * against the edge set, TakeOrderedAndProject. */
+  def adamicAdar(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      maxCenterDegree: Int = 1000, topN: Int = 100): DataFrame = {
+    require(maxCenterDegree >= 2, s"maxCenterDegree must be >= 2, got $maxCenterDegree")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val e = canonicalEdges(edgesIn, srcCol, dstCol)
+    val deg = degrees(e)
+    val adj = e.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+    val kept = adj.join(
+      deg.filter(col("deg") <= maxCenterDegree)
+        .select(col("v").as("w"), col("deg")), "w")
+    // rename BEFORE the self-join: post-join col("n") over a shared
+    // lineage is ambiguous and may bind to either side
+    kept.select(col("w"), col("deg"), col("n").as("__na"))
+      .join(kept.select(col("w"), col("n").as("__nb")), "w")
+      .filter(col("__na") < col("__nb"))
+      .select(col("__na").as("a"), col("__nb").as("b"),
+        (lit(1.0) / log(col("deg").cast("double")))
+          .cast("decimal(18,8)").as("__t"))
+      .groupBy("a", "b")
+      .agg(sum("__t").as("__aa"), count(lit(1)).cast("long").as("common"))
+      .join(e, Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("common"),
+        col("__aa").cast("double").as("aa"))
+      .orderBy(col("aa").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
   /** Bipartite co-occurrence projection: distinct (left, right)
     * membership → the weighted right–right graph, edge weight = number
     * of shared left keys. THE graph builder for everything above it:

@@ -192,6 +192,31 @@ class GraphSpec extends AnyFunSuite {
     assert(got(("C", "A")) == (((2L, 2L, 3L), (1.0, 4.0 / 3.0))))
   }
 
+  test("adamicAdar: scores non-edges only, hand-checked weights, hub cap") {
+    import spark.implicits._
+    // path 1-2-3-4: candidates (1,3) via center 2 and (2,4) via center 3
+    // (both centers have degree 2); (1,4) has no common neighbor
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val rows = Graph.adamicAdar(raw.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet === Set((1L, 3L), (2L, 4L)))
+    val t2 = BigDecimal(1.0 / math.log(2.0)).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows((1L, 3L))._1 === 1L && math.abs(rows((1L, 3L))._2 - t2) < 1e-9)
+    assert(rows((2L, 4L))._1 === 1L && math.abs(rows((2L, 4L))._2 - t2) < 1e-9)
+    // a candidate with TWO common neighbors sums both terms: square
+    // 1-2-5-3-1 gives (2,3)... use 4-cycle 1-2,2-3,3-4,4-1: (1,3) via
+    // centers 2 and 4 (deg 2 each) -> aa = 2/ln(2)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val c = Graph.adamicAdar(cyc.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(c((1L, 3L))._1 === 2L && math.abs(c((1L, 3L))._2 - 2 * t2) < 1e-9)
+    // existing edges are never candidates; hub cap drops the K4 center
+    val star = (2L to 9L).map(i => (1L, i)) // star: all wedges through hub 1
+    val capped = Graph.adamicAdar(star.toDF("src", "dst"), "src", "dst",
+      maxCenterDegree = 4)
+    assert(capped.count() === 0L, "hub above the cap contributes no wedges")
+  }
+
   test("frequentTriples: hand-checked supports; Apriori prune is lossless") {
     import spark.implicits._
     // baskets: {1,2,3} x3, {1,2,3,4} x1, {5,6,7} x1, {1,2} x1
