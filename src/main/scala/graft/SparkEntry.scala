@@ -1102,6 +1102,16 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // Markov next-event baseline with a TEMPORAL train/test split:
+    // argmax successor table trained before Jan 25, scored after —
+    // the eval-harness shape (time split, coverage reported) that makes
+    // sequence-model baselines honest
+    "x188_next_event_accuracy" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.nextEventAccuracy(s.table("events"), "user_id", "ts",
+          "event_id", "event_type", cutoff = "2024-01-25")
+    }),
+
     // Adamic-Adar link prediction on the co-purchase graph: distance-2
     // non-edges scored by 1/ln(deg) over common neighbors (DECIMAL-
     // quantized terms), hub centers capped (their terms -> 0 anyway),
@@ -6453,6 +6463,37 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // same per-user LEAD transitions, same (count DESC, next) argmax,
+    // same split boundary and ratio expressions
+    "x188_next_event_accuracy" -> """
+      WITH tr AS (
+        SELECT ts, event_type AS p,
+          LEAD(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS nxt
+        FROM events),
+      t2 AS (SELECT * FROM tr WHERE nxt IS NOT NULL),
+      train AS (SELECT p, nxt FROM t2 WHERE ts < TIMESTAMP '2024-01-25'),
+      test AS (SELECT p, nxt FROM t2 WHERE ts >= TIMESTAMP '2024-01-25'),
+      cnts AS (SELECT p, nxt, COUNT(*) AS c FROM train GROUP BY 1, 2),
+      pred AS (SELECT p, nxt AS prd FROM (
+                 SELECT p, nxt, ROW_NUMBER() OVER
+                   (PARTITION BY p ORDER BY c DESC, nxt) AS rn
+                 FROM cnts) WHERE rn = 1),
+      j AS (SELECT test.p, test.nxt, pred.prd
+            FROM test LEFT JOIN pred USING (p)),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+              CAST(SUM(CASE WHEN prd IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS covered,
+              CAST(SUM(CASE WHEN prd = nxt THEN 1 ELSE 0 END)
+                AS BIGINT) AS correct
+            FROM j)
+      SELECT n_test, covered, correct,
+        CASE WHEN n_test > 0 THEN
+          CAST(correct AS DOUBLE) / CAST(n_test AS DOUBLE) END AS acc_total,
+        CASE WHEN covered > 0 THEN
+          CAST(correct AS DOUBLE) / CAST(covered AS DOUBLE) END AS acc_covered
+      FROM m""",
 
     // naive wedge expansion with the same cap, same DECIMAL(18,8) term
     // quantization, same anti-join and total-order cut

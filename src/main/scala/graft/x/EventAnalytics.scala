@@ -1005,4 +1005,51 @@ object EventAnalytics {
           .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
           .otherwise("regular").as("segment"))
   }
+
+  /** First-order Markov next-event predictor with an honest TEMPORAL
+    * split: transitions whose source event predates `cutoff` train the
+    * argmax table (most frequent successor per predecessor, ties to the
+    * lexicographically smallest — a total order), transitions at or
+    * after it are scored. The baseline every sequence model must beat,
+    * and the eval harness shape (train/test by time, never by random
+    * row) that makes the number meaningful — reported both over all
+    * test transitions and over the covered ones (predecessor seen in
+    * training).
+    *
+    * Shape: one user-keyed window builds transitions; the count table
+    * and argmax live at event-vocabulary² cardinality (bounded by
+    * construction — the x171 Markov-matrix argument), so the argmax
+    * window and the prediction join broadcast. Counts exact BIGINT; the
+    * two accuracy ratios are single IEEE divisions. */
+  def nextEventAccuracy(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, cutoff: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val trans = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("__p"))
+      .withColumn("__next", lead(col("__p"), 1).over(w))
+      .filter(col("__next").isNotNull)
+    val train = trans.filter(col(tsCol) < lit(cutoff).cast("timestamp"))
+    val test = trans.filter(col(tsCol) >= lit(cutoff).cast("timestamp"))
+    val rankW = Window.partitionBy("__p")
+      .orderBy(col("__c").desc, col("__next"))
+    val pred = train.groupBy("__p", "__next")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(rankW))
+      .filter(col("__rn") === 1)
+      .select(col("__p"), col("__next").as("__pred"))
+    test
+      .join(broadcast(pred), Seq("__p"), "left")
+      .agg(count(lit(1)).cast("long").as("n_test"),
+        sum(when(col("__pred").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("covered"),
+        sum(when(col("__pred") === col("__next"), 1L).otherwise(0L))
+          .cast("long").as("correct"))
+      .select(col("n_test"), col("covered"), col("correct"),
+        when(col("n_test") > 0,
+          col("correct").cast("double") / col("n_test").cast("double"))
+          .as("acc_total"),
+        when(col("covered") > 0,
+          col("correct").cast("double") / col("covered").cast("double"))
+          .as("acc_covered"))
+  }
 }

@@ -525,6 +525,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
       s"late fits should beat the first: ${errs.toSeq}")
   }
 
+  test("nextEventAccuracy: argmax from train only, ties to smallest, coverage") {
+    // train (before Jan 10): A->B twice, A->C once, B->C once
+    // test (from Jan 10): A->B (correct), A->C (wrong), Z->A (uncovered)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A"), (1L, ts("2024-01-01 11:00:00"), 2L, "B"),
+      (1L, ts("2024-01-01 12:00:00"), 3L, "C"),
+      (2L, ts("2024-01-02 10:00:00"), 4L, "A"), (2L, ts("2024-01-02 11:00:00"), 5L, "B"),
+      (3L, ts("2024-01-03 10:00:00"), 6L, "A"), (3L, ts("2024-01-03 11:00:00"), 7L, "C"),
+      (4L, ts("2024-01-10 10:00:00"), 8L, "A"), (4L, ts("2024-01-10 11:00:00"), 9L, "B"),
+      (5L, ts("2024-01-10 10:00:00"), 10L, "A"), (5L, ts("2024-01-10 11:00:00"), 11L, "C"),
+      (6L, ts("2024-01-10 10:00:00"), 12L, "Z"), (6L, ts("2024-01-10 11:00:00"), 13L, "A")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = EventAnalytics.nextEventAccuracy(ev, "user_id", "ts", "event_id",
+      "event_type", cutoff = "2024-01-10").head()
+    // 3 test transitions; Z unseen -> covered 2; A predicts B -> 1 correct
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 1L)))
+    assert(math.abs(r.getDouble(3) - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-12)
+    // tie-break: train with A->B once, A->C once -> predict B (smallest)
+    val tie = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A"), (1L, ts("2024-01-01 11:00:00"), 2L, "B"),
+      (2L, ts("2024-01-02 10:00:00"), 3L, "A"), (2L, ts("2024-01-02 11:00:00"), 4L, "C"),
+      (3L, ts("2024-01-10 10:00:00"), 5L, "A"), (3L, ts("2024-01-10 11:00:00"), 6L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val t = EventAnalytics.nextEventAccuracy(tie, "user_id", "ts", "event_id",
+      "event_type", cutoff = "2024-01-10").head()
+    assert(t.getLong(2) === 1L, "tie must resolve to B, matching the test row")
+  }
+
   test("rfmSegments: exact rank tiles, higher=better, label ladder") {
     // 10 customers, one order each except ids 1-2 (3 orders). Recency
     // spreads over distinct days so ranks are unambiguous.
