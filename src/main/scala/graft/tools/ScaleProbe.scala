@@ -1035,6 +1035,32 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // HyperBall: disjoint graph copies ×k — per-node reach is invariant
+    // (copies never connect), so avg_reach must stay constant while the
+    // per-round |E|-row shuffle grows linearly; packed byte-array
+    // registers keep the row width flat at ~256B regardless of ball size
+    if (on("hyperball")) Seq(1, 4, 16).foreach { k =>
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      val base = li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("dst", lead("l_partkey", 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("l_partkey").as("src"), col("dst"))
+      val inflated = (0 until k).map(i =>
+        base.select((col("src") + lit(i.toLong * 10000000L)).as("src"),
+          (col("dst") + lit(i.toLong * 10000000L)).as("dst")))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val ne = inflated.count()
+      val t0 = System.nanoTime()
+      val rows = graft.x.Graph.hyperBall(inflated, "src", "dst", maxHops = 2)
+        .orderBy("h").collect()
+      val avg2 = rows.last.getDouble(3)
+      println(f"[scale-hyperball] edges=$ne%8d  " +
+        f"time=${(System.nanoTime() - t0) / 1e9}%6.2fs  avg_reach_h2=$avg2%.3f")
+      spark.catalog.clearCache()
+    }
+
     if (on("lsh")) factors.foreach { k =>
       // each copy's tokens get a copy-suffix, so copies are NOT near-dups of
       // each other: near-dup density per doc stays constant as the corpus

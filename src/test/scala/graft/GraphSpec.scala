@@ -325,8 +325,26 @@ class GraphSpec extends AnyFunSuite {
       assert(edgeSideShuffles(lpRound2).isEmpty,
         s"labelPropagation round 2 re-shuffled the static edges:\n$lpRound2")
 
+      // hyperBall: packed-register rounds join edges(dst) ⋈ regs(node);
+      // the staged edge side must stay exchange-free in round 2 as well
+      val hbCap = new PlanCapture
+      val hb = Graph.hyperBall(edges, "src", "dst", maxHops = 2, staging = hbCap)
+      val hbRound2 = hbCap.plans("hb-regs-2")
+      assert(hasEdgeScan(hbRound2), s"round-2 plan lost the edge scan:\n$hbRound2")
+      assert(edgeSideShuffles(hbRound2).isEmpty,
+        s"hyperBall round 2 re-shuffled the static edges:\n$hbRound2")
+
+      // personalizedPageRank shares pageRank's staged layout verbatim
+      val pprCap = new PlanCapture
+      val ppr = Graph.personalizedPageRank(edges, "src", "dst",
+        seeds = Seq(1L), iters = 2, staging = pprCap)
+      val pprRound2 = pprCap.plans("ppr-ranks-2")
+      assert(hasEdgeScan(pprRound2), s"round-2 plan lost the edge scan:\n$pprRound2")
+      assert(edgeSideShuffles(pprRound2).isEmpty,
+        s"personalizedPageRank round 2 re-shuffled the static edges:\n$pprRound2")
+
       // the pinning is pure layout: results identical to the default path
-      pr.collect(); lp.collect()
+      pr.collect(); lp.collect(); hb.collect(); ppr.collect()
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
