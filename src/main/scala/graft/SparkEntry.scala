@@ -1102,6 +1102,18 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // full DBSCAN on the x162 grid: grid-join neighbors, core test,
+    // connected components over core-core edges, min-core border
+    // assignment — deterministic cluster ids, no all-pairs stage
+    "x189_dbscan_clusters" -> ((s, dir) => {
+      reg(s, dir)
+      val pts = s.table("customer").select(col("c_custkey").as("id"),
+        pmod(col("c_custkey") * 37, lit(499)).as("x"),
+        pmod(col("c_custkey") * 101, lit(503)).as("y"))
+      graft.x.Spatial.dbscan(pts, "id", "x", "y", radius = 12, minPts = 4)
+        .orderBy("id")
+    }),
+
     // Markov next-event baseline with a TEMPORAL train/test split:
     // argmax successor table trained before Jan 25, scored after —
     // the eval-harness shape (time split, coverage reported) that makes
@@ -6463,6 +6475,54 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // all-pairs truth + recursive-closure components — the engine's
+    // grid join, union-find labels and min-core border rule must
+    // reproduce this relation exactly
+    "x189_dbscan_clusters" -> """
+      WITH RECURSIVE
+      p AS MATERIALIZED (
+        SELECT c_custkey AS id, (c_custkey * 37) % 499 AS x,
+               (c_custkey * 101) % 503 AS y
+        FROM customer),
+      pr AS MATERIALIZED (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM p a JOIN p b ON a.id < b.id
+        WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 144),
+      cnt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS nn FROM
+                (SELECT id_a AS id FROM pr UNION ALL SELECT id_b FROM pr)
+              GROUP BY 1),
+      pts AS (SELECT p.id, CAST(p.x AS BIGINT) AS x, CAST(p.y AS BIGINT) AS y,
+                COALESCE(cnt.nn, 0) AS nn
+              FROM p LEFT JOIN cnt USING (id)),
+      core AS MATERIALIZED (SELECT id FROM pts WHERE nn + 1 >= 4),
+      ce AS MATERIALIZED (
+        SELECT id_a, id_b FROM pr
+        JOIN core ca ON ca.id = pr.id_a
+        JOIN core cb ON cb.id = pr.id_b),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM ce
+                UNION SELECT id_b, id_a FROM ce),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS comp
+               FROM reach GROUP BY src),
+      clab AS (SELECT core.id, COALESCE(comp.comp, core.id) AS cluster
+               FROM core LEFT JOIN comp USING (id)),
+      adj AS (SELECT id_a AS id, id_b AS nb FROM pr
+              UNION ALL SELECT id_b, id_a FROM pr),
+      blab AS (SELECT adj.id, MIN(clab.cluster) AS bc
+               FROM adj JOIN clab ON clab.id = adj.nb GROUP BY adj.id)
+      SELECT pts.id, pts.x, pts.y, pts.nn AS n_neighbors,
+        CASE WHEN pts.nn + 1 >= 4 THEN 'core'
+             WHEN blab.bc IS NOT NULL THEN 'border'
+             ELSE 'noise' END AS role,
+        CAST(CASE WHEN pts.nn + 1 >= 4 THEN clab.cluster
+                  ELSE blab.bc END AS BIGINT) AS cluster
+      FROM pts LEFT JOIN clab ON clab.id = pts.id
+      LEFT JOIN blab ON blab.id = pts.id
+      ORDER BY pts.id""",
 
     // same per-user LEAD transitions, same (count DESC, next) argmax,
     // same split boundary and ratio expressions

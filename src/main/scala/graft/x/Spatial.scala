@@ -81,6 +81,62 @@ object Spatial {
         (coalesce(col("__n"), lit(0L)) < minPts).as("is_outlier"))
   }
 
+  /** Full DBSCAN clustering (Ester et al. 1996) composed from the
+    * engine's own primitives: [[gridNeighborPairs]] for the ε-neighbor
+    * frame, the [[densityOutliers]] count for the core test
+    * (|N(p)| + 1 ≥ minPts, the point counting itself), and
+    * [[Dedup.connectedComponents]] over CORE–CORE edges for cluster
+    * labels (min reachable core id — deterministic on any engine).
+    * Border points (non-core within ε of ≥ 1 core) take the SMALLEST
+    * neighboring core's cluster — the one deterministic refinement of
+    * the classic algorithm, whose border assignment is famously
+    * scan-order-dependent; everything else is DBSCAN exactly.
+    *
+    * Shape: one grid join (cell caps auditable via [[hotCells]]), one
+    * id-keyed count, a CC whose edge set is matches-not-points
+    * (driver union-find under threshold, distributed min-label
+    * fallback), two id-keyed label joins. No all-pairs stage. */
+  def dbscan(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      radius: Long, minPts: Int,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    require(minPts >= 2, s"minPts must be >= 2, got $minPts")
+    val pairs = staging.stage(
+      gridNeighborPairs(df, idCol, xCol, yCol, radius).select("id_a", "id_b"),
+      "dbscan-pairs")
+    val cnt = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__n"))
+    val pts = df.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val withCnt = pts.join(cnt, Seq("id"), "left")
+      .withColumn("__nn", coalesce(col("__n"), lit(0L)))
+      .withColumn("__core", col("__nn") + 1 >= minPts)
+    val coreIds = staging.stage(
+      withCnt.filter(col("__core")).select("id"), "dbscan-core")
+    val corePairs = pairs
+      .join(coreIds.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+      .join(coreIds.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+    val comp = Dedup.connectedComponents(
+      corePairs.select(col("id_a"), col("id_b")), staging = staging)
+    val coreLabel = coreIds.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+    val adj = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val borderLabel = adj
+      .join(coreLabel.select(col("id").as("nb"), col("cluster").as("__bc")), "nb")
+      .groupBy("id").agg(min("__bc").as("__bc"))
+    withCnt
+      .join(coreLabel.withColumnRenamed("cluster", "__cc"), Seq("id"), "left")
+      .join(borderLabel, Seq("id"), "left")
+      .select(col("id"), col("x"), col("y"),
+        col("__nn").cast("long").as("n_neighbors"),
+        when(col("__core"), "core")
+          .when(col("__bc").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        when(col("__core"), col("__cc")).otherwise(col("__bc"))
+          .cast("long").as("cluster"))
+  }
+
   /** Audit surface for [[gridNeighborPairs]]' density skew: cells holding
     * more than `maxCell` points — the quadratic hot spots, reported
     * before they become the join's straggler task. */

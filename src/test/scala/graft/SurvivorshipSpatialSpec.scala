@@ -9,6 +9,29 @@ class SurvivorshipSpatialSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("dbscan: two blobs cluster separately, border takes min core, noise isolated") {
+    // blob A: unit square at origin (ids 1-4), blob B: square at (10,10)
+    // (ids 11-14); id 21 touches A's corner only; id 99 far away.
+    // radius=2, minPts=3: squares are all-core (3 neighbors each).
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 1L, 0L), (3L, 0L, 1L), (4L, 1L, 1L),
+      (11L, 10L, 10L), (12L, 11L, 10L), (13L, 10L, 11L), (14L, 11L, 11L),
+      (21L, 3L, 1L), (99L, 100L, 100L)).toDF("id", "x", "y")
+    val out = graft.x.Spatial.dbscan(pts, "id", "x", "y", radius = 2, minPts = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(4), if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    Seq(1L, 2L, 3L, 4L).foreach(i => assert(out(i) === (("core", 1L)), s"id $i"))
+    Seq(11L, 12L, 13L, 14L).foreach(i => assert(out(i) === (("core", 11L)), s"id $i"))
+    assert(out(21L) === (("border", 1L)), "corner point borders blob A")
+    assert(out(99L) === (("noise", -1L)), "far point is unclustered noise")
+    // layout invariance
+    val again = graft.x.Spatial.dbscan(pts.repartition(7), "id", "x", "y",
+      radius = 2, minPts = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(4), if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(again === out)
+  }
+
   test("goldenRecord: per-field priority, nulls never win, ties break by id") {
     val df = Seq(
       // cluster 1: high-prio record has null city → low-prio city survives
