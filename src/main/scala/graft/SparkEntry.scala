@@ -1102,6 +1102,14 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // Hill tail index of the token-frequency head: the "is the corpus
+    // still Zipfian" health check — top-k order statistics by a total
+    // order, ln terms DECIMAL-quantized, one division
+    "x190_hill_tail_index" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.hillTailIndex(s.table("documents"), "text", k = 20)
+    }),
+
     // full DBSCAN on the x162 grid: grid-join neighbors, core test,
     // connected components over core-core edges, min-core border
     // assignment — deterministic cluster ids, no all-pairs stage
@@ -6475,6 +6483,33 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // same tokens, same (freq DESC, token) order statistics, same
+    // DECIMAL(18,8) ln terms and final expressions
+    "x190_hill_tail_index" -> """
+      WITH t AS (
+        SELECT UNNEST(LIST_FILTER(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                                  x -> LENGTH(x) > 0)) AS tok
+        FROM documents),
+      freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+      v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+              CAST(SUM(c) AS BIGINT) AS tot FROM freq),
+      top AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn
+              FROM freq ORDER BY c DESC, tok LIMIT 21),
+      bdy AS (SELECT c AS xk1 FROM top WHERE rn = 21),
+      hterm AS (SELECT top.c, bdy.xk1,
+                  CAST(LN(CAST(top.c AS DOUBLE) / CAST(bdy.xk1 AS DOUBLE))
+                    AS DECIMAL(18,8)) AS tt
+                FROM top, bdy WHERE rn <= 20),
+      a AS (SELECT SUM(tt) AS s, CAST(SUM(c) AS BIGINT) AS head,
+              MAX(xk1) AS xk1 FROM hterm)
+      SELECT CAST(20 AS INT) AS k, v.vocab, CAST(a.xk1 AS BIGINT)
+          AS boundary_freq,
+        ROUND(CAST(a.head AS DOUBLE) / CAST(v.tot AS DOUBLE), 6)
+          AS head_share,
+        ROUND(CASE WHEN a.s > 0 THEN 20.0 / CAST(a.s AS DOUBLE) END, 6)
+          AS alpha_hill
+      FROM a, v""",
 
     // all-pairs truth + recursive-closure components — the engine's
     // grid join, union-find labels and min-core border rule must

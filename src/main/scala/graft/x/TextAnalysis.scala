@@ -1410,6 +1410,50 @@ object TextAnalysis {
             col("n_words").cast("double")) - lit(15.59), 4).as("fk_grade"))
   }
 
+  /** Hill tail-index estimate (Hill 1975) of the token-frequency
+    * distribution: over the k largest frequencies x₁ ≥ … ≥ x_k with
+    * boundary x_{k+1},  α̂ = k / Σᵢ ln(xᵢ / x_{k+1}) — the standard
+    * power-law exponent estimator, i.e. the "is this corpus still
+    * Zipfian" health check (α̂ ≈ 1 for natural text; a corpus whose
+    * head flattens after aggressive dedup or template stripping drifts
+    * visibly). Reported with the vocabulary size, the boundary
+    * frequency, and the head share so the number has its context.
+    *
+    * Order statistics come from a (freq DESC, token ASC) total order —
+    * ties at the boundary are deterministic. The top-(k+1) cut is
+    * TakeOrderedAndProject; the only window runs over those k+1 rows
+    * (bounded by the parameter, never by data). Each ln term is
+    * quantized to DECIMAL(18,8) before the sum (association-free); α̂
+    * is one IEEE division. */
+  def hillTailIndex(docs: DataFrame, textCol: String, k: Int = 200): DataFrame = {
+    require(k >= 2, s"hillTailIndex needs k >= 2, got $k")
+    val toks = docs.select(explode(
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0))
+      .as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val vocab = freq.agg(count(lit(1)).as("__v"), sum("c").as("__tot"))
+    val top = freq.orderBy(col("c").desc, col("tok")).limit(k + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok"))
+    val ranked = top.withColumn("__rn", row_number().over(w))
+    val bdy = ranked.filter(col("__rn") === k + 1)
+      .select(col("c").as("__xk1"))
+    ranked.filter(col("__rn") <= k)
+      .crossJoin(broadcast(bdy))
+      .select(col("c"), col("__xk1"),
+        log(col("c").cast("double") / col("__xk1").cast("double"))
+          .cast("decimal(18,8)").as("__t"))
+      .agg(sum("__t").as("__s"), sum("c").as("__head"),
+        max("__xk1").as("__xk1"))
+      .crossJoin(broadcast(vocab))
+      .select(lit(k).as("k"), col("__v").cast("long").as("vocab"),
+        col("__xk1").cast("long").as("boundary_freq"),
+        round(col("__head").cast("double") / col("__tot").cast("double"), 6)
+          .as("head_share"),
+        round(when(col("__s") > 0,
+          lit(k.toDouble) / col("__s").cast("double")), 6).as("alpha_hill"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): rank words by
     * running PageRank over the adjacency co-occurrence graph — the
     * unsupervised keyword/keyphrase baseline, here composed from the

@@ -15,6 +15,26 @@ class ExtensionOpsSpec extends AnyFunSuite {
   lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
   lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
 
+  test("hillTailIndex: hand-checked alpha on planted frequencies") {
+    // freqs: a=8, b=4, c=2, d=1; k=2 -> boundary x3 = 2,
+    // alpha = 2 / (ln(8/2) + ln(4/2)) = 2 / (3 ln 2)
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val r = TextAnalysis.hillTailIndex(Seq(text).toDF("text"), "text", k = 2)
+      .head()
+    assert((r.getInt(0), r.getLong(1), r.getLong(2)) === ((2, 4L, 2L)))
+    assert(math.abs(r.getDouble(3) - 12.0 / 15.0) < 1e-6, "head share 12/15")
+    val q = (v: Double) => BigDecimal(v).setScale(8,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expAlpha = 2.0 / (q(math.log(4.0)) + q(math.log(2.0)))
+    assert(math.abs(r.getDouble(4) - expAlpha) < 1e-6,
+      s"alpha ${r.getDouble(4)} vs $expAlpha")
+    // vocabulary smaller than k: degrades to NULL alpha, never throws
+    val small = TextAnalysis.hillTailIndex(Seq("x y").toDF("text"), "text",
+      k = 5).head()
+    assert(small.isNullAt(4))
+  }
+
   test("textRankKeywords: the hub word outranks spokes; layout-invariant") {
     // star-shaped co-occurrence: "hub" is adjacent to every spoke word,
     // spokes only ever touch hub — classic TextRank centrality shape
