@@ -1102,6 +1102,23 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // one-way ANOVA: does order priority explain order value at all —
+    // F and eta^2 from exact DECIMAL moments on one shuffle
+    "x191_anova_f" -> ((s, dir) => {
+      reg(s, dir)
+      val o = s.table("orders")
+        .withColumn("cents", floor(col("o_totalprice") * 100))
+      Profiler.anovaF(o, "o_orderpriority", "cents")
+    }),
+
+    // Cramer's V: bounded [0,1] categorical association, comparable
+    // across pairs — chi^2 over the FULL r x c grid (empty cells
+    // contribute e), DECIMAL-quantized cell terms
+    "x192_cramers_v" -> ((s, dir) => {
+      reg(s, dir)
+      Profiler.cramersV(s.table("customer"), "c_mktsegment", "c_nationkey")
+    }),
+
     // Hill tail index of the token-frequency head: the "is the corpus
     // still Zipfian" health check — top-k order statistics by a total
     // order, ln terms DECIMAL-quantized, one division
@@ -6483,6 +6500,70 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // HUGEINT moments, same per-group (Σx)²/n terms DECIMAL-quantized,
+    // same fixed double F / eta^2 expressions
+    "x191_anova_f" -> """
+      WITH b AS (SELECT o_orderpriority AS g,
+                   CAST(FLOOR(o_totalprice * 100) AS HUGEINT) AS x
+                 FROM orders
+                 WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      m AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s,
+              SUM(x*x) AS ss FROM b GROUP BY 1),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(n) AS nn, SUM(s) AS S,
+              SUM(ss) AS SS FROM m),
+      bt AS (SELECT SUM(CAST((CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / CAST(n AS DOUBLE) AS DECIMAL(38,8))) AS B FROM m)
+      SELECT t.k AS groups, CAST(t.nn AS BIGINT) AS n,
+        CAST(t.SS AS DOUBLE) - CAST(t.S AS DOUBLE) * CAST(t.S AS DOUBLE)
+          / CAST(t.nn AS DOUBLE) AS sst,
+        CAST(bt.B AS DOUBLE) - CAST(t.S AS DOUBLE) * CAST(t.S AS DOUBLE)
+          / CAST(t.nn AS DOUBLE) AS ssb,
+        ROUND(CASE WHEN t.k >= 2 AND CAST(t.nn AS DOUBLE) > CAST(t.k AS DOUBLE)
+            AND (CAST(t.SS AS DOUBLE) - CAST(bt.B AS DOUBLE)) > 0.0 THEN
+          ((CAST(bt.B AS DOUBLE) - CAST(t.S AS DOUBLE) * CAST(t.S AS DOUBLE)
+            / CAST(t.nn AS DOUBLE)) / (CAST(t.k AS DOUBLE) - 1.0)) /
+          ((CAST(t.SS AS DOUBLE) - CAST(bt.B AS DOUBLE)) /
+            (CAST(t.nn AS DOUBLE) - CAST(t.k AS DOUBLE))) END, 6) AS f_stat,
+        ROUND(CASE WHEN (CAST(t.SS AS DOUBLE) - CAST(t.S AS DOUBLE) *
+            CAST(t.S AS DOUBLE) / CAST(t.nn AS DOUBLE)) > 0.0 THEN
+          (CAST(bt.B AS DOUBLE) - CAST(t.S AS DOUBLE) * CAST(t.S AS DOUBLE)
+            / CAST(t.nn AS DOUBLE)) / (CAST(t.SS AS DOUBLE) -
+            CAST(t.S AS DOUBLE) * CAST(t.S AS DOUBLE) / CAST(t.nn AS DOUBLE))
+          END, 6) AS eta_sq
+      FROM t, bt""",
+
+    // full r x c expected grid (empty cells included), same DECIMAL
+    // cell terms, same final chi2 / V expressions
+    "x192_cramers_v" -> """
+      WITH b AS (SELECT c_mktsegment AS a, c_nationkey AS bb FROM customer
+                 WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
+      cells AS (SELECT a, bb, CAST(COUNT(*) AS BIGINT) AS o
+                FROM b GROUP BY 1, 2),
+      ca AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM b GROUP BY 1),
+      cb AS (SELECT bb, CAST(COUNT(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+      dims AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ca) AS r,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS c),
+      grid AS (SELECT ca.a, cb.bb, ca.ca, cb.cb,
+                 COALESCE(cells.o, 0) AS oo
+               FROM ca CROSS JOIN cb
+               LEFT JOIN cells ON cells.a = ca.a AND cells.bb = cb.bb),
+      chi AS (SELECT COALESCE(SUM(CAST(
+                (CAST(oo AS DOUBLE) - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)
+                  / CAST(n.n AS DOUBLE)) *
+                (CAST(oo AS DOUBLE) - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)
+                  / CAST(n.n AS DOUBLE)) /
+                (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n.n AS DOUBLE))
+                AS DECIMAL(18,8))), CAST(0 AS DECIMAL(18,8))) AS chi2
+              FROM grid, n)
+      SELECT n.n AS n, dims.r AS rows_dim, dims.c AS cols_dim,
+        ROUND(CAST(chi.chi2 AS DOUBLE), 6) AS chi2,
+        ROUND(CASE WHEN dims.r >= 2 AND dims.c >= 2 THEN
+          SQRT(CAST(chi.chi2 AS DOUBLE) / (CAST(n.n AS DOUBLE) *
+            (CAST(LEAST(dims.r, dims.c) AS DOUBLE) - 1.0))) END, 6)
+          AS cramers_v
+      FROM chi, n, dims""",
 
     // same tokens, same (freq DESC, token) order statistics, same
     // DECIMAL(18,8) ln terms and final expressions

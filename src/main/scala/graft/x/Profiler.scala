@@ -529,6 +529,95 @@ object Profiler {
         })), 6).as("p_approx"))
   }
 
+  /** One-way ANOVA over integer-valued observations: the F statistic
+    *   F = (SSB/(g−1)) / (SSW/(n−g))
+    * plus effect size η² = SSB/SST — "does the group column explain the
+    * metric at all", the first screen before any per-group deep dive.
+    * All sums of squares derive from exact DECIMAL(38,0) moments (n,
+    * Σx, Σx² per group) on ONE shuffle: SST = Σx² − (Σx)²/n and
+    * SSB = Σ_g (Σx_g)²/n_g − (Σx)²/n evaluated as fixed double
+    * expressions over the exact scalars (per-group terms quantized
+    * DECIMAL(18,8) so the group sum is association-free). Degenerate
+    * inputs (g < 2, n ≤ g, SSW = 0) yield NULL F rather than garbage. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val x = col(valueCol).cast(d38)
+    val g = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).cast(d38).as("__n"), sum(x).as("__s"),
+        sum(x * x).cast(d38).as("__ss"))
+    val tot = g.agg(count(lit(1)).cast("long").as("__k"),
+      sum("__n").cast(d38).as("__N"), sum("__s").cast(d38).as("__S"),
+      sum("__ss").cast(d38).as("__SS"))
+    val between = g
+      .select(((col("__s").cast("double") * col("__s").cast("double")) /
+        col("__n").cast("double")).cast("decimal(38,8)").as("__t"))
+      .agg(sum("__t").as("__B"))
+    between.crossJoin(broadcast(tot))
+      .select(col("__k").as("groups"), col("__N").cast("long").as("n"),
+        expr("CAST(__SS AS DOUBLE) - CAST(__S AS DOUBLE) * " +
+          "CAST(__S AS DOUBLE) / CAST(__N AS DOUBLE)").as("sst"),
+        expr("CAST(__B AS DOUBLE) - CAST(__S AS DOUBLE) * " +
+          "CAST(__S AS DOUBLE) / CAST(__N AS DOUBLE)").as("ssb"),
+        round(expr(
+          "CASE WHEN __k >= 2 AND CAST(__N AS DOUBLE) > CAST(__k AS DOUBLE) " +
+            "AND (CAST(__SS AS DOUBLE) - CAST(__B AS DOUBLE)) > 0.0 THEN " +
+            "((CAST(__B AS DOUBLE) - CAST(__S AS DOUBLE) * CAST(__S AS DOUBLE) " +
+            "/ CAST(__N AS DOUBLE)) / (CAST(__k AS DOUBLE) - 1.0)) / " +
+            "((CAST(__SS AS DOUBLE) - CAST(__B AS DOUBLE)) / " +
+            "(CAST(__N AS DOUBLE) - CAST(__k AS DOUBLE))) END"), 6).as("f_stat"),
+        round(expr(
+          "CASE WHEN (CAST(__SS AS DOUBLE) - CAST(__S AS DOUBLE) * " +
+            "CAST(__S AS DOUBLE) / CAST(__N AS DOUBLE)) > 0.0 THEN " +
+            "(CAST(__B AS DOUBLE) - CAST(__S AS DOUBLE) * CAST(__S AS DOUBLE) " +
+            "/ CAST(__N AS DOUBLE)) / (CAST(__SS AS DOUBLE) - " +
+            "CAST(__S AS DOUBLE) * CAST(__S AS DOUBLE) / CAST(__N AS DOUBLE)) " +
+            "END"), 6).as("eta_sq"))
+  }
+
+  /** Cramér's V association between two categorical columns: the
+    * chi-square contingency statistic normalized to [0, 1],
+    *   V = √(χ² / (n·(min(r,c)−1)))
+    * — [[mutualInformation]]'s bounded, units-free sibling (V is
+    * comparable ACROSS pairs with different cardinalities, which raw MI
+    * is not). Counts exact; each cell's (o−e)²/e runs as one fixed
+    * double chain over exact integers quantized to DECIMAL(18,8); χ²
+    * and V are single IEEE expressions over the exact sum. Null keys
+    * excluded, same contract as MI. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val cells = base.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val ca = base.groupBy(col(aCol).as("__a")).agg(count(lit(1)).as("__ca"))
+    val cb = base.groupBy(col(bCol).as("__b")).agg(count(lit(1)).as("__cb"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    val dims = ca.agg(count(lit(1)).as("__r"))
+      .crossJoin(cb.agg(count(lit(1)).as("__c")))
+    // chi2 must include EMPTY cells' (0-e)^2/e = e terms: iterate the
+    // full r x c grid (marginal cross join, broadcast one side)
+    val grid = ca.crossJoin(broadcast(cb))
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("__oo", coalesce(col("__o"), lit(0L)))
+    val chi = grid.crossJoin(broadcast(n))
+      .select((
+        {
+          val e = col("__ca").cast("double") * col("__cb").cast("double") /
+            col("__n").cast("double")
+          (col("__oo").cast("double") - e) * (col("__oo").cast("double") - e) / e
+        }).cast("decimal(18,8)").as("__t"))
+      .agg(coalesce(sum("__t"), lit(0).cast("decimal(18,8)")).as("__chi2"))
+    chi.crossJoin(broadcast(n)).crossJoin(broadcast(dims))
+      .select(col("__n").cast("long").as("n"),
+        col("__r").cast("long").as("rows_dim"),
+        col("__c").cast("long").as("cols_dim"),
+        round(col("__chi2").cast("double"), 6).as("chi2"),
+        round(when(col("__r") >= 2 && col("__c") >= 2,
+          sqrt(col("__chi2").cast("double") /
+            (col("__n").cast("double") *
+              (least(col("__r"), col("__c")).cast("double") - lit(1.0))))),
+          6).as("cramers_v"))
+  }
+
   /** Mutual information between two categorical columns, with marginal
     * entropies and the normalized coefficient NMI = I/√(H_a·H_b) — the
     * dependence profile behind feature selection, redundant-column

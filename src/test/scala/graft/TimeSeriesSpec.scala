@@ -75,6 +75,36 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(again === rows.view.mapValues(_.toString).toMap)
   }
 
+  test("anovaF: hand-checked F; zero effect -> F~0; degenerate -> NULL") {
+    // groups A={1,2,3}, B={4,5,6}: means 2 and 5, SSB=13.5, SSW=4,
+    // F = (13.5/1)/(4/4) = 13.5, eta^2 = 13.5/17.5
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 4L), ("B", 5L), ("B", 6L)).toDF("g", "v")
+    val r = Profiler.anovaF(df, "g", "v").head()
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 6L)))
+    assert(math.abs(r.getDouble(3) - 13.5) < 1e-9, s"ssb ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 13.5) < 1e-6, s"F ${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - 13.5 / 17.5) < 1e-6)
+    // identical group distributions: F = 0
+    val flat = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L)).toDF("g", "v")
+    assert(math.abs(Profiler.anovaF(flat, "g", "v").head().getDouble(4)) < 1e-9)
+    // one group: NULL F
+    assert(Profiler.anovaF(Seq(("A", 1L), ("A", 2L)).toDF("g", "v"), "g", "v")
+      .head().isNullAt(4))
+  }
+
+  test("cramersV: bijection -> 1, independence -> 0, 1-dim -> NULL") {
+    val dep = (0 until 40).map(i => (s"k${i % 4}", (i % 4).toLong)).toDF("a", "b")
+    val d = Profiler.cramersV(dep, "a", "b").head()
+    assert(math.abs(d.getDouble(4) - 1.0) < 1e-6, s"V ${d.getDouble(4)}")
+    val ind = (0 until 64).map(i => (s"k${i % 4}", ((i / 4) % 4).toLong)).toDF("a", "b")
+    val iv = Profiler.cramersV(ind, "a", "b").head()
+    assert(math.abs(iv.getDouble(3)) < 1e-9 && math.abs(iv.getDouble(4)) < 1e-9)
+    val one = Profiler.cramersV(Seq(("x", 1L), ("x", 2L)).toDF("a", "b"), "a", "b")
+      .head()
+    assert(one.isNullAt(4), "single-category dimension has no V")
+  }
+
   test("gini: perfect equality 0, extreme concentration -> (n-1)/n; invariant") {
     // group E: all equal -> G = 0; group C: one holder -> G = (n-1)/n
     val e = (1L to 8L).map(i => ("E", 100L, i))
