@@ -1102,6 +1102,16 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // Mann-Whitney U with exact midrank-tie arithmetic (doubled rank
+    // sums stay integer), tie-corrected z, rank-biserial effect size —
+    // x185's stochastic-dominance sibling on the same parallel cumsum
+    "x193_mann_whitney_u" -> ((s, dir) => {
+      reg(s, dir)
+      val ev = s.table("events")
+        .withColumn("cents", floor(col("value") * 100))
+      Profiler.mannWhitneyU(ev, "cents", "event_type", "click", "view")
+    }),
+
     // one-way ANOVA: does order priority explain order value at all —
     // F and eta^2 from exact DECIMAL moments on one shuffle
     "x191_anova_f" -> ((s, dir) => {
@@ -6500,6 +6510,48 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // plain cumsum replay; identical integer doubled-rank and tie sums,
+    // identical z / effect-size expressions
+    "x193_mann_whitney_u" -> """
+      WITH w AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+                 FROM events
+                 WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      base AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+                 CAST(SUM(b) AS BIGINT) AS cb
+               FROM w GROUP BY 1),
+      cum AS (SELECT v, ca, cb,
+                SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) - ca AS beforeA,
+                SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) - cb AS beforeB
+              FROM base),
+      m AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+              CAST(SUM(cb) AS BIGINT) AS nb,
+              CAST(SUM(ca * (2 * (beforeA + beforeB) + ca + cb + 1))
+                AS BIGINT) AS twoRa,
+              CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                AS BIGINT) AS ties
+            FROM cum)
+      SELECT na AS n_a, nb AS n_b,
+        CAST(twoRa - na * (na + 1) AS DOUBLE) / 2.0 AS u_a,
+        ROUND(CASE WHEN na > 0 AND nb > 0 AND (na + nb) >= 2 AND
+            ((CAST(na + nb AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) /
+             (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0)))
+            > 0.0 THEN
+          (CAST(twoRa - na * (na + 1) AS DOUBLE) / 2.0 -
+           CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) /
+          SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+            ((CAST(na + nb AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) /
+             (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0))))
+          END, 6) AS z,
+        ROUND(CASE WHEN na > 0 AND nb > 0 THEN
+          2.0 * (CAST(twoRa - na * (na + 1) AS DOUBLE) / 2.0) /
+          (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0 END, 6)
+          AS r_rank_biserial
+      FROM m""",
 
     // HUGEINT moments, same per-group (Σx)²/n terms DECIMAL-quantized,
     // same fixed double F / eta^2 expressions

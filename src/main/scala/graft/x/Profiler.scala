@@ -618,6 +618,76 @@ object Profiler {
           6).as("cramers_v"))
   }
 
+  /** Exact Mann–Whitney U (Wilcoxon rank-sum) between two groups:
+    * doubled rank sums stay INTEGER even with midrank ties
+    * (2R_A = Σ_v c_A(v)·(2·before(v) + c(v) + 1)), the tie-corrected
+    * normal approximation z = (U−μ)/σ with σ²'s Σ(t³−t) term summed as
+    * exact BIGINTs, and the rank-biserial effect size — the
+    * nonparametric mean-shift test to [[ksTest]]'s shape test: U asks
+    * "do A's values stochastically dominate B's", KS asks "do the
+    * distributions differ anywhere".
+    *
+    * Same no-single-partition-sort machinery as [[ksTest]]: per-value
+    * counts range-partition, cumulate within partitions, add broadcast
+    * carry-ins. One IEEE chain per output scalar, fixed shape. */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    val base = df.filter(col(groupCol).isin(groupA, groupB) &&
+      col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__a"),
+        when(col(groupCol) === groupB, 1L).otherwise(0L).as("__b"))
+      .groupBy("__v").agg(sum("__a").as("__ca"), sum("__b").as("__cb"))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = staging.stage(
+      base.repartitionByRange(parts, col("__v"))
+        .withColumn("__pid", spark_partition_id()), "mwu-ranged")
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val off = ranged.groupBy("__pid")
+      .agg(sum("__ca").as("__ta"), sum("__cb").as("__tb"))
+      .withColumn("__offa", coalesce(sum("__ta").over(wOff), lit(0L)))
+      .withColumn("__offb", coalesce(sum("__tb").over(wOff), lit(0L)))
+      .select("__pid", "__offa", "__offb")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ranged.join(broadcast(off), Seq("__pid"))
+      .select(col("__ca"), col("__cb"),
+        (col("__offa") + sum("__ca").over(wIn) - col("__ca")).as("__beforeA"),
+        (col("__offb") + sum("__cb").over(wIn) - col("__cb")).as("__beforeB"))
+      .select(col("__ca"), col("__cb"),
+        (col("__ca") * (lit(2L) * (col("__beforeA") + col("__beforeB")) +
+          col("__ca") + col("__cb") + 1L)).as("__twoRaTerm"),
+        {
+          val c = col("__ca") + col("__cb")
+          (c * c * c - c).as("__tieTerm")
+        })
+      .agg(sum("__ca").cast("long").as("__na"),
+        sum("__cb").cast("long").as("__nb"),
+        sum("__twoRaTerm").cast("long").as("__twoRa"),
+        sum("__tieTerm").cast("long").as("__ties"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        expr("CAST(__twoRa - __na * (__na + 1) AS DOUBLE) / 2.0").as("u_a"),
+        round(expr(
+          "CASE WHEN __na > 0 AND __nb > 0 AND (__na + __nb) >= 2 AND " +
+            "((CAST(__na + __nb AS DOUBLE) + 1.0) - CAST(__ties AS DOUBLE) / " +
+            "(CAST(__na + __nb AS DOUBLE) * (CAST(__na + __nb AS DOUBLE) - 1.0)))" +
+            " > 0.0 THEN " +
+            "(CAST(__twoRa - __na * (__na + 1) AS DOUBLE) / 2.0 - " +
+            "CAST(__na AS DOUBLE) * CAST(__nb AS DOUBLE) / 2.0) / " +
+            "SQRT(CAST(__na AS DOUBLE) * CAST(__nb AS DOUBLE) / 12.0 * " +
+            "((CAST(__na + __nb AS DOUBLE) + 1.0) - CAST(__ties AS DOUBLE) / " +
+            "(CAST(__na + __nb AS DOUBLE) * (CAST(__na + __nb AS DOUBLE) - 1.0))))" +
+            " END"), 6).as("z"),
+        round(expr(
+          "CASE WHEN __na > 0 AND __nb > 0 THEN " +
+            "2.0 * (CAST(__twoRa - __na * (__na + 1) AS DOUBLE) / 2.0) / " +
+            "(CAST(__na AS DOUBLE) * CAST(__nb AS DOUBLE)) - 1.0 END"), 6)
+          .as("r_rank_biserial"))
+  }
+
   /** Mutual information between two categorical columns, with marginal
     * entropies and the normalized coefficient NMI = I/√(H_a·H_b) — the
     * dependence profile behind feature selection, redundant-column

@@ -93,6 +93,28 @@ class TimeSeriesSpec extends AnyFunSuite {
       .head().isNullAt(4))
   }
 
+  test("mannWhitneyU: hand ranks with midrank ties; dominance signs; sigma=0") {
+    // A={1,2}, B={3,4}: U_A = 0, rank-biserial = -1 (B dominates)
+    val low = (Seq(1L, 2L).map(("A", _)) ++ Seq(3L, 4L).map(("B", _))).toDF("g", "v")
+    val r = Profiler.mannWhitneyU(low, "v", "g", "A", "B").head()
+    assert(r.getDouble(2) === 0.0 && r.getDouble(4) === -1.0)
+    assert(r.getDouble(3) < 0, "z negative when A sits below B")
+    // reversed: U_A = nA*nB = 4, effect size +1
+    val hi = (Seq(3L, 4L).map(("A", _)) ++ Seq(1L, 2L).map(("B", _))).toDF("g", "v")
+    val h = Profiler.mannWhitneyU(hi, "v", "g", "A", "B").head()
+    assert(h.getDouble(2) === 4.0 && h.getDouble(4) === 1.0 && h.getDouble(3) > 0)
+    // midrank tie: A={1}, B={1} -> R_A = 1.5, U_A = 0.5; sigma = 0 -> z NULL
+    val tie = Seq(("A", 1L), ("B", 1L)).toDF("g", "v")
+    val t = Profiler.mannWhitneyU(tie, "v", "g", "A", "B").head()
+    assert(t.getDouble(2) === 0.5 && t.isNullAt(3))
+    // layout invariance on a bigger mixed sample
+    val big = (1L to 100L).map(i => (if (i % 3 == 0) "A" else "B", i % 17))
+      .toDF("g", "v")
+    val b1 = Profiler.mannWhitneyU(big, "v", "g", "A", "B").head()
+    val b2 = Profiler.mannWhitneyU(big.repartition(13), "v", "g", "A", "B").head()
+    assert(b1.toString === b2.toString)
+  }
+
   test("cramersV: bijection -> 1, independence -> 0, 1-dim -> NULL") {
     val dep = (0 until 40).map(i => (s"k${i % 4}", (i % 4).toLong)).toDF("a", "b")
     val d = Profiler.cramersV(dep, "a", "b").head()
