@@ -1102,6 +1102,27 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // per-group quantile transform: rank/(n+1) uniform marginals via
+    // the per-group two-phase rank — standardize's outlier-proof
+    // sibling, deterministic under the (value, id) total order
+    "x194_quantile_transform" -> ((s, dir) => {
+      reg(s, dir)
+      val o = s.table("orders")
+        .withColumn("cents", floor(col("o_totalprice") * 100))
+      Profiler.quantileTransform(o, Seq("o_orderpriority"), "cents",
+          "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // exact ACF at lags 1..7 in cross-multiplied integers — the
+    // period-detection readout behind the seasonal ops' period choice
+    "x195_autocorrelation" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.autocorrelation(s.table("events"), "ts", "event_type",
+          "value", maxLag = 7)
+        .orderBy("event_type", "lag")
+    }),
+
     // Mann-Whitney U with exact midrank-tie arithmetic (doubled rank
     // sums stay integer), tie-corrected z, rank-biserial effect size —
     // x185's stochastic-dominance sibling on the same parallel cumsum
@@ -6510,6 +6531,71 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // per-group ROW_NUMBER truth for the two-phase rank; same
+    // rank/(n+1) expression, ROUND 6
+    "x194_quantile_transform" -> """
+      WITH b AS (SELECT o_orderpriority,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderkey
+                 FROM orders),
+      r AS (SELECT o_orderpriority, o_orderkey, cents,
+              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY cents, o_orderkey) AS rk,
+              COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM b)
+      SELECT o_orderpriority, o_orderkey, cents,
+        ROUND(CAST(rk AS DOUBLE) / CAST(n + 1 AS DOUBLE), 6) AS q
+      FROM r ORDER BY o_orderkey""",
+
+    // same windows, same cross-multiplied (n·x−S) sums, one division
+    "x195_autocorrelation" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(x) AS BIGINT) AS s FROM daily GROUP BY 1),
+      led AS (SELECT d.event_type, d.x, m.n, m.s,
+                LEAD(d.x, 1) OVER w AS l1, LEAD(d.x, 2) OVER w AS l2,
+                LEAD(d.x, 3) OVER w AS l3, LEAD(d.x, 4) OVER w AS l4,
+                LEAD(d.x, 5) OVER w AS l5, LEAD(d.x, 6) OVER w AS l6,
+                LEAD(d.x, 7) OVER w AS l7
+              FROM daily d JOIN m USING (event_type)
+              WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)),
+      den AS (SELECT event_type,
+                SUM(CAST(n*x - s AS HUGEINT) * CAST(n*x - s AS HUGEINT))
+                  AS den
+              FROM led GROUP BY 1),
+      nums AS (
+        SELECT event_type, lag, num, np FROM (
+          SELECT event_type, 1 AS lag,
+            SUM(CAST(n*x - s AS HUGEINT) * CAST(n*l1 - s AS HUGEINT)) AS num,
+            CAST(COUNT(*) AS BIGINT) AS np FROM led WHERE l1 IS NOT NULL GROUP BY 1
+          UNION ALL SELECT event_type, 2,
+            SUM(CAST(n*x - s AS HUGEINT) * CAST(n*l2 - s AS HUGEINT)),
+            CAST(COUNT(*) AS BIGINT) FROM led WHERE l2 IS NOT NULL GROUP BY 1
+          UNION ALL SELECT event_type, 3,
+            SUM(CAST(n*x - s AS HUGEINT) * CAST(n*l3 - s AS HUGEINT)),
+            CAST(COUNT(*) AS BIGINT) FROM led WHERE l3 IS NOT NULL GROUP BY 1
+          UNION ALL SELECT event_type, 4,
+            SUM(CAST(n*x - s AS HUGEINT) * CAST(n*l4 - s AS HUGEINT)),
+            CAST(COUNT(*) AS BIGINT) FROM led WHERE l4 IS NOT NULL GROUP BY 1
+          UNION ALL SELECT event_type, 5,
+            SUM(CAST(n*x - s AS HUGEINT) * CAST(n*l5 - s AS HUGEINT)),
+            CAST(COUNT(*) AS BIGINT) FROM led WHERE l5 IS NOT NULL GROUP BY 1
+          UNION ALL SELECT event_type, 6,
+            SUM(CAST(n*x - s AS HUGEINT) * CAST(n*l6 - s AS HUGEINT)),
+            CAST(COUNT(*) AS BIGINT) FROM led WHERE l6 IS NOT NULL GROUP BY 1
+          UNION ALL SELECT event_type, 7,
+            SUM(CAST(n*x - s AS HUGEINT) * CAST(n*l7 - s AS HUGEINT)),
+            CAST(COUNT(*) AS BIGINT) FROM led WHERE l7 IS NOT NULL GROUP BY 1))
+      SELECT n1.event_type, CAST(n1.lag AS INT) AS lag,
+        m.n AS n_obs, n1.np AS n_pairs,
+        ROUND(CASE WHEN den.den > 0 THEN
+          CAST(n1.num AS DOUBLE) / CAST(den.den AS DOUBLE) END, 6) AS acf
+      FROM nums n1 JOIN den USING (event_type) JOIN m USING (event_type)
+      ORDER BY event_type, lag""",
 
     // plain cumsum replay; identical integer doubled-rank and tie sums,
     // identical z / effect-size expressions

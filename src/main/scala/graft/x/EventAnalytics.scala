@@ -1006,6 +1006,55 @@ object EventAnalytics {
           .otherwise("regular").as("segment"))
   }
 
+  /** Exact autocorrelation function of the per-series daily totals at
+    * lags 1..`maxLag`:
+    *   r_ℓ = Σ_{t≤n−ℓ}(x_t−μ)(x_{t+ℓ}−μ) / Σ_t(x_t−μ)²
+    * computed in cross-multiplied integers — both sums scale by n²
+    * ((n·x−S) terms, exact DECIMAL(38,0)), the factor cancels in the
+    * ratio, so ONE IEEE division per (series, lag). The
+    * period-detection readout that justifies [[seasonalDecompose]] /
+    * [[holtWintersForecast]]'s period choice: a weekly cycle shows as
+    * an r₇ spike.
+    *
+    * Lags index the OBSERVATION sequence (days sorted, gaps collapse) —
+    * run [[interpolateDaily]] first for calendar-true lags, the same
+    * contract as Holt–Winters' seasonal queue. Shape: one daily agg,
+    * one series-keyed window producing all `maxLag` leads in a single
+    * pass, a broadcast join of series moments, one (series, lag) agg. */
+  def autocorrelation(events: DataFrame, tsCol: String, seriesCol: String,
+      valueCol: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366, s"maxLag must be in [1,366], got $maxLag")
+    val d38 = "decimal(38,0)"
+    val daily = events
+      .groupBy(col(seriesCol), to_date(col(tsCol)).as("day"))
+      .agg((sum(col(valueCol).cast("decimal(18,2)")) * 100).cast("long")
+        .as("__x"))
+    val w = Window.partitionBy(col(seriesCol)).orderBy("day")
+    val withLeads = (1 to maxLag).foldLeft(daily) { (d, l) =>
+      d.withColumn(s"__l$l", lead(col("__x"), l).over(w))
+    }
+    val moments = daily.groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("__n"), sum("__x").as("__s"))
+    val joined = withLeads.join(broadcast(moments), Seq(seriesCol))
+    def dev(c: Column) = (col("__n") * c - col("__s")).cast(d38)
+    val den = joined.groupBy(col(seriesCol))
+      .agg(sum(dev(col("__x")) * dev(col("__x"))).cast(d38).as("__den"))
+    val nums = (1 to maxLag).map { l =>
+      joined.filter(col(s"__l$l").isNotNull)
+        .groupBy(col(seriesCol))
+        .agg(sum(dev(col("__x")) * dev(col(s"__l$l"))).cast(d38).as("__num"),
+          count(lit(1)).cast("long").as("n_pairs"))
+        .withColumn("lag", lit(l))
+    }.reduce(_ unionByName _)
+    nums.join(broadcast(den), Seq(seriesCol))
+      .join(broadcast(moments.select(col(seriesCol), col("__n"))), Seq(seriesCol))
+      .select(col(seriesCol), col("lag"), col("__n").cast("long").as("n_obs"),
+        col("n_pairs"),
+        round(when(col("__den") > 0,
+          col("__num").cast("double") / col("__den").cast("double")), 6)
+          .as("acf"))
+  }
+
   /** First-order Markov next-event predictor with an honest TEMPORAL
     * split: transitions whose source event predates `cutoff` train the
     * argmax table (most frequent successor per predecessor, ties to the

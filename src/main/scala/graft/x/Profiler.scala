@@ -618,6 +618,47 @@ object Profiler {
           6).as("cramers_v"))
   }
 
+  /** Per-group quantile (rank) transform: each row gets
+    * q = rank/(n_g + 1) ∈ (0, 1) within its group — the
+    * distribution-free feature normalization ([[standardize]]'s robust
+    * sibling: immune to outliers and arbitrary monotone warps, the
+    * uniform-marginals step of copula preprocessing). Ranks are the
+    * (value, id) total order, so ties resolve deterministically and the
+    * transform replays on any engine.
+    *
+    * Same per-group two-phase rank as [[gini]]: range-partition on
+    * (group, value, id), per-partition row_number, broadcast per-
+    * (group, partition) carry-ins — no group ever sorts on one task. */
+  def quantileTransform(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, idCol: String,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    require(groupCols.nonEmpty, "quantileTransform needs at least one group column")
+    val gc = groupCols.map(col)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sortCols = gc ++ Seq(col(valueCol), col(idCol))
+    val ranged = staging.stage(
+      df.select(gc :+ col(valueCol).cast("long").as("__v") :+
+          col(idCol).as("__id"): _*)
+        .repartitionByRange(parts, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()), "qt-ranged")
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc: _*).orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val off = ranged.groupBy(gc :+ col("__pid"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum("__c").over(wOff), lit(0L)))
+      .withColumn("__n", sum("__c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(gc: _*)))
+      .select(gc :+ col("__pid") :+ col("__off") :+ col("__n"): _*)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc :+ col("__pid"): _*)
+      .orderBy(col("__v"), col("__id"))
+    ranged.join(broadcast(off), groupCols :+ "__pid")
+      .select(gc :+ col("__id").as(idCol) :+ col("__v").as(valueCol) :+
+        round((col("__off") + row_number().over(wIn)).cast("double") /
+          (col("__n") + 1L).cast("double"), 6).as("q"): _*)
+  }
+
   /** Exact Mann–Whitney U (Wilcoxon rank-sum) between two groups:
     * doubled rank sums stay INTEGER even with midrank ties
     * (2R_A = Σ_v c_A(v)·(2·before(v) + c(v) + 1)), the tie-corrected

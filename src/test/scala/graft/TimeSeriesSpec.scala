@@ -75,6 +75,42 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(again === rows.view.mapValues(_.toString).toMap)
   }
 
+  test("quantileTransform: rank/(n+1) per group, tie-deterministic, invariant") {
+    val df = Seq(("G", 30L, 1L), ("G", 10L, 2L), ("G", 20L, 3L),
+      ("G", 20L, 4L), ("H", 5L, 9L)).toDF("g", "v", "id")
+    // output columns: (g, id, v, q)
+    val q = Profiler.quantileTransform(df, Seq("g"), "v", "id")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(q(2L) === 0.2)          // rank 1 of 4 -> 1/5
+    assert(q(3L) === 0.4 && q(4L) === 0.6) // tie splits by id
+    assert(q(1L) === 0.8)
+    assert(q(9L) === 0.5)          // singleton group -> 1/2
+    val again = Profiler.quantileTransform(df.repartition(7), Seq("g"), "v", "id")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(again === q)
+  }
+
+  test("autocorrelation: alternating series -> r1 = -0.875 exactly") {
+    val ev = (0 until 8).map { t =>
+      (t.toLong, f"2024-01-${t + 1}%02d 12:00:00", "s",
+        if (t % 2 == 0) 1.0 else 2.0)
+    }.toDF("event_id", "ts", "sym", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val rows = EventAnalytics.autocorrelation(ev, "ts", "sym", "value",
+        maxLag = 2)
+      .collect().map(r => r.getInt(1) -> r).toMap
+    assert(rows(1).getLong(3) === 7L && rows(1).getDouble(4) === -0.875)
+    // lag 2: 6 aligned pairs, all (dev*dev) = +0.25 -> 6*0.25/(8*0.25) = 0.75
+    assert(rows(2).getDouble(4) === 0.75)
+    // constant series: zero variance -> NULL acf
+    val const = (0 until 5).map(t =>
+      (t.toLong, f"2024-02-${t + 1}%02d 12:00:00", "c", 3.0))
+      .toDF("event_id", "ts", "sym", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    assert(EventAnalytics.autocorrelation(const, "ts", "sym", "value", maxLag = 1)
+      .head().isNullAt(4))
+  }
+
   test("anovaF: hand-checked F; zero effect -> F~0; degenerate -> NULL") {
     // groups A={1,2,3}, B={4,5,6}: means 2 and 5, SSB=13.5, SSW=4,
     // F = (13.5/1)/(4/4) = 13.5, eta^2 = 13.5/17.5
