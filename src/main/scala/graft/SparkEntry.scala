@@ -1102,6 +1102,17 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // exact Spearman: Pearson over integer doubled-midranks (the MWU
+    // identity), DECIMAL moments, one IEEE chain — the monotone-
+    // dependence screen next to x107's linear correlations
+    "x196_spearman" -> ((s, dir) => {
+      reg(s, dir)
+      val li = s.table("lineitem")
+        .select(floor(col("l_quantity")).as("xq"),
+          floor(col("l_extendedprice") * 100).as("yc"))
+      Profiler.spearman(li, "xq", "yc")
+    }),
+
     // per-group quantile transform: rank/(n+1) uniform marginals via
     // the per-group two-phase rank — standardize's outlier-proof
     // sibling, deterministic under the (value, id) total order
@@ -6531,6 +6542,31 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // same doubled-midrank integers from a plain cumsum, HUGEINT
+    // Pearson moments, identical final expression
+    "x196_spearman" -> """
+      WITH b AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+                   CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+                 FROM lineitem
+                 WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      cx AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+      rx AS (SELECT v, 2 * (SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) - c) + c + 1 AS r2 FROM cx),
+      cy AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+      ry AS (SELECT v, 2 * (SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) - c) + c + 1 AS r2 FROM cy),
+      j AS (SELECT CAST(rx.r2 AS HUGEINT) AS a, CAST(ry.r2 AS HUGEINT) AS d
+            FROM b JOIN rx ON rx.v = b.x JOIN ry ON ry.v = b.y),
+      m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(a) AS sx, SUM(d) AS sy,
+              SUM(a * d) AS sxy, SUM(a * a) AS sxx, SUM(d * d) AS syy
+            FROM j)
+      SELECT CAST(n AS BIGINT) AS n,
+        ROUND(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+          THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+            (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             SQRT(CAST(n * syy - sy * sy AS DOUBLE))) END, 6) AS spearman_rho
+      FROM m""",
 
     // per-group ROW_NUMBER truth for the two-phase rank; same
     // rank/(n+1) expression, ROUND 6

@@ -659,6 +659,65 @@ object Profiler {
           (col("__n") + 1L).cast("double"), 6).as("q"): _*)
   }
 
+  /** Exact Spearman rank correlation between two numeric columns:
+    * Pearson over MIDRANKS, with every midrank carried as an exact
+    * integer (2·midrank = 2·|{values below}| + tiecount + 1 — the
+    * [[mannWhitneyU]] doubled-rank identity) and the Pearson moments as
+    * DECIMAL(38,0) — so the coefficient is bit-deterministic, ties
+    * handled classically, one IEEE chain at the end.
+    * [[correlationMatrix]]'s monotone sibling: immune to outliers and
+    * monotone warps, the screen for "related but not linearly".
+    *
+    * Shape: per-column value-count frames cumulate via the same
+    * parallel-cumsum scheme (range partition + carry-ins), midranks
+    * join back value-keyed (AQE-friendly equi-joins), then ONE moment
+    * aggregate. No single-partition sort anywhere. */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("__x"), col(yCol).as("__y"))
+    def midranks(valueCol: String, tag: String): DataFrame = {
+      val counts = base.groupBy(col(valueCol).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+      val ranged = staging.stage(
+        counts.repartitionByRange(parts, col("__v"))
+          .withColumn("__pid", spark_partition_id()), s"sp-ranged-$tag")
+      val wOff = org.apache.spark.sql.expressions.Window.orderBy("__pid")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val off = ranged.groupBy("__pid").agg(sum("__c").as("__t"))
+        .withColumn("__off", coalesce(sum("__t").over(wOff), lit(0L)))
+        .select("__pid", "__off")
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("__pid").orderBy("__v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      ranged.join(broadcast(off), Seq("__pid"))
+        .select(col("__v").as(valueCol),
+          (lit(2L) * (col("__off") + sum("__c").over(wIn) - col("__c")) +
+            col("__c") + 1L).as(s"__r2_$tag"))
+    }
+    val withRanks = base
+      .join(midranks("__x", "x"), Seq("__x"))
+      .join(midranks("__y", "y"), Seq("__y"))
+    val d38 = "decimal(38,0)"
+    val rx = col("__r2_x").cast(d38)
+    val ry = col("__r2_y").cast(d38)
+    withRanks
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(rx).as("__sx"), sum(ry).as("__sy"),
+        sum(rx * ry).cast(d38).as("__sxy"),
+        sum(rx * rx).cast(d38).as("__sxx"),
+        sum(ry * ry).cast(d38).as("__syy"))
+      .select(col("__n").cast("long").as("n"),
+        round(expr(
+          "CASE WHEN (__n * __sxx - __sx * __sx) > 0 " +
+            "AND (__n * __syy - __sy * __sy) > 0 THEN " +
+            "CAST(__n * __sxy - __sx * __sy AS DOUBLE) / " +
+            "(SQRT(CAST(__n * __sxx - __sx * __sx AS DOUBLE)) * " +
+            "SQRT(CAST(__n * __syy - __sy * __sy AS DOUBLE))) END"), 6)
+          .as("spearman_rho"))
+  }
+
   /** Exact Mann–Whitney U (Wilcoxon rank-sum) between two groups:
     * doubled rank sums stay INTEGER even with midrank ties
     * (2R_A = Σ_v c_A(v)·(2·before(v) + c(v) + 1)), the tie-corrected

@@ -129,6 +129,24 @@ class TimeSeriesSpec extends AnyFunSuite {
       .head().isNullAt(4))
   }
 
+  test("spearman: monotone warp -> 1, reversal -> -1, ties midranked") {
+    // y = x^3 (monotone, nonlinear): rho exactly 1
+    val mono = (1L to 20L).map(i => (i, i * i * i)).toDF("x", "y")
+    assert(Profiler.spearman(mono, "x", "y").head().getDouble(1) === 1.0)
+    // reversed: exactly -1
+    val rev = (1L to 20L).map(i => (i, -i)).toDF("x", "y")
+    assert(Profiler.spearman(rev, "x", "y").head().getDouble(1) === -1.0)
+    // hand-checked tie case: x=(1,2,2,3), y=(10,20,30,40)
+    // midranks x = (1, 2.5, 2.5, 4), y = (1,2,3,4); rho = 0.9486833
+    val tie = Seq((1L, 10L), (2L, 20L), (2L, 30L), (3L, 40L)).toDF("x", "y")
+    val rho = Profiler.spearman(tie, "x", "y").head().getDouble(1)
+    assert(math.abs(rho - 0.948683) < 1e-6, s"rho $rho")
+    // layout invariance
+    val big = (1L to 500L).map(i => (i % 37, (i * 17) % 101)).toDF("x", "y")
+    assert(Profiler.spearman(big, "x", "y").head().toString ===
+      Profiler.spearman(big.repartition(11), "x", "y").head().toString)
+  }
+
   test("mannWhitneyU: hand ranks with midrank ties; dominance signs; sigma=0") {
     // A={1,2}, B={3,4}: U_A = 0, rank-biserial = -1 (B dominates)
     val low = (Seq(1L, 2L).map(("A", _)) ++ Seq(3L, 4L).map(("B", _))).toDF("g", "v")
