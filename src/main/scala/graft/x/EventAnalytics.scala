@@ -1037,18 +1037,26 @@ object EventAnalytics {
       .agg(count(lit(1)).as("__n"), sum("__x").as("__s"))
     val joined = withLeads.join(broadcast(moments), Seq(seriesCol))
     def dev(c: Column) = (col("__n") * c - col("__s")).cast(d38)
-    val den = joined.groupBy(col(seriesCol))
-      .agg(sum(dev(col("__x")) * dev(col("__x"))).cast(d38).as("__den"))
-    val nums = (1 to maxLag).map { l =>
-      joined.filter(col(s"__l$l").isNotNull)
-        .groupBy(col(seriesCol))
-        .agg(sum(dev(col("__x")) * dev(col(s"__l$l"))).cast(d38).as("__num"),
-          count(lit(1)).cast("long").as("n_pairs"))
-        .withColumn("lag", lit(l))
-    }.reduce(_ unionByName _)
-    nums.join(broadcast(den), Seq(seriesCol))
-      .join(broadcast(moments.select(col(seriesCol), col("__n"))), Seq(seriesCol))
-      .select(col(seriesCol), col("lag"), col("__n").cast("long").as("n_obs"),
+    // ALL lags ride one aggregate (conditional sums) — one pass over the
+    // daily frame instead of maxLag sequential jobs; the per-lag rows
+    // unpivot from the 1-row-per-series result via stack
+    val lagAggs = (1 to maxLag).flatMap { l =>
+      Seq(
+        sum(when(col(s"__l$l").isNotNull, dev(col("__x")) * dev(col(s"__l$l"))))
+          .cast(d38).as(s"__num$l"),
+        sum(when(col(s"__l$l").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as(s"__np$l"))
+    }
+    val aggs = Seq(
+      sum(dev(col("__x")) * dev(col("__x"))).cast(d38).as("__den"),
+      max("__n").cast("long").as("__nobs")) ++ lagAggs
+    val wide = joined.groupBy(col(seriesCol)).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (1 to maxLag)
+      .map(l => s"$l, `__num$l`, `__np$l`").mkString(", ")
+    wide
+      .select(col(seriesCol), col("__den"), col("__nobs"),
+        expr(s"stack($maxLag, $stackArgs) AS (lag, __num, n_pairs)"))
+      .select(col(seriesCol), col("lag"), col("__nobs").as("n_obs"),
         col("n_pairs"),
         round(when(col("__den") > 0,
           col("__num").cast("double") / col("__den").cast("double")), 6)
