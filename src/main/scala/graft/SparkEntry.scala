@@ -1102,6 +1102,18 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // isotonic (PAVA) calibration: per-bin event rates projected onto
+    // the monotone cone with exact-integer pooling — the probability-
+    // calibration step between a ranking score and a threshold decision
+    "x197_isotonic_calibration" -> ((s, dir) => {
+      reg(s, dir)
+      val ev = s.table("events")
+        .withColumn("label", (col("user_id") + col("event_id")) % 3 === 0)
+      Profiler.isotonicCalibrate(ev, "value", "label", nBins = 10,
+          lo = 0.0, hi = 100.0)
+        .orderBy("bin")
+    }),
+
     // exact Spearman: Pearson over integer doubled-midranks (the MWU
     // identity), DECIMAL moments, one IEEE chain — the monotone-
     // dependence screen next to x107's linear correlations
@@ -3771,6 +3783,29 @@ object SparkEntry {
                         + (SELECT dm FROM dang$k) // (SELECT n FROM nn))) // 100 AS r
         FROM nodes n LEFT JOIN inc$k i ON n.node = i.node)"""
     }.mkString(",\n      ")
+
+  /** x197: one PAVA pass — find the FIRST adjacent block pair violating
+    * monotonicity (exact cross-multiplied test) and merge it. Each pass
+    * removes one violation; nBins−1 passes reach the unique fixpoint
+    * (pool order doesn't change the L2 projection). */
+  private def pavaPassSql(k: Int): String = {
+    val prev = s"b${k - 1}"
+    s"""or$k AS MATERIALIZED (
+         SELECT blk, bp, bn, ROW_NUMBER() OVER (ORDER BY blk) AS rn FROM (
+           SELECT blk, SUM(pos) AS bp, SUM(n) AS bn
+           FROM $prev GROUP BY blk)),
+       mg$k AS MATERIALIZED (
+         WITH vi AS (SELECT MIN(a.rn) AS rn FROM or$k a
+           JOIN or$k c ON c.rn = a.rn + 1
+           WHERE a.bp * c.bn > c.bp * a.bn)
+         SELECT
+           (SELECT a.blk FROM or$k a, vi WHERE a.rn = vi.rn) AS keep,
+           (SELECT c.blk FROM or$k c, vi WHERE c.rn = vi.rn + 1) AS absorb),
+       b$k AS MATERIALIZED (SELECT bin, n, pos,
+           CASE WHEN mg$k.absorb IS NOT NULL AND blk = mg$k.absorb
+                THEN mg$k.keep ELSE blk END AS blk
+         FROM $prev, mg$k)"""
+  }
 
   /** x180: one HyperBall round — propagate register rows backward along
     * edges (ball(src) absorbs ball(dst)), then (node, j) max-merge. */
@@ -6542,6 +6577,29 @@ object SparkEntry {
              ELSE ((b % 32) + 32) << (CAST(b // 32 AS INT) - 1) END AS BIGINT)
           AS q_value
       FROM pick ORDER BY event_type, q""",
+
+    // unrolled merge-first-violation passes reach the same unique
+    // monotone fixpoint as the engine's stack PAVA; exact integer
+    // pools, identical final divisions
+    "x197_isotonic_calibration" -> s"""
+      WITH e AS (
+        SELECT CAST(value AS DOUBLE) AS s,
+          ((user_id + event_id) % 3 = 0) AS label
+        FROM events
+        WHERE value IS NOT NULL AND value >= 0.0 AND value <= 100.0),
+      b0 AS MATERIALIZED (
+        SELECT bin, n, pos, bin AS blk FROM (
+          SELECT CAST(LEAST(GREATEST(FLOOR((s - 0.0) * 10.0 / 100.0), 0.0),
+              9.0) AS BIGINT) AS bin,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+          FROM e GROUP BY 1)),
+      ${(1 to 9).map(pavaPassSql).mkString(",\n      ")},
+      fin AS (SELECT blk, SUM(pos) AS bp, SUM(n) AS bn FROM b9 GROUP BY blk)
+      SELECT b.bin, b.n, b.pos,
+        ROUND(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS raw_rate,
+        ROUND(CAST(fin.bp AS DOUBLE) / CAST(fin.bn AS DOUBLE), 6) AS iso_rate
+      FROM b9 b JOIN fin USING (blk) ORDER BY b.bin""",
 
     // same doubled-midrank integers from a plain cumsum, HUGEINT
     // Pearson moments, identical final expression

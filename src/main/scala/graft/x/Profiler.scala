@@ -659,6 +659,62 @@ object Profiler {
           (col("__n") + 1L).cast("double"), 6).as("q"): _*)
   }
 
+  /** Isotonic (PAVA) score calibration over `nBins` equal-width score
+    * bins: per-bin positive rates projected onto the monotone
+    * non-decreasing cone by pool-adjacent-violators (Ayer et al. 1955;
+    * Zadrozny & Elkan 2002 for classifier calibration) — the standard
+    * way to turn a ranking score into a probability without assuming a
+    * parametric link. Violation tests and pools run in EXACT integers
+    * (p₁·n₂ > p₂·n₁; pooled blocks keep Σpos/Σn), so the fixpoint — the
+    * unique L2 projection, independent of pooling order — replays on
+    * any engine; rates spend one IEEE division each at the end.
+    *
+    * The data-scale work is ONE binned aggregate; PAVA itself runs on
+    * the driver over ≤ `nBins` rows (the x171 bounded-driver-scalar
+    * pattern — nBins is a parameter, never data). Empty bins don't
+    * exist as rows; pooling operates on the occupied bins in order. */
+  def isotonicCalibrate(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000, s"nBins must be in [2,10000], got $nBins")
+    require(hi > lo, "isotonicCalibrate needs hi > lo")
+    val s = col(scoreCol).cast("double")
+    val idx = least(greatest(
+      floor((s - lit(lo)) * lit(nBins.toDouble) / lit(hi - lo)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    val bins = df.filter(s.isNotNull && s >= lo && s <= hi)
+      .groupBy(idx.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("pos"))
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // classic stack PAVA, exact-integer violation test
+    case class Block(pos: Long, n: Long, bins: List[Long])
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    bins.foreach { case (b, n, p) =>
+      stack += Block(p, n, List(b))
+      while (stack.size >= 2 && {
+        val a = stack(stack.size - 2); val c = stack.last
+        a.pos * c.n > c.pos * a.n
+      }) {
+        val c = stack.remove(stack.size - 1)
+        val a = stack.remove(stack.size - 1)
+        stack += Block(a.pos + c.pos, a.n + c.n, a.bins ++ c.bins)
+      }
+    }
+    val byBin = stack.flatMap(bl => bl.bins.map(b => b -> ((bl.pos, bl.n)))).toMap
+    val rows = bins.map { case (b, n, p) =>
+      val (bp, bn) = byBin(b)
+      (b, n, p,
+        BigDecimal(p.toDouble / n.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(bp.toDouble / bn.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toSeq.toDF("bin", "n", "pos", "raw_rate", "iso_rate")
+  }
+
   /** Exact Spearman rank correlation between two numeric columns:
     * Pearson over MIDRANKS, with every midrank carried as an exact
     * integer (2·midrank = 2·|{values below}| + tiecount + 1 — the

@@ -129,6 +129,28 @@ class TimeSeriesSpec extends AnyFunSuite {
       .head().isNullAt(4))
   }
 
+  test("isotonicCalibrate: pools violators exactly, leaves monotone input") {
+    // bin rates 0.5, 0.2, 0.8 -> PAVA pools bins 0,1 to 2/7
+    def mk(bin: Int, n: Int, pos: Int) =
+      (0 until n).map(i => (bin * 10 + 5.0, i < pos))
+    val df = (mk(0, 2, 1) ++ mk(1, 5, 1) ++ mk(2, 5, 4)).toDF("score", "label")
+    val out = Profiler.isotonicCalibrate(df, "score", "label", nBins = 10,
+      lo = 0.0, hi = 100.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val pooled = BigDecimal(2.0 / 7.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L) === pooled && out(1L) === pooled && out(2L) === 0.8)
+    // iso_rate is non-decreasing in bin, always
+    val sorted = Profiler.isotonicCalibrate(df, "score", "label", 10, 0, 100)
+      .orderBy("bin").collect().map(_.getDouble(4))
+    assert(sorted.sliding(2).forall(p => p(0) <= p(1)))
+    // already-monotone rates pass through untouched
+    val mono = (mk(0, 4, 1) ++ mk(1, 4, 2) ++ mk(2, 4, 3)).toDF("score", "label")
+    val m = Profiler.isotonicCalibrate(mono, "score", "label", 10, 0, 100)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    m.values.foreach { case (raw, iso) => assert(raw === iso) }
+  }
+
   test("spearman: monotone warp -> 1, reversal -> -1, ties midranked") {
     // y = x^3 (monotone, nonlinear): rho exactly 1
     val mono = (1L to 20L).map(i => (i, i * i * i)).toDF("x", "y")
