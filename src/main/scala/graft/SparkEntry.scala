@@ -2369,6 +2369,39 @@ object SparkEntry {
           col("b_cnt").cast("long").as("b_cnt"))
         .orderBy("leaf_1", "leaf_2")
     }),
+    // key-wise snapshot diff audit: added/removed/changed/unchanged counts
+    // plus per-column change counts between two table versions — ONE
+    // full-outer join on the key + one single-row conditional aggregate
+    "x198_table_diff" -> ((s, dir) => {
+      reg(s, dir)
+      import graft.operators.Validations
+      val a = s.table("lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").as("l_quantity"),
+        col("l_extendedprice").cast("decimal(18,2)").as("l_extendedprice"),
+        col("l_shipdate"))
+      val b = a.filter(col("l_orderkey") % 97 =!= 0)
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 31 === 0 && col("l_linenumber") === 1,
+            col("l_quantity") + 1).otherwise(col("l_quantity")))
+        .unionByName(a.filter(col("l_orderkey") % 89 === 0)
+          .withColumn("l_linenumber", col("l_linenumber") + 10))
+      Validations.snapshotDiff(a, b,
+          keys = Seq("l_orderkey", "l_linenumber"),
+          compareCols = Seq("l_quantity", "l_extendedprice", "l_shipdate"))
+        .orderBy("metric")
+    }),
+    // exact int8 Gram matrix (the PCA/whitening moments): one narrow
+    // outer-product expression + one partial-aggregated shuffle of
+    // <= d(d+1)/2 rows per task — corpus-size-independent exchange
+    "x199_gram_matrix" -> ((s, dir) => {
+      reg(s, dir)
+      val codes = s.table("embeddings")
+        .select(Similarity.int8Codes(col("embedding")).as("c"))
+      Similarity.gramMatrix(codes, "c", dim = 64)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("g"))
+        .orderBy("i", "j")
+    }),
     // token-budget selection: best-first corpus assembly under a global
     // token budget — the running sum is range-partitioned cumsum + carry
     // offsets, never a single-partition window; ranges past the budget
@@ -6454,6 +6487,80 @@ object SparkEntry {
       FROM al2 FULL OUTER JOIN bl2 USING (path)
       WHERE a_xor IS DISTINCT FROM b_xor OR a_cnt IS DISTINCT FROM b_cnt
       ORDER BY leaf_1, leaf_2""",
+
+    // snapshot diff: same synthetic b-version (drop %97, bump quantity on
+    // %31/line-1, re-key %89 as new lines) rebuilt in SQL; status + per-
+    // column change counts from one FULL OUTER JOIN on the key
+    "x198_table_diff" -> """
+      WITH a AS (
+        SELECT l_orderkey AS k1, l_linenumber AS k2,
+               CAST(l_quantity AS DECIMAL(18,2)) AS q,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+               l_shipdate AS d
+        FROM lineitem),
+      b AS (
+        SELECT k1, k2,
+               CASE WHEN k1 % 31 = 0 AND k2 = 1 THEN q + 1 ELSE q END AS q,
+               p, d
+        FROM a WHERE k1 % 97 <> 0
+        UNION ALL
+        SELECT k1, k2 + 10, q, p, d FROM a WHERE k1 % 89 = 0),
+      j AS (
+        SELECT a.k1 AS ak, b.k1 AS bk,
+               a.q AS aq, b.q AS bq, a.p AS ap, b.p AS bp,
+               a.d AS ad, b.d AS bd
+        FROM a FULL OUTER JOIN b ON a.k1 = b.k1 AND a.k2 = b.k2),
+      g AS (
+        SELECT
+          SUM(CASE WHEN ak IS NULL THEN 1 ELSE 0 END) AS added,
+          SUM(CASE WHEN bk IS NULL THEN 1 ELSE 0 END) AS removed,
+          SUM(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+                    AND (aq IS DISTINCT FROM bq OR ap IS DISTINCT FROM bp
+                         OR ad IS DISTINCT FROM bd)
+              THEN 1 ELSE 0 END) AS changed,
+          SUM(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+                    AND NOT (aq IS DISTINCT FROM bq OR ap IS DISTINCT FROM bp
+                             OR ad IS DISTINCT FROM bd)
+              THEN 1 ELSE 0 END) AS unchanged,
+          SUM(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+                    AND aq IS DISTINCT FROM bq THEN 1 ELSE 0 END) AS c_q,
+          SUM(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+                    AND ap IS DISTINCT FROM bp THEN 1 ELSE 0 END) AS c_p,
+          SUM(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+                    AND ad IS DISTINCT FROM bd THEN 1 ELSE 0 END) AS c_d
+        FROM j)
+      SELECT metric, CAST(cnt AS BIGINT) AS cnt FROM (
+        SELECT 'added' AS metric, added AS cnt FROM g
+        UNION ALL SELECT 'removed', removed FROM g
+        UNION ALL SELECT 'changed', changed FROM g
+        UNION ALL SELECT 'unchanged', unchanged FROM g
+        UNION ALL SELECT 'col_changed:l_quantity', c_q FROM g
+        UNION ALL SELECT 'col_changed:l_extendedprice', c_p FROM g
+        UNION ALL SELECT 'col_changed:l_shipdate', c_d FROM g)
+      ORDER BY metric""",
+
+    // exact integer Gram matrix over the same int8 codes as x81:
+    // element/index pairs via UNNEST + generate_subscripts, upper
+    // triangle by self-join on vec_id with i <= j, BIGINT product sums
+    "x199_gram_matrix" -> """
+      WITH sc AS (
+        SELECT vec_id, embedding,
+          LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings),
+      codes AS (
+        SELECT vec_id,
+          CASE WHEN m IS NULL OR m = 0 THEN LIST_TRANSFORM(embedding, x -> 0)
+               ELSE LIST_TRANSFORM(embedding, x ->
+                 CAST(FLOOR(CAST(x AS DOUBLE) / m * 127.0 + 0.5) AS INT)) END AS c
+        FROM sc),
+      el AS (
+        SELECT vec_id, UNNEST(c) AS v, generate_subscripts(c, 1) AS i
+        FROM codes)
+      SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+             CAST(SUM(CAST(a.v AS BIGINT) * CAST(b.v AS BIGINT)) AS BIGINT) AS g
+      FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+      ORDER BY i, j""",
 
     // same token / quality expressions as x8; the selection is the
     // inclusive running sum over (pri DESC, doc_id) cut at the budget —

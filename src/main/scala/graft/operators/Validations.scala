@@ -221,4 +221,51 @@ object Validations {
     diff.select(leafCols ++ Seq(col("a_xor"), col("b_xor"),
       col("a_cnt"), col("b_cnt")): _*)
   }
+
+  /** Key-wise snapshot diff audit: classify every key between two versions
+    * of a table as added / removed / changed / unchanged, plus per-column
+    * change counts over the changed rows — the migration/CDC-backfill
+    * review surface (what a datafold-style "data diff" report shows) that
+    * [[reconcile]]'s boolean and [[merkleDiff]]'s range localization both
+    * stop short of.
+    *
+    * Plan: both sides pre-project to keys + compared columns (scan prunes
+    * to exactly those), ONE full-outer shuffle join on the key, then a
+    * single-row aggregate of codegen'd conditional sums (partial-agg
+    * map-side, so the post-join traffic is one row per partition), finally
+    * unpivoted to tidy (metric, cnt) rows with `stack`. No UDFs, no second
+    * pass over either table. At 100 TB the full-outer join on the primary
+    * key is the irreducible cost; if both versions are bucketed by the key
+    * (W11 layout) it runs exchange-free.
+    *
+    * Null semantics: a column change is `NOT (a.c <=> b.c)` — NULL→value
+    * and value→NULL count as changes, NULL→NULL does not. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && compareCols.nonEmpty, "keys and compareCols required")
+    val proj = (keys ++ compareCols).map(col)
+    val aSel = a.select(proj: _*).withColumn("__a", lit(1))
+    val bSel = b.select(proj: _*).withColumn("__b", lit(1))
+    // alias-qualified join keys: a and b often share lineage (b is "a
+    // after edits"), so frame-apply column refs would be ambiguous
+    val j = aSel.as("va").join(bSel.as("vb"),
+      keys.map(k => col(s"va.$k") <=> col(s"vb.$k")).reduce(_ && _),
+      "full_outer")
+    val inA = col("__a").isNotNull
+    val inB = col("__b").isNotNull
+    val colChanged = compareCols.map(c => !(col(s"va.$c") <=> col(s"vb.$c")))
+    val anyChanged = colChanged.reduce(_ || _)
+    val statusAggs = Seq(
+      sum(when(!inA && inB, 1L).otherwise(0L)).as("added"),
+      sum(when(inA && !inB, 1L).otherwise(0L)).as("removed"),
+      sum(when(inA && inB && anyChanged, 1L).otherwise(0L)).as("changed"),
+      sum(when(inA && inB && !anyChanged, 1L).otherwise(0L)).as("unchanged"))
+    val colAggs = compareCols.zip(colChanged).map { case (c, ch) =>
+      sum(when(inA && inB && ch, 1L).otherwise(0L)).as(s"col_changed:$c") }
+    val one = j.agg((statusAggs ++ colAggs).head,
+      (statusAggs ++ colAggs).tail: _*)
+    val metrics = one.columns
+    val stackExpr = metrics.map(m => s"'$m', `$m`").mkString(", ")
+    one.selectExpr(s"stack(${metrics.length}, $stackExpr) AS (metric, cnt)")
+  }
 }

@@ -909,4 +909,58 @@ object Similarity {
       .select(col(qIdCol), col("__p.rank").as("rank"), col("__p.id").as(idCol),
         col("__p.rel").as("rel"), col("__p.score").as("mmr_score"))
   }
+
+  /** Exact integer Gram matrix over [[int8Codes]]-quantized embeddings:
+    * G(i,j) = Σ_rows q_i·q_j for the upper triangle i ≤ j — the
+    * d(d+1)/2 exact second moments behind PCA / whitening / covariance.
+    * The eigen-solve on the resulting d×d matrix is a driver-side O(d³)
+    * epilogue over ≤ a few thousand numbers ([[topEigen]]); the DATA-scale
+    * work — the moments — is this one distributed pass.
+    *
+    * Plan: one narrow projection builds each row's flattened
+    * upper-triangular outer product as an array-of-structs HOF expression
+    * (pure codegen, no UDF), explode, then groupBy(i,j) sum. Partial
+    * aggregation collapses every task to ≤ d(d+1)/2 rows before the single
+    * Exchange, so shuffle traffic is #partitions · 2080 rows at d=64 —
+    * independent of corpus size: the shape that holds at 100 TB. Exact:
+    * int8 × int8 products summed in BIGINT, no float reduction order.
+    * Indices are 1-based (matches SQL `generate_subscripts`). */
+  def gramMatrix(vecs: DataFrame, codesCol: String, dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim $dim out of range")
+    val pairs = flatten(transform(sequence(lit(1), lit(dim)), i =>
+      transform(sequence(i, lit(dim)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col(codesCol), i).cast("long") *
+           element_at(col(codesCol), j).cast("long")).as("p")))))
+    vecs.select(explode(pairs).as("__e"))
+      .groupBy(col("__e.i").as("i"), col("__e.j").as("j"))
+      .agg(sum(col("__e.p")).as("g"))
+  }
+
+  /** Driver-side dominant eigenpair of a symmetric matrix given as its
+    * upper triangle (the [[gramMatrix]] output collected — ≤ d(d+1)/2
+    * scalars, a bounded driver payload by design): deterministic power
+    * iteration from the all-ones vector with fixed iteration count.
+    * Returns (eigenvalue, eigenvector). For PCA: feed the CENTERED gram
+    * (G/n − μμᵀ); the projection onto the returned vector is then a
+    * narrow per-row map. Public-knowledge numerics (von Mises iteration). */
+  def topEigen(upper: Seq[(Int, Int, Long)], dim: Int,
+      iters: Int = 100): (Double, Array[Double]) = {
+    val m = Array.ofDim[Double](dim, dim)
+    upper.foreach { case (i, j, g) => m(i - 1)(j - 1) = g.toDouble
+                                      m(j - 1)(i - 1) = g.toDouble }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(dim)(r => {
+        var s = 0.0; var c = 0; while (c < dim) { s += m(r)(c) * v(c); c += 1 }; s })
+      val n = math.sqrt(w.map(x => x * x).sum)
+      if (n == 0.0) return (0.0, v)
+      v = w.map(_ / n)
+      lambda = n
+      it += 1
+    }
+    (lambda, v)
+  }
 }

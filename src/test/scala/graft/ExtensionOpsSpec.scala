@@ -1584,4 +1584,42 @@ class ExtensionOpsSpec extends AnyFunSuite {
       .orderBy("rank").select("id").as[Long].collect().toSeq
     assert(rel == Seq(1L, 2L, 3L), s"λ=1 order was $rel")
   }
+
+  test("gramMatrix: exact upper-triangle moments; one Exchange; " +
+      "topEigen recovers the dominant direction") {
+    // 3 vectors in dim 3, already integer so int8 codes are v/maxabs*127
+    // rounded — use vectors whose codes are easy to hand-check
+    val vs = Seq(Array(1f, 0f, 0f), Array(1f, 1f, 0f), Array(0f, 0f, 1f))
+      .toDF("embedding")
+    val codes = vs.select(Similarity.int8Codes(col("embedding")).as("c"))
+    val g = Similarity.gramMatrix(codes, "c", dim = 3)
+    val got = g.collect().map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // codes: (127,0,0), (127,127,0), (0,0,127)
+    val d = 127L * 127L
+    assert(got === Map((1, 1) -> 2 * d, (1, 2) -> d, (1, 3) -> 0L,
+      (2, 2) -> d, (2, 3) -> 0L, (3, 3) -> d))
+    // single aggregation: exactly one shuffle Exchange in the executed
+    // plan (AdaptiveSparkPlan's toString would double-print the initial
+    // plan, so collect the nodes instead of grepping the string)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val executed = g.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // post-AQE the shuffle sits inside QueryStage leaves that plain
+    // collect() does not descend into, so count on the rendered tree of
+    // the FINAL plan only (the un-unwrapped AdaptiveSparkPlanExec string
+    // would double-print via its embedded initial plan)
+    val exchanges = executed.toString().linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"expected 1 Exchange, plan had $exchanges:\n$executed")
+    // dominant eigenvector of the gram concentrates on dims 1-2
+    val upper = g.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val (lambda, v) = Similarity.topEigen(upper, dim = 3)
+    assert(lambda > 0.0)
+    assert(math.abs(v(0)) > math.abs(v(2)) && math.abs(v(1)) > math.abs(v(2)))
+  }
 }

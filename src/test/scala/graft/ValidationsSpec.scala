@@ -124,6 +124,34 @@ class ValidationsSpec extends AnyFunSuite {
     assert(w.columns.contains("v"))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged with " +
+      "per-column change counts and NULL-safe comparison") {
+    val a = Seq(
+      (1, Some("a"), Some(10)), // unchanged
+      (2, Some("b"), Some(20)), // v2 changes
+      (3, None: Option[String], Some(30)), // v1 NULL -> value: changed
+      (4, Some("d"), None: Option[Int]), // removed in b
+      (5, None: Option[String], None: Option[Int]) // NULLs equal: unchanged
+    ).toDF("id", "v1", "v2")
+    val b = Seq(
+      (1, Some("a"), Some(10)),
+      (2, Some("b"), Some(99)),
+      (3, Some("c"), Some(30)),
+      (5, None: Option[String], None: Option[Int]),
+      (6, Some("f"), Some(60)) // added
+    ).toDF("id", "v1", "v2")
+    val got = Validations.snapshotDiff(a, b, Seq("id"), Seq("v1", "v2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "added" -> 1L, "removed" -> 1L, "changed" -> 2L, "unchanged" -> 2L,
+      "col_changed:v1" -> 1L, "col_changed:v2" -> 1L))
+    // self-diff is all-unchanged even when b shares a's lineage
+    val self = Validations.snapshotDiff(a, a, Seq("id"), Seq("v1", "v2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(self("unchanged") === 5L && self("added") === 0L &&
+      self("removed") === 0L && self("changed") === 0L)
+  }
+
   test("reconcile compares counts and content checksums order-independently") {
     val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
     val shuffled = a.orderBy(rand(seed = 7))
