@@ -2402,6 +2402,15 @@ object SparkEntry {
           col("g"))
         .orderBy("i", "j")
     }),
+    // inter-event burstiness (Goh–Barabási B): exact integer gap moments
+    // under one user-keyed exchange, three-op IEEE epilogue
+    "x200_burstiness" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.burstiness(s.table("events"), "user_id", "ts", "event_id")
+        .select(col("user_id"), col("n_gaps"), col("sum_us"),
+          round(col("burstiness"), 6).as("burstiness"))
+        .orderBy("user_id")
+    }),
     // token-budget selection: best-first corpus assembly under a global
     // token budget — the running sum is range-partitioned cumsum + carry
     // offsets, never a single-partition window; ranges past the budget
@@ -6561,6 +6570,34 @@ object SparkEntry {
       FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2
       ORDER BY i, j""",
+
+    // burstiness: same exact-moment recipe — gaps in BIGINT micros,
+    // Σg² in HUGEINT (DECIMAL(38,0) on the Spark side), the shared n
+    // cancels so B = (sqrt(num) - Σg)/(sqrt(num) + Σg)
+    "x200_burstiness" -> """
+      WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events),
+      a AS (
+        SELECT user_id, COUNT(*) AS n_gaps, SUM(gap) AS s,
+               SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS s2
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(*) >= 2),
+      n AS (
+        SELECT user_id, n_gaps, s,
+               CAST(n_gaps * s2 - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+                    AS DOUBLE) AS num
+        FROM a)
+      SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+             CAST(s AS BIGINT) AS sum_us,
+             CASE WHEN s = 0 THEN 0.0
+                  ELSE ROUND((SQRT(num) - CAST(s AS DOUBLE)) /
+                             (SQRT(num) + CAST(s AS DOUBLE)), 6) END
+               AS burstiness
+      FROM n ORDER BY user_id""",
 
     // same token / quality expressions as x8; the selection is the
     // inclusive running sum over (pri DESC, doc_id) cut at the budget —

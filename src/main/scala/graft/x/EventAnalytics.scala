@@ -577,6 +577,48 @@ object EventAnalytics {
         (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
           .as("duration_us"))
 
+  /** Per-user inter-event burstiness B = (σ−μ)/(σ+μ) over inter-arrival
+    * gaps (Goh & Barabási, EPL 81:48002, 2008): B→−1 periodic traffic,
+    * ≈0 Poisson, →+1 bursty — the traffic-shape diagnostic behind
+    * bot/scraper triage and engagement-quality scoring.
+    *
+    * Exactness: gaps are BIGINT microseconds from one per-user window
+    * (`lag` ordered by (ts, id) — the id tiebreak pins ordering under
+    * duplicate timestamps); Σg stays BIGINT and Σg² accumulates in
+    * DECIMAL(38,0) (a day-long gap squared is ~7·10²¹ — past BIGINT,
+    * comfortably inside 38 digits). The variance numerator n·Σg² − (Σg)²
+    * is therefore an EXACT integer on any engine, and since
+    * σ = √num / n and μ = Σg / n share the n, it cancels:
+    * B = (√num − Σg)/(√num + Σg) — a three-op IEEE epilogue over exact
+    * operands (the statistics-tier recipe). All-zero-gap users (Σg = 0)
+    * define B = 0 rather than 0/0.
+    *
+    * Shape: ONE exchange on the user key, reused by the window sort and
+    * the aggregate (the sessionize property); output is one row per user
+    * with ≥ `minGaps` gaps. */
+  def burstiness(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, minGaps: Long = 2): DataFrame = {
+    // ordering by the micros projection ≡ ordering by ts (monotone map)
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(idCol))
+    val gaps = events
+      .select(col(userCol), unix_micros(col(tsCol)).as("__us"), col(idCol))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    val agg = gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__gap")).as("sum_us"),
+        sum(col("__gap").cast("decimal(38,0)") *
+            col("__gap").cast("decimal(38,0)")).as("__s2"))
+      .filter(col("n_gaps") >= minGaps)
+    val num = (col("n_gaps").cast("decimal(38,0)") * col("__s2") -
+      col("sum_us").cast("decimal(38,0)") * col("sum_us").cast("decimal(38,0)"))
+    val root = sqrt(num.cast("double"))
+    val s = col("sum_us").cast("double")
+    agg.select(col(userCol), col("n_gaps"), col("sum_us"),
+      when(col("sum_us") === 0L, lit(0.0))
+        .otherwise((root - s) / (root + s)).as("burstiness"))
+  }
+
   /** Two-variant conversion A/B test with an INTEGER-EXACT significance
     * verdict: Pearson chi-square on the 2×2 (variant × converted) table,
     * compared against the α=0.05 critical value 3.841459 by

@@ -587,4 +587,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .orderBy("id").collect()
     assert(out.map(_.toString).toSeq === out2.map(_.toString).toSeq)
   }
+
+  test("burstiness: periodic user scores -1, bursty user positive, " +
+      "degenerate zero-gap user defined as 0") {
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val rows =
+      // user 1: perfectly periodic, gaps 10s,10s,10s -> B = -1
+      Seq(0L, 10L, 20L, 30L).zipWithIndex.map { case (t, i) => (1L, ts(t), i.toLong) } ++
+      // user 2: gaps 1s,1s,58s -> B ≈ 0.146577 (hand-computed)
+      Seq(0L, 1L, 2L, 60L).zipWithIndex.map { case (t, i) => (2L, ts(t), 10L + i) } ++
+      // user 3: all events at the same instant -> sum_us = 0 -> B = 0
+      Seq(0L, 0L, 0L).zipWithIndex.map { case (t, i) => (3L, ts(t), 20L + i) } ++
+      // user 4: a single event -> no gaps -> filtered out
+      Seq((4L, ts(0L), 30L))
+    val df = rows.toDF("user_id", "ts", "event_id")
+    val got = EventAnalytics.burstiness(df, "user_id", "ts", "event_id")
+      .orderBy("user_id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(got(0).getDouble(3) === -1.0)
+    assert(math.abs(got(1).getDouble(3) - 0.146577) < 1e-6)
+    assert(got(2).getDouble(3) === 0.0)
+    assert(got(0).getLong(1) === 3L && got(0).getLong(2) === 30L * 1000000L)
+  }
 }
