@@ -2402,6 +2402,15 @@ object SparkEntry {
           col("g"))
         .orderBy("i", "j")
     }),
+    // synchronous Louvain move sweep over the weighted copurchase graph:
+    // exact BIGINT gain comparison 2m·w_ij − k_i·k_j, struct-max argmax
+    "x201_louvain_step" -> ((s, dir) => {
+      reg(s, dir)
+      val edges = Graph.bipartiteProject(s.table("lineitem"), "l_orderkey",
+        "l_partkey", maxLeftDegree = 100)
+      Graph.louvainStep(edges, "a", "b", "weight")
+        .orderBy("node")
+    }),
     // inter-event burstiness (Goh–Barabási B): exact integer gap moments
     // under one user-keyed exchange, three-op IEEE epilogue
     "x200_burstiness" -> ((s, dir) => {
@@ -6570,6 +6579,30 @@ object SparkEntry {
       FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2
       ORDER BY i, j""",
+
+    // Louvain sweep: copurchase edges rebuilt as in x119, symmetrized;
+    // gain in exact BIGINT (2m·w − k_a·k_b), argmax via ROW_NUMBER
+    "x201_louvain_step" -> """
+      WITH m AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r FROM lineitem),
+      e AS (SELECT a.r AS a, b.r AS b, CAST(COUNT(*) AS BIGINT) AS w
+            FROM m a JOIN m b ON a.l = b.l AND a.r < b.r GROUP BY 1, 2),
+      sym AS (SELECT a, b, w FROM e UNION ALL SELECT b AS a, a AS b, w FROM e),
+      deg AS (SELECT a AS v, SUM(w) AS k FROM sym GROUP BY 1),
+      tm AS (SELECT SUM(w) AS m2 FROM sym),
+      scored AS (
+        SELECT s.a, s.b, tm.m2 * s.w - da.k * db.k AS gain
+        FROM sym s
+        JOIN deg da ON da.v = s.a
+        JOIN deg db ON db.v = s.b, tm),
+      best AS (
+        SELECT a, b, gain,
+               ROW_NUMBER() OVER (PARTITION BY a ORDER BY gain DESC, b) AS rk
+        FROM scored WHERE gain > 0)
+      SELECT CAST(d.v AS BIGINT) AS node, CAST(d.k AS BIGINT) AS k,
+             CAST(COALESCE(b.b, d.v) AS BIGINT) AS joins,
+             CAST(COALESCE(b.gain, 0) AS BIGINT) AS gain_num
+      FROM deg d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.a = d.v
+      ORDER BY node""",
 
     // burstiness: same exact-moment recipe — gaps in BIGINT micros,
     // Σg² in HUGEINT (DECIMAL(38,0) on the Spark side), the shared n

@@ -737,4 +737,52 @@ object Graph {
     }
     visited
   }
+
+  /** One SYNCHRONOUS Louvain move sweep (Blondel et al. 2008, phase-1
+    * step) from singleton communities over a weighted undirected graph:
+    * every node simultaneously evaluates joining each neighbor's
+    * (singleton) community and takes the best strictly-positive
+    * modularity gain, ties broken by the smallest neighbor id; nodes with
+    * no positive gain stay put. Classic Louvain sweeps nodes SEQUENTIALLY
+    * in arbitrary order — irreproducible across layouts; the synchronous
+    * sweep is a pure function of the input graph, so any engine replays
+    * it bit-for-bit (same determinism contract as [[labelPropagation]]).
+    *
+    * Exactness: from singletons, ΔQ(i→{j}) = w_ij/m − k_i·k_j/(2m²)
+    * with k = weighted degree and m = total edge weight. Scaling by the
+    * positive constant 2m² preserves both sign and order, so the sweep
+    * compares gain_num = 2m·w_ij − k_i·k_j in exact BIGINT — a borderline
+    * move cannot flip between engines (the [[degreeAssortativity]] /
+    * abTest cross-multiplication discipline).
+    *
+    * Shape: degree agg (one exchange on node), edge⋈degree joins on each
+    * endpoint, the scalar 2m as a broadcast single-row crossJoin, then
+    * the per-node argmax as ONE struct-max hash agg (LPA's trick —
+    * max over (gain, −neighbor) needs no window sort). Per-node state is
+    * one struct; nothing quadratic, nothing on the driver. */
+  def louvainStep(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String): DataFrame = {
+    val e = edgesIn
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("w")))
+    val deg = sym.groupBy(col("a").as("v")).agg(sum("w").as("k"))
+    val twoM = sym.agg(sum("w").as("__2m")) // Σ over both orientations = 2m
+    val scored = sym
+      .join(deg.select(col("v").as("a"), col("k").as("__ka")), "a")
+      .join(deg.select(col("v").as("b"), col("k").as("__kb")), "b")
+      .crossJoin(broadcast(twoM))
+      .withColumn("__gain", col("__2m") * col("w") - col("__ka") * col("__kb"))
+    val best = scored.filter(col("__gain") > 0)
+      .groupBy(col("a").as("node"))
+      .agg(max(struct(col("__gain").as("g"), (-col("b")).as("nb"))).as("m"))
+      .select(col("node"), (-col("m.nb")).as("joins"), col("m.g").as("gain_num"))
+    deg.select(col("v").as("node"), col("k"))
+      .join(best, Seq("node"), "left")
+      .select(col("node"), col("k"),
+        coalesce(col("joins"), col("node")).as("joins"),
+        coalesce(col("gain_num"), lit(0L)).as("gain_num"))
+  }
 }

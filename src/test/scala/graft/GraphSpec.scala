@@ -404,4 +404,27 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rev == Map(6L -> 0L, 5L -> 1L), s"reverse reach wrong: $rev")
   }
+
+  test("louvainStep: barbell picks in-triangle moves on unit weights; " +
+      "a heavy bridge flips the move; exact ties break to min id") {
+    import spark.implicits._
+    // two triangles {1,2,3},{4,5,6} bridged by 3-4
+    def barbell(bridgeW: Long) = Seq(
+      (1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (4L, 5L, 1L), (4L, 6L, 1L), (5L, 6L, 1L),
+      (3L, 4L, bridgeW)).toDF("src", "dst", "w")
+    val unit = graft.x.Graph.louvainStep(barbell(1L), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // m=7, 2m=14; e.g. node 1: gain(→2)=14−2·2=10 beats gain(→3)=14−2·3=8;
+    // node 3: gains to 1 and 2 tie at 8 → min id 1 wins over bridge (5)
+    assert(unit === Map(
+      1L -> ((2L, 2L, 10L)), 2L -> ((2L, 1L, 10L)), 3L -> ((3L, 1L, 8L)),
+      4L -> ((3L, 5L, 8L)), 5L -> ((2L, 6L, 10L)), 6L -> ((2L, 5L, 10L))),
+      s"unit-weight sweep wrong: $unit")
+    // weight-10 bridge: 2m=32, k3=k4=12; gain(3→4)=32·10−144=176 beats
+    // the in-triangle 8 — the move follows the weighted gain, not topology
+    val heavy = graft.x.Graph.louvainStep(barbell(10L), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(heavy(3L) === 4L && heavy(4L) === 3L, s"heavy bridge sweep: $heavy")
+  }
 }
