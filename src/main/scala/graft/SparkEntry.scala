@@ -2402,6 +2402,18 @@ object SparkEntry {
           col("g"))
         .orderBy("i", "j")
     }),
+    // exact modularity decomposition of the x134 LPA partition: per
+    // community L_c, D_c and integer numerator 4m·L_c − D_c² — no floats
+    "x202_partition_modularity" -> ((s, dir) => {
+      reg(s, dir)
+      val edges = s.table("lineitem").select(col("l_partkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst")).distinct()
+      val labels = Graph.labelPropagation(edges, "src", "dst", iters = 3)
+      Graph.modularity(edges, "src", "dst", labels)
+        .select(col("label"), col("n_nodes"), col("d_tot").cast("long")
+          .as("d_tot"), col("l_in"), col("q_num").cast("long").as("q_num"))
+        .orderBy("label")
+    }),
     // synchronous Louvain move sweep over the weighted copurchase graph:
     // exact BIGINT gain comparison 2m·w_ij − k_i·k_j, struct-max argmax
     "x201_louvain_step" -> ((s, dir) => {
@@ -6579,6 +6591,31 @@ object SparkEntry {
       FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2
       ORDER BY i, j""",
+
+    // modularity of the l3 LPA labels: same unrolled rounds as x134, then
+    // per-label degree/internal-edge counts and the exact 4m·L − D² row
+    "x202_partition_modularity" -> s"""
+      WITH d AS (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+                 FROM lineitem),
+      e AS (SELECT src, dst FROM d UNION SELECT dst, src FROM d),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+      ${(1 to 3).map(lpaRoundSql).mkString(",\n      ")},
+      m AS (SELECT COUNT(*) AS m FROM d),
+      deg AS (SELECT src AS v, COUNT(*) AS dg FROM e GROUP BY 1),
+      dc AS (SELECT l3.label, COUNT(*) AS n_nodes, SUM(deg.dg) AS d_tot
+             FROM deg JOIN l3 ON l3.node = deg.v GROUP BY 1),
+      ie AS (SELECT la.label, COUNT(*) AS l_in
+             FROM d JOIN l3 la ON la.node = d.src
+                    JOIN l3 lb ON lb.node = d.dst
+             WHERE la.label = lb.label GROUP BY 1)
+      SELECT CAST(dc.label AS BIGINT) AS label,
+             CAST(dc.n_nodes AS BIGINT) AS n_nodes,
+             CAST(dc.d_tot AS BIGINT) AS d_tot,
+             CAST(COALESCE(ie.l_in, 0) AS BIGINT) AS l_in,
+             CAST(4 * m.m * COALESCE(ie.l_in, 0) - dc.d_tot * dc.d_tot
+                  AS BIGINT) AS q_num
+      FROM dc LEFT JOIN ie ON ie.label = dc.label, m
+      ORDER BY label""",
 
     // Louvain sweep: copurchase edges rebuilt as in x119, symmetrized;
     // gain in exact BIGINT (2m·w − k_a·k_b), argmax via ROW_NUMBER

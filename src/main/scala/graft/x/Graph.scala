@@ -760,6 +760,47 @@ object Graph {
     * the per-node argmax as ONE struct-max hash agg (LPA's trick —
     * max over (gain, −neighbor) needs no window sort). Per-node state is
     * one struct; nothing quadratic, nothing on the driver. */
+  /** EXACT modularity decomposition of a community partition over an
+    * unweighted undirected graph (Newman & Girvan 2004): per community c,
+    * the internal edge count L_c, total degree D_c, and the integer
+    * numerator q_num = 4m·L_c − D_c², so that Q = Σ_c q_num / (4m²).
+    * Everything emitted is exact BIGINT — no floats anywhere, so any
+    * engine agrees row-for-row and the caller picks its own precision
+    * for the final division (the one IEEE op in the whole computation).
+    * The standard companion to [[labelPropagation]] / [[louvainStep]]:
+    * "did the sweep actually improve the partition" is a q_num sum
+    * comparison, not a float tolerance check.
+    *
+    * Shape: degree agg, two label joins on the canonical edge list (one
+    * per endpoint) filtered to intra-community edges, label-keyed count
+    * aggs, and the scalar m broadcast via a single-row crossJoin. Each
+    * join is node-keyed equi — at 100 TB the labels frame is the small
+    * side and broadcasts when it fits. */
+  def modularity(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String = "node",
+      labelCol: String = "label"): DataFrame = {
+    val e = canonicalEdges(edgesIn, srcCol, dstCol)
+    val lab = labels.select(col(nodeCol).cast("long").as("__n"),
+      col(labelCol).cast("long").as("__l"))
+    val mRow = e.agg(count(lit(1)).as("__m"))
+    val deg = degrees(e)
+    val dc = deg.join(lab, deg("v") === lab("__n"))
+      .groupBy(col("__l").as("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_tot"))
+    val lin = e
+      .join(lab.select(col("__n").as("a"), col("__l").as("__la")), "a")
+      .join(lab.select(col("__n").as("b"), col("__l").as("__lb")), "b")
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label"))
+      .agg(count(lit(1)).as("l_in"))
+    dc.join(lin, Seq("label"), "left")
+      .withColumn("l_in", coalesce(col("l_in"), lit(0L)))
+      .crossJoin(broadcast(mRow))
+      .select(col("label"), col("n_nodes"), col("d_tot"), col("l_in"),
+        (lit(4L) * col("__m") * col("l_in") - col("d_tot") * col("d_tot"))
+          .as("q_num"))
+  }
+
   def louvainStep(edgesIn: DataFrame, srcCol: String, dstCol: String,
       weightCol: String): DataFrame = {
     val e = edgesIn

@@ -427,4 +427,23 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(heavy(3L) === 4L && heavy(4L) === 3L, s"heavy bridge sweep: $heavy")
   }
+
+  test("modularity: exact integer decomposition on the barbell partition") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "label")
+    val got = graft.x.Graph.modularity(edges, "src", "dst", labels)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // m=7; each triangle: 3 nodes, D=2+2+3=7, L=3, q_num = 4·7·3 − 49 = 35
+    assert(got === Map(1L -> ((3L, 7L, 3L, 35L)), 4L -> ((3L, 7L, 3L, 35L))),
+      s"modularity rows wrong: $got")
+    // Q = Σ q_num / (4m²) = 70/196; the all-in-one-community partition is 0
+    val one = graft.x.Graph.modularity(edges, "src", "dst",
+        labels.withColumn("label", org.apache.spark.sql.functions.lit(1L)))
+      .collect().map(r => r.getLong(4)).sum
+    assert(one === 0L, s"single-community q_num sum should be 0, got $one")
+  }
 }
