@@ -2402,6 +2402,14 @@ object SparkEntry {
           col("g"))
         .orderBy("i", "j")
     }),
+    // fixed-period periodogram of daily order revenue: driver-computed
+    // integer trig tables broadcast to both engines, DECIMAL(38,0) sums
+    "x203_periodogram" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.periodogram(s.table("orders"), "o_orderdate",
+          "o_totalprice", periods = Seq(7, 30, 91, 365))
+        .orderBy("period")
+    }),
     // exact modularity decomposition of the x134 LPA partition: per
     // community L_c, D_c and integer numerator 4m·L_c − D_c² — no floats
     "x202_partition_modularity" -> ((s, dir) => {
@@ -4015,6 +4023,18 @@ object SparkEntry {
       // BIGINT seed so the Horner chain can't overflow 32-bit integers
       .foldLeft(s"CAST(${hexNibbleSql(s"SUBSTR($h, 1, 1)")} AS BIGINT)")(
         (acc, nib) => s"($acc * 16 + $nib)")
+
+  /** Integer trig table for x203's periodogram: the SAME
+    * round(cos/sin·10⁶) values [[graft.x.EventAnalytics.periodogram]]
+    * computes on the driver, rendered as SQL VALUES rows so the oracle
+    * replays identical tables (libm trig never runs inside either
+    * engine's query). */
+  private def trigTableSql(periods: Seq[Int]): String =
+    periods.flatMap(p => (0 until p).map { r =>
+      val ang = 2.0 * math.Pi * r / p
+      s"($p, $r, ${math.round(math.cos(ang) * 1e6)}, " +
+        s"${math.round(math.sin(ang) * 1e6)})"
+    }).mkString(",\n        ")
 
   /** One synchronous LPA round (see x134): count neighbor labels, take
     * the (count desc, label asc) argmax per node. */
@@ -6591,6 +6611,31 @@ object SparkEntry {
       FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2
       ORDER BY i, j""",
+
+    // periodogram: identical integer trig VALUES (driver-rendered),
+    // HUGEINT moment sums, power = A² + B² exact then cast to DOUBLE
+    "x203_periodogram" -> s"""
+      WITH daily AS (
+        SELECT o_orderdate AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        FROM orders GROUP BY 1),
+      c AS (SELECT day, CAST(v * 100 AS BIGINT) AS cents FROM daily),
+      d0 AS (SELECT MIN(day) AS d0 FROM c),
+      trig(p, r, c_num, s_num) AS (VALUES
+        ${trigTableSql(Seq(7, 30, 91, 365))}),
+      e AS (
+        SELECT c.cents, trig.p, trig.c_num, trig.s_num
+        FROM c, d0, trig
+        WHERE trig.r = DATEDIFF('day', d0.d0, c.day) % trig.p),
+      agg AS (
+        SELECT p, COUNT(*) AS n_days,
+               SUM(CAST(cents AS HUGEINT) * c_num) AS a,
+               SUM(CAST(cents AS HUGEINT) * s_num) AS b
+        FROM e GROUP BY 1)
+      SELECT CAST(p AS BIGINT) AS period, CAST(n_days AS BIGINT) AS n_days,
+             CAST(a AS DOUBLE) AS a_num, CAST(b AS DOUBLE) AS b_num,
+             CAST(a * a + b * b AS DOUBLE) AS power
+      FROM agg ORDER BY period""",
 
     // modularity of the l3 LPA labels: same unrolled rounds as x134, then
     // per-label degree/internal-edge counts and the exact 4m·L − D² row

@@ -831,6 +831,64 @@ object EventAnalytics {
         round(col("__vd") - col("trend") - col("seasonal"), 6).as("residual"))
   }
 
+  /** Fixed-period periodogram over a daily value series: spectral power
+    * at caller-chosen CALENDAR periods (7 = weekly, 30 ≈ monthly, …) —
+    * the dominant-cycle detector behind seasonality-aware forecasting
+    * (Schuster 1898's periodogram restricted to rational frequencies).
+    * For period p, A_p = Σ_t v_t·cos(2πt/p), B_p = Σ_t v_t·sin(2πt/p),
+    * power_p = A_p² + B_p².
+    *
+    * Engine portability is the design problem: libm cos/sin are NOT
+    * bit-identical across engines, so the trig never runs inside the
+    * query. Because each period needs only p distinct angles (t mod p),
+    * the driver pre-computes round(cos·10⁶) / round(sin·10⁶) as BIGINT
+    * tables (Σp rows — broadcast) and BOTH engines replay the SAME
+    * integer tables: Σ v_cents·c_num accumulates in DECIMAL(38,0), so
+    * A, B, and power are exact integers; the only IEEE step is the final
+    * cast to DOUBLE of an exact value (deterministically rounded). DC
+    * leakage from partial trailing periods is inherent to the
+    * untapered periodogram — callers comparing periods should use the
+    * same observation span per period, which this does.
+    *
+    * Shape: one date-keyed daily aggregate, a broadcast join onto the
+    * (p, t mod p) angle table (Σp rows), one period-keyed aggregate —
+    * two exchanges total, both on tiny keys; the scalar min-date is a
+    * broadcast single-row crossJoin. */
+  def periodogram(df: DataFrame, dateCol: String, valueCol: String,
+      periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(p => p >= 2 && p <= 4096),
+      s"periods $periods out of range")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val trig = periods.flatMap { p =>
+      (0 until p).map { r =>
+        val ang = 2.0 * math.Pi * r / p
+        (p, r, math.round(math.cos(ang) * 1e6), math.round(math.sin(ang) * 1e6))
+      }
+    }.toDF("p", "r", "c_num", "s_num")
+    val daily = df
+      .groupBy(to_date(col(dateCol)).as("__day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__v"))
+      .withColumn("__cents", (col("__v") * 100).cast("long"))
+    val t0 = daily.agg(min("__day").as("__d0"))
+    val d38 = "decimal(38,0)"
+    daily.crossJoin(broadcast(t0))
+      .withColumn("__t", datediff(col("__day"), col("__d0")))
+      .select(col("__cents"), col("__t"),
+        explode(typedLit(periods)).as("p"))
+      .withColumn("r", pmod(col("__t"), col("p")))
+      .join(broadcast(trig), Seq("p", "r"))
+      .groupBy(col("p").as("period"))
+      .agg(count(lit(1)).as("n_days"),
+        sum((col("__cents") * col("c_num")).cast(d38)).as("__a"),
+        sum((col("__cents") * col("s_num")).cast(d38)).as("__b"))
+      .select(col("period").cast("long").as("period"), col("n_days"),
+        col("__a").cast("double").as("a_num"),
+        col("__b").cast("double").as("b_num"),
+        (col("__a") * col("__a") + col("__b") * col("__b")).cast("double")
+          .as("power"))
+  }
+
   /** Daily OHLC candlestick bars — the share-price aggregation family the
     * reference's flagship pipeline belongs to (example-shareprice.py's
     * calculate_daily_range is the high−low slice of this): per

@@ -310,4 +310,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got("a").getDouble(3) == 5.0)
     assert(got("b").isNullAt(2) && got("c").isNullAt(2))
   }
+
+  test("periodogram: a planted weekly cycle dominates at p=7; a flat " +
+      "series leaves only quantization dust") {
+    def mk(v: Int => Double) = (0 until 70).map { t =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(t)),
+        v(t))
+    }.toDF("d", "v")
+    // mean-free planted cycle: the untapered periodogram leaks the DC
+    // mean into non-dividing periods (p=11 ∤ 70), which is inherent —
+    // the dominance assertion tests the CYCLE, so plant it without DC
+    val weekly = mk(t => 50.0 * math.cos(2.0 * math.Pi * t / 7.0))
+    val flat = mk(_ => 100.0)
+    val ps = Seq(5, 7, 11)
+    def powers(df: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.periodogram(df, "d", "v", ps)
+        .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val pw = powers(weekly)
+    assert(pw(7L) > 100.0 * pw(5L) && pw(7L) > 100.0 * pw(11L),
+      s"weekly peak not dominant: $pw")
+    val pf = powers(flat)
+    // 70 days = full cycles at p=7: quantized-cos sums cancel to ~0
+    assert(pf(7L) < 1e-6 * pw(7L), s"flat series power too big: $pf")
+    // every period sees all 70 days
+    val nd = EventAnalytics.periodogram(weekly, "d", "v", ps)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(nd === Set(70L))
+  }
 }
