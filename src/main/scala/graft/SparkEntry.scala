@@ -2402,6 +2402,15 @@ object SparkEntry {
           col("g"))
         .orderBy("i", "j")
     }),
+    // Welch's unequal-variance t on a continuous metric: exact DECIMAL
+    // moments per variant, one fixed double chain for t and the WS df
+    "x204_welch_ttest" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.welchTTest(
+        s.table("events").select(
+          (col("user_id") % 2).cast("string").as("variant"), col("value")),
+        "variant", "value")
+    }),
     // fixed-period periodogram of daily order revenue: driver-computed
     // integer trig tables broadcast to both engines, DECIMAL(38,0) sums
     "x203_periodogram" -> ((s, dir) => {
@@ -6611,6 +6620,37 @@ object SparkEntry {
       FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2
       ORDER BY i, j""",
+
+    // Welch t: same exact DECIMAL moments; the double chain mirrors the
+    // engine expression shape op-for-op so both round identically
+    "x204_welch_ttest" -> """
+      WITH u AS (
+        SELECT CAST(user_id % 2 AS VARCHAR) AS variant,
+               CAST(value AS DECIMAL(18,6)) AS v
+        FROM events),
+      s AS (
+        SELECT variant, COUNT(*) AS n, SUM(v) AS s,
+               SUM(CAST(v * v AS DECIMAL(38,12))) AS q
+        FROM u GROUP BY 1),
+      a AS (SELECT n, CAST(s AS DOUBLE) AS sd, CAST(q AS DOUBLE) AS qd
+            FROM s WHERE variant = '0'),
+      b AS (SELECT n, CAST(s AS DOUBLE) AS sd, CAST(q AS DOUBLE) AS qd
+            FROM s WHERE variant = '1'),
+      d AS (
+        SELECT a.n AS n_a, b.n AS n_b, a.sd AS sum_a, b.sd AS sum_b,
+               (a.qd - a.sd * a.sd / a.n) / (a.n - 1) / a.n AS se2a,
+               (b.qd - b.sd * b.sd / b.n) / (b.n - 1) / b.n AS se2b,
+               a.sd / a.n - b.sd / b.n AS md
+        FROM a, b)
+      SELECT '0' AS variant_a, '1' AS variant_b,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             sum_a, sum_b,
+             ROUND(md / SQRT(se2a + se2b), 6) AS t,
+             ROUND((se2a + se2b) * (se2a + se2b) /
+                   (se2a * se2a / (n_a - 1) + se2b * se2b / (n_b - 1)), 4)
+               AS df,
+             CAST(2 AS BIGINT) AS n_variants
+      FROM d""",
 
     // periodogram: identical integer trig VALUES (driver-rendered),
     // HUGEINT moment sums, power = A² + B² exact then cast to DOUBLE

@@ -659,6 +659,50 @@ object EventAnalytics {
         col("chi2"), col("significant"), col("n_variants").cast("long").as("n_variants"))
   }
 
+  /** Welch's unequal-variance t-test on a CONTINUOUS metric between two
+    * variants — the companion to [[abTest]]'s conversion chi-square for
+    * revenue/latency/engagement experiments (Welch 1947). Moments are
+    * exact: the metric quantizes to DECIMAL(18,6), Σv rides
+    * DECIMAL(38,6) and Σv² DECIMAL(38,12), so every engine derives t
+    * from the SAME exact operands; t and the Welch–Satterthwaite df are
+    * one fixed-shape double chain at the end (the [[burstiness]] /
+    * statistics-tier recipe), reported rounded since both are O(1)–O(n)
+    * magnitudes. Shape: one variant-keyed aggregate (two groups), then a
+    * single-row reduce — identical to [[abTest]]. */
+  def welchTTest(perUnit: DataFrame, variantCol: String,
+      valueCol: String): DataFrame = {
+    val stats = perUnit
+      .groupBy(col(variantCol).cast("string").as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("s"),
+        sum((col(valueCol).cast("decimal(18,6)") *
+             col(valueCol).cast("decimal(18,6)")).cast("decimal(38,12)"))
+          .as("q"))
+    val two = stats.agg(
+      min(col("variant")).as("variant_a"), max(col("variant")).as("variant_b"),
+      min_by(struct(col("n"), col("s"), col("q")), col("variant")).as("__a"),
+      max_by(struct(col("n"), col("s"), col("q")), col("variant")).as("__b"),
+      count(lit(1)).as("n_variants"))
+    def m(p: String) = col(s"__$p.s").cast("double") / col(s"__$p.n")
+    // sample variance from exact operands: (Q − S²/n)/(n−1)
+    def v(p: String) =
+      (col(s"__$p.q").cast("double") -
+        col(s"__$p.s").cast("double") * col(s"__$p.s").cast("double") /
+          col(s"__$p.n")) / (col(s"__$p.n") - 1)
+    val se2a = v("a") / col("__a.n")
+    val se2b = v("b") / col("__b.n")
+    val se2 = se2a + se2b
+    val t = (m("a") - m("b")) / sqrt(se2)
+    val df = (se2 * se2) /
+      (se2a * se2a / (col("__a.n") - 1) + se2b * se2b / (col("__b.n") - 1))
+    two.select(col("variant_a"), col("variant_b"),
+      col("__a.n").cast("long").as("n_a"), col("__b.n").cast("long").as("n_b"),
+      col("__a.s").cast("double").as("sum_a"),
+      col("__b.s").cast("double").as("sum_b"),
+      round(t, 6).as("t"), round(df, 4).as("df"),
+      col("n_variants").cast("long").as("n_variants"))
+  }
+
   /** Exponentially-decayed daily value sum per series (one-day half-life,
     * trailing `windowDays`): `ewma_d = Σ_{g=0..W} daily_{d−g} · 2^{−g}`,
     * the recency-weighted signal behind trending-topic scores and decayed

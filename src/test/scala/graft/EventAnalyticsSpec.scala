@@ -588,6 +588,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq === out2.map(_.toString).toSeq)
   }
 
+  test("welchTTest: hand-checked t and Welch-Satterthwaite df") {
+    // A: 1,2,3 (mean 2, var 1); B: 2,4,6 (mean 4, var 4)
+    // se² = 1/3 + 4/3 = 5/3; t = −2/√(5/3) = −1.549193
+    // df = (5/3)² / ((1/9)/2 + (16/9)/2) = 450/153 = 2.9412
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0)).toDF("variant", "value")
+    val r = EventAnalytics.welchTTest(df, "variant", "value").head()
+    assert(r.getString(0) === "a" && r.getString(1) === "b")
+    assert(r.getLong(2) === 3L && r.getLong(3) === 3L)
+    assert(r.getDouble(4) === 6.0 && r.getDouble(5) === 12.0)
+    assert(math.abs(r.getDouble(6) - (-1.549193)) < 1e-6)
+    assert(math.abs(r.getDouble(7) - 2.9412) < 1e-4)
+  }
+
   test("burstiness: periodic user scores -1, bursty user positive, " +
       "degenerate zero-gap user defined as 0") {
     def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
