@@ -2402,6 +2402,16 @@ object SparkEntry {
           col("g"))
         .orderBy("i", "j")
     }),
+    // Heaps-law vocabulary growth: term→min-doc converts the sequential
+    // set-union into bucket partials; cumsum runs over 20 bucket rows
+    "x205_vocab_growth" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.vocabGrowth(s.table("documents"), "doc_id", "text",
+          buckets = 20)
+        .select(col("bucket").cast("long").as("bucket"), col("docs_cum"),
+          col("tokens_cum"), col("vocab_cum"))
+        .orderBy("bucket")
+    }),
     // Welch's unequal-variance t on a continuous metric: exact DECIMAL
     // moments per variant, one fixed double chain for t and the WS df
     "x204_welch_ttest" -> ((s, dir) => {
@@ -6620,6 +6630,37 @@ object SparkEntry {
       FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2
       ORDER BY i, j""",
+
+    // vocab growth: same lower/trim/\s+ tokens, term→MIN(doc_id) first
+    // occurrences, FLOOR(id·20/(max+1)) buckets, 20-row running sums
+    "x205_vocab_growth" -> """
+      WITH mx AS (SELECT MAX(doc_id) AS md FROM documents),
+      toks AS (
+        SELECT doc_id,
+               UNNEST(STR_SPLIT_REGEX(TRIM(LOWER(text)), '\s+')) AS term
+        FROM documents),
+      tnz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      tk AS (
+        SELECT doc_id,
+               CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                    ELSE LEN(STR_SPLIT_REGEX(TRIM(text), '\s+')) END AS toks
+        FROM documents),
+      pb AS (
+        SELECT CAST(FLOOR(tk.doc_id * 20.0 / (mx.md + 1)) AS INT) + 1 AS bucket,
+               COUNT(*) AS docs, SUM(toks) AS tks
+        FROM tk, mx GROUP BY 1),
+      fo AS (SELECT term, MIN(doc_id) AS fd FROM tnz GROUP BY 1),
+      nt AS (
+        SELECT CAST(FLOOR(fo.fd * 20.0 / (mx.md + 1)) AS INT) + 1 AS bucket,
+               COUNT(*) AS nv
+        FROM fo, mx GROUP BY 1)
+      SELECT CAST(pb.bucket AS BIGINT) AS bucket,
+             CAST(SUM(pb.docs) OVER w AS BIGINT) AS docs_cum,
+             CAST(SUM(pb.tks) OVER w AS BIGINT) AS tokens_cum,
+             CAST(SUM(COALESCE(nt.nv, 0)) OVER w AS BIGINT) AS vocab_cum
+      FROM pb LEFT JOIN nt ON nt.bucket = pb.bucket
+      WINDOW w AS (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING)
+      ORDER BY bucket""",
 
     // Welch t: same exact DECIMAL moments; the double chain mirrors the
     // engine expression shape op-for-op so both round identically

@@ -1,6 +1,7 @@
 package graft.x
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation (SURVEY.md §2.9 X4):
@@ -1517,4 +1518,50 @@ object TextAnalysis {
         languageIdHeuristic(col(textCol)).as("lang_guess") :+
         fingerprint(col(textCol)).as("fp"): _*
     )
+
+  /** Heaps-law vocabulary growth curve: cumulative token count vs
+    * cumulative DISTINCT vocabulary as the corpus grows in `idCol` order,
+    * reported at `buckets` evenly-spaced id checkpoints (Heaps 1978,
+    * V(n) ≈ K·n^β) — the curve a pre-training data team reads to decide
+    * whether more of the same source still buys new vocabulary.
+    *
+    * The classic formulation is a SEQUENTIAL scan (vocab so far); the
+    * distributed shape: a term's contribution to the curve depends only
+    * on its FIRST occurrence, so one (term → min id) aggregate converts
+    * the sequential set-union into per-bucket "new term" counts, and the
+    * cumulative curve is a 20-row window on the bucket frame. Buckets by
+    * exact integer arithmetic (id·buckets)/(maxId+1) — no float binning.
+    * Two exchanges over data (term min-id, per-doc token counts → bucket
+    * partials); the cumsum runs on `buckets` rows, not the corpus. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 20): DataFrame = {
+    require(buckets >= 1 && buckets <= 10000, s"buckets $buckets out of range")
+    val terms = docs
+      .select(col(idCol).cast("long").as("__id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__term"))
+      .filter(col("__term") =!= "")
+    val mx = docs.agg(max(col(idCol)).cast("long").as("__mx"))
+    def bucket(idc: Column) = (idc * buckets / (col("__mx") + 1) + 1).cast("int")
+    // per-bucket token + doc counts
+    val perBucket = docs
+      .select(col(idCol).cast("long").as("__id"),
+        tokenCount(col(textCol)).cast("long").as("__tk"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucket(col("__id")).as("bucket"))
+      .agg(count(lit(1)).as("__docs"), sum("__tk").as("__toks"))
+    // per-bucket NEW vocabulary from first occurrences
+    val newTerms = terms.groupBy("__term").agg(min("__id").as("__fd"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucket(col("__fd")).as("bucket"))
+      .agg(count(lit(1)).as("__new"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTerms, Seq("bucket"), "left")
+      .withColumn("__new", coalesce(col("__new"), lit(0L)))
+      // `buckets` rows from here on: the single-partition window is fine
+      .select(col("bucket"),
+        sum("__docs").over(w).as("docs_cum"),
+        sum("__toks").over(w).as("tokens_cum"),
+        sum("__new").over(w).as("vocab_cum"))
+  }
 }

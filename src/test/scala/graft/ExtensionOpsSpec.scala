@@ -1585,6 +1585,20 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(rel == Seq(1L, 2L, 3L), s"λ=1 order was $rel")
   }
 
+  test("vocabGrowth: cumulative vocab counts first occurrences once; " +
+      "totals match corpus-wide distinct and token counts") {
+    // ids 0..3, buckets=2 -> bucket 1 = ids 0,1; bucket 2 = ids 2,3
+    val d = Seq((0L, "a b a"), (1L, "b c"), (2L, "c d e"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(d, "doc_id", "text", buckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bucket1: 2 docs, 5 tokens, vocab {a,b,c} = 3
+    // bucket2: 4 docs, 8 tokens, vocab {a..e} = 5 (c NOT recounted)
+    assert(got.toSeq === Seq((1, 2L, 5L, 3L), (2, 4L, 8L, 5L)),
+      s"growth curve wrong: ${got.toSeq}")
+  }
+
   test("gramMatrix: exact upper-triangle moments; one Exchange; " +
       "topEigen recovers the dominant direction") {
     // 3 vectors in dim 3, already integer so int8 codes are v/maxabs*127
