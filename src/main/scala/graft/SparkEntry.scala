@@ -2402,6 +2402,36 @@ object SparkEntry {
           col("g"))
         .orderBy("i", "j")
     }),
+    // strongly connected components (FW-BW, min pivot) of the directed
+    // event-type transition graph thresholded at 90% of the max count
+    "x206_scc" -> ((s, dir) => {
+      reg(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = s.table("events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") =!= col("event_type"))
+        .groupBy(col("prev").as("a"), col("event_type").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val mx = trans.agg(max("cnt").as("mc"))
+      val kept = trans.crossJoin(broadcast(mx))
+        .filter(col("cnt") * 10 >= col("mc") * 9)
+      // dense ids by name rank (tiny dictionary); min-id pivots then map
+      // back to "alphabetically smallest type in the SCC" labels
+      val types = kept.select(col("a").as("t"))
+        .union(kept.select(col("b").as("t"))).distinct()
+        .withColumn("tid", row_number().over(Window.orderBy("t")).cast("long"))
+      val e = kept
+        .join(types.select(col("t").as("a"), col("tid").as("src")), "a")
+        .join(types.select(col("t").as("b"), col("tid").as("dst")), "b")
+      Graph.stronglyConnectedComponents(e, "src", "dst")
+        .join(types.select(col("tid").as("node"), col("t").as("event_type")),
+          "node")
+        .join(types.select(col("tid").as("comp"), col("t").as("scc")), "comp")
+        .select(col("event_type"), col("scc"), col("converged"))
+        .orderBy("event_type")
+    }),
     // Heaps-law vocabulary growth: term→min-doc converts the sequential
     // set-union into bucket partials; cumsum runs over 20 bucket rows
     "x205_vocab_growth" -> ((s, dir) => {
@@ -6630,6 +6660,36 @@ object SparkEntry {
       FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2
       ORDER BY i, j""",
+
+    // SCC oracle: transitive closure of the same thresholded transition
+    // graph via recursive CTE; SCC label = min type over mutual pairs
+    "x206_scc" -> """
+      WITH RECURSIVE o AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      t AS (
+        SELECT prev AS a, event_type AS b, COUNT(*) AS cnt
+        FROM o WHERE prev IS NOT NULL AND prev <> event_type
+        GROUP BY 1, 2),
+      mx AS (SELECT MAX(cnt) AS mc FROM t),
+      kept AS (SELECT a, b FROM t, mx WHERE cnt * 10 >= mc * 9),
+      n AS (SELECT a AS t FROM kept UNION SELECT b FROM kept),
+      reach(s, d) AS (
+        SELECT a, b FROM kept
+        UNION
+        SELECT r.s, k.b FROM reach r JOIN kept k ON k.a = r.d),
+      mutual AS (
+        SELECT r1.d AS v, r1.s AS m
+        FROM reach r1 JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s),
+      cand AS (
+        SELECT t AS v, t AS m FROM n
+        UNION ALL
+        SELECT v, m FROM mutual)
+      SELECT v AS event_type, MIN(m) AS scc, TRUE AS converged
+      FROM cand GROUP BY v
+      ORDER BY event_type""",
 
     // vocab growth: same lower/trim/\s+ tokens, term→MIN(doc_id) first
     // occurrences, FLOOR(id·20/(max+1)) buckets, 20-row running sums

@@ -428,6 +428,31 @@ class GraphSpec extends AnyFunSuite {
     assert(heavy(3L) === 4L && heavy(4L) === 3L, s"heavy bridge sweep: $heavy")
   }
 
+  test("stronglyConnectedComponents: cycles settle to min-id labels, " +
+      "direction matters, budget exhaustion is flagged not hidden") {
+    import spark.implicits._
+    // 1→2→3→1 and 4→5→6→4 joined one-way by 3→4; 7→1 dangling in;
+    // 8↔9 a detached 2-cycle
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L), (7L, 1L), (8L, 9L), (9L, 8L)).toDF("src", "dst")
+    val got = graft.x.Graph.stronglyConnectedComponents(e, "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got === Map(
+      1L -> ((1L, true)), 2L -> ((1L, true)), 3L -> ((1L, true)),
+      4L -> ((4L, true)), 5L -> ((4L, true)), 6L -> ((4L, true)),
+      7L -> ((7L, true)), 8L -> ((8L, true)), 9L -> ((8L, true))),
+      s"scc labels wrong: $got")
+    // one round settles only the first pivot's SCC; the rest surface
+    // with converged = false (audit, not silence)
+    val partial = graft.x.Graph
+      .stronglyConnectedComponents(e, "src", "dst", maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(partial.filter(_._2).keySet === Set(1L, 2L, 3L),
+      s"round-1 settled set wrong: $partial")
+    assert(partial.filterNot(_._2).keySet === Set(4L, 5L, 6L, 7L, 8L, 9L))
+  }
+
   test("modularity: exact integer decomposition on the barbell partition") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
