@@ -2402,6 +2402,41 @@ object SparkEntry {
           col("g"))
         .orderBy("i", "j")
     }),
+    // budgeted Bellman-Ford SSSP over the weighted transition graph
+    // (w = max_cnt − cnt + 1): 4 synchronous relax+min rounds, exact
+    "x208_shortest_paths" -> ((s, dir) => {
+      reg(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = s.table("events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") =!= col("event_type"))
+        .groupBy(col("prev").as("a"), col("event_type").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val mx = trans.agg(max("cnt").as("mc"))
+      val wed = trans.crossJoin(broadcast(mx))
+        .select(col("a"), col("b"), (col("mc") - col("cnt") + 1).as("w"))
+      val types = wed.select(col("a").as("t"))
+        .union(wed.select(col("b").as("t"))).distinct()
+        .withColumn("tid", row_number().over(Window.orderBy("t")).cast("long"))
+      val e = wed
+        .join(types.select(col("t").as("a"), col("tid").as("src")), "a")
+        .join(types.select(col("t").as("b"), col("tid").as("dst")), "b")
+      Graph.shortestPaths(e, "src", "dst", "w", sources = Seq(1L), rounds = 4)
+        .join(types.select(col("tid").as("node"), col("t").as("event_type")),
+          "node")
+        .select(col("event_type"), col("dist"))
+        .orderBy("event_type")
+    }),
+    // per-state next-event entropy + perplexity: exact counts, each
+    // −p·ln p term quantized to DECIMAL(18,8) before the sum (x184 recipe)
+    "x207_transition_entropy" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.transitionEntropy(s.table("events"), "user_id", "ts",
+          "event_id", "event_type")
+        .orderBy("from_type")
+    }),
     // strongly connected components (FW-BW, min pivot) of the directed
     // event-type transition graph thresholded at 90% of the max count
     "x206_scc" -> ((s, dir) => {
@@ -6660,6 +6695,61 @@ object SparkEntry {
       FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2
       ORDER BY i, j""",
+
+    // SSSP: same weighted graph; rounds unrolled as MATERIALIZED CTEs
+    // (each round references its predecessor twice — the x197 lesson);
+    // the alphabetically-first type is the source
+    "x208_shortest_paths" -> s"""
+      WITH o AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      t AS (
+        SELECT prev AS a, event_type AS b, COUNT(*) AS cnt
+        FROM o WHERE prev IS NOT NULL AND prev <> event_type
+        GROUP BY 1, 2),
+      mx AS (SELECT MAX(cnt) AS mc FROM t),
+      e AS (SELECT a, b, mx.mc - cnt + 1 AS w FROM t, mx),
+      n AS (SELECT a AS t FROM e UNION SELECT b FROM e),
+      d0 AS (SELECT (SELECT MIN(t) FROM n) AS node, 0 AS dist),
+      ${(1 to 4).map(k => s"""d$k AS MATERIALIZED (
+        SELECT node, MIN(dist) AS dist FROM (
+          SELECT node, dist FROM d${k - 1}
+          UNION ALL
+          SELECT e.b AS node, d.dist + e.w AS dist
+          FROM d${k - 1} d JOIN e ON e.a = d.node)
+        GROUP BY 1)""").mkString(",\n      ")}
+      SELECT node AS event_type, CAST(dist AS BIGINT) AS dist
+      FROM d4 ORDER BY event_type""",
+
+    // entropy: LEAD pairs under the same (ts, event_id) order; terms
+    // CAST to DECIMAL(18,8) pre-sum so both engines add identical values
+    "x207_transition_entropy" -> """
+      WITH o AS (
+        SELECT event_type,
+               LEAD(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events),
+      t AS (
+        SELECT event_type AS from_type, nxt AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      wi AS (
+        SELECT from_type, to_type, n,
+               SUM(n) OVER (PARTITION BY from_type) AS ni
+        FROM t),
+      h AS (
+        SELECT from_type, MAX(ni) AS n_total, COUNT(*) AS fanout,
+               SUM(CAST(-(CAST(n AS DOUBLE) / CAST(ni AS DOUBLE)) *
+                        LN(CAST(n AS DOUBLE) / CAST(ni AS DOUBLE))
+                   AS DECIMAL(18,8))) AS hs
+        FROM wi GROUP BY 1)
+      SELECT from_type, CAST(n_total AS BIGINT) AS n_total,
+             CAST(fanout AS BIGINT) AS fanout,
+             CAST(hs AS DOUBLE) AS entropy,
+             ROUND(EXP(CAST(hs AS DOUBLE)), 6) AS perplexity
+      FROM h ORDER BY from_type""",
 
     // SCC oracle: transitive closure of the same thresholded transition
     // graph via recursive CTE; SCC label = min type over mutual pairs

@@ -442,6 +442,42 @@ object EventAnalytics {
       .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"), col("p"))
   }
 
+  /** Per-state conditional next-event entropy over the
+    * [[transitionMatrix]] counts: H_i = −Σ_j p_ij·ln(p_ij) with
+    * p_ij = n_ij/n_i, plus perplexity exp(H_i) — "how predictable is the
+    * next action from state i", the journey-analysis signal behind
+    * navigation-confusion and bot-detection dashboards (Shannon 1948).
+    *
+    * Portability: counts are exact; each −p·ln(p) term quantizes to
+    * DECIMAL(18,8) BEFORE summing (the x184 mutual-information recipe) —
+    * per-term rounding makes the sum order-independent AND immune to
+    * last-ulp libm drift between engines; ln/exp see only doubles derived
+    * from exact integers or from that stabilized sum. Shape: one
+    * (user-window) pair extraction, one (from,to) count agg, one
+    * from-keyed window + agg — all sharing the from-side exchange. */
+  def transitionEntropy(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val steps = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("__n"))
+    val wSrc = Window.partitionBy(col("from_type"))
+    val p = col("__n").cast("double") / col("__ni").cast("double")
+    steps
+      .withColumn("__ni", sum(col("__n")).over(wSrc))
+      .withColumn("__term", (-p * log(p)).cast("decimal(18,8)"))
+      .groupBy(col("from_type"))
+      .agg(max(col("__ni")).cast("long").as("n_total"),
+        count(lit(1)).as("fanout"),
+        sum(col("__term")).as("__h"))
+      .select(col("from_type"), col("n_total"), col("fanout"),
+        col("__h").cast("double").as("entropy"),
+        round(exp(col("__h").cast("double")), 6).as("perplexity"))
+  }
+
   /** Calendar densification: make each series' daily history gapless
     * over its own [first, last] span — absent days appear with a
     * zero count AND the last observed count carried forward (the two

@@ -760,6 +760,49 @@ object Graph {
     * the per-node argmax as ONE struct-max hash agg (LPA's trick —
     * max over (gain, −neighbor) needs no window sort). Per-node state is
     * one struct; nothing quadratic, nothing on the driver. */
+  /** Budgeted Bellman–Ford single-source shortest paths over a DIRECTED
+    * weighted graph with non-negative integer weights: `rounds` rounds of
+    * synchronous edge relaxation — after round k every node holds the
+    * exact min-cost over paths of ≤ k edges, so with rounds ≥ graph
+    * diameter the result is the true SSSP distance (Bellman 1958; the
+    * round-synchronous form is the standard distributed/semiring
+    * formulation). Fixed rounds, min-merge, integer adds: bit-exact on
+    * any engine/layout, same reproducibility contract as
+    * [[labelPropagation]]'s fixed iteration budget.
+    *
+    * Shape per round: ONE src-keyed equi-join of the frontier-less dist
+    * frame to the edge list + one node-keyed min aggregate — the dist
+    * frame stays hash(node)-partitioned through the agg and the edges
+    * stage hash(src)-partitioned once, so rounds ≥ 2 re-shuffle only the
+    * relaxation candidates. Parallel edges collapse to their min weight
+    * at staging. Unreached nodes are absent (no ∞ sentinel rows). */
+  def shortestPaths(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: Seq[Long], rounds: Int,
+      staging: Staging = Staging.LocalCheckpoint): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds $rounds out of range")
+    require(sources.nonEmpty, "shortestPaths needs at least one source")
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    val edges = staging.stage(edgesIn
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") >= 0 && col("src").isNotNull && col("dst").isNotNull)
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .repartition(col("src")).sortWithinPartitions("src"), "sssp-edges")
+    var dist = staging.stage(
+      sources.distinct.toDF("node").withColumn("dist", lit(0L)), "sssp-d0")
+    for (r <- 1 to rounds) {
+      val relaxed = edges
+        .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = staging.stage(
+        dist.unionByName(relaxed).groupBy("node").agg(min("dist").as("dist")),
+        s"sssp-d$r")
+    }
+    dist
+  }
+
   /** Strongly connected components of a DIRECTED graph by iterated
     * forward–backward partitioning with the min-id pivot (Fleischer,
     * Hendrickson & Pınar 2000) — the classic distributed SCC scheme:

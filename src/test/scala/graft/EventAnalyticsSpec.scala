@@ -588,6 +588,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq === out2.map(_.toString).toSeq)
   }
 
+  test("transitionEntropy: hand-checked H and perplexity; deterministic " +
+      "state with one successor scores exactly 0") {
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // user 1: A,B,A,C → A→B, B→A, A→C; user 2: A,B → A→B
+    val rows = Seq(
+      (1L, ts(0), 0L, "A"), (1L, ts(1), 1L, "B"),
+      (1L, ts(2), 2L, "A"), (1L, ts(3), 3L, "C"),
+      (2L, ts(0), 10L, "A"), (2L, ts(1), 11L, "B"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.transitionEntropy(rows, "user_id", "ts",
+        "event_id", "event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // A: counts {B:2, C:1}, H = −(2/3)ln(2/3) − (1/3)ln(1/3)
+    //   = 0.27031007 + 0.36620410 (each term rounded to 8 decimals)
+    val (na, fa, ha, pa) = got("A")
+    assert(na === 3L && fa === 2L)
+    assert(math.abs(ha - 0.63651417) < 1e-8, s"H(A) = $ha")
+    assert(math.abs(pa - math.exp(0.63651417)) < 1e-5)
+    val (nb, fb, hb, pb) = got("B")
+    assert(nb === 1L && fb === 1L && hb === 0.0 && pb === 1.0)
+  }
+
   test("welchTTest: hand-checked t and Welch-Satterthwaite df") {
     // A: 1,2,3 (mean 2, var 1); B: 2,4,6 (mean 4, var 4)
     // se² = 1/3 + 4/3 = 5/3; t = −2/√(5/3) = −1.549193

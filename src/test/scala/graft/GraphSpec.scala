@@ -453,6 +453,23 @@ class GraphSpec extends AnyFunSuite {
     assert(partial.filterNot(_._2).keySet === Set(4L, 5L, 6L, 7L, 8L, 9L))
   }
 
+  test("shortestPaths: relax-min rounds reach the true SSSP; parallel " +
+      "edges collapse; unreached nodes stay absent") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 5L), (1L, 2L, 7L), (2L, 3L, 1L), (1L, 3L, 10L),
+      (3L, 1L, 2L), (4L, 1L, 1L)).toDF("src", "dst", "w")
+    val got = graft.x.Graph.shortestPaths(e, "src", "dst", "w",
+        sources = Seq(1L), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1→2→3 (6) beats the direct 1→3 (10); node 4 is unreachable FROM 1
+    assert(got === Map(1L -> 0L, 2L -> 5L, 3L -> 6L), s"sssp wrong: $got")
+    // one round only relaxes one edge deep: 3 still holds the direct 10
+    val r1 = graft.x.Graph.shortestPaths(e, "src", "dst", "w",
+        sources = Seq(1L), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(1L -> 0L, 2L -> 5L, 3L -> 10L), s"round-1 wrong: $r1")
+  }
+
   test("modularity: exact integer decomposition on the barbell partition") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
