@@ -80,6 +80,22 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // gram-matrix probe: corpus inflates K× but the post-partial-agg
+    // exchange stays ≤ partitions · d(d+1)/2 rows — wall time should grow
+    // linearly (scan + per-row outer product) while the shuffle is flat
+    if (on("gram")) Seq(1, 4, 16).foreach { k =>
+      val inflated = (0 until k).map(i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val codes = inflated.select(
+        graft.x.Similarity.int8Codes(col("embedding")).as("c"))
+      val t0 = System.nanoTime()
+      val cells = graft.x.Similarity.gramMatrix(codes, "c", dim = 64).count()
+      println(f"[scale-gram] vecs=$n%7d  gram=${(System.nanoTime() - t0) / 1e9}%6.2fs  cells=$cells")
+      spark.catalog.clearCache()
+    }
+
     // bloom decontamination probe: corpus inflates, blocklist fixed — the
     // corpus path is a map-side probe, so this should be scan-bound linear
     if (on("bloom")) Seq(1, 4, 16).foreach { k =>
