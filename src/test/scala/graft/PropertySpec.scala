@@ -280,4 +280,78 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("snapshotDiff partitions the key universe: counts reconcile with " +
+      "both inputs for random edit sets") {
+    val genRows: Gen[List[(Int, Int)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1, 40), Gen.choose(0, 5)))
+    check(Prop.forAll(genRows, genRows) { (aRaw, bRaw) =>
+      // dedup keys (snapshotDiff's contract is keyed versions)
+      val a = aRaw.toMap.toSeq.toDF("id", "v")
+      val b = bRaw.toMap.toSeq.toDF("id", "v")
+      val m = Validations.snapshotDiff(a, b, Seq("id"), Seq("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (am, bm) = (aRaw.toMap, bRaw.toMap)
+      m("added") == bm.keySet.diff(am.keySet).size &&
+        m("removed") == am.keySet.diff(bm.keySet).size &&
+        m("changed") + m("unchanged") == am.keySet.intersect(bm.keySet).size &&
+        m("changed") == am.keySet.intersect(bm.keySet)
+          .count(k => am(k) != bm(k)) &&
+        m("col_changed:v") == m("changed") &&
+        // totals reconcile with both inputs
+        m("removed") + m("changed") + m("unchanged") == am.size &&
+        m("added") + m("changed") + m("unchanged") == bm.size
+    })
+  }
+
+  test("burstiness is bounded in [-1, 1) and -1 exactly iff gaps are " +
+      "all equal (n >= 2)") {
+    val genGaps: Gen[List[Int]] = Gen.choose(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 30)))
+    check(Prop.forAll(genGaps) { gaps =>
+      val times = gaps.scanLeft(0L)(_ + _)
+      val rows = times.zipWithIndex.map { case (t, i) =>
+        (1L, new Timestamp(1700000000000L + t * 1000L), i.toLong) }
+      val df = rows.toDF("u", "ts", "id")
+      val out = graft.x.EventAnalytics.burstiness(df, "u", "ts", "id")
+        .collect()
+      out.length == 1 && {
+        val bv = out(0).getDouble(3)
+        bv >= -1.0 && bv < 1.0 &&
+          ((bv == -1.0) == (gaps.distinct.size == 1))
+      }
+    })
+  }
+
+  test("shortestPaths with enough rounds equals Dijkstra on random DAG-ish " +
+      "graphs; more rounds never increase a distance") {
+    val genEdges: Gen[List[(Int, Int, Int)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1, 8), Gen.choose(1, 8), Gen.choose(1, 9)))
+    check(Prop.forAll(genEdges) { raw =>
+      val es = raw.filter(e => e._1 != e._2)
+      es.isEmpty || {
+        val df = es.map(e => (e._1.toLong, e._2.toLong, e._3.toLong))
+          .toDF("src", "dst", "w")
+        val got = graft.x.Graph.shortestPaths(df, "src", "dst", "w",
+            sources = Seq(1L), rounds = 8)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference: driver-side Bellman-Ford to fixpoint
+        val best = scala.collection.mutable.Map(1L -> 0L)
+        val em = es.map(e => (e._1.toLong, e._2.toLong,
+          e._3.toLong)).groupBy(identity).keys.toSeq
+        var changed = true
+        while (changed) {
+          changed = false
+          em.foreach { case (s, d, w) =>
+            best.get(s).foreach { ds =>
+              if (best.get(d).forall(_ > ds + w)) {
+                best(d) = ds + w; changed = true
+              }
+            }
+          }
+        }
+        got == best.toMap
+      }
+    })
+  }
 }
