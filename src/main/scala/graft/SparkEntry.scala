@@ -3694,6 +3694,18 @@ object SparkEntry {
         "doc_id", "text")
       Multimodal.sceneCuts(s, media, everyMs = 10000, minHamming = 3)
         .orderBy("media_id", "cut_ms")
+    }),
+    // audio activity segments: window decode through the stub seam,
+    // exact-decimal mean-energy threshold, gaps-and-islands rollup
+    "mm7_audio_segments" -> ((s, dir) => {
+      reg(s, dir)
+      val media = Multimodal.synthesizeFromText(s.table("documents"),
+        "doc_id", "text")
+      Multimodal.audioActivitySegments(s, media, everyMs = 5000)
+        .select(col("media_id"), col("seg_start_ms").cast("long")
+          .as("seg_start_ms"), col("seg_end_ms").cast("long")
+          .as("seg_end_ms"), col("n_windows"), col("avg_energy"))
+        .orderBy("media_id", "seg_start_ms")
     })
   )
 
@@ -9759,6 +9771,49 @@ object SparkEntry {
         CAST(bit_count(xor(phv, prev)) AS BIGINT) AS hamming
       FROM lagged
       WHERE prev IS NOT NULL AND bit_count(xor(phv, prev)) >= 3
-      ORDER BY media_id, cut_ms"""
+      ORDER BY media_id, cut_ms""",
+
+    // audio segments: the mm6 frame-decode CTEs at everyMs=5000 over the
+    // audio third; energy = the same 16-lane fold mean, quantized to
+    // DECIMAL(18,9) so the per-media threshold compare is exact
+    "mm7_audio_segments" -> """
+      WITH auds AS (
+        SELECT doc_id AS media_id, text, (doc_id * 137) % 60000 AS dur
+        FROM documents WHERE doc_id % 3 = 1),
+      frames AS (
+        SELECT media_id, text, f.ms, CAST(f.ms // 5000 AS INTEGER) AS kk
+        FROM auds, LATERAL (SELECT UNNEST(RANGE(0, dur + 1, 5000)) AS ms) f),
+      feats AS (
+        SELECT fr.media_id, fr.ms, r.i,
+          CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(list_filter(range(1, LENGTH(fr.text) + 1),
+                p -> p > fr.kk AND (p - 1 - fr.kk) % 16 = r.i),
+                p -> CAST(CAST(ord(fr.text[p]) AS REAL) / CAST(255 AS REAL) AS DOUBLE))),
+              (a, x) -> a + x)
+            / GREATEST((LENGTH(fr.text) - fr.kk) // 16, 1) AS REAL) AS feat
+        FROM frames fr CROSS JOIN RANGE(16) r(i)),
+      en AS (
+        SELECT media_id, ms,
+          CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(CAST(feat AS DOUBLE) ORDER BY i)), (a, x) -> a + x)
+            / CAST(16.0 AS DOUBLE) AS DECIMAL(18,9)) AS e
+        FROM feats GROUP BY media_id, ms),
+      th AS (SELECT media_id, SUM(e) AS s, COUNT(*) AS n
+             FROM en GROUP BY 1),
+      act AS (
+        SELECT en.media_id, en.ms, en.e
+        FROM en JOIN th USING (media_id)
+        WHERE en.e * th.n > th.s),
+      isl AS (
+        SELECT media_id, ms, e,
+          CAST(ms // 5000 AS BIGINT) -
+            ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY ms) AS grp
+        FROM act)
+      SELECT media_id, CAST(MIN(ms) AS BIGINT) AS seg_start_ms,
+             CAST(MAX(ms) AS BIGINT) AS seg_end_ms,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             ROUND(CAST(SUM(e) AS DOUBLE) / COUNT(*), 6) AS avg_energy
+      FROM isl GROUP BY media_id, grp
+      ORDER BY media_id, seg_start_ms"""
   )
 }

@@ -293,14 +293,60 @@ object Multimodal {
       .select(col("media_id"), col("frame_ms").as("cut_ms"), col("hamming"))
   }
 
+  /** Audio activity segmentation (a VAD stand-in): sample windows every
+    * `everyMs` of each AUDIO payload, decode each window through the stub
+    * seam, score it by mean feature energy, flag windows above their
+    * media's mean energy, and merge consecutive active windows into
+    * segments (gaps-and-islands) — the speech/music extent detector an
+    * audio curation pipeline runs before transcription, expressed with
+    * the same decode seam as the video path (production swaps a real
+    * frame decoder + energy/VAD model into `decodeFrameImpl`).
+    *
+    * Determinism: the per-window energy is the FIXED left fold over the
+    * 16 features (the mm6 oracle's list_reduce shape), then quantized to
+    * DECIMAL(18,9) so the per-media mean threshold is EXACT — the
+    * active test is the cross-multiplied `e·n > Σe` (no double sum ever
+    * crosses windows). Islands need no second window pass: with fixed
+    * `everyMs` sampling, group = frame_idx − row_number(active) is
+    * constant per run. One media-keyed exchange shared by the window
+    * sort, the threshold agg, and the segment rollup. */
+  def audioActivitySegments(spark: SparkSession, media: DataFrame,
+      everyMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = extractFrameFeatures(spark,
+      sampleFrames(media, everyMs, kind = "audio"), everyMs).toDF()
+    val energy = feats.select(col("media_id"), col("frame_ms"),
+      (aggregate(col("features"), lit(0.0d), (a, x) => a + x.cast("double"))
+        / lit(16.0)).cast("decimal(18,9)").as("__e"))
+    val wm = Window.partitionBy("media_id")
+    val flagged = energy
+      .withColumn("__sum", sum(col("__e")).over(wm))
+      .withColumn("__n", count(lit(1)).over(wm))
+      .filter(col("__e") * col("__n") > col("__sum"))
+    val wa = Window.partitionBy("media_id").orderBy("frame_ms")
+    flagged
+      .withColumn("__grp",
+        (col("frame_ms") / everyMs).cast("long") - row_number().over(wa))
+      .groupBy(col("media_id"), col("__grp"))
+      .agg(min("frame_ms").as("seg_start_ms"),
+        max("frame_ms").as("seg_end_ms"),
+        count(lit(1)).as("n_windows"),
+        sum(col("__e")).as("__s")) // exact decimal; ONE double div below
+      .select(col("media_id"), col("seg_start_ms"), col("seg_end_ms"),
+        col("n_windows"),
+        round(col("__s").cast("double") / col("n_windows"), 6)
+          .as("avg_energy"))
+  }
+
   /** Frame sampling for video rows: emit one row per sampled frame index
     * (every `everyMs` of duration) — the explode-shaped fan-out a video
     * pipeline feeds to the image path. Payload rides along so a frame
     * decoder ([[extractFrameFeatures]]) can run without re-joining the
     * media table; metadata-only consumers just don't select it (parquet
     * column pruning keeps their scans narrow). */
-  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
-    media.filter(col("meta.kind") === "video")
+  def sampleFrames(media: DataFrame, everyMs: Long,
+      kind: String = "video"): DataFrame =
+    media.filter(col("meta.kind") === kind)
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("meta.durationMs"), lit(everyMs))))
       .select(col("media_id"), col("frame_ms"), col("meta"), col("payload"))

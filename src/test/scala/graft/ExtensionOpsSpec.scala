@@ -1585,6 +1585,34 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(rel == Seq(1L, 2L, 3L), s"λ=1 order was $rel")
   }
 
+  test("audioActivitySegments: segments are aligned, contiguous window " +
+      "runs over audio media only") {
+    val media = graft.x.Multimodal.synthesizeFromText(docs, "doc_id", "text")
+    val segs = graft.x.Multimodal.audioActivitySegments(spark, media, 5000L)
+      .collect()
+    assert(segs.nonEmpty, "no active segments found")
+    val audioIds = media.filter(col("meta.kind") === "audio")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    segs.foreach { r =>
+      val (id, s0, s1, n) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(audioIds.contains(id), s"segment on non-audio media $id")
+      assert(s0 % 5000 == 0 && s1 % 5000 == 0 && s1 >= s0)
+      // a contiguous run: span/everyMs + 1 windows exactly
+      assert((s1 - s0) / 5000 + 1 == n, s"segment ($s0,$s1) claims $n windows")
+    }
+    // segments of the same media never overlap or touch (else they'd
+    // have been merged into one island)
+    segs.groupBy(_.getLong(0)).values.foreach { ss =>
+      val sorted = ss.sortBy(_.getLong(1))
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (p, q) = (pair(0), pair(1))
+        assert(q.getLong(1) > p.getLong(2) + 5000,
+          s"adjacent segments not merged: $p | $q")
+      }
+    }
+  }
+
   test("vocabGrowth: cumulative vocab counts first occurrences once; " +
       "totals match corpus-wide distinct and token counts") {
     // ids 0..3, buckets=2 -> bucket 1 = ids 0,1; bucket 2 = ids 2,3
