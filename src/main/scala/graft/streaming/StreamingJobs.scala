@@ -274,6 +274,55 @@ object StreamingJobs {
       }
   }
 
+  final case class TransState(lastUs: Long, lastId: Long, lastType: String)
+  final case class Transition(user: String, from_type: String,
+    to_type: String, at_us: Long)
+
+  /** Streaming twin of [[graft.x.EventAnalytics.transitionMatrix]]'s pair
+    * extraction: per-user consecutive event-type transitions emitted LIVE
+    * from `flatMapGroupsWithState`, with the (ts, id, type) frontier as
+    * the ONLY state — three scalars per user forever, however long the
+    * stream runs. Within a batch rows fold in strict (ts, id) order
+    * (same total order as the batch op), and a transition spanning a
+    * micro-batch boundary connects through the stored frontier, so the
+    * emitted pair stream equals the batch extraction over the
+    * accumulated history. Rows at or behind the frontier DROP — the
+    * explicit no-retro-correction late-data contract [[statefulEwma]] /
+    * [[statefulHolt]] established. Emits the PAIRS (Append mode), not
+    * counts: one state op then serves the transition matrix, the entropy
+    * score, and the SCC/SSSP graph builds as ordinary downstream
+    * aggregations. */
+  def statefulTransitions(spark: SparkSession, events: DataFrame,
+      userCol: String, tsCol: String, idCol: String, typeCol: String):
+      org.apache.spark.sql.Dataset[Transition] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col(userCol).cast("string"), unix_micros(col(tsCol)),
+        col(idCol).cast("long"), col(typeCol).cast("string"))
+      .na.drop()
+      .as[(String, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: String, rows: Iterator[(String, Long, Long, String)],
+            state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption
+            .getOrElse(TransState(Long.MinValue, Long.MinValue, null))
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { case (_, us, id, tp) =>
+            val fresh = us > st.lastUs || (us == st.lastUs && id > st.lastId)
+            if (fresh) {
+              if (st.lastType != null) out += Transition(user, st.lastType, tp, us)
+              st = TransState(us, id, tp)
+            } // else: late arrival behind the frontier — dropped by contract
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class EwmaState(days: Map[Int, Long])
   final case class EwmaSnapshot(series: String, day: String, ewma: Double)
 

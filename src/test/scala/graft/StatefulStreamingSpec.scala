@@ -217,6 +217,43 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(out.contains(("B", 1, 3.0, "b1")))
   }
 
+  test("statefulTransitions: pairs connect across batch boundaries " +
+      "through the frontier; late rows drop") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-trans").toString
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // batch 1: u1 A(0),B(1); u2 X(0)
+    Seq((1L, ts(0), 0L, "A"), (1L, ts(1), 1L, "B"), (2L, ts(0), 10L, "X"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b")
+    // batch 2: u1 C(5) connects B→C through state; u1 LATE(0.5) drops;
+    // u2 Y(3)
+    Seq((1L, ts(5), 2L, "C"), (1L, new java.sql.Timestamp(1700000000500L),
+        3L, "LATE"), (2L, ts(3), 11L, "Y"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(s"$dir/b")
+    import scala.jdk.CollectionConverters._
+    val parts = Files.list(java.nio.file.Paths.get(s"$dir/b")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(Files.getLastModifiedTime(_))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 1000))
+    }
+    val schema = spark.read.parquet(s"$dir/b").schema
+    val stream = StreamingJobs.fileStream(spark, s"$dir/b", schema,
+      maxFilesPerTrigger = 1)
+    val tr = StreamingJobs.statefulTransitions(spark, stream, "user_id",
+      "ts", "event_id", "event_type")
+    val q = tr.writeStream.outputMode("append")
+      .format("memory").queryName("trans_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("trans_stream")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(out === Set(("1", "A", "B"), ("1", "B", "C"), ("2", "X", "Y")),
+      s"transition stream wrong: $out")
+  }
+
   test("statefulEwma snapshots equal the batch EWMA bit-for-bit") {
     val batchDf = spark.read.parquet(eventsDir)
     val stream = StreamingJobs.fileStream(spark, eventsDir, batchDf.schema,
