@@ -2402,6 +2402,31 @@ object SparkEntry {
           col("g"))
         .orderBy("i", "j")
     }),
+    // weighted HITS hubs/authorities, unnormalized exact DECIMAL(38,0)
+    // power iteration (ranking-preserving; normalization is a rescale)
+    "x209_hits" -> ((s, dir) => {
+      reg(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = s.table("events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") =!= col("event_type"))
+        .groupBy(col("prev").as("a"), col("event_type").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val types = trans.select(col("a").as("t"))
+        .union(trans.select(col("b").as("t"))).distinct()
+        .withColumn("tid", row_number().over(Window.orderBy("t")).cast("long"))
+      val e = trans
+        .join(types.select(col("t").as("a"), col("tid").as("src")), "a")
+        .join(types.select(col("t").as("b"), col("tid").as("dst")), "b")
+      Graph.hits(e, "src", "dst", "cnt", iters = 3)
+        .join(types.select(col("tid").as("node"), col("t").as("event_type")),
+          "node")
+        .select(col("event_type"), col("authority").cast("double")
+          .as("authority"), col("hub").cast("double").as("hub"))
+        .orderBy("event_type")
+    }),
     // budgeted Bellman-Ford SSSP over the weighted transition graph
     // (w = max_cnt − cnt + 1): 4 synchronous relax+min rounds, exact
     "x208_shortest_paths" -> ((s, dir) => {
@@ -6707,6 +6732,35 @@ object SparkEntry {
       FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2
       ORDER BY i, j""",
+
+    // HITS: three unrolled a/h rounds in HUGEINT over the same graph;
+    // missing-side nodes COALESCE to 0 each round, one DOUBLE cast at end
+    "x209_hits" -> s"""
+      WITH o AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      t AS (
+        SELECT prev AS a, event_type AS b, COUNT(*) AS cnt
+        FROM o WHERE prev IS NOT NULL AND prev <> event_type
+        GROUP BY 1, 2),
+      n AS (SELECT a AS t FROM t UNION SELECT b FROM t),
+      h0 AS (SELECT t AS node, CAST(1 AS HUGEINT) AS h FROM n),
+      ${(1 to 3).map(k => s"""a$k AS (
+        SELECT n.t AS node, COALESCE(s.v, 0) AS a FROM n LEFT JOIN (
+          SELECT t.b, SUM(CAST(t.cnt AS HUGEINT) * p.h) AS v
+          FROM t JOIN h${k - 1} p ON p.node = t.a GROUP BY 1) s
+        ON s.b = n.t),
+      h$k AS (
+        SELECT n.t AS node, COALESCE(s.v, 0) AS h FROM n LEFT JOIN (
+          SELECT t.a, SUM(CAST(t.cnt AS HUGEINT) * q.a) AS v
+          FROM t JOIN a$k q ON q.node = t.b GROUP BY 1) s
+        ON s.a = n.t)""").mkString(",\n      ")}
+      SELECT a3.node AS event_type, CAST(a3.a AS DOUBLE) AS authority,
+             CAST(h3.h AS DOUBLE) AS hub
+      FROM a3 JOIN h3 USING (node)
+      ORDER BY event_type""",
 
     // SSSP: same weighted graph; rounds unrolled as MATERIALIZED CTEs
     // (each round references its predecessor twice — the x197 lesson);

@@ -760,6 +760,58 @@ object Graph {
     * the per-node argmax as ONE struct-max hash agg (LPA's trick —
     * max over (gain, −neighbor) needs no window sort). Per-node state is
     * one struct; nothing quadratic, nothing on the driver. */
+  /** Weighted HITS (Kleinberg 1999) hubs-and-authorities over a DIRECTED
+    * graph, kept EXACT by running the power iteration UNNORMALIZED in
+    * DECIMAL(38,0): from h₀ = 1, each round computes
+    * aₖ(v) = Σ_{u→v} w·hₖ₋₁(u) then hₖ(u) = Σ_{u→v} w·aₖ(v) — pure
+    * integer arithmetic, so the scores (and therefore the RANKING, which
+    * is what HITS is for) replay bit-for-bit on any engine; the usual
+    * per-round L2 normalization only rescales and is where float
+    * nondeterminism would creep in, so it is omitted and the caller
+    * normalizes once at the end if a bounded score is wanted. Magnitudes
+    * grow like (Σdeg·w)^(2·iters): DECIMAL(38,0) holds iters = 3 for
+    * weighted degrees up to ~10⁶ — far past any per-node mass a sane
+    * graph has; overflow surfaces as NULL, not a wrong number.
+    *
+    * Shape per round: two src/dst-keyed equi-joins + two keyed sum aggs
+    * over the staged edge list — the [[pageRank]] exchange pattern with
+    * the score frame alternating between the two endpoint keys. */
+  def hits(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int = 3,
+      staging: Staging = Staging.LocalCheckpoint): DataFrame = {
+    require(iters >= 1 && iters <= 6, s"iters $iters out of range")
+    val d38 = "decimal(38,0)"
+    val edges = staging.stage(edgesIn
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy("src", "dst").agg(sum("w").cast(d38).as("w")), "hits-edges")
+    val nodes = staging.stage(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct(), "hits-nodes")
+    var h = nodes.withColumn("h", lit(1L).cast(d38))
+    var a = nodes.withColumn("a", lit(0L).cast(d38))
+    for (k <- 1 to iters) {
+      a = staging.stage(nodes.join(
+        edges.join(h.select(col("node").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("w") * col("h")).cast(d38).as("__a")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("__a"), lit(0L).cast(d38)).as("a")),
+        s"hits-a$k")
+      h = staging.stage(nodes.join(
+        edges.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("w") * col("a")).cast(d38).as("__h")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("__h"), lit(0L).cast(d38)).as("h")),
+        s"hits-h$k")
+    }
+    nodes.join(a, Seq("node")).join(h, Seq("node"))
+      .select(col("node"), col("a").as("authority"), col("h").as("hub"))
+  }
+
   /** Budgeted Bellman–Ford single-source shortest paths over a DIRECTED
     * weighted graph with non-negative integer weights: `rounds` rounds of
     * synchronous edge relaxation — after round k every node holds the

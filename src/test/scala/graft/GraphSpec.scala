@@ -453,6 +453,30 @@ class GraphSpec extends AnyFunSuite {
     assert(partial.filterNot(_._2).keySet === Set(4L, 5L, 6L, 7L, 8L, 9L))
   }
 
+  test("hits: star authority dominates; hand-checked round-1 values") {
+    import spark.implicits._
+    // hubs 1,2,3 all point at 4; 4 points at 5
+    val e = Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+      .toDF("src", "dst", "w")
+    val one = graft.x.Graph.hits(e, "src", "dst", "w", iters = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDecimal(1).longValueExact(), r.getDecimal(2).longValueExact())))
+      .toMap
+    // a1: 4←(1,2,3)=3, 5←4=1, others 0; h1: 1,2,3 = a1(4)=3, 4 = a1(5)=1
+    assert(one === Map(1L -> ((0L, 3L)), 2L -> ((0L, 3L)), 3L -> ((0L, 3L)),
+      4L -> ((3L, 1L)), 5L -> ((1L, 0L))), s"round-1 hits wrong: $one")
+    // after 3 rounds the star center still holds max authority and the
+    // spokes the max hub score
+    val three = graft.x.Graph.hits(e, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDecimal(1).longValueExact(), r.getDecimal(2).longValueExact())))
+      .toMap
+    val maxA = three.values.map(_._1).max
+    val maxH = three.values.map(_._2).max
+    assert(three(4L)._1 == maxA && three(1L)._2 == maxH,
+      s"3-round hits ranking wrong: $three")
+  }
+
   test("shortestPaths: relax-min rounds reach the true SSSP; parallel " +
       "edges collapse; unreached nodes stay absent") {
     import spark.implicits._
