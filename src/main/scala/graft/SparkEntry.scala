@@ -2402,6 +2402,17 @@ object SparkEntry {
           col("g"))
         .orderBy("i", "j")
     }),
+    // deterministic farthest-first (Gonzalez) k-means seeding over int8
+    // codes: exact BIGINT max-min distances, k driver scalars total
+    "x210_kmeanspp_seeds" -> ((s, dir) => {
+      reg(s, dir)
+      val codes = s.table("embeddings").select(col("vec_id"),
+        Similarity.int8Codes(col("embedding")).as("c"))
+      Similarity.farthestFirstSeeds(codes, "vec_id", "c", k = 5)
+        .select(col("seed_rank").cast("long").as("seed_rank"),
+          col("vec_id"), col("dist_num"))
+        .orderBy("seed_rank")
+    }),
     // weighted HITS hubs/authorities, unnormalized exact DECIMAL(38,0)
     // power iteration (ranking-preserving; normalization is a rescale)
     "x209_hits" -> ((s, dir) => {
@@ -6732,6 +6743,51 @@ object SparkEntry {
       FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2
       ORDER BY i, j""",
+
+    // farthest-first seeds: same int8 codes as x81/x199; per round a
+    // MATERIALIZED min-dist frame (referenced twice — the x197 lesson)
+    // and a (d DESC, id) LIMIT 1 argmax; exact BIGINT distances
+    "x210_kmeanspp_seeds" -> {
+      def distSql(pc: String, sc: String): String =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(1, 65), i -> " +
+          s"CAST($pc[i] - $sc[i] AS BIGINT) * CAST($pc[i] - $sc[i] AS BIGINT))), " +
+          s"(a, x) -> a + x)"
+      val rounds = (2 to 5).map { r =>
+        val pick = s"""s$r AS MATERIALIZED (
+        SELECT vec_id, d FROM d${r - 1} ORDER BY d DESC, vec_id LIMIT 1)"""
+        val fold = if (r == 5) "" else s""",
+      d$r AS MATERIALIZED (
+        SELECT p.vec_id, p.c, LEAST(p.d, ${distSql("p.c", "s.sc")}) AS d
+        FROM d${r - 1} p, (SELECT codes.c AS sc FROM codes
+                           JOIN s$r ON codes.vec_id = s$r.vec_id) s)"""
+        pick + fold
+      }.mkString(",\n      ")
+      s"""
+      WITH sc0 AS (
+        SELECT vec_id, embedding,
+          LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings),
+      codes AS (
+        SELECT vec_id,
+          CASE WHEN m IS NULL OR m = 0 THEN LIST_TRANSFORM(embedding, x -> 0)
+               ELSE LIST_TRANSFORM(embedding, x ->
+                 CAST(FLOOR(CAST(x AS DOUBLE) / m * 127.0 + 0.5) AS INT)) END AS c
+        FROM sc0),
+      s1 AS MATERIALIZED (SELECT MIN(vec_id) AS id FROM codes),
+      d1 AS MATERIALIZED (
+        SELECT p.vec_id, p.c, ${distSql("p.c", "s.sc")} AS d
+        FROM codes p, (SELECT codes.c AS sc FROM codes
+                       JOIN s1 ON codes.vec_id = s1.id) s),
+      $rounds
+      SELECT CAST(1 AS BIGINT) AS seed_rank, s1.id AS vec_id,
+             CAST(0 AS BIGINT) AS dist_num FROM s1
+      UNION ALL SELECT 2, vec_id, CAST(d AS BIGINT) FROM s2
+      UNION ALL SELECT 3, vec_id, CAST(d AS BIGINT) FROM s3
+      UNION ALL SELECT 4, vec_id, CAST(d AS BIGINT) FROM s4
+      UNION ALL SELECT 5, vec_id, CAST(d AS BIGINT) FROM s5
+      ORDER BY seed_rank"""
+    },
 
     // HITS: three unrolled a/h rounds in HUGEINT over the same graph;
     // missing-side nodes COALESCE to 0 each round, one DOUBLE cast at end

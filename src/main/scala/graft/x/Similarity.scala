@@ -947,6 +947,53 @@ object Similarity {
       .select(col("i"), col("j"), col("g"))
   }
 
+  /** Deterministic farthest-first k-means seeding (Gonzalez 1985 — the
+    * max-min traversal k-means++ approximates in expectation, made exact
+    * and layout-independent): seed 1 is the min-id point; each further
+    * seed is the point MAXIMIZING its distance to the chosen set, ties
+    * to the smaller id. Distances are exact BIGINT squared euclidean
+    * over [[int8Codes]], so selection never depends on float reduction
+    * order and any engine replays the same seed sequence.
+    *
+    * Shape: the only per-round distributed work is ONE narrow map
+    * (distance of every point to the single new seed, zip_with fold —
+    * no join, the seed rides as a broadcast 1-row crossJoin) folded into
+    * the running min, plus a (max dist, min id) struct-argmax reduce.
+    * Driver sees k scalars total (the argmax row per round) — the
+    * bounded-scalar contract the IVF/union-find paths already follow.
+    * O(n·k) distance evaluations, the algorithm's lower bound. */
+  def farthestFirstSeeds(vecs: DataFrame, idCol: String, codesCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k $k out of range")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def dist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("long") - y.cast("long")) * (x.cast("long") - y.cast("long"))),
+        lit(0L), (acc, v) => acc + v)
+    val base = vecs.select(col(idCol).cast("long").as("id"),
+      col(codesCol).as("c")).localCheckpoint(true)
+    val first = base.orderBy("id").limit(1).collect()(0)
+    var seeds = Seq((1, first.getLong(0), 0L))
+    var cur = base.filter(col("id") === first.getLong(0))
+      .select(col("c").as("__sc"))
+    var mind = base.crossJoin(broadcast(cur))
+      .select(col("id"), col("c"), dist(col("c"), col("__sc")).as("__d"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      // (max dist, min id) argmax as one struct-max reduce
+      val next = mind.agg(max(struct(col("__d").as("d"), (-col("id")).as("ni")))
+        .as("m")).select((-col("m.ni")).as("id"), col("m.d")).collect()(0)
+      seeds = seeds :+ ((r, next.getLong(0), next.getLong(1)))
+      cur = base.filter(col("id") === next.getLong(0)).select(col("c").as("__sc"))
+      mind = mind.crossJoin(broadcast(cur))
+        .select(col("id"), col("c"),
+          least(col("__d"), dist(col("c"), col("__sc"))).as("__d"))
+        .localCheckpoint(true)
+    }
+    seeds.toDF("seed_rank", "vec_id", "dist_num")
+  }
+
   /** Driver-side dominant eigenpair of a symmetric matrix given as its
     * upper triangle (the [[gramMatrix]] output collected — ≤ d(d+1)/2
     * scalars, a bounded driver payload by design): deterministic power

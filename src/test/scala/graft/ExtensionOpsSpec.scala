@@ -1627,6 +1627,24 @@ class ExtensionOpsSpec extends AnyFunSuite {
       s"growth curve wrong: ${got.toSeq}")
   }
 
+  test("farthestFirstSeeds: max-min traversal picks the extremes first, " +
+      "ties to min id, running min distances correct") {
+    // 1D-ish points in dim 2 so int8 codes stay the raw values:
+    // ids 1..5 at x = 0, 1, 10, 50, 100 (y = 127 constant anchor
+    // keeps maxabs = 127 so codes are exact)
+    val vs = Seq((1L, Array(0f, 127f)), (2L, Array(1f, 127f)),
+      (3L, Array(10f, 127f)), (4L, Array(50f, 127f)), (5L, Array(100f, 127f)))
+      .toDF("vec_id", "embedding")
+    val codes = vs.select(col("vec_id"),
+      Similarity.int8Codes(col("embedding")).as("c"))
+    val got = Similarity.farthestFirstSeeds(codes, "vec_id", "c", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // seed1 = min id (x=0); seed2 = farthest (x=100, d=100²); seed3:
+    // min-dists are then min(x², (x−100)²): 1→2500 (x=50) is the max
+    assert(got.toSeq === Seq((1, 1L, 0L), (2, 5L, 10000L), (3, 4L, 2500L)),
+      s"seed traversal wrong: ${got.toSeq}")
+  }
+
   test("gramMatrix: exact upper-triangle moments; one Exchange; " +
       "topEigen recovers the dominant direction") {
     // 3 vectors in dim 3, already integer so int8 codes are v/maxabs*127
