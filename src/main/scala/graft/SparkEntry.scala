@@ -2402,6 +2402,18 @@ object SparkEntry {
           col("g"))
         .orderBy("i", "j")
     }),
+    // full Lloyd k-means on int8 codes: Gonzalez seeds, grid-quantized
+    // centroids each update, exact BIGINT assignment distances
+    "x211_kmeans_lloyd" -> ((s, dir) => {
+      reg(s, dir)
+      val codes = s.table("embeddings").select(col("vec_id"),
+        Similarity.int8Codes(col("embedding")).as("c"))
+      Similarity.kmeansLloyd(codes, "vec_id", "c", k = 5, iters = 2, dim = 64)
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n_points"), sum("dist_num").as("inertia"),
+          min("vec_id").as("min_id"))
+        .orderBy("cluster")
+    }),
     // deterministic farthest-first (Gonzalez) k-means seeding over int8
     // codes: exact BIGINT max-min distances, k driver scalars total
     "x210_kmeanspp_seeds" -> ((s, dir) => {
@@ -4167,6 +4179,46 @@ object SparkEntry {
       s"($p, $r, ${math.round(math.cos(ang) * 1e6)}, " +
         s"${math.round(math.sin(ang) * 1e6)})"
     }).mkString(",\n        ")
+
+  /** Exact int8 squared-euclidean in SQL list ops (x210/x211). */
+  private def i8DistSql(pc: String, sc: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, 65), i -> " +
+      s"CAST($pc[i] - $sc[i] AS BIGINT) * CAST($pc[i] - $sc[i] AS BIGINT))), " +
+      s"(a, x) -> a + x)"
+
+  /** Shared x210/x211 CTE chain: int8 codes (as x81/x199) + the
+    * farthest-first seed traversal — s1..s5 picks, d1..d4 running-min
+    * frames, every stage MATERIALIZED (each is referenced twice — the
+    * x197 chained-CTE lesson applied at authoring time). */
+  private def ffSeedCtesSql: String = {
+    val rounds = (2 to 5).map { r =>
+      val pick = s"""s$r AS MATERIALIZED (
+        SELECT vec_id, d FROM d${r - 1} ORDER BY d DESC, vec_id LIMIT 1)"""
+      val fold = if (r == 5) "" else s""",
+      d$r AS MATERIALIZED (
+        SELECT p.vec_id, p.c, LEAST(p.d, ${i8DistSql("p.c", "s.sc")}) AS d
+        FROM d${r - 1} p, (SELECT codes.c AS sc FROM codes
+                           JOIN s$r ON codes.vec_id = s$r.vec_id) s)"""
+      pick + fold
+    }.mkString(",\n      ")
+    s"""sc0 AS (
+        SELECT vec_id, embedding,
+          LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings),
+      codes AS (
+        SELECT vec_id,
+          CASE WHEN m IS NULL OR m = 0 THEN LIST_TRANSFORM(embedding, x -> 0)
+               ELSE LIST_TRANSFORM(embedding, x ->
+                 CAST(FLOOR(CAST(x AS DOUBLE) / m * 127.0 + 0.5) AS INT)) END AS c
+        FROM sc0),
+      s1 AS MATERIALIZED (SELECT MIN(vec_id) AS id FROM codes),
+      d1 AS MATERIALIZED (
+        SELECT p.vec_id, p.c, ${i8DistSql("p.c", "s.sc")} AS d
+        FROM codes p, (SELECT codes.c AS sc FROM codes
+                       JOIN s1 ON codes.vec_id = s1.id) s),
+      $rounds"""
+  }
 
   /** One synchronous LPA round (see x134): count neighbor labels, take
     * the (count desc, label asc) argmax per node. */
@@ -6747,47 +6799,58 @@ object SparkEntry {
     // farthest-first seeds: same int8 codes as x81/x199; per round a
     // MATERIALIZED min-dist frame (referenced twice — the x197 lesson)
     // and a (d DESC, id) LIMIT 1 argmax; exact BIGINT distances
-    "x210_kmeanspp_seeds" -> {
-      def distSql(pc: String, sc: String): String =
-        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-          s"list_transform(range(1, 65), i -> " +
-          s"CAST($pc[i] - $sc[i] AS BIGINT) * CAST($pc[i] - $sc[i] AS BIGINT))), " +
-          s"(a, x) -> a + x)"
-      val rounds = (2 to 5).map { r =>
-        val pick = s"""s$r AS MATERIALIZED (
-        SELECT vec_id, d FROM d${r - 1} ORDER BY d DESC, vec_id LIMIT 1)"""
-        val fold = if (r == 5) "" else s""",
-      d$r AS MATERIALIZED (
-        SELECT p.vec_id, p.c, LEAST(p.d, ${distSql("p.c", "s.sc")}) AS d
-        FROM d${r - 1} p, (SELECT codes.c AS sc FROM codes
-                           JOIN s$r ON codes.vec_id = s$r.vec_id) s)"""
-        pick + fold
-      }.mkString(",\n      ")
-      s"""
-      WITH sc0 AS (
-        SELECT vec_id, embedding,
-          LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS m
-        FROM embeddings),
-      codes AS (
-        SELECT vec_id,
-          CASE WHEN m IS NULL OR m = 0 THEN LIST_TRANSFORM(embedding, x -> 0)
-               ELSE LIST_TRANSFORM(embedding, x ->
-                 CAST(FLOOR(CAST(x AS DOUBLE) / m * 127.0 + 0.5) AS INT)) END AS c
-        FROM sc0),
-      s1 AS MATERIALIZED (SELECT MIN(vec_id) AS id FROM codes),
-      d1 AS MATERIALIZED (
-        SELECT p.vec_id, p.c, ${distSql("p.c", "s.sc")} AS d
-        FROM codes p, (SELECT codes.c AS sc FROM codes
-                       JOIN s1 ON codes.vec_id = s1.id) s),
-      $rounds
+    "x210_kmeanspp_seeds" -> s"""
+      WITH $ffSeedCtesSql
       SELECT CAST(1 AS BIGINT) AS seed_rank, s1.id AS vec_id,
              CAST(0 AS BIGINT) AS dist_num FROM s1
       UNION ALL SELECT 2, vec_id, CAST(d AS BIGINT) FROM s2
       UNION ALL SELECT 3, vec_id, CAST(d AS BIGINT) FROM s3
       UNION ALL SELECT 4, vec_id, CAST(d AS BIGINT) FROM s4
       UNION ALL SELECT 5, vec_id, CAST(d AS BIGINT) FROM s5
-      ORDER BY seed_rank"""
-    },
+      ORDER BY seed_rank""",
+
+    // Lloyd on the same seed chain: grid-quantized centroid updates
+    // (⌊(2s+n)/(2n)⌋ per lane), argmin by (d, cid) ROW_NUMBER; empty
+    // clusters keep their previous centroid via the LEFT JOIN COALESCE
+    "x211_kmeans_lloyd" -> s"""
+      WITH $ffSeedCtesSql,
+      cent0 AS MATERIALIZED (
+        SELECT 1 AS cid, codes.c AS cl FROM codes JOIN s1 ON codes.vec_id = s1.id
+        UNION ALL SELECT 2, codes.c FROM codes JOIN s2 ON codes.vec_id = s2.vec_id
+        UNION ALL SELECT 3, codes.c FROM codes JOIN s3 ON codes.vec_id = s3.vec_id
+        UNION ALL SELECT 4, codes.c FROM codes JOIN s4 ON codes.vec_id = s4.vec_id
+        UNION ALL SELECT 5, codes.c FROM codes JOIN s5 ON codes.vec_id = s5.vec_id),
+      asg1 AS MATERIALIZED (
+        SELECT vec_id, c, cid, d FROM (
+          SELECT vec_id, c, cid, d,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM (SELECT p.vec_id, p.c, ct.cid,
+                       ${i8DistSql("p.c", "ct.cl")} AS d
+                FROM codes p CROSS JOIN cent0 ct))
+        WHERE rn = 1),
+      upd1 AS MATERIALIZED (
+        SELECT cid, i, SUM(v) AS s, COUNT(*) AS n FROM (
+          SELECT cid, UNNEST(c) AS v, generate_subscripts(c, 1) AS i
+          FROM asg1)
+        GROUP BY 1, 2),
+      cent1 AS MATERIALIZED (
+        SELECT c0.cid, COALESCE(cu.cl, c0.cl) AS cl
+        FROM cent0 c0 LEFT JOIN (
+          SELECT cid,
+                 list(CAST(FLOOR((2.0 * s + n) / (2.0 * n)) AS INT)
+                      ORDER BY i) AS cl
+          FROM upd1 GROUP BY 1) cu ON cu.cid = c0.cid),
+      asg2 AS MATERIALIZED (
+        SELECT vec_id, cid, d FROM (
+          SELECT vec_id, cid, d,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM (SELECT p.vec_id, ct.cid,
+                       ${i8DistSql("p.c", "ct.cl")} AS d
+                FROM codes p CROSS JOIN cent1 ct))
+        WHERE rn = 1)
+      SELECT CAST(cid AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(SUM(d) AS BIGINT) AS inertia, MIN(vec_id) AS min_id
+      FROM asg2 GROUP BY 1 ORDER BY cluster""",
 
     // HITS: three unrolled a/h rounds in HUGEINT over the same graph;
     // missing-side nodes COALESCE to 0 each round, one DOUBLE cast at end

@@ -994,6 +994,78 @@ object Similarity {
     seeds.toDF("seed_rank", "vec_id", "dist_num")
   }
 
+  /** Quantized-centroid Lloyd k-means over [[int8Codes]] vectors, seeded
+    * by [[farthestFirstSeeds]] — the full clustering loop (seed → assign
+    * → update, `iters` times) made EXACT: centroids re-quantize to the
+    * int8 grid each update (per-dimension round-half-up mean,
+    * ⌊(2s+n)/(2n)⌋ in exact arithmetic), so every distance is a plain
+    * BIGINT and the argmin is ONE struct-min over (dist, cid) — no
+    * rational-denominator comparisons, no float ties, any engine replays
+    * the same assignment sequence bit-for-bit. Quantizing centroids to
+    * the code grid costs ≤ d/4 of squared-distance resolution per
+    * centroid — noise at dim 64 against inter-cluster gaps, and the
+    * codes themselves live on that grid anyway (the int8 serving stack).
+    *
+    * Shape per iter: assignment is points × k broadcast centroid rows
+    * (k ≤ 64 — a map-side nested loop, no shuffle), one vec-keyed
+    * struct-min agg, one (cid, dim) sum agg; the k·d centroid sums
+    * (≤ 4096 scalars) come to the driver to rebuild the broadcast —
+    * the bounded-driver-scalar contract. Returns per-point
+    * (vec_id, cluster, dist_num) after the LAST assignment. */
+  def kmeansLloyd(vecs: DataFrame, idCol: String, codesCol: String,
+      k: Int, iters: Int, dim: Int): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters $iters out of range")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def dist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("long") - y.cast("long")) * (x.cast("long") - y.cast("long"))),
+        lit(0L), (acc, v) => acc + v)
+    val base = vecs.select(col(idCol).cast("long").as("id"),
+      col(codesCol).as("c")).localCheckpoint(true)
+    val seedIds = farthestFirstSeeds(base, "id", "c", k)
+      .select(col("seed_rank"), col("vec_id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    var cents = base
+      .join(seedIds.toSeq.toDF("cid", "id"), Seq("id"))
+      .select(col("cid"), col("c").as("cl"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Int](1)))
+      .toSeq.sortBy(_._1)
+    var assign: DataFrame = null
+    for (it <- 1 to iters) {
+      val centDF = cents.toDF("cid", "cl")
+      assign = base.crossJoin(broadcast(centDF))
+        .select(col("id"), col("c"),
+          struct(dist(col("c"), col("cl")).as("d"), col("cid")).as("__s"))
+        .groupBy(col("id"), col("c")).agg(min(col("__s")).as("m"))
+        .select(col("id"), col("c"), col("m.cid").as("cluster"),
+          col("m.d").as("dist_num"))
+      if (it < iters) {
+        val sums = assign
+          .select(col("cluster"), posexplode(col("c")).as(Seq("i", "v")))
+          .groupBy("cluster", "i")
+          .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+          .collect().map(r => (r.getInt(0), r.getInt(1),
+            r.getLong(2), r.getLong(3)))
+        val byC = sums.groupBy(_._1)
+        cents = cents.map { case (cid, old) =>
+          byC.get(cid) match {
+            case Some(rows) =>
+              val lanes = rows.map(t => t._2 -> {
+                // round-half-up mean on the int grid: ⌊(2s+n)/(2n)⌋,
+                // exact in double at these magnitudes
+                val (s, n) = (t._3, t._4)
+                math.floor((2.0 * s + n) / (2.0 * n)).toInt
+              }).toMap
+              (cid, (0 until dim).map(i => lanes.getOrElse(i, 0)))
+            case None => (cid, old) // empty cluster keeps its centroid
+          }
+        }
+      }
+    }
+    assign.select(col("id").as(idCol), col("cluster"), col("dist_num"))
+  }
+
   /** Driver-side dominant eigenpair of a symmetric matrix given as its
     * upper triangle (the [[gramMatrix]] output collected — ≤ d(d+1)/2
     * scalars, a bounded driver payload by design): deterministic power

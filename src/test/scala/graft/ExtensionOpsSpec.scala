@@ -1645,6 +1645,24 @@ class ExtensionOpsSpec extends AnyFunSuite {
       s"seed traversal wrong: ${got.toSeq}")
   }
 
+  test("kmeansLloyd: assignments and grid-quantized centroid updates " +
+      "are hand-checkable; distance ties break to the smaller cid") {
+    val vs = Seq((1L, Array(0f, 127f)), (2L, Array(1f, 127f)),
+      (3L, Array(10f, 127f)), (4L, Array(50f, 127f)), (5L, Array(100f, 127f)))
+      .toDF("vec_id", "embedding")
+    val codes = vs.select(col("vec_id"),
+      Similarity.int8Codes(col("embedding")).as("c"))
+    val got = Similarity.kmeansLloyd(codes, "vec_id", "c", k = 2, iters = 2,
+        dim = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // seeds: id1 (x=0) and id5 (x=100). Round 1: id4 ties (2500 vs 2500)
+    // → cid 1; update puts c1 at x=⌊(2·61+4)/8⌋=15. Round 2 distances
+    // to x=15: 225, 196, 25, 1225; id5 stays at its own seed (0).
+    assert(got === Map(1L -> ((1, 225L)), 2L -> ((1, 196L)),
+      3L -> ((1, 25L)), 4L -> ((1, 1225L)), 5L -> ((2, 0L))),
+      s"lloyd assignment wrong: $got")
+  }
+
   test("gramMatrix: exact upper-triangle moments; one Exchange; " +
       "topEigen recovers the dominant direction") {
     // 3 vectors in dim 3, already integer so int8 codes are v/maxabs*127
