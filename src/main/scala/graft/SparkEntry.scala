@@ -2402,6 +2402,16 @@ object SparkEntry {
           col("g"))
         .orderBy("i", "j")
     }),
+    // simplified silhouette over the x211 clustering: per point
+    // (b−a)/max(a,b) on exact squared distances, per-term DECIMAL(18,8)
+    "x212_silhouette" -> ((s, dir) => {
+      reg(s, dir)
+      val codes = s.table("embeddings").select(col("vec_id"),
+        Similarity.int8Codes(col("embedding")).as("c"))
+      Similarity.simplifiedSilhouette(codes, "vec_id", "c", k = 5,
+          iters = 2, dim = 64)
+        .orderBy("cluster")
+    }),
     // full Lloyd k-means on int8 codes: Gonzalez seeds, grid-quantized
     // centroids each update, exact BIGINT assignment distances
     "x211_kmeans_lloyd" -> ((s, dir) => {
@@ -4219,6 +4229,46 @@ object SparkEntry {
                        JOIN s1 ON codes.vec_id = s1.id) s),
       $rounds"""
   }
+
+  /** Shared x211/x212 CTE chain on top of [[ffSeedCtesSql]]: seed
+    * centroids, iter-1 assignment/update (grid-quantized means), the
+    * full iter-2 distance map (`alld2`) and the final assignment
+    * (`asg2`). */
+  private def lloydCtesSql: String = s"""cent0 AS MATERIALIZED (
+        SELECT 1 AS cid, codes.c AS cl FROM codes JOIN s1 ON codes.vec_id = s1.id
+        UNION ALL SELECT 2, codes.c FROM codes JOIN s2 ON codes.vec_id = s2.vec_id
+        UNION ALL SELECT 3, codes.c FROM codes JOIN s3 ON codes.vec_id = s3.vec_id
+        UNION ALL SELECT 4, codes.c FROM codes JOIN s4 ON codes.vec_id = s4.vec_id
+        UNION ALL SELECT 5, codes.c FROM codes JOIN s5 ON codes.vec_id = s5.vec_id),
+      asg1 AS MATERIALIZED (
+        SELECT vec_id, c, cid, d FROM (
+          SELECT vec_id, c, cid, d,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM (SELECT p.vec_id, p.c, ct.cid,
+                       ${i8DistSql("p.c", "ct.cl")} AS d
+                FROM codes p CROSS JOIN cent0 ct))
+        WHERE rn = 1),
+      upd1 AS MATERIALIZED (
+        SELECT cid, i, SUM(v) AS s, COUNT(*) AS n FROM (
+          SELECT cid, UNNEST(c) AS v, generate_subscripts(c, 1) AS i
+          FROM asg1)
+        GROUP BY 1, 2),
+      cent1 AS MATERIALIZED (
+        SELECT c0.cid, COALESCE(cu.cl, c0.cl) AS cl
+        FROM cent0 c0 LEFT JOIN (
+          SELECT cid,
+                 list(CAST(FLOOR((2.0 * s + n) / (2.0 * n)) AS INT)
+                      ORDER BY i) AS cl
+          FROM upd1 GROUP BY 1) cu ON cu.cid = c0.cid),
+      alld2 AS MATERIALIZED (
+        SELECT p.vec_id, ct.cid, ${i8DistSql("p.c", "ct.cl")} AS d
+        FROM codes p CROSS JOIN cent1 ct),
+      asg2 AS MATERIALIZED (
+        SELECT vec_id, cid, d FROM (
+          SELECT vec_id, cid, d,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM alld2)
+        WHERE rn = 1)"""
 
   /** One synchronous LPA round (see x134): count neighbor labels, take
     * the (count desc, label asc) argmax per node. */
@@ -6814,43 +6864,31 @@ object SparkEntry {
     // clusters keep their previous centroid via the LEFT JOIN COALESCE
     "x211_kmeans_lloyd" -> s"""
       WITH $ffSeedCtesSql,
-      cent0 AS MATERIALIZED (
-        SELECT 1 AS cid, codes.c AS cl FROM codes JOIN s1 ON codes.vec_id = s1.id
-        UNION ALL SELECT 2, codes.c FROM codes JOIN s2 ON codes.vec_id = s2.vec_id
-        UNION ALL SELECT 3, codes.c FROM codes JOIN s3 ON codes.vec_id = s3.vec_id
-        UNION ALL SELECT 4, codes.c FROM codes JOIN s4 ON codes.vec_id = s4.vec_id
-        UNION ALL SELECT 5, codes.c FROM codes JOIN s5 ON codes.vec_id = s5.vec_id),
-      asg1 AS MATERIALIZED (
-        SELECT vec_id, c, cid, d FROM (
-          SELECT vec_id, c, cid, d,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-          FROM (SELECT p.vec_id, p.c, ct.cid,
-                       ${i8DistSql("p.c", "ct.cl")} AS d
-                FROM codes p CROSS JOIN cent0 ct))
-        WHERE rn = 1),
-      upd1 AS MATERIALIZED (
-        SELECT cid, i, SUM(v) AS s, COUNT(*) AS n FROM (
-          SELECT cid, UNNEST(c) AS v, generate_subscripts(c, 1) AS i
-          FROM asg1)
-        GROUP BY 1, 2),
-      cent1 AS MATERIALIZED (
-        SELECT c0.cid, COALESCE(cu.cl, c0.cl) AS cl
-        FROM cent0 c0 LEFT JOIN (
-          SELECT cid,
-                 list(CAST(FLOOR((2.0 * s + n) / (2.0 * n)) AS INT)
-                      ORDER BY i) AS cl
-          FROM upd1 GROUP BY 1) cu ON cu.cid = c0.cid),
-      asg2 AS MATERIALIZED (
-        SELECT vec_id, cid, d FROM (
-          SELECT vec_id, cid, d,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-          FROM (SELECT p.vec_id, ct.cid,
-                       ${i8DistSql("p.c", "ct.cl")} AS d
-                FROM codes p CROSS JOIN cent1 ct))
-        WHERE rn = 1)
+      $lloydCtesSql
       SELECT CAST(cid AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
              CAST(SUM(d) AS BIGINT) AS inertia, MIN(vec_id) AS min_id
       FROM asg2 GROUP BY 1 ORDER BY cluster""",
+
+    // silhouette: the same final centroid set; b from the full distance
+    // map minus the own-cluster row, per-point s quantized pre-mean
+    "x212_silhouette" -> s"""
+      WITH $ffSeedCtesSql,
+      $lloydCtesSql,
+      sb AS (
+        SELECT a2.vec_id, a2.cid AS cluster, a2.d AS a, MIN(o.d) AS b
+        FROM asg2 a2 JOIN alld2 o
+          ON o.vec_id = a2.vec_id AND o.cid <> a2.cid
+        GROUP BY 1, 2, 3),
+      sil AS (
+        SELECT cluster,
+          CAST(CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+               ELSE CAST(b - a AS DOUBLE) / CAST(GREATEST(a, b) AS DOUBLE) END
+            AS DECIMAL(18,8)) AS s2
+        FROM sb)
+      SELECT CAST(cluster AS BIGINT) AS cluster,
+             CAST(COUNT(*) AS BIGINT) AS n_points,
+             ROUND(CAST(SUM(s2) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
+      FROM sil GROUP BY 1 ORDER BY cluster""",
 
     // HITS: three unrolled a/h rounds in HUGEINT over the same graph;
     // missing-side nodes COALESCE to 0 each round, one DOUBLE cast at end

@@ -1012,8 +1012,53 @@ object Similarity {
     * (≤ 4096 scalars) come to the driver to rebuild the broadcast —
     * the bounded-driver-scalar contract. Returns per-point
     * (vec_id, cluster, dist_num) after the LAST assignment. */
-  def kmeansLloyd(vecs: DataFrame, idCol: String, codesCol: String,
+  /** Simplified silhouette on SQUARED int8 distances (the
+    * centroid-based variant of Rousseeuw 1987 — O(n·k), not the O(n²)
+    * full silhouette): per point, a = d²(own centroid),
+    * b = min d²(other centroid), s = (b−a)/max(a,b) ∈ [−1, 1]; points
+    * equal to their centroid (max = 0) score 0. Each per-point s
+    * quantizes to DECIMAL(18,8) BEFORE the per-cluster mean (the x184
+    * portability recipe), so the reported means are engine-exact.
+    * Shape: one points × k broadcast distance map + one cluster-keyed
+    * aggregate. */
+  def simplifiedSilhouette(vecs: DataFrame, idCol: String, codesCol: String,
       k: Int, iters: Int, dim: Int): DataFrame = {
+    val (assign, cents) = kmeansLloydFull(vecs, idCol, codesCol, k, iters, dim)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def dist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("long") - y.cast("long")) * (x.cast("long") - y.cast("long"))),
+        lit(0L), (acc, v) => acc + v)
+    val centDF = cents.toDF("cid", "cl")
+    val base = vecs.select(col(idCol).cast("long").as("id"), col(codesCol).as("c"))
+    val withB = base.crossJoin(broadcast(centDF))
+      .select(col("id"), col("cid"), dist(col("c"), col("cl")).as("d"))
+      .join(assign.select(col(idCol).as("id"), col("cluster")), Seq("id"))
+      .filter(col("cid") =!= col("cluster"))
+      .groupBy(col("id"), col("cluster")).agg(min("d").as("b"))
+    val s = withB
+      .join(assign.select(col(idCol).as("id"), col("dist_num").as("a")), Seq("id"))
+      .withColumn("__s", when(greatest(col("a"), col("b")) === 0L, lit(0.0))
+        .otherwise((col("b") - col("a")).cast("double") /
+          greatest(col("a"), col("b")).cast("double"))
+        .cast("decimal(18,8)"))
+    s.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"), sum("__s").as("__ss"))
+      .select(col("cluster").cast("long").as("cluster"), col("n_points"),
+        round(col("__ss").cast("double") / col("n_points"), 6)
+          .as("mean_silhouette"))
+  }
+
+  def kmeansLloyd(vecs: DataFrame, idCol: String, codesCol: String,
+      k: Int, iters: Int, dim: Int): DataFrame =
+    kmeansLloydFull(vecs, idCol, codesCol, k, iters, dim)._1
+
+  /** [[kmeansLloyd]] plus the centroid set the final assignment was made
+    * against — [[simplifiedSilhouette]] needs distances to OTHER
+    * centroids without re-deriving the state. */
+  def kmeansLloydFull(vecs: DataFrame, idCol: String, codesCol: String,
+      k: Int, iters: Int, dim: Int): (DataFrame, Seq[(Int, Seq[Int])]) = {
     require(iters >= 1 && iters <= 16, s"iters $iters out of range")
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -1063,7 +1108,8 @@ object Similarity {
         }
       }
     }
-    assign.select(col("id").as(idCol), col("cluster"), col("dist_num"))
+    (assign.select(col("id").as(idCol), col("cluster"), col("dist_num")),
+      cents)
   }
 
   /** Driver-side dominant eigenpair of a symmetric matrix given as its

@@ -1663,6 +1663,25 @@ class ExtensionOpsSpec extends AnyFunSuite {
       s"lloyd assignment wrong: $got")
   }
 
+  test("simplifiedSilhouette: hand-checked per-cluster means on the 1D " +
+      "fixture; singleton cluster at its centroid scores 1") {
+    val vs = Seq((1L, Array(0f, 127f)), (2L, Array(1f, 127f)),
+      (3L, Array(10f, 127f)), (4L, Array(50f, 127f)), (5L, Array(100f, 127f)))
+      .toDF("vec_id", "embedding")
+    val codes = vs.select(col("vec_id"),
+      Similarity.int8Codes(col("embedding")).as("c"))
+    val got = Similarity.simplifiedSilhouette(codes, "vec_id", "c", k = 2,
+        iters = 2, dim = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // cluster 1 = {1,2,3,4} at x=15: s = .9775, .98000204, .99691358,
+    // .51 (each term pre-rounded to 8 dp) → mean .866104
+    assert(got(1L)._1 === 4L && math.abs(got(1L)._2 - 0.866104) < 1e-6,
+      s"cluster-1 silhouette: ${got(1L)}")
+    // singleton at its own centroid: a = 0, b > 0 → s = 1
+    assert(got(2L) === ((1L, 1.0)), s"cluster-2 silhouette: ${got(2L)}")
+  }
+
   test("gramMatrix: exact upper-triangle moments; one Exchange; " +
       "topEigen recovers the dominant direction") {
     // 3 vectors in dim 3, already integer so int8 codes are v/maxabs*127
