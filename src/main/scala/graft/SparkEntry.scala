@@ -2402,6 +2402,21 @@ object SparkEntry {
           col("g"))
         .orderBy("i", "j")
     }),
+    // Bradley-Terry strengths from line-order precedence preferences
+    // (lower linenumber "wins"): 3 quantized MM rounds, scale-free
+    "x213_bradley_terry" -> ((s, dir) => {
+      reg(s, dir)
+      val li = s.table("lineitem").select(col("l_orderkey").as("o"),
+        col("l_linenumber").as("ln"), col("l_partkey").as("p"))
+      val a = li.select(col("o"), col("ln").as("ln_a"), col("p").as("pa"))
+      val b = li.select(col("o"), col("ln").as("ln_b"), col("p").as("pb"))
+      val prefs = a.join(b, Seq("o"))
+        .filter(col("ln_a") < col("ln_b") && col("pa") =!= col("pb"))
+        .groupBy(col("pa").as("w"), col("pb").as("l"))
+        .agg(count(lit(1)).as("n"))
+      EventAnalytics.bradleyTerry(prefs, "w", "l", "n", iters = 3)
+        .orderBy("item")
+    }),
     // simplified silhouette over the x211 clustering: per point
     // (b−a)/max(a,b) on exact squared distances, per-term DECIMAL(18,8)
     "x212_silhouette" -> ((s, dir) => {
@@ -6868,6 +6883,45 @@ object SparkEntry {
       SELECT CAST(cid AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
              CAST(SUM(d) AS BIGINT) AS inertia, MIN(vec_id) AS min_id
       FROM asg2 GROUP BY 1 ORDER BY cluster""",
+
+    // Bradley-Terry: 3 unrolled MM rounds, every term and strength
+    // quantized to DECIMAL(18,8) (x184 recipe); rounds MATERIALIZED
+    "x213_bradley_terry" -> s"""
+      WITH li AS (
+        SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p
+        FROM lineitem),
+      pr AS (
+        SELECT a.p AS w, b.p AS l, COUNT(*) AS n
+        FROM li a JOIN li b ON a.o = b.o AND a.ln < b.ln AND a.p <> b.p
+        GROUP BY 1, 2),
+      g AS MATERIALIZED (
+        SELECT i, j, SUM(n) AS n FROM (
+          SELECT w AS i, l AS j, n FROM pr
+          UNION ALL SELECT l AS i, w AS j, n FROM pr)
+        GROUP BY 1, 2),
+      wi AS MATERIALIZED (SELECT w AS i, SUM(n) AS wins FROM pr GROUP BY 1),
+      s0 AS MATERIALIZED (
+        SELECT DISTINCT i, CAST(1 AS DECIMAL(18,8)) AS s FROM g),
+      ${(1 to 3).map(k => s"""s$k AS MATERIALIZED (
+        SELECT base.i,
+          CASE WHEN d.d IS NULL OR d.d = 0 THEN CAST(0 AS DECIMAL(18,8))
+               ELSE CAST(CAST(COALESCE(wi.wins, 0) AS DOUBLE) /
+                         CAST(d.d AS DOUBLE) AS DECIMAL(18,8)) END AS s
+        FROM s${k - 1} base
+        LEFT JOIN (
+          SELECT g.i,
+                 SUM(CAST(CAST(g.n AS DOUBLE) /
+                     (CAST(si.s AS DOUBLE) + CAST(sj.s AS DOUBLE))
+                     AS DECIMAL(18,8))) AS d
+          FROM g JOIN s${k - 1} si ON si.i = g.i
+                 JOIN s${k - 1} sj ON sj.i = g.j
+          GROUP BY 1) d ON d.i = base.i
+        LEFT JOIN wi ON wi.i = base.i)""").mkString(",\n      ")}
+      SELECT CAST(s3.i AS BIGINT) AS item,
+             CAST(COALESCE(wi.wins, 0) AS BIGINT) AS wins,
+             CAST(s3.s AS DOUBLE) AS strength
+      FROM s3 LEFT JOIN wi ON wi.i = s3.i
+      ORDER BY item""",
 
     // silhouette: the same final centroid set; b from the full distance
     // map minus the own-cluster row, per-point s quantized pre-mean

@@ -442,6 +442,58 @@ object EventAnalytics {
       .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"), col("p"))
   }
 
+  /** Bradley–Terry preference strengths (Bradley & Terry 1952) from
+    * pairwise (winner, loser, n) counts via `iters` rounds of the MM
+    * update w_i ← W_i / Σ_j n_ij/(w_i + w_j) (Hunter 2004), made
+    * engine-replayable by the x184 quantization discipline: every
+    * per-opponent term AND every updated strength is CAST to
+    * DECIMAL(18,8) before use, so the float work is per-scalar (never a
+    * float SUM across rows) and any engine replays the same strength
+    * sequence bit-for-bit. Strengths start at 1 and stay on the MM
+    * trajectory's natural scale (BT is scale-invariant; callers
+    * normalize if they want Σw = 1). Items that never win converge to 0
+    * — correct MLE behavior, not an error.
+    *
+    * Shape per round: one symmetric join of the games list to the
+    * current strengths on EACH side + one item-keyed sum — the
+    * [[graft.x.Graph.pageRank]] exchange pattern; strengths are one row
+    * per item, games one row per pair. */
+  def bradleyTerry(prefs: DataFrame, winnerCol: String, loserCol: String,
+      nCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters $iters out of range")
+    val d188 = "decimal(18,8)"
+    val p = prefs.select(col(winnerCol).cast("long").as("w"),
+      col(loserCol).cast("long").as("l"), col(nCol).cast("long").as("n"))
+    val games = p.select(col("w").as("i"), col("l").as("j"), col("n"))
+      .unionByName(p.select(col("l").as("i"), col("w").as("j"), col("n")))
+      .groupBy("i", "j").agg(sum("n").as("n"))
+      .localCheckpoint(true)
+    val wins = p.groupBy(col("w").as("i")).agg(sum("n").as("wins"))
+    var str = games.select(col("i")).distinct()
+      .withColumn("s", lit(1L).cast(d188))
+      .join(wins, Seq("i"), "left")
+      .withColumn("wins", coalesce(col("wins"), lit(0L)))
+      .localCheckpoint(true)
+    for (k <- 1 to iters) {
+      val denom = games
+        .join(str.select(col("i"), col("s").as("__si")), Seq("i"))
+        .join(str.select(col("i").as("j"), col("s").as("__sj")), Seq("j"))
+        .withColumn("__t", (col("n").cast("double") /
+          (col("__si").cast("double") + col("__sj").cast("double")))
+          .cast(d188))
+        .groupBy("i").agg(sum("__t").as("__d"))
+      str = str.drop("s").join(denom, Seq("i"), "left")
+        .withColumn("s",
+          when(col("__d").isNull || col("__d") === 0, lit(0L).cast(d188))
+            .otherwise((col("wins").cast("double") /
+              col("__d").cast("double")).cast(d188)))
+        .drop("__d")
+        .localCheckpoint(true)
+    }
+    str.select(col("i").as("item"), col("wins"),
+      col("s").cast("double").as("strength"))
+  }
+
   /** Per-state conditional next-event entropy over the
     * [[transitionMatrix]] counts: H_i = −Σ_j p_ij·ln(p_ij) with
     * p_ij = n_ij/n_i, plus perplexity exp(H_i) — "how predictable is the

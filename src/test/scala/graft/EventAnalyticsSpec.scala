@@ -611,6 +611,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(nb === 1L && fb === 1L && hb === 0.0 && pb === 1.0)
   }
 
+  test("bradleyTerry: two-item strengths converge to the win-ratio; " +
+      "never-winning item goes to zero") {
+    val prefs = Seq((1L, 2L, 2L), (2L, 1L, 1L), (1L, 3L, 1L))
+      .toDF("w", "l", "n")
+    val got = EventAnalytics.bradleyTerry(prefs, "w", "l", "n", iters = 12)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // MLE: W_1 = 3 = 3w1/(w1+w2) + 1 (the sure win vs the zero item)
+    // ⇒ w1 = 2·w2 exactly at the fixpoint; MM converges linearly
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 / got(2L)._2 - 2.0) < 1e-4,
+      s"strength ratio: $got")
+    assert(got(3L) === ((0L, 0.0)), s"loser strength: ${got(3L)}")
+  }
+
   test("welchTTest: hand-checked t and Welch-Satterthwaite df") {
     // A: 1,2,3 (mean 2, var 1); B: 2,4,6 (mean 4, var 4)
     // se² = 1/3 + 4/3 = 5/3; t = −2/√(5/3) = −1.549193
