@@ -2402,6 +2402,21 @@ object SparkEntry {
           col("g"))
         .orderBy("i", "j")
     }),
+    // Copeland head-to-head majority scores over the same preference
+    // pairs — all-integer Condorcet audit for the BT fit
+    "x214_copeland" -> ((s, dir) => {
+      reg(s, dir)
+      val li = s.table("lineitem").select(col("l_orderkey").as("o"),
+        col("l_linenumber").as("ln"), col("l_partkey").as("p"))
+      val a = li.select(col("o"), col("ln").as("ln_a"), col("p").as("pa"))
+      val b = li.select(col("o"), col("ln").as("ln_b"), col("p").as("pb"))
+      val prefs = a.join(b, Seq("o"))
+        .filter(col("ln_a") < col("ln_b") && col("pa") =!= col("pb"))
+        .groupBy(col("pa").as("w"), col("pb").as("l"))
+        .agg(count(lit(1)).as("n"))
+      EventAnalytics.copelandScores(prefs, "w", "l", "n")
+        .orderBy("item")
+    }),
     // Bradley-Terry strengths from line-order precedence preferences
     // (lower linenumber "wins"): 3 quantized MM rounds, scale-free
     "x213_bradley_terry" -> ((s, dir) => {
@@ -6883,6 +6898,28 @@ object SparkEntry {
       SELECT CAST(cid AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
              CAST(SUM(d) AS BIGINT) AS inertia, MIN(vec_id) AS min_id
       FROM asg2 GROUP BY 1 ORDER BY cluster""",
+
+    // Copeland: directed counts full-outer-merged with their reverses,
+    // integer sign sums
+    "x214_copeland" -> """
+      WITH li AS (
+        SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p
+        FROM lineitem),
+      pr AS (
+        SELECT a.p AS w, b.p AS l, COUNT(*) AS n
+        FROM li a JOIN li b ON a.o = b.o AND a.ln < b.ln AND a.p <> b.p
+        GROUP BY 1, 2),
+      m AS (
+        SELECT COALESCE(f.w, r.l) AS i, COALESCE(f.l, r.w) AS j,
+               COALESCE(f.n, 0) AS nij, COALESCE(r.n, 0) AS nji
+        FROM pr f FULL OUTER JOIN pr r ON f.w = r.l AND f.l = r.w)
+      SELECT CAST(i AS BIGINT) AS item,
+             CAST(SUM(CASE WHEN nij > nji THEN 1 ELSE 0 END) AS BIGINT) AS beats,
+             CAST(SUM(CASE WHEN nij < nji THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+             CAST(SUM(CASE WHEN nij > nji THEN 1
+                           WHEN nij < nji THEN -1 ELSE 0 END) AS BIGINT)
+               AS copeland
+      FROM m GROUP BY 1 ORDER BY item""",
 
     // Bradley-Terry: 3 unrolled MM rounds, every term and strength
     // quantized to DECIMAL(18,8) (x184 recipe); rounds MATERIALIZED

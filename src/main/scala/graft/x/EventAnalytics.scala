@@ -494,6 +494,34 @@ object EventAnalytics {
       col("s").cast("double").as("strength"))
   }
 
+  /** Copeland scores (the Condorcet-consistent companion to
+    * [[bradleyTerry]]): per item, the number of opponents beaten in the
+    * head-to-head majority (n_ij > n_ji) minus the number lost to; exact
+    * ties contribute 0. Pure integer comparisons on exact counts — no
+    * iteration, no floats anywhere — so this is the audit-grade ranking
+    * to sanity-check the parametric BT fit against (a big BT/Copeland
+    * disagreement flags intransitive preferences the BT model cannot
+    * represent). One (i,j)-keyed full-outer self-merge of the directed
+    * count frame + one item-keyed sum. */
+  def copelandScores(prefs: DataFrame, winnerCol: String, loserCol: String,
+      nCol: String): DataFrame = {
+    val dir = prefs.select(col(winnerCol).cast("long").as("i"),
+        col(loserCol).cast("long").as("j"), col(nCol).cast("long").as("n"))
+      .groupBy("i", "j").agg(sum("n").as("n"))
+    val fwd = dir.select(col("i"), col("j"), col("n").as("nij"))
+    val rev = dir.select(col("j").as("i"), col("i").as("j"),
+      col("n").as("nji"))
+    fwd.join(rev, Seq("i", "j"), "full_outer")
+      .select(col("i"), col("j"),
+        coalesce(col("nij"), lit(0L)).as("nij"),
+        coalesce(col("nji"), lit(0L)).as("nji"))
+      .groupBy(col("i").as("item"))
+      .agg(sum(when(col("nij") > col("nji"), 1L).otherwise(0L)).as("beats"),
+        sum(when(col("nij") < col("nji"), 1L).otherwise(0L)).as("losses"),
+        sum(when(col("nij") > col("nji"), 1L)
+          .when(col("nij") < col("nji"), -1L).otherwise(0L)).as("copeland"))
+  }
+
   /** Per-state conditional next-event entropy over the
     * [[transitionMatrix]] counts: H_i = −Σ_j p_ij·ln(p_ij) with
     * p_ij = n_ij/n_i, plus perplexity exp(H_i) — "how predictable is the

@@ -626,6 +626,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, 0.0)), s"loser strength: ${got(3L)}")
   }
 
+  test("copelandScores: head-to-head majorities, exact ties score 0, " +
+      "one-directional pairs count") {
+    // 1 beats 2 (2:1); 1 ties 3 (1:1); 2 beats 3 (1:0, one-directional)
+    val prefs = Seq((1L, 2L, 2L), (2L, 1L, 1L), (1L, 3L, 1L), (3L, 1L, 1L),
+      (2L, 3L, 1L)).toDF("w", "l", "n")
+    val got = EventAnalytics.copelandScores(prefs, "w", "l", "n")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((1L, 0L, 1L)),  // beats 2, ties 3
+      2L -> ((1L, 1L, 0L)),  // beats 3, loses to 1
+      3L -> ((0L, 1L, -1L))), // ties 1, loses to 2
+      s"copeland wrong: $got")
+  }
+
   test("welchTTest: hand-checked t and Welch-Satterthwaite df") {
     // A: 1,2,3 (mean 2, var 1); B: 2,4,6 (mean 4, var 4)
     // se² = 1/3 + 4/3 = 5/3; t = −2/√(5/3) = −1.549193
