@@ -2402,6 +2402,13 @@ object SparkEntry {
           col("g"))
         .orderBy("i", "j")
     }),
+    // DTW distance between per-type daily value sequences: nested-fold
+    // DP in pure HOFs over exact cents, pairs parallelize independently
+    "x215_dtw_distance" -> ((s, dir) => {
+      reg(s, dir)
+      EventAnalytics.dtwPairs(s.table("events"), "ts", "event_type", "value")
+        .orderBy("series_a", "series_b")
+    }),
     // Copeland head-to-head majority scores over the same preference
     // pairs — all-integer Condorcet audit for the BT fit
     "x214_copeland" -> ((s, dir) => {
@@ -6898,6 +6905,40 @@ object SparkEntry {
       SELECT CAST(cid AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
              CAST(SUM(d) AS BIGINT) AS inertia, MIN(vec_id) AS min_id
       FROM asg2 GROUP BY 1 ORDER BY cluster""",
+
+    // DTW: the IDENTICAL nested fold in DuckDB list lambdas (acc and
+    // element types must match, so scalars ride as 1-element lists)
+    "x215_dtw_distance" -> """
+      WITH daily AS (
+        SELECT CAST(event_type AS VARCHAR) AS series, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+      seqs AS (
+        SELECT series, list(v ORDER BY d) AS vs FROM daily GROUP BY 1),
+      pairs AS (
+        SELECT a.series AS series_a, b.series AS series_b,
+               a.vs AS xs, b.vs AS ys
+        FROM seqs a JOIN seqs b ON a.series < b.series)
+      SELECT series_a, series_b,
+             CAST(len(xs) AS BIGINT) AS len_a,
+             CAST(len(ys) AS BIGINT) AS len_b,
+             list_reduce(
+               list_prepend(
+                 list_reduce(
+                   list_prepend([ABS(xs[1] - ys[1])],
+                                list_transform(xs[2:], x -> [x])),
+                   (arr, xl) -> list_append(arr,
+                     arr[len(arr)] + ABS(xl[1] - ys[1]))),
+                 list_transform(ys[2:], y -> [y])),
+               (prev, yl) -> list_reduce(
+                 list_prepend([prev[1] + ABS(xs[1] - yl[1])],
+                              list_transform(xs[2:], x -> [x])),
+                 (arr, xl) -> list_append(arr,
+                   ABS(xl[1] - yl[1]) + LEAST(prev[len(arr) + 1],
+                     prev[len(arr)], arr[len(arr)]))))
+             [len(xs)] AS dtw
+      FROM pairs
+      ORDER BY series_a, series_b""",
 
     // Copeland: directed counts full-outer-merged with their reverses,
     // integer sign sums

@@ -494,6 +494,59 @@ object EventAnalytics {
       col("s").cast("double").as("strength"))
   }
 
+  /** Dynamic-time-warping distance between every pair of per-series
+    * daily value sequences (Sakoe & Chiba 1978) — the shape-similarity
+    * measure behind "which metrics move together under time shifts",
+    * where plain correlation demands aligned days. The DP runs as a
+    * NESTED fold expression (outer over one series, inner building each
+    * DP row left-to-right), so it is pure Catalyst HOFs over exact
+    * BIGINT cents — no UDF, no driver loop, and the oracle replays the
+    * IDENTICAL fold in DuckDB list lambdas. Unbanded: cost is
+    * len_a·len_b cells per pair; per-pair work is independent, so pairs
+    * parallelize across the cluster and a band is a one-line `when`
+    * inside the inner step if series grow long.
+    *
+    * Shape: one (series, day) aggregate, one per-series ordered
+    * collect (calendar-scale lists, not event-scale), one small
+    * pair self-join; the DP never shuffles. */
+  def dtwPairs(events: DataFrame, tsCol: String, seriesCol: String,
+      valueCol: String): DataFrame = {
+    def dtwCol(xs: Column, ys: Column): Column = {
+      val n = size(xs)
+      val firstRow = aggregate(
+        slice(xs, lit(2), n - 1),
+        array(abs(element_at(xs, 1) - element_at(ys, 1))),
+        (arr, xv) => concat(arr,
+          array(element_at(arr, size(arr)) + abs(xv - element_at(ys, 1)))))
+      val full = aggregate(
+        slice(ys, lit(2), size(ys) - 1),
+        firstRow,
+        (prev, yv) => aggregate(
+          slice(xs, lit(2), n - 1),
+          array(element_at(prev, 1) + abs(element_at(xs, 1) - yv)),
+          (arr, xv) => concat(arr, array(abs(xv - yv) +
+            least(element_at(prev, size(arr) + 1),
+              element_at(prev, size(arr)),
+              element_at(arr, size(arr)))))))
+      element_at(full, n)
+    }
+    val daily = events
+      .groupBy(col(seriesCol).cast("string").as("series"),
+        to_date(col(tsCol)).as("__day"))
+      .agg((sum(col(valueCol).cast("decimal(18,2)")) * 100)
+        .cast("long").as("__cents"))
+    val seqs = daily.groupBy(col("series"))
+      .agg(transform(array_sort(collect_list(struct(col("__day").as("d"),
+        col("__cents").as("v")))), e => e.getField("v")).as("vs"))
+    val a = seqs.select(col("series").as("series_a"), col("vs").as("__xs"))
+    val b = seqs.select(col("series").as("series_b"), col("vs").as("__ys"))
+    a.join(b, col("series_a") < col("series_b"))
+      .select(col("series_a"), col("series_b"),
+        size(col("__xs")).cast("long").as("len_a"),
+        size(col("__ys")).cast("long").as("len_b"),
+        dtwCol(col("__xs"), col("__ys")).as("dtw"))
+  }
+
   /** Copeland scores (the Condorcet-consistent companion to
     * [[bradleyTerry]]): per item, the number of opponents beaten in the
     * head-to-head majority (n_ij > n_ji) minus the number lost to; exact

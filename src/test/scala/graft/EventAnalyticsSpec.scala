@@ -626,6 +626,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, 0.0)), s"loser strength: ${got(3L)}")
   }
 
+  test("dtwPairs: hand-checked DP on a 2x2 case; identical shifted " +
+      "series beat misaligned correlation") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val rows = Seq(
+      ("a", ts(1), 1.0), ("a", ts(2), 3.0),
+      ("b", ts(1), 2.0), ("b", ts(2), 4.0),
+      // c = a shifted one day (same shape): DTW should be small
+      ("c", ts(1), 1.0), ("c", ts(2), 1.0), ("c", ts(3), 3.0))
+      .toDF("series", "ts", "value")
+    val got = EventAnalytics.dtwPairs(rows, "ts", "series", "value")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4))
+      .toMap
+    // a=[100,300], b=[200,400]: row1=[100,200]; y=400: [100+300,
+    // |300-400|+min(200,100,400)] = [400, 200] → 200
+    assert(got(("a", "b")) === 200L, s"dtw(a,b): $got")
+    // a=[100,300] vs c=[100,100,300]: warping absorbs the shift → 0
+    assert(got(("a", "c")) === 0L, s"dtw(a,c): $got")
+  }
+
   test("copelandScores: head-to-head majorities, exact ties score 0, " +
       "one-directional pairs count") {
     // 1 beats 2 (2:1); 1 ties 3 (1:1); 2 beats 3 (1:0, one-directional)
