@@ -3361,6 +3361,17 @@ object SparkEntry {
           blockCol = "blk", maxDist = 40)
         .orderBy("id_a", "id_b")
     }),
+    // token-LCS verify over the same blocks as x44: the reorder-tolerant
+    // sibling of edit distance, nested-fold DP (x215's machinery),
+    // exact cross-multiplied ratio threshold
+    "x216_lcs_pairs" -> ((s, dir) => {
+      reg(s, dir)
+      val blocked = s.table("documents").withColumn("blk",
+        concat(col("source"), lit("|"), floor(col("n_chars") / 20).cast("string")))
+      Dedup.lcsPairs(blocked, "text", "doc_id", blockCol = "blk",
+          minRatioPct = 60, prefixTokens = 40)
+        .orderBy("id_a", "id_b")
+    }),
 
     "x43_gap_fill" -> ((s, dir) => {
       reg(s, dir)
@@ -6905,6 +6916,52 @@ object SparkEntry {
       SELECT CAST(cid AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
              CAST(SUM(d) AS BIGINT) AS inertia, MIN(vec_id) AS min_id
       FROM asg2 GROUP BY 1 ORDER BY cluster""",
+
+    // LCS verify: same blocks as x44, same nested-fold shape as x215
+    // with the eq?diag+1:max(up,left) recurrence; exact 2·lcs·100
+    // cross-multiplied threshold on both sides
+    "x216_lcs_pairs" -> s"""
+      WITH t AS (
+        SELECT doc_id AS id,
+               list_transform(STR_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')[1:40],
+                              tk -> ${polySql("tk")}) AS p,
+               source || '|' || CAST(n_chars // 20 AS VARCHAR) AS b
+        FROM documents),
+      pairs AS (
+        SELECT a.id AS id_a, c.id AS id_b, a.p AS xs, c.p AS ys
+        FROM t a JOIN t c ON a.b = c.b AND a.id < c.id
+        WHERE LEAST(len(a.p), len(c.p)) * 200 >= 60 * (len(a.p) + len(c.p))),
+      scored AS (
+        SELECT id_a, id_b,
+               list_reduce(
+                 list_prepend(
+                   list_reduce(
+                     list_prepend(
+                       [CASE WHEN xs[1] = ys[1] THEN CAST(1 AS BIGINT)
+                             ELSE CAST(0 AS BIGINT) END],
+                       list_transform(xs[2:], x -> [x])),
+                     (arr, xl) -> list_append(arr,
+                       GREATEST(arr[len(arr)],
+                         CASE WHEN xl[1] = ys[1] THEN 1 ELSE 0 END))),
+                   list_transform(ys[2:], y -> [y])),
+                 (prev, yl) -> list_reduce(
+                   list_prepend(
+                     [GREATEST(prev[1],
+                        CASE WHEN xs[1] = yl[1] THEN CAST(1 AS BIGINT)
+                             ELSE CAST(0 AS BIGINT) END)],
+                     list_transform(xs[2:], x -> [x])),
+                   (arr, xl) -> list_append(arr,
+                     GREATEST(
+                       CASE WHEN xl[1] = yl[1] THEN prev[len(arr)] + 1
+                            ELSE 0 END,
+                       prev[len(arr) + 1], arr[len(arr)]))))
+               [len(xs)] AS lcs,
+               CAST(len(xs) AS BIGINT) AS n_a, CAST(len(ys) AS BIGINT) AS n_b
+        FROM pairs)
+      SELECT id_a, id_b, CAST(lcs AS BIGINT) AS lcs, n_a, n_b
+      FROM scored
+      WHERE lcs * 200 >= 60 * (n_a + n_b)
+      ORDER BY id_a, id_b""",
 
     // DTW: the IDENTICAL nested fold in DuckDB list lambdas (acc and
     // element types must match, so scalars ride as 1-element lists)

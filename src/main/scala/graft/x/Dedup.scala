@@ -607,6 +607,78 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 
+  /** Token-level LCS similarity verify over the SAME blocking as
+    * [[editDistancePairs]] (per-source × length-band, capped + audited):
+    * for each in-block pair, the longest common TOKEN subsequence of the
+    * two prefixes and the dice-style ratio 2·lcs/(n_a+n_b) — the
+    * reorder-tolerant sibling of edit distance (insertion-only edits and
+    * moved sentences crater levenshtein but keep LCS high; boilerplate
+    * detection wants both views). The DP runs as the x215 nested-fold
+    * expression — pure HOFs over the token arrays, exact integers, no
+    * UDF — with the classic LCS recurrence (eq ? diag+1 : max(left, up))
+    * and the same Σ|block|² cost contract as the levenshtein verify.
+    * Emits pairs at ratio·(n_a+n_b) ≥ 2·minRatioNum·… kept exact: the
+    * filter cross-multiplies 2·lcs·100 ≥ minRatioPct·(n_a+n_b), so no
+    * float threshold exists anywhere. */
+  def lcsPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, minRatioPct: Int, prefixTokens: Int = 40,
+      maxBlock: Int = 100000): DataFrame = {
+    require(minRatioPct >= 0 && minRatioPct <= 100,
+      s"minRatioPct $minRatioPct out of range")
+    def lcsCol(xs: Column, ys: Column): Column = {
+      val n = size(xs)
+      // row i over xs for the first y: prefix-any-match scan
+      val firstRow = aggregate(
+        slice(xs, lit(2), n - 1),
+        array(when(element_at(xs, 1) === element_at(ys, 1), 1L).otherwise(0L)),
+        (arr, xv) => concat(arr, array(
+          greatest(element_at(arr, size(arr)),
+            when(xv === element_at(ys, 1), 1L).otherwise(0L)))))
+      val full = aggregate(
+        slice(ys, lit(2), size(ys) - 1),
+        firstRow,
+        (prev, yv) => aggregate(
+          slice(xs, lit(2), n - 1),
+          array(greatest(element_at(prev, 1),
+            when(element_at(xs, 1) === yv, 1L).otherwise(0L))),
+          (arr, xv) => concat(arr, array(
+            greatest(
+              when(xv === yv, element_at(prev, size(arr)) + 1L)
+                .otherwise(lit(0L)),
+              element_at(prev, size(arr) + 1),
+              element_at(arr, size(arr)))))))
+      when(n === 0 || size(ys) === 0, lit(0L)).otherwise(element_at(full, n))
+    }
+    val over = oversizedBlocks(df, blockCol, maxBlock)
+      .select(col("b"), col("sub_bands"))
+    // tokens ride as PORTABLE 55-bit hashes: the DP needs only equality,
+    // and hashed lists keep the fold's accumulator/element types uniform
+    // for the oracle's list_reduce (and the comparisons branch-cheap)
+    val toks = transform(
+      slice(split(lower(trim(col(textCol))), "\\s+"), 1, prefixTokens),
+      t => graft.functions.PolyHash56(t))
+    val t = df.select(col(idCol).as("id"), toks.as("p"), col(blockCol).as("b"))
+      .join(broadcast(over), Seq("b"), "left")
+      .withColumn("__salt",
+        when(col("sub_bands").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), col("sub_bands"))))
+      .select(col("id"), col("p"), col("b"), col("__salt"))
+    val a = t.toDF("id_a", "p_a", "b", "__salt")
+    val c = t.toDF("id_b", "p_b", "b", "__salt")
+    a.join(c, Seq("b", "__salt"))
+      .filter(col("id_a") < col("id_b"))
+      // upper bound: lcs <= min(n_a, n_b); skip the DP when even that
+      // cannot reach the threshold (the length-difference prefilter)
+      .withColumn("__na", size(col("p_a")).cast("long"))
+      .withColumn("__nb", size(col("p_b")).cast("long"))
+      .filter(least(col("__na"), col("__nb")) * 2 * 100 >=
+        lit(minRatioPct) * (col("__na") + col("__nb")))
+      .withColumn("lcs", lcsCol(col("p_a"), col("p_b")))
+      .filter(col("lcs") * 2 * 100 >= lit(minRatioPct) * (col("__na") + col("__nb")))
+      .select(col("id_a"), col("id_b"), col("lcs"),
+        col("__na").as("n_a"), col("__nb").as("n_b"))
+  }
+
   /** (idCol, off, __fp): the sliding `windowTokens`-token window
     * fingerprint at every 0-based token offset — one
     * [[graft.functions.NGramPolyHash]] value per position, no gram

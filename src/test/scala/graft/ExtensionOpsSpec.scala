@@ -1627,6 +1627,27 @@ class ExtensionOpsSpec extends AnyFunSuite {
       s"growth curve wrong: ${got.toSeq}")
   }
 
+  test("lcsPairs: reordered sentences keep high LCS where levenshtein " +
+      "would crater; threshold is exact") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s"),
+      (2L, "the quick brown fox leaps over the lazy dog", "s"), // 1 sub
+      (3L, "over the lazy dog the quick brown fox jumps", "s"), // rotated
+      (4L, "completely different words entirely here now today ok", "s"))
+      .toDF("doc_id", "text", "blk")
+    val got = Dedup.lcsPairs(d, "text", "doc_id", "blk", minRatioPct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (1,2): 8 of 9 tokens align in order; (1,3): rotation keeps an
+    // LCS of 5 ("the quick brown fox jumps" or the tail block) => 5/9
+    // misses 60%; (x,4) shares nothing
+    assert(got.keySet === Set((1L, 2L)), s"pairs: $got")
+    assert(got((1L, 2L)) === 8L)
+    // lowering the bar admits the rotation with its exact LCS
+    val loose = Dedup.lcsPairs(d, "text", "doc_id", "blk", minRatioPct = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(loose((1L, 3L)) === 5L, s"rotated LCS: $loose")
+  }
+
   test("farthestFirstSeeds: max-min traversal picks the extremes first, " +
       "ties to min id, running min distances correct") {
     // 1D-ish points in dim 2 so int8 codes stay the raw values:
