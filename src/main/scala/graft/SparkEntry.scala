@@ -2472,6 +2472,33 @@ object SparkEntry {
           col("vec_id"), col("dist_num"))
         .orderBy("seed_rank")
     }),
+    // deterministic random walks over the transition graph: HRW md5
+    // neighbor choice — the replayable DeepWalk corpus generator
+    "x217_random_walks" -> ((s, dir) => {
+      reg(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = s.table("events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") =!= col("event_type"))
+        .groupBy(col("prev").as("a"), col("event_type").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val types = trans.select(col("a").as("t"))
+        .union(trans.select(col("b").as("t"))).distinct()
+        .withColumn("tid", row_number().over(Window.orderBy("t")).cast("long"))
+      val e = trans
+        .join(types.select(col("t").as("a"), col("tid").as("src")), "a")
+        .join(types.select(col("t").as("b"), col("tid").as("dst")), "b")
+      Graph.randomWalks(e, "src", "dst", steps = 4, walksPerNode = 2)
+        .join(types.select(col("tid").as("node"), col("t").as("event_type")),
+          "node")
+        .join(types.select(col("tid").as("start"), col("t").as("start_type")),
+          "start")
+        .select(col("start_type"), col("widx").cast("long").as("widx"),
+          col("step"), col("event_type"))
+        .orderBy("start_type", "widx", "step")
+    }),
     // weighted HITS hubs/authorities, unnormalized exact DECIMAL(38,0)
     // power iteration (ranking-preserving; normalization is a rescale)
     "x209_hits" -> ((s, dir) => {
@@ -7078,6 +7105,48 @@ object SparkEntry {
              CAST(COUNT(*) AS BIGINT) AS n_points,
              ROUND(CAST(SUM(s2) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
       FROM sil GROUP BY 1 ORDER BY cluster""",
+
+    // walks: same dense tids, same md5 HRW weights (hexIntSql = the
+    // x135-proven conv(substring(md5..)) equivalent), steps MATERIALIZED
+    "x217_random_walks" -> s"""
+      WITH o AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      t AS (
+        SELECT prev AS a, event_type AS b, COUNT(*) AS cnt
+        FROM o WHERE prev IS NOT NULL AND prev <> event_type
+        GROUP BY 1, 2),
+      n0 AS (SELECT a AS t FROM t UNION SELECT b FROM t),
+      ty AS (SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS tid
+             FROM n0),
+      e AS (SELECT sa.tid AS a, sb.tid AS b
+            FROM (SELECT DISTINCT a, b FROM t) d
+            JOIN ty sa ON sa.t = d.a JOIN ty sb ON sb.t = d.b),
+      w0 AS (SELECT ty.tid AS start, r.wi AS widx, ty.tid AS cur
+             FROM ty, RANGE(2) r(wi)),
+      ${(1 to 4).map(s => s"""s$s AS MATERIALIZED (
+        SELECT start, widx, cur FROM (
+          SELECT w.start, w.widx, e.b AS cur,
+            ROW_NUMBER() OVER (PARTITION BY w.start, w.widx
+              ORDER BY ${hexIntSql(
+                "MD5(CONCAT(CAST(w.start AS VARCHAR), '|', " +
+                "CAST(w.widx AS VARCHAR), '|', '" + s + "', '|', " +
+                "CAST(e.b AS VARCHAR)))", 8)} DESC, e.b) AS rn
+          FROM ${if (s == 1) "w0" else s"s${s - 1}"} w
+          JOIN e ON e.a = w.cur) WHERE rn = 1)""").mkString(",\n      ")},
+      path AS (
+        SELECT start, widx, 0 AS step, cur AS node FROM w0
+        UNION ALL SELECT start, widx, 1, cur FROM s1
+        UNION ALL SELECT start, widx, 2, cur FROM s2
+        UNION ALL SELECT start, widx, 3, cur FROM s3
+        UNION ALL SELECT start, widx, 4, cur FROM s4)
+      SELECT ts.t AS start_type, CAST(p.widx AS BIGINT) AS widx,
+             CAST(p.step AS BIGINT) AS step, tn.t AS event_type
+      FROM path p JOIN ty ts ON ts.tid = p.start
+                  JOIN ty tn ON tn.tid = p.node
+      ORDER BY start_type, widx, step""",
 
     // HITS: three unrolled a/h rounds in HUGEINT over the same graph;
     // missing-side nodes COALESCE to 0 each round, one DOUBLE cast at end

@@ -760,6 +760,59 @@ object Graph {
     * the per-node argmax as ONE struct-max hash agg (LPA's trick —
     * max over (gain, −neighbor) needs no window sort). Per-node state is
     * one struct; nothing quadratic, nothing on the driver. */
+  /** Deterministic hash-seeded random walks — the DeepWalk/node2vec
+    * corpus generator (Perozzi 2014) made REPLAYABLE: `walksPerNode`
+    * walks start at every node; at step s, walk (start, widx) at node u
+    * moves to the out-neighbor v with the highest rendezvous weight
+    * md5(start|widx|s|v) (ties → smallest v) — [[graft.x.Sampling
+    * .rendezvousShard]]'s HRW trick applied to neighbor choice, so the
+    * "randomness" is a pure function of the walk identity and any
+    * engine/layout replays the identical corpus (sampling-based walks
+    * are the classic irreproducible training-data step). Well-mixed
+    * md5 bits make the per-step choice uniform over neighbors in
+    * aggregate; walks at dead-end nodes simply end.
+    *
+    * Shape per step: one src-keyed equi-join of the walk frontier to
+    * the staged edge list + one (start, widx)-keyed struct-max argmax
+    * — the [[labelPropagation]] exchange pattern; output is one row per
+    * (walk, step), corpus-scale, never collected. */
+  def randomWalks(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      steps: Int, walksPerNode: Int,
+      staging: Staging = Staging.LocalCheckpoint): DataFrame = {
+    require(steps >= 1 && steps <= 64, s"steps $steps out of range")
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode $walksPerNode out of range")
+    val edges = staging.stage(edgesIn
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src")).sortWithinPartitions("src"), "walk-edges")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var cur = staging.stage(nodes
+      .select(col("node").as("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("widx"))
+      .withColumn("cur", col("start")), "walk-0")
+    var out = cur.select(col("start"), col("widx"), lit(0L).as("step"),
+      col("cur").as("node"))
+    for (s <- 1 to steps) {
+      val weight = conv(substring(md5(concat_ws("|",
+        col("start").cast("string"), col("widx").cast("string"),
+        lit(s.toString), col("dst").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+      cur = staging.stage(cur
+        .join(edges, cur("cur") === edges("src"))
+        .groupBy(col("start"), col("widx"))
+        .agg(max(struct(weight.as("w"), (-col("dst")).as("nd"))).as("m"))
+        .select(col("start"), col("widx"), (-col("m.nd")).as("cur")),
+        s"walk-$s")
+      out = out.unionByName(cur.select(col("start"), col("widx"),
+        lit(s.toLong).as("step"), col("cur").as("node")))
+    }
+    out
+  }
+
   /** Weighted HITS (Kleinberg 1999) hubs-and-authorities over a DIRECTED
     * graph, kept EXACT by running the power iteration UNNORMALIZED in
     * DECIMAL(38,0): from h₀ = 1, each round computes

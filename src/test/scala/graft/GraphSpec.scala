@@ -453,6 +453,31 @@ class GraphSpec extends AnyFunSuite {
     assert(partial.filterNot(_._2).keySet === Set(4L, 5L, 6L, 7L, 8L, 9L))
   }
 
+  test("randomWalks: every hop follows an edge, dead ends terminate, " +
+      "and the corpus is layout-invariant") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("src", "dst") // node 4 is a dead end
+    val walks = graft.x.Graph.randomWalks(e, "src", "dst", steps = 3,
+      walksPerNode = 2)
+    val rows = walks.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val edges = Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L))
+    rows.groupBy(t => (t._1, t._2)).values.foreach { path =>
+      val byStep = path.sortBy(_._3).map(_._4)
+      byStep.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(edges.contains((p(0), p(1))), s"non-edge hop $p in $byStep")
+      }
+    }
+    // walks starting at the dead end emit only step 0
+    assert(rows.filter(t => t._1 == 4L).map(_._3).max === 0L)
+    // determinism under a different input layout
+    val again = graft.x.Graph.randomWalks(e.repartition(7), "src", "dst",
+        steps = 3, walksPerNode = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSet === again.toSet, "walks changed under repartition")
+  }
+
   test("hits: star authority dominates; hand-checked round-1 values") {
     import spark.implicits._
     // hubs 1,2,3 all point at 4; 4 points at 5
