@@ -6952,7 +6952,8 @@ object SparkEntry {
         SELECT doc_id AS id,
                list_transform(STR_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')[1:40],
                               tk -> ${polySql("tk")}) AS p,
-               source || '|' || CAST(n_chars // 20 AS VARCHAR) AS b
+               source || '|' || CAST(n_chars // 20 AS VARCHAR)
+                 || '|' || SUBSTR(TRIM(LOWER(text)), 1, 8) AS b
         FROM documents),
       pairs AS (
         SELECT a.id AS id_a, c.id AS id_b, a.p AS xs, c.p AS ys

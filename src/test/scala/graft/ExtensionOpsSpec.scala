@@ -1635,7 +1635,8 @@ class ExtensionOpsSpec extends AnyFunSuite {
       (3L, "over the lazy dog the quick brown fox jumps", "s"), // rotated
       (4L, "completely different words entirely here now today ok", "s"))
       .toDF("doc_id", "text", "blk")
-    val got = Dedup.lcsPairs(d, "text", "doc_id", "blk", minRatioPct = 60)
+    val got = Dedup.lcsPairs(d, "text", "doc_id", "blk", minRatioPct = 60,
+        gateChars = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // (1,2): 8 of 9 tokens align in order; (1,3): rotation keeps an
     // LCS of 5 ("the quick brown fox jumps" or the tail block) => 5/9
@@ -1643,9 +1644,17 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.keySet === Set((1L, 2L)), s"pairs: $got")
     assert(got((1L, 2L)) === 8L)
     // lowering the bar admits the rotation with its exact LCS
-    val loose = Dedup.lcsPairs(d, "text", "doc_id", "blk", minRatioPct = 40)
+    val loose = Dedup.lcsPairs(d, "text", "doc_id", "blk", minRatioPct = 40,
+        gateChars = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(loose((1L, 3L)) === 5L, s"rotated LCS: $loose")
+    // the default prefix gate keeps the shared-opening pair but removes
+    // the rotated one from the DP's pair surface (documented recall
+    // tradeoff: diverging openings are editDistancePairs territory)
+    val gatedPairs = Dedup.lcsPairs(d, "text", "doc_id", "blk",
+        minRatioPct = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gatedPairs === Set((1L, 2L)), s"gated pairs: $gatedPairs")
   }
 
   test("farthestFirstSeeds: max-min traversal picks the extremes first, " +
