@@ -2472,6 +2472,31 @@ object SparkEntry {
           col("vec_id"), col("dist_num"))
         .orderBy("seed_rank")
     }),
+    // Jones-Plassmann coloring of the part-CHAIN graph (consecutive
+    // lineitems, x180's construction — degree ~6, where JP's expected
+    // O(log n) rounds hold; the dense copurchase projection stalls a
+    // 12-round budget at ~10 colored/round): md5 priorities, first-gap
+    // fold for the smallest free color, budget-flagged leftovers
+    "x218_jp_coloring" -> ((s, dir) => {
+      reg(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      // RECURRING consecutive pairs only (count >= 2): a lineitem-derived
+      // graph over 2k parts is dense (deg ~45) at any threshold 1 — JP
+      // colors ~n/(deg+1) nodes/round, so the budget wants a sparse graph
+      val e = s.table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("dst", lead("l_partkey", 1).over(w))
+        .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+        .select(least(col("l_partkey"), col("dst")).as("src"),
+          greatest(col("l_partkey"), col("dst")).as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      Graph.jpColoring(e, "src", "dst", maxRounds = 16)
+        .select(col("node").cast("long").as("node"), col("color"),
+          col("colored_round"))
+        .orderBy("node")
+    }),
     // deterministic random walks over the transition graph: HRW md5
     // neighbor choice — the replayable DeepWalk corpus generator
     "x217_random_walks" -> ((s, dir) => {
@@ -7106,6 +7131,67 @@ object SparkEntry {
              CAST(COUNT(*) AS BIGINT) AS n_points,
              ROUND(CAST(SUM(s2) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
       FROM sil GROUP BY 1 ORDER BY cluster""",
+
+    // JP coloring: 12 unrolled MATERIALIZED rounds — beaten set, winners,
+    // neighbor-color first-gap fold, union/anti bookkeeping — over the
+    // x119 copurchase edges with the same md5('jp:'||node) priorities
+    "x218_jp_coloring" -> {
+      val rounds = (1 to 16).map { r =>
+        val (u0, c0) = (s"u${r - 1}", s"c${r - 1}")
+        s"""bt$r AS MATERIALIZED (
+        SELECT DISTINCT e.a AS node
+        FROM e JOIN $u0 ua ON ua.node = e.a
+               JOIN $u0 ub ON ub.node = e.b
+        WHERE ub.pri > ua.pri OR (ub.pri = ua.pri AND e.b > e.a)),
+      w$r AS MATERIALIZED (
+        SELECT u.node FROM $u0 u LEFT JOIN bt$r b ON b.node = u.node
+        WHERE b.node IS NULL),
+      nc$r AS MATERIALIZED (
+        SELECT w.node, list_sort(list(DISTINCT c.color)) AS cs
+        FROM w$r w JOIN e ON e.a = w.node
+                   JOIN $c0 c ON c.node = e.b
+        GROUP BY 1),
+      a$r AS MATERIALIZED (
+        SELECT w.node,
+          COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT), nc.cs),
+            (acc, x) -> CASE WHEN x = acc THEN acc + 1 ELSE acc END),
+            CAST(0 AS BIGINT)) AS color,
+          CAST($r AS BIGINT) AS rnd
+        FROM w$r w LEFT JOIN nc$r nc ON nc.node = w.node),
+      c$r AS MATERIALIZED (
+        SELECT node, color, rnd FROM $c0
+        UNION ALL SELECT node, color, rnd FROM a$r),
+      u$r AS MATERIALIZED (
+        SELECT u.node, u.pri FROM $u0 u
+        LEFT JOIN a$r a ON a.node = u.node WHERE a.node IS NULL)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH ch AS (
+        SELECT l_partkey AS src,
+               LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey) AS dst
+        FROM lineitem),
+      ce AS (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM ch WHERE dst IS NOT NULL AND src <> dst
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      e AS MATERIALIZED (
+        SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+      u0 AS MATERIALIZED (
+        SELECT node, ${hexIntSql(
+          "MD5(CONCAT('jp:', CAST(node AS VARCHAR)))", 8)} AS pri
+        FROM (SELECT DISTINCT a AS node FROM e)),
+      c0 AS MATERIALIZED (
+        SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS color,
+               CAST(NULL AS BIGINT) AS rnd WHERE FALSE),
+      $rounds
+      SELECT CAST(node AS BIGINT) AS node, color, rnd AS colored_round
+      FROM c16
+      UNION ALL
+      SELECT CAST(node AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+      FROM u16
+      ORDER BY node"""
+    },
 
     // walks: same dense tids, same md5 HRW weights (hexIntSql = the
     // x135-proven conv(substring(md5..)) equivalent), steps MATERIALIZED

@@ -760,6 +760,81 @@ object Graph {
     * the per-node argmax as ONE struct-max hash agg (LPA's trick —
     * max over (gain, −neighbor) needs no window sort). Per-node state is
     * one struct; nothing quadratic, nothing on the driver. */
+  /** Jones–Plassmann greedy graph coloring (1993) with DETERMINISTIC
+    * hash priorities: per round, every still-uncolored node whose
+    * (md5-priority, id) beats all uncolored neighbors colors itself with
+    * the smallest color absent from its already-colored neighborhood —
+    * the conflict-free parallel scheduling primitive (color classes =
+    * batches safe to update concurrently: SCD2 partition rewrites,
+    * graph-mutation batches, register allocation). Classic JP draws
+    * random priorities — irreproducible; the portable md5 weight (the
+    * [[randomWalks]] / rendezvous trick) keeps the expected O(log n)
+    * round bound AND bit-exact replay on any engine.
+    *
+    * Shape per round: one neighbor join among uncolored nodes (local-max
+    * test), one join of winners to colored neighbors + a first-gap fold
+    * over each sorted color set (pure HOF), both on the node-keyed
+    * exchange. Rounds are a fixed budget; nodes still uncolored at the
+    * budget emit color = −1 with `colored_round` = −1 — the SCC-style
+    * audit flag, nothing silent. */
+  def jpColoring(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 8,
+      staging: Staging = Staging.LocalCheckpoint): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64, s"maxRounds out of range")
+    val e0 = canonicalEdges(edgesIn, srcCol, dstCol)
+    val edges = staging.stage(
+      e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+        .repartition(col("a")).sortWithinPartitions("a"), "jp-edges")
+    val pri = conv(substring(md5(concat(lit("jp:"),
+      col("node").cast("string"))), 1, 8), 16, 10).cast("long")
+    var unc = staging.stage(
+      edges.select(col("a").as("node")).distinct()
+        .withColumn("pri", pri), "jp-unc-0")
+    val spark = edgesIn.sparkSession
+    var colored: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("color",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("colored_round",
+          org.apache.spark.sql.types.LongType))))
+    var r = 0
+    while (r < maxRounds && !unc.isEmpty) {
+      r += 1
+      // local maxima among uncolored: no uncolored neighbor with a
+      // strictly greater (pri, id)
+      val beaten = edges
+        .join(unc.select(col("node").as("a"), col("pri").as("__pa")), Seq("a"))
+        .join(unc.select(col("node").as("b"), col("pri").as("__pb")), Seq("b"))
+        .filter(col("__pb") > col("__pa") ||
+          (col("__pb") === col("__pa") && col("b") > col("a")))
+        .select(col("a").as("node")).distinct()
+      val winners = unc.join(beaten, Seq("node"), "left_anti")
+      // smallest color missing from the colored neighborhood: first-gap
+      // fold over the sorted distinct neighbor colors
+      val nbrColors = edges
+        .join(winners.select(col("node").as("a")), Seq("a"))
+        .join(colored.select(col("node").as("b"), col("color")), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(array_sort(collect_set(col("color"))).as("__cs"))
+      val assigned = winners.select("node")
+        .join(nbrColors, Seq("node"), "left")
+        .select(col("node"),
+          aggregate(coalesce(col("__cs"), array().cast("array<bigint>")),
+            lit(0L), (acc, c) => when(c === acc, acc + 1).otherwise(acc))
+            .as("color"),
+          lit(r.toLong).as("colored_round"))
+      colored = staging.stage(colored.unionByName(assigned), s"jp-c$r")
+      unc = staging.stage(unc.join(assigned.select("node"), Seq("node"),
+        "left_anti"), s"jp-unc-$r")
+    }
+    val leftover = unc.select(col("node"), lit(-1L).as("color"),
+      lit(-1L).as("colored_round"))
+    colored.unionByName(leftover)
+  }
+
   /** Deterministic hash-seeded random walks — the DeepWalk/node2vec
     * corpus generator (Perozzi 2014) made REPLAYABLE: `walksPerNode`
     * walks start at every node; at step s, walk (start, widx) at node u

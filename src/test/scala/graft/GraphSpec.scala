@@ -453,6 +453,31 @@ class GraphSpec extends AnyFunSuite {
     assert(partial.filterNot(_._2).keySet === Set(4L, 5L, 6L, 7L, 8L, 9L))
   }
 
+  test("jpColoring: proper coloring (no monochrome edge), triangles take " +
+      "3 colors, full convergence within budget, layout-invariant") {
+    import spark.implicits._
+    // triangle {1,2,3} + path 3-4-5 + isolated-in-edge-set pair 6-7
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("src", "dst")
+    val got = graft.x.Graph.jpColoring(e, "src", "dst", maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // everything colored within budget, nothing flagged
+    assert(got.values.forall(_._1 >= 0L), s"uncolored nodes: $got")
+    // proper: no edge joins two same-colored nodes
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (6L, 7L)).foreach {
+      case (a, b) => assert(got(a)._1 != got(b)._1,
+        s"monochrome edge ($a,$b): $got")
+    }
+    // the triangle needs exactly colors {0,1,2}
+    assert(Set(got(1L)._1, got(2L)._1, got(3L)._1) === Set(0L, 1L, 2L))
+    // deterministic under repartition
+    val again = graft.x.Graph.jpColoring(e.repartition(5), "src", "dst",
+        maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === again, "coloring changed under repartition")
+  }
+
   test("randomWalks: every hop follows an edge, dead ends terminate, " +
       "and the corpus is layout-invariant") {
     import spark.implicits._
