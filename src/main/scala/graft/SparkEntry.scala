@@ -7412,7 +7412,8 @@ object SparkEntry {
       FROM d""",
 
     // periodogram: identical integer trig VALUES (driver-rendered),
-    // HUGEINT moment sums, power = A² + B² exact then cast to DOUBLE
+    // HUGEINT moment sums exact; power = A² + B² in DOUBLE over the
+    // exact A/B casts (same fixed IEEE chain as the Spark side)
     "x203_periodogram" -> s"""
       WITH daily AS (
         SELECT o_orderdate AS day,
@@ -7433,7 +7434,8 @@ object SparkEntry {
         FROM e GROUP BY 1)
       SELECT CAST(p AS BIGINT) AS period, CAST(n_days AS BIGINT) AS n_days,
              CAST(a AS DOUBLE) AS a_num, CAST(b AS DOUBLE) AS b_num,
-             CAST(a * a + b * b AS DOUBLE) AS power
+             CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+               + CAST(b AS DOUBLE) * CAST(b AS DOUBLE) AS power
       FROM agg ORDER BY period""",
 
     // modularity of the l3 LPA labels: same unrolled rounds as x134, then

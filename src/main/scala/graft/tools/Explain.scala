@@ -13,8 +13,12 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = if (args(1) == "all") graft.SparkEntry.queries.keys.toSeq.sorted else Seq(args(1))
-    val reps = args.drop(2).find(!_.startsWith("--")).map(_.toInt).getOrElse(2)
+    val rest = args.drop(1).filterNot(_.startsWith("--"))
+    val (numArgs, nameArgs) = rest.partition(_.forall(_.isDigit))
+    val names =
+      if (nameArgs.contains("all")) graft.SparkEntry.queries.keys.toSeq.sorted
+      else nameArgs.toSeq
+    val reps = numArgs.headOption.map(_.toInt).getOrElse(2)
     val showPlan = args.contains("--plan")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

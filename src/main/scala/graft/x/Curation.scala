@@ -120,9 +120,12 @@ object Curation {
     ).toDF("stage", "docs")
   }
 
-  /** The lazy stage chain every surface reads — nothing here is computed
-    * until a caller evaluates the frame it needs, so [[curate]] pays
-    * nothing for the lineage-only frames. */
+  /** The stage chain every surface reads. `gated`, `survivors`, and
+    * `comps` are STAGED (eager, lineage-truncated) because two or more
+    * surfaces consume each — the gate's tokenize pass and the co-shingle
+    * join must run exactly once per pipeline, not once per consumer.
+    * They all sit on [[curate]]'s own critical path, so curate pays no
+    * extra pass; the one lineage-only frame (`fpTagged`) stays lazy. */
   private final case class StageFrames(gated: DataFrame, fpTagged: DataFrame,
       survivors: DataFrame, comps: DataFrame, nearKept: DataFrame)
 
@@ -163,12 +166,15 @@ object Curation {
       minTokens: Long, minUniqRatio: Double, maxTopShare: Double,
       jaccardN: Int, jaccardThreshold: Double,
       staging: graft.util.Staging): StageFrames = {
-    // 1. quality gate (semi-join keeps the caller's full row set intact)
-    val stats = TextAnalysis.repetitionStats(docs, textCol, idCol,
-      minUniqRatio, maxTopShare)
-    val gated = docs.join(
-      stats.filter(col("keep") && col("n_tokens") >= minTokens).select(col(idCol)),
-      Seq(idCol), "left_semi")
+    // 1. quality gate (semi-join keeps the caller's full row set intact).
+    // Staged: the gate's tokenize pass feeds the dedup chain AND the
+    // report/lineage surfaces — without truncation each consumer (and any
+    // memory-pressure lineage replay) re-runs repetitionStats.
+    val gated = staging.stage(docs.join(
+      TextAnalysis.repetitionStats(docs, textCol, idCol,
+          minUniqRatio, maxTopShare)
+        .filter(col("keep") && col("n_tokens") >= minTokens).select(col(idCol)),
+      Seq(idCol), "left_semi"), "curate-gated")
     // 2. exact dedup: smallest id per normalized-content class
     val fpTagged = gated.withColumn("__fp",
       TextAnalysis.fingerprint(coalesce(col(textCol), lit(""))))
@@ -179,7 +185,9 @@ object Curation {
     val survivors = staging.stage(exactKept, "curate-exact-kept")
     val pairs = Dedup.ngramJaccardPairs(survivors, textCol, idCol,
       jaccardN, jaccardThreshold, staging = staging)
-    val comps = Dedup.connectedComponents(pairs)
+    // comps feeds nearKept here AND lineage's compMap + split (which
+    // reads nearKept again) — staged so the co-shingle join runs once.
+    val comps = staging.stage(Dedup.connectedComponents(pairs), "curate-comps")
     val dropIds = comps
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))

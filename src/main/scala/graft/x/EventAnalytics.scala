@@ -1056,9 +1056,11 @@ object EventAnalytics {
     * query. Because each period needs only p distinct angles (t mod p),
     * the driver pre-computes round(cos·10⁶) / round(sin·10⁶) as BIGINT
     * tables (Σp rows — broadcast) and BOTH engines replay the SAME
-    * integer tables: Σ v_cents·c_num accumulates in DECIMAL(38,0), so
-    * A, B, and power are exact integers; the only IEEE step is the final
-    * cast to DOUBLE of an exact value (deterministically rounded). DC
+    * integer tables: Σ v_cents·c_num accumulates in DECIMAL(38,0), so A
+    * and B are exact integers; power = A² + B² runs in DOUBLE over the
+    * exactly-rounded A/B casts (the decimal product would overflow
+    * precision 38 for |A| ≳ 1e19) — a fixed three-op IEEE chain both
+    * engines replay identically. DC
     * leakage from partial trailing periods is inherent to the
     * untapered periodogram — callers comparing periods should use the
     * same observation span per period, which this does.
@@ -1098,8 +1100,13 @@ object EventAnalytics {
       .select(col("period").cast("long").as("period"), col("n_days"),
         col("__a").cast("double").as("a_num"),
         col("__b").cast("double").as("b_num"),
-        (col("__a") * col("__a") + col("__b") * col("__b")).cast("double")
-          .as("power"))
+        // power in DOUBLE from the exact A/B: A²+B² as DECIMAL(38,0)
+        // would overflow precision 38 for A ≳ 1e19 and NULL silently
+        // (non-ANSI). The double chain is the SAME two multiplies and
+        // one add on both engines over the same exact inputs — still
+        // deterministic, never NULL.
+        (col("__a").cast("double") * col("__a").cast("double") +
+          col("__b").cast("double") * col("__b").cast("double")).as("power"))
   }
 
   /** Daily OHLC candlestick bars — the share-price aggregation family the

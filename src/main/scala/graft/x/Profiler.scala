@@ -778,7 +778,8 @@ object Profiler {
     * doubled rank sums stay INTEGER even with midrank ties
     * (2R_A = Σ_v c_A(v)·(2·before(v) + c(v) + 1)), the tie-corrected
     * normal approximation z = (U−μ)/σ with σ²'s Σ(t³−t) term summed as
-    * exact BIGINTs, and the rank-biserial effect size — the
+    * exact DECIMAL(38,0) (t³ overflows BIGINT past ~2.1M-row ties, the
+    * burstiness Σg² discipline), and the rank-biserial effect size — the
     * nonparametric mean-shift test to [[ksTest]]'s shape test: U asks
     * "do A's values stochastically dominate B's", KS asks "do the
     * distributions differ anywhere".
@@ -817,13 +818,16 @@ object Profiler {
         (col("__ca") * (lit(2L) * (col("__beforeA") + col("__beforeB")) +
           col("__ca") + col("__cb") + 1L)).as("__twoRaTerm"),
         {
-          val c = col("__ca") + col("__cb")
-          (c * c * c - c).as("__tieTerm")
+          // c³ − c in DECIMAL: a value shared by > ~2.1M rows overflows
+          // BIGINT c³ silently (non-ANSI). decimal(12,0)³ → decimal(38,0)
+          // by type arithmetic (12+12+1, 25+12+1), exact to c = 1e12.
+          val c = (col("__ca") + col("__cb")).cast("decimal(12,0)")
+          (c * c * c - c.cast("decimal(38,0)")).as("__tieTerm")
         })
       .agg(sum("__ca").cast("long").as("__na"),
         sum("__cb").cast("long").as("__nb"),
         sum("__twoRaTerm").cast("long").as("__twoRa"),
-        sum("__tieTerm").cast("long").as("__ties"))
+        sum("__tieTerm").cast("decimal(38,0)").as("__ties"))
       .select(col("__na").as("n_a"), col("__nb").as("n_b"),
         expr("CAST(__twoRa - __na * (__na + 1) AS DOUBLE) / 2.0").as("u_a"),
         round(expr(

@@ -649,12 +649,20 @@ object TextAnalysis {
     * arithmetic — immune to the FP-addition association order that a
     * distributed sum cannot pin down — and the DuckDB oracle reproduces
     * every score bit-for-bit. */
-  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     val toks = df.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
-    val vocab = tf.groupBy("tok").agg(sum("c").as("gc"))
+    // `tf` feeds both the vocab aggregation and the final join, and
+    // `vocab` feeds both the total and the join — under executor memory
+    // pressure, lineage re-execution would re-run the tokenize+explode
+    // scan per consumer. Stage them once (tf is counts, not documents —
+    // small relative to the corpus).
+    val tf = staging.stage(
+      toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c")), "ulp-tf")
+    val vocab = staging.stage(
+      tf.groupBy("tok").agg(sum("c").as("gc")), "ulp-vocab")
     val total = vocab.agg(sum("gc").as("__n"))
     // single rounding step: the raw IEEE -ln() double is cast straight to
     // DECIMAL(18,8) (round(double, 8) first would double-round — the
@@ -1481,13 +1489,16 @@ object TextAnalysis {
     val toks = docs.select(
       filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
         .as("__t"))
-    val adj = toks.filter(size(col("__t")) >= 2)
+    // staged: `adj` feeds the vocab build AND the edge projection (whose
+    // undirected union reads it twice more) — without truncation the
+    // tokenize+explode corpus scan runs three times
+    val adj = staging.stage(toks.filter(size(col("__t")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(__t) - 1), " +
           "i -> struct(element_at(__t, i) AS a, element_at(__t, i + 1) AS b))"))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .filter(col("a") =!= col("b"))
+      .filter(col("a") =!= col("b")), "tr-adj")
     val vocab = staging.stage(
       adj.select(col("a").as("word")).union(adj.select(col("b"))).distinct()
         .withColumn("__h", graft.functions.PolyHash56(col("word"))),
