@@ -567,44 +567,81 @@ object Dedup {
     * levenshtein (threshold argument → O(n·d) diagonal band, -1 when the
     * band is exceeded), and a length-difference pre-filter skips the DP
     * for pairs that cannot pass (|len_a − len_b| lower-bounds edit
-    * distance). */
+    * distance). The DP itself runs only over DISTINCT in-block prefixes
+    * (exact-prefix collapse + member expansion — see the stage-0 comment
+    * in the body): recall-lossless, and the duplication-heavy corpora
+    * this op exists for stop paying quadratic DP on their boilerplate. */
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, maxDist: Int, prefixLen: Int = 80,
-      maxBlock: Int = 100000): DataFrame = {
+      maxBlock: Int = 100000,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    // Stage 0 — exact-prefix collapse (the [[resolveEntities]] stage-0
+    // principle applied INSIDE the verify): the quadratic runs over
+    // DISTINCT (block, prefix) values, each represented by its minimum
+    // id, and member pairs are expanded back afterwards by two id-keyed
+    // joins. Lossless by construction — lev(p, p) = 0 so same-prefix
+    // member pairs emit dist 0 directly, and cross-group pairs all share
+    // their groups' distance — and the guard that matters at 100 TB: a
+    // boilerplate prefix duplicated a million times costs ONE group row
+    // in the self-join, not 10¹² banded-DP calls. (Output size for the
+    // duplicated mass is inherently quadratic; only the DP work
+    // collapses.)
+    val rows = staging.stage(df.select(col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("p"), col(blockCol).as("b")),
+      "edp-rows")
+    val grp = staging.stage(
+      rows.groupBy("b", "p").agg(min("id").as("gid")), "edp-groups")
     // Block-size cap (skew guard): join cost is Σ|block|², so ONE dominant
     // block — a crawl with 90% of docs from a single (source × length-band)
     // — re-creates the quadratic the blocking scheme exists to divide.
-    // Blocks over `maxBlock` rows are deterministically sub-banded by id
-    // hash into ⌈n/maxBlock⌉ salts and pairs form only within a salt:
-    // every row is kept, cost drops from n² to ~n·maxBlock, and the recall
+    // Blocks over `maxBlock` DISTINCT PREFIXES (post-collapse — audit with
+    // [[oversizedBlocks]] over the distinct (block, prefix) frame; raw-row
+    // counts would re-flag mass duplication the collapse already absorbed)
+    // are deterministically sub-banded by representative-id hash into
+    // ⌈n/maxBlock⌉ salts and group pairs form only within a salt: every
+    // row is kept, cost drops from n² to ~n·maxBlock, and the recall
     // inside an oversized block degrades gracefully to ~1/salts (the same
     // contract as lshCandidatePairs' maxBucket). Below the cap the salt is
     // constant 0 — the output is bit-identical to the uncapped join (the
-    // default cap is far above any verification-scale block). Oversized
-    // blocks are auditable via [[oversizedBlocks]] — no silent cap.
+    // default cap is far above any verification-scale block).
     // The salt fan-out joins in from the (tiny, broadcast) oversized-block
     // set rather than a count window: a window would shuffle+sort EVERY
-    // row on the block key just to tag the handful of hot blocks, while
+    // group on the block key just to tag the handful of hot blocks, while
     // the broadcast join leaves the main frame un-shuffled (the count agg
     // shuffles block keys with map-side partials — rows stay put).
-    val over = oversizedBlocks(df, blockCol, maxBlock)
+    val over = oversizedBlocks(grp, "b", maxBlock)
       .select(col("b"), col("sub_bands"))
-    val t = df.select(col(idCol).as("id"),
-      substring(col(textCol), 1, prefixLen).as("p"), col(blockCol).as("b"))
+    val t = grp
       .join(broadcast(over), Seq("b"), "left")
       .withColumn("__salt",
         when(col("sub_bands").isNull, lit(0L))
-          .otherwise(pmod(xxhash64(col("id")), col("sub_bands"))))
-      .drop("sub_bands")
-      .select(col("id"), col("p"), col("b"), col("__salt"))
-    val a = t.toDF("id_a", "p_a", "b", "__salt")
-    val c = t.toDF("id_b", "p_b", "b", "__salt")
-    a.join(c, Seq("b", "__salt"))
-      .filter(col("id_a") < col("id_b"))
+          .otherwise(pmod(xxhash64(col("gid")), col("sub_bands"))))
+      .select(col("gid"), col("p"), col("b"), col("__salt"))
+    val a = t.toDF("gid_a", "p_a", "b", "__salt")
+    val c = t.toDF("gid_b", "p_b", "b", "__salt")
+    val repPairs = a.join(c, Seq("b", "__salt"))
+      .filter(col("gid_a") < col("gid_b"))
       .filter(abs(length(col("p_a")) - length(col("p_b"))) <= maxDist)
       .withColumn("dist", expr(s"levenshtein(p_a, p_b, $maxDist)"))
       .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+      .select(col("b"), col("p_a"), col("p_b"), col("dist"))
+    // expansion: every member pair across the two groups, re-oriented to
+    // id_a < id_b (each unordered pair appears in exactly one group pair)
+    val cross = repPairs
+      .join(rows.select(col("b"), col("p").as("p_a"), col("id").as("__ia")),
+        Seq("b", "p_a"))
+      .join(rows.select(col("b"), col("p").as("p_b"), col("id").as("__ib")),
+        Seq("b", "p_b"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("dist").cast("int").as("dist"))
+    // identical-prefix member pairs: dist 0 without any DP (and immune to
+    // the salt split — an oversized block never loses its exact dups)
+    val intra = rows.select(col("b"), col("p"), col("id").as("id_a"))
+      .join(rows.select(col("b"), col("p"), col("id").as("id_b")), Seq("b", "p"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("dist"))
+    cross.unionByName(intra)
   }
 
   /** Token-level LCS similarity verify over the SAME blocking as

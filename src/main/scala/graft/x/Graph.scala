@@ -913,35 +913,47 @@ object Graph {
     * weighted degrees up to ~10⁶ — far past any per-node mass a sane
     * graph has; overflow surfaces as NULL, not a wrong number.
     *
-    * Shape per round: two src/dst-keyed equi-joins + two keyed sum aggs
-    * over the staged edge list — the [[pageRank]] exchange pattern with
-    * the score frame alternating between the two endpoint keys. */
+    * Shape per round: two src/dst-keyed equi-joins + two keyed sum aggs.
+    * The a-step joins on `src`, the h-step on `dst`, so the edge list is
+    * staged TWICE — once hash(src)-sorted, once hash(dst)-sorted (the
+    * [[pageRank]] pinned-layout discipline, one copy per join key): every
+    * round's big edge side satisfies its join's required distribution
+    * from the checkpointed layout and is never re-shuffled; only the
+    * node-sized score frames and the post-join mass aggregation move. */
   def hits(edgesIn: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iters: Int = 3,
       staging: Staging = Staging.LocalCheckpoint): DataFrame = {
     require(iters >= 1 && iters <= 6, s"iters $iters out of range")
     val d38 = "decimal(38,0)"
-    val edges = staging.stage(edgesIn
+    // repartition BEFORE the dedup agg: hash(src) satisfies the
+    // (src, dst) grouping's ClusteredDistribution, so one shuffle yields
+    // the deduped frame already in the a-step's join layout
+    val eSrc = staging.stage(edgesIn
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .groupBy("src", "dst").agg(sum("w").cast(d38).as("w")), "hits-edges")
+      .repartition(col("src"))
+      .groupBy("src", "dst").agg(sum("w").cast(d38).as("w"))
+      .sortWithinPartitions("src"), "hits-edges-src")
+    val eDst = staging.stage(
+      eSrc.repartition(col("dst")).sortWithinPartitions("dst"),
+      "hits-edges-dst")
     val nodes = staging.stage(
-      edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node"))).distinct(), "hits-nodes")
+      eSrc.select(col("src").as("node"))
+        .union(eSrc.select(col("dst").as("node"))).distinct(), "hits-nodes")
     var h = nodes.withColumn("h", lit(1L).cast(d38))
     var a = nodes.withColumn("a", lit(0L).cast(d38))
     for (k <- 1 to iters) {
       a = staging.stage(nodes.join(
-        edges.join(h.select(col("node").as("src"), col("h")), Seq("src"))
+        eSrc.join(h.select(col("node").as("src"), col("h")), Seq("src"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("w") * col("h")).cast(d38).as("__a")),
         Seq("node"), "left")
         .select(col("node"), coalesce(col("__a"), lit(0L).cast(d38)).as("a")),
         s"hits-a$k")
       h = staging.stage(nodes.join(
-        edges.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
+        eDst.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
           .groupBy(col("src").as("node"))
           .agg(sum(col("w") * col("a")).cast(d38).as("__h")),
         Seq("node"), "left")
@@ -1024,13 +1036,17 @@ object Graph {
       dstCol: String, maxRounds: Int = 10, maxDepth: Int = 30,
       staging: Staging = Staging.LocalCheckpoint): DataFrame = {
     require(maxRounds >= 1 && maxDepth >= 1, "positive budgets required")
-    val e = edgesIn
+    // hash(src)-sorted layout: the per-round block-restriction join keys
+    // on src first, so the full edge list never re-shuffles after this
+    // (repartition BEFORE the dedup — the subset rule lets the (src, dst)
+    // dedup agg run in place, one shuffle total)
+    val edges = staging.stage(edgesIn
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst") &&
         col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-    val edges = staging.stage(e, "scc-edges")
+      .repartition(col("src")).dropDuplicates("src", "dst")
+      .sortWithinPartitions("src"), "scc-edges")
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     var active = staging.stage(
@@ -1055,13 +1071,23 @@ object Graph {
     var round = 0
     while (round < maxRounds && !active.isEmpty) {
       round += 1
-      // block-restricted edges: both endpoints still active, same block
-      val be = staging.stage(edges
+      // block-restricted edges: both endpoints still active, same block.
+      // Staged TWICE — hash(src, block)-sorted for the forward closure
+      // and hash(dst, block)-sorted for the backward one — so every BFS
+      // depth's big edge side satisfies its frontier join's distribution
+      // from the checkpointed layout (the [[pageRank]] discipline; depth
+      // can reach maxDepth, so the per-depth saving compounds)
+      val beF = staging.stage(edges
         .join(active.select(col("node").as("src"), col("block")), Seq("src"))
         .join(active.select(col("node").as("dst"),
           col("block").as("__db")), Seq("dst"))
         .filter(col("block") === col("__db"))
-        .select("src", "dst", "block"), s"scc-be-$round")
+        .select("src", "dst", "block")
+        .repartition(col("src"), col("block"))
+        .sortWithinPartitions("src", "block"), s"scc-bef-$round")
+      val beB = staging.stage(
+        beF.repartition(col("dst"), col("block"))
+          .sortWithinPartitions("dst", "block"), s"scc-beb-$round")
       val pivots = staging.stage(
         active.groupBy("block").agg(min("node").as("node")),
         s"scc-pivots-$round")
@@ -1070,6 +1096,7 @@ object Graph {
       // so classifications derived from it for that block are unsafe.
       def closure(reversed: Boolean): (DataFrame, DataFrame) = {
         val (f, t) = if (reversed) ("dst", "src") else ("src", "dst")
+        val be = if (reversed) beB else beF
         var visited = staging.stage(pivots.select("block", "node"),
           s"scc-c$reversed-0-$round")
         var frontier = visited
@@ -1186,20 +1213,28 @@ object Graph {
     * move cannot flip between engines (the [[degreeAssortativity]] /
     * abTest cross-multiplication discipline).
     *
-    * Shape: degree agg (one exchange on node), edge⋈degree joins on each
-    * endpoint, the scalar 2m as a broadcast single-row crossJoin, then
+    * Shape: the symmetrized edge list and the degree frame are staged
+    * (each feeds 2–3 subtrees — the input scan runs once, not per
+    * consumer); then one degree agg exchange, edge⋈degree joins on each
+    * endpoint, the scalar 2m as a broadcast single-row crossJoin, and
     * the per-node argmax as ONE struct-max hash agg (LPA's trick —
     * max over (gain, −neighbor) needs no window sort). Per-node state is
     * one struct; nothing quadratic, nothing on the driver. */
   def louvainStep(edgesIn: DataFrame, srcCol: String, dstCol: String,
-      weightCol: String): DataFrame = {
+      weightCol: String,
+      staging: Staging = Staging.LocalCheckpoint): DataFrame = {
     val e = edgesIn
       .select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"),
         col(weightCol).cast("long").as("w"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("w")))
-    val deg = sym.groupBy(col("a").as("v")).agg(sum("w").as("k"))
+    // sym feeds THREE subtrees (degrees, 2m, the scored sweep) and deg
+    // two — staged so the input scan + symmetrize run exactly once
+    val sym = staging.stage(
+      e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("w"))),
+      "louvain-sym")
+    val deg = staging.stage(
+      sym.groupBy(col("a").as("v")).agg(sum("w").as("k")), "louvain-deg")
     val twoM = sym.agg(sum("w").as("__2m")) // Σ over both orientations = 2m
     val scored = sym
       .join(deg.select(col("v").as("a"), col("k").as("__ka")), "a")

@@ -1006,11 +1006,13 @@ object Similarity {
     * centroid — noise at dim 64 against inter-cluster gaps, and the
     * codes themselves live on that grid anyway (the int8 serving stack).
     *
-    * Shape per iter: assignment is points × k broadcast centroid rows
-    * (k ≤ 64 — a map-side nested loop, no shuffle), one vec-keyed
-    * struct-min agg, one (cid, dim) sum agg; the k·d centroid sums
-    * (≤ 4096 scalars) come to the driver to rebuild the broadcast —
-    * the bounded-driver-scalar contract. Returns per-point
+    * Shape per iter: assignment is a PER-ROW FOLD over the k centroids
+    * shipped as literal arrays — pure map-side, zero exchanges, the
+    * points never move (the former broadcast-crossJoin form re-shuffled
+    * every point ×k through a (vec, c) re-aggregation each iteration);
+    * then one (cid, dim) sum agg whose k·d centroid sums (≤ 4096
+    * scalars) come to the driver to rebuild the literals — the
+    * bounded-driver-scalar contract. Returns per-point
     * (vec_id, cluster, dist_num) after the LAST assignment. */
   /** Simplified silhouette on SQUARED int8 distances (the
     * centroid-based variant of Rousseeuw 1987 — O(n·k), not the O(n²)
@@ -1078,11 +1080,26 @@ object Similarity {
       .toSeq.sortBy(_._1)
     var assign: DataFrame = null
     for (it <- 1 to iters) {
-      val centDF = cents.toDF("cid", "cl")
-      assign = base.crossJoin(broadcast(centDF))
-        .select(col("id"), col("c"),
-          struct(dist(col("c"), col("cl")).as("d"), col("cid")).as("__s"))
-        .groupBy(col("id"), col("c")).agg(min(col("__s")).as("m"))
+      // centroids ride as LITERAL arrays and the argmin is a per-row fold
+      // — the assignment pass is pure map-side (no crossJoin ×k, no
+      // (id, c) re-aggregation shuffle per iteration; at 100 TB the
+      // points never move, only the k·dim centroid-update rows do).
+      // Ascending-cid fold with strict < == min(struct(d, cid)): smallest
+      // distance, ties to the smallest cid — bit-identical to the
+      // join-based form.
+      val sortedC = cents.sortBy(_._1)
+      val cl = typedLit(sortedC.map(_._2))
+      val cidArr = typedLit(sortedC.map(_._1))
+      val best = aggregate(
+        sequence(lit(1), lit(sortedC.size)),
+        struct(lit(Long.MaxValue).as("d"), lit(Int.MaxValue).as("cid")),
+        (acc, i) => {
+          val d = dist(col("c"), element_at(cl, i))
+          when(d < acc.getField("d"),
+            struct(d.as("d"), element_at(cidArr, i).as("cid")))
+            .otherwise(acc)
+        })
+      assign = base.select(col("id"), col("c"), best.as("m"))
         .select(col("id"), col("c"), col("m.cid").as("cluster"),
           col("m.d").as("dist_num"))
       if (it < iters) {

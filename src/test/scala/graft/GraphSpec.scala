@@ -23,10 +23,16 @@ class GraphSpec extends AnyFunSuite {
 
   /** Shuffles sitting DIRECTLY over the (projected/filtered/sorted) edge
     * scan — i.e. a re-shuffle of the static edge side. Shuffles above a
-    * join/agg that merely CONTAIN the scan deeper down don't count. */
-  private def edgeSideShuffles(plan: SparkPlan): Seq[SparkPlan] = {
+    * join/agg that merely CONTAIN the scan deeper down don't count; a
+    * path through a partial aggregate doesn't either (what moves after a
+    * map-side combine is partition-count-sized, not data-sized). */
+  private def edgeSideShuffles(plan: SparkPlan,
+      scanCols: Seq[String] = Seq("src", "dst")): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     def unaryPathToEdgeScan(p: SparkPlan): Boolean = p match {
-      case r: RDDScanExec => r.output.map(_.name) == Seq("src", "dst")
+      case r: RDDScanExec => r.output.map(_.name) == scanCols
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec => false
       case u if u.children.size == 1 => unaryPathToEdgeScan(u.children.head)
       case _ => false
     }
@@ -35,9 +41,10 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
-  private def hasEdgeScan(plan: SparkPlan): Boolean =
+  private def hasEdgeScan(plan: SparkPlan,
+      scanCols: Seq[String] = Seq("src", "dst")): Boolean =
     plan.collect {
-      case r: RDDScanExec if r.output.map(_.name) == Seq("src", "dst") => r
+      case r: RDDScanExec if r.output.map(_.name) == scanCols => r
     }.nonEmpty
 
   test("pageRank: exact match to a scalar integer reference; layout-invariant; mass-conserving") {
@@ -348,6 +355,92 @@ class GraphSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("r9 iterative family: hits rounds >=2, scc BFS depths >=2 and per-round " +
+    "block-restriction keep their staged edge sides exchange-free; " +
+    "louvainStep never re-shuffles the staged symmetric edges; " +
+    "kmeansLloyd assignment is exchange-free") {
+    import spark.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+      // hits: the a-step joins on src, the h-step on dst — each reads its
+      // own pinned layout, so round-2 plans move only score rows
+      val wEdges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 2L),
+        (4L, 1L, 1L), (1L, 4L, 1L), (2L, 4L, 3L)).toDF("src", "dst", "w")
+      val hitsCap = new PlanCapture
+      val hits = Graph.hits(wEdges, "src", "dst", "w", iters = 2,
+        staging = hitsCap)
+      val ew = Seq("src", "dst", "w")
+      val a2 = hitsCap.plans("hits-a2")
+      assert(hasEdgeScan(a2, ew), s"a-step round 2 lost the edge scan:\n$a2")
+      assert(edgeSideShuffles(a2, ew).isEmpty,
+        s"hits a-step round 2 re-shuffled the staged edges:\n$a2")
+      val h2 = hitsCap.plans("hits-h2")
+      assert(hasEdgeScan(h2, ew), s"h-step round 2 lost the edge scan:\n$h2")
+      assert(edgeSideShuffles(h2, ew).isEmpty,
+        s"hits h-step round 2 re-shuffled the staged edges:\n$h2")
+
+      // scc: 3-cycle + a tail so the forward closure runs >= 2 depths;
+      // the per-round block restriction reads the hash(src) edge layout
+      // and each BFS depth reads its closure-direction be layout
+      val dEdges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+        .toDF("src", "dst")
+      val sccCap = new PlanCapture
+      val scc = Graph.stronglyConnectedComponents(dEdges, "src", "dst",
+        maxRounds = 3, maxDepth = 10, staging = sccCap)
+      val bef1 = sccCap.plans("scc-bef-1")
+      assert(hasEdgeScan(bef1), s"round-1 restriction lost the edge scan:\n$bef1")
+      assert(edgeSideShuffles(bef1).isEmpty,
+        s"scc block-restriction re-shuffled the staged edge list:\n$bef1")
+      val bc = Seq("src", "dst", "block")
+      val fwd2 = sccCap.plans("scc-cfalse-2-1")
+      assert(hasEdgeScan(fwd2, bc), s"fwd depth-2 lost the be scan:\n$fwd2")
+      assert(edgeSideShuffles(fwd2, bc).isEmpty,
+        s"scc forward BFS depth 2 re-shuffled the block edges:\n$fwd2")
+      val bwd2 = sccCap.plans("scc-ctrue-2-1")
+      assert(hasEdgeScan(bwd2, bc), s"bwd depth-2 lost the be scan:\n$bwd2")
+      assert(edgeSideShuffles(bwd2, bc).isEmpty,
+        s"scc backward BFS depth 2 re-shuffled the block edges:\n$bwd2")
+
+      // louvainStep: the staged symmetric edge list is consumed by the
+      // degree agg (in place on its hash(a) layout) and the sweep join —
+      // neither may move it again; only score-/degree-sized frames shuffle
+      val lvCap = new PlanCapture
+      val lv = Graph.louvainStep(wEdges, "src", "dst", "w", staging = lvCap)
+      val lvPlan = lv.queryExecution.executedPlan
+      val sy = Seq("a", "b", "w")
+      assert(hasEdgeScan(lvPlan, sy), s"louvain plan lost the sym scan:\n$lvPlan")
+      assert(edgeSideShuffles(lvPlan, sy).isEmpty,
+        s"louvainStep re-shuffled the staged symmetric edges:\n$lvPlan")
+
+      // kmeansLloyd: centroids are literals, the argmin a per-row fold —
+      // the returned assignment must contain NO exchange at all
+      val vecs = Seq(
+        (1L, Seq(0, 0, 0, 0)), (2L, Seq(1, 0, 0, 0)), (3L, Seq(0, 1, 0, 0)),
+        (4L, Seq(90, 90, 90, 90)), (5L, Seq(91, 90, 90, 90)),
+        (6L, Seq(0, 0, 90, 90)), (7L, Seq(1, 0, 90, 90))
+      ).toDF("vec_id", "codes")
+      val km = graft.x.Similarity.kmeansLloyd(vecs, "vec_id", "codes",
+        k = 3, iters = 3, dim = 4)
+      val kmShuffles = km.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(kmShuffles.isEmpty,
+        s"kmeansLloyd assignment shuffled the points:\n${km.queryExecution.executedPlan}")
+
+      // the layouts are pure plumbing: every op still returns sane rows
+      assert(hits.count() == 4)
+      val sccRows = scc.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(sccRows == Map(1L -> ((1L, true)), 2L -> ((1L, true)),
+        3L -> ((1L, true)), 4L -> ((4L, true)), 5L -> ((5L, true))),
+        s"scc labels wrong: $sccRows")
+      assert(lv.count() == 4)
+      assert(km.count() == 7)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("kCore rounds >=2: weak set broadcasts under the limit, edge side unshuffled") {
     import spark.implicits._
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
@@ -451,6 +544,28 @@ class GraphSpec extends AnyFunSuite {
     assert(partial.filter(_._2).keySet === Set(1L, 2L, 3L),
       s"round-1 settled set wrong: $partial")
     assert(partial.filterNot(_._2).keySet === Set(4L, 5L, 6L, 7L, 8L, 9L))
+    // DEPTH truncation is audited too: a 5-cycle under maxDepth = 2
+    // leaves both closures with live frontiers, so the whole block must
+    // surface converged = false with the provisional block-min label —
+    // the pre-r9 behavior silently settled {1} as its own component and
+    // later emitted the fwd/bwd leftovers as separate converged "SCCs"
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+      .toDF("src", "dst")
+    val trunc = graft.x.Graph
+      .stronglyConnectedComponents(cyc, "src", "dst",
+        maxRounds = 5, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(trunc === (1L to 5L).map(_ -> ((1L, false))).toMap,
+      s"depth-truncated block must be wholly unsettled: $trunc")
+    // and with the depth budget restored the same graph settles exactly
+    val ok = graft.x.Graph
+      .stronglyConnectedComponents(cyc, "src", "dst",
+        maxRounds = 5, maxDepth = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(ok === (1L to 5L).map(_ -> ((1L, true))).toMap,
+      s"5-cycle must settle at depth 5: $ok")
   }
 
   test("jpColoring: proper coloring (no monochrome edge), triangles take " +

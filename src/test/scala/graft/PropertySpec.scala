@@ -354,4 +354,90 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  // ---- exact-statistics tier vs brute-force references (r9 task 5) ----
+  // These operators' entire value is the exactness contract: doubled
+  // midranks stay integer, tie terms sum exactly, and the one IEEE chain
+  // at the end is fixed-shape. Each property replays the textbook
+  // definition on the driver and compares.
+
+  private val genTwoSamples: Gen[(List[Int], List[Int])] = Gen.zip(
+    Gen.nonEmptyListOf(Gen.choose(0, 8)).map(_.take(25)),
+    Gen.nonEmptyListOf(Gen.choose(0, 8)).map(_.take(25)))
+
+  test("mannWhitneyU matches the brute-force midrank/tie-corrected reference") {
+    check(Prop.forAll(genTwoSamples) { case (as, bs) =>
+      val df = (as.map(v => ("a", v)) ++ bs.map(v => ("b", v))).toDF("g", "v")
+      val row = graft.x.Profiler.mannWhitneyU(df, "v", "g", "a", "b")
+        .collect().head
+      val na = as.size; val nb = bs.size; val n = na + nb
+      val all = as ++ bs
+      // doubled midrank stays integer: 2r(v) = 2·|{u < v}| + c(v) + 1
+      def rank2(v: Int): Long = 2L * all.count(_ < v) + all.count(_ == v) + 1
+      val twoRa = as.map(rank2).sum
+      val ua = (twoRa - na.toLong * (na + 1)) / 2.0
+      val tieSum = all.distinct.map { v =>
+        val c = all.count(_ == v).toLong; c * c * c - c
+      }.sum
+      val corr = (n + 1.0) - tieSum.toDouble / (n.toDouble * (n - 1.0))
+      val zb = if (na > 0 && nb > 0 && corr > 0)
+        Some((ua - na.toDouble * nb / 2.0) /
+          math.sqrt(na.toDouble * nb / 12.0 * corr))
+      else None
+      val rb = 2.0 * ua / (na.toDouble * nb) - 1.0
+      val okZ = (zb, Option(row.get(3))) match {
+        case (Some(z), Some(got)) =>
+          math.abs(got.asInstanceOf[Double] - z) < 2e-6
+        case (None, None) => true
+        case _ => false
+      }
+      row.getLong(0) == na && row.getLong(1) == nb &&
+        math.abs(row.getDouble(2) - ua) < 1e-9 && okZ &&
+        math.abs(row.getDouble(4) - rb) < 2e-6
+    })
+  }
+
+  test("ksTest d_num and ks_at match an exact brute-force CDF scan") {
+    check(Prop.forAll(genTwoSamples) { case (as, bs) =>
+      val df = (as.map(v => ("a", v)) ++ bs.map(v => ("b", v))).toDF("g", "v")
+      val row = graft.x.Profiler.ksTest(df, "v", "g", "a", "b")
+        .collect().head
+      val na = as.size.toLong; val nb = bs.size.toLong
+      val scans = (as ++ bs).distinct.sorted.map { v =>
+        (v, math.abs(as.count(_ <= v) * nb - bs.count(_ <= v) * na))
+      }
+      val dnum = scans.map(_._2).max
+      // the op's max_by(__v, struct(__num, -__v)) picks the SMALLEST
+      // attaining value — same tiebreak here
+      val ksAt = scans.filter(_._2 == dnum).map(_._1).min
+      row.getLong(0) == na && row.getLong(1) == nb &&
+        row.getLong(2) == dnum && row.getInt(3) == ksAt &&
+        math.abs(row.getDouble(4) - dnum.toDouble / (na * nb)) < 1e-6
+    })
+  }
+
+  test("spearman matches brute-force Pearson over midranks (ties included)") {
+    val genPairs: Gen[List[(Int, Int)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 6), Gen.choose(0, 6))).map(_.take(30))
+    check(Prop.forAll(genPairs) { pairs =>
+      val df = pairs.toDF("x", "y")
+      val row = graft.x.Profiler.spearman(df, "x", "y").collect().head
+      val n = pairs.size
+      def midranks(v: List[Int]): List[Double] =
+        v.map(x => v.count(_ < x) + (v.count(_ == x) + 1) / 2.0)
+      val rx = midranks(pairs.map(_._1)); val ry = midranks(pairs.map(_._2))
+      val mx = rx.sum / n; val my = ry.sum / n
+      val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = rx.map(a => (a - mx) * (a - mx)).sum
+      val vy = ry.map(b => (b - my) * (b - my)).sum
+      val rhoB = if (vx > 0 && vy > 0) Some(cov / math.sqrt(vx * vy)) else None
+      val okRho = (rhoB, Option(row.get(1))) match {
+        case (Some(r0), Some(got)) =>
+          math.abs(got.asInstanceOf[Double] - r0) < 2e-6
+        case (None, None) => true // constant column: rho undefined -> NULL
+        case _ => false
+      }
+      row.getLong(0) == n && okRho
+    })
+  }
 }
