@@ -1021,31 +1021,52 @@ object Similarity {
     * equal to their centroid (max = 0) score 0. Each per-point s
     * quantizes to DECIMAL(18,8) BEFORE the per-cluster mean (the x184
     * portability recipe), so the reported means are engine-exact.
-    * Shape: one points × k broadcast distance map + one cluster-keyed
-    * aggregate. */
+    * Shape: one map-side two-smallest fold over the literal centroids
+    * per point (no crossJoin, no point-scale shuffle) + one
+    * cluster-keyed aggregate. */
   def simplifiedSilhouette(vecs: DataFrame, idCol: String, codesCol: String,
       k: Int, iters: Int, dim: Int): DataFrame = {
-    val (assign, cents) = kmeansLloydFull(vecs, idCol, codesCol, k, iters, dim)
-    val spark = vecs.sparkSession
-    import spark.implicits._
+    require(k >= 2, s"silhouette needs k >= 2 clusters, got $k")
+    val (_, cents) = kmeansLloydFull(vecs, idCol, codesCol, k, iters, dim)
     def dist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) =>
         (x.cast("long") - y.cast("long")) * (x.cast("long") - y.cast("long"))),
         lit(0L), (acc, v) => acc + v)
-    val centDF = cents.toDF("cid", "cl")
-    val base = vecs.select(col(idCol).cast("long").as("id"), col(codesCol).as("c"))
-    val withB = base.crossJoin(broadcast(centDF))
-      .select(col("id"), col("cid"), dist(col("c"), col("cl")).as("d"))
-      .join(assign.select(col(idCol).as("id"), col("cluster")), Seq("id"))
-      .filter(col("cid") =!= col("cluster"))
-      .groupBy(col("id"), col("cluster")).agg(min("d").as("b"))
-    val s = withB
-      .join(assign.select(col(idCol).as("id"), col("dist_num").as("a")), Seq("id"))
+    // ONE per-row fold over the literal centroids keeps the TWO smallest
+    // (distance, cid) structs: m1 IS the final assignment (a = m1.d,
+    // cluster = m1.cid — same strict-< / ascending-cid tiebreak as
+    // [[kmeansLloydFull]]'s fold, so this replays the last assignment
+    // bit-for-bit) and m2.d is b = min distance to any OTHER centroid.
+    // Pure map-side; the only exchange left is the k-row cluster agg.
+    // (The former shape — broadcast crossJoin ×k, an (id, cluster) min
+    // agg, two id-keyed joins back to the assignment — shuffled the
+    // point set three times for the same numbers.)
+    val sortedC = cents.sortBy(_._1)
+    val cl = typedLit(sortedC.map(_._2))
+    val cidArr = typedLit(sortedC.map(_._1))
+    val two = aggregate(
+      sequence(lit(1), lit(sortedC.size)),
+      struct(
+        struct(lit(Long.MaxValue).as("d"), lit(Int.MaxValue).as("cid")).as("m1"),
+        struct(lit(Long.MaxValue).as("d"), lit(Int.MaxValue).as("cid")).as("m2")),
+      (acc, i) => {
+        val d = dist(col("c"), element_at(cl, i))
+        val cand = struct(d.as("d"), element_at(cidArr, i).as("cid"))
+        when(d < acc.getField("m1").getField("d"),
+          struct(cand.as("m1"), acc.getField("m1").as("m2")))
+          .when(d < acc.getField("m2").getField("d"),
+            struct(acc.getField("m1").as("m1"), cand.as("m2")))
+          .otherwise(acc)
+      })
+    vecs.select(col(idCol).cast("long").as("id"), col(codesCol).as("c"))
+      .select(col("id"), two.as("t"))
+      .select(col("t.m1.cid").as("cluster"),
+        col("t.m1.d").as("a"), col("t.m2.d").as("b"))
       .withColumn("__s", when(greatest(col("a"), col("b")) === 0L, lit(0.0))
         .otherwise((col("b") - col("a")).cast("double") /
           greatest(col("a"), col("b")).cast("double"))
         .cast("decimal(18,8)"))
-    s.groupBy(col("cluster"))
+      .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_points"), sum("__s").as("__ss"))
       .select(col("cluster").cast("long").as("cluster"), col("n_points"),
         round(col("__ss").cast("double") / col("n_points"), 6)
