@@ -2472,6 +2472,15 @@ object SparkEntry {
           col("vec_id"), col("dist_num"))
         .orderBy("seed_rank")
     }),
+    // PassJoin: LOSSLESS typo-threshold edit join via segment signatures
+    // (pigeonhole on d+1 segments) — no in-block self-join anywhere; the
+    // oracle replays the naive quadratic definition and must agree exactly
+    "x219_passjoin_pairs" -> ((s, dir) => {
+      reg(s, dir)
+      Dedup.passJoinPairs(s.table("documents"), "text", "doc_id",
+          blockCol = "source", maxDist = 2, prefixLen = 40)
+        .orderBy("id_a", "id_b")
+    }),
     // Jones-Plassmann coloring of the part-CHAIN graph (consecutive
     // lineitems, x180's construction — degree ~6, where JP's expected
     // O(log n) rounds hold; the dense copurchase projection stalls a
@@ -7131,6 +7140,22 @@ object SparkEntry {
              CAST(COUNT(*) AS BIGINT) AS n_points,
              ROUND(CAST(SUM(s2) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
       FROM sil GROUP BY 1 ORDER BY cluster""",
+
+    // PassJoin oracle: the NAIVE quadratic definition — every same-source
+    // pair within the length prefilter, full levenshtein — which the
+    // segment-signature path must reproduce exactly (losslessness IS the
+    // contract; the recall proof is this hash equality plus the
+    // PropertySpec brute-force replay)
+    "x219_passjoin_pairs" -> """
+      WITH t AS (
+        SELECT doc_id AS id, SUBSTR(text, 1, 40) AS p, source AS b
+        FROM documents WHERE text IS NOT NULL)
+      SELECT a.id AS id_a, c.id AS id_b,
+             CAST(levenshtein(a.p, c.p) AS INT) AS dist
+      FROM t a JOIN t c ON a.b = c.b AND a.id < c.id
+        AND ABS(LENGTH(a.p) - LENGTH(c.p)) <= 2
+      WHERE levenshtein(a.p, c.p) <= 2
+      ORDER BY id_a, id_b""",
 
     // JP coloring: 12 unrolled MATERIALIZED rounds — beaten set, winners,
     // neighbor-color first-gap fold, union/anti bookkeeping — over the

@@ -644,6 +644,108 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** PassJoin (Li, Deng & Feng, ICDE 2011): LOSSLESS small-distance edit
+    * join via segment signatures — the scale path for typo-level
+    * thresholds (`maxDist` ≤ ~4, entity names, titles, URLs) where
+    * [[editDistancePairs]]' in-block quadratic is overkill. Pigeonhole:
+    * split each string into `maxDist + 1` contiguous segments; ≤ maxDist
+    * edits cannot touch every segment, so two strings within the
+    * threshold share at least one segment VERBATIM at a position shifted
+    * by at most maxDist. Candidates therefore come from an equi-join on
+    * (block, target-length, segment-index, segment-content) — the
+    * shorter side publishes its d+1 segments, the longer side publishes
+    * the substrings those segments could land on ((d+1)·(2d+1) probes
+    * per target length, (d+1)²·(2d+1) rows per string at most — constant
+    * fan-out, NO in-block self-join anywhere) — and only candidates pay
+    * the banded-levenshtein verify. Recall is exactly 100%: the x219
+    * property test replays random corpora against the brute-force
+    * definition.
+    *
+    * Pairs whose SHORTER side is under `maxDist + 1` chars can't carry
+    * d+1 non-empty segments; both sides of such a pair are ≤ 2·maxDist
+    * chars (length filter), so they route through a tiny all-pairs
+    * fallback over that length class — disjoint from the segment path
+    * (shorter ≥ d+1 there), together exhaustive.
+    *
+    * Shape at 100 TB: two generator explodes with constant fan-out, one
+    * equi-join on slim signature keys, a candidate distinct, two
+    * id-keyed joins to fetch prefixes, one banded DP per candidate. The
+    * signature join inherits the corpus' duplication skew on (segment,
+    * length) keys the way every signature scheme does — at typo
+    * thresholds the key carries ⌈l/(d+1)⌉ chars, selective by
+    * construction; the distance contract is over `prefixLen`-capped
+    * prefixes, same as [[editDistancePairs]]. */
+  def passJoinPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, maxDist: Int, prefixLen: Int = 80,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8, s"maxDist $maxDist out of [1,8]")
+    require(prefixLen >= maxDist + 1, s"prefixLen $prefixLen too short")
+    val d = maxDist
+    val dp1 = d + 1
+    val rows = staging.stage(df
+      .select(col(idCol).as("id"),
+        substring(col(textCol), 1, prefixLen).as("p"), col(blockCol).as("b"))
+      .filter(col("p").isNotNull)
+      .withColumn("l", length(col("p"))), "pj-rows")
+    // balanced split of a length-L string into d+1 segments: the first
+    // (d+1 − L mod (d+1)) take ⌊L/(d+1)⌋ chars, the rest one more
+    def segStart(lExpr: String, i: String) =
+      s"1 + ($i - 1) * ($lExpr div $dp1) + greatest(0, $i - 1 - ($dp1 - $lExpr % $dp1))"
+    def segLen(lExpr: String, i: String) =
+      s"($lExpr div $dp1) + IF($i > $dp1 - $lExpr % $dp1, 1, 0)"
+    // index side: each string of length >= d+1 publishes its d+1 segments
+    val idx = rows.filter(col("l") >= dp1)
+      .select(col("b"), col("l"), col("id").as("sid"), col("p"),
+        explode(expr(
+          s"""transform(sequence(1, $dp1), i -> named_struct(
+              'i', i, 'st', ${segStart("l", "i")}, 'ln', ${segLen("l", "i")}))"""))
+          .as("sg"))
+      .select(col("b"), col("l"), col("sg.i").as("i"),
+        expr("substring(p, sg.st, sg.ln)").as("seg"), col("sid"))
+    // probe side: each string publishes, for every candidate partner
+    // length tl in [max(d+1, l−d), l], the substrings segment i of a
+    // length-tl string could occupy here (start shifted by at most d)
+    val prb = rows.filter(col("l") >= dp1)
+      .select(col("b"), col("id").as("rid"), col("p"), col("l").as("lr"),
+        explode(expr(
+          s"""flatten(transform(sequence(greatest($dp1, l - $d), l), tl ->
+                flatten(transform(sequence(1, $dp1), i ->
+                  transform(sequence(
+                      greatest(1, ${segStart("tl", "i")} - $d),
+                      least(l - (${segLen("tl", "i")}) + 1,
+                            ${segStart("tl", "i")} + $d)),
+                    s -> named_struct('tl', tl, 'i', i, 's', s,
+                      'ln', ${segLen("tl", "i")}))))))"""))
+          .as("pc"))
+      .select(col("b"), col("pc.tl").as("l"), col("pc.i").as("i"),
+        expr("substring(p, pc.s, pc.ln)").as("seg"), col("rid"), col("lr"))
+    val segCands = idx.join(prb, Seq("b", "l", "i", "seg"))
+      // index side is the shorter (or equal-with-id-order) string — each
+      // unordered pair survives exactly one orientation
+      .filter(col("l") < col("lr") ||
+        (col("l") === col("lr") && col("sid") < col("rid")))
+      .select(col("b"), least(col("sid"), col("rid")).as("ia"),
+        greatest(col("sid"), col("rid")).as("ib"))
+    // short-pair fallback: a pair whose shorter side has < d+1 chars has
+    // both sides <= 2d chars — all-pairs over that tiny length class
+    val shortA = rows.filter(col("l") <= d)
+      .select(col("b"), col("id").as("sid"), col("l").as("la"))
+    val shortB = rows.filter(col("l") <= 2 * d)
+      .select(col("b"), col("id").as("rid"), col("l").as("lb"))
+    val shortCands = shortA.join(shortB, Seq("b"))
+      .filter(col("sid") =!= col("rid") &&
+        abs(col("la") - col("lb")) <= d)
+      .select(col("b"), least(col("sid"), col("rid")).as("ia"),
+        greatest(col("sid"), col("rid")).as("ib"))
+    segCands.unionByName(shortCands).distinct()
+      .join(rows.select(col("id").as("ia"), col("p").as("p_a")), Seq("ia"))
+      .join(rows.select(col("id").as("ib"), col("p").as("p_b")), Seq("ib"))
+      .withColumn("dist", expr(s"levenshtein(p_a, p_b, $d)"))
+      .filter(col("dist") >= 0)
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        col("dist").cast("int").as("dist"))
+  }
+
   /** Token-level LCS similarity verify over the SAME blocking as
     * [[editDistancePairs]] (per-source × length-band, capped + audited):
     * for each in-block pair, the longest common TOKEN subsequence of the

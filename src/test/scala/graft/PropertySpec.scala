@@ -440,4 +440,39 @@ class PropertySpec extends AnyFunSuite {
       row.getLong(0) == n && okRho
     })
   }
+
+  test("passJoinPairs is LOSSLESS vs brute-force banded levenshtein " +
+    "(random lengths incl. the short-string fallback, ties, blocks)") {
+    // small alphabet forces near-misses; lengths 0..12 cross the
+    // fallback boundary (l <= 2d) and the segment path repeatedly
+    val genDoc: Gen[String] = Gen.choose(0, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val genCase: Gen[(List[(String, String)], Int)] = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(genDoc, Gen.oneOf("u", "v"))).map(_.take(14)),
+      Gen.choose(1, 3))
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    check(Prop.forAll(genCase) { case (docs, d) =>
+      val rows = docs.zipWithIndex.map { case ((t, blk), i) => (i.toLong, t, blk) }
+      val df = rows.toDF("doc_id", "text", "blk")
+      val got = graft.x.Dedup
+        .passJoinPairs(df, "text", "doc_id", "blk", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val want = (for {
+        (a, ia) <- rows.map(r => (r, r._1))
+        (b, ib) <- rows.map(r => (r, r._1))
+        if ia < ib && a._3 == b._3
+        dist = lev(a._2, b._2)
+        if dist <= d
+      } yield (ia, ib) -> dist).toMap
+      got == want
+    })
+  }
 }
