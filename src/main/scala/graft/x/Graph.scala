@@ -401,10 +401,15 @@ object Graph {
     // d(d−1)/2 struct array (the flatten(transform(transform(struct)))
     // form measured 1.8× slower: it builds and copies every pair struct
     // before the generator streams them)
+    // the per-wedge term rides as a FIXED-POINT LONG (the DECIMAL(18,8)
+    // quantization × 1e8 — an exact integer): the hot (a, b) aggregate
+    // sums plain longs instead of wide decimals, and the final
+    // sum/1e8 double is bit-identical to casting the decimal sum (the
+    // long total stays exact below 2^53 for any maxCenterDegree ≤ ~6e7)
     adjList
       .select(col("__ns"),
-        (lit(1.0) / log(size(col("__ns")).cast("double")))
-          .cast("decimal(18,8)").as("__t"),
+        ((lit(1.0) / log(size(col("__ns")).cast("double")))
+          .cast("decimal(18,8)") * lit(100000000L)).cast("long").as("__t"),
         explode(expr("sequence(1, size(__ns) - 1)")).as("__i"))
       .select(col("__t"),
         expr("element_at(__ns, __i)").as("a"),
@@ -413,7 +418,7 @@ object Graph {
       .agg(sum("__t").as("__aa"), count(lit(1)).cast("long").as("common"))
       .join(e, Seq("a", "b"), "left_anti")
       .select(col("a"), col("b"), col("common"),
-        col("__aa").cast("double").as("aa"))
+        (col("__aa").cast("double") / lit(1e8)).as("aa"))
       .orderBy(col("aa").desc, col("a"), col("b"))
       .limit(topN)
   }
