@@ -454,41 +454,57 @@ object EventAnalytics {
     * normalize if they want Σw = 1). Items that never win converge to 0
     * — correct MLE behavior, not an error.
     *
-    * Shape per round: one symmetric join of the games list to the
-    * current strengths on EACH side + one item-keyed sum — the
-    * [[graft.x.Graph.pageRank]] exchange pattern; strengths are one row
-    * per item, games one row per pair. */
+    * Shape per round: the games list is staged ONCE hash(i)-sorted (the
+    * [[graft.x.Graph.pageRank]] pinned-layout discipline), and the
+    * strengths frame — one row per ITEM, orders of magnitude below the
+    * games frame — joins both endpoints by BROADCAST whenever the item
+    * count fits `broadcastItemLimit` (≤ ~16 MB of (id, decimal) rows at
+    * the 1M default): the per-opponent term is then computed map-side
+    * and the denominator sum aggregates IN PLACE on the staged hash(i)
+    * layout — zero exchanges of the games frame per round. Past the
+    * limit the joins fall back to shuffles, the correct plan for two
+    * genuinely big sides. */
   def bradleyTerry(prefs: DataFrame, winnerCol: String, loserCol: String,
-      nCol: String, iters: Int = 3): DataFrame = {
+      nCol: String, iters: Int = 3,
+      broadcastItemLimit: Long = 1000000L,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters $iters out of range")
     val d188 = "decimal(18,8)"
     val p = prefs.select(col(winnerCol).cast("long").as("w"),
       col(loserCol).cast("long").as("l"), col(nCol).cast("long").as("n"))
-    val games = p.select(col("w").as("i"), col("l").as("j"), col("n"))
-      .unionByName(p.select(col("l").as("i"), col("w").as("j"), col("n")))
-      .groupBy("i", "j").agg(sum("n").as("n"))
-      .localCheckpoint(true)
+    // repartition BEFORE the dedup agg: hash(i) satisfies the (i, j)
+    // grouping (subset rule), so one shuffle yields the symmetric games
+    // list already in the per-round join/agg layout
+    val games = staging.stage(
+      p.select(col("w").as("i"), col("l").as("j"), col("n"))
+        .unionByName(p.select(col("l").as("i"), col("w").as("j"), col("n")))
+        .repartition(col("i"))
+        .groupBy("i", "j").agg(sum("n").as("n"))
+        .sortWithinPartitions("i"), "bt-games")
     val wins = p.groupBy(col("w").as("i")).agg(sum("n").as("wins"))
-    var str = games.select(col("i")).distinct()
+    var str = staging.stage(games.select(col("i")).distinct()
       .withColumn("s", lit(1L).cast(d188))
       .join(wins, Seq("i"), "left")
-      .withColumn("wins", coalesce(col("wins"), lit(0L)))
-      .localCheckpoint(true)
+      .withColumn("wins", coalesce(col("wins"), lit(0L))), "bt-str-0")
+    // one driver scalar decides the per-round join strategy for the run
+    val bcastItems = str
+      .limit(math.min(broadcastItemLimit + 1, Int.MaxValue.toLong).toInt)
+      .count() <= broadcastItemLimit
+    def side(df: DataFrame): DataFrame = if (bcastItems) broadcast(df) else df
     for (k <- 1 to iters) {
       val denom = games
-        .join(str.select(col("i"), col("s").as("__si")), Seq("i"))
-        .join(str.select(col("i").as("j"), col("s").as("__sj")), Seq("j"))
+        .join(side(str.select(col("i"), col("s").as("__si"))), Seq("i"))
+        .join(side(str.select(col("i").as("j"), col("s").as("__sj"))), Seq("j"))
         .withColumn("__t", (col("n").cast("double") /
           (col("__si").cast("double") + col("__sj").cast("double")))
           .cast(d188))
         .groupBy("i").agg(sum("__t").as("__d"))
-      str = str.drop("s").join(denom, Seq("i"), "left")
+      str = staging.stage(str.drop("s").join(denom, Seq("i"), "left")
         .withColumn("s",
           when(col("__d").isNull || col("__d") === 0, lit(0L).cast(d188))
             .otherwise((col("wins").cast("double") /
               col("__d").cast("double")).cast(d188)))
-        .drop("__d")
-        .localCheckpoint(true)
+        .drop("__d"), s"bt-str-$k")
     }
     str.select(col("i").as("item"), col("wins"),
       col("s").cast("double").as("strength"))
@@ -557,10 +573,14 @@ object EventAnalytics {
     * represent). One (i,j)-keyed full-outer self-merge of the directed
     * count frame + one item-keyed sum. */
   def copelandScores(prefs: DataFrame, winnerCol: String, loserCol: String,
-      nCol: String): DataFrame = {
-    val dir = prefs.select(col(winnerCol).cast("long").as("i"),
-        col(loserCol).cast("long").as("j"), col(nCol).cast("long").as("n"))
-      .groupBy("i", "j").agg(sum("n").as("n"))
+      nCol: String,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    // staged: both orientations of the full-outer join read `dir` — the
+    // input aggregation must run once, not per side
+    val dir = staging.stage(
+      prefs.select(col(winnerCol).cast("long").as("i"),
+          col(loserCol).cast("long").as("j"), col(nCol).cast("long").as("n"))
+        .groupBy("i", "j").agg(sum("n").as("n")), "cope-dir")
     val fwd = dir.select(col("i"), col("j"), col("n").as("nij"))
     val rev = dir.select(col("j").as("i"), col("i").as("j"),
       col("n").as("nji"))
