@@ -200,6 +200,38 @@ object ScaleProbe {
         f"uncapped=$tU%6.2fs pairs=$uncapped")
       spark.catalog.clearCache()
     }
+    // (b2) PassJoin vs the in-block quadratic at a TYPO threshold (d=2):
+    //     same one-block worst case; the segment-signature path draws
+    //     candidates from (length, segment) equality — growth tracks the
+    //     corpus, not its square — while the uncapped self-join pays
+    //     n²/2 banded-DP candidates. Both are lossless, so the pair
+    //     counts printed MUST match — the probe doubles as an
+    //     equivalence check on a corpus 100× the property test's.
+    //     Sentinel one-substitution copies guarantee dist-1 pairs exist.
+    if (on("passjoin")) Seq(1, 4, 16).foreach { k =>
+      val base0 = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _).limit(500 * k)
+      val sentinels = docs.limit(100)
+        .withColumn("doc_id", col("doc_id") + 90000000L)
+        .withColumn("text", concat(lit("q"), expr("substring(text, 2)")))
+      val oneBlock = base0.unionByName(sentinels)
+        .withColumn("blk", lit("all"))
+        .repartition(32).localCheckpoint(true)
+      val n = oneBlock.count()
+      var t0 = System.nanoTime()
+      val pj = Dedup.passJoinPairs(oneBlock, "text", "doc_id", "blk",
+        maxDist = 2).count()
+      val tP = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val ed = Dedup.editDistancePairs(oneBlock, "text", "doc_id", "blk",
+        maxDist = 2, maxBlock = Int.MaxValue).count()
+      val tE = (System.nanoTime() - t0) / 1e9
+      val tag = if (pj == ed) "agree" else "MISMATCH"
+      println(f"[scale-passjoin] docs=$n%5d  passjoin=$tP%6.2fs pairs=$pj  " +
+        f"quadratic=$tE%6.2fs pairs=$ed  [$tag]")
+      spark.catalog.clearCache()
+    }
 
     // (c) mass-duplicate embedding bucket: half the corpus shares ONE
     //     vector (the zero-vector / boilerplate-embedding batch), so one
