@@ -429,7 +429,33 @@ class GraphSpec extends AnyFunSuite {
       assert(kmShuffles.isEmpty,
         s"kmeansLloyd assignment shuffled the points:\n${km.queryExecution.executedPlan}")
 
+      // the rest of the staged-layout traversal family: rounds/steps >= 2
+      // must read the pinned hash(src) edge layout without re-exchange
+      val spCap = new PlanCapture
+      val sp = Graph.shortestPaths(wEdges, "src", "dst", "w",
+        sources = Seq(1L), rounds = 2, staging = spCap)
+      val sp2 = spCap.plans("sssp-d2")
+      val ewc = Seq("src", "dst", "w")
+      assert(hasEdgeScan(sp2, ewc), s"sssp round 2 lost the edge scan:\n$sp2")
+      assert(edgeSideShuffles(sp2, ewc).isEmpty,
+        s"shortestPaths round 2 re-shuffled the staged edges:\n$sp2")
+      val rwCap = new PlanCapture
+      val rw = Graph.randomWalks(dEdges, "src", "dst", steps = 2,
+        walksPerNode = 2, staging = rwCap)
+      val rw2 = rwCap.plans("walk-2")
+      assert(hasEdgeScan(rw2), s"walk step 2 lost the edge scan:\n$rw2")
+      assert(edgeSideShuffles(rw2).isEmpty,
+        s"randomWalks step 2 re-shuffled the staged edges:\n$rw2")
+      val bfsCap = new PlanCapture
+      val bfs = Graph.bfsHops(dEdges, "src", "dst", Seq(1L), maxHops = 2,
+        staging = bfsCap)
+      val bfs2 = bfsCap.plans("bfs-v2")
+      assert(hasEdgeScan(bfs2), s"bfs hop 2 lost the edge scan:\n$bfs2")
+      assert(edgeSideShuffles(bfs2).isEmpty,
+        s"bfsHops hop 2 re-shuffled the staged edges:\n$bfs2")
+
       // the layouts are pure plumbing: every op still returns sane rows
+      assert(sp.count() >= 1 && rw.count() >= 1 && bfs.count() >= 1)
       assert(hits.count() == 4)
       val sccRows = scc.collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
