@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val rest = args.drop(1).filterNot(_.startsWith("--"))
+    val rest = args.drop(1).filter(a => a.nonEmpty && !a.startsWith("--"))
     val (numArgs, nameArgs) = rest.partition(_.forall(_.isDigit))
     val names =
       if (nameArgs.contains("all")) graft.SparkEntry.queries.keys.toSeq.sorted

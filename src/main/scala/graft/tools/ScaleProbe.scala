@@ -212,7 +212,11 @@ object ScaleProbe {
       val base0 = (0 until k).map(i =>
         docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
         .reduce(_ unionByName _).limit(500 * k)
-      val sentinels = docs.limit(100)
+        .localCheckpoint(true)
+      // sentinels derive FROM the kept corpus (limit is unordered — an
+      // independent docs.limit(100) could pick rows base0 dropped,
+      // silently voiding the dist-1 guarantee)
+      val sentinels = base0.limit(100)
         .withColumn("doc_id", col("doc_id") + 90000000L)
         .withColumn("text", concat(lit("q"), expr("substring(text, 2)")))
       val oneBlock = base0.unionByName(sentinels)

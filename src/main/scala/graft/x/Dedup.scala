@@ -506,7 +506,7 @@ object Dedup {
     *   1. blocking + bounded verify — [[editDistancePairs]] within
     *      `blockCol` (pick it the way a real MDM pipeline does: region ×
     *      name prefix…), banded levenshtein ≤ `maxDist`, `maxBlock` skew
-    *      cap + [[oversizedBlocks]] audit, all inherited;
+    *      cap + [[oversizedPrefixBlocks]] audit, all inherited;
     *   2. transitive closure — [[connectedComponents]] labels each
     *      member with the cluster's minimum id;
     *   3. canonical selection — the minimum-id member represents the
@@ -545,14 +545,32 @@ object Dedup {
       .drop(idCol)
   }
 
-  /** Audit surface for [[editDistancePairs]]' block cap: blocks whose row
-    * count exceeds `maxBlock`, with the sub-band fan-out each one gets —
-    * callers see exactly where the quadratic was bounded. */
+  /** Generic block-cap audit: blocks whose ROW count exceeds `maxBlock`,
+    * with the sub-band fan-out each one gets. NOTE: since the r9
+    * exact-prefix collapse, [[editDistancePairs]]' salting decision keys
+    * on DISTINCT (block, prefix) counts, not raw rows — audit that cap
+    * with [[oversizedPrefixBlocks]], which replays the operator's own
+    * collapsed frame; this raw-row form remains the audit for ops that
+    * cap on rows (and the general-purpose block profiler). */
   def oversizedBlocks(df: DataFrame, blockCol: String, maxBlock: Int): DataFrame =
     df.groupBy(col(blockCol).as("b")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBlock)
       .withColumn("sub_bands", ceil(col("n") / maxBlock).cast("int"))
       .orderBy(col("n").desc)
+
+  /** THE audit surface for [[editDistancePairs]]' cap: blocks whose
+    * DISTINCT-prefix count exceeds `maxBlock` — computed over exactly
+    * the collapsed (block, substring(text, 1, prefixLen)) frame the
+    * operator salts on, so a flagged block here IS a salted
+    * (recall-degraded, 1/sub_bands) block there and an unflagged block
+    * ran at full recall. Pass the SAME prefixLen/maxBlock as the
+    * operator call. */
+  def oversizedPrefixBlocks(df: DataFrame, textCol: String,
+      blockCol: String, maxBlock: Int, prefixLen: Int = 80): DataFrame =
+    oversizedBlocks(
+      df.select(col(blockCol).as("__b"),
+          substring(col(textCol), 1, prefixLen).as("__p")).distinct(),
+      "__b", maxBlock)
 
   /** Typo-level fuzzy duplicate pairs: edit distance ≤ `maxDist` over
     * text PREFIXES, within blocks — catches character-level corruption
@@ -594,9 +612,10 @@ object Dedup {
     // Block-size cap (skew guard): join cost is Σ|block|², so ONE dominant
     // block — a crawl with 90% of docs from a single (source × length-band)
     // — re-creates the quadratic the blocking scheme exists to divide.
-    // Blocks over `maxBlock` DISTINCT PREFIXES (post-collapse — audit with
-    // [[oversizedBlocks]] over the distinct (block, prefix) frame; raw-row
-    // counts would re-flag mass duplication the collapse already absorbed)
+    // Blocks over `maxBlock` DISTINCT PREFIXES (post-collapse — audit
+    // with [[oversizedPrefixBlocks]], which replays this exact frame;
+    // raw-row counts would re-flag mass duplication the collapse
+    // already absorbed)
     // are deterministically sub-banded by representative-id hash into
     // ⌈n/maxBlock⌉ salts and group pairs form only within a salt: every
     // row is kept, cost drops from n² to ~n·maxBlock, and the recall
@@ -737,9 +756,14 @@ object Dedup {
         abs(col("la") - col("lb")) <= d)
       .select(col("b"), least(col("sid"), col("rid")).as("ia"),
         greatest(col("sid"), col("rid")).as("ib"))
+    // prefix fetch joins include the BLOCK key: ids only unique per
+    // block (a natural shape under per-source id spaces) must not leak
+    // another block's text into the verify
     segCands.unionByName(shortCands).distinct()
-      .join(rows.select(col("id").as("ia"), col("p").as("p_a")), Seq("ia"))
-      .join(rows.select(col("id").as("ib"), col("p").as("p_b")), Seq("ib"))
+      .join(rows.select(col("b"), col("id").as("ia"), col("p").as("p_a")),
+        Seq("b", "ia"))
+      .join(rows.select(col("b"), col("id").as("ib"), col("p").as("p_b")),
+        Seq("b", "ib"))
       .withColumn("dist", expr(s"levenshtein(p_a, p_b, $d)"))
       .filter(col("dist") >= 0)
       .select(col("ia").as("id_a"), col("ib").as("id_b"),

@@ -469,6 +469,8 @@ object EventAnalytics {
       broadcastItemLimit: Long = 1000000L,
       staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters $iters out of range")
+    require(broadcastItemLimit >= 0,
+      s"broadcastItemLimit must be >= 0, got $broadcastItemLimit")
     val d188 = "decimal(18,8)"
     val p = prefs.select(col(winnerCol).cast("long").as("w"),
       col(loserCol).cast("long").as("l"), col(nCol).cast("long").as("n"))
@@ -486,10 +488,12 @@ object EventAnalytics {
       .withColumn("s", lit(1L).cast(d188))
       .join(wins, Seq("i"), "left")
       .withColumn("wins", coalesce(col("wins"), lit(0L))), "bt-str-0")
-    // one driver scalar decides the per-round join strategy for the run
-    val bcastItems = str
-      .limit(math.min(broadcastItemLimit + 1, Int.MaxValue.toLong).toInt)
-      .count() <= broadcastItemLimit
+    // one driver scalar decides the per-round join strategy for the run.
+    // The probe limit is clamped to Int range BEFORE the +1 so sentinel
+    // values like Long.MaxValue can't wrap; limits past Int.MaxValue−1
+    // behave as "always broadcast" (a limit() can't count higher anyway)
+    val probeLimit = math.min(broadcastItemLimit, Int.MaxValue.toLong - 1).toInt
+    val bcastItems = str.limit(probeLimit + 1).count() <= broadcastItemLimit
     def side(df: DataFrame): DataFrame = if (bcastItems) broadcast(df) else df
     for (k <- 1 to iters) {
       val denom = games

@@ -373,15 +373,17 @@ object Graph {
     * quantized to DECIMAL(18,8), so the per-pair sum is
     * association-free; the top-N cut orders by (aa DESC, a, b) — a
     * total order. Shape: one canonical-edge dedup (staged — it feeds the
-    * adjacency build twice and the final anti-join), ONE shuffle
-    * grouping the adjacency into per-center SORTED neighbor lists
-    * (degree = list size, so no separate degree aggregate or join), a
-    * two-level generator over each capped list (anchor index, then the
-    * sorted suffix slice — a < b for free), one (a, b) agg, an anti-join
-    * against the edge set, TakeOrderedAndProject. The list-explode
-    * replaces the former center-keyed self-join — one exchange instead
-    * of two probe sides over the fattest frame, same wedges, measured
-    * ~20% faster at sf0.1 and structurally cheaper at scale. */
+    * adjacency build twice and the final anti-join), a constant-size
+    * degree aggregate whose cap filter drops hub adjacency rows BEFORE
+    * any fan-out (a mega-hub never reaches the list aggregation), one
+    * shuffle grouping the surviving adjacency into per-center SORTED
+    * neighbor lists, a two-level generator over each capped list (anchor
+    * index, then the sorted suffix slice — a < b for free), one (a, b)
+    * agg, an anti-join against the edge set, TakeOrderedAndProject. The
+    * list-explode replaces the former center-keyed self-join — one
+    * exchange instead of two probe sides over the fattest frame, same
+    * wedges, measured ~20% faster at sf0.1 and structurally cheaper at
+    * scale. */
   def adamicAdar(edgesIn: DataFrame, srcCol: String, dstCol: String,
       maxCenterDegree: Int = 1000, topN: Int = 100,
       staging: Staging = Staging.LocalCheckpoint): DataFrame = {
@@ -390,12 +392,19 @@ object Graph {
     val e = staging.stage(canonicalEdges(edgesIn, srcCol, dstCol), "aa-edges")
     val adj = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+    // hub guard BEFORE any fan-out: degrees are a constant-size count
+    // aggregate, and over-cap centers' adjacency rows drop at this join —
+    // a 10M-neighbor hub never reaches the list aggregation below (which
+    // would otherwise buffer its full neighbor array before the size
+    // filter could discard it)
+    val kept = adj.join(
+      adj.groupBy("w").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg").between(2, maxCenterDegree)).select("w"), "w")
     // e is canonical-distinct, so the per-center neighbor sets need no
-    // re-dedup; the cap bounds both the collected list (≤ maxCenterDegree
-    // ids per row) and the pair fanout (≤ d·(d−1)/2 wedges per center)
-    val adjList = adj.groupBy("w")
+    // re-dedup; post-guard, the collected list is ≤ maxCenterDegree ids
+    // and the pair fanout ≤ d·(d−1)/2 wedges per center
+    val adjList = kept.groupBy("w")
       .agg(sort_array(collect_list(col("n"))).as("__ns"))
-      .filter(size(col("__ns")).between(2, maxCenterDegree))
     // two-level explode: anchor index i, then the SORTED suffix slice —
     // a < b for free, and no per-center materialization of the full
     // d(d−1)/2 struct array (the flatten(transform(transform(struct)))
@@ -1032,11 +1041,13 @@ object Graph {
     * driver beyond empty-frontier probes. `maxRounds`/`maxDepth` bound
     * the loops; BOTH budget exhaustions are audited, never silent:
     * blocks still active at `maxRounds`, and blocks whose forward or
-    * backward BFS still had a non-empty frontier at `maxDepth` (a
-    * truncated closure under-reaches, so that block's settle/split is
-    * untrustworthy — the whole block is pulled out instead), are emitted
-    * with `converged = false` and their block-min as a provisional
-    * label. */
+    * backward BFS was genuinely depth-truncated — the final frontier
+    * still had UNVISITED successors at `maxDepth`, checked by one extra
+    * expansion probe so a closure that completes exactly on the last
+    * permitted depth stays exact (a truncated closure under-reaches, so
+    * that block's settle/split is untrustworthy — the whole block is
+    * pulled out instead) — are emitted with `converged = false` and
+    * their block-min as a provisional label. */
   def stronglyConnectedComponents(edgesIn: DataFrame, srcCol: String,
       dstCol: String, maxRounds: Int = 10, maxDepth: Int = 30,
       staging: Staging = Staging.LocalCheckpoint): DataFrame = {
@@ -1096,9 +1107,12 @@ object Graph {
       val pivots = staging.stage(
         active.groupBy("block").agg(min("node").as("node")),
         s"scc-pivots-$round")
-      // returns (closure, blocks whose BFS was DEPTH-TRUNCATED — frontier
-      // still non-empty at maxDepth). A truncated closure under-reaches,
-      // so classifications derived from it for that block are unsafe.
+      // returns (closure, blocks whose BFS was DEPTH-TRUNCATED). A
+      // truncated closure under-reaches, so classifications derived from
+      // it for that block are unsafe. Truncation is decided by ONE extra
+      // expansion probe of the final frontier, not by mere frontier
+      // non-emptiness: a closure that completes exactly at maxDepth (the
+      // last frontier has no unvisited successors) stays exact.
       def closure(reversed: Boolean): (DataFrame, DataFrame) = {
         val (f, t) = if (reversed) ("dst", "src") else ("src", "dst")
         val be = if (reversed) beB else beF
@@ -1106,18 +1120,22 @@ object Graph {
           s"scc-c$reversed-0-$round")
         var frontier = visited
         var depth = 0
+        def expand(fr: DataFrame, vis: DataFrame): DataFrame = be
+          .join(fr.select(col("node").as(f), col("block")), Seq(f, "block"))
+          .select(col(t).as("node"), col("block")).distinct()
+          .join(vis, Seq("node", "block"), "left_anti")
         while (depth < maxDepth && !frontier.isEmpty) {
           depth += 1
-          val next = be
-            .join(frontier.select(col("node").as(f), col("block")),
-              Seq(f, "block"))
-            .select(col(t).as("node"), col("block")).distinct()
-            .join(visited, Seq("node", "block"), "left_anti")
+          val next = expand(frontier, visited)
           visited = staging.stage(visited.unionByName(next),
             s"scc-c$reversed-$depth-$round")
           frontier = next
         }
-        (visited, frontier.select("block").distinct())
+        val truncated =
+          if (frontier.isEmpty) frontier.select("block").distinct()
+          else staging.stage(expand(frontier, visited).select("block").distinct(),
+            s"scc-trunc$reversed-$round")
+        (visited, truncated)
       }
       val (fwd, fTrunc) = closure(reversed = false)
       val (bwd, bTrunc) = closure(reversed = true)

@@ -592,6 +592,20 @@ class GraphSpec extends AnyFunSuite {
       .toMap
     assert(ok === (1L to 5L).map(_ -> ((1L, true))).toMap,
       s"5-cycle must settle at depth 5: $ok")
+    // a closure that completes EXACTLY at maxDepth is not truncation:
+    // chain 1->2->3 under maxDepth = 2 finishes its forward BFS on the
+    // last permitted depth (final frontier has no unvisited successors)
+    // and must settle all three singleton SCCs exactly — the extra
+    // expansion probe distinguishes this from the 5-cycle case above
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val exact = graft.x.Graph
+      .stronglyConnectedComponents(chain, "src", "dst",
+        maxRounds = 3, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(exact === Map(1L -> ((1L, true)), 2L -> ((2L, true)),
+      3L -> ((3L, true))),
+      s"chain at exact depth budget must settle singletons: $exact")
   }
 
   test("jpColoring: proper coloring (no monochrome edge), triangles take " +
