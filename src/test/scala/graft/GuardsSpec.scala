@@ -124,6 +124,34 @@ class GuardsSpec extends AnyFunSuite {
       over.head.getInt(2) == 4)
   }
 
+  test("editDistancePairs absorbs mass duplication via the prefix collapse; " +
+    "oversizedPrefixBlocks is the audit that matches the cap") {
+    import spark.implicits._
+    // 200 copies of ONE text + 3 distinct texts, all in one block: the
+    // raw-row audit flags the block, but the operator's distinct-prefix
+    // cap never salts (4 distinct prefixes), so recall stays full
+    val rows = (0 until 200).map(i => (i.toLong, "the same boilerplate text", "s")) ++
+      Seq((900L, "the same boilerplate texx", "s"),
+        (901L, "something else entirely here", "s"),
+        (902L, "zzz unrelated third string", "s"))
+    val df = rows.toDF("doc_id", "text", "source")
+    assert(Dedup.oversizedBlocks(df, "source", maxBlock = 50).count() == 1)
+    assert(Dedup.oversizedPrefixBlocks(df, "text", "source",
+      maxBlock = 50).isEmpty, "4 distinct prefixes must not flag at cap 50")
+    val pairs = Dedup.editDistancePairs(df, "text", "doc_id", "source",
+      maxDist = 2, maxBlock = 50)
+    // all 200·199/2 identical-copy pairs at dist 0, plus every copy
+    // paired with the 1-edit variant — nothing lost to salting
+    assert(pairs.filter(col("dist") === 0).count() == 200L * 199 / 2)
+    assert(pairs.filter(col("dist") === 1).count() == 200)
+    // and the distinct-prefix cap still salts genuine prefix diversity:
+    // 4 distinct prefixes over cap 2 -> flagged with 2 sub-bands
+    val pover = Dedup.oversizedPrefixBlocks(df, "text", "source",
+      maxBlock = 2).collect()
+    assert(pover.length == 1 && pover.head.getLong(1) == 4 &&
+      pover.head.getInt(2) == 2, s"got ${pover.mkString(",")}")
+  }
+
   test("operators stage through a durable path identically to local checkpoints") {
     val root = java.nio.file.Files.createTempDirectory("graft_staging").toString
     val st = new graft.util.Staging.PathStaging(root)
