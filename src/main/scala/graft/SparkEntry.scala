@@ -655,8 +655,12 @@ object SparkEntry {
     // split exists to prevent
     "x66_split_contamination" -> ((s, dir) => {
       reg(s, dir)
-      val split = Sampling.trainTestSplit(s.table("documents"), "doc_id",
-        testFraction = 0.1, validationFraction = 0.1)
+      // staged: the split assignment feeds both the train and test sides
+      // of the contamination join — truncate lineage so the hash split
+      // (and its upstream scan) evaluates once, not per consumer
+      val split = graft.util.Staging.LocalCheckpoint.stage(
+        Sampling.trainTestSplit(s.table("documents"), "doc_id",
+          testFraction = 0.1, validationFraction = 0.1), "x66-split")
       val train = split.filter(col("split") === "train")
       val testSide = split.filter(col("split") === "test")
       TextAnalysis.contaminationReport(train, testSide, "text", "doc_id", n = 3)
@@ -3231,9 +3235,17 @@ object SparkEntry {
     "x80_random_projection" -> ((s, dir) => {
       reg(s, dir)
       val signs = Similarity.jlSigns(64, 16)
-      val proj = s.table("embeddings").select(col("vec_id"),
-        Similarity.jlProject(col("embedding"), signs).cast("array<float>")
-          .as("pvec"))
+      // staged: the 1,024-term unrolled projection feeds BOTH the corpus
+      // side and the filtered query side of the top-k — without lineage
+      // truncation each consumer re-evaluates it (the multiply-consumed
+      // unstaged-frame defect class; at 100 TB the recompute doubles the
+      // dominant scan)
+      val proj = graft.util.Staging.LocalCheckpoint.stage(
+        Similarity.jlProjectCols(
+            s.table("embeddings").select("vec_id", "embedding"),
+            "embedding", signs, "pvec")
+          .withColumn("pvec", col("pvec").cast("array<float>")),
+        "x80-projected")
       val q = proj.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("pvec"))
       Similarity.bruteForceTopK(proj, q, "vec_id", "q_id", "pvec", k = 10)

@@ -1300,17 +1300,24 @@ object Dedup {
     * alone. A size-compatibility filter (`min ≥ threshold·max`) prunes
     * candidates the length bound already rejects. */
   def prefixFilterPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
+    // `sh` is deliberately NOT staged: it has no upstream shuffle (scan +
+    // explode), so its two consumers re-run a narrow pass — cheaper than
+    // materializing the exploded corpus. `sets` IS staged: it sits above
+    // the (shingle-join + doc-keyed collect) shuffles and feeds the prefix
+    // explode AND both verify-join sides — unstaged, that pipeline re-runs
+    // three times (three corpus shuffles at 100 TB instead of one).
     val sh = shingleHashes(df, textCol, idCol, n)
     val freq = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
-    val sets = sh.join(freq, "__sh")
+    val sets = staging.stage(sh.join(freq, "__sh")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__df"), col("__sh")))).as("__o"))
       .select(col(idCol),
         transform(col("__o"), e => e("__sh")).as("__set"),
-        size(col("__o")).as("__sz"))
+        size(col("__o")).as("__sz")), "ppjoin-ordered-sets")
     val pref = sets.select(col(idCol), col("__sz"),
       explode(slice(col("__set"), lit(1),
         (col("__sz") - ceil(lit(threshold) * col("__sz")) + 1).cast("int")))

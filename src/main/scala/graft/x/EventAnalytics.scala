@@ -530,7 +530,8 @@ object EventAnalytics {
     * collect (calendar-scale lists, not event-scale), one small
     * pair self-join; the DP never shuffles. */
   def dtwPairs(events: DataFrame, tsCol: String, seriesCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     def dtwCol(xs: Column, ys: Column): Column = {
       val n = size(xs)
       val firstRow = aggregate(
@@ -555,9 +556,12 @@ object EventAnalytics {
         to_date(col(tsCol)).as("__day"))
       .agg((sum(col(valueCol).cast("decimal(18,2)")) * 100)
         .cast("long").as("__cents"))
-    val seqs = daily.groupBy(col("series"))
+    // staged: the per-series sequence frame feeds BOTH sides of the pair
+    // self-join — truncate lineage so the daily aggregation + collect
+    // runs once, not per join side
+    val seqs = staging.stage(daily.groupBy(col("series"))
       .agg(transform(array_sort(collect_list(struct(col("__day").as("d"),
-        col("__cents").as("v")))), e => e.getField("v")).as("vs"))
+        col("__cents").as("v")))), e => e.getField("v")).as("vs")), "dtw-seqs")
     val a = seqs.select(col("series").as("series_a"), col("vs").as("__xs"))
     val b = seqs.select(col("series").as("series_b"), col("vs").as("__ys"))
     a.join(b, col("series_a") < col("series_b"))

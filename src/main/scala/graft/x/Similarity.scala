@@ -98,6 +98,28 @@ object Similarity {
     }.toIndexedSeq: _*)
   }
 
+  /** [[jlProject]] as a two-select frame transform: each output component
+    * is its own named column in the first select (its own codegen unit),
+    * and a second stacked select assembles the array. Numerically
+    * identical to `jlProject(...)` in one expression — the only
+    * difference is generated-code shape: one array() of outDim 64-term
+    * sums is a single dim×outDim-term expression tree whose first-run
+    * Janino compile dominates the job at small scale (and bloats every
+    * executor's code cache at large scale); per-component columns keep
+    * each generated method at `dim` terms. */
+  def jlProjectCols(df: DataFrame, vecCol: String,
+      signs: Array[Array[Double]], outCol: String): DataFrame = {
+    val dim = signs(0).length
+    val keep = df.columns.filterNot(_ == vecCol).map(col).toIndexedSeq
+    val comps = signs.zipWithIndex.map { case (row, j) =>
+      (1 to dim).map(i => element_at(col(vecCol), i).cast("double") * lit(row(i - 1)))
+        .reduce(_ + _).as(s"__jl$j")
+    }.toIndexedSeq
+    df.select(keep ++ comps: _*)
+      .select(keep :+ array(signs.indices.map(j => col(s"__jl$j")): _*)
+        .as(outCol): _*)
+  }
+
   /** Symmetric int8 quantization of a float vector: codes_i =
     * round(v_i / max|v| · 127), rounded as `floor(x + 0.5)` — one
     * deterministic IEEE expression with no banker's-rounding ambiguity,

@@ -319,12 +319,20 @@ object TextAnalysis {
     * terms are written in one fixed association order so the oracle's
     * IEEE arithmetic reproduces every weight. */
   def bm25(df: DataFrame, textCol: String, idCol: String,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     val terms = df.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
-    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val lens = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    // staged: tf feeds the document-frequency aggregate, the length
+    // aggregate, AND the final weight join — without truncation each
+    // consumer re-runs the tokenize-explode shuffle (at 100 TB that is
+    // the dominant pass, three times over). dl derives from tf (the sum
+    // of per-term counts IS the token count), so the explode runs once.
+    val tf = staging.stage(
+      terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")),
+      "bm25-tf")
+    val lens = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val stats = lens.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"),
       count(lit(1)).as("nd"))
@@ -438,9 +446,10 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, queries: DataFrame,
       textCol: String, idCol: String,
       qTextCol: String, qIdCol: String, k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     require(qIdCol != idCol, s"query id column must differ from doc id column ($idCol)")
-    val weights = bm25(docs, textCol, idCol, k1, b)
+    val weights = bm25(docs, textCol, idCol, k1, b, staging)
       .withColumn("__w", col("bm25").cast("decimal(18,8)"))
     val qTerms = queries.select(col(qIdCol),
       explode(array_distinct(filter(
