@@ -50,6 +50,94 @@ object PlanAudit {
     findings.toSeq
   }
 
+  /** Repeated-subtree detector for the multiply-consumed-unstaged-frame
+    * defect class: a plan fragment containing SHUFFLE work (aggregate,
+    * join, window, distinct, repartition, global sort) that appears under
+    * two or more parents with no materialization (localCheckpoint /
+    * cache / staged parquet) between — each consumer re-runs the
+    * producing pipeline, and at 100 TB the recompute multiplies the
+    * dominant pass per consumer. Rounds 8 and 9 each re-introduced this
+    * class by hand; this audit makes it mechanical
+    * (`PlanHygieneSpec` runs it over every registry query).
+    *
+    * Detection runs on the ANALYZED plan, not the optimized one: after
+    * optimization each consumer prunes and pushes into its copy of the
+    * shared fragment differently, so the duplicates are no longer
+    * canonically equal (exactly why Spark's exchange reuse does not
+    * rescue them either). In the analyzed plan the shared Dataset
+    * subtree appears verbatim under every consumer. Staged frames are
+    * LogicalRDD/InMemoryRelation leaves by the time the plan is built,
+    * so a staged self-join (the pair-join operators) does NOT flag —
+    * only genuinely re-evaluated shuffle pipelines do. Repeated
+    * shuffle-FREE fragments (a scan + explode read twice) are
+    * deliberately not findings: re-running a narrow pass is routinely
+    * cheaper than materializing it.
+    *
+    * Reported fragments are MAXIMAL: the walk stops at the highest
+    * repeated node, so one shared pipeline yields one finding, not one
+    * per operator inside it. Subquery-expression plans (scalar/EXISTS
+    * subqueries) are not walked — they are Spark-managed, deduplicated
+    * by the optimizer's CTE/subquery machinery. */
+  def repeatedSubtrees(df: DataFrame): Seq[Finding] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val plan = df.queryExecution.analyzed
+    def isShuffleNode(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: Join | _: Window | _: Distinct | _: Deduplicate |
+           _: RepartitionByExpression | _: Repartition |
+           _: Intersect | _: Except => true
+      case s: Sort => s.global
+      case _ => false
+    }
+    def hasShuffleWork(p: LogicalPlan): Boolean =
+      p.collectFirst { case n if isShuffleNode(n) => n }.isDefined
+    // Count occurrences by canonicalized form — but canonicalization
+    // COLLAPSES no-op operators (an identity or rename-only Project
+    // canonicalizes equal to its child), so a parent-child chain with one
+    // canonical form is ONE computation, not two consumers: count only
+    // the top of each equal-canonical chain.
+    val counts = scala.collection.mutable.HashMap
+      .empty[LogicalPlan, Int].withDefaultValue(0)
+    def countAll(p: LogicalPlan, parentCanon: LogicalPlan): Unit = {
+      val c = p.canonicalized
+      if (c != parentCanon) counts(c) += 1
+      p.children.foreach(countAll(_, c))
+    }
+    countAll(plan, null)
+    // a maximal repeat rooted at a view / named-subquery alias is a SOURCE
+    // RE-READ (s.table twice, a SQL view or CTE referenced twice): Catalyst
+    // owns those (CTE inlining/materialization, exchange reuse on identical
+    // copies), and re-scanning a source is not the defect this audit
+    // exists for — the defect is a Scala-built pipeline re-evaluated per
+    // consumer, which is never alias-rooted in this codebase
+    def isAliasRoot(p: LogicalPlan): Boolean = p match {
+      case _: SubqueryAlias | _: View => true
+      case _ => false
+    }
+    def describe(p: LogicalPlan, c: Int): String = {
+      val shuffles = p.collect { case n if isShuffleNode(n) => n.nodeName }
+      val leaves = p.collectLeaves().map(_.nodeName).distinct
+      s"$c consumers re-evaluate an unstaged ${p.nodeName} fragment " +
+        s"[shuffle nodes: ${shuffles.groupBy(identity).map { case (k, v) =>
+          s"$k x${v.size}" }.toSeq.sorted.mkString(", ")}; " +
+        s"leaves: ${leaves.mkString(", ")}]; stage it " +
+        "(Staging.stage / localCheckpoint) so the producing pipeline runs once"
+    }
+    val reported = scala.collection.mutable.HashSet.empty[LogicalPlan]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    def visit(p: LogicalPlan): Unit = {
+      val c = counts(p.canonicalized)
+      if (c >= 2) {
+        // maximal repeated fragment: children repeat with it — don't descend
+        if (!isAliasRoot(p) && hasShuffleWork(p) && !reported(p.canonicalized)) {
+          reported += p.canonicalized
+          out += Finding("warn", "RepeatedSubtree", describe(p, c))
+        }
+      } else p.children.foreach(visit)
+    }
+    visit(plan)
+    out.toSeq
+  }
+
   /** Throw on `error` findings (and on `warn` when `allowWarnings` is
     * false); returns the findings otherwise so callers can log them. */
   def assertSafe(df: DataFrame, allowWarnings: Boolean = true): Seq[Finding] = {

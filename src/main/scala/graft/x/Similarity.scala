@@ -399,12 +399,17 @@ object Similarity {
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int = 64, planes: Int = 8,
-      multiProbe: Boolean = false, maxBucket: Int = 10000
+      multiProbe: Boolean = false, maxBucket: Int = 10000,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint
   ): DataFrame = {
-    val signed = corpus
+    // staged: the signature+norm frame feeds the hot-bucket aggregate and
+    // BOTH join sides — three evaluations of the dim×planes signature per
+    // vector without truncation (the per-consumer recompute class)
+    val signed = staging.stage(corpus
       .withColumn("__sig", hyperplaneSignature(col(vecCol), dim, planes))
       .withColumn("__n", l2Norm(col(vecCol))) // norm once per vector, not per pair
-      .select(col("__sig"), col(idCol), col(vecCol), col("__n"))
+      .select(col("__sig"), col(idCol), col(vecCol), col("__n")),
+      "neardup-signed")
     // the hot set is tiny by construction (buckets over the cap), so the
     // exclusion is a broadcast anti-join on both sides — no shuffle or
     // count-window sort of the corpus-sized frame just to tag hot buckets

@@ -108,18 +108,23 @@ object Spatial {
       .groupBy("id").agg(count(lit(1)).as("__n"))
     val pts = df.select(col(idCol).cast("long").as("id"),
       col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
-    val withCnt = pts.join(cnt, Seq("id"), "left")
+    // staged: the counted-points frame feeds the core filter AND the final
+    // assembly join — unstaged, the neighbor-count aggregate re-runs per
+    // consumer; coreIds then derives narrowly from the staged frame
+    val withCnt = staging.stage(pts.join(cnt, Seq("id"), "left")
       .withColumn("__nn", coalesce(col("__n"), lit(0L)))
-      .withColumn("__core", col("__nn") + 1 >= minPts)
-    val coreIds = staging.stage(
-      withCnt.filter(col("__core")).select("id"), "dbscan-core")
+      .withColumn("__core", col("__nn") + 1 >= minPts), "dbscan-counted")
+    val coreIds = withCnt.filter(col("__core")).select("id")
     val corePairs = pairs
       .join(coreIds.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
       .join(coreIds.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
     val comp = Dedup.connectedComponents(
       corePairs.select(col("id_a"), col("id_b")), staging = staging)
-    val coreLabel = coreIds.join(comp, Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+    // staged: cluster labels feed the border assignment AND the final
+    // role/label join
+    val coreLabel = staging.stage(coreIds.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster")),
+      "dbscan-core-labels")
     val adj = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
       .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
     val borderLabel = adj
