@@ -15,6 +15,9 @@ object Explain {
     val sfDir = args(0)
     val rest = args.drop(1).filter(a => a.nonEmpty && !a.startsWith("--"))
     val (numArgs, nameArgs) = rest.partition(_.forall(_.isDigit))
+    require(nameArgs.nonEmpty,
+      "usage: runMain graft.tools.Explain <sfDir> <query|all> [reps] [--plan] " +
+        "— no query name given (an all-digits name would be read as reps)")
     val names =
       if (nameArgs.contains("all")) graft.SparkEntry.queries.keys.toSeq.sorted
       else nameArgs.toSeq

@@ -572,6 +572,22 @@ object Dedup {
           substring(col(textCol), 1, prefixLen).as("__p")).distinct(),
       "__b", maxBlock)
 
+  /** Audit surface for [[editDistancePairs]]' UNBOUNDED dist-0 output
+    * (see the output-volume contract in its scaladoc): the exact-prefix
+    * groups with ≥ 2 members, each with the m·(m−1)/2 pair rows it will
+    * emit, largest first. Run this BEFORE the join on a corpus suspected
+    * of mass duplication — the summed `dist0_pairs` column IS the output
+    * volume the maxBlock knob does not bound. */
+  def exactPrefixDupMass(df: DataFrame, textCol: String,
+      blockCol: String, prefixLen: Int = 80): DataFrame =
+    df.select(col(blockCol).as("b"),
+        substring(col(textCol), 1, prefixLen).as("p"))
+      .groupBy("b", "p").agg(count(lit(1)).as("members"))
+      .filter(col("members") >= 2)
+      .withColumn("dist0_pairs",
+        (col("members") * (col("members") - 1) / 2).cast("long"))
+      .orderBy(col("dist0_pairs").desc)
+
   /** Typo-level fuzzy duplicate pairs: edit distance ≤ `maxDist` over
     * text PREFIXES, within blocks — catches character-level corruption
     * (OCR noise, mojibake, re-typed titles) that shingle Jaccard misses
@@ -588,7 +604,20 @@ object Dedup {
     * distance). The DP itself runs only over DISTINCT in-block prefixes
     * (exact-prefix collapse + member expansion — see the stage-0 comment
     * in the body): recall-lossless, and the duplication-heavy corpora
-    * this op exists for stop paying quadratic DP on their boilerplate. */
+    * this op exists for stop paying quadratic DP on their boilerplate.
+    *
+    * OUTPUT-VOLUME contract on mass-duplicated corpora: identical-prefix
+    * member pairs emit as dist-0 rows OUTSIDE the `maxBlock` salt (the
+    * collapse makes them one group, and the salt caps DISTINCT prefixes
+    * — deliberately, so an oversized block never loses its exact dups),
+    * which means a prefix duplicated n times contributes n·(n−1)/2
+    * OUTPUT rows that no knob here bounds: the DP cost collapses to
+    * one group row, but the result itself is inherently quadratic in
+    * the duplication factor. On corpora where million-fold boilerplate
+    * is plausible, measure first with [[exactPrefixDupMass]] and gate
+    * the mass upstream with [[exactByContent]] (which elects one keeper
+    * per group instead of emitting pairs) before running the pair
+    * join. */
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, maxDist: Int, prefixLen: Int = 80,
       maxBlock: Int = 100000,

@@ -458,15 +458,19 @@ object EventAnalytics {
     * [[graft.x.Graph.pageRank]] pinned-layout discipline), and the
     * strengths frame — one row per ITEM, orders of magnitude below the
     * games frame — joins both endpoints by BROADCAST whenever the item
-    * count fits `broadcastItemLimit` (≤ ~16 MB of (id, decimal) rows at
-    * the 1M default): the per-opponent term is then computed map-side
-    * and the denominator sum aggregates IN PLACE on the staged hash(i)
-    * layout — zero exchanges of the games frame per round. Past the
-    * limit the joins fall back to shuffles, the correct plan for two
-    * genuinely big sides. */
+    * count fits `broadcastItemLimit`. Size the limit against the REAL
+    * broadcast-relation footprint, not the raw row bytes: a
+    * BroadcastHashRelation carries row + hash-map overhead (~40-80 bytes
+    * per (id, decimal) entry), and the relation is built and shipped
+    * TWICE per iteration (winner and loser endpoints) — the 300k default
+    * keeps each build ≤ ~25 MB. With the broadcast in place the
+    * per-opponent term is computed map-side and the denominator sum
+    * aggregates IN PLACE on the staged hash(i) layout — zero exchanges
+    * of the games frame per round. Past the limit the joins fall back to
+    * shuffles, the correct plan for two genuinely big sides. */
   def bradleyTerry(prefs: DataFrame, winnerCol: String, loserCol: String,
       nCol: String, iters: Int = 3,
-      broadcastItemLimit: Long = 1000000L,
+      broadcastItemLimit: Long = 300000L,
       staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters $iters out of range")
     require(broadcastItemLimit >= 0,

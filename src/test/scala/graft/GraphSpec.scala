@@ -24,15 +24,27 @@ class GraphSpec extends AnyFunSuite {
   /** Shuffles sitting DIRECTLY over the (projected/filtered/sorted) edge
     * scan — i.e. a re-shuffle of the static edge side. Shuffles above a
     * join/agg that merely CONTAIN the scan deeper down don't count; a
-    * path through a partial aggregate doesn't either (what moves after a
-    * map-side combine is partition-count-sized, not data-sized). */
+    * path through a PARTIAL-mode aggregate doesn't either (what moves
+    * after a map-side combine is combine-reduced, not data-sized). The
+    * exemption is restricted to Partial mode (or group-only distinct
+    * nodes, whose partial phase combines the same way): a Final/Complete
+    * aggregate on the path stays TRANSPARENT, so a data-sized exchange
+    * stacked above an already-aggregated edge frame is still flagged —
+    * group-by-(src,dst)-like aggs guarantee no key reduction. */
   private def edgeSideShuffles(plan: SparkPlan,
       scanCols: Seq[String] = Seq("src", "dst")): Seq[SparkPlan] = {
-    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    def isPartialOnly(a: BaseAggregateExec): Boolean =
+      a.aggregateExpressions.forall(_.mode == Partial)
     def unaryPathToEdgeScan(p: SparkPlan): Boolean = p match {
       case r: RDDScanExec => r.output.map(_.name) == scanCols
-      case _: HashAggregateExec | _: ObjectHashAggregateExec |
-           _: SortAggregateExec => false
+      case a: HashAggregateExec =>
+        if (isPartialOnly(a)) false else unaryPathToEdgeScan(a.child)
+      case a: ObjectHashAggregateExec =>
+        if (isPartialOnly(a)) false else unaryPathToEdgeScan(a.child)
+      case a: SortAggregateExec =>
+        if (isPartialOnly(a)) false else unaryPathToEdgeScan(a.child)
       case u if u.children.size == 1 => unaryPathToEdgeScan(u.children.head)
       case _ => false
     }

@@ -150,6 +150,14 @@ class GuardsSpec extends AnyFunSuite {
       maxBlock = 2).collect()
     assert(pover.length == 1 && pover.head.getLong(1) == 4 &&
       pover.head.getInt(2) == 2, s"got ${pover.mkString(",")}")
+    // the dist-0 output-volume audit prices the unbounded quadratic mass
+    // the maxBlock knob deliberately does not cap: one group of 200
+    // copies -> 200*199/2 pair rows, and that count equals what the
+    // operator actually emitted at dist 0 above
+    val mass = Dedup.exactPrefixDupMass(df, "text", "source").collect()
+    assert(mass.length == 1 && mass.head.getAs[Long]("members") == 200L &&
+      mass.head.getAs[Long]("dist0_pairs") == 200L * 199 / 2,
+      s"got ${mass.mkString(",")}")
   }
 
   test("operators stage through a durable path identically to local checkpoints") {
