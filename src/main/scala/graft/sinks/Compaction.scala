@@ -74,4 +74,34 @@ object Compaction {
     }
     (bins.length, bins.map(_.length).sum, bins.length)
   }
+
+  /** [[compact]] over every leaf partition directory of a
+    * hive-partitioned table (`root/cell=0/…`, `root/dt=…/hour=…/…`) —
+    * the maintenance pass a per-partition APPEND path needs on a
+    * cadence: each append ([[graft.x.Similarity.appendToIvfLayout]],
+    * streaming micro-batches, upsert deltas) lands ≥ 1 small file in
+    * every touched partition, so file counts grow linearly with batches
+    * while file SIZES stay batch-sized — after 10⁴ ingest batches a
+    * probe that prunes to 3 cells still opens 3×10⁴ footers. Compaction
+    * happens strictly WITHIN each partition directory (bins never cross
+    * partition values, so partition pruning and row content are
+    * untouched); per-partition crash semantics are [[compact]]'s.
+    * Returns summed (bins_merged, files_removed, files_added). */
+  def compactPartitioned(spark: SparkSession, rootDir: String,
+      targetBytes: Long): (Int, Int, Int) = {
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafDirs(p: Path): Seq[Path] = {
+      val subDirs = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_"))
+        .map(_.getPath)
+      if (subDirs.isEmpty) Seq(p) else subDirs.flatMap(leafDirs)
+    }
+    leafDirs(root)
+      .map(d => compact(spark, d.toString, targetBytes))
+      .foldLeft((0, 0, 0)) { case ((a, b, c), (x, y, z)) =>
+        (a + x, b + y, c + z)
+      }
+  }
 }

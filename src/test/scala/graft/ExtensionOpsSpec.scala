@@ -468,6 +468,45 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(incremental.exceptAll(full).isEmpty && full.exceptAll(incremental).isEmpty)
   }
 
+  test("IVF layout under file-count growth: per-partition compaction restores " +
+    "file counts, probe stays byte-identical") {
+    val centroids = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    val queries = emb.filter($"vec_id" >= 90 && $"vec_id" < 93)
+      .select($"vec_id".as("q_id"), $"embedding")
+    val layout = java.nio.file.Files
+      .createTempDirectory("ivf_compact_spec").resolve("by_cell").toString
+    Similarity.writeIvfLayout(emb.filter($"vec_id" < 40), centroids,
+      "vec_id", "centroid_id", "embedding", layout)
+    // steady-state ingest: every append lands >= 1 new file per touched
+    // cell, so file counts grow linearly with batches
+    (40 until 100 by 10).foreach { lo =>
+      Similarity.appendToIvfLayout(
+        emb.filter($"vec_id" >= lo && $"vec_id" < lo + 10), centroids,
+        "vec_id", "centroid_id", "embedding", layout)
+    }
+    def dataFiles() = new java.io.File(layout).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    val before = Similarity.ivfTopKFromLayout(spark, layout, queries,
+      centroids, "vec_id", "q_id", "centroid_id", "embedding",
+      k = 5, nprobe = 2).collect().toSet
+    val fragmented = dataFiles().length
+    val (bins, removed, added) =
+      graft.sinks.Compaction.compactPartitioned(spark, layout,
+        targetBytes = 64L * 1024 * 1024)
+    assert(bins > 0 && removed > added, s"no merge happened ($bins, $removed, $added)")
+    val compacted = dataFiles().length
+    assert(compacted < fragmented,
+      s"compaction did not shrink file count ($fragmented -> $compacted)")
+    // bins never cross partition values: pruning still works and the
+    // probe answer is byte-identical to the fragmented store
+    val after = Similarity.ivfTopKFromLayout(spark, layout, queries,
+      centroids, "vec_id", "q_id", "centroid_id", "embedding",
+      k = 5, nprobe = 2).collect().toSet
+    assert(after == before)
+  }
+
   test("PQ: codes well-formed, ADC ranking finds same-label neighbors") {
     val cb = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("code"), col("embedding"))
