@@ -2485,6 +2485,20 @@ object SparkEntry {
           blockCol = "source", maxDist = 2, prefixLen = 40)
         .orderBy("id_a", "id_b")
     }),
+    // pre-join output-volume audit for x44's dist-0 contract: every 10th
+    // doc collapses to ONE boilerplate text, and the audit must price its
+    // m*(m-1)/2 pair rows per (source, prefix) group BEFORE any pair join
+    // runs - pure integer arithmetic, one aggregation
+    "x220_dup_mass_audit" -> ((s, dir) => {
+      reg(s, dir)
+      val marked = s.table("documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          lit("identical boilerplate body text"))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+      Dedup.exactPrefixDupMass(marked, "text", "source", prefixLen = 40)
+        .orderBy(col("dist0_pairs").desc, col("b"), col("p"))
+    }),
     // Jones-Plassmann coloring of the part-CHAIN graph (consecutive
     // lineitems, x180's construction — degree ~6, where JP's expected
     // O(log n) rounds hold; the dense copurchase projection stalls a
@@ -7158,6 +7172,21 @@ object SparkEntry {
     // segment-signature path must reproduce exactly (losslessness IS the
     // contract; the recall proof is this hash equality plus the
     // PropertySpec brute-force replay)
+    "x220_dup_mass_audit" -> """
+      WITH marked AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0 THEN 'identical boilerplate body text'
+               ELSE text END AS text,
+          source
+        FROM documents),
+      g AS (SELECT source AS b, SUBSTR(text, 1, 40) AS p,
+              CAST(COUNT(*) AS BIGINT) AS members
+            FROM marked GROUP BY 1, 2)
+      SELECT b, p, members,
+        CAST((members * (members - 1)) // 2 AS BIGINT) AS dist0_pairs
+      FROM g WHERE members >= 2
+      ORDER BY dist0_pairs DESC, b, p""",
+
     "x219_passjoin_pairs" -> """
       WITH t AS (
         SELECT doc_id AS id, SUBSTR(text, 1, 40) AS p, source AS b

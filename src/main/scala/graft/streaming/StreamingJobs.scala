@@ -712,4 +712,74 @@ object StreamingJobs {
   /** Historical name for [[readSketchStore]] (HLL was the first store). */
   def readHllRegisterStore(spark: SparkSession, storeDir: String): DataFrame =
     readSketchStore(spark, storeDir)
+
+  /** One micro-batch of the streaming near-dedup (the foreachBatch body
+    * of [[startIncrementalNearDup]], exposed so the crash-replay spec can
+    * re-invoke a batch id directly). Exactly-once EFFECT on an
+    * at-least-once channel, without a second marker system — the band
+    * store's own versioned commit IS the marker:
+    *
+    *  1. replay detection: each store append carries
+    *     `streamBatchId = <bid>` in its commit manifest
+    *     ([[graft.sources.VersionedParquet.commitMeta]] — a log lookup,
+    *     no Spark job). A batch whose id is already committed is skipped
+    *     WHOLE, because step 2 guarantees its output is already complete.
+    *  2. ordering inside [[graft.x.Dedup.incrementalNearDup]]:
+    *     `persistAdmitted` runs BEFORE the store commit, and the admitted
+    *     output goes to a batch-scoped directory (`admittedDir/batch=<bid>`,
+    *     overwrite). Crash windows: (a) after persist, before commit —
+    *     replay recomputes against the UNCHANGED store, reproduces the
+    *     identical admitted set (the decision is deterministic in
+    *     (store, batch)), overwrites the same directory, then commits;
+    *     (b) after commit — replay sees the tag and touches nothing.
+    *     Without the tag, window (b) would be fatal: the replayed batch
+    *     now HITS the store on its own buckets, admits nothing, and an
+    *     unconditional overwrite would clobber the committed output with
+    *     an empty directory.
+    *
+    * A batch whose admitted set is EMPTY commits no store version (there
+    * is nothing to append), so its replay recomputes — and deterministically
+    * admits nothing again; idempotent without a marker. */
+  def incrementalNearDupBatch(batch: DataFrame, bid: Long,
+      textCol: String, idCol: String, storePath: String, admittedDir: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8,
+      compactAtFiles: Int = 64, compactTarget: Int = 4): Unit = {
+    val committed = graft.sources.VersionedParquet.versions(storePath)
+      .reverse.exists(v => graft.sources.VersionedParquet
+        .commitMeta(storePath, v).get("streamBatchId").contains(bid.toString))
+    if (!committed) {
+      graft.x.Dedup.incrementalNearDup(batch, textCol, idCol, storePath,
+        n = n, k = k, bands = bands,
+        persistAdmitted = adm => adm.write.mode("overwrite")
+          .parquet(s"$admittedDir/batch=$bid"),
+        compactAtFiles = compactAtFiles, compactTarget = compactTarget,
+        storeMeta = Map("streamBatchId" -> bid.toString))
+      ()
+    }
+  }
+
+  /** Streaming twin of [[graft.x.Dedup.incrementalNearDup]]: each
+    * micro-batch admits only documents that are near-duplicates of
+    * neither the retained corpus (the persistent band store) nor a
+    * smaller-id batch sibling, appends the admitted documents' band
+    * buckets to the store, and lands the admitted rows under
+    * `admittedDir/batch=<bid>`. Store compaction rides the batch path's
+    * own `compactAtFiles` cadence — the standing maintenance a
+    * continuously-ingesting dedup store needs. Read the running corpus
+    * as `spark.read.parquet(s"$admittedDir/batch=*")` or each batch
+    * directory individually. Exactly-once contract and crash windows:
+    * [[incrementalNearDupBatch]]. */
+  def startIncrementalNearDup(docs: DataFrame, textCol: String, idCol: String,
+      storePath: String, admittedDir: String, checkpoint: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8,
+      compactAtFiles: Int = 64, compactTarget: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        incrementalNearDupBatch(batch, bid, textCol, idCol, storePath,
+          admittedDir, n, k, bands, compactAtFiles, compactTarget)
+      }
+      .start()
 }

@@ -195,7 +195,8 @@ object Dedup {
       storePath: String, n: Int = 3, k: Int = 32, bands: Int = 8,
       staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint,
       persistAdmitted: DataFrame => Unit = _ => (),
-      compactAtFiles: Int = 64, compactTarget: Int = 4): DataFrame = {
+      compactAtFiles: Int = 64, compactTarget: Int = 4,
+      storeMeta: Map[String, String] = Map.empty): DataFrame = {
     val spark = batch.sparkSession
     val withTxt = batch.withColumn("__txt", coalesce(col(textCol), lit("")))
     // (id, band, bh): staged — referenced by the store probe, the
@@ -223,7 +224,11 @@ object Dedup {
     if (admitted.limit(1).count() > 0) {
       val newBuckets = bb.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
         .select("band", "bh").distinct()
-      graft.sources.VersionedParquet.write(newBuckets, storePath, "append")
+      // storeMeta rides the version manifest — the streaming twin tags each
+      // append with its micro-batch id so an at-least-once replay can
+      // recognize a committed batch (see StreamingJobs.startIncrementalNearDup)
+      graft.sources.VersionedParquet.write(newBuckets, storePath, "append",
+        storeMeta)
       if (compactAtFiles > 0 &&
           graft.sources.VersionedParquet.snapshotFileCount(storePath) >= compactAtFiles)
         graft.sources.VersionedParquet.compact(spark, storePath, compactTarget)
@@ -584,8 +589,9 @@ object Dedup {
         substring(col(textCol), 1, prefixLen).as("p"))
       .groupBy("b", "p").agg(count(lit(1)).as("members"))
       .filter(col("members") >= 2)
-      .withColumn("dist0_pairs",
-        (col("members") * (col("members") - 1) / 2).cast("long"))
+      // integer division, not `/` (which is IEEE on longs): the product
+      // m·(m−1) is even, so `div` is exact at any group size
+      .withColumn("dist0_pairs", expr("(members * (members - 1)) div 2"))
       .orderBy(col("dist0_pairs").desc)
 
   /** Typo-level fuzzy duplicate pairs: edit distance ≤ `maxDist` over

@@ -381,6 +381,58 @@ class StatefulStreamingSpec extends AnyFunSuite {
       s"stream/batch divergence: ${diffs.take(3).mkString(", ")}")
   }
 
+  test("streaming incremental near-dedup: equals the sequential batch path, " +
+    "replay after the store commit is a no-op") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sneardup").toString
+    val in = s"$base/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    // batch 0: 1 and 2 are near-dups (2 should drop as the larger sibling id)
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely different words live over here now"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    // batch 1: 4 near-dups retained doc 1 (store hit), 5 is fresh
+    Thread.sleep(1100) // distinct mtimes -> deterministic file order
+    Seq((4L, "alpha beta gamma delta epsilon zeta eta kappa"),
+      (5L, "yet another unrelated document body of words"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val store = s"$base/store"; val admitted = s"$base/admitted"
+    val stream = StreamingJobs.fileStream(spark, in, schema, maxFilesPerTrigger = 1)
+    val q = StreamingJobs.startIncrementalNearDup(stream, "text", "doc_id",
+      store, admitted, s"$base/ckpt", n = 3, k = 16, bands = 4)
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$admitted/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // sequential batch-mode reference on a fresh store
+    val refStore = s"$base/refstore"
+    val b0 = spark.read.parquet(in).filter($"doc_id" <= 3)
+    val b1 = spark.read.parquet(in).filter($"doc_id" > 3)
+    val r0 = graft.x.Dedup.incrementalNearDup(b0, "text", "doc_id", refStore,
+      n = 3, k = 16, bands = 4).select("doc_id").collect().map(_.getLong(0))
+    val r1 = graft.x.Dedup.incrementalNearDup(b1, "text", "doc_id", refStore,
+      n = 3, k = 16, bands = 4).select("doc_id").collect().map(_.getLong(0))
+    assert(got.sameElements((r0 ++ r1).sorted),
+      s"stream ${got.mkString(",")} vs batch ${(r0 ++ r1).sorted.mkString(",")}")
+    assert(got.contains(1L) && !got.contains(2L) && !got.contains(4L),
+      s"near-dup semantics broke: ${got.mkString(",")}")
+    // at-least-once replay of the LAST batch after its store commit
+    // (crash window (b) in the scaladoc): the tagged commit is recognized,
+    // nothing recomputes, the committed output survives un-clobbered
+    val versionsBefore = graft.sources.VersionedParquet.versions(store)
+    val admittedBefore = spark.read.parquet(s"$admitted/batch=*")
+      .collect().map(_.toString).sorted
+    StreamingJobs.incrementalNearDupBatch(b1, bid = 1L, "text", "doc_id",
+      store, admitted, n = 3, k = 16, bands = 4)
+    assert(graft.sources.VersionedParquet.versions(store) == versionsBefore,
+      "replay appended a duplicate store version")
+    val admittedAfter = spark.read.parquet(s"$admitted/batch=*")
+      .collect().map(_.toString).sorted
+    assert(admittedAfter.sameElements(admittedBefore),
+      "replay clobbered the committed admitted output")
+  }
+
   test("sql file path works as a transformation step (spark.json:57)") {
     val tmp = Files.createTempDirectory("graft-sqlfile").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/step.sql"),
