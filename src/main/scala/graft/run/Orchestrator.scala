@@ -112,9 +112,14 @@ class Orchestrator(spark: SparkSession) {
       // intentional dim×dim); strict: fail the step on error/warn findings
       if (cfg.planAudit != "off") {
         val findings =
-          if (cfg.planAudit == "strict")
+          (if (cfg.planAudit == "strict")
             graft.util.PlanAudit.assertSafe(out, allowWarnings = false)
-          else graft.util.PlanAudit.audit(out)
+          else graft.util.PlanAudit.audit(out)) ++
+          // staging lint: a SQL step whose subquery/CTE re-evaluates a
+          // shuffle pipeline per consumer multiplies the dominant pass at
+          // scale (warn-only even in strict mode — identical copies are
+          // exchange-reused; the finding prices the divergent risk)
+          graft.util.PlanAudit.repeatedSubtrees(out)
         findings.filter(_.severity != "info")
           .foreach(f => System.err.println(
             s"[plan-audit] ${t.outputDFName}: ${f.severity} ${f.node} — ${f.detail}"))
