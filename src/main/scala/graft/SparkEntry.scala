@@ -2499,6 +2499,29 @@ object SparkEntry {
       Dedup.exactPrefixDupMass(marked, "text", "source", prefixLen = 40)
         .orderBy(col("dist0_pairs").desc, col("b"), col("p"))
     }),
+    // calibration audit of the heuristic quality score against the
+    // fixture's language label: per-decile mean-predicted vs observed
+    // rates and the share-weighted ECE — whether the score can be
+    // TRUSTED as a probability, not merely as a ranking
+    "x221_calibration_bins" -> ((s, dir) => {
+      reg(s, dir)
+      val scored = s.table("documents").select(
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        (col("lang") === "en").as("is_en"))
+      graft.x.Profiler.calibrationBins(scored, "q", "is_en", nBins = 10)
+        .orderBy("bin")
+    }),
+    // label QC: chance-corrected agreement between two quality gates
+    // (the composite score at 0.8 vs a length+punctuation rule) — raw
+    // agreement flatters under class imbalance; kappa divides chance out
+    "x222_cohens_kappa" -> ((s, dir) => {
+      reg(s, dir)
+      val rated = s.table("documents").select(
+        (TextAnalysis.qualityScore(col("text")) >= 0.8).as("rater_a"),
+        (TextAnalysis.charCount(col("text")).between(50, 20000) &&
+          TextAnalysis.punctRatio(col("text")) <= 0.2).as("rater_b"))
+      graft.x.Profiler.cohensKappa(rated, "rater_a", "rater_b")
+    }),
     // Jones-Plassmann coloring of the part-CHAIN graph (consecutive
     // lineitems, x180's construction — degree ~6, where JP's expected
     // O(log n) rounds hold; the dense copurchase projection stalls a
@@ -7172,6 +7195,82 @@ object SparkEntry {
     // segment-signature path must reproduce exactly (losslessness IS the
     // contract; the recall proof is this hash equality plus the
     // PropertySpec brute-force replay)
+    "x221_calibration_bins" -> s"""
+      WITH q AS (
+        SELECT ROUND(
+            (CASE WHEN LENGTH(text) BETWEEN 50 AND 20000 THEN 1.0
+                  WHEN LENGTH(text) BETWEEN 20 AND 50 THEN 0.5 ELSE 0.0 END) * 0.4 +
+            (CASE WHEN (CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS DOUBLE)
+                        / LEN(STR_SPLIT_REGEX(TRIM(text), '\\s+'))) BETWEEN 2.0 AND 12.0
+                  THEN 1.0 ELSE 0.3 END) * 0.4 +
+            (CASE WHEN (CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                        / GREATEST(LENGTH(text), 1)) <= 0.2 THEN 1.0 ELSE 0.2 END) * 0.2,
+            4) AS q,
+          (lang = 'en') AS is_en
+        FROM documents),
+      b AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR(q * 10.0), 0.0), 9.0) AS BIGINT) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+          SUM(CAST(q AS DECIMAL(18,8))) AS sp
+        FROM q WHERE q IS NOT NULL AND q >= 0.0 AND q <= 1.0
+        GROUP BY 1),
+      p AS (
+        SELECT bin, n, pos,
+          CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+          CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mean_pred,
+          CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+          ABS(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) AS abs_gap
+        FROM b)
+      SELECT bin, n, pos,
+        ROUND(share, 6) AS share,
+        ROUND(mean_pred, 6) AS mean_pred,
+        ROUND(frac_pos, 6) AS frac_pos,
+        ROUND(abs_gap, 6) AS abs_gap,
+        ROUND(CAST(SUM(CAST(share * abs_gap AS DECIMAL(18,8))) OVER () AS DOUBLE),
+          6) AS ece
+      FROM p ORDER BY bin""",
+
+    "x222_cohens_kappa" -> s"""
+      WITH r AS (
+        SELECT
+          (ROUND(
+            (CASE WHEN LENGTH(text) BETWEEN 50 AND 20000 THEN 1.0
+                  WHEN LENGTH(text) BETWEEN 20 AND 50 THEN 0.5 ELSE 0.0 END) * 0.4 +
+            (CASE WHEN (CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS DOUBLE)
+                        / LEN(STR_SPLIT_REGEX(TRIM(text), '\\s+'))) BETWEEN 2.0 AND 12.0
+                  THEN 1.0 ELSE 0.3 END) * 0.4 +
+            (CASE WHEN (CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                        / GREATEST(LENGTH(text), 1)) <= 0.2 THEN 1.0 ELSE 0.2 END) * 0.2,
+            4) >= 0.8) AS a,
+          (LENGTH(text) BETWEEN 50 AND 20000
+            AND (CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1)) <= 0.2) AS b
+        FROM documents
+        WHERE TRUE),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+          CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS ra_t,
+          CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS HUGEINT) AS ra_f,
+          CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS HUGEINT) AS cb_t,
+          CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS HUGEINT) AS cb_f
+        FROM r WHERE a IS NOT NULL AND b IS NOT NULL)
+      SELECT n, agree,
+        ROUND(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        ROUND(CAST(ra_t * cb_t + ra_f * cb_f AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+        ROUND(CASE WHEN CAST(ra_t * cb_t + ra_f * cb_f AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0 THEN NULL
+          ELSE (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(ra_t * cb_t + ra_f * cb_f AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 - CAST(ra_t * cb_t + ra_f * cb_f AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END,
+          6) AS kappa
+      FROM m""",
+
     "x220_dup_mass_audit" -> """
       WITH marked AS (
         SELECT doc_id,

@@ -715,6 +715,106 @@ object Profiler {
     rows.toSeq.toDF("bin", "n", "pos", "raw_rate", "iso_rate")
   }
 
+  /** Reliability-diagram bins for a probabilistic score — the calibration
+    * AUDIT companion to [[isotonicCalibrate]]'s calibration MAP (Guo et
+    * al. 2017's ECE formulation over Zadrozny & Elkan's binning): per
+    * equal-width score bin, exact counts, the mean predicted score, the
+    * observed positive rate, their absolute gap, and the bin-share-
+    * weighted expected calibration error repeated on every row (the one
+    * number a data-quality gate thresholds on). The read: a quality
+    * classifier whose score is to be TRUSTED as a probability (mixture
+    * weighting, threshold transfer across corpora) must show small gaps;
+    * a well-RANKING but miscalibrated scorer shows large ones.
+    *
+    * Determinism: per-row scores quantize to DECIMAL(18,8) before the
+    * bin sum (exact, order-free); mean/rate/gap are fixed-shape IEEE on
+    * exact aggregates; the ECE sums per-bin DECIMAL(18,8) terms over the
+    * ≤ nBins-row frame. Replays engine-exact.
+    *
+    * Shape at 100 TB: ONE corpus aggregation with map-side partials
+    * (staged — every downstream read is over the ≤ nBins-row result);
+    * the share/ECE pass is a single-partition window over bins rows —
+    * parameter-scale, never data-scale. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int, lo: Double = 0.0, hi: Double = 1.0,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000, s"nBins must be in [2,10000], got $nBins")
+    require(hi > lo, "calibrationBins needs hi > lo")
+    val s = col(scoreCol).cast("double")
+    val idx = least(greatest(
+      floor((s - lit(lo)) * lit(nBins.toDouble) / lit(hi - lo)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    val bins = staging.stage(
+      df.filter(s.isNotNull && s >= lo && s <= hi)
+        .groupBy(idx.as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("pos"),
+          sum(s.cast("decimal(18,8)")).as("__sp")),
+      "calibration-bins")
+    val all = Window.partitionBy()
+    bins
+      .withColumn("share",
+        col("n").cast("double") / sum("n").over(all).cast("double"))
+      .withColumn("mean_pred", col("__sp").cast("double") / col("n").cast("double"))
+      .withColumn("frac_pos", col("pos").cast("double") / col("n").cast("double"))
+      .withColumn("abs_gap", abs(col("mean_pred") - col("frac_pos")))
+      .withColumn("ece",
+        sum((col("share") * col("abs_gap")).cast("decimal(18,8)")).over(all)
+          .cast("double"))
+      .select(col("bin"), col("n").cast("long").as("n"),
+        col("pos").cast("long").as("pos"), round(col("share"), 6).as("share"),
+        round(col("mean_pred"), 6).as("mean_pred"),
+        round(col("frac_pos"), 6).as("frac_pos"),
+        round(col("abs_gap"), 6).as("abs_gap"),
+        round(col("ece"), 6).as("ece"))
+  }
+
+  /** Cohen's kappa (1960) between two categorical raters — chance-
+    * corrected agreement, THE label-QC statistic for training-data
+    * pipelines (two annotators, or an LLM judge vs a heuristic gate:
+    * raw agreement flatters whenever one class dominates; kappa divides
+    * the chance agreement out). Works for any shared category set, not
+    * just booleans; rows where either side is null are excluded (rate
+    * them or drop them upstream).
+    *
+    * All contingency and marginal mass is EXACT (BIGINT cells,
+    * DECIMAL(38,0) marginal products — n·n overflows a long past ~3e9
+    * rows); p_o, p_e and kappa are one fixed-shape IEEE chain on those
+    * exact sums, so the statistic replays bit-identically. kappa is
+    * NULL when p_e = 1 (a single shared category — chance explains
+    * everything, the statistic is undefined).
+    *
+    * Shape at 100 TB: ONE (a, b)-keyed corpus aggregation with map-side
+    * partials (staged — agreement, both marginals and the total all
+    * read the category-scale cell frame, never the corpus). */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    val cells = staging.stage(
+      df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(col(aCol).cast("string").as("__a"),
+          col(bCol).cast("string").as("__b"))
+        .groupBy("__a", "__b").agg(count(lit(1)).as("__o")),
+      "kappa-cells")
+    val agree = cells.filter(col("__a") === col("__b"))
+      .agg(coalesce(sum("__o"), lit(0L)).as("__agree"))
+    val n = cells.agg(coalesce(sum("__o"), lit(0L)).as("__n"))
+    val marg = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+      .join(cells.groupBy("__b").agg(sum("__o").as("__cb")),
+        col("__a") === col("__b"))
+      .select((col("__ra").cast("decimal(38,0)") *
+        col("__cb").cast("decimal(38,0)")).as("__p"))
+      .agg(coalesce(sum("__p"), lit(0).cast("decimal(38,0)")).as("__s"))
+    val po = col("__agree").cast("double") / col("__n").cast("double")
+    val pe = col("__s").cast("double") /
+      (col("__n").cast("double") * col("__n").cast("double"))
+    agree.crossJoin(broadcast(n)).crossJoin(broadcast(marg))
+      .select(col("__n").cast("long").as("n"),
+        col("__agree").cast("long").as("agree"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        round(when(pe === 1.0, lit(null).cast("double"))
+          .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
+
   /** Exact Spearman rank correlation between two numeric columns:
     * Pearson over MIDRANKS, with every midrank carried as an exact
     * integer (2·midrank = 2·|{values below}| + tiecount + 1 — the

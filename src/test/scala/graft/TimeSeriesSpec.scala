@@ -203,6 +203,54 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(one.isNullAt(4), "single-category dimension has no V")
   }
 
+  test("cohensKappa: textbook 2x2, perfect agreement 1, chance-level 0, " +
+    "single-category NULL") {
+    // Cohen's classic: agree 20+15=35 of 50; pA_yes=25/50, pB_yes=30/50
+    // po=0.70, pe=0.5*0.6+0.5*0.4=0.50, kappa=(0.70-0.50)/0.50=0.40
+    val classic = ((1 to 20).map(_ => (true, true)) ++
+      (1 to 5).map(_ => (true, false)) ++
+      (1 to 10).map(_ => (false, true)) ++
+      (1 to 15).map(_ => (false, false))).toDF("a", "b")
+    val c = Profiler.cohensKappa(classic, "a", "b").head()
+    assert(c.getLong(0) == 50L && c.getLong(1) == 35L)
+    assert(c.getDouble(2) === 0.7 && c.getDouble(3) === 0.5 &&
+      math.abs(c.getDouble(4) - 0.4) < 1e-9, s"got $c")
+    // perfect agreement with both categories present -> kappa 1
+    val perfect = Seq((true, true), (false, false), (true, true)).toDF("a", "b")
+    assert(Profiler.cohensKappa(perfect, "a", "b").head().getDouble(4) === 1.0)
+    // a single shared category: pe = 1, kappa undefined -> NULL
+    val mono = Seq((true, true), (true, true)).toDF("a", "b")
+    assert(Profiler.cohensKappa(mono, "a", "b").head().isNullAt(4))
+    // layout invariance
+    val k1 = Profiler.cohensKappa(classic, "a", "b").head().toString
+    val k2 = Profiler.cohensKappa(classic.repartition(7), "a", "b").head().toString
+    assert(k1 === k2)
+  }
+
+  test("calibrationBins: perfectly calibrated scores gap 0; ece weights shares") {
+    // bin 2 (score .25): 4 rows, 1 positive -> frac .25 = mean_pred, gap 0
+    // bin 7 (score .75): 4 rows, 3 positive -> gap 0; ece = 0
+    val cal = ((1 to 4).map(i => (0.25, i == 1)) ++
+      (1 to 4).map(i => (0.75, i <= 3))).toDF("s", "y")
+    val rows = Profiler.calibrationBins(cal, "s", "y", nBins = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(2L, 7L))
+    assert(rows(2L).getDouble(6) === 0.0 && rows(7L).getDouble(6) === 0.0)
+    assert(rows(2L).getDouble(7) === 0.0, "perfect calibration must give ece 0")
+    // miscalibrated: score .9 but only half positive -> gap .4, ece = .4
+    val bad = ((1 to 4).map(i => (0.9, i <= 2))).toDF("s", "y")
+    val b = Profiler.calibrationBins(bad, "s", "y", nBins = 10).head()
+    assert(b.getLong(0) == 9L && math.abs(b.getDouble(6) - 0.4) < 1e-9 &&
+      math.abs(b.getDouble(7) - 0.4) < 1e-9, s"got $b")
+    // out-of-range and null scores are excluded, boundary 1.0 lands in
+    // the top bin
+    val edge = Seq((1.0, true), (1.5, true), (-0.1, false))
+      .toDF("s", "y").union(Seq(("x", "t")).toDF("a", "b")
+        .select(lit(null).cast("double").as("s"), lit(true).as("y")))
+    val e = Profiler.calibrationBins(edge, "s", "y", nBins = 10).collect()
+    assert(e.length == 1 && e.head.getLong(0) == 9L && e.head.getLong(1) == 1L)
+  }
+
   test("gini: perfect equality 0, extreme concentration -> (n-1)/n; invariant") {
     // group E: all equal -> G = 0; group C: one holder -> G = (n-1)/n
     val e = (1L to 8L).map(i => ("E", 100L, i))
