@@ -2511,6 +2511,23 @@ object SparkEntry {
       graft.x.Profiler.calibrationBins(scored, "q", "is_en", nBins = 10)
         .orderBy("bin")
     }),
+    // corpus-law gate: Zipf rank-frequency slope + r2 over the unigram
+    // table (natural text ~ -1; boilerplate flattens it) — distributed
+    // rank, quantized-ln exact-moment OLS
+    "x224_zipf_fit" -> ((s, dir) => {
+      reg(s, dir)
+      TextAnalysis.zipfFit(s.table("documents"), "text")
+    }),
+    // token-space mixture drift: JS divergence between the English and
+    // non-English sides of the corpus — symmetric, finite, <= ln 2; the
+    // unigram twin of x90's numeric PSI
+    "x223_js_divergence" -> ((s, dir) => {
+      reg(s, dir)
+      val docs = s.table("documents")
+      TextAnalysis.tokenJsDivergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text")
+    }),
     // label QC: chance-corrected agreement between two quality gates
     // (the composite score at 0.8 vs a length+punctuation rule) — raw
     // agreement flatters under class imbalance; kappa divides chance out
@@ -7231,6 +7248,81 @@ object SparkEntry {
         ROUND(CAST(SUM(CAST(share * abs_gap AS DECIMAL(18,8))) OVER () AS DOUBLE),
           6) AS ece
       FROM p ORDER BY bin""",
+
+    "x224_zipf_fit" -> s"""
+      WITH toks AS (
+        SELECT UNNEST(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS term
+        FROM documents),
+      f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+            WHERE LENGTH(term) > 0 GROUP BY 1),
+      r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rnk
+            FROM f),
+      p AS (SELECT CAST(LN(CAST(rnk AS DOUBLE)) AS DECIMAL(18,8)) AS x,
+                   CAST(LN(CAST(c AS DOUBLE)) AS DECIMAL(18,8)) AS y
+            FROM r),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(x) AS msx, SUM(y) AS msy, SUM(x*y) AS msxy,
+              SUM(x*x) AS msxx, SUM(y*y) AS msyy
+            FROM p),
+      d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+              CAST(msx AS DOUBLE) AS sx, CAST(msy AS DOUBLE) AS sy,
+              CAST(msxy AS DOUBLE) AS sxy, CAST(msxx AS DOUBLE) AS sxx,
+              CAST(msyy AS DOUBLE) AS syy
+            FROM m),
+      e AS (SELECT n, nd, sx, sy, syy,
+              nd*sxx - sx*sx AS den, nd*sxy - sx*sy AS num
+            FROM d)
+      SELECT n AS n_terms,
+        ROUND(CASE WHEN den = 0 THEN NULL ELSE num/den END, 6) AS slope,
+        ROUND(CASE WHEN den = 0 THEN NULL
+          ELSE (sy - (num/den)*sx)/nd END, 6) AS intercept,
+        ROUND(CASE WHEN den*(nd*syy - sy*sy) = 0 THEN NULL
+          ELSE num*num/(den*(nd*syy - sy*sy)) END, 6) AS r2
+      FROM e""",
+
+    "x223_js_divergence" -> s"""
+      WITH ta AS (
+        SELECT UNNEST(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS term
+        FROM documents WHERE lang = 'en'),
+      tb AS (
+        SELECT UNNEST(STR_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS term
+        FROM documents WHERE lang <> 'en'),
+      fa AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ca FROM ta
+             WHERE LENGTH(term) > 0 GROUP BY 1),
+      fb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cb FROM tb
+             WHERE LENGTH(term) > 0 GROUP BY 1),
+      j AS (
+        SELECT COALESCE(fa.ca, 0) AS ca, COALESCE(fb.cb, 0) AS cb,
+          (SELECT SUM(ca) FROM fa) AS na, (SELECT SUM(cb) FROM fb) AS nb
+        FROM fa FULL OUTER JOIN fb USING (term)),
+      terms AS (
+        SELECT
+          CAST(CASE WHEN ca > 0 THEN
+            (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) *
+            LN((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) /
+               ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                 + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+            ELSE 0.0 END AS DECIMAL(18,8)) AS tp,
+          CAST(CASE WHEN cb > 0 THEN
+            (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) *
+            LN((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) /
+               ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                 + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+            ELSE 0.0 END AS DECIMAL(18,8)) AS tq,
+          CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END AS sh,
+          CASE WHEN ca > 0 THEN 1 ELSE 0 END AS ia,
+          CASE WHEN cb > 0 THEN 1 ELSE 0 END AS ib,
+          na, nb
+        FROM j)
+      SELECT CAST(MAX(na) AS BIGINT) AS tokens_a,
+        CAST(MAX(nb) AS BIGINT) AS tokens_b,
+        CAST(SUM(ia) AS BIGINT) AS terms_a,
+        CAST(SUM(ib) AS BIGINT) AS terms_b,
+        CAST(SUM(sh) AS BIGINT) AS shared_terms,
+        ROUND(CAST(SUM(tp) + SUM(tq) AS DOUBLE) / 2.0, 6) AS js_nats,
+        ROUND(CAST(SUM(tp) + SUM(tq) AS DOUBLE) / 2.0 / 0.6931471805599453,
+          6) AS js_bits
+      FROM terms""",
 
     "x222_cohens_kappa" -> s"""
       WITH r AS (

@@ -360,6 +360,121 @@ object TextAnalysis {
     * the single-partition ranking window is driver-sized work. Shares
     * divide exact BIGINT totals in one fixed association order, so every
     * column replays engine-exact. */
+  /** Jensen–Shannon divergence between two corpora's unigram
+    * distributions (Lin 1991) — the symmetric, always-finite
+    * distribution-drift statistic for TOKEN space, where
+    * [[graft.x.Profiler.psiDrift]] covers numeric columns: "how far has
+    * the training mix moved", "are these two sources interchangeable".
+    * JS = (KL(P‖M) + KL(Q‖M)) / 2 with M the midpoint mixture; bounded
+    * by ln 2 nats (1 bit), 0 iff identical distributions — terms absent
+    * from one side contribute finitely, unlike raw KL.
+    *
+    * One row out: token/term totals per side, the shared-term count,
+    * and the divergence in nats and bits. Determinism: every per-term
+    * `p·ln(p/m)` double (exact-count ratios, fixed association shape)
+    * quantizes to DECIMAL(18,8) before the order-free sum — the
+    * [[unigramLogProb]] ln-replay recipe; the bits conversion divides by
+    * the ln 2 LITERAL so both engines share one constant.
+    *
+    * Shape at 100 TB: one tokenize+count aggregation per side (staged —
+    * the totals and the joined term frame both read it), one term-keyed
+    * full-outer join of the two VOCABULARY-scale frames (corpus rows
+    * never meet the join), one scalar aggregate. */
+  def tokenJsDivergence(a: DataFrame, b: DataFrame, textCol: String,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    def freqs(df: DataFrame, side: String) = staging.stage(
+      df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as(s"__c$side")), s"js-freq-$side")
+    val fa = freqs(a, "a")
+    val fb = freqs(b, "b")
+    val na = fa.agg(sum("__ca").as("__na"))
+    val nb = fb.agg(sum("__cb").as("__nb"))
+    val joined = fa.join(fb, Seq("term"), "full_outer")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(coalesce(col("__ca"), lit(0L)).as("ca"),
+        coalesce(col("__cb"), lit(0L)).as("cb"),
+        col("__na"), col("__nb"))
+    val p = col("ca").cast("double") / col("__na").cast("double")
+    val q = col("cb").cast("double") / col("__nb").cast("double")
+    val m = (p + q) / lit(2.0)
+    joined
+      .select(
+        when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0))
+          .cast("decimal(18,8)").as("__tp"),
+        when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0))
+          .cast("decimal(18,8)").as("__tq"),
+        when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L).as("__sh"),
+        when(col("ca") > 0, 1L).otherwise(0L).as("__ta"),
+        when(col("cb") > 0, 1L).otherwise(0L).as("__tb"),
+        col("__na"), col("__nb"))
+      .agg(max("__na").as("__na"), max("__nb").as("__nb"),
+        sum("__ta").as("__terms_a"), sum("__tb").as("__terms_b"),
+        sum("__sh").as("__shared"),
+        sum("__tp").as("__kp"), sum("__tq").as("__kq"))
+      .select(col("__na").cast("long").as("tokens_a"),
+        col("__nb").cast("long").as("tokens_b"),
+        col("__terms_a").cast("long").as("terms_a"),
+        col("__terms_b").cast("long").as("terms_b"),
+        col("__shared").cast("long").as("shared_terms"),
+        round((col("__kp") + col("__kq")).cast("double") / lit(2.0), 6)
+          .as("js_nats"),
+        round((col("__kp") + col("__kq")).cast("double") / lit(2.0) /
+          lit(0.6931471805599453), 6).as("js_bits"))
+  }
+
+  /** Zipf rank-frequency fit over the unigram table: OLS of ln(count) on
+    * ln(rank) — the corpus-law companion to [[heapsLaw]]-style vocabulary
+    * growth (x205): natural text sits near slope −1; heavy boilerplate
+    * duplication flattens the head (slope → 0 over the top ranks),
+    * templated/synthetic text shows a truncated tail. One number a
+    * corpus-quality gate can threshold, plus r² for "is it even a power
+    * law".
+    *
+    * Ranks are the (count DESC, term ASC) total order computed by
+    * [[graft.x.Dedup.globalRowNumber]] — never a single-partition
+    * window. Determinism: each ln() double quantizes to DECIMAL(18,8)
+    * per row; the five OLS moments are exact decimal sums (products stay
+    * decimal), and slope/intercept/r² are one fixed-shape IEEE chain on
+    * those exact moments — the [[unigramLogProb]] ln-replay recipe
+    * applied to regression.
+    *
+    * Shape at 100 TB: one tokenize+count aggregation (the only
+    * corpus-scale pass), a distributed range rank over the
+    * VOCABULARY-scale frequency table, one moment aggregate. */
+  def zipfFit(df: DataFrame, textCol: String,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint): DataFrame = {
+    val freq = staging.stage(
+      df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("__c")), "zipf-freq")
+    val ranked = graft.x.Dedup.globalRowNumber(freq,
+      Seq(col("__c").desc, col("term").asc), staging)
+    val pts = ranked.select(
+      log(col("rank").cast("double")).cast("decimal(18,8)").as("__x"),
+      log(col("__c").cast("double")).cast("decimal(18,8)").as("__y"))
+    val m = pts.agg(count(lit(1)).as("__n"),
+      sum("__x").as("__sx"), sum("__y").as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val nD = col("__n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double"); val sxx = col("__sxx").cast("double")
+    val syy = col("__syy").cast("double")
+    val den = nD * sxx - sx * sx
+    val slope = (nD * sxy - sx * sy) / den
+    val r2num = (nD * sxy - sx * sy) * (nD * sxy - sx * sy)
+    val r2den = den * (nD * syy - sy * sy)
+    m.select(col("__n").cast("long").as("n_terms"),
+      round(when(den === 0.0, lit(null).cast("double")).otherwise(slope), 6)
+        .as("slope"),
+      round(when(den === 0.0, lit(null).cast("double"))
+        .otherwise((sy - slope * sx) / nD), 6).as("intercept"),
+      round(when(r2den === 0.0, lit(null).cast("double"))
+        .otherwise(r2num / r2den), 6).as("r2"))
+  }
+
   def tokenBudget(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "token budget needs at least one group column")
     import org.apache.spark.sql.expressions.Window

@@ -79,4 +79,48 @@ class BpeCosineSpec extends AnyFunSuite {
       threshold = 0.1, maxDocFreq = 2)
     assert(capped.count() == 0)
   }
+
+  test("tokenJsDivergence: identical -> 0, disjoint -> ln 2, symmetric") {
+    import spark.implicits._
+    val a = Seq((1L, "x y z x"), (2L, "y z")).toDF("doc_id", "text")
+    val same = TextAnalysis.tokenJsDivergence(a, a, "text").head()
+    assert(same.getDouble(5) === 0.0 && same.getDouble(6) === 0.0, s"got $same")
+    assert(same.getLong(0) == 6L && same.getLong(4) == 3L)
+    // disjoint vocabularies: JS = ln 2 nats = 1 bit exactly
+    val b = Seq((1L, "p q r")).toDF("doc_id", "text")
+    val dis = TextAnalysis.tokenJsDivergence(a, b, "text").head()
+    assert(dis.getLong(4) == 0L)
+    assert(math.abs(dis.getDouble(5) - math.log(2.0)) < 1e-6, s"got $dis")
+    assert(dis.getDouble(6) === 1.0)
+    // symmetry: JS(P,Q) = JS(Q,P)
+    val ab = TextAnalysis.tokenJsDivergence(a, b, "text").head().getDouble(5)
+    val ba = TextAnalysis.tokenJsDivergence(b, a, "text").head().getDouble(5)
+    assert(ab === ba)
+    // skewed but overlapping sits strictly between
+    val c = Seq((1L, "x x x x y")).toDF("doc_id", "text")
+    val mid = TextAnalysis.tokenJsDivergence(a, c, "text").head().getDouble(5)
+    assert(mid > 0.0 && mid < math.log(2.0), s"got $mid")
+  }
+
+  test("zipfFit: synthetic power law recovers slope ~ -1; degenerate NULL") {
+    import spark.implicits._
+    // corpus with term t_r repeated floor(256/r) times, r = 1..32: an
+    // almost-exact Zipf corpus; OLS on the exact log points must land
+    // near slope -1 with high r2
+    val words = (1 to 32).flatMap(r => Seq.fill(256 / r)(s"t$r"))
+    val docs = words.grouped(40).zipWithIndex
+      .map { case (w, i) => (i.toLong, w.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val z = TextAnalysis.zipfFit(docs, "text").head()
+    assert(z.getLong(0) == 32L)
+    assert(math.abs(z.getDouble(1) - (-1.0)) < 0.05, s"slope ${z.getDouble(1)}")
+    assert(z.getDouble(3) > 0.99, s"r2 ${z.getDouble(3)}")
+    // a single term: one point, den = 0 -> NULL fit, not garbage
+    val one = TextAnalysis.zipfFit(Seq((1L, "only only")).toDF("doc_id", "text"),
+      "text").head()
+    assert(one.getLong(0) == 1L && one.isNullAt(1) && one.isNullAt(3))
+    // layout invariance: exact decimal moments ignore partitioning
+    val z2 = TextAnalysis.zipfFit(docs.repartition(7), "text").head()
+    assert(z.toString === z2.toString)
+  }
 }
