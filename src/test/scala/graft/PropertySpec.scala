@@ -475,4 +475,94 @@ class PropertySpec extends AnyFunSuite {
       got == want
     })
   }
+
+  test("cohensKappa matches the textbook contingency formula on random raters") {
+    val genPairs = Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("x", "y", "z"), Gen.oneOf("x", "y", "z"))).map(_.take(60))
+    check(Prop.forAll(genPairs) { pairs =>
+      val got = graft.x.Profiler.cohensKappa(
+        pairs.toDF("a", "b"), "a", "b").head()
+      val n = pairs.size.toDouble
+      val agree = pairs.count { case (a, b) => a == b }.toDouble
+      val cats = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+      val pe = cats.map(c => (pairs.count(_._1 == c).toDouble / n) *
+        (pairs.count(_._2 == c).toDouble / n)).sum
+      val po = agree / n
+      val kOk =
+        if (math.abs(pe - 1.0) < 1e-12) got.isNullAt(4)
+        else math.abs(got.getDouble(4) - (po - pe) / (1.0 - pe)) < 1e-5
+      got.getLong(0) == pairs.size && got.getLong(1) == agree.toLong &&
+        math.abs(got.getDouble(2) - po) < 1e-6 && kOk
+    })
+  }
+
+  test("tokenJsDivergence matches a driver-side reference on random corpora") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc = Gen.nonEmptyListOf(word).map(_.take(8).mkString(" "))
+    val corpus = Gen.nonEmptyListOf(doc).map(_.take(5))
+    check(Prop.forAll(Gen.zip(corpus, corpus)) { case (ca, cb) =>
+      def freqs(c: List[String]) = c.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (fa, fb) = (freqs(ca), freqs(cb))
+      val (na, nb) = (fa.values.sum.toDouble, fb.values.sum.toDouble)
+      val js = (fa.keySet ++ fb.keySet).toSeq.map { t =>
+        val p = fa.getOrElse(t, 0L) / na
+        val q = fb.getOrElse(t, 0L) / nb
+        val m = (p + q) / 2.0
+        (if (p > 0) p * math.log(p / m) else 0.0) +
+          (if (q > 0) q * math.log(q / m) else 0.0)
+      }.sum / 2.0
+      val got = graft.x.TextAnalysis.tokenJsDivergence(
+        ca.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        cb.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "text").head()
+      math.abs(got.getDouble(5) - js) < 1e-5 &&
+        got.getDouble(5) >= 0.0 && got.getDouble(5) <= math.log(2.0) + 1e-9
+    })
+  }
+
+  test("calibrationBins ECE matches the share-weighted driver reference") {
+    val pt = Gen.zip(Gen.choose(0, 100).map(_ / 100.0), Gen.oneOf(true, false))
+    val data = Gen.nonEmptyListOf(pt).map(_.take(50))
+    check(Prop.forAll(data) { pts =>
+      val rows = graft.x.Profiler.calibrationBins(
+        pts.toDF("s", "y"), "s", "y", nBins = 10).collect()
+      val byBin = pts.groupBy { case (s, _) =>
+        math.min(math.max(math.floor(s * 10.0), 0.0), 9.0).toLong }
+      val n = pts.size.toDouble
+      val ece = byBin.map { case (_, g) =>
+        val mp = g.map(_._1).sum / g.size
+        val fp = g.count(_._2).toDouble / g.size
+        (g.size / n) * math.abs(mp - fp)
+      }.sum
+      rows.length == byBin.size &&
+        rows.forall(r => math.abs(r.getDouble(7) - ece) < 1e-4) &&
+        rows.forall { r =>
+          val g = byBin(r.getLong(0))
+          r.getLong(1) == g.size &&
+            math.abs(r.getDouble(4) - g.map(_._1).sum / g.size) < 1e-4
+        }
+    })
+  }
+
+  test("zipfFit equals a driver-side OLS over the exact log points") {
+    val word = Gen.oneOf((1 to 12).map(i => s"w$i"))
+    val corpus = Gen.nonEmptyListOf(word).map(_.take(200))
+    check(Prop.forAll(corpus) { words =>
+      val got = graft.x.TextAnalysis.zipfFit(
+        Seq((1L, words.mkString(" "))).toDF("doc_id", "text"), "text").head()
+      val freq = words.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (t, c) => (-c, t) }
+      val pts = freq.zipWithIndex.map { case ((_, c), i) =>
+        (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+      val n = pts.size.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val den = n * sxx - sx * sx
+      got.getLong(0) == pts.size && (
+        if (math.abs(den) < 1e-12) got.isNullAt(1)
+        else math.abs(got.getDouble(1) - (n * sxy - sx * sy) / den) < 1e-4)
+    })
+  }
 }
