@@ -2511,6 +2511,27 @@ object SparkEntry {
       graft.x.Profiler.calibrationBins(scored, "q", "is_en", nBins = 10)
         .orderBy("bin")
     }),
+    // Unicode canonicalization before fingerprinting: every doc gets a
+    // decomposed (e + combining acute) and a precomposed (é) variant of
+    // the same suffix — byte-different, canonically equal. Raw md5 keys
+    // see 2n distinct docs; after the codegen'd NFC expression the pair
+    // collapses (distinct_norm_fp = n) — the dedup bug the op exists for
+    "x225_nfc_dedup_keys" -> ((s, dir) => {
+      reg(s, dir)
+      import graft.functions.NfcNormalizeExpr.normalize
+      val base = s.table("documents").select(col("doc_id"), col("text"))
+      val dec = base.select((col("doc_id") * 2).as("vid"),
+        concat(col("text"), lit(" café naïve")).as("t"))
+      val pre = base.select((col("doc_id") * 2 + 1).as("vid"),
+        concat(col("text"), lit(" café naïve")).as("t"))
+      dec.unionByName(pre).agg(
+        count(lit(1)).cast("long").as("n_variants"),
+        countDistinct(md5(col("t"))).cast("long").as("distinct_raw_fp"),
+        countDistinct(md5(normalize(col("t")))).cast("long")
+          .as("distinct_norm_fp"),
+        sum(when(normalize(col("t")) =!= col("t"), 1L).otherwise(0L))
+          .cast("long").as("n_changed"))
+    }),
     // corpus-law gate: Zipf rank-frequency slope + r2 over the unigram
     // table (natural text ~ -1; boilerplate flattens it) — distributed
     // rank, quantized-ln exact-moment OLS
@@ -7248,6 +7269,23 @@ object SparkEntry {
         ROUND(CAST(SUM(CAST(share * abs_gap AS DECIMAL(18,8))) OVER () AS DOUBLE),
           6) AS ece
       FROM p ORDER BY bin""",
+
+    "x225_nfc_dedup_keys" -> """
+      WITH v AS (
+        SELECT doc_id * 2 AS vid,
+          text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS t
+        FROM documents
+        UNION ALL
+        SELECT doc_id * 2 + 1,
+          text || ' caf' || chr(233) || ' na' || chr(239) || 've'
+        FROM documents)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_variants,
+        CAST(COUNT(DISTINCT md5(t)) AS BIGINT) AS distinct_raw_fp,
+        CAST(COUNT(DISTINCT md5(nfc_normalize(t))) AS BIGINT)
+          AS distinct_norm_fp,
+        CAST(SUM(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_changed
+      FROM v""",
 
     "x224_zipf_fit" -> s"""
       WITH toks AS (

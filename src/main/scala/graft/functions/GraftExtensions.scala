@@ -81,6 +81,11 @@ object GraftFunctions {
         "jaro_winkler(str, str) - Jaro-Winkler similarity (record-linkage comparator)"),
       es => { arity("jaro_winkler", 2, es); JaroWinklerExpr(es.head, es(1)) }),
 
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(str) - Unicode NFC canonical composition (pre-hash text canonicalization)"),
+      es => { arity("nfc_normalize", 1, es); NfcNormalizeExpr(es.head) }),
+
     // aggregate: the analyzer wraps a returned AggregateFunction in the
     // AggregateExpression itself, so the builder returns the bare function
     (FunctionIdentifier("simhash_agg"),

@@ -125,7 +125,31 @@ class GraftFunctionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     assert(GraftFunctions.specs.map(_._1.funcName).toSet ==
       Set("poly_hash56", "dot_f32", "cosine_f32", "hamming64", "hilbert_idx",
-        "jaro_winkler", "simhash_agg", "frequent_items_agg", "kmv_sketch_agg"))
+        "jaro_winkler", "nfc_normalize", "simhash_agg", "frequent_items_agg",
+        "kmv_sketch_agg"))
+  }
+
+  test("nfc_normalize: composes combining marks, identity on NFC input, " +
+    "codegen = interpreted, null-safe") {
+    import spark.implicits._
+    val dec = "café naïve"   // e + U+0301, i + U+0308
+    val pre = "café naïve"     // precomposed é, ï
+    val df = Seq((dec, pre), ("plain ascii", "plain ascii"),
+      (null.asInstanceOf[String], "x")).toDF("a", "b")
+    graft.functions.GraftFunctions.register(spark)
+    val rows = df.selectExpr("nfc_normalize(a) AS na", "nfc_normalize(b) AS nb")
+      .collect()
+    assert(rows(0).getString(0) == pre && rows(0).getString(1) == pre,
+      "decomposed input must compose to the precomposed form")
+    assert(rows(1).getString(0) == "plain ascii")
+    assert(rows(2).isNullAt(0) && rows(2).getString(1) == "x")
+    // interpreted fallback agrees with codegen
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.NfcNormalizeExpr
+      .nfc(UTF8String.fromString(dec)).toString == pre)
+    // already-NFC fast path returns the same object (no re-allocation)
+    val s = UTF8String.fromString("abc")
+    assert(graft.functions.NfcNormalizeExpr.nfc(s) eq s)
   }
 
   test("jaro_winkler: textbook values, DuckDB conventions, codegen = interpreted") {
