@@ -919,6 +919,28 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // corpus-law probes: JS divergence and the Zipf fit are one
+    // tokenize+count pass plus vocabulary-scale work — cost must track
+    // the corpus linearly while the vocabulary (and thus the join/rank
+    // side) grows sublinearly
+    if (on("jsdiv")) Seq(1, 4, 16).foreach { k =>
+      val inflated = (0 until k).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
+        .reduce(_ unionByName _)
+        .repartition(32).localCheckpoint(true)
+      val n = inflated.count()
+      val t0 = System.nanoTime()
+      val js = graft.x.TextAnalysis.tokenJsDivergence(
+        inflated.filter(col("lang") === "en"),
+        inflated.filter(col("lang") =!= "en"), "text").head()
+      val t1 = System.nanoTime()
+      val z = graft.x.TextAnalysis.zipfFit(inflated, "text").head()
+      println(f"[scale-jsdiv] docs=$n%7d  js=${(t1 - t0) / 1e9}%6.2fs " +
+        f"(${js.getDouble(5)}%.4f nats)  zipf=${(System.nanoTime() - t1) / 1e9}%6.2fs " +
+        f"(slope=${z.getDouble(1)}%.3f, terms=${z.getLong(0)})")
+      spark.catalog.clearCache()
+    }
+
     // spatial probe: K× points on a growing grid (constant density — the
     // cell side scales with √K so points-per-cell holds). Cost is the
     // two cell-keyed shuffles + bounded per-cell pairs → linear.
