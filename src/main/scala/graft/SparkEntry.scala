@@ -105,10 +105,15 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // anti-join against the FILTERED right side (customers with no
+    // completed order) — every customer has SOME order in the fixtures,
+    // so the unfiltered anti was vacuously empty and its oracle hash
+    // proved nothing; the status filter makes the result non-empty
+    // (~5% of customers) and exercises filter-under-anti pushdown
     "q05_anti_join" -> ((s, dir) => {
       reg(s, dir)
       val c = s.table("customer")
-      val o = s.table("orders")
+      val o = s.table("orders").filter(col("o_orderstatus") === "F")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         .orderBy("c_custkey")
@@ -2733,8 +2738,12 @@ object SparkEntry {
     // community L_c, D_c and integer numerator 4m·L_c − D_c² — no floats
     "x202_partition_modularity" -> ((s, dir) => {
       reg(s, dir)
+      // the distinct edge list feeds BOTH the LPA prelude and modularity's
+      // three subtrees (m, degrees, intra-edge join) — staged once so the
+      // lineitem scan + distinct exchange run once, not per consumer
       val edges = s.table("lineitem").select(col("l_partkey").as("src"),
         (col("l_suppkey") + lit(1000000L)).as("dst")).distinct()
+        .localCheckpoint(true)
       val labels = Graph.labelPropagation(edges, "src", "dst", iters = 3)
       Graph.modularity(edges, "src", "dst", labels)
         .select(col("label"), col("n_nodes"), col("d_tot").cast("long")
@@ -4666,7 +4675,9 @@ object SparkEntry {
 
     "q05_anti_join" -> """
       SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
-      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F')
       ORDER BY c.c_custkey""",
 
     "q06_window_rank" -> """

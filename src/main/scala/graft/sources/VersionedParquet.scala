@@ -126,13 +126,19 @@ object VersionedParquet {
     * Note for change-feed consumers: compaction rewrites every file, so
     * `readChanges` across it reports a full delete+insert — downstream
     * incremental consumers converge (delta algebra cancels) but pay a
-    * snapshot-sized delta; schedule compaction right after a refresh. */
+    * snapshot-sized delta; schedule compaction right after a refresh.
+    * The compacted commit CARRIES FORWARD the replaced snapshot's commit
+    * metadata verbatim: compaction is a physical rewrite of the same
+    * logical snapshot, and consumers that key replay/watermark state off
+    * the newest version's meta (the streaming near-dedup's
+    * `streamBatchHwm`) must not lose it to a maintenance op. */
   def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Unit = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val vs = versions(path)
     require(vs.nonEmpty, s"no committed versions under $path")
     if (manifestFiles(path, vs.max).size <= targetFiles) return
-    write(read(spark, path).repartition(targetFiles), path, "overwrite")
+    write(read(spark, path).repartition(targetFiles), path, "overwrite",
+      commitMeta(path, vs.max))
   }
 
   /** Drop history: delete manifests older than the last `keepVersions`

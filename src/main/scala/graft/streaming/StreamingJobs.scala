@@ -719,11 +719,28 @@ object StreamingJobs {
     * at-least-once channel, without a second marker system — the band
     * store's own versioned commit IS the marker:
     *
-    *  1. replay detection: each store append carries
-    *     `streamBatchId = <bid>` in its commit manifest
+    *  1. replay detection: each store append carries BOTH its own
+    *     `streamBatchId = <bid>` and the monotone high-watermark
+    *     `streamBatchHwm = max(bid, previous hwm)` in its commit manifest
     *     ([[graft.sources.VersionedParquet.commitMeta]] — a log lookup,
-    *     no Spark job). A batch whose id is already committed is skipped
-    *     WHOLE, because step 2 guarantees its output is already complete.
+    *     no Spark job). "Already committed" is `bid <= hwm(newest
+    *     version)` — ONE manifest read per batch regardless of store
+    *     age (micro-batch ids from a checkpointed stream are strictly
+    *     increasing, and foreachBatch runs batches sequentially, so a
+    *     bid at or below the newest hwm has completed WHOLE — including
+    *     its `persistAdmitted`, because a later batch can only have run
+    *     after the earlier one finished). Legacy stores whose newest
+    *     commit predates the hwm key fall back to that commit's own
+    *     `streamBatchId` tag, which is the largest committed bid for
+    *     the same ordering reason. A batch at or below the watermark is
+    *     skipped WHOLE, because step 2 guarantees its output is already
+    *     complete. VACUUM SAFETY: [[graft.sources.VersionedParquet.vacuum]]
+    *     always retains the newest version (`keepVersions >= 1` is
+    *     enforced), and the hwm is re-carried into every subsequent
+    *     commit, so vacuuming old tagged manifests can never reopen
+    *     crash window (b) below — the one store operation that WOULD
+    *     break the contract is deleting the version log itself while a
+    *     batch is still replayable.
     *  2. ordering inside [[graft.x.Dedup.incrementalNearDup]]:
     *     `persistAdmitted` runs BEFORE the store commit, and the admitted
     *     output goes to a batch-scoped directory (`admittedDir/batch=<bid>`,
@@ -744,16 +761,23 @@ object StreamingJobs {
       textCol: String, idCol: String, storePath: String, admittedDir: String,
       n: Int = 3, k: Int = 32, bands: Int = 8,
       compactAtFiles: Int = 64, compactTarget: Int = 4): Unit = {
-    val committed = graft.sources.VersionedParquet.versions(storePath)
-      .reverse.exists(v => graft.sources.VersionedParquet
-        .commitMeta(storePath, v).get("streamBatchId").contains(bid.toString))
-    if (!committed) {
+    // one manifest read, newest version only (scaladoc step 1):
+    // hwm if present, else the legacy per-version tag — both are the
+    // largest committed bid because batches commit in order
+    val prevHwm = graft.sources.VersionedParquet.versions(storePath)
+      .lastOption.flatMap { v =>
+        val meta = graft.sources.VersionedParquet.commitMeta(storePath, v)
+        meta.get("streamBatchHwm").orElse(meta.get("streamBatchId"))
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+      }.getOrElse(-1L)
+    if (bid > prevHwm) {
       graft.x.Dedup.incrementalNearDup(batch, textCol, idCol, storePath,
         n = n, k = k, bands = bands,
         persistAdmitted = adm => adm.write.mode("overwrite")
           .parquet(s"$admittedDir/batch=$bid"),
         compactAtFiles = compactAtFiles, compactTarget = compactTarget,
-        storeMeta = Map("streamBatchId" -> bid.toString))
+        storeMeta = Map("streamBatchId" -> bid.toString,
+          "streamBatchHwm" -> math.max(bid, prevHwm).toString))
       ()
     }
   }

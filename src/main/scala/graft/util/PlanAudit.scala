@@ -103,12 +103,18 @@ object PlanAudit {
       p.children.foreach(countAll(_, c))
     }
     countAll(plan, null)
-    // a maximal repeat rooted at a view / named-subquery alias is a SOURCE
-    // RE-READ (s.table twice, a SQL view or CTE referenced twice): Catalyst
-    // owns those (CTE inlining/materialization, exchange reuse on identical
-    // copies), and re-scanning a source is not the defect this audit
-    // exists for — the defect is a Scala-built pipeline re-evaluated per
-    // consumer, which is never alias-rooted in this codebase
+    // a repeat ROOTED at a view / named-subquery alias is, at the alias
+    // level, a source re-reference (s.table twice, a temp view or SQL
+    // subquery alias referenced twice) — re-naming is not the defect, so
+    // the alias node itself is never reported. But the walk must still
+    // DESCEND into it: a view/subquery BODY that contains shuffle work is
+    // re-expanded verbatim per reference in the analyzed plan (views are
+    // not CTEs — there is no WithCTE materialization rescuing them, and
+    // after optimization the copies diverge past exchange reuse), so a
+    // repeated shuffle pipeline hiding inside a twice-referenced alias is
+    // exactly the re-evaluation defect this audit exists for. (True SQL
+    // `WITH` CTEs analyze to WithCTE + CTERelationRef, not duplicated
+    // subtrees, so Catalyst's CTE machinery owns those either way.)
     def isAliasRoot(p: LogicalPlan): Boolean = p match {
       case _: SubqueryAlias | _: View => true
       case _ => false
@@ -126,9 +132,9 @@ object PlanAudit {
     val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
     def visit(p: LogicalPlan): Unit = {
       val c = counts(p.canonicalized)
-      if (c >= 2) {
+      if (c >= 2 && !isAliasRoot(p)) {
         // maximal repeated fragment: children repeat with it — don't descend
-        if (!isAliasRoot(p) && hasShuffleWork(p) && !reported(p.canonicalized)) {
+        if (hasShuffleWork(p) && !reported(p.canonicalized)) {
           reported += p.canonicalized
           out += Finding("warn", "RepeatedSubtree", describe(p, c))
         }

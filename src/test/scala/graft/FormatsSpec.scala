@@ -56,6 +56,21 @@ class FormatsSpec extends AnyFunSuite {
     assert(VersionedParquet.versions(path).size == 5)
   }
 
+  test("compaction carries the replaced snapshot's commit meta forward") {
+    val path = Files.createTempDirectory("graft-cmpmeta").toString + "/tbl"
+    VersionedParquet.write(Seq((1, "a")).toDF("id", "v").repartition(2),
+      path, "append", Map("streamBatchId" -> "6", "streamBatchHwm" -> "7"))
+    VersionedParquet.compact(spark, path, targetFiles = 1)
+    val vs = VersionedParquet.versions(path)
+    // the streaming near-dedup replay watermark rides the NEWEST version's
+    // meta — a maintenance compaction must not erase it (vacuum keeps only
+    // the newest version, so a lost hwm would reopen the replay-overwrite
+    // crash window)
+    assert(VersionedParquet.commitMeta(path, vs.max) ==
+      Map("streamBatchId" -> "6", "streamBatchHwm" -> "7"),
+      "compaction dropped the snapshot's commit meta")
+  }
+
   test("vacuum reclaims unreferenced files and prunes time travel") {
     val path = Files.createTempDirectory("graft-vac").toString + "/tbl"
     VersionedParquet.write(Seq((1, "a")).toDF("id", "v"), path, "overwrite")  // v0

@@ -252,6 +252,30 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/boom_warn").count() == 25 * 5)
   }
 
+  test("repeatedSubtrees: flags a shuffle pipeline re-expanded by a " +
+      "twice-referenced view; a shuffle-free view re-reference stays clean") {
+    import spark.implicits._
+    Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+      .createOrReplaceTempView("rs_base")
+    // the view BODY aggregates (shuffle work); each SQL reference
+    // re-expands it verbatim in the analyzed plan — the alias node is
+    // exempt, but the walk must descend and flag the repeated Aggregate
+    spark.sql("SELECT k, COUNT(*) AS n FROM rs_base GROUP BY k")
+      .createOrReplaceTempView("rs_agg")
+    val dup = spark.sql(
+      "SELECT a.k, a.n, b.n AS n2 FROM rs_agg a JOIN rs_agg b ON a.k = b.k")
+    assert(graft.util.PlanAudit.repeatedSubtrees(dup)
+      .exists(f => f.node == "RepeatedSubtree" &&
+        f.detail.contains("Aggregate")),
+      "repeated shuffle fragment inside a twice-referenced view not flagged")
+    // re-referencing a plain source view twice is a source re-read, not a
+    // re-evaluated pipeline: no shuffle under the alias, no finding
+    val srcDup = spark.sql(
+      "SELECT a.k FROM rs_base a JOIN rs_base b ON a.k = b.k")
+    assert(graft.util.PlanAudit.repeatedSubtrees(srcDup).isEmpty,
+      "shuffle-free source re-reference must not flag")
+  }
+
   test("pipeline step retries then surfaces the failure") {
     val bad = JobConfig.parse(
       """{"jobName": "boom",

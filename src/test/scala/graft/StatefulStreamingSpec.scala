@@ -431,6 +431,16 @@ class StatefulStreamingSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(admittedAfter.sameElements(admittedBefore),
       "replay clobbered the committed admitted output")
+    // an EARLIER batch (bid strictly below the newest watermark) must also
+    // be a no-op: detection reads ONE manifest (the newest version's
+    // streamBatchHwm), not a scan of every version for a matching tag
+    StreamingJobs.incrementalNearDupBatch(b0, bid = 0L, "text", "doc_id",
+      store, admitted, n = 3, k = 16, bands = 4)
+    assert(graft.sources.VersionedParquet.versions(store) == versionsBefore,
+      "below-watermark replay appended a store version")
+    assert(spark.read.parquet(s"$admitted/batch=*")
+      .collect().map(_.toString).sorted.sameElements(admittedBefore),
+      "below-watermark replay clobbered committed output")
   }
 
   test("sql file path works as a transformation step (spark.json:57)") {
