@@ -2516,6 +2516,31 @@ object SparkEntry {
       graft.x.Profiler.calibrationBins(scored, "q", "is_en", nBins = 10)
         .orderBy("bin")
     }),
+    // ANN-recall drift monitor: the live IVF store keeps its BUILD-TIME
+    // coarse quantizer across appends (cent0 = the first 5 vectors);
+    // one distributed Lloyd refresh over today's corpus gives the
+    // geometry a rebuild would use. recall@10 of both probe geometries
+    // against exact brute force, per query — drift = the recall a
+    // rebuild would recover, i.e. the rebuild-scheduling signal. All
+    // int8-exact (assignment, probe cells, grid-quantized Lloyd means),
+    // so the whole monitor replays in the oracle
+    "x226_ivf_recall_drift" -> ((s, dir) => {
+      reg(s, dir)
+      val codes = s.table("embeddings").select(col("vec_id"),
+        Similarity.int8Codes(col("embedding")).as("c"))
+      val corpus = codes.filter(col("vec_id") < 490 || col("vec_id") >= 500)
+      val queries = codes.filter(col("vec_id") >= 490 && col("vec_id") < 500)
+        .select(col("vec_id").as("q_id"), col("c"))
+      val stale = codes.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("centroid_id"), col("c"))
+      // the refreshed quantizer feeds both sides of its probe (corpus
+      // assignment + query cells) — staged so the Lloyd aggs run once
+      val fresh = Similarity.int8LloydUpdate(corpus, stale, "vec_id",
+        "centroid_id", "c").localCheckpoint(true)
+      Similarity.ivfRecallDrift(corpus, queries, stale, fresh,
+          "vec_id", "q_id", "centroid_id", "c", k = 10, nprobe = 2)
+        .orderBy("q_id")
+    }),
     // Unicode canonicalization before fingerprinting: every doc gets a
     // decomposed (e + combining acute) and a precomposed (é) variant of
     // the same suffix — byte-different, canonically equal. Raw md5 keys
@@ -7280,6 +7305,119 @@ object SparkEntry {
         ROUND(CAST(SUM(CAST(share * abs_gap AS DECIMAL(18,8))) OVER () AS DOUBLE),
           6) AS ece
       FROM p ORDER BY bin""",
+
+    // recall drift: int8 codes (x91's machinery), build-time centroids
+    // cent0, one grid-quantized Lloyd refresh (x211's ⌊(2s+n)/(2n)⌋
+    // lanes, empty cells keep their centroid), nprobe=2 probe cells and
+    // exact-integer argmin/cosine throughout — both probe geometries and
+    // the exact list replay bit-for-bit, recalls are single double
+    // divisions of exact counts
+    "x226_ivf_recall_drift" -> s"""
+      WITH sc0 AS (
+        SELECT vec_id, embedding,
+          LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings),
+      codes AS (
+        SELECT vec_id,
+          CASE WHEN m IS NULL OR m = 0 THEN LIST_TRANSFORM(embedding, x -> 0)
+               ELSE LIST_TRANSFORM(embedding, x ->
+                 CAST(FLOOR(CAST(x AS DOUBLE) / m * 127.0 + 0.5) AS INT)) END AS c
+        FROM sc0),
+      corpus AS (SELECT vec_id, c FROM codes
+                 WHERE vec_id < 490 OR vec_id >= 500),
+      q AS (SELECT vec_id AS q_id, c AS qc FROM codes
+            WHERE vec_id >= 490 AND vec_id < 500),
+      cent0 AS MATERIALIZED (
+        SELECT vec_id AS cid, c AS cl FROM codes WHERE vec_id < 5),
+      asg0 AS MATERIALIZED (
+        SELECT vec_id, c, cid FROM (
+          SELECT p.vec_id, p.c, ct.cid,
+                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                   ORDER BY ${i8DistSql("p.c", "ct.cl")}, ct.cid) AS rn
+          FROM corpus p CROSS JOIN cent0 ct) WHERE rn = 1),
+      upd AS (
+        SELECT cid, i, SUM(v) AS s, COUNT(*) AS n FROM (
+          SELECT cid, UNNEST(c) AS v, generate_subscripts(c, 1) AS i
+          FROM asg0)
+        GROUP BY 1, 2),
+      cent1 AS MATERIALIZED (
+        SELECT c0.cid, COALESCE(cu.cl, c0.cl) AS cl
+        FROM cent0 c0 LEFT JOIN (
+          SELECT cid, list(CAST(FLOOR((2.0 * s + n) / (2.0 * n)) AS INT)
+                           ORDER BY i) AS cl
+          FROM upd GROUP BY 1) cu ON cu.cid = c0.cid),
+      asg1 AS MATERIALIZED (
+        SELECT vec_id, c, cid FROM (
+          SELECT p.vec_id, p.c, ct.cid,
+                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                   ORDER BY ${i8DistSql("p.c", "ct.cl")}, ct.cid) AS rn
+          FROM corpus p CROSS JOIN cent1 ct) WHERE rn = 1),
+      qc0 AS (
+        SELECT q_id, qc, cid FROM (
+          SELECT q.q_id, q.qc, ct.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.q_id
+                   ORDER BY ${i8DistSql("q.qc", "ct.cl")}, ct.cid) AS rn
+          FROM q CROSS JOIN cent0 ct) WHERE rn <= 2),
+      qc1 AS (
+        SELECT q_id, qc, cid FROM (
+          SELECT q.q_id, q.qc, ct.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.q_id
+                   ORDER BY ${i8DistSql("q.qc", "ct.cl")}, ct.cid) AS rn
+          FROM q CROSS JOIN cent1 ct) WHERE rn <= 2),
+      lsc AS (
+        SELECT qc0.q_id, a.vec_id,
+          CAST(${idotSql("a.c", "qc0.qc")} AS DOUBLE) /
+          (SQRT(CAST(${idotSql("a.c", "a.c")} AS DOUBLE)) *
+           SQRT(CAST(${idotSql("qc0.qc", "qc0.qc")} AS DOUBLE))) AS cosine
+        FROM asg0 a JOIN qc0 ON a.cid = qc0.cid AND a.vec_id <> qc0.q_id),
+      live AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_id) AS rk
+          FROM lsc) WHERE rk <= 10),
+      fsc AS (
+        SELECT qc1.q_id, a.vec_id,
+          CAST(${idotSql("a.c", "qc1.qc")} AS DOUBLE) /
+          (SQRT(CAST(${idotSql("a.c", "a.c")} AS DOUBLE)) *
+           SQRT(CAST(${idotSql("qc1.qc", "qc1.qc")} AS DOUBLE))) AS cosine
+        FROM asg1 a JOIN qc1 ON a.cid = qc1.cid AND a.vec_id <> qc1.q_id),
+      fresh AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_id) AS rk
+          FROM fsc) WHERE rk <= 10),
+      esc AS (
+        SELECT q.q_id, p.vec_id,
+          CAST(${idotSql("p.c", "q.qc")} AS DOUBLE) /
+          (SQRT(CAST(${idotSql("p.c", "p.c")} AS DOUBLE)) *
+           SQRT(CAST(${idotSql("q.qc", "q.qc")} AS DOUBLE))) AS cosine
+        FROM corpus p, q WHERE p.vec_id <> q.q_id),
+      ex AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_id) AS rk
+          FROM esc) WHERE rk <= 10),
+      hl AS (SELECT q_id, COUNT(*) AS h FROM live JOIN ex
+             USING (q_id, vec_id) GROUP BY 1),
+      hf AS (SELECT q_id, COUNT(*) AS h FROM fresh JOIN ex
+             USING (q_id, vec_id) GROUP BY 1),
+      ne AS (SELECT q_id, COUNT(*) AS n FROM ex GROUP BY 1)
+      SELECT ne.q_id, CAST(n AS BIGINT) AS n_exact,
+             CAST(COALESCE(hl.h, 0) AS BIGINT) AS n_hit_live,
+             CAST(COALESCE(hf.h, 0) AS BIGINT) AS n_hit_fresh,
+             CAST(COALESCE(hl.h, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+               AS recall_live,
+             CAST(COALESCE(hf.h, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+               AS recall_fresh,
+             CAST(COALESCE(hf.h, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(COALESCE(hl.h, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+               AS drift
+      FROM ne LEFT JOIN hl ON ne.q_id = hl.q_id
+              LEFT JOIN hf ON ne.q_id = hf.q_id
+      ORDER BY ne.q_id""",
 
     "x225_nfc_dedup_keys" -> """
       WITH v AS (

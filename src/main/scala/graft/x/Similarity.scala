@@ -214,6 +214,150 @@ object Similarity {
           col("__ex").cast("double")).as("recall"))
   }
 
+  /** Exact BIGINT squared L2 between two [[int8Codes]] vectors. */
+  private def int8SqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("long") - y.cast("long")) * (x.cast("long") - y.cast("long"))),
+      lit(0L), (acc, v) => acc + v)
+
+  /** One distributed Lloyd refresh of an int8 coarse quantizer: assign
+    * every corpus vector to its nearest centroid (exact BIGINT L2, ties
+    * to the lowest centroid id), then move each centroid to its cell's
+    * per-dimension grid-quantized mean — round-half-up on the int grid,
+    * `⌊(2s+n)/(2n)⌋` per lane, exact in double at int8 magnitudes (the
+    * x211 recipe, so any engine replays the refresh bit-for-bit). Cells
+    * that captured no vectors keep their previous centroid.
+    *
+    * This is the "what would a re-quantization give me TODAY" half of
+    * [[ivfRecallDrift]]: a live IVF store keeps its build-time geometry
+    * across appends (moving centroids means rebuilding the layout), and
+    * this step computes the refreshed geometry without touching the
+    * store. Fully distributed, unlike [[kmeansLloyd]]'s driver-looped
+    * iterations: one broadcast of the k-row centroid frame, one argmin
+    * agg, one (cell × dim) mean agg — at 100 TB only k·dim rows ever
+    * aggregate past the corpus scan. The output frame is multiply
+    * consumed by any probe that follows — stage it. */
+  def int8LloydUpdate(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, centroidIdCol: String, codesCol: String): DataFrame = {
+    val c = centroids.select(col(centroidIdCol).cast("long").as("__cid"),
+      col(codesCol).as("__cc"))
+    // argmin as ONE struct-min hash agg (no window sort): lexicographic
+    // min over (dist, cid) = smallest distance, ties to the lowest cell
+    val assigned = corpus.crossJoin(broadcast(c))
+      .withColumn("__d", int8SqDist(col(codesCol), col("__cc")))
+      .groupBy(col(idCol), col(codesCol))
+      .agg(min(struct(col("__d").as("d"), col("__cid").as("cid"))).as("__m"))
+      .select(col("__m.cid").as("__cell"), col(codesCol))
+    val moved = assigned
+      .select(col("__cell"), posexplode(col(codesCol)).as(Seq("__i", "__v")))
+      .groupBy("__cell", "__i")
+      .agg(sum(col("__v").cast("long")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__q", floor((lit(2.0) * col("__s") + col("__n")) /
+        (lit(2.0) * col("__n"))).cast("int"))
+      .groupBy(col("__cell"))
+      .agg(sort_array(collect_list(struct(col("__i"), col("__q")))).as("__a"))
+      .select(col("__cell"),
+        transform(col("__a"), e => e.getField("__q")).as("__nc"))
+    c.join(moved, c("__cid") === moved("__cell"), "left")
+      .select(col("__cid").as(centroidIdCol),
+        coalesce(col("__nc"), col("__cc")).as(codesCol))
+  }
+
+  /** IVF top-k entirely in [[int8Codes]] space: corpus vectors live in
+    * their single nearest-centroid cell (exact BIGINT L2 argmin, ties to
+    * the lowest cell id), each query probes its `nprobe` nearest cells,
+    * and ranking inside the probed cells is the exact-integer cosine of
+    * [[int8TopK]]. The integer geometry makes cell assignment and probe
+    * selection bit-deterministic across engines — the property
+    * [[ivfRecallDrift]] needs to compare two quantizers honestly.
+    *
+    * Scale shape: same as [[ivfTopK]] — centroids and queries broadcast,
+    * the corpus scans once, per-query ranking is a WindowGroupLimit
+    * top-k. `centroids` is consumed by BOTH the corpus assignment and the
+    * query probe — pass a staged frame when it was computed by a shuffle
+    * pipeline (e.g. [[int8LloydUpdate]] output). */
+  def int8IvfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, qIdCol: String, centroidIdCol: String, codesCol: String,
+      k: Int, nprobe: Int = 3): DataFrame = {
+    def sq(c: Column): Column =
+      aggregate(c, lit(0L), (acc, x) => acc + x.cast("long") * x.cast("long"))
+    val c = centroids.select(col(centroidIdCol).cast("long").as("__cid"),
+      col(codesCol).as("__cc"))
+    val assigned = corpus.crossJoin(broadcast(c))
+      .withColumn("__d", int8SqDist(col(codesCol), col("__cc")))
+      .groupBy(col(idCol), col(codesCol))
+      .agg(min(struct(col("__d").as("d"), col("__cid").as("cid"))).as("__m"))
+      .select(col(idCol), col(codesCol), col("__m.cid").as("__cell"))
+    // the query side is tiny (small-query contract) — a window over the
+    // broadcast-scale frame picks the nprobe nearest cells per query
+    val qw = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__d").asc, col("__cid").asc)
+    val qcells = queries.crossJoin(broadcast(c))
+      .withColumn("__d", int8SqDist(col(codesCol), col("__cc")))
+      .withColumn("__rn", row_number().over(qw))
+      .filter(col("__rn") <= nprobe)
+      .select(col(qIdCol), col(codesCol).as("__qc"), col("__cid").as("__cell"))
+      .withColumn("__qn2", sq(col("__qc")))
+    val scored = assigned
+      .withColumn("__cn2", sq(col(codesCol)))
+      .join(broadcast(qcells), Seq("__cell"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("cosine", {
+        val dot = aggregate(
+          zip_with(col(codesCol), col("__qc"),
+            (x, y) => x.cast("long") * y.cast("long")),
+          lit(0L), (acc, v) => acc + v)
+        when(col("__cn2") * col("__qn2") === 0L, lit(null).cast("double"))
+          .otherwise(dot.cast("double") /
+            (sqrt(col("__cn2").cast("double")) * sqrt(col("__qn2").cast("double"))))
+      })
+    rankTopK(scored, idCol, qIdCol, k)
+  }
+
+  /** ANN-recall drift monitor: the ops question a live vector store asks
+    * after N appends — "my IVF layout still uses its build-time coarse
+    * quantizer; how much recall@k is that stale geometry costing vs a
+    * re-quantized rebuild?" Computes, per query, recall@k against exact
+    * brute force ([[int8TopK]]) for BOTH quantizers — `staleCentroids`
+    * (the store's build-time geometry) and `freshCentroids` (typically
+    * [[int8LloydUpdate]] over today's corpus) — and their difference:
+    * `drift > 0` means a rebuild would recover that much recall, so the
+    * monitor's output is directly the rebuild-scheduling signal.
+    *
+    * The probe geometry is evaluated WITHOUT touching the store: cell
+    * assignment is a pure function of (vector, centroids)
+    * ([[appendToIvfLayout]]'s invariant — base-then-append probes
+    * byte-identically to a full rebuild on the same centroids, proven by
+    * x143's shared oracle), so ranking the corpus frame against each
+    * centroid set reproduces exactly what a layout probe would return.
+    * Scale shape: two [[int8IvfTopK]] probes + one exact pass, all
+    * broadcast-join + WindowGroupLimit — the corpus scans three times and
+    * shuffles never; the staged exact top-k (|Q|·k rows) feeds both
+    * recall joins. */
+  def ivfRecallDrift(corpus: DataFrame, queries: DataFrame,
+      staleCentroids: DataFrame, freshCentroids: DataFrame,
+      idCol: String, qIdCol: String, centroidIdCol: String, codesCol: String,
+      k: Int, nprobe: Int = 3,
+      staging: graft.util.Staging = graft.util.Staging.LocalCheckpoint
+  ): DataFrame = {
+    val exact = staging.stage(
+      int8TopK(corpus, queries, idCol, qIdCol, codesCol, k), "drift-exact")
+    val live = int8IvfTopK(corpus, queries, staleCentroids,
+      idCol, qIdCol, centroidIdCol, codesCol, k, nprobe)
+    val fresh = int8IvfTopK(corpus, queries, freshCentroids,
+      idCol, qIdCol, centroidIdCol, codesCol, k, nprobe)
+    val rLive = recallAtK(live, exact, qIdCol, idCol, k)
+      .select(col(qIdCol), col("n_exact"),
+        col("n_hit").as("n_hit_live"), col("recall").as("recall_live"))
+    val rFresh = recallAtK(fresh, exact, qIdCol, idCol, k)
+      .select(col(qIdCol), col("n_hit").as("n_hit_fresh"),
+        col("recall").as("recall_fresh"))
+    rLive.join(rFresh, Seq(qIdCol))
+      .select(col(qIdCol), col("n_exact"), col("n_hit_live"),
+        col("n_hit_fresh"), col("recall_live"), col("recall_fresh"),
+        (col("recall_fresh") - col("recall_live")).as("drift"))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], qCol: String, idCol: String,
       rankCol: String, k: Int, kRrf: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")

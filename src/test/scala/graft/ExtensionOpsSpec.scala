@@ -1486,6 +1486,69 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(r.toSet == Set((1L, 0L, 3L, 0.0), (2L, 1L, 2L, 0.5)))
   }
 
+  test("int8LloydUpdate: cells move to grid-quantized means, empty cells " +
+      "keep their centroid; int8IvfTopK probing every cell equals brute force") {
+    import spark.implicits._
+    // 2D toy codes: two tight groups near (0,0) and (100,0); centroid 3
+    // at (-100,-100) captures nothing and must survive unchanged
+    val corpus = Seq(
+      (1L, Seq(0, 0)), (2L, Seq(2, 0)), (3L, Seq(0, 3)),
+      (4L, Seq(100, 0)), (5L, Seq(104, 0))).toDF("vec_id", "c")
+    val cents = Seq((1L, Seq(1, 1)), (2L, Seq(90, 0)), (3L, Seq(-100, -100)))
+      .toDF("centroid_id", "c")
+    val upd = Similarity.int8LloydUpdate(corpus, cents,
+      "vec_id", "centroid_id", "c")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // cell 1 ← {(0,0),(2,0),(0,3)}: means (2/3, 1) → ⌊(2s+n)/(2n)⌋ = (1, 1)
+    assert(upd(1L) == Seq(1, 1), s"cell 1 moved to ${upd(1L)}")
+    // cell 2 ← {(100,0),(104,0)}: mean (102, 0)
+    assert(upd(2L) == Seq(102, 0), s"cell 2 moved to ${upd(2L)}")
+    // empty cell 3 keeps its previous centroid
+    assert(upd(3L) == Seq(-100, -100), s"empty cell 3 moved to ${upd(3L)}")
+
+    // probing EVERY cell makes IVF exhaustive: results equal int8TopK
+    val qs = Seq((10L, Seq(1, 0)), (11L, Seq(99, 1))).toDF("q_id", "c")
+    val ivf = Similarity.int8IvfTopK(corpus, qs, cents,
+        "vec_id", "q_id", "centroid_id", "c", k = 3, nprobe = 3)
+      .select("q_id", "vec_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.int8TopK(corpus, qs, "vec_id", "q_id", "c", k = 3)
+      .select("q_id", "vec_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == brute, s"all-cells IVF $ivf != brute force $brute")
+  }
+
+  test("ivfRecallDrift: identical quantizers give zero drift; an " +
+      "exhaustive fresh quantizer can only improve recall") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val codes = emb.select(col("vec_id"),
+      Similarity.int8Codes(col("embedding")).as("c"))
+    val corpus = codes.filter(col("vec_id") < 100)
+    val qs = codes.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("q_id"), col("c"))
+    val cents = codes.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("c"))
+    val same = Similarity.ivfRecallDrift(corpus, qs, cents, cents,
+        "vec_id", "q_id", "centroid_id", "c", k = 5, nprobe = 2)
+      .collect()
+    assert(same.nonEmpty && same.forall(_.getAs[Double]("drift") == 0.0),
+      "same stale and fresh quantizer must give exactly zero drift")
+    // fresh probing all 4 cells = exhaustive = recall 1.0, so drift ≥ 0
+    // against any nprobe-limited stale geometry and recall_fresh == 1
+    val exhaustive = Similarity.int8IvfTopK(corpus, qs, cents,
+      "vec_id", "q_id", "centroid_id", "c", k = 5, nprobe = 4)
+    val stale = Similarity.int8IvfTopK(corpus, qs, cents,
+      "vec_id", "q_id", "centroid_id", "c", k = 5, nprobe = 1)
+    val exact = Similarity.int8TopK(corpus, qs, "vec_id", "q_id", "c", k = 5)
+    val rx = Similarity.recallAtK(exhaustive, exact, "q_id", "vec_id", k = 5)
+      .collect().map(_.getAs[Double]("recall"))
+    assert(rx.forall(_ == 1.0), "all-cells probe must recall everything")
+    val rs = Similarity.recallAtK(stale, exact, "q_id", "vec_id", k = 5)
+      .collect().map(_.getAs[Double]("recall"))
+    assert(rs.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
   test("kAnonymize masks sub-k groups only; lDiversityAudit flags homogeneous groups") {
     import spark.implicits._
     val df = Seq(
