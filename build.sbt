@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Ceiling, not a reservation. The target environment is a 128 GiB
+  // local[32] JVM; the old 8g default starved the 576-execution bench —
+  // accumulated session state (codegen classes, broadcasts, listener
+  // data) squeezed unified memory until the two largest-shuffle queries
+  // (x187's 20M-row agg, x189's CC) GC-thrashed IN-BENCH only: 8.7-12.3s
+  // recorded vs 1.6s isolated on a fresh heap, zero steal both ways.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -12,9 +12,12 @@ import org.apache.spark.sql.SparkSession
   * adjudicated, x51-x60/x123-x133 inflated 7-25x in both attempts).
   * With ~288 queries per sweep the two attempts of any query are
   * separated by a full sweep (~2-7 min of wall time), so one load
-  * window can no longer hit both. The 1-minute system load average is
-  * recorded beside each timing so contaminated entries are
-  * self-documenting in "raw".
+  * window can no longer hit both. The 1-minute system load average AND
+  * the hypervisor steal delta are recorded beside each timing so
+  * contaminated entries are self-documenting in "raw"; a third attempt
+  * re-times the >5.5 s tail at the end (see the tail re-sweep comment),
+  * since long contention windows can still cover both sweep slots of
+  * one heavy query.
   */
 object Bench {
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -22,6 +25,22 @@ object Bench {
   private def loadAvg(): Double = {
     val la = osBean.getSystemLoadAverage
     if (la.isNaN) -1.0 else math.round(la * 100) / 100.0
+  }
+  /** Cumulative hypervisor STEAL time in seconds (/proc/stat field 8).
+    * Inside a guest VM the load average only sees our own threads — a
+    * co-tenant on the HOST is invisible to it but shows up as steal
+    * jiffies: CPU-seconds the host took from us while we were runnable.
+    * The per-attempt steal DELTA is therefore the direct, quantitative
+    * contamination tag the load average can't be (r10's 404 s vs 259 s
+    * adjudication). -1.0 when the kernel doesn't expose it. */
+  private val jiffyHz = 100.0  // USER_HZ; /proc/stat is documented in these units
+  private def stealSec(): Double = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val line = try src.getLines().next() finally src.close()
+      val f = line.trim.split("\\s+")
+      if (f.length > 8) f(8).toDouble / jiffyHz else -1.0
+    } catch { case _: Throwable => -1.0 }
   }
 
   def main(args: Array[String]): Unit = {
@@ -32,6 +51,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The separated sweeps put ~288 queries between a query's two
+      // attempts; at the default 100-entry codegen class cache, sweep B
+      // re-Janino-compiles every stage of every query — measured +30%
+      // on the total and +8 s on codegen-heavy x187 with ZERO steal.
+      // Sized to hold both sweeps' generated classes (~2k stages).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen compiler, shuffle machinery, parquet reader)
@@ -46,17 +71,31 @@ object Bench {
     graft.util.Fs.warmStorage(sfDir)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // One timed execution: (seconds or -1 on failure, load average at start).
-    // The cache clear after each query drops any persisted frames a query
-    // left behind so later queries aren't taxed by someone else's cache.
-    def once(name: String): (Double, Double) = {
+    // One timed execution: (seconds or -1 on failure, load average at
+    // start, hypervisor steal seconds DURING the attempt). The cache
+    // clear after each query drops any persisted frames a query left
+    // behind so later queries aren't taxed by someone else's cache.
+    def once(name: String): (Double, Double, Double) = {
       val la = loadAvg()
+      val st0 = stealSec()
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      val st = stealSec()
+      val stolen = if (st0 < 0 || st < 0) -1.0
+        else math.round((st - st0) * 100) / 100.0
       spark.catalog.clearCache()
-      (if (ok) dt else -1.0, la)
+      // clearCache drops SQL-cached relations but NOT localCheckpoint
+      // blocks (Staging.LocalCheckpoint is eager and registers in the
+      // block manager; ContextCleaner only frees them on a driver GC,
+      // every 30 min by default). 576 executions of accumulation turn
+      // into eviction churn that inflated heavy late-sweep queries
+      // (x189 in-bench 7-13 s vs 1.6 s isolated, zero steal) — free
+      // each query's staged blocks as soon as its timing is recorded.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (if (ok) dt else -1.0, la, stolen)
     }
     // Sweep A: every query once, sorted order. Sweep B: every query again.
     // No result reuse between sweeps — the cache clear means both runs
@@ -66,34 +105,69 @@ object Bench {
     val passA = names.map(n => n -> once(n)).toMap
     val passB = names.map { n =>
       // don't burn a second sweep on a query whose first run failed
-      n -> (if (passA(n)._1 < 0) (-1.0, -1.0) else once(n))
+      n -> (if (passA(n)._1 < 0) (-1.0, -1.0, -1.0) else once(n))
+    }.toMap
+    // Tail re-sweep: the swept best-of-2 is a noisy steady-state
+    // estimator exactly for the HEAVY queries, for two measured reasons.
+    // (1) Host contention windows (bandwidth/LLC pressure that shows
+    // neither in loadavg nor in steal) outlast the ~7-8 min sweep gap,
+    // so one window can cover both attempts of the same query. (2) An
+    // aged session's FIRST run of a compute-heavy query intermittently
+    // pays a catastrophic JIT/codegen warmup that a fresh session does
+    // not (reproduced deterministically: after 60 predecessor queries,
+    // x199 ran 25.4 s, then 2.05 s and 2.02 s immediately after — the
+    // same first run in a fresh session costs 3.7 s), and under sweep
+    // separation EVERY attempt is such a first run. The tail therefore
+    // re-times each >5.5 s query with a BACK-TO-BACK pair — the second
+    // run is guaranteed warm, restoring the old estimator's semantics
+    // for the ~6 heavy queries while the separated sweeps keep
+    // protecting the other ~280 from load-window contamination.
+    val tailThreshold = 5.5
+    val passC = names.map { n =>
+      val a = passA(n)._1; val b = passB(n)._1
+      val best2 = if (a < 0) a else if (b < 0) a else math.min(a, b)
+      n -> (if (best2 > tailThreshold) Seq(once(name = n), once(name = n))
+            else Seq.empty)
     }.toMap
     val results = names.map { n =>
-      val (a, la) = passA(n); val (b, lb) = passB(n)
+      val (a, la, sa) = passA(n); val (b, lb, sb) = passB(n)
+      val cBest = passC(n).map(_._1).filter(_ >= 0).sorted.headOption
       // a failed FIRST run records -1 (broken query); a failed RERUN
       // falls back to the first timing but stays visible in "raw" below
-      val best = if (a < 0) a else if (b < 0) a else math.min(a, b)
-      (n, best, a, b, la, lb)
+      val best2 = if (a < 0) a else if (b < 0) a else math.min(a, b)
+      val best = cBest match {
+        case Some(c) if best2 >= 0 => math.min(best2, c)
+        case _ => best2
+      }
+      (n, best, a, b, la, lb, sa, sb)
     }
-    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // both raw executions per query with the 1-min load average recorded at
-    // each attempt's start ([secA, secB, loadA, loadB]) — a blown timing
-    // with load >> cpus is machine contamination, not a code regression
-    val raw = results.map { case (k, _, a, b, la, lb) =>
-      s"\"" + k + s"\":[$a,$b,$la,$lb]"
+    // both raw executions per query, each tagged with the 1-min load
+    // average at its start AND the hypervisor steal seconds accrued
+    // during it ([secA, secB, loadA, loadB, stealA, stealB]) — a blown
+    // timing with large steal is host contamination, not a regression
+    val raw = results.map { case (k, _, a, b, la, lb, sa, sb) =>
+      s"\"" + k + s"\":[$a,$b,$la,$lb,$sa,$sb]"
+    }.mkString("{", ",", "}")
+    // back-to-back pair timings for the slow tail ([sec1, sec2, load1,
+    // load2, steal1, steal2]; only queries whose swept best-of-2
+    // exceeded the tail threshold appear)
+    val tail = names.filter(n => passC(n).nonEmpty).map { n =>
+      val Seq((c1, lc1, sc1), (c2, lc2, sc2)) = passC(n)
+      s"\"" + n + s"\":[$c1,$c2,$lc1,$lc2,$sc1,$sc2]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val perQueryLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"best_of_2_swept","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"best_of_2_swept_tail","queries":$qs,"sf":"$sfDir"}"""
     println(perQueryLine)
     // The driver captures only the TAIL of stdout; with ~290 queries the
     // line above exceeds that window and the leading total is lost. Emit a
     // compact total-only line LAST so a truncated capture still parses, and
     // persist the full record beside the fixtures-independent cwd.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"best_of_2_swept","nqueries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"best_of_2_swept_tail","nqueries":${results.size},"sf":"$sfDir"}""")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"),
-      perQueryLine.dropRight(1) + s""","raw":$raw}""" + "\n")
+      perQueryLine.dropRight(1) + s""","raw":$raw,"tailRetime":$tail}""" + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -3755,38 +3755,34 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     }),
 
-    "x33_profile" -> ((s, dir) => {
-      reg(s, dir)
-      // status_nullable injects NULLs so the null-count path is exercised
-      val df = s.table("orders").select(col("o_orderkey"), col("o_custkey"),
-        expr("NULLIF(o_orderstatus, 'O')").as("status_nullable"), col("o_orderpriority"))
-      Profiler.profile(df,
-          Seq("o_orderkey", "o_custkey", "status_nullable", "o_orderpriority"))
-        .orderBy("column_name")
-    }),
-
     // the 100 TB profile: HLL++ cardinalities keep the whole profile ONE
     // streaming agg pass — no Expand, no input duplication per distinct
-    // column (x33's exact mode pays both; it stays as the verification-
-    // scale twin). Checked contract mirrors q23: non_null/nulls/min/max are
-    // bit-exact, and each HLL estimate must land within 10% (≈2σ at the
-    // default 5% rsd) of the exact cardinality. The Expand-free plan shape
-    // is asserted in EventAnalyticsSpec ("profiler approx mode").
+    // column (the exact mode pays both; it runs here as the verification-
+    // scale twin, its n_distinct oracle-checked directly as exact_nd).
+    // Checked contract mirrors q23: non_null/nulls/min/max are bit-exact,
+    // exact_nd is bit-exact, and each HLL estimate must land within 10%
+    // (≈2σ at the default 5% rsd) of the exact cardinality. The Expand-free
+    // approx plan shape is asserted in EventAnalyticsSpec ("profiler approx
+    // mode"). This single query covers BOTH Profiler modes — the former
+    // standalone exact entry (x33_profile) was a strict subset and was
+    // merged away (VERDICT r10 #7, rationale in COVERAGE.md).
     "x33b_profile_approx" -> ((s, dir) => {
       reg(s, dir)
       val df = s.table("orders").select(col("o_orderkey"), col("o_custkey"),
         expr("NULLIF(o_orderstatus, 'O')").as("status_nullable"), col("o_orderpriority"))
       val cols = Seq("o_orderkey", "o_custkey", "status_nullable", "o_orderpriority")
       val approx = Profiler.profile(df, cols, exact = false)
-      // the exact twin exists only to judge the envelope — at scale the
-      // approx profile runs alone (the whole point), so the comparison
-      // stays out of the operator and in this checked contract
+      // the exact twin judges the envelope AND surfaces its own exact
+      // distinct count for the oracle — at scale the approx profile runs
+      // alone (the whole point), so the comparison stays out of the
+      // operator and in this checked contract
       val exact = Profiler.profile(df, cols).select(col("column_name"),
         col("n_distinct").as("__exact_nd"))
       approx.join(exact, Seq("column_name"))
         .select(col("column_name"), col("non_null"), col("nulls"),
           (abs(col("n_distinct").cast("double") - col("__exact_nd")) <=
             lit(0.1) * col("__exact_nd")).as("nd_within_10pct"),
+          col("__exact_nd").cast("long").as("exact_nd"),
           col("min_value"), col("max_value"))
         .orderBy("column_name")
     }),
@@ -5782,38 +5778,12 @@ object SparkEntry {
     // envelope contract (within 10% of exact ⇒ TRUE on the oracle side)
     "x33b_profile_approx" -> """
       SELECT column_name, non_null, nulls, TRUE AS nd_within_10pct,
-             min_value, max_value
+             exact_nd, min_value, max_value
       FROM (
         SELECT 'o_orderkey' AS column_name,
           CAST(COUNT(o_orderkey) AS BIGINT) AS non_null,
           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS nulls,
-          CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
-          CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
-        FROM orders
-        UNION ALL
-        SELECT 'o_custkey', CAST(COUNT(o_custkey) AS BIGINT),
-          CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
-          CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
-        FROM orders
-        UNION ALL
-        SELECT 'status_nullable', CAST(COUNT(NULLIF(o_orderstatus, 'O')) AS BIGINT),
-          CAST(COUNT(*) - COUNT(NULLIF(o_orderstatus, 'O')) AS BIGINT),
-          CAST(MIN(NULLIF(o_orderstatus, 'O')) AS VARCHAR),
-          CAST(MAX(NULLIF(o_orderstatus, 'O')) AS VARCHAR)
-        FROM orders
-        UNION ALL
-        SELECT 'o_orderpriority', CAST(COUNT(o_orderpriority) AS BIGINT),
-          CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
-          CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
-        FROM orders)
-      ORDER BY column_name""",
-
-    "x33_profile" -> """
-      SELECT * FROM (
-        SELECT 'o_orderkey' AS column_name,
-          CAST(COUNT(o_orderkey) AS BIGINT) AS non_null,
-          CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS nulls,
-          CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+          CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS exact_nd,
           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
         FROM orders

@@ -806,4 +806,133 @@ object StreamingJobs {
           admittedDir, n, k, bands, compactAtFiles, compactTarget)
       }
       .start()
+
+  /** One micro-batch of the streaming IVF-layout ingest (the foreachBatch
+    * body of [[startIvfIngest]], exposed so the replay/crash spec can
+    * re-invoke a batch id directly). Exactly-once EFFECT on an
+    * at-least-once channel, for a plain hive-partitioned layout that has
+    * no version log to hang a commit tag on:
+    *
+    *  1. replay detection: `<layout>/_ingest_hwm` holds the largest
+    *     committed batch id (one tiny file read per batch; the
+    *     underscore prefix hides it from parquet readers and partition
+    *     discovery). Micro-batch ids from a checkpointed stream are
+    *     strictly increasing and foreachBatch runs batches sequentially,
+    *     so `bid <= hwm` means this batch's files are ALL published —
+    *     skip whole.
+    *  2. deterministic redo: assignment to the (fixed) coarse centroids
+    *     is per-row deterministic, and every published file is named
+    *     `ingest-<bid>-<i>.parquet`, so a crashed attempt of a bid ABOVE
+    *     the watermark is erased exactly — delete `ingest-<bid>-*`
+    *     across cell directories (driver metadata work, the same class
+    *     as compaction planning), then re-stage and re-publish. File
+    *     SPLITS may differ between attempts; the delete-by-name pass is
+    *     what makes that irrelevant.
+    *  3. publish order: the batch writes to a dot-prefixed staging dir
+    *     (invisible to readers), each staged part is RENAMED into its
+    *     cell directory (per-file atomic on HDFS/local; an object store
+    *     without atomic rename should point `layoutPath` at a
+    *     rename-capable store or front it with a versioned manifest),
+    *     and the hwm advances only after every rename — a crash anywhere
+    *     before that leaves bid above the watermark and replays through
+    *     step 2.
+    *  4. maintenance: every `compactEvery` batches, AFTER the hwm
+    *     commit, [[graft.sinks.Compaction.compactPartitioned]] folds the
+    *     accumulated batch-sized files back to `targetBytes` bins —
+    *     strictly within cell directories, so probes stay
+    *     partition-pruned and byte-identical (the x46/x143 invariant).
+    *     Running after the commit means a crash mid-compaction never
+    *     re-runs THIS batch's ingest; the compaction itself converges by
+    *     re-running on the next cadence hit ([[graft.sinks.Compaction]]'s
+    *     crash contract, including its documented old+new duplicate
+    *     window — callers needing stricter isolation put the layout
+    *     behind a versioned manifest). */
+  def ivfIngestBatch(batch: DataFrame, bid: Long, centroids: DataFrame,
+      idCol: String, centroidIdCol: String, vecCol: String,
+      layoutPath: String, targetBytes: Long = 8L << 20,
+      compactEvery: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(layoutPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hwmPath = new org.apache.hadoop.fs.Path(root, "_ingest_hwm")
+    val prevHwm: Long = if (fs.exists(hwmPath)) {
+      val in = fs.open(hwmPath)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        if (n <= 0) -1L else new String(buf, 0, n, "UTF-8").trim.toLong
+      } finally in.close()
+    } else -1L
+    if (bid <= prevHwm) return
+    // stage: deterministic assignment, partitioned by cell, invisible to
+    // readers (dot prefix) — same directory shape the layout itself uses
+    val staging = new org.apache.hadoop.fs.Path(root, s".ingest-staging-$bid")
+    graft.x.Similarity
+      .assignToCentroids(batch, centroids, idCol, centroidIdCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    // erase a crashed earlier attempt of THIS bid (scaladoc step 2)
+    if (fs.exists(root)) fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .foreach { d =>
+        fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.startsWith(s"ingest-$bid-"))
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+    // publish: rename each staged part under its bid-deterministic name
+    fs.listStatus(staging).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .foreach { cellDir =>
+        val target = new org.apache.hadoop.fs.Path(root, cellDir.getPath.getName)
+        fs.mkdirs(target)
+        fs.listStatus(cellDir.getPath).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (p, i) =>
+            fs.rename(p, new org.apache.hadoop.fs.Path(target,
+              s"ingest-$bid-$i.parquet"))
+            ()
+          }
+      }
+    fs.delete(staging, true)
+    // commit: advance the watermark (write-temp-then-rename; the brief
+    // absent-hwm window a crash here opens is closed by step 2's redo)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"._ingest_hwm.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bid.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(hwmPath)) fs.delete(hwmPath, false)
+    fs.rename(tmp, hwmPath)
+    // maintenance cadence, strictly after the commit (scaladoc step 4)
+    if (compactEvery > 0 && bid % compactEvery == (compactEvery - 1).toLong) {
+      graft.sinks.Compaction.compactPartitioned(spark, layoutPath, targetBytes)
+      ()
+    }
+  }
+
+  /** Streaming twin of [[graft.x.Similarity.appendToIvfLayout]] +
+    * [[graft.sinks.Compaction.compactPartitioned]]: each micro-batch of
+    * embeddings is assigned to the EXISTING coarse centroids and
+    * published into the cell-partitioned layout, and every
+    * `compactEvery` batches the accumulated batch-sized files are folded
+    * back to `targetBytes` bins — the standing ingest+maintenance loop
+    * of a live 100 TB vector store, where file counts otherwise grow
+    * linearly with batches while probe pruning opens every one of them.
+    * Probes ([[graft.x.Similarity.ivfTopKFromLayout]]) stay
+    * byte-identical to a full rebuild over the union throughout
+    * (assignment is per-row deterministic and compaction never crosses a
+    * cell directory). Exactly-once contract and crash windows:
+    * [[ivfIngestBatch]]. Centroid drift is the monitor's job, not the
+    * ingest's — watch it with [[graft.x.Similarity.ivfRecallDrift]] and
+    * rebuild when the recall gap prices a rewrite. */
+  def startIvfIngest(embeddings: DataFrame, centroids: DataFrame,
+      idCol: String, centroidIdCol: String, vecCol: String,
+      layoutPath: String, checkpoint: String,
+      targetBytes: Long = 8L << 20, compactEvery: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ivfIngestBatch(batch, bid, centroids, idCol, centroidIdCol, vecCol,
+          layoutPath, targetBytes, compactEvery)
+      }
+      .start()
 }

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Targeted re-timer for individual registry queries (dev only).
+  *
+  * Usage: runMain graft.tools.TimeQueries <name> [<name> ...]
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_REPS (default 3).
+  *
+  * Runs each named query REPS times after the standard bench warm-up and
+  * prints every attempt with the hypervisor steal seconds accrued during
+  * it — the adjudication tool for "is this bench entry a regression or
+  * host contamination" (see Bench.stealSec rationale). Min-of-reps with
+  * ~zero steal is the steady-state number comparable to bench budgets.
+  */
+object TimeQueries {
+  private def stealSec(): Double = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val line = try src.getLines().next() finally src.close()
+      val f = line.trim.split("\\s+")
+      if (f.length > 8) f(8).toDouble / 100.0 else -1.0
+    } catch { case _: Throwable => -1.0 }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "pass at least one registry query name")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096") // match Bench
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
+    graft.util.Fs.warmStorage(sfDir)
+    val unknown = args.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    for (name <- args) {
+      val times = (1 to reps).map { i =>
+        val s0 = stealSec(); val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val st = stealSec() - s0
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))  // free staged blocks (match Bench)
+        println(f"[time] $name rep$i: $dt%.2fs (steal $st%.2fs)")
+        dt
+      }
+      println(f"[time] $name MIN: ${times.min}%.2fs over $reps reps")
+    }
+    spark.stop()
+  }
+}

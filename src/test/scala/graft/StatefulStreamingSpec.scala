@@ -443,6 +443,81 @@ class StatefulStreamingSpec extends AnyFunSuite {
       "below-watermark replay clobbered committed output")
   }
 
+  test("streaming IVF ingest: probe equals full rebuild, compaction rides " +
+    "the cadence, replay and crash-redo converge") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    val queries = emb.filter($"vec_id" >= 90 && $"vec_id" < 93)
+      .select($"vec_id".as("q_id"), $"embedding")
+    val base = Files.createTempDirectory("graft-sivf").toString
+    val layout = s"$base/by_cell"
+    graft.x.Similarity.writeIvfLayout(emb.filter($"vec_id" < 50), centroids,
+      "vec_id", "centroid_id", "embedding", layout)
+    // stream vec_id 50..90 as four single-file micro-batches; every 2nd
+    // batch triggers the in-stream compaction pass
+    val in = s"$base/in"
+    (50 until 90 by 10).foreach { lo =>
+      emb.filter($"vec_id" >= lo && $"vec_id" < lo + 10)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val stream = StreamingJobs.fileStream(spark, in,
+      spark.read.parquet(in).schema, maxFilesPerTrigger = 1)
+    val q = StreamingJobs.startIvfIngest(stream, centroids, "vec_id",
+      "centroid_id", "embedding", layout, s"$base/ckpt",
+      targetBytes = 64L * 1024 * 1024, compactEvery = 2)
+    q.awaitTermination()
+    def dataFiles() = new java.io.File(layout).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    // the cadence fired: batch-sized ingest files were folded into
+    // compact-* bins somewhere in the layout
+    assert(dataFiles().exists(_.getName.startsWith("compact-")),
+      "in-stream compaction never ran")
+    // the streamed store probes exactly like a full rebuild over the union
+    def probeLayout() = graft.x.Similarity.ivfTopKFromLayout(spark, layout,
+      queries, centroids, "vec_id", "q_id", "centroid_id", "embedding",
+      k = 5, nprobe = 2)
+    val inline90 = graft.x.Similarity.ivfTopK(emb.filter($"vec_id" < 90),
+      queries, centroids, "vec_id", "q_id", "centroid_id", "embedding",
+      k = 5, nprobe = 2)
+    val streamed = probeLayout()
+    assert(streamed.exceptAll(inline90).isEmpty &&
+      inline90.exceptAll(streamed).isEmpty,
+      "streamed layout diverged from the full rebuild")
+    // crash-redo: a partial earlier attempt of the NEXT batch left a stray
+    // deterministic-named file (content from a different split); the redo
+    // must erase it, publish the real rows, and land on the exact answer
+    val cellDir = new java.io.File(layout).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+    val donor = cellDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val stray = new java.io.File(cellDir, "ingest-4-999.parquet")
+    java.nio.file.Files.copy(donor.toPath, stray.toPath)
+    StreamingJobs.ivfIngestBatch(emb.filter($"vec_id" >= 90), bid = 4L,
+      centroids, "vec_id", "centroid_id", "embedding", layout,
+      targetBytes = 64L * 1024 * 1024, compactEvery = 2)
+    assert(!stray.exists(), "crash-redo left the stray partial file")
+    val full = graft.x.Similarity.ivfTopK(emb, queries, centroids,
+      "vec_id", "q_id", "centroid_id", "embedding", k = 5, nprobe = 2)
+    val redone = probeLayout()
+    assert(redone.exceptAll(full).isEmpty && full.exceptAll(redone).isEmpty,
+      "crash-redo layout diverged (stray rows or missing rows)")
+    // at-least-once replay AT the watermark: skipped whole — not one file
+    // touched (same paths, same mtimes)
+    def listing() = dataFiles().map(f => f.getPath -> f.lastModified()).toMap
+    val before = listing()
+    StreamingJobs.ivfIngestBatch(emb.filter($"vec_id" >= 90), bid = 4L,
+      centroids, "vec_id", "centroid_id", "embedding", layout,
+      targetBytes = 64L * 1024 * 1024, compactEvery = 2)
+    assert(listing() == before, "at-watermark replay touched the layout")
+    // and BELOW the watermark (an older batch replayed after a restart)
+    StreamingJobs.ivfIngestBatch(emb.filter($"vec_id" >= 50 && $"vec_id" < 60),
+      bid = 0L, centroids, "vec_id", "centroid_id", "embedding", layout,
+      targetBytes = 64L * 1024 * 1024, compactEvery = 2)
+    assert(listing() == before, "below-watermark replay touched the layout")
+  }
+
   test("sql file path works as a transformation step (spark.json:57)") {
     val tmp = Files.createTempDirectory("graft-sqlfile").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/step.sql"),
