@@ -1152,6 +1152,38 @@ object ScaleProbe {
       println(f"[scale] docs=$n%7d  lsh_neardup=${(System.nanoTime() - t0) / 1e9}%7.2fs  pairs=$pairs")
       spark.catalog.clearCache()
     }
+
+    // Streaming IVF ingest under sustained batches: without in-stream
+    // compaction the layout's file count grows linearly with batches
+    // (probe pruning then opens one footer per batch per probed cell —
+    // the 10^4-batches/10^4-footers failure mode); with the compaction
+    // cadence the count sawtooths around a bound set by the cadence and
+    // targetBytes, while every probe stays byte-identical to a rebuild
+    // (asserted in StatefulStreamingSpec; this probe shows the GROWTH
+    // law the spec's 4 batches cannot).
+    if (on("sivf")) {
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("scale-sivf")
+      def dataFiles(dir: String): Int = {
+        val root = new java.io.File(dir)
+        if (!root.exists()) 0
+        else root.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+          .count(_.getName.endsWith(".parquet"))
+      }
+      Seq(0 -> "nocompact", 8 -> "compact8").foreach { case (ce, tag) =>
+        val layout = s"$tmp/$tag"
+        (0 until 32).foreach { b =>
+          val batch = emb.withColumn("vec_id",
+            col("vec_id") + lit(b.toLong * 1000000L))
+          graft.streaming.StreamingJobs.ivfIngestBatch(batch, b.toLong,
+            centroids, "vec_id", "centroid_id", "embedding", layout,
+            targetBytes = 64L * 1024 * 1024, compactEvery = ce)
+          if (b % 8 == 7)
+            println(f"[scale-sivf] $tag%-10s batches=${b + 1}%3d  files=${dataFiles(layout)}%4d")
+        }
+      }
+    }
     spark.stop()
   }
 }
