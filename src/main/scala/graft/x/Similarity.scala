@@ -819,6 +819,78 @@ object Similarity {
         Some(path), savemode = "append", partitionBy = Seq("cell")))
   }
 
+  /** Re-quantization rebuild of a live [[writeIvfLayout]] store — the
+    * ACTION priced by [[ivfRecallDrift]]'s signal, closing the ops loop:
+    * ingest ([[appendToIvfLayout]] / streaming
+    * [[graft.streaming.StreamingJobs.startIvfIngest]]) keeps the
+    * build-time geometry; the monitor reports the recall a refresh would
+    * recover; this op performs the refresh. Reads the layout's full
+    * corpus, re-assigns every row to `newCentroids`
+    * ([[assignToCentroids]] — per-row deterministic, so the rebuilt
+    * store probes byte-identically to [[writeIvfLayout]] from scratch on
+    * (corpus, newCentroids); asserted in the spec), writes the new
+    * cell-partitioned layout beside the old one, then swaps.
+    *
+    * The streaming ingest's `_ingest_hwm` watermark is CARRIED into the
+    * rebuilt store before the swap — without it, an at-least-once replay
+    * of an already-ingested batch after a rebuild would re-append its
+    * rows into the fresh layout as duplicates.
+    *
+    * Swap = two renames under deterministic names
+    * (`<layout>.rebuilt` → staged result, `<layout>.replaced` → old
+    * store): a crash before the first rename changes nothing (re-running
+    * the rebuild overwrites the staged dir and converges); a crash
+    * between the renames leaves the store path empty but both halves
+    * intact under their deterministic names for forward completion. A
+    * reader in the swap window fails loudly rather than seeing a
+    * half-store. Deployments needing a no-gap swap front the layout with
+    * a versioned manifest ([[graft.sources.VersionedParquet]]), where
+    * the swap is one commit — the same caveat as
+    * [[graft.sinks.Compaction]]'s isolation note.
+    *
+    * Returns (rows rewritten, cells in the new layout). */
+  def rebuildIvfLayout(
+      spark: org.apache.spark.sql.SparkSession, layoutPath: String,
+      newCentroids: DataFrame,
+      idCol: String, centroidIdCol: String, vecCol: String
+  ): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(layoutPath)
+    val fs = live.getFileSystem(conf)
+    require(fs.exists(live), s"no layout at $layoutPath")
+    val staged = new org.apache.hadoop.fs.Path(layoutPath + ".rebuilt")
+    val retired = new org.apache.hadoop.fs.Path(layoutPath + ".replaced")
+    // corpus = every ingested row; the old geometry ("cell") is dropped,
+    // everything else (including rows landed by appends) round-trips
+    val corpus = spark.read.parquet(layoutPath).drop("cell")
+    val assigned = assignToCentroids(corpus, newCentroids,
+      idCol, centroidIdCol, vecCol)
+    graft.sinks.SinkWriter.write(spark, assigned,
+      graft.config.SinkSpec("ivf_layout_rebuild", "simpleInsert", "parquet",
+        Some(staged.toString), savemode = "overwrite",
+        partitionBy = Seq("cell")))
+    // carry the ingest watermark forward (see scaladoc) BEFORE the swap
+    val hwm = new org.apache.hadoop.fs.Path(live, "_ingest_hwm")
+    if (fs.exists(hwm)) {
+      val in = fs.open(hwm)
+      val bytes = try {
+        val buf = new Array[Byte](64); val n = in.read(buf)
+        java.util.Arrays.copyOf(buf, math.max(n, 0))
+      } finally in.close()
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(staged, "_ingest_hwm"), true)
+      try out.write(bytes) finally out.close()
+    }
+    val stats = spark.read.parquet(staged.toString)
+      .agg(count(lit(1)), countDistinct(col("cell"))).head()
+    // the swap (crash contract in the scaladoc)
+    if (fs.exists(retired)) fs.delete(retired, true)
+    require(fs.rename(live, retired), s"swap: could not retire $live")
+    require(fs.rename(staged, live), s"swap: could not publish $staged")
+    fs.delete(retired, true)
+    (stats.getLong(0), stats.getLong(1))
+  }
+
   /** IVF probe against a materialized [[writeIvfLayout]] table. The probe
     * cell set (queries × nprobe ids — tiny by the small-query contract) is
     * collected and pushed as an IN-list on the PARTITION column, so the

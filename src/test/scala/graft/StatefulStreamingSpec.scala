@@ -518,6 +518,51 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(listing() == before, "below-watermark replay touched the layout")
   }
 
+  test("IVF rebuild: equals a from-scratch build on the new centroids, " +
+    "carries the ingest watermark through the swap") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cent0 = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    // refreshed geometry: a different centroid set (how it was computed —
+    // Lloyd, sampling — is irrelevant to the rebuild's contract)
+    val cent1 = emb.filter($"vec_id" >= 20 && $"vec_id" < 30)
+      .select(($"vec_id" - 20).as("centroid_id"), $"embedding")
+    val queries = emb.filter($"vec_id" >= 90 && $"vec_id" < 93)
+      .select($"vec_id".as("q_id"), $"embedding")
+    val base = Files.createTempDirectory("graft-ivfrebuild").toString
+    val layout = s"$base/by_cell"
+    graft.x.Similarity.writeIvfLayout(emb.filter($"vec_id" < 70), cent0,
+      "vec_id", "centroid_id", "embedding", layout)
+    // live store grows via the exactly-once ingest (hwm -> 0)
+    StreamingJobs.ivfIngestBatch(emb.filter($"vec_id" >= 70), bid = 0L,
+      cent0, "vec_id", "centroid_id", "embedding", layout, compactEvery = 0)
+    val (rows, cells) = graft.x.Similarity.rebuildIvfLayout(spark, layout,
+      cent1, "vec_id", "centroid_id", "embedding")
+    assert(rows == emb.count(), s"rebuild lost rows: $rows")
+    assert(cells > 1)
+    assert(!new java.io.File(s"$layout.rebuilt").exists() &&
+      !new java.io.File(s"$layout.replaced").exists(), "swap left residue")
+    // the defining contract: rebuilt store == writeIvfLayout from scratch
+    // on (full corpus, new centroids), probe-for-probe
+    val fresh = s"$base/fresh"
+    graft.x.Similarity.writeIvfLayout(emb, cent1,
+      "vec_id", "centroid_id", "embedding", fresh)
+    def probe(path: String) = graft.x.Similarity.ivfTopKFromLayout(spark,
+      path, queries, cent1, "vec_id", "q_id", "centroid_id", "embedding",
+      k = 5, nprobe = 2)
+    val a = probe(layout); val b = probe(fresh)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "rebuilt store diverged from a from-scratch build")
+    // the watermark survived the swap: replaying the pre-rebuild batch
+    // must NOT re-append its rows as duplicates into the fresh geometry
+    val rowsBefore = spark.read.parquet(layout).count()
+    StreamingJobs.ivfIngestBatch(emb.filter($"vec_id" >= 70), bid = 0L,
+      cent1, "vec_id", "centroid_id", "embedding", layout, compactEvery = 0)
+    assert(spark.read.parquet(layout).count() == rowsBefore,
+      "post-rebuild replay duplicated an already-ingested batch")
+  }
+
   test("sql file path works as a transformation step (spark.json:57)") {
     val tmp = Files.createTempDirectory("graft-sqlfile").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/step.sql"),
