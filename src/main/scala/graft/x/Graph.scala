@@ -74,7 +74,7 @@ object Graph {
     for (i <- 1 to iters) {
       val dangling = ranks
         .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
-        .agg(coalesce(sum("rank_nano"), lit(0L))).head.getLong(0)
+        .agg(coalesce(sum("rank_nano"), lit(0L))).head().getLong(0)
       val incoming = edges
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
@@ -140,7 +140,7 @@ object Graph {
     for (i <- 1 to iters) {
       val dangling = ranks
         .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
-        .agg(coalesce(sum("rank_nano"), lit(0L))).head.getLong(0)
+        .agg(coalesce(sum("rank_nano"), lit(0L))).head().getLong(0)
       val incoming = edges
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))

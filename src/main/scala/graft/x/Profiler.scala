@@ -247,8 +247,8 @@ object Profiler {
     // output row — series-shaped groups stay far below it)
     val small = t.join(broadcast(t.groupBy(gc: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxGroupRows).select(gc: _*)), groupCols)
-    val a = small.toDF(small.columns.map(c => if (c.startsWith("__")) c + "a" else c): _*)
-    val b = small.toDF(small.columns.map(c => if (c.startsWith("__")) c + "b" else c): _*)
+    val a = small.toDF(small.columns.toIndexedSeq.map(c => if (c.startsWith("__")) c + "a" else c): _*)
+    val b = small.toDF(small.columns.toIndexedSeq.map(c => if (c.startsWith("__")) c + "b" else c): _*)
     val pairs = a.join(b, groupCols)
       .filter(struct(col("__xa"), col("__ya")) < struct(col("__xb"), col("__yb")))
       .filter(col("__xa") =!= col("__xb"))

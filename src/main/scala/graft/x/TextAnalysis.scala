@@ -1642,7 +1642,7 @@ object TextAnalysis {
   /** Per-document profile frame: one narrow projection, no shuffle. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.select(
-      df.columns.map(col) :+
+      df.columns.toIndexedSeq.map(col) :+
         tokenCount(col(textCol)).as("n_tokens") :+
         subwordTokenEstimate(col(textCol)).as("n_subwords") :+
         charCount(col(textCol)).as("n_chars_m") :+
