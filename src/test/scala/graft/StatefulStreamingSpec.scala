@@ -516,6 +516,16 @@ class StatefulStreamingSpec extends AnyFunSuite {
       bid = 0L, centroids, "vec_id", "centroid_id", "embedding", layout,
       targetBytes = 64L * 1024 * 1024, compactEvery = 2)
     assert(listing() == before, "below-watermark replay touched the layout")
+    // an EMPTY micro-batch (routine under AvailableNow / quiet sources):
+    // publishes nothing but still advances the watermark, so its own
+    // replay is skipped whole like any committed batch
+    StreamingJobs.ivfIngestBatch(emb.filter($"vec_id" < -1), bid = 5L,
+      centroids, "vec_id", "centroid_id", "embedding", layout,
+      targetBytes = 64L * 1024 * 1024, compactEvery = 0)
+    assert(listing() == before, "empty batch published files")
+    val hwm = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$layout/_ingest_hwm")).trim
+    assert(hwm == "5", s"empty batch did not advance the watermark: $hwm")
   }
 
   test("IVF rebuild: equals a from-scratch build on the new centroids, " +
