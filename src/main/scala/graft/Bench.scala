@@ -20,28 +20,9 @@ import org.apache.spark.sql.SparkSession
   * one heavy query.
   */
 object Bench {
-  private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-  /** 1-minute load average at measurement time; -1.0 if unavailable. */
-  private def loadAvg(): Double = {
-    val la = osBean.getSystemLoadAverage
-    if (la.isNaN) -1.0 else math.round(la * 100) / 100.0
-  }
-  /** Cumulative hypervisor STEAL time in seconds (/proc/stat field 8).
-    * Inside a guest VM the load average only sees our own threads — a
-    * co-tenant on the HOST is invisible to it but shows up as steal
-    * jiffies: CPU-seconds the host took from us while we were runnable.
-    * The per-attempt steal DELTA is therefore the direct, quantitative
-    * contamination tag the load average can't be (r10's 404 s vs 259 s
-    * adjudication). -1.0 when the kernel doesn't expose it. */
-  private val jiffyHz = 100.0  // USER_HZ; /proc/stat is documented in these units
-  private def stealSec(): Double = {
-    try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      val line = try src.getLines().next() finally src.close()
-      val f = line.trim.split("\\s+")
-      if (f.length > 8) f(8).toDouble / jiffyHz else -1.0
-    } catch { case _: Throwable => -1.0 }
-  }
+  // shared with tools/TimeQueries so bench tags and adjudication
+  // re-timings can never diverge on how steal/load are read
+  import graft.util.HostMetrics.{loadAvg, stealSec}
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -761,15 +761,25 @@ object StreamingJobs {
       textCol: String, idCol: String, storePath: String, admittedDir: String,
       n: Int = 3, k: Int = 32, bands: Int = 8,
       compactAtFiles: Int = 64, compactTarget: Int = 4): Unit = {
-    // one manifest read, newest version only (scaladoc step 1):
-    // hwm if present, else the legacy per-version tag — both are the
-    // largest committed bid because batches commit in order
+    // one manifest read, newest version only (scaladoc step 1): hwm if
+    // present, else the legacy per-version tag — both are the largest
+    // committed bid because batches commit in order. LEGACY HOLE: a
+    // store whose NEWEST commit carries no tag at all (a pre-upgrade
+    // compaction rewrite, before VersionedParquet.compact carried meta
+    // forward) must not read as "never committed" — treating it so
+    // would replay an already-committed batch, which recomputes an
+    // EMPTY admitted set against the populated store and clobbers the
+    // committed admittedDir/batch=<bid>. Scan backwards to the newest
+    // TAGGED manifest in that one degenerate case; the very next commit
+    // carries the hwm forward, so the scan is one-time, not steady-state.
+    def tagOf(v: Long): Option[Long] = {
+      val meta = graft.sources.VersionedParquet.commitMeta(storePath, v)
+      meta.get("streamBatchHwm").orElse(meta.get("streamBatchId"))
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+    }
     val prevHwm = graft.sources.VersionedParquet.versions(storePath)
-      .lastOption.flatMap { v =>
-        val meta = graft.sources.VersionedParquet.commitMeta(storePath, v)
-        meta.get("streamBatchHwm").orElse(meta.get("streamBatchId"))
-          .flatMap(s => scala.util.Try(s.toLong).toOption)
-      }.getOrElse(-1L)
+      .reverse.iterator.map(tagOf).collectFirst { case Some(t) => t }
+      .getOrElse(-1L)
     if (bid > prevHwm) {
       graft.x.Dedup.incrementalNearDup(batch, textCol, idCol, storePath,
         n = n, k = k, bands = bands,
@@ -855,13 +865,12 @@ object StreamingJobs {
     val root = new org.apache.hadoop.fs.Path(layoutPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hwmPath = new org.apache.hadoop.fs.Path(root, "_ingest_hwm")
+    // COMPLETE read (Fs.readSmallFile loops to EOF): a partial
+    // InputStream.read could return a prefix of the watermark, and a
+    // truncated value parses LOWER — re-admitting committed batches
     val prevHwm: Long = if (fs.exists(hwmPath)) {
-      val in = fs.open(hwmPath)
-      try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        if (n <= 0) -1L else new String(buf, 0, n, "UTF-8").trim.toLong
-      } finally in.close()
+      val s = new String(graft.util.Fs.readSmallFile(fs, hwmPath), "UTF-8").trim
+      if (s.isEmpty) -1L else s.toLong
     } else -1L
     if (bid <= prevHwm) return
     // stage: deterministic assignment, partitioned by cell, invisible to
@@ -887,9 +896,12 @@ object StreamingJobs {
         fs.listStatus(cellDir.getPath).toSeq.map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
           .zipWithIndex.foreach { case (p, i) =>
-            fs.rename(p, new org.apache.hadoop.fs.Path(target,
-              s"ingest-$bid-$i.parquet"))
-            ()
+            val dst = new org.apache.hadoop.fs.Path(target,
+              s"ingest-$bid-$i.parquet")
+            // rename reports failure as FALSE, not an exception — an
+            // unchecked failure here would delete the staged rows below
+            // and still advance the watermark, losing the batch forever
+            require(fs.rename(p, dst), s"publish: rename $p -> $dst failed")
           }
       }
     fs.delete(staging, true)
@@ -899,7 +911,7 @@ object StreamingJobs {
     val out = fs.create(tmp, true)
     try out.write(bid.toString.getBytes("UTF-8")) finally out.close()
     if (fs.exists(hwmPath)) fs.delete(hwmPath, false)
-    fs.rename(tmp, hwmPath)
+    require(fs.rename(tmp, hwmPath), s"commit: rename $tmp -> $hwmPath failed")
     // maintenance cadence, strictly after the commit (scaladoc step 4)
     if (compactEvery > 0 && bid % compactEvery == (compactEvery - 1).toLong) {
       graft.sinks.Compaction.compactPartitioned(spark, layoutPath, targetBytes)

@@ -14,14 +14,7 @@ import org.apache.spark.sql.SparkSession
   * ~zero steal is the steady-state number comparable to bench budgets.
   */
 object TimeQueries {
-  private def stealSec(): Double = {
-    try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      val line = try src.getLines().next() finally src.close()
-      val f = line.trim.split("\\s+")
-      if (f.length > 8) f(8).toDouble / 100.0 else -1.0
-    } catch { case _: Throwable => -1.0 }
-  }
+  import graft.util.HostMetrics.stealSec
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "pass at least one registry query name")

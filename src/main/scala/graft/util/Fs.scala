@@ -19,6 +19,28 @@ object Fs {
 
   def nonEmptyDir(p: Path): Boolean = list(p).nonEmpty
 
+  /** Read a small marker file (watermarks, pointers) through the Hadoop
+    * FileSystem COMPLETELY: `InputStream.read(buf)` may legally return a
+    * prefix (real on S3A/HDFS streams), and a truncated watermark parses
+    * as a LOWER batch id — which re-admits already-committed batches.
+    * Loops to EOF; capped at 1 MiB because markers are tiny and a huge
+    * "marker" is corruption worth failing on. */
+  def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    val in = fs.open(path)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        require(out.size <= (1 << 20), s"$path exceeds the 1 MiB marker cap")
+        n = in.read(buf)
+      }
+    } finally in.close()
+    out.toByteArray
+  }
+
   /** Stream every regular file under `dir` through a scratch buffer once:
     * pins the bytes in the OS page cache so timing runs (Bench, Explain,
     * ScaleProbe) measure compute, not the virtualized disk's cold-read

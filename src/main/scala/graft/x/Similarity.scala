@@ -872,11 +872,9 @@ object Similarity {
     // carry the ingest watermark forward (see scaladoc) BEFORE the swap
     val hwm = new org.apache.hadoop.fs.Path(live, "_ingest_hwm")
     if (fs.exists(hwm)) {
-      val in = fs.open(hwm)
-      val bytes = try {
-        val buf = new Array[Byte](64); val n = in.read(buf)
-        java.util.Arrays.copyOf(buf, math.max(n, 0))
-      } finally in.close()
+      // complete read (loops to EOF) — a prefix read would copy a
+      // TRUNCATED (lower) watermark into the rebuilt store permanently
+      val bytes = graft.util.Fs.readSmallFile(fs, hwm)
       val out = fs.create(
         new org.apache.hadoop.fs.Path(staged, "_ingest_hwm"), true)
       try out.write(bytes) finally out.close()

@@ -443,6 +443,38 @@ class StatefulStreamingSpec extends AnyFunSuite {
       "below-watermark replay clobbered committed output")
   }
 
+  test("near-dedup replay detection survives an untagged newest commit " +
+    "(pre-upgrade maintenance rewrite)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-legacyhwm").toString
+    val store = s"$base/store"; val admitted = s"$base/admitted"
+    val b0 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "completely different words live over here now")).toDF("doc_id", "text")
+    StreamingJobs.incrementalNearDupBatch(b0, bid = 0L, "text", "doc_id",
+      store, admitted, n = 3, k = 16, bands = 4)
+    val admittedBefore = spark.read.parquet(s"$admitted/batch=0")
+      .collect().map(_.toString).sorted
+    assert(admittedBefore.nonEmpty)
+    // a maintenance rewrite from BEFORE meta was carried forward: the
+    // newest version carries no streamBatchHwm/streamBatchId at all
+    graft.sources.VersionedParquet.write(
+      graft.sources.VersionedParquet.read(spark, store), store, "overwrite")
+    assert(graft.sources.VersionedParquet.commitMeta(store,
+      graft.sources.VersionedParquet.versions(store).max).isEmpty)
+    // replaying the committed batch must still be detected (backward scan
+    // to the newest TAGGED manifest) — an undetected replay recomputes an
+    // EMPTY admitted set against the populated store and clobbers the
+    // committed batch=0 output
+    val versionsBefore = graft.sources.VersionedParquet.versions(store)
+    StreamingJobs.incrementalNearDupBatch(b0, bid = 0L, "text", "doc_id",
+      store, admitted, n = 3, k = 16, bands = 4)
+    assert(graft.sources.VersionedParquet.versions(store) == versionsBefore,
+      "replay after an untagged commit appended a store version")
+    assert(spark.read.parquet(s"$admitted/batch=0")
+      .collect().map(_.toString).sorted.sameElements(admittedBefore),
+      "replay after an untagged commit clobbered committed output")
+  }
+
   test("streaming IVF ingest: probe equals full rebuild, compaction rides " +
     "the cadence, replay and crash-redo converge") {
     import spark.implicits._
