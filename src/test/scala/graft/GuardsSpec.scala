@@ -373,4 +373,32 @@ class GuardsSpec extends AnyFunSuite {
       .as[Long].collect()
     assert(zs(0) == zs(1)) // negative x behaves as cell 0, not cell 4095
   }
+
+  test("readSmallFile returns the complete marker and caps corruption") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-marker")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_hwm")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // content longer than any single buffered chunk: the read must loop
+    // to EOF, not return a prefix (a truncated watermark parses LOWER
+    // and re-admits committed batches — the bug class this helper fixes)
+    val content = ("15" + "\n" + "x" * 20000).getBytes("UTF-8")
+    val out = fs.create(p, true); try out.write(content) finally out.close()
+    val got = graft.util.Fs.readSmallFile(fs, p)
+    assert(java.util.Arrays.equals(got, content),
+      s"read ${got.length} of ${content.length} bytes")
+    // a multi-MiB "marker" is corruption worth failing on, not buffering
+    val big = new org.apache.hadoop.fs.Path(s"$dir/_big")
+    val o2 = fs.create(big, true)
+    try o2.write(new Array[Byte](2 << 20)) finally o2.close()
+    intercept[IllegalArgumentException] {
+      graft.util.Fs.readSmallFile(fs, big)
+    }
+  }
+
+  test("HostMetrics reads non-negative load and monotone steal on this kernel") {
+    assert(graft.util.HostMetrics.loadAvg() >= 0.0)
+    val s1 = graft.util.HostMetrics.stealSec()
+    val s2 = graft.util.HostMetrics.stealSec()
+    assert(s1 >= 0.0 && s2 >= s1, s"steal not monotone: $s1 -> $s2")
+  }
 }
