@@ -856,7 +856,14 @@ object StreamingJobs {
     *     re-running on the next cadence hit ([[graft.sinks.Compaction]]'s
     *     crash contract, including its documented old+new duplicate
     *     window — callers needing stricter isolation put the layout
-    *     behind a versioned manifest). */
+    *     behind a versioned manifest).
+    *  5. writer exclusivity (PLANS.md "Store concurrency contracts"):
+    *     publishes are refused while a
+    *     [[graft.x.Similarity.rebuildIvfLayout]] is staged
+    *     (`<layout>.rebuilt` exists) — the refused micro-batch fails its
+    *     query, stays above the watermark, and replays into the rebuilt
+    *     store; the rebuild's own pre-swap watermark re-read closes the
+    *     residual window where a publish slips past this check. */
   def ivfIngestBatch(batch: DataFrame, bid: Long, centroids: DataFrame,
       idCol: String, centroidIdCol: String, vecCol: String,
       layoutPath: String, targetBytes: Long = 8L << 20,
@@ -864,6 +871,20 @@ object StreamingJobs {
     val spark = batch.sparkSession
     val root = new org.apache.hadoop.fs.Path(layoutPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer-exclusivity guard (PLANS.md "Store concurrency contracts"):
+    // while a rebuild is staged (`<layout>.rebuilt` exists), a publish
+    // would land rows into the soon-retired store — rows the rebuild's
+    // corpus read never saw. Refuse LOUDLY: the failed micro-batch stays
+    // above the watermark and replays after the swap into the fresh
+    // geometry. Checked twice — here (fail fast, before the staging
+    // write) and again immediately before the first publish rename.
+    val rebuiltMarker = new org.apache.hadoop.fs.Path(layoutPath + ".rebuilt")
+    def requireNoRebuild(): Unit = require(!fs.exists(rebuiltMarker),
+      s"ivfIngestBatch(bid=$bid): a rebuild of $layoutPath is staged " +
+        s"($rebuiltMarker exists) — refusing to publish; this batch " +
+        "replays after the rebuild completes (a CRASHED rebuild must be " +
+        "re-run to converge, or its stale staging dir deleted)")
+    requireNoRebuild()
     val hwmPath = new org.apache.hadoop.fs.Path(root, "_ingest_hwm")
     // COMPLETE read (Fs.readSmallFile loops to EOF): a partial
     // InputStream.read could return a prefix of the watermark, and a
@@ -888,6 +909,11 @@ object StreamingJobs {
           .foreach(f => fs.delete(f.getPath, false))
       }
     // publish: rename each staged part under its bid-deterministic name
+    // (re-check the rebuild marker NOW — the staging write above takes
+    // seconds, plenty of time for a rebuild to start; a publish past this
+    // point that still races the swap is caught by the rebuild's own
+    // pre-swap watermark re-read)
+    requireNoRebuild()
     fs.listStatus(staging).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .foreach { cellDir =>
@@ -945,6 +971,115 @@ object StreamingJobs {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ivfIngestBatch(batch, bid, centroids, idCol, centroidIdCol, vecCol,
           layoutPath, targetBytes, compactEvery)
+      }
+      .start()
+
+  /** One micro-batch of the SELF-MAINTAINING IVF store: the drift-policy
+    * composition of the whole r11 ops loop — ingest
+    * ([[ivfIngestBatch]]) → monitor
+    * ([[graft.x.Similarity.ivfRecallDrift]], the x226 surface) → rebuild
+    * ([[graft.x.Similarity.rebuildIvfLayout]]) — as ONE foreachBatch
+    * body, exposed for direct spec/probe invocation like its siblings.
+    *
+    *  - Geometry is STORE-OWNED: the current centroids live in the
+    *    hidden `<layout>/_centroids` dir (seeded from `seedCentroids` on
+    *    first contact, re-written atomically with the data by every
+    *    rebuild's swap), so a restarted stream assigns with the geometry
+    *    the layout was actually built on — a caller-held frame would go
+    *    stale at the first triggered rebuild and quietly mis-cell every
+    *    row after it.
+    *  - Cadence: every `driftEvery` batches (after the ingest commit),
+    *    the refreshed geometry `refresh(corpus, current)` (default:
+    *    [[graft.x.Similarity.refreshedCentroids]], one exact Lloyd step)
+    *    is priced by the drift monitor over `driftQueries`: recall@k of
+    *    the store's stale geometry vs the refreshed one, both measured
+    *    against exact top-k in bit-deterministic [[graft.x.Similarity.int8Codes]]
+    *    space (the corpus scans three times, shuffles never).
+    *  - Trigger: `mean(drift) > driftThreshold` fires the rebuild —
+    *    running INSIDE the same sequential foreachBatch, so the
+    *    single-writer contract the rebuild requires holds by
+    *    construction (PLANS.md "Store concurrency contracts").
+    *  - Crash behavior: each leg keeps its own contract. A replayed
+    *    committed batch skips the ingest (watermark) but re-evaluates
+    *    the cadence — drift, refresh, and rebuild are deterministic
+    *    functions of the (unchanged) store, so the re-run converges to
+    *    the same store instead of corrupting it.
+    *
+    * Returns Some((meanDrift, rebuilt)) when the cadence fired (the
+    * observability record the trace probe and specs consume), None
+    * otherwise. Scale shape: the policy adds ONE corpus re-scan per
+    * cadence hit (amortized over `driftEvery` batches) and the k-row
+    * centroid/drift frames — the ingest path itself is untouched. */
+  def ivfMaintainBatch(batch: DataFrame, bid: Long, seedCentroids: DataFrame,
+      idCol: String, centroidIdCol: String, vecCol: String,
+      layoutPath: String, driftQueries: DataFrame, qIdCol: String,
+      k: Int = 10, nprobe: Int = 3,
+      driftEvery: Int = 8, driftThreshold: Double = 0.05,
+      refresh: (DataFrame, DataFrame) => DataFrame = null,
+      targetBytes: Long = 8L << 20, compactEvery: Int = 8
+  ): Option[(Double, Boolean)] = {
+    val spark = batch.sparkSession
+    val S = graft.x.Similarity
+    val current = S.readCentroids(spark, layoutPath).getOrElse {
+      // first contact: make the store self-describing. Deterministic and
+      // idempotent — a crash between this write and the first commit just
+      // re-writes the same seed on replay.
+      S.writeCentroidsInto(seedCentroids, layoutPath)
+      seedCentroids
+    }
+    ivfIngestBatch(batch, bid, current, idCol, centroidIdCol, vecCol,
+      layoutPath, targetBytes, compactEvery)
+    if (driftEvery <= 0 || bid % driftEvery != (driftEvery - 1).toLong) None
+    else {
+      val corpus = spark.read.parquet(layoutPath).drop("cell")
+      val doRefresh = Option(refresh).getOrElse(
+        (c: DataFrame, cent: DataFrame) =>
+          S.refreshedCentroids(c, cent, idCol, centroidIdCol, vecCol))
+      // staged: consumed by the drift probe AND (on trigger) the rebuild
+      val fresh = graft.util.Staging.LocalCheckpoint.stage(
+        doRefresh(corpus, current), "ivf-fresh-centroids")
+      def codes(df: DataFrame, id: String) =
+        df.select(col(id), S.int8Codes(col(vecCol)).as("__c8"))
+      val drift = S.ivfRecallDrift(
+        codes(corpus, idCol), codes(driftQueries, qIdCol),
+        codes(current, centroidIdCol), codes(fresh, centroidIdCol),
+        idCol, qIdCol, centroidIdCol, "__c8", k, nprobe)
+        .agg(avg(col("drift"))).head()
+      val meanDrift = if (drift.isNullAt(0)) 0.0 else drift.getDouble(0)
+      val rebuilt = meanDrift > driftThreshold
+      // the rebuild persists `fresh` into the staged store's _centroids,
+      // so the geometry swap is atomic with the data swap — the next
+      // batch's readCentroids sees old+old or new+new, never a mix
+      if (rebuilt) S.rebuildIvfLayout(spark, layoutPath, fresh,
+        idCol, centroidIdCol, vecCol)
+      Some((meanDrift, rebuilt))
+    }
+  }
+
+  /** Streaming wrapper of [[ivfMaintainBatch]]: the ingest of
+    * [[startIvfIngest]] upgraded to the self-maintaining store — drift
+    * measured every `driftEvery` batches, rebuild triggered when the
+    * stale geometry costs more than `driftThreshold` mean recall@k.
+    * Policy contract, crash windows, and the store-owned-geometry rule:
+    * [[ivfMaintainBatch]]. */
+  def startIvfIngestWithMaintenance(embeddings: DataFrame,
+      seedCentroids: DataFrame,
+      idCol: String, centroidIdCol: String, vecCol: String,
+      layoutPath: String, checkpoint: String,
+      driftQueries: DataFrame, qIdCol: String,
+      k: Int = 10, nprobe: Int = 3,
+      driftEvery: Int = 8, driftThreshold: Double = 0.05,
+      refresh: (DataFrame, DataFrame) => DataFrame = null,
+      targetBytes: Long = 8L << 20, compactEvery: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ivfMaintainBatch(batch, bid, seedCentroids, idCol, centroidIdCol,
+          vecCol, layoutPath, driftQueries, qIdCol, k, nprobe,
+          driftEvery, driftThreshold, refresh, targetBytes, compactEvery)
+        ()
       }
       .start()
 }

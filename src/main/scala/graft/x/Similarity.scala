@@ -836,6 +836,29 @@ object Similarity {
     * of an already-ingested batch after a rebuild would re-append its
     * rows into the fresh layout as duplicates.
     *
+    * SINGLE-WRITER CONTRACT (PLANS.md "Store concurrency contracts"): the
+    * rebuild assumes no concurrent writer on the layout. A batch published
+    * between the corpus read and the swap would otherwise be retired with
+    * the old store while the carried watermark claims it committed —
+    * silent loss. Two guards convert that race into a loud abort:
+    * (1) the watermark is SNAPSHOTTED before the corpus read and re-read
+    * immediately before the swap; any advance aborts the rebuild (staged
+    * dir deleted, live store untouched — quiesce the ingest and re-run);
+    * (2) [[graft.streaming.StreamingJobs.ivfIngestBatch]] refuses to
+    * publish while `<layout>.rebuilt` exists, so a batch STARTING
+    * mid-rebuild fails its micro-batch and replays after the swap (its
+    * bid is above the carried watermark). A rebuild that CRASHES after
+    * staging leaves `<layout>.rebuilt` behind, which pauses ingest
+    * publishes until the rebuild re-runs (it overwrites the staged dir
+    * and converges) — fail-stop, never silent. `midRebuildHook` is a
+    * test-only fault-injection seam between the staging write and the
+    * pre-swap watermark re-read; production callers leave the default.
+    *
+    * The refreshed geometry is persisted INSIDE the rebuilt store as the
+    * hidden `_centroids` parquet dir (swapped atomically with the data),
+    * so maintenance loops ([[graft.streaming.StreamingJobs.ivfMaintainBatch]])
+    * can recover the store's current centroids after a restart.
+    *
     * Swap = two renames under deterministic names
     * (`<layout>.rebuilt` → staged result, `<layout>.replaced` → old
     * store): a crash before the first rename changes nothing (re-running
@@ -852,7 +875,8 @@ object Similarity {
   def rebuildIvfLayout(
       spark: org.apache.spark.sql.SparkSession, layoutPath: String,
       newCentroids: DataFrame,
-      idCol: String, centroidIdCol: String, vecCol: String
+      idCol: String, centroidIdCol: String, vecCol: String,
+      midRebuildHook: () => Unit = () => ()
   ): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(layoutPath)
@@ -860,6 +884,18 @@ object Similarity {
     require(fs.exists(live), s"no layout at $layoutPath")
     val staged = new org.apache.hadoop.fs.Path(layoutPath + ".rebuilt")
     val retired = new org.apache.hadoop.fs.Path(layoutPath + ".replaced")
+    val hwm = new org.apache.hadoop.fs.Path(live, "_ingest_hwm")
+    // complete read (loops to EOF) — a prefix read would compare/copy a
+    // TRUNCATED (lower) watermark
+    def readHwm(): Option[String] =
+      if (fs.exists(hwm))
+        Some(new String(graft.util.Fs.readSmallFile(fs, hwm), "UTF-8").trim)
+      else None
+    // writer-race guard, half 1: snapshot the ingest watermark BEFORE the
+    // corpus read — the staged store must carry the watermark CONSISTENT
+    // with the rows it actually read, not whatever a concurrent publish
+    // advanced it to afterwards
+    val hwmBefore = readHwm()
     // corpus = every ingested row; the old geometry ("cell") is dropped,
     // everything else (including rows landed by appends) round-trips
     val corpus = spark.read.parquet(layoutPath).drop("cell")
@@ -869,24 +905,80 @@ object Similarity {
       graft.config.SinkSpec("ivf_layout_rebuild", "simpleInsert", "parquet",
         Some(staged.toString), savemode = "overwrite",
         partitionBy = Seq("cell")))
-    // carry the ingest watermark forward (see scaladoc) BEFORE the swap
-    val hwm = new org.apache.hadoop.fs.Path(live, "_ingest_hwm")
-    if (fs.exists(hwm)) {
-      // complete read (loops to EOF) — a prefix read would copy a
-      // TRUNCATED (lower) watermark into the rebuilt store permanently
-      val bytes = graft.util.Fs.readSmallFile(fs, hwm)
+    // carry the SNAPSHOTTED watermark forward (see scaladoc) — and the
+    // refreshed geometry, hidden beside the data it describes
+    hwmBefore.foreach { v =>
       val out = fs.create(
         new org.apache.hadoop.fs.Path(staged, "_ingest_hwm"), true)
-      try out.write(bytes) finally out.close()
+      try out.write(v.getBytes("UTF-8")) finally out.close()
     }
+    writeCentroidsInto(newCentroids, staged.toString)
     val stats = spark.read.parquet(staged.toString)
       .agg(count(lit(1)), countDistinct(col("cell"))).head()
+    midRebuildHook()
+    // writer-race guard, half 2: re-read immediately before the swap; a
+    // concurrent ivfIngestBatch commit mid-rebuild advanced the watermark
+    // for rows the staged store never read — abort LOUDLY (live store
+    // untouched, staged deleted so the ingest's .rebuilt refusal lifts)
+    // instead of silently retiring that batch's files
+    val hwmNow = readHwm()
+    if (hwmNow != hwmBefore) {
+      fs.delete(staged, true)
+      throw new java.util.ConcurrentModificationException(
+        s"rebuildIvfLayout($layoutPath) aborted: _ingest_hwm advanced " +
+          s"$hwmBefore -> $hwmNow during the rebuild — a concurrent " +
+          "ivfIngestBatch published mid-rebuild. The live store is " +
+          "untouched; quiesce the ingest stream and re-run the rebuild.")
+    }
     // the swap (crash contract in the scaladoc)
     if (fs.exists(retired)) fs.delete(retired, true)
     require(fs.rename(live, retired), s"swap: could not retire $live")
     require(fs.rename(staged, live), s"swap: could not publish $staged")
     fs.delete(retired, true)
     (stats.getLong(0), stats.getLong(1))
+  }
+
+  /** Persist a centroid frame as the hidden `_centroids` parquet dir
+    * inside an IVF store (underscore prefix — invisible to parquet
+    * readers and partition discovery of the store itself). The store
+    * becomes self-describing: maintenance loops recover its CURRENT
+    * geometry after a restart instead of trusting a caller-held frame
+    * that a rebuild may have invalidated. Deterministic and idempotent
+    * (overwrite), so re-persisting the same frame is a no-op in content. */
+  def writeCentroidsInto(centroids: DataFrame, storePath: String): Unit =
+    centroids.write.mode("overwrite").parquet(s"$storePath/_centroids")
+
+  /** The store's current geometry, if it is self-describing (seeded by
+    * [[graft.streaming.StreamingJobs.ivfMaintainBatch]] or written by a
+    * [[rebuildIvfLayout]]); None for stores whose callers hold the
+    * centroid frame externally. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$storePath/_centroids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** One float-space Lloyd refresh returned as a CENTROID FRAME: runs
+    * [[kmeansStep]] (exact micro-unit integer means — bit-deterministic
+    * across partitionings) and reassembles its (cell, dim, n, mean) rows
+    * into (centroidIdCol, vecCol) arrays; cells that captured no vectors
+    * keep their previous centroid. This is the default `refresh` of the
+    * drift-triggered maintenance policy — the "what a re-quantization
+    * would use TODAY" geometry in the store's own float space. Vectors
+    * come back as array<double> regardless of the input's float width
+    * (the mean is a double; [[assignToCentroids]] casts per-element). */
+  def refreshedCentroids(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, centroidIdCol: String, vecCol: String): DataFrame = {
+    val moved = kmeansStep(corpus, centroids, idCol, centroidIdCol, vecCol)
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mean")))).as("__a"))
+      .select(col("cell"),
+        transform(col("__a"), e => e.getField("mean")).as("__nv"))
+    val c = centroids.select(col(centroidIdCol),
+      transform(col(vecCol), v => v.cast("double")).as("__ov"))
+    c.join(moved, c(centroidIdCol) === moved("cell"), "left")
+      .select(col(centroidIdCol), coalesce(col("__nv"), col("__ov")).as(vecCol))
   }
 
   /** IVF probe against a materialized [[writeIvfLayout]] table. The probe

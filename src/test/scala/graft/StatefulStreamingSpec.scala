@@ -603,6 +603,182 @@ class StatefulStreamingSpec extends AnyFunSuite {
       cent1, "vec_id", "centroid_id", "embedding", layout, compactEvery = 0)
     assert(spark.read.parquet(layout).count() == rowsBefore,
       "post-rebuild replay duplicated an already-ingested batch")
+    // the rebuilt store is self-describing: the refreshed geometry rode
+    // the swap as the hidden _centroids dir
+    val persisted = graft.x.Similarity.readCentroids(spark, layout)
+    assert(persisted.exists(_.count() == cent1.count()),
+      "rebuild did not persist the refreshed centroids into the store")
+  }
+
+  test("IVF rebuild vs concurrent ingest: a batch starting mid-rebuild is " +
+    "refused; one that slips past aborts the rebuild loudly, zero rows lost") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cent0 = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    val cent1 = emb.filter($"vec_id" >= 20 && $"vec_id" < 30)
+      .select(($"vec_id" - 20).as("centroid_id"), $"embedding")
+    val base = Files.createTempDirectory("graft-ivfrace").toString
+    val layout = s"$base/by_cell"
+    graft.x.Similarity.writeIvfLayout(emb.filter($"vec_id" < 60), cent0,
+      "vec_id", "centroid_id", "embedding", layout)
+    StreamingJobs.ivfIngestBatch(emb.filter($"vec_id" >= 60 && $"vec_id" < 70),
+      bid = 0L, cent0, "vec_id", "centroid_id", "embedding", layout,
+      compactEvery = 0)
+    val marker = new java.io.File(s"$layout.rebuilt")
+    var refusalSeen = false
+    val hook: () => Unit = () => {
+      assert(marker.exists(), "hook fired before the rebuild staged")
+      // guard 2: a batch that STARTS while the rebuild is staged refuses
+      // to publish (its micro-batch fails and will replay post-swap)
+      refusalSeen = intercept[IllegalArgumentException] {
+        StreamingJobs.ivfIngestBatch(
+          emb.filter($"vec_id" >= 70 && $"vec_id" < 80), bid = 1L,
+          cent0, "vec_id", "centroid_id", "embedding", layout,
+          compactEvery = 0)
+      }.getMessage.contains("refusing to publish")
+      // guard 1's race: a batch whose publish began BEFORE the rebuild
+      // staged never saw the marker — simulate that interleaving by
+      // moving the staged dir aside for the publish and restoring it
+      val aside = new java.io.File(s"$base/staged-aside")
+      assert(marker.renameTo(aside), "could not move the staged dir aside")
+      StreamingJobs.ivfIngestBatch(emb.filter($"vec_id" >= 70), bid = 1L,
+        cent0, "vec_id", "centroid_id", "embedding", layout,
+        compactEvery = 0)
+      assert(aside.renameTo(marker), "could not restore the staged dir")
+    }
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      graft.x.Similarity.rebuildIvfLayout(spark, layout, cent1,
+        "vec_id", "centroid_id", "embedding", midRebuildHook = hook)
+    }
+    assert(ex.getMessage.contains("_ingest_hwm advanced"))
+    assert(refusalSeen, "mid-rebuild ivfIngestBatch did not refuse")
+    // abort cleanup: the staged dir is gone (a surviving one would block
+    // every future ingest publish), and the LIVE store is fully intact —
+    // original corpus, pre-rebuild batch, AND the mid-rebuild batch
+    assert(!marker.exists(), "aborted rebuild left the staged dir behind")
+    assert(spark.read.parquet(layout).count() == emb.count(),
+      "the raced batch's rows were lost")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$layout/_ingest_hwm")).trim == "1",
+      "the raced batch's watermark advance was lost")
+    // documented recovery: quiesce (no concurrent writer) + re-run — the
+    // rebuild converges and INCLUDES the raced batch's rows
+    val (rows, _) = graft.x.Similarity.rebuildIvfLayout(spark, layout, cent1,
+      "vec_id", "centroid_id", "embedding")
+    assert(rows == emb.count(), s"retried rebuild lost rows: $rows")
+    // and the carried watermark still suppresses the raced batch's replay
+    val before = spark.read.parquet(layout).count()
+    StreamingJobs.ivfIngestBatch(emb.filter($"vec_id" >= 70), bid = 1L,
+      cent1, "vec_id", "centroid_id", "embedding", layout, compactEvery = 0)
+    assert(spark.read.parquet(layout).count() == before,
+      "post-retry replay duplicated the raced batch")
+  }
+
+  test("drift-triggered IVF maintenance: the policy rebuilds on drifted " +
+    "geometry, equals the manual twin byte-for-byte, and drift resets") {
+    import spark.implicits._
+    // a DRIFTING stream with engineered geometry: the seed quantizer
+    // knows two clusters A≈(10,0) and B≈(0,10); later batches introduce
+    // cluster C≈(5,5) — ON the A/B cell boundary, so the stale geometry
+    // SPLITS C between both cells by jitter sign. A C query probing
+    // nprobe=1 cell then finds only the same-sign half of its true
+    // neighbors (recall ~0.5), while a re-quantized geometry gives C its
+    // own cell (recall ~1) — the drift the monitor exists to price.
+    // array<float> vectors — the repo-wide embedding contract
+    // (FIXTURES.md; DotProductFloat reads float lanes)
+    def jit(i: Int, m: Int) = 0.01f * (i % m)
+    def aPt(i: Int) =
+      (i.toLong, Array(10.0f + jit(i, 10), jit(i, 7), 0.0f, 0.0f))
+    def bPt(i: Int) =
+      (i.toLong, Array(jit(i, 7), 10.0f + jit(i, 10), 0.0f, 0.0f))
+    // C's cell under the STALE geometry is decided only by the sign of d
+    // (the w component is equidistant from both A and B, so it cancels);
+    // its cosine NEIGHBORS are decided only by w. Sign and w are
+    // decorrelated, so each query's true top-5 mixes both cells.
+    def cPt(i: Int) = {
+      val s = if (i % 4 < 2) 1 else -1
+      val d = s * (0.1f + 0.01f * (i % 4))
+      val w = 2.0f + 0.1f * (i % 10)
+      (i.toLong, Array(5.0f + d, 5.0f - d, w, 0.0f))
+    }
+    def mk(rows: Seq[(Long, Array[Float])]) = rows.toDF("vec_id", "embedding")
+    val seed = Seq((0L, Array(10.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 10.0f, 0.0f, 0.0f))).toDF("centroid_id", "embedding")
+    // held-out C points judge the drift (never ingested)
+    val queries = mk((140 until 145).map(cPt))
+      .select($"vec_id".as("q_id"), $"embedding")
+    val batches = Seq(
+      mk((0 until 30).map(aPt) ++ (30 until 60).map(bPt)),
+      mk((100 until 120).map(cPt)),
+      mk((120 until 140).map(cPt)),
+      mk((60 until 70).map(aPt)))
+    val base = Files.createTempDirectory("graft-ivfpolicy").toString
+    val layoutP = s"$base/policy"; val layoutM = s"$base/manual"
+    // the rebuild geometry: a true RE-QUANTIZATION (deterministic
+    // farthest-first re-seed over today's corpus + one exact Lloyd
+    // refine) — the `refresh` a production rebuild would use when the
+    // corpus has drifted past what moving the old centroids can fix
+    val requantize: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+      (corpus, _) => {
+        val codes = corpus.select($"vec_id",
+          graft.x.Similarity.int8Codes($"embedding").as("c"))
+        val seeds = graft.x.Similarity
+          .farthestFirstSeeds(codes, "vec_id", "c", k = 3)
+          .select($"seed_rank".cast("long").as("centroid_id"), $"vec_id")
+        val seeded = seeds.join(corpus, "vec_id")
+          .select($"centroid_id",
+            transform($"embedding", v => v.cast("double")).as("embedding"))
+        graft.x.Similarity.refreshedCentroids(corpus, seeded,
+          "vec_id", "centroid_id", "embedding")
+      }
+    // --- the policy store: one call per micro-batch, cadence every 2 ---
+    val trace = batches.zipWithIndex.map { case (b, bid) =>
+      StreamingJobs.ivfMaintainBatch(b, bid.toLong, seed,
+        "vec_id", "centroid_id", "embedding", layoutP, queries, "q_id",
+        k = 5, nprobe = 1, driftEvery = 2, driftThreshold = 0.02,
+        refresh = requantize, compactEvery = 0)
+    }
+    assert(trace(0).isEmpty && trace(2).isEmpty, "cadence fired off-schedule")
+    val (drift1, rebuilt1) = trace(1).get
+    val (drift3, rebuilt3) = trace(3).get
+    assert(rebuilt1, f"drifted geometry did not trigger a rebuild (drift $drift1%.3f)")
+    // the trace the ops story claims: the rebuild RESET the drift — the
+    // post-rebuild cadence measures a (much) smaller gap
+    assert(drift3 < drift1,
+      f"drift did not reset after the rebuild: $drift1%.3f -> $drift3%.3f")
+    // --- the manual twin: same batches through the r11 primitives, the
+    // rebuild applied by hand at the same point with the same refresh ---
+    var current = seed
+    batches.zipWithIndex.foreach { case (b, bid) =>
+      StreamingJobs.ivfIngestBatch(b, bid.toLong, current,
+        "vec_id", "centroid_id", "embedding", layoutM, compactEvery = 0)
+      if (bid % 2 == 1) {
+        val corpus = spark.read.parquet(layoutM).drop("cell")
+        val fresh = graft.util.Staging.LocalCheckpoint.stage(
+          requantize(corpus, current), "manual-fresh")
+        val policyRebuilt = if (bid == 1) rebuilt1 else rebuilt3
+        if (policyRebuilt) {
+          graft.x.Similarity.rebuildIvfLayout(spark, layoutM, fresh,
+            "vec_id", "centroid_id", "embedding")
+          current = fresh
+        }
+      }
+    }
+    // equality gate: the post-policy store probes BYTE-IDENTICALLY to the
+    // manual composition at the same point (deterministic geometry, exact
+    // integer Lloyd means, per-row deterministic assignment)
+    val centP = graft.x.Similarity.readCentroids(spark, layoutP).get
+    def probe(path: String) = graft.x.Similarity.ivfTopKFromLayout(spark,
+      path, queries, centP, "vec_id", "q_id", "centroid_id", "embedding",
+      k = 5, nprobe = 1)
+    val a = probe(layoutP); val b = probe(layoutM)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "policy store diverged from the manual ingest+rebuild composition")
+    // and the stores' own geometry agrees with the twin's tracked frame
+    assert(centP.exceptAll(current).isEmpty && current.exceptAll(centP).isEmpty,
+      "persisted centroids diverged from the manual twin's")
   }
 
   test("sql file path works as a transformation step (spark.json:57)") {
