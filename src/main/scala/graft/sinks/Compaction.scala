@@ -27,6 +27,11 @@ import org.apache.spark.sql.SparkSession
   * ([[graft.sources.VersionedParquet]]), where the swap is one commit.
   * Row content is preserved exactly (read → write of the same rows, no
   * re-partitioning of values into different bins than planned).
+  *
+  * Concurrency: single compactor per directory; appends may overlap
+  * (files created after the planning snapshot are simply missed by this
+  * pass, never deleted) — full rules in PLANS.md "Store concurrency
+  * contracts".
   */
 object Compaction {
 

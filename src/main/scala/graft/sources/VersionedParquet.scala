@@ -21,6 +21,12 @@ import scala.jdk.CollectionConverters._
   * atomicity: the manifest is staged and atomically moved into the log,
   * so a crashed write leaves only unreferenced data (same recovery model
   * as a real table format's uncommitted files).
+  *
+  * Concurrency: readers always safe; MUTATIONS (write/compact/vacuum)
+  * are one-at-a-time per table — version numbers are allocated by
+  * listing, so concurrent writers race on the same number and the loser
+  * fails its manifest move. Full rules: PLANS.md "Store concurrency
+  * contracts".
   */
 object VersionedParquet {
 

@@ -756,7 +756,13 @@ object StreamingJobs {
     *
     * A batch whose admitted set is EMPTY commits no store version (there
     * is nothing to append), so its replay recomputes — and deterministically
-    * admits nothing again; idempotent without a marker. */
+    * admits nothing again; idempotent without a marker.
+    *
+    * SINGLE WRITER (PLANS.md "Store concurrency contracts"): the
+    * admit/reject decision is deterministic in (store state, batch) —
+    * two concurrent admitters would each decide against a store missing
+    * the other's bands. foreachBatch sequencing is the serialization;
+    * never point two ingest streams at one store path. */
   def incrementalNearDupBatch(batch: DataFrame, bid: Long,
       textCol: String, idCol: String, storePath: String, admittedDir: String,
       n: Int = 3, k: Int = 32, bands: Int = 8,

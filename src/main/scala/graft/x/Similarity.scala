@@ -808,7 +808,9 @@ object Similarity {
     * Centroids must be the SAME frame the base layout used — moving
     * centroids changes the cell geometry and requires a rebuild (that is
     * k-means maintenance, not layout maintenance). Appends accumulate
-    * small files per cell; compact on the usual sink-sizing cadence. */
+    * small files per cell; compact on the usual sink-sizing cadence.
+    * Writer exclusivity vs rebuilds/compaction: PLANS.md "Store
+    * concurrency contracts". */
   def appendToIvfLayout(
       newBatch: DataFrame, centroids: DataFrame,
       idCol: String, centroidIdCol: String, vecCol: String, path: String
