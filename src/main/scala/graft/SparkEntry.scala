@@ -3380,13 +3380,6 @@ object SparkEntry {
 
     // eval-leakage guard: every 13th doc stands in for a benchmark set;
     // training docs colliding on normalized fingerprint are dropped
-    "x23_decontaminate" -> ((s, dir) => {
-      reg(s, dir)
-      val docs = s.table("documents")
-      val bench = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
-      TextAnalysis.decontaminate(docs, bench, "text", "doc_id")
-        .select("doc_id", "lang").orderBy("doc_id")
-    }),
 
     // same contract as x23 through the Bloom-filter scale path: the result
     // must be IDENTICAL (bloom has no false negatives; false positives are
@@ -3668,6 +3661,30 @@ object SparkEntry {
         graft.run.PipelineStep("fetch_prices", fetch),
         graft.run.PipelineStep("calculate_daily_range", calc)))
       s.read.parquet(s"$base/ranges").orderBy("trade_date")
+    }),
+
+    "etl_curation_config" -> ((s, dir) => {
+      reg(s, dir)
+      // the whole x60 curation pipeline from ONE JSON config, zero Scala:
+      // a functionName step dispatches the registered `curate` operator
+      // (spark.json:54-65's functionName half, closed in r12 — see
+      // graft.run.TransformFunctions), then a plain SQL step projects the
+      // oracle-checked columns. Mirrors x60_curate_e2e through
+      // run/Orchestrator, so the dispatch machinery itself is the thing
+      // under oracle here.
+      val cfg = graft.config.JobConfig.parse(
+        s"""{
+           |"jobName": "curation_from_config",
+           |"inputs": [{"dataFrameName": "docs", "format": "parquet",
+           |  "path": "$dir/documents.parquet"}],
+           |"transformations": [
+           |  {"functionName": "curate", "outputDFName": "curated",
+           |   "options": {"input": "docs", "textCol": "text", "idCol": "doc_id"}},
+           |  {"functionName": "project",
+           |   "sqlQuery": "SELECT doc_id, lang, split FROM curated ORDER BY doc_id",
+           |   "outputDFName": "curated_out", "countValidation": 1}]
+           |}""".stripMargin)
+      new graft.run.Orchestrator(s).run(cfg)
     }),
 
     "etl_upsert_merge" -> ((s, dir) => {
@@ -6061,6 +6078,20 @@ object SparkEntry {
              ELSE 'train' END AS split
       FROM sb ORDER BY doc_id""",
 
+    // identical oracle to x60 — the config-dispatched pipeline must land
+    // on exactly the rows the directly-invoked operator lands on
+    "etl_curation_config" -> s"""
+      WITH RECURSIVE $curationCtes,
+      sb AS (
+        SELECT doc_id, lang,
+               ${polySql("CAST(doc_id AS VARCHAR) || ':split'")} % 1000000 AS hb
+        FROM nk)
+      SELECT doc_id, lang,
+        CASE WHEN hb < 100000 THEN 'test'
+             WHEN hb < 200000 THEN 'validation'
+             ELSE 'train' END AS split
+      FROM sb ORDER BY doc_id""",
+
     "x62_curation_report" -> s"""
       WITH RECURSIVE $curationCtes
       SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS docs FROM documents
@@ -6205,8 +6236,11 @@ object SparkEntry {
       FROM documents
       ORDER BY doc_id""",
 
-    "x23_decontaminate" -> decontaminateSql,
-    // bloom prefilter + exact verify ≡ exact anti-join, so same oracle
+    // bloom prefilter + exact verify ≡ exact anti-join, so the ORACLE is
+    // the exact definition; x23 (the plain exact anti-join query) merged
+    // into this row in r12 — its path stays asserted by the bloom≡exact
+    // equality suites (ExtensionOpsSpec "bloom", GuardsSpec NULL routing),
+    // the x33→x33b registry-flattening template
     "x25_bloom_decontaminate" -> decontaminateSql,
 
     "x24_repetition_filter" -> """

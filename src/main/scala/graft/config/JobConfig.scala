@@ -81,12 +81,18 @@ final case class DuplicateRecordCheck(
     orderByCols: Seq[String]
 ) extends ValidationSpec
 
-/** One SQL transformation step (spark.json:54-65). */
+/** One transformation step (spark.json:54-65). A step WITH `sqlQuery`
+  * runs the SQL (functionName stays a label, the reference's shape); a
+  * step WITHOUT `sqlQuery` dispatches `functionName` to the named-operator
+  * registry ([[graft.run.TransformFunctions]]) with `options` as its
+  * parameters — the config-surface path to the engine's `graft.x`
+  * operators. */
 final case class TransformStep(
     functionName: String,
     sqlQuery: String,
     outputDFName: String,
-    countValidation: Option[Long] = None // min expected rows (spark.json:66)
+    countValidation: Option[Long] = None, // min expected rows (spark.json:66)
+    options: Map[String, String] = Map.empty // named-operator parameters
 )
 
 /** One sink (spark.json:68-107). loadType: simpleInsert | truncateInsert |
@@ -195,11 +201,16 @@ object JobConfig {
       }
     }
     val transforms = objs(root, "transformations").map { t =>
+      val fn = str(t, "functionName")
+      val sql = str(t, "sqlQuery")
+      if (sql.isEmpty && fn.isEmpty)
+        sys.error("transformation needs sqlQuery or a functionName to dispatch")
       TransformStep(
-        functionName = str(t, "functionName").getOrElse("step"),
-        sqlQuery = str(t, "sqlQuery").getOrElse(sys.error("transformation needs sqlQuery")),
+        functionName = fn.getOrElse("step"),
+        sqlQuery = sql.getOrElse(""),
         outputDFName = str(t, "outputDFName").getOrElse(sys.error("transformation needs outputDFName")),
-        countValidation = str(t, "countValidation").map(_.toLong)
+        countValidation = str(t, "countValidation").map(_.toLong),
+        options = strMap(t, "options")
       )
     }
     def sink(s: Map[String, Any]): SinkSpec = SinkSpec(

@@ -101,11 +101,14 @@ class Orchestrator(spark: SparkSession) {
       Validations.thresholdGate(goodTotal, badTotal, cfg.thresholdLimit.get)
     }
 
-    // phase_2 — SQL transformation chain (spark.json:54-65); sqlQuery may
-    // be inline SQL or a .sql file path (spark.json:57)
+    // phase_2 — transformation chain (spark.json:54-65); sqlQuery may be
+    // inline SQL or a .sql file path (spark.json:57); a step without SQL
+    // dispatches its functionName to the named-operator registry
     var last: DataFrame = inputFrames.values.lastOption.orNull
     cfg.transformations.foreach { t =>
-      val out = spark.sql(resolveSql(t.sqlQuery))
+      val out =
+        if (t.sqlQuery.nonEmpty) spark.sql(resolveSql(t.sqlQuery))
+        else TransformFunctions.dispatch(spark, t)
       // pre-flight plan lint: a typo'd join predicate is invisible at dev
       // scale and a cluster-week at 100 TB — catch it before execution.
       // warn: surface findings, never block (a cross join CAN be a tiny

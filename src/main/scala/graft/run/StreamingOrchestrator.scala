@@ -72,8 +72,16 @@ class StreamingOrchestrator(spark: SparkSession) {
         deduped.createOrReplaceTempView(name)
     }
 
-    // phase_2 — SQL chain (identical to batch, incl. .sql file references)
+    // phase_2 — SQL chain (identical to batch, incl. .sql file references).
+    // Named-operator dispatch (TransformFunctions) is BATCH-ONLY: most
+    // registered operators aggregate/join in ways a streaming plan can't
+    // express incrementally — fail the step loudly instead of handing
+    // spark.sql an empty string
     cfg.transformations.foreach { t =>
+      if (t.sqlQuery.isEmpty) sys.error(
+        s"streaming transformation '${t.outputDFName}': functionName " +
+          s"dispatch ('${t.functionName}') is batch-only — give the step " +
+          "a sqlQuery, or run the job in batch mode")
       spark.sql(Orchestrator.resolveSql(t.sqlQuery)).createOrReplaceTempView(t.outputDFName)
     }
 

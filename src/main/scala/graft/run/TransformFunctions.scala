@@ -1,0 +1,122 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.TransformStep
+import graft.x.{Curation, Dedup, Sampling, TextAnalysis}
+
+/** Config-surface dispatch for the engine's NAMED operators — closing the
+  * `functionName` half of the reference's transformation step
+  * (/root/reference/spark.json:54-65 declares each step as
+  * `functionName` + `sqlQuery`; the reference's closed jar treats the
+  * name as the unit of dispatch, our open engine treated it as a label
+  * and ran only the SQL). With this registry, one JSON config can run a
+  * curation pipeline end to end with zero Scala:
+  *
+  * {{{
+  *   {"transformations": [
+  *     {"functionName": "curate", "outputDFName": "curated",
+  *      "options": {"input": "docs", "textCol": "text", "idCol": "doc_id"}}
+  *   ]}
+  * }}}
+  *
+  * Dispatch rule (the orchestrator's): a step WITH `sqlQuery` runs the
+  * SQL (reference behavior — the name stays a label); a step WITHOUT
+  * `sqlQuery` dispatches its `functionName` here. Every function reads
+  * its input frame from `options.input` (a bound view name — the same
+  * namespace SQL steps join against) and its parameters from `options`
+  * with the library defaults, so the JSON surface mirrors the Scala one
+  * parameter-for-parameter. Output registration, count validation, and
+  * the pre-flight plan lint are shared with SQL steps in
+  * [[Orchestrator]] — a dispatched frame is audited exactly like a SQL
+  * frame before anything executes.
+  *
+  * The registry deliberately exposes the COMPOSED operators (curate,
+  * lineage, report) plus the individual curation stages, so a config can
+  * either run the one-shot pipeline or rebuild it stage by stage with
+  * different thresholds per step.
+  */
+object TransformFunctions {
+
+  /** Registered functionName → implementation. */
+  val registry: Map[String, (SparkSession, TransformStep) => DataFrame] = Map(
+    // the composed curation pipeline and its two lineage surfaces
+    // (x60/x62/x73's operators on the config surface)
+    "curate" -> ((sp, t) => Curation.curate(in(sp, t), textCol(t), idCol(t),
+      lng(t, "minTokens", 5L), dbl(t, "minUniqRatio", 0.3),
+      dbl(t, "maxTopShare", 0.2), int(t, "jaccardN", 3),
+      dbl(t, "jaccardThreshold", 0.5), dbl(t, "testFraction", 0.1),
+      dbl(t, "validationFraction", 0.1))),
+    "curationReport" -> ((sp, t) => Curation.curationReport(in(sp, t),
+      textCol(t), idCol(t), lng(t, "minTokens", 5L),
+      dbl(t, "minUniqRatio", 0.3), dbl(t, "maxTopShare", 0.2),
+      int(t, "jaccardN", 3), dbl(t, "jaccardThreshold", 0.5))),
+    "curationLineage" -> ((sp, t) => Curation.curationLineage(in(sp, t),
+      textCol(t), idCol(t), lng(t, "minTokens", 5L),
+      dbl(t, "minUniqRatio", 0.3), dbl(t, "maxTopShare", 0.2),
+      int(t, "jaccardN", 3), dbl(t, "jaccardThreshold", 0.5),
+      dbl(t, "testFraction", 0.1), dbl(t, "validationFraction", 0.1))),
+    // the individual stages, for configs that re-compose the pipeline
+    "exactDedup" -> ((sp, t) =>
+      Dedup.exactByContent(in(sp, t), textCol(t), idCol(t))),
+    "repetitionStats" -> ((sp, t) =>
+      TextAnalysis.repetitionStats(in(sp, t), textCol(t), idCol(t))),
+    "trainTestSplit" -> ((sp, t) => Sampling.trainTestSplit(in(sp, t),
+      idCol(t), dbl(t, "testFraction", 0.1),
+      dbl(t, "validationFraction", 0.1))),
+    "stratifiedSample" -> ((sp, t) => Sampling.stratifiedSample(in(sp, t),
+      idCol(t), str(t, "strataCol", "lang"), fractions(t))),
+    // per-row text hygiene/analysis columns appended to the input
+    "languageId" -> ((sp, t) => in(sp, t).withColumn(
+      str(t, "outputCol", "lang_pred"),
+      TextAnalysis.languageIdHeuristic(col(textCol(t))))),
+    "redactPii" -> ((sp, t) => in(sp, t).withColumn(
+      str(t, "outputCol", "text_redacted"),
+      TextAnalysis.redactPii(col(textCol(t))))),
+    "textStats" -> ((sp, t) => {
+      val d = in(sp, t); val tc = col(textCol(t))
+      d.select(col(idCol(t)),
+        TextAnalysis.tokenCount(tc).cast("long").as("n_tokens"),
+        TextAnalysis.subwordTokenEstimate(tc).cast("long").as("n_subwords"),
+        round(TextAnalysis.avgWordLength(tc), 4).as("avg_word_len"),
+        round(TextAnalysis.stopwordRatio(tc), 4).as("stopword_ratio"),
+        round(TextAnalysis.punctRatio(tc), 4).as("punct_ratio"),
+        TextAnalysis.qualityScore(tc).as("quality"))
+    })
+  )
+
+  def isRegistered(name: String): Boolean = registry.contains(name)
+
+  /** Run a registered function for a transformation step; loud error
+    * naming the registered set on a miss (a typo'd functionName must
+    * fail the job, not silently no-op). */
+  def dispatch(spark: SparkSession, step: TransformStep): DataFrame =
+    registry.getOrElse(step.functionName, sys.error(
+      s"transformation '${step.outputDFName}': functionName " +
+        s"'${step.functionName}' is not registered and the step has no " +
+        s"sqlQuery — registered functions: " +
+        registry.keys.toSeq.sorted.mkString(", ")))(spark, step)
+
+  // ---- option parsing: every parameter mirrors the Scala default ----
+  private def in(spark: SparkSession, t: TransformStep): DataFrame =
+    spark.table(t.options.getOrElse("input", sys.error(
+      s"functionName step '${t.functionName}' needs options.input " +
+        "(a bound dataFrameName / outputDFName to read)")))
+  private def str(t: TransformStep, k: String, d: String): String =
+    t.options.getOrElse(k, d)
+  private def textCol(t: TransformStep): String = str(t, "textCol", "text")
+  private def idCol(t: TransformStep): String = str(t, "idCol", "doc_id")
+  private def int(t: TransformStep, k: String, d: Int): Int =
+    t.options.get(k).map(_.trim.toInt).getOrElse(d)
+  private def lng(t: TransformStep, k: String, d: Long): Long =
+    t.options.get(k).map(_.trim.toLong).getOrElse(d)
+  private def dbl(t: TransformStep, k: String, d: Double): Double =
+    t.options.get(k).map(_.trim.toDouble).getOrElse(d)
+  /** `"en:0.5,zh:0.25"` → Map(en → 0.5, zh → 0.25) (strata fractions). */
+  private def fractions(t: TransformStep): Map[String, Double] =
+    t.options.getOrElse("fractions", "").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split(":").map(_.trim)
+        k -> v.toDouble
+      }.toMap
+}

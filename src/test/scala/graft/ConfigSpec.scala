@@ -77,4 +77,50 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.jobName == "x")
     assert(!cfg.duplicateRunCheck && cfg.inputs.isEmpty && cfg.thresholdLimit.isEmpty)
   }
+
+  test("functionName steps parse with options; a step needs SQL or a name") {
+    val cfg = JobConfig.parse(
+      """{"jobName":"c","transformations":[
+        |  {"functionName":"curate","outputDFName":"out",
+        |   "options":{"input":"docs","minTokens":"7","jaccardThreshold":"0.6"}}
+        |]}""".stripMargin)
+    val t = cfg.transformations.head
+    assert(t.functionName == "curate" && t.sqlQuery.isEmpty)
+    assert(t.options == Map("input" -> "docs", "minTokens" -> "7",
+      "jaccardThreshold" -> "0.6"))
+    // neither sqlQuery nor functionName → loud parse error
+    val e = intercept[RuntimeException] {
+      JobConfig.parse(
+        """{"jobName":"c","transformations":[{"outputDFName":"out"}]}""")
+    }
+    assert(e.getMessage.contains("sqlQuery or a functionName"))
+  }
+
+  test("named-operator dispatch: registered functions run, typos fail loudly") {
+    val spark = TestSpark.spark
+    spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .createOrReplaceTempView("docs_cfgspec")
+    val out = new graft.run.Orchestrator(spark).run(JobConfig.parse(
+      """{"jobName":"fn","transformations":[
+        |  {"functionName":"textStats","outputDFName":"stats",
+        |   "options":{"input":"docs_cfgspec","textCol":"text","idCol":"doc_id"}}
+        |]}""".stripMargin))
+    assert(out.columns.contains("n_tokens") && out.count() > 0)
+    // unknown functionName names the registered set instead of no-opping
+    val e = intercept[RuntimeException] {
+      new graft.run.Orchestrator(spark).run(JobConfig.parse(
+        """{"jobName":"fn2","transformations":[
+          |  {"functionName":"curatee","outputDFName":"o",
+          |   "options":{"input":"docs_cfgspec"}}]}""".stripMargin))
+    }
+    assert(e.getMessage.contains("not registered") &&
+      e.getMessage.contains("curate"))
+    // missing options.input is a config error, not an NPE
+    val e2 = intercept[RuntimeException] {
+      new graft.run.Orchestrator(spark).run(JobConfig.parse(
+        """{"jobName":"fn3","transformations":[
+          |  {"functionName":"curate","outputDFName":"o"}]}""".stripMargin))
+    }
+    assert(e2.getMessage.contains("options.input"))
+  }
 }
