@@ -27,14 +27,27 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Ceiling, not a reservation. The target environment is a 128 GiB
+// local[32] JVM; the old 8g default starved the 576-execution bench —
+// accumulated session state (codegen classes, broadcasts, listener
+// data) squeezed unified memory until the two largest-shuffle queries
+// (x187's 20M-row agg, x189's CC) GC-thrashed IN-BENCH only: 8.7-12.3s
+// recorded vs 1.6s isolated on a fresh heap, zero steal both ways.
+// Default derives from PHYSICAL memory (≈60%, capped at 48g) so a small
+// dev machine isn't pushed into swap/OOM by a 48g ceiling it can't back;
+// SPARK_DRIVER_MEM overrides for any explicit target.
+val defaultDriverMem: String = {
+  val physGb: Long =
+    try {
+      val kb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .find(_.startsWith("MemTotal:")).map(_.replaceAll("[^0-9]", "").toLong)
+        .getOrElse(0L)
+      kb / 1024 / 1024
+    } catch { case _: Throwable => 0L } // no /proc (macOS etc.)
+  if (physGb <= 0) "8g" else s"${math.max(2L, math.min(48L, physGb * 3 / 5))}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Ceiling, not a reservation. The target environment is a 128 GiB
-  // local[32] JVM; the old 8g default starved the 576-execution bench —
-  // accumulated session state (codegen classes, broadcasts, listener
-  // data) squeezed unified memory until the two largest-shuffle queries
-  // (x187's 20M-row agg, x189's CC) GC-thrashed IN-BENCH only: 8.7-12.3s
-  // recorded vs 1.6s isolated on a fresh heap, zero steal both ways.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultDriverMem)}",
 )

@@ -80,6 +80,29 @@ object ProfileAA {
     val preSorted = wedges.sortWithinPartitions("a", "b").groupBy("a", "b")
       .agg(sum("__t").as("__aa"), count(lit(1)).as("common"))
     t("agg pre-sortWithinPartitions")(preSorted.count())
+    // r12 (VERDICT r11 #6): degree-bucketed two-level partial agg — split
+    // the wedge stream by center-list size (small-center wedges rarely
+    // share (a,b) with each other; big-center wedges are where repeats
+    // live), aggregate each bucket with its own (smaller) hash map, then
+    // merge the two pre-aggregated streams with a second (a,b) agg. Tests
+    // whether two tighter hash maps + a smaller merge beat one 19.7M-group
+    // map. Exact by construction (sum/count are associative).
+    val wedgesB = adjListC
+      .select(col("__ns"), (size(col("__ns")) >= 16).as("__big"),
+        ((lit(1.0) / log(size(col("__ns")).cast("double")))
+          .cast("decimal(18,8)") * lit(100000000L)).cast("long").as("__t"),
+        explode(expr("sequence(1, size(__ns) - 1)")).as("__i"))
+      .select(col("__big"), col("__t"),
+        expr("element_at(__ns, __i)").as("a"),
+        explode(expr("slice(__ns, __i + 1, size(__ns) - __i)")).as("b"))
+    def bucketAgg(big: Boolean) = wedgesB.filter(col("__big") === big)
+      .groupBy("a", "b")
+      .agg(sum("__t").as("__aa"), count(lit(1)).cast("long").as("common"))
+    val bucketed = bucketAgg(true).unionAll(bucketAgg(false))
+      .groupBy("a", "b")
+      .agg(sum("__aa").as("__aa"), sum("common").as("common"))
+    t("degree-bucketed two-level agg")(bucketed.count())
+    t("degree-bucketed two-level agg x2")(bucketed.count())
     val fin = agg.join(e, Seq("a", "b"), "left_anti")
       .select(col("a"), col("b"), col("common"),
         (col("__aa").cast("double") / lit(1e8)).as("aa"))

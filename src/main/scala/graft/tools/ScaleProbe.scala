@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.x.Dedup
 
@@ -1181,6 +1181,75 @@ object ScaleProbe {
             targetBytes = 64L * 1024 * 1024, compactEvery = ce)
           if (b % 8 == 7)
             println(f"[scale-sivf] $tag%-10s batches=${b + 1}%3d  files=${dataFiles(layout)}%4d")
+        }
+      }
+    }
+
+    // drift-policy probe (r12): the self-maintaining IVF store's recall
+    // trace under REAL distribution drift. The stream starts in two known
+    // clusters (the seed geometry), then shifts to a boundary cluster the
+    // seed SPLITS across cells (the StatefulStreamingSpec geometry at
+    // 1000×: sign decides the stale cell, w decides cosine neighbors, so
+    // stale recall ≈ 0.5 on drifted queries). The trace must show drift
+    // spike at the first post-shift cadence, the rebuild firing, and
+    // drift RESET at the next cadence — the closed ops loop, measured.
+    if (on("ivfdrift")) {
+      val S = graft.x.Similarity
+      val perCluster = 50000 * factors.max
+      def fvec(cols: Column*) = array(cols.map(_.cast("float")): _*)
+      def aCluster(ids: Column) = spark.range(perCluster).select(
+        (ids + col("id")).as("vec_id"),
+        fvec(lit(10.0) + (col("id") % 10) * 0.01, (col("id") % 7) * 0.01,
+          lit(0.0), lit(0.0)).as("embedding"))
+      def bCluster(ids: Column) = spark.range(perCluster).select(
+        (ids + col("id")).as("vec_id"),
+        fvec((col("id") % 7) * 0.01, lit(10.0) + (col("id") % 10) * 0.01,
+          lit(0.0), lit(0.0)).as("embedding"))
+      def cCluster(ids: Column, n: Int) = {
+        val d = (when(col("id") % 4 < 2, 1.0).otherwise(-1.0)) *
+          (lit(0.1) + (col("id") % 4) * 0.01)
+        spark.range(n).select((ids + col("id")).as("vec_id"),
+          fvec(lit(5.0) + d, lit(5.0) - d, lit(2.0) + (col("id") % 10) * 0.1,
+            lit(0.0)).as("embedding"))
+      }
+      val seedC = Seq((0L, Array(10.0f, 0f, 0f, 0f)), (1L, Array(0f, 10.0f, 0f, 0f)))
+      import spark.implicits._
+      val seed = seedC.toDF("centroid_id", "embedding")
+      val queries = cCluster(lit(90000000L), 50)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val requant: (org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+        (corpus, _) => {
+          val codes = corpus.select(col("vec_id"),
+            S.int8Codes(col("embedding")).as("c"))
+          val seeds = S.farthestFirstSeeds(codes, "vec_id", "c", k = 3)
+            .select(col("seed_rank").cast("long").as("centroid_id"), col("vec_id"))
+          S.refreshedCentroids(
+            corpus, seeds.join(corpus, "vec_id")
+              .select(col("centroid_id"),
+                transform(col("embedding"), v => v.cast("double")).as("embedding")),
+            "vec_id", "centroid_id", "embedding")
+        }
+      val layout = java.nio.file.Files.createTempDirectory("scale-ivfdrift")
+        .toString + "/store"
+      val batches = Seq(
+        aCluster(lit(0L)).unionAll(bCluster(lit(10000000L))), // stationary
+        cCluster(lit(20000000L), perCluster),                 // DRIFT begins
+        cCluster(lit(30000000L), perCluster),
+        aCluster(lit(40000000L)))                             // stationary again
+      batches.zipWithIndex.foreach { case (batch, bid) =>
+        val t0 = System.nanoTime()
+        val res = graft.streaming.StreamingJobs.ivfMaintainBatch(
+          batch, bid.toLong, seed, "vec_id", "centroid_id", "embedding",
+          layout, queries, "q_id", k = 10, nprobe = 1,
+          driftEvery = 2, driftThreshold = 0.02, refresh = requant,
+          targetBytes = 64L * 1024 * 1024, compactEvery = 0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        res match {
+          case Some((drift, rebuilt)) => println(
+            f"[scale-ivfdrift] bid=$bid  drift=$drift%.4f  rebuilt=$rebuilt  $dt%.1fs")
+          case None => println(
+            f"[scale-ivfdrift] bid=$bid  (ingest only)  $dt%.1fs")
         }
       }
     }

@@ -396,9 +396,14 @@ class GuardsSpec extends AnyFunSuite {
   }
 
   test("HostMetrics reads non-negative load and monotone steal on this kernel") {
-    assert(graft.util.HostMetrics.loadAvg() >= 0.0)
+    // both helpers return -1.0 BY DESIGN where the metric doesn't exist
+    // (no getSystemLoadAverage, no /proc/stat steal field — macOS,
+    // Windows, some container kernels): cancel there instead of failing
+    assume(graft.util.HostMetrics.loadAvg() >= 0.0,
+      "load average unavailable on this platform")
     val s1 = graft.util.HostMetrics.stealSec()
+    assume(s1 >= 0.0, "steal metric unavailable on this platform")
     val s2 = graft.util.HostMetrics.stealSec()
-    assert(s1 >= 0.0 && s2 >= s1, s"steal not monotone: $s1 -> $s2")
+    assert(s2 >= s1, s"steal not monotone: $s1 -> $s2")
   }
 }
