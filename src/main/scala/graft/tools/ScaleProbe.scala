@@ -1232,10 +1232,16 @@ object ScaleProbe {
         }
       val layout = java.nio.file.Files.createTempDirectory("scale-ivfdrift")
         .toString + "/store"
+      // drift ONSET is small by nature: the bulk keeps arriving from the
+      // known clusters (perCluster rows/batch) while the new region C
+      // appears at 40 rows/batch — the monitor must price the recall the
+      // stale geometry loses on the emerging region while it is still a
+      // rounding error of the corpus (C splits across both stale cells by
+      // construction, so C queries at nprobe=1 see ~half their neighbors)
       val batches = Seq(
         aCluster(lit(0L)).unionAll(bCluster(lit(10000000L))), // stationary
-        cCluster(lit(20000000L), perCluster),                 // DRIFT begins
-        cCluster(lit(30000000L), perCluster),
+        aCluster(lit(20000000L)).unionAll(cCluster(lit(80000000L), 40)),
+        bCluster(lit(30000000L)).unionAll(cCluster(lit(81000000L), 40)),
         aCluster(lit(40000000L)))                             // stationary again
       batches.zipWithIndex.foreach { case (batch, bid) =>
         val t0 = System.nanoTime()
