@@ -66,6 +66,15 @@ object TransformFunctions {
       dbl(t, "validationFraction", 0.1))),
     "stratifiedSample" -> ((sp, t) => Sampling.stratifiedSample(in(sp, t),
       idCol(t), str(t, "strataCol", "lang"), fractions(t))),
+    // multi-input steps: the second frame is ANOTHER bound view, read by
+    // name from options — the same namespace SQL joins use, so a config
+    // can decontaminate its corpus against a benchmark it bound in
+    // phase_1 (or produced with an earlier step)
+    "decontaminate" -> ((sp, t) => TextAnalysis.decontaminate(in(sp, t),
+      view(sp, t, "benchmark"), textCol(t), idCol(t))),
+    "bloomDecontaminate" -> ((sp, t) => TextAnalysis.bloomDecontaminate(
+      in(sp, t), view(sp, t, "benchmark"), textCol(t), idCol(t),
+      lng(t, "expectedItems", 1000000L), dbl(t, "fpp", 0.01))),
     // per-row text hygiene/analysis columns appended to the input
     "languageId" -> ((sp, t) => in(sp, t).withColumn(
       str(t, "outputCol", "lang_pred"),
@@ -98,10 +107,12 @@ object TransformFunctions {
         registry.keys.toSeq.sorted.mkString(", ")))(spark, step)
 
   // ---- option parsing: every parameter mirrors the Scala default ----
-  private def in(spark: SparkSession, t: TransformStep): DataFrame =
-    spark.table(t.options.getOrElse("input", sys.error(
-      s"functionName step '${t.functionName}' needs options.input " +
+  private def view(spark: SparkSession, t: TransformStep, key: String): DataFrame =
+    spark.table(t.options.getOrElse(key, sys.error(
+      s"functionName step '${t.functionName}' needs options.$key " +
         "(a bound dataFrameName / outputDFName to read)")))
+  private def in(spark: SparkSession, t: TransformStep): DataFrame =
+    view(spark, t, "input")
   private def str(t: TransformStep, k: String, d: String): String =
     t.options.getOrElse(k, d)
   private def textCol(t: TransformStep): String = str(t, "textCol", "text")

@@ -22,11 +22,14 @@ import scala.jdk.CollectionConverters._
   * so a crashed write leaves only unreferenced data (same recovery model
   * as a real table format's uncommitted files).
   *
-  * Concurrency: readers always safe; MUTATIONS (write/compact/vacuum)
-  * are one-at-a-time per table — version numbers are allocated by
-  * listing, so concurrent writers race on the same number and the loser
-  * fails its manifest move. Full rules: PLANS.md "Store concurrency
-  * contracts".
+  * Concurrency: readers always safe; version NUMBERS are serialized by
+  * the per-version `.lock` create (atomic check-and-create, see
+  * [[write]]), so two concurrent writers allocate distinct versions —
+  * but SEMANTIC serialization is still the caller's job: two concurrent
+  * appends each carry the file list they READ, so the later commit wins
+  * and the earlier one's rows survive only if the later writer read
+  * them first. One mutator at a time per table. Full rules: PLANS.md
+  * "Store concurrency contracts".
   */
 object VersionedParquet {
 

@@ -123,4 +123,31 @@ class ConfigSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("options.input"))
   }
+
+  test("multi-input dispatch: config-driven decontaminate equals the operator") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    docs.createOrReplaceTempView("docs_mi")
+    val bench = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+    bench.createOrReplaceTempView("bench_mi")
+    val out = new graft.run.Orchestrator(spark).run(JobConfig.parse(
+      """{"jobName":"mi","transformations":[
+        |  {"functionName":"decontaminate","outputDFName":"clean",
+        |   "options":{"input":"docs_mi","benchmark":"bench_mi",
+        |              "textCol":"text","idCol":"doc_id"}}
+        |]}""".stripMargin))
+    val direct = graft.x.TextAnalysis.decontaminate(docs, bench, "text", "doc_id")
+    assert(out.count() == direct.count() &&
+      out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty,
+      "config-dispatched decontaminate diverged from the direct operator")
+    // second view missing → names the key, not an NPE
+    val e = intercept[RuntimeException] {
+      new graft.run.Orchestrator(spark).run(JobConfig.parse(
+        """{"jobName":"mi2","transformations":[
+          |  {"functionName":"decontaminate","outputDFName":"o",
+          |   "options":{"input":"docs_mi"}}]}""".stripMargin))
+    }
+    assert(e.getMessage.contains("options.benchmark"))
+  }
 }
