@@ -3378,12 +3378,13 @@ object SparkEntry {
         .orderBy("month")
     }),
 
-    // eval-leakage guard: every 13th doc stands in for a benchmark set;
-    // training docs colliding on normalized fingerprint are dropped
-
-    // same contract as x23 through the Bloom-filter scale path: the result
-    // must be IDENTICAL (bloom has no false negatives; false positives are
-    // removed by the exact verify), so it shares x23's oracle SQL
+    // eval-leakage guard through the Bloom-filter scale path: every 13th
+    // doc stands in for a benchmark set; training docs colliding on
+    // normalized fingerprint are dropped. The result must be IDENTICAL to
+    // the exact anti-join (bloom has no false negatives; false positives
+    // are removed by the exact verify), so it carries the exact
+    // definition's oracle SQL — the former x23 entry, merged here in r12
+    // (the exact path stays asserted by the bloom≡exact equality suites)
     "x25_bloom_decontaminate" -> ((s, dir) => {
       reg(s, dir)
       val docs = s.table("documents")

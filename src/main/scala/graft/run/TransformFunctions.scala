@@ -123,11 +123,24 @@ object TransformFunctions {
     t.options.get(k).map(_.trim.toLong).getOrElse(d)
   private def dbl(t: TransformStep, k: String, d: Double): Double =
     t.options.get(k).map(_.trim.toDouble).getOrElse(d)
-  /** `"en:0.5,zh:0.25"` → Map(en → 0.5, zh → 0.25) (strata fractions). */
-  private def fractions(t: TransformStep): Map[String, Double] =
-    t.options.getOrElse("fractions", "").split(",").toSeq
-      .map(_.trim).filter(_.nonEmpty).map { kv =>
-        val Array(k, v) = kv.split(":").map(_.trim)
-        k -> v.toDouble
-      }.toMap
+  /** `"en:0.5,zh:0.25"` → Map(en → 0.5, zh → 0.25) (strata fractions).
+    * Absent/empty/malformed is a LOUD config error — an empty map would
+    * make stratifiedSample keep every row, a silent no-op "sample" (the
+    * exact failure mode the registry's typo rule exists to prevent). */
+  private def fractions(t: TransformStep): Map[String, Double] = {
+    val raw = t.options.getOrElse("fractions", sys.error(
+      s"functionName step '${t.functionName}' needs options.fractions " +
+        """(e.g. "en:0.5,zh:0.25") — without it the sample keeps every row"""))
+    val pairs = raw.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+      kv.split(":").map(_.trim) match {
+        case Array(k, v) if k.nonEmpty =>
+          k -> (try v.toDouble catch { case _: NumberFormatException =>
+            sys.error(s"options.fractions: '$kv' has a non-numeric fraction") })
+        case _ => sys.error(
+          s"options.fractions: '$kv' is not <stratum>:<fraction>")
+      }
+    }
+    if (pairs.isEmpty) sys.error("options.fractions parsed to no strata")
+    pairs.toMap
+  }
 }

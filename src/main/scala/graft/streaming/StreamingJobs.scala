@@ -868,8 +868,22 @@ object StreamingJobs {
     *     [[graft.x.Similarity.rebuildIvfLayout]] is staged
     *     (`<layout>.rebuilt` exists) — the refused micro-batch fails its
     *     query, stays above the watermark, and replays into the rebuilt
-    *     store; the rebuild's own pre-swap watermark re-read closes the
-    *     residual window where a publish slips past this check. */
+    *     store. The marker is checked after the replay-skip (so a
+    *     crashed rebuild never wedges committed replays — the
+    *     maintenance loop's replayed cadence re-runs and converges it),
+    *     before the publish renames, and again with a published-part
+    *     existence probe immediately before the watermark commit (a
+    *     swap landing mid-batch makes the commit abort and the batch
+    *     replay). A publish whose COMMIT lands in the one remaining
+    *     window (between that final probe and the hwm rename, with the
+    *     swap in between) is lost silently if the rebuild's own
+    *     pre-swap watermark re-read also missed it — a
+    *     milliseconds-scale double race; deployments that cannot accept
+    *     even that front the layout with a versioned manifest
+    *     ([[graft.sources.VersionedParquet]]), where ingest and rebuild
+    *     serialize on one commit log. The drift-policy loop
+    *     ([[ivfMaintainBatch]]) has NO window at all: ingest and
+    *     rebuild run in one sequential foreachBatch body. */
   def ivfIngestBatch(batch: DataFrame, bid: Long, centroids: DataFrame,
       idCol: String, centroidIdCol: String, vecCol: String,
       layoutPath: String, targetBytes: Long = 8L << 20,
@@ -882,15 +896,19 @@ object StreamingJobs {
     // would land rows into the soon-retired store — rows the rebuild's
     // corpus read never saw. Refuse LOUDLY: the failed micro-batch stays
     // above the watermark and replays after the swap into the fresh
-    // geometry. Checked twice — here (fail fast, before the staging
-    // write) and again immediately before the first publish rename.
+    // geometry. Checked AFTER the replay-skip below (a committed batch
+    // publishes nothing, so skipping it is always safe — and must stay
+    // possible, or a rebuild that crashed post-staging would wedge the
+    // self-maintaining stream forever: the replayed cadence batch has to
+    // reach ivfMaintainBatch's rebuild leg, which overwrites the staged
+    // dir and converges), then again immediately before the first
+    // publish rename.
     val rebuiltMarker = new org.apache.hadoop.fs.Path(layoutPath + ".rebuilt")
     def requireNoRebuild(): Unit = require(!fs.exists(rebuiltMarker),
       s"ivfIngestBatch(bid=$bid): a rebuild of $layoutPath is staged " +
         s"($rebuiltMarker exists) — refusing to publish; this batch " +
         "replays after the rebuild completes (a CRASHED rebuild must be " +
         "re-run to converge, or its stale staging dir deleted)")
-    requireNoRebuild()
     val hwmPath = new org.apache.hadoop.fs.Path(root, "_ingest_hwm")
     // COMPLETE read (Fs.readSmallFile loops to EOF): a partial
     // InputStream.read could return a prefix of the watermark, and a
@@ -900,6 +918,7 @@ object StreamingJobs {
       if (s.isEmpty) -1L else s.toLong
     } else -1L
     if (bid <= prevHwm) return
+    requireNoRebuild()
     // stage: deterministic assignment, partitioned by cell, invisible to
     // readers (dot prefix) — same directory shape the layout itself uses
     val staging = new org.apache.hadoop.fs.Path(root, s".ingest-staging-$bid")
@@ -916,10 +935,9 @@ object StreamingJobs {
       }
     // publish: rename each staged part under its bid-deterministic name
     // (re-check the rebuild marker NOW — the staging write above takes
-    // seconds, plenty of time for a rebuild to start; a publish past this
-    // point that still races the swap is caught by the rebuild's own
-    // pre-swap watermark re-read)
+    // seconds, plenty of time for a rebuild to start)
     requireNoRebuild()
+    var firstPublished: Option[org.apache.hadoop.fs.Path] = None
     fs.listStatus(staging).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .foreach { cellDir =>
@@ -934,9 +952,23 @@ object StreamingJobs {
             // unchecked failure here would delete the staged rows below
             // and still advance the watermark, losing the batch forever
             require(fs.rename(p, dst), s"publish: rename $p -> $dst failed")
+            if (firstPublished.isEmpty) firstPublished = Some(dst)
           }
       }
     fs.delete(staging, true)
+    // commit guard: if a rebuild's swap landed between our publish and
+    // this commit, our parts died with the retired store — advancing the
+    // watermark NOW would write it into the REBUILT store, marking the
+    // batch committed and suppressing the replay that would recover it
+    // (silent loss). Verify no rebuild is staged and that the store still
+    // holds our first part; abort loudly otherwise so the batch replays
+    // into the new store. (A swap landing between this check and the
+    // rename below remains a theoretical window — see the scaladoc's
+    // residual-window note and the versioned-manifest escape hatch.)
+    requireNoRebuild()
+    firstPublished.foreach { p => require(fs.exists(p),
+      s"commit: published part $p vanished — a rebuild swapped the store " +
+        s"mid-batch; aborting so bid=$bid replays into the new store") }
     // commit: advance the watermark (write-temp-then-rename; the brief
     // absent-hwm window a crash here opens is closed by step 2's redo)
     val tmp = new org.apache.hadoop.fs.Path(root, s"._ingest_hwm.tmp")
@@ -1037,28 +1069,49 @@ object StreamingJobs {
       layoutPath, targetBytes, compactEvery)
     if (driftEvery <= 0 || bid % driftEvery != (driftEvery - 1).toLong) None
     else {
+      // a store whose every batch so far was EMPTY has watermarks and
+      // geometry but no cell= data dirs — schema inference over only
+      // hidden files would throw; the honest cadence answer is drift 0
+      val fs2 = new org.apache.hadoop.fs.Path(layoutPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasData = fs2.listStatus(new org.apache.hadoop.fs.Path(layoutPath))
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      if (!hasData) return Some((0.0, false))
       val corpus = spark.read.parquet(layoutPath).drop("cell")
       val doRefresh = Option(refresh).getOrElse(
         (c: DataFrame, cent: DataFrame) =>
           S.refreshedCentroids(c, cent, idCol, centroidIdCol, vecCol))
-      // staged: consumed by the drift probe AND (on trigger) the rebuild
-      val fresh = graft.util.Staging.LocalCheckpoint.stage(
-        doRefresh(corpus, current), "ivf-fresh-centroids")
-      def codes(df: DataFrame, id: String) =
-        df.select(col(id), S.int8Codes(col(vecCol)).as("__c8"))
-      val drift = S.ivfRecallDrift(
-        codes(corpus, idCol), codes(driftQueries, qIdCol),
-        codes(current, centroidIdCol), codes(fresh, centroidIdCol),
-        idCol, qIdCol, centroidIdCol, "__c8", k, nprobe)
-        .agg(avg(col("drift"))).head()
-      val meanDrift = if (drift.isNullAt(0)) 0.0 else drift.getDouble(0)
-      val rebuilt = meanDrift > driftThreshold
-      // the rebuild persists `fresh` into the staged store's _centroids,
-      // so the geometry swap is atomic with the data swap — the next
-      // batch's readCentroids sees old+old or new+new, never a mix
-      if (rebuilt) S.rebuildIvfLayout(spark, layoutPath, fresh,
-        idCol, centroidIdCol, vecCol)
-      Some((meanDrift, rebuilt))
+      // every localCheckpoint this cadence creates (the staged `fresh`
+      // plus ivfRecallDrift's staged exact top-k) is freed before the
+      // batch returns — clearCache does NOT free checkpoint blocks and
+      // ContextCleaner only gets them on a driver GC, so a long-running
+      // stream would otherwise grow its persisted-RDD set one cadence at
+      // a time (the exact accumulation Bench unpersists per query)
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      try {
+        // staged: consumed by the drift probe AND (on trigger) the rebuild
+        val fresh = graft.util.Staging.LocalCheckpoint.stage(
+          doRefresh(corpus, current), "ivf-fresh-centroids")
+        def codes(df: DataFrame, id: String) =
+          df.select(col(id), S.int8Codes(col(vecCol)).as("__c8"))
+        val drift = S.ivfRecallDrift(
+          codes(corpus, idCol), codes(driftQueries, qIdCol),
+          codes(current, centroidIdCol), codes(fresh, centroidIdCol),
+          idCol, qIdCol, centroidIdCol, "__c8", k, nprobe)
+          .agg(avg(col("drift"))).head()
+        val meanDrift = if (drift.isNullAt(0)) 0.0 else drift.getDouble(0)
+        val rebuilt = meanDrift > driftThreshold
+        // the rebuild persists `fresh` into the staged store's _centroids,
+        // so the geometry swap is atomic with the data swap — the next
+        // batch's readCentroids sees old+old or new+new, never a mix
+        if (rebuilt) S.rebuildIvfLayout(spark, layoutPath, fresh,
+          idCol, centroidIdCol, vecCol)
+        Some((meanDrift, rebuilt))
+      } finally {
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => persistedBefore.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
     }
   }
 

@@ -815,10 +815,30 @@ object Similarity {
       newBatch: DataFrame, centroids: DataFrame,
       idCol: String, centroidIdCol: String, vecCol: String, path: String
   ): Unit = {
+    // writer-exclusivity guard, same as the streaming ingest's: an
+    // append overlapping a rebuild writes rows the rebuild's corpus read
+    // never saw into the soon-retired store — retired and deleted with
+    // it, silently (a plain append has no watermark, so nothing would
+    // even replay it). Fail-stop instead; checked again after the write,
+    // before returning success, to catch a rebuild that staged mid-write.
+    val fsPath = new org.apache.hadoop.fs.Path(path + ".rebuilt")
+    val fs = fsPath.getFileSystem(
+      newBatch.sparkSession.sparkContext.hadoopConfiguration)
+    require(!fs.exists(fsPath),
+      s"appendToIvfLayout($path): a rebuild is staged ($fsPath exists) — " +
+        "refusing to append; re-run the append after the rebuild " +
+        "completes (it will assign against the NEW geometry)")
     val assigned = assignToCentroids(newBatch, centroids, idCol, centroidIdCol, vecCol)
     graft.sinks.SinkWriter.write(newBatch.sparkSession, assigned,
       graft.config.SinkSpec("ivf_layout_append", "simpleInsert", "parquet",
         Some(path), savemode = "append", partitionBy = Seq("cell")))
+    require(!fs.exists(fsPath),
+      s"appendToIvfLayout($path): a rebuild staged MID-APPEND ($fsPath " +
+        "exists) — this batch's rows may be retired with the old store " +
+        "(if the rebuild read the corpus before they landed) or already " +
+        "carried into the rebuilt one (if after). Check the rebuilt " +
+        "store for this batch's ids before re-appending; an unkeyed " +
+        "blind retry can duplicate it")
   }
 
   /** Re-quantization rebuild of a live [[writeIvfLayout]] store — the

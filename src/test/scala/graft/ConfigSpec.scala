@@ -122,6 +122,24 @@ class ConfigSpec extends AnyFunSuite {
           |  {"functionName":"curate","outputDFName":"o"}]}""".stripMargin))
     }
     assert(e2.getMessage.contains("options.input"))
+    // stratifiedSample without fractions must fail loudly — an empty map
+    // would keep every row, a silent no-op "sample"
+    val e3 = intercept[RuntimeException] {
+      new graft.run.Orchestrator(spark).run(JobConfig.parse(
+        """{"jobName":"fn4","transformations":[
+          |  {"functionName":"stratifiedSample","outputDFName":"o",
+          |   "options":{"input":"docs_cfgspec","idCol":"doc_id"}}]}""".stripMargin))
+    }
+    assert(e3.getMessage.contains("options.fractions"))
+    // and a malformed pair names itself instead of a bare MatchError
+    val e4 = intercept[RuntimeException] {
+      new graft.run.Orchestrator(spark).run(JobConfig.parse(
+        """{"jobName":"fn5","transformations":[
+          |  {"functionName":"stratifiedSample","outputDFName":"o",
+          |   "options":{"input":"docs_cfgspec","idCol":"doc_id",
+          |              "fractions":"en=0.5"}}]}""".stripMargin))
+    }
+    assert(e4.getMessage.contains("en=0.5"))
   }
 
   test("multi-input dispatch: config-driven decontaminate equals the operator") {

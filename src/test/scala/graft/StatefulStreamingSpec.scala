@@ -637,6 +637,15 @@ class StatefulStreamingSpec extends AnyFunSuite {
           cent0, "vec_id", "centroid_id", "embedding", layout,
           compactEvery = 0)
       }.getMessage.contains("refusing to publish")
+      // but a COMMITTED batch's replay must skip SILENTLY even
+      // mid-rebuild: the marker sits after the replay-skip, or a rebuild
+      // that crashed post-staging would wedge the maintenance stream's
+      // replayed cadence forever (it must reach the rebuild leg to
+      // converge) — no exception here IS the assertion
+      StreamingJobs.ivfIngestBatch(
+        emb.filter($"vec_id" >= 60 && $"vec_id" < 70), bid = 0L,
+        cent0, "vec_id", "centroid_id", "embedding", layout,
+        compactEvery = 0)
       // guard 1's race: a batch whose publish began BEFORE the rebuild
       // staged never saw the marker — simulate that interleaving by
       // moving the staged dir aside for the publish and restoring it
@@ -734,12 +743,17 @@ class StatefulStreamingSpec extends AnyFunSuite {
           "vec_id", "centroid_id", "embedding")
       }
     // --- the policy store: one call per micro-batch, cadence every 2 ---
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val trace = batches.zipWithIndex.map { case (b, bid) =>
       StreamingJobs.ivfMaintainBatch(b, bid.toLong, seed,
         "vec_id", "centroid_id", "embedding", layoutP, queries, "q_id",
         k = 5, nprobe = 1, driftEvery = 2, driftThreshold = 0.02,
         refresh = requantize, compactEvery = 0)
     }
+    // cadences leave no persisted blocks behind: a long-running stream
+    // must not grow the block manager one localCheckpoint per cadence
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- rddsBefore).isEmpty,
+      "ivfMaintainBatch leaked localCheckpoint blocks")
     assert(trace(0).isEmpty && trace(2).isEmpty, "cadence fired off-schedule")
     val (drift1, rebuilt1) = trace(1).get
     val (drift3, rebuilt3) = trace(3).get
@@ -779,6 +793,15 @@ class StatefulStreamingSpec extends AnyFunSuite {
     // and the stores' own geometry agrees with the twin's tracked frame
     assert(centP.exceptAll(current).isEmpty && current.exceptAll(centP).isEmpty,
       "persisted centroids diverged from the manual twin's")
+    // an all-empty store at the cadence answers drift 0 instead of
+    // crashing schema inference on a dir holding only hidden files
+    val emptyStore = s"$base/empty"
+    val r = StreamingJobs.ivfMaintainBatch(
+      mk(Seq.empty[(Long, Array[Float])]), 1L, seed,
+      "vec_id", "centroid_id", "embedding", emptyStore, queries, "q_id",
+      k = 5, nprobe = 1, driftEvery = 2, driftThreshold = 0.02,
+      refresh = requantize, compactEvery = 0)
+    assert(r.contains((0.0, false)), s"empty-store cadence returned $r")
   }
 
   test("sql file path works as a transformation step (spark.json:57)") {
