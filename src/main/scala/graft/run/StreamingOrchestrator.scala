@@ -85,9 +85,14 @@ class StreamingOrchestrator(spark: SparkSession) {
       spark.sql(Orchestrator.resolveSql(t.sqlQuery)).createOrReplaceTempView(t.outputDFName)
     }
 
-    // phase_3 — sinks through the batch writers
+    // phase_3 — sinks through the batch writers; the self-maintaining
+    // vector store is a first-class declarable sink (the reference's
+    // everything-from-config ethos extended to the r12 ops loop)
     val sinkQueries = cfg.sinks.zipWithIndex.map { case (s, i) =>
-      StreamingJobs.startForeachBatch(spark.table(s.dataFrameName), s,
+      if (s.loadType.equalsIgnoreCase("ivfMaintainedIngest"))
+        startMaintainedIvf(spark.table(s.dataFrameName), s,
+          checkpoint = s"$tmp/${cfg.jobName}_sink$i", trigger)
+      else StreamingJobs.startForeachBatch(spark.table(s.dataFrameName), s,
         checkpoint = s"$tmp/${cfg.jobName}_sink$i", trigger)
     }
     val errorQueries = cfg.errorSink.toSeq.flatMap { es =>
@@ -102,6 +107,52 @@ class StreamingOrchestrator(spark: SparkSession) {
       }
     }
     sinkQueries ++ errorQueries
+  }
+
+  /** `loadType: "ivfMaintainedIngest"` — the drift-maintained IVF vector
+    * store ([[graft.streaming.StreamingJobs.ivfMaintainBatch]]) declared
+    * as an ordinary config sink. The sink's `path` is the layout; the
+    * seed geometry and drift queries are BATCH parquet paths in
+    * `options` (they parameterize the store — they are not part of the
+    * stream):
+    *
+    * {{{
+    *   {"dataFrameName": "embeddings", "loadType": "ivfMaintainedIngest",
+    *    "path": "/stores/docs_ivf",
+    *    "options": {"centroidsPath": "/stores/seed_centroids",
+    *                "queriesPath": "/stores/drift_probes",
+    *                "driftEvery": "8", "driftThreshold": "0.05"}}
+    * }}}
+    *
+    * Column names and policy knobs mirror the Scala defaults key-for-key
+    * (idCol/centroidIdCol/vecCol/qIdCol, k, nprobe, driftEvery,
+    * driftThreshold, targetBytes, compactEvery). The refresh geometry is
+    * the library default (one exact Lloyd step); callers needing a
+    * custom re-quantizer use the Scala surface. */
+  private def startMaintainedIvf(stream: DataFrame, s: SinkSpec,
+      checkpoint: String, trigger: Trigger): StreamingQuery = {
+    val o = s.options
+    def req(k: String) = o.getOrElse(k,
+      sys.error(s"ivfMaintainedIngest sink needs options.$k"))
+    StreamingJobs.startIvfIngestWithMaintenance(
+      stream,
+      seedCentroids = spark.read.parquet(req("centroidsPath")),
+      idCol = o.getOrElse("idCol", "vec_id"),
+      centroidIdCol = o.getOrElse("centroidIdCol", "centroid_id"),
+      vecCol = o.getOrElse("vecCol", "embedding"),
+      layoutPath = s.path.getOrElse(
+        sys.error("ivfMaintainedIngest sink needs a path (the layout dir)")),
+      checkpoint = checkpoint,
+      driftQueries = spark.read.parquet(req("queriesPath")),
+      qIdCol = o.getOrElse("qIdCol", "q_id"),
+      k = o.get("k").map(_.trim.toInt).getOrElse(10),
+      nprobe = o.get("nprobe").map(_.trim.toInt).getOrElse(3),
+      driftEvery = o.get("driftEvery").map(_.trim.toInt).getOrElse(8),
+      driftThreshold =
+        o.get("driftThreshold").map(_.trim.toDouble).getOrElse(0.05),
+      targetBytes = o.get("targetBytes").map(_.trim.toLong).getOrElse(8L << 20),
+      compactEvery = o.get("compactEvery").map(_.trim.toInt).getOrElse(8),
+      trigger = trigger)
   }
 
   /** Run to exhaustion of currently-available data (AvailableNow semantics),

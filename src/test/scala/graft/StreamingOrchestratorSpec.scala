@@ -112,6 +112,74 @@ class StreamingOrchestratorSpec extends AnyFunSuite {
     assert(!F.exists(Paths.get(staging)) && !F.exists(Paths.get(old)))
   }
 
+  test("ivfMaintainedIngest sink: the self-maintaining vector store from " +
+    "one JSON config — exactly-once across a full restart-replay") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sivfcfg").toString
+    val in = s"$base/in"; val layout = s"$base/store"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // stream the whole fixture as 4 micro-batches
+    val n = emb.count()
+    val step = (n / 4 + 1).toInt
+    (0L until n by step).foreach { lo =>
+      emb.filter(col("vec_id") >= lo && col("vec_id") < lo + step)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+      .write.parquet(s"$base/seed")
+    emb.filter(col("vec_id") >= 90 && col("vec_id") < 95)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+      .write.parquet(s"$base/probes")
+    def cfg(ckpt: String) = JobConfig.parse(
+      s"""{
+         |"jobName": "ivf_store",
+         |"mode": "streaming",
+         |"tempPath": "$base/$ckpt",
+         |"inputs": [{"dataFrameName": "embeddings", "format": "parquet",
+         |  "path": "$in", "options": {"maxFilesPerTrigger": "1"}}],
+         |"sinks": [{"dataFrameName": "embeddings",
+         |  "loadType": "ivfMaintainedIngest", "path": "$layout",
+         |  "options": {"centroidsPath": "$base/seed",
+         |              "queriesPath": "$base/probes",
+         |              "k": "5", "nprobe": "2",
+         |              "driftEvery": "4", "driftThreshold": "0.5",
+         |              "compactEvery": "0"}}]
+         |}""".stripMargin)
+    new Orchestrator(spark).run(cfg("ckpt1"))
+    // the store is complete, self-describing, and probes exactly like the
+    // inline IVF over the same corpus + seed geometry (threshold 0.5 keeps
+    // the fixture's geometry un-rebuilt, so the probe oracle is exact)
+    assert(spark.read.parquet(layout).count() == emb.count())
+    val seed = spark.read.parquet(s"$base/seed")
+    assert(graft.x.Similarity.readCentroids(spark, layout)
+      .exists(_.count() == seed.count()))
+    val queries = spark.read.parquet(s"$base/probes")
+    val fromStore = graft.x.Similarity.ivfTopKFromLayout(spark, layout,
+      queries, seed, "vec_id", "q_id", "centroid_id", "embedding",
+      k = 5, nprobe = 2)
+    val inline = graft.x.Similarity.ivfTopK(emb, queries, seed,
+      "vec_id", "q_id", "centroid_id", "embedding", k = 5, nprobe = 2)
+    assert(fromStore.exceptAll(inline).isEmpty &&
+      inline.exceptAll(fromStore).isEmpty,
+      "config-declared store diverged from the inline IVF")
+    // full restart with a FRESH checkpoint replays every micro-batch:
+    // the watermark suppresses each one — exactly-once across restarts
+    new Orchestrator(spark).run(cfg("ckpt2"))
+    assert(spark.read.parquet(layout).count() == emb.count(),
+      "checkpoint-loss replay duplicated rows in the store")
+    // a missing policy parameter names its option key
+    val bad = JobConfig.parse(
+      s"""{"jobName": "ivf_bad", "mode": "streaming", "tempPath": "$base/ck3",
+         |"inputs": [{"dataFrameName": "embeddings", "format": "parquet",
+         |  "path": "$in"}],
+         |"sinks": [{"dataFrameName": "embeddings",
+         |  "loadType": "ivfMaintainedIngest", "path": "$layout",
+         |  "options": {"queriesPath": "$base/probes"}}]}""".stripMargin)
+    val e = intercept[RuntimeException] { new Orchestrator(spark).run(bad) }
+    assert(e.getMessage.contains("options.centroidsPath"))
+  }
+
   test("unwatermarked aggregation in append mode fails fast, not silently") {
     val out = Files.createTempDirectory("graft-sscd").toString
     val cfg = JobConfig.parse(
