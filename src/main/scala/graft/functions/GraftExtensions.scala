@@ -51,6 +51,14 @@ object GraftFunctions {
       info("dot_f32", "dot_f32(array<float>, array<float>) - codegen'd dot product"),
       es => { arity("dot_f32", 2, es); DotProductFloat(es.head, es(1)) }),
 
+    (FunctionIdentifier("dot_i32"),
+      info("dot_i32", "dot_i32(array<int>, array<int>) - exact BIGINT dot product (int8-code tier)"),
+      es => { arity("dot_i32", 2, es); DotProductInt(es.head, es(1)) }),
+
+    (FunctionIdentifier("sqdist_i32"),
+      info("sqdist_i32", "sqdist_i32(array<int>, array<int>) - exact BIGINT squared L2 (int8-code tier)"),
+      es => { arity("sqdist_i32", 2, es); SqDistInt(es.head, es(1)) }),
+
     // same zero-norm-→-null contract as VectorFunctions.cosineSimilarity
     (FunctionIdentifier("cosine_f32"),
       info("cosine_f32", "cosine_f32(array<float>, array<float>) - cosine similarity (null on zero norm)"),

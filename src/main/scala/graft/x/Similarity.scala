@@ -147,17 +147,17 @@ object Similarity {
     * the float dot replaced by exact integer sums. */
   def int8TopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, qIdCol: String, codesCol: String, k: Int): DataFrame = {
-    def sq(c: Column): Column =
-      aggregate(c, lit(0L), (acc, x) => acc + x.cast("long") * x.cast("long"))
+    // norms and the per-pair dot are the codegen'd fused integer loops
+    // (DotProductInt) — exact long sums, bit-identical to the HOF forms,
+    // no intermediate array in the n_corpus × n_queries hot loop
+    def sq(c: Column): Column = graft.functions.DotProductInt.dot(c, c)
     val q = queries.select(col(qIdCol), col(codesCol).as("__qc"))
       .withColumn("__qn2", sq(col("__qc")))
     val scored = corpus
       .withColumn("__cn2", sq(col(codesCol)))
       .join(broadcast(q), col(idCol) =!= col(qIdCol))
       .withColumn("cosine", {
-        val dot = aggregate(
-          zip_with(col(codesCol), col("__qc"), (x, y) => x.cast("long") * y.cast("long")),
-          lit(0L), (acc, v) => acc + v)
+        val dot = graft.functions.DotProductInt.dot(col(codesCol), col("__qc"))
         when(col("__cn2") * col("__qn2") === 0L, lit(null).cast("double"))
           .otherwise(dot.cast("double") /
             (sqrt(col("__cn2").cast("double")) * sqrt(col("__qn2").cast("double"))))
@@ -214,11 +214,12 @@ object Similarity {
           col("__ex").cast("double")).as("recall"))
   }
 
-  /** Exact BIGINT squared L2 between two [[int8Codes]] vectors. */
+  /** Exact BIGINT squared L2 between two [[int8Codes]] vectors —
+    * the codegen'd fused loop ([[graft.functions.SqDistInt]]; bit-identical
+    * to the zip_with/aggregate HOF form it replaced, without the
+    * per-pair intermediate array the HOF materializes). */
   private def int8SqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-      (x.cast("long") - y.cast("long")) * (x.cast("long") - y.cast("long"))),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.SqDistInt.dist(a, b)
 
   /** One distributed Lloyd refresh of an int8 coarse quantizer: assign
     * every corpus vector to its nearest centroid (exact BIGINT L2, ties
@@ -279,8 +280,7 @@ object Similarity {
   def int8IvfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, qIdCol: String, centroidIdCol: String, codesCol: String,
       k: Int, nprobe: Int = 3): DataFrame = {
-    def sq(c: Column): Column =
-      aggregate(c, lit(0L), (acc, x) => acc + x.cast("long") * x.cast("long"))
+    def sq(c: Column): Column = graft.functions.DotProductInt.dot(c, c)
     val c = centroids.select(col(centroidIdCol).cast("long").as("__cid"),
       col(codesCol).as("__cc"))
     val assigned = corpus.crossJoin(broadcast(c))
@@ -303,10 +303,7 @@ object Similarity {
       .join(broadcast(qcells), Seq("__cell"))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("cosine", {
-        val dot = aggregate(
-          zip_with(col(codesCol), col("__qc"),
-            (x, y) => x.cast("long") * y.cast("long")),
-          lit(0L), (acc, v) => acc + v)
+        val dot = graft.functions.DotProductInt.dot(col(codesCol), col("__qc"))
         when(col("__cn2") * col("__qn2") === 0L, lit(null).cast("double"))
           .otherwise(dot.cast("double") /
             (sqrt(col("__cn2").cast("double")) * sqrt(col("__qn2").cast("double"))))
@@ -1323,9 +1320,7 @@ object Similarity {
     val spark = vecs.sparkSession
     import spark.implicits._
     def dist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) =>
-        (x.cast("long") - y.cast("long")) * (x.cast("long") - y.cast("long"))),
-        lit(0L), (acc, v) => acc + v)
+      graft.functions.SqDistInt.dist(a, b) // fused exact loop, HOF-identical
     val base = vecs.select(col(idCol).cast("long").as("id"),
       col(codesCol).as("c")).localCheckpoint(true)
     val first = base.orderBy("id").limit(1).collect()(0)
@@ -1384,9 +1379,7 @@ object Similarity {
     require(k >= 2, s"silhouette needs k >= 2 clusters, got $k")
     val (_, cents) = kmeansLloydFull(vecs, idCol, codesCol, k, iters, dim)
     def dist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) =>
-        (x.cast("long") - y.cast("long")) * (x.cast("long") - y.cast("long"))),
-        lit(0L), (acc, v) => acc + v)
+      graft.functions.SqDistInt.dist(a, b) // fused exact loop, HOF-identical
     // ONE per-row fold over the literal centroids keeps the TWO smallest
     // (distance, cid) structs: m1 IS the final assignment (a = m1.d,
     // cluster = m1.cid — same strict-< / ascending-cid tiebreak as
@@ -1441,9 +1434,7 @@ object Similarity {
     val spark = vecs.sparkSession
     import spark.implicits._
     def dist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) =>
-        (x.cast("long") - y.cast("long")) * (x.cast("long") - y.cast("long"))),
-        lit(0L), (acc, v) => acc + v)
+      graft.functions.SqDistInt.dist(a, b) // fused exact loop, HOF-identical
     val base = vecs.select(col(idCol).cast("long").as("id"),
       col(codesCol).as("c")).localCheckpoint(true)
     val seedIds = farthestFirstSeeds(base, "id", "c", k)

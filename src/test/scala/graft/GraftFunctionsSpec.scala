@@ -124,9 +124,9 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     assert(GraftFunctions.specs.map(_._1.funcName).toSet ==
-      Set("poly_hash56", "dot_f32", "cosine_f32", "hamming64", "hilbert_idx",
-        "jaro_winkler", "nfc_normalize", "simhash_agg", "frequent_items_agg",
-        "kmv_sketch_agg"))
+      Set("poly_hash56", "dot_f32", "dot_i32", "sqdist_i32", "cosine_f32",
+        "hamming64", "hilbert_idx", "jaro_winkler", "nfc_normalize",
+        "simhash_agg", "frequent_items_agg", "kmv_sketch_agg"))
   }
 
   test("nfc_normalize: composes combining marks, identity on NFC input, " +
@@ -184,5 +184,55 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     // the `*(n)` prefix marks operators fused into WholeStageCodegen
     assert(plan.contains("*(1) Project"), s"expected codegen'd Project in:\n$plan")
+  }
+
+  test("dot_i32 / sqdist_i32: bit-identical to the HOF forms they replace, " +
+    "codegen = interpreted, null-safe") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    // int8 codes of the real fixture + adversarial rows: zero vector,
+    // extreme codes, a null vector (expression null semantics)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
+      .select(col("vec_id"), graft.x.Similarity.int8Codes(col("embedding")).as("c"))
+    import spark.implicits._
+    val edges = Seq(
+      (100001L, Some(Array.fill(64)(0))),
+      (100002L, Some(Array.fill(64)(127))),
+      (100003L, Some(Array.fill(64)(-127))),
+      (100004L, Option.empty[Array[Int]])
+    ).toDF("vec_id", "c")
+    val rows = emb.unionByName(edges)
+    rows.createOrReplaceTempView("gf_codes")
+    val both = spark.sql(
+      """SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |  dot_i32(a.c, b.c) AS fused_dot,
+        |  AGGREGATE(ZIP_WITH(a.c, b.c, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)),
+        |            CAST(0 AS BIGINT), (acc, v) -> acc + v) AS hof_dot,
+        |  sqdist_i32(a.c, b.c) AS fused_d2,
+        |  AGGREGATE(ZIP_WITH(a.c, b.c,
+        |              (x, y) -> (CAST(x AS BIGINT) - CAST(y AS BIGINT)) *
+        |                        (CAST(x AS BIGINT) - CAST(y AS BIGINT))),
+        |            CAST(0 AS BIGINT), (acc, v) -> acc + v) AS hof_d2
+        |FROM gf_codes a JOIN gf_codes b ON a.vec_id < b.vec_id""".stripMargin)
+    val bad = both.filter(
+      !(col("fused_dot") <=> col("hof_dot")) ||
+      !(col("fused_d2") <=> col("hof_d2")))
+    assert(bad.isEmpty, s"fused != HOF on:\n${bad.limit(5).collect().mkString("\n")}")
+    // null vector → null result on every pairing (BinaryExpression contract)
+    assert(both.filter(col("ib") === 100004L)
+      .filter(col("fused_dot").isNotNull || col("fused_d2").isNotNull).isEmpty)
+    // interpreted path (no codegen) agrees — direct expression eval
+    assert(graft.functions.DotProductInt(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1, -2, 3),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(4, 5, -6),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)))
+      .eval(null) == (4 - 10 - 18).toLong)
+    assert(graft.functions.SqDistInt(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1, -2, 3),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(4, 5, -6),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)))
+      .eval(null) == (9 + 49 + 81).toLong)
   }
 }
