@@ -3,10 +3,11 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Codegen'd dot product over two ArrayType(FloatType) columns.
   *
@@ -27,7 +28,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 case class DotProductFloat(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be ArrayType(FloatType) — callers in graft.functions ensure it
+  // strict analysis typing (r12): a non-float array through the SQL
+  // surface is an analysis error, not a 4-of-8-byte garbage read
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, array<float>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product_f"
 
@@ -68,34 +78,55 @@ object DotProductFloat {
   def dot(a: Column, b: Column): Column = ColumnBridge.column(DotProductFloat(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
-/** Codegen'd EXACT integer dot product over two ArrayType(IntegerType)
-  * columns (the [[graft.x.Similarity.int8Codes]] representation):
-  * Σ (long)xᵢ·(long)yᵢ as a BIGINT — no overflow at int8 magnitudes
-  * (|x·y| ≤ 127² per lane, dims ≪ 2⁴⁴ lanes), no rounding, so the result
-  * is bit-identical to the `aggregate(zip_with(...))` HOF form it
-  * replaces AND order-independent (exact integer sum), which is what
-  * keeps the int8 ANN family oracle-replayable.
+/** Shared skeleton of the EXACT integer array folds over two
+  * ArrayType(IntegerType) columns (the [[graft.x.Similarity.int8Codes]]
+  * representation): one fused loop, BIGINT accumulator, strict analysis
+  * typing (checkInputDataTypes — a double/bigint array is an analysis
+  * error, never 4-of-8-byte garbage reads).
+  *
+  * NULL/LENGTH semantics replicate the `aggregate(zip_with(...))` HOF
+  * forms these expressions replaced EXACTLY, so results stay
+  * bit-identical to the DuckDB oracle's fold on every input class:
+  * a null array → null (BinaryExpression); MISMATCHED lengths → null
+  * (zip_with pads the shorter side with nulls, and one null lane nulls
+  * the HOF sum); a null LANE → null (same propagation — int8Codes maps
+  * a null float element to a null code lane, so dirty vectors must
+  * score null, not a finite wrong value).
   *
   * Promotion rationale (same as [[DotProductFloat]]): the HOF form
   * materializes a zip_with intermediate array per evaluated PAIR, and
   * these sit inside n_corpus × n_candidates loops (int8TopK,
   * int8IvfTopK, the x226 drift monitor's three probe passes) — the
-  * fused loop reads both arrays in place. Null/length semantics match
-  * [[DotProductFloat]]. */
-case class DotProductInt(left: Expression, right: Expression)
-    extends BinaryExpression {
+  * fused loop reads both arrays in place. No overflow at int8
+  * magnitudes (|combine| ≤ 2·127² per lane, dims ≪ 2⁴⁴ lanes). */
+abstract class Int8ArrayFold extends BinaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<int>, array<int>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
   override def dataType: DataType = LongType
-  override def prettyName: String = "dot_product_i"
+  override def nullable: Boolean = true
+
+  /** Per-lane contribution added to the long accumulator. */
+  protected def combine(x: Int, y: Int): Long
+  /** Java source of the per-lane contribution (same math as combine). */
+  protected def combineCode(x: String, y: String): String
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += x.getInt(i).toLong * y.getInt(i).toLong
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += combine(x.getInt(i), y.getInt(i))
       i += 1
     }
     acc
@@ -107,15 +138,28 @@ case class DotProductInt(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${combineCode(s"$a.getInt($i)", s"$b.getInt($i)")};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
+}
 
+/** Σ (long)xᵢ·(long)yᵢ — exact BIGINT dot product; norms via dot(c, c). */
+case class DotProductInt(left: Expression, right: Expression)
+    extends Int8ArrayFold {
+  override def prettyName: String = "dot_product_i"
+  override protected def combine(x: Int, y: Int): Long = x.toLong * y.toLong
+  override protected def combineCode(x: String, y: String): String =
+    s"(long) $x * (long) $y"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -125,48 +169,17 @@ object DotProductInt {
     ColumnBridge.column(DotProductInt(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
-/** Codegen'd EXACT integer squared L2 distance over two
-  * ArrayType(IntegerType) columns: Σ (xᵢ−yᵢ)² as BIGINT. The cell-argmin
-  * workhorse of the int8 tier (Lloyd assignment, IVF probe selection,
-  * farthest-first seeding, silhouette) — same exactness/order-independence
-  * contract and the same HOF-replacement rationale as [[DotProductInt]]. */
+/** Σ (xᵢ−yᵢ)² — exact BIGINT squared L2; the cell-argmin workhorse of
+  * the int8 tier (Lloyd assignment, IVF probe selection, farthest-first
+  * seeding, silhouette). */
 case class SqDistInt(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  override def dataType: DataType = LongType
+    extends Int8ArrayFold {
   override def prettyName: String = "sq_dist_i"
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      val d = x.getInt(i).toLong - y.getInt(i).toLong
-      acc += d * d
-      i += 1
-    }
-    acc
+  override protected def combine(x: Int, y: Int): Long = {
+    val d = x.toLong - y.toLong; d * d
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      val d = ctx.freshName("d")
-      s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = (long) $a.getInt($i) - (long) $b.getInt($i);
-         |  $acc += $d * $d;
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
-
+  override protected def combineCode(x: String, y: String): String =
+    s"((long) $x - (long) $y) * ((long) $x - (long) $y)"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

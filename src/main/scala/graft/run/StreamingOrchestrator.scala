@@ -87,13 +87,24 @@ class StreamingOrchestrator(spark: SparkSession) {
 
     // phase_3 — sinks through the batch writers; the self-maintaining
     // vector store is a first-class declarable sink (the reference's
-    // everything-from-config ethos extended to the r12 ops loop)
-    val sinkQueries = cfg.sinks.zipWithIndex.map { case (s, i) =>
-      if (s.loadType.equalsIgnoreCase("ivfMaintainedIngest"))
-        startMaintainedIvf(spark.table(s.dataFrameName), s,
+    // everything-from-config ethos extended to the r12 ops loop). If a
+    // later sink fails to START (e.g. a misconfigured store sink), stop
+    // the queries already started — an orphaned query writing against a
+    // half-failed job is the worst of both worlds
+    val started = scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
+    val sinkQueries = try cfg.sinks.zipWithIndex.map { case (s, i) =>
+      val q =
+        if (s.loadType.equalsIgnoreCase("ivfMaintainedIngest"))
+          startMaintainedIvf(spark.table(s.dataFrameName), s, cfg,
+            checkpoint = s"$tmp/${cfg.jobName}_sink$i", trigger)
+        else StreamingJobs.startForeachBatch(spark.table(s.dataFrameName), s,
           checkpoint = s"$tmp/${cfg.jobName}_sink$i", trigger)
-      else StreamingJobs.startForeachBatch(spark.table(s.dataFrameName), s,
-        checkpoint = s"$tmp/${cfg.jobName}_sink$i", trigger)
+      started += q
+      q
+    } catch {
+      case e: Throwable =>
+        started.foreach(q => try q.stop() catch { case _: Throwable => () })
+        throw e
     }
     val errorQueries = cfg.errorSink.toSeq.flatMap { es =>
       errorStreams.zipWithIndex.map { case (bad, i) =>
@@ -126,14 +137,41 @@ class StreamingOrchestrator(spark: SparkSession) {
     *
     * Column names and policy knobs mirror the Scala defaults key-for-key
     * (idCol/centroidIdCol/vecCol/qIdCol, k, nprobe, driftEvery,
-    * driftThreshold, targetBytes, compactEvery). The refresh geometry is
-    * the library default (one exact Lloyd step); callers needing a
-    * custom re-quantizer use the Scala surface. */
+    * driftThreshold, targetBytes, compactEvery); unknown keys and
+    * malformed numbers are LOUD config errors (a typo'd knob silently
+    * running the default is the config-surface bug class this registry
+    * bans). The refresh geometry is the library default (one exact Lloyd
+    * step); callers needing a custom re-quantizer use the Scala surface.
+    *
+    * Requires an explicit `tempPath`: the store's exactly-once watermark
+    * is keyed by MICRO-BATCH ID, which only a durable checkpoint keeps
+    * monotone across runs. With a fresh checkpoint every rerun, newly
+    * arrived files re-batch into already-committed bids and are silently
+    * skipped. A store is bound to one checkpoint lineage for its life;
+    * pointing a NEW checkpoint at an existing store is safe only as a
+    * full replay of the exact same input set. */
   private def startMaintainedIvf(stream: DataFrame, s: SinkSpec,
-      checkpoint: String, trigger: Trigger): StreamingQuery = {
+      cfg: JobConfig, checkpoint: String, trigger: Trigger): StreamingQuery = {
     val o = s.options
+    require(cfg.tempPath.isDefined,
+      "ivfMaintainedIngest sink needs an explicit tempPath: the store's " +
+        "exactly-once watermark is keyed by micro-batch id, which only a " +
+        "durable checkpoint keeps monotone — a fresh temp checkpoint per " +
+        "run would alias NEW data into committed bids and silently drop it")
+    val allowed = Set("centroidsPath", "queriesPath", "idCol",
+      "centroidIdCol", "vecCol", "qIdCol", "k", "nprobe", "driftEvery",
+      "driftThreshold", "targetBytes", "compactEvery")
+    val unknown = o.keySet -- allowed
+    require(unknown.isEmpty,
+      s"ivfMaintainedIngest sink: unknown options ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"— allowed: ${allowed.toSeq.sorted.mkString(", ")}")
     def req(k: String) = o.getOrElse(k,
       sys.error(s"ivfMaintainedIngest sink needs options.$k"))
+    def num[A](k: String, dflt: A, parse: String => A): A =
+      o.get(k).map(v => try parse(v.trim) catch {
+        case _: NumberFormatException =>
+          sys.error(s"ivfMaintainedIngest sink: options.$k = '$v' is not a number")
+      }).getOrElse(dflt)
     StreamingJobs.startIvfIngestWithMaintenance(
       stream,
       seedCentroids = spark.read.parquet(req("centroidsPath")),
@@ -145,13 +183,12 @@ class StreamingOrchestrator(spark: SparkSession) {
       checkpoint = checkpoint,
       driftQueries = spark.read.parquet(req("queriesPath")),
       qIdCol = o.getOrElse("qIdCol", "q_id"),
-      k = o.get("k").map(_.trim.toInt).getOrElse(10),
-      nprobe = o.get("nprobe").map(_.trim.toInt).getOrElse(3),
-      driftEvery = o.get("driftEvery").map(_.trim.toInt).getOrElse(8),
-      driftThreshold =
-        o.get("driftThreshold").map(_.trim.toDouble).getOrElse(0.05),
-      targetBytes = o.get("targetBytes").map(_.trim.toLong).getOrElse(8L << 20),
-      compactEvery = o.get("compactEvery").map(_.trim.toInt).getOrElse(8),
+      k = num("k", 10, _.toInt),
+      nprobe = num("nprobe", 3, _.toInt),
+      driftEvery = num("driftEvery", 8, _.toInt),
+      driftThreshold = num("driftThreshold", 0.05, _.toDouble),
+      targetBytes = num("targetBytes", 8L << 20, _.toLong),
+      compactEvery = num("compactEvery", 8, _.toInt),
       trigger = trigger)
   }
 

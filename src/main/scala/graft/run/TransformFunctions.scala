@@ -96,15 +96,45 @@ object TransformFunctions {
 
   def isRegistered(name: String): Boolean = registry.contains(name)
 
+  /** Per-function accepted option keys — a typo'd key must fail the job,
+    * not silently run the default (same rule as a typo'd functionName). */
+  private val common = Set("input", "textCol", "idCol")
+  private val curationKnobs = Set("minTokens", "minUniqRatio",
+    "maxTopShare", "jaccardN", "jaccardThreshold")
+  private val splitKnobs = Set("testFraction", "validationFraction")
+  val allowedOptions: Map[String, Set[String]] = Map(
+    "curate" -> (common ++ curationKnobs ++ splitKnobs),
+    "curationReport" -> (common ++ curationKnobs),
+    "curationLineage" -> (common ++ curationKnobs ++ splitKnobs),
+    "exactDedup" -> common,
+    "repetitionStats" -> common,
+    "trainTestSplit" -> (Set("input", "idCol") ++ splitKnobs),
+    "stratifiedSample" -> Set("input", "idCol", "strataCol", "fractions"),
+    "languageId" -> Set("input", "textCol", "outputCol"),
+    "redactPii" -> Set("input", "textCol", "outputCol"),
+    "textStats" -> common,
+    "decontaminate" -> (common + "benchmark"),
+    "bloomDecontaminate" -> (common ++ Set("benchmark", "expectedItems", "fpp"))
+  )
+
   /** Run a registered function for a transformation step; loud error
     * naming the registered set on a miss (a typo'd functionName must
-    * fail the job, not silently no-op). */
-  def dispatch(spark: SparkSession, step: TransformStep): DataFrame =
-    registry.getOrElse(step.functionName, sys.error(
+    * fail the job, not silently no-op) and the accepted keys on an
+    * unknown option (a typo'd knob must not silently run the default). */
+  def dispatch(spark: SparkSession, step: TransformStep): DataFrame = {
+    val fn = registry.getOrElse(step.functionName, sys.error(
       s"transformation '${step.outputDFName}': functionName " +
         s"'${step.functionName}' is not registered and the step has no " +
         s"sqlQuery — registered functions: " +
-        registry.keys.toSeq.sorted.mkString(", ")))(spark, step)
+        registry.keys.toSeq.sorted.mkString(", ")))
+    val allowed = allowedOptions(step.functionName)
+    val unknown = step.options.keySet -- allowed
+    if (unknown.nonEmpty) sys.error(
+      s"transformation '${step.outputDFName}' (${step.functionName}): " +
+        s"unknown options ${unknown.toSeq.sorted.mkString(", ")} — " +
+        s"accepted: ${allowed.toSeq.sorted.mkString(", ")}")
+    fn(spark, step)
+  }
 
   // ---- option parsing: every parameter mirrors the Scala default ----
   private def view(spark: SparkSession, t: TransformStep, key: String): DataFrame =
@@ -117,12 +147,14 @@ object TransformFunctions {
     t.options.getOrElse(k, d)
   private def textCol(t: TransformStep): String = str(t, "textCol", "text")
   private def idCol(t: TransformStep): String = str(t, "idCol", "doc_id")
-  private def int(t: TransformStep, k: String, d: Int): Int =
-    t.options.get(k).map(_.trim.toInt).getOrElse(d)
-  private def lng(t: TransformStep, k: String, d: Long): Long =
-    t.options.get(k).map(_.trim.toLong).getOrElse(d)
-  private def dbl(t: TransformStep, k: String, d: Double): Double =
-    t.options.get(k).map(_.trim.toDouble).getOrElse(d)
+  private def num[A](t: TransformStep, k: String, d: A, parse: String => A): A =
+    t.options.get(k).map(v => try parse(v.trim) catch {
+      case _: NumberFormatException => sys.error(
+        s"functionName step '${t.functionName}': options.$k = '$v' is not a number")
+    }).getOrElse(d)
+  private def int(t: TransformStep, k: String, d: Int): Int = num(t, k, d, _.toInt)
+  private def lng(t: TransformStep, k: String, d: Long): Long = num(t, k, d, _.toLong)
+  private def dbl(t: TransformStep, k: String, d: Double): Double = num(t, k, d, _.toDouble)
   /** `"en:0.5,zh:0.25"` → Map(en → 0.5, zh → 0.25) (strata fractions).
     * Absent/empty/malformed is a LOUD config error — an empty map would
     * make stratifiedSample keep every row, a silent no-op "sample" (the

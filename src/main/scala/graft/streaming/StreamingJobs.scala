@@ -835,7 +835,13 @@ object StreamingJobs {
     *     discovery). Micro-batch ids from a checkpointed stream are
     *     strictly increasing and foreachBatch runs batches sequentially,
     *     so `bid <= hwm` means this batch's files are ALL published —
-    *     skip whole.
+    *     skip whole. COROLLARY: the store is bound to ONE checkpoint
+    *     lineage for its life — a fresh checkpoint restarts bids at 0,
+    *     so pointing one at an existing store is safe only as a full
+    *     replay of the exact same input set; rerunning with a fresh
+    *     checkpoint after NEW files arrived re-batches them into
+    *     already-committed bids and silently skips them (which is why
+    *     the config surface requires an explicit durable tempPath).
     *  2. deterministic redo: assignment to the (fixed) coarse centroids
     *     is per-row deterministic, and every published file is named
     *     `ingest-<bid>-<i>.parquet`, so a crashed attempt of a bid ABOVE

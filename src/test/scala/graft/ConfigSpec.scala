@@ -140,6 +140,23 @@ class ConfigSpec extends AnyFunSuite {
           |              "fractions":"en=0.5"}}]}""".stripMargin))
     }
     assert(e4.getMessage.contains("en=0.5"))
+    // a TYPO'D option key must not silently run the default
+    val e5 = intercept[RuntimeException] {
+      new graft.run.Orchestrator(spark).run(JobConfig.parse(
+        """{"jobName":"fn6","transformations":[
+          |  {"functionName":"curate","outputDFName":"o",
+          |   "options":{"input":"docs_cfgspec","jacardThreshold":"0.6"}}]}""".stripMargin))
+    }
+    assert(e5.getMessage.contains("jacardThreshold") &&
+      e5.getMessage.contains("accepted:"))
+    // and a malformed number names its key, not a bare NumberFormatException
+    val e6 = intercept[RuntimeException] {
+      new graft.run.Orchestrator(spark).run(JobConfig.parse(
+        """{"jobName":"fn7","transformations":[
+          |  {"functionName":"curate","outputDFName":"o",
+          |   "options":{"input":"docs_cfgspec","minTokens":"five"}}]}""".stripMargin))
+    }
+    assert(e6.getMessage.contains("options.minTokens"))
   }
 
   test("multi-input dispatch: config-driven decontaminate equals the operator") {

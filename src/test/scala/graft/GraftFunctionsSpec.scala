@@ -201,8 +201,15 @@ class GraftFunctionsSpec extends AnyFunSuite {
       (100003L, Some(Array.fill(64)(-127))),
       (100004L, Option.empty[Array[Int]])
     ).toDF("vec_id", "c")
-    val rows = emb.unionByName(edges)
-    rows.createOrReplaceTempView("gf_codes")
+    emb.unionByName(edges).createOrReplaceTempView("gf_codes0")
+    // + a null LANE (int8Codes maps a null float element to one) and a
+    // MISMATCHED length — the two classes where the HOF returns NULL and
+    // a naive fused loop would return a finite wrong number
+    spark.sql(
+      """SELECT vec_id, c FROM gf_codes0
+        |UNION ALL SELECT 100005L, array(1, CAST(NULL AS INT), 3)
+        |UNION ALL SELECT 100006L, array(1, 2, 3)""".stripMargin)
+      .createOrReplaceTempView("gf_codes")
     val both = spark.sql(
       """SELECT a.vec_id AS ia, b.vec_id AS ib,
         |  dot_i32(a.c, b.c) AS fused_dot,
@@ -218,9 +225,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
       !(col("fused_dot") <=> col("hof_dot")) ||
       !(col("fused_d2") <=> col("hof_d2")))
     assert(bad.isEmpty, s"fused != HOF on:\n${bad.limit(5).collect().mkString("\n")}")
-    // null vector → null result on every pairing (BinaryExpression contract)
-    assert(both.filter(col("ib") === 100004L)
+    // null vector, null lane, and mismatched length → null on every
+    // pairing (the HOF contract, now replicated by the fused loops);
+    // the length-3 row still dots finitely against ITSELF-length peers
+    assert(both.filter(col("ib").isin(100004L, 100005L))
       .filter(col("fused_dot").isNotNull || col("fused_d2").isNotNull).isEmpty)
+    assert(both.filter(col("ib") === 100006L && col("ia") < 100005L)
+      .filter(col("fused_dot").isNotNull).isEmpty,
+      "mismatched lengths must null, not truncate")
+    assert(both.filter(col("ia") === 100005L && col("ib") === 100006L)
+      .count() == 1)
     // interpreted path (no codegen) agrees — direct expression eval
     assert(graft.functions.DotProductInt(
       org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1, -2, 3),

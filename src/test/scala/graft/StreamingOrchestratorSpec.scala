@@ -178,6 +178,32 @@ class StreamingOrchestratorSpec extends AnyFunSuite {
          |  "options": {"queriesPath": "$base/probes"}}]}""".stripMargin)
     val e = intercept[RuntimeException] { new Orchestrator(spark).run(bad) }
     assert(e.getMessage.contains("options.centroidsPath"))
+    // a TYPO'D knob must not silently run the default
+    val typo = JobConfig.parse(
+      s"""{"jobName": "ivf_typo", "mode": "streaming", "tempPath": "$base/ck4",
+         |"inputs": [{"dataFrameName": "embeddings", "format": "parquet",
+         |  "path": "$in"}],
+         |"sinks": [{"dataFrameName": "embeddings",
+         |  "loadType": "ivfMaintainedIngest", "path": "$layout",
+         |  "options": {"centroidsPath": "$base/seed",
+         |              "queriesPath": "$base/probes",
+         |              "driftThreshhold": "0.01"}}]}""".stripMargin)
+    val e2 = intercept[RuntimeException] { new Orchestrator(spark).run(typo) }
+    assert(e2.getMessage.contains("driftThreshhold") &&
+      e2.getMessage.contains("unknown options"))
+    // and the store REQUIRES a durable checkpoint: without tempPath a
+    // fresh temp checkpoint per run would alias new data into committed
+    // bids and silently drop it — the config must be rejected up front
+    val noTmp = JobConfig.parse(
+      s"""{"jobName": "ivf_notmp", "mode": "streaming",
+         |"inputs": [{"dataFrameName": "embeddings", "format": "parquet",
+         |  "path": "$in"}],
+         |"sinks": [{"dataFrameName": "embeddings",
+         |  "loadType": "ivfMaintainedIngest", "path": "$layout",
+         |  "options": {"centroidsPath": "$base/seed",
+         |              "queriesPath": "$base/probes"}}]}""".stripMargin)
+    val e3 = intercept[RuntimeException] { new Orchestrator(spark).run(noTmp) }
+    assert(e3.getMessage.contains("tempPath"))
   }
 
   test("unwatermarked aggregation in append mode fails fast, not silently") {
