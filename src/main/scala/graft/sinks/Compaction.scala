@@ -18,15 +18,24 @@ import org.apache.spark.sql.SparkSession
   * small file are left alone too (rewriting one file buys nothing).
   *
   * Execute: each multi-file bin is read and rewritten as ONE file into
-  * the directory under a fresh `compact-*` name, THEN the originals are
-  * deleted — so a crash mid-run leaves either the old files (new file
-  * not yet visible under its final name) or both briefly; re-running
-  * converges. Readers see duplicate rows only in the window between
-  * publish and delete of one bin — callers needing stricter isolation
-  * should compact behind a versioned-manifest table
-  * ([[graft.sources.VersionedParquet]]), where the swap is one commit.
-  * Row content is preserved exactly (read → write of the same rows, no
-  * re-partitioning of values into different bins than planned).
+  * the directory under a deterministic `compact-<binId>` name, THEN the
+  * originals are deleted. Each bin's publish is fronted by a recovery
+  * JOURNAL (`.compact-journal-<binId>`: the merged name + the source
+  * list, written before any data moves), so a crash anywhere in the
+  * window heals on the next run instead of compounding: journal present
+  * + merged file present → the retire step is completed (sources
+  * deleted); journal present + no merged file → the bin rolls back
+  * (journal dropped, sources untouched). Without the journal a crash
+  * between publish and retire would make the duplication PERMANENT —
+  * the re-run would re-bin the merged file together with its surviving
+  * sources and merge the same rows twice. The publish rename is
+  * require-checked before any source delete (a failed rename must never
+  * retire the rows it failed to publish). Readers see duplicate rows
+  * only in the window between publish and delete of one bin — callers
+  * needing stricter isolation should compact behind a versioned-manifest
+  * table ([[graft.sources.VersionedParquet]]), where the swap is one
+  * commit. Row content is preserved exactly (read → write of the same
+  * rows, no re-partitioning of values into different bins than planned).
   *
   * Concurrency: single compactor per directory; appends may overlap
   * (files created after the planning snapshot are simply missed by this
@@ -58,23 +67,80 @@ object Compaction {
     bins.toSeq.map(_._1.toSeq).filter(_.length >= 2)
   }
 
+  /** Stable bin identity: the hash of the SORTED source-file list. Data
+    * files are immutable (never rewritten in place), so the same id always
+    * names the same merge — which is what lets a crashed bin's journal be
+    * completed or rolled back unambiguously on the next run. */
+  private[graft] def binId(sources: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    sources.sorted.foreach(s => md.update((s + "\n").getBytes("UTF-8")))
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
+  private[graft] def mergedName(id: String): String = s"compact-$id.parquet"
+
+  private[graft] def journalName(id: String): String = s".compact-journal-$id"
+
+  /** Heal any bin a previous run crashed inside (see the class doc):
+    * complete the retire step when the merged file was published, roll the
+    * bin back when it was not, and drop stale staging dirs either way.
+    * A partially-written journal can only belong to an unpublished bin
+    * (the journal is closed before any data moves), so a truncated source
+    * list is always the rollback case — nothing is deleted on bad parse. */
+  private def recover(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
+    val entries = fs.listStatus(root).toSeq
+    entries.filter(s => s.isFile && s.getPath.getName.startsWith(".compact-journal-"))
+      .foreach { j =>
+        // not readSmallFile: its 1 MiB corruption cap could wedge the
+        // recovery of a legitimately huge bin's source list
+        val in = fs.open(j.getPath)
+        val bytes =
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            out.toByteArray
+          } finally in.close()
+        val lines = new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+        val published = lines.headOption.exists(m => fs.exists(new Path(root, m)))
+        if (published) lines.drop(1).foreach(s => fs.delete(new Path(s), false))
+        fs.delete(j.getPath, false)
+      }
+    entries.filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact-staging-"))
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
   /** Compact every multi-file bin; returns (bins_merged, files_removed,
-    * files_added). Idempotent under re-run; see the class doc for the
-    * crash/isolation contract. */
+    * files_added). Idempotent under re-run — including re-runs after a
+    * crash anywhere in a bin's publish window (journal recovery runs
+    * first); see the class doc for the crash/isolation contract. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long): (Int, Int, Int) = {
-    val bins = plan(spark, dir, targetBytes)
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    bins.zipWithIndex.foreach { case (bin, i) =>
-      val staging = new Path(root, s".compact-staging-$i")
+    if (fs.exists(root)) recover(fs, root)
+    val bins = plan(spark, dir, targetBytes)
+    bins.foreach { bin =>
+      val id = binId(bin)
+      // journal first: after this point a crash is recoverable either way
+      val journal = new Path(root, journalName(id))
+      val out = fs.create(journal, true)
+      try out.write((mergedName(id) +: bin).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      val staging = new Path(root, s".compact-staging-$id")
       spark.read.parquet(bin: _*).coalesce(1)
         .write.mode("overwrite").parquet(staging.toString)
       val part = fs.listStatus(staging).toSeq
         .map(_.getPath).find(_.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no output in $staging"))
-      // publish the merged file, then retire the originals
-      fs.rename(part, new Path(root, s"compact-$i-${part.getName}"))
+      // publish the merged file (MUST succeed before any source is
+      // retired — an unchecked failed rename here would delete rows that
+      // were never republished), then retire the originals
+      val target = new Path(root, mergedName(id))
+      require(fs.rename(part, target),
+        s"compaction publish rename failed: $part -> $target")
       bin.foreach(f => fs.delete(new Path(f), false))
+      fs.delete(journal, false)
       fs.delete(staging, true)
     }
     (bins.length, bins.map(_.length).sum, bins.length)

@@ -156,4 +156,57 @@ class SinksSpec extends AnyFunSuite {
     val (again, _, _) = graft.sinks.Compaction.compact(spark, dir, bulkBytes)
     assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == beforeRows)
   }
+
+  test("compaction: crash between publish and retire heals — no permanent duplicates") {
+    val dir = tmpDir()
+    (1 to 6).foreach { i =>
+      Seq((i.toLong, s"row$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val rows = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    val sources = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    // save the source bytes so the crash state can be reconstructed
+    val saved = sources.map(s => s -> Files.readAllBytes(Paths.get(s))).toMap
+    val target = sources.map(s => Files.size(Paths.get(s))).sum + 4096
+    val (merged1, _, _) = graft.sinks.Compaction.compact(spark, dir, target)
+    assert(merged1 == 1)
+    // reconstruct "crashed after publish, before retire": merged file AND
+    // the original sources AND the bin's journal all present (the id comes
+    // from the published name — plan() hashes FileSystem URIs, not nio paths)
+    saved.foreach { case (p, bytes) => Files.write(Paths.get(p), bytes) }
+    val mergedFile = Files.list(Paths.get(dir)).iterator().asScala
+      .find(_.getFileName.toString.startsWith("compact-"))
+      .getOrElse(fail("no published compact file"))
+    val id = mergedFile.getFileName.toString
+      .stripPrefix("compact-").stripSuffix(".parquet")
+    Files.write(Paths.get(dir, graft.sinks.Compaction.journalName(id)),
+      (graft.sinks.Compaction.mergedName(id) +: sources).mkString("\n").getBytes("UTF-8"))
+    assert(spark.read.parquet(dir).count() == rows.size * 2L) // the crash window
+    // any later run must heal the window, not merge the duplicates forever
+    graft.sinks.Compaction.compact(spark, dir, target)
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == rows)
+    sources.foreach(s => assert(!Files.exists(Paths.get(s)), s"source not retired: $s"))
+    assert(!Files.exists(Paths.get(dir, graft.sinks.Compaction.journalName(id))))
+  }
+
+  test("compaction: crash before publish rolls back — sources kept, journal dropped") {
+    val dir = tmpDir()
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"row$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val rows = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    val sources = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val id = graft.sinks.Compaction.binId(sources)
+    // journal written, merged file never published (crash mid-stage)
+    Files.write(Paths.get(dir, graft.sinks.Compaction.journalName(id)),
+      (graft.sinks.Compaction.mergedName(id) +: sources).mkString("\n").getBytes("UTF-8"))
+    val target = sources.map(s => Files.size(Paths.get(s))).sum + 4096
+    val (merged, _, _) = graft.sinks.Compaction.compact(spark, dir, target)
+    assert(merged == 1) // rollback, then the normal pass re-merges the bin
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == rows)
+    assert(!Files.exists(Paths.get(dir, graft.sinks.Compaction.journalName(id))))
+  }
 }
