@@ -111,15 +111,21 @@ object IncrementalAgg {
     rows.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** prev ⊕ delta on the group keys: one full-outer join, absent side = 0. */
+  /** prev ⊕ delta on the group keys: one full-outer join, absent side = 0.
+    * The join is NULL-SAFE (`<=>`, the [[Scd2.merge]] key contract): a
+    * NULL group key is a legal `groupBy` group, and an equi join would
+    * never match its prior state — every refresh would then emit one more
+    * partial NULL-keyed row instead of folding the delta in. */
   private def combine(prev: DataFrame, delta: DataFrame, keyCols: Seq[String],
       sumCols: Seq[String]): DataFrame = {
     val valueCols = "cnt" +: sumCols.map(c => s"sum_$c")
     val p = prev.select((keyCols ++ valueCols).map(col): _*)
-      .toDF(keyCols ++ valueCols.map("p_" + _): _*)
-    val d = delta.toDF(keyCols ++ valueCols.map("d_" + _): _*)
-    p.join(d, keyCols, "full_outer")
-      .select(keyCols.map(col) ++ valueCols.map(v =>
-        (coalesce(col(s"p_$v"), lit(0L)) + coalesce(col(s"d_$v"), lit(0L))).as(v)): _*)
+      .toDF(keyCols.map("p_" + _) ++ valueCols.map("p_" + _): _*)
+    val d = delta.toDF(keyCols.map("d_" + _) ++ valueCols.map("d_" + _): _*)
+    val cond = keyCols.map(k => col(s"p_$k") <=> col(s"d_$k")).reduce(_ && _)
+    p.join(d, cond, "full_outer")
+      .select(keyCols.map(k => coalesce(col(s"p_$k"), col(s"d_$k")).as(k)) ++
+        valueCols.map(v =>
+          (coalesce(col(s"p_$v"), lit(0L)) + coalesce(col(s"d_$v"), lit(0L))).as(v)): _*)
   }
 }

@@ -30,16 +30,25 @@ import graft.sources.VersionedParquet
   * safe at the table level. */
 object Upsert {
 
+  /** NULL business keys are legal values, same contract as [[Scd2.merge]]:
+    * the anti-join is null-safe (`<=>`), so a batch row keyed NULL REPLACES
+    * the current NULL-keyed row instead of silently duplicating it (a plain
+    * equi anti-join never matches NULL to NULL, so the old row would
+    * survive every merge alongside each batch's new one). */
+  private def replaceByKey(current: DataFrame, batch: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val keys = batch.select(keyCols.map(col): _*).distinct().alias("k")
+    val cond = keyCols.map(k => col(s"c.$k") <=> col(s"k.$k")).reduce(_ && _)
+    current.alias("c").join(broadcast(keys), cond, "left_anti")
+      .unionByName(batch)
+  }
+
   def upsert(spark: SparkSession, batch: DataFrame, path: String,
       keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "upsert needs business keys")
     val next =
       if (VersionedParquet.versions(path).isEmpty) batch
-      else {
-        val current = VersionedParquet.read(spark, path)
-        val keys = batch.select(keyCols.map(col): _*).distinct()
-        current.join(broadcast(keys), keyCols, "left_anti").unionByName(batch)
-      }
+      else replaceByKey(VersionedParquet.read(spark, path), batch, keyCols)
     VersionedParquet.write(next, path, "overwrite")
   }
 
@@ -66,11 +75,7 @@ object Upsert {
     import graft.sources.{DeltaLogReader, DeltaLogWriter}
     val next =
       if (!DeltaLogReader.isDeltaTable(path)) batch
-      else {
-        val current = DeltaLogReader.read(spark, path)
-        val keys = batch.select(keyCols.map(col): _*).distinct()
-        current.join(broadcast(keys), keyCols, "left_anti").unionByName(batch)
-      }
+      else replaceByKey(DeltaLogReader.read(spark, path), batch, keyCols)
     // the merged frame re-reads the files the commit is about to
     // tombstone — materialize it BEFORE publishing (same self-overwrite
     // hazard the SCD2 bucketed rewrite stages against; pass a durable

@@ -74,12 +74,16 @@ object SinkWriter {
       graft.sources.SourceReader.remoteFs.upload(p, rd)
   }
 
+  // loud on unknown values: a typo'd savemode silently defaulting to Append
+  // is the config bug class the dispatch surfaces reject everywhere else
+  // (a truncate intent running as append duplicates the target forever)
   private def camel(m: String): String = m.toLowerCase match {
     case "append"        => "Append"
     case "overwrite"     => "Overwrite"
     case "ignore"        => "Ignore"
     case "errorifexists" => "ErrorIfExists"
-    case _               => "Append"
+    case other           =>
+      sys.error(s"unknown savemode '$other' (append|overwrite|ignore|errorIfExists)")
   }
 
   private def writeFile(df: DataFrame, sink: SinkSpec, mode: SaveMode): Unit = {
@@ -136,6 +140,14 @@ object SinkWriter {
     * stage via coalesce(1) to a temp dir, then driver-side rename of the
     * part file to `{prefix}_{ts}.{ext}` in the target dir. */
   def writeSingleFile(df: DataFrame, sink: SinkSpec, path: String): Unit = {
+    // GC staging dirs a crashed earlier run left behind (their names are
+    // unique per run, so they would otherwise accumulate forever)
+    val target = Paths.get(path.stripSuffix("/"))
+    val stalePrefix = target.getFileName.toString + "_staging_"
+    Option(target.toAbsolutePath.getParent).filter(Files.exists(_)).foreach(parent =>
+      graft.util.Fs.list(parent)
+        .filter(_.getFileName.toString.startsWith(stalePrefix))
+        .foreach(deleteRecursively))
     val staging = path.stripSuffix("/") + "_staging_" + System.nanoTime()
     var w = df.coalesce(1).write.mode(SaveMode.Overwrite).format(sink.format).options(sink.options)
     sink.compression.foreach(c => w = w.option("compression", c))
@@ -169,7 +181,10 @@ object SinkWriter {
     val batchTs = java.sql.Timestamp.from(java.time.Instant.now())
     val merged =
       if (graft.util.Fs.nonEmptyDir(Paths.get(path))) {
-        val dim = spark.read.format(sink.format).load(path)
+        // re-read WITH the sink's options (the reconcile path's rule): a
+        // csv dimension read without `header` would merge its header row
+        // as data
+        val dim = spark.read.format(sink.format).options(sink.options).load(path)
         Scd2.merge(dim, staged, sink.scdKeys, sink.scdTrackedCols, batchTs)
       } else Scd2.initialize(staged, batchTs)
     // Rewrite via staging dir then swap — the source of the read and the
@@ -219,7 +234,17 @@ object SinkWriter {
     * durable staged table when the sink carries `scdStagingPath` (cluster
     * semantics: executor loss mid-overwrite cannot drop pinned blocks the
     * rewrite still needs; the staged merge survives for replay). The
-    * staged scratch is cleaned up only AFTER the overwrite commits. */
+    * staged scratch is cleaned up only AFTER the overwrite commits.
+    *
+    * Crash contract: dynamic partition overwrite commits per partition
+    * (delete-then-rename inside Spark's committer), so a driver crash
+    * mid-commit can leave SOME touched partitions at the new version and
+    * others missing — unlike the non-partitioned path's single-directory
+    * swap there is no one-rename atomicity at this granularity. Recovery
+    * is a re-run from the durable `scdStagingPath` scratch (the merge
+    * survives, and SCD2 re-merge is idempotent); deployments needing an
+    * atomic multi-partition commit front the dimension with a
+    * versioned-manifest table (PLANS.md "Store concurrency contracts"). */
   def scd2InsertPartitioned(spark: SparkSession, staged: DataFrame, sink: SinkSpec,
       nBuckets: Int): Unit = {
     val path = sink.path.getOrElse(sys.error("scd2 sink needs path"))
@@ -242,7 +267,7 @@ object SinkWriter {
       } else {
         val touched = stagedB.select("scd_bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
-        val dimTouched = spark.read.format(sink.format).load(path)
+        val dimTouched = spark.read.format(sink.format).options(sink.options).load(path)
           .filter(col("scd_bucket").isin(touched: _*))
         val merged = Scd2.merge(dimTouched, stagedB, keys,
           sink.scdTrackedCols, batchTs)

@@ -338,12 +338,18 @@ object DeltaLogReader {
       keyCols.map(col) :+
         (if (common.isEmpty) lit(0L)
          else xxhash64(to_json(struct(common.map(col): _*)))).as(as): _*)
-    hashed(a, "__ha").join(hashed(b, "__hb"), keyCols, "full_outer")
+    // null-safe key join (the Scd2/Upsert key contract): a NULL key is a
+    // value — an equi join would report it as a spurious added+removed
+    // pair in every diff instead of matching it to itself
+    val cond = keyCols.map(k => col(s"va.$k") <=> col(s"vb.$k")).reduce(_ && _)
+    hashed(a, "__ha").alias("va")
+      .join(hashed(b, "__hb").alias("vb"), cond, "full_outer")
       .withColumn("change",
         when(col("__ha").isNull, lit("added"))
           .when(col("__hb").isNull, lit("removed"))
           .when(col("__ha") =!= col("__hb"), lit("changed")))
       .filter(col("change").isNotNull)
-      .select(keyCols.map(col) :+ col("change"): _*)
+      .select(keyCols.map(k => coalesce(col(s"va.$k"), col(s"vb.$k")).as(k)) :+
+        col("change"): _*)
   }
 }

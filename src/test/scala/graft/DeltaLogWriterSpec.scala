@@ -232,6 +232,16 @@ class DeltaLogWriterSpec extends AnyFunSuite {
     val d2 = DeltaLogReader.snapshotDiff(spark, t2, 0L, 1L, Seq("id"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(d2 == Map(1L -> "changed"))
+    // a NULL key is a value (the Scd2/Upsert key contract): it matches
+    // itself across versions — changed here, never a spurious added+removed
+    val t3 = table()
+    DeltaLogWriter.write(Seq((Option.empty[Long], "a")).toDF("id", "v"), t3)
+    DeltaLogWriter.write(
+      Seq((Option.empty[Long], "A")).toDF("id", "v"), t3, "overwrite")
+    val d3 = DeltaLogReader.snapshotDiff(spark, t3, 0L, 1L, Seq("id"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1)).toMap
+    assert(d3 == Map(Option.empty[Long] -> "changed"))
   }
 
   test("vacuum deletes only unreferenced files; vacuumed versions fail loudly") {

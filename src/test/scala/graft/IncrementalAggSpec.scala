@@ -124,6 +124,37 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(VersionedParquet.read(spark, dim, Some(v0)).count() === 3)
   }
 
+  test("upsert NULL business keys are values, not orphans (Scd2 key contract)") {
+    val base = tmp(); val dim = s"$base/d"
+    graft.operators.Upsert.upsert(spark,
+      Seq((Some(1L), "a"), (None, "n0")).toDF("k", "v"), dim, Seq("k"))
+    // the NULL-keyed batch row must REPLACE the NULL-keyed current row;
+    // an equi anti-join never matches NULL to NULL and would keep both
+    graft.operators.Upsert.upsert(spark,
+      Seq((Option.empty[Long], "n1")).toDF("k", "v"), dim, Seq("k"))
+    val out = VersionedParquet.read(spark, dim)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1)))
+      .toSet
+    assert(out === Set((Some(1L), "a"), (None, "n1")))
+  }
+
+  test("refresh folds NULL-keyed groups into their prior state (null-safe combine)") {
+    val base = tmp(); val src = s"$base/s"; val st = s"$base/t"
+    VersionedParquet.write(
+      Seq((Some(1L), 10L), (None, 5L)).toDF("k", "v"), src, "overwrite")
+    IncrementalAgg.refresh(spark, src, st, Seq("k"), Seq("v"))
+    VersionedParquet.write(
+      Seq((Option.empty[Long], 7L)).toDF("k", "v"), src, "append")
+    IncrementalAgg.refresh(spark, src, st, Seq("k"), Seq("v"))
+    val rows = VersionedParquet.read(spark, st)
+      .select("k", "cnt", "sum_v").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2))).toSet
+    // exactly ONE row for the NULL group, with the delta folded in — not
+    // one partial NULL row per refresh
+    assert(rows === Set((Some(1L), 1L, 10L), (None, 2L, 12L)))
+  }
+
   test("upsertInsert load type routes through SinkWriter with scdKeys") {
     val base = tmp(); val dim = s"$base/d"
     val sink = graft.config.SinkSpec(dataFrameName = "dim", loadType = "upsertInsert",

@@ -157,6 +157,29 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == beforeRows)
   }
 
+  test("unknown savemode fails loudly instead of silently appending") {
+    val out = tmpDir() + "/bad"
+    val df = Seq((1, "a")).toDF("id", "v")
+    val e = intercept[RuntimeException] {
+      SinkWriter.write(spark, df,
+        SinkSpec("t", format = "parquet", path = Some(out), savemode = "overwrit"))
+    }
+    assert(e.getMessage.contains("unknown savemode 'overwrit'"))
+  }
+
+  test("singleFile GCs staging dirs a crashed earlier run left behind") {
+    val out = tmpDir() + "/single"
+    val stale = Paths.get(out + "_staging_12345")
+    Files.createDirectories(stale)
+    Files.writeString(stale.resolve("part-crashed.csv"), "junk")
+    SinkWriter.write(spark, Seq((1, "a")).toDF("id", "v"),
+      SinkSpec("t", format = "csv", path = Some(out), singleFile = true))
+    assert(!Files.exists(stale), "stale staging dir not GC'd")
+    val siblings = Files.list(Paths.get(out).getParent).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains("_staging_")).toList
+    assert(siblings.isEmpty, s"staging dirs left: $siblings")
+  }
+
   test("compaction: crash between publish and retire heals — no permanent duplicates") {
     val dir = tmpDir()
     (1 to 6).foreach { i =>
