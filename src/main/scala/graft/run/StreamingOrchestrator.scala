@@ -31,8 +31,16 @@ class StreamingOrchestrator(spark: SparkSession) {
     cfg.sparkConfig.foreach { case (k, v) => spark.conf.set(k, v) }
     // same SQL surface as batch: custom expressions callable from sqlQuery
     graft.functions.GraftFunctions.register(spark)
-    val tmp = cfg.tempPath.getOrElse(
-      java.nio.file.Files.createTempDirectory(s"graft-stream-${cfg.jobName}").toString)
+    val tmp = cfg.tempPath.getOrElse {
+      // a fresh checkpoint per run re-reads EVERY existing input file, so
+      // append sinks duplicate across reruns — fine for tests/one-shots,
+      // a footgun for scheduled jobs (the ivfMaintainedIngest sink hard-
+      // requires tempPath for this reason); warn rather than guess intent
+      System.err.println(s"[streaming] job ${cfg.jobName}: no tempPath — " +
+        "using a FRESH checkpoint; a rerun will re-read all input files " +
+        "(append sinks duplicate). Set tempPath for restartable streams.")
+      java.nio.file.Files.createTempDirectory(s"graft-stream-${cfg.jobName}").toString
+    }
 
     // phase_1 — streaming sources (file formats only; schema from a batch probe)
     cfg.inputs.foreach { in =>
@@ -106,16 +114,24 @@ class StreamingOrchestrator(spark: SparkSession) {
         started.foreach(q => try q.stop() catch { case _: Throwable => () })
         throw e
     }
-    val errorQueries = cfg.errorSink.toSeq.flatMap { es =>
+    // same orphan rule as the sink starts: if an ERROR query fails to
+    // start, stop everything already running (sinks included)
+    val errorQueries = try cfg.errorSink.toSeq.flatMap { es =>
       errorStreams.zipWithIndex.map { case (bad, i) =>
-        bad.writeStream
+        val q = bad.writeStream
           .option("checkpointLocation", s"$tmp/${cfg.jobName}_err$i")
           .trigger(trigger)
           .foreachBatch { (batch: DataFrame, _: Long) =>
             if (!batch.isEmpty) SinkWriter.writeErrors(batch.sparkSession, batch, cfg.jobName, es)
           }
           .start()
+        started += q
+        q
       }
+    } catch {
+      case e: Throwable =>
+        started.foreach(q => try q.stop() catch { case _: Throwable => () })
+        throw e
     }
     sinkQueries ++ errorQueries
   }
