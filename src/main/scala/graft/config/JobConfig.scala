@@ -191,13 +191,18 @@ object JobConfig {
         watermarkDelay = str(in, "watermarkDelay")
       )
     }
-    val validations = objs(root, "validations").flatMap { v =>
+    val validations = objs(root, "validations").map { v =>
+      // loud on unknown types: a typo'd validation silently never running
+      // is the config bug class the dispatch surfaces reject everywhere else
       str(v, "type").map(_.toLowerCase) match {
         case Some("nullvaluecheck") =>
-          Some(NullValueCheck(str(v, "dataFrameName").get, strs(v, "primaryKeys")))
+          NullValueCheck(str(v, "dataFrameName").get, strs(v, "primaryKeys"))
         case Some("duplicaterecordcheck") =>
-          Some(DuplicateRecordCheck(str(v, "dataFrameName").get, strs(v, "primaryKeys"), strs(v, "orderByCols")))
-        case _ => None
+          DuplicateRecordCheck(str(v, "dataFrameName").get, strs(v, "primaryKeys"), strs(v, "orderByCols"))
+        case Some(other) => sys.error(
+          s"unknown validation type '$other' (nullValueCheck|duplicateRecordCheck)")
+        case None => sys.error("validation needs a type " +
+          "(nullValueCheck|duplicateRecordCheck)")
       }
     }
     val transforms = objs(root, "transformations").map { t =>

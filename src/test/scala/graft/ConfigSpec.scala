@@ -78,6 +78,18 @@ class ConfigSpec extends AnyFunSuite {
     assert(!cfg.duplicateRunCheck && cfg.inputs.isEmpty && cfg.thresholdLimit.isEmpty)
   }
 
+  test("a typo'd validation type fails the parse instead of silently never running") {
+    val e = intercept[RuntimeException] {
+      JobConfig.parse("""{"jobName":"x","validations":[
+        {"type":"nullValuCheck","dataFrameName":"t","primaryKeys":["k"]}]}""")
+    }
+    assert(e.getMessage.contains("unknown validation type 'nullvalucheck'"))
+    val e2 = intercept[RuntimeException] {
+      JobConfig.parse("""{"jobName":"x","validations":[{"dataFrameName":"t"}]}""")
+    }
+    assert(e2.getMessage.contains("validation needs a type"))
+  }
+
   test("functionName steps parse with options; a step needs SQL or a name") {
     val cfg = JobConfig.parse(
       """{"jobName":"c","transformations":[
