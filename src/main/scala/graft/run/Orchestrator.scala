@@ -62,7 +62,10 @@ class Orchestrator(spark: SparkSession) {
       }
       clearSinkMarkers(cfg, commitToken)
       out
-    } finally marker.foreach(Files.deleteIfExists(_))
+    } finally marker.foreach { m =>
+      Files.deleteIfExists(m)
+      Orchestrator.untrackMarker(m)
+    }
   }
 
   private def runPhases(cfg: JobConfig, commitToken: Option[String]): DataFrame = {
@@ -254,9 +257,11 @@ class Orchestrator(spark: SparkSession) {
 
   /** P3 duplicate-run guard (spark.json:8-9): marker-file check-and-create
     * under the temp path; caller releases the marker when the run ends, a
-    * shutdown hook covers hard JVM death. Single-scheduler assumption
-    * documented in SURVEY.md §7.4 (matches the reference's one-Airflow-DAG
-    * model). */
+    * shutdown hook covers hard JVM death. ONE static hook over a live set
+    * — a hook per acquisition would leak a whole Thread object per run in
+    * a long-lived scheduler process (hooks are never deregistered).
+    * Single-scheduler assumption documented in SURVEY.md §7.4 (matches
+    * the reference's one-Airflow-DAG model). */
   private def acquireRunMarker(cfg: JobConfig): java.nio.file.Path = {
     val tmp = cfg.tempPath.getOrElse(sys.error("duplicateRunCheck needs tempPath"))
     Files.createDirectories(Paths.get(tmp))
@@ -267,7 +272,7 @@ class Orchestrator(spark: SparkSession) {
         throw new IllegalStateException(
           s"duplicate run detected for job ${cfg.jobName} ($marker exists)")
     }
-    sys.addShutdownHook { Files.deleteIfExists(marker); () }
+    Orchestrator.trackMarker(marker)
     marker
   }
 
@@ -280,6 +285,24 @@ class Orchestrator(spark: SparkSession) {
 }
 
 object Orchestrator {
+  /** Run markers not yet released; the ONE registered shutdown hook
+    * sweeps them on hard JVM death (see acquireRunMarker). */
+  private val liveMarkers =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val hookInstalled: Unit = {
+    sys.addShutdownHook {
+      liveMarkers.forEach(m => Files.deleteIfExists(m))
+    }
+    ()
+  }
+  private[run] def trackMarker(m: java.nio.file.Path): Unit = {
+    hookInstalled
+    liveMarkers.add(m); ()
+  }
+  private[run] def untrackMarker(m: java.nio.file.Path): Unit = {
+    liveMarkers.remove(m); ()
+  }
+
   /** Inline SQL, or the contents of a `.sql` file when the string is a
     * path to one (spark.json:57 "<Spark SQL Query| sql file path>").
     * Shared by the batch and streaming orchestrators so the same config is
