@@ -39,6 +39,18 @@ case class HllRegsMaxAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "hll_regs_max_agg"
 
+  // strict analysis typing (the MmrSelectExpr/DotProductInt rationale):
+  // absorb reads lanes with getByte, so a non-byte array would read
+  // type-punned garbage from wider slots instead of failing
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(ByteType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<tinyint> packed registers, got ${other.simpleString}")
+    }
+  }
+
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {

@@ -36,6 +36,25 @@ case class MmrSelectExpr(child: Expression, k: Int, lambda: Double)
   override def dataType: DataType = MmrSelectExpr.outType
   override def prettyName: String = "mmr_select"
 
+  // strict analysis typing (the DotProductInt rationale): the runner reads
+  // the struct fields type-punned (getLong/getDouble/toFloatArray), so a
+  // candidate array built with e.g. (int, float, array<double>) fields
+  // would read GARBAGE values from UnsafeRow slots, not fail — make the
+  // mismatch an analysis error instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StructType(Array(
+        StructField(_, LongType, _, _),
+        StructField(_, DoubleType, _, _),
+        StructField(_, ArrayType(FloatType, _), _, _))), _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<struct<id bigint, rel double, " +
+          s"vec array<float>>>, got ${other.simpleString}")
+    }
+  }
+
   override def nullSafeEval(in: Any): Any =
     MmrSelectExpr.run(in.asInstanceOf[ArrayData], k, lambda)
 

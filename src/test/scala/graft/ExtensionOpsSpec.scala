@@ -1685,6 +1685,22 @@ class ExtensionOpsSpec extends AnyFunSuite {
       .mmrSelect(cands, "q_id", "id", "rel", "embedding", k = 3, lambda = 1.0)
       .orderBy("rank").select("id").as[Long].collect().toSeq
     assert(rel == Seq(1L, 2L, 3L), s"λ=1 order was $rel")
+    // strict typing: a mistyped candidate struct is an ANALYSIS error —
+    // the runner reads fields type-punned, so without the check a
+    // (int, float, array<double>) struct would yield garbage, not fail
+    val bad = Seq((10, 1, 1.0f, Array(1.0, 0.0)))
+      .toDF("q_id", "id", "rel", "embedding")
+      .groupBy("q_id")
+      .agg(org.apache.spark.sql.functions.collect_list(
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("rel"),
+          org.apache.spark.sql.functions.col("embedding"))).as("cands"))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(graft.functions.MmrSelectExpr.select(
+        org.apache.spark.sql.functions.col("cands"), 2, 0.5)).collect()
+    }
+    assert(err.getMessage.contains("mmr_select expects"), err.getMessage)
   }
 
   test("audioActivitySegments: segments are aligned, contiguous window " +
