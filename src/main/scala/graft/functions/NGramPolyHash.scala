@@ -32,6 +32,20 @@ case class NGramPolyHash(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ngram_poly_hash56"
 
+  // strict analysis typing (the MmrSelectExpr/DotProductInt rationale):
+  // compute reads lanes with getUTF8String, so a non-string array's slots
+  // would be interpreted as string offset/size pairs — corrupt values or
+  // a crash, never a clean failure
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.StringType
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string> tokens, got ${other.simpleString}")
+    }
+  }
+
   override def nullSafeEval(input: Any): Any =
     NGramPolyHash.compute(input.asInstanceOf[ArrayData], n)
 

@@ -249,4 +249,25 @@ class GraftFunctionsSpec extends AnyFunSuite {
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)))
       .eval(null) == (9 + 49 + 81).toLong)
   }
+
+  test("type-punned array expressions reject wrong element types at analysis") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col, lit}
+    // NGramPolyHash reads lanes via getUTF8String: a long array's slots
+    // would parse as string offset/size pairs — must be an analysis error
+    val longs = Seq(Seq(1L, 2L)).toDF("toks")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      longs.select(graft.functions.NGramPolyHash(col("toks"), 2)).collect()
+    }
+    assert(e1.getMessage.contains("ngram_poly_hash56 expects"), e1.getMessage)
+    // HllRegsMaxAgg reads lanes via getByte: wider slots read punned
+    val ints = Seq(Seq(1, 2)).toDF("regs")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.agg(graft.functions.HllRegsMaxAgg.regsMax(col("regs"), 2)).collect()
+    }
+    assert(e2.getMessage.contains("hll_regs_max_agg expects"), e2.getMessage)
+    // the blessed types still pass
+    assert(Seq(Seq("a", "b")).toDF("toks")
+      .select(graft.functions.NGramPolyHash(col("toks"), 2)).count() == 1)
+  }
 }
