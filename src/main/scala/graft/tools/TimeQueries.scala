@@ -12,6 +12,12 @@ import org.apache.spark.sql.SparkSession
   * it — the adjudication tool for "is this bench entry a regression or
   * host contamination" (see Bench.stealSec rationale). Min-of-reps with
   * ~zero steal is the steady-state number comparable to bench budgets.
+  *
+  * Also prints per-rep executor CPU seconds (sum of task executorCpuTime
+  * via a listener): steal stretches WALL time but not CPU consumed, so
+  * when the host is too contaminated for wall-clock adjudication, compare
+  * min-of-reps CPU between two builds run back-to-back — a real per-row
+  * regression shows up in CPU; pure steal does not.
   */
 object TimeQueries {
   import graft.util.HostMetrics.stealSec
@@ -29,24 +35,40 @@ object TimeQueries {
       .config("spark.sql.codegen.cache.maxEntries", "4096") // match Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) cpuNanos.addAndGet(m.executorCpuTime)
+      }
+    })
+    // listener events are async: poll until the counter is quiet so a
+    // rep's tasks are all attributed to it before the next rep starts
+    def settledCpu(): Long = {
+      var prev = -1L; var cur = cpuNanos.get()
+      while (cur != prev) { Thread.sleep(150); prev = cur; cur = cpuNanos.get() }
+      cur
+    }
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
     graft.util.Fs.warmStorage(sfDir)
     val unknown = args.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     for (name <- args) {
-      val times = (1 to reps).map { i =>
-        val s0 = stealSec(); val t0 = System.nanoTime()
+      val reps2 = (1 to reps).map { i =>
+        val c0 = settledCpu(); val s0 = stealSec(); val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         val st = stealSec() - s0
+        val cpu = (settledCpu() - c0) / 1e9
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))  // free staged blocks (match Bench)
-        println(f"[time] $name rep$i: $dt%.2fs (steal $st%.2fs)")
-        dt
+        println(f"[time] $name rep$i: $dt%.2fs (steal $st%.2fs, cpu $cpu%.2fs)")
+        (dt, cpu)
       }
-      println(f"[time] $name MIN: ${times.min}%.2fs over $reps reps")
+      println(f"[time] $name MIN: ${reps2.map(_._1).min}%.2fs over $reps reps" +
+        f" (min cpu ${reps2.map(_._2).min}%.2fs)")
     }
     spark.stop()
   }
