@@ -28,7 +28,14 @@ import org.apache.spark.sql.SparkSession
   * (journal dropped, sources untouched). Without the journal a crash
   * between publish and retire would make the duplication PERMANENT —
   * the re-run would re-bin the merged file together with its surviving
-  * sources and merge the same rows twice. The publish rename is
+  * sources and merge the same rows twice. The journal is staged
+  * (temp-name write → hflush/hsync where the FS supports it → rename
+  * into place) so an OS/power crash — not just a process crash — can't
+  * leave a lost-or-truncated journal behind a publish rename that
+  * survived the page cache; on local filesystems without durable sync
+  * (e.g. Hadoop's ChecksumFileSystem ignores hsync) the journal is as
+  * durable as the rename itself, which is the strongest guarantee that
+  * FS offers any writer. The publish rename is
   * require-checked before any source delete (a failed rename must never
   * retire the rows it failed to publish). Readers see duplicate rows
   * only in the window between publish and delete of one bin — callers
@@ -89,7 +96,13 @@ object Compaction {
     * list is always the rollback case — nothing is deleted on bad parse. */
   private def recover(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
     val entries = fs.listStatus(root).toSeq
-    entries.filter(s => s.isFile && s.getPath.getName.startsWith(".compact-journal-"))
+    // an orphaned temp journal means the bin never started (the rename
+    // into the journal name precedes any data movement) — just drop it
+    entries.filter(s => s.isFile && s.getPath.getName.startsWith(".compact-journal-")
+        && s.getPath.getName.endsWith(".tmp"))
+      .foreach(s => fs.delete(s.getPath, false))
+    entries.filter(s => s.isFile && s.getPath.getName.startsWith(".compact-journal-")
+        && !s.getPath.getName.endsWith(".tmp"))
       .foreach { j =>
         // not readSmallFile: its 1 MiB corruption cap could wedge the
         // recovery of a legitimately huge bin's source list
@@ -122,11 +135,23 @@ object Compaction {
     val bins = plan(spark, dir, targetBytes)
     bins.foreach { bin =>
       val id = binId(bin)
-      // journal first: after this point a crash is recoverable either way
+      // journal first: after this point a crash is recoverable either
+      // way. Staged temp → hflush/hsync → rename, so the journal's bytes
+      // can't be lost from the page cache by an OS crash while the later
+      // publish rename survives (which would re-bin merged + surviving
+      // sources and make the duplication permanent — the exact failure
+      // the journal exists to prevent).
       val journal = new Path(root, journalName(id))
-      val out = fs.create(journal, true)
-      try out.write((mergedName(id) +: bin).mkString("\n").getBytes("UTF-8"))
-      finally out.close()
+      val journalTmp = new Path(root, journalName(id) + ".tmp")
+      val out = fs.create(journalTmp, true)
+      try {
+        out.write((mergedName(id) +: bin).mkString("\n").getBytes("UTF-8"))
+        out.hflush()
+        try out.hsync()
+        catch { case _: UnsupportedOperationException => () } // local FS: rename is the fsync
+      } finally out.close()
+      require(fs.rename(journalTmp, journal),
+        s"compaction journal rename failed: $journalTmp -> $journal")
       val staging = new Path(root, s".compact-staging-$id")
       spark.read.parquet(bin: _*).coalesce(1)
         .write.mode("overwrite").parquet(staging.toString)

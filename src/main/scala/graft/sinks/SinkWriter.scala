@@ -138,15 +138,24 @@ object SinkWriter {
 
   /** W6 single-file output + deterministic name (spark.json:77-78,89):
     * stage via coalesce(1) to a temp dir, then driver-side rename of the
-    * part file to `{prefix}_{ts}.{ext}` in the target dir. */
+    * part file to `{prefix}_{ts}.{ext}` in the target dir.
+    *
+    * Single-writer per target path (the duplicateRunCheck guard's job);
+    * the stale-staging GC additionally age-gates on mtime so that even
+    * two writers racing the same path (overlapping schedules with the
+    * guard disabled) can't delete each other's in-flight staging dir —
+    * only dirs a crashed run abandoned ≥ 1 h ago are collected. */
   def writeSingleFile(df: DataFrame, sink: SinkSpec, path: String): Unit = {
     // GC staging dirs a crashed earlier run left behind (their names are
     // unique per run, so they would otherwise accumulate forever)
     val target = Paths.get(path.stripSuffix("/"))
     val stalePrefix = target.getFileName.toString + "_staging_"
+    val staleBefore = System.currentTimeMillis() - 60L * 60 * 1000
     Option(target.toAbsolutePath.getParent).filter(Files.exists(_)).foreach(parent =>
       graft.util.Fs.list(parent)
         .filter(_.getFileName.toString.startsWith(stalePrefix))
+        .filter(p => scala.util.Try(
+          Files.getLastModifiedTime(p).toMillis < staleBefore).getOrElse(false))
         .foreach(deleteRecursively))
     val staging = path.stripSuffix("/") + "_staging_" + System.nanoTime()
     var w = df.coalesce(1).write.mode(SaveMode.Overwrite).format(sink.format).options(sink.options)

@@ -1254,7 +1254,11 @@ object Similarity {
     cands
       .groupBy(col(qIdCol))
       .agg(collect_list(struct(col(idCol).cast("long").as("id"),
-        col(relCol).cast("double").as("rel"), col(vecCol).as("vec"))).as("__cands"))
+        col(relCol).cast("double").as("rel"),
+        // cast here so array<double> embeddings (the common Scala/SQL
+        // shape) stay accepted by the tolerant public API while the raw
+        // expression stays strict about its array<float> read
+        col(vecCol).cast("array<float>").as("vec"))).as("__cands"))
       .select(col(qIdCol),
         explode(graft.functions.MmrSelectExpr.select(col("__cands"), k, lambda))
           .as("__p"))

@@ -1701,6 +1701,16 @@ class ExtensionOpsSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("cands"), 2, 0.5)).collect()
     }
     assert(err.getMessage.contains("mmr_select expects"), err.getMessage)
+    // ...but the PUBLIC helper stays tolerant: array<double> embeddings
+    // (the common Scala/SQL shape) are cast before the strict expression
+    val dbl = Seq(
+      (10L, 1L, 1.00, e1.map(_.toDouble)), (10L, 2L, 0.99, e1.map(_.toDouble)),
+      (10L, 3L, 0.50, e2.map(_.toDouble)))
+      .toDF("q_id", "id", "rel", "embedding")
+    val gotDbl = graft.x.Similarity
+      .mmrSelect(dbl, "q_id", "id", "rel", "embedding", k = 3, lambda = 0.5)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(gotDbl == Seq(1L, 3L, 2L), s"double-embedding MMR order was $gotDbl")
   }
 
   test("audioActivitySegments: segments are aligned, contiguous window " +

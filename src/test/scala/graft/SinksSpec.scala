@@ -167,17 +167,26 @@ class SinksSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown savemode 'overwrit'"))
   }
 
-  test("singleFile GCs staging dirs a crashed earlier run left behind") {
+  test("singleFile GCs abandoned staging dirs but spares in-flight ones") {
     val out = tmpDir() + "/single"
+    // abandoned by a run that crashed 2 h ago: must be collected
     val stale = Paths.get(out + "_staging_12345")
     Files.createDirectories(stale)
     Files.writeString(stale.resolve("part-crashed.csv"), "junk")
+    Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    // fresh mtime = a concurrent writer's in-flight dir: must survive
+    // (deleting it mid-write corrupts that run's output)
+    val live = Paths.get(out + "_staging_67890")
+    Files.createDirectories(live)
+    Files.writeString(live.resolve("part-inflight.csv"), "live")
     SinkWriter.write(spark, Seq((1, "a")).toDF("id", "v"),
       SinkSpec("t", format = "csv", path = Some(out), singleFile = true))
     assert(!Files.exists(stale), "stale staging dir not GC'd")
+    assert(Files.exists(live), "in-flight staging dir of a concurrent writer deleted")
     val siblings = Files.list(Paths.get(out).getParent).iterator().asScala
       .map(_.getFileName.toString).filter(_.contains("_staging_")).toList
-    assert(siblings.isEmpty, s"staging dirs left: $siblings")
+    assert(siblings == List(live.getFileName.toString), s"staging dirs left: $siblings")
   }
 
   test("compaction: crash between publish and retire heals — no permanent duplicates") {
@@ -231,5 +240,28 @@ class SinksSpec extends AnyFunSuite {
     assert(merged == 1) // rollback, then the normal pass re-merges the bin
     assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == rows)
     assert(!Files.exists(Paths.get(dir, graft.sinks.Compaction.journalName(id))))
+  }
+
+  test("compaction: an orphaned temp journal is dropped, never parsed as a journal") {
+    val dir = tmpDir()
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"row$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val rows = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    val sources = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val id = graft.sinks.Compaction.binId(sources)
+    // crash BEFORE the journal rename: only the .tmp exists — the bin
+    // never started, so recovery must delete the tmp and touch nothing
+    Files.write(Paths.get(dir, graft.sinks.Compaction.journalName(id) + ".tmp"),
+      (graft.sinks.Compaction.mergedName(id) +: sources).mkString("\n").getBytes("UTF-8"))
+    val target = sources.map(s => Files.size(Paths.get(s))).sum + 4096
+    val (merged, _, _) = graft.sinks.Compaction.compact(spark, dir, target)
+    assert(merged == 1)
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == rows)
+    val leftovers = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith(".compact-journal-")).toList
+    assert(leftovers.isEmpty, s"journal leftovers: $leftovers")
   }
 }
