@@ -859,28 +859,43 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    // The MATERIALIZED IVF path: corpus written hive-partitioned by cell,
-    // probe prunes to the 10 queries' nprobe cells at the scan
-    // (PartitionFilters — non-probed cell directories never open; plan
-    // asserted in ExtensionOpsSpec, excerpt in PLANS.md). Same parameters
-    // as x15, same oracle by construction: the layout changes WHERE the
-    // cell restriction applies (scan vs join), never the result.
-    "x46_ivf_layout_topk" -> ((s, dir) => {
+    // The MATERIALIZED IVF path, driven end-to-end from ONE JSON config:
+    // corpus written hive-partitioned by cell (ivfBuildLayout step), then
+    // probed with partition pruning (ivfProbe step) — non-probed cell
+    // directories never open (PartitionFilters plan asserted in
+    // ExtensionOpsSpec, excerpt in PLANS.md). Same parameters as x15,
+    // same oracle by construction: the layout changes WHERE the cell
+    // restriction applies (scan vs join), never the result. The former
+    // x46 entry invoked the same two operators directly in Scala — merged
+    // here in r13 (the x23→x25 registry-flattening template) so the
+    // config-dispatch surface of the similarity-maintenance family is
+    // what the oracle checks; the direct path stays covered by
+    // ExtensionOpsSpec's layout≡inline equality suites.
+    "etl_ivf_config" -> ((s, dir) => {
       reg(s, dir)
-      val emb = s.table("embeddings")
-      val centroids = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("centroid_id"), col("embedding"))
-      val queries = emb.filter(col("vec_id") >= 490 && col("vec_id") < 500)
-        .select(col("vec_id").as("q_id"), col("embedding"))
       val layout = java.nio.file.Files
-        .createTempDirectory("ivf_layout").resolve("embeddings_by_cell").toString
-      Similarity.writeIvfLayout(emb, centroids, "vec_id", "centroid_id",
-        "embedding", layout)
-      Similarity.ivfTopKFromLayout(s, layout, queries, centroids,
-          "vec_id", "q_id", "centroid_id", "embedding", k = 10, nprobe = 3)
-        .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("q_id", "rank")
+        .createTempDirectory("ivf_cfg").resolve("embeddings_by_cell").toString
+      val cfg = graft.config.JobConfig.parse(
+        s"""{
+           |"jobName": "ivf_from_config",
+           |"inputs": [{"dataFrameName": "emb", "format": "parquet",
+           |  "path": "$dir/embeddings.parquet"}],
+           |"transformations": [
+           |  {"functionName": "centroids", "outputDFName": "cents",
+           |   "sqlQuery": "SELECT vec_id AS centroid_id, embedding FROM emb WHERE vec_id < 10"},
+           |  {"functionName": "queries", "outputDFName": "qs",
+           |   "sqlQuery": "SELECT vec_id AS q_id, embedding FROM emb WHERE vec_id >= 490 AND vec_id < 500"},
+           |  {"functionName": "ivfBuildLayout", "outputDFName": "layout_stats",
+           |   "options": {"input": "emb", "centroids": "cents", "path": "$layout"},
+           |   "countValidation": 1},
+           |  {"functionName": "ivfProbe", "outputDFName": "probed",
+           |   "options": {"input": "qs", "centroids": "cents", "path": "$layout",
+           |     "k": "10", "nprobe": "3"}},
+           |  {"functionName": "project",
+           |   "sqlQuery": "SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank FROM probed ORDER BY q_id, rank",
+           |   "outputDFName": "probe_out", "countValidation": 1}]
+           |}""".stripMargin)
+      new graft.run.Orchestrator(s).run(cfg)
     }),
 
     // Incremental IVF maintenance: base layout from the first 300
@@ -2336,25 +2351,32 @@ object SparkEntry {
     // Merkle range reconciliation: localize WHICH of 256 key ranges
     // differ between a table and its drifted copy — re-sync ships leaves,
     // not tables; the 3 injected edits must surface as ≤3 leaves
-    "x137_merkle_diff" -> ((s, dir) => {
+    // Merkle range reconciliation driven from ONE JSON config: the edited
+    // twin is a SQL step, the diff is a merkleDiff functionName step whose
+    // keyExpr/rowExpr options carry the same portable-hash caller contract
+    // as the Scala API. The former x137 entry invoked Validations
+    // .merkleDiff directly — merged here in r13 (x23→x25 template); the
+    // direct path stays exercised by x140_merkle_drill and ValidationsSpec.
+    "etl_merkle_config" -> ((s, dir) => {
       reg(s, dir)
-      import graft.operators.Validations
-      val keyStr = concat(col("l_orderkey").cast("string"), lit("|"),
-        col("l_linenumber").cast("string"))
-      def rowStr = concat(keyStr, lit("|"),
-        col("l_quantity").cast("decimal(18,2)").cast("string"))
-      val a = s.table("lineitem")
-      val b = a.withColumn("l_quantity",
-        when(col("l_orderkey").isin(1L, 7L, 42L) && col("l_linenumber") === 1,
-          col("l_quantity") + 1.0).otherwise(col("l_quantity")))
-      Validations.merkleDiff(
-          Validations.merkleLeaves(a, keyStr, rowStr),
-          Validations.merkleLeaves(b, keyStr, rowStr))
-        .select(col("leaf").cast("long").as("leaf"),
-          col("a_xor"), col("b_xor"),
-          col("a_cnt").cast("long").as("a_cnt"),
-          col("b_cnt").cast("long").as("b_cnt"))
-        .orderBy("leaf")
+      val keyE = "concat(cast(l_orderkey as string), '|', cast(l_linenumber as string))"
+      val rowE = s"concat($keyE, '|', cast(cast(l_quantity as decimal(18,2)) as string))"
+      val cfg = graft.config.JobConfig.parse(
+        s"""{
+           |"jobName": "merkle_from_config",
+           |"inputs": [{"dataFrameName": "li", "format": "parquet",
+           |  "path": "$dir/lineitem.parquet"}],
+           |"transformations": [
+           |  {"functionName": "edited_twin", "outputDFName": "li_b",
+           |   "sqlQuery": "SELECT * EXCEPT (l_quantity), CASE WHEN l_orderkey IN (1, 7, 42) AND l_linenumber = 1 THEN l_quantity + 1.0 ELSE l_quantity END AS l_quantity FROM li"},
+           |  {"functionName": "merkleDiff", "outputDFName": "diff",
+           |   "options": {"input": "li", "against": "li_b",
+           |     "keyExpr": "$keyE", "rowExpr": "$rowE"}},
+           |  {"functionName": "project",
+           |   "sqlQuery": "SELECT CAST(leaf AS BIGINT) AS leaf, a_xor, b_xor, CAST(a_cnt AS BIGINT) AS a_cnt, CAST(b_cnt AS BIGINT) AS b_cnt FROM diff ORDER BY leaf",
+           |   "outputDFName": "diff_out", "countValidation": 1}]
+           |}""".stripMargin)
+      new graft.run.Orchestrator(s).run(cfg)
     }),
     // 2-level Merkle drill-down: localize the same 3 injected edits to
     // 1/65,536 key ranges (≤3 second-level leaves) — level 2 re-scans only
@@ -3214,15 +3236,32 @@ object SparkEntry {
     // fixed 20-bucket grid; per-bucket contributions quantized to decimal
     // so the reported PSI is an exact sum — the drift verdict can't flip
     // across partitionings or engines
-    "x90_psi_drift" -> ((s, dir) => {
+    // PSI drift driven from ONE JSON config: the two snapshots are SQL
+    // steps, the drift is a psiDrift functionName step. The former x90
+    // entry invoked Profiler.psiDrift directly — merged here in r13
+    // (x23→x25 template); the operator's decimal-exactness contract is
+    // unchanged, so the oracle carries over verbatim.
+    "etl_psi_config" -> ((s, dir) => {
       reg(s, dir)
-      val orders = s.table("orders")
-      val cut = lit("1998-01-01 00:00:00").cast("timestamp")
-      Profiler.psiDrift(
-          orders.filter(col("o_orderdate") < cut),
-          orders.filter(col("o_orderdate") >= cut),
-          "o_totalprice", nBuckets = 20, lo = 0.0, hi = 500000.0)
-        .orderBy("bucket")
+      val cfg = graft.config.JobConfig.parse(
+        s"""{
+           |"jobName": "psi_from_config",
+           |"inputs": [{"dataFrameName": "ord", "format": "parquet",
+           |  "path": "$dir/orders.parquet"}],
+           |"transformations": [
+           |  {"functionName": "pre_cut", "outputDFName": "pre",
+           |   "sqlQuery": "SELECT o_totalprice FROM ord WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"},
+           |  {"functionName": "post_cut", "outputDFName": "post",
+           |   "sqlQuery": "SELECT o_totalprice FROM ord WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"},
+           |  {"functionName": "psiDrift", "outputDFName": "drift",
+           |   "options": {"input": "pre", "against": "post",
+           |     "valueCol": "o_totalprice", "nBuckets": "20",
+           |     "lo": "0.0", "hi": "500000.0"}},
+           |  {"functionName": "project",
+           |   "sqlQuery": "SELECT * FROM drift ORDER BY bucket",
+           |   "outputDFName": "drift_out", "countValidation": 1}]
+           |}""".stripMargin)
+      new graft.run.Orchestrator(s).run(cfg)
     }),
     // πps weighted sampling: documents kept with probability ∝ n_chars
     // (token-mass-preserving corpus sampling); the inclusion test is
@@ -5205,7 +5244,9 @@ object SparkEntry {
     // the materialized layout changes the PHYSICAL plan only (partition
     // pruning at the scan instead of a post-assignment join filter); the
     // answer — and therefore the oracle — is x15's, verbatim
-    "x46_ivf_layout_topk" -> ivfProbeSql,
+    // the config-dispatched layout build + probe must land exactly where
+    // the direct invocation landed (former x46, merged r13)
+    "etl_ivf_config" -> ivfProbeSql,
     // incremental build writes the same logical table, so the same probe
     "x143_ivf_incremental" -> ivfProbeSql,
 
@@ -6939,7 +6980,7 @@ object SparkEntry {
       ORDER BY event_id""",
 
     // identical leaf bucketing, row hashes and XOR signatures in SQL
-    "x137_merkle_diff" -> s"""
+    "etl_merkle_config" -> s"""
       WITH a AS (
         SELECT CONCAT(CAST(l_orderkey AS VARCHAR), '|',
                       CAST(l_linenumber AS VARCHAR)) AS k,
@@ -10158,7 +10199,7 @@ object SparkEntry {
     // replays the fixed-grid bucketing (x36's arithmetic), add-one
     // smoothing, and the DECIMAL(18,8)-quantized PSI contributions; the
     // total is a sum of ≤20 exact decimals on both sides
-    "x90_psi_drift" -> """
+    "etl_psi_config" -> """
       WITH ba AS (
         SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) * 20.0 / 500000.0),
                                    0.0), 19.0) AS INT) AS bucket

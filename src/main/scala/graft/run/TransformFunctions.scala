@@ -3,7 +3,8 @@ package graft.run
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.config.TransformStep
-import graft.x.{Curation, Dedup, Sampling, TextAnalysis}
+import graft.operators.Validations
+import graft.x.{Curation, Dedup, Profiler, Sampling, Similarity, TextAnalysis}
 
 /** Config-surface dispatch for the engine's NAMED operators — closing the
   * `functionName` half of the reference's transformation step
@@ -91,7 +92,53 @@ object TransformFunctions {
         round(TextAnalysis.stopwordRatio(tc), 4).as("stopword_ratio"),
         round(TextAnalysis.punctRatio(tc), 4).as("punct_ratio"),
         TextAnalysis.qualityScore(tc).as("quality"))
-    })
+    }),
+    // similarity-store maintenance: the IVF lifecycle a live embedding
+    // store schedules — build the cell-partitioned layout, append a
+    // batch, probe it, rebuild under new centroids (x46/x143/x15's
+    // operators on the config surface). The store-mutating entries
+    // return a 1-row stats frame so `countValidation: 1` doubles as a
+    // did-it-run gate.
+    "ivfAssign" -> ((sp, t) => Similarity.assignToCentroids(in(sp, t),
+      view(sp, t, "centroids"), vecIdCol(t), centroidIdCol(t), vecCol(t))),
+    "ivfBuildLayout" -> ((sp, t) => {
+      Similarity.writeIvfLayout(in(sp, t), view(sp, t, "centroids"),
+        vecIdCol(t), centroidIdCol(t), vecCol(t), path(t))
+      layoutStats(sp, path(t))
+    }),
+    "ivfAppend" -> ((sp, t) => {
+      Similarity.appendToIvfLayout(in(sp, t), view(sp, t, "centroids"),
+        vecIdCol(t), centroidIdCol(t), vecCol(t), path(t))
+      layoutStats(sp, path(t))
+    }),
+    // `input` = the QUERY frame (the layout is addressed by path)
+    "ivfProbe" -> ((sp, t) => Similarity.ivfTopKFromLayout(sp, path(t),
+      in(sp, t), view(sp, t, "centroids"),
+      vecIdCol(t), str(t, "qIdCol", "q_id"), centroidIdCol(t), vecCol(t),
+      int(t, "k", 10), int(t, "nprobe", 3))),
+    "ivfRebuild" -> ((sp, t) => {
+      val (rows, cells) = Similarity.rebuildIvfLayout(sp, path(t),
+        view(sp, t, "centroids"), vecIdCol(t), centroidIdCol(t), vecCol(t))
+      sp.range(1).select(lit(rows).as("rows_rewritten"), lit(cells).as("cells"))
+    }),
+    // validation maintenance: Merkle anti-entropy and PSI drift between
+    // two bound frames (x137/x140/x90's operators on the config surface).
+    // keyExpr/rowExpr are SQL expressions evaluated against BOTH frames —
+    // the same caller contract as the Scala API (render doubles through
+    // DECIMAL; see Validations.merkleLeaves).
+    "merkleDiff" -> ((sp, t) => Validations.merkleDiff(
+      Validations.merkleLeaves(in(sp, t),
+        expr(req(t, "keyExpr")), expr(req(t, "rowExpr")), int(t, "fanout", 256)),
+      Validations.merkleLeaves(view(sp, t, "against"),
+        expr(req(t, "keyExpr")), expr(req(t, "rowExpr")), int(t, "fanout", 256)))),
+    "merkleDrill" -> ((sp, t) => Validations.merkleDrill(
+      in(sp, t), view(sp, t, "against"),
+      expr(req(t, "keyExpr")), expr(req(t, "rowExpr")),
+      int(t, "levels", 2), int(t, "fanout", 256),
+      int(t, "maxDrillPaths", 4096))),
+    "psiDrift" -> ((sp, t) => Profiler.psiDrift(in(sp, t),
+      view(sp, t, "against"), req(t, "valueCol"), int(t, "nBuckets", 20),
+      reqDbl(t, "lo"), reqDbl(t, "hi")))
   )
 
   def isRegistered(name: String): Boolean = registry.contains(name)
@@ -102,6 +149,7 @@ object TransformFunctions {
   private val curationKnobs = Set("minTokens", "minUniqRatio",
     "maxTopShare", "jaccardN", "jaccardThreshold")
   private val splitKnobs = Set("testFraction", "validationFraction")
+  private val ivfCommon = Set("centroids", "idCol", "centroidIdCol", "vecCol")
   val allowedOptions: Map[String, Set[String]] = Map(
     "curate" -> (common ++ curationKnobs ++ splitKnobs),
     "curationReport" -> (common ++ curationKnobs),
@@ -114,7 +162,16 @@ object TransformFunctions {
     "redactPii" -> Set("input", "textCol", "outputCol"),
     "textStats" -> common,
     "decontaminate" -> (common + "benchmark"),
-    "bloomDecontaminate" -> (common ++ Set("benchmark", "expectedItems", "fpp"))
+    "bloomDecontaminate" -> (common ++ Set("benchmark", "expectedItems", "fpp")),
+    "ivfAssign" -> (ivfCommon + "input"),
+    "ivfBuildLayout" -> (ivfCommon ++ Set("input", "path")),
+    "ivfAppend" -> (ivfCommon ++ Set("input", "path")),
+    "ivfProbe" -> (ivfCommon ++ Set("input", "path", "qIdCol", "k", "nprobe")),
+    "ivfRebuild" -> (ivfCommon + "path"), // no `input`: the store IS the input
+    "merkleDiff" -> Set("input", "against", "keyExpr", "rowExpr", "fanout"),
+    "merkleDrill" -> Set("input", "against", "keyExpr", "rowExpr",
+      "fanout", "levels", "maxDrillPaths"),
+    "psiDrift" -> Set("input", "against", "valueCol", "nBuckets", "lo", "hi")
   )
 
   /** Run a registered function for a transformation step; loud error
@@ -145,8 +202,27 @@ object TransformFunctions {
     view(spark, t, "input")
   private def str(t: TransformStep, k: String, d: String): String =
     t.options.getOrElse(k, d)
+  private def req(t: TransformStep, k: String): String =
+    t.options.getOrElse(k, sys.error(
+      s"functionName step '${t.functionName}' needs options.$k"))
   private def textCol(t: TransformStep): String = str(t, "textCol", "text")
   private def idCol(t: TransformStep): String = str(t, "idCol", "doc_id")
+  private def vecIdCol(t: TransformStep): String = str(t, "idCol", "vec_id")
+  private def centroidIdCol(t: TransformStep): String =
+    str(t, "centroidIdCol", "centroid_id")
+  private def vecCol(t: TransformStep): String = str(t, "vecCol", "embedding")
+  private def path(t: TransformStep): String = req(t, "path")
+  private def reqDbl(t: TransformStep, k: String): Double =
+    try req(t, k).trim.toDouble catch {
+      case _: NumberFormatException => sys.error(
+        s"functionName step '${t.functionName}': options.$k is not a number")
+    }
+  /** 1-row (rows, cells) census of a cell-partitioned layout — the
+    * store-mutating IVF steps' output frame (scans footers only at the
+    * count level; cheap relative to the write it audits). */
+  private def layoutStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .agg(count(lit(1)).as("rows"), countDistinct(col("cell")).as("cells"))
   private def num[A](t: TransformStep, k: String, d: A, parse: String => A): A =
     t.options.get(k).map(v => try parse(v.trim) catch {
       case _: NumberFormatException => sys.error(

@@ -276,6 +276,82 @@ class OrchestratorSpec extends AnyFunSuite {
       "shuffle-free source re-reference must not flag")
   }
 
+  test("similarity-maintenance and validation registry entries dispatch " +
+      "correctly and reject bad options loudly") {
+    import org.apache.spark.sql.functions.col
+    import graft.config.TransformStep
+    import graft.run.TransformFunctions
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.createOrReplaceTempView("tf_emb")
+    emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+      .createOrReplaceTempView("tf_cents")
+    emb.filter(col("vec_id") >= 4 && col("vec_id") < 9)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+      .createOrReplaceTempView("tf_cents2")
+    emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+      .createOrReplaceTempView("tf_qs")
+    val layout = tmpDir() + "/emb_by_cell"
+    def step(fn: String, opts: (String, String)*) = TransformStep(
+      functionName = fn, sqlQuery = "", outputDFName = fn + "_out",
+      countValidation = None, options = opts.toMap)
+
+    // build → stats frame reflects the written store
+    val built = TransformFunctions.dispatch(spark,
+      step("ivfBuildLayout", "input" -> "tf_emb", "centroids" -> "tf_cents",
+        "path" -> layout)).head()
+    val n = emb.count()
+    assert(built.getAs[Long]("rows") == n && built.getAs[Long]("cells") == 4)
+    // rebuild under NEW centroids: every row rewritten, new geometry
+    val rebuilt = TransformFunctions.dispatch(spark,
+      step("ivfRebuild", "centroids" -> "tf_cents2", "path" -> layout)).head()
+    assert(rebuilt.getAs[Long]("rows_rewritten") == n)
+    assert(rebuilt.getAs[Long]("cells") == 5)
+    // probe the rebuilt store ≡ the inline ivfTopK under the same geometry
+    val probed = TransformFunctions.dispatch(spark,
+      step("ivfProbe", "input" -> "tf_qs", "centroids" -> "tf_cents2",
+        "path" -> layout, "k" -> "5", "nprobe" -> "2"))
+      .orderBy("q_id", "rank").collect().toSeq
+    val inline = graft.x.Similarity.ivfTopK(emb,
+        spark.table("tf_qs"), spark.table("tf_cents2"),
+        "vec_id", "q_id", "centroid_id", "embedding", k = 5, nprobe = 2)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(probed == inline, "config-dispatched probe diverged from inline ivfTopK")
+
+    // merkleDiff through the registry ≡ the direct Validations call
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("tf_a")
+    spark.sql("SELECT n_nationkey, CASE WHEN n_nationkey = 3 THEN 'EDITED' " +
+      "ELSE n_name END AS n_name FROM tf_a").createOrReplaceTempView("tf_b")
+    val viaCfg = TransformFunctions.dispatch(spark,
+      step("merkleDiff", "input" -> "tf_a", "against" -> "tf_b",
+        "keyExpr" -> "cast(n_nationkey as string)",
+        "rowExpr" -> "concat(cast(n_nationkey as string), '|', n_name)"))
+      .orderBy("leaf").collect().toSeq
+    import org.apache.spark.sql.functions.{concat, lit}
+    val k = col("n_nationkey").cast("string")
+    val direct = graft.operators.Validations.merkleDiff(
+        graft.operators.Validations.merkleLeaves(
+          spark.table("tf_a").select("n_nationkey", "n_name"),
+          k, concat(k, lit("|"), col("n_name"))),
+        graft.operators.Validations.merkleLeaves(
+          spark.table("tf_b"), k, concat(k, lit("|"), col("n_name"))))
+      .orderBy("leaf").collect().toSeq
+    assert(viaCfg == direct && viaCfg.nonEmpty)
+
+    // a typo'd knob must fail naming the accepted keys, not run a default
+    val typo = intercept[RuntimeException](TransformFunctions.dispatch(spark,
+      step("psiDrift", "input" -> "tf_a", "against" -> "tf_b",
+        "valueCol" -> "n_nationkey", "lo" -> "0", "hi" -> "30",
+        "nbuckets" -> "10")))
+    assert(typo.getMessage.contains("unknown options nbuckets"), typo.getMessage)
+    // a missing required knob must fail loudly, not silently default
+    val missing = intercept[RuntimeException](TransformFunctions.dispatch(spark,
+      step("psiDrift", "input" -> "tf_a", "against" -> "tf_b",
+        "valueCol" -> "n_nationkey", "lo" -> "0")))
+    assert(missing.getMessage.contains("needs options.hi"), missing.getMessage)
+  }
+
   test("pipeline step retries then surfaces the failure") {
     val bad = JobConfig.parse(
       """{"jobName": "boom",
