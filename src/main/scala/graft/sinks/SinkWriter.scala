@@ -251,11 +251,21 @@ object SinkWriter {
     * others missing — unlike the non-partitioned path's single-directory
     * swap there is no one-rename atomicity at this granularity. Recovery
     * is a re-run from the durable `scdStagingPath` scratch (the merge
-    * survives, and SCD2 re-merge is idempotent); deployments needing an
-    * atomic multi-partition commit front the dimension with a
-    * versioned-manifest table (PLANS.md "Store concurrency contracts"). */
+    * survives, and SCD2 re-merge is idempotent). With option
+    * `scdVersioned=true` the dimension is fronted by a
+    * [[graft.sources.VersionedParquet]] manifest instead: the touched
+    * partitions commit in ONE atomic manifest rename (all-old or all-new,
+    * never mixed — asserted by Scd2PartitionedSpec's crash injection), a
+    * crash leaves only an unreferenced data dir, and no merge
+    * materialization is needed at all (a versioned write never overwrites
+    * the files its own lineage reads). Versioned dimensions are READ via
+    * `VersionedParquet.read(path)`, not a raw directory scan. */
   def scd2InsertPartitioned(spark: SparkSession, staged: DataFrame, sink: SinkSpec,
-      nBuckets: Int): Unit = {
+      nBuckets: Int, midCommitHook: () => Unit = () => ()): Unit = {
+    if (sink.options.get("scdVersioned").exists(_.equalsIgnoreCase("true"))) {
+      scd2InsertPartitionedVersioned(spark, staged, sink, nBuckets, midCommitHook)
+      return
+    }
     val path = sink.path.getOrElse(sys.error("scd2 sink needs path"))
     val batchTs = java.sql.Timestamp.from(java.time.Instant.now())
     val keys = sink.scdKeys
@@ -286,6 +296,38 @@ object SinkWriter {
       }
       pathStaging.foreach(_.cleanup()) // only after the overwrite commits
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
+
+  /** The `scdVersioned=true` branch of [[scd2InsertPartitioned]]: same
+    * bucketing, same partition-pruned merge, but the store is a
+    * [[graft.sources.VersionedParquet]] table — the rewrite of the
+    * touched buckets publishes as ONE manifest rename, so a reader (or a
+    * crash) can never observe some buckets at the new version and others
+    * at the old. The merge needs no materialization seam here: the write
+    * targets a fresh immutable data dir, never the files its lineage
+    * reads. */
+  private def scd2InsertPartitionedVersioned(spark: SparkSession,
+      staged: DataFrame, sink: SinkSpec, nBuckets: Int,
+      midCommitHook: () => Unit): Unit = {
+    import graft.sources.VersionedParquet
+    val path = sink.path.getOrElse(sys.error("scd2 sink needs path"))
+    val batchTs = java.sql.Timestamp.from(java.time.Instant.now())
+    val keys = sink.scdKeys
+    val bucket = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+    val stagedB = staged.withColumn("scd_bucket", bucket)
+    if (VersionedParquet.versions(path).isEmpty) {
+      VersionedParquet.writePartitioned(
+        Scd2.initialize(stagedB, batchTs), path, "scd_bucket")
+    } else {
+      val touched = stagedB.select("scd_bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val dimTouched = VersionedParquet.readPartitions(
+        spark, path, touched.map(_.toString))
+      val merged = Scd2.merge(dimTouched, stagedB, keys,
+        sink.scdTrackedCols, batchTs)
+      VersionedParquet.overwritePartitions(merged, path, "scd_bucket",
+        touched.map(_.toString), midCommitHook)
+    }
   }
 
   /** W10 multi-sink fan-out (spark.json:69-96): persist once, write N times. */

@@ -192,6 +192,110 @@ object VersionedParquet {
       case "append" | "overwrite" =>
       case m => sys.error(s"versioned table supports append|overwrite, got '$m'")
     }
+    commitVersion(path, meta,
+      stage = dataDir => {
+        df.write.mode("errorifexists").parquet(dataDir)
+        graft.util.Fs.list(Paths.get(dataDir))
+          .map(_.toString).filter(_.endsWith(".parquet"))
+      },
+      carried = prev =>
+        if (mode.equalsIgnoreCase("append"))
+          prev.map(manifestFiles(path, _)).getOrElse(Nil)
+        else Nil)
+  }
+
+  /** Directory name partition-scoped commits key file attribution on: the
+    * partition value rides in the PATH (manifest-level pruning) while the
+    * original column stays IN the data files — readers of explicit file
+    * lists never lose it to hive-partition stripping. */
+  private val PartDir = "__part"
+
+  private def partSeg(v: String) = s"/$PartDir=$v/"
+
+  /** Full-overwrite commit in the partition-scoped layout — the
+    * initialization sibling of [[overwritePartitions]] (every later
+    * partial commit requires the table's files to carry the partition
+    * path segment this writes). `partitionCol` values must be
+    * directory-safe (ints or simple strings). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    commitVersion(path, Map.empty,
+      stage = dataDir => {
+        df.withColumn(PartDir, col(partitionCol))
+          .write.mode("errorifexists").partitionBy(PartDir).parquet(dataDir)
+        listDataFiles(dataDir)
+      },
+      carried = _ => Nil)
+  }
+
+  /** ATOMIC multi-partition overwrite: commit a new version whose
+    * manifest replaces only the files under `partitionCol = v` for v in
+    * `touched`, carrying every other partition's files forward verbatim.
+    * ONE manifest rename publishes all touched partitions together — a
+    * reader sees the whole commit or none of it, closing the
+    * mixed-version window Spark's dynamic partition overwrite leaves on
+    * a crash mid-commit (the [[graft.sinks.SinkWriter.scd2InsertPartitioned]]
+    * crash contract). A crash anywhere before the rename leaves only an
+    * unreferenced data dir; re-running the operation converges.
+    *
+    * Requires the table to have been written partition-scoped
+    * ([[writePartitioned]] / this method): a carried file without the
+    * partition path segment cannot be attributed to a partition, so the
+    * commit fails loudly rather than guessing. `midCommitHook` is the
+    * crash-injection seam ([[graft.x.Similarity.rebuildIvfLayout]]'s
+    * `midRebuildHook` pattern): fired after the data write, before the
+    * manifest publish. */
+  def overwritePartitions(df: DataFrame, path: String, partitionCol: String,
+      touched: Seq[String], midCommitHook: () => Unit = () => ()): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(touched.nonEmpty, "overwritePartitions needs at least one touched partition")
+    commitVersion(path, Map.empty,
+      stage = dataDir => {
+        df.withColumn(PartDir, col(partitionCol))
+          .write.mode("errorifexists").partitionBy(PartDir).parquet(dataDir)
+        listDataFiles(dataDir)
+      },
+      carried = prev => {
+        val prevFiles = prev.map(manifestFiles(path, _)).getOrElse(Nil)
+        prevFiles.foreach(f => require(f.contains(s"/$PartDir="),
+          s"overwritePartitions($path): carried file $f has no $PartDir= " +
+            "segment — the table was not written partition-scoped " +
+            "(initialize with writePartitioned)"))
+        prevFiles.filterNot(f => touched.exists(t => f.contains(partSeg(t))))
+      },
+      midCommitHook = midCommitHook)
+  }
+
+  /** Snapshot read of ONLY the partitions holding `touched` values —
+    * manifest-level pruning: non-touched partitions' files are filtered
+    * from the file list driver-side, never opened. Empty result (schema
+    * from the full snapshot) when no touched partition exists yet. */
+  def readPartitions(spark: SparkSession, path: String, touched: Seq[String],
+      version: Option[Long] = None): DataFrame = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"no committed versions under $path")
+    val v = version.getOrElse(vs.max)
+    val files = manifestFiles(path, v)
+      .filter(f => touched.exists(t => f.contains(partSeg(t))))
+    if (files.isEmpty) read(spark, path, Some(v)).limit(0)
+    else spark.read.parquet(files: _*)
+  }
+
+  /** All parquet data files under a (possibly partition-subdivided)
+    * freshly-staged data dir. */
+  private def listDataFiles(dataDir: String): Seq[String] =
+    graft.util.Fs.walk(Paths.get(dataDir))
+      .map(_.toString).filter(_.endsWith(".parquet"))
+
+  /** The shared commit protocol: claim a version number via the atomic
+    * `.lock` create, stage the data dir, build the manifest from
+    * `carried(prevVersion) ++ staged files`, publish with one atomic
+    * rename. All writer entry points route here so the concurrency
+    * contract (scaladoc on [[write]]) is enforced once. */
+  private def commitVersion(path: String, meta: Map[String, String],
+      stage: String => Seq[String],
+      carried: Option[Long] => Seq[String],
+      midCommitHook: () => Unit = () => ()): Unit = {
     Files.createDirectories(logDir(path))
     var next = versions(path).lastOption.getOrElse(-1L) + 1
     var lock: java.nio.file.Path = null
@@ -204,21 +308,17 @@ object VersionedParquet {
     }
     try {
       val dataDir = s"$path/data/v$next-${java.util.UUID.randomUUID().toString.take(8)}"
-      df.write.mode("errorifexists").parquet(dataDir)
-      val newFiles = graft.util.Fs.list(Paths.get(dataDir))
-        .map(_.toString).filter(f => f.endsWith(".parquet"))
-      val carried =
-        if (mode.equalsIgnoreCase("append"))
-          versions(path).filter(_ < next).lastOption.map(manifestFiles(path, _)).getOrElse(Nil)
-        else Nil
+      val newFiles = stage(dataDir)
+      val carry = carried(versions(path).filter(_ < next).lastOption)
       def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       val metaJson =
         if (meta.isEmpty) ""
         else meta.toSeq.sorted.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
           .mkString(""", "meta": {""", ",", "}")
-      val manifest = (carried ++ newFiles)
+      val manifest = (carry ++ newFiles)
         .map(f => "\"" + esc(f) + "\"")
         .mkString("""{"version": """ + next + """, "files": [""", ",", "]" + metaJson + "}")
+      midCommitHook()
       val staged = Files.createTempFile(logDir(path), s".$next", ".staging")
       Files.writeString(staged, manifest)
       Files.move(staged, logDir(path).resolve(s"$next.json"), StandardCopyOption.ATOMIC_MOVE)

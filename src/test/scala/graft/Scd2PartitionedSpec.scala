@@ -74,6 +74,69 @@ class Scd2PartitionedSpec extends AnyFunSuite {
       "staged merge scratch must be cleaned up after the overwrite commits")
   }
 
+  test("scdVersioned: a crash mid-commit leaves ALL partitions old; the " +
+      "published commit flips ALL touched partitions at once — never mixed") {
+    import graft.sources.VersionedParquet
+    val path = Files.createTempDirectory("graft-scdv").toString + "/dim"
+    val sink = SinkSpec("dim", loadType = "scdType2Insert", format = "parquet",
+      path = Some(path), scdKeys = Seq("id"), scdTrackedCols = Seq("v"),
+      options = Map("scdBuckets" -> "8", "scdVersioned" -> "true"))
+    val b1 = (1L to 200L).map(k => (k, s"v$k")).toDF("id", "v")
+    SinkWriter.write(spark, b1, sink)
+    val dim1 = VersionedParquet.read(spark, path)
+    assert(dim1.count() == 200 && dim1.filter($"is_current").count() == 200)
+
+    // batch 2 touches MANY buckets (every 10th key changes), then the
+    // process dies after the data write, before the manifest publish
+    val b2 = (1L to 200L).filter(_ % 10 == 0)
+      .map(k => (k, s"CHANGED$k")).toDF("id", "v")
+    val boom = intercept[RuntimeException] {
+      SinkWriter.scd2InsertPartitioned(spark, b2, sink, nBuckets = 8,
+        midCommitHook = () => throw new RuntimeException("injected crash"))
+    }
+    assert(boom.getMessage == "injected crash")
+    // every partition still reads at the OLD version — no mixed state
+    val afterCrash = VersionedParquet.read(spark, path)
+    assert(afterCrash.count() == 200, "crash mid-commit must publish nothing")
+    assert(afterCrash.filter($"v".startsWith("CHANGED")).count() == 0,
+      "no partition may show the new version before the manifest lands")
+
+    // the re-run converges: ONE commit flips every touched bucket together
+    SinkWriter.write(spark, b2, sink)
+    val healed = VersionedParquet.read(spark, path)
+    assert(healed.count() == 220) // 200 current + 20 closed versions
+    assert(healed.filter($"is_current" && $"v".startsWith("CHANGED")).count() == 20)
+    assert(healed.filter($"is_current").count() == 200)
+    // untouched keys' history is intact (carried files, not rewritten)
+    assert(healed.filter($"id" === 7).count() == 1)
+    // version history: init, the (only) successful merge — the crashed
+    // attempt never became a version, only an unreferenced data dir
+    assert(VersionedParquet.versions(path).size == 2,
+      s"got versions ${VersionedParquet.versions(path)}")
+    // time travel still sees the pre-merge snapshot whole
+    val v0 = VersionedParquet.read(spark, path,
+      Some(VersionedParquet.versions(path).min))
+    assert(v0.count() == 200 && v0.filter($"v".startsWith("CHANGED")).count() == 0)
+  }
+
+  test("scdVersioned merge content matches the dynamic-overwrite path") {
+    import graft.sources.VersionedParquet
+    val pV = Files.createTempDirectory("graft-scdv-a").toString + "/dim"
+    val pD = Files.createTempDirectory("graft-scdv-b").toString + "/dim"
+    val mk = (p: String, opts: Map[String, String]) => SinkSpec("dim",
+      loadType = "scdType2Insert", format = "parquet", path = Some(p),
+      scdKeys = Seq("id"), scdTrackedCols = Seq("v"), options = opts)
+    val b1 = (1L to 50L).map(k => (k, s"v$k")).toDF("id", "v")
+    val b2 = (1L to 60L).map(k => (k, if (k % 5 == 0) s"w$k" else s"v$k")).toDF("id", "v")
+    SinkWriter.write(spark, b1, mk(pV, Map("scdBuckets" -> "4", "scdVersioned" -> "true")))
+    SinkWriter.write(spark, b2, mk(pV, Map("scdBuckets" -> "4", "scdVersioned" -> "true")))
+    SinkWriter.write(spark, b1, mk(pD, Map("scdBuckets" -> "4")))
+    SinkWriter.write(spark, b2, mk(pD, Map("scdBuckets" -> "4")))
+    val a = VersionedParquet.read(spark, pV).select("id", "v", "is_current")
+    val b = spark.read.parquet(pD).select("id", "v", "is_current")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("partitioned and unpartitioned SCD2 agree on the merged content") {
     val p1 = Files.createTempDirectory("graft-scdp1").toString + "/dim"
     val p2 = Files.createTempDirectory("graft-scdp2").toString + "/dim"
