@@ -3,7 +3,11 @@
 (writes <out>/<name>/ parquet + oracle_sql.json), then this script replays
 each oracle SQL in DuckDB over the same fixture dir and diffs values.
 
-Usage: python3 dev/compare.py <sfDir> <verifyOutDir> [query...]
+Usage: python3 dev/compare.py <sfDir> <verifyOutDir> [--json summary.json] [query...]
+
+--json writes a machine-readable per-query summary (the shape the round's
+CORRECTNESS_SELF artifact commits, so a round is self-evidencing even when
+the driver's own correctness artifact comes back empty).
 """
 import sys, json, glob, os
 import duckdb
@@ -18,12 +22,19 @@ def norm(df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    rest = sys.argv[3:]
+    json_out = None
+    if "--json" in rest:
+        i = rest.index("--json")
+        json_out = rest[i + 1]
+        rest = rest[:i] + rest[i + 2:]
+    only = set(rest)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_ok = n_bad = n_rowsonly = 0
+    statuses = {}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -32,22 +43,23 @@ def main():
             continue
         files = glob.glob(d + "/*.parquet")
         if not files:
-            print(f"{name}: NO OUTPUT"); n_bad += 1; continue
+            print(f"{name}: NO OUTPUT"); n_bad += 1; statuses[name] = "no_output"; continue
         got = con.sql(f"SELECT * FROM '{files[0]}'").df()
         if name not in oracle:
             print(f"{name}: rows-only ({len(got)} rows)"); n_rowsonly += 1
+            statuses[name] = "rows_only" if len(got) else "rows_only_EMPTY"
             if len(got) == 0: print(f"  !! EMPTY")
             continue
         try:
             exp = con.sql(oracle[name]).df()
         except Exception as e:
-            print(f"{name}: ORACLE SQL ERROR: {e}"); n_bad += 1; continue
+            print(f"{name}: ORACLE SQL ERROR: {e}"); n_bad += 1; statuses[name] = "oracle_error"; continue
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             print(f"{name}: COLUMN MISMATCH got={list(g.columns)} exp={list(e.columns)}")
-            n_bad += 1; continue
+            n_bad += 1; statuses[name] = "column_mismatch"; continue
         if len(g) != len(e):
-            print(f"{name}: ROWCOUNT got={len(g)} exp={len(e)}"); n_bad += 1; continue
+            print(f"{name}: ROWCOUNT got={len(g)} exp={len(e)}"); n_bad += 1; statuses[name] = "rowcount_mismatch"; continue
         diffs = []
         for c in g.columns:
             a, b = g[c], e[c]
@@ -64,10 +76,18 @@ def main():
                 print("   got:", g[mask].head(3).to_dict("records"))
                 print("   exp:", e[mask].head(3).to_dict("records"))
             n_bad += 1
+            statuses[name] = "value_diff"
         else:
             print(f"{name}: OK ({len(g)} rows, {len(g.columns)} cols)")
             n_ok += 1
+            statuses[name] = "ok"
     print(f"\n== {n_ok} ok, {n_bad} bad, {n_rowsonly} rows-only ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"ok": n_ok, "bad": n_bad, "rows_only": n_rowsonly,
+                       "nqueries": len(statuses), "sf_dir": sf_dir,
+                       "queries": statuses}, f, indent=0, sort_keys=True)
+            f.write("\n")
     sys.exit(1 if n_bad else 0)
 
 main()

@@ -159,8 +159,40 @@ object Bench {
       s"\"" + n + s"\":[$c1,$c2,$lc1,$lc2,$sc1,$sc2]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Genuine-drift detector (r13): diff each query's kept time against
+    // the PREVIOUS round's committed bench.json (read before this run
+    // overwrites it). A query is flagged only when its kept time rose
+    // >1.5x AND its kept attempt ran essentially steal-free — so the
+    // block names x4-class regressions (real or host-regime drift)
+    // directly, instead of leaving round-over-round diffs to start from
+    // steal-contaminated raw totals. Entries: name -> [now, before,
+    // keptSteal]. Baseline unreadable → empty block, never a failure.
+    val baseline: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench.json"))
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p)).get("queries")
+        if (node == null) Map.empty
+        else {
+          val it = node.properties().iterator()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0) }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+    val regressions = results.flatMap { case (k, best, _, _, _, _, _, _, ks) =>
+      baseline.get(k) match {
+        case Some(before) if before > 0 && best > before * 1.5 &&
+            ks >= 0 && ks < 0.2 =>
+          Some(s"\"" + k + s"\":[$best,$before,$ks]")
+        case _ => None
+      }
+    }.mkString("{", ",", "}")
     val perQueryLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"best_of_2_swept_tail","clean_total":$cleanTotal,"clean_n":$cleanN,"queries":$qs,"keptSteal":$kept,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"best_of_2_swept_tail","clean_total":$cleanTotal,"clean_n":$cleanN,"regressions":$regressions,"queries":$qs,"keptSteal":$kept,"sf":"$sfDir"}"""
     println(perQueryLine)
     // The driver captures only the TAIL of stdout; with ~290 queries the
     // line above exceeds that window and the leading total is lost. Emit a
