@@ -40,6 +40,24 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Executor task-CPU accounting (r13, shared rationale with
+    // tools/TimeQueries): hypervisor steal stretches WALL time but not
+    // CPU consumed, so each kept attempt's CPU seconds is the
+    // steal-immune adjudication signal — a real per-row regression shows
+    // up in CPU, pure steal does not. Listener events are async; the
+    // settle poll attributes every task to its rep before the next starts.
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) cpuNanos.addAndGet(m.executorCpuTime)
+      }
+    })
+    def settledCpu(): Long = {
+      var prev = -1L; var cur = cpuNanos.get()
+      while (cur != prev) { Thread.sleep(50); prev = cur; cur = cpuNanos.get() }
+      cur
+    }
     // Warm the session (codegen compiler, shuffle machinery, parquet reader)
     // so the first measured query doesn't absorb ~6s of JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -53,11 +71,13 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // One timed execution: (seconds or -1 on failure, load average at
-    // start, hypervisor steal seconds DURING the attempt). The cache
-    // clear after each query drops any persisted frames a query left
-    // behind so later queries aren't taxed by someone else's cache.
-    def once(name: String): (Double, Double, Double) = {
+    // start, hypervisor steal seconds DURING the attempt, executor task
+    // CPU seconds DURING it). The cache clear after each query drops any
+    // persisted frames a query left behind so later queries aren't taxed
+    // by someone else's cache.
+    def once(name: String): (Double, Double, Double, Double) = {
       val la = loadAvg()
+      val c0 = settledCpu()
       val st0 = stealSec()
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -66,6 +86,7 @@ object Bench {
       val st = stealSec()
       val stolen = if (st0 < 0 || st < 0) -1.0
         else math.round((st - st0) * 100) / 100.0
+      val cpu = math.round((settledCpu() - c0) / 1e7) / 100.0
       spark.catalog.clearCache()
       // clearCache drops SQL-cached relations but NOT localCheckpoint
       // blocks (Staging.LocalCheckpoint is eager and registers in the
@@ -76,7 +97,7 @@ object Bench {
       // each query's staged blocks as soon as its timing is recorded.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      (if (ok) dt else -1.0, la, stolen)
+      (if (ok) dt else -1.0, la, stolen, cpu)
     }
     // Sweep A: every query once, sorted order. Sweep B: every query again.
     // No result reuse between sweeps — the cache clear means both runs
@@ -86,7 +107,7 @@ object Bench {
     val passA = names.map(n => n -> once(n)).toMap
     val passB = names.map { n =>
       // don't burn a second sweep on a query whose first run failed
-      n -> (if (passA(n)._1 < 0) (-1.0, -1.0, -1.0) else once(n))
+      n -> (if (passA(n)._1 < 0) (-1.0, -1.0, -1.0, -1.0) else once(n))
     }.toMap
     // Tail re-sweep: the swept best-of-2 is a noisy steady-state
     // estimator exactly for the HEAVY queries, for two measured reasons.
@@ -118,28 +139,33 @@ object Bench {
     // contamination by construction, no human raw-tag audit needed.
     val stealCleanMax = 0.5 // cpu-s of steal tolerated in a kept attempt
     val results = names.map { n =>
-      val (a, la, sa) = passA(n); val (b, lb, sb) = passB(n)
-      // every valid attempt with its steal tag, in execution order; the
-      // kept attempt is the fastest (ties → earliest), exactly the value
-      // the old best-of-2+tail logic summed: a failed FIRST run records
-      // -1 (broken query; B and the tail are skipped), a failed RERUN
-      // leaves A as the only candidate but stays visible in "raw" below
-      val cands = (Seq((a, sa), (b, sb)) ++ passC(n).map(t => (t._1, t._3)))
-        .filter(_._1 >= 0)
-      val (best, keptSteal) =
-        if (cands.isEmpty) (-1.0, -1.0) else cands.minBy(_._1)
-      (n, best, a, b, la, lb, sa, sb, keptSteal)
+      val (a, la, sa, ca) = passA(n); val (b, lb, sb, cb) = passB(n)
+      // every valid attempt with its steal + cpu tags, in execution
+      // order; the kept attempt is the fastest (ties → earliest), exactly
+      // the value the old best-of-2+tail logic summed: a failed FIRST run
+      // records -1 (broken query; B and the tail are skipped), a failed
+      // RERUN leaves A as the only candidate but stays visible in "raw"
+      val cands = (Seq((a, sa, ca), (b, sb, cb)) ++
+        passC(n).map(t => (t._1, t._3, t._4))).filter(_._1 >= 0)
+      val (best, keptSteal, keptCpu) =
+        if (cands.isEmpty) (-1.0, -1.0, -1.0) else cands.minBy(_._1)
+      (n, best, a, b, la, lb, sa, sb, keptSteal, keptCpu)
     }
-    val qs = results.map { case (k, v, _, _, _, _, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // steal during each query's KEPT attempt (-1 = metric unavailable);
     // the per-query companion of clean_total
-    val kept = results.map { case (k, _, _, _, _, _, _, _, ks) =>
+    val kept = results.map { case (k, _, _, _, _, _, _, _, ks, _) =>
       s"\"" + k + s"\":$ks"
+    }.mkString("{", ",", "}")
+    // executor task-CPU seconds during each query's KEPT attempt — the
+    // steal-immune round-over-round comparator (see the listener note)
+    val keptCpuJson = results.map { case (k, _, _, _, _, _, _, _, _, kc) =>
+      s"\"" + k + s"\":$kc"
     }.mkString("{", ",", "}")
     // a kept attempt with unreadable steal (-1) counts as clean — on
     // hosts without the metric clean_total degrades to total, never to 0
-    val cleanRows = results.filter { case (_, best, _, _, _, _, _, _, ks) =>
+    val cleanRows = results.filter { case (_, best, _, _, _, _, _, _, ks, _) =>
       best >= 0 && (ks < 0 || ks <= stealCleanMax)
     }
     val cleanTotal = math.round(cleanRows.map(_._2).sum * 1000) / 1000.0
@@ -148,14 +174,14 @@ object Bench {
     // average at its start AND the hypervisor steal seconds accrued
     // during it ([secA, secB, loadA, loadB, stealA, stealB]) — a blown
     // timing with large steal is host contamination, not a regression
-    val raw = results.map { case (k, _, a, b, la, lb, sa, sb, _) =>
+    val raw = results.map { case (k, _, a, b, la, lb, sa, sb, _, _) =>
       s"\"" + k + s"\":[$a,$b,$la,$lb,$sa,$sb]"
     }.mkString("{", ",", "}")
     // back-to-back pair timings for the slow tail ([sec1, sec2, load1,
     // load2, steal1, steal2]; only queries whose swept best-of-2
     // exceeded the tail threshold appear)
     val tail = names.filter(n => passC(n).nonEmpty).map { n =>
-      val Seq((c1, lc1, sc1), (c2, lc2, sc2)) = passC(n)
+      val Seq((c1, lc1, sc1, _), (c2, lc2, sc2, _)) = passC(n)
       s"\"" + n + s"\":[$c1,$c2,$lc1,$lc2,$sc1,$sc2]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -172,9 +198,13 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench.json"))
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(java.nio.file.Files.readString(p)).get("queries")
-        if (node == null) Map.empty
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p))
+        val node = root.get("queries")
+        // a baseline recorded at a different SF is not comparable —
+        // flagging against it would tag every query as drifted
+        val sameSf = Option(root.get("sf")).exists(_.asText() == sfDir)
+        if (node == null || !sameSf) Map.empty
         else {
           val it = node.properties().iterator()
           val b = Map.newBuilder[String, Double]
@@ -183,7 +213,7 @@ object Bench {
         }
       }
     } catch { case _: Throwable => Map.empty }
-    val regressions = results.flatMap { case (k, best, _, _, _, _, _, _, ks) =>
+    val regressions = results.flatMap { case (k, best, _, _, _, _, _, _, ks, _) =>
       baseline.get(k) match {
         case Some(before) if before > 0 && best > before * 1.5 &&
             ks >= 0 && ks < 0.2 =>
@@ -192,7 +222,7 @@ object Bench {
       }
     }.mkString("{", ",", "}")
     val perQueryLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"best_of_2_swept_tail","clean_total":$cleanTotal,"clean_n":$cleanN,"regressions":$regressions,"queries":$qs,"keptSteal":$kept,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"best_of_2_swept_tail","clean_total":$cleanTotal,"clean_n":$cleanN,"regressions":$regressions,"queries":$qs,"keptSteal":$kept,"keptCpu":$keptCpuJson,"sf":"$sfDir"}"""
     println(perQueryLine)
     // The driver captures only the TAIL of stdout; with ~290 queries the
     // line above exceeds that window and the leading total is lost. Emit a
