@@ -145,7 +145,18 @@ object VersionedParquet {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val vs = versions(path)
     require(vs.nonEmpty, s"no committed versions under $path")
-    if (manifestFiles(path, vs.max).size <= targetFiles) return
+    val snapshot = manifestFiles(path, vs.max)
+    // a partition-scoped table's layout invariant (every file attributable
+    // to its partition via the path segment) would be silently destroyed
+    // by this whole-snapshot rewrite — the breakage would only surface at
+    // the NEXT overwritePartitions. Refuse up front instead; per-partition
+    // file counts are already bounded (each partial commit fully rewrites
+    // its touched partitions) and history reclamation is vacuum's job.
+    require(!snapshot.exists(_.contains(s"/$PartDir=")),
+      s"compact($path): partition-scoped table (files carry $PartDir= " +
+        "segments) — whole-snapshot compaction would break partition " +
+        "attribution for overwritePartitions; vacuum old versions instead")
+    if (snapshot.size <= targetFiles) return
     write(read(spark, path).repartition(targetFiles), path, "overwrite",
       commitMeta(path, vs.max))
   }

@@ -137,6 +137,25 @@ class Scd2PartitionedSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("whole-snapshot compact refuses a partition-scoped table") {
+    import graft.sources.VersionedParquet
+    val path = Files.createTempDirectory("graft-scdv-c").toString + "/dim"
+    val sink = SinkSpec("dim", loadType = "scdType2Insert", format = "parquet",
+      path = Some(path), scdKeys = Seq("id"), scdTrackedCols = Seq("v"),
+      options = Map("scdBuckets" -> "4", "scdVersioned" -> "true"))
+    SinkWriter.write(spark, (1L to 40L).map(k => (k, s"v$k")).toDF("id", "v"), sink)
+    // compacting would rewrite the snapshot into the flat layout and break
+    // partition attribution for the NEXT partial commit — must refuse now
+    val e = intercept[IllegalArgumentException](
+      VersionedParquet.compact(spark, path, targetFiles = 1))
+    assert(e.getMessage.contains("partition-scoped"), e.getMessage)
+    // the table is untouched and still merges fine afterwards
+    SinkWriter.write(spark, Seq((3L, "CHANGED")).toDF("id", "v"), sink)
+    val dim = VersionedParquet.read(spark, path)
+    assert(dim.filter($"is_current").count() == 40)
+    assert(dim.filter($"v" === "CHANGED" && $"is_current").count() == 1)
+  }
+
   test("partitioned and unpartitioned SCD2 agree on the merged content") {
     val p1 = Files.createTempDirectory("graft-scdp1").toString + "/dim"
     val p2 = Files.createTempDirectory("graft-scdp2").toString + "/dim"
