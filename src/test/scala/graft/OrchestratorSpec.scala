@@ -319,6 +319,25 @@ class OrchestratorSpec extends AnyFunSuite {
       .orderBy("q_id", "rank").collect().toSeq
     assert(probed == inline, "config-dispatched probe diverged from inline ivfTopK")
 
+    // ivfAssign ≡ the direct call
+    val assigned = TransformFunctions.dispatch(spark,
+      step("ivfAssign", "input" -> "tf_qs", "idCol" -> "q_id",
+        "centroids" -> "tf_cents2"))
+      .orderBy("q_id").collect().toSeq
+    val assignedDirect = graft.x.Similarity.assignToCentroids(
+        spark.table("tf_qs"), spark.table("tf_cents2"),
+        "q_id", "centroid_id", "embedding")
+      .orderBy("q_id").collect().toSeq
+    assert(assigned == assignedDirect && assigned.nonEmpty)
+    // ivfAppend lands a batch in the store (the incremental-ingest
+    // config path): the stats frame counts base + batch rows
+    emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .limit(2).createOrReplaceTempView("tf_batch")
+    val appended = TransformFunctions.dispatch(spark,
+      step("ivfAppend", "input" -> "tf_batch", "centroids" -> "tf_cents2",
+        "path" -> layout)).head()
+    assert(appended.getAs[Long]("rows") == n + 2, s"append stats: $appended")
+
     // merkleDiff through the registry ≡ the direct Validations call
     spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("tf_a")
     spark.sql("SELECT n_nationkey, CASE WHEN n_nationkey = 3 THEN 'EDITED' " +
@@ -338,6 +357,13 @@ class OrchestratorSpec extends AnyFunSuite {
           spark.table("tf_b"), k, concat(k, lit("|"), col("n_name"))))
       .orderBy("leaf").collect().toSeq
     assert(viaCfg == direct && viaCfg.nonEmpty)
+    // merkleDrill localizes the same injected edit to a level-2 leaf
+    val drilled = TransformFunctions.dispatch(spark,
+      step("merkleDrill", "input" -> "tf_a", "against" -> "tf_b",
+        "keyExpr" -> "cast(n_nationkey as string)",
+        "rowExpr" -> "concat(cast(n_nationkey as string), '|', n_name)",
+        "levels" -> "2"))
+    assert(drilled.count() == 1, "one edited key must drill to one leaf path")
 
     // a typo'd knob must fail naming the accepted keys, not run a default
     val typo = intercept[RuntimeException](TransformFunctions.dispatch(spark,
