@@ -321,6 +321,8 @@ object SinkWriter {
     } else {
       val touched = stagedB.select("scd_bucket").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return // empty batch: nothing to merge (matches
+      // the dynamic-overwrite path, which writes no partition either)
       val dimTouched = VersionedParquet.readPartitions(
         spark, path, touched.map(_.toString))
       val merged = Scd2.merge(dimTouched, stagedB, keys,

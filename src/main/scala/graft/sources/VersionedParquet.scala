@@ -264,7 +264,23 @@ object VersionedParquet {
       stage = dataDir => {
         df.withColumn(PartDir, col(partitionCol))
           .write.mode("errorifexists").partitionBy(PartDir).parquet(dataDir)
-        listDataFiles(dataDir)
+        val files = listDataFiles(dataDir)
+        // rows OUTSIDE the touched set would publish beside the carried
+        // old files of their partitions — silent duplication. Checked
+        // from the staged directory names (driver-side, pre-publish:
+        // nothing is committed yet, so failing here is a clean abort).
+        val stagedParts = files.flatMap { f =>
+          val i = f.indexOf(s"/$PartDir=")
+          if (i < 0) None
+          else Some(f.substring(i + PartDir.length + 2).takeWhile(_ != '/'))
+        }.distinct
+        val stray = stagedParts.filterNot(touched.contains)
+        require(stray.isEmpty,
+          s"overwritePartitions($path): frame contains partitions " +
+            s"${stray.sorted.mkString(", ")} outside touched=" +
+            s"${touched.sorted.mkString(", ")} — their rows would " +
+            "duplicate the carried files; widen `touched` or filter the frame")
+        files
       },
       carried = prev => {
         val prevFiles = prev.map(manifestFiles(path, _)).getOrElse(Nil)

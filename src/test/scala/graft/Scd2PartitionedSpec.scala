@@ -137,6 +137,31 @@ class Scd2PartitionedSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("scdVersioned edge contracts: empty batch no-ops; stray partitions " +
+      "in an overwritePartitions frame abort before publish") {
+    import graft.sources.VersionedParquet
+    val path = Files.createTempDirectory("graft-scdv-e").toString + "/dim"
+    val sink = SinkSpec("dim", loadType = "scdType2Insert", format = "parquet",
+      path = Some(path), scdKeys = Seq("id"), scdTrackedCols = Seq("v"),
+      options = Map("scdBuckets" -> "4", "scdVersioned" -> "true"))
+    SinkWriter.write(spark, (1L to 20L).map(k => (k, s"v$k")).toDF("id", "v"), sink)
+    val v1 = VersionedParquet.versions(path).max
+    // empty batch: no merge, no new version (dynamic path writes nothing too)
+    SinkWriter.write(spark, Seq.empty[(Long, String)].toDF("id", "v"), sink)
+    assert(VersionedParquet.versions(path).max == v1, "empty batch must not commit")
+    assert(VersionedParquet.read(spark, path).count() == 20)
+    // a frame carrying rows OUTSIDE `touched` would duplicate the carried
+    // files of their partitions — must abort loudly, publishing nothing
+    val dim = VersionedParquet.read(spark, path)
+    val e = intercept[IllegalArgumentException] {
+      VersionedParquet.overwritePartitions(dim, path, "scd_bucket",
+        touched = Seq(dim.select("scd_bucket").head().getInt(0).toString))
+    }
+    assert(e.getMessage.contains("outside touched"), e.getMessage)
+    assert(VersionedParquet.versions(path).max == v1, "stray-partition abort must not commit")
+    assert(VersionedParquet.read(spark, path).count() == 20)
+  }
+
   test("whole-snapshot compact refuses a partition-scoped table") {
     import graft.sources.VersionedParquet
     val path = Files.createTempDirectory("graft-scdv-c").toString + "/dim"
