@@ -1259,6 +1259,47 @@ object ScaleProbe {
         }
       }
     }
+    // versioned SCD2 probe: the dimension inflates K× while the batch
+    // stays FIXED (50 changed keys) and `scdBuckets` TRACKS the
+    // dimension (256·K — the scaladoc's sizing rule, so bucket size
+    // stays constant and the touched fraction SHRINKS). The 100 TB claim of the atomic-commit path is that a
+    // merge costs O(touched buckets), not O(dimension): readPartitions
+    // prunes at the manifest and overwritePartitions carries every
+    // untouched bucket's files forward without reading them. Flat merge
+    // time across K is the evidence; a linear climb means either the
+    // pruning broke or files stopped being bucket-bounded (the
+    // stagePartitioned repartition — measured 89 s → seconds at K=16
+    // when it was missing).
+    if (on("scd2v")) Seq(1, 4, 16).foreach { k =>
+      val path = java.nio.file.Files
+        .createTempDirectory("scaleprobe_scd2v").toString + "/dim"
+      val nBuckets = 256 * k
+      val dim = spark.range(k.toLong * 200000L).select(
+        col("id").as("bkey"),
+        concat(lit("v"), col("id")).as("payload"))
+      val sink = graft.config.SinkSpec("dim", loadType = "scdType2Insert",
+        format = "parquet", path = Some(path),
+        scdKeys = Seq("bkey"), scdTrackedCols = Seq("payload"),
+        options = Map("scdBuckets" -> nBuckets.toString, "scdVersioned" -> "true"))
+      val t0i = System.nanoTime()
+      graft.sinks.SinkWriter.write(spark, dim, sink)
+      val dtInit = (System.nanoTime() - t0i) / 1e9
+      // fixed-size batch: 50 keys spread over the id space touch ≤ 50
+      // of the 256·K buckets (constant rows behind them, since bucket
+      // size is constant by the sizing rule) — the merge must read and
+      // rewrite only those
+      val batch = spark.range(50).select(
+        (col("id") * lit(k.toLong * 4000L)).as("bkey"),
+        concat(lit("w"), col("id")).as("payload"))
+      val t0 = System.nanoTime()
+      graft.sinks.SinkWriter.write(spark, batch, sink)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val cur = graft.sources.VersionedParquet.read(spark, path)
+        .filter(col("is_current")).count()
+      println(f"[scale-scd2v] dim=${k * 200000}%8d  buckets=$nBuckets%5d  " +
+        f"init=$dtInit%6.2fs  batch=50  merge=$dt%6.2fs  current=$cur")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
