@@ -279,8 +279,14 @@ object SinkWriter {
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
+      // route each bucket's rows into one task before the partitioned
+      // write: without it every task holds rows of every touched bucket
+      // and each merge emits O(tasks × buckets) files (at cluster scale,
+      // millions of small files per merge — the same defect the
+      // versioned path's stagePartitioned fix measured at 89 s → 3 s)
       if (!exists) {
         Scd2.initialize(stagedB, batchTs)
+          .repartition(col("scd_bucket"))
           .write.mode(SaveMode.Overwrite).partitionBy("scd_bucket")
           .format(sink.format).save(path)
       } else {
@@ -291,6 +297,7 @@ object SinkWriter {
         val merged = Scd2.merge(dimTouched, stagedB, keys,
           sink.scdTrackedCols, batchTs)
         staging.stage(merged, "scd2-merged")
+          .repartition(col("scd_bucket"))
           .write.mode(SaveMode.Overwrite).partitionBy("scd_bucket")
           .format(sink.format).save(path)
       }
