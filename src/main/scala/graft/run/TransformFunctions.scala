@@ -35,7 +35,12 @@ import graft.x.{Curation, Dedup, Profiler, Sampling, Similarity, TextAnalysis}
   * The registry deliberately exposes the COMPOSED operators (curate,
   * lineage, report) plus the individual curation stages, so a config can
   * either run the one-shot pipeline or rebuild it stage by stage with
-  * different thresholds per step.
+  * different thresholds per step. Since r13 it also covers the two
+  * maintenance families a production deployment schedules on a cadence:
+  * the IVF embedding-store lifecycle (assign/build/append/probe/rebuild)
+  * and validation maintenance (Merkle anti-entropy diff/drill, PSI
+  * drift) — so every recurring operator of a large-scale pipeline is
+  * config-drivable, not just the transformations.
   */
 object TransformFunctions {
 
