@@ -47,6 +47,37 @@ class GuardsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("versioned table: racing writers claim distinct versions, no manifest clobbered") {
+    val dir = java.nio.file.Files.createTempDirectory("vp_race").toString
+    val t = s"$dir/tbl"
+    VersionedParquet.write(Seq((0L, "seed")).toDF("id", "v"), t, "overwrite")
+    // two writers race the same next version number: the per-version
+    // .lock claim must route them to DISTINCT versions (the loser
+    // advances and retries) — without it the second ATOMIC_MOVE silently
+    // replaces the first's committed manifest. Semantic serialization of
+    // concurrent APPEND content is the caller's job (store contracts);
+    // the protocol property under test is version allocation only.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val futures = (1 to 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          gate.await()
+          VersionedParquet.write(Seq((i.toLong, s"w$i")).toDF("id", "v"), t, "append")
+        }
+      })
+    }
+    gate.countDown()
+    futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val vs = VersionedParquet.versions(t)
+    assert(vs.size == 3, s"expected seed + 2 distinct appended versions, got $vs")
+    // every manifest parses and reads (nothing clobbered or truncated);
+    // the newest snapshot carries at least its own writer's row + seed
+    vs.foreach(v => VersionedParquet.read(spark, t, Some(v)).count())
+    assert(VersionedParquet.read(spark, t).count() >= 2)
+  }
+
   test("funnel stages containing quotes neither break the parse nor the match") {
     def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val events = Seq(
