@@ -23,25 +23,43 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object SinkWriter {
 
-  def write(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
-    // W11+ z-order layout pass: one range shuffle + in-partition sort on
-    // the interleaved key, applied before any load strategy so every file
-    // the writer emits covers a tight (x, y) box (the helper column is
-    // dropped; projection preserves the in-partition order)
-    val laid =
-      if (sink.zorderBy.isEmpty) df
-      else {
-        require(sink.zorderBy.size == 2,
-          s"zorderBy takes exactly two integer cell columns, got ${sink.zorderBy}")
-        graft.x.Layout.zOrder(df,
-          org.apache.spark.sql.functions.col(sink.zorderBy.head),
-          org.apache.spark.sql.functions.col(sink.zorderBy(1)),
-          zCol = "__graft_z",
-          numPartitions = sink.options.get("zorderPartitions").map(_.toInt).getOrElse(0))
-          .drop("__graft_z")
-      }
-    writeLaid(spark, laid, sink)
+  def write(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit =
+    writeLaid(spark, applyZOrder(df, sink), sink)
+
+  /** Streaming twin of [[write]] (the foreachBatch body): threads the
+    * micro-batch id so an at-least-once REPLAY of an scdType2Insert
+    * micro-batch against a versioned dimension is detected from the
+    * dimension's own commit metadata and skipped whole — no spurious
+    * version churn, no re-merge work (the merge content was already
+    * idempotent; the version log should be too). Every other load type
+    * dispatches exactly like [[write]]. */
+  def writeStreamBatch(spark: SparkSession, df: DataFrame, sink: SinkSpec,
+      batchId: Long): Unit = {
+    val laid = applyZOrder(df, sink)
+    val versionedScd2 = sink.loadType.equalsIgnoreCase("scdType2Insert") &&
+      sink.options.contains("scdBuckets") && useVersioned(sink)
+    if (versionedScd2)
+      scd2InsertPartitioned(spark, laid, sink,
+        sink.options("scdBuckets").toInt, batchId = Some(batchId))
+    else writeLaid(spark, laid, sink)
   }
+
+  // W11+ z-order layout pass: one range shuffle + in-partition sort on
+  // the interleaved key, applied before any load strategy so every file
+  // the writer emits covers a tight (x, y) box (the helper column is
+  // dropped; projection preserves the in-partition order)
+  private def applyZOrder(df: DataFrame, sink: SinkSpec): DataFrame =
+    if (sink.zorderBy.isEmpty) df
+    else {
+      require(sink.zorderBy.size == 2,
+        s"zorderBy takes exactly two integer cell columns, got ${sink.zorderBy}")
+      graft.x.Layout.zOrder(df,
+        org.apache.spark.sql.functions.col(sink.zorderBy.head),
+        org.apache.spark.sql.functions.col(sink.zorderBy(1)),
+        zCol = "__graft_z",
+        numPartitions = sink.options.get("zorderPartitions").map(_.toInt).getOrElse(0))
+        .drop("__graft_z")
+    }
 
   private def writeLaid(spark: SparkSession, df: DataFrame, sink: SinkSpec): Unit = {
     sink.loadType.toLowerCase match {
@@ -245,25 +263,33 @@ object SinkWriter {
     * rewrite still needs; the staged merge survives for replay). The
     * staged scratch is cleaned up only AFTER the overwrite commits.
     *
-    * Crash contract: dynamic partition overwrite commits per partition
-    * (delete-then-rename inside Spark's committer), so a driver crash
-    * mid-commit can leave SOME touched partitions at the new version and
-    * others missing — unlike the non-partitioned path's single-directory
-    * swap there is no one-rename atomicity at this granularity. Recovery
-    * is a re-run from the durable `scdStagingPath` scratch (the merge
-    * survives, and SCD2 re-merge is idempotent). With option
-    * `scdVersioned=true` the dimension is fronted by a
-    * [[graft.sources.VersionedParquet]] manifest instead: the touched
-    * partitions commit in ONE atomic manifest rename (all-old or all-new,
-    * never mixed — asserted by Scd2PartitionedSpec's crash injection), a
-    * crash leaves only an unreferenced data dir, and no merge
-    * materialization is needed at all (a versioned write never overwrites
-    * the files its own lineage reads). Versioned dimensions are READ via
-    * `VersionedParquet.read(path)`, not a raw directory scan. */
+    * Since r14 the VERSIONED store is the default for partitioned SCD2:
+    * the dimension is fronted by a [[graft.sources.VersionedParquet]]
+    * manifest, so the touched partitions commit in ONE atomic manifest
+    * rename (all-old or all-new, never mixed — asserted by
+    * Scd2PartitionedSpec's crash injection), a crash leaves only an
+    * unreferenced data dir, no merge materialization is needed at all
+    * (a versioned write never overwrites the files its own lineage
+    * reads), and concurrent merges are conflict-checked at commit
+    * (disjoint buckets interleave; overlapping buckets → one winner,
+    * one loud abort). Versioned dimensions are READ via
+    * `VersionedParquet.read(path)`, not a raw directory scan.
+    *
+    * `scdVersioned=false` keeps the legacy dynamic-partition-overwrite
+    * layout, for consumers that must scan the dimension as a raw hive
+    * directory. Its crash contract is weaker: the overwrite commits per
+    * partition (delete-then-rename inside Spark's committer), so a
+    * driver crash mid-commit can leave SOME touched partitions at the
+    * new version and others missing; recovery is a re-run from the
+    * durable `scdStagingPath` scratch (the merge survives, and SCD2
+    * re-merge is idempotent). Auto-detection keeps existing tables on
+    * the layout they were created with — see [[useVersioned]]. */
   def scd2InsertPartitioned(spark: SparkSession, staged: DataFrame, sink: SinkSpec,
-      nBuckets: Int, midCommitHook: () => Unit = () => ()): Unit = {
-    if (sink.options.get("scdVersioned").exists(_.equalsIgnoreCase("true"))) {
-      scd2InsertPartitionedVersioned(spark, staged, sink, nBuckets, midCommitHook)
+      nBuckets: Int, midCommitHook: () => Unit = () => (),
+      batchId: Option[Long] = None): Unit = {
+    if (useVersioned(sink)) {
+      scd2InsertPartitionedVersioned(spark, staged, sink, nBuckets,
+        midCommitHook, batchId)
       return
     }
     val path = sink.path.getOrElse(sys.error("scd2 sink needs path"))
@@ -305,39 +331,98 @@ object SinkWriter {
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
 
-  /** The `scdVersioned=true` branch of [[scd2InsertPartitioned]]: same
-    * bucketing, same partition-pruned merge, but the store is a
-    * [[graft.sources.VersionedParquet]] table — the rewrite of the
+  /** Which store layout a partitioned SCD2 sink uses. Explicit option
+    * wins (`scdVersioned=true|false`, anything else is a loud config
+    * error — the registry's typo rule); otherwise AUTO-DETECT so the
+    * r14 default flip can't corrupt an existing deployment: a table
+    * carrying a `_graft_log` is versioned, a non-empty raw directory
+    * stays on the legacy dynamic-overwrite layout it was created with,
+    * and a FRESH table gets the versioned store (strictly safer:
+    * one-rename atomic commit, probe-proven flat merge cost). */
+  private def useVersioned(sink: SinkSpec): Boolean =
+    sink.options.get("scdVersioned") match {
+      case Some(v) if v.equalsIgnoreCase("true")  => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => sys.error(
+        s"scdVersioned='$v' is not a boolean (true|false)")
+      case None =>
+        val path = sink.path.getOrElse(sys.error("scd2 sink needs path"))
+        Files.exists(Paths.get(path, "_graft_log")) ||
+          !graft.util.Fs.nonEmptyDir(Paths.get(path))
+    }
+
+  /** The versioned branch of [[scd2InsertPartitioned]] (the default since
+    * r14): same bucketing, same partition-pruned merge, but the store is
+    * a [[graft.sources.VersionedParquet]] table — the rewrite of the
     * touched buckets publishes as ONE manifest rename, so a reader (or a
     * crash) can never observe some buckets at the new version and others
     * at the old. The merge needs no materialization seam here: the write
     * targets a fresh immutable data dir, never the files its lineage
-    * reads. */
+    * reads.
+    *
+    * Concurrency: the merge captures the snapshot version it READS and
+    * passes it to `overwritePartitions` as the optimistic base — a
+    * concurrent merge that committed an overlapping bucket in between
+    * makes THIS commit abort loudly instead of silently dropping the
+    * other's update; merges over disjoint buckets interleave freely.
+    *
+    * Streaming replays (`batchId` from foreachBatch): each commit carries
+    * the monotone high-watermark `scd2BatchHwm = max(batchId, prev hwm)`
+    * in its manifest meta; a batch at or below the newest tagged hwm has
+    * completed WHOLE (micro-batch ids are strictly increasing and
+    * foreachBatch runs sequentially) and is skipped — one manifest-meta
+    * read, no Spark job (the [[graft.streaming.StreamingJobs
+    * .incrementalNearDupBatch]] contract, including its backward scan
+    * past untagged maintenance commits). */
   private def scd2InsertPartitionedVersioned(spark: SparkSession,
       staged: DataFrame, sink: SinkSpec, nBuckets: Int,
-      midCommitHook: () => Unit): Unit = {
+      midCommitHook: () => Unit, batchId: Option[Long]): Unit = {
     import graft.sources.VersionedParquet
     val path = sink.path.getOrElse(sys.error("scd2 sink needs path"))
+    // replay guard first: one manifest read, before any Spark job
+    val prevHwm = scd2Hwm(path)
+    if (batchId.exists(_ <= prevHwm)) return
+    // the hwm rides every subsequent commit so maintenance commits (or
+    // batch merges interleaved with streaming ones) can't bury it
+    val hwmMeta = batchId.map(b => math.max(b, prevHwm)).orElse(
+      if (prevHwm >= 0) Some(prevHwm) else None)
+      .map(h => Map("scd2BatchHwm" -> h.toString)).getOrElse(Map.empty)
     val batchTs = java.sql.Timestamp.from(java.time.Instant.now())
     val keys = sink.scdKeys
     val bucket = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
     val stagedB = staged.withColumn("scd_bucket", bucket)
     if (VersionedParquet.versions(path).isEmpty) {
+      // an empty FIRST batch must not commit: a zero-file manifest would
+      // make the next merge's readPartitions return an empty-schema frame
+      // and fail with an unresolved-column puzzle instead of initializing
+      // (ADVICE r13) — mirror the merge branch's empty-batch no-op
+      if (staged.isEmpty) return
       VersionedParquet.writePartitioned(
-        Scd2.initialize(stagedB, batchTs), path, "scd_bucket")
+        Scd2.initialize(stagedB, batchTs), path, "scd_bucket", hwmMeta)
     } else {
       val touched = stagedB.select("scd_bucket").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
       if (touched.isEmpty) return // empty batch: nothing to merge (matches
       // the dynamic-overwrite path, which writes no partition either)
+      val base = VersionedParquet.versions(path).max
       val dimTouched = VersionedParquet.readPartitions(
-        spark, path, touched.map(_.toString))
+        spark, path, touched.map(_.toString), Some(base))
       val merged = Scd2.merge(dimTouched, stagedB, keys,
         sink.scdTrackedCols, batchTs)
       VersionedParquet.overwritePartitions(merged, path, "scd_bucket",
-        touched.map(_.toString), midCommitHook)
+        touched.map(_.toString), Some(base), hwmMeta, midCommitHook)
     }
   }
+
+  /** Newest committed `scd2BatchHwm` of a versioned dimension (−1 when
+    * none): scan backwards to the newest TAGGED manifest so an untagged
+    * maintenance commit can't reset the replay watermark. */
+  private def scd2Hwm(path: String): Long =
+    graft.sources.VersionedParquet.versions(path).reverse.iterator
+      .map(v => graft.sources.VersionedParquet.commitMeta(path, v)
+        .get("scd2BatchHwm")
+        .flatMap(s => scala.util.Try(s.toLong).toOption))
+      .collectFirst { case Some(t) => t }.getOrElse(-1L)
 
   /** W10 multi-sink fan-out (spark.json:69-96): persist once, write N times. */
   def fanOut(spark: SparkSession, df: DataFrame, sinks: Seq[SinkSpec]): Unit = {

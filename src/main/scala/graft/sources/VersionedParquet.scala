@@ -13,7 +13,7 @@ import scala.jdk.CollectionConverters._
   * Layout:
   *   <path>/_graft_log/<version>.json   — ordered commit manifests, each the
   *                                        COMPLETE file list of its snapshot
-  *   <path>/data/v<version>-<uuid>/     — immutable data dirs per commit
+  *   <path>/data/c-<uuid>/              — immutable data dirs per commit
   *
   * A reader lists the log, picks the requested (default: latest) version,
   * and reads exactly that manifest's files — writers never mutate existing
@@ -22,14 +22,27 @@ import scala.jdk.CollectionConverters._
   * so a crashed write leaves only unreferenced data (same recovery model
   * as a real table format's uncommitted files).
   *
-  * Concurrency: readers always safe; version NUMBERS are serialized by
-  * the per-version `.lock` create (atomic check-and-create, see
-  * [[write]]), so two concurrent writers allocate distinct versions —
-  * but SEMANTIC serialization is still the caller's job: two concurrent
-  * appends each carry the file list they READ, so the later commit wins
-  * and the earlier one's rows survive only if the later writer read
-  * them first. One mutator at a time per table. Full rules: PLANS.md
-  * "Store concurrency contracts".
+  * Concurrency (ENFORCED since r14; full rules: PLANS.md "Store
+  * concurrency contracts"): readers always safe. Writers serialize the
+  * metadata critical section — version allocation, carried-file
+  * computation, conflict check, manifest publish — on one per-table
+  * `.commit.lock` (atomic create; the Spark data write stays OUTSIDE
+  * the lock, so staging runs with full parallelism). Consequences:
+  *  - concurrent APPENDs linearize: each computes its carried file list
+  *    inside the lock, from the latest published manifest, so neither
+  *    append's files can be lost no matter how the stages interleave;
+  *  - concurrent [[overwritePartitions]] commits carrying a
+  *    `baseVersion` are OPTIMISTICALLY checked: a commit whose touched
+  *    partitions were modified by an intervening commit ABORTS loudly
+  *    (naming the conflicting version) instead of silently replacing
+  *    the other writer's update; DISJOINT-partition commits interleave
+  *    freely (the carried list re-reads the latest manifest, keeping
+  *    the other commit's files);
+  *  - [[compact]] aborts if the table advanced between its snapshot
+  *    read and its commit (its rewrite would drop the newer commit).
+  * A crashed lock holder leaves a stale `.commit.lock`; waiters reclaim
+  * it after `staleLockMs` (the critical section is milliseconds of
+  * driver-side metadata work, so a lock that old is always abandoned).
   */
 object VersionedParquet {
 
@@ -113,19 +126,6 @@ object VersionedParquet {
     }.select(col("*"))
   }
 
-  /** Commit `df` with `mode` "append" | "overwrite".
-    *
-    * Concurrency: the version number is CLAIMED up front via an atomic
-    * `createFile(<v>.lock)` — two writers racing on the same next version
-    * can no longer both stage `<v>.json` and have the second ATOMIC_MOVE
-    * silently replace the first's committed manifest (ADVICE r1); the loser
-    * of the claim advances to the next number and retries, mirroring
-    * delta's optimistic-concurrency version allocation. A crashed claimant
-    * leaves a harmless version gap (readers key off `.json` files only).
-    * Caveat (documented, same single-scheduler assumption as the P3 run
-    * guard): with concurrent APPENDs the carried-file set is read from
-    * committed versions below ours at commit time, so true cross-append
-    * linearization still wants one writer per table. */
   /** Compact the latest snapshot into `targetFiles` files, committed as a
     * new version — the small-file maintenance op: a 100 TB table fed by
     * frequent small appends accumulates footer/open overhead per file
@@ -141,7 +141,8 @@ object VersionedParquet {
     * logical snapshot, and consumers that key replay/watermark state off
     * the newest version's meta (the streaming near-dedup's
     * `streamBatchHwm`) must not lose it to a maintenance op. */
-  def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Unit = {
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 1,
+      midCommitHook: () => Unit = () => ()): Unit = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val vs = versions(path)
     require(vs.nonEmpty, s"no committed versions under $path")
@@ -157,8 +158,26 @@ object VersionedParquet {
         "segments) — whole-snapshot compaction would break partition " +
         "attribution for overwritePartitions; vacuum old versions instead")
     if (snapshot.size <= targetFiles) return
-    write(read(spark, path).repartition(targetFiles), path, "overwrite",
-      commitMeta(path, vs.max))
+    // conflict check: an append landing between the snapshot read above
+    // and this commit would be DROPPED by the rewrite (the staged frame
+    // was planned from the old snapshot) — abort loudly instead; the
+    // caller re-runs against the advanced table
+    val base = vs.max
+    val df = read(spark, path).repartition(targetFiles)
+    commitVersion(path, commitMeta(path, base),
+      stage = dataDir => {
+        df.write.mode("errorifexists").parquet(dataDir)
+        graft.util.Fs.list(Paths.get(dataDir))
+          .map(_.toString).filter(_.endsWith(".parquet"))
+      },
+      carried = _ => Nil,
+      midCommitHook = midCommitHook,
+      conflictCheck = latest =>
+        if (latest != base) sys.error(
+          s"compact($path): concurrent commit detected — snapshot was " +
+            s"read at version $base but version $latest is now the " +
+            "latest; the rewrite would drop the intervening commit. " +
+            "Re-run compaction against the advanced table."))
   }
 
   /** Drop history: delete manifests older than the last `keepVersions`
@@ -169,13 +188,18 @@ object VersionedParquet {
     * deletes. Returns the number of data files removed. */
   def vacuum(path: String, keepVersions: Int = 1): Int = {
     require(keepVersions >= 1, "must keep at least the latest version")
-    val vs = versions(path)
-    val (dropped, kept) = vs.splitAt((vs.size - keepVersions).max(0))
-    val live = kept.flatMap(manifestFiles(path, _)).toSet
-    val dead = dropped.flatMap(manifestFiles(path, _)).toSet -- live
-    dead.foreach(f => Files.deleteIfExists(Paths.get(f)))
-    dropped.foreach(v => Files.deleteIfExists(logDir(path).resolve(s"$v.json")))
-    dead.size
+    // log mutation → same critical section as a commit: the retained
+    // window and the live-file set must be computed against a log no
+    // concurrent commit is extending mid-walk
+    withCommitLock(path) {
+      val vs = versions(path)
+      val (dropped, kept) = vs.splitAt((vs.size - keepVersions).max(0))
+      val live = kept.flatMap(manifestFiles(path, _)).toSet
+      val dead = dropped.flatMap(manifestFiles(path, _)).toSet -- live
+      dead.foreach(f => Files.deleteIfExists(Paths.get(f)))
+      dropped.foreach(v => Files.deleteIfExists(logDir(path).resolve(s"$v.json")))
+      dead.size
+    }
   }
 
   /** Commit-level metadata of `version` (empty for commits written before
@@ -223,17 +247,45 @@ object VersionedParquet {
 
   private def partSeg(v: String) = s"/$PartDir=$v/"
 
+  /** Partition values ride in directory names and are matched back by
+    * raw substring, so a value Spark would hive-escape (space, '=', '%',
+    * '/') would silently match NOTHING on read (ADVICE r13) — reject it
+    * up front, at every entry point that takes one. */
+  private def requireDirSafe(values: Seq[String], op: String): Unit =
+    values.filterNot(_.matches("[A-Za-z0-9_.-]+")) match {
+      case Seq() =>
+      case bad => throw new IllegalArgumentException(
+        s"$op: partition value(s) ${bad.map("'" + _ + "'").mkString(", ")} " +
+          "are not directory-safe — the partition-scoped layout matches " +
+          "values by path segment and only [A-Za-z0-9_.-]+ round-trips " +
+          "(hive-escaped characters would silently match nothing on read)")
+    }
+
   /** Full-overwrite commit in the partition-scoped layout — the
     * initialization sibling of [[overwritePartitions]] (every later
     * partial commit requires the table's files to carry the partition
     * path segment this writes). `partitionCol` values must be
-    * directory-safe (ints or simple strings). */
-  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit = {
-    import org.apache.spark.sql.functions.col
-    commitVersion(path, Map.empty,
-      stage = dataDir => stagePartitioned(df, partitionCol, dataDir),
+    * directory-safe (ints or simple strings — enforced from the staged
+    * directory names, pre-publish). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+      meta: Map[String, String] = Map.empty): Unit = {
+    commitVersion(path, meta,
+      stage = dataDir => {
+        val files = stagePartitioned(df, partitionCol, dataDir)
+        requireDirSafe(stagedPartValues(files), s"writePartitioned($path)")
+        files
+      },
       carried = _ => Nil)
   }
+
+  /** Partition values present in a freshly-staged file list, decoded
+    * from the directory names. */
+  private def stagedPartValues(files: Seq[String]): Seq[String] =
+    files.flatMap { f =>
+      val i = f.indexOf(s"/$PartDir=")
+      if (i < 0) None
+      else Some(f.substring(i + PartDir.length + 2).takeWhile(_ != '/'))
+    }.distinct
 
   /** Stage a partition-scoped data dir: one hash shuffle on the partition
     * column routes each partition's rows into one task, so a commit
@@ -267,23 +319,36 @@ object VersionedParquet {
     * commit fails loudly rather than guessing. `midCommitHook` is the
     * crash-injection seam ([[graft.x.Similarity.rebuildIvfLayout]]'s
     * `midRebuildHook` pattern): fired after the data write, before the
-    * manifest publish. */
+    * manifest publish (and before the commit lock, so an interleaving
+    * test can commit from inside it).
+    *
+    * Optimistic concurrency (`baseVersion` = the version the caller's
+    * merge READ, e.g. from [[readPartitions]]): inside the commit lock,
+    * if any commit published since `baseVersion` modified a TOUCHED
+    * partition, this commit ABORTS loudly naming the conflicting version
+    * — publishing would silently replace that writer's update with a
+    * merge that never saw it. Commits touching DISJOINT partitions
+    * interleave freely: the carried list is rebuilt from the latest
+    * manifest, so their files ride along untouched. `baseVersion = None`
+    * skips the check (single-writer callers). `meta` lands in the commit
+    * manifest ([[commitMeta]]) — the at-least-once replay tag channel. */
   def overwritePartitions(df: DataFrame, path: String, partitionCol: String,
-      touched: Seq[String], midCommitHook: () => Unit = () => ()): Unit = {
-    import org.apache.spark.sql.functions.col
+      touched: Seq[String], baseVersion: Option[Long] = None,
+      meta: Map[String, String] = Map.empty,
+      midCommitHook: () => Unit = () => ()): Unit = {
     require(touched.nonEmpty, "overwritePartitions needs at least one touched partition")
-    commitVersion(path, Map.empty,
+    requireDirSafe(touched, s"overwritePartitions($path)")
+    def touchedFiles(files: Seq[String]): Set[String] =
+      files.filter(f => touched.exists(t => f.contains(partSeg(t)))).toSet
+    commitVersion(path, meta,
       stage = dataDir => {
         val files = stagePartitioned(df, partitionCol, dataDir)
         // rows OUTSIDE the touched set would publish beside the carried
         // old files of their partitions — silent duplication. Checked
         // from the staged directory names (driver-side, pre-publish:
         // nothing is committed yet, so failing here is a clean abort).
-        val stagedParts = files.flatMap { f =>
-          val i = f.indexOf(s"/$PartDir=")
-          if (i < 0) None
-          else Some(f.substring(i + PartDir.length + 2).takeWhile(_ != '/'))
-        }.distinct
+        val stagedParts = stagedPartValues(files)
+        requireDirSafe(stagedParts, s"overwritePartitions($path)")
         val stray = stagedParts.filterNot(touched.contains)
         require(stray.isEmpty,
           s"overwritePartitions($path): frame contains partitions " +
@@ -300,7 +365,29 @@ object VersionedParquet {
             "(initialize with writePartitioned)"))
         prevFiles.filterNot(f => touched.exists(t => f.contains(partSeg(t))))
       },
-      midCommitHook = midCommitHook)
+      midCommitHook = midCommitHook,
+      conflictCheck = latest => baseVersion.foreach { base =>
+        val vs = versions(path)
+        require(vs.contains(base),
+          s"overwritePartitions($path): baseVersion $base is not a " +
+            s"committed version (have $vs) — vacuumed mid-merge?")
+        if (latest != base &&
+            touchedFiles(manifestFiles(path, base)) !=
+            touchedFiles(manifestFiles(path, latest))) {
+          // name the first intervening commit that touched the overlap —
+          // the operator's breadcrumb for WHICH writer won
+          val conflicting = vs.filter(v => v > base && v <= latest).find(v =>
+            touchedFiles(manifestFiles(path, v)) !=
+              touchedFiles(manifestFiles(path,
+                vs.filter(_ < v).last))).getOrElse(latest)
+          sys.error(
+            s"overwritePartitions($path): write-write conflict — this " +
+              s"merge read version $base but commit $conflicting modified " +
+              s"touched partition(s) of ${touched.sorted.mkString("{", ",", "}")} " +
+              s"(latest is $latest). Publishing would silently drop that " +
+              "commit's update; re-read the touched partitions and re-merge.")
+        }
+      })
   }
 
   /** Snapshot read of ONLY the partitions holding `touched` values —
@@ -309,6 +396,7 @@ object VersionedParquet {
     * from the full snapshot) when no touched partition exists yet. */
   def readPartitions(spark: SparkSession, path: String, touched: Seq[String],
       version: Option[Long] = None): DataFrame = {
+    requireDirSafe(touched, s"readPartitions($path)")
     val vs = versions(path)
     require(vs.nonEmpty, s"no committed versions under $path")
     val v = version.getOrElse(vs.max)
@@ -324,29 +412,73 @@ object VersionedParquet {
     graft.util.Fs.walk(Paths.get(dataDir))
       .map(_.toString).filter(_.endsWith(".parquet"))
 
-  /** The shared commit protocol: claim a version number via the atomic
-    * `.lock` create, stage the data dir, build the manifest from
-    * `carried(prevVersion) ++ staged files`, publish with one atomic
-    * rename. All writer entry points route here so the concurrency
-    * contract (scaladoc on [[write]]) is enforced once. */
+  /** How long a `.commit.lock` may sit before waiters treat its holder
+    * as crashed and reclaim it. The guarded section is milliseconds of
+    * driver-side metadata work — a lock minutes old is always abandoned
+    * (a process that died between create and the `finally` delete). */
+  private[graft] val staleLockMs: Long = 10L * 60 * 1000
+  private val lockWaitMs: Long = 60L * 1000
+
+  /** Serialize the per-table metadata critical section on an atomic
+    * `createFile(.commit.lock)`. Stale locks (crashed holder) are
+    * reclaimed after [[staleLockMs]]; a lock CONTENDED longer than
+    * `lockWaitMs` fails loudly naming the file — at that point either
+    * the holder hung mid-commit (inspect, then delete the lock) or
+    * commit traffic is high enough that the caller should back off. */
+  private def withCommitLock[A](path: String)(body: => A): A = {
+    val lock = logDir(path).resolve(".commit.lock")
+    val deadline = System.currentTimeMillis() + lockWaitMs
+    var held = false
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = scala.util.Try(System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis).getOrElse(0L)
+          if (age > staleLockMs) { Files.deleteIfExists(lock); () }
+          else if (System.currentTimeMillis() > deadline) sys.error(
+            s"versioned table $path: commit lock $lock held for over " +
+              s"${lockWaitMs / 1000}s — a concurrent writer is stuck " +
+              "mid-commit or commit traffic needs backoff; if no writer " +
+              "is alive, delete the lock file")
+          else Thread.sleep(10)
+      }
+    }
+    try body finally { Files.deleteIfExists(lock); () }
+  }
+
+  /** The shared commit protocol, all writer entry points route here so
+    * the concurrency contract (class scaladoc) is enforced once:
+    *
+    *  1. stage the data dir (the Spark write — OUTSIDE the lock, full
+    *     parallelism, lands in an immutable uniquely-named dir);
+    *  2. fire `midCommitHook` (crash-injection seam — also outside the
+    *     lock, so a two-writer test can commit from inside it);
+    *  3. under the per-table `.commit.lock`: allocate `latest + 1`, run
+    *     `conflictCheck(latest)` (throws → clean abort, the staged dir
+    *     stays unreferenced), compute `carried(latest)` from the LATEST
+    *     published manifest, stage the manifest file, publish with one
+    *     ATOMIC_MOVE.
+    *
+    * Allocation + carried + publish under one lock is what linearizes
+    * concurrent appends: a writer can no longer publish a manifest
+    * computed against a snapshot another writer has since advanced
+    * (the r13 protocol serialized version NUMBERS only and left that
+    * lost-update window to a documented caller contract). */
   private def commitVersion(path: String, meta: Map[String, String],
       stage: String => Seq[String],
       carried: Option[Long] => Seq[String],
-      midCommitHook: () => Unit = () => ()): Unit = {
+      midCommitHook: () => Unit = () => (),
+      conflictCheck: Long => Unit = _ => ()): Unit = {
     Files.createDirectories(logDir(path))
-    var next = versions(path).lastOption.getOrElse(-1L) + 1
-    var lock: java.nio.file.Path = null
-    while (lock == null) {
-      val cand = logDir(path).resolve(s"$next.lock")
-      if (Files.exists(logDir(path).resolve(s"$next.json"))) next += 1
-      else
-        try { Files.createFile(cand); lock = cand }
-        catch { case _: java.nio.file.FileAlreadyExistsException => next += 1 }
-    }
-    try {
-      val dataDir = s"$path/data/v$next-${java.util.UUID.randomUUID().toString.take(8)}"
-      val newFiles = stage(dataDir)
-      val carry = carried(versions(path).filter(_ < next).lastOption)
+    val dataDir = s"$path/data/c-${java.util.UUID.randomUUID().toString.take(12)}"
+    val newFiles = stage(dataDir)
+    midCommitHook()
+    withCommitLock(path) {
+      val latest = versions(path).lastOption.getOrElse(-1L)
+      conflictCheck(latest)
+      val next = latest + 1
+      val carry = carried(if (latest < 0) None else Some(latest))
       def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       val metaJson =
         if (meta.isEmpty) ""
@@ -355,10 +487,10 @@ object VersionedParquet {
       val manifest = (carry ++ newFiles)
         .map(f => "\"" + esc(f) + "\"")
         .mkString("""{"version": """ + next + """, "files": [""", ",", "]" + metaJson + "}")
-      midCommitHook()
       val staged = Files.createTempFile(logDir(path), s".$next", ".staging")
       Files.writeString(staged, manifest)
       Files.move(staged, logDir(path).resolve(s"$next.json"), StandardCopyOption.ATOMIC_MOVE)
-    } finally { Files.deleteIfExists(lock); () }
+      ()
+    }
   }
 }

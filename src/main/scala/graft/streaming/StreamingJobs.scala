@@ -556,14 +556,21 @@ object StreamingJobs {
   }
 
   /** Run any transformed stream into the batch sink machinery per
-    * micro-batch — this is how scdType2Insert works in streaming mode. */
+    * micro-batch — this is how scdType2Insert works in streaming mode.
+    * The micro-batch id is threaded through
+    * [[graft.sinks.SinkWriter.writeStreamBatch]]: an scdType2Insert
+    * against a VERSIONED dimension carries `scd2BatchHwm` in each commit
+    * manifest, so an at-least-once replay of an already-committed batch
+    * is detected from one manifest-meta read and skipped whole — no
+    * duplicated history rows (the merge is content-idempotent anyway)
+    * and no spurious version churn on the dimension's log. */
   def startForeachBatch(stream: DataFrame, sink: SinkSpec,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        SinkWriter.write(batch.sparkSession, batch, sink)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        SinkWriter.writeStreamBatch(batch.sparkSession, batch, sink, bid)
       }
       .start()
 

@@ -51,12 +51,12 @@ class GuardsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("vp_race").toString
     val t = s"$dir/tbl"
     VersionedParquet.write(Seq((0L, "seed")).toDF("id", "v"), t, "overwrite")
-    // two writers race the same next version number: the per-version
-    // .lock claim must route them to DISTINCT versions (the loser
-    // advances and retries) — without it the second ATOMIC_MOVE silently
-    // replaces the first's committed manifest. Semantic serialization of
-    // concurrent APPEND content is the caller's job (store contracts);
-    // the protocol property under test is version allocation only.
+    // two writers race the commit: the per-table commit lock serializes
+    // allocation + carried-list computation + publish, so they land on
+    // DISTINCT versions AND the later commit's carried file list includes
+    // the earlier one's files — concurrent appends LINEARIZE (r14; the
+    // r13 protocol serialized version numbers only and documented the
+    // lost-update window as a caller contract).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     val gate = new java.util.concurrent.CountDownLatch(1)
     val futures = (1 to 2).map { i =>
@@ -73,9 +73,11 @@ class GuardsSpec extends AnyFunSuite {
     val vs = VersionedParquet.versions(t)
     assert(vs.size == 3, s"expected seed + 2 distinct appended versions, got $vs")
     // every manifest parses and reads (nothing clobbered or truncated);
-    // the newest snapshot carries at least its own writer's row + seed
+    // linearized appends: the newest snapshot carries BOTH writers' rows
+    // no matter how their stages interleaved
     vs.foreach(v => VersionedParquet.read(spark, t, Some(v)).count())
-    assert(VersionedParquet.read(spark, t).count() >= 2)
+    assert(VersionedParquet.read(spark, t).count() == 3,
+      "a concurrent append's files were dropped from the final manifest")
   }
 
   test("funnel stages containing quotes neither break the parse nor the match") {

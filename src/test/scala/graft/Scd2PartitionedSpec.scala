@@ -22,11 +22,11 @@ class Scd2PartitionedSpec extends AnyFunSuite {
             .filter(_.endsWith(".parquet")).toSet
       }.toMap
 
-  test("second batch rewrites only touched bucket partitions") {
+  test("second batch rewrites only touched bucket partitions (legacy layout)") {
     val path = Files.createTempDirectory("graft-scdp").toString + "/dim"
     val sink = SinkSpec("dim", loadType = "scdType2Insert", format = "parquet",
       path = Some(path), scdKeys = Seq("id"), scdTrackedCols = Seq("v"),
-      options = Map("scdBuckets" -> "8"))
+      options = Map("scdBuckets" -> "8", "scdVersioned" -> "false"))
 
     val snapshot = (1L to 200L).map(k => (k, s"v$k")).toDF("id", "v")
     SinkWriter.write(spark, snapshot, sink)
@@ -60,12 +60,11 @@ class Scd2PartitionedSpec extends AnyFunSuite {
       scdKeys = Seq("id"), scdTrackedCols = Seq("v"), options = opts)
     val b1 = (1L to 50L).map(k => (k, s"v$k")).toDF("id", "v")
     val b2 = (1L to 55L).map(k => (k, if (k % 3 == 0) s"w$k" else s"v$k")).toDF("id", "v")
-    SinkWriter.write(spark, b1, mk(pLocal, Map("scdBuckets" -> "4")))
-    SinkWriter.write(spark, b2, mk(pLocal, Map("scdBuckets" -> "4")))
-    SinkWriter.write(spark, b1,
-      mk(pStaged, Map("scdBuckets" -> "4", "scdStagingPath" -> scratch)))
-    SinkWriter.write(spark, b2,
-      mk(pStaged, Map("scdBuckets" -> "4", "scdStagingPath" -> scratch)))
+    val legacy = Map("scdBuckets" -> "4", "scdVersioned" -> "false")
+    SinkWriter.write(spark, b1, mk(pLocal, legacy))
+    SinkWriter.write(spark, b2, mk(pLocal, legacy))
+    SinkWriter.write(spark, b1, mk(pStaged, legacy + ("scdStagingPath" -> scratch)))
+    SinkWriter.write(spark, b2, mk(pStaged, legacy + ("scdStagingPath" -> scratch)))
     val a = spark.read.parquet(pLocal).select("id", "v", "is_current")
     val b = spark.read.parquet(pStaged).select("id", "v", "is_current")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
@@ -130,8 +129,8 @@ class Scd2PartitionedSpec extends AnyFunSuite {
     val b2 = (1L to 60L).map(k => (k, if (k % 5 == 0) s"w$k" else s"v$k")).toDF("id", "v")
     SinkWriter.write(spark, b1, mk(pV, Map("scdBuckets" -> "4", "scdVersioned" -> "true")))
     SinkWriter.write(spark, b2, mk(pV, Map("scdBuckets" -> "4", "scdVersioned" -> "true")))
-    SinkWriter.write(spark, b1, mk(pD, Map("scdBuckets" -> "4")))
-    SinkWriter.write(spark, b2, mk(pD, Map("scdBuckets" -> "4")))
+    SinkWriter.write(spark, b1, mk(pD, Map("scdBuckets" -> "4", "scdVersioned" -> "false")))
+    SinkWriter.write(spark, b2, mk(pD, Map("scdBuckets" -> "4", "scdVersioned" -> "false")))
     val a = VersionedParquet.read(spark, pV).select("id", "v", "is_current")
     val b = spark.read.parquet(pD).select("id", "v", "is_current")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
@@ -189,12 +188,67 @@ class Scd2PartitionedSpec extends AnyFunSuite {
       scdKeys = Seq("id"), scdTrackedCols = Seq("v"), options = opts)
     val b1 = (1L to 50L).map(k => (k, s"v$k")).toDF("id", "v")
     val b2 = (1L to 60L).map(k => (k, if (k % 5 == 0) s"w$k" else s"v$k")).toDF("id", "v")
-    SinkWriter.write(spark, b1, mk(p1, Map("scdBuckets" -> "4")))
-    SinkWriter.write(spark, b2, mk(p1, Map("scdBuckets" -> "4")))
+    SinkWriter.write(spark, b1, mk(p1, Map("scdBuckets" -> "4", "scdVersioned" -> "false")))
+    SinkWriter.write(spark, b2, mk(p1, Map("scdBuckets" -> "4", "scdVersioned" -> "false")))
     SinkWriter.write(spark, b1, mk(p2, Map.empty))
     SinkWriter.write(spark, b2, mk(p2, Map.empty))
     val a = spark.read.parquet(p1).select("id", "v", "is_current")
     val b = spark.read.parquet(p2).select("id", "v", "is_current")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("default flip (r14): a fresh partitioned sink gets the versioned " +
+      "store; an existing legacy table stays on its raw-directory layout") {
+    import graft.sources.VersionedParquet
+    val mk = (p: String, opts: Map[String, String]) => SinkSpec("dim",
+      loadType = "scdType2Insert", format = "parquet", path = Some(p),
+      scdKeys = Seq("id"), scdTrackedCols = Seq("v"), options = opts)
+    val b1 = (1L to 40L).map(k => (k, s"v$k")).toDF("id", "v")
+    val b2 = Seq((3L, "CHANGED")).toDF("id", "v")
+
+    // fresh table, no scdVersioned option → versioned store by default
+    val pFresh = Files.createTempDirectory("graft-scddef").toString + "/dim"
+    SinkWriter.write(spark, b1, mk(pFresh, Map("scdBuckets" -> "4")))
+    assert(Files.exists(Paths.get(pFresh, "_graft_log")),
+      "a fresh partitioned SCD2 sink must default to the versioned store")
+    SinkWriter.write(spark, b2, mk(pFresh, Map("scdBuckets" -> "4")))
+    val dim = VersionedParquet.read(spark, pFresh)
+    assert(dim.filter($"is_current").count() == 40)
+    assert(dim.filter($"v" === "CHANGED" && $"is_current").count() == 1)
+    assert(VersionedParquet.versions(pFresh).size == 2)
+
+    // pre-existing LEGACY table, no option → auto-detected, stays raw
+    // (the flip must not orphan a deployment's raw-directory consumers)
+    val pLegacy = Files.createTempDirectory("graft-scddef-l").toString + "/dim"
+    SinkWriter.write(spark, b1,
+      mk(pLegacy, Map("scdBuckets" -> "4", "scdVersioned" -> "false")))
+    SinkWriter.write(spark, b2, mk(pLegacy, Map("scdBuckets" -> "4")))
+    assert(!Files.exists(Paths.get(pLegacy, "_graft_log")),
+      "an existing raw-layout table must keep merging in place")
+    val legacyDim = spark.read.parquet(pLegacy)
+    assert(legacyDim.filter($"is_current").count() == 40)
+    assert(legacyDim.filter($"v" === "CHANGED" && $"is_current").count() == 1)
+
+    // a typo'd scdVersioned value is a loud config error, not a default
+    val boom = intercept[RuntimeException] {
+      SinkWriter.write(spark, b2,
+        mk(pFresh, Map("scdBuckets" -> "4", "scdVersioned" -> "yes")))
+    }
+    assert(boom.getMessage.contains("scdVersioned"), boom.getMessage)
+  }
+
+  test("empty FIRST batch must not initialize a zero-file versioned table") {
+    import graft.sources.VersionedParquet
+    val path = Files.createTempDirectory("graft-scdv-e0").toString + "/dim"
+    val sink = SinkSpec("dim", loadType = "scdType2Insert", format = "parquet",
+      path = Some(path), scdKeys = Seq("id"), scdTrackedCols = Seq("v"),
+      options = Map("scdBuckets" -> "4"))
+    SinkWriter.write(spark, Seq.empty[(Long, String)].toDF("id", "v"), sink)
+    assert(VersionedParquet.versions(path).isEmpty,
+      "an empty first batch must not commit a zero-file manifest")
+    // the next real batch initializes normally (no empty-schema
+    // readPartitions puzzle — ADVICE r13)
+    SinkWriter.write(spark, (1L to 10L).map(k => (k, s"v$k")).toDF("id", "v"), sink)
+    assert(VersionedParquet.read(spark, path).count() == 10)
   }
 }
