@@ -35,12 +35,15 @@ import graft.x.{Curation, Dedup, Profiler, Sampling, Similarity, TextAnalysis}
   * The registry deliberately exposes the COMPOSED operators (curate,
   * lineage, report) plus the individual curation stages, so a config can
   * either run the one-shot pipeline or rebuild it stage by stage with
-  * different thresholds per step. Since r13 it also covers the two
+  * different thresholds per step. Since r13 it also covers the
   * maintenance families a production deployment schedules on a cadence:
-  * the IVF embedding-store lifecycle (assign/build/append/probe/rebuild)
-  * and validation maintenance (Merkle anti-entropy diff/drill, PSI
-  * drift) — so every recurring operator of a large-scale pipeline is
-  * config-drivable, not just the transformations.
+  * the IVF embedding-store lifecycle (assign/build/append/probe/rebuild),
+  * validation maintenance (Merkle anti-entropy diff/drill, PSI drift),
+  * and — r14 — versioned-table maintenance (vacuumVersions /
+  * compactVersioned, the history-reclamation and small-file ops an
+  * SCD2-on-VersionedParquet dimension needs forever) — so every
+  * recurring operator of a large-scale pipeline is config-drivable, not
+  * just the transformations.
   */
 object TransformFunctions {
 
@@ -143,7 +146,31 @@ object TransformFunctions {
       int(t, "maxDrillPaths", 4096))),
     "psiDrift" -> ((sp, t) => Profiler.psiDrift(in(sp, t),
       view(sp, t, "against"), req(t, "valueCol"), int(t, "nBuckets", 20),
-      reqDbl(t, "lo"), reqDbl(t, "hi")))
+      reqDbl(t, "lo"), reqDbl(t, "hi"))),
+    // versioned-table maintenance (r14): SCD2-on-VersionedParquet creates
+    // one version per merge forever; 100 TB churn schedules history
+    // reclamation and small-file compaction as config steps on a cadence,
+    // exactly like the ivf family. Both return 1-row stats frames so
+    // `countValidation: 1` doubles as a did-it-run gate. `compactVersioned`
+    // inherits the store's own refusal of partition-scoped tables (a
+    // whole-snapshot rewrite would break bucket attribution — vacuum is
+    // the right maintenance there, per-bucket file counts are already
+    // bounded by each merge's rewrite).
+    "vacuumVersions" -> ((sp, t) => {
+      val removed = graft.sources.VersionedParquet.vacuum(
+        path(t), int(t, "keepVersions", 1))
+      val kept = graft.sources.VersionedParquet.versions(path(t)).size
+      sp.range(1).select(lit(removed).as("files_removed"),
+        lit(kept).as("versions_kept"))
+    }),
+    "compactVersioned" -> ((sp, t) => {
+      graft.sources.VersionedParquet.compact(sp, path(t),
+        int(t, "targetFiles", 1))
+      val files = graft.sources.VersionedParquet.snapshotFileCount(path(t))
+      val vers = graft.sources.VersionedParquet.versions(path(t)).size
+      sp.range(1).select(lit(files).as("snapshot_files"),
+        lit(vers).as("versions"))
+    })
   )
 
   def isRegistered(name: String): Boolean = registry.contains(name)
@@ -176,7 +203,10 @@ object TransformFunctions {
     "merkleDiff" -> Set("input", "against", "keyExpr", "rowExpr", "fanout"),
     "merkleDrill" -> Set("input", "against", "keyExpr", "rowExpr",
       "fanout", "levels", "maxDrillPaths"),
-    "psiDrift" -> Set("input", "against", "valueCol", "nBuckets", "lo", "hi")
+    "psiDrift" -> Set("input", "against", "valueCol", "nBuckets", "lo", "hi"),
+    // no `input`: the versioned store at `path` IS the input (ivfRebuild rule)
+    "vacuumVersions" -> Set("path", "keepVersions"),
+    "compactVersioned" -> Set("path", "targetFiles")
   )
 
   /** Run a registered function for a transformation step; loud error

@@ -80,6 +80,44 @@ class GuardsSpec extends AnyFunSuite {
       "a concurrent append's files were dropped from the final manifest")
   }
 
+  test("versioned-table maintenance is config-dispatchable: vacuumVersions " +
+      "reclaims history, compactVersioned bounds files and refuses " +
+      "partition-scoped tables (VERDICT r13 #3)") {
+    import graft.run.TransformFunctions
+    def step(fn: String, opts: (String, String)*) = graft.config.TransformStep(
+      functionName = fn, sqlQuery = "", outputDFName = fn + "_out",
+      countValidation = None, options = opts.toMap)
+    val dir = java.nio.file.Files.createTempDirectory("vp_maint").toString
+    val t = s"$dir/tbl"
+    VersionedParquet.write(Seq((1L, "a")).toDF("id", "v"), t, "overwrite")
+    VersionedParquet.write(Seq((2L, "b")).toDF("id", "v"), t, "append")
+    VersionedParquet.write(Seq((3L, "c")).toDF("id", "v"), t, "append")
+    // compact the 3-file snapshot to 1 as a config step
+    val c = TransformFunctions.dispatch(spark,
+      step("compactVersioned", "path" -> t, "targetFiles" -> "1")).head()
+    assert(c.getAs[Int]("snapshot_files") == 1 && c.getAs[Int]("versions") == 4)
+    assert(VersionedParquet.read(spark, t).count() == 3)
+    // vacuum history down to the latest version as a config step
+    val v = TransformFunctions.dispatch(spark,
+      step("vacuumVersions", "path" -> t, "keepVersions" -> "1")).head()
+    assert(v.getAs[Int]("versions_kept") == 1 && v.getAs[Int]("files_removed") >= 3)
+    assert(VersionedParquet.read(spark, t).count() == 3)
+    // the partition-scoped refusal surfaces through the dispatch path too
+    val pt = s"$dir/ptbl"
+    VersionedParquet.writePartitioned(
+      Seq((1L, "x", "0"), (2L, "y", "1")).toDF("id", "v", "b"), pt, "b")
+    val e = intercept[IllegalArgumentException] {
+      TransformFunctions.dispatch(spark, step("compactVersioned", "path" -> pt))
+    }
+    assert(e.getMessage.contains("partition-scoped"), e.getMessage)
+    // a typo'd knob is a loud config error, same rule as every entry
+    val typo = intercept[RuntimeException] {
+      TransformFunctions.dispatch(spark,
+        step("vacuumVersions", "path" -> t, "keepVersion" -> "2"))
+    }
+    assert(typo.getMessage.contains("unknown options"), typo.getMessage)
+  }
+
   test("funnel stages containing quotes neither break the parse nor the match") {
     def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val events = Seq(
