@@ -443,6 +443,75 @@ class StatefulStreamingSpec extends AnyFunSuite {
       "below-watermark replay clobbered committed output")
   }
 
+  test("streaming SCD2 into a versioned dimension: replay of a committed " +
+      "micro-batch is a no-op (no version churn, no duplicated history); " +
+      "a crash-redo of an UNcommitted batch converges to one commit") {
+    import spark.implicits._
+    import graft.sinks.SinkWriter
+    import graft.sources.VersionedParquet
+    val base = Files.createTempDirectory("graft-sscd2v").toString
+    val in = s"$base/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    Seq((1L, "a1"), (2L, "b1"), (3L, "c1"))
+      .toDF("id", "v").coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100) // distinct mtimes -> deterministic batch order
+    Seq((2L, "b2"), (4L, "d1"))
+      .toDF("id", "v").coalesce(1).write.mode("append").parquet(in)
+    val dim = s"$base/dim"
+    val sink = graft.config.SinkSpec("dim", loadType = "scdType2Insert",
+      format = "parquet", path = Some(dim), scdKeys = Seq("id"),
+      scdTrackedCols = Seq("v"), options = Map("scdBuckets" -> "4"))
+    val schema = spark.read.parquet(in).schema
+    val stream = StreamingJobs.fileStream(spark, in, schema, maxFilesPerTrigger = 1)
+    StreamingJobs.startForeachBatch(stream, sink, s"$base/ckpt").awaitTermination()
+
+    // two micro-batches → init + one merge, hwm = 1 in the newest manifest
+    val versions = VersionedParquet.versions(dim)
+    assert(versions.size == 2, s"expected init + merge, got $versions")
+    assert(VersionedParquet.commitMeta(dim, versions.max)
+      .get("scd2BatchHwm").contains("1"))
+    val contentBefore = VersionedParquet.read(spark, dim)
+      .select("id", "v", "is_current").collect().map(_.toString).sorted
+    assert(contentBefore.length == 5) // 4 current + 1 closed (id=2)
+
+    // at-least-once replay of BOTH committed batches (the foreachBatch
+    // crash-redo channel): detected from one manifest-meta read, skipped
+    // whole — version log untouched, content untouched
+    val b1 = Seq((2L, "b2"), (4L, "d1")).toDF("id", "v")
+    SinkWriter.writeStreamBatch(spark, b1, sink, batchId = 1L)
+    SinkWriter.writeStreamBatch(spark,
+      Seq((1L, "a1"), (2L, "b1"), (3L, "c1")).toDF("id", "v"), sink, batchId = 0L)
+    assert(VersionedParquet.versions(dim) == versions,
+      "replay of a committed micro-batch churned the version log")
+    assert(VersionedParquet.read(spark, dim)
+      .select("id", "v", "is_current").collect().map(_.toString).sorted
+      .sameElements(contentBefore), "replay changed the dimension content")
+
+    // crash window: batch 2 dies AFTER its data stage, BEFORE its manifest
+    // publish → nothing committed; the redo (same bid, the at-least-once
+    // contract) lands exactly one new version
+    val b2 = Seq((3L, "c2")).toDF("id", "v")
+    intercept[RuntimeException] {
+      SinkWriter.scd2InsertPartitioned(spark, b2, sink, nBuckets = 4,
+        midCommitHook = () => throw new RuntimeException("injected crash"),
+        batchId = Some(2L))
+    }
+    assert(VersionedParquet.versions(dim) == versions,
+      "crashed batch must publish nothing")
+    SinkWriter.writeStreamBatch(spark, b2, sink, batchId = 2L)
+    val after = VersionedParquet.versions(dim)
+    assert(after.size == versions.size + 1, s"redo must commit once, got $after")
+    assert(VersionedParquet.commitMeta(dim, after.max)
+      .get("scd2BatchHwm").contains("2"))
+    val healed = VersionedParquet.read(spark, dim)
+    assert(healed.filter(col("is_current")).count() == 4)
+    assert(healed.filter(col("id") === 3L).count() == 2) // c1 closed + c2
+    // and a SECOND redo of the now-committed batch is a no-op
+    SinkWriter.writeStreamBatch(spark, b2, sink, batchId = 2L)
+    assert(VersionedParquet.versions(dim) == after,
+      "post-commit redo churned the version log")
+  }
+
   test("near-dedup replay detection survives an untagged newest commit " +
     "(pre-upgrade maintenance rewrite)") {
     import spark.implicits._
