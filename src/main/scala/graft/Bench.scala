@@ -54,8 +54,13 @@ object Bench {
       }
     })
     def settledCpu(): Long = {
-      var prev = -1L; var cur = cpuNanos.get()
-      while (cur != prev) { Thread.sleep(50); prev = cur; cur = cpuNanos.get() }
+      // bounded settle (ADVICE r13): if task-end events keep trickling in
+      // (any background activity), proceed with the last read after ~2 s —
+      // CPU attribution is advisory and must never hang the bench
+      var prev = -1L; var cur = cpuNanos.get(); var polls = 0
+      while (cur != prev && polls < 40) {
+        Thread.sleep(50); prev = cur; cur = cpuNanos.get(); polls += 1
+      }
       cur
     }
     // Warm the session (codegen compiler, shuffle machinery, parquet reader)
@@ -193,31 +198,41 @@ object Bench {
     // directly, instead of leaving round-over-round diffs to start from
     // steal-contaminated raw totals. Entries: name -> [now, before,
     // keptSteal]. Baseline unreadable → empty block, never a failure.
-    val baseline: Map[String, Double] = try {
+    val (baseline, baselineCpu): (Map[String, Double], Map[String, Double]) = try {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench.json"))
-      if (!java.nio.file.Files.exists(p)) Map.empty
+      if (!java.nio.file.Files.exists(p)) (Map.empty, Map.empty)
       else {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readString(p))
-        val node = root.get("queries")
         // a baseline recorded at a different SF is not comparable —
         // flagging against it would tag every query as drifted
         val sameSf = Option(root.get("sf")).exists(_.asText() == sfDir)
-        if (node == null || !sameSf) Map.empty
-        else {
-          val it = node.properties().iterator()
-          val b = Map.newBuilder[String, Double]
-          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0) }
-          b.result()
+        def numMap(field: String): Map[String, Double] = {
+          val node = root.get(field)
+          if (node == null || !sameSf) Map.empty
+          else {
+            val it = node.properties().iterator()
+            val b = Map.newBuilder[String, Double]
+            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0) }
+            b.result()
+          }
         }
+        (numMap("queries"), numMap("keptCpu"))
       }
-    } catch { case _: Throwable => Map.empty }
-    val regressions = results.flatMap { case (k, best, _, _, _, _, _, _, ks, _) =>
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
+    // Flag rule (r14, VERDICT r13 #4): kept time rose >1.5x AND the
+    // absolute delta is >= 0.5 s (the r13 block flagged 17 entries, 14 of
+    // them sub-second noise) AND the kept attempt ran essentially
+    // steal-free. Each row carries [wallPrev, wallNow, cpuPrev, cpuNow,
+    // steal] so host-vs-code adjudication is in-artifact: CPU flat with
+    // wall up = host regime, both up = code.
+    val regressions = results.flatMap { case (k, best, _, _, _, _, _, _, ks, kc) =>
       baseline.get(k) match {
         case Some(before) if before > 0 && best > before * 1.5 &&
-            ks >= 0 && ks < 0.2 =>
-          Some(s"\"" + k + s"\":[$best,$before,$ks]")
+            best - before >= 0.5 && ks >= 0 && ks < 0.2 =>
+          val cpuPrev = baselineCpu.getOrElse(k, -1.0)
+          Some(s"\"" + k + s"\":[$before,$best,$cpuPrev,$kc,$ks]")
         case _ => None
       }
     }.mkString("{", ",", "}")
