@@ -21,11 +21,15 @@ def norm(df):
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 def main():
+    if len(sys.argv) < 3:
+        sys.exit("usage: compare.py <sfDir> <verifyOutDir> [--json summary.json] [query...]")
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     rest = sys.argv[3:]
     json_out = None
     if "--json" in rest:
         i = rest.index("--json")
+        if i + 1 >= len(rest):
+            sys.exit("usage: --json needs a file argument")
         json_out = rest[i + 1]
         rest = rest[:i] + rest[i + 2:]
     only = set(rest)
@@ -81,6 +85,14 @@ def main():
             print(f"{name}: OK ({len(g)} rows, {len(g.columns)} cols)")
             n_ok += 1
             statuses[name] = "ok"
+    # a partially-failed Verify run dumps FEWER query dirs than the oracle
+    # expects; without this check the summary still looks green (only the
+    # nqueries count betrays it) — count every missing dump as bad
+    if not only:
+        for name in sorted(set(oracle) - set(statuses)):
+            print(f"{name}: MISSING DUMP (oracle present, no output dir)")
+            n_bad += 1
+            statuses[name] = "missing_dump"
     print(f"\n== {n_ok} ok, {n_bad} bad, {n_rowsonly} rows-only ==")
     if json_out:
         with open(json_out, "w") as f:

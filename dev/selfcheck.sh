@@ -17,8 +17,17 @@ CPUS="${SPARK_GRAFT_CPUS:-8}"
 OUT="$(mktemp -d /tmp/selfcheck_rXXXX)"
 
 echo "[selfcheck] Verify dump: $SF_DIR -> $OUT (local[$CPUS])"
-SPARK_GRAFT_CPUS="$CPUS" sbt -batch "runMain graft.Verify $SF_DIR $OUT" \
-  2>&1 | grep -E '\[verify\]|error\]' || true
+# don't let a grep filter swallow an sbt failure (ADVICE r13): run sbt
+# against a log file and check its exit directly; compare.py additionally
+# fails on dump dirs missing vs the oracle, so a partial dump can't score
+VLOG="$OUT/verify.log"
+if ! SPARK_GRAFT_CPUS="$CPUS" sbt -batch "runMain graft.Verify $SF_DIR $OUT" \
+    >"$VLOG" 2>&1; then
+  grep -E 'error\]|Exception' "$VLOG" | tail -20 >&2 || true
+  echo "[selfcheck] FATAL: Verify run failed (see above)" >&2
+  exit 1
+fi
+grep -E '\[verify\]' "$VLOG" || true
 
 echo "[selfcheck] oracle replay -> CORRECTNESS_SELF_r${ROUND}.json"
 python3 dev/compare.py "$SF_DIR" "$OUT" --json "CORRECTNESS_SELF_r${ROUND}.json" \

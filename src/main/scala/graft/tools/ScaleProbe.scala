@@ -1259,6 +1259,89 @@ object ScaleProbe {
         }
       }
     }
+    // [scale-graph] (VERDICT r13 #6): the iterative graph tail's 100×
+    // claim, MEASURED instead of asserted — kcore and SCC on a synthetic
+    // directed graph grown 1×/4×/16×, recording ROUNDS (observer seam),
+    // WALL, and executor TASK-CPU (the steal-immune Bench channel). The
+    // graph is web-shaped on purpose (what x206's "work shrinks as
+    // components settle" story assumes): two giant SCCs — a Hamiltonian
+    // cycle plus a multiplicative jump per half, so BFS frontiers double
+    // and reachability closes in O(log n) depths — joined by one-way
+    // cross edges, plus a CONSTANT 16-node permuted-chain tail (FW-BW
+    // serializes on disjoint singleton structure sharing a block, so a
+    // tail that grew with n would measure the pivot scheme's worst case,
+    // not the scaling claim; a chain also walks ONE edge per BFS depth,
+    // which is why it stays short and maxDepth carries headroom).
+    // Evidence = rounds FLAT across K (the tail's log₂16-ish splits
+    // dominate), CPU linear; super-linear CPU or climbing rounds would
+    // name a real defect.
+    if (on("graph")) {
+      val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) cpuNanos.addAndGet(m.executorCpuTime)
+        }
+      })
+      def settledCpu(): Long = {
+        var prev = -1L; var cur = cpuNanos.get(); var polls = 0
+        while (cur != prev && polls < 40) {
+          Thread.sleep(50); prev = cur; cur = cpuNanos.get(); polls += 1
+        }
+        cur
+      }
+      Seq(1, 4, 16).foreach { k =>
+        val n = 100000L * k
+        val half = n / 2
+        val bSize = half - 16 // component B: [half, n-16); tail: last 16 ids
+        def cycleJump(lo: Long, size: Long) = {
+          val ids = spark.range(size)
+          ids.select((col("id") + lo).as("src"),
+              (pmod(col("id") + 1, lit(size)) + lo).as("dst"))
+            .unionAll(ids.select((col("id") + lo).as("src"),
+              (pmod(col("id") * 7 + 1, lit(size)) + lo).as("dst")))
+        }
+        // 1024 one-way A→B cross edges (B is reachable from A, never back)
+        val cross = spark.range(1024).select(
+          (col("id") * 13 % half).as("src"),
+          (pmod(col("id") * 131, lit(bSize)) + half).as("dst"))
+        // constant 16-node singleton chain in PERMUTED id order hanging
+        // off B (31 coprime to 16), so min-id pivots land mid-chain and
+        // the FW-BW splits stay balanced — log₂, never linear
+        val tail0 = n - 16
+        val tail = spark.range(15).select(
+          (pmod(col("id") * 31, lit(16)) + tail0).as("src"),
+          (pmod((col("id") + 1) * 31, lit(16)) + tail0).as("dst"))
+          .unionAll(spark.range(1).select(lit(half).as("src"), lit(tail0).as("dst")))
+        val edges = cycleJump(0, half).unionAll(cycleJump(half, bSize))
+          .unionAll(cross).unionAll(tail)
+          .repartition(32).localCheckpoint(true)
+        val ne = edges.count()
+
+        var sccRounds = 0
+        var c0 = settledCpu(); var t0 = System.nanoTime()
+        val comps = graft.x.Graph.stronglyConnectedComponents(edges, "src", "dst",
+          maxRounds = 30, maxDepth = 96, roundObserver = r => sccRounds = r)
+        val nComp = comps.select("comp").distinct().count()
+        val unconv = comps.filter(!col("converged")).count()
+        val tScc = (System.nanoTime() - t0) / 1e9
+        val cScc = (settledCpu() - c0) / 1e9
+        spark.catalog.clearCache()
+
+        var coreRounds = 0
+        c0 = settledCpu(); t0 = System.nanoTime()
+        val core = graft.x.Graph.kCore(edges, "src", "dst", k = 4,
+          roundObserver = r => coreRounds = r).count()
+        val tCore = (System.nanoTime() - t0) / 1e9
+        val cCore = (settledCpu() - c0) / 1e9
+        println(f"[scale-graph] edges=$ne%8d  scc=$tScc%6.2fs cpu=$cScc%7.2fs " +
+          f"rounds=$sccRounds%2d comps=$nComp%7d unconverged=$unconv%4d  " +
+          f"kcore4=$tCore%6.2fs cpu=$cCore%7.2fs rounds=$coreRounds%2d nodes=$core%7d")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+    }
+
     // versioned SCD2 probe: the dimension inflates K× while the batch
     // stays FIXED (50 changed keys) and `scdBuckets` TRACKS the
     // dimension (256·K — the scaladoc's sizing rule, so bucket size

@@ -614,7 +614,8 @@ object Graph {
     * no-ops). */
   def kCore(edgesIn: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIters: Int = 50, broadcastWeakLimit: Long = 1000000L,
-      staging: Staging = Staging.LocalCheckpoint): DataFrame = {
+      staging: Staging = Staging.LocalCheckpoint,
+      roundObserver: Int => Unit = _ => ()): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(broadcastWeakLimit >= 0 && broadcastWeakLimit < Int.MaxValue,
       s"broadcastWeakLimit $broadcastWeakLimit out of range")
@@ -629,6 +630,7 @@ object Graph {
       if (nWeak == 0L) converged = true
       else {
         round += 1
+        roundObserver(round)
         val weak =
           if (nWeak <= broadcastWeakLimit) broadcast(weakAll) else weakAll
         e = staging.stage(
@@ -1053,7 +1055,8 @@ object Graph {
     * their block-min as a provisional label. */
   def stronglyConnectedComponents(edgesIn: DataFrame, srcCol: String,
       dstCol: String, maxRounds: Int = 10, maxDepth: Int = 30,
-      staging: Staging = Staging.LocalCheckpoint): DataFrame = {
+      staging: Staging = Staging.LocalCheckpoint,
+      roundObserver: Int => Unit = _ => ()): DataFrame = {
     require(maxRounds >= 1 && maxDepth >= 1, "positive budgets required")
     // hash(src)-sorted layout: the per-round block-restriction join keys
     // on src first, so the full edge list never re-shuffles after this
@@ -1090,6 +1093,7 @@ object Graph {
     var round = 0
     while (round < maxRounds && !active.isEmpty) {
       round += 1
+      roundObserver(round)
       // block-restricted edges: both endpoints still active, same block.
       // Staged TWICE — hash(src, block)-sorted for the forward closure
       // and hash(dst, block)-sorted for the backward one — so every BFS
