@@ -5,7 +5,7 @@
   * Spark's package namespace, kept deliberately minimal. */
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -26,4 +26,36 @@ object ColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(ident, info, builder)
+
+  /** Drop a checkpointed frame's PRESERVED statistics when they are
+    * garbage (r14, found by the `[scale-graph]` probe). Spark 4's
+    * `Dataset.localCheckpoint` truncates lineage but carries the ORIGIN
+    * plan's estimated `Statistics` onto the `LogicalRDD`
+    * (`LogicalRDD.fromDataset` → `rewriteStatsAndConstraints`,
+    * unconditionally). In an iterative operator whose next plan
+    * references the previous checkpoint MORE THAN ONCE (union with an
+    * anti-join against the accumulated set — the SCC closure, kCore,
+    * bfsHops shape), the estimated sizeInBytes therefore SQUARES per
+    * iteration: by depth ~20 the preserved BigInt has millions of digits
+    * and Catalyst's stats visitor spends MINUTES in
+    * `BigInteger.multiply` per planning pass — measured 20+ min of
+    * driver CPU on a 200k-edge graph whose execution takes seconds.
+    *
+    * Any estimate above `Long.MaxValue` bytes (8 EiB — the default size
+    * of a single statless leaf) is definitionally garbage, so this
+    * rebuilds the `LogicalRDD` without origin stats in that case;
+    * realistic estimates are kept (they feed static broadcast
+    * decisions), and AQE re-plans from runtime sizes regardless. */
+  def capCheckpointStats(df: org.apache.spark.sql.Dataset[Row]): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    ds.logicalPlan match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if lr.stats.sizeInBytes > BigInt(Long.MaxValue) =>
+        val stripped = org.apache.spark.sql.execution.LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(ds.sparkSession, None, None)
+        org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, stripped)
+      case _ => ds
+    }
+  }
 }

@@ -1306,17 +1306,21 @@ object ScaleProbe {
           (col("id") * 13 % half).as("src"),
           (pmod(col("id") * 131, lit(bSize)) + half).as("dst"))
         // constant 16-node singleton chain in PERMUTED id order hanging
-        // off B (31 coprime to 16), so min-id pivots land mid-chain and
-        // the FW-BW splits stay balanced — log₂, never linear
+        // off B (multiplier 5, coprime to 16 and properly scrambling —
+        // 31 ≡ −1 mod 16 just REVERSES the chain, making every min-id
+        // pivot the chain's terminal node: one settled node per round,
+        // measured as 16 serial rounds), so min-id pivots land mid-chain
+        // and the FW-BW splits stay balanced — log₂, never linear
         val tail0 = n - 16
         val tail = spark.range(15).select(
-          (pmod(col("id") * 31, lit(16)) + tail0).as("src"),
-          (pmod((col("id") + 1) * 31, lit(16)) + tail0).as("dst"))
+          (pmod(col("id") * 5, lit(16)) + tail0).as("src"),
+          (pmod((col("id") + 1) * 5, lit(16)) + tail0).as("dst"))
           .unionAll(spark.range(1).select(lit(half).as("src"), lit(tail0).as("dst")))
         val edges = cycleJump(0, half).unionAll(cycleJump(half, bSize))
           .unionAll(cross).unionAll(tail)
           .repartition(32).localCheckpoint(true)
         val ne = edges.count()
+        println(f"[scale-graph] k=$k built edges=$ne — running scc")
 
         var sccRounds = 0
         var c0 = settledCpu(); var t0 = System.nanoTime()
@@ -1327,16 +1331,22 @@ object ScaleProbe {
         val tScc = (System.nanoTime() - t0) / 1e9
         val cScc = (settledCpu() - c0) / 1e9
         spark.catalog.clearCache()
+        println(f"[scale-graph] k=$k scc done in $tScc%.1fs ($sccRounds rounds) — running kcore")
 
         var coreRounds = 0
         c0 = settledCpu(); t0 = System.nanoTime()
-        val core = graft.x.Graph.kCore(edges, "src", "dst", k = 4,
+        // k=3: the cycle+jump halves sit at degree ~4 with sparse
+        // degree-3 defect nodes (neighbor coincidences) — a k=4 gate
+        // unravels the WHOLE graph through the defects (measured: 13
+        // cascade rounds to nodes=0), so the stable claim is the k=3
+        // core: the tail peels, both halves survive, rounds flat
+        val core = graft.x.Graph.kCore(edges, "src", "dst", k = 3,
           roundObserver = r => coreRounds = r).count()
         val tCore = (System.nanoTime() - t0) / 1e9
         val cCore = (settledCpu() - c0) / 1e9
         println(f"[scale-graph] edges=$ne%8d  scc=$tScc%6.2fs cpu=$cScc%7.2fs " +
           f"rounds=$sccRounds%2d comps=$nComp%7d unconverged=$unconv%4d  " +
-          f"kcore4=$tCore%6.2fs cpu=$cCore%7.2fs rounds=$coreRounds%2d nodes=$core%7d")
+          f"kcore3=$tCore%6.2fs cpu=$cCore%7.2fs rounds=$coreRounds%2d nodes=$core%7d")
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }

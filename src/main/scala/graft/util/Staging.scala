@@ -32,10 +32,18 @@ trait Staging {
 
 object Staging {
 
-  /** Eager local checkpoint: executor-memory blocks, no durability. */
+  /** Eager local checkpoint: executor-memory blocks, no durability.
+    * The checkpoint's PRESERVED origin statistics are dropped when they
+    * exceed any physically possible size — in iterative loops that
+    * reference the previous stage twice (union + anti-join), preserved
+    * estimates SQUARE per iteration until Catalyst's stats visitor
+    * spends minutes multiplying million-digit BigInts per planning pass
+    * (found by the r14 `[scale-graph]` probe; see
+    * [[org.apache.spark.sql.graftbridge.ColumnBridge.capCheckpointStats]]). */
   object LocalCheckpoint extends Staging {
     override def stage(df: DataFrame, hint: String): DataFrame =
-      df.localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .capCheckpointStats(df.localCheckpoint(true))
   }
 
   /** Durable parquet staged tables under `root` — one numbered directory

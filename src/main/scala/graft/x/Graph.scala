@@ -1123,9 +1123,16 @@ object Graph {
       def closure(reversed: Boolean): (DataFrame, DataFrame) = {
         val (f, t) = if (reversed) ("dst", "src") else ("src", "dst")
         val be = if (reversed) beB else beF
-        var visited = staging.stage(pivots.select("block", "node"),
+        // the frontier is RE-DERIVED from the staged visited set by depth
+        // tag each iteration (the [[bfsHops]] discipline) — holding the
+        // raw `next` plan instead chains an unstaged lineage that re-
+        // evaluates the whole closure-so-far at every depth: O(depth²)
+        // joins, invisible on shallow fixture graphs and found by the
+        // [scale-graph] probe at depth ~20+ (r14). One job per depth.
+        var visited = staging.stage(
+          pivots.select("block", "node").withColumn("__d", lit(0)),
           s"scc-c$reversed-0-$round")
-        var frontier = visited
+        var frontier = visited.select("node", "block")
         var depth = 0
         def expand(fr: DataFrame, vis: DataFrame): DataFrame = be
           .join(fr.select(col("node").as(f), col("block")), Seq(f, "block"))
@@ -1133,16 +1140,16 @@ object Graph {
           .join(vis, Seq("node", "block"), "left_anti")
         while (depth < maxDepth && !frontier.isEmpty) {
           depth += 1
-          val next = expand(frontier, visited)
+          val next = expand(frontier, visited).withColumn("__d", lit(depth))
           visited = staging.stage(visited.unionByName(next),
             s"scc-c$reversed-$depth-$round")
-          frontier = next
+          frontier = visited.filter(col("__d") === depth).select("node", "block")
         }
         val truncated =
           if (frontier.isEmpty) frontier.select("block").distinct()
           else staging.stage(expand(frontier, visited).select("block").distinct(),
             s"scc-trunc$reversed-$round")
-        (visited, truncated)
+        (visited.drop("__d"), truncated)
       }
       val (fwd, fTrunc) = closure(reversed = false)
       val (bwd, bTrunc) = closure(reversed = true)
