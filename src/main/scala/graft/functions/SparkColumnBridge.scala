@@ -41,16 +41,22 @@ object ColumnBridge {
     * `BigInteger.multiply` per planning pass — measured 20+ min of
     * driver CPU on a 200k-edge graph whose execution takes seconds.
     *
-    * Any estimate above `Long.MaxValue` bytes (8 EiB — the default size
-    * of a single statless leaf) is definitionally garbage, so this
-    * rebuilds the `LogicalRDD` without origin stats in that case;
-    * realistic estimates are kept (they feed static broadcast
-    * decisions), and AQE re-plans from runtime sizes regardless. */
+    * The threshold is the estimate's BIT LENGTH, not a size cutoff:
+    * merely-overflowed estimates (a 3-way join of modest scans crosses
+    * 8 EiB immediately) are routine, harmless — an estimate that large
+    * never broadcasts, and stripping it would ALSO strip downstream
+    * frames' realistic broadcast hints (measured: 7 bench queries
+    * regressed 2× when r14 first capped at Long.MaxValue) — so those
+    * are KEPT, and only estimates past 2^1024 bytes (~10^308 — beyond
+    * IEEE double, reachable only by a multiplicative feedback loop) are
+    * dropped. Squaring then self-limits: digits double per iteration
+    * from the 63-bit default, cross the threshold within ~5 iterations,
+    * reset — BigInts stay ≤ ~2 kbit forever, and planning stays O(plan). */
   def capCheckpointStats(df: org.apache.spark.sql.Dataset[Row]): org.apache.spark.sql.DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
     ds.logicalPlan match {
       case lr: org.apache.spark.sql.execution.LogicalRDD
-          if lr.stats.sizeInBytes > BigInt(Long.MaxValue) =>
+          if lr.stats.sizeInBytes.bitLength > 1024 =>
         val stripped = org.apache.spark.sql.execution.LogicalRDD(
           lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
           lr.isStreaming, lr.stream)(ds.sparkSession, None, None)
