@@ -158,7 +158,8 @@ object TransformFunctions {
     // bounded by each merge's rewrite).
     "vacuumVersions" -> ((sp, t) => {
       val removed = graft.sources.VersionedParquet.vacuum(
-        path(t), int(t, "keepVersions", 1))
+        path(t), int(t, "keepVersions", 1),
+        lng(t, "orphanGraceMs", 24L * 3600 * 1000))
       val kept = graft.sources.VersionedParquet.versions(path(t)).size
       sp.range(1).select(lit(removed).as("files_removed"),
         lit(kept).as("versions_kept"))
@@ -205,7 +206,7 @@ object TransformFunctions {
       "fanout", "levels", "maxDrillPaths"),
     "psiDrift" -> Set("input", "against", "valueCol", "nBuckets", "lo", "hi"),
     // no `input`: the versioned store at `path` IS the input (ivfRebuild rule)
-    "vacuumVersions" -> Set("path", "keepVersions"),
+    "vacuumVersions" -> Set("path", "keepVersions", "orphanGraceMs"),
     "compactVersioned" -> Set("path", "targetFiles")
   )
 

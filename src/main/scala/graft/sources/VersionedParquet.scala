@@ -185,20 +185,54 @@ object VersionedParquet {
     * storage-reclamation sibling of [[compact]] — after it, time travel
     * reaches only the kept versions. Runs driver-side (file listing +
     * deletes); at object-store scale the same walk batches into bulk
-    * deletes. Returns the number of data files removed. */
-  def vacuum(path: String, keepVersions: Int = 1): Int = {
+    * deletes. Returns the number of data files removed.
+    *
+    * Also collects ORPHANED data dirs — staged by a commit that crashed
+    * or ABORTED on a conflict (r14: optimistic concurrency makes aborts
+    * a normal outcome, so orphans accumulate by design, not only by
+    * crash) and referenced by no manifest at all. A dir is an orphan
+    * only when no kept manifest references it AND nothing inside it was
+    * modified within `orphanGraceMs` — the grace period is what protects
+    * a concurrent commit's IN-FLIGHT stage (which runs outside the
+    * commit lock); size it above the longest plausible data stage. */
+  def vacuum(path: String, keepVersions: Int = 1,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Int = {
     require(keepVersions >= 1, "must keep at least the latest version")
+    require(orphanGraceMs >= 0, "orphanGraceMs must be >= 0")
     // log mutation → same critical section as a commit: the retained
     // window and the live-file set must be computed against a log no
     // concurrent commit is extending mid-walk
     withCommitLock(path) {
       val vs = versions(path)
       val (dropped, kept) = vs.splitAt((vs.size - keepVersions).max(0))
-      val live = kept.flatMap(manifestFiles(path, _)).toSet
-      val dead = dropped.flatMap(manifestFiles(path, _)).toSet -- live
+      val keptFiles = kept.flatMap(manifestFiles(path, _)).toSet
+      val dead = dropped.flatMap(manifestFiles(path, _)).toSet -- keptFiles
       dead.foreach(f => Files.deleteIfExists(Paths.get(f)))
       dropped.foreach(v => Files.deleteIfExists(logDir(path).resolve(s"$v.json")))
-      dead.size
+      // orphan collection: data dirs referenced by NO surviving manifest
+      val dataRoot = Paths.get(path, "data")
+      val referenced = keptFiles.flatMap { f =>
+        val i = f.indexOf("/data/")
+        if (i < 0) None else Some(f.substring(i + 6).takeWhile(_ != '/'))
+      }
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
+      val orphaned =
+        if (!Files.exists(dataRoot)) 0
+        else graft.util.Fs.list(dataRoot)
+          .filter(d => !referenced.contains(d.getFileName.toString))
+          .filter { d =>
+            val newest = graft.util.Fs.walk(d).map(p =>
+              scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+                .getOrElse(Long.MaxValue))
+            newest.nonEmpty && newest.max < cutoff
+          }
+          .map { d =>
+            val files = graft.util.Fs.walk(d).count(p => !Files.isDirectory(p))
+            graft.util.Fs.walk(d).sortBy(_.toString)(Ordering[String].reverse)
+              .foreach(Files.deleteIfExists)
+            files
+          }.sum
+      dead.size + orphaned
     }
   }
 
@@ -426,6 +460,7 @@ object VersionedParquet {
     * the holder hung mid-commit (inspect, then delete the lock) or
     * commit traffic is high enough that the caller should back off. */
   private def withCommitLock[A](path: String)(body: => A): A = {
+    Files.createDirectories(logDir(path)) // fresh table: maintenance before any commit
     val lock = logDir(path).resolve(".commit.lock")
     val deadline = System.currentTimeMillis() + lockWaitMs
     var held = false

@@ -148,6 +148,38 @@ class VersionedConcurrencySpec extends AnyFunSuite {
     assert(!Files.exists(lock), "the reclaimed lock must be released")
   }
 
+  test("vacuum collects conflict-aborted orphan data dirs, age-gated so " +
+      "an in-flight stage survives") {
+    val path = Files.createTempDirectory("graft-vc-orphan").toString + "/dim"
+    val df = (0L to 31L).map(k => (k, s"v$k", (k % 4).toInt)).toDF("id", "v", "b")
+    VersionedParquet.writePartitioned(df, path, "b") // v0
+    val p0 = VersionedParquet.readPartitions(spark, path, Seq("0"))
+      .withColumn("v", lit("x"))
+    VersionedParquet.overwritePartitions(p0, path, "b", Seq("0"), Some(0L)) // v1
+    // a conflict-aborted commit stages data, then aborts at the lock —
+    // its data dir is referenced by no manifest (the r14 normal outcome)
+    intercept[RuntimeException] {
+      VersionedParquet.overwritePartitions(p0, path, "b", Seq("0"), Some(0L))
+    }
+    def dataDirs() = graft.util.Fs.list(Paths.get(path, "data")).size
+    val before = dataDirs()
+    assert(before == 3, s"expected v0 + v1 + orphan staged dirs, got $before")
+    // a graceful vacuum (default-sized grace) keeps the young orphan —
+    // it is indistinguishable from a concurrent commit's in-flight stage
+    assert(VersionedParquet.vacuum(path, keepVersions = 2) == 0)
+    assert(dataDirs() == 3)
+    // grace elapsed (0 here) → the orphan is collected, live data intact
+    val removed = VersionedParquet.vacuum(path, keepVersions = 2, orphanGraceMs = 0)
+    assert(removed > 0, "orphan files must count in the return")
+    assert(dataDirs() == 2)
+    val snap = VersionedParquet.read(spark, path)
+    assert(snap.count() == 32)
+    assert(snap.filter($"b" === 0 && $"v" === "x").count() == 8)
+    // time travel to v0 still works (its manifest was kept)
+    assert(VersionedParquet.read(spark, path, Some(0L))
+      .filter($"v" === "x").count() == 0)
+  }
+
   test("partition values that would hive-escape are rejected at every " +
       "entry point — never a silent empty match") {
     val path = Files.createTempDirectory("graft-vc-dirsafe").toString + "/dim"
