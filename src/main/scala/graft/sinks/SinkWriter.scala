@@ -366,6 +366,17 @@ object SinkWriter {
     * makes THIS commit abort loudly instead of silently dropping the
     * other's update; merges over disjoint buckets interleave freely.
     *
+    * Conflict handling: the DEFAULT on a detected write-write conflict
+    * is the loud typed abort (`VersionedParquet.ConflictException`) —
+    * nothing published, re-run converges. With option
+    * `scdConflictRetries=N` the writer instead re-reads the touched
+    * buckets at the advanced version and re-merges, up to N times (the
+    * bounded optimistic-retry loop a deployment with overlapping
+    * schedulers opts into; each retry logs the conflict it absorbed).
+    * Retries re-merge against the OTHER writer's committed rows, so no
+    * update is ever lost either way — the option only trades operator
+    * intervention for bounded extra work under contention.
+    *
     * Streaming replays (`batchId` from foreachBatch): each commit carries
     * the monotone high-watermark `scd2BatchHwm = max(batchId, prev hwm)`
     * in its manifest meta; a batch at or below the newest tagged hwm has
@@ -404,13 +415,26 @@ object SinkWriter {
         .collect().map(_.getInt(0)).toSeq.sorted
       if (touched.isEmpty) return // empty batch: nothing to merge (matches
       // the dynamic-overwrite path, which writes no partition either)
-      val base = VersionedParquet.versions(path).max
-      val dimTouched = VersionedParquet.readPartitions(
-        spark, path, touched.map(_.toString), Some(base))
-      val merged = Scd2.merge(dimTouched, stagedB, keys,
-        sink.scdTrackedCols, batchTs)
-      VersionedParquet.overwritePartitions(merged, path, "scd_bucket",
-        touched.map(_.toString), Some(base), hwmMeta, midCommitHook)
+      val retries = sink.options.get("scdConflictRetries").map(_.toInt).getOrElse(0)
+      var attempt = 0
+      var done = false
+      while (!done) {
+        val base = VersionedParquet.versions(path).max
+        val dimTouched = VersionedParquet.readPartitions(
+          spark, path, touched.map(_.toString), Some(base))
+        val merged = Scd2.merge(dimTouched, stagedB, keys,
+          sink.scdTrackedCols, batchTs)
+        try {
+          VersionedParquet.overwritePartitions(merged, path, "scd_bucket",
+            touched.map(_.toString), Some(base), hwmMeta, midCommitHook)
+          done = true
+        } catch {
+          case e: VersionedParquet.ConflictException if attempt < retries =>
+            attempt += 1
+            println(s"[scd2] conflict on $path (attempt $attempt/$retries), " +
+              s"re-merging at the advanced version: ${e.getMessage.take(120)}")
+        }
+      }
     }
   }
 

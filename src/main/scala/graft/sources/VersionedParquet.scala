@@ -46,6 +46,14 @@ import scala.jdk.CollectionConverters._
   */
 object VersionedParquet {
 
+  /** A write-write conflict detected at commit: an intervening commit
+    * touched this writer's partitions (or advanced past a compaction's
+    * snapshot). The staged data dir is left unreferenced (vacuum's
+    * orphan pass reclaims it); re-reading and re-running converges.
+    * Typed so callers can implement bounded retry without string
+    * matching. */
+  final class ConflictException(msg: String) extends RuntimeException(msg)
+
   private def logDir(path: String) = Paths.get(path, "_graft_log")
 
   /** Committed versions, ascending. */
@@ -173,7 +181,7 @@ object VersionedParquet {
       carried = _ => Nil,
       midCommitHook = midCommitHook,
       conflictCheck = latest =>
-        if (latest != base) sys.error(
+        if (latest != base) throw new ConflictException(
           s"compact($path): concurrent commit detected — snapshot was " +
             s"read at version $base but version $latest is now the " +
             "latest; the rewrite would drop the intervening commit. " +
@@ -414,7 +422,7 @@ object VersionedParquet {
             touchedFiles(manifestFiles(path, v)) !=
               touchedFiles(manifestFiles(path,
                 vs.filter(_ < v).last))).getOrElse(latest)
-          sys.error(
+          throw new ConflictException(
             s"overwritePartitions($path): write-write conflict — this " +
               s"merge read version $base but commit $conflicting modified " +
               s"touched partition(s) of ${touched.sorted.mkString("{", ",", "}")} " +

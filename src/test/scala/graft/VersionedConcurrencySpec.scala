@@ -89,6 +89,28 @@ class VersionedConcurrencySpec extends AnyFunSuite {
     assert(healed.filter($"id" === keyA).count() == 3) // v, W2, W1 history
   }
 
+  test("scdConflictRetries: the losing merge re-reads the advanced table " +
+      "and converges with BOTH updates in history") {
+    val path = Files.createTempDirectory("graft-vc-retry").toString + "/dim"
+    val sink0 = mkSink(path)
+    SinkWriter.write(spark, (1L to 200L).map(k => (k, s"v$k")).toDF("id", "v"), sink0)
+    val sink = sink0.copy(options = sink0.options + ("scdConflictRetries" -> "1"))
+    // writer 2 commits an overlapping-bucket update from inside writer 1's
+    // hook, ONCE (the retry must not re-trigger the interleaving)
+    var fired = false
+    val w2 = Seq((keyA, "W2")).toDF("id", "v")
+    SinkWriter.scd2InsertPartitioned(spark,
+      Seq((keyA, "W1")).toDF("id", "v"), sink, nBuckets = 8,
+      midCommitHook = () => if (!fired) { fired = true; SinkWriter.write(spark, w2, sink0) })
+    val dim = VersionedParquet.read(spark, path)
+    // writer 1's retry merged ON TOP of writer 2's commit: W2 closed, W1 current
+    assert(dim.filter($"id" === keyA).count() == 3, "v, W2, W1 history expected")
+    assert(dim.filter($"id" === keyA && $"is_current" && $"v" === "W1").count() == 1)
+    assert(dim.filter($"id" === keyA && !$"is_current" && $"v" === "W2").count() == 1)
+    assert(dim.filter($"is_current").count() == 200)
+    assert(VersionedParquet.versions(path).size == 3, "init + w2 + retried w1")
+  }
+
   test("overwritePartitions with a stale baseVersion aborts on touched " +
       "overlap, proceeds on disjoint touch") {
     val path = Files.createTempDirectory("graft-vc-base").toString + "/dim"
