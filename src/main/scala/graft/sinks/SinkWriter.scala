@@ -38,10 +38,14 @@ object SinkWriter {
     val laid = applyZOrder(df, sink)
     val versionedScd2 = sink.loadType.equalsIgnoreCase("scdType2Insert") &&
       sink.options.contains("scdBuckets") && useVersioned(sink)
-    if (versionedScd2)
+    if (versionedScd2) {
       scd2InsertPartitioned(spark, laid, sink,
         sink.options("scdBuckets").toInt, batchId = Some(batchId))
-    else writeLaid(spark, laid, sink)
+      // keep parity with writeLaid's W9 tail: the remote push must not
+      // silently drop just because the load dispatched on this branch
+      for (rd <- sink.options.get("remoteDirPath"); p <- sink.path)
+        graft.sources.SourceReader.remoteFs.upload(p, rd)
+    } else writeLaid(spark, laid, sink)
   }
 
   // W11+ z-order layout pass: one range shuffle + in-partition sort on
